@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * Parquet carries its own schema; we read it as-is (deterministic, no
+  * inference pass). At 100 TB these would be partitioned/bucketed table
+  * scans — the reader API is identical, only the path changes, and all
+  * filters/projections issued downstream are pushed into the scan by
+  * Catalyst (verified via `.explain`: `PushedFilters`, `ReadSchema`).
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+
+  /** The `Change`-stream analog (reference `utils.py:18-36`):
+    * `event_type`<->`type`, `user_id`<->`user`, `ts`<->`meta.dt`,
+    * `props` (JSON string)<->nested meta.
+    *
+    * `ts` is TIMESTAMP(NANOS) in the parquet, which Spark's reader
+    * rejects; read it as raw nanos (legacy conf, set at runtime so any
+    * session works) and truncate to microseconds with integer division —
+    * the same ns->us truncation DuckDB applies, so oracle comparisons
+    * agree. Integer `div`, NOT double division: epoch-nanos (~1.7e18)
+    * overflow a double's 53-bit mantissa.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+
+  /** Revision-text analog (reference `scanner.py:178-196`): the corpus the
+    * regex stage (`filter_.py:110-112`) and the text-analysis /
+    * dedup extension operators run over.
+    */
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+
+  /** 64-dim float vectors for the similarity-search extension. */
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+}

@@ -1,0 +1,236 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Analytics / SQL-surface coverage queries (SURVEY.md §2.2 categories the
+  * engine ships beyond strict parity: aggregation, joins, windows,
+  * rollup, set ops, string/date/math/array/json functions, top-k).
+  *
+  * Cross-engine float determinism: money-like doubles are reduced to
+  * exact integer cents via round(x*100) BEFORE summing (IEEE multiply
+  * and round are deterministic and identical in Spark and DuckDB;
+  * double-SUM order is not) — see BASELINE.md / SURVEY §7.3 risk 2.
+  */
+object AnalyticsQueries {
+
+  /** round(x*scale) as exact BIGINT — deterministic across engines. */
+  private def asInt(c: org.apache.spark.sql.Column, scale: Long) =
+    round(c * lit(scale)).cast("long")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-flavored pricing summary: partial (map-side) agg + final
+    // agg, one shuffle on the two grouping keys.
+    "q1_agg" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          (sum(asInt(col("l_quantity"), 10000L)) / 10000.0).as("sum_qty"),
+          (sum(asInt(col("l_extendedprice"), 100L)) / 100.0).as("sum_base_price"),
+          (sum(asInt(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 100L)) / 100.0).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Multi-way star join: fact -> orders -> customer -> nation -> region,
+    // dims broadcast; revenue per region in exact cents.
+    "q2_join_agg" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg((sum(asInt(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 100L)) / 100.0).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"))
+    }),
+
+    // Top-k with deterministic tie-break: top 10 customers by order value.
+    "q3_topk" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg((sum(asInt(col("o_totalprice"), 100L)) / 100.0).as("total_spent"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("total_spent").desc, col("o_custkey"))
+        .limit(10)
+    }),
+
+    // Window functions: rank within customer + running order count.
+    "q4_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byCust = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("order_seq", row_number().over(byCust))
+        .withColumn("cum_spent",
+          sum(asInt(col("o_totalprice"), 100L)).over(byCust.rowsBetween(Window.unboundedPreceding, 0)))
+        .filter(col("order_seq") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("order_seq"),
+          (col("cum_spent") / 100.0).as("cum_spent"))
+        .orderBy(col("o_custkey"), col("order_seq"))
+    }),
+
+    // Grouping sets via ROLLUP over event_type x day; NULL group rows
+    // normalized to a sentinel for stable cross-engine hashing.
+    "q5_rollup" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .rollup(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("day"), lit("ALL")).as("day"), col("n"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    // Set operations: distinct users who clicked but never purchased
+    // (EXCEPT), and clicked-and-purchased (INTERSECT), tagged + unioned.
+    "q6_setops" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click").select(col("user_id")).distinct()
+      val buys = ev.filter(col("event_type") === "purchase").select(col("user_id")).distinct()
+      clicks.except(buys).select(lit("click_only").as("segment"), col("user_id"))
+        .unionByName(clicks.intersect(buys).select(lit("click_and_buy").as("segment"), col("user_id")))
+        .orderBy(col("segment"), col("user_id"))
+    }),
+
+    // JSON extraction from the props column + aggregation.
+    "q7_json" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(when(col("k") > 50, 1)).as("n_high"))
+        .orderBy(col("event_type"))
+    }),
+
+    // String function battery over part names.
+    "q8_string_funcs" -> ((s, dir) => {
+      Tables.part(s, dir)
+        .select(col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          substring(col("p_name"), 1, 5).as("name5"),
+          length(col("p_name")).cast("long").as("name_len"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          translate(col("p_type"), " ", "_").as("type_u"),
+          lpad(col("p_partkey").cast("string"), 8, "0").as("key_pad"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // Date/time battery over orders.
+    "q9_datetime" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Math battery — only ops with exact / correctly-rounded IEEE
+    // semantics (abs, ceil, floor, sqrt, mod) to stay engine-identical.
+    "q10_math" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_quantity") - lit(25.0)).as("dev"),
+          ceil(col("l_quantity")).cast("long").as("qceil"),
+          floor(col("l_quantity") / lit(10.0)).cast("long").as("qdecile"),
+          sqrt(col("l_quantity")).as("qsqrt"),
+          pmod(col("l_orderkey"), lit(7L)).cast("long").as("key_mod"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // Array function battery over embeddings (exact float ops only).
+    "q11_array_funcs" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          col("embedding").getItem(0).cast("double").as("first"),
+          array_max(col("embedding")).cast("double").as("vmax"),
+          array_min(col("embedding")).cast("double").as("vmin"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // HLL cardinality sketch — approximate, so no SQL oracle (driver
+    // records a rows-only check); the 100 TB path for COUNT(DISTINCT).
+    "q12_approx_distinct" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+       "CAST(SUM(CAST(round(l_quantity*10000) AS BIGINT)) AS BIGINT)/10000.0 AS sum_qty, " +
+       "CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_base_price, " +
+       "CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_disc_price, " +
+       "COUNT(*) AS count_order " +
+       "FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "q2_join_agg" ->
+      ("SELECT r_name, " +
+       "CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT)/100.0 AS revenue, " +
+       "COUNT(*) AS n_items " +
+       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+       "JOIN customer ON o_custkey = c_custkey " +
+       "JOIN nation ON c_nationkey = n_nationkey " +
+       "JOIN region ON n_regionkey = r_regionkey " +
+       "GROUP BY r_name ORDER BY r_name"),
+    "q3_topk" ->
+      ("SELECT o_custkey, CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)/100.0 AS total_spent, " +
+       "COUNT(*) AS n_orders FROM orders GROUP BY o_custkey " +
+       "ORDER BY total_spent DESC, o_custkey LIMIT 10"),
+    "q4_window" ->
+      ("SELECT o_custkey, o_orderkey, order_seq, cum_spent/100.0 AS cum_spent FROM (" +
+       "SELECT o_custkey, o_orderkey, " +
+       "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq, " +
+       "SUM(CAST(round(o_totalprice*100) AS BIGINT)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_spent " +
+       "FROM orders) WHERE order_seq <= 3 ORDER BY o_custkey, order_seq"),
+    "q5_rollup" ->
+      ("SELECT COALESCE(event_type, 'ALL') AS event_type, COALESCE(day, 'ALL') AS day, COUNT(*) AS n " +
+       "FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day FROM events) " +
+       "GROUP BY ROLLUP (event_type, day) ORDER BY event_type, day"),
+    "q6_setops" ->
+      ("WITH clicks AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'), " +
+       "buys AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') " +
+       "SELECT 'click_only' AS segment, user_id FROM (SELECT user_id FROM clicks EXCEPT SELECT user_id FROM buys) " +
+       "UNION ALL SELECT 'click_and_buy' AS segment, user_id FROM (SELECT user_id FROM clicks INTERSECT SELECT user_id FROM buys) " +
+       "ORDER BY segment, user_id"),
+    "q7_json" ->
+      ("SELECT event_type, CAST(SUM(k) AS BIGINT) AS sum_k, COUNT(CASE WHEN k > 50 THEN 1 END) AS n_high " +
+       "FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) " +
+       "GROUP BY event_type ORDER BY event_type"),
+    "q8_string_funcs" ->
+      ("SELECT p_partkey, upper(p_brand) AS brand_u, substring(p_name, 1, 5) AS name5, " +
+       "CAST(length(p_name) AS BIGINT) AS name_len, p_brand || '|' || p_type AS brand_type, " +
+       "replace(p_type, ' ', '_') AS type_u, lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_pad " +
+       "FROM part ORDER BY p_partkey"),
+    "q9_datetime" ->
+      ("SELECT o_orderkey, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr, " +
+       "CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo, " +
+       "CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS dom, " +
+       "strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start, " +
+       "strftime(o_orderdate, '%Y-%m-%d') AS d " +
+       "FROM orders ORDER BY o_orderkey"),
+    "q10_math" ->
+      ("SELECT l_orderkey, l_linenumber, abs(l_quantity - 25.0) AS dev, " +
+       "CAST(ceil(l_quantity) AS BIGINT) AS qceil, CAST(floor(l_quantity/10.0) AS BIGINT) AS qdecile, " +
+       "sqrt(l_quantity) AS qsqrt, CAST(l_orderkey % 7 AS BIGINT) AS key_mod " +
+       "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+    "q11_array_funcs" ->
+      ("SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim, " +
+       "CAST(embedding[1] AS DOUBLE) AS first, " +
+       "CAST(list_max(embedding) AS DOUBLE) AS vmax, CAST(list_min(embedding) AS DOUBLE) AS vmin " +
+       "FROM embeddings ORDER BY vec_id")
+    // q12_approx_distinct: approximate by design — no oracle (rows-only).
+  )
+}
