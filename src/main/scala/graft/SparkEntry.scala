@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.RcOps
-import graft.queries.{AnalyticsQueries, ParityQueries}
+import graft.queries.{AnalyticsQueries, ExtensionQueries, ParityQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -36,11 +36,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ParityQueries.queries ++ AnalyticsQueries.queries
+    ParityQueries.queries ++ AnalyticsQueries.queries ++ ExtensionQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    ParityQueries.oracleSql ++ AnalyticsQueries.oracleSql
+    ParityQueries.oracleSql ++ AnalyticsQueries.oracleSql ++ ExtensionQueries.oracleSql
 }

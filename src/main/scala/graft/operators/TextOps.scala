@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text / dedup building blocks for the training-data-pipeline
+  * extensions (SURVEY.md §2.3). All of these are pure per-row
+  * expressions (no UDFs, no shuffles) so they run map-side inside
+  * whole-stage codegen; the only shuffles in the dedup operators are
+  * the final groupBy/join on hash keys — which IS the LSH bucketing.
+  *
+  * Hashes are md5 (identical hex output in Spark, DuckDB, and every
+  * engine) so every step stays oracle-checkable cross-engine.
+  */
+object TextOps {
+
+  /** Whitespace tokenization — the corpus is single-space separated. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles; degenerate docs (< n tokens) produce one
+    * truncated shingle (`greatest(...,1)` on BOTH engines — Spark's
+    * `sequence(1,0)` would count DOWN, not return empty).
+    */
+  def shingles(ws: Column, n: Int): Column =
+    transform(sequence(lit(1), greatest(size(ws) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(ws, i, lit(n))))
+
+  /** MinHash signature: k independent hash functions simulated as
+    * `md5(seed || '|' || shingle)`, min per seed. Classic
+    * Broder-style MinHash (see PAPERS.md); one array expression per
+    * row, no state.
+    */
+  def minhashSigs(sh: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      seed => array_min(transform(sh, s => md5(concat(seed.cast("string"), lit("|"), s)))))
+
+  /** LSH banding: hash `rowsPerBand` consecutive signature entries per
+    * band. Docs sharing any band hash become candidate pairs — the
+    * band hash is the shuffle/bucketing key at scale.
+    */
+  def lshBands(sigs: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b => {
+      val parts = (0 until rowsPerBand).map(r => element_at(sigs, b * rowsPerBand + r + 1))
+      md5(concat_ws("|", parts: _*))
+    })
+
+  /** Per-token 32-bit hash bits via md5 hex-digit parity: bit j of the
+    * token hash = low bit of hex digit j. Pure string ops — portable
+    * to any engine with md5/substr, unlike hex->int conversion.
+    */
+  def hexParityContrib(word: Column, j: Column): Column =
+    when(md5(word).substr(j, lit(1))
+      .isin("1", "3", "5", "7", "9", "b", "d", "f"), lit(1)).otherwise(lit(-1))
+
+  /** Count of tokens appearing in a fixed stopword list. */
+  def stopwordCount(ws: Column, stopwords: Seq[String]): Column =
+    size(filter(ws, w => w.isin(stopwords.map(lit): _*)))
+
+  /** Sum of per-token lengths (for avg token length, etc.). */
+  def totalTokenLen(ws: Column): Column =
+    aggregate(ws, lit(0), (acc, w) => acc + length(w))
+
+  /** BPE-ish subword count: ceil(len/4) chunks per token. */
+  def subwordCount(ws: Column): Column =
+    aggregate(ws, lit(0L), (acc, w) => acc + ceil(length(w) / lit(4.0)))
+}

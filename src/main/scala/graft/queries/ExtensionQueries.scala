@@ -1,0 +1,313 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{TextOps, VectorOps}
+
+/** Training-data-pipeline extension operators (SURVEY.md §2.3 /
+  * BASELINE.json north star): dedup (exact, MinHash-LSH, SimHash,
+  * n-gram Jaccard), similarity search (brute-force cosine top-k, IVF),
+  * text analysis (language-ID, quality scoring, token counting,
+  * fingerprinting), and multimodal feature plumbing.
+  *
+  * Scale design: every per-doc computation is a map-side array
+  * expression; shuffles happen only on hash keys (LSH band hash,
+  * shingle, simhash band) — i.e. the bucketing IS the partitioning, so
+  * each operator is a constant number of shuffles regardless of corpus
+  * size. No O(n^2) self-join runs unbucketed.
+  */
+object ExtensionQueries {
+
+  private val stopEn = Seq("the", "a", "of")
+  private val stopEs = Seq("la", "el", "los")
+  private val stopDe = Seq("der", "die", "und")
+
+  /** Tokens + 5-gram shingles, shared by the dedup family. */
+  private def withShingles(docs: DataFrame): DataFrame =
+    docs.withColumn("ws", TextOps.tokens(col("text")))
+      .withColumn("sh", TextOps.shingles(col("ws"), 5))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- Dedup ---------------------------------------------------------
+    // Exact dedup by content hash: one shuffle on md5(text); keeper =
+    // min doc_id per hash (deterministic).
+    "dedup_exact" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("keep_id"))
+    }),
+
+    // MinHash + LSH near-dup candidates: 8 md5-minhashes, 4 bands x 2
+    // rows; candidate pair = docs sharing any band hash. The band hash
+    // is the shuffle key — at 100 TB this is one map stage + one
+    // equi-join on a high-cardinality key (salt-friendly, skew-safe:
+    // identical docs land in the same bucket by construction).
+    "dedup_minhash" -> ((s, dir) => {
+      val d = withShingles(Tables.documents(s, dir))
+        .withColumn("sigs", TextOps.minhashSigs(col("sh"), 8))
+        .withColumn("bands", TextOps.lshBands(col("sigs"), 4, 2))
+        .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+      val a = d.select(col("band_idx"), col("band_hash"), col("doc_id").as("a_id"))
+      val b = d.select(col("band_idx"), col("band_hash"), col("doc_id").as("b_id"))
+      a.join(b, Seq("band_idx", "band_hash"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id")).distinct()
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // SimHash-32 per doc: md5 hex-digit parity gives 32 hash bits per
+    // token; bit j of the fingerprint = sign of the per-bit vote sum.
+    // Explode(token x bit) -> one shuffle on (doc_id, bit).
+    "dedup_simhash" -> ((s, dir) => {
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+        .select(col("doc_id"), col("w"), explode(sequence(lit(1), lit(32))).as("j"))
+      t.groupBy(col("doc_id"), col("j"))
+        .agg(sum(TextOps.hexParityContrib(col("w"), col("j"))).as("s"))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), j - 1)"))
+          .otherwise(lit(0L))).cast("long").as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact n-gram Jaccard near-dup pairs, bucketed by shared shingle
+    // (docs sharing zero shingles never meet — the shingle join IS the
+    // LSH-free pruning; a frequency cap on hot shingles would be the
+    // skew guard at 100 TB).
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val sh = withShingles(Tables.documents(s, dir))
+        .select(col("doc_id"), explode(array_distinct(col("sh"))).as("s"))
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = sh.select(col("doc_id").as("a_id"), col("s"))
+        .join(sh.select(col("doc_id").as("b_id"), col("s")), Seq("s"))
+        .filter(col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("i"))
+      inter
+        .join(broadcast(sizes.select(col("doc_id").as("a_id"), col("n").as("na"))), Seq("a_id"))
+        .join(broadcast(sizes.select(col("doc_id").as("b_id"), col("n").as("nb"))), Seq("b_id"))
+        .withColumn("jaccard", round(col("i") / (col("na") + col("nb") - col("i")), 6))
+        .filter(col("jaccard") >= 0.2)
+        .select(col("a_id"), col("b_id"), col("jaccard"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // ---- Similarity search --------------------------------------------
+    // Brute-force cosine top-k vs query vector (vec_id=0): map-side
+    // score + TakeOrderedAndProject — the honest 100 TB baseline scan.
+    "sim_cosine_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(VectorOps.toDouble(col("embedding")).as("qv"))
+      emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("v", VectorOps.toDouble(col("embedding")))
+        .select(col("vec_id"),
+          round(VectorOps.cosine(col("qv"), col("v")), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // IVF-style ANN: coarse quantizer = 8 seed centroids (vec_id 0..7);
+    // every vector is assigned to its argmax-cosine cell (scores rounded
+    // to 6 BEFORE argmax so both engines agree); the query (vec_id=42)
+    // probes only its own cell. At scale: partition the index by cell,
+    // read one partition per probe.
+    "sim_ivf_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .withColumn("v", VectorOps.toDouble(col("embedding")))
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val scored = emb.select(col("vec_id"), col("v"))
+        .crossJoin(broadcast(cents))
+        .withColumn("cs", round(VectorOps.cosine(col("v"), col("cv")), 6))
+      val byVec = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))
+      val cells = scored.withColumn("rn", row_number().over(byVec))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid").as("cell"))
+      val withCell = emb.select(col("vec_id"), col("v")).join(cells, Seq("vec_id"))
+      val qCell = withCell.filter(col("vec_id") === 42)
+        .select(col("v").as("qv"), col("cell").as("qcell"))
+      withCell.crossJoin(broadcast(qCell))
+        .filter(col("cell") === col("qcell") && col("vec_id") =!= 42)
+        .select(col("vec_id"),
+          round(VectorOps.cosine(col("qv"), col("v")), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(5)
+    }),
+
+    // ---- Text analysis -------------------------------------------------
+    // Language-ID by stopword-vote heuristic (n-gram lexicon counts).
+    "text_langid" -> ((s, dir) => {
+      val ws = TextOps.tokens(col("text"))
+      val en = TextOps.stopwordCount(ws, stopEn)
+      val es = TextOps.stopwordCount(ws, stopEs)
+      val de = TextOps.stopwordCount(ws, stopDe)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang").as("labeled_lang"),
+          en.cast("long").as("en_hits"),
+          when(en >= greatest(es, de) && en > 0, "en")
+            .when(es >= de && es > 0, "es")
+            .when(de > 0, "de")
+            .otherwise("und").as("pred_lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quality scoring: token stats + type-token ratio + gate.
+    "text_quality" -> ((s, dir) => {
+      val ws = TextOps.tokens(col("text"))
+      Tables.documents(s, dir)
+        .withColumn("n_tokens", size(ws).cast("long"))
+        .withColumn("avg_token_len",
+          round(TextOps.totalTokenLen(ws) / col("n_tokens"), 4))
+        .withColumn("stopword_ratio",
+          round(TextOps.stopwordCount(ws, stopEn) / col("n_tokens"), 6))
+        .withColumn("ttr", round(size(array_distinct(ws)) / col("n_tokens"), 6))
+        .withColumn("is_quality",
+          (col("n_tokens") >= 10 && col("n_tokens") <= 120 && col("ttr") >= 0.15).cast("int"))
+        .select(col("doc_id"), col("n_tokens"), col("avg_token_len"),
+          col("stopword_ratio"), col("ttr"), col("is_quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Token counting: whitespace tokens + BPE-ish 4-char subword chunks.
+    "text_tokens" -> ((s, dir) => {
+      val ws = TextOps.tokens(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(ws).cast("long").as("n_tokens"),
+          TextOps.subwordCount(ws).cast("long").as("n_subwords"),
+          length(col("text")).cast("long").as("n_chars_text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Document fingerprinting: content hash + min/max shingle hash
+    // (rolling-window fingerprint family; min-hash = winnowing anchor).
+    "text_fingerprint" -> ((s, dir) => {
+      withShingles(Tables.documents(s, dir))
+        .withColumn("shm", transform(col("sh"), x => md5(x)))
+        .select(col("doc_id"),
+          md5(col("text")).as("fp_doc"),
+          array_min(col("shm")).as("fp_min"),
+          array_max(col("shm")).as("fp_max"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Multimodal plumbing: opaque binary payload + typed metadata;
+    // "decode" is a deterministic md5-derived stand-in (real image/audio
+    // codecs aren't in this container) — the schema/partition/batch
+    // shape is the real part. See graft.operators.Multimodal for the
+    // typed mapPartitions decode path.
+    "multimodal_features" -> ((s, dir) => {
+      val blobHash = md5(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("n_bytes"),
+          blobHash.as("content_hash"),
+          (lit(64) + pmod(ascii(blobHash.substr(1, 1)), lit(8)) * 16).cast("int").as("width"),
+          (lit(64) + pmod(ascii(blobHash.substr(2, 1)), lit(8)) * 16).cast("int").as("height"),
+          (pmod(octet_length(col("text")), lit(7)) + 1).cast("int").as("n_frames"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  // ---- DuckDB oracles ---------------------------------------------------
+
+  private val shSql =
+    "list_transform(generate_series(1, greatest(len(ws)-4, 1)), i -> array_to_string(ws[i:i+4], ' '))"
+
+  def oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      ("SELECT md5(text) AS content_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS n_copies " +
+       "FROM documents GROUP BY md5(text) ORDER BY keep_id"),
+    "dedup_minhash" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
+       s"sh AS (SELECT doc_id, $shSql sh FROM t), " +
+       "sg AS (SELECT doc_id, list_transform([0,1,2,3,4,5,6,7], k -> " +
+       "list_min(list_transform(sh, s -> md5(k || '|' || s)))) sigs FROM sh), " +
+       "bd AS (SELECT doc_id, list_transform([0,1,2,3], b -> " +
+       "md5(sigs[b*2+1] || '|' || sigs[b*2+2])) bands FROM sg), " +
+       "bb AS (SELECT doc_id, i AS band_idx, bands[i] AS band_hash FROM bd " +
+       "CROSS JOIN (SELECT unnest(generate_series(1,4)) i)) " +
+       "SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bb a JOIN bb b " +
+       "ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id " +
+       "ORDER BY a_id, b_id"),
+    "dedup_simhash" ->
+      ("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents), " +
+       "b AS (SELECT doc_id, j, SUM(CASE WHEN substr(md5(w), j, 1) IN ('1','3','5','7','9','b','d','f') " +
+       "THEN 1 ELSE -1 END) s FROM t CROSS JOIN (SELECT unnest(generate_series(1,32)) j) GROUP BY doc_id, j) " +
+       "SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << (j-1)) ELSE 0 END) AS BIGINT) AS simhash " +
+       "FROM b GROUP BY doc_id ORDER BY doc_id"),
+    "dedup_ngram_jaccard" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
+       s"sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest($shSql) s FROM t)), " +
+       "sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id), " +
+       "inter AS (SELECT a.doc_id a_id, b.doc_id b_id, COUNT(*) i FROM sh a JOIN sh b " +
+       "ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id) " +
+       "SELECT a_id, b_id, round(CAST(i AS DOUBLE)/(sa.n + sb.n - i), 6) AS jaccard " +
+       "FROM inter JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id " +
+       "WHERE round(CAST(i AS DOUBLE)/(sa.n + sb.n - i), 6) >= 0.2 ORDER BY a_id, b_id"),
+    "sim_cosine_topk" ->
+      ("WITH q AS (SELECT embedding qe FROM embeddings WHERE vec_id = 0), " +
+       "s AS (SELECT vec_id, " +
+       "list_sum(list_transform(list_zip(qe, embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) dot, " +
+       "list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) nq, " +
+       "list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) nv " +
+       "FROM embeddings, q WHERE vec_id <> 0) " +
+       "SELECT vec_id, round(dot/sqrt(nq*nv), 6) AS cos_sim FROM s " +
+       "ORDER BY cos_sim DESC, vec_id LIMIT 10"),
+    "sim_ivf_topk" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings), " +
+       "c AS (SELECT vec_id cid, v cv FROM e WHERE vec_id < 8), " +
+       "scored AS (SELECT e.vec_id, c.cid, round(" +
+       "list_sum(list_transform(list_zip(e.v, c.cv), p -> p[1]*p[2])) / " +
+       "sqrt(list_sum(list_transform(e.v, x -> x*x)) * list_sum(list_transform(c.cv, x -> x*x)))" +
+       ", 6) cs FROM e CROSS JOIN c), " +
+       "cells AS (SELECT vec_id, cid AS cell FROM scored " +
+       "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) = 1), " +
+       "wc AS (SELECT e.vec_id, e.v, cells.cell FROM e JOIN cells USING (vec_id)), " +
+       "q AS (SELECT v qv, cell qcell FROM wc WHERE vec_id = 42) " +
+       "SELECT wc.vec_id, round(" +
+       "list_sum(list_transform(list_zip(q.qv, wc.v), p -> p[1]*p[2])) / " +
+       "sqrt(list_sum(list_transform(q.qv, x -> x*x)) * list_sum(list_transform(wc.v, x -> x*x)))" +
+       ", 6) AS cos_sim FROM wc, q WHERE wc.cell = q.qcell AND wc.vec_id <> 42 " +
+       "ORDER BY cos_sim DESC, vec_id LIMIT 5"),
+    "text_langid" ->
+      ("SELECT doc_id, lang AS labeled_lang, " +
+       "CAST(len(list_filter(ws, w -> w IN ('the','a','of'))) AS BIGINT) AS en_hits, " +
+       "CASE WHEN len(list_filter(ws, w -> w IN ('the','a','of'))) >= " +
+       "greatest(len(list_filter(ws, w -> w IN ('la','el','los'))), len(list_filter(ws, w -> w IN ('der','die','und')))) " +
+       "AND len(list_filter(ws, w -> w IN ('the','a','of'))) > 0 THEN 'en' " +
+       "WHEN len(list_filter(ws, w -> w IN ('la','el','los'))) >= len(list_filter(ws, w -> w IN ('der','die','und'))) " +
+       "AND len(list_filter(ws, w -> w IN ('la','el','los'))) > 0 THEN 'es' " +
+       "WHEN len(list_filter(ws, w -> w IN ('der','die','und'))) > 0 THEN 'de' ELSE 'und' END AS pred_lang " +
+       "FROM (SELECT doc_id, lang, string_split(text, ' ') ws FROM documents) ORDER BY doc_id"),
+    "text_quality" ->
+      ("SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens, " +
+       "round(list_sum(list_transform(ws, w -> length(w))) / len(ws), 4) AS avg_token_len, " +
+       "round(len(list_filter(ws, w -> w IN ('the','a','of'))) / len(ws), 6) AS stopword_ratio, " +
+       "round(len(list_distinct(ws)) / len(ws), 6) AS ttr, " +
+       "CAST(CASE WHEN len(ws) BETWEEN 10 AND 120 AND round(len(list_distinct(ws)) / len(ws), 6) >= 0.15 " +
+       "THEN 1 ELSE 0 END AS INT) AS is_quality " +
+       "FROM (SELECT doc_id, string_split(text, ' ') ws FROM documents) ORDER BY doc_id"),
+    "text_tokens" ->
+      ("SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens, " +
+       "CAST(list_sum(list_transform(ws, w -> CAST(ceil(length(w)/4.0) AS BIGINT))) AS BIGINT) AS n_subwords, " +
+       "CAST(length(text) AS BIGINT) AS n_chars_text " +
+       "FROM (SELECT doc_id, text, string_split(text, ' ') ws FROM documents) ORDER BY doc_id"),
+    "text_fingerprint" ->
+      ("WITH t AS (SELECT doc_id, text, string_split(text, ' ') ws FROM documents), " +
+       s"s AS (SELECT doc_id, text, list_transform($shSql, x -> md5(x)) shm FROM t) " +
+       "SELECT doc_id, md5(text) AS fp_doc, list_min(shm) AS fp_min, list_max(shm) AS fp_max " +
+       "FROM s ORDER BY doc_id"),
+    "multimodal_features" ->
+      ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS content_hash, " +
+       "CAST(64 + (ascii(substr(md5(text), 1, 1)) % 8) * 16 AS INT) AS width, " +
+       "CAST(64 + (ascii(substr(md5(text), 2, 1)) % 8) * 16 AS INT) AS height, " +
+       "CAST(octet_length(encode(text)) % 7 + 1 AS INT) AS n_frames " +
+       "FROM documents ORDER BY doc_id")
+  )
+}
