@@ -47,12 +47,25 @@ object ExtensionQueries {
     // equi-join on a high-cardinality key (salt-friendly, skew-safe:
     // identical docs land in the same bucket by construction).
     "dedup_minhash" -> ((s, dir) => {
-      val d = withShingles(Tables.documents(s, dir))
-        .withColumn("sigs", TextOps.minhashSigs(col("sh"), 8))
-        .withColumn("bands", TextOps.lshBands(col("sigs"), 4, 2))
-        .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
-      val a = d.select(col("band_idx"), col("band_hash"), col("doc_id").as("a_id"))
-      val b = d.select(col("band_idx"), col("band_hash"), col("doc_id").as("b_id"))
+      // Explode-based pipeline, NOT nested array lambdas: higher-order
+      // functions are CodegenFallback (no common-subexpression elim), so
+      // an array-of-arrays formulation recomputes the whole signature per
+      // element_at — 30x slower at sf0.1. Here every md5 is computed
+      // exactly once, the (doc_id, seed) min is map-side partial-agged
+      // (tiny shuffle), and the band self-join reuses one exchange.
+      val shx = withShingles(Tables.documents(s, dir))
+        .select(col("doc_id"), explode(array_distinct(col("sh"))).as("sng"))
+      val sigs = shx
+        .select(col("doc_id"), col("sng"), explode(sequence(lit(0), lit(7))).as("seed"))
+        .groupBy(col("doc_id"), col("seed"))
+        .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("sng")))).as("mh"))
+      val bands = sigs
+        .groupBy(col("doc_id"), floor(col("seed") / 2).cast("int").as("band_idx"))
+        .agg(md5(concat_ws("|",
+          min(when(pmod(col("seed"), lit(2)) === 0, col("mh"))),
+          min(when(pmod(col("seed"), lit(2)) === 1, col("mh"))))).as("band_hash"))
+      val a = bands.select(col("band_idx"), col("band_hash"), col("doc_id").as("a_id"))
+      val b = bands.select(col("band_idx"), col("band_hash"), col("doc_id").as("b_id"))
       a.join(b, Seq("band_idx", "band_hash"))
         .filter(col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id")).distinct()
