@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+
+/** The reference's four sinks (`scanner.py:143-175,221-249`,
+  * `flaglog.py:37-66`) as a foreachBatch fan-out. One upstream
+  * micro-batch is persisted once and written to all enabled sinks —
+  * the streaming analog of the reference's per-event sequential writes,
+  * minus the O(log) read-modify-rewrite (Spark appends are atomic per
+  * batch; consumers see equivalent content).
+  *
+  * logLevel semantics (`examples/config.py:9`, `scanner.py:91-117`):
+  * 0 console only, 1 +revid log, 2 +flag log (null folder/file),
+  * 3 +date-partitioned content files (real folder/file).
+  */
+final case class RcSinks(baseDir: String, logLevel: Int, filterName: String) {
+  require(logLevel >= 0 && logLevel <= 3,
+    s"LOG_LEVEL must be in [0,3], got $logLevel") // scanner.py:70-71
+
+  /** foreachBatch body; also callable with a batch DataFrame directly. */
+  def writeBatch(batch: DataFrame, batchId: Long): Unit = {
+    batch.persist()
+    try {
+      if (logLevel >= 1)
+        batch.select(F.col("revid").cast("string"))
+          .write.mode("append").text(s"$baseDir/revids")       // K2 scanner.py:221-232
+      if (logLevel >= 2)
+        batch.select(
+            F.lit(filterName).as("filter"),
+            F.struct(batch.columns.map(F.col): _*).as("change"),
+            F.struct(                                          // nulls at level 2, scanner.py:162-165
+              (if (logLevel == 3) F.concat(F.lit("changes/"), F.col("event_date").cast("string"))
+               else F.lit(null).cast("string")).as("folder"),
+              (if (logLevel == 3) F.col("filename") else F.lit(null).cast("string")).as("file"))
+              .as("log"))
+          .write.mode("append").parquet(s"$baseDir/flaglog")   // K3 flaglog.py:37-66
+      if (logLevel == 3)
+        batch.select(F.col("event_date"), F.col("filename"), F.col("message"))
+          .write.mode("append").partitionBy("event_date")
+          .parquet(s"$baseDir/changes")                        // K4 scanner.py:235-249
+    } finally batch.unpersist()
+  }
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.operators.RcOps
+
+/** Streaming twin of the reference pipeline (`scanner.py:120-175`) over a
+  * Change-schema stream (graft.schema.ChangeSchema.change): Structured
+  * Streaming, not DStreams.
+  *
+  * Mapping (SURVEY.md §2.1):
+  *  - F1 streamfilter  -> stateless filter (pushed to the source scan)
+  *  - J1 editcount     -> stream-static broadcast join on (user, server_name)
+  *  - F2 threshold     -> stateless filter with NULL-disable semantics
+  *  - D1 repeat-dedup  -> dropDuplicates("title") with event-time watermark:
+  *                        the reference keeps the first flagged title EVER
+  *                        (unbounded state, `filter_.py:90-102`); streaming
+  *                        bounds state by watermark — documented deviation,
+  *                        batch twin (RcOps.firstPerKey) is exact.
+  *  - J2 revision text -> stream-static join on revision.new, staged after
+  *                        the cheap gates (cheap-predicates-first,
+  *                        `scanner.py:131-141`)
+  *  - E1 race skip     -> null-text filter (dead-letter side kept)
+  *  - R1 regex         -> matched-pattern array, match gate size>0
+  *
+  * State-store sizing at 100 TB: dedup state is one entry per distinct
+  * title inside the watermark horizon; keys hash-partition across
+  * executors (RocksDB state store in production), no driver state.
+  */
+object RcStreaming {
+
+  case class FilterSpec(
+      streamfilter: Map[String, Seq[Any]],
+      maxEdits: Option[Long],
+      skipRepeats: Boolean,
+      regexes: Seq[String],
+      watermark: String = "1 hour")
+
+  /** Full pipeline: `changes` may be a streaming OR batch DataFrame —
+    * the plan is identical (Structured Streaming's batch/stream unification).
+    * `users(user, editcount)` and `revisions(revid, text)` are static
+    * dimension tables (the API-lookup stand-ins, FIXTURES.md A.3).
+    */
+  def pipeline(changes: DataFrame, users: DataFrame, revisions: DataFrame,
+               spec: FilterSpec): DataFrame = {
+    val filtered = RcOps.streamFilter(changes, spec.streamfilter)
+      .withColumn("event_time", to_timestamp(col("meta.dt")))
+
+    val enriched = filtered
+      .join(broadcast(users), Seq("user"), "left")
+      .filter(spec.maxEdits.map(m => col("editcount") <= lit(m)).getOrElse(lit(true)))
+
+    val deduped =
+      if (spec.skipRepeats)
+        enriched.withWatermark("event_time", spec.watermark)
+          .dropDuplicates("title")
+      else enriched
+
+    val withText = deduped
+      .join(broadcast(revisions),
+        deduped("revision.new") === revisions("revid"), "left")
+      .filter(col("text").isNotNull) // E1: skip-and-continue, never fail
+
+    val pats: Column = filter(array(spec.regexes.map(lit): _*),
+      p => regexp_like(col("text"), p))
+
+    withText
+      .withColumn("matched", pats)
+      .filter(size(col("matched")) > 0)
+      .select(
+        col("id"), col("title"), col("user"), col("type"),
+        col("revision.new").as("revid"),
+        concat_ws(",", col("matched")).as("matched"),
+        RcOps.matchMessage(col("matched"), col("meta.uri")).as("message"),
+        to_date(col("meta.dt")).as("event_date"),
+        RcOps.sanitizedFilename(col("user"), col("revision.new")).as("filename"),
+        col("event_time"))
+  }
+}

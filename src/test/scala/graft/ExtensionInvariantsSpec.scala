@@ -1,0 +1,64 @@
+package graft
+
+import org.scalacheck.Prop.forAll
+import org.scalacheck.Test.{check => scCheck, Parameters}
+
+/** Invariants of the extension operators on real testdata + property
+  * checks (SURVEY.md §5.3).
+  */
+class ExtensionInvariantsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf0001)
+
+  test("jaccard pairs are ordered, bounded, and above threshold") {
+    val rows = q("dedup_ngram_jaccard")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.forall { case (a, b, j) => a < b && j >= 0.2 && j <= 1.0 })
+  }
+
+  test("minhash candidates contain every high-jaccard pair (LSH recall)") {
+    val exact = q("dedup_ngram_jaccard").as[(Long, Long, Double)].collect()
+      .filter(_._3 >= 0.9).map(t => (t._1, t._2)).toSet
+    val cand = q("dedup_minhash").as[(Long, Long)].collect().toSet
+    assert(exact.subsetOf(cand),
+      s"missed: ${exact.diff(cand)}")
+  }
+
+  test("simhash fits 32 bits and is deterministic across runs") {
+    val a = q("dedup_simhash").as[(Long, Long)].collect().toMap
+    val b = q("dedup_simhash").as[(Long, Long)].collect().toMap
+    assert(a === b)
+    assert(a.values.forall(h => h >= 0L && h < (1L << 32)))
+  }
+
+  test("cosine top-k scores are sorted and within [-1, 1]") {
+    val sims = q("sim_cosine_topk").as[(Long, Double)].collect().map(_._2)
+    assert(sims.toSeq === sims.sorted.reverse.toSeq)
+    assert(sims.forall(s => s >= -1.0 && s <= 1.0))
+  }
+
+  test("property: exact-dedup keeper count equals distinct content count") {
+    val docs = Tables.documents(spark, sf0001)
+    assert(q("dedup_exact").count() === docs.select("text").distinct().count())
+  }
+
+  test("property: firstPerKey is idempotent") {
+    import graft.operators.RcOps
+    val ev = Tables.events(spark, sf0001)
+    val once = RcOps.firstPerKey(ev, Seq("user_id"), "ts", "event_id")
+    val twice = RcOps.firstPerKey(once, Seq("user_id"), "ts", "event_id")
+    assert(once.count() === twice.count())
+  }
+
+  test("property: streamFilter conjunction order is irrelevant") {
+    val prop = forAll { (xs: List[Int]) =>
+      val df = xs.map(x => (x % 5, x % 2 == 0)).toDF("k", "flag")
+      import graft.operators.RcOps
+      val a = RcOps.streamFilter(df, Map("k" -> Seq(1, 2), "flag" -> Seq(true))).count()
+      val b = RcOps.streamFilter(df, Map("flag" -> Seq(true), "k" -> Seq(1, 2))).count()
+      a == b
+    }
+    assert(scCheck(Parameters.default.withMinSuccessfulTests(20), prop).passed)
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.RcOps
+
+/** Unit semantics of the parity operators (SURVEY.md §5.2): NULL-disable
+  * threshold, regex dialect edges, projection details, dedup tie-break.
+  */
+class RcOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("F2 NULL-disable: max_edits=None passes every row (filter_.py:88)") {
+    val df = Seq(1L, 100L, 999999L).toDF("editcount")
+    assert(df.filter(RcOps.countUnderMax(None)).count() === 3)
+    assert(df.filter(RcOps.countUnderMax(Some(100L))).count() === 2)
+  }
+
+  test("F1 streamfilter: scalar equality + iterable membership, conjunctive") {
+    val df = Seq(("edit", false, 2), ("create", false, 2), ("edit", true, 2),
+      ("log", false, 2), ("edit", false, 0)).toDF("type", "bot", "namespace")
+    val out = RcOps.streamFilter(df, Map(
+      "type" -> Seq("edit", "create"), "bot" -> Seq(false), "namespace" -> Seq(2)))
+    assert(out.collect().map(r => r.getString(0)).sorted.toSeq === Seq("create", "edit"))
+  }
+
+  test("R1 matched-set: all matching patterns reported; no short-circuit") {
+    val pats = Seq("(?i)\\buserbox(e[ns])?\\b", "box", "zzz")
+    val df = Seq("added Userboxes today", "nothing here", "").toDF("text")
+    val got = df.select(RcOps.matchedPatterns(col("text"), pats).as("m"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(got === List(List("(?i)\\buserbox(e[ns])?\\b", "box"), Nil, Nil))
+  }
+
+  test("P1 verb: removesuffix('e') + 'ed' (scanner.py:143-146)") {
+    val df = Seq("edit", "create", "log").toDF("t")
+    val got = df.select(RcOps.verb(col("t"))).as[String].collect().toSeq
+    assert(got === Seq("edited", "created", "loged"))
+  }
+
+  test("P3 filename: ':' sanitized to '-' (scanner.py:158)") {
+    val df = Seq(("User:Example", 42L)).toDF("user", "rev")
+    val got = df.select(RcOps.sanitizedFilename(col("user"), col("rev")))
+      .as[String].head()
+    assert(got === "User-Example_42")
+  }
+
+  test("P2 message: singular vs plural regexes (scanner.py:147-151)") {
+    val one = Seq(Seq("a")).toDF("m")
+    val two = Seq(Seq("a", "b")).toDF("m")
+    def msg(df: org.apache.spark.sql.DataFrame) =
+      df.select(RcOps.matchMessage(col("m"), lit("u"))).as[String].head()
+    assert(msg(one) === "***MATCH*** with regex `a`: u")
+    assert(msg(two) === "***MATCH*** with regexes `a`, `b`: u")
+  }
+
+  test("D1 firstPerKey keeps earliest (ts, id) row per key") {
+    val df = Seq(
+      ("t1", 10L, 2L, "second"), ("t1", 5L, 9L, "first"),
+      ("t1", 5L, 1L, "tie-low-id"), ("t2", 7L, 3L, "only")
+    ).toDF("title", "ts", "id", "tag")
+    val got = RcOps.firstPerKey(df, Seq("title"), "ts", "id")
+      .select("title", "tag").as[(String, String)].collect().toMap
+    assert(got === Map("t1" -> "tie-low-id", "t2" -> "only"))
+  }
+
+  test("E1 skip: null enrichment rows dropped, stream continues") {
+    val df = Seq(("a", Some("text")), ("b", None)).toDF("id", "text")
+    assert(RcOps.skipMissingEnrichment(df, "text").count() === 1)
+  }
+
+  test("flagship entry returns matches on sf0.001 (driver smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

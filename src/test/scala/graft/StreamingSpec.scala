@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.schema.ChangeSchema
+import graft.streaming.{RcSinks, RcStreaming}
+
+/** Streaming-semantics tests (SURVEY.md §5.4): the Change pipeline as a
+  * real Structured Streaming query over a JSON file source, fanned out
+  * through the K1-K4 sinks; first-occurrence dedup; E1 null-text skip.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def changeJson(id: Long, title: String, user: String, rev: Long,
+      ns: Int = 2, bot: Boolean = false, typ: String = "edit",
+      dt: String = "2026-08-12T09:15:00Z"): String =
+    s"""{"comment":"c","wiki":"enwiki","type":"$typ","server_name":"en.wikipedia.org",
+       |"server_script_path":"/w","namespace":$ns,"title":"$title","bot":$bot,
+       |"server_url":"https://en.wikipedia.org","length":{"old":1,"new":2},
+       |"meta":{"domain":"en.wikipedia.org","partition":0,"uri":"https://x/$title",
+       |"offset":$id,"topic":"rc","request_id":"r","schema_uri":"s","dt":"$dt","id":"m$id"},
+       |"user":"$user","timestamp":1786612500,"patrolled":false,"id":$id,
+       |"minor":false,"revision":{"old":${rev - 1},"new":$rev}}""".stripMargin.replaceAll("\n", "")
+
+  test("streaming pipeline: F1+J1+F2+D1+J2+R1 end-to-end with sink fan-out") {
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("changes").toString
+    val outDir = Files.createTempDirectory("sinks").toString
+    Files.writeString(java.nio.file.Path.of(s"$inDir/batch0.json"), Seq(
+      changeJson(1, "User:A", "alice", 101), // match: text has userbox
+      changeJson(2, "User:A", "alice", 102), // dup title -> dropped by D1
+      changeJson(3, "User:B", "bob", 103),   // bob over edit-count max -> F2 drop
+      changeJson(4, "User:C", "cara", 104),  // revision 104 missing -> E1 skip
+      changeJson(5, "User:D", "dan", 105),   // no regex match
+      changeJson(6, "User:E", "eve", 106, bot = true) // F1 drop (bot)
+    ).mkString("\n"))
+
+    val users = Seq(("alice", 10L), ("bob", 500L), ("cara", 1L), ("dan", 2L), ("eve", 3L))
+      .toDF("user", "editcount")
+    val revisions = Seq((101L, "has a userbox inside"), (102L, "userbox too"),
+      (103L, "userbox again"), (105L, "plain text"), (106L, "userbox"))
+      .toDF("revid", "text")
+
+    val changes = spark.readStream.schema(ChangeSchema.change).json(inDir)
+    val spec = RcStreaming.FilterSpec(
+      streamfilter = Map("type" -> Seq("edit", "create"), "bot" -> Seq(false),
+        "namespace" -> Seq(2)),
+      maxEdits = Some(100L), skipRepeats = true,
+      regexes = Seq("(?i)\\buserbox(e[ns])?\\b"))
+    val out = RcStreaming.pipeline(changes, users, revisions, spec)
+
+    val sinks = RcSinks(outDir, logLevel = 3, filterName = "example")
+    val q = out.writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) => sinks.writeBatch(b, id))
+      .option("checkpointLocation", s"$outDir/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    // Only change id=1 survives every gate.
+    val revids = spark.read.text(s"$outDir/revids").as[String].collect().toSeq
+    assert(revids === Seq("101"))
+    val flaglog = spark.read.parquet(s"$outDir/flaglog")
+    assert(flaglog.count() === 1)
+    val row = flaglog.select("filter", "change.title", "log.folder", "log.file").head()
+    assert(row.getString(0) === "example")
+    assert(row.getString(1) === "User:A")
+    assert(row.getString(2) === "changes/2026-08-12")
+    assert(row.getString(3) === "alice_101")
+    // K4: date-partitioned content files
+    val content = spark.read.parquet(s"$outDir/changes")
+    assert(content.select("event_date").as[java.sql.Date].head().toString === "2026-08-12")
+  }
+
+  test("batch/stream unification: same pipeline runs on a batch DataFrame") {
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("changesb").toString
+    Files.writeString(java.nio.file.Path.of(s"$inDir/b.json"),
+      changeJson(1, "User:A", "alice", 101))
+    val users = Seq(("alice", 10L)).toDF("user", "editcount")
+    val revisions = Seq((101L, "a userbox here")).toDF("revid", "text")
+    val spec = RcStreaming.FilterSpec(Map("type" -> Seq("edit")), None,
+      skipRepeats = false, regexes = Seq("userbox"))
+    val batch = spark.read.schema(ChangeSchema.change).json(inDir)
+    val got = RcStreaming.pipeline(batch, users, revisions, spec)
+    assert(got.count() === 1)
+    assert(got.select("matched").as[String].head() === "userbox")
+  }
+}
