@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for the training-data pipeline: media
+  * payloads are opaque `binary` columns with typed metadata; decode /
+  * feature-extraction runs partition-batched over the payload bytes.
+  *
+  * The decode kernel itself is a STUB (deterministic byte statistics —
+  * no image/audio codecs exist in this container); everything around it
+  * is real and tested: the asset schema, content-hash bucketing for
+  * balanced partitions, the partition-batched execution shape (one
+  * decoder instantiation per partition, NOT per row — the same shape a
+  * vectorized/Arrow UDF would use), and the typed feature output.
+  *
+  * 100 TB notes: payloads never shuffle uncompacted — bucketing happens
+  * on the 8-byte content hash, and features (small, fixed-width) are
+  * what flows downstream; `spark.sql.files.maxPartitionBytes` governs
+  * scan-side batch size for large media files.
+  */
+object Multimodal {
+
+  case class Asset(asset_id: Long, modality: String, payload: Array[Byte],
+      source: String)
+  case class AssetFeatures(asset_id: Long, modality: String, n_bytes: Long,
+      bucket: Int, features: Array[Float])
+
+  val FeatureDim = 16
+
+  /** STUB decoder: a real build plugs an image/audio codec in here; the
+    * contract (bytes in, fixed-width float features out, pure, batched
+    * per partition) is what the pipeline depends on. Current impl: a
+    * 16-bin byte histogram normalized by length — deterministic and
+    * fast, so the plumbing is testable.
+    */
+  def decodeStub(payload: Array[Byte]): Array[Float] = {
+    val hist = new Array[Float](FeatureDim)
+    var i = 0
+    while (i < payload.length) { hist((payload(i) & 0xff) % FeatureDim) += 1f; i += 1 }
+    if (payload.length > 0) {
+      var j = 0
+      while (j < FeatureDim) { hist(j) /= payload.length.toFloat; j += 1 }
+    }
+    hist
+  }
+
+  /** Documents table -> binary assets (text bytes as the opaque payload;
+    * stands in for a real media table with identical plumbing).
+    */
+  def assetsFromDocuments(spark: SparkSession, dir: String): Dataset[Asset] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir)
+      .select(col("doc_id").as("asset_id"), lit("text").as("modality"),
+        col("text").cast("binary").as("payload"), col("source"))
+      .as[Asset]
+  }
+
+  /** Bucket by content hash (not by id — id ranges skew under append
+    * workloads; content hash is uniform) then decode partition-batched.
+    */
+  def extractFeatures(assets: Dataset[Asset], buckets: Int): Dataset[AssetFeatures] = {
+    import assets.sparkSession.implicits._
+    assets
+      .withColumn("bucket", pmod(xxhash64(col("payload")), lit(buckets)).cast("int"))
+      .repartition(col("bucket"))
+      .as[(Long, String, Array[Byte], String, Int)]
+      .mapPartitions { it =>
+        // per-partition setup happens HERE (decoder/codec init once):
+        it.map { case (id, modality, payload, _, bucket) =>
+          AssetFeatures(id, modality, payload.length.toLong, bucket, decodeStub(payload))
+        }
+      }
+  }
+
+  /** DataFrame facade used by the query surface. */
+  def features(spark: SparkSession, dir: String, buckets: Int = 32): DataFrame =
+    extractFeatures(assetsFromDocuments(spark, dir), buckets).toDF()
+}

@@ -17,12 +17,20 @@ object VectorOps {
 
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Sequential left-fold dot product — deterministic order. */
+  /** Sequential left-to-right dot product, via the native codegen'd
+    * expression (graft.functions.DotProduct) — bit-identical to the
+    * higher-order fold it replaces, but stays in whole-stage codegen.
+    */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.dot_product(a, b)
+
+  /** The higher-order-function formulation (kept as the reference
+    * semantics / cross-check for DotProduct — see VectorOpsSpec).
+    */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  def norm2(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, x) => acc + x * x)
+  def norm2(a: Column): Column = dot(a, a)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(norm2(a) * norm2(b))

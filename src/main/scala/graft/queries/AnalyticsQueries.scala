@@ -164,6 +164,67 @@ object AnalyticsQueries {
         .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
           count(lit(1)).as("n"))
         .orderBy(col("event_type"))
+    }),
+
+    // As-of join: each purchase matched to the user's most recent
+    // signup at-or-before it. Spark has no ASOF JOIN operator; the
+    // scale-out formulation is a tagged union + running max over one
+    // (user, time) window — ONE shuffle, no range self-join blowup.
+    // The DuckDB oracle uses its native ASOF LEFT JOIN, proving the
+    // window formulation implements exact as-of semantics.
+    "q13_asof_join" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("signup", "purchase"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      ev.withColumn("signup_ts",
+          max(when(col("event_type") === "signup", col("ts"))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("signup_ts"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Sessionization: 30-minute-gap sessions per user (lag + running
+    // count of session starts + per-session aggregate; two window passes
+    // over the same (user, time) sort order -> a single shuffle).
+    "q14_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val run = byUser.rowsBetween(Window.unboundedPreceding, 0)
+      Tables.events(s, dir)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+        .withColumn("is_new",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+        .withColumn("session_seq", sum(col("is_new")).over(run))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"), min(col("ts")).as("sess_start"),
+          max(col("ts")).as("sess_end"))
+        .orderBy(col("user_id"), col("session_seq"))
+    }),
+
+    // Exact interpolated percentiles per group (Spark `percentile` /
+    // DuckDB `quantile_cont`), rounded for cross-engine FP safety.
+    "q15_percentiles" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Semi/anti joins (EXISTS / NOT EXISTS): customers with vs without
+    // orders, tagged and unioned; dims broadcast.
+    "q16_semi_anti" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).select(col("o_custkey"))
+      val has = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(lit("has_orders").as("segment"), col("c_custkey"))
+      val not = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(lit("no_orders").as("segment"), col("c_custkey"))
+      has.unionByName(not).orderBy(col("segment"), col("c_custkey"))
     })
   )
 
@@ -230,7 +291,32 @@ object AnalyticsQueries {
       ("SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim, " +
        "CAST(embedding[1] AS DOUBLE) AS first, " +
        "CAST(list_max(embedding) AS DOUBLE) AS vmax, CAST(list_min(embedding) AS DOUBLE) AS vmin " +
-       "FROM embeddings ORDER BY vec_id")
+       "FROM embeddings ORDER BY vec_id"),
     // q12_approx_distinct: approximate by design — no oracle (rows-only).
+    "q13_asof_join" ->
+      ("SELECT p.event_id, p.user_id, p.ts, s.ts AS signup_ts " +
+       "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
+       "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s " +
+       "ON p.user_id = s.user_id AND s.ts <= p.ts " +
+       "ORDER BY p.event_id"),
+    "q14_sessionize" ->
+      ("WITH g AS (SELECT user_id, ts, event_id, " +
+       "CASE WHEN lag(epoch_us(ts)) OVER w IS NULL " +
+       "OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000 THEN 1 ELSE 0 END AS is_new " +
+       "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+       "s AS (SELECT user_id, ts, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM g) " +
+       "SELECT user_id, session_seq, COUNT(*) AS n_events, MIN(ts) AS sess_start, MAX(ts) AS sess_end " +
+       "FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq"),
+    "q15_percentiles" ->
+      ("SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50, " +
+       "round(quantile_cont(value, 0.9), 4) AS p90, COUNT(*) AS n " +
+       "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q16_semi_anti" ->
+      ("SELECT 'has_orders' AS segment, c_custkey FROM customer " +
+       "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
+       "UNION ALL SELECT 'no_orders' AS segment, c_custkey FROM customer " +
+       "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
+       "ORDER BY segment, c_custkey")
   )
 }

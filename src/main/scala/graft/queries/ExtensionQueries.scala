@@ -112,14 +112,15 @@ object ExtensionQueries {
     // Brute-force cosine top-k vs query vector (vec_id=0): map-side
     // score + TakeOrderedAndProject — the honest 100 TB baseline scan.
     "sim_cosine_topk" -> ((s, dir) => {
+      // Scores run on the raw float arrays via the native DotProduct
+      // (widens per-element — bit-identical to casting first, but the
+      // projection stays inside whole-stage codegen).
       val emb = Tables.embeddings(s, dir)
-      val q = emb.filter(col("vec_id") === 0)
-        .select(VectorOps.toDouble(col("embedding")).as("qv"))
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
       emb.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
-        .withColumn("v", VectorOps.toDouble(col("embedding")))
         .select(col("vec_id"),
-          round(VectorOps.cosine(col("qv"), col("v")), 6).as("cos_sim"))
+          round(VectorOps.cosine(col("qv"), col("embedding")), 6).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(10)
     }),
@@ -131,7 +132,7 @@ object ExtensionQueries {
     // read one partition per probe.
     "sim_ivf_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-        .withColumn("v", VectorOps.toDouble(col("embedding")))
+        .withColumn("v", col("embedding"))
       val cents = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("v").as("cv"))
       val scored = emb.select(col("vec_id"), col("v"))

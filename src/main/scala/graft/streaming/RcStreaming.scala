@@ -36,6 +36,19 @@ object RcStreaming {
       regexes: Seq[String],
       watermark: String = "1 hour")
 
+  /** C1 config validation at plan-build time (reference:
+    * `LOG_LEVEL in [0,3]` else ValueError `scanner.py:70-71`;
+    * `skip_repeats` requires `LOG_LEVEL >= 2` else ConfigError
+    * `filter_.py:53-55`, `utils.py:46-47` — dedup needs the flag log
+    * to exist; here, dedup state needs a checkpoint-backed sink level).
+    */
+  def validate(logLevel: Int, spec: FilterSpec): Unit = {
+    require(logLevel >= 0 && logLevel <= 3,
+      s"LOG_LEVEL must be in [0,3], got $logLevel")
+    require(!spec.skipRepeats || logLevel >= 2,
+      "skip_repeats=true requires LOG_LEVEL >= 2")
+  }
+
   /** Full pipeline: `changes` may be a streaming OR batch DataFrame —
     * the plan is identical (Structured Streaming's batch/stream unification).
     * `users(user, editcount)` and `revisions(revid, text)` are static

@@ -71,4 +71,13 @@ class RcOpsSpec extends SparkSpec {
   test("flagship entry returns matches on sf0.001 (driver smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("C1 config validation: LOG_LEVEL range + skip_repeats implication") {
+    import graft.streaming.RcStreaming
+    val spec = RcStreaming.FilterSpec(Map(), None, skipRepeats = true, Seq())
+    intercept[IllegalArgumentException](RcStreaming.validate(4, spec))
+    intercept[IllegalArgumentException](RcStreaming.validate(1, spec))
+    RcStreaming.validate(2, spec) // legal
+    RcStreaming.validate(0, spec.copy(skipRepeats = false)) // legal
+  }
 }
