@@ -215,6 +215,18 @@ object AnalyticsQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Tumbling event-time window aggregation (the batch twin of the
+    // streaming `window(ts, '1 hour')` groupBy; window.start aligns with
+    // date_trunc('hour')).
+    "q17_tumbling_window" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"),
+          (sum(asInt(col("value"), 100L)) / 100.0).as("sum_value"))
+        .select(col("window.start").as("hour_start"), col("n"), col("sum_value"))
+        .orderBy(col("hour_start"))
+    }),
+
     // Semi/anti joins (EXISTS / NOT EXISTS): customers with vs without
     // orders, tagged and unioned; dims broadcast.
     "q16_semi_anti" -> ((s, dir) => {
@@ -312,6 +324,10 @@ object AnalyticsQueries {
       ("SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50, " +
        "round(quantile_cont(value, 0.9), 4) AS p90, COUNT(*) AS n " +
        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q17_tumbling_window" ->
+      ("SELECT date_trunc('hour', ts) AS hour_start, COUNT(*) AS n, " +
+       "CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_value " +
+       "FROM events GROUP BY date_trunc('hour', ts) ORDER BY hour_start"),
     "q16_semi_anti" ->
       ("SELECT 'has_orders' AS segment, c_custkey FROM customer " +
        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +

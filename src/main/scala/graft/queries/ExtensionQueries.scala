@@ -29,6 +29,20 @@ object ExtensionQueries {
     docs.withColumn("ws", TextOps.tokens(col("text")))
       .withColumn("sh", TextOps.shingles(col("ws"), 5))
 
+  /** (doc_id, simhash) — SimHash-32 via md5 hex-digit parity votes;
+    * shared by the per-doc query and the pair-matching query.
+    */
+  private def simhashes(docs: DataFrame): DataFrame = {
+    val t = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+      .select(col("doc_id"), col("w"), explode(sequence(lit(1), lit(32))).as("j"))
+    t.groupBy(col("doc_id"), col("j"))
+      .agg(sum(TextOps.hexParityContrib(col("w"), col("j"))).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), j - 1)"))
+        .otherwise(lit(0L))).cast("long").as("simhash"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- Dedup ---------------------------------------------------------
@@ -75,16 +89,53 @@ object ExtensionQueries {
     // SimHash-32 per doc: md5 hex-digit parity gives 32 hash bits per
     // token; bit j of the fingerprint = sign of the per-bit vote sum.
     // Explode(token x bit) -> one shuffle on (doc_id, bit).
-    "dedup_simhash" -> ((s, dir) => {
-      val t = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
-        .select(col("doc_id"), col("w"), explode(sequence(lit(1), lit(32))).as("j"))
-      t.groupBy(col("doc_id"), col("j"))
-        .agg(sum(TextOps.hexParityContrib(col("w"), col("j"))).as("s"))
-        .groupBy(col("doc_id"))
-        .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), j - 1)"))
-          .otherwise(lit(0L))).cast("long").as("simhash"))
-        .orderBy(col("doc_id"))
+    "dedup_simhash" -> ((s, dir) =>
+      simhashes(Tables.documents(s, dir)).orderBy(col("doc_id"))),
+
+    // SimHash pair-matching: byte-banding (pigeonhole: hamming <= 3 =>
+    // at least one of the four 8-bit bands matches exactly), candidates
+    // verified by popcount of xor. At 100 TB you'd widen to SimHash-64
+    // with 16-bit bands for sparser buckets; the shape is identical.
+    "dedup_simhash_pairs" -> ((s, dir) => {
+      val sh = simhashes(Tables.documents(s, dir))
+      val banded = sh
+        .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("b"))
+        .withColumn("band_val", expr("shiftright(simhash, CAST(8 * b AS INT)) % 256"))
+      val a = banded.select(col("b"), col("band_val"),
+        col("doc_id").as("a_id"), col("simhash").as("ha"))
+      val bb = banded.select(col("b"), col("band_val"),
+        col("doc_id").as("b_id"), col("simhash").as("hb"))
+      a.join(bb, Seq("b", "band_val"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          expr("CAST(bit_count(ha ^ hb) AS INT)").as("hamming")).distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // Embedding-cosine near-dup: bucket vectors by IVF cell (8 seed
+    // centroids), pair only within a cell, keep cosine >= 0.45 (calibrated to the corpus: random 64-d vectors max out near 0.6). The cell
+    // assignment bounds the pair join; boundary pairs are the recall
+    // tradeoff (multi-probe at scale).
+    "dedup_embedding" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).withColumn("v", col("embedding"))
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val byVec = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))
+      val cells = emb.select(col("vec_id"), col("v"))
+        .crossJoin(broadcast(cents))
+        .withColumn("cs", round(VectorOps.cosine(col("v"), col("cv")), 6))
+        .withColumn("rn", row_number().over(byVec))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("cid").as("cell"))
+      val l = cells.select(col("cell"), col("vec_id").as("a_id"), col("v").as("va"))
+      val r = cells.select(col("cell"), col("vec_id").as("b_id"), col("v").as("vb"))
+      l.join(r, Seq("cell"))
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("cos_sim", round(VectorOps.cosine(col("va"), col("vb")), 6))
+        .filter(col("cos_sim") >= 0.45)
+        .select(col("a_id"), col("b_id"), col("cos_sim"))
+        .orderBy(col("a_id"), col("b_id"))
     }),
 
     // Exact n-gram Jaccard near-dup pairs, bucketed by shared shingle
@@ -255,6 +306,35 @@ object ExtensionQueries {
        "THEN 1 ELSE -1 END) s FROM t CROSS JOIN (SELECT unnest(generate_series(1,32)) j) GROUP BY doc_id, j) " +
        "SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << (j-1)) ELSE 0 END) AS BIGINT) AS simhash " +
        "FROM b GROUP BY doc_id ORDER BY doc_id"),
+    "dedup_simhash_pairs" ->
+      ("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents), " +
+       "bs AS (SELECT doc_id, j, SUM(CASE WHEN substr(md5(w), j, 1) IN ('1','3','5','7','9','b','d','f') " +
+       "THEN 1 ELSE -1 END) s FROM t CROSS JOIN (SELECT unnest(generate_series(1,32)) j) GROUP BY doc_id, j), " +
+       "sh AS (SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << (j-1)) ELSE 0 END) AS BIGINT) AS simhash " +
+       "FROM bs GROUP BY doc_id), " +
+       "banded AS (SELECT doc_id, simhash, b, (simhash >> (8*b)) % 256 AS band_val FROM sh " +
+       "CROSS JOIN (SELECT unnest([0,1,2,3]) b)) " +
+       "SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, " +
+       "CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming " +
+       "FROM banded a JOIN banded b ON a.b = b.b AND a.band_val = b.band_val AND a.doc_id < b.doc_id " +
+       "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3 ORDER BY a_id, b_id"),
+    "dedup_embedding" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings), " +
+       "c AS (SELECT vec_id cid, v cv FROM e WHERE vec_id < 8), " +
+       "scored AS (SELECT e.vec_id, e.v, c.cid, round(" +
+       "list_sum(list_transform(list_zip(e.v, c.cv), p -> p[1]*p[2])) / " +
+       "sqrt(list_sum(list_transform(e.v, x -> x*x)) * list_sum(list_transform(c.cv, x -> x*x)))" +
+       ", 6) cs FROM e CROSS JOIN c), " +
+       "cells AS (SELECT vec_id, v, cid AS cell FROM scored " +
+       "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) = 1) " +
+       "SELECT a.vec_id AS a_id, b.vec_id AS b_id, round(" +
+       "list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])) / " +
+       "sqrt(list_sum(list_transform(a.v, x -> x*x)) * list_sum(list_transform(b.v, x -> x*x)))" +
+       ", 6) AS cos_sim FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id " +
+       "WHERE round(" +
+       "list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])) / " +
+       "sqrt(list_sum(list_transform(a.v, x -> x*x)) * list_sum(list_transform(b.v, x -> x*x)))" +
+       ", 6) >= 0.45 ORDER BY a_id, b_id"),
     "dedup_ngram_jaccard" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
        s"sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest($shSql) s FROM t)), " +
