@@ -6,7 +6,10 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // 8 shuffle partitions beats `cpus` at this scale factor: the data
+      // per shuffle is tiny, so task-scheduling overhead dominates; AQE
+      // (on by default) still coalesces/splits as volumes change.
+      .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

