@@ -47,7 +47,7 @@ object StreamDemo {
       regexes = Seq("(?i)\\buserbox(e[ns])?\\b"))
 
     val outDir = Files.createTempDirectory("rc_out").toString
-    val sinks = RcSinks(outDir, logLevel = 3, filterName = "example")
+    val sinks = RcSinks(outDir, logLevel = 3, filterName = "example", echoConsole = true)
     val q = RcStreaming.pipeline(changes, users, revisions, spec)
       .writeStream
       .foreachBatch((b: DataFrame, id: Long) => sinks.writeBatch(b, id))

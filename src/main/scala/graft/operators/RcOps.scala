@@ -112,6 +112,23 @@ object RcOps {
   def sanitizedFilename(user: Column, rev: Column): Column =
     translate(concat_ws("_", user.cast("string"), rev.cast("string")), ":", "-")
 
+  /** Skew-safe equi-join: salt the fact side into `buckets` sub-keys and
+    * replicate the (small) dimension side once per salt, so one hot key
+    * (a bot user with millions of events, say) spreads across `buckets`
+    * reducers instead of stalling a single one. Semantics identical to
+    * `fact.join(dim, keys)` — see RcOpsSpec. At 100 TB this is the
+    * manual fallback where AQE's skew-join splitting doesn't apply
+    * (e.g. aggregations over a pre-shuffled layout).
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+      buckets: Int, joinType: String = "left"): DataFrame = {
+    val salted = fact.withColumn("__salt",
+      pmod(xxhash64(keys.map(col) :+ monotonically_increasing_id(): _*), lit(buckets)).cast("int"))
+    val replicated = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+  }
+
   /** E1 — race-condition skip (`scanner.py:77-81,195-196`): enrichment
     * came back empty (page deleted mid-flight) => drop the row, never
     * fail the query. After a left join this is simply a null-filter; the

@@ -13,7 +13,8 @@ import org.apache.spark.sql.{DataFrame, functions => F}
   * 0 console only, 1 +revid log, 2 +flag log (null folder/file),
   * 3 +date-partitioned content files (real folder/file).
   */
-final case class RcSinks(baseDir: String, logLevel: Int, filterName: String) {
+final case class RcSinks(baseDir: String, logLevel: Int, filterName: String,
+    echoConsole: Boolean = false) {
   require(logLevel >= 0 && logLevel <= 3,
     s"LOG_LEVEL must be in [0,3], got $logLevel") // scanner.py:70-71
 
@@ -21,6 +22,8 @@ final case class RcSinks(baseDir: String, logLevel: Int, filterName: String) {
   def writeBatch(batch: DataFrame, batchId: Long): Unit = {
     batch.persist()
     try {
+      if (echoConsole)                                       // K1 scanner.py:143-152
+        batch.select(F.col("message")).show(20, truncate = false)
       if (logLevel >= 1)
         batch.select(F.col("revid").cast("string"))
           .write.mode("append").text(s"$baseDir/revids")       // K2 scanner.py:221-232
