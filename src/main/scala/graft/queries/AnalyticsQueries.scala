@@ -166,6 +166,18 @@ object AnalyticsQueries {
         .orderBy(col("event_type"))
     }),
 
+    // CUBE over two dims (all grouping sets), NULL groups normalized.
+    "q18_cube" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          (sum(asInt(col("o_totalprice"), 100L)) / 100.0).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+          col("n"), col("total"))
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+    }),
+
     // As-of join: each purchase matched to the user's most recent
     // signup at-or-before it. Spark has no ASOF JOIN operator; the
     // scale-out formulation is a tagged union + running max over one
@@ -305,6 +317,12 @@ object AnalyticsQueries {
        "CAST(list_max(embedding) AS DOUBLE) AS vmax, CAST(list_min(embedding) AS DOUBLE) AS vmin " +
        "FROM embeddings ORDER BY vec_id"),
     // q12_approx_distinct: approximate by design — no oracle (rows-only).
+    "q18_cube" ->
+      ("SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus, " +
+       "COALESCE(o_orderpriority, 'ALL') AS o_orderpriority, COUNT(*) AS n, " +
+       "CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)/100.0 AS total " +
+       "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority) " +
+       "ORDER BY o_orderstatus, o_orderpriority"),
     "q13_asof_join" ->
       ("SELECT p.event_id, p.user_id, p.ts, s.ts AS signup_ts " +
        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +

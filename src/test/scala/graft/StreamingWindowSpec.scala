@@ -1,0 +1,44 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming event-time windowed aggregation with watermark: late data
+  * beyond the watermark is dropped; closed windows emit in append mode.
+  */
+class StreamingWindowSpec extends SparkSpec {
+
+  test("tumbling window agg emits closed windows; watermark drops late rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, Long)]
+    val agg = in.toDF().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
+      .select(col("window.start").as("h"), col("n"), col("total"))
+    val q = agg.writeStream.format("memory").queryName("winagg")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    def t(s: String) = Timestamp.valueOf(s)
+    try {
+      in.addData((t("2026-08-12 10:05:00"), 1L), (t("2026-08-12 10:50:00"), 2L))
+      q.processAllAvailable()
+      // advance event time far past hour 10 -> watermark closes that window
+      in.addData((t("2026-08-12 12:30:00"), 5L))
+      q.processAllAvailable()
+      // this row is behind the watermark (12:20) -> must be DROPPED
+      in.addData((t("2026-08-12 10:59:00"), 100L))
+      q.processAllAvailable()
+      in.addData((t("2026-08-12 14:00:00"), 7L))
+      q.processAllAvailable()
+      val rows = spark.table("winagg").as[(Timestamp, Long, Long)].collect()
+        .map { case (h, n, tot) => (h.toString, n, tot) }.toSet
+      // hour-10 window emitted once, WITHOUT the late 100
+      assert(rows.contains(("2026-08-12 10:00:00.0", 2L, 3L)))
+      assert(!rows.exists(_._3 == 103L))
+    } finally q.stop()
+  }
+}
