@@ -166,6 +166,17 @@ object AnalyticsQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Pivot: per-user event counts spread across fixed event_type
+    // columns (explicit value list => no extra distinct-values job).
+    "q19_pivot" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id"))
+    }),
+
     // CUBE over two dims (all grouping sets), NULL groups normalized.
     "q18_cube" -> ((s, dir) => {
       Tables.orders(s, dir)
@@ -317,6 +328,14 @@ object AnalyticsQueries {
        "CAST(list_max(embedding) AS DOUBLE) AS vmax, CAST(list_min(embedding) AS DOUBLE) AS vmin " +
        "FROM embeddings ORDER BY vec_id"),
     // q12_approx_distinct: approximate by design — no oracle (rows-only).
+    "q19_pivot" ->
+      ("SELECT user_id, " +
+       "COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click, " +
+       "COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view, " +
+       "COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase, " +
+       "COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup, " +
+       "COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error " +
+       "FROM events GROUP BY user_id ORDER BY user_id"),
     "q18_cube" ->
       ("SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus, " +
        "COALESCE(o_orderpriority, 'ALL') AS o_orderpriority, COUNT(*) AS n, " +

@@ -220,6 +220,26 @@ object ExtensionQueries {
         .limit(5)
     }),
 
+    // IVF "training": per-label centroid vectors via the typed
+    // MeanVector Aggregator (mutable sum buffer, associative merge =>
+    // map-side partial aggregation; one buffer per group per partition
+    // on the wire). Output exploded to (label, dim, value) scalars for
+    // engine-portable comparison.
+    "sim_centroids" -> ((s, dir) => {
+      import s.implicits._
+      val mv = new graft.functions.VectorAgg.MeanVector(64)
+      Tables.embeddings(s, dir)
+        .select(col("label"), col("embedding")).as[(Int, Array[Float])]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(mv.toColumn.name("centroid"))
+        .toDF("label", "centroid")
+        .select(col("label"), posexplode(col("centroid")).as(Seq("i0", "c")))
+        .select(col("label"), (col("i0") + 1).cast("int").as("i"),
+          round(col("c"), 6).as("c"))
+        .orderBy(col("label"), col("i"))
+    }),
+
     // ---- Text analysis -------------------------------------------------
     // Language-ID by stopword-vote heuristic (n-gram lexicon counts).
     "text_langid" -> ((s, dir) => {
@@ -385,6 +405,11 @@ object ExtensionQueries {
        "sqrt(list_sum(list_transform(q.qv, x -> x*x)) * list_sum(list_transform(wc.v, x -> x*x)))" +
        ", 6) AS cos_sim FROM wc, q WHERE wc.cell = q.qcell AND wc.vec_id <> 42 " +
        "ORDER BY cos_sim DESC, vec_id LIMIT 5"),
+    "sim_centroids" ->
+      ("SELECT label, i, round(avg(v), 6) AS c FROM " +
+       "(SELECT label, i, CAST(embedding[i] AS DOUBLE) v FROM embeddings " +
+       "CROSS JOIN (SELECT unnest(generate_series(1, 64)) i)) " +
+       "GROUP BY label, i ORDER BY label, i"),
     "text_langid" ->
       ("SELECT doc_id, lang AS labeled_lang, " +
        "CAST(len(list_filter(ws, w -> w IN ('the','a','of'))) AS BIGINT) AS en_hits, " +

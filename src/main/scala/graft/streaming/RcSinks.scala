@@ -18,9 +18,19 @@ final case class RcSinks(baseDir: String, logLevel: Int, filterName: String,
   require(logLevel >= 0 && logLevel <= 3,
     s"LOG_LEVEL must be in [0,3], got $logLevel") // scanner.py:70-71
 
-  /** foreachBatch body; also callable with a batch DataFrame directly. */
-  def writeBatch(batch: DataFrame, batchId: Long): Unit = {
-    batch.persist()
+  /** foreachBatch body; also callable with a batch DataFrame directly.
+    * If the frame carries a `dead_letter` column (pipeline built with
+    * emitDeadLetter), those rows go to `$baseDir/dead_letter` and only
+    * live rows reach K1-K4.
+    */
+  def writeBatch(full: DataFrame, batchId: Long): Unit = {
+    full.persist()
+    val batch =
+      if (full.columns.contains("dead_letter")) {
+        full.filter(F.col("dead_letter"))
+          .write.mode("append").parquet(s"$baseDir/dead_letter")
+        full.filter(!F.col("dead_letter")).drop("dead_letter")
+      } else full
     try {
       if (echoConsole)                                       // K1 scanner.py:143-152
         batch.select(F.col("message")).show(20, truncate = false)
@@ -41,6 +51,6 @@ final case class RcSinks(baseDir: String, logLevel: Int, filterName: String,
         batch.select(F.col("event_date"), F.col("filename"), F.col("message"))
           .write.mode("append").partitionBy("event_date")
           .parquet(s"$baseDir/changes")                        // K4 scanner.py:235-249
-    } finally batch.unpersist()
+    } finally full.unpersist()
   }
 }

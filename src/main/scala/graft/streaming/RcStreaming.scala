@@ -55,7 +55,7 @@ object RcStreaming {
     * dimension tables (the API-lookup stand-ins, FIXTURES.md A.3).
     */
   def pipeline(changes: DataFrame, users: DataFrame, revisions: DataFrame,
-               spec: FilterSpec): DataFrame = {
+               spec: FilterSpec, emitDeadLetter: Boolean = false): DataFrame = {
     val filtered = RcOps.streamFilter(changes, spec.streamfilter)
       .withColumn("event_time", to_timestamp(col("meta.dt")))
 
@@ -69,24 +69,33 @@ object RcStreaming {
           .dropDuplicates("title")
       else enriched
 
+    // E1: missing enrichment (page deleted mid-flight) never fails the
+    // query. Default: skip-and-continue as the reference does
+    // (`scanner.py:77-81`); with emitDeadLetter the skipped rows stay in
+    // the frame tagged dead_letter=true so RcSinks can route them to an
+    // inspectable side channel instead of losing them.
     val withText = deduped
       .join(broadcast(revisions),
         deduped("revision.new") === revisions("revid"), "left")
-      .filter(col("text").isNotNull) // E1: skip-and-continue, never fail
+      .withColumn("dead_letter", col("text").isNull)
 
     val pats: Column = filter(array(spec.regexes.map(lit): _*),
       p => regexp_like(col("text"), p))
 
-    withText
-      .withColumn("matched", pats)
-      .filter(size(col("matched")) > 0)
-      .select(
-        col("id"), col("title"), col("user"), col("type"),
-        col("revision.new").as("revid"),
-        concat_ws(",", col("matched")).as("matched"),
-        RcOps.matchMessage(col("matched"), col("meta.uri")).as("message"),
-        to_date(col("meta.dt")).as("event_date"),
-        RcOps.sanitizedFilename(col("user"), col("revision.new")).as("filename"),
-        col("event_time"))
+    val gated = withText
+      .withColumn("matched", when(col("dead_letter"), array()).otherwise(pats))
+      .filter((size(col("matched")) > 0) ||
+        (lit(emitDeadLetter) && col("dead_letter")))
+
+    val out = gated.select(
+      col("id"), col("title"), col("user"), col("type"),
+      col("revision.new").as("revid"),
+      concat_ws(",", col("matched")).as("matched"),
+      when(col("dead_letter"), lit(null).cast("string"))
+        .otherwise(RcOps.matchMessage(col("matched"), col("meta.uri"))).as("message"),
+      to_date(col("meta.dt")).as("event_date"),
+      RcOps.sanitizedFilename(col("user"), col("revision.new")).as("filename"),
+      col("event_time"), col("dead_letter"))
+    if (emitDeadLetter) out else out.drop("dead_letter")
   }
 }

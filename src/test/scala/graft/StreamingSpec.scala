@@ -73,6 +73,38 @@ class StreamingSpec extends SparkSpec {
     assert(content.select("event_date").as[java.sql.Date].head().toString === "2026-08-12")
   }
 
+  test("E1 dead-letter route: missing enrichment lands in the side sink") {
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("changesdl").toString
+    val outDir = Files.createTempDirectory("sinksdl").toString
+    Files.writeString(java.nio.file.Path.of(s"$inDir/b.json"), Seq(
+      changeJson(1, "User:A", "alice", 101),  // match
+      changeJson(4, "User:C", "cara", 104)    // revision 104 missing -> dead letter
+    ).mkString("\n"))
+    val users = Seq(("alice", 10L), ("cara", 1L)).toDF("user", "editcount")
+    val revisions = Seq((101L, "a userbox here")).toDF("revid", "text")
+    val spec = RcStreaming.FilterSpec(Map("type" -> Seq("edit")), None,
+      skipRepeats = false, regexes = Seq("userbox"))
+    val batch = spark.read.schema(ChangeSchema.change).json(inDir)
+    val out = RcStreaming.pipeline(batch, users, revisions, spec, emitDeadLetter = true)
+    RcSinks(outDir, logLevel = 2, filterName = "example").writeBatch(out, 0L)
+    val dead = spark.read.parquet(s"$outDir/dead_letter")
+    assert(dead.select("title").as[String].collect().toSeq === Seq("User:C"))
+    val flagged = spark.read.parquet(s"$outDir/flaglog")
+    assert(flagged.select("change.title").as[String].collect().toSeq === Seq("User:A"))
+  }
+
+  test("typed surface: Dataset[Change] binds the declared schema") {
+    val inDir = Files.createTempDirectory("changest").toString
+    Files.writeString(java.nio.file.Path.of(s"$inDir/b.json"),
+      changeJson(7, "User:T", "tess", 201))
+    val ds = graft.schema.Change.asDataset(
+      spark.read.schema(ChangeSchema.change).json(inDir))
+    val c = ds.head()
+    assert(c.title === "User:T" && c.revision.new_rev.contains(201L)
+      && c.meta.domain === "en.wikipedia.org")
+  }
+
   test("batch/stream unification: same pipeline runs on a batch DataFrame") {
     import spark.implicits._
     val inDir = Files.createTempDirectory("changesb").toString
