@@ -130,13 +130,14 @@ object ExtensionQueries {
       val emb = Tables.embeddings(s, dir).withColumn("v", col("embedding"))
       val cents = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("v").as("cv"))
-      val byVec = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))
+      // argmax via max_by on (score, -cid): one hash aggregate, no
+      // window sort (same tie-break as ORDER BY cs DESC, cid).
       val cells = emb.select(col("vec_id"), col("v"))
         .crossJoin(broadcast(cents))
         .withColumn("cs", round(VectorOps.cosine(col("v"), col("cv")), 6))
-        .withColumn("rn", row_number().over(byVec))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("v"), col("cid").as("cell"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cid"), struct(col("cs"), (-col("cid")).as("nc"))).as("cell"),
+          first(col("v")).as("v"))
       val l = cells.select(col("cell"), col("vec_id").as("a_id"), col("v").as("va"))
       val r = cells.select(col("cell"), col("vec_id").as("b_id"), col("v").as("vb"))
       l.join(r, Seq("cell"))
@@ -202,14 +203,12 @@ object ExtensionQueries {
         .withColumn("v", col("embedding"))
       val cents = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("v").as("cv"))
-      val scored = emb.select(col("vec_id"), col("v"))
+      val withCell = emb.select(col("vec_id"), col("v"))
         .crossJoin(broadcast(cents))
         .withColumn("cs", round(VectorOps.cosine(col("v"), col("cv")), 6))
-      val byVec = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))
-      val cells = scored.withColumn("rn", row_number().over(byVec))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid").as("cell"))
-      val withCell = emb.select(col("vec_id"), col("v")).join(cells, Seq("vec_id"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cid"), struct(col("cs"), (-col("cid")).as("nc"))).as("cell"),
+          first(col("v")).as("v"))
       val qCell = withCell.filter(col("vec_id") === 42)
         .select(col("v").as("qv"), col("cell").as("qcell"))
       withCell.crossJoin(broadcast(qCell))
@@ -294,6 +293,16 @@ object ExtensionQueries {
           md5(col("text")).as("fp_doc"),
           array_min(col("shm")).as("fp_min"),
           array_max(col("shm")).as("fp_max"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Edit-distance text similarity (identical Levenshtein in both
+    // engines) against a fixed probe prefix.
+    "text_editdistance" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          levenshtein(substring(col("text"), 1, 24), lit("the fast key order sort"))
+            .cast("int").as("edit_dist"))
         .orderBy(col("doc_id"))
     }),
 
@@ -438,6 +447,9 @@ object ExtensionQueries {
        s"s AS (SELECT doc_id, text, list_transform($shSql, x -> md5(x)) shm FROM t) " +
        "SELECT doc_id, md5(text) AS fp_doc, list_min(shm) AS fp_min, list_max(shm) AS fp_max " +
        "FROM s ORDER BY doc_id"),
+    "text_editdistance" ->
+      ("SELECT doc_id, CAST(levenshtein(substring(text, 1, 24), 'the fast key order sort') AS INT) AS edit_dist " +
+       "FROM documents ORDER BY doc_id"),
     "multimodal_features" ->
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS content_hash, " +
        "CAST(64 + (ascii(substr(md5(text), 1, 1)) % 8) * 16 AS INT) AS width, " +

@@ -34,7 +34,16 @@ object RcStreaming {
       maxEdits: Option[Long],
       skipRepeats: Boolean,
       regexes: Seq[String],
-      watermark: String = "1 hour")
+      watermark: String = "1 hour",
+      sites: Seq[String] = Nil) {
+    /** The reference force-overwrites the streamfilter's `server_name`
+      * with the filter's sites list (`filter_.py:58`) — sites always win
+      * over a user-supplied server_name predicate.
+      */
+    def effectiveStreamfilter: Map[String, Seq[Any]] =
+      if (sites.isEmpty) streamfilter
+      else streamfilter + ("server_name" -> sites.map(identity[Any]))
+  }
 
   /** C1 config validation at plan-build time (reference:
     * `LOG_LEVEL in [0,3]` else ValueError `scanner.py:70-71`;
@@ -56,7 +65,7 @@ object RcStreaming {
     */
   def pipeline(changes: DataFrame, users: DataFrame, revisions: DataFrame,
                spec: FilterSpec, emitDeadLetter: Boolean = false): DataFrame = {
-    val filtered = RcOps.streamFilter(changes, spec.streamfilter)
+    val filtered = RcOps.streamFilter(changes, spec.effectiveStreamfilter)
       .withColumn("event_time", to_timestamp(col("meta.dt")))
 
     val enriched = filtered

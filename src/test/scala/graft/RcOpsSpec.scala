@@ -72,6 +72,15 @@ class RcOpsSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("sites force-overwrite server_name in the streamfilter (filter_.py:58)") {
+    import graft.streaming.RcStreaming.FilterSpec
+    val spec = FilterSpec(Map("server_name" -> Seq("ignored.org"), "bot" -> Seq(false)),
+      None, skipRepeats = false, Seq(), sites = Seq("en.wikipedia.org", "de.wikipedia.org"))
+    assert(spec.effectiveStreamfilter("server_name") ===
+      Seq("en.wikipedia.org", "de.wikipedia.org"))
+    assert(spec.effectiveStreamfilter("bot") === Seq(false))
+  }
+
   test("C1 config validation: LOG_LEVEL range + skip_repeats implication") {
     import graft.streaming.RcStreaming
     val spec = RcStreaming.FilterSpec(Map(), None, skipRepeats = true, Seq())
