@@ -166,6 +166,19 @@ object AnalyticsQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Correlated scalar subquery (Catalyst decorrelates it into a
+    // left outer aggregate join — same SQL text runs on both engines).
+    "q20_correlated_subquery" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      s.sql(
+        "SELECT c_custkey, " +
+        "CAST((SELECT COUNT(*) FROM orders_v o WHERE o.o_custkey = c.c_custkey) AS BIGINT) AS n_orders, " +
+        "(SELECT CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) FROM orders_v o " +
+        "WHERE o.o_custkey = c.c_custkey) / 100.0 AS total " +
+        "FROM customer_v c ORDER BY c_custkey")
+    }),
+
     // Pivot: per-user event counts spread across fixed event_type
     // columns (explicit value list => no extra distinct-values job).
     "q19_pivot" -> ((s, dir) => {
@@ -328,6 +341,12 @@ object AnalyticsQueries {
        "CAST(list_max(embedding) AS DOUBLE) AS vmax, CAST(list_min(embedding) AS DOUBLE) AS vmin " +
        "FROM embeddings ORDER BY vec_id"),
     // q12_approx_distinct: approximate by design — no oracle (rows-only).
+    "q20_correlated_subquery" ->
+      ("SELECT c_custkey, " +
+       "CAST((SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS BIGINT) AS n_orders, " +
+       "(SELECT CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) FROM orders o " +
+       "WHERE o.o_custkey = c.c_custkey) / 100.0 AS total " +
+       "FROM customer c ORDER BY c_custkey"),
     "q19_pivot" ->
       ("SELECT user_id, " +
        "COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click, " +

@@ -94,6 +94,25 @@ class StreamingSpec extends SparkSpec {
     assert(flagged.select("change.title").as[String].collect().toSeq === Seq("User:A"))
   }
 
+  test("malformed stream rows are dropped, not fatal (declared-schema parse)") {
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("changesbad").toString
+    Files.writeString(java.nio.file.Path.of(s"$inDir/b.json"), Seq(
+      changeJson(1, "User:A", "alice", 101),
+      """{"this is not a change": tru""", // truncated garbage
+      changeJson(2, "User:B", "bob", 102)
+    ).mkString("\n"))
+    val users = Seq(("alice", 10L), ("bob", 2L)).toDF("user", "editcount")
+    val revisions = Seq((101L, "a userbox"), (102L, "another userbox")).toDF("revid", "text")
+    val spec = RcStreaming.FilterSpec(Map("type" -> Seq("edit")), None,
+      skipRepeats = false, regexes = Seq("userbox"))
+    // PERMISSIVE (default) parse nulls out the bad row; the streamfilter
+    // then drops it (null type fails the equality) — pipeline completes.
+    val batch = spark.read.schema(ChangeSchema.change).json(inDir)
+    val got = RcStreaming.pipeline(batch, users, revisions, spec)
+    assert(got.select("user").as[String].collect().sorted.toSeq === Seq("alice", "bob"))
+  }
+
   test("typed surface: Dataset[Change] binds the declared schema") {
     val inDir = Files.createTempDirectory("changest").toString
     Files.writeString(java.nio.file.Path.of(s"$inDir/b.json"),
