@@ -35,7 +35,8 @@ object RcStreaming {
       skipRepeats: Boolean,
       regexes: Seq[String],
       watermark: String = "1 hour",
-      sites: Seq[String] = Nil) {
+      sites: Seq[String] = Nil,
+      streams: Seq[String] = Seq("recentchange")) {
     /** The reference force-overwrites the streamfilter's `server_name`
       * with the filter's sites list (`filter_.py:58`) — sites always win
       * over a user-supplied server_name predicate.
