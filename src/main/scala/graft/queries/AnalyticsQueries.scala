@@ -166,6 +166,39 @@ object AnalyticsQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Bucketized range join: banding events.value into interval dims.
+    // A naive BETWEEN join is a broadcast nested loop (O(n*m) probes);
+    // the scale-safe shape decomposes each interval into fixed-width
+    // buckets, equi-joins on bucket id (hash join, pushdown-friendly),
+    // and post-filters exact containment. Bands here are few, but the
+    // shape holds for thousands of arbitrary intervals.
+    "q21_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val step = 50.0
+      val bands = Seq(("low", 0.0, 100.0), ("mid", 100.0, 200.0), ("high", 200.0, 400.0))
+        .toDF("band", "lo", "hi")
+      val bandBuckets = bands.withColumn("bucket",
+        explode(sequence(floor(col("lo") / step).cast("int"),
+          floor((col("hi") - lit(0.001)) / step).cast("int"))))
+      val ev = Tables.events(s, dir)
+        .withColumn("bucket", floor(col("value") / step).cast("int"))
+      ev.join(broadcast(bandBuckets), Seq("bucket"))
+        .filter(col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"),
+          (sum(asInt(col("value"), 100L)) / 100.0).as("sum_value"))
+        .orderBy(col("band"))
+    }),
+
+    // Unpivot (wide->long): the length/revision-style struct columns
+    // melted into (key, value) rows.
+    "q22_unpivot" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("stack(3, 'quantity', l_quantity, 'discount', l_discount, 'tax', l_tax) AS (measure, val)"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+    }),
+
     // Correlated scalar subquery (Catalyst decorrelates it into a
     // left outer aggregate join — same SQL text runs on both engines).
     "q20_correlated_subquery" -> ((s, dir) => {
@@ -341,6 +374,19 @@ object AnalyticsQueries {
        "CAST(list_max(embedding) AS DOUBLE) AS vmax, CAST(list_min(embedding) AS DOUBLE) AS vmin " +
        "FROM embeddings ORDER BY vec_id"),
     // q12_approx_distinct: approximate by design — no oracle (rows-only).
+    "q21_range_join" ->
+      ("SELECT band, COUNT(*) AS n, " +
+       "CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_value " +
+       "FROM events e JOIN (VALUES ('low', 0.0, 100.0), ('mid', 100.0, 200.0), " +
+       "('high', 200.0, 400.0)) AS b(band, lo, hi) " +
+       "ON e.value >= b.lo AND e.value < b.hi " +
+       "GROUP BY band ORDER BY band"),
+    "q22_unpivot" ->
+      ("SELECT l_orderkey, l_linenumber, measure, val FROM (" +
+       "SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS val FROM lineitem " +
+       "UNION ALL SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem " +
+       "UNION ALL SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem) " +
+       "ORDER BY l_orderkey, l_linenumber, measure"),
     "q20_correlated_subquery" ->
       ("SELECT c_custkey, " +
        "CAST((SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS BIGINT) AS n_orders, " +
