@@ -53,4 +53,20 @@ final case class RcSinks(baseDir: String, logLevel: Int, filterName: String,
           .parquet(s"$baseDir/changes")                        // K4 scanner.py:235-249
     } finally full.unpersist()
   }
+
+  /** Idempotent K4 variant: dynamic partition overwrite replaces ONLY
+    * the event-date partitions present in the batch, so replaying a
+    * micro-batch after a failure (or a backfill of one day) converges
+    * instead of duplicating — exactly-once output without a
+    * transactional table format.
+    */
+  def writeContentIdempotent(batch: DataFrame): Unit = {
+    val spark = batch.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try batch.select(F.col("event_date"), F.col("filename"), F.col("message"))
+      .write.mode("overwrite").partitionBy("event_date")
+      .parquet(s"$baseDir/changes")
+    finally prev.foreach(spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+  }
 }
