@@ -54,6 +54,30 @@ final case class RcSinks(baseDir: String, logLevel: Int, filterName: String,
     } finally full.unpersist()
   }
 
+  /** Exact-parity K4: ONE FILE PER MATCH (`scanner.py:235-249`), body =
+    * `{filtername}\n\n{message}\n\n{row}\n\n{wikitext}` under the
+    * event-date folder (`scanner.py:154-158,166-171`). Executed
+    * per-partition on the executors — each task writes its own events'
+    * files, no driver fan-in. (The parquet K4 above is what a Spark
+    * consumer wants; this writer is for byte-level compatibility with
+    * the reference's on-disk layout.)
+    */
+  def writePerEventFiles(batch: DataFrame): Unit = {
+    val dir = s"$baseDir/changes_files"
+    val fname = filterName
+    batch.select(F.col("event_date").cast("string"), F.col("filename"),
+        F.col("message"), F.to_json(F.struct(batch.columns.map(F.col): _*)),
+        F.col("text"))
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        rows.foreach { r =>
+          val folder = java.nio.file.Paths.get(dir, r.getString(0))
+          java.nio.file.Files.createDirectories(folder)
+          val content = s"$fname\n\n${r.getString(2)}\n\n${r.getString(3)}\n\n${r.getString(4)}"
+          java.nio.file.Files.writeString(folder.resolve(r.getString(1)), content)
+        }
+      }
+  }
+
   /** Idempotent K4 variant: dynamic partition overwrite replaces ONLY
     * the event-date partitions present in the batch, so replaying a
     * micro-batch after a failure (or a backfill of one day) converges

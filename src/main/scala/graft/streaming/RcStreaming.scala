@@ -105,7 +105,7 @@ object RcStreaming {
         .otherwise(RcOps.matchMessage(col("matched"), col("meta.uri"))).as("message"),
       to_date(col("meta.dt")).as("event_date"),
       RcOps.sanitizedFilename(col("user"), col("revision.new")).as("filename"),
-      col("event_time"), col("dead_letter"))
+      col("event_time"), col("text"), col("dead_letter"))
     if (emitDeadLetter) out else out.drop("dead_letter")
   }
 }

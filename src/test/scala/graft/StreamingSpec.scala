@@ -73,6 +73,30 @@ class StreamingSpec extends SparkSpec {
     assert(content.select("event_date").as[java.sql.Date].head().toString === "2026-08-12")
   }
 
+  test("K4 exact parity: one file per match with the 4-section body") {
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("changespe").toString
+    val outDir = Files.createTempDirectory("sinkspe").toString
+    Files.writeString(java.nio.file.Path.of(s"$inDir/b.json"),
+      changeJson(1, "User:A", "alice", 101))
+    val users = Seq(("alice", 10L)).toDF("user", "editcount")
+    val revisions = Seq((101L, "a userbox here")).toDF("revid", "text")
+    val spec = RcStreaming.FilterSpec(Map("type" -> Seq("edit")), None,
+      skipRepeats = false, regexes = Seq("userbox"))
+    val out = RcStreaming.pipeline(
+      spark.read.schema(ChangeSchema.change).json(inDir), users, revisions, spec)
+    RcSinks(outDir, logLevel = 3, filterName = "example").writePerEventFiles(out)
+    val f = java.nio.file.Path.of(s"$outDir/changes_files/2026-08-12/alice_101")
+    assert(Files.exists(f))
+    val content = Files.readString(f)
+    val sections = content.split("\n\n", -1)
+    assert(sections.length === 4)
+    assert(sections(0) === "example")
+    assert(sections(1).startsWith("***MATCH*** with regex"))
+    assert(sections(2).contains("\"title\":\"User:A\"")) // row payload as JSON
+    assert(sections(3) === "a userbox here")             // wikitext
+  }
+
   test("E1 dead-letter route: missing enrichment lands in the side sink") {
     import spark.implicits._
     val inDir = Files.createTempDirectory("changesdl").toString
