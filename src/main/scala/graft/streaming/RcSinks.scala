@@ -40,7 +40,7 @@ final case class RcSinks(baseDir: String, logLevel: Int, filterName: String,
       if (logLevel >= 2)
         batch.select(
             F.lit(filterName).as("filter"),
-            F.struct(batch.columns.map(F.col): _*).as("change"),
+            F.struct(batch.columns.toIndexedSeq.map(F.col): _*).as("change"),
             F.struct(                                          // nulls at level 2, scanner.py:162-165
               (if (logLevel == 3) F.concat(F.lit("changes/"), F.col("event_date").cast("string"))
                else F.lit(null).cast("string")).as("folder"),
@@ -66,7 +66,7 @@ final case class RcSinks(baseDir: String, logLevel: Int, filterName: String,
     val dir = s"$baseDir/changes_files"
     val fname = filterName
     batch.select(F.col("event_date").cast("string"), F.col("filename"),
-        F.col("message"), F.to_json(F.struct(batch.columns.map(F.col): _*)),
+        F.col("message"), F.to_json(F.struct(batch.columns.toIndexedSeq.map(F.col): _*)),
         F.col("text"))
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         rows.foreach { r =>
