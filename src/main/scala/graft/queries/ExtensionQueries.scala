@@ -296,6 +296,22 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Regex tokenization (BPE-ish pre-tokenizer shape: word pieces +
+    // standalone punctuation), counted per doc.
+    "text_regex_tokens" -> ((s, dir) => {
+      // whitespace class spelled explicitly: Java's \s includes \x0B,
+      // RE2's does not — stay in the dialect intersection. try_element_at:
+      // ANSI mode throws on empty arrays where the oracle yields NULL.
+      val toks = regexp_extract_all(col("text"),
+        lit("[a-z0-9]+|[^a-z0-9 \\t\\n\\r\\f\\x0B]"), lit(0))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_regex_tokens"),
+          try_element_at(toks, lit(1)).as("first_token"),
+          try_element_at(toks, lit(-1)).as("last_token"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Edit-distance text similarity (identical Levenshtein in both
     // engines) against a fixed probe prefix.
     "text_editdistance" -> ((s, dir) => {
@@ -447,6 +463,11 @@ object ExtensionQueries {
        s"s AS (SELECT doc_id, text, list_transform($shSql, x -> md5(x)) shm FROM t) " +
        "SELECT doc_id, md5(text) AS fp_doc, list_min(shm) AS fp_min, list_max(shm) AS fp_max " +
        "FROM s ORDER BY doc_id"),
+    "text_regex_tokens" ->
+      ("SELECT doc_id, CAST(len(t) AS BIGINT) AS n_regex_tokens, " +
+       "t[1] AS first_token, t[-1] AS last_token FROM " +
+       "(SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 \\t\\n\\r\\f\\x0B]') t FROM documents) " +
+       "ORDER BY doc_id"),
     "text_editdistance" ->
       ("SELECT doc_id, CAST(levenshtein(substring(text, 1, 24), 'the fast key order sort') AS INT) AS edit_dist " +
        "FROM documents ORDER BY doc_id"),

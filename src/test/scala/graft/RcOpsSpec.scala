@@ -72,6 +72,18 @@ class RcOpsSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("regex-token edge cases: vertical tab and empty text (dialect intersection)") {
+    // pins the Java-vs-RE2 divergence fixed after review: \x0B must not
+    // tokenize, and empty arrays must yield NULL (not throw under ANSI).
+    val pat = "[a-z0-9]+|[^a-z0-9 \\t\\n\\r\\f\\x0B]"
+    val df = Seq("ab", "", "x; y").toDF("text")
+    val toks = regexp_extract_all(col("text"), lit(pat), lit(0))
+    val got = df.select(size(toks), try_element_at(toks, lit(1))).collect()
+    assert(got(0).getInt(0) === 2)        // ['a','b'] — \x0B is not a token
+    assert(got(1).getInt(0) === 0 && got(1).isNullAt(1)) // empty -> NULL, no throw
+    assert(got(2).getInt(0) === 3)        // ['x', ';', 'y']
+  }
+
   test("sites force-overwrite server_name in the streamfilter (filter_.py:58)") {
     import graft.streaming.RcStreaming.FilterSpec
     val spec = FilterSpec(Map("server_name" -> Seq("ignored.org"), "bot" -> Seq(false)),

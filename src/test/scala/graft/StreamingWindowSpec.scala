@@ -11,6 +11,35 @@ import org.apache.spark.sql.streaming.Trigger
   */
 class StreamingWindowSpec extends SparkSpec {
 
+  test("dedup state is watermark-bounded: expired titles re-emit (documented deviation)") {
+    // The reference dedups against an append-only log FOREVER
+    // (filter_.py:90-102, unbounded state). The streaming engine bounds
+    // state by watermark (SURVEY §7.3 risk 3): a title recurring AFTER
+    // its state expired is emitted again. This test pins that deviation.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(String, Timestamp)]
+    val dd = in.toDF().toDF("title", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("title")
+    val q = dd.writeStream.format("memory").queryName("ddwm")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    def t(s: String) = Timestamp.valueOf(s)
+    try {
+      in.addData(("User:A", t("2026-08-12 10:00:00")))
+      q.processAllAvailable()
+      in.addData(("User:A", t("2026-08-12 10:05:00"))) // dup inside horizon -> dropped
+      q.processAllAvailable()
+      in.addData(("zzz", t("2026-08-12 12:00:00")))    // advance watermark, expire state
+      q.processAllAvailable()
+      in.addData(("User:A", t("2026-08-12 12:01:00"))) // recurs after expiry -> re-emitted
+      q.processAllAvailable()
+      val emitted = spark.table("ddwm").as[(String, Timestamp)].collect()
+        .count(_._1 == "User:A")
+      assert(emitted === 2)
+    } finally q.stop()
+  }
+
   test("tumbling window agg emits closed windows; watermark drops late rows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
