@@ -148,6 +148,44 @@ object ExtensionQueries {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // Near-dup CLUSTERS: connected components over the MinHash candidate
+    // pairs (the stage that turns pairs into dedup groups + one keeper
+    // per group). Distributed min-label propagation: each iteration is
+    // one join + one aggregate, labels monotonically decrease, so it
+    // converges in <= diameter rounds (checked per-round; duplicate
+    // groups have tiny diameters). Keeper = min doc_id of the component.
+    "dedup_clusters" -> ((s, dir) => {
+      val pairs = queries("dedup_minhash")(s, dir) // (a_id, b_id), a < b
+        .select(col("a_id"), col("b_id")).cache()
+      val edges = pairs
+        .unionByName(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      var labels = pairs.select(col("a_id").as("node"))
+        .unionByName(pairs.select(col("b_id").as("node")))
+        .distinct()
+        .withColumn("label", col("node"))
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 20) {
+        val viaNeighbor = edges
+          .join(labels.withColumnRenamed("node", "b_id")
+            .withColumnRenamed("label", "nl"), Seq("b_id"))
+          .groupBy(col("a_id").as("node")).agg(min(col("nl")).as("cand"))
+        val next = labels.join(viaNeighbor, Seq("node"), "left")
+          .select(col("node"), least(col("label"), coalesce(col("cand"), col("label"))).as("label"))
+          .cache()
+        converged = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
+          .filter(col("label") =!= col("old")).isEmpty
+        labels = next
+        rounds += 1
+      }
+      val out = labels.groupBy(col("label").as("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"),
+          min(col("node")).as("keep_id"))
+        .orderBy(col("cluster_id"))
+      pairs.unpersist()
+      out
+    }),
+
     // Exact n-gram Jaccard near-dup pairs, bucketed by shared shingle
     // (docs sharing zero shingles never meet — the shingle join IS the
     // LSH-free pruning; a frequency cap on hot shingles would be the
@@ -345,22 +383,36 @@ object ExtensionQueries {
   private val shSql =
     "list_transform(generate_series(1, greatest(len(ws)-4, 1)), i -> array_to_string(ws[i:i+4], ' '))"
 
+  /** Shared CTE chain computing the MinHash-LSH candidate pairs (used by
+    * the dedup_minhash oracle and extended by dedup_clusters).
+    */
+  private val minhashPairsCtes =
+    "t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
+    s"sh AS (SELECT doc_id, $shSql sh FROM t), " +
+    "sg AS (SELECT doc_id, list_transform([0,1,2,3,4,5,6,7], k -> " +
+    "list_min(list_transform(sh, s -> md5(k || '|' || s)))) sigs FROM sh), " +
+    "bd AS (SELECT doc_id, list_transform([0,1,2,3], b -> " +
+    "md5(sigs[b*2+1] || '|' || sigs[b*2+2])) bands FROM sg), " +
+    "bb AS (SELECT doc_id, i AS band_idx, bands[i] AS band_hash FROM bd " +
+    "CROSS JOIN (SELECT unnest(generate_series(1,4)) i)), " +
+    "pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bb a JOIN bb b " +
+    "ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)"
+
   def oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
       ("SELECT md5(text) AS content_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS n_copies " +
        "FROM documents GROUP BY md5(text) ORDER BY keep_id"),
     "dedup_minhash" ->
-      ("WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
-       s"sh AS (SELECT doc_id, $shSql sh FROM t), " +
-       "sg AS (SELECT doc_id, list_transform([0,1,2,3,4,5,6,7], k -> " +
-       "list_min(list_transform(sh, s -> md5(k || '|' || s)))) sigs FROM sh), " +
-       "bd AS (SELECT doc_id, list_transform([0,1,2,3], b -> " +
-       "md5(sigs[b*2+1] || '|' || sigs[b*2+2])) bands FROM sg), " +
-       "bb AS (SELECT doc_id, i AS band_idx, bands[i] AS band_hash FROM bd " +
-       "CROSS JOIN (SELECT unnest(generate_series(1,4)) i)) " +
-       "SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bb a JOIN bb b " +
-       "ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id " +
-       "ORDER BY a_id, b_id"),
+      (s"WITH $minhashPairsCtes " +
+       "SELECT a_id, b_id FROM pairs ORDER BY a_id, b_id"),
+    "dedup_clusters" ->
+      (s"WITH RECURSIVE $minhashPairsCtes, " +
+       "edges AS (SELECT a_id u, b_id v FROM pairs UNION ALL SELECT b_id, a_id FROM pairs), " +
+       "reach(node, r) AS (SELECT DISTINCT u, u FROM edges " +
+       "UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.node) " +
+       "SELECT label AS cluster_id, COUNT(*) AS cluster_size, CAST(MIN(node) AS BIGINT) AS keep_id FROM " +
+       "(SELECT node, MIN(r) AS label FROM reach GROUP BY node) " +
+       "GROUP BY label ORDER BY cluster_id"),
     "dedup_simhash" ->
       ("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents), " +
        "b AS (SELECT doc_id, j, SUM(CASE WHEN substr(md5(w), j, 1) IN ('1','3','5','7','9','b','d','f') " +
