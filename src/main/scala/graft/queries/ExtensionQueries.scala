@@ -159,10 +159,16 @@ object ExtensionQueries {
         .select(col("a_id"), col("b_id")).cache()
       val edges = pairs
         .unionByName(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      // localCheckpoint: truncates lineage (else each round re-derives
+      // all prior rounds) and materializes eagerly. Convergence check is
+      // a label-sum aggregate — labels only ever decrease, so an
+      // unchanged sum means a fixpoint; no per-round diff join needed.
       var labels = pairs.select(col("a_id").as("node"))
         .unionByName(pairs.select(col("b_id").as("node")))
         .distinct()
         .withColumn("label", col("node"))
+        .localCheckpoint()
+      var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
       var converged = false
       var rounds = 0
       while (!converged && rounds < 20) {
@@ -170,12 +176,12 @@ object ExtensionQueries {
           .join(labels.withColumnRenamed("node", "b_id")
             .withColumnRenamed("label", "nl"), Seq("b_id"))
           .groupBy(col("a_id").as("node")).agg(min(col("nl")).as("cand"))
-        val next = labels.join(viaNeighbor, Seq("node"), "left")
+        labels = labels.join(viaNeighbor, Seq("node"), "left")
           .select(col("node"), least(col("label"), coalesce(col("cand"), col("label"))).as("label"))
-          .cache()
-        converged = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
-          .filter(col("label") =!= col("old")).isEmpty
-        labels = next
+          .localCheckpoint()
+        val s = labels.agg(sum(col("label"))).head().getLong(0)
+        converged = s == prevSum
+        prevSum = s
         rounds += 1
       }
       val out = labels.groupBy(col("label").as("cluster_id"))
