@@ -13,10 +13,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the JVM/codegen/parquet-reader paths once so the first timed
-    // query doesn't absorb session initialization.
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
-      .groupBy("l_returnflag").count().collect()
+    // Warm-up (untimed): run every query once at the smallest scale
+    // factor. Plan shapes are identical across scale factors, so the
+    // timed runs hit the whole-stage-codegen class cache and JIT-warm
+    // paths — the numbers then measure steady-state execution, not
+    // per-query compiler cold starts.
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
