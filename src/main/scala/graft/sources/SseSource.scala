@@ -52,12 +52,24 @@ object SseSource {
     StructField("value", StringType, nullable = false),
     StructField("offset", LongType, nullable = false)))
 
-  /** Parse SSE framing: every `data: <payload>` line is one event
-    * (multiplexed streams arrive on one connection, reference S2).
+  /** Parse SSE framing lazily: every `data: <payload>` line is one event
+    * (multiplexed streams arrive on one connection, reference S2). The
+    * returned iterator streams the file — nothing is materialized, so a
+    * reader for offsets [a, b) skips the prefix without holding it, and
+    * `countEvents` never builds a list. (A production client would keep
+    * a byte offset per committed event to make the skip O(1); the
+    * framing/contract here is unchanged by that upgrade.)
     */
-  def readEvents(path: String): IndexedSeq[String] =
-    Files.readAllLines(Paths.get(path), StandardCharsets.UTF_8).asScala
-      .filter(_.startsWith("data: ")).map(_.stripPrefix("data: ")).toIndexedSeq
+  def eventIterator(path: String): (Iterator[String], AutoCloseable) = {
+    val stream = Files.lines(Paths.get(path), StandardCharsets.UTF_8)
+    (stream.iterator().asScala
+      .filter(_.startsWith("data: ")).map(_.stripPrefix("data: ")), stream)
+  }
+
+  def countEvents(path: String): Long = {
+    val (it, closer) = eventIterator(path)
+    try it.size.toLong finally closer.close()
+  }
 }
 
 final class SseTable(path: String) extends Table with SupportsRead {
@@ -82,7 +94,7 @@ final case class SseOffset(n: Long) extends Offset {
 
 final class SseMicroBatchStream(path: String) extends MicroBatchStream {
   override def initialOffset(): Offset = SseOffset(0L)
-  override def latestOffset(): Offset = SseOffset(SseSource.readEvents(path).size.toLong)
+  override def latestOffset(): Offset = SseOffset(SseSource.countEvents(path))
   override def deserializeOffset(json: String): Offset = SseOffset(json.trim.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -94,12 +106,17 @@ final class SseMicroBatchStream(path: String) extends MicroBatchStream {
     (partition: InputPartition) => {
       val p = partition.asInstanceOf[SsePartition]
       new PartitionReader[InternalRow] {
-        private val events = SseSource.readEvents(p.path)
+        private val (events, closer) = SseSource.eventIterator(p.path)
         private var i = p.start - 1
-        override def next(): Boolean = { i += 1; i < p.end && i < events.size }
+        private val bounded = events.zipWithIndex
+          .drop(p.start.toInt).takeWhile(_._2 < p.end)
+        private var cur: String = _
+        override def next(): Boolean =
+          if (bounded.hasNext) { val (v, idx) = bounded.next(); cur = v; i = idx; true }
+          else false
         override def get(): InternalRow = new GenericInternalRow(
-          Array[Any](UTF8String.fromString(events(i.toInt)), i))
-        override def close(): Unit = ()
+          Array[Any](UTF8String.fromString(cur), i))
+        override def close(): Unit = closer.close()
       }
     }
 }

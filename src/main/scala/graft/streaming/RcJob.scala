@@ -28,8 +28,11 @@ object RcJob {
 
   /** Resolve CLI-style args exactly as `_get_sys_args` does
     * (`scanner.py:34-51`): missing name and unknown name produce the
-    * reference's error strings; `-v`/`--verbose` toggles console echo
-    * of non-matches.
+    * reference's error strings. `-v`/`--verbose` maps to
+    * [[sinks]]' console echo plus the pipeline's dead-letter side
+    * channel (the engine's analog of the reference's printed skip
+    * reasons, `scanner.py:132-138`) — wire both via [[sinks]] and
+    * `pipeline(..., emitDeadLetter = verbose)`.
     */
   def resolveArgs(args: Seq[String]): Either[String, (RcStreaming.FilterSpec, Boolean)] = {
     val verbose = args.contains("-v") || args.contains("--verbose")
@@ -42,6 +45,11 @@ object RcJob {
       }
     }
   }
+
+  /** Sink fan-out honoring the verbose flag (K1 console echo). */
+  def sinks(baseDir: String, logLevel: Int, filterName: String,
+      verbose: Boolean): RcSinks =
+    RcSinks(baseDir, logLevel, filterName, echoConsole = verbose)
 
   /** S1+S2: one SSE source per subscribed stream (the reference
     * multiplexes topics into one SSE connection, `filter_.py:104-108`;

@@ -22,21 +22,30 @@ final case class RcSinks(baseDir: String, logLevel: Int, filterName: String,
     * If the frame carries a `dead_letter` column (pipeline built with
     * emitDeadLetter), those rows go to `$baseDir/dead_letter` and only
     * live rows reach K1-K4.
+    *
+    * Replay-safe: foreachBatch is at-least-once, so every file sink
+    * writes into a deterministic `batch_id=N` subdirectory with
+    * overwrite mode — re-executing a micro-batch after a mid-fan-out
+    * failure rewrites the same paths instead of appending duplicates
+    * (exactly-once output without a transactional table format).
+    * Consumers read the parent directory; `batch_id` surfaces as a
+    * partition column.
     */
   def writeBatch(full: DataFrame, batchId: Long): Unit = {
     full.persist()
-    val batch =
-      if (full.columns.contains("dead_letter")) {
-        full.filter(F.col("dead_letter"))
-          .write.mode("append").parquet(s"$baseDir/dead_letter")
-        full.filter(!F.col("dead_letter")).drop("dead_letter")
-      } else full
     try {
+      val batch =
+        if (full.columns.contains("dead_letter")) {
+          full.filter(F.col("dead_letter"))
+            .write.mode("overwrite").parquet(s"$baseDir/dead_letter/batch_id=$batchId")
+          full.filter(!F.col("dead_letter")).drop("dead_letter")
+        } else full
       if (echoConsole)                                       // K1 scanner.py:143-152
         batch.select(F.col("message")).show(20, truncate = false)
       if (logLevel >= 1)
         batch.select(F.col("revid").cast("string"))
-          .write.mode("append").text(s"$baseDir/revids")       // K2 scanner.py:221-232
+          .write.mode("overwrite")
+          .text(s"$baseDir/revids/batch_id=$batchId")          // K2 scanner.py:221-232
       if (logLevel >= 2)
         batch.select(
             F.lit(filterName).as("filter"),
@@ -46,11 +55,12 @@ final case class RcSinks(baseDir: String, logLevel: Int, filterName: String,
                else F.lit(null).cast("string")).as("folder"),
               (if (logLevel == 3) F.col("filename") else F.lit(null).cast("string")).as("file"))
               .as("log"))
-          .write.mode("append").parquet(s"$baseDir/flaglog")   // K3 flaglog.py:37-66
+          .write.mode("overwrite")
+          .parquet(s"$baseDir/flaglog/batch_id=$batchId")      // K3 flaglog.py:37-66
       if (logLevel == 3)
         batch.select(F.col("event_date"), F.col("filename"), F.col("message"))
-          .write.mode("append").partitionBy("event_date")
-          .parquet(s"$baseDir/changes")                        // K4 scanner.py:235-249
+          .write.mode("overwrite").partitionBy("event_date")
+          .parquet(s"$baseDir/changes/batch_id=$batchId")      // K4 scanner.py:235-249
     } finally full.unpersist()
   }
 
@@ -62,9 +72,14 @@ final case class RcSinks(baseDir: String, logLevel: Int, filterName: String,
     * consumer wants; this writer is for byte-level compatibility with
     * the reference's on-disk layout.)
     */
-  def writePerEventFiles(batch: DataFrame): Unit = {
+  def writePerEventFiles(full: DataFrame): Unit = {
     val dir = s"$baseDir/changes_files"
     val fname = filterName
+    // dead-lettered events never get content files (the reference skips
+    // them before any sink, scanner.py:77-81 vs 166-171)
+    val batch =
+      if (full.columns.contains("dead_letter")) full.filter(!F.col("dead_letter"))
+      else full
     batch.select(F.col("event_date").cast("string"), F.col("filename"),
         F.col("message"), F.to_json(F.struct(batch.columns.toIndexedSeq.map(F.col): _*)),
         F.col("text"))

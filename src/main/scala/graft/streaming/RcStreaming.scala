@@ -69,35 +69,62 @@ object RcStreaming {
     val filtered = RcOps.streamFilter(changes, spec.effectiveStreamfilter)
       .withColumn("event_time", to_timestamp(col("meta.dt")))
 
-    val enriched = filtered
-      .join(broadcast(users), Seq("user"), "left")
-      .filter(spec.maxEdits.map(m => col("editcount") <= lit(m)).getOrElse(lit(true)))
+    // J1 — per-site edit counts when the dim carries server_name (the
+    // reference queries each event's own site API, `scanner.py:128-130`);
+    // a user-only dim joins on user alone.
+    val userKeys =
+      if (users.columns.contains("server_name")) Seq("user", "server_name")
+      else Seq("user")
+    val enriched = filtered.join(broadcast(users), userKeys, "left")
 
-    val deduped =
-      if (spec.skipRepeats)
-        enriched.withWatermark("event_time", spec.watermark)
-          .dropDuplicates("title")
-      else enriched
+    // F2 — threshold gate. A row whose edit-count lookup failed (NULL
+    // editcount) is NOT silently dropped by three-valued logic: the
+    // reference treats a failed lookup as QueryRaceCondition skip
+    // regardless of max_edits (`scanner.py:130-135,199-218`), so it is
+    // routed to the dead-letter side below, same as missing text.
+    val underMax = col("editcount").isNotNull && RcOps.countUnderMax(spec.maxEdits)
 
-    // E1: missing enrichment (page deleted mid-flight) never fails the
-    // query. Default: skip-and-continue as the reference does
-    // (`scanner.py:77-81`); with emitDeadLetter the skipped rows stay in
-    // the frame tagged dead_letter=true so RcSinks can route them to an
-    // inspectable side channel instead of losing them.
-    val withText = deduped
+    // J2 / E1 — text enrichment; missing editcount or missing text =>
+    // dead letter (skip-and-continue, never fail, `scanner.py:77-81`).
+    val withText = enriched
+      .filter(underMax || col("editcount").isNull)
       .join(broadcast(revisions),
-        deduped("revision.new") === revisions("revid"), "left")
-      .withColumn("dead_letter", col("text").isNull)
+        enriched("revision.new") === revisions("revid"), "left")
+      .withColumn("dead_letter", col("editcount").isNull || col("text").isNull)
 
-    val pats: Column = filter(array(spec.regexes.map(lit): _*),
-      p => regexp_like(col("text"), p))
-
+    // R1 — matched-set + match gate (RcOps.matchedPatterns, shared with
+    // the batch queries so the twins cannot drift).
     val gated = withText
-      .withColumn("matched", when(col("dead_letter"), array()).otherwise(pats))
+      .withColumn("matched", when(col("dead_letter"), array())
+        .otherwise(RcOps.matchedPatterns(col("text"), spec.regexes)))
       .filter((size(col("matched")) > 0) ||
         (lit(emitDeadLetter) && col("dead_letter")))
 
-    val out = gated.select(
+    // D1 — dedup AFTER the match gate: the reference's repeat check
+    // consults the flagged-changes log, which contains only MATCHED
+    // titles (`filter_.py:90-102`, log appended at `scanner.py:161-175`)
+    // — a later matching edit to a title first seen via a non-match (or
+    // a dead-lettered event) must still be flagged. State therefore
+    // holds only matched titles. Streaming state is bounded with
+    // dropDuplicatesWithinWatermark (plain dropDuplicates would keep
+    // every title forever — watermark eviction requires the event-time
+    // column in the key set); the batch twin is the deterministic
+    // first-match-per-title (SURVEY §7.3 risk 3 documents the horizon
+    // deviation from the reference's unbounded log).
+    val deduped =
+      if (!spec.skipRepeats) gated
+      else {
+        val live = gated.filter(!col("dead_letter"))
+        val dedupedLive =
+          if (gated.isStreaming)
+            live.withWatermark("event_time", spec.watermark)
+              .dropDuplicatesWithinWatermark("title")
+          else RcOps.firstPerKey(live, Seq("title"), "event_time", "id")
+        if (emitDeadLetter) dedupedLive.unionByName(gated.filter(col("dead_letter")))
+        else dedupedLive
+      }
+
+    val out = deduped.select(
       col("id"), col("title"), col("user"), col("type"),
       col("revision.new").as("revid"),
       concat_ws(",", col("matched")).as("matched"),

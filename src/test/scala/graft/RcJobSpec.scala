@@ -45,7 +45,8 @@ class RcJobSpec extends SparkSpec {
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
 
-    val revids = spark.read.text(s"$outDir/revids").as[String].collect().sorted.toSeq
+    val revids = spark.read.text(s"$outDir/revids")
+      .select("value").as[String].collect().sorted.toSeq
     assert(revids === Seq("100", "200")) // one match from EACH topic
   }
 }

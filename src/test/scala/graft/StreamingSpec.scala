@@ -59,7 +59,8 @@ class StreamingSpec extends SparkSpec {
     q.awaitTermination(120000)
 
     // Only change id=1 survives every gate.
-    val revids = spark.read.text(s"$outDir/revids").as[String].collect().toSeq
+    val revids = spark.read.text(s"$outDir/revids")
+      .select("value").as[String].collect().toSeq
     assert(revids === Seq("101"))
     val flaglog = spark.read.parquet(s"$outDir/flaglog")
     assert(flaglog.count() === 1)
@@ -71,6 +72,68 @@ class StreamingSpec extends SparkSpec {
     // K4: date-partitioned content files
     val content = spark.read.parquet(s"$outDir/changes")
     assert(content.select("event_date").as[java.sql.Date].head().toString === "2026-08-12")
+  }
+
+  test("D1 dedups against MATCHED titles only (filter_.py:90-102 semantics)") {
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("changesdm").toString
+    // same title: first a NON-matching edit, then a matching one —
+    // the reference's flag log contains only matches, so the second
+    // edit must still be flagged.
+    Files.writeString(java.nio.file.Path.of(s"$inDir/b.json"), Seq(
+      changeJson(1, "User:X", "alice", 201, dt = "2026-08-12T09:00:00Z"),
+      changeJson(2, "User:X", "alice", 202, dt = "2026-08-12T09:01:00Z"),
+      changeJson(3, "User:X", "alice", 203, dt = "2026-08-12T09:02:00Z")
+    ).mkString("\n"))
+    val users = Seq(("alice", 10L)).toDF("user", "editcount")
+    val revisions = Seq((201L, "plain text"), (202L, "has a userbox"),
+      (203L, "userbox again")).toDF("revid", "text")
+    val spec = RcStreaming.FilterSpec(Map("type" -> Seq("edit")), None,
+      skipRepeats = true, regexes = Seq("userbox"))
+    val got = RcStreaming.pipeline(
+      spark.read.schema(ChangeSchema.change).json(inDir), users, revisions, spec)
+    // rev 201: no match (not a "repeat"); rev 202: FIRST match -> kept;
+    // rev 203: repeat of a flagged title -> deduped.
+    assert(got.select("revid").as[Long].collect().toSeq === Seq(202L))
+  }
+
+  test("failed edit-count lookup is a race-skip, not a silent 3VL drop") {
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("changesec").toString
+    Files.writeString(java.nio.file.Path.of(s"$inDir/b.json"), Seq(
+      changeJson(1, "User:A", "alice", 101),
+      changeJson(2, "User:B", "ghost", 102) // not in users dim
+    ).mkString("\n"))
+    val users = Seq(("alice", 10L)).toDF("user", "editcount")
+    val revisions = Seq((101L, "a userbox"), (102L, "userbox too")).toDF("revid", "text")
+    val spec = RcStreaming.FilterSpec(Map("type" -> Seq("edit")), Some(100L),
+      skipRepeats = false, regexes = Seq("userbox"))
+    val batch = spark.read.schema(ChangeSchema.change).json(inDir)
+    // without dead-letter: ghost silently skipped, alice flagged
+    val got = RcStreaming.pipeline(batch, users, revisions, spec)
+    assert(got.select("user").as[String].collect().toSeq === Seq("alice"))
+    // with dead-letter: the failed lookup is observable
+    val dl = RcStreaming.pipeline(batch, users, revisions, spec, emitDeadLetter = true)
+    assert(dl.filter(col("dead_letter")).select("user").as[String].collect().toSeq === Seq("ghost"))
+  }
+
+  test("sink replay is idempotent: rewriting a batch id does not duplicate") {
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("changesrp").toString
+    val outDir = Files.createTempDirectory("sinksrp").toString
+    Files.writeString(java.nio.file.Path.of(s"$inDir/b.json"),
+      changeJson(1, "User:A", "alice", 101))
+    val users = Seq(("alice", 10L)).toDF("user", "editcount")
+    val revisions = Seq((101L, "a userbox")).toDF("revid", "text")
+    val spec = RcStreaming.FilterSpec(Map("type" -> Seq("edit")), None,
+      skipRepeats = false, regexes = Seq("userbox"))
+    val out = RcStreaming.pipeline(
+      spark.read.schema(ChangeSchema.change).json(inDir), users, revisions, spec)
+    val sinks = RcSinks(outDir, logLevel = 2, filterName = "example")
+    sinks.writeBatch(out, 7L)
+    sinks.writeBatch(out, 7L) // at-least-once replay of the SAME batch
+    assert(spark.read.text(s"$outDir/revids").select("value").count() === 1)
+    assert(spark.read.parquet(s"$outDir/flaglog").count() === 1)
   }
 
   test("K4 exact parity: one file per match with the 4-section body") {
