@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over near-dup candidate pairs —
+  * the stage that turns pairwise matches into dedup groups (keeper =
+  * min doc_id per component).
+  *
+  * Algorithm: min-label propagation accelerated with path halving
+  * (each round a node takes the min of its own label, its neighbors'
+  * labels, AND its label's label — the pointer-jumping trick from the
+  * MapReduce-CC literature). Labels decrease monotonically and are
+  * bounded by the component minimum, so the label SUM is a convergence
+  * certificate: an unchanged sum is a fixpoint, no per-round diff join
+  * needed. Pure propagation needs diameter rounds; halving needs
+  * O(log diameter) — a 1M-node chain converges in ~20 rounds instead
+  * of 1M.
+  *
+  * Fault tolerance: each round's labels are checkpointed to truncate
+  * lineage (else round r re-derives rounds 0..r-1). By default this is
+  * `localCheckpoint` (executor-local blocks — fast, NOT resilient to
+  * executor loss). For production set `spark.graft.cc.checkpointDir`
+  * on the session: rounds then use reliable `checkpoint()` into that
+  * directory and survive executor failure.
+  */
+object Clustering {
+
+  /** (node, label) for every node appearing in `pairs` (a_id, b_id);
+    * label = min node id of the connected component.
+    *
+    * Throws IllegalStateException if the fixpoint is not certified
+    * within `maxRounds` — partial labels are never returned silently
+    * (a silent cap would emit wrong clusters for a graph whose
+    * diameter exceeds it). With halving, 30 rounds covers diameters
+    * beyond any physical graph (~2^29).
+    */
+  def connectedComponents(spark: SparkSession, pairs: DataFrame,
+      maxRounds: Int = 30): DataFrame = {
+    val ckDir = spark.conf.getOption("spark.graft.cc.checkpointDir")
+    ckDir.foreach(spark.sparkContext.setCheckpointDir)
+    def persistRound(df: DataFrame): DataFrame =
+      if (ckDir.isDefined) df.checkpoint() else df.localCheckpoint()
+
+    val edges = pairs.select(col("a_id"), col("b_id"))
+      .unionByName(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    // Round 0 fused into init: label = min(node, neighbors) in the same
+    // aggregate that builds the node set (pairs are already distinct
+    // per direction, so this is one shuffle).
+    var labels = persistRound(
+      edges.groupBy(col("a_id"))
+        .agg(min(col("b_id")).as("mnb"))
+        .select(col("a_id").as("node"), least(col("a_id"), col("mnb")).as("label")))
+    def labelSum(): Long =
+      labels.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+    var prevSum = labelSum()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("node", "b_id")
+          .withColumnRenamed("label", "nl"), Seq("b_id"))
+        .groupBy(col("a_id").as("node")).agg(min(col("nl")).as("cand"))
+      val stepped = labels.join(viaNeighbor, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("cand"), col("label"))).as("label"))
+      // Path halving: label <- label(label). Every label value is itself
+      // a node (labels start as node ids and only min-combine), so the
+      // self-join is total; left join guards the root (label = itself).
+      val halved = stepped.join(
+          stepped.select(col("node").as("lnode"), col("label").as("ll")),
+          col("label") === col("lnode"), "left")
+        .select(col("node"), least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
+      labels = persistRound(halved)
+      val s = labelSum()
+      converged = s == prevSum
+      prevSum = s
+      rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not certify a fixpoint in $maxRounds rounds " +
+        "(graph diameter > 2^rounds — raise maxRounds); refusing to return partial labels")
+    labels
+  }
+}

@@ -67,4 +67,84 @@ object Similarity {
     vecs.unpersist()
     TrainedIndex(centroids, cost)
   }
+
+  /** Learned centroids as a broadcastable (cid, cv) dim table — the
+    * k x dim matrix re-enters the cluster exactly once, as a broadcast.
+    */
+  def centroidDf(spark: SparkSession, centroids: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (cv, i) => (i, cv) }.toSeq.toDF("cid", "cv")
+  }
+
+  /** Assign every vector to its nearest centroid by squared L2 (the
+    * trainer's metric; ties break toward the lower cid). One broadcast
+    * cross join + one map-side min_by aggregate — no shuffle of the
+    * corpus beyond the per-vec_id agg.
+    */
+  def assignCells(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val v = VectorOps.toDouble(col("embedding"))
+    emb.select(col("vec_id"), v.as("v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d2", VectorOps.l2sq(col("v"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cell"),
+        first(col("v")).as("v"))
+  }
+
+  /** Corpus-scaled cell count: k ~ sqrt(n) keeps both the broadcast
+    * matrix (k x dim) and the expected cell population (n / k = sqrt(n))
+    * sub-linear — the standard IVF sizing rule.
+    */
+  def defaultK(n: Long): Int = math.max(8, math.sqrt(n.toDouble).toInt)
+
+  /** Production ANN path: LEARNED coarse quantizer (k ~ sqrt(n) k-means
+    * cells, vs the fixed 8 seed vectors of the oracle twin
+    * `sim_ivf_topk`) + multi-probe. The query vector scores all k
+    * centroids (driver-free: centroids are a broadcast dim), probes the
+    * `probes` nearest cells, and brute-forces only those cells —
+    * expected candidates probes * sqrt(n) instead of n / 8.
+    */
+  def ivfTopK(spark: SparkSession, emb: DataFrame, queryVecId: Long,
+      topK: Int, probes: Int = 2, kCells: Int = 0, iters: Int = 3): DataFrame = {
+    val n = emb.count()
+    val k = if (kCells > 0) kCells else defaultK(n)
+    val idx = trainIvf(spark, emb, k, iters)
+    val cents = centroidDf(spark, idx.centroids)
+    val cells = assignCells(emb, cents).cache()
+    val q = cells.filter(col("vec_id") === queryVecId)
+      .select(col("v").as("qv"))
+    // Probe set: the `probes` centroids nearest to the query vector.
+    val probeCells = cents.crossJoin(broadcast(q))
+      .withColumn("d2", VectorOps.l2sq(col("qv"), col("cv")))
+      .orderBy(col("d2"), col("cid"))
+      .limit(probes)
+      .select(col("cid").as("cell"))
+    cells.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(VectorOps.cosine(col("qv"), col("v")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(topK)
+  }
+
+  /** Production near-dup path: within-cell all-pairs under a LEARNED
+    * k ~ sqrt(n) quantizer, so expected per-cell work is (n/k)^2 = n —
+    * linear in corpus size, vs O(n^2/8) with 8 fixed cells.
+    */
+  def nearDupPairs(spark: SparkSession, emb: DataFrame, minCos: Double,
+      kCells: Int = 0, iters: Int = 3): DataFrame = {
+    val n = emb.count()
+    val k = if (kCells > 0) kCells else defaultK(n)
+    val idx = trainIvf(spark, emb, k, iters)
+    val cells = assignCells(emb, centroidDf(spark, idx.centroids))
+    val l = cells.select(col("cell"), col("vec_id").as("a_id"), col("v").as("va"))
+    val r = cells.select(col("cell"), col("vec_id").as("b_id"), col("v").as("vb"))
+    l.join(r, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos_sim", round(VectorOps.cosine(col("va"), col("vb")), 6))
+      .filter(col("cos_sim") >= minCos)
+      .select(col("a_id"), col("b_id"), col("cos_sim"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
 }

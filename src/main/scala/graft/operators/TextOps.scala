@@ -56,13 +56,46 @@ object TextOps {
     * array, as structs (a, b). Buckets are near-dup groups — tiny by
     * construction — so the quadratic expansion is bucket-local and
     * cheap; this replaces a bucket self-join that would rescan the
-    * whole upstream pipeline on both sides. A production skew guard
-    * caps bucket size (a 10k-identical-docs bucket means the content
-    * is boilerplate — cap and sample instead of emitting 50M pairs).
+    * whole upstream pipeline on both sides.
     */
   def pairCombinations(ids: Column): Column =
     flatten(transform(ids, (x, i) =>
       transform(slice(ids, i + 2, size(ids)), y => struct(x.as("a"), y.as("b")))))
+
+  /** Skew guard for LSH buckets: a pathological bucket (e.g. 10k
+    * byte-identical boilerplate docs sharing one band hash) would expand
+    * to ~50M pairs inside ONE task. Default cap 512 → ≤ ~131k pairs per
+    * bucket, bounded task memory. The cut is deterministic — buckets
+    * arrive `array_sort`ed, we keep the lowest `cap` members — so
+    * results are stable across runs, and on healthy corpora (every
+    * bucket below the cap) output is bit-identical to the uncapped
+    * expansion. Truncated members of a mega-bucket still dedup via the
+    * exact md5 pass (identical content ⇒ identical hash), so recall
+    * loss applies only to near- (not exact-) dups in degenerate buckets.
+    */
+  val MaxBucket = 512
+
+  /** Deterministically cap a sorted bucket array at `cap` members. */
+  def capBucket(ids: Column, cap: Int = MaxBucket): Column =
+    slice(ids, 1, cap)
+
+  /** Pair expansion with the skew cap applied — use this, not the raw
+    * pairCombinations, anywhere bucket sizes are data-dependent.
+    */
+  def cappedPairs(ids: Column, cap: Int = MaxBucket): Column =
+    pairCombinations(capBucket(ids, cap))
+
+  /** Side-channel overflow stats for a bucketed DataFrame (must carry an
+    * `ids` array column): one row per over-cap bucket with the number of
+    * members dropped by [[capBucket]]. Empty on healthy corpora; a
+    * monitoring query at scale (route it to a metrics sink).
+    */
+  def bucketOverflow(buckets: org.apache.spark.sql.DataFrame,
+      cap: Int = MaxBucket): org.apache.spark.sql.DataFrame =
+    buckets.filter(size(col("ids")) > cap)
+      .select(col("ids").getItem(0).as("bucket_head"),
+        size(col("ids")).cast("long").as("bucket_size"),
+        (size(col("ids")) - cap).cast("long").as("n_dropped"))
 
   /** Count of tokens appearing in a fixed stopword list. */
   def stopwordCount(ws: Column, stopwords: Seq[String]): Column =

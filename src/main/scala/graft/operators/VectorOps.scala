@@ -34,4 +34,11 @@ object VectorOps {
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(norm2(a) * norm2(b))
+
+  /** Squared L2 distance via the polarization identity — three native
+    * dot products, all inside whole-stage codegen (a zip_with/aggregate
+    * fold would be CodegenFallback).
+    */
+  def l2sq(a: Column, b: Column): Column =
+    norm2(a) + norm2(b) - lit(2.0) * dot(a, b)
 }

@@ -207,8 +207,11 @@ object AnalyticsQueries {
       s.sql(
         "SELECT c_custkey, " +
         "CAST((SELECT COUNT(*) FROM orders_v o WHERE o.o_custkey = c.c_custkey) AS BIGINT) AS n_orders, " +
-        "(SELECT CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) FROM orders_v o " +
-        "WHERE o.o_custkey = c.c_custkey) / 100.0 AS total " +
+        // CAST(... AS DOUBLE): Spark types `bigint / 100.0` as DECIMAL(27,6)
+        // (literal 100.0 is DECIMAL(4,1)) while DuckDB yields DOUBLE; values
+        // are equal but parquet physical types differ -> hash mismatch.
+        "CAST((SELECT CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) FROM orders_v o " +
+        "WHERE o.o_custkey = c.c_custkey) / 100.0 AS DOUBLE) AS total " +
         "FROM customer_v c ORDER BY c_custkey")
     }),
 
@@ -245,8 +248,12 @@ object AnalyticsQueries {
       import org.apache.spark.sql.expressions.Window
       val ev = Tables.events(s, dir)
         .filter(col("event_type").isin("signup", "purchase"))
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, 0)
+      // RANGE (not ROWS) frame ordered by ts alone: a signup sharing the
+      // purchase's exact ts is a frame peer and therefore visible, matching
+      // ASOF's `s.ts <= p.ts` (a ROWS frame ordered by (ts, event_id) would
+      // exclude an equal-ts signup with a larger event_id).
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
       ev.withColumn("signup_ts",
           max(when(col("event_type") === "signup", col("ts"))).over(w))
         .filter(col("event_type") === "purchase")

@@ -90,7 +90,7 @@ object ExtensionQueries {
       bands.groupBy(col("band_idx"), col("band_hash"))
         .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
         .filter(size(col("ids")) > 1)
-        .select(explode(TextOps.pairCombinations(col("ids"))).as("p"))
+        .select(explode(TextOps.cappedPairs(col("ids"))).as("p"))
         .select(col("p.a").as("a_id"), col("p.b").as("b_id")).distinct()
         .orderBy(col("a_id"), col("b_id"))
     }),
@@ -114,7 +114,7 @@ object ExtensionQueries {
       banded.groupBy(col("b"), col("band_val"))
         .agg(array_sort(collect_set(struct(col("doc_id"), col("simhash")))).as("ids"))
         .filter(size(col("ids")) > 1)
-        .select(explode(TextOps.pairCombinations(col("ids"))).as("p"))
+        .select(explode(TextOps.cappedPairs(col("ids"))).as("p"))
         .select(col("p.a.doc_id").as("a_id"), col("p.b.doc_id").as("b_id"),
           expr("CAST(bit_count(p.a.simhash ^ p.b.simhash) AS INT)").as("hamming"))
         .distinct()
@@ -157,33 +157,11 @@ object ExtensionQueries {
     "dedup_clusters" -> ((s, dir) => {
       val pairs = queries("dedup_minhash")(s, dir) // (a_id, b_id), a < b
         .select(col("a_id"), col("b_id")).cache()
-      val edges = pairs
-        .unionByName(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-      // localCheckpoint: truncates lineage (else each round re-derives
-      // all prior rounds) and materializes eagerly. Convergence check is
-      // a label-sum aggregate — labels only ever decrease, so an
-      // unchanged sum means a fixpoint; no per-round diff join needed.
-      var labels = pairs.select(col("a_id").as("node"))
-        .unionByName(pairs.select(col("b_id").as("node")))
-        .distinct()
-        .withColumn("label", col("node"))
-        .localCheckpoint()
-      var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
-      var converged = false
-      var rounds = 0
-      while (!converged && rounds < 20) {
-        val viaNeighbor = edges
-          .join(labels.withColumnRenamed("node", "b_id")
-            .withColumnRenamed("label", "nl"), Seq("b_id"))
-          .groupBy(col("a_id").as("node")).agg(min(col("nl")).as("cand"))
-        labels = labels.join(viaNeighbor, Seq("node"), "left")
-          .select(col("node"), least(col("label"), coalesce(col("cand"), col("label"))).as("label"))
-          .localCheckpoint()
-        val s = labels.agg(sum(col("label"))).head().getLong(0)
-        converged = s == prevSum
-        prevSum = s
-        rounds += 1
-      }
+      // Path-halving min-label propagation with a certified fixpoint
+      // (throws rather than silently returning partial clusters) —
+      // see graft.operators.Clustering for the round structure and the
+      // spark.graft.cc.checkpointDir fault-tolerance option.
+      val labels = graft.operators.Clustering.connectedComponents(s, pairs)
       val out = labels.groupBy(col("label").as("cluster_id"))
         .agg(count(lit(1)).as("cluster_size"),
           min(col("node")).as("keep_id"))
@@ -197,28 +175,40 @@ object ExtensionQueries {
     // LSH-free pruning; a frequency cap on hot shingles would be the
     // skew guard at 100 TB).
     "dedup_ngram_jaccard" -> ((s, dir) => {
+      // Single shingle pass: the per-doc distinct-shingle count rides
+      // along on every exploded row (map-side, no second scan), so the
+      // Jaccard denominator needs NO sizes table at all — no join, no
+      // per-document broadcast (a per-doc table shipped to every
+      // executor is O(corpus) and a scale-killer).
       val sh = withShingles(Tables.documents(s, dir))
-        .select(col("doc_id"), explode(array_distinct(col("sh"))).as("s"))
-      // Per-doc shingle counts are computable map-side from the array —
-      // no shuffle, no second pass over the exploded rows.
-      val sizes = withShingles(Tables.documents(s, dir))
-        .select(col("doc_id"), size(array_distinct(col("sh"))).cast("long").as("n"))
+        .withColumn("shd", array_distinct(col("sh")))
+        .select(col("doc_id"), size(col("shd")).cast("long").as("n"),
+          explode(col("shd")).as("s"))
       // Posting-list intersection: group by shingle, expand bucket-local
-      // pairs, count shared shingles per pair — one pass, no self-join.
-      val inter = sh.groupBy(col("s"))
-        .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
+      // (doc_id, n) pairs, count shared shingles per pair — one pass, no
+      // self-join. Grouping by (a_id, na, b_id, nb) is free: n is
+      // functionally dependent on doc_id.
+      sh.groupBy(col("s"))
+        .agg(array_sort(collect_set(struct(col("doc_id"), col("n")))).as("ids"))
         .filter(size(col("ids")) > 1)
-        .select(explode(TextOps.pairCombinations(col("ids"))).as("p"))
-        .groupBy(col("p.a").as("a_id"), col("p.b").as("b_id"))
+        .select(explode(TextOps.cappedPairs(col("ids"))).as("p"))
+        .groupBy(col("p.a.doc_id").as("a_id"), col("p.b.doc_id").as("b_id"),
+          col("p.a.n").as("na"), col("p.b.n").as("nb"))
         .agg(count(lit(1)).as("i"))
-      inter
-        .join(broadcast(sizes.select(col("doc_id").as("a_id"), col("n").as("na"))), Seq("a_id"))
-        .join(broadcast(sizes.select(col("doc_id").as("b_id"), col("n").as("nb"))), Seq("b_id"))
         .withColumn("jaccard", round(col("i") / (col("na") + col("nb") - col("i")), 6))
         .filter(col("jaccard") >= 0.2)
         .select(col("a_id"), col("b_id"), col("jaccard"))
         .orderBy(col("a_id"), col("b_id"))
     }),
+
+    // PRODUCTION twin of dedup_embedding: LEARNED k ~ sqrt(n) k-means
+    // quantizer (Similarity.trainIvf) instead of 8 fixed seed cells, so
+    // expected within-cell pair work is (n/k)^2 * k = n — linear, not
+    // O(n^2/8). Learned float centroids aren't replayable in portable
+    // SQL, so this is a declared rows-only query; SimilaritySpec pins
+    // its semantics against the brute-force scorer instead.
+    "dedup_embedding_trained" -> ((s, dir) =>
+      graft.operators.Similarity.nearDupPairs(s, Tables.embeddings(s, dir), 0.45)),
 
     // ---- Similarity search --------------------------------------------
     // Brute-force cosine top-k vs query vector (vec_id=0): map-side
@@ -262,6 +252,15 @@ object ExtensionQueries {
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(5)
     }),
+
+    // PRODUCTION twin of sim_ivf_topk: learned k ~ sqrt(n) quantizer +
+    // multi-probe (2 nearest cells) for recall at cell boundaries.
+    // Candidates scanned: probes * n/k = 2*sqrt(n), vs n/8 with fixed
+    // seeds. Rows-only (learned centroids aren't SQL-replayable);
+    // SimilaritySpec asserts recall against sim_cosine_topk.
+    "sim_ivf_topk_trained" -> ((s, dir) =>
+      graft.operators.Similarity.ivfTopK(s, Tables.embeddings(s, dir),
+        queryVecId = 42, topK = 5, probes = 2)),
 
     // IVF "training": per-label centroid vectors via the typed
     // MeanVector Aggregator (mutable sum buffer, associative merge =>
