@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextOps
+
+/** Adversarial LSH-bucket skew: thousands of byte-identical docs share
+  * every band hash, so one bucket would pair-expand quadratically (2000
+  * docs → ~2M pairs, 10k → 50M) inside a single task. The cap must
+  * bound the expansion deterministically, surface the overflow, and
+  * leave healthy corpora bit-identical.
+  */
+class BucketCapSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val advDir: String = {
+    val dir = Files.createTempDirectory("adv").toString
+    val base = Tables.documents(spark, sf0001)
+    // 2000 clones of one document (ids 1M..1M+1999) on top of the
+    // normal corpus — a boilerplate mega-bucket, 4x the 512 cap.
+    val boiler = spark.range(2000)
+      .select((col("id") + 1000000L).as("doc_id"),
+        lit("the same boilerplate footer text repeated on every page of the crawl " +
+          "with enough tokens to form several distinct shingles").as("text"),
+        lit("en").as("lang"), lit("adv").as("source"), lit(120L).as("n_chars"))
+    base.unionByName(boiler).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("mega-bucket pair expansion is bounded by the cap, not the bucket") {
+    val pairs = SparkEntry.queries("dedup_minhash")(spark, advDir)
+      .as[(Long, Long)].collect()
+    val boilerPairs = pairs.count { case (a, b) => a >= 1000000L && b >= 1000000L }
+    val cap = TextOps.MaxBucket
+    // Identical docs share all 4 band buckets; each bucket caps to the
+    // same lowest 512 ids, so the boilerplate group contributes exactly
+    // C(cap, 2) pairs — not C(2000, 2) ≈ 2M.
+    assert(boilerPairs === cap * (cap - 1) / 2,
+      s"expected C($cap,2)=${cap * (cap - 1) / 2} capped pairs, got $boilerPairs")
+    assert(pairs.length < 200000, s"total pair volume must stay bounded: ${pairs.length}")
+  }
+
+  test("overflow side channel reports the dropped members per bucket") {
+    val docs = Tables.documents(spark, advDir)
+    val bands = docs
+      .select(col("doc_id"), md5(col("text")).as("band_hash"))
+      .groupBy(col("band_hash"))
+      .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
+    val overflow = TextOps.bucketOverflow(bands)
+      .as[(Long, Long, Long)].collect()
+    assert(overflow.length === 1)
+    val (head, size, dropped) = overflow.head
+    assert(head === 1000000L && size === 2000L && dropped === 2000L - TextOps.MaxBucket)
+    // Healthy corpus: no overflow at all.
+    val healthy = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .groupBy(col("h")).agg(array_sort(collect_set(col("doc_id"))).as("ids"))
+    assert(TextOps.bucketOverflow(healthy).isEmpty)
+  }
+
+  test("cap leaves sub-cap buckets bit-identical") {
+    val ids = typedLit(Seq(3L, 5L, 9L))
+    val capped = spark.range(1)
+      .select(explode(TextOps.cappedPairs(ids)).as("p"))
+      .select(col("p.a"), col("p.b")).as[(Long, Long)].collect().toSet
+    assert(capped === Set((3L, 5L), (3L, 9L), (5L, 9L)))
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.Clustering
+
+/** Connected components: correctness on known graph shapes, log-round
+  * convergence on deep chains (the ADVICE round-cap hazard), and the
+  * certified-fixpoint contract (throws, never silent partial labels).
+  */
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(pairs: Seq[(Long, Long)], maxRounds: Int = 30): Map[Long, Long] =
+    Clustering.connectedComponents(
+        spark, pairs.toDF("a_id", "b_id"), maxRounds)
+      .as[(Long, Long)].collect().toMap
+
+  test("two components get their min-node labels") {
+    val labels = cc(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("deep chain (diameter 200) converges within the 30-round cap") {
+    // Pure min-propagation needs ~200 rounds here; path halving makes it
+    // logarithmic — exactly the failure mode a silent 20-round cap hid.
+    val chain = (0L until 200L).map(i => (i, i + 1))
+    val labels = cc(chain)
+    assert(labels.size === 201)
+    assert(labels.values.forall(_ === 0L))
+  }
+
+  test("non-convergence throws instead of returning partial labels") {
+    val chain = (0L until 64L).map(i => (i, i + 1))
+    val e = intercept[IllegalStateException] { cc(chain, maxRounds = 1) }
+    assert(e.getMessage.contains("fixpoint"))
+  }
+
+  test("empty pair set yields empty labels without error") {
+    assert(cc(Seq.empty) === Map.empty)
+  }
+
+  test("star and triangle collapse to the hub/min label") {
+    val labels = cc(Seq((5L, 6L), (5L, 7L), (5L, 8L), (20L, 21L), (21L, 22L), (20L, 22L)))
+    assert(labels(6L) === 5L && labels(7L) === 5L && labels(8L) === 5L)
+    assert(labels(20L) === 20L && labels(21L) === 20L && labels(22L) === 20L)
+  }
+}
