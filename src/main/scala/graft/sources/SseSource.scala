@@ -1,10 +1,15 @@
 package graft.sources
 
+import java.io.BufferedInputStream
+import java.nio.channels.{Channels, FileChannel}
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardOpenOption}
 import java.util
 
+import scala.collection.mutable.ArrayBuffer
 import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -28,12 +33,29 @@ import org.apache.spark.unsafe.types.UTF8String
   * replayed or dropped events (the reference can drop events across a
   * restart; this source cannot).
   *
+  * Source-registered filters (reference F1's client-side registration,
+  * `filter_.py:107`: events are dropped AT the client, before the scanner
+  * sees them): `option("filter.<field>", "v1,v2")` keeps only events whose
+  * top-level JSON `<field>` equals one of the values. Filtering happens in
+  * the partition reader on the raw payload — dropped events never become
+  * Spark rows, never reach `from_json`. The `offset` column always carries
+  * the RAW event index, so checkpoints are filter-independent.
+  *
+  * Scan bookkeeping is incremental: the driver keeps (bytesScanned,
+  * eventsSeen) per stream and `latestOffset` reads only bytes appended
+  * since the previous trigger — O(new data), not O(file). A sampled
+  * (eventIndex -> byteOffset) index rides into each partition so readers
+  * seek near their range instead of streaming the whole prefix; all
+  * counters are Long (no Int truncation at any offset).
+  *
   * Transport is pluggable: this build reads a local SSE-framed file
   * (`option("path", ...)`) because the environment has no egress; a live
   * deployment substitutes an HTTP client that appends the SSE byte stream
   * to the same buffer contract (EventStreams' `Last-Event-ID` carries
   * per-Kafka-partition offsets — `meta.offset`/`meta.partition`,
   * `utils.py:8,10` — which map 1:1 onto this source's offset JSON).
+  * Writer contract: appends are line-aligned (complete `\n`-terminated
+  * frames); an unterminated final line is counted as a complete event.
   *
   * Output schema: `value STRING` (raw event JSON), `offset LONG`. Parse
   * downstream with `from_json(value, ChangeSchema.change)` — schema
@@ -44,7 +66,7 @@ class SseSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = SseSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new SseTable(properties.get("path"))
+    new SseTable(properties.get("path"), SseSource.parseFilters(properties.asScala.toMap))
 }
 
 object SseSource {
@@ -52,27 +74,113 @@ object SseSource {
     StructField("value", StringType, nullable = false),
     StructField("offset", LongType, nullable = false)))
 
-  /** Parse SSE framing lazily: every `data: <payload>` line is one event
-    * (multiplexed streams arrive on one connection, reference S2). The
-    * returned iterator streams the file — nothing is materialized, so a
-    * reader for offsets [a, b) skips the prefix without holding it, and
-    * `countEvents` never builds a list. (A production client would keep
-    * a byte offset per committed event to make the skip O(1); the
-    * framing/contract here is unchanged by that upgrade.)
+  /** `filter.<field>` options -> field -> allowed values (reference
+    * `register_filter` dict semantics: equality against any listed value).
     */
+  def parseFilters(props: Map[String, String]): Map[String, Set[String]] =
+    props.collect { case (k, v) if k.toLowerCase.startsWith("filter.") =>
+      k.substring("filter.".length) -> v.split(",").map(_.trim).toSet
+    }
+
+  private val DataPrefix = "data: ".getBytes(StandardCharsets.UTF_8)
+
+  /** Stream `data:` payloads from `bytePos`, tracking byte positions.
+    * Byte-level line scan (the `data: ` sentinel is ASCII, so prefix
+    * matching is UTF-8 safe); each call to `next()` yields
+    * (payload, lineStartBytePos, nextBytePos).
+    */
+  final class FrameIterator(path: String, bytePos: Long)
+      extends Iterator[(String, Long, Long)] with AutoCloseable {
+    private val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
+    ch.position(bytePos)
+    private val in = new BufferedInputStream(Channels.newInputStream(ch), 1 << 16)
+    private var pos = bytePos
+    private var nextFrame: (String, Long, Long) = _
+    private var done = false
+
+    private def advance(): Unit = {
+      while (nextFrame == null && !done) {
+        val lineStart = pos
+        val buf = new java.io.ByteArrayOutputStream(256)
+        var b = in.read()
+        while (b != -1 && b != '\n') { buf.write(b); pos += 1; b = in.read() }
+        if (b == '\n') pos += 1
+        val bytes = buf.toByteArray
+        if (b == -1 && bytes.isEmpty) done = true
+        else if (bytes.length > DataPrefix.length &&
+            bytes.startsWith(DataPrefix)) {
+          nextFrame = (new String(bytes, DataPrefix.length,
+            bytes.length - DataPrefix.length, StandardCharsets.UTF_8), lineStart, pos)
+        }
+        if (b == -1) done = true // unterminated tail consumed (see contract)
+      }
+    }
+    override def hasNext: Boolean = { advance(); nextFrame != null }
+    override def next(): (String, Long, Long) = {
+      advance()
+      val f = nextFrame; nextFrame = null; f
+    }
+    override def close(): Unit = in.close()
+  }
+
+  /** Legacy convenience: payload iterator from the head of the file. */
   def eventIterator(path: String): (Iterator[String], AutoCloseable) = {
-    val stream = Files.lines(Paths.get(path), StandardCharsets.UTF_8)
-    (stream.iterator().asScala
-      .filter(_.startsWith("data: ")).map(_.stripPrefix("data: ")), stream)
+    val it = new FrameIterator(path, 0L)
+    (it.map(_._1), it)
   }
 
   def countEvents(path: String): Long = {
     val (it, closer) = eventIterator(path)
-    try it.size.toLong finally closer.close()
+    try { var n = 0L; while (it.hasNext) { it.next(); n += 1 }; n }
+    finally closer.close()
   }
 }
 
-final class SseTable(path: String) extends Table with SupportsRead {
+/** Driver-side incremental scan state: one instance per stream, updated
+  * once per trigger. `refresh()` reads only the bytes appended since the
+  * previous call. Every `sampleStride` events it records the event's
+  * byte offset so partition readers can seek instead of re-streaming the
+  * prefix. Exposes `bytesRead` so tests can prove the no-rescan claim.
+  */
+final class SseScanState(path: String, sampleStride: Long = 4096L) {
+  private var bytesScanned = 0L
+  private var eventsSeen = 0L
+  private var totalBytesRead = 0L
+  // (eventIndex, byteOffsetOfItsLine); invariant: sorted by eventIndex.
+  private val samples = ArrayBuffer[(Long, Long)]((0L, 0L))
+
+  def refresh(): Long = synchronized {
+    if (Files.size(Paths.get(path)) > bytesScanned) {
+      val scanFrom = bytesScanned
+      val it = new SseSource.FrameIterator(path, scanFrom)
+      try {
+        while (it.hasNext) {
+          val (_, lineStart, nextPos) = it.next()
+          if (eventsSeen % sampleStride == 0L) samples += ((eventsSeen, lineStart))
+          eventsSeen += 1
+          bytesScanned = nextPos
+        }
+      } finally it.close()
+      totalBytesRead += bytesScanned - scanFrom
+      // Non-event tail bytes (comments, event:/id: lines of a frame whose
+      // data line hasn't landed yet) are NOT consumed: they re-scan next
+      // trigger, so a frame split across appends is never miscounted.
+    }
+    eventsSeen
+  }
+
+  def bytesRead: Long = synchronized(totalBytesRead)
+
+  /** Best sampled (eventIndex, byteOffset) at or below `eventIdx`. */
+  def floorSample(eventIdx: Long): (Long, Long) = synchronized {
+    var best = samples.head
+    samples.foreach { s => if (s._1 <= eventIdx && s._1 >= best._1) best = s }
+    best
+  }
+}
+
+final class SseTable(path: String, filters: Map[String, Set[String]])
+    extends Table with SupportsRead {
   override def name(): String = s"sse($path)"
   override def schema(): StructType = SseSource.schema
   override def capabilities(): util.Set[TableCapability] =
@@ -82,43 +190,77 @@ final class SseTable(path: String) extends Table with SupportsRead {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = SseSource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new SseMicroBatchStream(path)
+          new SseMicroBatchStream(path, filters)
       }
     }
 }
 
-/** Offset = count of SSE events consumed from the buffer head. */
+/** Offset = count of raw SSE events consumed from the buffer head
+  * (filter-independent, so changing filters never invalidates a
+  * checkpoint).
+  */
 final case class SseOffset(n: Long) extends Offset {
   override def json(): String = n.toString
 }
 
-final class SseMicroBatchStream(path: String) extends MicroBatchStream {
+final class SseMicroBatchStream(path: String, filters: Map[String, Set[String]])
+    extends MicroBatchStream {
+  private val state = new SseScanState(path)
+
   override def initialOffset(): Offset = SseOffset(0L)
-  override def latestOffset(): Offset = SseOffset(SseSource.countEvents(path))
+  override def latestOffset(): Offset = SseOffset(state.refresh())
   override def deserializeOffset(json: String): Offset = SseOffset(json.trim.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-    Array(SsePartition(path, start.asInstanceOf[SseOffset].n, end.asInstanceOf[SseOffset].n))
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SseOffset].n
+    val (sampleEvent, sampleByte) = state.floorSample(s)
+    Array(SsePartition(path, s, end.asInstanceOf[SseOffset].n,
+      sampleEvent, sampleByte, filters))
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     (partition: InputPartition) => {
       val p = partition.asInstanceOf[SsePartition]
       new PartitionReader[InternalRow] {
-        private val (events, closer) = SseSource.eventIterator(p.path)
-        private var i = p.start - 1
-        private val bounded = events.zipWithIndex
-          .drop(p.start.toInt).takeWhile(_._2 < p.end)
+        private val frames = new SseSource.FrameIterator(p.path, p.sampleByte)
+        private var idx = p.sampleEvent - 1 // raw index of the current frame
         private var cur: String = _
-        override def next(): Boolean =
-          if (bounded.hasNext) { val (v, idx) = bounded.next(); cur = v; i = idx; true }
-          else false
+        private lazy val mapper = new ObjectMapper
+
+        /** Client-side filter (reference `filter_.py:107`): top-level
+          * field equality on the raw JSON, applied BEFORE the event
+          * becomes a Spark row — `from_json` downstream never sees a
+          * dropped event.
+          */
+        private def matches(payload: String): Boolean =
+          p.filters.isEmpty || {
+            try {
+              val node = mapper.readTree(payload)
+              p.filters.forall { case (field, allowed) =>
+                val v = node.get(field)
+                v != null && allowed.contains(
+                  if (v.isTextual) v.asText() else v.toString)
+              }
+            } catch { case _: Exception => false } // unparseable: drop at source
+          }
+
+        override def next(): Boolean = {
+          while (frames.hasNext && idx + 1 < p.end) {
+            val (payload, _, _) = frames.next()
+            idx += 1
+            if (idx >= p.start && matches(payload)) { cur = payload; return true }
+          }
+          false
+        }
         override def get(): InternalRow = new GenericInternalRow(
-          Array[Any](UTF8String.fromString(cur), i))
-        override def close(): Unit = closer.close()
+          Array[Any](UTF8String.fromString(cur), idx))
+        override def close(): Unit = frames.close()
       }
     }
 }
 
-final case class SsePartition(path: String, start: Long, end: Long) extends InputPartition
+final case class SsePartition(path: String, start: Long, end: Long,
+  sampleEvent: Long, sampleByte: Long, filters: Map[String, Set[String]])
+    extends InputPartition

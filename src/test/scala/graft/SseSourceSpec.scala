@@ -64,4 +64,68 @@ class SseSourceSpec extends SparkSpec {
     val offsets = spark.read.parquet(sink).select("offset").as[Long].collect().sorted
     assert(offsets.toSeq === (0L to 5L)) // each offset exactly once
   }
+
+  test("source-registered filters drop events before they become rows") {
+    import spark.implicits._
+    val f = Files.createTempFile("events3", ".sse")
+    val frames = Seq(
+      """{"type":"edit","title":"keep1","id":1}""",
+      """{"type":"log","title":"drop1","id":2}""",
+      """{"type":"edit","title":"keep2","id":3}""",
+      """{"type":"new","title":"drop2","id":4}""").zipWithIndex
+      .map { case (j, i) => s"event: message\ndata: $j\n" }.mkString("\n")
+    Files.writeString(f, frames)
+    val out = Files.createTempDirectory("sseout3").toString
+
+    // The filter is an option ON THE SOURCE (reference filter_.py:107
+    // registers filters on the stream client): no downstream .filter(),
+    // no from_json — whatever reaches the sink was filtered at the source.
+    val q = spark.readStream.format("sse")
+      .option("path", f.toString).option("filter.type", "edit")
+      .load()
+      .writeStream.format("memory").queryName("sse_t3")
+      .option("checkpointLocation", s"$out/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val rows = spark.sql("SELECT value, offset FROM sse_t3 ORDER BY offset")
+      .as[(String, Long)].collect()
+    assert(rows.map(_._1).forall(_.contains("\"type\":\"edit\"")))
+    // offsets keep RAW indices (checkpoints are filter-independent)
+    assert(rows.map(_._2).toSeq === Seq(0L, 2L))
+  }
+
+  test("latestOffset scans only appended bytes, never the whole file again") {
+    val f = Files.createTempFile("events4", ".sse")
+    Files.writeString(f, (1L to 100L).map(sseFrame).mkString("\n"))
+    val size1 = Files.size(f)
+    val st = new graft.sources.SseScanState(f.toString)
+    assert(st.refresh() === 100L)
+    val read1 = st.bytesRead
+    assert(read1 <= size1)
+    // no growth -> no IO at all
+    assert(st.refresh() === 100L)
+    assert(st.bytesRead === read1)
+    // append 10 more -> only the new bytes are read
+    Files.writeString(f, "\n" + (101L to 110L).map(sseFrame).mkString("\n"),
+      java.nio.file.StandardOpenOption.APPEND)
+    assert(st.refresh() === 110L)
+    assert(st.bytesRead - read1 <= Files.size(f) - size1,
+      s"re-scanned old bytes: ${st.bytesRead - read1} > ${Files.size(f) - size1}")
+  }
+
+  test("sampled byte index lets readers seek instead of streaming the prefix") {
+    val f = Files.createTempFile("events5", ".sse")
+    Files.writeString(f, (1L to 50L).map(sseFrame).mkString("\n"))
+    val st = new graft.sources.SseScanState(f.toString, sampleStride = 10L)
+    st.refresh()
+    val (sampleEvent, sampleByte) = st.floorSample(37L)
+    assert(sampleEvent === 30L && sampleByte > 0L)
+    // a reader seeded at the sample sees event 30 first — payloads line up
+    val it = new graft.sources.SseSource.FrameIterator(f.toString, sampleByte)
+    try {
+      val (payload, _, _) = it.next()
+      assert(payload.contains("\"id\":31")) // frame #31 = raw index 30
+    } finally it.close()
+  }
 }
