@@ -49,7 +49,11 @@ final case class RcSinks(baseDir: String, logLevel: Int, filterName: String,
       if (logLevel >= 2)
         batch.select(
             F.lit(filterName).as("filter"),
-            F.struct(batch.columns.toIndexedSeq.map(F.col): _*).as("change"),
+            // `change` = the ORIGINAL full Change record when the
+            // pipeline threads it through (ChangeSchema.flagLogEntry /
+            // utils.py:42); projected-row fallback for ad-hoc frames.
+            (if (batch.columns.contains("change")) F.col("change")
+             else F.struct(batch.columns.toIndexedSeq.map(F.col): _*)).as("change"),
             F.struct(                                          // nulls at level 2, scanner.py:162-165
               (if (logLevel == 3) F.concat(F.lit("changes/"), F.col("event_date").cast("string"))
                else F.lit(null).cast("string")).as("folder"),
@@ -80,8 +84,12 @@ final case class RcSinks(baseDir: String, logLevel: Int, filterName: String,
     val batch =
       if (full.columns.contains("dead_letter")) full.filter(!F.col("dead_letter"))
       else full
+    // body row section = the full Change record (scanner.py:171 writes
+    // f"...{change}..." — the input dict, not the output projection)
     batch.select(F.col("event_date").cast("string"), F.col("filename"),
-        F.col("message"), F.to_json(F.struct(batch.columns.toIndexedSeq.map(F.col): _*)),
+        F.col("message"),
+        F.to_json(if (batch.columns.contains("change")) F.col("change")
+          else F.struct(batch.columns.toIndexedSeq.map(F.col): _*)),
         F.col("text"))
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         rows.foreach { r =>
@@ -91,6 +99,36 @@ final case class RcSinks(baseDir: String, logLevel: Int, filterName: String,
           java.nio.file.Files.writeString(folder.resolve(r.getString(1)), content)
         }
       }
+  }
+
+  /** Verbose (-v) fan-out over `RcStreaming.pipelineVerbose` output:
+    * skipped events (reason != null) land in `$baseDir/skipped` with
+    * their reason + exact reference skip message (`scanner.py:130-138`);
+    * flagged events flow to the normal K1-K4 sinks; evaluated-no-hit
+    * events surface only on the console echo (the reference's verb
+    * line, `scanner.py:143-146`).
+    */
+  def writeVerboseBatch(full: DataFrame, batchId: Long): Unit = {
+    full.persist()
+    try {
+      full.filter(F.col("reason").isNotNull)
+        .select(F.col("id"), F.col("title"), F.col("user"),
+          F.col("event_date"), F.col("reason"), F.col("skip_message"))
+        .write.mode("overwrite").parquet(s"$baseDir/skipped/batch_id=$batchId")
+      if (echoConsole)
+        full.filter(F.col("reason").isNull)
+          .select(F.concat(F.col("user"), F.lit(" "),
+            F.col("change_type"), F.lit("ed \""), F.col("title"), F.lit("\"")).as("line"))
+          .show(20, truncate = false)
+      val flagged = full
+        .filter(F.col("reason").isNull && F.size(F.col("matched")) > 0)
+        .withColumn("matched", F.concat_ws(",", F.col("matched")))
+        .withColumn("change", // declared-schema rehydration for K3/K4
+          F.from_json(F.col("change_json"), graft.schema.ChangeSchema.change))
+        .drop("pre_reason", "reason", "skip_message", "event_us", "editcount",
+          "change_type", "change_json")
+      writeBatch(flagged, batchId)
+    } finally full.unpersist()
   }
 
   /** Idempotent K4 variant: dynamic partition overwrite replaces ONLY

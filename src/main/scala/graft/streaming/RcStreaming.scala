@@ -66,7 +66,12 @@ object RcStreaming {
     */
   def pipeline(changes: DataFrame, users: DataFrame, revisions: DataFrame,
                spec: FilterSpec, emitDeadLetter: Boolean = false): DataFrame = {
+    // The ORIGINAL Change record rides along as one struct column so the
+    // K3 flag log can persist `change` with the full declared schema
+    // (ChangeSchema.flagLogEntry / utils.py:42 embeds the whole input
+    // row, not the output projection).
     val filtered = RcOps.streamFilter(changes, spec.effectiveStreamfilter)
+      .withColumn("change", struct(changes.columns.toIndexedSeq.map(col): _*))
       .withColumn("event_time", to_timestamp(col("meta.dt")))
 
     // J1 — per-site edit counts when the dim carries server_name (the
@@ -132,7 +137,135 @@ object RcStreaming {
         .otherwise(RcOps.matchMessage(col("matched"), col("meta.uri"))).as("message"),
       to_date(col("meta.dt")).as("event_date"),
       RcOps.sanitizedFilename(col("user"), col("revision.new")).as("filename"),
-      col("event_time"), col("text"), col("dead_letter"))
+      col("event_time"), col("text"), col("change"), col("dead_letter"))
     if (emitDeadLetter) out else out.drop("dead_letter")
+  }
+
+  // ---- Verbose mode (-v): every event with its skip reason ------------
+
+  /** Flat, encoder-friendly event for the verbose path. `pre_reason` is
+    * the reason resolvable WITHOUT repeat state ('race_editcount',
+    * 'editcount', 'race_text' or null); the repeat check folds in later
+    * (window in batch, [[StatefulOps.markRepeats]] in streaming) because
+    * it needs cross-event order. `reason`/`skip_message` are final.
+    */
+  case class VerboseRow(id: Long, title: String, user: String,
+    change_type: String, revid: Option[Long], editcount: Option[Long],
+    matched: Seq[String], uri: Option[String], event_date: String,
+    filename: String, event_us: Long, text: Option[String],
+    pre_reason: Option[String], reason: Option[String],
+    skip_message: Option[String], event_time: java.sql.Timestamp,
+    change_json: String)
+
+  case class Resolved(row: VerboseRow, flag: Boolean)
+
+  /** Exact reference skip strings (`scanner.py:130-138, 78-81`). */
+  def skipMessage(reason: String, editcount: Option[Long],
+      maxEdits: Option[Long], detail: String): String = reason match {
+    case "editcount" =>
+      s"Skipping.  Edit count was ${editcount.getOrElse(-1L)} > ${maxEdits.getOrElse(-1L)}."
+    case "repeat" => "Skipping.  Page already in flagged changes log."
+    case _ =>
+      "A race condition occurred, likely due to a page being deleted " +
+      "before it could be queried. The API returned the following error " +
+      s"message:\n $detail"
+  }
+
+  /** Reference evaluation order (`eval_change`): editcount race >
+    * over-max > repeat > text race > regex. Returns the row with its
+    * final reason and whether it flags the title.
+    */
+  def resolveReason(r: VerboseRow, titleAlreadyFlagged: Boolean)
+      (implicit spec: FilterSpec): Resolved = r.pre_reason match {
+    case Some("race_editcount") => Resolved(r.copy(reason = Some("race"),
+      skip_message = Some(skipMessage("race", r.editcount, spec.maxEdits,
+        "editcount lookup failed"))), flag = false)
+    case Some("editcount") => Resolved(r.copy(reason = Some("editcount"),
+      skip_message = Some(skipMessage("editcount", r.editcount, spec.maxEdits, ""))),
+      flag = false)
+    case pre =>
+      if (spec.skipRepeats && titleAlreadyFlagged)
+        Resolved(r.copy(reason = Some("repeat"),
+          skip_message = Some(skipMessage("repeat", None, None, ""))), flag = false)
+      else if (pre.contains("race_text"))
+        Resolved(r.copy(reason = Some("race"),
+          skip_message = Some(skipMessage("race", None, None,
+            "revision text lookup failed"))), flag = false)
+      else Resolved(r, flag = r.matched.nonEmpty)
+  }
+
+  /** The `-v` pipeline: EVERY post-streamfilter event comes out, carrying
+    * `reason` ('editcount' | 'repeat' | 'race' | null) and the exact
+    * reference `skip_message`. reason-null rows with a non-empty
+    * `matched` are the flagged events (identical set to `pipeline`'s
+    * live output); reason-null rows with empty `matched` are the
+    * evaluated-no-hit events the reference's verb line covers.
+    */
+  def pipelineVerbose(changes: DataFrame, users: DataFrame,
+      revisions: DataFrame, spec0: FilterSpec): DataFrame = {
+    implicit val spec: FilterSpec = spec0
+    val filtered = RcOps.streamFilter(changes, spec.effectiveStreamfilter)
+      .withColumn("event_time", to_timestamp(col("meta.dt")))
+    val userKeys =
+      if (users.columns.contains("server_name")) Seq("user", "server_name")
+      else Seq("user")
+    val enriched = filtered.join(broadcast(users), userKeys, "left")
+    val underMax = RcOps.countUnderMax(spec.maxEdits)
+    val withText = enriched
+      .join(broadcast(revisions),
+        enriched("revision.new") === revisions("revid"), "left")
+    val pre = withText
+      .withColumn("pre_reason",
+        when(col("editcount").isNull, "race_editcount")
+          .when(!underMax, "editcount")
+          .when(col("text").isNull, "race_text"))
+      .withColumn("matched",
+        when(col("pre_reason").isNull,
+          RcOps.matchedPatterns(col("text"), spec.regexes)).otherwise(array()))
+
+    val rows = pre.select(
+      col("id"), col("title"), col("user"),
+      col("type").as("change_type"), col("revision.new").as("revid"),
+      col("editcount"), col("matched"), col("meta.uri").as("uri"),
+      to_date(col("meta.dt")).cast("string").as("event_date"),
+      RcOps.sanitizedFilename(col("user"), col("revision.new")).as("filename"),
+      unix_micros(col("event_time")).as("event_us"), col("text"),
+      col("pre_reason"), lit(null).cast("string").as("reason"),
+      lit(null).cast("string").as("skip_message"), col("event_time"),
+      // full Change record as JSON: typed encoders can't carry the raw
+      // nested struct through flatMapGroupsWithState without a parallel
+      // case-class tree; the sink rehydrates with the declared schema.
+      to_json(struct(changes.columns.toIndexedSeq.map(col): _*)).as("change_json"))
+
+    import rows.sparkSession.implicits._
+    val resolved: DataFrame =
+      if (rows.isStreaming) {
+        val typed = rows
+          .withWatermark("event_time", spec.watermark)
+          .as[VerboseRow]
+        StatefulOps.markRepeats(typed).toDF()
+      } else {
+        // Batch twin of markRepeats: an event is a repeat iff an earlier
+        // (event_us, id) eligible event of the same title matched. The
+        // first flag CANDIDATE is always an actual flag, so counting
+        // candidates is equivalent to counting flags for the >0 test.
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("title")).orderBy(col("event_us"), col("id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val flagCand = col("pre_reason").isNull && size(col("matched")) > 0
+        val vStruct = struct(rows.columns.toIndexedSeq.map(col): _*)
+        rows
+          .withColumn("already_flagged",
+            lit(spec.skipRepeats) &&
+              count(when(flagCand, 1)).over(w) > 0)
+          .select(vStruct.as("_1"), col("already_flagged").as("_2"))
+          .as[(VerboseRow, Boolean)]
+          .map { case (r, flagged) => resolveReason(r, flagged).row }
+          .toDF()
+      }
+    resolved
+      .withColumn("message",
+        when(col("reason").isNull && size(col("matched")) > 0,
+          RcOps.matchMessage(col("matched"), col("uri")))).drop("uri")
   }
 }

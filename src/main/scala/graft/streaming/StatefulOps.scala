@@ -35,4 +35,44 @@ object StatefulOps {
           state.update(next)
           Iterator(next)
         })
+
+  /** Verbose-mode skip-reason resolver (reference `scanner.py:120-175`
+    * `-v` semantics): per title, the FIRST eligible matching event flags
+    * the title; every later eligible event of a flagged title is a
+    * 'repeat' skip — checked BEFORE the text/race gate, exactly like
+    * `page_is_repeat` runs before `get_text`. Unlike
+    * `dropDuplicatesWithinWatermark`, dropped events are EMITTED with
+    * their reason instead of vanishing — that is the whole point of -v.
+    *
+    * State per title is one boolean; bounded by event-time timeout at
+    * the watermark horizon (the same horizon the non-verbose dedup path
+    * uses), keys hash-partitioned across executors.
+    */
+  def markRepeats(events: Dataset[RcStreaming.VerboseRow])(
+      implicit spec: RcStreaming.FilterSpec):
+      Dataset[RcStreaming.VerboseRow] = {
+    implicit val enc: Encoder[RcStreaming.VerboseRow] =
+      Encoders.product[RcStreaming.VerboseRow]
+    implicit val strEnc: Encoder[String] = Encoders.STRING
+    implicit val boolEnc: Encoder[Boolean] = Encoders.scalaBoolean
+    events.groupByKey(_.title)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (title: String, it: Iterator[RcStreaming.VerboseRow], state: GroupState[Boolean]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var flagged = state.getOption.getOrElse(false)
+            // Micro-batch iterators are unordered; the reference consumes
+            // the stream in event order.
+            val out = it.toSeq.sortBy(r => (r.event_us, r.id)).map { r =>
+              val resolved = RcStreaming.resolveReason(r, flagged)
+              if (resolved.flag) flagged = true
+              resolved.row
+            }
+            state.update(flagged)
+            if (state.getCurrentWatermarkMs() > 0)
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+            out.iterator
+          }
+        })
+  }
 }
