@@ -141,6 +141,24 @@ object RcStreaming {
     if (emitDeadLetter) out else out.drop("dead_letter")
   }
 
+  /** Live-enrichment twin of [[pipeline]]: the editcount/text dimension
+    * frames are fetched per micro-batch from the (stub or real) API by
+    * the executors — `LiveEnrichment` batches users 50/request and LRU-
+    * caches across batches — then the IDENTICAL join/gate/dedup plan
+    * runs. Call from foreachBatch (the standard Structured Streaming
+    * pattern for per-batch external lookups); failed lookups surface as
+    * NULL enrichment and take the existing race/dead-letter route.
+    * Within-batch dedup only in this mode — cross-batch repeat state
+    * lives in the non-live pipeline's dropDuplicatesWithinWatermark or
+    * the verbose stateful op.
+    */
+  def livePipeline(batch: DataFrame, apiUrl: String, spec: FilterSpec,
+      emitDeadLetter: Boolean = false): DataFrame =
+    pipeline(batch,
+      graft.enrichment.LiveEnrichment.editCountDim(batch, apiUrl),
+      graft.enrichment.LiveEnrichment.textDim(batch, apiUrl),
+      spec, emitDeadLetter)
+
   // ---- Verbose mode (-v): every event with its skip reason ------------
 
   /** Flat, encoder-friendly event for the verbose path. `pre_reason` is
