@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.streaming.Trigger
+import graft.sources.{SseHttpRelay, StubSseServer}
+
+/** Live HTTP SSE transport: stub endpoint -> relay -> buffer file ->
+  * V2 source. Covers steady streaming, and reconnect-with-Last-Event-ID
+  * after forced connection drops (reference E2 without replay or loss).
+  */
+class SseHttpTransportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def payload(i: Long) = s"""{"type":"edit","title":"H$i","id":$i}"""
+
+  private def awaitTrue(timeoutMs: Long)(cond: => Boolean): Boolean = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    cond
+  }
+
+  test("relay streams HTTP SSE frames into the buffer the source tails") {
+    val srv = new StubSseServer()
+    val buf = Files.createTempFile("httpsse", ".sse").toString
+    val relay = new SseHttpRelay(srv.url, buf)
+    try {
+      (1L to 5L).foreach(i => srv.publish(payload(i)))
+      assert(awaitTrue(15000)(graft.sources.SseSource.countEvents(buf) == 5L),
+        "relay did not persist all 5 frames")
+
+      val out = Files.createTempDirectory("httpout").toString
+      val q = spark.readStream.format("sse").option("path", buf).load()
+        .writeStream.format("memory").queryName("http_sse")
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      val rows = spark.sql("SELECT value, offset FROM http_sse ORDER BY offset")
+        .as[(String, Long)].collect()
+      assert(rows.length === 5)
+      assert(rows.map(_._2).toSeq === (0L to 4L))
+      assert(rows.map(_._1).toSeq === (1L to 5L).map(payload))
+    } finally { relay.close(); srv.close() }
+  }
+
+  test("connection drops resume via Last-Event-ID: no replay, no loss") {
+    // server kills the stream after every 2 events -> the relay must
+    // reconnect repeatedly and resume exactly after its last frame
+    val srv = new StubSseServer(disconnectEvery = 2)
+    val buf = Files.createTempFile("httpsse2", ".sse").toString
+    val relay = new SseHttpRelay(srv.url, buf, reconnectMs = 50)
+    try {
+      (1L to 7L).foreach(i => srv.publish(payload(i)))
+      assert(awaitTrue(20000)(graft.sources.SseSource.countEvents(buf) == 7L),
+        s"expected 7 events, got ${graft.sources.SseSource.countEvents(buf)}")
+      assert(srv.connections.get() >= 4, "server should have seen reconnects")
+      assert(relay.reconnects.get() >= 3)
+      // exactly once in the buffer, in order
+      val (it, closer) = graft.sources.SseSource.eventIterator(buf)
+      val events = try it.toVector finally closer.close()
+      assert(events === (1L to 7L).map(payload).toVector)
+    } finally { relay.close(); srv.close() }
+  }
+}
