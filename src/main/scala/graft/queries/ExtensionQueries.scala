@@ -394,6 +394,57 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Sequence packing: stream docs into ~512-subword-token bins per
+    // source shard (the batching step before LLM training — context
+    // windows are filled from consecutive docs). Cumulative-sum binning:
+    // bin = floor(tokens-before-this-doc / budget), computed with ONE
+    // window over (source, doc_id) — no global sort, no driver loop;
+    // at 100 TB the source shard is the parallelism unit.
+    "text_pack" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, dir)
+        .withColumn("tokens", TextOps.subwordCount(TextOps.tokens(col("text"))).cast("long"))
+        .withColumn("bin",
+          floor(coalesce(sum(col("tokens")).over(w), lit(0L)) / 512.0).cast("long"))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tokens")).as("bin_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("source"), col("bin"))
+    }),
+
+    // Stratified sampling: deterministic k-per-language sample ranked by
+    // md5(doc_id) — a seeded shuffle both engines replay bit-identically
+    // (the balanced-subset step of corpus construction). One window per
+    // stratum; at scale strata hash-partition across executors.
+    "sample_stratified" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 50)
+        .select(col("lang"), col("rk").cast("long").as("rk"), col("doc_id"))
+        .orderBy(col("lang"), col("rk"))
+    }),
+
+    // Source-mixture sampling: per-source keep rates (the data-mixing
+    // weights of a training recipe), decided per doc by a hash coin —
+    // pure map-side, deterministic, no shuffle until the audit agg.
+    "sample_mixture" -> ((s, dir) => {
+      val rate = when(col("source").isin("src0", "src1", "src2", "src3", "src4"), 1.0)
+        .when(col("source").isin("src5", "src6", "src7"), 0.25)
+        .otherwise(0.5)
+      val coin = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"), lit(1000L))
+      Tables.documents(s, dir)
+        .withColumn("kept", (coin < rate * 1000).cast("int"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"))
+        .orderBy(col("source"))
+    }),
+
     // Multimodal plumbing: opaque binary payload + typed metadata;
     // "decode" is a deterministic md5-derived stand-in (real image/audio
     // codecs aren't in this container) — the schema/partition/batch
@@ -557,6 +608,26 @@ object ExtensionQueries {
     "text_editdistance" ->
       ("SELECT doc_id, CAST(levenshtein(substring(text, 1, 24), 'the fast key order sort') AS INT) AS edit_dist " +
        "FROM documents ORDER BY doc_id"),
+    "text_pack" ->
+      ("WITH t AS (SELECT doc_id, source, " +
+       "CAST(list_sum(list_transform(string_split(text, ' '), w -> CAST(ceil(length(w)/4.0) AS BIGINT))) AS BIGINT) tokens " +
+       "FROM documents), " +
+       "b AS (SELECT source, doc_id, tokens, CAST(floor(COALESCE(SUM(tokens) OVER " +
+       "(PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0) AS BIGINT) bin FROM t) " +
+       "SELECT source, bin, COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS bin_tokens, " +
+       "CAST(MIN(doc_id) AS BIGINT) AS first_doc, CAST(MAX(doc_id) AS BIGINT) AS last_doc " +
+       "FROM b GROUP BY source, bin ORDER BY source, bin"),
+    "sample_stratified" ->
+      ("SELECT lang, rk, doc_id FROM (SELECT lang, doc_id, " +
+       "CAST(row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) rk " +
+       "FROM documents) WHERE rk <= 50 ORDER BY lang, rk"),
+    "sample_mixture" ->
+      ("SELECT source, COUNT(*) AS n_docs, CAST(SUM(kept) AS BIGINT) AS n_kept FROM (" +
+       "SELECT source, CAST(CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 < " +
+       "(CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 1.0 " +
+       "WHEN source IN ('src5','src6','src7') THEN 0.25 ELSE 0.5 END) * 1000 " +
+       "THEN 1 ELSE 0 END AS INT) kept FROM documents) " +
+       "GROUP BY source ORDER BY source"),
     "multimodal_features" ->
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS content_hash, " +
        "CAST(64 + (ascii(substr(md5(text), 1, 1)) % 8) * 16 AS INT) AS width, " +

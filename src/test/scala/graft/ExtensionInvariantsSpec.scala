@@ -32,6 +32,42 @@ class ExtensionInvariantsSpec extends SparkSpec {
     assert(a.values.forall(h => h >= 0L && h < (1L << 32)))
   }
 
+  test("sequence packing: bins are per-source, contiguous, near-budget") {
+    val rows = q("text_pack")
+      .select("source", "bin", "n_docs", "bin_tokens")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // bins within a source are consecutive from 0
+    rows.groupBy(_._1).foreach { case (_, bins) =>
+      assert(bins.map(_._2).sorted.toSeq === (0L until bins.length))
+    }
+    // cumulative binning: a non-last bin's fill is at least the budget
+    // minus the largest doc (512 - 154 on this corpus) — no sparse bins
+    rows.groupBy(_._1).foreach { case (_, bins) =>
+      val last = bins.map(_._2).max
+      bins.filter(_._2 < last).foreach { b =>
+        assert(b._4 >= 358, s"under-filled non-last bin: $b")
+      }
+    }
+    assert(rows.map(_._3).sum === 500L) // every doc lands in exactly one bin
+  }
+
+  test("stratified sample: at most k per language, deterministic") {
+    val a = q("sample_stratified").as[(String, Long, Long)].collect()
+    val b = q("sample_stratified").as[(String, Long, Long)].collect()
+    assert(a.toSeq === b.toSeq)
+    a.groupBy(_._1).foreach { case (_, g) => assert(g.length <= 50) }
+  }
+
+  test("mixture sampling keeps roughly the configured rates") {
+    val rows = q("sample_mixture").as[(String, Long, Long)].collect()
+    rows.foreach { case (src, n, kept) =>
+      assert(kept >= 0 && kept <= n)
+      if (Set("src0", "src1", "src2", "src3", "src4")(src))
+        assert(kept === n, s"$src has rate 1.0")
+    }
+  }
+
   test("cosine top-k scores are sorted and within [-1, 1]") {
     val sims = q("sim_cosine_topk").as[(Long, Double)].collect().map(_._2)
     assert(sims.toSeq === sims.sorted.reverse.toSeq)
