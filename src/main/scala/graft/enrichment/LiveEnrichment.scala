@@ -67,9 +67,12 @@ object LiveEnrichment {
   def fetchEditCountsPartition(apiUrl: String, users: Iterator[String],
       batchSize: Int = 50, cacheSize: Int = 10000): Iterator[(String, Long)] = {
     val lru = cache(s"$apiUrl#editcount", cacheSize)
-    val (cached, toFetch) = users.toSeq.distinct.partition(u =>
-      lru.synchronized(lru.containsKey(u)))
-    val hits = cached.map(u => u -> lru.synchronized(lru.get(u)).toLong)
+    // snapshot value AND membership in one synchronized read — a
+    // separate containsKey/get pair races with eviction by other tasks
+    val snapshot = users.toSeq.distinct.map(u =>
+      u -> lru.synchronized(Option(lru.get(u))))
+    val hits = snapshot.collect { case (u, Some(v)) => u -> v.toLong }
+    val toFetch = snapshot.collect { case (u, None) => u }
     val fetched = toFetch.grouped(batchSize).flatMap { group =>
       val url = s"$apiUrl?format=json&action=query&list=users&usprop=editcount" +
         s"&ususers=${enc(group.mkString("|"))}"
@@ -88,7 +91,7 @@ object LiveEnrichment {
         } catch { case _: Exception => Nil }
       }
     }
-    (hits.iterator ++ fetched).filter(_ ne null)
+    hits.iterator ++ fetched
   }
 
   /** `action=parse&oldid=N&prop=wikitext` per-revision lookup

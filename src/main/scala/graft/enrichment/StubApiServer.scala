@@ -30,14 +30,15 @@ final class StubApiServer(
         val Array(k, v) = kv.split("=", 2)
         k -> URLDecoder.decode(v, StandardCharsets.UTF_8)
       }.toMap
+    def js(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val body = params.get("action") match {
       case Some("query") =>
         val users = params.getOrElse("ususers", "").split("\\|").filter(_.nonEmpty)
         val entries = users.map { u =>
           editCounts.get(u) match {
-            case Some(n) => s"""{"userid":1,"name":"${u}","editcount":$n}"""
+            case Some(n) => s"""{"userid":1,"name":"${js(u)}","editcount":$n}"""
             // the real API marks unknown users; no editcount key -> race
-            case None => s"""{"name":"${u}","missing":""}"""
+            case None => s"""{"name":"${js(u)}","missing":""}"""
           }
         }
         s"""{"batchcomplete":"","query":{"users":[${entries.mkString(",")}]}}"""

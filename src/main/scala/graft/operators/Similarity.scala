@@ -106,24 +106,31 @@ object Similarity {
     */
   def ivfTopK(spark: SparkSession, emb: DataFrame, queryVecId: Long,
       topK: Int, probes: Int = 2, kCells: Int = 0, iters: Int = 3): DataFrame = {
+    import spark.implicits._
     val n = emb.count()
     val k = if (kCells > 0) kCells else defaultK(n)
     val idx = trainIvf(spark, emb, k, iters)
     val cents = centroidDf(spark, idx.centroids)
-    val cells = assignCells(emb, cents).cache()
-    val q = cells.filter(col("vec_id") === queryVecId)
-      .select(col("v").as("qv"))
-    // Probe set: the `probes` centroids nearest to the query vector.
-    val probeCells = cents.crossJoin(broadcast(q))
-      .withColumn("d2", VectorOps.l2sq(col("qv"), col("cv")))
-      .orderBy(col("d2"), col("cid"))
-      .limit(probes)
-      .select(col("cid").as("cell"))
-    cells.join(broadcast(probeCells), Seq("cell"))
-      .filter(col("vec_id") =!= queryVecId)
-      .crossJoin(broadcast(q))
+    // Query vector and probe set resolve DRIVER-side from data already
+    // in hand (one O(dim) row fetch + the local k x dim matrix): the
+    // corpus-wide cell assignment is then consumed exactly once, so no
+    // cache is needed — an earlier version cached it and leaked the
+    // InMemoryRelation (nothing ever unpersisted it).
+    val qv: Array[Double] = emb.filter(col("vec_id") === queryVecId)
+      .select(VectorOps.toDouble(col("embedding"))).as[Array[Double]].head()
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val probeCells = idx.centroids.zipWithIndex
+      .map { case (cv, cid) => (l2(qv, cv), cid) }
+      .sorted.take(probes).map(_._2)
+    assignCells(emb, cents)
+      .filter(col("cell").isin(probeCells.toIndexedSeq: _*) &&
+        col("vec_id") =!= queryVecId)
       .select(col("vec_id"),
-        round(VectorOps.cosine(col("qv"), col("v")), 6).as("cos_sim"))
+        round(VectorOps.cosine(typedLit(qv), col("v")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(topK)
   }
@@ -137,7 +144,10 @@ object Similarity {
     val n = emb.count()
     val k = if (kCells > 0) kCells else defaultK(n)
     val idx = trainIvf(spark, emb, k, iters)
-    val cells = assignCells(emb, centroidDf(spark, idx.centroids))
+    // localCheckpoint: the within-cell self-join would otherwise rescan
+    // the corpus and re-run the broadcast-crossJoin assignment on BOTH
+    // sides (no exchange reuse) — materialize the assignment once.
+    val cells = assignCells(emb, centroidDf(spark, idx.centroids)).localCheckpoint()
     val l = cells.select(col("cell"), col("vec_id").as("a_id"), col("v").as("va"))
     val r = cells.select(col("cell"), col("vec_id").as("b_id"), col("v").as("vb"))
     l.join(r, Seq("cell"))

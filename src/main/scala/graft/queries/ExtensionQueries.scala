@@ -213,14 +213,20 @@ object ExtensionQueries {
           x => struct(substring(md5(x), 1, 16).as("s"),
             size(col("shd")).cast("long").as("n")))).as("e"))
         .select(col("doc_id"), col("e.n").as("n"), col("e.s").as("s"))
-      // Posting-list intersection: group by shingle, expand bucket-local
-      // (doc_id, n) pairs, count shared shingles per pair — one pass, no
-      // self-join. Grouping by (a_id, na, b_id, nb) is free: n is
-      // functionally dependent on doc_id.
+      // Skew guard: STOP-SHINGLE filtering, not a bucket cap. A shingle
+      // shared by > MaxBucket docs is boilerplate (its pair expansion is
+      // quadratic AND its evidentiary value is ~zero); dropping the
+      // whole posting list keeps every surviving pair's `i` exact — a
+      // truncated list would silently undercount intersections for
+      // pairs that also meet in other buckets. `n` stays the full
+      // distinct-shingle count on BOTH engines (the oracle applies the
+      // same df filter to the intersection only), so jaccard values are
+      // exact under the shared definition; healthy corpora (no shingle
+      // over the threshold) are bit-identical to the unfiltered query.
       sh.groupBy(col("s"))
         .agg(array_sort(collect_set(struct(col("doc_id"), col("n")))).as("ids"))
-        .filter(size(col("ids")) > 1)
-        .select(explode(TextOps.cappedPairs(col("ids"))).as("p"))
+        .filter(size(col("ids")) > 1 && size(col("ids")) <= TextOps.MaxBucket)
+        .select(explode(TextOps.pairCombinations(col("ids"))).as("p"))
         .groupBy(col("p.a.doc_id").as("a_id"), col("p.b.doc_id").as("b_id"),
           col("p.a.n").as("na"), col("p.b.n").as("nb"))
         .agg(count(lit(1)).as("i"))
@@ -537,8 +543,12 @@ object ExtensionQueries {
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
        s"sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest($shSql) s FROM t)), " +
        "sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id), " +
+       // same stop-shingle df filter as the Spark side (> 512 docs =
+       // boilerplate; excluded from the intersection, not from n)
+       "hot AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) > 512), " +
        "inter AS (SELECT a.doc_id a_id, b.doc_id b_id, COUNT(*) i FROM sh a JOIN sh b " +
-       "ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id) " +
+       "ON a.s = b.s AND a.doc_id < b.doc_id " +
+       "WHERE a.s NOT IN (SELECT s FROM hot) GROUP BY a.doc_id, b.doc_id) " +
        "SELECT a_id, b_id, round(CAST(i AS DOUBLE)/(sa.n + sb.n - i), 6) AS jaccard " +
        "FROM inter JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id " +
        "WHERE round(CAST(i AS DOUBLE)/(sa.n + sb.n - i), 6) >= 0.2 ORDER BY a_id, b_id"),

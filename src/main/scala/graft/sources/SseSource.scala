@@ -54,8 +54,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * to the same buffer contract (EventStreams' `Last-Event-ID` carries
   * per-Kafka-partition offsets — `meta.offset`/`meta.partition`,
   * `utils.py:8,10` — which map 1:1 onto this source's offset JSON).
-  * Writer contract: appends are line-aligned (complete `\n`-terminated
-  * frames); an unterminated final line is counted as a complete event.
+  * Writer contract: a frame becomes visible only once its terminating
+  * newline lands; an unterminated final line is treated as an in-flight
+  * write and re-read on the next scan (never counted early — a
+  * truncated payload must not enter a committed offset range).
   *
   * Output schema: `value STRING` (raw event JSON), `offset LONG`. Parse
   * downstream with `from_json(value, ChangeSchema.change)` — schema
@@ -106,13 +108,18 @@ object SseSource {
         while (b != -1 && b != '\n') { buf.write(b); pos += 1; b = in.read() }
         if (b == '\n') pos += 1
         val bytes = buf.toByteArray
-        if (b == -1 && bytes.isEmpty) done = true
-        else if (bytes.length > DataPrefix.length &&
+        if (b == -1) {
+          // Unterminated tail = an in-flight write (the HTTP relay's
+          // buffered writer can flush a frame partially): NOT an event.
+          // It is re-read next scan, once its newline has landed —
+          // counting it now could commit a truncated payload into a
+          // batch offset that checkpoint replay can never repair.
+          done = true
+        } else if (bytes.length > DataPrefix.length &&
             bytes.startsWith(DataPrefix)) {
           nextFrame = (new String(bytes, DataPrefix.length,
             bytes.length - DataPrefix.length, StandardCharsets.UTF_8), lineStart, pos)
         }
-        if (b == -1) done = true // unterminated tail consumed (see contract)
       }
     }
     override def hasNext: Boolean = { advance(); nextFrame != null }
@@ -162,9 +169,10 @@ final class SseScanState(path: String, sampleStride: Long = 4096L) {
         }
       } finally it.close()
       totalBytesRead += bytesScanned - scanFrom
-      // Non-event tail bytes (comments, event:/id: lines of a frame whose
-      // data line hasn't landed yet) are NOT consumed: they re-scan next
-      // trigger, so a frame split across appends is never miscounted.
+      // Tail bytes after the last complete data line (comments, event:/
+      // id: lines, or a partially flushed data line) are NOT consumed:
+      // they re-scan next trigger, so a frame split across writes is
+      // never counted early or twice.
     }
     eventsSeen
   }

@@ -118,7 +118,8 @@ final case class RcSinks(baseDir: String, logLevel: Int, filterName: String,
       if (echoConsole)
         full.filter(F.col("reason").isNull)
           .select(F.concat(F.col("user"), F.lit(" "),
-            F.col("change_type"), F.lit("ed \""), F.col("title"), F.lit("\"")).as("line"))
+            graft.operators.RcOps.verb(F.col("change_type")), // edit->edited, create->created
+            F.lit(" \""), F.col("title"), F.lit("\"")).as("line"))
           .show(20, truncate = false)
       val flagged = full
         .filter(F.col("reason").isNull && F.size(F.col("matched")) > 0)

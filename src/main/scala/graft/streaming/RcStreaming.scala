@@ -153,11 +153,17 @@ object RcStreaming {
     * the verbose stateful op.
     */
   def livePipeline(batch: DataFrame, apiUrl: String, spec: FilterSpec,
-      emitDeadLetter: Boolean = false): DataFrame =
+      emitDeadLetter: Boolean = false): DataFrame = {
+    // Streamfilter FIRST (the reference registers filters on the stream
+    // client before any API call): the dims are built from the events
+    // that survive F1, not the raw multiplexed batch — otherwise a
+    // one-wiki filter would still pay API quota for every wiki.
+    val surviving = RcOps.streamFilter(batch, spec.effectiveStreamfilter)
     pipeline(batch,
-      graft.enrichment.LiveEnrichment.editCountDim(batch, apiUrl),
-      graft.enrichment.LiveEnrichment.textDim(batch, apiUrl),
+      graft.enrichment.LiveEnrichment.editCountDim(surviving, apiUrl),
+      graft.enrichment.LiveEnrichment.textDim(surviving, apiUrl),
       spec, emitDeadLetter)
+  }
 
   // ---- Verbose mode (-v): every event with its skip reason ------------
 

@@ -69,8 +69,17 @@ object StatefulOps {
               resolved.row
             }
             state.update(flagged)
-            if (state.getCurrentWatermarkMs() > 0)
-              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+            // Timeout must be strictly beyond the current watermark, and
+            // must ALWAYS be registered (a batch processed while the
+            // watermark is still 0 would otherwise leak its titles'
+            // state forever): expire once the watermark passes the
+            // title's newest event — the dropDuplicatesWithinWatermark
+            // horizon, give or take the watermark delay.
+            if (out.nonEmpty) {
+              val lastEventMs = out.map(_.event_us).max / 1000L
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs() + 1, lastEventMs + 1))
+            }
             out.iterator
           }
         })

@@ -27,10 +27,12 @@ class RcJobSpec extends SparkSpec {
     val sseDir = Files.createTempDirectory("topics").toString
     def ev(id: Long, typ: String, title: String) =
       s"""data: {"comment":"c","wiki":"enwiki","type":"$typ","server_name":"en.wikipedia.org","server_script_path":"/w","namespace":2,"title":"$title","bot":false,"server_url":"u","length":{"old":1,"new":2},"meta":{"domain":"d","partition":0,"uri":"u/$title","offset":$id,"topic":"t","request_id":"r","schema_uri":"s","dt":"2026-08-12T09:15:00Z","id":"m$id"},"user":"u$id","timestamp":1,"patrolled":false,"id":$id,"minor":false,"revision":{"old":${id * 100 - 1},"new":${id * 100}}}"""
+    // frames must be newline-terminated: an unterminated tail line is an
+    // in-flight write by the source's contract and is not yet an event
     Files.writeString(java.nio.file.Path.of(s"$sseDir/recentchange.sse"),
-      ev(1, "edit", "User:RC"))
+      ev(1, "edit", "User:RC") + "\n")
     Files.writeString(java.nio.file.Path.of(s"$sseDir/revision-create.sse"),
-      ev(2, "create", "User:RV"))
+      ev(2, "create", "User:RV") + "\n")
 
     val spec = RcJob.filterlist("example").copy(skipRepeats = false)
     val users = Seq(("u1", 5L), ("u2", 7L)).toDF("user", "editcount")
