@@ -83,12 +83,16 @@ object Similarity {
     */
   def assignCells(emb: DataFrame, cents: DataFrame): DataFrame = {
     val v = VectorOps.toDouble(col("embedding"))
+    // norms hoisted to one per vector / one per centroid: the O(n*k)
+    // distance stage pays one dot product per pair, not three
     emb.select(col("vec_id"), v.as("v"))
-      .crossJoin(broadcast(cents))
-      .withColumn("d2", VectorOps.l2sq(col("v"), col("cv")))
+      .withColumn("nv", VectorOps.norm2(col("v")))
+      .crossJoin(broadcast(cents.withColumn("ncv", VectorOps.norm2(col("cv")))))
+      .withColumn("d2",
+        col("nv") + col("ncv") - lit(2.0) * VectorOps.dot(col("v"), col("cv")))
       .groupBy(col("vec_id"))
       .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cell"),
-        first(col("v")).as("v"))
+        first(col("v")).as("v"), first(col("nv")).as("nv"))
   }
 
   /** Corpus-scaled cell count: k ~ sqrt(n) keeps both the broadcast
@@ -126,11 +130,13 @@ object Similarity {
     val probeCells = idx.centroids.zipWithIndex
       .map { case (cv, cid) => (l2(qv, cv), cid) }
       .sorted.take(probes).map(_._2)
+    val nq = qv.map(x => x * x).sum
     assignCells(emb, cents)
       .filter(col("cell").isin(probeCells.toIndexedSeq: _*) &&
         col("vec_id") =!= queryVecId)
       .select(col("vec_id"),
-        round(VectorOps.cosine(typedLit(qv), col("v")), 6).as("cos_sim"))
+        round(VectorOps.dot(typedLit(qv), col("v")) /
+          sqrt(lit(nq) * col("nv")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(topK)
   }
@@ -148,11 +154,14 @@ object Similarity {
     // the corpus and re-run the broadcast-crossJoin assignment on BOTH
     // sides (no exchange reuse) — materialize the assignment once.
     val cells = assignCells(emb, centroidDf(spark, idx.centroids)).localCheckpoint()
-    val l = cells.select(col("cell"), col("vec_id").as("a_id"), col("v").as("va"))
-    val r = cells.select(col("cell"), col("vec_id").as("b_id"), col("v").as("vb"))
+    val l = cells.select(col("cell"), col("vec_id").as("a_id"),
+      col("v").as("va"), col("nv").as("na"))
+    val r = cells.select(col("cell"), col("vec_id").as("b_id"),
+      col("v").as("vb"), col("nv").as("nb"))
     l.join(r, Seq("cell"))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("cos_sim", round(VectorOps.cosine(col("va"), col("vb")), 6))
+      .withColumn("cos_sim",
+        round(VectorOps.dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")), 6))
       .filter(col("cos_sim") >= minCos)
       .select(col("a_id"), col("b_id"), col("cos_sim"))
       .orderBy(col("a_id"), col("b_id"))

@@ -141,22 +141,32 @@ object ExtensionQueries {
     // assignment bounds the pair join; boundary pairs are the recall
     // tradeoff (multi-probe at scale).
     "dedup_embedding" -> ((s, dir) => {
+      // Norms are hoisted: cosine(a,b) naively costs THREE dot products
+      // per pair (dot + both norms); carrying norm2(v) on each row makes
+      // the O(pairs) stage one dot + one multiply — bit-identical
+      // doubles (same expressions, same evaluation order), 3x less work
+      // on the quadratic term.
       val emb = Tables.embeddings(s, dir).withColumn("v", col("embedding"))
+        .withColumn("nv", VectorOps.norm2(col("embedding")))
       val cents = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("v").as("cv"))
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nv").as("ncv"))
       // argmax via max_by on (score, -cid): one hash aggregate, no
       // window sort (same tie-break as ORDER BY cs DESC, cid).
-      val cells = emb.select(col("vec_id"), col("v"))
+      val cells = emb.select(col("vec_id"), col("v"), col("nv"))
         .crossJoin(broadcast(cents))
-        .withColumn("cs", round(VectorOps.cosine(col("v"), col("cv")), 6))
+        .withColumn("cs",
+          round(VectorOps.dot(col("v"), col("cv")) / sqrt(col("nv") * col("ncv")), 6))
         .groupBy(col("vec_id"))
         .agg(max_by(col("cid"), struct(col("cs"), (-col("cid")).as("nc"))).as("cell"),
-          first(col("v")).as("v"))
-      val l = cells.select(col("cell"), col("vec_id").as("a_id"), col("v").as("va"))
-      val r = cells.select(col("cell"), col("vec_id").as("b_id"), col("v").as("vb"))
+          first(col("v")).as("v"), first(col("nv")).as("nv"))
+      val l = cells.select(col("cell"), col("vec_id").as("a_id"),
+        col("v").as("va"), col("nv").as("na"))
+      val r = cells.select(col("cell"), col("vec_id").as("b_id"),
+        col("v").as("vb"), col("nv").as("nb"))
       l.join(r, Seq("cell"))
         .filter(col("a_id") < col("b_id"))
-        .withColumn("cos_sim", round(VectorOps.cosine(col("va"), col("vb")), 6))
+        .withColumn("cos_sim",
+          round(VectorOps.dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")), 6))
         .filter(col("cos_sim") >= 0.45)
         .select(col("a_id"), col("b_id"), col("cos_sim"))
         .orderBy(col("a_id"), col("b_id"))
@@ -252,12 +262,17 @@ object ExtensionQueries {
       // Scores run on the raw float arrays via the native DotProduct
       // (widens per-element — bit-identical to casting first, but the
       // projection stays inside whole-stage codegen).
+      // The query vector's norm is computed ONCE (in the 1-row broadcast
+      // side), not per scanned row — the per-row cost is one dot + one
+      // norm instead of three dots.
       val emb = Tables.embeddings(s, dir)
-      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"), VectorOps.norm2(col("embedding")).as("nq"))
       emb.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
         .select(col("vec_id"),
-          round(VectorOps.cosine(col("qv"), col("embedding")), 6).as("cos_sim"))
+          round(VectorOps.dot(col("qv"), col("embedding")) /
+            sqrt(col("nq") * VectorOps.norm2(col("embedding"))), 6).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(10)
     }),
@@ -268,22 +283,26 @@ object ExtensionQueries {
     // probes only its own cell. At scale: partition the index by cell,
     // read one partition per probe.
     "sim_ivf_topk" -> ((s, dir) => {
+      // Same hoisted-norm trick as dedup_embedding: one dot per
+      // (vector, centroid) / (vector, query) instead of three.
       val emb = Tables.embeddings(s, dir)
         .withColumn("v", col("embedding"))
+        .withColumn("nv", VectorOps.norm2(col("embedding")))
       val cents = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("v").as("cv"))
-      val withCell = emb.select(col("vec_id"), col("v"))
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nv").as("ncv"))
+      val withCell = emb.select(col("vec_id"), col("v"), col("nv"))
         .crossJoin(broadcast(cents))
-        .withColumn("cs", round(VectorOps.cosine(col("v"), col("cv")), 6))
+        .withColumn("cs",
+          round(VectorOps.dot(col("v"), col("cv")) / sqrt(col("nv") * col("ncv")), 6))
         .groupBy(col("vec_id"))
         .agg(max_by(col("cid"), struct(col("cs"), (-col("cid")).as("nc"))).as("cell"),
-          first(col("v")).as("v"))
+          first(col("v")).as("v"), first(col("nv")).as("nv"))
       val qCell = withCell.filter(col("vec_id") === 42)
-        .select(col("v").as("qv"), col("cell").as("qcell"))
+        .select(col("v").as("qv"), col("nv").as("nq"), col("cell").as("qcell"))
       withCell.crossJoin(broadcast(qCell))
         .filter(col("cell") === col("qcell") && col("vec_id") =!= 42)
         .select(col("vec_id"),
-          round(VectorOps.cosine(col("qv"), col("v")), 6).as("cos_sim"))
+          round(VectorOps.dot(col("qv"), col("v")) / sqrt(col("nq") * col("nv")), 6).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(5)
     }),
