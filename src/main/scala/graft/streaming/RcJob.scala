@@ -28,11 +28,9 @@ object RcJob {
 
   /** Resolve CLI-style args exactly as `_get_sys_args` does
     * (`scanner.py:34-51`): missing name and unknown name produce the
-    * reference's error strings. `-v`/`--verbose` maps to
-    * [[sinks]]' console echo plus the pipeline's dead-letter side
-    * channel (the engine's analog of the reference's printed skip
-    * reasons, `scanner.py:132-138`) — wire both via [[sinks]] and
-    * `pipeline(..., emitDeadLetter = verbose)`.
+    * reference's error strings. `-v`/`--verbose` selects the verbose
+    * pipeline (every event with its skip reason, `scanner.py:132-138`)
+    * — [[run]] wires it through `pipelineVerbose` + `writeVerboseBatch`.
     */
   def resolveArgs(args: Seq[String]): Either[String, (RcStreaming.FilterSpec, Boolean)] = {
     val verbose = args.contains("-v") || args.contains("--verbose")
@@ -50,6 +48,36 @@ object RcJob {
   def sinks(baseDir: String, logLevel: Int, filterName: String,
       verbose: Boolean): RcSinks =
     RcSinks(baseDir, logLevel, filterName, echoConsole = verbose)
+
+  /** Assemble and start the full job — the `scanner.py:54-59` twin:
+    * resolve args, validate config, build the multi-topic source, run
+    * the (verbose or standard) pipeline into the sink fan-out. `-v`
+    * selects `pipelineVerbose` + `writeVerboseBatch`, so every skipped
+    * event surfaces with its reason exactly like the reference's -v
+    * prints; without it the standard pipeline + K1-K4 fan-out runs.
+    */
+  def run(spark: SparkSession, args: Seq[String], streamsDir: String,
+      users: DataFrame, revisions: DataFrame, outDir: String, logLevel: Int,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : Either[String, org.apache.spark.sql.streaming.StreamingQuery] =
+    resolveArgs(args).map { case (spec, verbose) =>
+      RcStreaming.validate(logLevel, spec)
+      val name = args.filterNot(a => a == "-v" || a == "--verbose").head
+      val sk = sinks(outDir, logLevel, name, verbose)
+      val src = source(spark, streamsDir, spec)
+      val writer =
+        if (verbose)
+          RcStreaming.pipelineVerbose(src, users, revisions, spec)
+            .writeStream.foreachBatch(
+              (b: DataFrame, id: Long) => sk.writeVerboseBatch(b, id))
+        else
+          RcStreaming.pipeline(src, users, revisions, spec)
+            .writeStream.foreachBatch(
+              (b: DataFrame, id: Long) => sk.writeBatch(b, id))
+      writer.option("checkpointLocation", s"$outDir/ckpt")
+        .trigger(trigger).start()
+    }
 
   /** S1+S2: one SSE source per subscribed stream (the reference
     * multiplexes topics into one SSE connection, `filter_.py:104-108`;

@@ -51,4 +51,34 @@ class RcJobSpec extends SparkSpec {
       .select("value").as[String].collect().sorted.toSeq
     assert(revids === Seq("100", "200")) // one match from EACH topic
   }
+
+  test("run() wires -v to the verbose pipeline and plain args to the standard one") {
+    import spark.implicits._
+    val sseDir = Files.createTempDirectory("runtopics").toString
+    def ev(id: Long, title: String) =
+      s"""data: {"comment":"c","wiki":"enwiki","type":"edit","server_name":"en.wikipedia.org","server_script_path":"/w","namespace":2,"title":"$title","bot":false,"server_url":"u","length":{"old":1,"new":2},"meta":{"domain":"d","partition":0,"uri":"u/$title","offset":$id,"topic":"t","request_id":"r","schema_uri":"s","dt":"2026-08-12T09:15:00Z","id":"m$id"},"user":"u$id","timestamp":1,"patrolled":false,"id":$id,"minor":false,"revision":{"old":${id * 100 - 1},"new":${id * 100}}}""" + "\n"
+    Files.writeString(java.nio.file.Path.of(s"$sseDir/recentchange.sse"),
+      ev(1, "User:Hit") + ev(2, "User:Miss"))
+    Files.writeString(java.nio.file.Path.of(s"$sseDir/revision-create.sse"), "")
+    val users = Seq(("u1", 5L)).toDF("user", "editcount") // u2 unknown -> race
+    val revisions = Seq((100L, "a userbox"), (200L, "plain")).toDF("revid", "text")
+
+    assert(RcJob.run(spark, Seq(), sseDir, users, revisions, "/tmp/x", 2).isLeft)
+
+    val vOut = Files.createTempDirectory("runv").toString
+    val Right(qv) = RcJob.run(spark, Seq("example", "-v"), sseDir, users, revisions, vOut, 2)
+    qv.awaitTermination(120000)
+    val skipped = spark.read.parquet(s"$vOut/skipped")
+      .select("id", "reason").as[(Long, String)].collect().toMap
+    assert(skipped === Map(2L -> "race")) // unknown user surfaced with reason
+    assert(spark.read.parquet(s"$vOut/flaglog")
+      .select("change.title").as[String].collect().toSeq === Seq("User:Hit"))
+
+    val pOut = Files.createTempDirectory("runp").toString
+    val Right(qp) = RcJob.run(spark, Seq("example"), sseDir, users, revisions, pOut, 2)
+    qp.awaitTermination(120000)
+    assert(spark.read.parquet(s"$pOut/flaglog")
+      .select("change.title").as[String].collect().toSeq === Seq("User:Hit"))
+    assert(!Files.exists(java.nio.file.Path.of(s"$pOut/skipped")))
+  }
 }
