@@ -102,6 +102,37 @@ class VerboseSpec extends SparkSpec {
     assert(flagged.select("change.meta.domain").as[String].head() === "en.wikipedia.org")
   }
 
+  test("repeat state survives a checkpointed restart") {
+    val inDir = Files.createTempDirectory("verbr").toString
+    val outDir = Files.createTempDirectory("verbrout").toString
+    // run 1: User:A flagged
+    Files.writeString(java.nio.file.Path.of(s"$inDir/a.json"),
+      changeJson(1, "User:A", "alice", 101, dt = "2026-08-12T09:01:00Z"))
+    val sinks = RcSinks(outDir, logLevel = 2, filterName = "example")
+    def runOnce(): Unit = {
+      val q = RcStreaming.pipelineVerbose(
+          spark.readStream.schema(ChangeSchema.change).json(inDir),
+          users, revisions, spec)
+        .writeStream
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+          sinks.writeVerboseBatch(b, id))
+        .option("checkpointLocation", s"$outDir/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    // "process restart": a NEW query from the same checkpoint sees a
+    // second matching edit to the flagged title -> must be a repeat,
+    // which only works if the per-title state store was recovered
+    Files.writeString(java.nio.file.Path.of(s"$inDir/b.json"),
+      changeJson(2, "User:A", "alice", 102, dt = "2026-08-12T09:02:00Z"))
+    runOnce()
+    import spark.implicits._
+    val skipped = spark.read.parquet(s"$outDir/skipped")
+      .select("id", "reason").as[(Long, String)].collect().toMap
+    assert(skipped === Map(2L -> "repeat"))
+  }
+
   test("non-verbose pipeline and verbose pipeline flag the same events") {
     val inDir = Files.createTempDirectory("verbx").toString
     writeFixture(inDir)
