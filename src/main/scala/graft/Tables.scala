@@ -48,4 +48,17 @@ object Tables {
 
   /** 64-dim float vectors for the similarity-search extension. */
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every table as a temp view so users can drive the engine
+    * through plain `spark.sql(...)` — the catalog surface of the
+    * library. `events` goes through its ns->us normalization, so SQL
+    * users get the same timestamps the DataFrame API serves.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit = names.foreach {
+    case "events" => events(spark, dir).createOrReplaceTempView("events")
+    case n => load(spark, dir, n).createOrReplaceTempView(n)
+  }
 }

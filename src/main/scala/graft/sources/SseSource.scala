@@ -67,8 +67,12 @@ class SseSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "sse"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = SseSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new SseTable(properties.get("path"), SseSource.parseFilters(properties.asScala.toMap))
+      properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty,
+      """sse source requires option("path", <buffer file>)""")
+    new SseTable(path, SseSource.parseFilters(properties.asScala.toMap))
+  }
 }
 
 object SseSource {

@@ -226,7 +226,8 @@ object RcStreaming {
     * evaluated-no-hit events the reference's verb line covers.
     */
   def pipelineVerbose(changes: DataFrame, users: DataFrame,
-      revisions: DataFrame, spec0: FilterSpec): DataFrame = {
+      revisions: DataFrame, spec0: FilterSpec,
+      useTransformWithState: Boolean = false): DataFrame = {
     implicit val spec: FilterSpec = spec0
     val filtered = RcOps.streamFilter(changes, spec.effectiveStreamfilter)
       .withColumn("event_time", to_timestamp(col("meta.dt")))
@@ -264,10 +265,14 @@ object RcStreaming {
     import rows.sparkSession.implicits._
     val resolved: DataFrame =
       if (rows.isStreaming) {
-        val typed = rows
-          .withWatermark("event_time", spec.watermark)
-          .as[VerboseRow]
-        StatefulOps.markRepeats(typed).toDF()
+        // TWS runs in processing-time mode with declarative state TTL —
+        // no event-time watermark (mixing one in trips the event-time
+        // exec); fMGWS bounds state by watermark timeout instead.
+        if (useTransformWithState)
+          StatefulOps.markRepeatsTws(rows.as[VerboseRow]).toDF()
+        else
+          StatefulOps.markRepeats(
+            rows.withWatermark("event_time", spec.watermark).as[VerboseRow]).toDF()
       } else {
         // Batch twin of markRepeats: an event is a repeat iff an earlier
         // (event_us, id) eligible event of the same title matched. The

@@ -1,7 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig}
 
 /** Custom stateful streaming operators via the typed
   * KeyValueGroupedDataset API — the engine's escape hatch when
@@ -48,6 +49,52 @@ object StatefulOps {
     * the watermark horizon (the same horizon the non-verbose dedup path
     * uses), keys hash-partitioned across executors.
     */
+  /** The same repeat-state machine on Spark 4's transformWithState —
+    * the successor API to flatMapGroupsWithState: explicit named state
+    * variables with DECLARATIVE TTL (the runtime evicts; no manual
+    * timer bookkeeping), designed for the RocksDB state store v2.
+    * Kept alongside [[markRepeats]] as the forward path; both pass the
+    * same twin test.
+    */
+  private class RepeatProcessor(spec: RcStreaming.FilterSpec,
+      ttl: java.time.Duration)
+      extends StatefulProcessor[String, RcStreaming.VerboseRow, RcStreaming.VerboseRow] {
+    @transient private var flagged:
+      org.apache.spark.sql.streaming.ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      flagged = getHandle.getValueState[Boolean]("flagged",
+        Encoders.scalaBoolean, TTLConfig(ttl))
+
+    override def handleInputRows(title: String,
+        rows: Iterator[RcStreaming.VerboseRow],
+        timerValues: TimerValues): Iterator[RcStreaming.VerboseRow] = {
+      var f = flagged.exists() && flagged.get()
+      val out = rows.toSeq.sortBy(r => (r.event_us, r.id)).map { r =>
+        val resolved = RcStreaming.resolveReason(r, f)(spec)
+        if (resolved.flag) f = true
+        resolved.row
+      }
+      flagged.update(f)
+      out.iterator
+    }
+  }
+
+  /** transformWithState twin of [[markRepeats]]; state TTL bounds
+    * per-title state by processing time (vs the watermark horizon of
+    * the fMGWS variant — both are the "recent titles only" contract).
+    */
+  def markRepeatsTws(events: Dataset[RcStreaming.VerboseRow],
+      ttl: java.time.Duration = java.time.Duration.ofHours(1))(
+      implicit spec: RcStreaming.FilterSpec): Dataset[RcStreaming.VerboseRow] = {
+    implicit val enc: Encoder[RcStreaming.VerboseRow] =
+      Encoders.product[RcStreaming.VerboseRow]
+    implicit val strEnc: Encoder[String] = Encoders.STRING
+    events.groupByKey(_.title)
+      .transformWithState(new RepeatProcessor(spec, ttl),
+        TimeMode.ProcessingTime, OutputMode.Append)
+  }
+
   def markRepeats(events: Dataset[RcStreaming.VerboseRow])(
       implicit spec: RcStreaming.FilterSpec):
       Dataset[RcStreaming.VerboseRow] = {

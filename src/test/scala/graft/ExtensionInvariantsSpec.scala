@@ -32,6 +32,17 @@ class ExtensionInvariantsSpec extends SparkSpec {
     assert(a.values.forall(h => h >= 0L && h < (1L << 32)))
   }
 
+  test("registerAll exposes every table to plain spark.sql") {
+    Tables.registerAll(spark, sf0001)
+    val n = spark.sql(
+      "SELECT count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey")
+      .as[Long].head()
+    assert(n > 0)
+    // events goes through ns->us normalization: ts must be a TIMESTAMP
+    assert(spark.sql("SELECT ts FROM events").schema.head.dataType ===
+      org.apache.spark.sql.types.TimestampType)
+  }
+
   test("sequence packing: bins are per-source, contiguous, near-budget") {
     val rows = q("text_pack")
       .select("source", "bin", "n_docs", "bin_tokens")

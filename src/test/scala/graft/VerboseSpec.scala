@@ -102,6 +102,36 @@ class VerboseSpec extends SparkSpec {
     assert(flagged.select("change.meta.domain").as[String].head() === "en.wikipedia.org")
   }
 
+  test("transformWithState twin resolves the same reasons as fMGWS") {
+    val inDir = Files.createTempDirectory("verbtws").toString
+    val outDir = Files.createTempDirectory("verbtwsout").toString
+    writeFixture(inDir)
+    // transformWithState requires the RocksDB state store provider
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val changes = spark.readStream.schema(ChangeSchema.change).json(inDir)
+      val q = RcStreaming.pipelineVerbose(changes, users, revisions, spec,
+          useTransformWithState = true)
+        .writeStream.format("memory").queryName("verb_tws")
+        .option("checkpointLocation", s"$outDir/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+      q.stop()
+      val got = spark.sql("SELECT id, reason, skip_message FROM verb_tws")
+        .as[(Long, Option[String], Option[String])].collect()
+      assert(got.length === 7)
+      expectReasons(got)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("repeat state survives a checkpointed restart") {
     val inDir = Files.createTempDirectory("verbr").toString
     val outDir = Files.createTempDirectory("verbrout").toString
