@@ -114,6 +114,30 @@ class SseSourceSpec extends SparkSpec {
       s"re-scanned old bytes: ${st.bytesRead - read1} > ${Files.size(f) - size1}")
   }
 
+  test("property: incremental scan count == full rescan over random appends") {
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    // Random sequences of line-aligned appends (data frames, comments,
+    // id lines, blanks): the incremental state must agree with a cold
+    // full count after EVERY append.
+    val genChunk: Gen[String] = Gen.listOf(Gen.oneOf(
+      Gen.choose(1, 9999).map(i => s"data: {\"id\":$i}\n"),
+      Gen.const(": comment line\n"),
+      Gen.choose(1, 99).map(i => s"id: $i\n"),
+      Gen.const("\n"))).map(_.mkString)
+    val prop = Prop.forAll(Gen.listOfN(5, genChunk)) { chunks =>
+      val f = Files.createTempFile("proprescan", ".sse")
+      try {
+        val st = new graft.sources.SseScanState(f.toString)
+        chunks.forall { c =>
+          Files.writeString(f, c, java.nio.file.StandardOpenOption.APPEND)
+          st.refresh() == graft.sources.SseSource.countEvents(f.toString)
+        }
+      } finally Files.delete(f)
+    }
+    val r = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("sampled byte index lets readers seek instead of streaming the prefix") {
     val f = Files.createTempFile("events5", ".sse")
     Files.writeString(f, (1L to 50L).map(sseFrame).mkString("\n"))
