@@ -76,4 +76,58 @@ object Multimodal {
   /** DataFrame facade used by the query surface. */
   def features(spark: SparkSession, dir: String, buckets: Int = 32): DataFrame =
     extractFeatures(assetsFromDocuments(spark, dir), buckets).toDF()
+
+  // ---- Resize / frame-sample plumbing ---------------------------------
+
+  case class ResizedAsset(asset_id: Long, modality: String, width: Int,
+      height: Int, payload: Array[Byte])
+  case class Frame(asset_id: Long, frame_idx: Int, n_frames_total: Int,
+      frame: Array[Byte])
+
+  /** STUB resize kernel: deterministic byte-stride downsample to exactly
+    * w*h bytes (a real build calls the image codec here). Pure
+    * bytes-in/bytes-out — the contract the pipeline depends on.
+    */
+  def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h)
+    if (payload.nonEmpty) {
+      var i = 0
+      while (i < out.length) {
+        out(i) = payload((i.toLong * payload.length / out.length).toInt)
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Partition-batched resize: one kernel/codec instantiation per
+    * partition, payload-to-payload, metadata typed alongside. Output
+    * payloads are fixed-size, so downstream batch shapes are uniform —
+    * exactly what a training loader wants.
+    */
+  def resize(assets: Dataset[Asset], w: Int, h: Int): Dataset[ResizedAsset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      // codec init would happen here, once per partition
+      it.map(a => ResizedAsset(a.asset_id, a.modality, w, h,
+        resizeStub(a.payload, w, h)))
+    }
+  }
+
+  /** Frame sampling: split the payload into fixed-size frames, keep
+    * every `stride`-th — ONE asset row fans out to N frame rows
+    * (flatMap, the Spark shape of a video frame sampler). Frame index
+    * and total ride along so downstream ops can reconstruct order
+    * without re-reading the source.
+    */
+  def sampleFrames(assets: Dataset[Asset], frameBytes: Int,
+      stride: Int): Dataset[Frame] = {
+    import assets.sparkSession.implicits._
+    assets.flatMap { a =>
+      val frames = a.payload.grouped(frameBytes).toArray
+      frames.indices.collect {
+        case i if i % stride == 0 => Frame(a.asset_id, i, frames.length, frames(i))
+      }
+    }
+  }
 }

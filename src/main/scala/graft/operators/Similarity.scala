@@ -141,6 +141,53 @@ object Similarity {
       .limit(topK)
   }
 
+  /** Persist a trained IVF index PARTITIONED BY CELL: probes then read
+    * only their cells' directories — partition pruning at the file
+    * source, which is the "read one partition per probe" scale story
+    * the in-memory path can only simulate. Layout:
+    * `dir/cells/cell=N/...parquet` (vec_id, v, nv) + `dir/centroids`.
+    * Returns k (the cell count).
+    */
+  def saveIndex(spark: SparkSession, emb: DataFrame, dir: String,
+      kCells: Int = 0, iters: Int = 3): Int = {
+    val n = emb.count()
+    val k = if (kCells > 0) kCells else defaultK(n)
+    val idx = trainIvf(spark, emb, k, iters)
+    val cents = centroidDf(spark, idx.centroids)
+    assignCells(emb, cents)
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/cells")
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    k
+  }
+
+  /** Probe a persisted index: centroids load driver-side (k x dim), the
+    * probe set resolves locally, and the cells scan carries a
+    * partition filter — Spark lists/reads ONLY the probed cell
+    * directories (asserted via the scan's partitionFilters in
+    * SimilaritySpec).
+    */
+  def probeIndex(spark: SparkSession, dir: String, qv: Array[Double],
+      topK: Int, probes: Int = 2): DataFrame = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .select(col("cid"), col("cv")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val probeCells = cents.map { case (cid, cv) => (l2(qv, cv), cid) }
+      .sorted.take(probes).map(_._2)
+    val nq = qv.map(x => x * x).sum
+    spark.read.parquet(s"$dir/cells")
+      .filter(col("cell").isin(probeCells.toIndexedSeq: _*))
+      .select(col("vec_id"),
+        round(VectorOps.dot(typedLit(qv), col("v")) /
+          sqrt(lit(nq) * col("nv")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(topK)
+  }
+
   /** Production near-dup path: within-cell all-pairs under a LEARNED
     * k ~ sqrt(n) quantizer, so expected per-cell work is (n/k)^2 = n —
     * linear in corpus size, vs O(n^2/8) with 8 fixed cells.

@@ -36,4 +36,30 @@ class MultimodalSpec extends SparkSpec {
     val z = Multimodal.decodeStub(Array.emptyByteArray)
     assert(z.forall(_ == 0f) && z.length === Multimodal.FeatureDim)
   }
+
+  test("resize: fixed output size, typed dims, deterministic") {
+    val assets = Multimodal.assetsFromDocuments(spark, sf0001).limit(50)
+    val resized = Multimodal.resize(assets, w = 8, h = 4).collect()
+    assert(resized.length === 50)
+    assert(resized.forall(r => r.payload.length === 32 && r.width === 8 && r.height === 4))
+    val again = Multimodal.resize(assets, w = 8, h = 4).collect()
+    assert(resized.map(_.payload.toSeq).toSeq === again.map(_.payload.toSeq).toSeq)
+  }
+
+  test("frame sampling fans one asset into strided frame rows") {
+    val one = Multimodal.assetsFromDocuments(spark, sf0001)
+      .filter(col("asset_id") === 1)
+    val payloadLen = one.collect().head.payload.length
+    val frames = Multimodal.sampleFrames(one, frameBytes = 16, stride = 2)
+      .orderBy("frame_idx").collect()
+    val total = (payloadLen + 15) / 16
+    assert(frames.forall(_.n_frames_total === total))
+    assert(frames.map(_.frame_idx).toSeq === (0 until total by 2))
+    // every kept frame is byte-exact the corresponding payload slice
+    val payload = one.collect().head.payload
+    frames.foreach { f =>
+      val expect = payload.slice(f.frame_idx * 16, math.min((f.frame_idx + 1) * 16, payload.length))
+      assert(f.frame.toSeq === expect.toSeq)
+    }
+  }
 }

@@ -69,6 +69,35 @@ class SimilaritySpec extends SparkSpec {
       s"trained top-5 ${got.map(_._1).toSeq} shares nothing with brute top-10")
   }
 
+  test("persisted index probes with partition pruning and matches the in-memory path") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    val k = Similarity.saveIndex(spark, emb, dir, iters = 3)
+    assert(k === Similarity.defaultK(emb.count()))
+    val qv = emb.filter(col("vec_id") === 42)
+      .select(operators.VectorOps.toDouble(col("embedding")))
+      .as[Array[Double]].head()
+    val probed = Similarity.probeIndex(spark, dir, qv, topK = 6, probes = 2)
+    // the file scan must carry a partition filter on `cell` — Spark
+    // lists/reads only the probed cell directories
+    val scans = probed.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+      "cells scan lost its partition filter")
+    val rows = probed.as[(Long, Double)].collect()
+    // the query vector itself lives in the index: exact self-match first
+    assert(rows.head === ((42L, 1.0)))
+    // remaining results = the in-memory trained path with identical
+    // k/probes (trainer is deterministic)
+    val inMem = Similarity.ivfTopK(spark, emb, queryVecId = 42, topK = 5, probes = 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(rows.tail.toSeq === inMem)
+  }
+
   test("trained near-dup pairs match the seeded oracle twin on this corpus") {
     import spark.implicits._
     val trained = SparkEntry.queries("dedup_embedding_trained")(spark, sf0001)
