@@ -188,6 +188,28 @@ object Similarity {
       .limit(topK)
   }
 
+  /** Streaming index maintenance: arriving vectors are assigned to
+    * their nearest SAVED centroid (broadcast dim — no retraining) and
+    * appended into the cell-partitioned index, so new data becomes
+    * probe-able as it lands. Micro-batch appends into `cell=N`
+    * directories; compaction (operators.Compaction) handles the
+    * small-files debt per partition. Retraining when drift accumulates
+    * is a periodic batch `saveIndex` swap.
+    */
+  def appendToIndex(spark: SparkSession, stream: DataFrame, dir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+    stream.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        assignCells(b, cents)
+          .write.partitionBy("cell").mode("append").parquet(s"$dir/cells")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** Production near-dup path: within-cell all-pairs under a LEARNED
     * k ~ sqrt(n) quantizer, so expected per-cell work is (n/k)^2 = n —
     * linear in corpus size, vs O(n^2/8) with 8 fixed cells.

@@ -98,6 +98,31 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.tail.toSeq === inMem)
   }
 
+  test("streaming append: new vectors land in their cells and are probe-able") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("ivfgrow").toString
+    // train + persist on the first 400 vectors only
+    Similarity.saveIndex(spark, emb.filter(col("vec_id") < 400), dir, iters = 2)
+    val before = spark.read.parquet(s"$dir/cells").count()
+    // stream the remaining 100 in as a file stream
+    val newDir = java.nio.file.Files.createTempDirectory("ivfnew").toString
+    emb.filter(col("vec_id") >= 400).write.parquet(s"$newDir/in")
+    val stream = spark.readStream
+      .schema(emb.schema).parquet(s"$newDir/in")
+    val q = Similarity.appendToIndex(spark, stream, dir, s"$newDir/ckpt")
+    q.awaitTermination(120000)
+    assert(spark.read.parquet(s"$dir/cells").count() === before + 100)
+    // an appended vector must now be the exact self-match of its probe
+    val qv = emb.filter(col("vec_id") === 450)
+      .select(operators.VectorOps.toDouble(col("embedding")))
+      .as[Array[Double]].head()
+    val top = Similarity.probeIndex(spark, dir, qv, topK = 1, probes = 1)
+      .as[(Long, Double)].head()
+    assert(top === ((450L, 1.0)))
+  }
+
   test("trained near-dup pairs match the seeded oracle twin on this corpus") {
     import spark.implicits._
     val trained = SparkEntry.queries("dedup_embedding_trained")(spark, sf0001)
