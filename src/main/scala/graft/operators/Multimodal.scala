@@ -106,6 +106,10 @@ object Multimodal {
     * exactly what a training loader wants.
     */
   def resize(assets: Dataset[Asset], w: Int, h: Int): Dataset[ResizedAsset] = {
+    // driver-side validation: fail at plan build, not as a bare
+    // ArithmeticException inside a distributed task
+    require(w > 0 && h > 0 && w.toLong * h <= Int.MaxValue,
+      s"resize dims must be positive and w*h must fit an Int, got ${w}x$h")
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       // codec init would happen here, once per partition
@@ -122,6 +126,8 @@ object Multimodal {
     */
   def sampleFrames(assets: Dataset[Asset], frameBytes: Int,
       stride: Int): Dataset[Frame] = {
+    require(frameBytes > 0, s"frameBytes must be positive, got $frameBytes")
+    require(stride > 0, s"stride must be positive, got $stride")
     import assets.sparkSession.implicits._
     assets.flatMap { a =>
       val frames = a.payload.grouped(frameBytes).toArray

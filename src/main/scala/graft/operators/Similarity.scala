@@ -101,6 +101,31 @@ object Similarity {
     */
   def defaultK(n: Long): Int = math.max(8, math.sqrt(n.toDouble).toInt)
 
+  // Shared probe machinery — ONE implementation of centroid-distance,
+  // probe-set selection, and query scoring, used by both the in-memory
+  // and persisted-index paths so they cannot drift (SimilaritySpec
+  // asserts their exact equivalence).
+  private def l2(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** The `probes` centroid ids nearest to `qv` (ties toward lower id). */
+  def nearestCells(cents: Seq[(Int, Array[Double])], qv: Array[Double],
+      probes: Int): Seq[Int] =
+    cents.map { case (cid, cv) => (l2(qv, cv), cid) }.sorted.take(probes).map(_._2)
+
+  /** Cosine top-k of `qv` against (vec_id, v, nv) candidate rows. */
+  def scoreTopK(candidates: DataFrame, qv: Array[Double], topK: Int): DataFrame = {
+    val nq = qv.map(x => x * x).sum
+    candidates.select(col("vec_id"),
+        round(VectorOps.dot(typedLit(qv), col("v")) /
+          sqrt(lit(nq) * col("nv")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(topK)
+  }
+
   /** Production ANN path: LEARNED coarse quantizer (k ~ sqrt(n) k-means
     * cells, vs the fixed 8 seed vectors of the oracle twin
     * `sim_ivf_topk`) + multi-probe. The query vector scores all k
@@ -122,30 +147,22 @@ object Similarity {
     // InMemoryRelation (nothing ever unpersisted it).
     val qv: Array[Double] = emb.filter(col("vec_id") === queryVecId)
       .select(VectorOps.toDouble(col("embedding"))).as[Array[Double]].head()
-    def l2(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
-      s
-    }
-    val probeCells = idx.centroids.zipWithIndex
-      .map { case (cv, cid) => (l2(qv, cv), cid) }
-      .sorted.take(probes).map(_._2)
-    val nq = qv.map(x => x * x).sum
-    assignCells(emb, cents)
-      .filter(col("cell").isin(probeCells.toIndexedSeq: _*) &&
-        col("vec_id") =!= queryVecId)
-      .select(col("vec_id"),
-        round(VectorOps.dot(typedLit(qv), col("v")) /
-          sqrt(lit(nq) * col("nv")), 6).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-      .limit(topK)
+    val probeCells = nearestCells(
+      idx.centroids.zipWithIndex.map { case (cv, cid) => (cid, cv) }.toSeq, qv, probes)
+    scoreTopK(
+      assignCells(emb, cents)
+        .filter(col("cell").isin(probeCells.toIndexedSeq: _*) &&
+          col("vec_id") =!= queryVecId),
+      qv, topK)
   }
 
   /** Persist a trained IVF index PARTITIONED BY CELL: probes then read
     * only their cells' directories — partition pruning at the file
     * source, which is the "read one partition per probe" scale story
     * the in-memory path can only simulate. Layout:
-    * `dir/cells/cell=N/...parquet` (vec_id, v, nv) + `dir/centroids`.
+    * `dir/cells/ingest=<writer>/cell=N/...parquet` (vec_id, v, nv) +
+    * `dir/centroids` — the ingest level gives every writer (base build,
+    * each streaming micro-batch) a deterministic replay-safe directory.
     * Returns k (the cell count).
     */
   def saveIndex(spark: SparkSession, emb: DataFrame, dir: String,
@@ -154,8 +171,12 @@ object Similarity {
     val k = if (kCells > 0) kCells else defaultK(n)
     val idx = trainIvf(spark, emb, k, iters)
     val cents = centroidDf(spark, idx.centroids)
+    // ingest=base alongside the streaming appends' ingest=<batchId>
+    // (see appendToIndex): every writer owns a deterministic directory,
+    // so replays overwrite instead of duplicating.
     assignCells(emb, cents)
-      .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/cells")
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$dir/cells/ingest=base")
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
     k
   }
@@ -170,39 +191,35 @@ object Similarity {
       topK: Int, probes: Int = 2): DataFrame = {
     val cents = spark.read.parquet(s"$dir/centroids")
       .select(col("cid"), col("cv")).collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-    def l2(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
-      s
-    }
-    val probeCells = cents.map { case (cid, cv) => (l2(qv, cv), cid) }
-      .sorted.take(probes).map(_._2)
-    val nq = qv.map(x => x * x).sum
-    spark.read.parquet(s"$dir/cells")
-      .filter(col("cell").isin(probeCells.toIndexedSeq: _*))
-      .select(col("vec_id"),
-        round(VectorOps.dot(typedLit(qv), col("v")) /
-          sqrt(lit(nq) * col("nv")), 6).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-      .limit(topK)
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
+    val probeCells = nearestCells(cents, qv, probes)
+    scoreTopK(
+      spark.read.parquet(s"$dir/cells")
+        .filter(col("cell").isin(probeCells.toIndexedSeq: _*)),
+      qv, topK)
   }
 
   /** Streaming index maintenance: arriving vectors are assigned to
     * their nearest SAVED centroid (broadcast dim — no retraining) and
     * appended into the cell-partitioned index, so new data becomes
-    * probe-able as it lands. Micro-batch appends into `cell=N`
-    * directories; compaction (operators.Compaction) handles the
-    * small-files debt per partition. Retraining when drift accumulates
-    * is a periodic batch `saveIndex` swap.
+    * probe-able as it lands. Each micro-batch owns an
+    * `ingest=<batchId>` directory (replay-safe overwrite); compaction
+    * (operators.Compaction) handles the small-files debt per partition.
+    * Retraining when drift accumulates is a periodic batch `saveIndex`
+    * swap.
     */
   def appendToIndex(spark: SparkSession, stream: DataFrame, dir: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val cents = spark.read.parquet(s"$dir/centroids")
     stream.writeStream
-      .foreachBatch { (b: DataFrame, _: Long) =>
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        // foreachBatch is at-least-once: write into a deterministic
+        // ingest=<batchId> directory with overwrite, so a replayed
+        // micro-batch rewrites its own files instead of appending
+        // duplicate vectors (same convention as RcSinks.writeBatch).
         assignCells(b, cents)
-          .write.partitionBy("cell").mode("append").parquet(s"$dir/cells")
+          .write.partitionBy("cell").mode("overwrite")
+          .parquet(s"$dir/cells/ingest=$batchId")
         ()
       }
       .option("checkpointLocation", checkpoint)

@@ -61,22 +61,32 @@ object RcJob {
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : Either[String, org.apache.spark.sql.streaming.StreamingQuery] =
-    resolveArgs(args).map { case (spec, verbose) =>
-      RcStreaming.validate(logLevel, spec)
-      val name = args.filterNot(a => a == "-v" || a == "--verbose").head
-      val sk = sinks(outDir, logLevel, name, verbose)
-      val src = source(spark, streamsDir, spec)
-      val writer =
-        if (verbose)
-          RcStreaming.pipelineVerbose(src, users, revisions, spec)
-            .writeStream.foreachBatch(
-              (b: DataFrame, id: Long) => sk.writeVerboseBatch(b, id))
-        else
-          RcStreaming.pipeline(src, users, revisions, spec)
-            .writeStream.foreachBatch(
-              (b: DataFrame, id: Long) => sk.writeBatch(b, id))
-      writer.option("checkpointLocation", s"$outDir/ckpt")
-        .trigger(trigger).start()
+    resolveArgs(args).flatMap { case (spec, verbose) =>
+      // config errors surface through the SAME Either as arg errors
+      // (the reference prints both and exits) — callers fold once;
+      // nothing escapes run() as an exception
+      scala.util.Try {
+        RcStreaming.validate(logLevel, spec)
+        val name = args.filterNot(a => a == "-v" || a == "--verbose").head
+        val sk = sinks(outDir, logLevel, name, verbose)
+        val src = source(spark, streamsDir, spec)
+        // per-mode checkpoints: the verbose and standard pipelines have
+        // incompatible stateful topologies (fMGWS vs dropDuplicates), so
+        // sharing one checkpoint would fail state restore or silently
+        // emit nothing (offsets already committed)
+        val writer =
+          if (verbose)
+            RcStreaming.pipelineVerbose(src, users, revisions, spec)
+              .writeStream.foreachBatch(
+                (b: DataFrame, id: Long) => sk.writeVerboseBatch(b, id))
+              .option("checkpointLocation", s"$outDir/ckpt-verbose")
+          else
+            RcStreaming.pipeline(src, users, revisions, spec)
+              .writeStream.foreachBatch(
+                (b: DataFrame, id: Long) => sk.writeBatch(b, id))
+              .option("checkpointLocation", s"$outDir/ckpt")
+        writer.trigger(trigger).start()
+      }.toEither.left.map(_.getMessage)
     }
 
   /** S1+S2: one SSE source per subscribed stream (the reference

@@ -59,6 +59,17 @@ object RcStreaming {
       "skip_repeats=true requires LOG_LEVEL >= 2")
   }
 
+  /** `spec.watermark` ("1 hour", "30 minutes", ...) as a Duration — the
+    * one state-horizon knob, shared by the watermark-timeout and
+    * TTL-based stateful operators so the two never disagree.
+    */
+  def watermarkDuration(spec: FilterSpec): java.time.Duration = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(spec.watermark))
+    require(iv.months == 0, s"watermark '${spec.watermark}' must not use months")
+    java.time.Duration.ofDays(iv.days).plus(java.time.Duration.ofNanos(iv.microseconds * 1000L))
+  }
+
   /** Full pipeline: `changes` may be a streaming OR batch DataFrame —
     * the plan is identical (Structured Streaming's batch/stream unification).
     * `users(user, editcount)` and `revisions(revid, text)` are static
@@ -269,7 +280,8 @@ object RcStreaming {
         // no event-time watermark (mixing one in trips the event-time
         // exec); fMGWS bounds state by watermark timeout instead.
         if (useTransformWithState)
-          StatefulOps.markRepeatsTws(rows.as[VerboseRow]).toDF()
+          StatefulOps.markRepeatsTws(rows.as[VerboseRow],
+            ttl = watermarkDuration(spec)).toDF()
         else
           StatefulOps.markRepeats(
             rows.withWatermark("event_time", spec.watermark).as[VerboseRow]).toDF()

@@ -37,19 +37,7 @@ object StatefulOps {
           Iterator(next)
         })
 
-  /** Verbose-mode skip-reason resolver (reference `scanner.py:120-175`
-    * `-v` semantics): per title, the FIRST eligible matching event flags
-    * the title; every later eligible event of a flagged title is a
-    * 'repeat' skip — checked BEFORE the text/race gate, exactly like
-    * `page_is_repeat` runs before `get_text`. Unlike
-    * `dropDuplicatesWithinWatermark`, dropped events are EMITTED with
-    * their reason instead of vanishing — that is the whole point of -v.
-    *
-    * State per title is one boolean; bounded by event-time timeout at
-    * the watermark horizon (the same horizon the non-verbose dedup path
-    * uses), keys hash-partitioned across executors.
-    */
-  /** The same repeat-state machine on Spark 4's transformWithState —
+  /** The repeat-state machine on Spark 4's transformWithState —
     * the successor API to flatMapGroupsWithState: explicit named state
     * variables with DECLARATIVE TTL (the runtime evicts; no manual
     * timer bookkeeping), designed for the RocksDB state store v2.
@@ -95,6 +83,18 @@ object StatefulOps {
         TimeMode.ProcessingTime, OutputMode.Append)
   }
 
+  /** Verbose-mode skip-reason resolver (reference `scanner.py:120-175`
+    * `-v` semantics): per title, the FIRST eligible matching event flags
+    * the title; every later eligible event of a flagged title is a
+    * 'repeat' skip — checked BEFORE the text/race gate, exactly like
+    * `page_is_repeat` runs before `get_text`. Unlike
+    * `dropDuplicatesWithinWatermark`, dropped events are EMITTED with
+    * their reason instead of vanishing — that is the whole point of -v.
+    *
+    * State per title is one boolean; bounded by event-time timeout at
+    * the watermark horizon (the same horizon the non-verbose dedup path
+    * uses), keys hash-partitioned across executors.
+    */
   def markRepeats(events: Dataset[RcStreaming.VerboseRow])(
       implicit spec: RcStreaming.FilterSpec):
       Dataset[RcStreaming.VerboseRow] = {
