@@ -29,6 +29,23 @@ object ExtensionQueries {
     docs.withColumn("ws", TextOps.tokens(col("text")))
       .withColumn("sh", TextOps.shingles(col("ws"), 5))
 
+  /** Shared prelude of the cluster-consuming queries: cache the MinHash
+    * candidate pairs, run path-halving connected components (certified
+    * fixpoint; see graft.operators.Clustering for the round structure
+    * and the spark.graft.cc.checkpointDir fault-tolerance option), hand
+    * the (node, label) frame to `body`, and release the cache — safe
+    * because connectedComponents eagerly localCheckpoints, so the
+    * result no longer depends on the cached pairs.
+    */
+  private def minhashClusterLabels(s: SparkSession, dir: String)(
+      body: DataFrame => DataFrame): DataFrame = {
+    val pairs = queries("dedup_minhash")(s, dir) // (a_id, b_id), a < b
+      .select(col("a_id"), col("b_id")).cache()
+    val out = body(graft.operators.Clustering.connectedComponents(s, pairs))
+    pairs.unpersist()
+    out
+  }
+
   /** (doc_id, simhash) — SimHash-32 via md5 hex-digit parity votes;
     * shared by the per-doc query and the pair-matching query.
     *
@@ -178,45 +195,33 @@ object ExtensionQueries {
     // one join + one aggregate, labels monotonically decrease, so it
     // converges in <= diameter rounds (checked per-round; duplicate
     // groups have tiny diameters). Keeper = min doc_id of the component.
-    "dedup_clusters" -> ((s, dir) => {
-      val pairs = queries("dedup_minhash")(s, dir) // (a_id, b_id), a < b
-        .select(col("a_id"), col("b_id")).cache()
-      // Path-halving min-label propagation with a certified fixpoint
-      // (throws rather than silently returning partial clusters) —
-      // see graft.operators.Clustering for the round structure and the
-      // spark.graft.cc.checkpointDir fault-tolerance option.
-      val labels = graft.operators.Clustering.connectedComponents(s, pairs)
-      val out = labels.groupBy(col("label").as("cluster_id"))
-        .agg(count(lit(1)).as("cluster_size"),
-          min(col("node")).as("keep_id"))
-        .orderBy(col("cluster_id"))
-      pairs.unpersist()
-      out
-    }),
+    "dedup_clusters" -> ((s, dir) =>
+      minhashClusterLabels(s, dir) { labels =>
+        labels.groupBy(col("label").as("cluster_id"))
+          .agg(count(lit(1)).as("cluster_size"),
+            min(col("node")).as("keep_id"))
+          .orderBy(col("cluster_id"))
+      }),
 
     // The dedup DECISION step: one keeper per near-dup cluster, chosen
     // by QUALITY (type-token ratio; ties toward the lower doc_id) — not
     // blindly by min id. Composition of the CC labels with the quality
     // scorer: docs without any near-dup pair are their own cluster.
     // One left join + one max_by aggregate past the cluster stage.
-    "dedup_keep_best" -> ((s, dir) => {
-      val pairs = queries("dedup_minhash")(s, dir)
-        .select(col("a_id"), col("b_id")).cache()
-      val labels = graft.operators.Clustering.connectedComponents(s, pairs)
-      val ws = TextOps.tokens(col("text"))
-      val scored = Tables.documents(s, dir)
-        .withColumn("ttr", round(size(array_distinct(ws)) / size(ws), 6))
-      val out = scored
-        .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
-        .withColumn("cluster_id", coalesce(col("label"), col("doc_id")))
-        .groupBy(col("cluster_id"))
-        .agg(count(lit(1)).as("n_docs"),
-          max_by(col("doc_id"), struct(col("ttr"), (-col("doc_id")).as("nd"))).as("keep_id"),
-          max(struct(col("ttr"), (-col("doc_id")).as("nd"))).getField("ttr").as("keep_ttr"))
-        .orderBy(col("cluster_id"))
-      pairs.unpersist()
-      out
-    }),
+    "dedup_keep_best" -> ((s, dir) =>
+      minhashClusterLabels(s, dir) { labels =>
+        val ws = TextOps.tokens(col("text"))
+        Tables.documents(s, dir)
+          .withColumn("ttr", round(size(array_distinct(ws)) / size(ws), 6))
+          .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+          .withColumn("cluster_id", coalesce(col("label"), col("doc_id")))
+          .groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            max_by(col("doc_id"), struct(col("ttr"), (-col("doc_id")).as("nd"))).as("keep_id"),
+            // the keeper has the cluster-max ttr by construction
+            max(col("ttr")).as("keep_ttr"))
+          .orderBy(col("cluster_id"))
+      }),
 
     // Exact n-gram Jaccard near-dup pairs, bucketed by shared shingle
     // (docs sharing zero shingles never meet — the shingle join IS the
@@ -532,6 +537,16 @@ object ExtensionQueries {
     "pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bb a JOIN bb b " +
     "ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)"
 
+  /** Recursive connected-components CTEs over `pairs` -> `labels(node,
+    * label)`; shared by the dedup_clusters and dedup_keep_best oracles
+    * so the two cluster definitions cannot drift.
+    */
+  private val ccCtes =
+    "edges AS (SELECT a_id u, b_id v FROM pairs UNION ALL SELECT b_id, a_id FROM pairs), " +
+    "reach(node, r) AS (SELECT DISTINCT u, u FROM edges " +
+    "UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.node), " +
+    "labels AS (SELECT node, MIN(r) AS label FROM reach GROUP BY node)"
+
   def oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
       ("SELECT md5(text) AS content_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS n_copies " +
@@ -540,19 +555,11 @@ object ExtensionQueries {
       (s"WITH $minhashPairsCtes " +
        "SELECT a_id, b_id FROM pairs ORDER BY a_id, b_id"),
     "dedup_clusters" ->
-      (s"WITH RECURSIVE $minhashPairsCtes, " +
-       "edges AS (SELECT a_id u, b_id v FROM pairs UNION ALL SELECT b_id, a_id FROM pairs), " +
-       "reach(node, r) AS (SELECT DISTINCT u, u FROM edges " +
-       "UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.node) " +
-       "SELECT label AS cluster_id, COUNT(*) AS cluster_size, CAST(MIN(node) AS BIGINT) AS keep_id FROM " +
-       "(SELECT node, MIN(r) AS label FROM reach GROUP BY node) " +
-       "GROUP BY label ORDER BY cluster_id"),
+      (s"WITH RECURSIVE $minhashPairsCtes, $ccCtes " +
+       "SELECT label AS cluster_id, COUNT(*) AS cluster_size, CAST(MIN(node) AS BIGINT) AS keep_id " +
+       "FROM labels GROUP BY label ORDER BY cluster_id"),
     "dedup_keep_best" ->
-      (s"WITH RECURSIVE $minhashPairsCtes, " +
-       "edges AS (SELECT a_id u, b_id v FROM pairs UNION ALL SELECT b_id, a_id FROM pairs), " +
-       "reach(node, r) AS (SELECT DISTINCT u, u FROM edges " +
-       "UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.node), " +
-       "labels AS (SELECT node, MIN(r) AS label FROM reach GROUP BY node), " +
+      (s"WITH RECURSIVE $minhashPairsCtes, $ccCtes, " +
        "scored AS (SELECT doc_id, round(len(list_distinct(string_split(text, ' '))) / " +
        "len(string_split(text, ' ')), 6) ttr FROM documents), " +
        "clustered AS (SELECT s.doc_id, s.ttr, COALESCE(l.label, s.doc_id) cluster_id " +

@@ -80,17 +80,30 @@ class ExtensionInvariantsSpec extends SparkSpec {
   }
 
   test("keep-best dedup: every doc in exactly one cluster, keeper wins on quality") {
+    import org.apache.spark.sql.functions.{array_distinct, col, round, size}
     val rows = q("dedup_keep_best")
-      .select("cluster_id", "n_docs", "keep_id")
-      .as[(Long, Long, Long)].collect()
+      .select("cluster_id", "n_docs", "keep_id", "keep_ttr")
+      .as[(Long, Long, Long, Double)].collect()
     assert(rows.map(_._2).sum === 500L) // partition of the corpus
     // keepers of the clustered groups agree with dedup_clusters' groups
     val clusters = q("dedup_clusters").select("cluster_id").as[Long].collect().toSet
     assert(clusters.subsetOf(rows.map(_._1).toSet))
-    // min-id keeper (dedup_clusters) and quality keeper may differ — the
-    // quality keeper must have ttr >= the min-id doc's ttr by definition
     val multi = rows.filter(_._2 > 1)
     assert(multi.nonEmpty)
+    // the QUALITY property itself: within every multi-doc cluster the
+    // keeper's ttr must be >= the ttr of the min-id doc (the keeper
+    // dedup_clusters would have picked) — a blind min-id revert fails
+    val ws = graft.operators.TextOps.tokens(col("text"))
+    val ttr = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), round(size(array_distinct(ws)) / size(ws), 6).as("ttr"))
+      .as[(Long, Double)].collect().toMap
+    val minIdKeeper = q("dedup_clusters")
+      .select("cluster_id", "keep_id").as[(Long, Long)].collect().toMap
+    multi.foreach { case (cid, _, keepId, keepTtr) =>
+      assert(keepTtr === ttr(keepId), "keep_ttr must be the keeper's own ttr... or the cluster max")
+      assert(keepTtr >= ttr(minIdKeeper(cid)),
+        s"cluster $cid: quality keeper $keepId (ttr $keepTtr) worse than min-id keeper")
+    }
   }
 
   test("cosine top-k scores are sorted and within [-1, 1]") {
