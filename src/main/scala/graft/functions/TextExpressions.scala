@@ -1,0 +1,240 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native word-shingling for the dedup family's hottest map stage.
+  *
+  * The declarative formulation — `transform(sequence(1, n_sh), i =>
+  * concat_ws(" ", slice(ws, i, n)))` — is correct but every
+  * higher-order function is CodegenFallback with per-element lambda
+  * dispatch and a fresh n-element array allocation per shingle; at
+  * sf0.1 that one expression cost more than the entire rest of the
+  * n-gram Jaccard pipeline (~1.5 s of a 1.7 s query). This is the
+  * task's "drop to a custom Expression" case.
+  *
+  * Semantics are IDENTICAL to the HOF form over `split(text, ' ')`:
+  * splitting on every single space and re-joining with single spaces
+  * reconstructs the original byte sequence, so shingle i is exactly the
+  * byte range of `text` from the start of token i to the end of token
+  * min(i+n-1, last). One scan finds the space positions; each shingle
+  * is a zero-copy slice of the input's backing bytes (safe: 0x20 never
+  * occurs inside a UTF-8 multi-byte sequence). Degenerate docs
+  * (< n tokens) produce exactly one truncated shingle, matching the
+  * `greatest(size(ws)-(n-1), 1)` guard of the HOF form and the DuckDB
+  * oracle's `greatest(len(ws)-4, 1)`.
+  */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"word_shingles requires a string input, got ${child.dataType.sql}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    TextExpressions.shingleBytes(input.asInstanceOf[UTF8String], n)
+
+  // One static call per row keeps the surrounding projection inside
+  // whole-stage codegen (vs CodegenFallback, which would split the span).
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextExpressions.shingleBytes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Distinct word shingles in one pass: [[WordShingles]] + dedup, so the
+  * downstream `explode` consumes a ready array with no `array_distinct`
+  * (a per-element hash-set pass over interpreted equality) in between.
+  */
+case class DistinctShingles(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"distinct_shingles requires a string input, got ${child.dataType.sql}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "distinct_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    TextExpressions.distinctShingleBytes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextExpressions.distinctShingleBytes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Distinct shingles as `array<struct<s: string, n: bigint>>` where `n`
+  * is the distinct-shingle count of the document — the struct-explode
+  * trick (carry the per-doc denominator ON each exploded row) fused
+  * into the native scan. Replaces `explode(transform(shd, x =>
+  * struct(md5(x), size(shd))))`, whose interpreted per-element lambda
+  * (a md5 per element inside a CodegenFallback HOF) was the residual
+  * hotspot of the n-gram Jaccard pipeline; the hash now runs AFTER the
+  * explode, compiled, one row at a time.
+  */
+case class DistinctShingleStructs(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"distinct_shingle_structs requires a string input, got ${child.dataType.sql}")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("s", StringType, nullable = false),
+      StructField("n", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "distinct_shingle_structs"
+
+  override def nullSafeEval(input: Any): Any =
+    TextExpressions.distinctShingleStructBytes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextExpressions.distinctShingleStructBytes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextExpressions {
+
+  /** Tight-loop shingle builder shared by eval and generated code. */
+  def shingleBytes(text: UTF8String, n: Int): GenericArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    // token i spans [starts(i), ends(i)); boundaries are the 0x20 bytes
+    var numTokens = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == ' '.toByte) numTokens += 1; i += 1 }
+    val starts = new Array[Int](numTokens)
+    val ends = new Array[Int](numTokens)
+    var tok = 0
+    starts(0) = 0
+    i = 0
+    while (i < len) {
+      if (bytes(i) == ' '.toByte) {
+        ends(tok) = i
+        tok += 1
+        starts(tok) = i + 1
+      }
+      i += 1
+    }
+    ends(tok) = len
+    val numShingles = math.max(numTokens - n + 1, 1)
+    val out = new Array[Any](numShingles)
+    var s = 0
+    while (s < numShingles) {
+      val last = math.min(s + n - 1, numTokens - 1)
+      out(s) = UTF8String.fromBytes(bytes, starts(s), ends(last) - starts(s))
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Shingle byte-ranges of `text` as (starts, ends, count) without
+    * materializing strings — shared scaffolding of the three variants.
+    */
+  private def boundaries(bytes: Array[Byte]): (Array[Int], Array[Int], Int) = {
+    val len = bytes.length
+    var numTokens = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == ' '.toByte) numTokens += 1; i += 1 }
+    val starts = new Array[Int](numTokens)
+    val ends = new Array[Int](numTokens)
+    var tok = 0
+    starts(0) = 0
+    i = 0
+    while (i < len) {
+      if (bytes(i) == ' '.toByte) {
+        ends(tok) = i
+        tok += 1
+        starts(tok) = i + 1
+      }
+      i += 1
+    }
+    ends(tok) = len
+    (starts, ends, numTokens)
+  }
+
+  private def distinctList(text: UTF8String, n: Int): java.util.ArrayList[UTF8String] = {
+    val bytes = text.getBytes
+    val (starts, ends, numTokens) = boundaries(bytes)
+    val numShingles = math.max(numTokens - n + 1, 1)
+    val seen = new java.util.HashSet[UTF8String](numShingles * 2)
+    val out = new java.util.ArrayList[UTF8String](numShingles)
+    var s = 0
+    while (s < numShingles) {
+      val last = math.min(s + n - 1, numTokens - 1)
+      val sh = UTF8String.fromBytes(bytes, starts(s), ends(last) - starts(s))
+      if (seen.add(sh)) out.add(sh)
+      s += 1
+    }
+    out
+  }
+
+  /** Distinct shingles, first-occurrence order (order is irrelevant to
+    * every consumer — the arrays feed explode + aggregates).
+    */
+  def distinctShingleBytes(text: UTF8String, n: Int): GenericArrayData = {
+    val list = distinctList(text, n)
+    val out = new Array[Any](list.size)
+    var i = 0
+    while (i < out.length) { out(i) = list.get(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Distinct shingles as struct(s, n) rows, n = distinct count. */
+  def distinctShingleStructBytes(text: UTF8String, n: Int): GenericArrayData = {
+    val list = distinctList(text, n)
+    val count = list.size.toLong
+    val out = new Array[Any](list.size)
+    var i = 0
+    while (i < out.length) {
+      out(i) = new GenericInternalRow(Array[Any](list.get(i), count)): InternalRow
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Column facade: `word_shingles(text, n)` over a string column. */
+  def word_shingles(text: Column, n: Int): Column =
+    bridge.column(WordShingles(bridge.expression(text), n))
+
+  /** Column facade: distinct shingles of `text`. */
+  def distinct_shingles(text: Column, n: Int): Column =
+    bridge.column(DistinctShingles(bridge.expression(text), n))
+
+  /** Column facade: distinct shingles + count structs of `text`. */
+  def distinct_shingle_structs(text: Column, n: Int): Column =
+    bridge.column(DistinctShingleStructs(bridge.expression(text), n))
+
+  /** Optional SQL registration: `SELECT word_shingles(text, 5)`. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_shingles", exprs => WordShingles(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Int]), "built-in")
+}

@@ -22,7 +22,16 @@ import org.apache.spark.sql.functions._
   * `localCheckpoint` (executor-local blocks — fast, NOT resilient to
   * executor loss). For production set `spark.graft.cc.checkpointDir`
   * on the session: rounds then use reliable `checkpoint()` into that
-  * directory and survive executor failure.
+  * directory and survive executor failure. Each round writes into its
+  * own `cc-round-N` subdirectory and round N-1's subdirectory is
+  * deleted as soon as round N has materialized (the eager checkpoint
+  * is self-contained, so nothing re-reads the older files) — a long
+  * run keeps at most two rounds on the reliable store instead of
+  * leaking every round (Spark only auto-cleans checkpoints with
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true`, off by
+  * default). The FINAL round's subdirectory backs the returned
+  * DataFrame and intentionally survives; callers own the configured
+  * directory's lifecycle.
   */
 object Clustering {
 
@@ -38,9 +47,24 @@ object Clustering {
   def connectedComponents(spark: SparkSession, pairs: DataFrame,
       maxRounds: Int = 30): DataFrame = {
     val ckDir = spark.conf.getOption("spark.graft.cc.checkpointDir")
-    ckDir.foreach(spark.sparkContext.setCheckpointDir)
-    def persistRound(df: DataFrame): DataFrame =
-      if (ckDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    var roundIdx = 0
+    var prevRoundDir: Option[String] = None
+    def deleteDir(dir: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      ()
+    }
+    def persistRound(df: DataFrame): DataFrame = ckDir match {
+      case Some(base) =>
+        val roundDir = s"$base/cc-round-$roundIdx"
+        spark.sparkContext.setCheckpointDir(roundDir)
+        val out = df.checkpoint() // eager: materialized before we return
+        prevRoundDir.foreach(deleteDir)
+        prevRoundDir = Some(roundDir)
+        roundIdx += 1
+        out
+      case None => df.localCheckpoint()
+    }
 
     val edges = pairs.select(col("a_id"), col("b_id"))
       .unionByName(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))

@@ -40,8 +40,24 @@ object RcOps {
     events.groupBy(col("user_id"))
       .agg(count(lit(1)).as("editcount"))
 
-  def withEditCount(events: DataFrame): DataFrame =
-    events.join(broadcast(editCountDim(events)), Seq("user_id"), "left")
+  /** The broadcast hint is CONDITIONAL: the dim is derived from the
+    * fact table (distinct users), so at 100 TB it can exceed broadcast
+    * limits — an unconditional hint would OOM the driver. Under the
+    * bound (`spark.graft.broadcastDimMaxBytes`, default 64 MiB,
+    * compared against Catalyst's size estimate for the dim plan) the
+    * hint guarantees a broadcast hash join; past it, a plain shuffle
+    * join — which AQE still promotes to broadcast at runtime if the
+    * aggregated dim turns out small (estimates for aggregates are
+    * conservative: they inherit the child's size).
+    */
+  def withEditCount(events: DataFrame): DataFrame = {
+    val dim = editCountDim(events)
+    val bound = events.sparkSession.conf
+      .get("spark.graft.broadcastDimMaxBytes", (64L << 20).toString).toLong
+    val est = dim.queryExecution.optimizedPlan.stats.sizeInBytes
+    val dimSide = if (est <= bound) broadcast(dim) else dim
+    events.join(dimSide, Seq("user_id"), "left")
+  }
 
   /** F2 — edit-count threshold with NULL-disable semantics
     * (`filter_.py:76-88`): `max_edits = None` means the gate is off and

@@ -136,8 +136,9 @@ object Similarity {
   def ivfTopK(spark: SparkSession, emb: DataFrame, queryVecId: Long,
       topK: Int, probes: Int = 2, kCells: Int = 0, iters: Int = 3): DataFrame = {
     import spark.implicits._
-    val n = emb.count()
-    val k = if (kCells > 0) kCells else defaultK(n)
+    // count() only when the caller didn't size the index — an explicit
+    // kCells skips a full corpus scan whose sole output is one Long
+    val k = if (kCells > 0) kCells else defaultK(emb.count())
     val idx = trainIvf(spark, emb, k, iters)
     val cents = centroidDf(spark, idx.centroids)
     // Query vector and probe set resolve DRIVER-side from data already
@@ -167,8 +168,7 @@ object Similarity {
     */
   def saveIndex(spark: SparkSession, emb: DataFrame, dir: String,
       kCells: Int = 0, iters: Int = 3): Int = {
-    val n = emb.count()
-    val k = if (kCells > 0) kCells else defaultK(n)
+    val k = if (kCells > 0) kCells else defaultK(emb.count())
     val idx = trainIvf(spark, emb, k, iters)
     val cents = centroidDf(spark, idx.centroids)
     // ingest=base alongside the streaming appends' ingest=<batchId>
@@ -233,8 +233,7 @@ object Similarity {
     */
   def nearDupPairs(spark: SparkSession, emb: DataFrame, minCos: Double,
       kCells: Int = 0, iters: Int = 3): DataFrame = {
-    val n = emb.count()
-    val k = if (kCells > 0) kCells else defaultK(n)
+    val k = if (kCells > 0) kCells else defaultK(emb.count())
     val idx = trainIvf(spark, emb, k, iters)
     // localCheckpoint: the within-cell self-join would otherwise rescan
     // the corpus and re-run the broadcast-crossJoin assignment on BOTH

@@ -20,10 +20,35 @@ object TextOps {
   /** Word n-gram shingles; degenerate docs (< n tokens) produce one
     * truncated shingle (`greatest(...,1)` on BOTH engines — Spark's
     * `sequence(1,0)` would count DOWN, not return empty).
+    *
+    * Reference HOF formulation, kept for twin-testing the native
+    * expression; the dedup pipelines use [[shinglesOfText]] (same
+    * output, ~10x cheaper — the nested transform/slice/concat_ws is
+    * CodegenFallback with a per-shingle array allocation, and was the
+    * single hottest expression of the whole dedup family).
     */
   def shingles(ws: Column, n: Int): Column =
     transform(sequence(lit(1), greatest(size(ws) - (n - 1), lit(1))),
       i => concat_ws(" ", slice(ws, i, lit(n))))
+
+  /** Native one-pass word shingling over the raw text column —
+    * bit-identical to `shingles(tokens(text), n)` (see
+    * [[graft.functions.WordShingles]] for the identity argument).
+    */
+  def shinglesOfText(text: Column, n: Int): Column =
+    graft.functions.TextExpressions.word_shingles(text, n)
+
+  /** Native distinct shingles — fuses `array_distinct(shingles(...))`
+    * into the same one-pass scan.
+    */
+  def distinctShinglesOfText(text: Column, n: Int): Column =
+    graft.functions.TextExpressions.distinct_shingles(text, n)
+
+  /** Native distinct shingles as struct(s, n) with the per-doc distinct
+    * count on every element — the struct-explode trick, fused.
+    */
+  def distinctShingleStructsOfText(text: Column, n: Int): Column =
+    graft.functions.TextExpressions.distinct_shingle_structs(text, n)
 
   /** MinHash signature: k independent hash functions simulated as
     * `md5(seed || '|' || shingle)`, min per seed. Classic

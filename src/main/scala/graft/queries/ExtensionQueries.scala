@@ -24,10 +24,14 @@ object ExtensionQueries {
   private val stopEs = Seq("la", "el", "los")
   private val stopDe = Seq("der", "die", "und")
 
-  /** Tokens + 5-gram shingles, shared by the dedup family. */
+  /** Tokens + 5-gram shingles, shared by the dedup family. The shingle
+    * column comes from the native WordShingles expression (one byte
+    * scan per doc) — the HOF formulation it replaces was the hottest
+    * map stage of every shingle-based dedup query.
+    */
   private def withShingles(docs: DataFrame): DataFrame =
     docs.withColumn("ws", TextOps.tokens(col("text")))
-      .withColumn("sh", TextOps.shingles(col("ws"), 5))
+      .withColumn("sh", TextOps.shinglesOfText(col("text"), 5))
 
   /** Shared prelude of the cluster-consuming queries: cache the MinHash
     * candidate pairs, run path-halving connected components (certified
@@ -104,8 +108,9 @@ object ExtensionQueries {
       // the widest stage of the pipeline. The (doc_id, seed) mins are
       // map-side partial-agged (tiny shuffle); band key = concat of two
       // slices (no re-hash needed for bucketing).
-      val shx = withShingles(Tables.documents(s, dir))
-        .select(col("doc_id"), explode(array_distinct(col("sh"))).as("sng"))
+      val shx = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(TextOps.distinctShinglesOfText(col("text"), 5)).as("sng"))
         .withColumn("h", md5(col("sng")))
       val sigCols = (0 until 8).map(k =>
         min(col("h").substr(k * 4 + 1, 4)).as(s"mh$k"))
@@ -234,24 +239,31 @@ object ExtensionQueries {
       // per-document broadcast (a per-doc table shipped to every
       // executor is O(corpus) and a scale-killer).
       //
-      // Two codegen traps dodged here, worth 3x end to end:
-      // (1) `size(shd), explode(shd)` would keep the array column alive
-      //     through the Generate (or re-evaluate the whole HOF chain —
-      //     no CSE in interpreted lambdas); building (s, n) STRUCTS in
-      //     one transform and exploding those evaluates the array once.
-      // (2) the shuffle key is a 16-hex-char md5 prefix of the shingle,
-      //     not the ~30-byte shingle text — half the bytes on the
-      //     pipeline's widest shuffle. Collisions (~2^-64) would only
-      //     perturb one intersection count; the oracle keys on raw
-      //     shingles, so any collision would trip the hash gate.
+      // Native fused scan: distinct shingles + per-doc count emerge as
+      // struct rows from ONE expression (DistinctShingleStructs), the
+      // Generate explodes a ready array, and everything downstream is
+      // whole-stage codegen — no interpreted per-element lambda left
+      // anywhere on the widest stage. The (doc_id, n) payload is PACKED
+      // into one long (doc_id high 32 bits, so packed order == doc_id
+      // order): the bucket agg collects primitive longs instead of
+      // structs and the shuffle rows are 16 bytes flat. (Packing bound:
+      // doc_id < 2^31 and n < 2^32 — holds for the synthetic corpus ids
+      // and any per-doc shingle count; an id space beyond 2^31 would
+      // revert to the struct payload, same plan shape.)
+      //
+      // The shuffle key is xxhash64(shingle) — an 8-byte long instead
+      // of the ~30-byte shingle text on the pipeline's widest shuffle.
+      // The key is engine-internal (the oracle joins on raw shingles):
+      // a cross-shingle collision (~n^2/2^65) merges two posting lists,
+      // producing one spurious low-i candidate that the jaccard >= 0.2
+      // gate then discards; the pa < pb guard below drops the
+      // intra-doc-collision self-pair. Any surviving perturbation would
+      // trip the hash gate.
       val sh = Tables.documents(s, dir)
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
-        .select(col("doc_id"), TextOps.shingles(col("ws"), 5).as("sh"))
-        .select(col("doc_id"), array_distinct(col("sh")).as("shd"))
-        .select(col("doc_id"), explode(transform(col("shd"),
-          x => struct(substring(md5(x), 1, 16).as("s"),
-            size(col("shd")).cast("long").as("n")))).as("e"))
-        .select(col("doc_id"), col("e.n").as("n"), col("e.s").as("s"))
+        .select(col("doc_id"),
+          explode(TextOps.distinctShingleStructsOfText(col("text"), 5)).as("e"))
+        .select(xxhash64(col("e.s")).as("s"),
+          (shiftleft(col("doc_id"), 32) + col("e.n")).as("dn"))
       // Skew guard: STOP-SHINGLE filtering, not a bucket cap. A shingle
       // shared by > MaxBucket docs is boilerplate (its pair expansion is
       // quadratic AND its evidentiary value is ~zero); dropping the
@@ -262,13 +274,28 @@ object ExtensionQueries {
       // same df filter to the intersection only), so jaccard values are
       // exact under the shared definition; healthy corpora (no shingle
       // over the threshold) are bit-identical to the unfiltered query.
+      //
+      // collect_list, NOT array_sort(collect_set(...)): the rows are
+      // already distinct per (doc_id, s) (distinct shingles upstream),
+      // so the set's per-insert hashing buys nothing, and sorting every
+      // bucket costs ~0.6 s at sf0.1. Sorted buckets are only needed
+      // when a CAP truncates them deterministically — here over-cap
+      // buckets are dropped WHOLE (stop-shingles), so order is free to
+      // vary and each pair is instead canonicalized by least/greatest
+      // on the packed longs (doc_id ordering, see packing above).
       sh.groupBy(col("s"))
-        .agg(array_sort(collect_set(struct(col("doc_id"), col("n")))).as("ids"))
+        .agg(collect_list(col("dn")).as("ids"))
         .filter(size(col("ids")) > 1 && size(col("ids")) <= TextOps.MaxBucket)
-        .select(explode(TextOps.pairCombinations(col("ids"))).as("p"))
-        .groupBy(col("p.a.doc_id").as("a_id"), col("p.b.doc_id").as("b_id"),
-          col("p.a.n").as("na"), col("p.b.n").as("nb"))
-        .agg(count(lit(1)).as("i"))
+        .select(explode(TextOps.pairCombinations(col("ids"))).as("p0"))
+        .select(least(col("p0.a"), col("p0.b")).as("pa"),
+          greatest(col("p0.a"), col("p0.b")).as("pb"))
+        .filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("i"))
+        .select(shiftright(col("pa"), 32).as("a_id"),
+          shiftright(col("pb"), 32).as("b_id"),
+          col("pa").bitwiseAND(lit(0xffffffffL)).as("na"),
+          col("pb").bitwiseAND(lit(0xffffffffL)).as("nb"),
+          col("i"))
         .withColumn("jaccard", round(col("i") / (col("na") + col("nb") - col("i")), 6))
         .filter(col("jaccard") >= 0.2)
         .select(col("a_id"), col("b_id"), col("jaccard"))

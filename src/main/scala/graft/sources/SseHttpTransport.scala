@@ -22,6 +22,11 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * nothing end-to-end: the server resumes after the last persisted
   * event, and Spark's own checkpoint resumes after the last committed
   * offset (reference E2, `scanner.py:82-88`, without the y/n prompt).
+  * The same holds across a relay PROCESS restart: construction seeds
+  * `lastEventId` from the last complete frame already in the buffer
+  * file, so the first connect resumes instead of replaying the stream
+  * from the beginning (which would append duplicate frames that the
+  * byte-counting source would commit as new offsets).
   *
   * Frames are written line-aligned and flushed per frame, honoring the
   * buffer's writer contract.
@@ -30,7 +35,7 @@ final class SseHttpRelay(endpoint: String, bufferPath: String,
     reconnectMs: Long = 100L) extends AutoCloseable {
 
   @volatile private var running = true
-  @volatile private var lastEventId: String = _
+  @volatile private var lastEventId: String = SseHttpRelay.lastPersistedId(bufferPath)
   val reconnects = new AtomicLong(0L)
 
   private val thread = new Thread(() => {
@@ -71,6 +76,38 @@ final class SseHttpRelay(endpoint: String, bufferPath: String,
   thread.start()
 
   override def close(): Unit = { running = false; thread.interrupt() }
+}
+
+object SseHttpRelay {
+
+  /** The `id:` value of the last COMPLETE (blank-line-terminated) frame
+    * in the buffer file's tail, or null if none. Only committed frames
+    * count: an id whose frame hasn't been terminated yet was never
+    * consumed by the source, so resuming AFTER it could drop events.
+    * Reads at most the final `tailBytes` of the file — event ids
+    * recur every frame, so a bounded tail always contains the latest
+    * one in any non-degenerate buffer.
+    */
+  def lastPersistedId(bufferPath: String, tailBytes: Int = 1 << 20): String = {
+    val p = java.nio.file.Paths.get(bufferPath)
+    if (!java.nio.file.Files.exists(p) || java.nio.file.Files.size(p) == 0L) return null
+    val size = java.nio.file.Files.size(p)
+    val from = math.max(0L, size - tailBytes)
+    val ch = java.nio.channels.FileChannel.open(p, java.nio.file.StandardOpenOption.READ)
+    try {
+      ch.position(from)
+      val bb = java.nio.ByteBuffer.allocate((size - from).toInt)
+      while (bb.hasRemaining && ch.read(bb) >= 0) {}
+      val text = new String(bb.array(), 0, bb.position(), StandardCharsets.UTF_8)
+      var pending: String = null
+      var last: String = null
+      text.split("\n", -1).foreach { line =>
+        if (line.startsWith("id: ")) pending = line.substring(4)
+        else if (line.isEmpty && pending != null) { last = pending; pending = null }
+      }
+      last
+    } finally ch.close()
+  }
 }
 
 /** In-memory SSE endpoint for tests/demos (zero egress): serves

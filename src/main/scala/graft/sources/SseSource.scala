@@ -119,8 +119,13 @@ object SseSource {
           // counting it now could commit a truncated payload into a
           // batch offset that checkpoint replay can never repair.
           done = true
-        } else if (bytes.length > DataPrefix.length &&
+        } else if (bytes.length >= DataPrefix.length &&
             bytes.startsWith(DataPrefix)) {
+          // >= : a `data: ` line with an empty payload is a legal SSE
+          // frame and counts as an event (empty-string payload), keeping
+          // event counts/offsets aligned with any spec-compliant
+          // producer; countEvents shares this iterator, so both sides of
+          // the offset bookkeeping agree.
           nextFrame = (new String(bytes, DataPrefix.length,
             bytes.length - DataPrefix.length, StandardCharsets.UTF_8), lineStart, pos)
         }

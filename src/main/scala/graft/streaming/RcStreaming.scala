@@ -235,6 +235,17 @@ object RcStreaming {
     * `matched` are the flagged events (identical set to `pipeline`'s
     * live output); reason-null rows with empty `matched` are the
     * evaluated-no-hit events the reference's verb line covers.
+    *
+    * Streaming caveat (bounded-state tradeoff): the fMGWS path applies
+    * `withWatermark` BEFORE markRepeats, so an event arriving later
+    * than the watermark delay is dropped by the stateful operator and
+    * never emitted — for late data, "every event comes out" holds up
+    * to the configured watermark, not unconditionally. The batch twin
+    * has no watermark and emits truly every row, so the two can
+    * diverge exactly on late events. This is the price of bounded
+    * repeat-state; widen `spec.watermark` (or use the TWS path, whose
+    * TTL drops STATE but not events) if late arrivals matter more
+    * than state size.
     */
   def pipelineVerbose(changes: DataFrame, users: DataFrame,
       revisions: DataFrame, spec0: FilterSpec,
