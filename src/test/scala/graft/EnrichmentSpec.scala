@@ -77,6 +77,55 @@ class EnrichmentSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("per-site routing: each event's lookups hit its own wiki's API") {
+    def siteJson(id: Long, site: String, user: String, rev: Long): String =
+      changeJson(id, s"User:X$id", user, rev)
+        .replace("en.wikipedia.org", site)
+    val inDir = Files.createTempDirectory("multisite").toString
+    Files.writeString(java.nio.file.Path.of(s"$inDir/b.json"), Seq(
+      siteJson(21, "aa.example.org", "shareduser", 500),
+      siteJson(22, "bb.example.org", "shareduser", 500), // same user+rev, other wiki
+      siteJson(23, "cc.example.org", "orphan", 501)      // site with NO endpoint
+    ).mkString("\n"))
+    // The SAME username and the SAME revision id exist on both wikis
+    // with different data — only per-site routing can tell them apart.
+    val srvA = new StubApiServer(Map("shareduser" -> 1L), Map(500L -> "userbox alpha"))
+    val srvB = new StubApiServer(Map("shareduser" -> 2L), Map(500L -> "plain beta"))
+    try {
+      val apis = Map("aa.example.org" -> srvA.url, "bb.example.org" -> srvB.url)
+      val spec = RcStreaming.FilterSpec(Map("type" -> Seq("edit")), None,
+        skipRepeats = false, regexes = Seq("userbox"))
+      val batch = spark.read.schema(ChangeSchema.change).json(inDir)
+      val live = RcStreaming.livePipelineBySite(batch, apis, spec, emitDeadLetter = true)
+      val rows = live.select("id", "matched", "text", "dead_letter")
+        .as[(Long, String, Option[String], Boolean)].collect().sortBy(_._1).toSeq
+      // event 21 got wiki A's text (match); 22 got wiki B's text (a
+      // cross-routed lookup would have matched "userbox alpha" — the
+      // match gate drops its no-hit row instead); 23's site has no
+      // endpoint -> race dead-letter
+      assert(rows === Seq(
+        (21L, "userbox", Some("userbox alpha"), false),
+        (23L, "", None, true)))
+      // both endpoints were actually consulted (no cross-site fan-out)
+      assert(srvA.requests.get() > 0 && srvB.requests.get() > 0)
+      // twin-equivalence with static per-site dims on the same input
+      import spark.implicits._
+      val staticUsers = Seq(
+        ("aa.example.org", "shareduser", 1L),
+        ("bb.example.org", "shareduser", 2L)).toDF("server_name", "user", "editcount")
+      val staticRevs = Seq(
+        ("aa.example.org", 500L, "userbox alpha"),
+        ("bb.example.org", 500L, "plain beta")).toDF("server_name", "revid", "text")
+      val static0 = RcStreaming.pipeline(batch, staticUsers, staticRevs, spec,
+        emitDeadLetter = true)
+      val s = static0.select("id", "matched", "text", "dead_letter")
+        .as[(Long, String, Option[String], Boolean)].collect().sortBy(_._1).toSeq
+      val l = live.select("id", "matched", "text", "dead_letter")
+        .as[(Long, String, Option[String], Boolean)].collect().sortBy(_._1).toSeq
+      assert(l === s)
+    } finally { srvA.close(); srvB.close() }
+  }
+
   test("streaming foreachBatch live job runs end to end") {
     val inDir = Files.createTempDirectory("livestream").toString
     val outDir = Files.createTempDirectory("liveout").toString

@@ -106,6 +106,28 @@ class ExtensionInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("langid: genuinely multilingual sentences classify correctly") {
+    import org.apache.spark.sql.functions.col
+    val fixtures = Seq(
+      ("the quick result of a scan", "en"),
+      ("el vector de los datos que guardamos", "es"),
+      ("der hund und die katze laufen fast", "de"),
+      ("le chat et la table dans les jardins", "fr"),
+      ("xyzzy qwerty plugh", "und"))
+    val got = fixtures.map(_._1).toDF("text")
+      .select(col("text"),
+        graft.queries.ExtensionQueries.langidPrediction(col("text")).as("pred"))
+      .as[(String, String)].collect().toMap
+    fixtures.foreach { case (text, want) =>
+      assert(got(text) === want, s"for: $text")
+    }
+  }
+
+  test("langid on the corpus exercises at least three branches") {
+    val preds = q("text_langid").select("pred_lang").as[String].collect().toSet
+    assert(preds.size >= 3, s"degenerate predictor, only: $preds")
+  }
+
   test("cosine top-k scores are sorted and within [-1, 1]") {
     val sims = q("sim_cosine_topk").as[(Long, Double)].collect().map(_._2)
     assert(sims.toSeq === sims.sorted.reverse.toSeq)

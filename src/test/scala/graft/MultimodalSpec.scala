@@ -46,6 +46,56 @@ class MultimodalSpec extends SparkSpec {
     assert(resized.map(_.payload.toSeq).toSeq === again.map(_.payload.toSeq).toSeq)
   }
 
+  test("PGM codec: encode/decode round-trip with known pixels; quirky headers parse") {
+    val img = Multimodal.PgmImage(4, 2, 255,
+      Array[Byte](0, 10, 20, 30, 40, 50, 60, 70))
+    val back = Multimodal.decodePgm(Multimodal.encodePgm(img)).get
+    assert(back.width === 4 && back.height === 2 && back.maxVal === 255)
+    assert(back.pixels.toSeq === img.pixels.toSeq)
+    assert(back.pixel(2, 1) === 60)
+    // comment- and whitespace-tolerant header per the netpbm spec
+    val quirky = "P5 # a comment\n 2 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](7, 9)
+    val q = Multimodal.decodePgm(quirky).get
+    assert(q.width === 2 && q.height === 1 && q.pixels.toSeq === Seq[Byte](7, 9))
+    // truncated raster / non-PGM bytes are rejected, not mangled
+    assert(Multimodal.decodePgm("P5\n3 3\n255\nxy".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.decodePgm("hello world".getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("PGM resize operates on real pixels end-to-end through the Dataset op") {
+    // 4x4 gradient 0..15; nearest-neighbor to 2x2 keeps rows 0,2 and
+    // cols 0,2 -> exactly pixels 0, 2, 8, 10
+    val src = Multimodal.PgmImage(4, 4, 255, Array.tabulate(16)(_.toByte))
+    val assets = Seq(Multimodal.Asset(1L, "image",
+      Multimodal.encodePgm(src), "s")).toDS()
+    val out = Multimodal.resize(assets, w = 2, h = 2).collect().head
+    val outImg = Multimodal.decodePgm(out.payload).get
+    assert(outImg.width === 2 && outImg.height === 2)
+    assert(outImg.pixels.toSeq === Seq[Byte](0, 2, 8, 10))
+  }
+
+  test("PGM features: luminance histogram over pixels, not header bytes") {
+    val img = Multimodal.PgmImage(2, 2, 255, Array[Byte](0, 0, -1, -1)) // 0,0,255,255
+    val f = Multimodal.decodeFeatures(Multimodal.encodePgm(img))
+    assert(f(0) === 0.5f && f(Multimodal.FeatureDim - 1) === 0.5f)
+    assert(f.sum === 1.0f)
+  }
+
+  test("PGM container frame sampling splits at real image boundaries") {
+    val frames = (0 until 3).map(i =>
+      Multimodal.PgmImage(2, 1, 255, Array[Byte]((10 * i).toByte, (10 * i + 1).toByte)))
+    val container = frames.map(Multimodal.encodePgm).reduce(_ ++ _)
+    val assets = Seq(Multimodal.Asset(7L, "video", container, "s")).toDS()
+    val got = Multimodal.sampleFrames(assets, frameBytes = 16, stride = 2)
+      .orderBy("frame_idx").collect()
+    assert(got.map(_.frame_idx).toSeq === Seq(0, 2))
+    assert(got.forall(_.n_frames_total === 3))
+    got.foreach { fr =>
+      val img = Multimodal.decodePgm(fr.frame).get
+      assert(img.pixels.toSeq === frames(fr.frame_idx).pixels.toSeq)
+    }
+  }
+
   test("frame sampling fans one asset into strided frame rows") {
     val one = Multimodal.assetsFromDocuments(spark, sf0001)
       .filter(col("asset_id") === 1)

@@ -31,6 +31,32 @@ class RcOpsSpec extends SparkSpec {
     assert(got === List(List("(?i)\\buserbox(e[ns])?\\b", "box"), Nil, Nil))
   }
 
+  test("J1 withEditCount: broadcast under the size bound, shuffle join past it") {
+    val events = Seq((1L, 10L), (2L, 10L), (3L, 11L)).toDF("event_id", "user_id")
+    def joinKinds(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString()
+    // default bound (64 MiB) dwarfs this dim -> broadcast hash join
+    val small = RcOps.withEditCount(events)
+    assert(joinKinds(small).contains("BroadcastHashJoin"),
+      "tiny dim must take the broadcast path")
+    assert(small.count() === 3)
+    // bound of 0 simulates a dim estimated past broadcast limits ->
+    // no forced hint; the plan must not rely on a driver-side broadcast
+    // of an unbounded dim (AQE may still pick one from RUNTIME stats,
+    // so assert on the optimized logical plan, where only the hint shows)
+    spark.conf.set("spark.graft.broadcastDimMaxBytes", "0")
+    try {
+      val big = RcOps.withEditCount(events)
+      assert(!big.queryExecution.optimizedPlan.toString()
+        .toLowerCase.contains("broadcast"),
+        "over-bound dim must not carry a broadcast hint")
+      assert(big.count() === 3)
+      // same results either way
+      assert(big.orderBy("event_id", "user_id").collect().toSeq ===
+        small.orderBy("event_id", "user_id").collect().toSeq)
+    } finally spark.conf.unset("spark.graft.broadcastDimMaxBytes")
+  }
+
   test("P1 verb: removesuffix('e') + 'ed' (scanner.py:143-146)") {
     val df = Seq("edit", "create", "log").toDF("t")
     val got = df.select(RcOps.verb(col("t"))).as[String].collect().toSeq

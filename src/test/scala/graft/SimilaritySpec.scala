@@ -123,15 +123,37 @@ class SimilaritySpec extends SparkSpec {
     assert(top === ((450L, 1.0)))
   }
 
-  test("trained near-dup pairs match the seeded oracle twin on this corpus") {
+  test("near-dup quantizer twins: perfect precision vs brute force, non-trivial recall") {
+    import org.apache.spark.sql.functions._
     import spark.implicits._
+    // Ground truth: ALL pairs >= 0.45 by brute-force all-pairs cosine
+    // (500 vectors at sf0.001 — cheap in a test). Any bucketed variant
+    // must return a SUBSET with bit-identical cosines (precision 1.0);
+    // recall differs by quantizer — that's the approximation being
+    // bought — so we require it non-zero, not any exact pair set
+    // (exact equality between two different quantizers is a corpus
+    // accident, not a semantic property).
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").as("v"),
+        operators.VectorOps.norm2(col("embedding")).as("nv"))
+    val l = emb.select(col("vec_id").as("a_id"), col("v").as("va"), col("nv").as("na"))
+    val r = emb.select(col("vec_id").as("b_id"), col("v").as("vb"), col("nv").as("nb"))
+    val truth = l.crossJoin(r).filter(col("a_id") < col("b_id"))
+      .withColumn("cos_sim",
+        round(operators.VectorOps.dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")), 6))
+      .filter(col("cos_sim") >= 0.45)
+      .select(col("a_id"), col("b_id"), col("cos_sim"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(truth.nonEmpty, "fixture must contain at least one true near-dup pair")
+
     val trained = SparkEntry.queries("dedup_embedding_trained")(spark, sf0001)
       .as[(Long, Long, Double)].collect().toSet
     val seeded = SparkEntry.queries("dedup_embedding")(spark, sf0001)
       .as[(Long, Long, Double)].collect().toSet
-    assert(trained.forall { case (a, b, cs) => a < b && cs >= 0.45 })
-    // The only true near-dup pair in this corpus sits well inside one
-    // cell under both quantizers.
-    assert(trained === seeded)
+    for ((name, got) <- Seq("trained" -> trained, "seeded" -> seeded)) {
+      assert(got.forall { case (a, b, cs) => a < b && cs >= 0.45 }, s"$name shape")
+      assert(got.subsetOf(truth), s"$name must never report a false pair")
+      assert(got.nonEmpty, s"$name found no pair at all — quantizer degenerate")
+    }
   }
 }

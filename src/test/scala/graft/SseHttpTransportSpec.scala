@@ -43,6 +43,30 @@ class SseHttpTransportSpec extends SparkSpec {
     } finally { relay.close(); srv.close() }
   }
 
+  test("relay PROCESS restart resumes from the buffer tail: no duplicate frames") {
+    val srv = new StubSseServer()
+    val buf = Files.createTempFile("httpsse3", ".sse").toString
+    val relay1 = new SseHttpRelay(srv.url, buf)
+    try {
+      (1L to 4L).foreach(i => srv.publish(payload(i)))
+      assert(awaitTrue(15000)(graft.sources.SseSource.countEvents(buf) == 4L))
+    } finally relay1.close()
+    try {
+      // the seed must come from the PERSISTED buffer, not relay1 memory
+      assert(SseHttpRelay.lastPersistedId(buf) === "3") // stub ids are 0-based
+      val relay2 = new SseHttpRelay(srv.url, buf)
+      try {
+        (5L to 6L).foreach(i => srv.publish(payload(i)))
+        assert(awaitTrue(15000)(graft.sources.SseSource.countEvents(buf) == 6L),
+          s"got ${graft.sources.SseSource.countEvents(buf)} events — a restart " +
+            "without Last-Event-ID would replay 1..4 and append duplicates")
+        val (it, closer) = graft.sources.SseSource.eventIterator(buf)
+        val events = try it.toVector finally closer.close()
+        assert(events === (1L to 6L).map(payload).toVector)
+      } finally relay2.close()
+    } finally srv.close()
+  }
+
   test("connection drops resume via Last-Event-ID: no replay, no loss") {
     // server kills the stream after every 2 events -> the relay must
     // reconnect repeatedly and resume exactly after its last frame

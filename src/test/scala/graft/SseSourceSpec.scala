@@ -41,6 +41,18 @@ class SseSourceSpec extends SparkSpec {
     assert(parsed === (1 to 5).map(i => s"T$i").toSet)
   }
 
+  test("empty-payload `data: ` frames count as events (SSE spec)") {
+    val f = Files.createTempFile("emptydata", ".sse")
+    // frame 2 is a legal SSE frame with an empty payload — skipping it
+    // would shift every later offset
+    Files.writeString(f,
+      "data: {\"id\":1}\n\ndata: \n\ndata: {\"id\":3}\n\n")
+    assert(graft.sources.SseSource.countEvents(f.toString) === 3L)
+    val (it, closer) = graft.sources.SseSource.eventIterator(f.toString)
+    val events = try it.toVector finally closer.close()
+    assert(events === Vector("{\"id\":1}", "", "{\"id\":3}"))
+  }
+
   test("checkpoint resume: appended events are picked up, no replay") {
     import spark.implicits._
     val f = Files.createTempFile("events2", ".sse")
