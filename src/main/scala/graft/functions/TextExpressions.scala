@@ -120,7 +120,83 @@ case class DistinctShingleStructs(child: Expression, n: Int) extends UnaryExpres
     copy(child = newChild)
 }
 
+/** SimHash-32 fingerprint in one pass over the raw text.
+  *
+  * Semantics are IDENTICAL to the explode-based formulation (and the
+  * DuckDB oracle): bit j-1 of the fingerprint is set iff the sum over
+  * ALL whitespace tokens (duplicates included) of (+1 if hex digit j of
+  * md5(token) is odd else -1) is positive, j = 1..32. The declarative
+  * version explodes one row per token (~100x the corpus) and shuffles
+  * 32 partial-sum columns per doc; this computes the same 32 votes in
+  * a tight loop per row — a pure map, no Generate, no shuffle at all
+  * before the consumer's own bucketing.
+  */
+case class SimHash32(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"simhash32 requires a string input, got ${child.dataType.sql}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash32"
+
+  override def nullSafeEval(input: Any): Any =
+    TextExpressions.simhash32(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextExpressions.simhash32($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
+
+  // MessageDigest is stateful; one instance per thread serves every row
+  // that thread evaluates (reset() between digests is implicit in
+  // digest(bytes)).
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** One-pass SimHash-32 (see [[SimHash32]] for the bit contract). */
+  def simhash32(text: UTF8String): Long = {
+    val bytes = text.getBytes
+    val md = md5Local.get()
+    val votes = new Array[Int](32)
+    var start = 0
+    var i = 0
+    val len = bytes.length
+    // tokens are the byte ranges between 0x20 bytes, INCLUDING empty
+    // ones — split(text, ' ') semantics, so counts match the oracle's
+    // string_split on any input
+    while (i <= len) {
+      if (i == len || bytes(i) == ' '.toByte) {
+        md.update(bytes, start, i - start)
+        val digest = md.digest() // 16 bytes = 32 hex digits
+        var j = 0
+        while (j < 32) {
+          // hex digit j (0-based): high nibble of byte j/2 for even j
+          val nibble =
+            if ((j & 1) == 0) (digest(j >> 1) >> 4) & 0xf
+            else digest(j >> 1) & 0xf
+          votes(j) += (if ((nibble & 1) == 1) 1 else -1)
+          j += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var hash = 0L
+    var j = 0
+    while (j < 32) {
+      if (votes(j) > 0) hash |= 1L << j
+      j += 1
+    }
+    hash
+  }
 
   /** Tight-loop shingle builder shared by eval and generated code. */
   def shingleBytes(text: UTF8String, n: Int): GenericArrayData = {
@@ -231,6 +307,10 @@ object TextExpressions {
   /** Column facade: distinct shingles + count structs of `text`. */
   def distinct_shingle_structs(text: Column, n: Int): Column =
     bridge.column(DistinctShingleStructs(bridge.expression(text), n))
+
+  /** Column facade: one-pass SimHash-32 of `text`. */
+  def simhash32_col(text: Column): Column =
+    bridge.column(SimHash32(bridge.expression(text)))
 
   /** Optional SQL registration: `SELECT word_shingles(text, 5)`. */
   def register(spark: SparkSession): Unit =

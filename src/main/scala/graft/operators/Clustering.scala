@@ -38,14 +38,65 @@ object Clustering {
   /** (node, label) for every node appearing in `pairs` (a_id, b_id);
     * label = min node id of the connected component.
     *
-    * Throws IllegalStateException if the fixpoint is not certified
-    * within `maxRounds` — partial labels are never returned silently
-    * (a silent cap would emit wrong clusters for a graph whose
+    * ADAPTIVE strategy (the AQE philosophy applied to an iterative
+    * operator): near-dup candidate graphs are usually tiny relative to
+    * the corpus — a handful of edges per duplicate cluster — and a
+    * distributed round costs several jobs (join, aggregate, halving
+    * join, checkpoint, certificate action). Below
+    * `spark.graft.cc.localEdgeLimit` edges (default 65536 — a bounded
+    * ~1 MB collect), the labels are computed by driver-side union-find
+    * with path compression in microseconds; above it, the distributed
+    * path-halving loop runs. Identical output by construction: union
+    * always roots at the SMALLER id, so each root is its component's
+    * minimum — the same label the min-propagation fixpoint converges
+    * to (ClusteringPropertySpec pins the two against each other).
+    *
+    * Throws IllegalStateException if the distributed fixpoint is not
+    * certified within `maxRounds` — partial labels are never returned
+    * silently (a silent cap would emit wrong clusters for a graph whose
     * diameter exceeds it). With halving, 30 rounds covers diameters
     * beyond any physical graph (~2^29).
     */
   def connectedComponents(spark: SparkSession, pairs: DataFrame,
       maxRounds: Int = 30): DataFrame = {
+    val localLimit = spark.conf
+      .get("spark.graft.cc.localEdgeLimit", (1 << 16).toString).toLong
+    if (pairs.count() <= localLimit) localConnectedComponents(spark, pairs)
+    else distributedConnectedComponents(spark, pairs, maxRounds)
+  }
+
+  /** Driver-side union-find (path compression + min-root union) for
+    * graphs under the local edge limit. O(edges α(n)) time, one bounded
+    * collect — the documented exception to the no-driver-collect rule,
+    * same class as the O(k x dim) centroid fetches.
+    */
+  private[operators] def localConnectedComponents(spark: SparkSession,
+      pairs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val es = pairs.select(col("a_id").cast("long"), col("b_id").cast("long"))
+      .as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      // min-root union: the root of every tree is its component's
+      // smallest id, so find(n) IS the label contract
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
+    }
+    parent.keys.toSeq.map(n => (n, find(n))).toDF("node", "label")
+  }
+
+  private def distributedConnectedComponents(spark: SparkSession,
+      pairs: DataFrame, maxRounds: Int): DataFrame = {
     val ckDir = spark.conf.getOption("spark.graft.cc.checkpointDir")
     var roundIdx = 0
     var prevRoundDir: Option[String] = None

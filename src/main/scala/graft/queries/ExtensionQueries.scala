@@ -82,30 +82,16 @@ object ExtensionQueries {
     * shared by the per-doc query and the pair-matching query.
     *
     * Semantics: bit j of the fingerprint = sign of sum over tokens of
-    * (+1 if hex digit j of md5(token) is odd else -1) — identical to a
-    * per-digit substr/isin formulation (the oracle's), but computed as
-    * 32 map-side long-arithmetic SUM columns instead of a 32-way row
-    * explode: digit parity = low bit of the nibble, and 8 hex digits at
-    * a time parse into one long via conv(). One shuffle of 5000x32
-    * partial sums instead of a 16M-row explode — ~4x faster, same
-    * output, oracle untouched.
+    * (+1 if hex digit j of md5(token) is odd else -1) — identical to
+    * the oracle's per-digit substr/isin formulation, but computed by
+    * the native one-pass SimHash32 expression: a pure per-row map, so
+    * there is NO token explode and NO vote shuffle at all (the r2
+    * version shuffled 32 partial-sum columns per doc; r1 exploded 16M
+    * rows). The first shuffle a consumer pays is its own bucketing.
     */
-  private def simhashes(docs: DataFrame): DataFrame = {
-    val t = docs
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
-      .withColumn("h", md5(col("w")))
-      .select(col("doc_id") +: (0 until 4).map(k =>
-        conv(substring(col("h"), k * 8 + 1, 8), 16, 10).cast("long").as(s"L$k")): _*)
-    val voteCols = (1 to 32).map { j =>
-      val k = (j - 1) / 8       // which 8-hex-digit long
-      val jl = j - k * 8        // 1-based digit position within it
-      sum(shiftright(col(s"L$k"), 4 * (8 - jl)).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$j")
-    }
-    t.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
-      .select(col("doc_id"),
-        (1 to 32).map(j => when(col(s"s$j") > 0, lit(1L << (j - 1))).otherwise(lit(0L)))
-          .reduce(_ + _).cast("long").as("simhash"))
-  }
+  private def simhashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.TextExpressions.simhash32_col(col("text")).as("simhash"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

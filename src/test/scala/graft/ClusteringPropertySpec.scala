@@ -25,15 +25,16 @@ class ClusteringPropertySpec extends SparkSpec {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
-  test("property: components match union-find on random graphs") {
-    val genPairs: Gen[Seq[(Long, Long)]] = for {
-      n <- Gen.choose(2, 40) // node universe
-      m <- Gen.choose(1, 60) // edges
-      edges <- Gen.listOfN(m, for {
-        a <- Gen.choose(0L, n.toLong)
-        b <- Gen.choose(0L, n.toLong) if a != b
-      } yield (math.min(a, b), math.max(a, b)))
-    } yield edges.distinct
+  private val genPairs: Gen[Seq[(Long, Long)]] = for {
+    n <- Gen.choose(2, 40) // node universe
+    m <- Gen.choose(1, 60) // edges
+    edges <- Gen.listOfN(m, for {
+      a <- Gen.choose(0L, n.toLong)
+      b <- Gen.choose(0L, n.toLong) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+  } yield edges.distinct
+
+  private def ccProp(minTests: Int): Unit = {
     val prop = Prop.forAll(genPairs) { pairs =>
       pairs.isEmpty || {
         val got = Clustering.connectedComponents(spark, pairs.toDF("a_id", "b_id"))
@@ -41,7 +42,18 @@ class ClusteringPropertySpec extends SparkSpec {
         got == unionFind(pairs)
       }
     }
-    val r = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    val r = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(minTests), prop)
     assert(r.passed, r.status.toString)
+  }
+
+  test("property: DISTRIBUTED components match union-find on random graphs") {
+    // force the path-halving loop even for tiny graphs
+    spark.conf.set("spark.graft.cc.localEdgeLimit", "0")
+    try ccProp(25)
+    finally spark.conf.unset("spark.graft.cc.localEdgeLimit")
+  }
+
+  test("property: LOCAL fast path matches union-find on random graphs") {
+    ccProp(25) // default limit: these graphs all take the local path
   }
 }

@@ -14,6 +14,15 @@ class ClusteringSpec extends SparkSpec {
         spark, pairs.toDF("a_id", "b_id"), maxRounds)
       .as[(Long, Long)].collect().toMap
 
+  /** Force the distributed path-halving loop regardless of graph size
+    * (the adaptive switch would otherwise route these small fixtures to
+    * driver-side union-find).
+    */
+  private def distributed[A](body: => A): A = {
+    spark.conf.set("spark.graft.cc.localEdgeLimit", "0")
+    try body finally spark.conf.unset("spark.graft.cc.localEdgeLimit")
+  }
+
   test("two components get their min-node labels") {
     val labels = cc(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
     assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
@@ -23,15 +32,21 @@ class ClusteringSpec extends SparkSpec {
     // Pure min-propagation needs ~200 rounds here; path halving makes it
     // logarithmic — exactly the failure mode a silent 20-round cap hid.
     val chain = (0L until 200L).map(i => (i, i + 1))
-    val labels = cc(chain)
+    val labels = distributed(cc(chain))
     assert(labels.size === 201)
     assert(labels.values.forall(_ === 0L))
   }
 
   test("non-convergence throws instead of returning partial labels") {
     val chain = (0L until 64L).map(i => (i, i + 1))
-    val e = intercept[IllegalStateException] { cc(chain, maxRounds = 1) }
+    val e = distributed(
+      intercept[IllegalStateException] { cc(chain, maxRounds = 1) })
     assert(e.getMessage.contains("fixpoint"))
+  }
+
+  test("adaptive switch: local fast path and distributed loop agree") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (12L, 10L), (50L, 51L))
+    assert(cc(pairs) === distributed(cc(pairs)))
   }
 
   test("empty pair set yields empty labels without error") {
@@ -41,6 +56,7 @@ class ClusteringSpec extends SparkSpec {
   test("reliable checkpoint mode: correct labels, only the final round's files survive") {
     val dir = java.nio.file.Files.createTempDirectory("ccreliable").toString
     spark.conf.set("spark.graft.cc.checkpointDir", dir)
+    spark.conf.set("spark.graft.cc.localEdgeLimit", "0") // checkpoints are a distributed-loop concern
     try {
       val labels = cc((0L until 40L).map(i => (i, i + 1)) :+ (100L, 101L))
       assert(labels.size === 43)
@@ -52,7 +68,10 @@ class ClusteringSpec extends SparkSpec {
         .filter(_.getName.startsWith("cc-round-")).map(_.getName).toSeq
       assert(rounds.length === 1,
         s"expected exactly the final round on disk, found: $rounds")
-    } finally spark.conf.unset("spark.graft.cc.checkpointDir")
+    } finally {
+      spark.conf.unset("spark.graft.cc.checkpointDir")
+      spark.conf.unset("spark.graft.cc.localEdgeLimit")
+    }
   }
 
   test("star and triangle collapse to the hub/min label") {

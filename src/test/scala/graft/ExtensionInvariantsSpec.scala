@@ -25,6 +25,28 @@ class ExtensionInvariantsSpec extends SparkSpec {
       s"missed: ${exact.diff(cand)}")
   }
 
+  test("native simhash32 equals the declarative md5-parity formulation") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((100001L, ""), (100002L, "a  b"), (100003L, "x"))
+        .toDF("doc_id", "text")) // empty doc, double space (empty token), 1 token
+    val t = docs
+      .select(col("doc_id"), explode(graft.operators.TextOps.tokens(col("text"))).as("w"))
+      .withColumn("h", md5(col("w")))
+    val voteCols = (1 to 32).map(j =>
+      sum(when(substring(col("h"), j, 1)
+        .isin("1", "3", "5", "7", "9", "b", "d", "f"), 1).otherwise(-1)).as(s"s$j"))
+    val ref = t.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"),
+        (1 to 32).map(j => when(col(s"s$j") > 0, lit(1L << (j - 1))).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+    val native = docs.select(col("doc_id"),
+      graft.functions.TextExpressions.simhash32_col(col("text")).as("simhash"))
+    assert(native.exceptAll(ref).count() === 0)
+    assert(ref.exceptAll(native).count() === 0)
+  }
+
   test("simhash fits 32 bits and is deterministic across runs") {
     val a = q("dedup_simhash").as[(Long, Long)].collect().toMap
     val b = q("dedup_simhash").as[(Long, Long)].collect().toMap
