@@ -151,6 +151,41 @@ case class SimHash32(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** MinHash signature in one pass over the raw text: the 8 per-seed
+  * minima of the cheap-multi-hash scheme (md5 of each n-token shingle,
+  * sliced into 8 disjoint 4-hex-char pieces; min per slice over the
+  * doc's shingles). Output = `array<string>(8)` of 4-hex-char minima —
+  * exactly the `sigs` frame the declarative pipeline aggregated via
+  * explode + groupBy(doc_id) with 8 `min(substr)` columns; computing it
+  * per row removes that explode AND its shuffle entirely. Lexicographic
+  * min over fixed-width lowercase hex equals numeric min over the
+  * 16-bit value, so the minima are tracked as ints and formatted once.
+  * (Min over a multiset equals min over its distinct set, so no dedup
+  * pass is needed.)
+  */
+case class MinHashSlices(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"minhash_slices requires a string input, got ${child.dataType.sql}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "minhash_slices"
+
+  override def nullSafeEval(input: Any): Any =
+    TextExpressions.minhashSlices(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextExpressions.minhashSlices($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
 
   // MessageDigest is stateful; one instance per thread serves every row
@@ -308,9 +343,43 @@ object TextExpressions {
   def distinct_shingle_structs(text: Column, n: Int): Column =
     bridge.column(DistinctShingleStructs(bridge.expression(text), n))
 
+  /** One-pass MinHash slice minima (see [[MinHashSlices]]). */
+  def minhashSlices(text: UTF8String, n: Int): GenericArrayData = {
+    val bytes = text.getBytes
+    val (starts, ends, numTokens) = boundaries(bytes)
+    val numShingles = math.max(numTokens - n + 1, 1)
+    val md = md5Local.get()
+    val mins = new Array[Int](8)
+    java.util.Arrays.fill(mins, Int.MaxValue)
+    var s = 0
+    while (s < numShingles) {
+      val last = math.min(s + n - 1, numTokens - 1)
+      md.update(bytes, starts(s), ends(last) - starts(s))
+      val d = md.digest()
+      var k = 0
+      while (k < 8) {
+        val v = ((d(2 * k) & 0xff) << 8) | (d(2 * k + 1) & 0xff)
+        if (v < mins(k)) mins(k) = v
+        k += 1
+      }
+      s += 1
+    }
+    val out = new Array[Any](8)
+    var k = 0
+    while (k < 8) {
+      out(k) = UTF8String.fromString(f"${mins(k)}%04x")
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Column facade: one-pass SimHash-32 of `text`. */
   def simhash32_col(text: Column): Column =
     bridge.column(SimHash32(bridge.expression(text)))
+
+  /** Column facade: one-pass MinHash slice minima of `text`. */
+  def minhash_slices(text: Column, n: Int): Column =
+    bridge.column(MinHashSlices(bridge.expression(text), n))
 
   /** Optional SQL registration: `SELECT word_shingles(text, 5)`. */
   def register(spark: SparkSession): Unit =

@@ -111,26 +111,21 @@ object ExtensionQueries {
     // equi-join on a high-cardinality key (salt-friendly, skew-safe:
     // identical docs land in the same bucket by construction).
     "dedup_minhash" -> ((s, dir) => {
-      // Explode-based pipeline, NOT nested array lambdas: higher-order
-      // functions are CodegenFallback (no common-subexpression elim), so
-      // an array-of-arrays formulation recomputes the whole signature per
-      // element_at — 30x slower at sf0.1. ONE md5 per shingle; the 8
-      // "independent" minhash functions are its 8 disjoint 4-hex-char
-      // (16-bit) slices — the classic cheap-multi-hash trick: slices of
-      // one strong digest are pairwise independent enough for LSH
-      // banding, and 8x fewer digest computations is the difference on
-      // the widest stage of the pipeline. The (doc_id, seed) mins are
-      // map-side partial-agged (tiny shuffle); band key = concat of two
-      // slices (no re-hash needed for bucketing).
-      val shx = Tables.documents(s, dir)
+      // ONE md5 per shingle; the 8 "independent" minhash functions are
+      // its 8 disjoint 4-hex-char (16-bit) slices — the classic
+      // cheap-multi-hash trick: slices of one strong digest are
+      // pairwise independent enough for LSH banding, and 8x fewer
+      // digest computations is the difference on the widest stage.
+      // The whole signature comes from the native MinHashSlices
+      // expression — one pass per DOC, so there is no shingle explode
+      // and no groupBy(doc_id) shuffle at all; the first shuffle this
+      // query pays is the band bucketing itself. Band key = concat of
+      // two slices (no re-hash needed for bucketing).
+      val sigs = Tables.documents(s, dir)
         .select(col("doc_id"),
-          explode(TextOps.distinctShinglesOfText(col("text"), 5)).as("sng"))
-        .withColumn("h", md5(col("sng")))
-      val sigCols = (0 until 8).map(k =>
-        min(col("h").substr(k * 4 + 1, 4)).as(s"mh$k"))
-      val sigs = shx.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+          graft.functions.TextExpressions.minhash_slices(col("text"), 5).as("mh"))
       val bandCols = (0 until 4).map(b =>
-        concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as(s"band$b"))
+        concat(element_at(col("mh"), 2 * b + 1), element_at(col("mh"), 2 * b + 2)).as(s"band$b"))
       val bands = sigs
         .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
       // Candidate pairs enumerated bucket-locally (collect + expand), not

@@ -25,6 +25,24 @@ class ExtensionInvariantsSpec extends SparkSpec {
       s"missed: ${exact.diff(cand)}")
   }
 
+  test("native minhash slices equal the declarative explode+min formulation") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((200001L, "one two"), (200002L, "x"))
+        .toDF("doc_id", "text")) // < 5 tokens: single truncated shingle
+    val ref = docs
+      .select(col("doc_id"),
+        explode(graft.operators.TextOps.distinctShinglesOfText(col("text"), 5)).as("sng"))
+      .withColumn("h", md5(col("sng")))
+      .groupBy(col("doc_id"))
+      .agg(array((0 until 8).map(k => min(col("h").substr(k * 4 + 1, 4))): _*).as("mh"))
+    val native = docs.select(col("doc_id"),
+      graft.functions.TextExpressions.minhash_slices(col("text"), 5).as("mh"))
+    assert(native.exceptAll(ref).count() === 0)
+    assert(ref.exceptAll(native).count() === 0)
+  }
+
   test("native simhash32 equals the declarative md5-parity formulation") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf0001)
