@@ -60,16 +60,31 @@ object LiveEnrichment {
 
   private def enc(s: String): String = URLEncoder.encode(s, StandardCharsets.UTF_8)
 
+  /** Keys are consumed in bounded chunks of this size, so a skewed
+    * partition never materializes wholesale in task memory — the
+    * fetchers stay O(chunk), not O(partition). Keys are deduplicated
+    * within each chunk (and the LRU absorbs cross-chunk re-FETCHES);
+    * callers that need globally distinct output pairs must pass
+    * distinct keys — the dim builders all do via `.distinct()`
+    * upstream.
+    */
+  private val FetchChunk = 512
+
   /** `list=users&ususers=a|b|c` batch lookup (`scanner.py:199-218`),
     * `batchSize` users per request. Returns found (user, editcount)
     * pairs; missing users produce no pair (race downstream).
     */
   def fetchEditCountsPartition(apiUrl: String, users: Iterator[String],
-      batchSize: Int = 50, cacheSize: Int = 10000): Iterator[(String, Long)] = {
+      batchSize: Int = 50, cacheSize: Int = 10000): Iterator[(String, Long)] =
+    users.grouped(FetchChunk).flatMap(chunk =>
+      fetchEditCountsChunk(apiUrl, chunk, batchSize, cacheSize))
+
+  private def fetchEditCountsChunk(apiUrl: String, chunk: Seq[String],
+      batchSize: Int, cacheSize: Int): Iterator[(String, Long)] = {
     val lru = cache(s"$apiUrl#editcount", cacheSize)
     // snapshot value AND membership in one synchronized read — a
     // separate containsKey/get pair races with eviction by other tasks
-    val snapshot = users.toSeq.distinct.map(u =>
+    val snapshot = chunk.distinct.map(u =>
       u -> lru.synchronized(Option(lru.get(u))))
     val hits = snapshot.collect { case (u, Some(v)) => u -> v.toLong }
     val toFetch = snapshot.collect { case (u, None) => u }
@@ -101,7 +116,7 @@ object LiveEnrichment {
   def fetchTextPartition(apiUrl: String, revids: Iterator[Long],
       cacheSize: Int = 10000): Iterator[(Long, String)] = {
     val lru = cache(s"$apiUrl#text", cacheSize)
-    revids.toSeq.distinct.iterator.flatMap { rev =>
+    revids.grouped(FetchChunk).flatMap(_.distinct).flatMap { rev =>
       val hit = lru.synchronized(Option(lru.get(rev.toString)))
       hit.map(rev -> _).orElse {
         get(s"$apiUrl?format=json&action=parse&oldid=$rev&prop=wikitext").flatMap { body =>
@@ -161,27 +176,35 @@ object LiveEnrichment {
   def siteApis(sites: Seq[String]): Map[String, String] =
     sites.map(s => s -> s"https://$s/w/api.php").toMap
 
-  /** Per-site batched editcount fetch: rows are (server_name, user). */
+  /** Per-site batched editcount fetch: rows are (server_name, user).
+    * Site-grouping happens within each bounded chunk (never a
+    * whole-partition materialization); a mixed-site chunk can yield
+    * sub-`batchSize` requests per site, the bounded-memory tradeoff.
+    */
   def fetchEditCountsPartitionBySite(apis: Map[String, String],
       rows: Iterator[(String, String)], batchSize: Int = 50,
       cacheSize: Int = 10000): Iterator[(String, String, Long)] =
-    rows.toSeq.groupBy(_._1).iterator.flatMap { case (site, siteRows) =>
-      apis.get(site).iterator.flatMap { url =>
-        fetchEditCountsPartition(url, siteRows.iterator.map(_._2), batchSize, cacheSize)
-          .map { case (u, ec) => (site, u, ec) }
-      }
-    }
+    rows.grouped(FetchChunk).flatMap(_.groupBy(_._1).iterator.flatMap {
+      case (site, siteRows) =>
+        apis.get(site).iterator.flatMap { url =>
+          fetchEditCountsPartition(url, siteRows.iterator.map(_._2), batchSize, cacheSize)
+            .map { case (u, ec) => (site, u, ec) }
+        }
+    })
 
-  /** Per-site revision-text fetch: rows are (server_name, revid). */
+  /** Per-site revision-text fetch: rows are (server_name, revid); same
+    * bounded chunk-then-group shape as the editcount variant.
+    */
   def fetchTextPartitionBySite(apis: Map[String, String],
       rows: Iterator[(String, Long)],
       cacheSize: Int = 10000): Iterator[(String, Long, String)] =
-    rows.toSeq.groupBy(_._1).iterator.flatMap { case (site, siteRows) =>
-      apis.get(site).iterator.flatMap { url =>
-        fetchTextPartition(url, siteRows.iterator.map(_._2), cacheSize)
-          .map { case (rev, text) => (site, rev, text) }
-      }
-    }
+    rows.grouped(FetchChunk).flatMap(_.groupBy(_._1).iterator.flatMap {
+      case (site, siteRows) =>
+        apis.get(site).iterator.flatMap { url =>
+          fetchTextPartition(url, siteRows.iterator.map(_._2), cacheSize)
+            .map { case (rev, text) => (site, rev, text) }
+        }
+    })
 
   /** Distinct (server_name, user) -> (server_name, user, editcount) dim;
     * [[graft.streaming.RcStreaming.pipeline]] joins it on BOTH keys (the

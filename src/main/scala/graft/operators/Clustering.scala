@@ -22,34 +22,54 @@ import org.apache.spark.sql.functions._
   * `localCheckpoint` (executor-local blocks — fast, NOT resilient to
   * executor loss). For production set `spark.graft.cc.checkpointDir`
   * on the session: rounds then use reliable `checkpoint()` into that
-  * directory and survive executor failure. Each round writes into its
-  * own `cc-round-N` subdirectory and round N-1's subdirectory is
-  * deleted as soon as round N has materialized (the eager checkpoint
-  * is self-contained, so nothing re-reads the older files) — a long
-  * run keeps at most two rounds on the reliable store instead of
-  * leaking every round (Spark only auto-cleans checkpoints with
+  * directory and survive executor failure. Every RUN gets its own
+  * unique subdirectory (so a later run can never delete files backing
+  * a previously returned labels frame), each round writes into its own
+  * `round-N` subdirectory inside it, and round N-1 is deleted as soon
+  * as round N has materialized (the eager checkpoint is
+  * self-contained, so nothing re-reads the older files) — a long run
+  * keeps at most two rounds on the reliable store instead of leaking
+  * every round (Spark only auto-cleans checkpoints with
   * `spark.cleaner.referenceTracking.cleanCheckpoints=true`, off by
   * default). The FINAL round's subdirectory backs the returned
   * DataFrame and intentionally survives; callers own the configured
-  * directory's lifecycle.
+  * directory's lifecycle. `SparkContext.setCheckpointDir` is
+  * JVM-global, so checkpoint rounds serialize on a process-wide lock
+  * (two concurrent CC runs interleaving set+checkpoint would otherwise
+  * drop files into each other's round dirs and then delete them), and
+  * the session's prior checkpoint dir is restored on exit so unrelated
+  * `df.checkpoint()` calls are unaffected.
   */
 object Clustering {
 
+  /** Serializes (setCheckpointDir, checkpoint, delete-prev) sequences:
+    * the checkpoint directory is SparkContext-global mutable state.
+    */
+  private val checkpointLock = new Object
+
   /** (node, label) for every node appearing in `pairs` (a_id, b_id);
-    * label = min node id of the connected component.
+    * label = min node id of the connected component. `node` and
+    * `label` are always LongType regardless of the input id type —
+    * both strategies cast once at the edge, so crossing the adaptive
+    * threshold can never change the output schema.
     *
     * ADAPTIVE strategy (the AQE philosophy applied to an iterative
     * operator): near-dup candidate graphs are usually tiny relative to
     * the corpus — a handful of edges per duplicate cluster — and a
     * distributed round costs several jobs (join, aggregate, halving
-    * join, checkpoint, certificate action). Below
-    * `spark.graft.cc.localEdgeLimit` edges (default 65536 — a bounded
-    * ~1 MB collect), the labels are computed by driver-side union-find
-    * with path compression in microseconds; above it, the distributed
-    * path-halving loop runs. Identical output by construction: union
-    * always roots at the SMALLER id, so each root is its component's
-    * minimum — the same label the min-propagation fixpoint converges
-    * to (ClusteringPropertySpec pins the two against each other).
+    * join, checkpoint, certificate action). The strategy probe is a
+    * bounded `limit(localLimit + 1)` collect — NOT a full count(),
+    * which would execute the entire upstream candidate-pair pipeline
+    * once just to size it — and when the graph is small the probe's
+    * rows ARE the edge list, so the local path pays zero extra
+    * computation. Below `spark.graft.cc.localEdgeLimit` edges (default
+    * 65536 — a bounded ~1 MB collect), labels come from driver-side
+    * union-find with path compression in microseconds; above it, the
+    * distributed path-halving loop runs. Identical output by
+    * construction: union always roots at the SMALLER id, so each root
+    * is its component's minimum — the same label the min-propagation
+    * fixpoint converges to (ClusteringPropertySpec pins the two
+    * against each other).
     *
     * Throws IllegalStateException if the distributed fixpoint is not
     * certified within `maxRounds` — partial labels are never returned
@@ -59,22 +79,25 @@ object Clustering {
     */
   def connectedComponents(spark: SparkSession, pairs: DataFrame,
       maxRounds: Int = 30): DataFrame = {
-    val localLimit = spark.conf
-      .get("spark.graft.cc.localEdgeLimit", (1 << 16).toString).toLong
-    if (pairs.count() <= localLimit) localConnectedComponents(spark, pairs)
-    else distributedConnectedComponents(spark, pairs, maxRounds)
+    import spark.implicits._
+    val localLimit = math.min(
+      spark.conf.get("spark.graft.cc.localEdgeLimit", (1 << 16).toString).toLong,
+      (Int.MaxValue - 1).toLong).toInt
+    val longPairs = pairs
+      .select(col("a_id").cast("long").as("a_id"), col("b_id").cast("long").as("b_id"))
+    val probe = longPairs.limit(localLimit + 1).as[(Long, Long)].collect()
+    if (probe.length <= localLimit) unionFindLabels(spark, probe)
+    else distributedConnectedComponents(spark, longPairs, maxRounds)
   }
 
-  /** Driver-side union-find (path compression + min-root union) for
-    * graphs under the local edge limit. O(edges α(n)) time, one bounded
-    * collect — the documented exception to the no-driver-collect rule,
-    * same class as the O(k x dim) centroid fetches.
+  /** Driver-side union-find over an already-collected edge list (the
+    * strategy probe doubles as the collect). O(edges α(n)) time — the
+    * documented exception to the no-driver-collect rule, same class as
+    * the O(k x dim) centroid fetches.
     */
-  private[operators] def localConnectedComponents(spark: SparkSession,
-      pairs: DataFrame): DataFrame = {
+  private def unionFindLabels(spark: SparkSession,
+      es: Array[(Long, Long)]): DataFrame = {
     import spark.implicits._
-    val es = pairs.select(col("a_id").cast("long"), col("b_id").cast("long"))
-      .as[(Long, Long)].collect()
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x
@@ -95,9 +118,20 @@ object Clustering {
     parent.keys.toSeq.map(n => (n, find(n))).toDF("node", "label")
   }
 
+  /** Test seam: force the local strategy on a DataFrame of pairs. */
+  private[operators] def localConnectedComponents(spark: SparkSession,
+      pairs: DataFrame): DataFrame = {
+    import spark.implicits._
+    unionFindLabels(spark, pairs
+      .select(col("a_id").cast("long"), col("b_id").cast("long"))
+      .as[(Long, Long)].collect())
+  }
+
   private def distributedConnectedComponents(spark: SparkSession,
       pairs: DataFrame, maxRounds: Int): DataFrame = {
     val ckDir = spark.conf.getOption("spark.graft.cc.checkpointDir")
+    val runDir = ckDir.map(base =>
+      s"$base/cc-run-${java.util.UUID.randomUUID().toString}")
     var roundIdx = 0
     var prevRoundDir: Option[String] = None
     def deleteDir(dir: String): Unit = {
@@ -105,16 +139,28 @@ object Clustering {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
       ()
     }
-    def persistRound(df: DataFrame): DataFrame = ckDir match {
-      case Some(base) =>
-        val roundDir = s"$base/cc-round-$roundIdx"
+    // Captured ONCE and restored ONCE after the loop — restoring after
+    // every round would re-mkdir the just-deleted round dir, because
+    // getCheckpointDir returns the UUID subpath setCheckpointDir
+    // created inside it. (If the session had a prior checkpoint dir,
+    // the restore points one UUID level deeper than the user's original
+    // string — still inside their directory, so unrelated
+    // df.checkpoint() calls keep landing where they expect.)
+    val savedCkDir = spark.sparkContext.getCheckpointDir
+    def persistRound(df: DataFrame): DataFrame = runDir match {
+      case Some(run) => checkpointLock.synchronized {
+        val roundDir = s"$run/round-$roundIdx"
         spark.sparkContext.setCheckpointDir(roundDir)
         val out = df.checkpoint() // eager: materialized before we return
         prevRoundDir.foreach(deleteDir)
         prevRoundDir = Some(roundDir)
         roundIdx += 1
         out
+      }
       case None => df.localCheckpoint()
+    }
+    def restoreCkDir(): Unit = if (runDir.isDefined) checkpointLock.synchronized {
+      spark.sparkContext.setCheckpointDir(savedCkDir.orNull)
     }
 
     val edges = pairs.select(col("a_id"), col("b_id"))
@@ -122,6 +168,7 @@ object Clustering {
     // Round 0 fused into init: label = min(node, neighbors) in the same
     // aggregate that builds the node set (pairs are already distinct
     // per direction, so this is one shuffle).
+    try {
     var labels = persistRound(
       edges.groupBy(col("a_id"))
         .agg(min(col("b_id")).as("mnb"))
@@ -157,5 +204,6 @@ object Clustering {
         s"connectedComponents did not certify a fixpoint in $maxRounds rounds " +
         "(graph diameter > 2^rounds — raise maxRounds); refusing to return partial labels")
     labels
+    } finally restoreCkDir()
   }
 }

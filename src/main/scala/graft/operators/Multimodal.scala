@@ -58,17 +58,31 @@ object Multimodal {
       }
       if (any) Some(v.toInt) else None
     }
+    def isSpace(b: Byte): Boolean =
+      b == ' ' || b == '\t' || b == '\n' || b == '\r'
     if (i + 1 >= payload.length || payload(i) != 'P' || payload(i + 1) != '5')
       return None
     i += 2
+    // the magic must be followed by whitespace or a comment — without
+    // this check "P512 ..." would silently parse 12 as the width
+    if (i >= payload.length || (!isSpace(payload(i)) && payload(i) != '#'))
+      return None
     for {
       w <- readInt()
       h <- readInt()
       mv <- readInt()
       if w > 0 && h > 0 && mv > 0 && mv <= 255 && w.toLong * h <= Int.MaxValue
-      // exactly ONE whitespace byte separates the header from the raster
-      if i < payload.length
-      _ = { i += 1 }
+      // exactly ONE whitespace byte separates the header from the
+      // raster — VERIFIED whitespace, so a junk-separated header is
+      // rejected (stub fallback) instead of decoding a one-byte-shifted
+      // raster; a CRLF pair (common from Windows writers) is consumed
+      // whole, the standard lenient reading
+      if i < payload.length && isSpace(payload(i))
+      _ = {
+        val wasCr = payload(i) == '\r'
+        i += 1
+        if (wasCr && i < payload.length && payload(i) == '\n') i += 1
+      }
       if payload.length - i >= w.toLong * h
     } yield {
       val px = java.util.Arrays.copyOfRange(payload, i, i + w * h)

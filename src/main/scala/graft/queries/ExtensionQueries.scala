@@ -30,7 +30,12 @@ object ExtensionQueries {
   // a monolingual technical corpus the homograph evidence still
   // exercises every branch of the vote, so the operator's non-English
   // paths are continuously tested by the oracle gate rather than dead.
-  private val stopEs = Seq("el", "los", "que", "vector")
+  // "la" is a bona fide article of BOTH Spanish and French, so it
+  // appears in both lexicons: it votes for both (neutral between
+  // es/fr, still evidence against en/de) — putting it in only one
+  // would misclassify ordinary text of the other language ("la casa
+  // junto a la playa" must not score fr=2, es=0).
+  private val stopEs = Seq("el", "la", "los", "que", "vector")
   private val stopDe = Seq("der", "die", "und", "fast")
   private val stopFr = Seq("le", "la", "les", "table", "part")
 
@@ -258,10 +263,11 @@ object ExtensionQueries {
       // anywhere on the widest stage. The (doc_id, n) payload is PACKED
       // into one long (doc_id high 32 bits, so packed order == doc_id
       // order): the bucket agg collects primitive longs instead of
-      // structs and the shuffle rows are 16 bytes flat. (Packing bound:
-      // doc_id < 2^31 and n < 2^32 — holds for the synthetic corpus ids
-      // and any per-doc shingle count; an id space beyond 2^31 would
-      // revert to the struct payload, same plan shape.)
+      // structs and the shuffle rows are 16 bytes flat. Packing bound:
+      // doc_id in [0, 2^31) and n < 2^32 — ENFORCED below with a
+      // codegen'd guard that raises instead of sign-extending a big id
+      // into silently wrong negative pairs; an id space beyond 2^31
+      // would revert to the struct payload, same plan shape.
       //
       // The shuffle key is xxhash64(shingle) — an 8-byte long instead
       // of the ~30-byte shingle text on the pipeline's widest shuffle.
@@ -271,8 +277,13 @@ object ExtensionQueries {
       // gate then discards; the pa < pb guard below drops the
       // intra-doc-collision self-pair. Any surviving perturbation would
       // trip the hash gate.
+      val packableId = when(
+          col("doc_id") >= 0 && col("doc_id") < (1L << 31), col("doc_id"))
+        .otherwise(raise_error(concat(
+          lit("dedup_ngram_jaccard: doc_id outside packable range [0, 2^31): "),
+          col("doc_id").cast("string"))))
       val sh = Tables.documents(s, dir)
-        .select(col("doc_id"),
+        .select(packableId.as("doc_id"),
           explode(TextOps.distinctShingleStructsOfText(col("text"), 5)).as("e"))
         .select(xxhash64(col("e.s")).as("s"),
           (shiftleft(col("doc_id"), 32) + col("e.n")).as("dn"))
@@ -689,7 +700,7 @@ object ExtensionQueries {
     "text_langid" ->
       ("WITH c AS (SELECT doc_id, lang, " +
        "len(list_filter(ws, w -> w IN ('the','a','of'))) en, " +
-       "len(list_filter(ws, w -> w IN ('el','los','que','vector'))) es, " +
+       "len(list_filter(ws, w -> w IN ('el','la','los','que','vector'))) es, " +
        "len(list_filter(ws, w -> w IN ('der','die','und','fast'))) de, " +
        "len(list_filter(ws, w -> w IN ('le','la','les','table','part'))) fr " +
        "FROM (SELECT doc_id, lang, string_split(text, ' ') ws FROM documents)) " +

@@ -53,21 +53,54 @@ class ClusteringSpec extends SparkSpec {
     assert(cc(Seq.empty) === Map.empty)
   }
 
+  test("output schema is LongType on both strategies regardless of input id type") {
+    // crossing the adaptive threshold must be observationally invisible,
+    // including to downstream unionByName/join schema resolution
+    import org.apache.spark.sql.types.LongType
+    val intPairs = Seq((1, 2), (2, 3)).toDF("a_id", "b_id")
+    val local = Clustering.connectedComponents(spark, intPairs)
+    val dist = distributed(Clustering.connectedComponents(spark, intPairs))
+    for (df <- Seq(local, dist); f <- df.schema.fields)
+      assert(f.dataType === LongType, s"${f.name} on ${df}")
+    assert(local.as[(Long, Long)].collect().toMap ===
+      dist.as[(Long, Long)].collect().toMap)
+  }
+
   test("reliable checkpoint mode: correct labels, only the final round's files survive") {
     val dir = java.nio.file.Files.createTempDirectory("ccreliable").toString
     spark.conf.set("spark.graft.cc.checkpointDir", dir)
     spark.conf.set("spark.graft.cc.localEdgeLimit", "0") // checkpoints are a distributed-loop concern
     try {
+      val priorCkDir = spark.sparkContext.getCheckpointDir
       val labels = cc((0L until 40L).map(i => (i, i + 1)) :+ (100L, 101L))
       assert(labels.size === 43)
       assert(labels.filter(_._1 <= 41L).values.forall(_ === 0L))
       assert(labels(101L) === 100L)
-      // every earlier round's cc-round-N subdirectory must be deleted;
-      // the final round's files back the returned frame and survive
-      val rounds = new java.io.File(dir).listFiles()
-        .filter(_.getName.startsWith("cc-round-")).map(_.getName).toSeq
+      // every earlier round's round-N subdirectory (inside this run's
+      // unique cc-run-* dir) must be deleted; the final round's files
+      // back the returned frame and survive
+      val runs = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("cc-run-")).toSeq
+      assert(runs.length === 1, s"expected one run dir, found: $runs")
+      val rounds = runs.head.listFiles()
+        .filter(_.getName.startsWith("round-")).map(_.getName).toSeq
       assert(rounds.length === 1,
         s"expected exactly the final round on disk, found: $rounds")
+      // the session's checkpoint dir is restored, so an unrelated
+      // df.checkpoint() after a CC run is unaffected
+      assert(spark.sparkContext.getCheckpointDir === priorCkDir)
+      // a SECOND distributed run must not delete files backing the
+      // first run's still-live labels frame (checkpoint files are
+      // re-read on every action) — this was a real pre-fix hazard when
+      // both runs shared cc-round-N paths
+      val first = Clustering.connectedComponents(spark,
+        Seq((7L, 8L), (8L, 9L)).toDF("a_id", "b_id"))
+      assert(first.count() === 3)
+      val second = Clustering.connectedComponents(spark,
+        Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id"))
+      assert(second.count() === 3)
+      assert(first.as[(Long, Long)].collect().toMap ===
+        Map(7L -> 7L, 8L -> 7L, 9L -> 7L))
     } finally {
       spark.conf.unset("spark.graft.cc.checkpointDir")
       spark.conf.unset("spark.graft.cc.localEdgeLimit")

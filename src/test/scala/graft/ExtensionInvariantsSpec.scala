@@ -151,6 +151,9 @@ class ExtensionInvariantsSpec extends SparkSpec {
     val fixtures = Seq(
       ("the quick result of a scan", "en"),
       ("el vector de los datos que guardamos", "es"),
+      // "la" is an article of BOTH es and fr — a sentence whose only
+      // function word is "la" must not flip to fr (es wins the tie)
+      ("la casa junto a la playa", "es"),
       ("der hund und die katze laufen fast", "de"),
       ("le chat et la table dans les jardins", "fr"),
       ("xyzzy qwerty plugh", "und"))

@@ -60,6 +60,17 @@ class MultimodalSpec extends SparkSpec {
     // truncated raster / non-PGM bytes are rejected, not mangled
     assert(Multimodal.decodePgm("P5\n3 3\n255\nxy".getBytes("US-ASCII")).isEmpty)
     assert(Multimodal.decodePgm("hello world".getBytes("US-ASCII")).isEmpty)
+    // a CRLF separator (Windows writers) is consumed as a pair — the
+    // raster must come back unshifted, not starting at the '\n'
+    val crlf = "P5\r\n2 1\r\n255\r\n".getBytes("US-ASCII") ++ Array[Byte](7, 9)
+    val c = Multimodal.decodePgm(crlf).get
+    assert(c.width === 2 && c.pixels.toSeq === Seq[Byte](7, 9))
+    // junk header/raster separator -> reject (stub fallback), never a
+    // one-byte-shifted raster; digits glued to the magic are not a width
+    assert(Multimodal.decodePgm(
+      "P5\n2 1\n255X".getBytes("US-ASCII") ++ Array[Byte](7, 9, 0)).isEmpty)
+    assert(Multimodal.decodePgm(
+      "P512 1\n255\n".getBytes("US-ASCII") ++ Array.fill[Byte](12)(1)).isEmpty)
   }
 
   test("PGM resize operates on real pixels end-to-end through the Dataset op") {
