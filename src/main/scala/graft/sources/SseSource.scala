@@ -62,6 +62,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * Output schema: `value STRING` (raw event JSON), `offset LONG`. Parse
   * downstream with `from_json(value, ChangeSchema.change)` — schema
   * stays declared, never inferred.
+  *
+  * Batch path: `spark.read.format("sse")` reads the same buffer for
+  * backfill/replay, with formal DSv2 pushdown — Catalyst `offset`
+  * predicates become an exact event range handled at the source,
+  * columns prune into the reader, and the range splits across
+  * `batchPartitions` parallel readers seeded from the sample index
+  * (see [[SseScanBuilder]]).
   */
 class SseSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "sse"
@@ -150,6 +157,60 @@ object SseSource {
     try { var n = 0L; while (it.hasNext) { it.next(); n += 1 }; n }
     finally closer.close()
   }
+
+  /** Partition reader shared by the batch and micro-batch paths: seeks
+    * to the partition's floor sample, skips by raw index to `start`,
+    * applies the source-registered `filter.<field>` predicates on the
+    * raw payload (dropped events never become Spark rows), and emits
+    * only the pruned columns — an `offset`-only projection allocates no
+    * payload UTF8Strings.
+    */
+  def reader(p: SsePartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val frames = new FrameIterator(p.path, p.sampleByte)
+      private var idx = p.sampleEvent - 1 // raw index of the current frame
+      private var cur: String = _
+      private lazy val mapper = new ObjectMapper
+      // 0 = value, 1 = offset, in the pruned schema's order
+      private val proj: Array[Int] =
+        p.columns.map { c => if (c == "value") 0 else 1 }.toArray
+
+      /** Client-side filter (reference `filter_.py:107`): top-level
+        * field equality on the raw JSON, applied BEFORE the event
+        * becomes a Spark row — `from_json` downstream never sees a
+        * dropped event.
+        */
+      private def matches(payload: String): Boolean =
+        p.filters.isEmpty || {
+          try {
+            val node = mapper.readTree(payload)
+            p.filters.forall { case (field, allowed) =>
+              val v = node.get(field)
+              v != null && allowed.contains(
+                if (v.isTextual) v.asText() else v.toString)
+            }
+          } catch { case _: Exception => false } // unparseable: drop at source
+        }
+
+      override def next(): Boolean = {
+        while (frames.hasNext && idx + 1 < p.end) {
+          val (payload, _, _) = frames.next()
+          idx += 1
+          if (idx >= p.start && matches(payload)) { cur = payload; return true }
+        }
+        false
+      }
+      override def get(): InternalRow = {
+        val vals = new Array[Any](proj.length)
+        var i = 0
+        while (i < proj.length) {
+          vals(i) = if (proj(i) == 0) UTF8String.fromString(cur) else idx
+          i += 1
+        }
+        new GenericInternalRow(vals)
+      }
+      override def close(): Unit = frames.close()
+    }
 }
 
 /** Driver-side incremental scan state: one instance per stream, updated
@@ -201,15 +262,102 @@ final class SseTable(path: String, filters: Map[String, Set[String]])
   override def name(): String = s"sse($path)"
   override def schema(): StructType = SseSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new Scan {
-        override def readSchema(): StructType = SseSource.schema
-        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new SseMicroBatchStream(path, filters)
-      }
+    new SseScanBuilder(path, filters, options.getInt("batchPartitions", 16))
+}
+
+/** Formal DSv2 pushdown for the batch path (`spark.read.format("sse")` —
+  * the backfill/replay read over the same buffer the stream tails).
+  * Catalyst comparison predicates on `offset` are translated into an
+  * exact [lo, hi) event range (fully handled at the source — they show
+  * as PushedFilters in explain and are NOT re-evaluated by Spark), and
+  * column pruning reaches the reader (an `offset`-only projection never
+  * allocates payload strings). Spark's optimizer only consults
+  * `SupportsPushDownFilters` for batch scans — streaming relations
+  * bypass `V2ScanRelationPushDown` — so the stream keeps the
+  * reference-faithful `option("filter.<field>", ...)` registration
+  * (`filter_.py:107`), which both paths apply at the source.
+  */
+final class SseScanBuilder(path: String, sourceFilters: Map[String, Set[String]],
+    maxPartitions: Int) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  import org.apache.spark.sql.sources._
+
+  private var lo = 0L
+  private var hi = Long.MaxValue
+  private var pushed = Array.empty[Filter]
+  private var required: StructType = SseSource.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, residual) = filters.partition {
+      case EqualTo("offset", _: Number) => true
+      case GreaterThan("offset", _: Number) => true
+      case GreaterThanOrEqual("offset", _: Number) => true
+      case LessThan("offset", _: Number) => true
+      case LessThanOrEqual("offset", _: Number) => true
+      // both columns are declared non-nullable, so IsNotNull is a
+      // tautology the source can absorb for free
+      case IsNotNull("offset") | IsNotNull("value") => true
+      case _ => false
     }
+    accepted.foreach {
+      case EqualTo(_, v: Number) =>
+        lo = math.max(lo, v.longValue); hi = math.min(hi, v.longValue + 1)
+      case GreaterThan(_, v: Number) => lo = math.max(lo, v.longValue + 1)
+      case GreaterThanOrEqual(_, v: Number) => lo = math.max(lo, v.longValue)
+      case LessThan(_, v: Number) => hi = math.min(hi, v.longValue)
+      case LessThanOrEqual(_, v: Number) => hi = math.min(hi, v.longValue + 1)
+      case _ => ()
+    }
+    pushed = accepted
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan =
+    new SseScan(path, sourceFilters, lo, hi, required, maxPartitions)
+}
+
+final class SseScan(path: String, sourceFilters: Map[String, Set[String]],
+    lo: Long, hi: Long, required: StructType, maxPartitions: Int) extends Scan {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"sse($path) events=[$lo, ${if (hi == Long.MaxValue) "end" else hi})"
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new SseMicroBatchStream(path, sourceFilters)
+  override def toBatch: Batch = new Batch {
+    /** One scan-state refresh sizes the file and builds the sampled
+      * (eventIndex -> byteOffset) index; the pushed [lo, hi) range is
+      * split evenly and each partition seeks to the floor sample of its
+      * start — a big buffer backfill parallelizes instead of streaming
+      * the whole prefix through one reader. Seek granularity is the
+      * sample stride, so tiny files just read from the head.
+      */
+    override def planInputPartitions(): Array[InputPartition] = {
+      val state = new SseScanState(path)
+      val n = state.refresh()
+      val start = math.max(lo, 0L)
+      val end = math.min(hi, n)
+      if (end <= start) return Array.empty
+      val parts = math.max(1L, math.min(maxPartitions.toLong, end - start)).toInt
+      val step = (end - start + parts - 1) / parts
+      (0 until parts).flatMap { i =>
+        val s0 = start + i * step
+        val e0 = math.min(s0 + step, end)
+        if (s0 >= e0) None
+        else {
+          val (se, sb) = state.floorSample(s0)
+          Some(SsePartition(path, s0, e0, se, sb, sourceFilters,
+            required.fieldNames.toSeq))
+        }
+      }.toArray
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      (partition: InputPartition) =>
+        SseSource.reader(partition.asInstanceOf[SsePartition])
+  }
 }
 
 /** Offset = count of raw SSE events consumed from the buffer head
@@ -234,50 +382,14 @@ final class SseMicroBatchStream(path: String, filters: Map[String, Set[String]])
     val s = start.asInstanceOf[SseOffset].n
     val (sampleEvent, sampleByte) = state.floorSample(s)
     Array(SsePartition(path, s, end.asInstanceOf[SseOffset].n,
-      sampleEvent, sampleByte, filters))
+      sampleEvent, sampleByte, filters, SseSource.schema.fieldNames.toSeq))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    (partition: InputPartition) => {
-      val p = partition.asInstanceOf[SsePartition]
-      new PartitionReader[InternalRow] {
-        private val frames = new SseSource.FrameIterator(p.path, p.sampleByte)
-        private var idx = p.sampleEvent - 1 // raw index of the current frame
-        private var cur: String = _
-        private lazy val mapper = new ObjectMapper
-
-        /** Client-side filter (reference `filter_.py:107`): top-level
-          * field equality on the raw JSON, applied BEFORE the event
-          * becomes a Spark row — `from_json` downstream never sees a
-          * dropped event.
-          */
-        private def matches(payload: String): Boolean =
-          p.filters.isEmpty || {
-            try {
-              val node = mapper.readTree(payload)
-              p.filters.forall { case (field, allowed) =>
-                val v = node.get(field)
-                v != null && allowed.contains(
-                  if (v.isTextual) v.asText() else v.toString)
-              }
-            } catch { case _: Exception => false } // unparseable: drop at source
-          }
-
-        override def next(): Boolean = {
-          while (frames.hasNext && idx + 1 < p.end) {
-            val (payload, _, _) = frames.next()
-            idx += 1
-            if (idx >= p.start && matches(payload)) { cur = payload; return true }
-          }
-          false
-        }
-        override def get(): InternalRow = new GenericInternalRow(
-          Array[Any](UTF8String.fromString(cur), idx))
-        override def close(): Unit = frames.close()
-      }
-    }
+    (partition: InputPartition) =>
+      SseSource.reader(partition.asInstanceOf[SsePartition])
 }
 
 final case class SsePartition(path: String, start: Long, end: Long,
-  sampleEvent: Long, sampleByte: Long, filters: Map[String, Set[String]])
-    extends InputPartition
+  sampleEvent: Long, sampleByte: Long, filters: Map[String, Set[String]],
+  columns: Seq[String]) extends InputPartition
