@@ -186,6 +186,40 @@ case class MinHashSlices(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Fraction of a document's word n-grams taken by its single most
+  * frequent n-gram — the Gopher-style repetition signal (top-2-gram /
+  * top-3-gram fraction) used to drop boilerplate-heavy training docs.
+  * One pass per row: token boundaries from a byte scan, gram counts in
+  * a per-row hash map, max tracked inline. The declarative HOF
+  * formulation (`array_max(transform(array_distinct(g), x ->
+  * size(filter(g, y -> y = x))))`) is O(distinct x total) per document
+  * — quadratic in length, a scale-killer on long documents — besides
+  * being CodegenFallback. 0.0 when the doc has fewer than n tokens (no
+  * grams); the oracle mirrors with COALESCE over its empty group.
+  */
+case class TopGramFrac(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, s"gram width must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"top_gram_frac requires a string input, got ${child.dataType.sql}")
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "top_gram_frac"
+
+  override def nullSafeEval(input: Any): Any =
+    TextExpressions.topGramFrac(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextExpressions.topGramFrac($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
 
   // MessageDigest is stateful; one instance per thread serves every row
@@ -380,6 +414,29 @@ object TextExpressions {
   /** Column facade: one-pass MinHash slice minima of `text`. */
   def minhash_slices(text: Column, n: Int): Column =
     bridge.column(MinHashSlices(bridge.expression(text), n))
+
+  /** One-pass top-n-gram fraction (see [[TopGramFrac]]). */
+  def topGramFrac(text: UTF8String, n: Int): Double = {
+    val bytes = text.getBytes
+    val (starts, ends, numTokens) = boundaries(bytes)
+    val total = numTokens - n + 1
+    if (total <= 0) return 0.0
+    val counts = new java.util.HashMap[String, Integer](total * 2)
+    var maxC = 0
+    var i = 0
+    while (i < total) {
+      val g = new String(bytes, starts(i), ends(i + n - 1) - starts(i),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val c: Int = counts.merge(g, 1, (a, b) => Integer.valueOf(a + b))
+      if (c > maxC) maxC = c
+      i += 1
+    }
+    maxC.toDouble / total
+  }
+
+  /** Column facade: one-pass top-n-gram fraction of `text`. */
+  def top_gram_frac(text: Column, n: Int): Column =
+    bridge.column(TopGramFrac(bridge.expression(text), n))
 
   /** Optional SQL registration: `SELECT word_shingles(text, 5)`. */
   def register(spark: SparkSession): Unit =

@@ -449,6 +449,33 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher-style repetition signals: the standard boilerplate gate of
+    // large-scale training-data curation. top_{2,3}gram_frac = share of
+    // the doc's word n-grams taken by its single most frequent n-gram
+    // (native one-pass TopGramFrac — the HOF formulation is
+    // O(distinct x total) per doc, quadratic on long documents);
+    // dup_5gram_frac = fraction of 5-grams that are repeats of an
+    // earlier one (reuses the native shingle scan). All map-side, no
+    // shuffle before the final ORDER BY; `keep` applies Gopher-ish
+    // thresholds on the ROUNDED values so both engines gate on
+    // identical numbers.
+    "text_repetition" -> ((s, dir) => {
+      val ws = TextOps.tokens(col("text"))
+      val top2 = round(graft.functions.TextExpressions.top_gram_frac(col("text"), 2), 6)
+      val top3 = round(graft.functions.TextExpressions.top_gram_frac(col("text"), 3), 6)
+      val dup5 = when(size(ws) > 4,
+          round(lit(1.0) - size(array_distinct(TextOps.shinglesOfText(col("text"), 5)))
+            .cast("double") / (size(ws) - lit(4)), 6))
+        .otherwise(lit(0.0))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          top2.as("top_2gram_frac"),
+          top3.as("top_3gram_frac"),
+          dup5.as("dup_5gram_frac"),
+          (top2 <= 0.2 && top3 <= 0.18 && dup5 <= 0.15).cast("int").as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Token counting: whitespace tokens + BPE-ish 4-char subword chunks.
     "text_tokens" -> ((s, dir) => {
       val ws = TextOps.tokens(col("text"))
@@ -718,6 +745,24 @@ object ExtensionQueries {
        "CAST(CASE WHEN len(ws) BETWEEN 10 AND 120 AND round(len(list_distinct(ws)) / len(ws), 6) >= 0.15 " +
        "THEN 1 ELSE 0 END AS INT) AS is_quality " +
        "FROM (SELECT doc_id, string_split(text, ' ') ws FROM documents) ORDER BY doc_id"),
+    "text_repetition" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
+       "g2 AS (SELECT doc_id, max(c)*1.0/sum(c) f FROM (SELECT doc_id, g, count(*) c FROM " +
+       "(SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1])) g FROM t) " +
+       "GROUP BY doc_id, g) GROUP BY doc_id), " +
+       "g3 AS (SELECT doc_id, max(c)*1.0/sum(c) f FROM (SELECT doc_id, g, count(*) c FROM " +
+       "(SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) g FROM t) " +
+       "GROUP BY doc_id, g) GROUP BY doc_id), " +
+       "g5 AS (SELECT doc_id, CASE WHEN len(ws) > 4 THEN 1.0 - len(list_distinct(" +
+       "list_transform(generate_series(1, len(ws)-4), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])" +
+       "))*1.0/(len(ws)-4) ELSE 0.0 END f FROM t) " +
+       "SELECT t.doc_id, round(coalesce(g2.f, 0), 6) AS top_2gram_frac, " +
+       "round(coalesce(g3.f, 0), 6) AS top_3gram_frac, " +
+       "round(coalesce(g5.f, 0), 6) AS dup_5gram_frac, " +
+       "CAST(CASE WHEN round(coalesce(g2.f, 0), 6) <= 0.2 AND round(coalesce(g3.f, 0), 6) <= 0.18 " +
+       "AND round(coalesce(g5.f, 0), 6) <= 0.15 THEN 1 ELSE 0 END AS INT) AS keep " +
+       "FROM t LEFT JOIN g2 USING (doc_id) LEFT JOIN g3 USING (doc_id) LEFT JOIN g5 USING (doc_id) " +
+       "ORDER BY doc_id"),
     "text_tokens" ->
       ("SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens, " +
        "CAST(list_sum(list_transform(ws, w -> CAST(ceil(length(w)/4.0) AS BIGINT))) AS BIGINT) AS n_subwords, " +

@@ -146,6 +146,28 @@ class ExtensionInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("repetition metrics match hand-computed values; corpus values bounded") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextExpressions
+    // "a b a b a b": 2-grams [ab,ba,ab,ba,ab] -> top 3/5; 3-grams
+    // [aba,bab,aba,bab] -> top 2/4; 5-grams 2 distinct of 2 -> dup 0
+    val fx = Seq("a b a b a b", "x y z w v u", "a").toDF("text")
+      .select(col("text"),
+        TextExpressions.top_gram_frac(col("text"), 2).as("t2"),
+        TextExpressions.top_gram_frac(col("text"), 3).as("t3"))
+      .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(fx("a b a b a b") === ((0.6, 0.5)))
+    assert(fx("x y z w v u") === ((0.2, 0.25)))
+    assert(fx("a") === ((0.0, 0.0))) // fewer than n tokens: no grams
+    val rows = q("text_repetition")
+      .as[(Long, Double, Double, Double, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, t2, t3, d5, keep) =>
+      assert(t2 >= 0 && t2 <= 1 && t3 >= 0 && t3 <= 1 && d5 >= 0 && d5 <= 1)
+      assert(keep === (if (t2 <= 0.2 && t3 <= 0.18 && d5 <= 0.15) 1 else 0))
+    }
+  }
+
   test("langid: genuinely multilingual sentences classify correctly") {
     import org.apache.spark.sql.functions.col
     val fixtures = Seq(
