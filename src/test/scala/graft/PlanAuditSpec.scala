@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Machine-checked plan audits: the scale claims — pruned scans,
+  * broadcast where a dim is small, map-side-only pipelines, codegen on
+  * the hot path — asserted against the physical plans of the named
+  * queries, so a regression that silently adds a shuffle or widens a
+  * scan fails CI instead of surfacing as a 100 TB incident. Assertions
+  * deliberately target coarse plan features (node kinds, Exchange
+  * counts, scan schemas), not exact plan strings, to stay stable across
+  * Spark upgrades.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("map-side text queries shuffle only for their output sort") {
+    for (q <- Seq("dedup_simhash", "text_repetition", "text_quality",
+        "text_tokens", "text_langid", "text_fingerprint")) {
+      val p = plan(q)
+      val n = p.linesIterator.count(_.contains("Exchange "))
+      assert(n <= 1, s"$q expected at most the ORDER BY exchange, plan:\n$p")
+    }
+  }
+
+  test("projections prune the parquet scan (ReadSchema excludes unused columns)") {
+    // s1 drops `props`; a scan that still reads it ships a wide string
+    // column through every executor for nothing
+    val p = plan("s1_scan_events")
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.nonEmpty, s"no ReadSchema in plan:\n$p")
+    assert(!readSchema.contains("props"), s"scan reads dropped column:\n$readSchema")
+    val p2 = plan("text_tokens")
+    val rs2 = p2.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!rs2.contains("lang") && !rs2.contains("source"),
+      s"text_tokens scan reads unused columns:\n$rs2")
+  }
+
+  test("predicates reach the parquet scan as PushedFilters") {
+    val p = plan("f1_streamfilter")
+    assert(p.contains("PushedFilters: ["), s"no pushed filters in plan:\n$p")
+    // at least one real predicate pushed (not just the bare brackets)
+    assert("PushedFilters: \\[[^\\]]".r.findFirstIn(p).isDefined,
+      s"pushed filter list is empty:\n$p")
+  }
+
+  test("editcount dim join broadcasts the small side") {
+    val p = plan("j1_editcount")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"expected broadcast join for the per-user dim:\n$p")
+  }
+
+  test("the hot paths run inside whole-stage codegen") {
+    // map-side pipelines (native expressions compile via defineCodeGen);
+    // collect_set/Generate stages are legitimately object-based, so the
+    // bucket-agg queries are not asserted here. AQE hides codegen
+    // collapse until execution, so audit with AQE off — the codegen
+    // boundaries themselves are AQE-independent.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (q <- Seq("text_repetition", "q1_agg", "dedup_simhash")) {
+        val s = SparkEntry.queries(q)(spark, sf0001)
+          .queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)
+        val found = "Found (\\d+) WholeStageCodegen".r.findFirstMatchIn(s).map(_.group(1).toInt)
+        assert(found.exists(_ >= 1), s"$q fell out of whole-stage codegen:\n${s.take(2000)}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan("q3_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject for LIMIT-k:\n$p")
+  }
+
+  test("minhash signatures shuffle only at banding, not before") {
+    // native MinHashSlices means NO groupBy(doc_id) aggregation stage:
+    // the plan must not contain a doc_id hash aggregate before banding
+    val p = plan("dedup_minhash")
+    assert(!p.contains("HashAggregate(keys=[doc_id"),
+      s"signature aggregation resurfaced (native expression bypassed):\n$p")
+  }
+}
