@@ -52,13 +52,17 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Register every table as a temp view so users can drive the engine
+  /** Register every table as a temp view AND every native text
+    * expression as a SQL function, so users can drive the engine
     * through plain `spark.sql(...)` — the catalog surface of the
     * library. `events` goes through its ns->us normalization, so SQL
     * users get the same timestamps the DataFrame API serves.
     */
-  def registerAll(spark: SparkSession, dir: String): Unit = names.foreach {
-    case "events" => events(spark, dir).createOrReplaceTempView("events")
-    case n => load(spark, dir, n).createOrReplaceTempView(n)
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    names.foreach {
+      case "events" => events(spark, dir).createOrReplaceTempView("events")
+      case n => load(spark, dir, n).createOrReplaceTempView(n)
+    }
+    graft.functions.TextExpressions.register(spark)
   }
 }

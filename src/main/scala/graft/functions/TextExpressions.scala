@@ -438,9 +438,30 @@ object TextExpressions {
   def top_gram_frac(text: Column, n: Int): Column =
     bridge.column(TopGramFrac(bridge.expression(text), n))
 
-  /** Optional SQL registration: `SELECT word_shingles(text, 5)`. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "word_shingles", exprs => WordShingles(exprs.head,
-        exprs(1).eval(null).asInstanceOf[Int]), "built-in")
+  /** Optional SQL registration of every native text expression, so the
+    * engine's SQL surface matches the DataFrame one:
+    * `SELECT word_shingles(text, 5)`, `simhash32(text)`,
+    * `minhash_slices(text, 5)`, `top_gram_frac(text, 2)`, ...
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def intArg(exprs: Seq[Expression], i: Int): Int =
+      exprs(i).eval(null) match {
+        case n: Int => n
+        case other => throw new IllegalArgumentException(
+          s"argument ${i + 1} must be an integer literal, got $other")
+      }
+    reg.createOrReplaceTempFunction("word_shingles",
+      exprs => WordShingles(exprs.head, intArg(exprs, 1)), "built-in")
+    reg.createOrReplaceTempFunction("distinct_shingles",
+      exprs => DistinctShingles(exprs.head, intArg(exprs, 1)), "built-in")
+    reg.createOrReplaceTempFunction("distinct_shingle_structs",
+      exprs => DistinctShingleStructs(exprs.head, intArg(exprs, 1)), "built-in")
+    reg.createOrReplaceTempFunction("simhash32",
+      exprs => SimHash32(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("minhash_slices",
+      exprs => MinHashSlices(exprs.head, intArg(exprs, 1)), "built-in")
+    reg.createOrReplaceTempFunction("top_gram_frac",
+      exprs => TopGramFrac(exprs.head, intArg(exprs, 1)), "built-in")
+  }
 }

@@ -81,6 +81,21 @@ class ExtensionInvariantsSpec extends SparkSpec {
     // events goes through ns->us normalization: ts must be a TIMESTAMP
     assert(spark.sql("SELECT ts FROM events").schema.head.dataType ===
       org.apache.spark.sql.types.TimestampType)
+    // native expressions are on the SQL surface too, equal to the
+    // Column facades they wrap
+    import org.apache.spark.sql.functions.{col, size}
+    val sqlSide = spark.sql(
+      """SELECT doc_id, simhash32(text) sh, minhash_slices(text, 5) mh,
+        |top_gram_frac(text, 2) tg, size(word_shingles(text, 5)) ns
+        |FROM documents""".stripMargin)
+    val dfSide = Tables.documents(spark, sf0001).select(
+      col("doc_id"),
+      graft.functions.TextExpressions.simhash32_col(col("text")).as("sh"),
+      graft.functions.TextExpressions.minhash_slices(col("text"), 5).as("mh"),
+      graft.functions.TextExpressions.top_gram_frac(col("text"), 2).as("tg"),
+      size(graft.operators.TextOps.shinglesOfText(col("text"), 5)).as("ns"))
+    assert(sqlSide.exceptAll(dfSide).count() === 0)
+    assert(dfSide.exceptAll(sqlSide).count() === 0)
   }
 
   test("sequence packing: bins are per-source, contiguous, near-budget") {
