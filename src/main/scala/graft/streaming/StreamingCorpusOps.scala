@@ -1,0 +1,142 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.TextExpressions
+
+/** Streaming twins of the corpus-construction family: the same
+  * operators the batch pipeline runs over `documents`, re-expressed for
+  * a document STREAM — the shape of a continuously ingesting training
+  * pipeline, where "is this new doc a near-dup of anything we already
+  * took?" must be answered incrementally instead of by re-running a
+  * batch dedup over the whole corpus.
+  *
+  * All three tiers mirror the batch family exactly:
+  *  - quality/repetition gating is stateless (pure map — the native
+  *    expressions stream as-is),
+  *  - exact dedup is content-key state (`dropDuplicates` over md5),
+  *  - near-dup candidates are per-band bucket state: the SAME banding
+  *    scheme as `dedup_minhash` (native one-pass MinHash signature, 4
+  *    bands of 2 slices), with each band bucket held as
+  *    `flatMapGroupsWithState` state so a new document pairs against
+  *    every prior bucket member ACROSS micro-batches.
+  *
+  * 100 TB notes: band-bucket state is hash-partitioned across executors
+  * by (band_idx, band_hash) — the same shuffle key as the batch query —
+  * and stored in the state store (RocksDB in production). Buckets cap
+  * at `maxBucket` members, the streaming analog of the batch
+  * stop-shingle guard: a bucket that hot is boilerplate, and its
+  * members stop pairing instead of producing quadratic output. Use
+  * `ttl` (processing-time timeout) to bound total state by recency when
+  * the stream is unbounded.
+  */
+object StreamingCorpusOps {
+
+  case class Doc(doc_id: Long, text: String)
+  case class BandRow(band_idx: Int, band_hash: String, doc_id: Long)
+  /** One candidate per (pair, band) it collides in — consumers dedupe
+    * with a downstream aggregate exactly like the batch query does.
+    */
+  case class CandidatePair(a_id: Long, b_id: Long, band_idx: Int)
+  // Array, not Vector (the product encoder compiles array fields
+  // cleanly; immutable-collection builders trip janino), and public,
+  // not private (generated deserializer code calls the accessors from
+  // outside the companion). State-internal, not API.
+  case class Bucket(members: Array[Long], overflowed: Boolean)
+
+  implicit private val docEnc: Encoder[Doc] = Encoders.product[Doc]
+  implicit private val bandEnc: Encoder[BandRow] = Encoders.product[BandRow]
+  implicit private val pairEnc: Encoder[CandidatePair] = Encoders.product[CandidatePair]
+
+  /** Stateless quality + repetition gate (the Gopher thresholds of
+    * `text_repetition` + the `text_quality` token gate) — a pure
+    * map-side projection, so it runs identically on a batch frame or a
+    * streaming one. Emits only kept docs with their scores attached.
+    */
+  def qualityGate(docs: DataFrame): DataFrame = {
+    val ws = split(col("text"), " ")
+    val top2 = round(TextExpressions.top_gram_frac(col("text"), 2), 6)
+    val top3 = round(TextExpressions.top_gram_frac(col("text"), 3), 6)
+    docs
+      .withColumn("n_tokens", size(ws).cast("long"))
+      .withColumn("top_2gram_frac", top2)
+      .withColumn("top_3gram_frac", top3)
+      .filter(col("n_tokens") >= 10 && col("n_tokens") <= 200 &&
+        col("top_2gram_frac") <= 0.2 && col("top_3gram_frac") <= 0.18)
+  }
+
+  /** Streaming exact dedup on the content key: the first arrival of a
+    * text wins, replays and later clones are dropped by per-key state.
+    * With a watermarked `ts` column upstream, swap to
+    * `dropDuplicatesWithinWatermark` for horizon-bounded state — this
+    * unbounded variant is the exact twin of batch `dedup_exact`.
+    */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs.withColumn("content_key", md5(col("text")))
+      .dropDuplicates("content_key")
+
+  /** The banding projection shared with `dedup_minhash`: native
+    * one-pass MinHash signature, band key = concat of two slices.
+    */
+  def bandRows(docs: DataFrame): Dataset[BandRow] = {
+    val sigs = docs.select(col("doc_id"),
+      TextExpressions.minhash_slices(col("text"), 5).as("mh"))
+    val bandCols = (0 until 4).map(b =>
+      concat(element_at(col("mh"), 2 * b + 1), element_at(col("mh"), 2 * b + 2)))
+    sigs
+      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
+      .select(col("band_idx").cast("int").as("band_idx"), col("band_hash"), col("doc_id"))
+      .as[BandRow]
+  }
+
+  /** Incremental LSH near-dup candidates: each band bucket lives in the
+    * state store; a new document emits a pair against EVERY member the
+    * bucket accumulated in earlier micro-batches (and earlier in this
+    * one), so cross-batch near-dups surface the moment the second copy
+    * arrives — the operation a batch dedup can only answer by
+    * re-scanning the corpus. Within a batch, rows are processed in
+    * doc_id order for deterministic output; pairs are canonicalized
+    * (a_id < b_id). A bucket past `maxBucket` stops pairing AND
+    * admitting (the batch stop-shingle analog); `ttl` bounds state by
+    * processing-time recency when set.
+    */
+  def minhashCandidates(docs: DataFrame, maxBucket: Int = 512,
+      ttl: Option[java.time.Duration] = None): Dataset[CandidatePair] = {
+    implicit val bucketEnc: Encoder[Bucket] = Encoders.product[Bucket]
+    implicit val keyEnc: Encoder[(Int, String)] =
+      Encoders.tuple(Encoders.scalaInt, Encoders.STRING)
+    val timeout = if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    bandRows(docs)
+      .groupByKey(b => (b.band_idx, b.band_hash))
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
+        (key: (Int, String), it: Iterator[BandRow], state: GroupState[Bucket]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var bucket = state.getOption.getOrElse(
+              Bucket(Array.empty[Long], overflowed = false))
+            val out = Vector.newBuilder[CandidatePair]
+            // deterministic intra-batch order; dedupe replayed ids
+            it.toSeq.map(_.doc_id).distinct.sorted.foreach { id =>
+              if (!bucket.overflowed && !bucket.members.contains(id)) {
+                if (bucket.members.length >= maxBucket)
+                  // boilerplate band: freeze BEFORE pairing the
+                  // overflowing doc — stop pairing AND admitting
+                  bucket = Bucket(Array.empty[Long], overflowed = true)
+                else {
+                  bucket.members.foreach { m =>
+                    out += CandidatePair(math.min(m, id), math.max(m, id), key._1)
+                  }
+                  bucket = Bucket(bucket.members :+ id, overflowed = false)
+                }
+              }
+            }
+            state.update(bucket)
+            ttl.foreach(d => state.setTimeoutDuration(d.toMillis))
+            out.result().iterator
+          }
+        })
+  }
+}
