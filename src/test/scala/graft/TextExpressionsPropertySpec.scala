@@ -1,0 +1,69 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => ScTest}
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextExpressions
+import graft.operators.TextOps
+
+/** Property armor for the native text expressions: each one's only
+  * spec is "identical to the declarative formulation it replaced", so
+  * fuzz that equality over adversarial strings — empty tokens from
+  * doubled/leading/trailing spaces, unicode, single-char docs — where a
+  * byte-scan boundary bug would hide. Corpus-level equality is pinned
+  * separately in ExtensionInvariantsSpec; this is the edge-case net.
+  */
+class TextExpressionsPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  // words over a tiny alphabet (forces gram collisions) + unicode +
+  // empty words (doubled spaces when joined)
+  private val genWord: Gen[String] = Gen.frequency(
+    6 -> Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b')).map(_.mkString)),
+    2 -> Gen.oneOf("héllo", "日本", "ø"),
+    2 -> Gen.const("")) // "" between delimiters = consecutive spaces
+  private val genText: Gen[String] = for {
+    n <- Gen.choose(1, 12)
+    ws <- Gen.listOfN(n, genWord)
+  } yield ws.mkString(" ")
+
+  private def declarativeEqual(texts: Seq[String]): Boolean = {
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val ws = split(col("text"), " ")
+    // word_shingles twin: concat_ws over sliced token windows
+    val nSh = greatest(size(ws) - lit(4), lit(1))
+    val declShingles = transform(sequence(lit(1), nSh),
+      i => concat_ws(" ", slice(ws, i, lit(5))))
+    // top_gram_frac(2) twin: quadratic count over the 2-gram list
+    val grams = zip_with(slice(ws, lit(1), greatest(size(ws) - 1, lit(0))),
+      slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val declTop2 = when(size(grams) > 0,
+      aggregate(grams, lit(0),
+        (acc, g) => greatest(acc, size(filter(grams, x => x === g))))
+        .cast("double") / size(grams)).otherwise(lit(0.0))
+    val cmp = docs.select(
+      (TextOps.shinglesOfText(col("text"), 5) === declShingles).as("sh_eq"),
+      (abs(TextExpressions.top_gram_frac(col("text"), 2) - declTop2) < 1e-12).as("tg_eq"),
+      // simhash/minhash declarative twins are heavy; their corpus-level
+      // equality specs exist — here just pin total determinism across
+      // two evaluations of the native expressions
+      (TextExpressions.simhash32_col(col("text")) ===
+        TextExpressions.simhash32_col(col("text"))).as("sim_det"),
+      (TextExpressions.minhash_slices(col("text"), 5) ===
+        TextExpressions.minhash_slices(col("text"), 5)).as("mh_det"))
+      .collect()
+    cmp.forall(r => r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3))
+  }
+
+  test("native expressions equal their declarative twins on adversarial strings") {
+    val prop = Prop.forAll(Gen.listOfN(8, genText))(texts => declarativeEqual(texts))
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("known hostile fixtures: empty, single space, all-space, trailing space") {
+    assert(declarativeEqual(Seq("", " ", "   ", "a ", " a", "a  b", "ab")))
+  }
+}
