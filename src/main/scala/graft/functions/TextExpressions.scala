@@ -415,18 +415,21 @@ object TextExpressions {
   def minhash_slices(text: Column, n: Int): Column =
     bridge.column(MinHashSlices(bridge.expression(text), n))
 
-  /** One-pass top-n-gram fraction (see [[TopGramFrac]]). */
+  /** One-pass top-n-gram fraction (see [[TopGramFrac]]). Map keys are
+    * zero-copy UTF8String slices over the input's backing bytes (the
+    * same pattern as the distinct-shingle scan) — no per-gram UTF-8
+    * decode or char[] allocation on the hot path.
+    */
   def topGramFrac(text: UTF8String, n: Int): Double = {
     val bytes = text.getBytes
     val (starts, ends, numTokens) = boundaries(bytes)
     val total = numTokens - n + 1
     if (total <= 0) return 0.0
-    val counts = new java.util.HashMap[String, Integer](total * 2)
+    val counts = new java.util.HashMap[UTF8String, Integer](total * 2)
     var maxC = 0
     var i = 0
     while (i < total) {
-      val g = new String(bytes, starts(i), ends(i + n - 1) - starts(i),
-        java.nio.charset.StandardCharsets.UTF_8)
+      val g = UTF8String.fromBytes(bytes, starts(i), ends(i + n - 1) - starts(i))
       val c: Int = counts.merge(g, 1, (a, b) => Integer.valueOf(a + b))
       if (c > maxC) maxC = c
       i += 1

@@ -301,13 +301,17 @@ final class SseScanBuilder(path: String, sourceFilters: Map[String, Set[String]]
       case IsNotNull("offset") | IsNotNull("value") => true
       case _ => false
     }
+    // saturating +1: a Long.MaxValue bound (a common "no upper bound"
+    // sentinel) must mean "unbounded", not wrap to Long.MinValue and
+    // silently return an empty scan Spark never re-checks
+    def inc(v: Long): Long = if (v == Long.MaxValue) Long.MaxValue else v + 1
     accepted.foreach {
       case EqualTo(_, v: Number) =>
-        lo = math.max(lo, v.longValue); hi = math.min(hi, v.longValue + 1)
-      case GreaterThan(_, v: Number) => lo = math.max(lo, v.longValue + 1)
+        lo = math.max(lo, v.longValue); hi = math.min(hi, inc(v.longValue))
+      case GreaterThan(_, v: Number) => lo = math.max(lo, inc(v.longValue))
       case GreaterThanOrEqual(_, v: Number) => lo = math.max(lo, v.longValue)
       case LessThan(_, v: Number) => hi = math.min(hi, v.longValue)
-      case LessThanOrEqual(_, v: Number) => hi = math.min(hi, v.longValue + 1)
+      case LessThanOrEqual(_, v: Number) => hi = math.min(hi, inc(v.longValue))
       case _ => ()
     }
     pushed = accepted

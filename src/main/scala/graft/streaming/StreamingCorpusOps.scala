@@ -50,21 +50,34 @@ object StreamingCorpusOps {
   implicit private val bandEnc: Encoder[BandRow] = Encoders.product[BandRow]
   implicit private val pairEnc: Encoder[CandidatePair] = Encoders.product[CandidatePair]
 
-  /** Stateless quality + repetition gate (the Gopher thresholds of
-    * `text_repetition` + the `text_quality` token gate) — a pure
-    * map-side projection, so it runs identically on a batch frame or a
-    * streaming one. Emits only kept docs with their scores attached.
+  /** Stateless quality + repetition gate — the EXACT conjunction of the
+    * batch `text_quality` is_quality gate (token count in [10, 120],
+    * type-token ratio >= 0.15) and the batch `text_repetition` keep
+    * flag (rounded top-2-gram <= 0.2, top-3-gram <= 0.18, dup-5-gram
+    * <= 0.15), over the same `TextOps.tokens` tokenization, so a doc
+    * kept here is a doc BOTH batch gates would keep. A pure map-side
+    * projection, so it runs identically on a batch frame or a streaming
+    * one. Emits only kept docs with their scores attached.
     */
   def qualityGate(docs: DataFrame): DataFrame = {
-    val ws = split(col("text"), " ")
+    val ws = graft.operators.TextOps.tokens(col("text"))
     val top2 = round(TextExpressions.top_gram_frac(col("text"), 2), 6)
     val top3 = round(TextExpressions.top_gram_frac(col("text"), 3), 6)
+    val dup5 = when(size(ws) > 4,
+        round(lit(1.0) - size(array_distinct(
+          graft.operators.TextOps.shinglesOfText(col("text"), 5)))
+          .cast("double") / (size(ws) - lit(4)), 6))
+      .otherwise(lit(0.0))
     docs
       .withColumn("n_tokens", size(ws).cast("long"))
+      .withColumn("ttr", round(size(array_distinct(ws)) / col("n_tokens"), 6))
       .withColumn("top_2gram_frac", top2)
       .withColumn("top_3gram_frac", top3)
-      .filter(col("n_tokens") >= 10 && col("n_tokens") <= 200 &&
-        col("top_2gram_frac") <= 0.2 && col("top_3gram_frac") <= 0.18)
+      .withColumn("dup_5gram_frac", dup5)
+      .filter(col("n_tokens") >= 10 && col("n_tokens") <= 120 &&
+        col("ttr") >= 0.15 &&
+        col("top_2gram_frac") <= 0.2 && col("top_3gram_frac") <= 0.18 &&
+        col("dup_5gram_frac") <= 0.15)
   }
 
   /** Streaming exact dedup on the content key: the first arrival of a

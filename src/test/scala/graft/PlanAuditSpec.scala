@@ -58,6 +58,7 @@ class PlanAuditSpec extends SparkSpec {
     // bucket-agg queries are not asserted here. AQE hides codegen
     // collapse until execution, so audit with AQE off — the codegen
     // boundaries themselves are AQE-independent.
+    val prior = spark.conf.getOption("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       for (q <- Seq("text_repetition", "q1_agg", "dedup_simhash")) {
@@ -66,7 +67,10 @@ class PlanAuditSpec extends SparkSpec {
         val found = "Found (\\d+) WholeStageCodegen".r.findFirstMatchIn(s).map(_.group(1).toInt)
         assert(found.exists(_ >= 1), s"$q fell out of whole-stage codegen:\n${s.take(2000)}")
       }
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally prior match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
   }
 
   test("top-k compiles to TakeOrderedAndProject, not a global sort") {

@@ -86,6 +86,18 @@ class StreamingCorpusSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("quality gate equals the conjunction of the batch gates on the corpus") {
+    val kept = StreamingCorpusOps.qualityGate(Tables.documents(spark, sf0001))
+      .select("doc_id").as[Long].collect().toSet
+    val q = SparkEntry.queries
+    val batchQuality = q("text_quality")(spark, sf0001)
+      .filter($"is_quality" === 1).select("doc_id").as[Long].collect().toSet
+    val batchKeep = q("text_repetition")(spark, sf0001)
+      .filter($"keep" === 1).select("doc_id").as[Long].collect().toSet
+    assert(kept === (batchQuality intersect batchKeep),
+      "streaming gate must keep exactly the docs both batch gates keep")
+  }
+
   test("bucket cap freezes boilerplate bands instead of quadratic output") {
     val in = MemoryStream[Doc]
     val q = StreamingCorpusOps.minhashCandidates(in.toDF(), maxBucket = 3)
