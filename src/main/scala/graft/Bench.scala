@@ -33,22 +33,38 @@ object Bench {
       try Tables.load(spark, sfDir, t).cache().count()
       catch { case _: Throwable => () }
     }
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A failed rep must never contribute a time: a query that throws fast
+    // would otherwise report its near-zero failure latency as the min and
+    // silently deflate the headline total. Failures are returned as Left
+    // and surfaced in an "errors" field + a nonzero exit code instead.
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+      catch {
+        case e: Throwable =>
+          Left((e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage))
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(180))
+      }
     }
-    // Each query is timed twice and the MIN is reported. The two reps run
-    // as two full sequential passes over the query list (never back to
-    // back), so a transient stall — GC pause, noisy-neighbor CPU steal,
-    // page-cache eviction — that inflates one pass cannot inflate both
-    // reps of the same query. Queries within a pass still run strictly
-    // sequentially: no overlap flatters any individual number.
+    // Each query is timed twice and the MIN over SUCCESSFUL reps is
+    // reported. The two reps run as two full sequential passes over the
+    // query list (never back to back), so a transient stall — GC pause,
+    // noisy-neighbor CPU steal, page-cache eviction — that inflates one
+    // pass cannot inflate both reps of the same query. Queries within a
+    // pass still run strictly sequentially: no overlap flatters any
+    // individual number.
     def timeAll(qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
-        : Map[String, Double] = {
+        : (Map[String, Double], Map[String, String]) = {
       val pass1 = qs.map { case (name, fn) => name -> timeOnce(fn) }
       val pass2 = qs.map { case (name, fn) => name -> timeOnce(fn) }.toMap
-      pass1.map { case (name, t1) => name -> math.min(t1, pass2(name)) }.toMap
+      val times = scala.collection.mutable.LinkedHashMap[String, Double]()
+      val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+      pass1.foreach { case (name, r1) =>
+        val ok = Seq(r1, pass2(name)).collect { case Right(t) => t }
+        if (ok.nonEmpty) times(name) = ok.min
+        else errors(name) = Seq(r1, pass2(name)).collectFirst { case Left(m) => m }.getOrElse("unknown")
+      }
+      (times.toMap, errors.toMap)
     }
     // Headline (totaled) set = the DuckDB-oracled queries — the same
     // set the driver re-times in DuckDB, so the ratio is apples to
@@ -57,12 +73,19 @@ object Bench {
     // reported, under "unoracled".
     val (oracled, unoracled) =
       SparkEntry.queries.toSeq.partition { case (n, _) => SparkEntry.oracleSql.contains(n) }
-    val results = timeAll(oracled)
-    val extras = timeAll(unoracled)
+    val (results, oracledErrors) = timeAll(oracled)
+    val (extras, extraErrors) = timeAll(unoracled)
     def js(m: Map[String, Double]) =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def jsStr(m: Map[String, String]) =
+      m.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
+    val allErrors = oracledErrors ++ extraErrors
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"unoracled":${js(extras)},"sf":"$sfDir","reps":2,"agg":"min","warm_cache":true}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"unoracled":${js(extras)},"errors":${jsStr(allErrors)},"sf":"$sfDir","reps":2,"agg":"min","warm_cache":true}""")
     spark.stop()
+    // An oracled query that failed both reps means the headline total is
+    // missing a term — fail the run loudly rather than report a deflated
+    // number as if it were clean.
+    if (oracledErrors.nonEmpty) sys.exit(1)
   }
 }

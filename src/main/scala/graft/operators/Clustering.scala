@@ -47,6 +47,26 @@ object Clustering {
     */
   private val checkpointLock = new Object
 
+  /** Cross-run restore bookkeeping (guarded by [[checkpointLock]]).
+    * A run that captured `getCheckpointDir` while ANOTHER run was
+    * mid-rounds would capture that run's transient `round-N` dir as the
+    * "prior" dir and later restore the context to a path the other run
+    * deletes. Instead the baseline is captured once, by the FIRST run to
+    * enter while no reliable-checkpoint CC run is active (so it can only
+    * ever be a non-CC directory), and restored once, by the LAST run to
+    * exit.
+    */
+  private var activeReliableRuns = 0
+  private var baselineCkDir: Option[String] = None
+
+  /** Hard ceiling on the strategy probe's driver collect. Each edge is a
+    * boxed (Long, Long) — ~50 bytes on-heap — so 4M edges is a bounded
+    * ~200 MB worst case; a misconfigured `localEdgeLimit` of, say,
+    * Int.MaxValue would otherwise turn `limit(n + 1).collect()` into an
+    * unbounded driver OOM before the strategy decision is even made.
+    */
+  private val LocalEdgeLimitCeiling = 1 << 22
+
   /** (node, label) for every node appearing in `pairs` (a_id, b_id);
     * label = min node id of the connected component. `node` and
     * `label` are always LongType regardless of the input id type —
@@ -82,7 +102,7 @@ object Clustering {
     import spark.implicits._
     val localLimit = math.min(
       spark.conf.get("spark.graft.cc.localEdgeLimit", (1 << 16).toString).toLong,
-      (Int.MaxValue - 1).toLong).toInt
+      LocalEdgeLimitCeiling.toLong).toInt
     val longPairs = pairs
       .select(col("a_id").cast("long").as("a_id"), col("b_id").cast("long").as("b_id"))
     val probe = longPairs.limit(localLimit + 1).as[(Long, Long)].collect()
@@ -139,14 +159,22 @@ object Clustering {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
       ()
     }
-    // Captured ONCE and restored ONCE after the loop — restoring after
-    // every round would re-mkdir the just-deleted round dir, because
-    // getCheckpointDir returns the UUID subpath setCheckpointDir
-    // created inside it. (If the session had a prior checkpoint dir,
-    // the restore points one UUID level deeper than the user's original
-    // string — still inside their directory, so unrelated
-    // df.checkpoint() calls keep landing where they expect.)
-    val savedCkDir = spark.sparkContext.getCheckpointDir
+    // The pre-CC checkpoint dir is captured by the FIRST active run and
+    // restored by the LAST (see activeReliableRuns): capturing per-run
+    // outside the lock could snapshot a concurrent run's transient
+    // round-N dir — a path that run deletes — and restoring it would
+    // break subsequent unrelated df.checkpoint() calls. Restoring only
+    // at end-of-run (not per round) also matters: getCheckpointDir
+    // returns the UUID subpath setCheckpointDir created, so a per-round
+    // restore would re-mkdir the just-deleted round dir. (If the session
+    // had a prior checkpoint dir, the restore points one UUID level
+    // deeper than the user's original string — still inside their
+    // directory, so unrelated df.checkpoint() calls keep landing where
+    // they expect.)
+    if (runDir.isDefined) checkpointLock.synchronized {
+      if (activeReliableRuns == 0) baselineCkDir = spark.sparkContext.getCheckpointDir
+      activeReliableRuns += 1
+    }
     def persistRound(df: DataFrame): DataFrame = runDir match {
       case Some(run) => checkpointLock.synchronized {
         val roundDir = s"$run/round-$roundIdx"
@@ -160,7 +188,12 @@ object Clustering {
       case None => df.localCheckpoint()
     }
     def restoreCkDir(): Unit = if (runDir.isDefined) checkpointLock.synchronized {
-      spark.sparkContext.setCheckpointDir(savedCkDir.orNull)
+      activeReliableRuns -= 1
+      // Only the last run out restores; while a sibling run is still
+      // active the context keeps pointing at a live round dir and the
+      // sibling resets it on its own next persistRound.
+      if (activeReliableRuns == 0)
+        spark.sparkContext.setCheckpointDir(baselineCkDir.orNull)
     }
 
     val edges = pairs.select(col("a_id"), col("b_id"))

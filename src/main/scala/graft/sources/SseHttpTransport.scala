@@ -80,13 +80,19 @@ final class SseHttpRelay(endpoint: String, bufferPath: String,
 
 object SseHttpRelay {
 
-  /** The `id:` value of the last COMPLETE (blank-line-terminated) frame
-    * in the buffer file's tail, or null if none. Only committed frames
-    * count: an id whose frame hasn't been terminated yet was never
-    * consumed by the source, so resuming AFTER it could drop events.
-    * Reads at most the final `tailBytes` of the file — event ids
-    * recur every frame, so a bounded tail always contains the latest
-    * one in any non-degenerate buffer.
+  /** The `id:` value of the last frame whose `data:` line is
+    * newline-terminated in the buffer file's tail, or null if none.
+    * The commit condition MUST match `SseSource.FrameIterator`, which
+    * counts an event as soon as its `data:` line's newline lands (the
+    * frame-terminating blank line is not required): if this required the
+    * blank line too, a crash that persisted `...data: X\n` would leave an
+    * event the source already counted, and the restarted relay would
+    * resume from the PRIOR frame's id — re-fetching X and appending a
+    * duplicate frame that the byte-counting source commits as a new
+    * offset. Conversely an id whose `data:` line never landed was never
+    * counted, so its id must NOT commit. Reads at most the final
+    * `tailBytes` of the file — event ids recur every frame, so a bounded
+    * tail always contains the latest one in any non-degenerate buffer.
     */
   def lastPersistedId(bufferPath: String, tailBytes: Int = 1 << 20): String = {
     val p = java.nio.file.Paths.get(bufferPath)
@@ -101,9 +107,16 @@ object SseHttpRelay {
       val text = new String(bb.array(), 0, bb.position(), StandardCharsets.UTF_8)
       var pending: String = null
       var last: String = null
-      text.split("\n", -1).foreach { line =>
+      val parts = text.split("\n", -1)
+      // parts(parts.length - 1) is the bytes after the final '\n' — an
+      // in-flight write the FrameIterator also ignores; every earlier
+      // element was newline-terminated and therefore visible to the source.
+      var i = 0
+      while (i < parts.length - 1) {
+        val line = parts(i)
         if (line.startsWith("id: ")) pending = line.substring(4)
-        else if (line.isEmpty && pending != null) { last = pending; pending = null }
+        else if (line.startsWith("data: ") && pending != null) { last = pending; pending = null }
+        i += 1
       }
       last
     } finally ch.close()

@@ -114,6 +114,20 @@ object StreamingCorpusOps {
     * (a_id < b_id). A bucket past `maxBucket` stops pairing AND
     * admitting (the batch stop-shingle analog); `ttl` bounds state by
     * processing-time recency when set.
+    *
+    * ACCEPTED DIVERGENCE from the batch cap: the batch query sizes each
+    * bucket BEFORE pairing and drops an over-cap bucket whole (zero
+    * pairs), but an online operator cannot know a bucket's final size
+    * when its early members arrive, and Append mode cannot retract
+    * emitted rows — so a bucket that eventually overflows has already
+    * emitted up to C(maxBucket, 2) pairs among its first `maxBucket`
+    * members. This over-emission is bounded, one-sided (streaming may
+    * emit EXTRA candidates on boilerplate buckets, never miss ones batch
+    * would emit at the same cap), and harmless to the pipeline contract:
+    * these rows are CANDIDATES whose downstream verify step (actual
+    * similarity check, as in `dedup_keep_best`) filters false positives
+    * regardless of which side produced them. StreamingCorpusSpec pins
+    * the exact freeze point.
     */
   def minhashCandidates(docs: DataFrame, maxBucket: Int = 512,
       ttl: Option[java.time.Duration] = None): Dataset[CandidatePair] = {

@@ -107,6 +107,53 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("concurrent reliable runs: baseline restored once, later checkpoints work") {
+    // Two overlapping reliable-checkpoint runs: each previously captured
+    // getCheckpointDir per-run, so one could snapshot the OTHER run's
+    // transient round-N dir and restore the context to a deleted path.
+    // Now the baseline is captured by the first run in / restored by the
+    // last run out, so after both finish an unrelated df.checkpoint()
+    // must still land in a live directory.
+    val dir = java.nio.file.Files.createTempDirectory("ccconc").toString
+    val userCk = java.nio.file.Files.createTempDirectory("ccuserck").toString
+    spark.sparkContext.setCheckpointDir(userCk) // the session's own prior dir
+    spark.conf.set("spark.graft.cc.checkpointDir", dir)
+    spark.conf.set("spark.graft.cc.localEdgeLimit", "0")
+    try {
+      val priorCkDir = spark.sparkContext.getCheckpointDir
+      val chainA = (0L until 120L).map(i => (i, i + 1))
+      val chainB = (1000L until 1120L).map(i => (i, i + 1))
+      val results = new java.util.concurrent.ConcurrentHashMap[String, Map[Long, Long]]()
+      val errors = new java.util.concurrent.CopyOnWriteArrayList[Throwable]()
+      val threads = Seq("a" -> chainA, "b" -> chainB).map { case (name, chain) =>
+        new Thread(() => {
+          try results.put(name, cc(chain))
+          catch { case t: Throwable => errors.add(t) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join(120000))
+      assert(errors.isEmpty, s"concurrent CC run failed: ${errors}")
+      assert(results.get("a").values.forall(_ === 0L))
+      assert(results.get("b").values.forall(_ === 1000L))
+      // restored inside the session's own dir (setCheckpointDir appends
+      // one UUID level — documented), and NOT inside either run's
+      // transient cc-run-* tree
+      val restored = spark.sparkContext.getCheckpointDir.get
+      assert(restored.startsWith(priorCkDir.get),
+        s"restored $restored is outside the session's prior dir $priorCkDir")
+      assert(!restored.contains("cc-run-"),
+        s"restored $restored points into a CC run's transient tree")
+      // the restored dir must be usable — a restore-to-deleted-path bug
+      // surfaces here as a FileNotFound/IO failure inside checkpoint()
+      val ck = Seq((1L, 2L)).toDF("x", "y").checkpoint()
+      assert(ck.count() === 1)
+    } finally {
+      spark.conf.unset("spark.graft.cc.checkpointDir")
+      spark.conf.unset("spark.graft.cc.localEdgeLimit")
+      spark.sparkContext.setCheckpointDir(null) // back to the suite default
+    }
+  }
+
   test("star and triangle collapse to the hub/min label") {
     val labels = cc(Seq((5L, 6L), (5L, 7L), (5L, 8L), (20L, 21L), (21L, 22L), (20L, 22L)))
     assert(labels(6L) === 5L && labels(7L) === 5L && labels(8L) === 5L)

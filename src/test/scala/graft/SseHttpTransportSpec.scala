@@ -67,6 +67,29 @@ class SseHttpTransportSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("resume seed commits exactly when the source counts: data-newline, not blank line") {
+    // The source's FrameIterator counts an event once its `data:` line is
+    // newline-terminated; the resume seed must use the same condition.
+    val buf = Files.createTempFile("httpsse4", ".sse")
+    // Crash persisted the data line but not the frame-ending blank line:
+    // the source HAS counted event 7, so the seed must be 7 — seeding 6
+    // would re-fetch 7 and append a duplicate frame.
+    Files.writeString(buf,
+      "id: 6\ndata: {\"id\":6}\n\nid: 7\ndata: {\"id\":7}\n")
+    assert(graft.sources.SseSource.countEvents(buf.toString) === 2L)
+    assert(SseHttpRelay.lastPersistedId(buf.toString) === "7")
+    // Crash mid-data-line (no trailing newline): the source has NOT
+    // counted event 8, so the seed must stay 7 — seeding 8 would skip it.
+    Files.writeString(buf,
+      "id: 6\ndata: {\"id\":6}\n\nid: 7\ndata: {\"id\":7}\n\nid: 8\ndata: {\"id\"")
+    assert(graft.sources.SseSource.countEvents(buf.toString) === 2L)
+    assert(SseHttpRelay.lastPersistedId(buf.toString) === "7")
+    // id line landed but data line never started: same — not counted.
+    Files.writeString(buf, "id: 6\ndata: {\"id\":6}\n\nid: 7\n")
+    assert(graft.sources.SseSource.countEvents(buf.toString) === 1L)
+    assert(SseHttpRelay.lastPersistedId(buf.toString) === "6")
+  }
+
   test("connection drops resume via Last-Event-ID: no replay, no loss") {
     // server kills the stream after every 2 events -> the relay must
     // reconnect repeatedly and resume exactly after its last frame

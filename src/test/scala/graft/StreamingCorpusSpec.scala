@@ -43,6 +43,31 @@ class StreamingCorpusSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bucket freeze: bounded one-sided over-emission vs the batch whole-bucket drop") {
+    // Batch drops an over-cap bucket WHOLE (zero pairs); an Append-mode
+    // stream cannot retract, so pairs emitted before the freeze stand.
+    // Pin the exact contract: with maxBucket=2, the first two clones
+    // pair, the third arrival freezes the bucket BEFORE pairing, and
+    // every later clone emits nothing — at most C(maxBucket,2) extra
+    // candidates per hot bucket, never a missing one.
+    val in = MemoryStream[Doc]
+    val q = StreamingCorpusOps.minhashCandidates(in.toDF(), maxBucket = 2)
+      .writeStream.format("memory").queryName("cand_freeze")
+      .outputMode(OutputMode.Append).trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(Doc(1L, textA), Doc(2L, textA))
+      drain(q)
+      in.addData(Doc(3L, textA)) // overflow: freezes, pairs with nobody
+      drain(q)
+      in.addData(Doc(4L, textA)) // frozen: still nothing
+      drain(q)
+      val pairs = spark.sql("SELECT DISTINCT a_id, b_id FROM cand_freeze")
+        .as[(Long, Long)].collect().toSet
+      assert(pairs === Set((1L, 2L)),
+        "frozen bucket must stop pairing at the cap; earlier pairs stand")
+    } finally q.stop()
+  }
+
   test("streaming banding matches the batch dedup_minhash banding") {
     // same signature, same band keys: a batch frame run through the
     // streaming projection buckets clones identically
