@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — the eval-set-leak check every
+  * large-scale training-data pipeline runs before training: a training
+  * document that shares a long verbatim word n-gram with a benchmark
+  * (eval) document is flagged as contaminated, because training on it
+  * inflates the benchmark score without measuring generalization. This
+  * is the GPT-3/PaLM-style n-gram collision rule (13-grams there;
+  * parameterized here — short documents want a smaller n).
+  *
+  * Spark shape: the benchmark side is distilled to its DISTINCT gram
+  * set once; the corpus side explodes each doc's distinct grams
+  * (native one-pass `DistinctShingles` expression — no HOF, no
+  * per-gram allocation) and inner-joins the benchmark grams. Eval sets
+  * are tiny by nature (MBs against a 100 TB corpus), so the join is a
+  * map-side BROADCAST hash join by default: the corpus is scanned
+  * exactly once, there is no shuffle at all on the wide side, and the
+  * only shuffle in the whole operator is the per-doc overlap count
+  * (groupBy doc_id) over the MATCHED rows — a set that is tiny on a
+  * healthy (uncontaminated) corpus. For a corpus-scale reference set
+  * (cross-corpus dedup rather than eval decon) pass
+  * `broadcastBench = false`: the join becomes a shuffle join on the
+  * gram key, which is high-cardinality and therefore skew-safe the
+  * same way the shingle join of `dedup_ngram_jaccard` is.
+  */
+object Decontamination {
+
+  /** The distinct word n-gram set of a benchmark corpus (`text`
+    * column). Distinct BEFORE the join: a gram repeated across
+    * benchmark docs must not double-count an overlap.
+    */
+  def benchmarkGrams(bench: DataFrame, n: Int): DataFrame =
+    bench.select(explode(TextOps.distinctShinglesOfText(col("text"), n)).as("s"))
+      .distinct()
+
+  /** Per-document contamination report over `docs` (`doc_id`, `text`):
+    * `n_grams` = the doc's distinct n-gram count, `n_overlap` = how
+    * many of those also occur in the benchmark set, `overlap_frac`
+    * their ratio, and `is_contaminated` = the strict verbatim-leak
+    * rule (any shared n-gram). Docs with zero overlap are reported
+    * (count 0), so the output is a total function of the corpus —
+    * the filter step is a consumer decision, not baked in here.
+    */
+  def overlapReport(docs: DataFrame, benchGrams: DataFrame, n: Int,
+      broadcastBench: Boolean = true): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      explode(TextOps.distinctShinglesOfText(col("text"), n)).as("s"))
+    val bg = if (broadcastBench) broadcast(benchGrams) else benchGrams
+    // Inner join first: only matched rows reach the aggregate, so the
+    // shuffled row count is proportional to the contamination, not the
+    // corpus.
+    val overlap = grams.join(bg, Seq("s"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+    docs
+      .select(col("doc_id"),
+        size(TextOps.distinctShinglesOfText(col("text"), n)).cast("long").as("n_grams"))
+      .join(overlap, Seq("doc_id"), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .withColumn("overlap_frac", round(col("n_overlap") / col("n_grams"), 6))
+      .withColumn("is_contaminated", (col("n_overlap") >= 1).cast("int"))
+  }
+}

@@ -576,6 +576,21 @@ object ExtensionQueries {
         .orderBy(col("source"))
     }),
 
+    // Benchmark decontamination: flag training docs sharing a verbatim
+    // 8-gram with the held-out benchmark split (doc_id % 50 == 0 — the
+    // deterministic stand-in for a real eval set). Benchmark gram set is
+    // broadcast (eval sets are MBs against a 100 TB corpus), so the
+    // corpus side is one scan + map-side join; the only shuffle is the
+    // per-doc count over MATCHED rows. See operators.Decontamination.
+    "decon_ngram_overlap" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bench = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+      val train = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+      graft.operators.Decontamination
+        .overlapReport(train, graft.operators.Decontamination.benchmarkGrams(bench, 8), 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // Multimodal plumbing: opaque binary payload + typed metadata;
     // "decode" is a deterministic md5-derived stand-in (real image/audio
     // codecs aren't in this container) — the schema/partition/batch
@@ -801,6 +816,18 @@ object ExtensionQueries {
        "WHEN source IN ('src5','src6','src7') THEN 0.25 ELSE 0.5 END) * 1000 " +
        "THEN 1 ELSE 0 END AS INT) kept FROM documents) " +
        "GROUP BY source ORDER BY source"),
+    "decon_ngram_overlap" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
+       "g AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, " +
+       "unnest(list_transform(generate_series(1, greatest(len(ws)-7, 1)), i -> array_to_string(ws[i:i+7], ' '))) s FROM t)), " +
+       "bench AS (SELECT DISTINCT s FROM g WHERE doc_id % 50 = 0), " +
+       "cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_grams FROM g WHERE doc_id % 50 <> 0 GROUP BY doc_id), " +
+       "ov AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) o FROM g JOIN bench USING (s) " +
+       "WHERE g.doc_id % 50 <> 0 GROUP BY g.doc_id) " +
+       "SELECT cnt.doc_id, n_grams, COALESCE(o, CAST(0 AS BIGINT)) AS n_overlap, " +
+       "round(COALESCE(o, 0) / n_grams, 6) AS overlap_frac, " +
+       "CAST(CASE WHEN COALESCE(o, 0) >= 1 THEN 1 ELSE 0 END AS INT) AS is_contaminated " +
+       "FROM cnt LEFT JOIN ov ON cnt.doc_id = ov.doc_id ORDER BY cnt.doc_id"),
     "multimodal_features" ->
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS content_hash, " +
        "CAST(64 + (ascii(substr(md5(text), 1, 1)) % 8) * 16 AS INT) AS width, " +

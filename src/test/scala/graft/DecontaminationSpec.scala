@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.Decontamination
+
+/** Benchmark decontamination: the verbatim n-gram leak rule, the
+  * total-function contract (zero-overlap docs still reported), and the
+  * broadcast shape of the benchmark join.
+  */
+class DecontaminationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val benchText = "alpha beta gamma delta epsilon zeta eta theta"
+
+  test("doc sharing a verbatim 8-gram with the benchmark is flagged; clean doc is not") {
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    // doc 1 embeds the full benchmark 8-gram mid-text; doc 2 shares
+    // words but never 8 consecutive ones
+    val docs = Seq(
+      (1L, s"prefix words $benchText and a suffix"),
+      (2L, "alpha beta gamma NOPE delta epsilon zeta eta theta iota")
+    ).toDF("doc_id", "text")
+    val out = Decontamination
+      .overlapReport(docs, Decontamination.benchmarkGrams(bench, 8), 8)
+      .orderBy("doc_id")
+      .select("doc_id", "n_overlap", "is_contaminated")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(out.head._1 === 1L && out.head._2 >= 1L && out.head._3 === 1)
+    assert(out(1) === ((2L, 0L, 0)))
+  }
+
+  test("report is total: every doc appears, zero-overlap docs with count 0") {
+    val bench = Seq((9L, benchText)).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "one two three four five six seven eight nine"),
+      (2L, "ten eleven twelve thirteen fourteen fifteen sixteen seventeen"),
+      (3L, "short doc") // < n tokens: one truncated gram, still reported
+    ).toDF("doc_id", "text")
+    val out = Decontamination
+      .overlapReport(docs, Decontamination.benchmarkGrams(bench, 8), 8)
+      .orderBy("doc_id")
+      .select("doc_id", "n_grams", "n_overlap", "overlap_frac", "is_contaminated")
+      .as[(Long, Long, Long, Double, Int)].collect().toSeq
+    assert(out.map(_._1) === Seq(1L, 2L, 3L))
+    assert(out.forall(r => r._3 === 0L && r._4 === 0.0 && r._5 === 0))
+    assert(out.forall(_._2 >= 1L), "even a short doc has its truncated gram counted")
+  }
+
+  test("overlap_frac counts distinct grams once, even if repeated in the doc") {
+    val bench = Seq((9L, "a b c d")).toDF("doc_id", "text")
+    // the contaminated 4-gram occurs TWICE in the doc; distinct-gram
+    // semantics must count it once in both n_grams and n_overlap
+    val docs = Seq((1L, "a b c d x a b c d")).toDF("doc_id", "text")
+    val out = Decontamination
+      .overlapReport(docs, Decontamination.benchmarkGrams(bench, 4), 4)
+      .select("n_grams", "n_overlap").as[(Long, Long)].head()
+    assert(out._2 === 1L)
+    assert(out._1 === 5L) // 5 distinct of 6 total 4-grams ("a b c d" dup collapses)
+  }
+
+  test("benchmark side joins as a broadcast by default") {
+    val bench = Seq((9L, benchText)).toDF("doc_id", "text")
+    val docs = Seq((1L, benchText)).toDF("doc_id", "text")
+    val plan = Decontamination
+      .overlapReport(docs, Decontamination.benchmarkGrams(bench, 8), 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"benchmark gram join should be broadcast, plan was:\n$plan")
+  }
+}
