@@ -40,4 +40,44 @@ object VectorAgg {
     override def outputEncoder: Encoder[Array[Double]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
   }
+
+  case class MeanCostBuf(sums: Array[Double], n: Long, d2: Double)
+
+  /** Fused k-means re-center + cost: the element-wise mean of the
+    * assigned vectors AND the sum of their squared assignment distances
+    * in ONE pass — one shuffle and one action per training iteration
+    * instead of two (the separate `sum(d2)` action re-ran the cached
+    * assignment purely to produce a Double). Values are exact: each
+    * input is a widened float, so double summation reproduces the
+    * two-pass result bit-for-bit.
+    */
+  class MeanVectorWithCost(dim: Int)
+      extends Aggregator[(Array[Double], Double), MeanCostBuf, (Array[Double], Double)] {
+    override def zero: MeanCostBuf = MeanCostBuf(new Array[Double](dim), 0L, 0.0)
+
+    override def reduce(b: MeanCostBuf, in: (Array[Double], Double)): MeanCostBuf = {
+      val s = b.sums
+      val v = in._1
+      var i = 0
+      val m = math.min(dim, v.length)
+      while (i < m) { s(i) += v(i); i += 1 }
+      MeanCostBuf(s, b.n + 1, b.d2 + in._2)
+    }
+
+    override def merge(a: MeanCostBuf, b: MeanCostBuf): MeanCostBuf = {
+      val s = a.sums.clone()
+      var i = 0
+      while (i < dim) { s(i) += b.sums(i); i += 1 }
+      MeanCostBuf(s, a.n + b.n, a.d2 + b.d2)
+    }
+
+    override def finish(b: MeanCostBuf): (Array[Double], Double) =
+      (if (b.n == 0) new Array[Double](dim) else b.sums.map(_ / b.n), b.d2)
+
+    override def bufferEncoder: Encoder[MeanCostBuf] = Encoders.product[MeanCostBuf]
+    override def outputEncoder: Encoder[(Array[Double], Double)] =
+      Encoders.tuple(
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]](),
+        Encoders.scalaDouble)
+  }
 }

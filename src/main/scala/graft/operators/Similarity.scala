@@ -7,11 +7,13 @@ import graft.functions.VectorAgg
 /** IVF index construction: Lloyd's k-means over the embedding corpus.
   *
   * Spark-idiomatic iterative refinement (the MLlib KMeans shape):
-  * per iteration one distributed assign (broadcast centroids, map-side
-  * argmin) + one distributed re-center (the typed MeanVector
-  * Aggregator, map-side combined). Only the k x dim centroid matrix
-  * ever reaches the driver — collecting it is O(k*dim), independent of
-  * corpus size, which is what makes the loop legal at 100 TB.
+  * per iteration ONE distributed job — broadcast-centroid map-side
+  * argmin assignment feeding the fused MeanVectorWithCost Aggregator
+  * (map-side combined), which yields every cell's re-centered mean AND
+  * the iteration's total cost in the same shuffle. Only the k x dim
+  * centroid matrix ever reaches the driver — collecting it is
+  * O(k*dim), independent of corpus size, which is what makes the loop
+  * legal at 100 TB.
   *
   * The resulting `cells` assignment is the coarse quantizer used by
   * `sim_ivf_topk` / `dedup_embedding` (there seeded with fixed vectors
@@ -34,12 +36,12 @@ object Similarity {
       .as[(Long, Array[Double])].cache()
 
     var centroids: Array[Array[Double]] =
-      vecs.sortWithinPartitions("vec_id").orderBy("vec_id").take(k).map(_._2)
+      vecs.orderBy("vec_id").take(k).map(_._2)
     var cost = Double.MaxValue
 
     for (_ <- 0 until iters) {
       val bc = spark.sparkContext.broadcast(centroids)
-      val assigned = vecs.map { case (id, v) =>
+      val assigned = vecs.map { case (_, v) =>
         val cs = bc.value
         var best = 0; var bestD = Double.MaxValue
         var c = 0
@@ -50,19 +52,19 @@ object Similarity {
           if (d < bestD) { bestD = d; best = c }
           c += 1
         }
-        (best, v, bestD)
-      }.toDF("cell", "v", "d2").cache()
-
-      cost = assigned.agg(sum(col("d2"))).head().getDouble(0)
-      val mv = new VectorAgg.MeanVector(dim)
-      val next = assigned.select(col("cell"), col("v"))
-        .as[(Int, Array[Double])]
-        .groupByKey(_._1)
-        .mapValues(_._2.map(_.toFloat))
-        .agg(mv.toColumn.name("c"))
-        .collect().toMap
-      assigned.unpersist()
-      centroids = (0 until k).map(c => next.getOrElse(c, centroids(c))).toArray
+        (best, (v, bestD))
+      }
+      // ONE action per iteration: the fused aggregator produces each
+      // cell's (mean vector, summed d2) in a single map-side-combined
+      // shuffle, so the iteration no longer needs its own cache or a
+      // separate cost job. Only k rows reach the driver.
+      val mvc = new VectorAgg.MeanVectorWithCost(dim)
+      val next = assigned.groupByKey(_._1).mapValues(_._2)
+        .agg(mvc.toColumn.name("mc"))
+        .collect()
+      cost = next.map(_._2._2).sum
+      val byCell = next.map { case (c, (m, _)) => c -> m }.toMap
+      centroids = (0 until k).map(c => byCell.getOrElse(c, centroids(c))).toArray
     }
     vecs.unpersist()
     TrainedIndex(centroids, cost)
