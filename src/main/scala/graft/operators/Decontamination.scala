@@ -36,6 +36,53 @@ object Decontamination {
     bench.select(explode(TextOps.distinctShinglesOfText(col("text"), n)).as("s"))
       .distinct()
 
+  /** FUZZY decontamination: near-dup detection between a training
+    * corpus and a benchmark set — catches lightly paraphrased or
+    * partially rewritten eval leaks that the verbatim n-gram rule
+    * misses. Same LSH scheme as `dedup_minhash` (native one-pass
+    * MinHash signature, 4 bands x 2 slices) so the two dedup surfaces
+    * share one banding definition; the difference is the join shape:
+    * candidates are TRAIN x BENCH only (never train x train), and the
+    * benchmark band table is broadcast, so the corpus side is one scan
+    * + map-side join with no self-join anywhere. Per train doc:
+    * `n_bench_neardups` = distinct benchmark docs sharing >= 1 band,
+    * `is_fuzzy_contaminated` = any. Total function like
+    * [[overlapReport]].
+    */
+  def minhashNearDupReport(train: DataFrame, bench: DataFrame,
+      shingleN: Int = 5, broadcastBench: Boolean = true): DataFrame = {
+    def bands(docs: DataFrame): DataFrame = {
+      val sigs = docs.select(col("doc_id"),
+        graft.functions.TextExpressions.minhash_slices(col("text"), shingleN).as("mh"))
+      val bandCols = (0 until 4).map(b =>
+        concat(element_at(col("mh"), 2 * b + 1), element_at(col("mh"), 2 * b + 2)))
+      sigs.select(col("doc_id"),
+        posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
+    }
+    val benchBands = bands(bench)
+      .select(col("band_idx"), col("band_hash"), col("doc_id").as("bench_id"))
+      .distinct()
+    val bb = if (broadcastBench) broadcast(benchBands) else benchBands
+    val matches = bands(train).join(bb, Seq("band_idx", "band_hash"))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("bench_id")).as("n_bench_neardups"))
+    train.select(col("doc_id"))
+      .join(matches, Seq("doc_id"), "left")
+      .withColumn("n_bench_neardups", coalesce(col("n_bench_neardups"), lit(0L)))
+      .withColumn("is_fuzzy_contaminated", (col("n_bench_neardups") >= 1).cast("int"))
+  }
+
+  /** The benchmark gram set as a driver-side array (sorted for
+    * determinism) — the input to the STREAMING gate, where the set
+    * rides into the plan as a broadcast literal instead of a join side.
+    * Legal for the same reason the batch join broadcasts: an eval set
+    * is MBs against a 100 TB corpus, so O(bench grams) on the driver is
+    * the same budget class as the O(k x dim) centroid fetches.
+    */
+  def collectBenchGrams(bench: DataFrame, n: Int): Array[String] =
+    benchmarkGrams(bench, n).orderBy(col("s"))
+      .collect().map(_.getString(0))
+
   /** Per-document contamination report over `docs` (`doc_id`, `text`):
     * `n_grams` = the doc's distinct n-gram count, `n_overlap` = how
     * many of those also occur in the benchmark set, `overlap_frac`

@@ -591,6 +591,18 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // FUZZY decontamination: MinHash near-dup candidates between the
+    // training split and the benchmark split — catches paraphrased eval
+    // leaks the verbatim 8-gram rule misses. Same banding as
+    // dedup_minhash; join shape is train x BROADCAST(bench) only.
+    "decon_minhash_neardup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bench = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+      val train = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+      graft.operators.Decontamination.minhashNearDupReport(train, bench)
+        .orderBy(col("doc_id"))
+    }),
+
     // Multimodal plumbing: opaque binary payload + typed metadata;
     // "decode" is a deterministic md5-derived stand-in (real image/audio
     // codecs aren't in this container) — the schema/partition/batch
@@ -828,6 +840,16 @@ object ExtensionQueries {
        "round(COALESCE(o, 0) / n_grams, 6) AS overlap_frac, " +
        "CAST(CASE WHEN COALESCE(o, 0) >= 1 THEN 1 ELSE 0 END AS INT) AS is_contaminated " +
        "FROM cnt LEFT JOIN ov ON cnt.doc_id = ov.doc_id ORDER BY cnt.doc_id"),
+    "decon_minhash_neardup" ->
+      (s"WITH $minhashPairsCtes, " +
+       "m AS (SELECT a.doc_id tid, b.doc_id bid FROM bb a JOIN bb b " +
+       "ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash " +
+       "WHERE a.doc_id % 50 <> 0 AND b.doc_id % 50 = 0), " +
+       "cnt AS (SELECT tid, CAST(COUNT(DISTINCT bid) AS BIGINT) n FROM m GROUP BY tid) " +
+       "SELECT d.doc_id, COALESCE(n, CAST(0 AS BIGINT)) AS n_bench_neardups, " +
+       "CAST(CASE WHEN COALESCE(n, 0) >= 1 THEN 1 ELSE 0 END AS INT) AS is_fuzzy_contaminated " +
+       "FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d " +
+       "LEFT JOIN cnt ON d.doc_id = cnt.tid ORDER BY d.doc_id"),
     "multimodal_features" ->
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS content_hash, " +
        "CAST(64 + (ascii(substr(md5(text), 1, 1)) % 8) * 16 AS INT) AS width, " +

@@ -80,6 +80,23 @@ object StreamingCorpusOps {
         col("dup_5gram_frac") <= 0.15)
   }
 
+  /** Streaming decontamination gate: drop arriving docs that share a
+    * verbatim word n-gram with the benchmark set — the eval-leak check
+    * applied at INGEST time, so contaminated documents never enter the
+    * corpus instead of being scrubbed by a later batch sweep. Stateless:
+    * the benchmark gram set (from
+    * `Decontamination.collectBenchGrams` — eval sets are tiny) becomes
+    * a broadcast literal and the test is one codegen'd `arrays_overlap`
+    * against the native one-pass distinct-shingle scan, so the gate
+    * runs identically on a batch frame or a stream and keeps exactly
+    * the docs the batch `overlapReport` marks `is_contaminated = 0`
+    * (pinned by StreamingCorpusSpec).
+    */
+  def deconGate(docs: DataFrame, benchGrams: Array[String], n: Int): DataFrame =
+    docs.filter(!arrays_overlap(
+      graft.operators.TextOps.distinctShinglesOfText(col("text"), n),
+      typedlit(benchGrams)))
+
   /** Streaming exact dedup on the content key: the first arrival of a
     * text wins, replays and later clones are dropped by per-key state.
     * With a watermarked `ts` column upstream, swap to

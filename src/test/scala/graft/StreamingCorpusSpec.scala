@@ -80,6 +80,31 @@ class StreamingCorpusSpec extends SparkSpec {
     assert(!byBucket.exists(s => s.contains(3L) && s.size > 1))
   }
 
+  test("decon gate drops contaminated arrivals; equals the batch report's keep set") {
+    import graft.operators.Decontamination
+    val bench = Seq((100L, textA)).toDF("doc_id", "text")
+    val grams = Decontamination.collectBenchGrams(bench, 8)
+    // streaming: the clone of a benchmark doc never enters the corpus
+    val in = MemoryStream[Doc]
+    val q = StreamingCorpusOps.deconGate(in.toDF(), grams, 8)
+      .writeStream.format("memory").queryName("decon_t1")
+      .outputMode(OutputMode.Append).trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(Doc(1L, textA), Doc(2L, textB), Doc(3L, s"pad words $textA tail"))
+      drain(q)
+      val kept = spark.sql("SELECT doc_id FROM decon_t1").as[Long].collect().toSet
+      assert(kept === Set(2L), "clones/supersets of a bench doc must be dropped at ingest")
+    } finally q.stop()
+    // batch equivalence: the gate keeps exactly the is_contaminated=0 docs
+    val docs = Seq((1L, textA), (2L, textB), (3L, s"pad words $textA tail")).toDF("doc_id", "text")
+    val gateKept = StreamingCorpusOps.deconGate(docs, grams, 8)
+      .select("doc_id").as[Long].collect().toSet
+    val reportKept = Decontamination
+      .overlapReport(docs, Decontamination.benchmarkGrams(bench, 8), 8)
+      .filter($"is_contaminated" === 0).select("doc_id").as[Long].collect().toSet
+    assert(gateKept === reportKept)
+  }
+
   test("exact dedup keeps the first arrival across batches") {
     val in = MemoryStream[Doc]
     val q = StreamingCorpusOps.exactDedup(in.toDF())
