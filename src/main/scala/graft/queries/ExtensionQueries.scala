@@ -591,6 +591,37 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // PII scrub: regex redaction of emails / phone numbers / IPv4
+    // addresses — the privacy pass of corpus construction. The corpus
+    // itself is PII-free, so each doc gets a DETERMINISTIC synthetic
+    // contact block (derived from doc_id) appended first; the operator
+    // under test is the redaction chain, which is pure map-side
+    // regexp_count/regexp_replace (codegen'd, zero shuffle before the
+    // final ORDER BY). Patterns stay in the Java-regex/RE2 dialect
+    // intersection (no lookaround) so the oracle replays them exactly.
+    "text_pii_scrub" -> ((s, dir) => {
+      val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phonePat = "\\+1-555-[0-9]{4}"
+      val ipPat = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+      val raw = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com phone +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" host 10.0."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".7"))
+      Tables.documents(s, dir)
+        .withColumn("raw", raw)
+        .select(col("doc_id"),
+          regexp_count(col("raw"), lit(emailPat)).cast("long").as("n_emails"),
+          regexp_count(col("raw"), lit(phonePat)).cast("long").as("n_phones"),
+          regexp_count(col("raw"), lit(ipPat)).cast("long").as("n_ips"),
+          // emails first (they contain dots/digits), then IPs, then
+          // phones — each later pattern sees the earlier placeholders
+          regexp_replace(regexp_replace(regexp_replace(col("raw"),
+            lit(emailPat), lit("<EMAIL>")), lit(ipPat), lit("<IP>")),
+            lit(phonePat), lit("<PHONE>")).as("scrubbed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // FUZZY decontamination: MinHash near-dup candidates between the
     // training split and the benchmark split — catches paraphrased eval
     // leaks the verbatim 8-gram rule misses. Same banding as
@@ -840,6 +871,19 @@ object ExtensionQueries {
        "round(COALESCE(o, 0) / n_grams, 6) AS overlap_frac, " +
        "CAST(CASE WHEN COALESCE(o, 0) >= 1 THEN 1 ELSE 0 END AS INT) AS is_contaminated " +
        "FROM cnt LEFT JOIN ov ON cnt.doc_id = ov.doc_id ORDER BY cnt.doc_id"),
+    "text_pii_scrub" ->
+      ("WITH r AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+       "'@example.com phone +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || " +
+       "' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS raw FROM documents) " +
+       "SELECT doc_id, " +
+       "CAST(len(regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT) AS n_emails, " +
+       "CAST(len(regexp_extract_all(raw, '\\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones, " +
+       "CAST(len(regexp_extract_all(raw, '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS BIGINT) AS n_ips, " +
+       "regexp_replace(regexp_replace(regexp_replace(raw, " +
+       "'[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'), " +
+       "'\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'), " +
+       "'\\+1-555-[0-9]{4}', '<PHONE>', 'g') AS scrubbed " +
+       "FROM r ORDER BY doc_id"),
     "decon_minhash_neardup" ->
       (s"WITH $minhashPairsCtes, " +
        "m AS (SELECT a.doc_id tid, b.doc_id bid FROM bb a JOIN bb b " +
