@@ -27,7 +27,8 @@ object ScaleSmoke {
 
     for (q <- Seq("dedup_exact", "dedup_minhash", "dedup_simhash_pairs",
         "dedup_ngram_jaccard", "dedup_clusters", "text_fingerprint",
-        "text_pack", "sample_stratified", "sample_mixture")) {
+        "text_pack", "sample_stratified", "sample_mixture",
+        "decon_ngram_overlap", "decon_minhash_neardup", "text_pii_scrub")) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).count()
       println(f"$q%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $n%10d rows")
