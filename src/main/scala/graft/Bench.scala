@@ -42,8 +42,11 @@ object Bench {
       try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
       catch {
         case e: Throwable =>
+          // scrub quotes, backslashes, and ALL control chars — any of
+          // them inside the errors JSON string would break the driver's
+          // parse of the whole bench line exactly when a query errored
           Left((e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage))
-            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(180))
+            .replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(180))
       }
     }
     // Each query is timed twice and the MIN over SUCCESSFUL reps is

@@ -16,11 +16,14 @@ import org.apache.spark.sql.functions._
   * (native one-pass `DistinctShingles` expression — no HOF, no
   * per-gram allocation) and inner-joins the benchmark grams. Eval sets
   * are tiny by nature (MBs against a 100 TB corpus), so the join is a
-  * map-side BROADCAST hash join by default: the corpus is scanned
-  * exactly once, there is no shuffle at all on the wide side, and the
-  * only shuffle in the whole operator is the per-doc overlap count
-  * (groupBy doc_id) over the MATCHED rows — a set that is tiny on a
-  * healthy (uncontaminated) corpus. For a corpus-scale reference set
+  * map-side BROADCAST hash join by default. Corpus-side cost, honestly
+  * accounted: TWO column-pruned map-side scans (the gram explode
+  * feeding the join, and a size() projection for the totality base —
+  * cheaper at scale than shuffling the ~100x-wider gram set to carry
+  * the count through), no shuffle of the gram set itself, and two
+  * narrow doc-level shuffles (the per-doc overlap count over MATCHED
+  * rows only — tiny on a healthy corpus — and the totality left join).
+  * For a corpus-scale reference set
   * (cross-corpus dedup rather than eval decon) pass
   * `broadcastBench = false`: the join becomes a shuffle join on the
   * gram key, which is high-cardinality and therefore skew-safe the
@@ -51,14 +54,8 @@ object Decontamination {
     */
   def minhashNearDupReport(train: DataFrame, bench: DataFrame,
       shingleN: Int = 5, broadcastBench: Boolean = true): DataFrame = {
-    def bands(docs: DataFrame): DataFrame = {
-      val sigs = docs.select(col("doc_id"),
-        graft.functions.TextExpressions.minhash_slices(col("text"), shingleN).as("mh"))
-      val bandCols = (0 until 4).map(b =>
-        concat(element_at(col("mh"), 2 * b + 1), element_at(col("mh"), 2 * b + 2)))
-      sigs.select(col("doc_id"),
-        posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
-    }
+    def bands(docs: DataFrame): DataFrame =
+      TextOps.minhashBandRows(docs, shingleN)
     val benchBands = bands(bench)
       .select(col("band_idx"), col("band_hash"), col("doc_id").as("bench_id"))
       .distinct()

@@ -122,6 +122,26 @@ object TextOps {
         size(col("ids")).cast("long").as("bucket_size"),
         (size(col("ids")) - cap).cast("long").as("n_dropped"))
 
+  /** The ONE MinHash banding projection — shared by the batch
+    * `dedup_minhash` query, the streaming bucket state
+    * (`StreamingCorpusOps.bandRows`), and cross-corpus decontamination
+    * (`Decontamination.minhashNearDupReport`): native one-pass MinHash
+    * signature (8 x 16-bit slices of one md5 per shingle), 4 bands of 2
+    * slices, band key = slice concat. A single definition is the parity
+    * guarantee: the three surfaces and the shared DuckDB
+    * `minhashPairsCtes` oracle cannot drift apart silently.
+    * Output: (doc_id, band_idx INT 0-based, band_hash STRING).
+    */
+  def minhashBandRows(docs: org.apache.spark.sql.DataFrame,
+      shingleN: Int = 5): org.apache.spark.sql.DataFrame = {
+    val sigs = docs.select(col("doc_id"),
+      graft.functions.TextExpressions.minhash_slices(col("text"), shingleN).as("mh"))
+    val bandCols = (0 until 4).map(b =>
+      concat(element_at(col("mh"), 2 * b + 1), element_at(col("mh"), 2 * b + 2)))
+    sigs.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
+  }
+
   /** Count of tokens appearing in a fixed stopword list. */
   def stopwordCount(ws: Column, stopwords: Seq[String]): Column =
     size(filter(ws, w => w.isin(stopwords.map(lit): _*)))

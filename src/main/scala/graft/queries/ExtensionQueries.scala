@@ -124,15 +124,10 @@ object ExtensionQueries {
       // The whole signature comes from the native MinHashSlices
       // expression — one pass per DOC, so there is no shingle explode
       // and no groupBy(doc_id) shuffle at all; the first shuffle this
-      // query pays is the band bucketing itself. Band key = concat of
-      // two slices (no re-hash needed for bucketing).
-      val sigs = Tables.documents(s, dir)
-        .select(col("doc_id"),
-          graft.functions.TextExpressions.minhash_slices(col("text"), 5).as("mh"))
-      val bandCols = (0 until 4).map(b =>
-        concat(element_at(col("mh"), 2 * b + 1), element_at(col("mh"), 2 * b + 2)).as(s"band$b"))
-      val bands = sigs
-        .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
+      // query pays is the band bucketing itself. The banding projection
+      // is THE shared definition (TextOps.minhashBandRows) also used by
+      // the streaming bucket state and cross-corpus decon.
+      val bands = TextOps.minhashBandRows(Tables.documents(s, dir))
       // Candidate pairs enumerated bucket-locally (collect + expand), not
       // via a bands-self-join: a self-join rescans the whole signature
       // pipeline on both sides (no exchange reuse once AQE broadcasts

@@ -34,6 +34,14 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 final class SseHttpRelay(endpoint: String, bufferPath: String,
     reconnectMs: Long = 100L) extends AutoCloseable {
 
+  // A crashed predecessor can leave an unterminated partial line at the
+  // buffer tail. It must be CUT before the first resumed append: the
+  // source never counted it (FrameIterator requires the newline), but
+  // appending a resumed frame directly after it would merge the partial
+  // line and the frame's first line into one newline-terminated record
+  // that the source WOULD count — a corrupt event plus a double-counted
+  // offset.
+  SseHttpRelay.truncatePartialTail(bufferPath)
   @volatile private var running = true
   @volatile private var lastEventId: String = SseHttpRelay.lastPersistedId(bufferPath)
   val reconnects = new AtomicLong(0L)
@@ -79,6 +87,41 @@ final class SseHttpRelay(endpoint: String, bufferPath: String,
 }
 
 object SseHttpRelay {
+
+  /** Truncate an unterminated tail line (an in-flight write from a
+    * crashed relay process) back to the last '\n'. The cut bytes were
+    * invisible to the source — FrameIterator treats an unterminated
+    * line as an in-flight write and never counts it — so truncation
+    * loses nothing; the resumed relay re-fetches the cut frame via
+    * Last-Event-ID. A file with no newline at all is all partial and
+    * truncates to empty.
+    */
+  def truncatePartialTail(bufferPath: String): Unit = {
+    val p = java.nio.file.Paths.get(bufferPath)
+    if (!java.nio.file.Files.exists(p) || java.nio.file.Files.size(p) == 0L) return
+    val ch = java.nio.channels.FileChannel.open(p,
+      java.nio.file.StandardOpenOption.READ, java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val size = ch.size()
+      val chunk = 1 << 16
+      var end = size
+      var cut = -1L
+      while (cut < 0 && end > 0) {
+        val from = math.max(0L, end - chunk)
+        val bb = java.nio.ByteBuffer.allocate((end - from).toInt)
+        ch.position(from)
+        while (bb.hasRemaining && ch.read(bb) >= 0) {}
+        var i = bb.position() - 1
+        while (i >= 0 && cut < 0) {
+          if (bb.get(i) == '\n'.toByte) cut = from + i + 1
+          i -= 1
+        }
+        end = from
+      }
+      val keep = math.max(cut, 0L)
+      if (keep < size) ch.truncate(keep)
+    } finally ch.close()
+  }
 
   /** The `id:` value of the last frame whose `data:` line is
     * newline-terminated in the buffer file's tail, or null if none.

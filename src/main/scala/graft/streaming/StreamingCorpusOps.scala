@@ -83,19 +83,36 @@ object StreamingCorpusOps {
   /** Streaming decontamination gate: drop arriving docs that share a
     * verbatim word n-gram with the benchmark set — the eval-leak check
     * applied at INGEST time, so contaminated documents never enter the
-    * corpus instead of being scrubbed by a later batch sweep. Stateless:
-    * the benchmark gram set (from
-    * `Decontamination.collectBenchGrams` — eval sets are tiny) becomes
-    * a broadcast literal and the test is one codegen'd `arrays_overlap`
-    * against the native one-pass distinct-shingle scan, so the gate
-    * runs identically on a batch frame or a stream and keeps exactly
-    * the docs the batch `overlapReport` marks `is_contaminated = 0`
-    * (pinned by StreamingCorpusSpec).
+    * corpus instead of being scrubbed by a later batch sweep.
+    * Stateless, so it runs identically on a batch frame or a stream and
+    * keeps exactly the docs the batch `overlapReport` marks
+    * `is_contaminated = 0` (pinned by StreamingCorpusSpec), including
+    * null-text docs (no grams → clean on both paths).
+    *
+    * Cost model: a naive `arrays_overlap` against the gram literal
+    * would re-scan the WHOLE benchmark set per arriving doc. Instead a
+    * driver-built Bloom filter over the bench grams screens each doc in
+    * O(its ~100 grams) regardless of benchmark size; only
+    * Bloom-positive docs (actual leaks + the ~1% false-positive tail)
+    * pay the exact `arrays_overlap` confirm, so the common clean-doc
+    * path never touches the full set. The conjunction short-circuits in
+    * codegen; the exact confirm keeps the gate's keep set identical to
+    * the batch report (a Bloom false positive alone never drops a doc).
     */
-  def deconGate(docs: DataFrame, benchGrams: Array[String], n: Int): DataFrame =
-    docs.filter(!arrays_overlap(
-      graft.operators.TextOps.distinctShinglesOfText(col("text"), n),
-      typedlit(benchGrams)))
+  def deconGate(docs: DataFrame, benchGrams: Array[String], n: Int): DataFrame = {
+    val bloom = org.apache.spark.util.sketch.BloomFilter
+      .create(math.max(benchGrams.length, 1).toLong, 0.01)
+    benchGrams.foreach(bloom.putString)
+    val mightHit = udf((grams: Seq[String]) =>
+      grams != null && grams.exists(bloom.mightContainString))
+    docs
+      .withColumn("__grams",
+        graft.operators.TextOps.distinctShinglesOfText(col("text"), n))
+      .filter(!coalesce(
+        mightHit(col("__grams")) && arrays_overlap(col("__grams"), typedlit(benchGrams)),
+        lit(false)))
+      .drop("__grams")
+  }
 
   /** Streaming exact dedup on the content key: the first arrival of a
     * text wins, replays and later clones are dropped by per-key state.
@@ -107,19 +124,13 @@ object StreamingCorpusOps {
     docs.withColumn("content_key", md5(col("text")))
       .dropDuplicates("content_key")
 
-  /** The banding projection shared with `dedup_minhash`: native
-    * one-pass MinHash signature, band key = concat of two slices.
+  /** The banding projection shared with `dedup_minhash` — delegates to
+    * the single definition in `TextOps.minhashBandRows`.
     */
-  def bandRows(docs: DataFrame): Dataset[BandRow] = {
-    val sigs = docs.select(col("doc_id"),
-      TextExpressions.minhash_slices(col("text"), 5).as("mh"))
-    val bandCols = (0 until 4).map(b =>
-      concat(element_at(col("mh"), 2 * b + 1), element_at(col("mh"), 2 * b + 2)))
-    sigs
-      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
+  def bandRows(docs: DataFrame): Dataset[BandRow] =
+    graft.operators.TextOps.minhashBandRows(docs)
       .select(col("band_idx").cast("int").as("band_idx"), col("band_hash"), col("doc_id"))
       .as[BandRow]
-  }
 
   /** Incremental LSH near-dup candidates: each band bucket lives in the
     * state store; a new document emits a pair against EVERY member the

@@ -90,6 +90,25 @@ class SseHttpTransportSpec extends SparkSpec {
     assert(SseHttpRelay.lastPersistedId(buf.toString) === "6")
   }
 
+  test("relay truncates a crashed partial tail before resuming: no merged events") {
+    val srv = new StubSseServer()
+    val buf = Files.createTempFile("httpsse5", ".sse")
+    srv.publish(payload(1)) // stub frame id 0
+    // crashed predecessor: one complete frame + an unterminated partial
+    // data line that must NOT merge with the first resumed append
+    Files.writeString(buf, "id: 0\ndata: " + payload(1) + "\n\nid: 1\ndata: {\"tr")
+    val relay = new SseHttpRelay(srv.url, buf.toString)
+    try {
+      (2L to 3L).foreach(i => srv.publish(payload(i))) // stub ids 1, 2
+      assert(awaitTrue(15000)(graft.sources.SseSource.countEvents(buf.toString) == 3L),
+        s"got ${graft.sources.SseSource.countEvents(buf.toString)} events")
+      val (it, closer) = graft.sources.SseSource.eventIterator(buf.toString)
+      val events = try it.toVector finally closer.close()
+      assert(events === (1L to 3L).map(payload).toVector,
+        "a partial tail merged into a resumed frame would corrupt the payload")
+    } finally { relay.close(); srv.close() }
+  }
+
   test("connection drops resume via Last-Event-ID: no replay, no loss") {
     // server kills the stream after every 2 events -> the relay must
     // reconnect repeatedly and resume exactly after its last frame

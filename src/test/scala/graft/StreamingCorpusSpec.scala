@@ -90,13 +90,15 @@ class StreamingCorpusSpec extends SparkSpec {
       .writeStream.format("memory").queryName("decon_t1")
       .outputMode(OutputMode.Append).trigger(Trigger.ProcessingTime(0)).start()
     try {
-      in.addData(Doc(1L, textA), Doc(2L, textB), Doc(3L, s"pad words $textA tail"))
+      in.addData(Doc(1L, textA), Doc(2L, textB), Doc(3L, s"pad words $textA tail"),
+        Doc(4L, null)) // null text: no grams -> clean, must pass the gate
       drain(q)
       val kept = spark.sql("SELECT doc_id FROM decon_t1").as[Long].collect().toSet
-      assert(kept === Set(2L), "clones/supersets of a bench doc must be dropped at ingest")
+      assert(kept === Set(2L, 4L), "clones/supersets of a bench doc must be dropped at ingest")
     } finally q.stop()
     // batch equivalence: the gate keeps exactly the is_contaminated=0 docs
-    val docs = Seq((1L, textA), (2L, textB), (3L, s"pad words $textA tail")).toDF("doc_id", "text")
+    val docs = Seq((1L, textA), (2L, textB), (3L, s"pad words $textA tail"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
     val gateKept = StreamingCorpusOps.deconGate(docs, grams, 8)
       .select("doc_id").as[Long].collect().toSet
     val reportKept = Decontamination
