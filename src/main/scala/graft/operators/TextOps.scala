@@ -153,4 +153,23 @@ object TextOps {
   /** BPE-ish subword count: ceil(len/4) chunks per token. */
   def subwordCount(ws: Column): Column =
     aggregate(ws, lit(0L), (acc, w) => acc + ceil(length(w) / lit(4.0)))
+
+  /** PII patterns, held to the Java-regex/RE2 dialect intersection (no
+    * lookaround) so the DuckDB oracle replays them exactly. ONE
+    * definition shared by the batch `text_pii_scrub` query and the
+    * streaming scrub twin.
+    */
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhonePattern = "\\+1-555-[0-9]{4}"
+  val Ipv4Pattern = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** The redaction chain: emails first (they contain dots/digits), then
+    * IPs, then phones — each later pattern sees the earlier
+    * placeholders. Pure map-side codegen'd regexp_replace.
+    */
+  def scrubPii(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      lit(EmailPattern), lit("<EMAIL>")),
+      lit(Ipv4Pattern), lit("<IP>")),
+      lit(PhonePattern), lit("<PHONE>"))
 }

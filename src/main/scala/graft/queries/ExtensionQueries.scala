@@ -98,6 +98,31 @@ object ExtensionQueries {
     docs.select(col("doc_id"),
       graft.functions.TextExpressions.simhash32_col(col("text")).as("simhash"))
 
+  /** The ONE seeded-quantizer cell assignment (32 fixed seed centroids,
+    * argmax cosine, scores rounded to 6 BEFORE argmax, ties to the
+    * lower cid) shared by `dedup_embedding`, `sim_ivf_topk`, and
+    * `decon_embedding` — the SQL-replayable twin of the learned
+    * quantizer in `operators.Similarity`. Norms are hoisted so the
+    * O(n x 32) scoring stage pays one dot product per pair, not three.
+    * Output: (vec_id, cell, v, nv).
+    */
+  private def seededCells(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .withColumn("v", col("embedding"))
+      .withColumn("nv", VectorOps.norm2(col("embedding")))
+    val cents = emb.filter(col("vec_id") < 32)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nv").as("ncv"))
+    // argmax via max_by on (score, -cid): one hash aggregate, no window
+    // sort (same tie-break as ORDER BY cs DESC, cid).
+    emb.select(col("vec_id"), col("v"), col("nv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cs",
+        round(VectorOps.dot(col("v"), col("cv")) / sqrt(col("nv") * col("ncv")), 6))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("cs"), (-col("cid")).as("nc"))).as("cell"),
+        first(col("v")).as("v"), first(col("nv")).as("nv"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- Dedup ---------------------------------------------------------
@@ -175,24 +200,11 @@ object ExtensionQueries {
     // join; boundary pairs are the recall tradeoff (multi-probe at
     // scale); the LEARNED k~sqrt(n) twin below is the production path.
     "dedup_embedding" -> ((s, dir) => {
-      // Norms are hoisted: cosine(a,b) naively costs THREE dot products
-      // per pair (dot + both norms); carrying norm2(v) on each row makes
-      // the O(pairs) stage one dot + one multiply — bit-identical
-      // doubles (same expressions, same evaluation order), 3x less work
-      // on the quadratic term.
-      val emb = Tables.embeddings(s, dir).withColumn("v", col("embedding"))
-        .withColumn("nv", VectorOps.norm2(col("embedding")))
-      val cents = emb.filter(col("vec_id") < 32)
-        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nv").as("ncv"))
-      // argmax via max_by on (score, -cid): one hash aggregate, no
-      // window sort (same tie-break as ORDER BY cs DESC, cid).
-      val cells = emb.select(col("vec_id"), col("v"), col("nv"))
-        .crossJoin(broadcast(cents))
-        .withColumn("cs",
-          round(VectorOps.dot(col("v"), col("cv")) / sqrt(col("nv") * col("ncv")), 6))
-        .groupBy(col("vec_id"))
-        .agg(max_by(col("cid"), struct(col("cs"), (-col("cid")).as("nc"))).as("cell"),
-          first(col("v")).as("v"), first(col("nv")).as("nv"))
+      // Norms are hoisted (inside seededCells): cosine(a,b) naively
+      // costs THREE dot products per pair; carrying norm2(v) on each
+      // row makes the O(pairs) stage one dot + one multiply —
+      // bit-identical doubles, 3x less work on the quadratic term.
+      val cells = seededCells(s, dir)
       val l = cells.select(col("cell"), col("vec_id").as("a_id"),
         col("v").as("va"), col("nv").as("na"))
       val r = cells.select(col("cell"), col("vec_id").as("b_id"),
@@ -359,20 +371,7 @@ object ExtensionQueries {
     // At scale: partition the index by cell, read one partition per
     // probe (see Similarity.probeIndex for the persisted variant).
     "sim_ivf_topk" -> ((s, dir) => {
-      // Same hoisted-norm trick as dedup_embedding: one dot per
-      // (vector, centroid) / (vector, query) instead of three.
-      val emb = Tables.embeddings(s, dir)
-        .withColumn("v", col("embedding"))
-        .withColumn("nv", VectorOps.norm2(col("embedding")))
-      val cents = emb.filter(col("vec_id") < 32)
-        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nv").as("ncv"))
-      val withCell = emb.select(col("vec_id"), col("v"), col("nv"))
-        .crossJoin(broadcast(cents))
-        .withColumn("cs",
-          round(VectorOps.dot(col("v"), col("cv")) / sqrt(col("nv") * col("ncv")), 6))
-        .groupBy(col("vec_id"))
-        .agg(max_by(col("cid"), struct(col("cs"), (-col("cid")).as("nc"))).as("cell"),
-          first(col("v")).as("v"), first(col("nv")).as("nv"))
+      val withCell = seededCells(s, dir)
       val qCell = withCell.filter(col("vec_id") === 42)
         .select(col("v").as("qv"), col("nv").as("nq"), col("cell").as("qcell"))
       withCell.crossJoin(broadcast(qCell))
@@ -586,6 +585,28 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Token-budget curation: per source shard, rank docs by quality
+    // (type-token ratio desc, ties to the lower doc_id) and keep the
+    // greedy prefix whose cumulative subword-token spend fits the
+    // shard budget — "best docs first until the budget runs out", the
+    // selection step of a token-capped training mix. One window per
+    // shard (the parallelism unit at 100 TB), no global sort, no
+    // driver loop; cum_tokens is monotone within a shard so the
+    // budget filter is an exact prefix.
+    "sample_token_budget" -> ((s, dir) => {
+      val ws = TextOps.tokens(col("text"))
+      val w = Window.partitionBy(col("source")).orderBy(col("ttr").desc, col("doc_id"))
+      Tables.documents(s, dir)
+        .withColumn("tokens", TextOps.subwordCount(ws).cast("long"))
+        .withColumn("ttr", round(size(array_distinct(ws)) / size(ws), 6))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("cum_tokens",
+          sum(col("tokens")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .filter(col("cum_tokens") <= 4096)
+        .select(col("source"), col("rk"), col("doc_id"), col("tokens"), col("cum_tokens"))
+        .orderBy(col("source"), col("rk"))
+    }),
+
     // PII scrub: regex redaction of emails / phone numbers / IPv4
     // addresses — the privacy pass of corpus construction. The corpus
     // itself is PII-free, so each doc gets a DETERMINISTIC synthetic
@@ -595,9 +616,6 @@ object ExtensionQueries {
     // final ORDER BY). Patterns stay in the Java-regex/RE2 dialect
     // intersection (no lookaround) so the oracle replays them exactly.
     "text_pii_scrub" -> ((s, dir) => {
-      val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-      val phonePat = "\\+1-555-[0-9]{4}"
-      val ipPat = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
       val raw = concat(col("text"),
         lit(" contact user"), col("doc_id").cast("string"),
         lit("@example.com phone +1-555-"),
@@ -606,14 +624,10 @@ object ExtensionQueries {
       Tables.documents(s, dir)
         .withColumn("raw", raw)
         .select(col("doc_id"),
-          regexp_count(col("raw"), lit(emailPat)).cast("long").as("n_emails"),
-          regexp_count(col("raw"), lit(phonePat)).cast("long").as("n_phones"),
-          regexp_count(col("raw"), lit(ipPat)).cast("long").as("n_ips"),
-          // emails first (they contain dots/digits), then IPs, then
-          // phones — each later pattern sees the earlier placeholders
-          regexp_replace(regexp_replace(regexp_replace(col("raw"),
-            lit(emailPat), lit("<EMAIL>")), lit(ipPat), lit("<IP>")),
-            lit(phonePat), lit("<PHONE>")).as("scrubbed"))
+          regexp_count(col("raw"), lit(TextOps.EmailPattern)).cast("long").as("n_emails"),
+          regexp_count(col("raw"), lit(TextOps.PhonePattern)).cast("long").as("n_phones"),
+          regexp_count(col("raw"), lit(TextOps.Ipv4Pattern)).cast("long").as("n_ips"),
+          TextOps.scrubPii(col("raw")).as("scrubbed"))
         .orderBy(col("doc_id"))
     }),
 
@@ -627,6 +641,34 @@ object ExtensionQueries {
       val train = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
       graft.operators.Decontamination.minhashNearDupReport(train, bench)
         .orderBy(col("doc_id"))
+    }),
+
+    // SEMANTIC decontamination — the third rung of the decon ladder
+    // (verbatim 8-gram, lexical MinHash, embedding cosine): a train
+    // vector within cosine >= 0.45 of any benchmark vector is a
+    // probable semantic duplicate of eval content even with zero
+    // lexical overlap. Same seeded 32-cell quantizer as dedup_embedding
+    // (shared seededCells helper), pairing TRAIN x broadcast(BENCH)
+    // within a cell only — never a self-join, and the bench side is
+    // 1/50 of the corpus. Total function over train vectors.
+    "decon_embedding" -> ((s, dir) => {
+      val cells = seededCells(s, dir)
+      val t = cells.filter(pmod(col("vec_id"), lit(50)) =!= 0)
+        .select(col("cell"), col("vec_id").as("tid"), col("v").as("va"), col("nv").as("na"))
+      val b = cells.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("cell"), col("vec_id").as("bid"), col("v").as("vb"), col("nv").as("nb"))
+      val m = t.join(broadcast(b), Seq("cell"))
+        .withColumn("cos_sim",
+          round(VectorOps.dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")), 6))
+        .filter(col("cos_sim") >= 0.45)
+        .groupBy(col("tid")).agg(count(lit(1)).as("n_bench_sims"))
+      Tables.embeddings(s, dir)
+        .filter(pmod(col("vec_id"), lit(50)) =!= 0)
+        .select(col("vec_id"))
+        .join(m.withColumnRenamed("tid", "vec_id"), Seq("vec_id"), "left")
+        .withColumn("n_bench_sims", coalesce(col("n_bench_sims"), lit(0L)))
+        .withColumn("is_semantic_contaminated", (col("n_bench_sims") >= 1).cast("int"))
+        .orderBy(col("vec_id"))
     }),
 
     // Multimodal plumbing: opaque binary payload + typed metadata;
@@ -866,6 +908,17 @@ object ExtensionQueries {
        "round(COALESCE(o, 0) / n_grams, 6) AS overlap_frac, " +
        "CAST(CASE WHEN COALESCE(o, 0) >= 1 THEN 1 ELSE 0 END AS INT) AS is_contaminated " +
        "FROM cnt LEFT JOIN ov ON cnt.doc_id = ov.doc_id ORDER BY cnt.doc_id"),
+    "sample_token_budget" ->
+      ("WITH t AS (SELECT source, doc_id, " +
+       "CAST(list_sum(list_transform(string_split(text, ' '), w -> CAST(ceil(length(w)/4.0) AS BIGINT))) AS BIGINT) tokens, " +
+       "round(len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')), 6) ttr " +
+       "FROM documents), " +
+       "r AS (SELECT source, doc_id, tokens, " +
+       "CAST(row_number() OVER (PARTITION BY source ORDER BY ttr DESC, doc_id) AS BIGINT) rk, " +
+       "CAST(SUM(tokens) OVER (PARTITION BY source ORDER BY ttr DESC, doc_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) cum_tokens FROM t) " +
+       "SELECT source, rk, doc_id, tokens, cum_tokens FROM r " +
+       "WHERE cum_tokens <= 4096 ORDER BY source, rk"),
     "text_pii_scrub" ->
       ("WITH r AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
        "'@example.com phone +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || " +
@@ -879,6 +932,26 @@ object ExtensionQueries {
        "'\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'), " +
        "'\\+1-555-[0-9]{4}', '<PHONE>', 'g') AS scrubbed " +
        "FROM r ORDER BY doc_id"),
+    "decon_embedding" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings), " +
+       "c AS (SELECT vec_id cid, v cv FROM e WHERE vec_id < 32), " +
+       "scored AS (SELECT e.vec_id, e.v, c.cid, round(" +
+       "list_sum(list_transform(list_zip(e.v, c.cv), p -> p[1]*p[2])) / " +
+       "sqrt(list_sum(list_transform(e.v, x -> x*x)) * list_sum(list_transform(c.cv, x -> x*x)))" +
+       ", 6) cs FROM e CROSS JOIN c), " +
+       "cells AS (SELECT vec_id, v, cid AS cell FROM scored " +
+       "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) = 1), " +
+       "m AS (SELECT a.vec_id tid FROM cells a JOIN cells b " +
+       "ON a.cell = b.cell AND a.vec_id % 50 <> 0 AND b.vec_id % 50 = 0 " +
+       "WHERE round(" +
+       "list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])) / " +
+       "sqrt(list_sum(list_transform(a.v, x -> x*x)) * list_sum(list_transform(b.v, x -> x*x)))" +
+       ", 6) >= 0.45), " +
+       "cnt AS (SELECT tid, CAST(COUNT(*) AS BIGINT) n FROM m GROUP BY tid) " +
+       "SELECT d.vec_id, COALESCE(n, CAST(0 AS BIGINT)) AS n_bench_sims, " +
+       "CAST(CASE WHEN COALESCE(n, 0) >= 1 THEN 1 ELSE 0 END AS INT) AS is_semantic_contaminated " +
+       "FROM (SELECT vec_id FROM embeddings WHERE vec_id % 50 <> 0) d " +
+       "LEFT JOIN cnt ON d.vec_id = cnt.tid ORDER BY d.vec_id"),
     "decon_minhash_neardup" ->
       (s"WITH $minhashPairsCtes, " +
        "m AS (SELECT a.doc_id tid, b.doc_id bid FROM bb a JOIN bb b " +

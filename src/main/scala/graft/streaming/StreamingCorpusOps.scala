@@ -114,6 +114,14 @@ object StreamingCorpusOps {
       .drop("__grams")
   }
 
+  /** Streaming PII scrub: the redaction chain applied at ingest — a
+    * pure map-side projection (shared `TextOps.scrubPii` regexp chain),
+    * so a document's PII never reaches the corpus store. Identical on
+    * batch and streaming frames by construction.
+    */
+  def piiScrub(docs: DataFrame): DataFrame =
+    docs.withColumn("text", graft.operators.TextOps.scrubPii(col("text")))
+
   /** Streaming exact dedup on the content key: the first arrival of a
     * text wins, replays and later clones are dropped by per-key state.
     * With a watermarked `ts` column upstream, swap to

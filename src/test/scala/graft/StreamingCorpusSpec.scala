@@ -107,6 +107,27 @@ class StreamingCorpusSpec extends SparkSpec {
     assert(gateKept === reportKept)
   }
 
+  test("pii scrub redacts at ingest, identically to the batch chain") {
+    val dirty = "reach me at bob.k@mail.example.org or +1-555-0199 from 192.168.0.12 ok"
+    val in = MemoryStream[Doc]
+    val q = StreamingCorpusOps.piiScrub(in.toDF())
+      .writeStream.format("memory").queryName("pii_t1")
+      .outputMode(OutputMode.Append).trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(Doc(1L, dirty), Doc(2L, textB))
+      drain(q)
+      val got = spark.sql("SELECT doc_id, text FROM pii_t1 ORDER BY doc_id")
+        .as[(Long, String)].collect().toSeq
+      assert(got.head._2 === "reach me at <EMAIL> or <PHONE> from <IP> ok")
+      assert(got(1)._2 === textB, "clean text must pass through unchanged")
+      // batch equivalence: same rows through the batch projection
+      val batch = StreamingCorpusOps.piiScrub(
+          Seq((1L, dirty), (2L, textB)).toDF("doc_id", "text"))
+        .orderBy("doc_id").as[(Long, String)].collect().toSeq
+      assert(batch === got)
+    } finally q.stop()
+  }
+
   test("exact dedup keeps the first arrival across batches") {
     val in = MemoryStream[Doc]
     val q = StreamingCorpusOps.exactDedup(in.toDF())
