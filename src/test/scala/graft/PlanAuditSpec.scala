@@ -79,6 +79,33 @@ class PlanAuditSpec extends SparkSpec {
       s"expected TakeOrderedAndProject for LIMIT-k:\n$p")
   }
 
+  test("decon queries broadcast the benchmark side") {
+    // eval sets are tiny against the corpus — every decon rung must
+    // join them map-side, never shuffle the corpus on the match key
+    for (q <- Seq("decon_ngram_overlap", "decon_minhash_neardup", "decon_embedding")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+        s"$q expected a broadcast benchmark join, plan:\n$p")
+    }
+  }
+
+  test("pii scrub is map-side only: no exchange before the output sort") {
+    val p = plan("text_pii_scrub")
+    val n = p.linesIterator.count(_.contains("Exchange "))
+    assert(n <= 1, s"text_pii_scrub expected at most the ORDER BY exchange, plan:\n$p")
+  }
+
+  test("token-budget curation runs one window per shard, no global sort before it") {
+    val p = plan("sample_token_budget")
+    // a single hash-partitioned exchange feeds the window; rk and
+    // cum_tokens must share it (same partition + ordering spec)
+    val windows = p.linesIterator.count(_.trim.startsWith("Window"))
+    assert(windows <= 2, s"expected the shared window stage(s), plan:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange "))
+    assert(exchanges <= 2,
+      s"expected shard exchange + output sort only, plan:\n$p")
+  }
+
   test("minhash signatures shuffle only at banding, not before") {
     // native MinHashSlices means NO groupBy(doc_id) aggregation stage:
     // the plan must not contain a doc_id hash aggregate before banding
