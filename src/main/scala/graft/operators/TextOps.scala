@@ -159,7 +159,10 @@ object TextOps {
     * definition shared by the batch `text_pii_scrub` query and the
     * streaming scrub twin.
     */
-  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  // (?i): PII must redact regardless of case — a gate that lets
+  // Bob.Smith@Example.COM through is a privacy hole, and inline
+  // case-insensitivity is in both dialects.
+  val EmailPattern = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   val PhonePattern = "\\+1-555-[0-9]{4}"
   val Ipv4Pattern = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
 

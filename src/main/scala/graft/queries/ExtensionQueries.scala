@@ -594,11 +594,14 @@ object ExtensionQueries {
     // driver loop; cum_tokens is monotone within a shard so the
     // budget filter is an exact prefix.
     "sample_token_budget" -> ((s, dir) => {
-      val ws = TextOps.tokens(col("text"))
       val w = Window.partitionBy(col("source")).orderBy(col("ttr").desc, col("doc_id"))
+      // tokenize ONCE into a materialized column: HOF lambda arguments
+      // don't participate in codegen subexpression elimination, so
+      // inlining the split into tokens/ttr would re-split each doc 3x
       Tables.documents(s, dir)
-        .withColumn("tokens", TextOps.subwordCount(ws).cast("long"))
-        .withColumn("ttr", round(size(array_distinct(ws)) / size(ws), 6))
+        .withColumn("ws", TextOps.tokens(col("text")))
+        .withColumn("tokens", TextOps.subwordCount(col("ws")).cast("long"))
+        .withColumn("ttr", round(size(array_distinct(col("ws"))) / size(col("ws")), 6))
         .withColumn("rk", row_number().over(w).cast("long"))
         .withColumn("cum_tokens",
           sum(col("tokens")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
@@ -662,6 +665,11 @@ object ExtensionQueries {
           round(VectorOps.dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")), 6))
         .filter(col("cos_sim") >= 0.45)
         .groupBy(col("tid")).agg(count(lit(1)).as("n_bench_sims"))
+      // Totality base = a fresh single-column pruned scan, NOT `t`:
+      // referencing the cells frame on both sides of the left join
+      // would evaluate the whole crossJoin+argmax subtree twice (no
+      // exchange reuse across different filters) — a one-column parquet
+      // scan is far cheaper and yields the identical train-id universe.
       Tables.embeddings(s, dir)
         .filter(pmod(col("vec_id"), lit(50)) =!= 0)
         .select(col("vec_id"))
@@ -924,11 +932,11 @@ object ExtensionQueries {
        "'@example.com phone +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || " +
        "' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS raw FROM documents) " +
        "SELECT doc_id, " +
-       "CAST(len(regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT) AS n_emails, " +
+       "CAST(len(regexp_extract_all(raw, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT) AS n_emails, " +
        "CAST(len(regexp_extract_all(raw, '\\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones, " +
        "CAST(len(regexp_extract_all(raw, '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS BIGINT) AS n_ips, " +
        "regexp_replace(regexp_replace(regexp_replace(raw, " +
-       "'[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'), " +
+       "'(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'), " +
        "'\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'), " +
        "'\\+1-555-[0-9]{4}', '<PHONE>', 'g') AS scrubbed " +
        "FROM r ORDER BY doc_id"),

@@ -12,13 +12,15 @@ import org.apache.spark.sql.types._
   * pipeline that dies on it never finishes, while one that drops it
   * silently can't be audited).
   *
-  * Spark shape: one PERMISSIVE-mode json scan with a
-  * `_corrupt_record` capture column; good rows flow on with the typed
-  * schema, bad lines land in a quarantine frame carrying the raw line.
-  * Both frames come from the SAME scan definition, split by a
-  * null-test on the capture column — no second pass over the input.
-  * Works identically via `readStream` for continuous ingest (the
-  * documents land in micro-batches, quarantine goes to its own sink).
+  * Spark shape: a text scan + one `from_json` projection with a
+  * `_corrupt_record` capture field. Both halves split off the SAME
+  * lazy projection by a null-test on the capture — no cache, no second
+  * pass, no analyzer guard (the json FILE source forbids filtering on
+  * only its corrupt column; `from_json` has no such restriction), and
+  * the identical expression serves `readStream` for continuous
+  * landing-zone ingest. One deliberate divergence from the json file
+  * source: blank/whitespace-only lines quarantine here (auditable)
+  * instead of being skipped silently.
   */
 object CorpusIngest {
 
@@ -32,63 +34,38 @@ object CorpusIngest {
 
   private val Corrupt = "_corrupt_record"
 
-  private def withCapture(schema: StructType): StructType =
-    schema.add(StructField(Corrupt, StringType))
-
-  /** Batch JSONL read → (good, quarantine). `good` carries exactly
-    * `schema`'s columns; `quarantine` carries the raw offending line.
-    * The parsed frame is cached: Spark (correctly) refuses a filter
-    * that references ONLY the corrupt column against a lazy json scan
-    * — the capture column exists per-parse, not per-file — so the
-    * split must read the materialized parse, and callers consume both
-    * halves anyway. Caller unpersists via the returned frames' shared
-    * lineage (`good.unpersist()` is a no-op; use `release`).
+  /** Parse a `value: STRING` line frame (from `spark.read.text` /
+    * `readStream.text`): keeps the raw line and adds the typed struct
+    * with corrupt capture. Shared verbatim by batch and streaming.
     */
-  def readJsonl(spark: SparkSession, path: String,
+  def parseLines(lines: DataFrame, schema: StructType = docSchema): DataFrame =
+    lines.select(col("value"),
+      from_json(col("value"), schema.add(StructField(Corrupt, StringType)),
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> Corrupt)).as("p"))
+
+  /** Split a parsed frame → (good, quarantine). `good` carries exactly
+    * `schema`'s columns; `quarantine` carries the raw offending line.
+    */
+  def split(parsed: DataFrame,
       schema: StructType = docSchema): (DataFrame, DataFrame) = {
-    val parsed = spark.read
-      .schema(withCapture(schema))
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", Corrupt)
-      .json(path)
-      .cache()
-    val good = parsed.filter(col(Corrupt).isNull)
-      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
-    val quarantine = parsed.filter(col(Corrupt).isNotNull)
-      .select(col(Corrupt).as("raw_line"))
-    (good, quarantine)
+    val bad = col("p").isNull || col("p").getField(Corrupt).isNotNull
+    (parsed.filter(!bad)
+        .select(schema.fieldNames.map(f => col("p").getField(f).as(f)).toIndexedSeq: _*),
+      parsed.filter(bad).select(col("value").as("raw_line")))
   }
 
-  /** Release the shared scan cache behind a [[readJsonl]] pair. */
-  def release(spark: SparkSession, path: String,
-      schema: StructType = docSchema): Unit = {
-    spark.read.schema(withCapture(schema))
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", Corrupt)
-      .json(path).unpersist()
-    ()
-  }
+  /** Batch JSONL read → (good, quarantine). */
+  def readJsonl(spark: SparkSession, path: String,
+      schema: StructType = docSchema): (DataFrame, DataFrame) =
+    split(parseLines(spark.read.text(path), schema), schema)
 
   /** Streaming JSONL ingest of a directory (files appear over time —
-    * the landing-zone pattern). Returns the parsed stream WITH the
-    * capture column so the caller can route good/quarantine inside one
-    * `foreachBatch` (a streaming filter-only-on-corrupt-column hits
-    * the same analyzer guard as batch; splitting per micro-batch frame
-    * is the supported shape).
+    * the landing-zone pattern). Returns the parsed stream; route the
+    * halves with [[split]] (directly on the stream, or per micro-batch
+    * inside `foreachBatch` when good and quarantine go to different
+    * sinks).
     */
   def streamJsonl(spark: SparkSession, dir: String,
       schema: StructType = docSchema): DataFrame =
-    spark.readStream
-      .schema(withCapture(schema))
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", Corrupt)
-      .json(dir)
-
-  /** Split a (micro-)batch frame from [[streamJsonl]]. */
-  def splitBatch(parsed: DataFrame,
-      schema: StructType = docSchema): (DataFrame, DataFrame) = (
-    parsed.filter(col(Corrupt).isNull)
-      .select(schema.fieldNames.map(col).toIndexedSeq: _*),
-    parsed.filter(col(Corrupt).isNotNull).select(col(Corrupt).as("raw_line"))
-  )
+    parseLines(spark.readStream.text(dir), schema)
 }

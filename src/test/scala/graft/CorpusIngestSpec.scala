@@ -54,7 +54,7 @@ class CorpusIngestSpec extends SparkSpec {
     val q = CorpusIngest.streamJsonl(spark, dir.toString)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        val (g, b) = CorpusIngest.splitBatch(batch)
+        val (g, b) = CorpusIngest.split(batch)
         goodOut ++= g.select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
           .collect()
         badOut ++= b.as[String](org.apache.spark.sql.Encoders.STRING).collect()

@@ -79,13 +79,22 @@ class PlanAuditSpec extends SparkSpec {
       s"expected TakeOrderedAndProject for LIMIT-k:\n$p")
   }
 
-  test("decon queries broadcast the benchmark side") {
+  test("decon queries broadcast the benchmark side ON THE MATCH KEY") {
     // eval sets are tiny against the corpus — every decon rung must
-    // join them map-side, never shuffle the corpus on the match key
-    for (q <- Seq("decon_ngram_overlap", "decon_minhash_neardup", "decon_embedding")) {
+    // join them map-side. Assert the join keyed on the actual match
+    // column broadcasts (a broadcast elsewhere in the plan — e.g. the
+    // 32-centroid crossJoin — must not mask a shuffled match join).
+    for ((q, key) <- Seq(
+        "decon_ngram_overlap" -> "[s#",
+        "decon_minhash_neardup" -> "[band_idx#",
+        "decon_embedding" -> "[cell#")) {
       val p = plan(q)
-      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
-        s"$q expected a broadcast benchmark join, plan:\n$p")
+      val joinLines = p.linesIterator.filter(_.contains("Join")).toSeq
+      assert(joinLines.exists(l => l.contains("BroadcastHashJoin") && l.contains(key)),
+        s"$q: no broadcast join on match key $key, joins:\n${joinLines.mkString("\n")}")
+      assert(!joinLines.exists(l =>
+          (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")) && l.contains(key)),
+        s"$q: match key $key joined via shuffle, joins:\n${joinLines.mkString("\n")}")
     }
   }
 

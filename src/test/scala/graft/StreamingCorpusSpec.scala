@@ -108,7 +108,7 @@ class StreamingCorpusSpec extends SparkSpec {
   }
 
   test("pii scrub redacts at ingest, identically to the batch chain") {
-    val dirty = "reach me at bob.k@mail.example.org or +1-555-0199 from 192.168.0.12 ok"
+    val dirty = "reach me at Bob.K@Mail.Example.ORG or +1-555-0199 from 192.168.0.12 ok"
     val in = MemoryStream[Doc]
     val q = StreamingCorpusOps.piiScrub(in.toDF())
       .writeStream.format("memory").queryName("pii_t1")
