@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** KMV (k-minimum-values) distinct-count sketch — the classic
+  * bottom-k estimator (Bar-Yossef et al.; see PAPERS.md): keep the k
+  * smallest DISTINCT hash values of a stream; if fewer than k were
+  * seen the count is exact, else estimate = (k-1) * 2^32 / h_k where
+  * h_k is the k-th smallest 32-bit hash. Bounded O(k) buffer with an
+  * associative merge => map-side partial aggregation: the sketch shape
+  * of COUNT(DISTINCT) at 100 TB (one k-array per group per partition
+  * on the wire).
+  *
+  * Why this exists next to `approx_count_distinct` (q12): HLL sketches
+  * are implementation-specific, so that query can only be rows-checked.
+  * KMV over md5-derived hashes is ENGINE-PORTABLE — DuckDB can compute
+  * the identical k-th smallest hash with a window function — so the
+  * ESTIMATE itself is oracle-checkable bit-for-bit, closing the
+  * "sketches can't be oracled" gap with a sketch that can.
+  */
+object SketchAgg {
+
+  /** `vals`: sorted ascending, distinct, length <= k. */
+  case class KmvBuf(vals: Array[Long])
+
+  class KMinValues(k: Int) extends Aggregator[Long, KmvBuf, Double] {
+    require(k >= 2, "KMV needs k >= 2")
+
+    override def zero: KmvBuf = KmvBuf(Array.empty[Long])
+
+    override def reduce(b: KmvBuf, h: Long): KmvBuf = {
+      val v = b.vals
+      if (v.length == k && h >= v(v.length - 1)) b
+      else {
+        val idx = java.util.Arrays.binarySearch(v, h)
+        if (idx >= 0) b // hash already kept: distinct semantics
+        else {
+          val ins = -idx - 1
+          if (ins >= k) b
+          else {
+            val newLen = math.min(v.length + 1, k)
+            val out = new Array[Long](newLen)
+            System.arraycopy(v, 0, out, 0, ins)
+            out(ins) = h
+            System.arraycopy(v, ins, out, ins + 1, newLen - ins - 1)
+            KmvBuf(out)
+          }
+        }
+      }
+    }
+
+    override def merge(a: KmvBuf, b: KmvBuf): KmvBuf = {
+      val x = a.vals; val y = b.vals
+      val out = new Array[Long](math.min(x.length + y.length, k))
+      var i = 0; var j = 0; var n = 0
+      while (n < out.length && (i < x.length || j < y.length)) {
+        val take =
+          if (j >= y.length || (i < x.length && x(i) <= y(j))) { val t = x(i); i += 1; t }
+          else { val t = y(j); j += 1; t }
+        if (n == 0 || out(n - 1) != take) { out(n) = take; n += 1 }
+      }
+      KmvBuf(if (n == out.length) out else java.util.Arrays.copyOf(out, n))
+    }
+
+    override def finish(b: KmvBuf): Double =
+      if (b.vals.length < k) b.vals.length.toDouble
+      else (k - 1) * 4294967296.0 / math.max(b.vals(k - 1), 1L)
+
+    override def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+}

@@ -166,6 +166,26 @@ object AnalyticsQueries {
         .orderBy(col("event_type"))
     }),
 
+    // KMV distinct sketch — q12's ORACLED sibling: the bottom-k
+    // estimator over portable md5-derived 32-bit hashes, so DuckDB
+    // replays the identical k-th smallest hash and the ESTIMATE itself
+    // hash-matches (HLL can only be rows-checked). Bounded O(k) state,
+    // map-side merged; exact count when a group has < k distinct users.
+    "q12b_kmv_distinct" -> ((s, dir) => {
+      import s.implicits._
+      val kmv = new graft.functions.SketchAgg.KMinValues(64)
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("long").as("h"))
+        .as[(String, Long)]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(kmv.toColumn.name("est"))
+        .toDF("event_type", "est")
+        .select(col("event_type"), round(col("est"), 6).as("kmv_users"))
+        .orderBy(col("event_type"))
+    }),
+
     // Bucketized range join: banding events.value into interval dims.
     // A naive BETWEEN join is a broadcast nested loop (O(n*m) probes);
     // the scale-safe shape decomposes each interval into fixed-width
@@ -414,6 +434,15 @@ object AnalyticsQueries {
        "CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)/100.0 AS total " +
        "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority) " +
        "ORDER BY o_orderstatus, o_orderpriority"),
+    "q12b_kmv_distinct" ->
+      ("WITH h AS (SELECT DISTINCT event_type, " +
+       "CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) hv FROM events), " +
+       "r AS (SELECT event_type, hv, " +
+       "row_number() OVER (PARTITION BY event_type ORDER BY hv) rn, " +
+       "COUNT(*) OVER (PARTITION BY event_type) n FROM h) " +
+       "SELECT event_type, round(CASE WHEN n < 64 THEN CAST(n AS DOUBLE) " +
+       "ELSE 63 * 4294967296.0 / greatest(hv, 1) END, 6) AS kmv_users " +
+       "FROM r WHERE rn = least(n, 64) ORDER BY event_type"),
     "q13_asof_join" ->
       ("SELECT p.event_id, p.user_id, p.ts, s.ts AS signup_ts " +
        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
