@@ -36,16 +36,15 @@ object SketchAgg {
         val idx = java.util.Arrays.binarySearch(v, h)
         if (idx >= 0) b // hash already kept: distinct semantics
         else {
+          // ins < k always: the full-buffer guard above already
+          // returned for any h that would land past the kept range
           val ins = -idx - 1
-          if (ins >= k) b
-          else {
-            val newLen = math.min(v.length + 1, k)
-            val out = new Array[Long](newLen)
-            System.arraycopy(v, 0, out, 0, ins)
-            out(ins) = h
-            System.arraycopy(v, ins, out, ins + 1, newLen - ins - 1)
-            KmvBuf(out)
-          }
+          val newLen = math.min(v.length + 1, k)
+          val out = new Array[Long](newLen)
+          System.arraycopy(v, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(v, ins, out, ins + 1, newLen - ins - 1)
+          KmvBuf(out)
         }
       }
     }

@@ -142,6 +142,17 @@ object TextOps {
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
   }
 
+  /** Portable 32-bit hash: the first 8 md5 hex chars of the value's
+    * string form as an unsigned 32-bit integer — identical in any
+    * engine with md5/substr (DuckDB twin:
+    * `CAST('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 8) AS BIGINT)`).
+    * ONE definition for every hash-coin / sketch-input site
+    * (`sample_mixture`, `q12b_kmv_distinct`); a drift in the scheme
+    * would silently break oracle parity for only some queries.
+    */
+  def portableHash32(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+
   /** Count of tokens appearing in a fixed stopword list. */
   def stopwordCount(ws: Column, stopwords: Seq[String]): Column =
     size(filter(ws, w => w.isin(stopwords.map(lit): _*)))

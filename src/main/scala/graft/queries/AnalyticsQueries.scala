@@ -176,8 +176,7 @@ object AnalyticsQueries {
       val kmv = new graft.functions.SketchAgg.KMinValues(64)
       Tables.events(s, dir)
         .select(col("event_type"),
-          conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
-            .cast("long").as("h"))
+          graft.operators.TextOps.portableHash32(col("user_id")).as("h"))
         .as[(String, Long)]
         .groupByKey(_._1).mapValues(_._2)
         .agg(kmv.toColumn.name("est"))

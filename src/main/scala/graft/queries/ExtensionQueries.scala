@@ -561,8 +561,7 @@ object ExtensionQueries {
       val rate = when(col("source").isin("src0", "src1", "src2", "src3", "src4"), 1.0)
         .when(col("source").isin("src5", "src6", "src7"), 0.25)
         .otherwise(0.5)
-      val coin = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long"), lit(1000L))
+      val coin = pmod(TextOps.portableHash32(col("doc_id")), lit(1000L))
       Tables.documents(s, dir)
         .withColumn("kept", (coin < rate * 1000).cast("int"))
         .groupBy(col("source"))
