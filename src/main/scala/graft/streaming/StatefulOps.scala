@@ -23,6 +23,38 @@ object StatefulOps {
   implicit private val utEnc: Encoder[UserTotal] = Encoders.product[UserTotal]
   implicit private val longEnc: Encoder[Long] = Encoders.scalaLong
 
+  /** Running KMV distinct-count estimate per key across micro-batches
+    * — "distinct users per event type so far", continuously. The
+    * bucket is the SAME bounded sketch the batch `q12b_kmv_distinct`
+    * aggregates with (`SketchAgg.KMinValues`): its buffer is the
+    * per-key state (O(k), never grows with the stream), each batch
+    * folds its rows in via `reduce`, and the emitted estimate after
+    * every batch equals what the batch query would compute over all
+    * rows seen so far — sketch state IS mergeable state, which is why
+    * the same aggregator serves both deployment shapes.
+    * Input: (key, hash) rows where hash comes from
+    * `TextOps.portableHash32`'s scheme.
+    */
+  def runningDistinct(hashes: Dataset[(String, Long)], k: Int = 64)
+      : Dataset[(String, Double)] = {
+    implicit val strEnc: Encoder[String] = Encoders.STRING
+    implicit val outEnc: Encoder[(String, Double)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaDouble)
+    implicit val bufEnc: Encoder[graft.functions.SketchAgg.KmvBuf] =
+      Encoders.product[graft.functions.SketchAgg.KmvBuf]
+    val agg = new graft.functions.SketchAgg.KMinValues(k)
+    hashes.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: String, it: Iterator[(String, Long)],
+            state: GroupState[graft.functions.SketchAgg.KmvBuf]) => {
+          val next = it.foldLeft(state.getOption.getOrElse(agg.zero)) {
+            (b, row) => agg.reduce(b, row._2)
+          }
+          state.update(next)
+          Iterator((key, agg.finish(next)))
+        })
+  }
+
   /** Running per-user totals across micro-batches: state survives
     * between batches and across checkpoint restarts.
     */

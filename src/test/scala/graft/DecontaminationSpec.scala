@@ -57,6 +57,31 @@ class DecontaminationSpec extends SparkSpec {
     assert(out._1 === 5L) // 5 distinct of 6 total 4-grams ("a b c d" dup collapses)
   }
 
+  test("fuzz: overlap counts equal a brute-force shared-gram check") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    def doc() = Seq.fill(3 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val n = 3
+    def grams(t: String): Set[String] = {
+      val ws = t.split(" ").toSeq
+      if (ws.length < n) Set(ws.mkString(" "))
+      else ws.sliding(n).map(_.mkString(" ")).toSet
+    }
+    for (trial <- 1 to 3) {
+      val bench = (100L until 103L).map(i => (i, doc()))
+      val docs = (0L until 25L).map(i => (i, doc()))
+      val benchGrams = bench.flatMap(b => grams(b._2)).toSet
+      val expected = docs.map { case (id, t) =>
+        id -> (grams(t) intersect benchGrams).size.toLong }.toMap
+      val out = Decontamination.overlapReport(
+          docs.toDF("doc_id", "text"),
+          Decontamination.benchmarkGrams(bench.toDF("doc_id", "text"), n), n)
+        .select("doc_id", "n_overlap").as[(Long, Long)].collect().toMap
+      expected.foreach { case (id, e) =>
+        assert(out(id) === e, s"doc $id trial $trial") }
+    }
+  }
+
   test("benchmark side joins as a broadcast by default") {
     val bench = Seq((9L, benchText)).toDF("doc_id", "text")
     val docs = Seq((1L, benchText)).toDF("doc_id", "text")

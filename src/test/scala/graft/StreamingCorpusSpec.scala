@@ -128,6 +128,30 @@ class StreamingCorpusSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("running KMV distinct estimate converges to the batch sketch across batches") {
+    import graft.streaming.StatefulOps
+    val agg = new graft.functions.SketchAgg.KMinValues(16)
+    // two batches of hashed ids per key; the post-batch-2 estimate must
+    // equal folding ALL rows through the same aggregator
+    val b1 = (1L to 300L).map(i => ("clicks", i * 2654435761L % 4294967296L))
+    val b2 = (301L to 500L).map(i => ("clicks", i * 2654435761L % 4294967296L))
+    val expected = agg.finish((b1 ++ b2).foldLeft(agg.zero)((b, r) => agg.reduce(b, r._2)))
+    val in = MemoryStream[(String, Long)]
+    val q = StatefulOps.runningDistinct(in.toDS(), k = 16)
+      .toDF("key", "est")
+      .writeStream.format("memory").queryName("kmv_t1")
+      .outputMode(OutputMode.Update).trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(b1: _*); drain(q)
+      in.addData(b2: _*); drain(q)
+      // memory sink in Update mode appends each batch's row; the LAST
+      // row per key is the current estimate
+      val last = spark.sql("SELECT est FROM kmv_t1").as[Double].collect().last
+      assert(last === expected,
+        "sketch state across micro-batches must equal the one-shot batch fold")
+    } finally q.stop()
+  }
+
   test("exact dedup keeps the first arrival across batches") {
     val in = MemoryStream[Doc]
     val q = StreamingCorpusOps.exactDedup(in.toDF())
