@@ -82,6 +82,25 @@ class DecontaminationSpec extends SparkSpec {
     }
   }
 
+  test("corpus-scale path (broadcastBench = false) is result-identical to the broadcast path") {
+    // cross-corpus dedup uses the same operators with a reference set
+    // too big to broadcast; the shuffle-join path must not change results
+    val bench = Seq((100L, benchText), (101L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, s"pad $benchText pad"),
+      (2L, "nine ten eleven twelve thirteen fourteen fifteen sixteen seventeen"),
+      (3L, "zz one two three four five six seven eight zz")
+    ).toDF("doc_id", "text")
+    val grams = Decontamination.benchmarkGrams(bench, 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().toSeq
+    assert(rows(Decontamination.overlapReport(docs, grams, 8, broadcastBench = false)) ===
+      rows(Decontamination.overlapReport(docs, grams, 8)))
+    assert(rows(Decontamination.minhashNearDupReport(docs, bench, broadcastBench = false)) ===
+      rows(Decontamination.minhashNearDupReport(docs, bench)))
+  }
+
   test("benchmark side joins as a broadcast by default") {
     val bench = Seq((9L, benchText)).toDF("doc_id", "text")
     val docs = Seq((1L, benchText)).toDF("doc_id", "text")
