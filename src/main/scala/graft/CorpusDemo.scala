@@ -15,9 +15,10 @@ import graft.streaming.StreamingCorpusOps
   *
   *   JSONL landing zone → schema-enforced ingest (corrupt lines
   *   quarantined) → PII scrub → benchmark decon gate → quality +
-  *   repetition gate → exact dedup → incremental LSH near-dup
-  *   candidates, all per micro-batch with parquet outputs — then a
-  *   batch pass over the landed corpus for near-dup clusters.
+  *   repetition gate, per micro-batch with replay-safe parquet
+  *   outputs — then a batch pass over the landed corpus: exact dedup
+  *   by content hash AND MinHash-LSH near-dup clusters (the shared
+  *   banding + connected components).
   *
   * Deterministic by construction (fixed fixture lines, AvailableNow
   * trigger); prints one summary line the driver/smoke can assert on.
@@ -55,29 +56,47 @@ object CorpusDemo {
     val q = CorpusIngest.streamJsonl(spark, landing.toString)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // persist once: the write and the audit counts must not re-run
+        // the parse/scrub/decon/quality chain per action
+        batch.persist()
         val (good, quarantine) = CorpusIngest.split(batch)
         quarantine.write.mode("overwrite").parquet(s"$out/quarantine/ingest=$batchId")
-        val scrubbed = StreamingCorpusOps.piiScrub(good)
-        val decon = StreamingCorpusOps.deconGate(scrubbed, benchGrams, 8)
-        val kept = StreamingCorpusOps.qualityGate(decon)
+        val kept = StreamingCorpusOps.qualityGate(
+          StreamingCorpusOps.deconGate(
+            StreamingCorpusOps.piiScrub(good), benchGrams, 8)).persist()
         kept.write.mode("overwrite").parquet(s"$out/corpus/ingest=$batchId")
         counts.merge("quarantined", quarantine.count(), Long.box(_) + Long.box(_))
         counts.merge("ingested", good.count(), Long.box(_) + Long.box(_))
         counts.merge("kept", kept.count(), Long.box(_) + Long.box(_))
+        kept.unpersist(); batch.unpersist()
         ()
       }
       .option("checkpointLocation", s"$out/ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    if (!q.awaitTermination(120000))
+      throw new IllegalStateException(
+        "CorpusDemo: landing-zone ingest did not finish within 120 s — " +
+        "refusing to summarize a partial corpus")
 
-    // Batch pass over the landed corpus: exact dedup + near-dup clusters.
+    // Batch pass over the landed corpus: exact dedup by content hash,
+    // then MinHash-LSH near-dup CLUSTERS via the shared banding
+    // definition + connected components — the same machinery as
+    // dedup_minhash/dedup_clusters, over the freshly built corpus.
     val corpus = spark.read.parquet(s"$out/corpus")
     val distinctDocs = corpus.groupBy(md5(col("text"))).agg(min("doc_id").as("keep_id"))
+    val bands = graft.operators.TextOps.minhashBandRows(corpus)
+    val pairs = bands.groupBy(col("band_idx"), col("band_hash"))
+      .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(graft.operators.TextOps.cappedPairs(col("ids"))).as("p"))
+      .select(col("p.a").as("a_id"), col("p.b").as("b_id")).distinct()
+    val clusters = graft.operators.Clustering.connectedComponents(spark, pairs)
+      .select(col("label")).distinct().count()
     val scrubOk = corpus.filter(col("text").contains("<EMAIL>")).count()
     println(s"CORPUS_DEMO ingested=${counts.get("ingested")} " +
       s"quarantined=${counts.get("quarantined")} kept=${counts.get("kept")} " +
-      s"distinct=${distinctDocs.count()} scrubbed=$scrubOk")
+      s"distinct=${distinctDocs.count()} neardup_clusters=$clusters scrubbed=$scrubOk")
     spark.stop()
   }
 }

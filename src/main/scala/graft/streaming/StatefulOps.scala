@@ -34,24 +34,36 @@ object StatefulOps {
     * the same aggregator serves both deployment shapes.
     * Input: (key, hash) rows where hash comes from
     * `TextOps.portableHash32`'s scheme.
+    *
+    * State is O(k) PER KEY; the key space itself is what grows. For a
+    * small enum key (event types) NoTimeout is right; for unbounded
+    * keys (per-user, per-url) pass `ttl` to expire idle sketches by
+    * processing-time recency, the same contract as
+    * `StreamingCorpusOps.minhashCandidates`.
     */
-  def runningDistinct(hashes: Dataset[(String, Long)], k: Int = 64)
-      : Dataset[(String, Double)] = {
+  def runningDistinct(hashes: Dataset[(String, Long)], k: Int = 64,
+      ttl: Option[java.time.Duration] = None): Dataset[(String, Double)] = {
     implicit val strEnc: Encoder[String] = Encoders.STRING
     implicit val outEnc: Encoder[(String, Double)] =
       Encoders.tuple(Encoders.STRING, Encoders.scalaDouble)
     implicit val bufEnc: Encoder[graft.functions.SketchAgg.KmvBuf] =
       Encoders.product[graft.functions.SketchAgg.KmvBuf]
     val agg = new graft.functions.SketchAgg.KMinValues(k)
+    val timeout = if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     hashes.groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Update, timeout)(
         (key: String, it: Iterator[(String, Long)],
             state: GroupState[graft.functions.SketchAgg.KmvBuf]) => {
-          val next = it.foldLeft(state.getOption.getOrElse(agg.zero)) {
-            (b, row) => agg.reduce(b, row._2)
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val next = it.foldLeft(state.getOption.getOrElse(agg.zero)) {
+              (b, row) => agg.reduce(b, row._2)
+            }
+            state.update(next)
+            ttl.foreach(d => state.setTimeoutDuration(d.toMillis))
+            Iterator((key, agg.finish(next)))
           }
-          state.update(next)
-          Iterator((key, agg.finish(next)))
         })
   }
 

@@ -95,10 +95,22 @@ class DecontaminationSpec extends SparkSpec {
     val grams = Decontamination.benchmarkGrams(bench, 8)
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.orderBy("doc_id").collect().toSeq
-    assert(rows(Decontamination.overlapReport(docs, grams, 8, broadcastBench = false)) ===
-      rows(Decontamination.overlapReport(docs, grams, 8)))
-    assert(rows(Decontamination.minhashNearDupReport(docs, bench, broadcastBench = false)) ===
+    val broadcastRows = (
+      rows(Decontamination.overlapReport(docs, grams, 8)),
       rows(Decontamination.minhashNearDupReport(docs, bench)))
+    // Auto-broadcast would silently plan the tiny bench side as a
+    // broadcast join anyway, making this test vacuous — disable it so
+    // the broadcastBench=false path REALLY shuffles, and assert it did.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val overlapOff = Decontamination.overlapReport(docs, grams, 8, broadcastBench = false)
+      val neardupOff = Decontamination.minhashNearDupReport(docs, bench, broadcastBench = false)
+      val p = overlapOff.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a genuine shuffle join with auto-broadcast off, plan:\n$p")
+      assert(rows(overlapOff) === broadcastRows._1)
+      assert(rows(neardupOff) === broadcastRows._2)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
   test("benchmark side joins as a broadcast by default") {
