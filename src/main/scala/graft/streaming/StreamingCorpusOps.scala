@@ -35,6 +35,7 @@ import graft.functions.TextExpressions
 object StreamingCorpusOps {
 
   case class Doc(doc_id: Long, text: String)
+  case class SrcDoc(doc_id: Long, text: String, source: String)
   case class BandRow(band_idx: Int, band_hash: String, doc_id: Long)
   /** One candidate per (pair, band) it collides in — consumers dedupe
     * with a downstream aggregate exactly like the batch query does.
@@ -47,6 +48,7 @@ object StreamingCorpusOps {
   case class Bucket(members: Array[Long], overflowed: Boolean)
 
   implicit private val docEnc: Encoder[Doc] = Encoders.product[Doc]
+  implicit private val srcDocEnc: Encoder[SrcDoc] = Encoders.product[SrcDoc]
   implicit private val bandEnc: Encoder[BandRow] = Encoders.product[BandRow]
   implicit private val pairEnc: Encoder[CandidatePair] = Encoders.product[CandidatePair]
 
@@ -112,6 +114,41 @@ object StreamingCorpusOps {
         mightHit(col("__grams")) && arrays_overlap(col("__grams"), typedlit(benchGrams)),
         lit(false)))
       .drop("__grams")
+  }
+
+  /** Streaming token-budget admission: admit arriving docs per source
+    * shard while the shard's cumulative subword-token spend stays
+    * within `budget` — the ingest-time twin of `sample_token_budget`.
+    * DOCUMENTED DIVERGENCE from the batch query: batch ranks the whole
+    * shard by quality before taking the greedy prefix; an online gate
+    * cannot rank documents that have not arrived yet, so admission is
+    * in arrival order (doc_id within a batch, for determinism), and
+    * admission is GREEDY: a doc that would overflow is rejected but a
+    * later smaller doc may still fit (the batch query's strict prefix
+    * counts every ranked doc in the running total, so nothing after
+    * the first overflow survives there). The per-doc accounting is
+    * identical (`ceil(len/4)` subwords per whitespace token, the
+    * TextOps.subwordCount scheme); the running spend is one Long of
+    * state per shard — bounded, no retraction needed.
+    */
+  def tokenBudgetGate(docs: Dataset[SrcDoc], budget: Long): Dataset[SrcDoc] = {
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val strEnc: Encoder[String] = Encoders.STRING
+    def subwords(text: String): Long =
+      if (text == null || text.isEmpty) 0L
+      else text.split(" ", -1).map(w => (w.length + 3) / 4).map(_.toLong).sum
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, it: Iterator[SrcDoc], state: GroupState[Long]) => {
+          var spent = state.getOption.getOrElse(0L)
+          val out = Vector.newBuilder[SrcDoc]
+          it.toSeq.sortBy(_.doc_id).foreach { d =>
+            val t = subwords(d.text)
+            if (spent + t <= budget) { spent += t; out += d }
+          }
+          state.update(spent)
+          out.result().iterator
+        })
   }
 
   /** Streaming PII scrub: the redaction chain applied at ingest — a

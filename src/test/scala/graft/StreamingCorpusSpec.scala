@@ -128,6 +128,28 @@ class StreamingCorpusSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("token-budget gate admits greedily per shard and persists spend across batches") {
+    import graft.streaming.StreamingCorpusOps.SrcDoc
+    // 4-char words => 1 subword each; "w w w w" = 4 tokens = 4 subwords
+    def doc(id: Long, words: Int, src: String) =
+      SrcDoc(id, Seq.fill(words)("word").mkString(" "), src)
+    val in = MemoryStream[SrcDoc]
+    val q = StreamingCorpusOps.tokenBudgetGate(in.toDS(), budget = 10L)
+      .writeStream.format("memory").queryName("budget_t1")
+      .outputMode(OutputMode.Append).trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(doc(1L, 4, "a"), doc(2L, 4, "a"), doc(3L, 8, "b"))
+      drain(q)
+      // batch 2: doc 4 (4 subwords) would exceed a's remaining 2 —
+      // rejected; doc 5 (2 subwords) still fits greedily; b has 2 left
+      in.addData(doc(4L, 4, "a"), doc(5L, 2, "a"), doc(6L, 4, "b"))
+      drain(q)
+      val admitted = spark.sql("SELECT doc_id FROM budget_t1").as[Long].collect().toSet
+      assert(admitted === Set(1L, 2L, 3L, 5L),
+        "spend must persist across batches; greedy admission skips only non-fitting docs")
+    } finally q.stop()
+  }
+
   test("running KMV distinct estimate converges to the batch sketch across batches") {
     import graft.streaming.StatefulOps
     val agg = new graft.functions.SketchAgg.KMinValues(16)
