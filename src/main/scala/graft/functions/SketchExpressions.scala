@@ -1,0 +1,79 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Membership test against a pre-built Bloom filter, shipped to
+  * executors as part of the expression itself (the serialized sketch
+  * bytes ride in the plan, the way a broadcast literal would). This is
+  * the 100 TB decontamination primitive: a reference gram set of k
+  * items costs ~10 bits/item as a Bloom sketch vs ~100 bytes/item as a
+  * broadcast-join hash relation, so the membership gate that prunes
+  * the corpus-side gram stream can be orders of magnitude smaller than
+  * the join it replaces — and it runs map-side, inside whole-stage
+  * codegen, before any shuffle or join machinery touches the row.
+  *
+  * The filter answers over `xxhash64` values (LongType input): callers
+  * must feed the SAME hash of the SAME normalization they built the
+  * sketch from. False positives pass the gate (an exact confirm join
+  * downstream removes them); false negatives cannot happen, so the
+  * gate is a pure prefilter — composing it with an exact join yields
+  * exactly the unfiltered join's result.
+  */
+case class BloomMightContainLong(child: Expression, bloomBytes: Array[Byte])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bloom_might_contain requires a bigint input (feed it xxhash64(col)), " +
+        s"got ${child.dataType.sql}")
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  // Deserialized once per JVM that evaluates the expression (driver for
+  // constant folding, each executor on first row), NOT once per row.
+  @transient private lazy val filter: BloomFilter =
+    BloomFilter.readFrom(new ByteArrayInputStream(bloomBytes))
+
+  /** Row-level entry point shared by eval and generated code. */
+  def test(v: Long): Boolean = filter.mightContainLong(v)
+
+  override def nullSafeEval(input: Any): Any = test(input.asInstanceOf[Long])
+
+  // One virtual call per row against a plan-level reference object —
+  // the surrounding predicate stays inside whole-stage codegen.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomPred", this,
+      classOf[BloomMightContainLong].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.test($c)")
+  }
+
+  // Keep explain/TreeNode output readable: the default case-class
+  // rendering would print the raw byte array reference.
+  override def toString: String =
+    s"bloom_might_contain($child, <${bloomBytes.length} sketch bytes>)"
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SketchExpressions {
+
+  /** Serialize `bloom` and wrap it as a boolean Column predicate over a
+    * bigint hash column.
+    */
+  def bloom_might_contain_long(bloom: BloomFilter, v: Column): Column = {
+    val bos = new ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    bridge.column(BloomMightContainLong(bridge.expression(v), bos.toByteArray))
+  }
+}

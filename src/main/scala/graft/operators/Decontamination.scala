@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Benchmark decontamination — the eval-set-leak check every
   * large-scale training-data pipeline runs before training: a training
@@ -79,6 +80,57 @@ object Decontamination {
   def collectBenchGrams(bench: DataFrame, n: Int): Array[String] =
     benchmarkGrams(bench, n).orderBy(col("s"))
       .collect().map(_.getString(0))
+
+  /** Compact membership sketch of the benchmark gram set: a Bloom
+    * filter over `xxhash64(gram)`, built DISTRIBUTED (the
+    * `DataFrameStatFunctions.bloomFilter` treeAggregate — partial
+    * sketches merge on executors; only the final ~10-bits-per-item
+    * bitmap reaches the driver). `fpp` trades sketch size against how
+    * many non-overlapping grams survive the prefilter to be discarded
+    * by the exact confirm join.
+    */
+  def buildGramBloom(bench: DataFrame, n: Int, fpp: Double = 0.01): BloomFilter = {
+    val grams = benchmarkGrams(bench, n).select(xxhash64(col("s")).as("h"))
+    // Sizing needs the gram count up front; the bench side is tiny by
+    // contract (an eval set vs a 100 TB corpus), so this extra action
+    // is in the same budget class as the broadcast build it replaces.
+    grams.stat.bloomFilter("h", math.max(grams.count(), 1L), fpp)
+  }
+
+  /** [[overlapReport]] with a Bloom PREFILTER between the corpus-side
+    * gram explode and the exact confirm join — the scale path when the
+    * reference set is large enough that probing a broadcast hash
+    * relation per gram is the dominant cost: the sketch is ~80x
+    * smaller than a broadcast join relation of the same set, and grams
+    * that miss it (the overwhelming majority on a healthy corpus) are
+    * dropped map-side inside whole-stage codegen, so the join machinery
+    * only ever sees candidate grams.
+    *
+    * EXACTLY equal to `overlapReport(docs, benchmarkGrams(bench, n),
+    * n)` by construction: the sketch is built over `xxhash64(s)` and
+    * probed with the same hash of the same distinct-gram definition, so
+    * false negatives cannot occur, and every false positive (bloom or
+    * xxhash64 collision) is removed by the exact string-equality join.
+    * That identity is what lets the same DuckDB oracle hash-check this
+    * physically different plan.
+    */
+  def bloomOverlapReport(docs: DataFrame, bench: DataFrame, n: Int,
+      fpp: Double = 0.01): DataFrame = {
+    val bloom = buildGramBloom(bench, n, fpp)
+    val candidates = docs.select(col("doc_id"),
+        explode(TextOps.distinctShinglesOfText(col("text"), n)).as("s"))
+      .filter(graft.functions.SketchExpressions
+        .bloom_might_contain_long(bloom, xxhash64(col("s"))))
+    val overlap = candidates.join(broadcast(benchmarkGrams(bench, n)), Seq("s"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+    docs
+      .select(col("doc_id"),
+        size(TextOps.distinctShinglesOfText(col("text"), n)).cast("long").as("n_grams"))
+      .join(overlap, Seq("doc_id"), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .withColumn("overlap_frac", round(col("n_overlap") / col("n_grams"), 6))
+      .withColumn("is_contaminated", (col("n_overlap") >= 1).cast("int"))
+  }
 
   /** Per-document contamination report over `docs` (`doc_id`, `text`):
     * `n_grams` = the doc's distinct n-gram count, `n_overlap` = how

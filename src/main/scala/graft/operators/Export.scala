@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Training-data export: a deterministic GLOBAL shuffle of the corpus
+  * into fixed shards — the final step of corpus construction, where
+  * training dataloaders want (a) documents in pseudo-random order so
+  * consecutive batches decorrelate, (b) a bounded, known shard count
+  * so workers can range-assign files, and (c) bit-reproducible output
+  * so a re-export after a pipeline fix produces byte-comparable
+  * shards.
+  *
+  * Spark shape: both the shard assignment and the within-shard order
+  * come from the portable 32-bit md5 hash ([[TextOps.portableHash32]])
+  * — pure map-side, seedable by construction (the `ord|` domain prefix
+  * keeps the ordering hash independent of the sharding hash, so shard
+  * membership and in-shard position are uncorrelated). No global sort
+  * anywhere: the only wide operation is one hash partition exchange on
+  * `shard`, and each shard sorts locally. At 100 TB with ~10k shards
+  * each partition is a few GB — the sort is an in-memory,
+  * per-executor affair, and adding machines scales it linearly.
+  */
+object Export {
+
+  /** Annotate `docs` with its shard assignment and shuffle rank:
+    * `shard` = hash(doc_id) mod `nShards`, `shuffle_rank` = an
+    * independent hash that defines the pseudo-random within-shard
+    * order. Pure map-side projection (the audit/stats queries consume
+    * this directly without paying any shuffle).
+    */
+  def shuffledShards(docs: DataFrame, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    docs
+      .withColumn("shard",
+        pmod(TextOps.portableHash32(col("doc_id")), lit(nShards)).cast("int"))
+      .withColumn("shuffle_rank",
+        TextOps.portableHash32(concat(lit("ord|"), col("doc_id").cast("string"))))
+  }
+
+  /** Write the shuffled shards as parquet partitioned by `shard`: one
+    * directory per shard, rows inside each file in shuffle-rank order.
+    * `repartition(col("shard"))` routes every row of a shard to the
+    * same task, so each shard directory holds exactly one file — the
+    * property dataloaders rely on for file-level work assignment.
+    * Deterministic end to end: same input → same shard membership,
+    * same in-file row order (ranks tie-break by doc_id).
+    */
+  def writeShards(docs: DataFrame, path: String, nShards: Int): Unit =
+    shuffledShards(docs, nShards)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("shuffle_rank"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+}

@@ -678,6 +678,97 @@ object ExtensionQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // BLOOM-prefiltered decontamination — the 100 TB twin of
+    // decon_ngram_overlap: the benchmark gram set rides to executors as
+    // a ~10-bits-per-item Bloom sketch (vs ~100 bytes/item for a
+    // broadcast-join hash relation); the corpus-side gram stream is
+    // pruned MAP-SIDE by the codegen'd bloom_might_contain predicate
+    // before any join machinery runs, and the exact confirm join only
+    // sees the (tiny) candidate set. Output is EXACTLY the unfiltered
+    // report (no false negatives; false positives die in the confirm
+    // join), so the same DuckDB oracle hash-checks this physically
+    // different plan. See operators.Decontamination.bloomOverlapReport.
+    "decon_bloom_prefilter" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bench = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+      val train = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+      graft.operators.Decontamination.bloomOverlapReport(train, bench, 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Cross-document duplicated-gram coverage (the RefinedWeb-style
+    // "how much of this doc is boilerplate shared with other docs"
+    // signal): per doc, the fraction of its DISTINCT 5-grams that occur
+    // in >= 2 documents corpus-wide. Two shuffles, both keyed on the
+    // 8-byte xxhash64 of the gram (document frequency aggregate + the
+    // gram-level join back), and the join's build side is the
+    // aggregated df table — one row per gram — so a hot boilerplate
+    // gram costs LINEAR rows, never a quadratic pair expansion. The
+    // engine-internal hash key has the same collision caveat as
+    // dedup_ngram_jaccard (~n^2/2^65; any perturbation trips the hash
+    // gate); df counts distinct doc_ids so an intra-doc collision
+    // cannot fake a duplicated gram.
+    "dedup_gram_coverage" -> ((s, dir) => {
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(TextOps.distinctShinglesOfText(col("text"), 5)).as("s"))
+        .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      val df = sh.groupBy(col("h"))
+        .agg(count_distinct(col("doc_id")).as("df"))
+      val shared = sh.join(df.filter(col("df") >= 2), Seq("h"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      // Totality base = a fresh pruned scan (cheaper at scale than
+      // shuffling the corpus-wide gram rows again just to recover the
+      // per-doc denominator; same reasoning as overlapReport).
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(TextOps.distinctShinglesOfText(col("text"), 5)).cast("long").as("n_grams"))
+        .join(shared, Seq("doc_id"), "left")
+        .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+        .withColumn("shared_frac", round(col("n_shared") / col("n_grams"), 6))
+        .withColumn("is_dup_heavy", (col("shared_frac") >= 0.3).cast("int"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Corpus-level hot-gram report: the exact top-20 5-grams by
+    // document frequency — the operational query behind every
+    // stop-shingle / boilerplate threshold in this engine (pick
+    // MaxBucket by LOOKING at the df distribution, don't guess). One
+    // shuffle on the gram, then TakeOrderedAndProject (per-partition
+    // top-k, only k rows per partition reach the driver-side merge —
+    // no global sort at any scale). Ties broken by the gram string so
+    // both engines cut the same 20.
+    "corpus_hot_ngrams" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(TextOps.distinctShinglesOfText(col("text"), 5)).as("s"))
+        .groupBy(col("s"))
+        .agg(count(lit(1)).as("df"), min(col("doc_id")).as("first_doc"))
+        .orderBy(col("df").desc, col("s"))
+        .limit(20)
+    }),
+
+    // Shard-export audit: the deterministic global shuffle that turns a
+    // curated corpus into fixed training shards (operators.Export).
+    // shard = hash(doc_id) mod 16, within-shard order = an INDEPENDENT
+    // domain-prefixed hash; this query audits the assignment —
+    // per-shard doc counts (balance), token totals (dataloader
+    // budgeting), and a rank checksum that pins the within-shard
+    // ordering cross-engine. Everything before the final agg is
+    // map-side; the writer twin (Export.writeShards) adds exactly one
+    // hash exchange on `shard`.
+    "export_shard_stats" -> ((s, dir) => {
+      graft.operators.Export.shuffledShards(Tables.documents(s, dir), 16)
+        .withColumn("tokens", TextOps.subwordCount(TextOps.tokens(col("text"))).cast("long"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tokens")).as("shard_tokens"),
+          sum(col("shuffle_rank")).as("rank_checksum"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("shard"))
+    }),
+
     // Multimodal plumbing: opaque binary payload + typed metadata;
     // "decode" is a deterministic md5-derived stand-in (real image/audio
     // codecs aren't in this container) — the schema/partition/batch
@@ -715,6 +806,24 @@ object ExtensionQueries {
     "CROSS JOIN (SELECT unnest(generate_series(1,4)) i)), " +
     "pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bb a JOIN bb b " +
     "ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)"
+
+  /** The ONE verbatim-8-gram decontamination oracle — shared by
+    * `decon_ngram_overlap` and its bloom-prefiltered physical twin
+    * `decon_bloom_prefilter`, whose results are identical by
+    * construction (see Decontamination.bloomOverlapReport).
+    */
+  private val deconNgramOverlapSql =
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
+    "g AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, " +
+    "unnest(list_transform(generate_series(1, greatest(len(ws)-7, 1)), i -> array_to_string(ws[i:i+7], ' '))) s FROM t)), " +
+    "bench AS (SELECT DISTINCT s FROM g WHERE doc_id % 50 = 0), " +
+    "cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_grams FROM g WHERE doc_id % 50 <> 0 GROUP BY doc_id), " +
+    "ov AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) o FROM g JOIN bench USING (s) " +
+    "WHERE g.doc_id % 50 <> 0 GROUP BY g.doc_id) " +
+    "SELECT cnt.doc_id, n_grams, COALESCE(o, CAST(0 AS BIGINT)) AS n_overlap, " +
+    "round(COALESCE(o, 0) / n_grams, 6) AS overlap_frac, " +
+    "CAST(CASE WHEN COALESCE(o, 0) >= 1 THEN 1 ELSE 0 END AS INT) AS is_contaminated " +
+    "FROM cnt LEFT JOIN ov ON cnt.doc_id = ov.doc_id ORDER BY cnt.doc_id"
 
   /** Recursive connected-components CTEs over `pairs` -> `labels(node,
     * label)`; shared by the dedup_clusters and dedup_keep_best oracles
@@ -903,18 +1012,36 @@ object ExtensionQueries {
        "WHEN source IN ('src5','src6','src7') THEN 0.25 ELSE 0.5 END) * 1000 " +
        "THEN 1 ELSE 0 END AS INT) kept FROM documents) " +
        "GROUP BY source ORDER BY source"),
-    "decon_ngram_overlap" ->
+    "decon_ngram_overlap" -> deconNgramOverlapSql,
+    // The bloom-prefiltered plan is result-identical by construction
+    // (pure prefilter + exact confirm join), so it shares the ONE decon
+    // oracle — the hash gate is what proves the sketch path exact.
+    "decon_bloom_prefilter" -> deconNgramOverlapSql,
+    "dedup_gram_coverage" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
-       "g AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, " +
-       "unnest(list_transform(generate_series(1, greatest(len(ws)-7, 1)), i -> array_to_string(ws[i:i+7], ' '))) s FROM t)), " +
-       "bench AS (SELECT DISTINCT s FROM g WHERE doc_id % 50 = 0), " +
-       "cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_grams FROM g WHERE doc_id % 50 <> 0 GROUP BY doc_id), " +
-       "ov AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) o FROM g JOIN bench USING (s) " +
-       "WHERE g.doc_id % 50 <> 0 GROUP BY g.doc_id) " +
-       "SELECT cnt.doc_id, n_grams, COALESCE(o, CAST(0 AS BIGINT)) AS n_overlap, " +
-       "round(COALESCE(o, 0) / n_grams, 6) AS overlap_frac, " +
-       "CAST(CASE WHEN COALESCE(o, 0) >= 1 THEN 1 ELSE 0 END AS INT) AS is_contaminated " +
-       "FROM cnt LEFT JOIN ov ON cnt.doc_id = ov.doc_id ORDER BY cnt.doc_id"),
+       s"sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest($shSql) s FROM t)), " +
+       "cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_grams FROM sh GROUP BY doc_id), " +
+       "df AS (SELECT s, COUNT(*) df FROM sh GROUP BY s), " +
+       "dup AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_shared FROM sh JOIN df USING (s) " +
+       "WHERE df >= 2 GROUP BY doc_id) " +
+       "SELECT cnt.doc_id, n_grams, COALESCE(n_shared, CAST(0 AS BIGINT)) AS n_shared, " +
+       "round(COALESCE(n_shared, 0) / n_grams, 6) AS shared_frac, " +
+       "CAST(CASE WHEN round(COALESCE(n_shared, 0) / n_grams, 6) >= 0.3 THEN 1 ELSE 0 END AS INT) AS is_dup_heavy " +
+       "FROM cnt LEFT JOIN dup ON cnt.doc_id = dup.doc_id ORDER BY cnt.doc_id"),
+    "corpus_hot_ngrams" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
+       s"sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest($shSql) s FROM t)) " +
+       "SELECT s, COUNT(*) AS df, CAST(MIN(doc_id) AS BIGINT) AS first_doc " +
+       "FROM sh GROUP BY s ORDER BY df DESC, s LIMIT 20"),
+    "export_shard_stats" ->
+      ("SELECT shard, COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS shard_tokens, " +
+       "CAST(SUM(rk) AS BIGINT) AS rank_checksum, CAST(MIN(doc_id) AS BIGINT) AS min_doc, " +
+       "CAST(MAX(doc_id) AS BIGINT) AS max_doc FROM (" +
+       "SELECT doc_id, " +
+       "CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 16 AS INT) shard, " +
+       "CAST('0x' || substr(md5('ord|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) rk, " +
+       "CAST(list_sum(list_transform(string_split(text, ' '), w -> CAST(ceil(length(w)/4.0) AS BIGINT))) AS BIGINT) tokens " +
+       "FROM documents) GROUP BY shard ORDER BY shard"),
     "sample_token_budget" ->
       ("WITH t AS (SELECT source, doc_id, " +
        "CAST(list_sum(list_transform(string_split(text, ' '), w -> CAST(ceil(length(w)/4.0) AS BIGINT))) AS BIGINT) tokens, " +

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import graft.operators.Decontamination
 
 /** Benchmark decontamination: the verbatim n-gram leak rule, the
@@ -121,5 +122,49 @@ class DecontaminationSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"benchmark gram join should be broadcast, plan was:\n$plan")
+  }
+
+  test("bloom prefilter path is result-identical to the exact path, even at fpp 0.5") {
+    // sf0.001 corpus, same bench/train split the oracled queries use.
+    // fpp 0.5 floods the gate with false positives on purpose: the
+    // exact confirm join must still reduce the report to EXACTLY the
+    // unfiltered one — that identity is the whole contract.
+    val docs = Tables.documents(spark, sf0001)
+    val bench = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+    val train = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+    val exact = Decontamination
+      .overlapReport(train, Decontamination.benchmarkGrams(bench, 8), 8)
+      .orderBy("doc_id").collect().toSeq
+    for (fpp <- Seq(0.01, 0.5)) {
+      val bloomed = Decontamination.bloomOverlapReport(train, bench, 8, fpp)
+        .orderBy("doc_id").collect().toSeq
+      assert(bloomed === exact, s"fpp=$fpp diverged from the exact report")
+    }
+  }
+
+  test("bloom gate sits in the plan as a map-side filter and prunes clean grams") {
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, s"pad $benchText pad"),
+      (2L, "nine ten eleven twelve thirteen fourteen fifteen sixteen seventeen")
+    ).toDF("doc_id", "text")
+    val report = Decontamination.bloomOverlapReport(docs, bench, 8)
+    val plan = report.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"),
+      s"expected the bloom predicate in the physical plan:\n$plan")
+    assert(report.orderBy("doc_id").select("is_contaminated")
+      .as[Int].collect().toSeq === Seq(1, 0))
+  }
+
+  test("bloom sketch has zero false negatives over its build set") {
+    val bloom = Decontamination.buildGramBloom(
+      Seq((1L, benchText)).toDF("doc_id", "text"), 4)
+    val grams = Decontamination.benchmarkGrams(
+      Seq((1L, benchText)).toDF("doc_id", "text"), 4)
+    val misses = grams
+      .filter(!graft.functions.SketchExpressions
+        .bloom_might_contain_long(bloom, xxhash64(col("s"))))
+      .count()
+    assert(misses === 0L)
   }
 }

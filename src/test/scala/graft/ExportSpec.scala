@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import graft.operators.Export
+
+/** Shard export: deterministic assignment, one file per shard,
+  * shuffle-rank row order inside each file, and exact round-trip of the
+  * corpus through the writer.
+  */
+class ExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, sf0001)
+
+  test("shard assignment is deterministic, in range, and independent of order") {
+    val a = Export.shuffledShards(docs, 16)
+      .select("doc_id", "shard", "shuffle_rank")
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    val b = Export.shuffledShards(docs.orderBy(col("doc_id").desc), 16)
+      .select("doc_id", "shard", "shuffle_rank")
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    assert(a.toSeq === b.toSeq, "assignment must be a pure function of doc_id")
+    assert(a.forall(r => r._2 >= 0 && r._2 < 16))
+    // the ordering hash must not be the sharding hash in disguise —
+    // otherwise in-shard order correlates with shard membership
+    assert(a.exists(r => r._3 % 16 != r._2))
+  }
+
+  test("writeShards: one file per shard, every doc exactly once, rank-sorted rows") {
+    val out = Files.createTempDirectory("graft_export").toString
+    Export.writeShards(docs, out, 8)
+    val shardDirs = Files.list(Paths.get(out)).toArray.map(_.toString)
+      .filter(_.contains("shard=")).sorted
+    assert(shardDirs.nonEmpty && shardDirs.length <= 8)
+    shardDirs.foreach { d =>
+      val parts = Files.list(Paths.get(d)).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet"))
+      assert(parts.length === 1, s"$d must hold exactly one data file")
+    }
+    val back = spark.read.parquet(out)
+    assert(back.count() === docs.count())
+    assert(back.select("doc_id").distinct().count() === docs.count())
+    // within one shard file, parquet preserves row order: it must be
+    // (shuffle_rank, doc_id)-sorted
+    val oneShard = back.filter(col("shard") === back.select("shard").head().getInt(0))
+      .select("shuffle_rank", "doc_id").as[(Long, Long)].collect().toSeq
+    assert(oneShard === oneShard.sortBy(identity))
+  }
+
+  test("shards are balanced within a plausible envelope") {
+    val sizes = Export.shuffledShards(docs, 16)
+      .groupBy("shard").count().select("count").as[Long].collect()
+    assert(sizes.length === 16, "every shard should be non-empty at 500 docs")
+    // md5-based assignment of 500 docs into 16 shards: mean 31.25,
+    // binomial sd ~5.4; a shard outside [10, 60] (~±4 sd) would mean
+    // the hash is badly broken, not just unlucky
+    assert(sizes.forall(n => n > 10 && n < 60), s"skewed shards: ${sizes.toSeq}")
+  }
+}

@@ -115,6 +115,32 @@ class PlanAuditSpec extends SparkSpec {
       s"expected shard exchange + output sort only, plan:\n$p")
   }
 
+  test("bloom decon: map-side sketch gate BEFORE the confirm join, which broadcasts") {
+    val p = plan("decon_bloom_prefilter")
+    assert(p.contains("bloom_might_contain"),
+      s"bloom predicate missing from the physical plan:\n$p")
+    val joinLines = p.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joinLines.exists(l => l.contains("BroadcastHashJoin") && l.contains("[s#")),
+      s"confirm join on the gram key must broadcast:\n${joinLines.mkString("\n")}")
+    // the gate must run in a Filter stage, not be rewritten into a join
+    assert(p.linesIterator.exists(l =>
+        l.contains("Filter") && l.contains("bloom_might_contain")),
+      s"bloom gate not planned as a filter:\n$p")
+  }
+
+  test("hot-gram report compiles to TakeOrderedAndProject after one gram aggregate") {
+    val p = plan("corpus_hot_ngrams")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k by df must be per-partition top-k, not a global sort:\n$p")
+  }
+
+  test("shard export audit is one hash aggregate over a map-side projection") {
+    val p = plan("export_shard_stats")
+    val n = p.linesIterator.count(_.contains("Exchange "))
+    assert(n <= 2, s"expected only the agg exchange + output sort, plan:\n$p")
+    assert(!p.contains("Window"), s"shard stats must not need a window:\n$p")
+  }
+
   test("minhash signatures shuffle only at banding, not before") {
     // native MinHashSlices means NO groupBy(doc_id) aggregation stage:
     // the plan must not contain a doc_id hash aggregate before banding
