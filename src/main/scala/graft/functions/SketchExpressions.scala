@@ -6,8 +6,9 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.bridge
-import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType, StringType}
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Membership test against a pre-built Bloom filter, shipped to
@@ -66,14 +67,80 @@ case class BloomMightContainLong(child: Expression, bloomBytes: Array[Byte])
     copy(child = newChild)
 }
 
+/** "Does ANY element of this string array might-be in the sketch?" —
+  * the per-document form of the Bloom gate, for pipelines that carry a
+  * ready gram array per row (the streaming ingest gate) instead of
+  * exploding grams to rows. One early-exit loop per row over the
+  * array's UTF-8 bytes; replaces a ScalaUDF (per-row
+  * InternalRow→Seq[String] conversion, opaque to codegen) with a
+  * single static-shaped call that keeps the surrounding predicate in
+  * whole-stage codegen.
+  *
+  * Membership is over raw UTF-8 gram bytes (`BloomFilter.putString` /
+  * `mightContainBinary` hash the same bytes), so build the sketch with
+  * `putString` on the same normalization.
+  */
+case class BloomMightContainAnyString(child: Expression, bloomBytes: Array[Byte])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloom_might_contain_any requires array<string>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain_any"
+
+  @transient private lazy val filter: BloomFilter =
+    BloomFilter.readFrom(new ByteArrayInputStream(bloomBytes))
+
+  /** Row-level entry point shared by eval and generated code. */
+  def testAny(arr: ArrayData): Boolean = {
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      // gram arrays from the native shingle scan are containsNull=false,
+      // but stay total for any array<string> input
+      if (!arr.isNullAt(i) &&
+          filter.mightContainBinary(arr.getUTF8String(i).getBytes)) return true
+      i += 1
+    }
+    false
+  }
+
+  override def nullSafeEval(input: Any): Any = testAny(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomAnyPred", this,
+      classOf[BloomMightContainAnyString].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.testAny($c)")
+  }
+
+  override def toString: String =
+    s"bloom_might_contain_any($child, <${bloomBytes.length} sketch bytes>)"
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object SketchExpressions {
+
+  private def serialize(bloom: BloomFilter): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    bos.toByteArray
+  }
 
   /** Serialize `bloom` and wrap it as a boolean Column predicate over a
     * bigint hash column.
     */
-  def bloom_might_contain_long(bloom: BloomFilter, v: Column): Column = {
-    val bos = new ByteArrayOutputStream()
-    bloom.writeTo(bos)
-    bridge.column(BloomMightContainLong(bridge.expression(v), bos.toByteArray))
-  }
+  def bloom_might_contain_long(bloom: BloomFilter, v: Column): Column =
+    bridge.column(BloomMightContainLong(bridge.expression(v), serialize(bloom)))
+
+  /** Serialize `bloom` and wrap it as a boolean "any element matches"
+    * predicate over an array<string> column.
+    */
+  def bloom_might_contain_any(bloom: BloomFilter, arr: Column): Column =
+    bridge.column(BloomMightContainAnyString(bridge.expression(arr), serialize(bloom)))
 }

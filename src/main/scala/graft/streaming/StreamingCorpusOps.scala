@@ -100,18 +100,20 @@ object StreamingCorpusOps {
     * path never touches the full set. The conjunction short-circuits in
     * codegen; the exact confirm keeps the gate's keep set identical to
     * the batch report (a Bloom false positive alone never drops a doc).
+    * The screen is the native `bloom_might_contain_any` expression (an
+    * earlier ScalaUDF paid a per-row InternalRow→Seq[String] conversion
+    * and broke whole-stage codegen around the gate).
     */
   def deconGate(docs: DataFrame, benchGrams: Array[String], n: Int): DataFrame = {
     val bloom = org.apache.spark.util.sketch.BloomFilter
       .create(math.max(benchGrams.length, 1).toLong, 0.01)
     benchGrams.foreach(bloom.putString)
-    val mightHit = udf((grams: Seq[String]) =>
-      grams != null && grams.exists(bloom.mightContainString))
     docs
       .withColumn("__grams",
         graft.operators.TextOps.distinctShinglesOfText(col("text"), n))
       .filter(!coalesce(
-        mightHit(col("__grams")) && arrays_overlap(col("__grams"), typedlit(benchGrams)),
+        graft.functions.SketchExpressions.bloom_might_contain_any(bloom, col("__grams")) &&
+          arrays_overlap(col("__grams"), typedlit(benchGrams)),
         lit(false)))
       .drop("__grams")
   }
