@@ -441,6 +441,27 @@ object TextExpressions {
   def top_gram_frac(text: Column, n: Int): Column =
     bridge.column(TopGramFrac(bridge.expression(text), n))
 
+  private def intArg(exprs: Seq[Expression], i: Int): Int =
+    exprs(i).eval(null) match {
+      case n: Int => n
+      case other => throw new IllegalArgumentException(
+        s"argument ${i + 1} must be an integer literal, got $other")
+    }
+
+  /** name -> builder for every SQL-surfaced native text expression —
+    * the ONE list backing both session-level temp registration
+    * ([[register]]) and the config-driven `SparkSessionExtensions`
+    * injection ([[graft.GraftExtensions]]); the two registration paths
+    * cannot drift apart.
+    */
+  def functionBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "word_shingles" -> (exprs => WordShingles(exprs.head, intArg(exprs, 1))),
+    "distinct_shingles" -> (exprs => DistinctShingles(exprs.head, intArg(exprs, 1))),
+    "distinct_shingle_structs" -> (exprs => DistinctShingleStructs(exprs.head, intArg(exprs, 1))),
+    "simhash32" -> (exprs => SimHash32(exprs.head)),
+    "minhash_slices" -> (exprs => MinHashSlices(exprs.head, intArg(exprs, 1))),
+    "top_gram_frac" -> (exprs => TopGramFrac(exprs.head, intArg(exprs, 1))))
+
   /** Optional SQL registration of every native text expression, so the
     * engine's SQL surface matches the DataFrame one:
     * `SELECT word_shingles(text, 5)`, `simhash32(text)`,
@@ -448,23 +469,8 @@ object TextExpressions {
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    def intArg(exprs: Seq[Expression], i: Int): Int =
-      exprs(i).eval(null) match {
-        case n: Int => n
-        case other => throw new IllegalArgumentException(
-          s"argument ${i + 1} must be an integer literal, got $other")
-      }
-    reg.createOrReplaceTempFunction("word_shingles",
-      exprs => WordShingles(exprs.head, intArg(exprs, 1)), "built-in")
-    reg.createOrReplaceTempFunction("distinct_shingles",
-      exprs => DistinctShingles(exprs.head, intArg(exprs, 1)), "built-in")
-    reg.createOrReplaceTempFunction("distinct_shingle_structs",
-      exprs => DistinctShingleStructs(exprs.head, intArg(exprs, 1)), "built-in")
-    reg.createOrReplaceTempFunction("simhash32",
-      exprs => SimHash32(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("minhash_slices",
-      exprs => MinHashSlices(exprs.head, intArg(exprs, 1)), "built-in")
-    reg.createOrReplaceTempFunction("top_gram_frac",
-      exprs => TopGramFrac(exprs.head, intArg(exprs, 1)), "built-in")
+    functionBuilders.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 }

@@ -92,8 +92,17 @@ object VectorExpressions {
   def dot_product(a: Column, b: Column): Column =
     bridge.column(DotProduct(bridge.expression(a), bridge.expression(b)))
 
+  /** name -> builder, shared by [[register]] and
+    * [[graft.GraftExtensions]] (same contract as
+    * `TextExpressions.functionBuilders`).
+    */
+  def functionBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "dot_product" -> (exprs => DotProduct(exprs.head, exprs(1))))
+
   /** Optional SQL registration: `SELECT dot_product(a, b)`. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+    functionBuilders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
 }
