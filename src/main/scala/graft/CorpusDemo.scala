@@ -85,12 +85,7 @@ object CorpusDemo {
     // dedup_minhash/dedup_clusters, over the freshly built corpus.
     val corpus = spark.read.parquet(s"$out/corpus")
     val distinctDocs = corpus.groupBy(md5(col("text"))).agg(min("doc_id").as("keep_id"))
-    val bands = graft.operators.TextOps.minhashBandRows(corpus)
-    val pairs = bands.groupBy(col("band_idx"), col("band_hash"))
-      .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(graft.operators.TextOps.cappedPairs(col("ids"))).as("p"))
-      .select(col("p.a").as("a_id"), col("p.b").as("b_id")).distinct()
+    val pairs = graft.operators.TextOps.minhashCandidatePairs(corpus)
     val clusters = graft.operators.Clustering.connectedComponents(spark, pairs)
       .select(col("label")).distinct().count()
     val scrubOk = corpus.filter(col("text").contains("<EMAIL>")).count()

@@ -116,21 +116,42 @@ object Decontamination {
     */
   def bloomOverlapReport(docs: DataFrame, bench: DataFrame, n: Int,
       fpp: Double = 0.01): DataFrame = {
-    val bloom = buildGramBloom(bench, n, fpp)
+    // The gram set feeds THREE consumers (sizing count, sketch build,
+    // confirm join); cache it so the bench side is shingled once, not
+    // three times, and release the cache once the two eager consumers
+    // are done — the confirm join re-derives it lazily at query
+    // execution (one rescan of a tiny side, zero cache residency).
+    val bg = benchmarkGrams(bench, n)
+    val cached = bg.cache()
+    val bloom = try {
+      val h = cached.select(xxhash64(col("s")).as("h"))
+      h.stat.bloomFilter("h", math.max(cached.count(), 1L), fpp)
+    } finally cached.unpersist()
     val candidates = docs.select(col("doc_id"),
         explode(TextOps.distinctShinglesOfText(col("text"), n)).as("s"))
       .filter(graft.functions.SketchExpressions
         .bloom_might_contain_long(bloom, xxhash64(col("s"))))
-    val overlap = candidates.join(broadcast(benchmarkGrams(bench, n)), Seq("s"))
+    val overlap = candidates.join(broadcast(bg), Seq("s"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
-    docs
-      .select(col("doc_id"),
-        size(TextOps.distinctShinglesOfText(col("text"), n)).cast("long").as("n_grams"))
+    totalityBase(docs, n)
       .join(overlap, Seq("doc_id"), "left")
       .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
       .withColumn("overlap_frac", round(col("n_overlap") / col("n_grams"), 6))
       .withColumn("is_contaminated", (col("n_overlap") >= 1).cast("int"))
   }
+
+  /** The per-doc denominator scan shared by [[overlapReport]] and
+    * [[bloomOverlapReport]]: (doc_id, n_grams) over docs WITH text.
+    * Null-text docs are excluded deliberately — they have no grams on
+    * either engine (the oracle's `unnest` over a null token list emits
+    * nothing, so such a doc never reaches its `cnt` CTE), and a
+    * null-denominator row here would break the cross-engine hash
+    * instead of reporting anything useful.
+    */
+  private def totalityBase(docs: DataFrame, n: Int): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(TextOps.distinctShinglesOfText(col("text"), n)).cast("long").as("n_grams"))
 
   /** Per-document contamination report over `docs` (`doc_id`, `text`):
     * `n_grams` = the doc's distinct n-gram count, `n_overlap` = how
@@ -150,9 +171,7 @@ object Decontamination {
     // corpus.
     val overlap = grams.join(bg, Seq("s"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
-    docs
-      .select(col("doc_id"),
-        size(TextOps.distinctShinglesOfText(col("text"), n)).cast("long").as("n_grams"))
+    totalityBase(docs, n)
       .join(overlap, Seq("doc_id"), "left")
       .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
       .withColumn("overlap_frac", round(col("n_overlap") / col("n_grams"), 6))

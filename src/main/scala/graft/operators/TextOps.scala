@@ -142,6 +142,24 @@ object TextOps {
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
   }
 
+  /** MinHash-LSH candidate pairs (`a_id` < `b_id`, distinct) over
+    * [[minhashBandRows]] — THE one pair-candidate definition shared by
+    * the `dedup_minhash` query (which adds only its output ORDER BY)
+    * and `CorpusDemo`'s near-dup clustering, so a cap or tie-break
+    * change cannot silently diverge the two surfaces. Pairs are
+    * enumerated bucket-locally (collect + capped expand), not via a
+    * bands self-join: a self-join rescans the whole signature pipeline
+    * on both sides (no exchange reuse once AQE broadcasts one side).
+    */
+  def minhashCandidatePairs(docs: org.apache.spark.sql.DataFrame,
+      shingleN: Int = 5): org.apache.spark.sql.DataFrame =
+    minhashBandRows(docs, shingleN)
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(cappedPairs(col("ids"))).as("p"))
+      .select(col("p.a").as("a_id"), col("p.b").as("b_id")).distinct()
+
   /** Portable 32-bit hash: the first 8 md5 hex chars of the value's
     * string form as an unsigned 32-bit integer — identical in any
     * engine with md5/substr (DuckDB twin:

@@ -149,19 +149,11 @@ object ExtensionQueries {
       // The whole signature comes from the native MinHashSlices
       // expression — one pass per DOC, so there is no shingle explode
       // and no groupBy(doc_id) shuffle at all; the first shuffle this
-      // query pays is the band bucketing itself. The banding projection
-      // is THE shared definition (TextOps.minhashBandRows) also used by
-      // the streaming bucket state and cross-corpus decon.
-      val bands = TextOps.minhashBandRows(Tables.documents(s, dir))
-      // Candidate pairs enumerated bucket-locally (collect + expand), not
-      // via a bands-self-join: a self-join rescans the whole signature
-      // pipeline on both sides (no exchange reuse once AQE broadcasts
-      // one side).
-      bands.groupBy(col("band_idx"), col("band_hash"))
-        .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) > 1)
-        .select(explode(TextOps.cappedPairs(col("ids"))).as("p"))
-        .select(col("p.a").as("a_id"), col("p.b").as("b_id")).distinct()
+      // query pays is the band bucketing itself. Banding AND the
+      // bucket-local capped pair expansion are THE shared definitions
+      // (TextOps.minhashBandRows / minhashCandidatePairs), also backing
+      // the streaming bucket state, cross-corpus decon, and CorpusDemo.
+      TextOps.minhashCandidatePairs(Tables.documents(s, dir))
         .orderBy(col("a_id"), col("b_id"))
     }),
 
@@ -719,8 +711,12 @@ object ExtensionQueries {
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
       // Totality base = a fresh pruned scan (cheaper at scale than
       // shuffling the corpus-wide gram rows again just to recover the
-      // per-doc denominator; same reasoning as overlapReport).
+      // per-doc denominator; same reasoning as overlapReport). Null-text
+      // docs are excluded like the oracle's unnest excludes them (no
+      // grams → no row in its cnt CTE); a null denominator would break
+      // the hash without reporting anything.
       Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
         .select(col("doc_id"),
           size(TextOps.distinctShinglesOfText(col("text"), 5)).cast("long").as("n_grams"))
         .join(shared, Seq("doc_id"), "left")

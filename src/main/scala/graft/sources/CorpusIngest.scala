@@ -43,12 +43,31 @@ object CorpusIngest {
       from_json(col("value"), schema.add(StructField(Corrupt, StringType)),
         Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> Corrupt)).as("p"))
 
+  /** Fields a document row is unusable without: every downstream
+    * operator keys on `doc_id` and computes over `text`, and a
+    * null content key would silently COLLAPSE all such rows into one
+    * under exact dedup (`md5(null)` = one shared null key) — the
+    * opposite of the auditable-ingest contract. Other fields (lang,
+    * source, n_chars) may be null: sparse metadata is tolerable and
+    * visible downstream.
+    */
+  val requiredFields: Seq[String] = Seq("doc_id", "text")
+
   /** Split a parsed frame → (good, quarantine). `good` carries exactly
     * `schema`'s columns; `quarantine` carries the raw offending line.
+    * Quarantine = malformed JSON, blank lines, AND structurally valid
+    * objects missing a required field ([[requiredFields]]) — a line
+    * like `{"doc_id": 10}` parses clean under PERMISSIVE mode but is
+    * not a document, and must land in the audit trail rather than
+    * flow on as a row of nulls.
     */
   def split(parsed: DataFrame,
       schema: StructType = docSchema): (DataFrame, DataFrame) = {
-    val bad = col("p").isNull || col("p").getField(Corrupt).isNotNull
+    val missingRequired = requiredFields
+      .filter(schema.fieldNames.contains)
+      .map(f => col("p").getField(f).isNull)
+      .foldLeft(lit(false))(_ || _)
+    val bad = col("p").isNull || col("p").getField(Corrupt).isNotNull || missingRequired
     (parsed.filter(!bad)
         .select(schema.fieldNames.map(f => col("p").getField(f).as(f)).toIndexedSeq: _*),
       parsed.filter(bad).select(col("value").as("raw_line")))

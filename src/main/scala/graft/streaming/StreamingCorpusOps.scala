@@ -87,9 +87,11 @@ object StreamingCorpusOps {
     * applied at INGEST time, so contaminated documents never enter the
     * corpus instead of being scrubbed by a later batch sweep.
     * Stateless, so it runs identically on a batch frame or a stream and
-    * keeps exactly the docs the batch `overlapReport` marks
-    * `is_contaminated = 0` (pinned by StreamingCorpusSpec), including
-    * null-text docs (no grams → clean on both paths).
+    * drops exactly the docs the batch `overlapReport` FLAGS (pinned by
+    * StreamingCorpusSpec). Null-text docs pass the gate — no grams
+    * means nothing to leak — while the batch report omits them
+    * entirely (its per-doc denominator comes from the gram scan, like
+    * its oracle's).
     *
     * Cost model: a naive `arrays_overlap` against the gram literal
     * would re-scan the WHOLE benchmark set per arriving doc. Instead a

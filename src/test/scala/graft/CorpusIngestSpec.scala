@@ -35,6 +35,23 @@ class CorpusIngestSpec extends SparkSpec {
     assert(q === Set(torn, notJson), s"quarantine must carry raw lines, got $q")
   }
 
+  test("structurally valid JSON missing a required field quarantines, not nulls") {
+    // {"doc_id": 10} parses clean under PERMISSIVE mode, but a doc
+    // without text (or without an id) must hit the audit trail: a null
+    // content key would collapse every such row into ONE under exact
+    // dedup — the silent drop the quarantine contract forbids.
+    val noText = """{"doc_id": 10, "lang": "en"}"""
+    val noId = """{"text": "orphan words", "source": "s9"}"""
+    val nullText = """{"doc_id": 11, "text": null, "lang": "en"}"""
+    val sparseMeta = """{"doc_id": 12, "text": "kept fine"}"""
+    val path = writeLines(goodLines ++ Seq(noText, noId, nullText, sparseMeta))
+    val (good, quarantine) = CorpusIngest.readJsonl(spark, path)
+    val goodIds = good.select("doc_id").as[Long].collect().toSet
+    assert(goodIds === Set(1L, 2L, 12L),
+      "missing lang/source/n_chars is tolerable; missing doc_id/text is not")
+    assert(quarantine.as[String].collect().toSet === Set(noText, noId, nullText))
+  }
+
   test("round-trip: documents parquet -> jsonl -> ingest is lossless") {
     val docs = Tables.documents(spark, sf0001)
     val dir = Files.createTempDirectory("jsonl").toString

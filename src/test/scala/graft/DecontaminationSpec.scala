@@ -156,6 +156,22 @@ class DecontaminationSpec extends SparkSpec {
       .as[Int].collect().toSeq === Seq(1, 0))
   }
 
+  test("null-text docs are excluded from the report, matching the oracle's gram scan") {
+    // the DuckDB oracle derives its per-doc denominator FROM the gram
+    // rows, so a null-text doc (no grams) never appears there; both
+    // report paths must agree or the hash gate breaks on such corpora
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val docs = Seq((1L, s"pad $benchText pad"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val exact = Decontamination
+      .overlapReport(docs, Decontamination.benchmarkGrams(bench, 8), 8)
+      .select("doc_id").as[Long].collect().toSeq
+    val bloomed = Decontamination.bloomOverlapReport(docs, bench, 8)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(exact === Seq(1L), "null-text doc must not surface a null-denominator row")
+    assert(bloomed === exact)
+  }
+
   test("bloom sketch has zero false negatives over its build set") {
     val bloom = Decontamination.buildGramBloom(
       Seq((1L, benchText)).toDF("doc_id", "text"), 4)

@@ -96,15 +96,19 @@ class StreamingCorpusSpec extends SparkSpec {
       val kept = spark.sql("SELECT doc_id FROM decon_t1").as[Long].collect().toSet
       assert(kept === Set(2L, 4L), "clones/supersets of a bench doc must be dropped at ingest")
     } finally q.stop()
-    // batch equivalence: the gate keeps exactly the is_contaminated=0 docs
+    // batch equivalence: the gate drops exactly the docs the report
+    // FLAGS. (Null-text docs are absent from the report — it matches
+    // its oracle's gram-derived denominator — and pass the gate: no
+    // grams means nothing to leak.)
     val docs = Seq((1L, textA), (2L, textB), (3L, s"pad words $textA tail"),
       (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
     val gateKept = StreamingCorpusOps.deconGate(docs, grams, 8)
       .select("doc_id").as[Long].collect().toSet
-    val reportKept = Decontamination
+    val flagged = Decontamination
       .overlapReport(docs, Decontamination.benchmarkGrams(bench, 8), 8)
-      .filter($"is_contaminated" === 0).select("doc_id").as[Long].collect().toSet
-    assert(gateKept === reportKept)
+      .filter($"is_contaminated" === 1).select("doc_id").as[Long].collect().toSet
+    val allIds = docs.select("doc_id").as[Long].collect().toSet
+    assert(gateKept === (allIds -- flagged))
   }
 
   test("pii scrub redacts at ingest, identically to the batch chain") {
