@@ -726,6 +726,36 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Unigram LM quality score (the CCNet-style perplexity filter,
+    // reduced to its order-0 form): score each doc by the average
+    // surprisal -ln(p(w)) of its tokens under the corpus's own unigram
+    // distribution — gibberish and rare-token noise score high,
+    // fluent boilerplate scores low; `rarest_df` (min token document
+    // frequency... here corpus frequency) is the integer companion
+    // signal for OOV-ish outliers. Plan: ONE token explode feeds both
+    // the vocab aggregate and the scoring join (exchange-reusable —
+    // both shuffle on the token); the 1-row corpus total rides in as a
+    // broadcast cross join. The vocab build side is one row per
+    // DISTINCT token (Zipf-bounded: ~millions at 100 TB, broadcastable
+    // or a shuffle join where each token row meets exactly ONE build
+    // row — linear, skew handled by AQE split on the hot-token
+    // partitions). Surprisal is doubles-under-avg like sim_centroids:
+    // round(6) after the aggregate keeps both engines' sums inside the
+    // rounding tolerance at any realistic doc length.
+    "text_unigram_logprob" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+      val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      val total = vocab.agg(sum(col("cnt")).as("n"))
+      toks.join(vocab, Seq("w"))
+        .crossJoin(broadcast(total))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(-log(col("cnt") / col("n"))), 6).as("avg_surprisal"),
+          min(col("cnt")).as("rarest_df"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus-level hot-gram report: the exact top-20 5-grams by
     // document frequency — the operational query behind every
     // stop-shingle / boilerplate threshold in this engine (pick
@@ -1024,6 +1054,15 @@ object ExtensionQueries {
        "round(COALESCE(n_shared, 0) / n_grams, 6) AS shared_frac, " +
        "CAST(CASE WHEN round(COALESCE(n_shared, 0) / n_grams, 6) >= 0.3 THEN 1 ELSE 0 END AS INT) AS is_dup_heavy " +
        "FROM cnt LEFT JOIN dup ON cnt.doc_id = dup.doc_id ORDER BY cnt.doc_id"),
+    "text_unigram_logprob" ->
+      ("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents), " +
+       "v AS (SELECT w, COUNT(*) cnt FROM t GROUP BY w), " +
+       "tot AS (SELECT COUNT(*) n FROM t) " +
+       "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, " +
+       "round(AVG(-ln(cnt / n)), 6) AS avg_surprisal, " +
+       "CAST(MIN(cnt) AS BIGINT) AS rarest_df " +
+       "FROM t JOIN v USING (w) CROSS JOIN tot " +
+       "GROUP BY doc_id ORDER BY doc_id"),
     "corpus_hot_ngrams" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
        s"sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest($shSql) s FROM t)) " +

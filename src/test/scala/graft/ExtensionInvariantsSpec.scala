@@ -98,6 +98,21 @@ class ExtensionInvariantsSpec extends SparkSpec {
     assert(dfSide.exceptAll(sqlSide).count() === 0)
   }
 
+  test("unigram surprisal: positive, rarest-doc extremes ranked sanely") {
+    val rows = q("text_unigram_logprob")
+      .as[(Long, Long, Double, Long)].collect()
+    assert(rows.length === 500)
+    // -ln(p) > 0 strictly: no token covers the whole corpus
+    assert(rows.forall { case (_, n, s, df) => n >= 1 && s > 0.0 && df >= 1 })
+    // a hand check on the definition: the doc holding the corpus's
+    // rarest tokens must score above the corpus median surprisal
+    val sorted = rows.map(_._3).sorted
+    val median = sorted(rows.length / 2)
+    val rarestDoc = rows.minBy(_._4)
+    assert(rows.filter(_._4 == rarestDoc._4).exists(_._3 > median),
+      "a doc with the corpus-rarest token should be high-surprisal")
+  }
+
   test("sequence packing: bins are per-source, contiguous, near-budget") {
     val rows = q("text_pack")
       .select("source", "bin", "n_docs", "bin_tokens")
