@@ -97,6 +97,14 @@ object DevProbe {
     t("full_minhash") {
       graft.queries.ExtensionQueries.queries("dedup_minhash")(spark, sfDir).count()
     }
+    // plan shape of the unigram scorer: the token explode feeds both the
+    // vocab aggregate and the scoring join on the same shuffle key —
+    // look for ReusedExchange (AQE off to see the static plan)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    println(graft.queries.ExtensionQueries
+      .queries("text_unigram_logprob")(spark, sfDir)
+      .queryExecution.executedPlan.toString.take(6000))
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.stop()
   }
 }

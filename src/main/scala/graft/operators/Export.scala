@@ -51,4 +51,32 @@ object Export {
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("shuffle_rank"), col("doc_id"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  /** Streaming shard maintenance: arriving documents are assigned to
+    * their (stable, hash-determined) shard and land under
+    * `ingest=<batchId>/shard=N`, so a continuously-ingesting corpus
+    * keeps the batch export's shard semantics — a reader of the root
+    * path sees (ingest, shard) partition columns, and a
+    * `shard = N` filter partition-prunes to that shard's files across
+    * every ingest layer. Each micro-batch owns a deterministic
+    * `ingest=<batchId>` layer written with overwrite (foreachBatch is
+    * at-least-once: a replayed batch rewrites its own files instead of
+    * appending duplicates — the same replay-safe convention as
+    * `Similarity.appendToIndex` and `RcSinks.writeBatch`). Small-file
+    * debt from many micro-batches is `operators.Compaction`'s job.
+    */
+  def appendShards(stream: DataFrame, path: String, nShards: Int,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        shuffledShards(batch, nShards)
+          .repartition(col("shard"))
+          .sortWithinPartitions(col("shard"), col("shuffle_rank"), col("doc_id"))
+          .write.mode("overwrite").partitionBy("shard")
+          .parquet(s"$path/ingest=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
 }

@@ -49,6 +49,29 @@ class ExportSpec extends SparkSpec {
     assert(oneShard === oneShard.sortBy(identity))
   }
 
+  test("appendShards: replay-safe ingest layers with batch-identical shard assignment") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val out = Files.createTempDirectory("graft_export_stream").toString
+    val ck = Files.createTempDirectory("graft_export_ck").toString
+    val in = MemoryStream[(Long, String)]
+    def stream = in.toDF().toDF("doc_id", "text")
+    in.addData((1L, "a b"), (2L, "c d"))
+    assert(Export.appendShards(stream, out, 4, ck).awaitTermination(60000))
+    in.addData((3L, "e f"))
+    assert(Export.appendShards(stream, out, 4, ck).awaitTermination(60000))
+    val back = spark.read.parquet(out)
+    assert(back.columns.contains("ingest") && back.columns.contains("shard"))
+    assert(back.select("doc_id").as[Long].collect().toSet === Set(1L, 2L, 3L),
+      "each doc lands exactly once across the two ingest layers")
+    // shard assignment must be the batch writer's, so batch-built and
+    // continuously-ingested corpora share one layout
+    val batchAssign = Export
+      .shuffledShards(Seq((1L, "a b"), (2L, "c d"), (3L, "e f")).toDF("doc_id", "text"), 4)
+      .select("doc_id", "shard").as[(Long, Int)].collect().toSet
+    assert(back.select("doc_id", "shard").as[(Long, Int)].collect().toSet === batchAssign)
+  }
+
   test("shards are balanced within a plausible envelope") {
     val sizes = Export.shuffledShards(docs, 16)
       .groupBy("shard").count().select("count").as[Long].collect()
