@@ -220,6 +220,41 @@ case class TopGramFrac(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Strided token windows — the RAG/context-chunking primitive: chunk i
+  * covers tokens [i*stride, i*stride + size); stride < size gives
+  * overlapping windows, stride == size a partition, stride > size a
+  * window sample (gaps). The last chunk may be a shorter tail;
+  * with stride <= size every token is covered. Degenerate docs
+  * (<= size tokens) produce exactly one chunk. Same zero-copy byte
+  * slicing as [[WordShingles]]; the HOF twin
+  * (`transform(sequence(...), i => concat_ws(" ", slice(ws, ...)))`)
+  * is kept in the property spec as the semantic pin.
+  */
+case class WordChunks(child: Expression, size: Int, stride: Int)
+    extends UnaryExpression {
+
+  require(size >= 1, s"chunk size must be >= 1, got $size")
+  require(stride >= 1, s"stride must be >= 1, got $stride")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"word_chunks requires a string input, got ${child.dataType.sql}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_chunks"
+
+  override def nullSafeEval(input: Any): Any =
+    TextExpressions.chunkBytes(input.asInstanceOf[UTF8String], size, stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextExpressions.chunkBytes($c, $size, $stride)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
 
   // MessageDigest is stateful; one instance per thread serves every row
@@ -441,6 +476,32 @@ object TextExpressions {
   def top_gram_frac(text: Column, n: Int): Column =
     bridge.column(TopGramFrac(bridge.expression(text), n))
 
+  /** One-pass overlapping chunk windows (see [[WordChunks]]).
+    * Chunk count = ceil((numTokens - size) / stride) + 1, floored at 1
+    * — the closed form both the HOF twin and the DuckDB oracle use, so
+    * all three surfaces cut identical windows.
+    */
+  def chunkBytes(text: UTF8String, size: Int, stride: Int): GenericArrayData = {
+    val bytes = text.getBytes
+    val (starts, ends, numTokens) = boundaries(bytes)
+    val numChunks =
+      if (numTokens <= size) 1
+      else (numTokens - size + stride - 1) / stride + 1
+    val out = new Array[Any](numChunks)
+    var c = 0
+    while (c < numChunks) {
+      val first = c * stride
+      val last = math.min(first + size - 1, numTokens - 1)
+      out(c) = UTF8String.fromBytes(bytes, starts(first), ends(last) - starts(first))
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Column facade: overlapping token chunks of `text`. */
+  def word_chunks(text: Column, size: Int, stride: Int): Column =
+    bridge.column(WordChunks(bridge.expression(text), size, stride))
+
   private def intArg(exprs: Seq[Expression], i: Int): Int =
     exprs(i).eval(null) match {
       case n: Int => n
@@ -460,7 +521,8 @@ object TextExpressions {
     "distinct_shingle_structs" -> (exprs => DistinctShingleStructs(exprs.head, intArg(exprs, 1))),
     "simhash32" -> (exprs => SimHash32(exprs.head)),
     "minhash_slices" -> (exprs => MinHashSlices(exprs.head, intArg(exprs, 1))),
-    "top_gram_frac" -> (exprs => TopGramFrac(exprs.head, intArg(exprs, 1))))
+    "top_gram_frac" -> (exprs => TopGramFrac(exprs.head, intArg(exprs, 1))),
+    "word_chunks" -> (exprs => WordChunks(exprs.head, intArg(exprs, 1), intArg(exprs, 2))))
 
   /** Optional SQL registration of every native text expression, so the
     * engine's SQL surface matches the DataFrame one:

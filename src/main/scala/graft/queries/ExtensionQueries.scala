@@ -726,6 +726,25 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Context chunking (the RAG / context-window preparation step):
+    // split each doc into strided 32-token windows with 8 tokens of
+    // overlap (stride 24) — overlap keeps boundary-spanning facts
+    // retrievable. Native one-pass WordChunks expression (zero-copy
+    // byte slices, same scan as the shingle family); per-chunk rows
+    // carry (doc_id, chunk_idx, n_chunk_tokens, chunk) — pure map-side
+    // explode, no shuffle before the output sort. At 100 TB this IS
+    // the materialization pass that writes the retrieval corpus.
+    "text_chunks" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(graft.functions.TextExpressions.word_chunks(col("text"), 32, 24))
+            .as(Seq("i0", "chunk")))
+        .select(col("doc_id"), (col("i0") + 1).cast("long").as("chunk_idx"),
+          size(TextOps.tokens(col("chunk"))).cast("long").as("n_chunk_tokens"),
+          col("chunk"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // Unigram LM quality score (the CCNet-style perplexity filter,
     // reduced to its order-0 form): score each doc by the average
     // surprisal -ln(p(w)) of its tokens under the corpus's own unigram
@@ -1054,6 +1073,16 @@ object ExtensionQueries {
        "round(COALESCE(n_shared, 0) / n_grams, 6) AS shared_frac, " +
        "CAST(CASE WHEN round(COALESCE(n_shared, 0) / n_grams, 6) >= 0.3 THEN 1 ELSE 0 END AS INT) AS is_dup_heavy " +
        "FROM cnt LEFT JOIN dup ON cnt.doc_id = dup.doc_id ORDER BY cnt.doc_id"),
+    "text_chunks" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
+       "n AS (SELECT doc_id, ws, CASE WHEN len(ws) <= 32 THEN 1 " +
+       "ELSE CAST(ceil((len(ws) - 32) / 24.0) AS BIGINT) + 1 END nch FROM t), " +
+       "c AS (SELECT doc_id, i AS chunk_idx, " +
+       "array_to_string(ws[(i-1)*24+1 : least((i-1)*24+32, len(ws))], ' ') chunk " +
+       "FROM n, LATERAL (SELECT unnest(generate_series(1, nch)) i)) " +
+       "SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, " +
+       "CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_chunk_tokens, chunk " +
+       "FROM c ORDER BY doc_id, chunk_idx"),
     "text_unigram_logprob" ->
       ("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents), " +
        "v AS (SELECT w, COUNT(*) cnt FROM t GROUP BY w), " +

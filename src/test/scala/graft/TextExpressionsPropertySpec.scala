@@ -43,8 +43,15 @@ class TextExpressionsPropertySpec extends SparkSpec {
       aggregate(grams, lit(0),
         (acc, g) => greatest(acc, size(filter(grams, x => x === g))))
         .cast("double") / size(grams)).otherwise(lit(0.0))
+    // word_chunks(4, 3) twin: strided slice windows with the shared
+    // closed-form chunk count (ceil((len-size)/stride)+1, floored at 1)
+    val nCh = when(size(ws) <= 4, lit(1))
+      .otherwise(ceil((size(ws) - lit(4)) / lit(3.0)).cast("int") + 1)
+    val declChunks = transform(sequence(lit(1), nCh),
+      i => concat_ws(" ", slice(ws, (i - 1) * 3 + 1, lit(4))))
     val cmp = docs.select(
       (TextOps.shinglesOfText(col("text"), 5) === declShingles).as("sh_eq"),
+      (TextExpressions.word_chunks(col("text"), 4, 3) === declChunks).as("ch_eq"),
       (abs(TextExpressions.top_gram_frac(col("text"), 2) - declTop2) < 1e-12).as("tg_eq"),
       // simhash/minhash declarative twins are heavy; their corpus-level
       // equality specs exist — here just pin total determinism across
@@ -54,7 +61,7 @@ class TextExpressionsPropertySpec extends SparkSpec {
       (TextExpressions.minhash_slices(col("text"), 5) ===
         TextExpressions.minhash_slices(col("text"), 5)).as("mh_det"))
       .collect()
-    cmp.forall(r => r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3))
+    cmp.forall(r => (0 to 4).forall(r.getBoolean))
   }
 
   test("native expressions equal their declarative twins on adversarial strings") {
