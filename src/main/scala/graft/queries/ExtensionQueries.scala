@@ -726,6 +726,27 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Corpus report card: the per-source health dashboard every
+    // pipeline run opens with — doc counts, token spend, language
+    // spread, and how much survives the quality gate (the SAME
+    // rounded ttr + bounds as text_quality, so the dashboard can never
+    // disagree with the gate). One map-side projection + one hash
+    // aggregate; integer-only outputs, deterministic at any scale.
+    "corpus_stats" -> ((s, dir) => {
+      val ws = TextOps.tokens(col("text"))
+      Tables.documents(s, dir)
+        .withColumn("tokens", TextOps.subwordCount(ws).cast("long"))
+        .withColumn("ttr", round(size(array_distinct(ws)) / size(ws), 6))
+        .withColumn("q", (size(ws) >= 10 && size(ws) <= 120 && col("ttr") >= 0.15).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tokens")).as("n_tokens"),
+          count_distinct(col("lang")).as("n_langs"),
+          sum(col("q")).as("n_quality"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy(col("source"))
+    }),
+
     // Context chunking (the RAG / context-window preparation step):
     // split each doc into strided 32-token windows with 8 tokens of
     // overlap (stride 24) — overlap keeps boundary-spanning facts
@@ -1073,6 +1094,16 @@ object ExtensionQueries {
        "round(COALESCE(n_shared, 0) / n_grams, 6) AS shared_frac, " +
        "CAST(CASE WHEN round(COALESCE(n_shared, 0) / n_grams, 6) >= 0.3 THEN 1 ELSE 0 END AS INT) AS is_dup_heavy " +
        "FROM cnt LEFT JOIN dup ON cnt.doc_id = dup.doc_id ORDER BY cnt.doc_id"),
+    "corpus_stats" ->
+      ("WITH t AS (SELECT doc_id, source, lang, string_split(text, ' ') ws FROM documents), " +
+       "d AS (SELECT doc_id, source, lang, " +
+       "CAST(list_sum(list_transform(ws, w -> CAST(ceil(length(w)/4.0) AS BIGINT))) AS BIGINT) tokens, " +
+       "CASE WHEN len(ws) BETWEEN 10 AND 120 AND " +
+       "round(len(list_distinct(ws)) / len(ws), 6) >= 0.15 THEN 1 ELSE 0 END q FROM t) " +
+       "SELECT source, COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS n_tokens, " +
+       "CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs, CAST(SUM(q) AS BIGINT) AS n_quality, " +
+       "CAST(MIN(doc_id) AS BIGINT) AS first_doc " +
+       "FROM d GROUP BY source ORDER BY source"),
     "text_chunks" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
        "n AS (SELECT doc_id, ws, CASE WHEN len(ws) <= 32 THEN 1 " +
