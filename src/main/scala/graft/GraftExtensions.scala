@@ -15,8 +15,8 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   *
   * injects every native function (`word_shingles`, `distinct_shingles`,
   * `distinct_shingle_structs`, `simhash32`, `minhash_slices`,
-  * `top_gram_frac`, `dot_product`) into each new session's registry at
-  * build time. The builders are the SAME lists the session-level
+  * `top_gram_frac`, `word_chunks`, `dot_product`) into each new
+  * session's registry at build time. The builders are the SAME lists the session-level
   * `register` helpers use (`TextExpressions.functionBuilders` /
   * `VectorExpressions.functionBuilders`), so the two installation paths
   * expose one definition per function.

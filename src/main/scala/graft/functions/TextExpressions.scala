@@ -222,11 +222,13 @@ case class TopGramFrac(child: Expression, n: Int) extends UnaryExpression {
 
 /** Strided token windows — the RAG/context-chunking primitive: chunk i
   * covers tokens [i*stride, i*stride + size); stride < size gives
-  * overlapping windows, stride == size a partition, stride > size a
-  * window sample (gaps). The last chunk may be a shorter tail;
-  * with stride <= size every token is covered. Degenerate docs
-  * (<= size tokens) produce exactly one chunk. Same zero-copy byte
-  * slicing as [[WordShingles]]; the HOF twin
+  * overlapping windows, stride == size a gapless partition. The last
+  * chunk may be a shorter tail; every token is covered. Degenerate
+  * docs (<= size tokens) produce exactly one chunk. stride > size is
+  * REJECTED at construction: gapped windows drop tokens silently (and
+  * the closed-form chunk count would index past the last token) — a
+  * sampling pass is a different operator, not a chunker. Same
+  * zero-copy byte slicing as [[WordShingles]]; the HOF twin
   * (`transform(sequence(...), i => concat_ws(" ", slice(ws, ...)))`)
   * is kept in the property spec as the semantic pin.
   */
@@ -234,7 +236,8 @@ case class WordChunks(child: Expression, size: Int, stride: Int)
     extends UnaryExpression {
 
   require(size >= 1, s"chunk size must be >= 1, got $size")
-  require(stride >= 1, s"stride must be >= 1, got $stride")
+  require(stride >= 1 && stride <= size,
+    s"stride must be in [1, size=$size] (windows must tile or overlap), got $stride")
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess

@@ -133,12 +133,21 @@ object Decontamination {
         .bloom_might_contain_long(bloom, xxhash64(col("s"))))
     val overlap = candidates.join(broadcast(bg), Seq("s"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+    contaminationReport(docs, overlap, n)
+  }
+
+  /** The ONE report tail (totality join + zero-fill + frac + flag)
+    * shared by [[overlapReport]] and [[bloomOverlapReport]] — the two
+    * paths are documented result-identical, so the rule/rounding must
+    * have a single definition.
+    */
+  private def contaminationReport(docs: DataFrame, overlap: DataFrame,
+      n: Int): DataFrame =
     totalityBase(docs, n)
       .join(overlap, Seq("doc_id"), "left")
       .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
       .withColumn("overlap_frac", round(col("n_overlap") / col("n_grams"), 6))
       .withColumn("is_contaminated", (col("n_overlap") >= 1).cast("int"))
-  }
 
   /** The per-doc denominator scan shared by [[overlapReport]] and
     * [[bloomOverlapReport]]: (doc_id, n_grams) over docs WITH text.
@@ -171,10 +180,6 @@ object Decontamination {
     // corpus.
     val overlap = grams.join(bg, Seq("s"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
-    totalityBase(docs, n)
-      .join(overlap, Seq("doc_id"), "left")
-      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
-      .withColumn("overlap_frac", round(col("n_overlap") / col("n_grams"), 6))
-      .withColumn("is_contaminated", (col("n_overlap") >= 1).cast("int"))
+    contaminationReport(docs, overlap, n)
   }
 }

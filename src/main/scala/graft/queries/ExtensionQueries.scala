@@ -744,7 +744,11 @@ object ExtensionQueries {
           count_distinct(col("lang")).as("n_langs"),
           sum(col("q")).as("n_quality"),
           min(col("doc_id")).as("first_doc"))
-        .orderBy(col("source"))
+        // nulls LAST: source is nullable once ingest admits sparse
+        // metadata, and Spark's default (nulls first asc) disagrees
+        // with DuckDB's (nulls last) — the same null-parity class the
+        // decon totality base guards against
+        .orderBy(col("source").asc_nulls_last)
     }),
 
     // Context chunking (the RAG / context-window preparation step):

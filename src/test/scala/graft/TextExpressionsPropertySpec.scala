@@ -73,4 +73,19 @@ class TextExpressionsPropertySpec extends SparkSpec {
   test("known hostile fixtures: empty, single space, all-space, trailing space") {
     assert(declarativeEqual(Seq("", " ", "   ", "a ", " a", "a  b", "ab")))
   }
+
+  test("word_chunks rejects gapped windows (stride > size) at construction") {
+    // stride > size silently drops tokens AND the closed-form chunk
+    // count would index past the last token — must fail loudly, not
+    // produce a partial chunking (reachable from SQL via word_chunks)
+    val e = intercept[IllegalArgumentException] {
+      TextExpressions.word_chunks(col("text"), 2, 5)
+    }
+    assert(e.getMessage.contains("stride"))
+    // stride == size (gapless partition) stays legal
+    val parts = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+      .select(TextExpressions.word_chunks(col("text"), 2, 2).as("c"))
+      .as[Seq[String]].head()
+    assert(parts === Seq("a b", "c d", "e"))
+  }
 }
