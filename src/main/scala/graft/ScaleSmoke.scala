@@ -29,7 +29,8 @@ object ScaleSmoke {
         "dedup_ngram_jaccard", "dedup_clusters", "dedup_gram_coverage",
         "text_fingerprint", "text_pack", "sample_stratified", "sample_mixture",
         "decon_ngram_overlap", "decon_bloom_prefilter", "decon_minhash_neardup",
-        "text_pii_scrub", "corpus_hot_ngrams", "export_shard_stats")) {
+        "text_pii_scrub", "corpus_hot_ngrams", "export_shard_stats",
+        "text_unigram_logprob", "text_chunks", "corpus_stats")) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).count()
       println(f"$q%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $n%10d rows")

@@ -141,6 +141,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), s"shard stats must not need a window:\n$p")
   }
 
+  test("chunking is pure map-side: no exchange before the output sort") {
+    val p = plan("text_chunks")
+    val n = p.linesIterator.count(_.contains("Exchange "))
+    assert(n <= 1, s"text_chunks expected at most the ORDER BY exchange, plan:\n$p")
+    assert(p.contains("word_chunks"), s"native chunk expression missing:\n$p")
+  }
+
+  test("corpus stats is one aggregate over one projection") {
+    val p = plan("corpus_stats")
+    val n = p.linesIterator.count(_.contains("Exchange "))
+    assert(n <= 3, s"agg (+distinct-lang expand) + sort only, plan:\n$p")
+  }
+
+  test("unigram scorer never shuffles the token stream") {
+    // the corpus-side plan must be scan -> explode -> broadcast vocab
+    // join -> partial agg; a SortMergeJoin on `w` would mean the full
+    // token stream shuffled (the scale-killer this plan avoids)
+    val p = plan("text_unigram_logprob")
+    val joinLines = p.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joinLines.exists(_.contains("BroadcastHashJoin")),
+      s"vocab join should broadcast at test scale:\n${joinLines.mkString("\n")}")
+    assert(!joinLines.exists(l => l.contains("SortMergeJoin") && l.contains("[w#")),
+      s"token stream shuffled for the vocab join:\n${joinLines.mkString("\n")}")
+  }
+
   test("minhash signatures shuffle only at banding, not before") {
     // native MinHashSlices means NO groupBy(doc_id) aggregation stage:
     // the plan must not contain a doc_id hash aggregate before banding
