@@ -89,9 +89,25 @@ object CorpusDemo {
     val clusters = graft.operators.Clustering.connectedComponents(spark, pairs)
       .select(col("label")).distinct().count()
     val scrubOk = corpus.filter(col("text").contains("<EMAIL>")).count()
+
+    // Final materialization: the deduped keepers chunked into
+    // retrieval windows and exported as deterministic training shards
+    // (operators.Export) — the step that turns a curated corpus into
+    // dataloader input. Keeper = min doc_id per content hash.
+    val keepers = corpus.join(
+      distinctDocs.select(col("keep_id").as("doc_id")), Seq("doc_id"), "semi")
+    val chunks = keepers.select(col("doc_id"),
+        posexplode(graft.functions.TextExpressions.word_chunks(col("text"), 8, 6))
+          .as(Seq("chunk_idx", "chunk")))
+    val nChunks = chunks.count()
+    graft.operators.Export.writeShards(keepers, s"$out/shards", 4)
+    val shardDocs = spark.read.parquet(s"$out/shards")
+      .select("doc_id").distinct().count()
+
     println(s"CORPUS_DEMO ingested=${counts.get("ingested")} " +
       s"quarantined=${counts.get("quarantined")} kept=${counts.get("kept")} " +
-      s"distinct=${distinctDocs.count()} neardup_clusters=$clusters scrubbed=$scrubOk")
+      s"distinct=${distinctDocs.count()} neardup_clusters=$clusters scrubbed=$scrubOk " +
+      s"chunks=$nChunks shard_docs=$shardDocs")
     spark.stop()
   }
 }
