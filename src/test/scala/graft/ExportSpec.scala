@@ -72,6 +72,16 @@ class ExportSpec extends SparkSpec {
     assert(back.select("doc_id", "shard").as[(Long, Int)].collect().toSet === batchAssign)
   }
 
+  test("a shard filter partition-prunes the export read to that shard's files") {
+    val out = Files.createTempDirectory("graft_export_prune").toString
+    Export.writeShards(docs, out, 8)
+    val plan = spark.read.parquet(out).filter(col("shard") === 3)
+      .queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("shard"),
+      s"shard filter must reach the scan as a partition filter:\n$plan")
+  }
+
   test("shards are balanced within a plausible envelope") {
     val sizes = Export.shuffledShards(docs, 16)
       .groupBy("shard").count().select("count").as[Long].collect()
