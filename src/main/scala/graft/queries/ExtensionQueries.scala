@@ -157,6 +157,36 @@ object ExtensionQueries {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // LSH-then-VERIFY — the canonical two-phase near-dup pipeline:
+    // MinHash banding proposes candidates (cheap, recall-tuned), exact
+    // Jaccard verifies ONLY those pairs (precision). This differs from
+    // dedup_ngram_jaccard, which verifies every shingle-sharing pair:
+    // here the expensive exact intersection runs over the candidate
+    // set — near-dup mass, not corpus mass — so at 100 TB the verify
+    // stage's row count is proportional to the ANSWER. Each candidate
+    // expands by |grams(a)| (~1 doc of rows) for the intersection join
+    // keyed (b_id, gram-hash); no stop-shingle filter is needed
+    // because the pair set is already LSH-bounded, so a hot gram adds
+    // linear rows per pair, never new pairs. Same xxhash64 join-key
+    // collision caveat as dedup_ngram_jaccard.
+    "dedup_minhash_verified" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cand = TextOps.minhashCandidatePairs(docs)
+      val sh = docs.select(col("doc_id"),
+          explode(TextOps.distinctShingleStructsOfText(col("text"), 5)).as("e"))
+        .select(col("doc_id"), xxhash64(col("e.s")).as("h"), col("e.n").as("n"))
+      val ia = sh.select(col("doc_id").as("a_id"), col("h"), col("n").as("na"))
+      val ib = sh.select(col("doc_id").as("b_id"), col("h"), col("n").as("nb"))
+      cand.join(ia, Seq("a_id")).join(ib, Seq("b_id", "h"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(first(col("na")).as("na"), first(col("nb")).as("nb"),
+          count(lit(1)).as("i"))
+        .withColumn("jaccard", round(col("i") / (col("na") + col("nb") - col("i")), 6))
+        .filter(col("jaccard") >= 0.2)
+        .select(col("a_id"), col("b_id"), col("jaccard"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // SimHash-32 per doc: md5 hex-digit parity gives 32 hash bits per
     // token; bit j of the fingerprint = sign of the per-bit vote sum.
     // Explode(token x bit) -> one shuffle on (doc_id, bit).
@@ -912,6 +942,16 @@ object ExtensionQueries {
     "dedup_minhash" ->
       (s"WITH $minhashPairsCtes " +
        "SELECT a_id, b_id FROM pairs ORDER BY a_id, b_id"),
+    "dedup_minhash_verified" ->
+      (s"WITH $minhashPairsCtes, " +
+       "shd AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest(sh) s FROM sh)), " +
+       "sizes AS (SELECT doc_id, COUNT(*) n FROM shd GROUP BY doc_id), " +
+       "iv AS (SELECT p.a_id, p.b_id, COUNT(*) i FROM pairs p " +
+       "JOIN shd x ON x.doc_id = p.a_id JOIN shd y ON y.doc_id = p.b_id AND y.s = x.s " +
+       "GROUP BY p.a_id, p.b_id) " +
+       "SELECT a_id, b_id, round(CAST(i AS DOUBLE)/(sa.n + sb.n - i), 6) AS jaccard " +
+       "FROM iv JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id " +
+       "WHERE round(CAST(i AS DOUBLE)/(sa.n + sb.n - i), 6) >= 0.2 ORDER BY a_id, b_id"),
     "dedup_clusters" ->
       (s"WITH RECURSIVE $minhashPairsCtes, $ccCtes " +
        "SELECT label AS cluster_id, COUNT(*) AS cluster_size, CAST(MIN(node) AS BIGINT) AS keep_id " +

@@ -25,6 +25,19 @@ class ExtensionInvariantsSpec extends SparkSpec {
       s"missed: ${exact.diff(cand)}")
   }
 
+  test("LSH-verify pairs are candidate-subset and agree with the all-pairs jaccard") {
+    val verified = q("dedup_minhash_verified").as[(Long, Long, Double)].collect()
+    assert(verified.nonEmpty)
+    val cand = q("dedup_minhash").as[(Long, Long)].collect().toSet
+    assert(verified.forall(v => cand((v._1, v._2))),
+      "verification must never introduce a pair the banding did not propose")
+    // where the exhaustive query also scored a pair, the two exact
+    // jaccards must be bit-identical (same definition, two plans)
+    val full = q("dedup_ngram_jaccard").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(verified.forall(v => full.get((v._1, v._2)).forall(_ == v._3)))
+  }
+
   test("native minhash slices equal the declarative explode+min formulation") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf0001)
