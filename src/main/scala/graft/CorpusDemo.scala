@@ -90,24 +90,32 @@ object CorpusDemo {
       .select(col("label")).distinct().count()
     val scrubOk = corpus.filter(col("text").contains("<EMAIL>")).count()
 
-    // Final materialization: the deduped keepers chunked into
-    // retrieval windows and exported as deterministic training shards
-    // (operators.Export) — the step that turns a curated corpus into
-    // dataloader input. Keeper = min doc_id per content hash.
+    // Final materialization: the deduped keepers are chunked into
+    // retrieval windows and the CHUNKS are what lands in the
+    // deterministic training shards (operators.Export) — shard rows
+    // are dataloader input, not whole documents. Each chunk gets a
+    // unique id (doc_id * 1000 + chunk_idx) so the hash shuffle has a
+    // unique key: shard membership and in-shard order stay
+    // deterministic, and a doc's windows spread across shards (the
+    // decorrelation a training shuffle wants). Keeper = min doc_id per
+    // content hash.
     val keepers = corpus.join(
       distinctDocs.select(col("keep_id").as("doc_id")), Seq("doc_id"), "semi")
-    val chunks = keepers.select(col("doc_id"),
+    val chunks = keepers.select(col("doc_id").as("src_doc"),
         posexplode(graft.functions.TextExpressions.word_chunks(col("text"), 8, 6))
-          .as(Seq("chunk_idx", "chunk")))
+          .as(Seq("chunk_idx", "text")))
+      .select((col("src_doc") * 1000 + col("chunk_idx")).as("doc_id"),
+        col("src_doc"), col("text"))
+      .persist()
     val nChunks = chunks.count()
-    graft.operators.Export.writeShards(keepers, s"$out/shards", 4)
-    val shardDocs = spark.read.parquet(s"$out/shards")
-      .select("doc_id").distinct().count()
+    graft.operators.Export.writeShards(chunks, s"$out/shards", 4)
+    val shardChunks = spark.read.parquet(s"$out/shards").count()
+    chunks.unpersist()
 
     println(s"CORPUS_DEMO ingested=${counts.get("ingested")} " +
       s"quarantined=${counts.get("quarantined")} kept=${counts.get("kept")} " +
       s"distinct=${distinctDocs.count()} neardup_clusters=$clusters scrubbed=$scrubOk " +
-      s"chunks=$nChunks shard_docs=$shardDocs")
+      s"chunks=$nChunks shard_chunks=$shardChunks")
     spark.stop()
   }
 }

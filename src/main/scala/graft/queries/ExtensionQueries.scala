@@ -163,16 +163,24 @@ object ExtensionQueries {
     // dedup_ngram_jaccard, which verifies every shingle-sharing pair:
     // here the expensive exact intersection runs over the candidate
     // set — near-dup mass, not corpus mass — so at 100 TB the verify
-    // stage's row count is proportional to the ANSWER. Each candidate
-    // expands by |grams(a)| (~1 doc of rows) for the intersection join
-    // keyed (b_id, gram-hash); no stop-shingle filter is needed
-    // because the pair set is already LSH-bounded, so a hot gram adds
-    // linear rows per pair, never new pairs. Same xxhash64 join-key
-    // collision caveat as dedup_ngram_jaccard.
+    // stage's cost is proportional to the ANSWER: the corpus is
+    // semi-joined down to CANDIDATE DOCS before any shingle explodes
+    // (without that pruning, both intersection-join inputs would be
+    // the full corpus gram stream — the scale-killer this two-phase
+    // shape exists to avoid). The materialized pair set is tiny by
+    // construction (localCheckpoint, same pattern as nearDupPairs), so
+    // the banding pipeline runs once, not once per consumer. No
+    // stop-shingle filter is needed: the pair set is already
+    // LSH-bounded, so a hot gram adds linear rows per pair, never new
+    // pairs. Same xxhash64 join-key collision caveat as
+    // dedup_ngram_jaccard.
     "dedup_minhash_verified" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val cand = TextOps.minhashCandidatePairs(docs)
-      val sh = docs.select(col("doc_id"),
+      val cand = TextOps.minhashCandidatePairs(docs).localCheckpoint()
+      val candIds = cand.select(col("a_id").as("doc_id"))
+        .union(cand.select(col("b_id").as("doc_id"))).distinct()
+      val sh = docs.join(candIds, Seq("doc_id"), "semi")
+        .select(col("doc_id"),
           explode(TextOps.distinctShingleStructsOfText(col("text"), 5)).as("e"))
         .select(col("doc_id"), xxhash64(col("e.s")).as("h"), col("e.n").as("n"))
       val ia = sh.select(col("doc_id").as("a_id"), col("h"), col("n").as("na"))

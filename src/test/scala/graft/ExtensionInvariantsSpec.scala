@@ -31,11 +31,24 @@ class ExtensionInvariantsSpec extends SparkSpec {
     val cand = q("dedup_minhash").as[(Long, Long)].collect().toSet
     assert(verified.forall(v => cand((v._1, v._2))),
       "verification must never introduce a pair the banding did not propose")
-    // where the exhaustive query also scored a pair, the two exact
-    // jaccards must be bit-identical (same definition, two plans)
-    val full = q("dedup_ngram_jaccard").as[(Long, Long, Double)].collect()
-      .map(t => (t._1, t._2) -> t._3).toMap
-    assert(verified.forall(v => full.get((v._1, v._2)).forall(_ == v._3)))
+    // ground truth from first principles, NOT from another thresholded
+    // query (comparing two >= 0.2 outputs hides exactly the pairs where
+    // they disagree): brute-force each verified pair's jaccard over
+    // driver-side shingle sets and require bit-equality after rounding
+    val shingleSets: Map[Long, Set[String]] = Tables.documents(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.operators.TextOps.distinctShinglesOfText(
+          org.apache.spark.sql.functions.col("text"), 5))
+      .as[(Long, Seq[String])].collect()
+      .map { case (id, sh) => id -> sh.toSet }.toMap
+    verified.foreach { case (a, b, j) =>
+      val (sa, sb) = (shingleSets(a), shingleSets(b))
+      val i = (sa intersect sb).size.toDouble
+      val expect = BigDecimal(i / (sa.size + sb.size - i))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(j === expect, s"pair ($a,$b)")
+      assert(expect >= 0.2, s"pair ($a,$b) should not have survived the threshold")
+    }
   }
 
   test("native minhash slices equal the declarative explode+min formulation") {
