@@ -78,13 +78,23 @@ object Bench {
       SparkEntry.queries.toSeq.partition { case (n, _) => SparkEntry.oracleSql.contains(n) }
     val (results, oracledErrors) = timeAll(oracled)
     val (extras, extraErrors) = timeAll(unoracled)
+    // Per-query seconds are rounded to 4 decimals (0.1 ms — far below
+    // run-to-run noise): with 70+ queries the full-precision doubles
+    // pushed the detail line past the driver's tail-capture window in
+    // round 4, truncating the leading {"metric":"total",...} right out
+    // of the recorded artifact.
     def js(m: Map[String, Double]) =
-      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      m.map { case (k, v) => s"\"" + k + "\":" + BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP) }.mkString("{", ",", "}")
     def jsStr(m: Map[String, String]) =
       m.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val allErrors = oracledErrors ++ extraErrors
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"unoracled":${js(extras)},"errors":${jsStr(allErrors)},"sf":"$sfDir","reps":2,"agg":"min","warm_cache":true}""")
+    // A tail capture always keeps the LAST line, so the headline total is
+    // repeated in a short self-contained line AFTER the big detail line:
+    // even if the per-query map above is truncated away again, the
+    // round's total stays machine-readable.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"n_oracled":${results.size},"n_errors":${allErrors.size},"sf":"$sfDir","note":"compact restatement of the previous line's total"}""")
     spark.stop()
     // An oracled query that failed both reps means the headline total is
     // missing a term — fail the run loudly rather than report a deflated

@@ -52,6 +52,37 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Exact row count of a parquet file/directory from FOOTER METADATA
+    * only — no Spark job, no data pages read. Sizing decisions that
+    * need `n` (e.g. the IVF k ~ sqrt(n) rule in operators.Similarity)
+    * were paying a full-scan COUNT job for one Long; the count is
+    * already sitting in every footer's row-group headers. Driver-side
+    * cost is O(#files) metadata reads — the same listing the scan
+    * itself performs.
+    */
+  def parquetRowCount(spark: SparkSession, path: String): Long = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    def files(p: Path): Seq[Path] = {
+      val st = fs.getFileStatus(p)
+      if (st.isFile) Seq(p)
+      else fs.listStatus(p).toIndexedSeq.flatMap { c =>
+        val name = c.getPath.getName
+        // skip hidden/metadata entries the parquet reader also skips
+        if (name.startsWith("_") || name.startsWith(".")) Seq.empty
+        else files(c.getPath)
+      }
+    }
+    files(root).map { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
   /** Register every table as a temp view AND every native text
     * expression as a SQL function, so users can drive the engine
     * through plain `spark.sql(...)` — the catalog surface of the

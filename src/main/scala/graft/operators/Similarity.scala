@@ -103,6 +103,17 @@ object Similarity {
     */
   def defaultK(n: Long): Int = math.max(8, math.sqrt(n.toDouble).toInt)
 
+  /** Index sizing WITHOUT a corpus scan whenever the caller can say how
+    * big the corpus is: an explicit `kCells` wins, then a row-count
+    * hint (e.g. `Tables.parquetRowCount` — parquet footers already
+    * carry the exact count, so no COUNT job is ever needed for a
+    * parquet-backed corpus). The `emb.count()` fallback remains only
+    * for ad-hoc in-memory frames where no metadata exists.
+    */
+  private def sizeK(kCells: Int, nHint: Long, emb: DataFrame): Int =
+    if (kCells > 0) kCells
+    else defaultK(if (nHint > 0) nHint else emb.count())
+
   // Shared probe machinery — ONE implementation of centroid-distance,
   // probe-set selection, and query scoring, used by both the in-memory
   // and persisted-index paths so they cannot drift (SimilaritySpec
@@ -136,11 +147,10 @@ object Similarity {
     * expected candidates probes * sqrt(n) instead of n / 8.
     */
   def ivfTopK(spark: SparkSession, emb: DataFrame, queryVecId: Long,
-      topK: Int, probes: Int = 2, kCells: Int = 0, iters: Int = 3): DataFrame = {
+      topK: Int, probes: Int = 2, kCells: Int = 0, iters: Int = 3,
+      nHint: Long = 0L): DataFrame = {
     import spark.implicits._
-    // count() only when the caller didn't size the index — an explicit
-    // kCells skips a full corpus scan whose sole output is one Long
-    val k = if (kCells > 0) kCells else defaultK(emb.count())
+    val k = sizeK(kCells, nHint, emb)
     val idx = trainIvf(spark, emb, k, iters)
     val cents = centroidDf(spark, idx.centroids)
     // Query vector and probe set resolve DRIVER-side from data already
@@ -169,8 +179,8 @@ object Similarity {
     * Returns k (the cell count).
     */
   def saveIndex(spark: SparkSession, emb: DataFrame, dir: String,
-      kCells: Int = 0, iters: Int = 3): Int = {
-    val k = if (kCells > 0) kCells else defaultK(emb.count())
+      kCells: Int = 0, iters: Int = 3, nHint: Long = 0L): Int = {
+    val k = sizeK(kCells, nHint, emb)
     val idx = trainIvf(spark, emb, k, iters)
     val cents = centroidDf(spark, idx.centroids)
     // ingest=base alongside the streaming appends' ingest=<batchId>
@@ -234,8 +244,8 @@ object Similarity {
     * linear in corpus size, vs O(n^2/8) with 8 fixed cells.
     */
   def nearDupPairs(spark: SparkSession, emb: DataFrame, minCos: Double,
-      kCells: Int = 0, iters: Int = 3): DataFrame = {
-    val k = if (kCells > 0) kCells else defaultK(emb.count())
+      kCells: Int = 0, iters: Int = 3, nHint: Long = 0L): DataFrame = {
+    val k = sizeK(kCells, nHint, emb)
     val idx = trainIvf(spark, emb, k, iters)
     // localCheckpoint: the within-cell self-join would otherwise rescan
     // the corpus and re-run the broadcast-crossJoin assignment on BOTH

