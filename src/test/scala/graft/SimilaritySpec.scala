@@ -88,6 +88,11 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
       "cells scan lost its partition filter")
+    // ...and the filter must actually PRUNE: with probes=2 over one
+    // ingest layer, exactly 2 of the k cell directories survive the
+    // listing — the scan reads the probed cells' files and nothing else.
+    assert(scans.head.selectedPartitions.partitionCount === 2,
+      s"probe read ${scans.head.selectedPartitions.partitionCount} partitions, wanted 2 (probes=2)")
     val rows = probed.as[(Long, Double)].collect()
     // the query vector itself lives in the index: exact self-match first
     assert(rows.head === ((42L, 1.0)))
@@ -121,6 +126,38 @@ class SimilaritySpec extends SparkSpec {
     val top = Similarity.probeIndex(spark, dir, qv, topK = 1, probes = 1)
       .as[(Long, Double)].head()
     assert(top === ((450L, 1.0)))
+  }
+
+  test("parquetRowCount reads the exact count from footers; nHint skips the COUNT job") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf0001)
+    val n = Tables.parquetRowCount(spark, s"$sf0001/embeddings.parquet")
+    assert(n === emb.count(), "footer metadata must equal the scanned count")
+
+    // Job accounting via job groups: sizing from nHint must launch the
+    // SAME number of Spark jobs as an explicitly sized index (i.e. the
+    // count job is gone, nothing else changed).
+    def jobsOf(group: String)(body: => Unit): Int = {
+      spark.sparkContext.setJobGroup(group, group, interruptOnCancel = false)
+      try body finally spark.sparkContext.clearJobGroup()
+      // statusTracker is fed by an async listener bus; poll until stable
+      var last = -1; var cur = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+      while (cur != last) { last = cur; Thread.sleep(100)
+        cur = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length }
+      cur
+    }
+    val k = Similarity.defaultK(n)
+    val hinted = jobsOf("ivf-nhint") {
+      Similarity.ivfTopK(spark, emb, queryVecId = 7, topK = 3, iters = 1, nHint = n).collect()
+    }
+    val explicit = jobsOf("ivf-kcells") {
+      Similarity.ivfTopK(spark, emb, queryVecId = 7, topK = 3, iters = 1, kCells = k).collect()
+    }
+    val counted = jobsOf("ivf-count") {
+      Similarity.ivfTopK(spark, emb, queryVecId = 7, topK = 3, iters = 1).collect()
+    }
+    assert(hinted === explicit, s"nHint ran $hinted jobs vs $explicit explicitly sized")
+    assert(counted > hinted, "the unhinted path should pay exactly the extra COUNT job")
   }
 
   test("near-dup quantizer twins: perfect precision vs brute force, non-trivial recall") {
