@@ -94,8 +94,10 @@ object CorpusDemo {
     // retrieval windows and the CHUNKS are what lands in the
     // deterministic training shards (operators.Export) — shard rows
     // are dataloader input, not whole documents. Each chunk gets a
-    // unique id (doc_id * 1000 + chunk_idx) so the hash shuffle has a
-    // unique key: shard membership and in-shard order stay
+    // COMPOSITE id `<src_doc>#<chunk_idx>` so the hash shuffle has a
+    // unique key regardless of how many windows a document yields (an
+    // arithmetic scheme like src*1000+idx silently collides once a doc
+    // exceeds the multiplier): shard membership and in-shard order stay
     // deterministic, and a doc's windows spread across shards (the
     // decorrelation a training shuffle wants). Keeper = min doc_id per
     // content hash.
@@ -104,7 +106,7 @@ object CorpusDemo {
     val chunks = keepers.select(col("doc_id").as("src_doc"),
         posexplode(graft.functions.TextExpressions.word_chunks(col("text"), 8, 6))
           .as(Seq("chunk_idx", "text")))
-      .select((col("src_doc") * 1000 + col("chunk_idx")).as("doc_id"),
+      .select(concat(col("src_doc"), lit("#"), col("chunk_idx")).as("doc_id"),
         col("src_doc"), col("text"))
       .persist()
     val nChunks = chunks.count()

@@ -28,7 +28,24 @@ import org.apache.spark.util.sketch.BloomFilter
   * gate is a pure prefilter — composing it with an exact join yields
   * exactly the unfiltered join's result.
   */
-case class BloomMightContainLong(child: Expression, bloomBytes: Array[Byte])
+/** Content-equal wrapper for serialized sketch bytes. A bare
+  * Array[Byte] field in a case-class Expression compares by REFERENCE,
+  * so two semantically identical predicates never compare equal — which
+  * blocks Catalyst canonicalization, common-subexpression elimination,
+  * and exchange reuse for any plan that mentions the same sketch twice.
+  * Wrapping the bytes restores value equality (and a stable hashCode)
+  * without copying them.
+  */
+final class SketchBytes(val bytes: Array[Byte]) extends Serializable {
+  override def equals(o: Any): Boolean = o match {
+    case s: SketchBytes => java.util.Arrays.equals(bytes, s.bytes)
+    case _ => false
+  }
+  override def hashCode: Int = java.util.Arrays.hashCode(bytes)
+  override def toString: String = s"<${bytes.length} sketch bytes>"
+}
+
+case class BloomMightContainLong(child: Expression, sketch: SketchBytes)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -43,7 +60,7 @@ case class BloomMightContainLong(child: Expression, bloomBytes: Array[Byte])
   // Deserialized once per JVM that evaluates the expression (driver for
   // constant folding, each executor on first row), NOT once per row.
   @transient private lazy val filter: BloomFilter =
-    BloomFilter.readFrom(new ByteArrayInputStream(bloomBytes))
+    BloomFilter.readFrom(new ByteArrayInputStream(sketch.bytes))
 
   /** Row-level entry point shared by eval and generated code. */
   def test(v: Long): Boolean = filter.mightContainLong(v)
@@ -61,7 +78,7 @@ case class BloomMightContainLong(child: Expression, bloomBytes: Array[Byte])
   // Keep explain/TreeNode output readable: the default case-class
   // rendering would print the raw byte array reference.
   override def toString: String =
-    s"bloom_might_contain($child, <${bloomBytes.length} sketch bytes>)"
+    s"bloom_might_contain($child, $sketch)"
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -80,7 +97,7 @@ case class BloomMightContainLong(child: Expression, bloomBytes: Array[Byte])
   * `mightContainBinary` hash the same bytes), so build the sketch with
   * `putString` on the same normalization.
   */
-case class BloomMightContainAnyString(child: Expression, bloomBytes: Array[Byte])
+case class BloomMightContainAnyString(child: Expression, sketch: SketchBytes)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -93,7 +110,7 @@ case class BloomMightContainAnyString(child: Expression, bloomBytes: Array[Byte]
   override def prettyName: String = "bloom_might_contain_any"
 
   @transient private lazy val filter: BloomFilter =
-    BloomFilter.readFrom(new ByteArrayInputStream(bloomBytes))
+    BloomFilter.readFrom(new ByteArrayInputStream(sketch.bytes))
 
   /** Row-level entry point shared by eval and generated code. */
   def testAny(arr: ArrayData): Boolean = {
@@ -118,7 +135,7 @@ case class BloomMightContainAnyString(child: Expression, bloomBytes: Array[Byte]
   }
 
   override def toString: String =
-    s"bloom_might_contain_any($child, <${bloomBytes.length} sketch bytes>)"
+    s"bloom_might_contain_any($child, $sketch)"
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -136,11 +153,11 @@ object SketchExpressions {
     * bigint hash column.
     */
   def bloom_might_contain_long(bloom: BloomFilter, v: Column): Column =
-    bridge.column(BloomMightContainLong(bridge.expression(v), serialize(bloom)))
+    bridge.column(BloomMightContainLong(bridge.expression(v), new SketchBytes(serialize(bloom))))
 
   /** Serialize `bloom` and wrap it as a boolean "any element matches"
     * predicate over an array<string> column.
     */
   def bloom_might_contain_any(bloom: BloomFilter, arr: Column): Column =
-    bridge.column(BloomMightContainAnyString(bridge.expression(arr), serialize(bloom)))
+    bridge.column(BloomMightContainAnyString(bridge.expression(arr), new SketchBytes(serialize(bloom))))
 }

@@ -89,12 +89,22 @@ object Decontamination {
     * many non-overlapping grams survive the prefilter to be discarded
     * by the exact confirm join.
     */
-  def buildGramBloom(bench: DataFrame, n: Int, fpp: Double = 0.01): BloomFilter = {
-    val grams = benchmarkGrams(bench, n).select(xxhash64(col("s")).as("h"))
-    // Sizing needs the gram count up front; the bench side is tiny by
-    // contract (an eval set vs a 100 TB corpus), so this extra action
-    // is in the same budget class as the broadcast build it replaces.
-    grams.stat.bloomFilter("h", math.max(grams.count(), 1L), fpp)
+  def buildGramBloom(bench: DataFrame, n: Int, fpp: Double = 0.01): BloomFilter =
+    gramBloom(benchmarkGrams(bench, n), fpp)
+
+  /** The ONE sketch-build definition (hash choice, sizing count, fpp)
+    * over a ready gram frame — shared by [[buildGramBloom]] and
+    * [[bloomOverlapReport]] so the two can never drift apart on how the
+    * sketch is keyed or sized (a drift would not trip the oracle: the
+    * confirm join hides it). Sizing needs the gram count up front; the
+    * bench side is tiny by contract (an eval set vs a 100 TB corpus),
+    * so this extra action is in the same budget class as the broadcast
+    * build it replaces. Callers that reuse the gram frame should pass
+    * it cached.
+    */
+  private def gramBloom(grams: DataFrame, fpp: Double): BloomFilter = {
+    val h = grams.select(xxhash64(col("s")).as("h"))
+    h.stat.bloomFilter("h", math.max(grams.count(), 1L), fpp)
   }
 
   /** [[overlapReport]] with a Bloom PREFILTER between the corpus-side
@@ -123,10 +133,7 @@ object Decontamination {
     // execution (one rescan of a tiny side, zero cache residency).
     val bg = benchmarkGrams(bench, n)
     val cached = bg.cache()
-    val bloom = try {
-      val h = cached.select(xxhash64(col("s")).as("h"))
-      h.stat.bloomFilter("h", math.max(cached.count(), 1L), fpp)
-    } finally cached.unpersist()
+    val bloom = try gramBloom(cached, fpp) finally cached.unpersist()
     val candidates = docs.select(col("doc_id"),
         explode(TextOps.distinctShinglesOfText(col("text"), n)).as("s"))
       .filter(graft.functions.SketchExpressions

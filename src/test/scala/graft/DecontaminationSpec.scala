@@ -183,4 +183,27 @@ class DecontaminationSpec extends SparkSpec {
       .count()
     assert(misses === 0L)
   }
+
+  test("identically built bloom predicates are value-equal and canonicalize together") {
+    // Two expressions carrying byte-identical sketches must compare
+    // equal (content equality via SketchBytes, not array reference
+    // equality) — that's what lets Catalyst canonicalization, common
+    // subexpression elimination, and exchange reuse fire on plans that
+    // mention the same sketch twice.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val bench = Seq((1L, benchText)).toDF("doc_id", "text")
+    // build the sketch twice: two DISTINCT byte arrays with equal content
+    def pred() = {
+      val bos = new java.io.ByteArrayOutputStream()
+      Decontamination.buildGramBloom(bench, 4).writeTo(bos)
+      graft.functions.BloomMightContainLong(
+        Literal(7L), new graft.functions.SketchBytes(bos.toByteArray))
+    }
+    val (a, b) = (pred(), pred())
+    assert(!(a.sketch.bytes eq b.sketch.bytes), "test must exercise two arrays")
+    assert(a === b, "semantically identical bloom predicates must be equal")
+    assert(a.canonicalized === b.canonicalized,
+      "canonicalized forms must match for plan/exchange reuse")
+    assert(a.semanticEquals(b))
+  }
 }
