@@ -134,6 +134,166 @@ object Multimodal {
     if (off == payload.length) out.toSeq else Nil // trailing garbage: not a PGM container
   }
 
+  /** All frames of a concatenated-BMP container (each frame's declared
+    * file size delimits it), or Nil if the payload isn't one.
+    */
+  def decodeBmpFrames(payload: Array[Byte]): Seq[PgmImage] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[PgmImage]
+    var off = 0
+    var more = payload.nonEmpty
+    while (more) decodeBmpAt(payload, off) match {
+      case Some((img, next)) => out += img; off = next; more = off < payload.length
+      case None => more = false
+    }
+    if (out.nonEmpty && off == payload.length) out.toSeq else Nil
+  }
+
+  // ---- BMP (Windows bitmap) codec --------------------------------------
+  // Second genuine codec-free raster format: BITMAPFILEHEADER (14 bytes,
+  // 'BM' magic, little-endian u32 file size, u32 pixel-data offset) +
+  // BITMAPINFOHEADER (40 bytes) + optional palette + raster. Supported:
+  // uncompressed (BI_RGB) 8-bit paletted and 24-bit BGR, bottom-up
+  // (positive height, the common case) and top-down (negative height),
+  // 4-byte-padded rows — the layout every uncompressed .bmp writer
+  // emits. Decoded to the same grayscale PgmImage the PGM path uses
+  // (ITU-R 601 integer luma for color inputs), so resize / features /
+  // frame logic is codec-agnostic past the parser.
+
+  private def u16(p: Array[Byte], i: Int): Int =
+    (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+  private def u32(p: Array[Byte], i: Int): Long =
+    (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
+      ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
+  private def luma(r: Int, g: Int, b: Int): Byte =
+    ((r * 299 + g * 587 + b * 114) / 1000).toByte
+
+  /** Parse one BMP starting at `offset`; returns the grayscale image
+    * and the offset just past the declared file size, or None if the
+    * bytes are not a well-formed uncompressed 8/24-bit BMP.
+    */
+  def decodeBmpAt(payload: Array[Byte], offset: Int): Option[(PgmImage, Int)] = {
+    val o = offset
+    if (o + 54 > payload.length || payload(o) != 'B' || payload(o + 1) != 'M')
+      return None
+    val fileSize = u32(payload, o + 2)
+    val pixOff = u32(payload, o + 10)
+    val dibSize = u32(payload, o + 14)
+    if (dibSize != 40) return None // BITMAPINFOHEADER only
+    val width = u32(payload, o + 18).toInt
+    val rawHeight = u32(payload, o + 22).toInt // signed: <0 = top-down
+    val planes = u16(payload, o + 26)
+    val bpp = u16(payload, o + 28)
+    val compression = u32(payload, o + 30)
+    val topDown = rawHeight < 0
+    val height = math.abs(rawHeight)
+    if (width <= 0 || height <= 0 || planes != 1 || compression != 0L ||
+        (bpp != 8 && bpp != 24) || width.toLong * height > Int.MaxValue)
+      return None
+    val rowBytes = ((width.toLong * bpp / 8 + 3) / 4 * 4) // 4-byte padded
+    val rasterEnd = pixOff + rowBytes * height
+    if (pixOff < 54 || rasterEnd > payload.length - o || fileSize < rasterEnd ||
+        o + fileSize > payload.length)
+      return None
+    // 8-bit: palette sits between the headers and the raster
+    val paletteOff = o + 54
+    val paletteEntries = ((pixOff - 54) / 4).toInt
+    if (bpp == 8 && paletteEntries < 1) return None
+    val px = new Array[Byte](width * height)
+    var row = 0
+    while (row < height) {
+      val srcRow = if (topDown) row else height - 1 - row
+      val base = o + pixOff.toInt + (srcRow * rowBytes).toInt
+      var x = 0
+      while (x < width) {
+        px(row * width + x) =
+          if (bpp == 8) {
+            val idx = payload(base + x) & 0xff
+            if (idx >= paletteEntries) return None
+            val pe = paletteOff + idx * 4 // BGRA palette entry
+            luma(payload(pe + 2) & 0xff, payload(pe + 1) & 0xff, payload(pe) & 0xff)
+          } else {
+            val pe = base + x * 3 // BGR triple
+            luma(payload(pe + 2) & 0xff, payload(pe + 1) & 0xff, payload(pe) & 0xff)
+          }
+        x += 1
+      }
+      row += 1
+    }
+    Some((PgmImage(width, height, 255, px), o + fileSize.toInt))
+  }
+
+  def decodeBmp(payload: Array[Byte]): Option[PgmImage] =
+    decodeBmpAt(payload, 0).map(_._1)
+
+  /** Serialize as an 8-bit grayscale BMP: 256-entry identity-gray
+    * palette, bottom-up rows padded to 4 bytes — byte-exact round trip
+    * through [[decodeBmp]] (gray palette luma is the identity).
+    */
+  def encodeBmp(img: PgmImage): Array[Byte] = {
+    val rowBytes = (img.width + 3) / 4 * 4
+    val pixOff = 14 + 40 + 256 * 4
+    val fileSize = pixOff + rowBytes * img.height
+    val out = new Array[Byte](fileSize)
+    def putU16(i: Int, v: Int): Unit = { out(i) = v.toByte; out(i + 1) = (v >> 8).toByte }
+    def putU32(i: Int, v: Int): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+      out(i + 2) = (v >> 16).toByte; out(i + 3) = (v >> 24).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    putU32(2, fileSize); putU32(10, pixOff)
+    putU32(14, 40); putU32(18, img.width); putU32(22, img.height)
+    putU16(26, 1); putU16(28, 8); putU32(30, 0)
+    putU32(34, rowBytes * img.height)
+    var i = 0
+    while (i < 256) { // BGRA gray ramp
+      val b = i.toByte
+      out(54 + i * 4) = b; out(54 + i * 4 + 1) = b; out(54 + i * 4 + 2) = b
+      i += 1
+    }
+    var y = 0
+    while (y < img.height) {
+      val dst = pixOff + (img.height - 1 - y) * rowBytes // bottom-up
+      System.arraycopy(img.pixels, y * img.width, out, dst, img.width)
+      y += 1
+    }
+    out
+  }
+
+  /** Codec-dispatching single-image decode: PGM then BMP. The kernels
+    * below are format-agnostic past this point.
+    */
+  def decodeImage(payload: Array[Byte]): Option[PgmImage] =
+    decodePgm(payload).orElse(decodeBmp(payload))
+
+  /** Deterministic multi-frame P5 container for a document row — the
+    * zero-egress stand-in for a real media column. Frame dimensions and
+    * frame count derive from the doc's content hash / byte length by
+    * the SAME arithmetic the `multimodal_features` DuckDB oracle
+    * replays (width/height from the first two md5 hex chars, frames
+    * from length mod 7); pixels are filled from the hash bytes. The
+    * oracled query ENCODES with this and reports what
+    * [[decodePgmFrames]] reads back, so the hash gate exercises the
+    * real decoder, not the construction arithmetic.
+    */
+  def syntheticPgmContainer(contentHash: String, nBytes: Long): Array[Byte] = {
+    // dims kept small (16..44 px): decoder correctness is independent
+    // of raster size, and the oracled query re-encodes the whole corpus
+    // per run — pixels beyond what exercises the parser are pure cost
+    val w = 16 + (contentHash.charAt(0).toInt % 8) * 4
+    val h = 16 + (contentHash.charAt(1).toInt % 8) * 4
+    val nFrames = (nBytes % 7 + 1).toInt
+    val px = new Array[Byte](w * h)
+    var i = 0
+    while (i < px.length) {
+      px(i) = contentHash.charAt(i % contentHash.length).toByte; i += 1
+    }
+    val one = encodePgm(PgmImage(w, h, 255, px))
+    val out = new Array[Byte](one.length * nFrames)
+    var f = 0
+    while (f < nFrames) { System.arraycopy(one, 0, out, f * one.length, one.length); f += 1 }
+    out
+  }
+
   case class Asset(asset_id: Long, modality: String, payload: Array[Byte],
       source: String)
   case class AssetFeatures(asset_id: Long, modality: String, n_bytes: Long,
@@ -159,13 +319,14 @@ object Multimodal {
     hist
   }
 
-  /** REAL decode when the payload is a P5 image: 16-bin luminance
-    * histogram over the decoded PIXELS (bin = 16 * value / (maxval+1)),
-    * normalized by pixel count — header bytes never pollute the
-    * features. Falls back to [[decodeStub]] for anything else.
+  /** REAL decode when the payload is a P5 or BMP image: 16-bin
+    * luminance histogram over the decoded PIXELS (bin = 16 * value /
+    * (maxval+1)), normalized by pixel count — header bytes never
+    * pollute the features. Falls back to [[decodeStub]] for anything
+    * else.
     */
   def decodeFeatures(payload: Array[Byte]): Array[Float] =
-    decodePgm(payload) match {
+    decodeImage(payload) match {
       case Some(img) =>
         val hist = new Array[Float](FeatureDim)
         var i = 0
@@ -224,15 +385,20 @@ object Multimodal {
   case class Frame(asset_id: Long, frame_idx: Int, n_frames_total: Int,
       frame: Array[Byte])
 
-  /** Resize kernel: REAL nearest-neighbor pixel resample for P5
-    * payloads (output re-encoded as a w x h P5 image); byte-stride
-    * stand-in for payloads no codec-free parser covers. Pure
-    * bytes-in/bytes-out on both paths.
+  /** Resize kernel: REAL nearest-neighbor pixel resample for P5 and
+    * BMP payloads — output re-encoded in the INPUT's format (a .bmp in
+    * is a .bmp out), so a mixed-format asset column keeps per-row
+    * format stability through the pipeline. Byte-stride stand-in for
+    * payloads no codec-free parser covers. Pure bytes-in/bytes-out on
+    * every path.
     */
   def resizeKernel(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
     decodePgm(payload) match {
       case Some(img) => encodePgm(resizePgm(img, w, h))
-      case None => resizeStub(payload, w, h)
+      case None => decodeBmp(payload) match {
+        case Some(img) => encodeBmp(resizePgm(img, w, h))
+        case None => resizeStub(payload, w, h)
+      }
     }
 
   /** STUB resize for non-PGM payloads: deterministic byte-stride
@@ -287,7 +453,11 @@ object Multimodal {
       val pgmFrames = decodePgmFrames(a.payload)
       val frames =
         if (pgmFrames.nonEmpty) pgmFrames.map(encodePgm).toArray
-        else a.payload.grouped(frameBytes).toArray
+        else {
+          val bmpFrames = decodeBmpFrames(a.payload)
+          if (bmpFrames.nonEmpty) bmpFrames.map(encodeBmp).toArray
+          else a.payload.grouped(frameBytes).toArray
+        }
       frames.indices.collect {
         case i if i % stride == 0 => Frame(a.asset_id, i, frames.length, frames(i))
       }

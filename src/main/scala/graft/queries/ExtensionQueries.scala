@@ -921,20 +921,31 @@ object ExtensionQueries {
         .orderBy(col("shard"))
     }),
 
-    // Multimodal plumbing: opaque binary payload + typed metadata;
-    // "decode" is a deterministic md5-derived stand-in (real image/audio
-    // codecs aren't in this container) — the schema/partition/batch
-    // shape is the real part. See graft.operators.Multimodal for the
-    // typed mapPartitions decode path.
+    // Multimodal metadata through the REAL decoder: each doc gets a
+    // deterministic multi-frame P5 container (construction parameters =
+    // the md5 arithmetic the DuckDB oracle replays), and the reported
+    // width/height/n_frames are what Multimodal.decodePgmFrames reads
+    // BACK from the encoded bytes — an encode->decode round trip per
+    // row, partition-batched (the mapPartitions shape of the whole
+    // Multimodal family), so the hash gate fails if the codec misparses
+    // a header, miscounts a frame boundary, or drops a trailing frame.
     "multimodal_features" -> ((s, dir) => {
-      val blobHash = md5(col("text"))
+      import s.implicits._
       Tables.documents(s, dir)
         .select(col("doc_id"),
           octet_length(col("text")).cast("long").as("n_bytes"),
-          blobHash.as("content_hash"),
-          (lit(64) + pmod(ascii(blobHash.substr(1, 1)), lit(8)) * 16).cast("int").as("width"),
-          (lit(64) + pmod(ascii(blobHash.substr(2, 1)), lit(8)) * 16).cast("int").as("height"),
-          (pmod(octet_length(col("text")), lit(7)) + 1).cast("int").as("n_frames"))
+          md5(col("text")).as("content_hash"))
+        .as[(Long, Long, String)]
+        .mapPartitions { it =>
+          // codec init would happen here, once per partition
+          it.map { case (id, nBytes, hash) =>
+            val payload = graft.operators.Multimodal.syntheticPgmContainer(hash, nBytes)
+            val frames = graft.operators.Multimodal.decodePgmFrames(payload)
+            require(frames.nonEmpty, s"doc $id: synthetic container failed to decode")
+            (id, nBytes, hash, frames.head.width, frames.head.height, frames.length)
+          }
+        }
+        .toDF("doc_id", "n_bytes", "content_hash", "width", "height", "n_frames")
         .orderBy(col("doc_id"))
     })
   )
@@ -1289,8 +1300,8 @@ object ExtensionQueries {
        "LEFT JOIN cnt ON d.doc_id = cnt.tid ORDER BY d.doc_id"),
     "multimodal_features" ->
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS content_hash, " +
-       "CAST(64 + (ascii(substr(md5(text), 1, 1)) % 8) * 16 AS INT) AS width, " +
-       "CAST(64 + (ascii(substr(md5(text), 2, 1)) % 8) * 16 AS INT) AS height, " +
+       "CAST(16 + (ascii(substr(md5(text), 1, 1)) % 8) * 4 AS INT) AS width, " +
+       "CAST(16 + (ascii(substr(md5(text), 2, 1)) % 8) * 4 AS INT) AS height, " +
        "CAST(octet_length(encode(text)) % 7 + 1 AS INT) AS n_frames " +
        "FROM documents ORDER BY doc_id")
   )

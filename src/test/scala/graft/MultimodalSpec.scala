@@ -107,6 +107,81 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("BMP codec: encode/decode round-trip; 24-bit, top-down, and padding all parse") {
+    // 8-bit gray round trip (3 wide -> padded rows exercise the stride)
+    val img = Multimodal.PgmImage(3, 2, 255, Array[Byte](0, 10, 20, 30, 40, 50))
+    val bytes = Multimodal.encodeBmp(img)
+    val back = Multimodal.decodeBmp(bytes).get
+    assert(back.width === 3 && back.height === 2)
+    assert(back.pixels.toSeq === img.pixels.toSeq)
+    assert(back.pixel(1, 1) === 40)
+    // hand-built 24-bit BGR 2x2, bottom-up, rows padded to 8 bytes:
+    // file = 14 + 40 + 2 rows * 8; gray via integer ITU-R 601 luma
+    def u32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def u16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val header = "BM".getBytes("US-ASCII") ++ u32(70) ++ u32(0) ++ u32(54) ++
+      u32(40) ++ u32(2) ++ u32(2) ++ u16(1) ++ u16(24) ++ u32(0) ++ u32(16) ++
+      u32(0) ++ u32(0) ++ u32(0) ++ u32(0)
+    // bottom row first: pure blue, pure green | top row: pure red, white
+    val raster = Array[Byte](-1, 0, 0, 0, -1, 0, 0, 0, // (B,G,R)x2 + pad
+      0, 0, -1, -1, -1, -1, 0, 0)
+    val rgb = Multimodal.decodeBmp(header ++ raster).get
+    assert(rgb.width === 2 && rgb.height === 2)
+    // decoded top row = red(76), white(255); bottom row = blue(29), green(149)
+    assert(rgb.pixels.map(_ & 0xff).toSeq === Seq(76, 255, 29, 149))
+    // top-down variant (negative height) flips row order back to identical
+    val tdHeader = header.clone(); u32(-2).copyToArray(tdHeader, 22)
+    val tdRaster = Array[Byte](0, 0, -1, -1, -1, -1, 0, 0,
+      -1, 0, 0, 0, -1, 0, 0, 0)
+    val td = Multimodal.decodeBmp(tdHeader ++ tdRaster).get
+    assert(td.pixels.toSeq === rgb.pixels.toSeq)
+    // malformed inputs reject to the stub path, never mis-decode
+    assert(Multimodal.decodeBmp("BMnope".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.decodeBmp(header.dropRight(1)).isEmpty) // truncated raster
+  }
+
+  test("BMP resize and features run on real pixels through the shared kernels") {
+    // same 4x4 gradient as the PGM test, but landed as a BMP: the
+    // format-agnostic kernels must produce the same pixels, and the
+    // output must come back as a BMP (format stability per row)
+    val src = Multimodal.PgmImage(4, 4, 255, Array.tabulate(16)(_.toByte))
+    val assets = Seq(Multimodal.Asset(1L, "image",
+      Multimodal.encodeBmp(src), "s")).toDS()
+    val out = Multimodal.resize(assets, w = 2, h = 2).collect().head
+    val outImg = Multimodal.decodeBmp(out.payload).get
+    assert(outImg.pixels.toSeq === Seq[Byte](0, 2, 8, 10))
+    assert(Multimodal.decodePgm(out.payload).isEmpty, "BMP in must mean BMP out")
+    // features: 2x2 black/white BMP -> same histogram as its PGM twin
+    val bw = Multimodal.PgmImage(2, 2, 255, Array[Byte](0, 0, -1, -1))
+    val f = Multimodal.decodeFeatures(Multimodal.encodeBmp(bw))
+    assert(f(0) === 0.5f && f(Multimodal.FeatureDim - 1) === 0.5f)
+  }
+
+  test("BMP container frame sampling splits at declared file-size boundaries") {
+    val frames = (0 until 3).map(i =>
+      Multimodal.PgmImage(2, 1, 255, Array[Byte]((10 * i).toByte, (10 * i + 1).toByte)))
+    val container = frames.map(Multimodal.encodeBmp).reduce(_ ++ _)
+    val assets = Seq(Multimodal.Asset(7L, "video", container, "s")).toDS()
+    val got = Multimodal.sampleFrames(assets, frameBytes = 16, stride = 2)
+      .orderBy("frame_idx").collect()
+    assert(got.map(_.frame_idx).toSeq === Seq(0, 2))
+    assert(got.forall(_.n_frames_total === 3))
+    got.foreach { fr =>
+      val img = Multimodal.decodeBmp(fr.frame).get
+      assert(img.pixels.toSeq === frames(fr.frame_idx).pixels.toSeq)
+    }
+  }
+
+  test("synthetic PGM container encodes the md5-derived params the decoder reads back") {
+    val hash = "0123456789abcdef0123456789abcdef"
+    val payload = Multimodal.syntheticPgmContainer(hash, nBytes = 10L)
+    val frames = Multimodal.decodePgmFrames(payload)
+    assert(frames.length === (10 % 7 + 1))
+    assert(frames.head.width === 16 + ('0'.toInt % 8) * 4)
+    assert(frames.head.height === 16 + ('1'.toInt % 8) * 4)
+    assert(frames.forall(f => f.width === frames.head.width && f.height === frames.head.height))
+  }
+
   test("frame sampling fans one asset into strided frame rows") {
     val one = Multimodal.assetsFromDocuments(spark, sf0001)
       .filter(col("asset_id") === 1)
