@@ -3,11 +3,15 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scale-stress smoke: replicate the sf0.1 documents corpus 10x (50k
-  * docs, distinct doc_ids, shared content => heavy duplicate pressure)
-  * and run the dedup operator family end to end. Exercises exactly the
+/** Scale-stress smoke: replicate the sf0.1 documents corpus AND the
+  * embeddings table 10x (50k docs / 50k vectors, distinct ids, shared
+  * content => heavy duplicate pressure) and run the dedup, decon, and
+  * similarity operator families end to end. Exercises exactly the
   * pressure points the 100 TB design claims to handle: duplicate-heavy
-  * LSH buckets, hot shingles, pair-expansion volume.
+  * LSH buckets, hot shingles, pair-expansion volume, and — for the
+  * learned quantizer — whether the k ~ sqrt(n) sizing still bounds
+  * within-cell pair work when n grows 10x (the sum(c^2) audit below
+  * prints the actual candidate volume vs the quadratic ceiling).
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -16,25 +20,59 @@ object ScaleSmoke {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
 
+    val dir = java.nio.file.Files.createTempDirectory("big").toString
+    // id shift of 1e6 per replica: multiples of 50, so the % 50 == 0
+    // benchmark split of the decon queries lands identically in every
+    // replica (bench side also grows 10x — the broadcast must absorb it)
     val base = Tables.documents(spark, "/root/testdata/sf0.1")
-    val big = (0 until 10).map(k =>
+    (0 until 10).map(k =>
         base.withColumn("doc_id", col("doc_id") + lit(k * 1000000L)))
       .reduce(_.unionByName(_))
-    val dir = java.nio.file.Files.createTempDirectory("big").toString
-    big.write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    println(s"corpus: ${spark.read.parquet(s"$dir/documents.parquet").count()} docs")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val embBase = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    (0 until 10).map(k =>
+        embBase.withColumn("vec_id", col("vec_id") + lit(k * 1000000L)))
+      .reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    println(s"corpus: ${spark.read.parquet(s"$dir/documents.parquet").count()} docs, " +
+      s"${spark.read.parquet(s"$dir/embeddings.parquet").count()} vectors")
 
     for (q <- Seq("dedup_exact", "dedup_minhash", "dedup_simhash_pairs",
         "dedup_ngram_jaccard", "dedup_clusters", "dedup_gram_coverage",
         "text_fingerprint", "text_pack", "sample_stratified", "sample_mixture",
         "decon_ngram_overlap", "decon_bloom_prefilter", "decon_minhash_neardup",
         "text_pii_scrub", "corpus_hot_ngrams", "export_shard_stats",
-        "text_unigram_logprob", "text_chunks", "corpus_stats")) {
+        "text_unigram_logprob", "text_chunks", "corpus_stats",
+        // similarity family on the 10x embeddings (exact duplicates =
+        // the worst case for near-dup cosine: every replica pair scores
+        // 1.0, so candidate sets are maximally hot)
+        "sim_cosine_topk", "sim_ivf_topk", "sim_ivf_topk_trained",
+        "dedup_embedding_trained", "decon_embedding")) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).count()
       println(f"$q%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $n%10d rows")
     }
+
+    // Candidate-volume audit for the learned quantizer at 10x: the
+    // k ~ sqrt(n) rule claims within-cell pair work stays ~linear.
+    // Print the measured sum(cell^2) against n^2 — if replication
+    // collapsed the corpus into a few mega-cells this number says so.
+    val emb = Tables.embeddings(spark, dir)
+    val n = Tables.parquetRowCount(spark, s"$dir/embeddings.parquet")
+    val k = operators.Similarity.defaultK(n)
+    val idx = operators.Similarity.trainIvf(spark, emb, k, iters = 3)
+    val sizes = operators.Similarity
+      .assignCells(emb, operators.Similarity.centroidDf(spark, idx.centroids))
+      .groupBy("cell").count().as[(Int, Long)].collect()
+    val pairWork = sizes.map { case (_, c) => c * c }.sum
+    val quadratic = n * n
+    println(f"ivf_audit n=$n k=$k cells=${sizes.length} " +
+      f"sum_c2=$pairWork n2=$quadratic frac=${pairWork.toDouble / quadratic}%.5f " +
+      f"max_cell=${sizes.map(_._2).max}")
+    assert(pairWork < quadratic / 16,
+      s"10x quantizer degenerated: sum(c^2)=$pairWork vs n^2/16=${quadratic / 16}")
     spark.stop()
   }
 }
