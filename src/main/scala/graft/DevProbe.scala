@@ -89,7 +89,7 @@ object DevProbe {
     val df2 = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= TextOps.MaxBucket)
       .select(col("s"))
-    t("jacc_df_prefilter_list") {
+    def dfPrefilterPlan(): DataFrame = {
       val p = sh.join(broadcast(df2), Seq("s"))
         .groupBy(col("s"))
         .agg(collect_list(col("dn")).as("ids"))
@@ -99,8 +99,9 @@ object DevProbe {
           greatest(col("p0.a"), col("p0.b")).as("pb"))
         .filter(col("pa") < col("pb"))
         .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("i"))
-      finish(p).count()
+      finish(p)
     }
+    t("jacc_df_prefilter_list") { dfPrefilterPlan().count() }
     t("jacc_df_selfjoin") {
       val p0 = sh.join(broadcast(df2), Seq("s"))
       val a = p0.select(col("s"), col("dn").as("pa"))
@@ -123,18 +124,8 @@ object DevProbe {
         .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("i"))
       finish(p).count()
     }
-    t("jacc_df_prefilter_rep2") {
-      val p = sh.join(broadcast(df2), Seq("s"))
-        .groupBy(col("s"))
-        .agg(collect_list(col("dn")).as("ids"))
-        .filter(size(col("ids")) > 1)
-        .select(explode(TextOps.pairCombinations(col("ids"))).as("p0"))
-        .select(least(col("p0.a"), col("p0.b")).as("pa"),
-          greatest(col("p0.a"), col("p0.b")).as("pb"))
-        .filter(col("pa") < col("pb"))
-        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("i"))
-      finish(p).count()
-    }
+    // second placement of the same plan: measures run-order effects only
+    t("jacc_df_prefilter_rep2") { dfPrefilterPlan().count() }
     t("df2_size") { df2.count() }
     t("sh_size") { sh.count() }
 

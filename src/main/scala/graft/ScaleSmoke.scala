@@ -59,6 +59,9 @@ object ScaleSmoke {
     // k ~ sqrt(n) rule claims within-cell pair work stays ~linear.
     // Print the measured sum(cell^2) against n^2 — if replication
     // collapsed the corpus into a few mega-cells this number says so.
+    // This deliberately RETRAINS its own index rather than sharing one
+    // with the black-box query entries above: the audit must measure
+    // the same defaultK/trainIvf path production calls, in isolation.
     val emb = Tables.embeddings(spark, dir)
     val n = Tables.parquetRowCount(spark, s"$dir/embeddings.parquet")
     val k = operators.Similarity.defaultK(n)

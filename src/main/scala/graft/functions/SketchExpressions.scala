@@ -11,6 +11,26 @@ import org.apache.spark.sql.graft.bridge
 import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType, StringType}
 import org.apache.spark.util.sketch.BloomFilter
 
+/** Content-equal wrapper for serialized sketch bytes. A bare
+  * Array[Byte] field in a case-class Expression compares by REFERENCE,
+  * so two semantically identical predicates never compare equal — which
+  * blocks Catalyst canonicalization, common-subexpression elimination,
+  * and exchange reuse for any plan that mentions the same sketch twice.
+  * Wrapping the bytes restores value equality (and a stable hashCode)
+  * without copying them.
+  */
+final class SketchBytes(val bytes: Array[Byte]) extends Serializable {
+  override def equals(o: Any): Boolean = o match {
+    case s: SketchBytes => java.util.Arrays.equals(bytes, s.bytes)
+    case _ => false
+  }
+  // computed once: Catalyst hashes expressions repeatedly during
+  // analysis/optimization, and the sketch can be hundreds of KB
+  private val hc: Int = java.util.Arrays.hashCode(bytes)
+  override def hashCode: Int = hc
+  override def toString: String = s"<${bytes.length} sketch bytes>"
+}
+
 /** Membership test against a pre-built Bloom filter, shipped to
   * executors as part of the expression itself (the serialized sketch
   * bytes ride in the plan, the way a broadcast literal would). This is
@@ -28,23 +48,6 @@ import org.apache.spark.util.sketch.BloomFilter
   * gate is a pure prefilter — composing it with an exact join yields
   * exactly the unfiltered join's result.
   */
-/** Content-equal wrapper for serialized sketch bytes. A bare
-  * Array[Byte] field in a case-class Expression compares by REFERENCE,
-  * so two semantically identical predicates never compare equal — which
-  * blocks Catalyst canonicalization, common-subexpression elimination,
-  * and exchange reuse for any plan that mentions the same sketch twice.
-  * Wrapping the bytes restores value equality (and a stable hashCode)
-  * without copying them.
-  */
-final class SketchBytes(val bytes: Array[Byte]) extends Serializable {
-  override def equals(o: Any): Boolean = o match {
-    case s: SketchBytes => java.util.Arrays.equals(bytes, s.bytes)
-    case _ => false
-  }
-  override def hashCode: Int = java.util.Arrays.hashCode(bytes)
-  override def toString: String = s"<${bytes.length} sketch bytes>"
-}
-
 case class BloomMightContainLong(child: Expression, sketch: SketchBytes)
     extends UnaryExpression {
 

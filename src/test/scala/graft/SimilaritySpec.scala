@@ -140,11 +140,18 @@ class SimilaritySpec extends SparkSpec {
     def jobsOf(group: String)(body: => Unit): Int = {
       spark.sparkContext.setJobGroup(group, group, interruptOnCancel = false)
       try body finally spark.sparkContext.clearJobGroup()
-      // statusTracker is fed by an async listener bus; poll until stable
-      var last = -1; var cur = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
-      while (cur != last) { last = cur; Thread.sleep(100)
-        cur = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length }
-      cur
+      // statusTracker is fed by an async listener bus; a single
+      // two-poll agreement can latch a stale count if the bus lags one
+      // interval, so require the count stable across THREE consecutive
+      // 200 ms polls (a 400 ms quiet window) before trusting it
+      def poll() = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+      var stable = 0; var last = poll()
+      while (stable < 2) {
+        Thread.sleep(200)
+        val cur = poll()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+      last
     }
     val k = Similarity.defaultK(n)
     val hinted = jobsOf("ivf-nhint") {
