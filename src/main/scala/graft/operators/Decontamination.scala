@@ -90,21 +90,34 @@ object Decontamination {
     * by the exact confirm join.
     */
   def buildGramBloom(bench: DataFrame, n: Int, fpp: Double = 0.01): BloomFilter =
-    gramBloom(benchmarkGrams(bench, n), fpp)
+    gramBloom(rawGramStream(bench, n), fpp)
+
+  /** The NON-distinct exploded gram stream of a corpus — input to the
+    * sketch build, which deduplicates at the HASH level instead.
+    */
+  private def rawGramStream(docs: DataFrame, n: Int): DataFrame =
+    docs.select(explode(TextOps.distinctShinglesOfText(col("text"), n)).as("s"))
 
   /** The ONE sketch-build definition (hash choice, sizing count, fpp)
-    * over a ready gram frame — shared by [[buildGramBloom]] and
-    * [[bloomOverlapReport]] so the two can never drift apart on how the
-    * sketch is keyed or sized (a drift would not trip the oracle: the
-    * confirm join hides it). Sizing needs the gram count up front; the
-    * bench side is tiny by contract (an eval set vs a 100 TB corpus),
-    * so this extra action is in the same budget class as the broadcast
-    * build it replaces. Callers that reuse the gram frame should pass
-    * it cached.
+    * over a gram frame (distinct or not) — shared by [[buildGramBloom]]
+    * and [[bloomOverlapReport]] so the two can never drift apart on how
+    * the sketch is keyed or sized (a drift would not trip the oracle:
+    * the confirm join hides it).
+    *
+    * Dedup happens on `xxhash64(s)` LONGS, not gram strings: the
+    * sketch's membership set — the distinct hash set — is identical
+    * either way (hashing commutes with dedup), but the distinct's
+    * shuffle carries 8-byte keys with map-side partial aggregation
+    * instead of ~60-byte gram text; at a 10x duplicate-heavy bench this
+    * was the dominant cost of the whole bloom path. Sizing needs the
+    * distinct count up front; the deduped hash set is tiny by contract
+    * (an eval set vs a 100 TB corpus), so the extra action runs over a
+    * frame the cache already holds.
     */
-  private def gramBloom(grams: DataFrame, fpp: Double): BloomFilter = {
-    val h = grams.select(xxhash64(col("s")).as("h"))
-    h.stat.bloomFilter("h", math.max(grams.count(), 1L), fpp)
+  private def gramBloom(gramStream: DataFrame, fpp: Double): BloomFilter = {
+    val h = gramStream.select(xxhash64(col("s")).as("h")).distinct().cache()
+    try h.stat.bloomFilter("h", math.max(h.count(), 1L), fpp)
+    finally h.unpersist()
   }
 
   /** [[overlapReport]] with a Bloom PREFILTER between the corpus-side
@@ -126,14 +139,14 @@ object Decontamination {
     */
   def bloomOverlapReport(docs: DataFrame, bench: DataFrame, n: Int,
       fpp: Double = 0.01): DataFrame = {
-    // The gram set feeds THREE consumers (sizing count, sketch build,
-    // confirm join); cache it so the bench side is shingled once, not
-    // three times, and release the cache once the two eager consumers
-    // are done — the confirm join re-derives it lazily at query
-    // execution (one rescan of a tiny side, zero cache residency).
+    // The sketch builds from the raw gram stream (gramBloom dedups at
+    // the hash level and caches only the deduped longs for its sizing
+    // count); the string-distinct gram set is derived lazily at query
+    // execution as the confirm join's broadcast side — the bench side
+    // is shingled twice in total, both passes map-side-cheap, neither
+    // shuffling gram text for the sketch.
     val bg = benchmarkGrams(bench, n)
-    val cached = bg.cache()
-    val bloom = try gramBloom(cached, fpp) finally cached.unpersist()
+    val bloom = gramBloom(rawGramStream(bench, n), fpp)
     val candidates = docs.select(col("doc_id"),
         explode(TextOps.distinctShinglesOfText(col("text"), n)).as("s"))
       .filter(graft.functions.SketchExpressions
