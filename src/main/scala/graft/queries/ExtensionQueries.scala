@@ -808,6 +808,38 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Span-level exact dedup (the actionable form of substring-level
+    // dedup a la "Deduplicating Training Data Makes Language Models
+    // Better"): per doc, how many of its NON-OVERLAPPING 32-token
+    // spans occur verbatim in at least one OTHER document — repeated
+    // spans are boilerplate (headers, footers, licence blocks) a
+    // curation pass cuts at the span, not the document. Same two-agg
+    // shape as dedup_gram_coverage at chunk granularity: spans come
+    // from the native WordChunks scan (stride = size, map-side), the
+    // document-frequency agg and the join back are both keyed on the
+    // 8-byte xxhash64 of the span, and the join build side is the
+    // one-row-per-repeated-span df table — hot spans cost linear rows,
+    // never a pair expansion. Totality base = a fresh pruned scan,
+    // denominator from the same chunk definition.
+    "dedup_span_exact" -> ((s, dir) => {
+      def spans(c: Column) = graft.functions.TextExpressions.word_chunks(c, 32, 32)
+      val ch = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(spans(col("text"))).as("chunk"))
+        .select(col("doc_id"), xxhash64(col("chunk")).as("h"))
+      val df = ch.groupBy(col("h"))
+        .agg(count_distinct(col("doc_id")).as("df"))
+      val shared = ch.join(df.filter(col("df") >= 2), Seq("h"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_spans"))
+      Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), size(spans(col("text"))).cast("long").as("n_spans"))
+        .join(shared, Seq("doc_id"), "left")
+        .withColumn("n_dup_spans", coalesce(col("n_dup_spans"), lit(0L)))
+        .withColumn("dup_frac", round(col("n_dup_spans") / col("n_spans"), 6))
+        .withColumn("is_span_dup", (col("dup_frac") >= 0.5).cast("int"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus report card: the per-source health dashboard every
     // pipeline run opens with — doc counts, token spend, language
     // spread, and how much survives the quality gate (the SAME
@@ -1221,6 +1253,21 @@ object ExtensionQueries {
        "SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, " +
        "CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_chunk_tokens, chunk " +
        "FROM c ORDER BY doc_id, chunk_idx"),
+    "dedup_span_exact" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents WHERE text IS NOT NULL), " +
+       "n AS (SELECT doc_id, ws, CASE WHEN len(ws) <= 32 THEN 1 " +
+       "ELSE CAST(ceil((len(ws) - 32) / 32.0) AS BIGINT) + 1 END nch FROM t), " +
+       "c AS (SELECT doc_id, " +
+       "array_to_string(ws[(i-1)*32+1 : least((i-1)*32+32, len(ws))], ' ') chunk " +
+       "FROM n, LATERAL (SELECT unnest(generate_series(1, nch)) i)), " +
+       "df AS (SELECT chunk, COUNT(DISTINCT doc_id) ddf FROM c GROUP BY chunk), " +
+       "sh AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) nd FROM c JOIN df USING (chunk) " +
+       "WHERE ddf >= 2 GROUP BY doc_id) " +
+       "SELECT n.doc_id, CAST(nch AS BIGINT) AS n_spans, " +
+       "COALESCE(nd, CAST(0 AS BIGINT)) AS n_dup_spans, " +
+       "round(COALESCE(nd, 0) / nch, 6) AS dup_frac, " +
+       "CAST(CASE WHEN COALESCE(nd, 0) / nch >= 0.5 THEN 1 ELSE 0 END AS INT) AS is_span_dup " +
+       "FROM n LEFT JOIN sh ON n.doc_id = sh.doc_id ORDER BY n.doc_id"),
     "text_unigram_logprob" ->
       ("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents), " +
        "v AS (SELECT w, COUNT(*) cnt FROM t GROUP BY w), " +
