@@ -93,8 +93,9 @@ object Bench {
     // A tail capture always keeps the LAST line, so the headline total is
     // repeated in a short self-contained line AFTER the big detail line:
     // even if the per-query map above is truncated away again, the
-    // round's total stays machine-readable.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"n_oracled":${results.size},"n_errors":${allErrors.size},"sf":"$sfDir","note":"compact restatement of the previous line's total"}""")
+    // round's total stays machine-readable. Named total_compact so a
+    // "metric":"total" matcher can never pick this line over the full one.
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_oracled":${results.size},"n_errors":${allErrors.size},"sf":"$sfDir"}""")
     spark.stop()
     // An oracled query that failed both reps means the headline total is
     // missing a term — fail the run loudly rather than report a deflated
