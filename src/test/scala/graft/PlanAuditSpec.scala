@@ -166,6 +166,31 @@ class PlanAuditSpec extends SparkSpec {
       s"token stream shuffled for the vocab join:\n${joinLines.mkString("\n")}")
   }
 
+  test("ngram jaccard pays ONE posting-list shuffle: df window fused into the bucket exchange") {
+    // the plan must be: Exchange(s) -> Sort -> Window(df) -> Filter ->
+    // collect_list agg WITH NO OWN EXCHANGE (distribution satisfied by
+    // the window's), then only the small pair-count and ORDER BY
+    // exchanges. A separate df aggregate + semi-join prefilter (or an
+    // agg that re-shuffles) pushes the Exchange count past 3.
+    val p = plan("dedup_ngram_jaccard")
+    assert(p.contains("Window"), s"df window prefilter missing:\n$p")
+    val n = p.linesIterator.count(_.contains("Exchange "))
+    assert(n <= 3,
+      s"expected posting + pair-count + sort exchanges only, got $n:\n$p")
+  }
+
+  test("span dedup is join-backed, never a pair expansion") {
+    // spans explode exactly twice (df side + totality base); the
+    // repeated-span join must stay hash-based row-per-match — any
+    // Generate beyond the two chunk explodes or a nested-loop join
+    // means someone reintroduced quadratic pair work.
+    val p = plan("dedup_span_exact")
+    val generates = p.linesIterator.count(_.contains("Generate explode"))
+    assert(generates === 2, s"expected exactly the two chunk explodes, got $generates:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span join degenerated to a nested loop:\n$p")
+  }
+
   test("minhash signatures shuffle only at banding, not before") {
     // native MinHashSlices means NO groupBy(doc_id) aggregation stage:
     // the plan must not contain a doc_id hash aggregate before banding
