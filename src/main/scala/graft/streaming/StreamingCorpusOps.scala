@@ -163,6 +163,45 @@ object StreamingCorpusOps {
   def piiScrub(docs: DataFrame): DataFrame =
     docs.withColumn("text", graft.operators.TextOps.scrubPii(col("text")))
 
+  /** Ingest-time boilerplate-span scrub — the ACT-ON-THE-SIGNAL twin of
+    * the batch `dedup_span_exact` report: spans from `blockedSpans`
+    * (non-overlapping `size`-token windows, the report's exact chunk
+    * definition — build the list from the report's repeated spans) are
+    * CUT from arriving text, the surviving spans re-joined in order.
+    * Headers, footers, and licence blocks die at the span, so the doc
+    * survives curation instead of being dropped whole.
+    *
+    * Same cost model as [[deconGate]]: a driver-built Bloom over the
+    * blocked spans screens each doc map-side in O(its spans); only
+    * screen-positive docs (actual hits + the ~1% false-positive tail)
+    * pay the exact per-span membership filter, and only docs that
+    * actually LOSE a span are rebuilt — a clean doc's text passes
+    * through byte-identical (never re-normalized). Stateless and
+    * codegen'd end to end; identical on batch and stream. Output adds
+    * `spans_cut` (how many spans were removed) for pipeline telemetry.
+    */
+  def spanScrub(docs: DataFrame, blockedSpans: Array[String],
+      size: Int = 32): DataFrame = {
+    val bloom = org.apache.spark.util.sketch.BloomFilter
+      .create(math.max(blockedSpans.length, 1).toLong, 0.01)
+    blockedSpans.foreach(bloom.putString)
+    val spans = graft.functions.TextExpressions.word_chunks(col("text"), size, size)
+    val kept = filter(spans, c => !array_contains(typedlit(blockedSpans), c))
+    docs
+      .withColumn("__hit", coalesce(
+        graft.functions.SketchExpressions.bloom_might_contain_any(bloom, spans),
+        lit(false)))
+      .withColumn("spans_cut",
+        when(col("__hit"), size_(spans) - size_(kept)).otherwise(lit(0)).cast("int"))
+      .withColumn("text",
+        when(col("spans_cut") > 0, array_join(kept, " ")).otherwise(col("text")))
+      .drop("__hit")
+  }
+
+  // functions.size, aliased: the param name `size` shadows it above
+  private def size_(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.size(c)
+
   /** Streaming exact dedup on the content key: the first arrival of a
     * text wins, replays and later clones are dropped by per-key state.
     * With a watermarked `ts` column upstream, swap to

@@ -132,6 +132,42 @@ class StreamingCorpusSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("span scrub cuts blocklisted spans at ingest, passes clean docs byte-identical") {
+    // 8-token spans keep the fixture readable; the op is size-generic
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ")
+    val body = (1 to 8).map(i => s"c$i").mkString(" ")
+    val tail = "t1 t2 t3"
+    val blocked = Array(boiler)
+    // doc 1: boilerplate is its SECOND span -> only that span cut;
+    // doc 2: clean, but oddly spaced -> must pass through byte-identical
+    //        (a rebuilt doc would be whitespace-renormalized);
+    // doc 3: null text -> total, untouched
+    val oddlySpaced = s"a  b   c $body"
+    val docs = Seq(
+      (1L, s"$body $boiler $tail"),
+      (2L, oddlySpaced),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = StreamingCorpusOps.spanScrub(docs, blocked, size = 8)
+      .orderBy("doc_id").select("doc_id", "text", "spans_cut")
+      .as[(Long, String, Int)].collect().toSeq
+    assert(got(0) === ((1L, s"$body $tail", 1)))
+    assert(got(1) === ((2L, oddlySpaced, 0)), "clean doc must not be re-normalized")
+    assert(got(2)._2 === null && got(2)._3 === 0)
+
+    // stream twin: stateless op, identical rows through a MemoryStream
+    val in = MemoryStream[Doc]
+    val q = StreamingCorpusOps.spanScrub(in.toDF(), blocked, size = 8)
+      .writeStream.format("memory").queryName("span_t1")
+      .outputMode(OutputMode.Append).trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(Doc(1L, s"$body $boiler $tail"), Doc(2L, oddlySpaced))
+      drain(q)
+      val streamed = spark.sql("SELECT doc_id, text, spans_cut FROM span_t1 ORDER BY doc_id")
+        .as[(Long, String, Int)].collect().toSeq
+      assert(streamed === got.take(2))
+    } finally q.stop()
+  }
+
   test("token-budget gate admits greedily per shard and persists spend across batches") {
     import graft.streaming.StreamingCorpusOps.SrcDoc
     // 4-char words => 1 subword each; "w w w w" = 4 tokens = 4 subwords
