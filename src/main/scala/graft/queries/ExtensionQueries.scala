@@ -643,6 +643,40 @@ object ExtensionQueries {
         .orderBy(col("source"))
     }),
 
+    // Temperature-scaled source mixing (the XLM-R / Pile alpha-scaling
+    // recipe, alpha = 1/T = 0.5): per-source sampling share
+    // proportional to sqrt(n_s), so small sources are UP-weighted
+    // relative to their natural frequency and no single giant source
+    // dominates the mix. Keep rate r_s = share_s * budget / n_s,
+    // decided per doc by the same portable hash coin as
+    // sample_mixture. Scale shape: the per-source count agg is tiny
+    // (one row per source), S and the budget resolve in a 1-row
+    // broadcast, and the per-doc decision is a broadcast join + coin —
+    // pure map-side over the corpus. Cross-engine determinism: the
+    // sqrt weights are integerized (round(sqrt(n)*1000)) so the
+    // normalizing SUM is an ORDER-FREE integer sum, and the final
+    // threshold is an integer in [0, 1e6] compared against an integer
+    // coin — no float accumulates across rows on either engine.
+    "sample_temperature" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("w", round(sqrt(col("n_docs")) * 1000).cast("long"))
+      val tot = counts.agg(sum(col("w")).as("sw"), sum(col("n_docs")).as("n"))
+      val rates = counts.crossJoin(broadcast(tot))
+        .withColumn("budget", floor(col("n") / 5).cast("long"))
+        .withColumn("thr", least(
+          round(col("w").cast("double") / col("sw") * col("budget") / col("n_docs") * 1000000).cast("long"),
+          lit(1000000L)))
+        .select(col("source"), col("thr"))
+      val coin = pmod(TextOps.portableHash32(col("doc_id")), lit(1000000L))
+      docs.join(broadcast(rates), Seq("source"))
+        .withColumn("kept", (coin < col("thr")).cast("int"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"),
+          first(col("thr")).as("thr"))
+        .orderBy(col("source"))
+    }),
+
     // Benchmark decontamination: flag training docs sharing a verbatim
     // 8-gram with the held-out benchmark split (doc_id % 50 == 0 — the
     // deterministic stand-in for a real eval set). Benchmark gram set is
@@ -1217,6 +1251,18 @@ object ExtensionQueries {
        "WHEN source IN ('src5','src6','src7') THEN 0.25 ELSE 0.5 END) * 1000 " +
        "THEN 1 ELSE 0 END AS INT) kept FROM documents) " +
        "GROUP BY source ORDER BY source"),
+    "sample_temperature" ->
+      ("WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) n_docs FROM documents GROUP BY source), " +
+       "w AS (SELECT source, n_docs, CAST(round(sqrt(n_docs) * 1000) AS BIGINT) w FROM c), " +
+       "t AS (SELECT CAST(SUM(w) AS BIGINT) sw, CAST(SUM(n_docs) AS BIGINT) n FROM w), " +
+       "r AS (SELECT source, n_docs, least(CAST(round(" +
+       "CAST(w AS DOUBLE) / sw * CAST(floor(n / 5) AS BIGINT) / n_docs * 1000000" +
+       ") AS BIGINT), 1000000) thr FROM w, t), " +
+       "k AS (SELECT d.source, r.thr, CAST(CASE WHEN " +
+       "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 < r.thr " +
+       "THEN 1 ELSE 0 END AS INT) kept FROM documents d JOIN r USING (source)) " +
+       "SELECT source, COUNT(*) AS n_docs, CAST(SUM(kept) AS BIGINT) AS n_kept, " +
+       "CAST(MIN(thr) AS BIGINT) AS thr FROM k GROUP BY source ORDER BY source"),
     "decon_ngram_overlap" -> deconNgramOverlapSql,
     // The bloom-prefiltered plan is result-identical by construction
     // (pure prefilter + exact confirm join), so it shares the ONE decon

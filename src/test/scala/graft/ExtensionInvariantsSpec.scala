@@ -290,6 +290,25 @@ class ExtensionInvariantsSpec extends SparkSpec {
     assert(got === Seq((1L, 2L, 1L), (2L, 1L, 1L), (3L, 2L, 2L), (4L, 2L, 2L)))
   }
 
+  test("temperature sampling up-weights small sources (alpha = 0.5)") {
+    // 100-doc srcA vs 4-doc srcB: sqrt weights 10000 vs 2000 (milli-
+    // integerized), budget = floor(104/5) = 20, so keep thresholds are
+    // round(10/12 * 20/100 * 1e6) = 166667 for the giant source and
+    // round(2/12 * 20/4 * 1e6) = 833333 for the small one — the small
+    // source samples at ~5x the giant's rate, which is the whole point
+    // of temperature scaling.
+    val dir = java.nio.file.Files.createTempDirectory("tempmix").toString
+    val docs = ((1 to 100).map(i => (i.toLong, "srcA")) ++
+        (101 to 104).map(i => (i.toLong, "srcB")))
+      .toDF("doc_id", "source")
+    docs.write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("sample_temperature")(spark, dir)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._4))).toMap
+    assert(got("srcA") === ((100L, 166667L)))
+    assert(got("srcB") === ((4L, 833333L)))
+  }
+
   test("property: firstPerKey is idempotent") {
     import graft.operators.RcOps
     val ev = Tables.events(spark, sf0001)

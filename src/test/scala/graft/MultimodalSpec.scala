@@ -172,6 +172,27 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("property: BMP and PGM encode/decode round-trip any image") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check => scCheck, Parameters}
+    val genImg = for {
+      w <- Gen.choose(1, 37) // odd widths exercise BMP row padding
+      h <- Gen.choose(1, 19)
+      px <- Gen.containerOfN[Array, Byte](w * h, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield Multimodal.PgmImage(w, h, 255, px)
+    val prop = Prop.forAll(genImg) { img =>
+      val viaBmp = Multimodal.decodeBmp(Multimodal.encodeBmp(img)).get
+      val viaPgm = Multimodal.decodePgm(Multimodal.encodePgm(img)).get
+      viaBmp.width == img.width && viaBmp.height == img.height &&
+        java.util.Arrays.equals(viaBmp.pixels, img.pixels) &&
+        java.util.Arrays.equals(viaPgm.pixels, img.pixels) &&
+        // cross-codec agreement: both decoders feed the same kernels
+        Multimodal.decodeImage(Multimodal.encodeBmp(img)).get.pixels.toSeq ==
+          Multimodal.decodeImage(Multimodal.encodePgm(img)).get.pixels.toSeq
+    }
+    assert(scCheck(Parameters.default.withMinSuccessfulTests(50), prop).passed)
+  }
+
   test("synthetic PGM container encodes the md5-derived params the decoder reads back") {
     val hash = "0123456789abcdef0123456789abcdef"
     val payload = Multimodal.syntheticPgmContainer(hash, nBytes = 10L)
