@@ -191,6 +191,19 @@ class PlanAuditSpec extends SparkSpec {
       s"span join degenerated to a nested loop:\n$p")
   }
 
+  test("temperature mixing decides per doc via a broadcast rates join") {
+    // the per-source rates dim is one row per source — the corpus-side
+    // decision must be a broadcast join + hash coin, never a shuffle
+    // of the corpus on `source` (low cardinality = skew city)
+    val p = plan("sample_temperature")
+    val joinLines = p.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joinLines.exists(_.contains("BroadcastHashJoin")),
+      s"rates join should broadcast:\n${joinLines.mkString("\n")}")
+    assert(!joinLines.exists(l =>
+        (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")) && l.contains("[source#")),
+      s"corpus shuffled on the low-cardinality source key:\n${joinLines.mkString("\n")}")
+  }
+
   test("minhash signatures shuffle only at banding, not before") {
     // native MinHashSlices means NO groupBy(doc_id) aggregation stage:
     // the plan must not contain a doc_id hash aggregate before banding
