@@ -144,6 +144,68 @@ case class BloomMightContainAnyString(child: Expression, sketch: SketchBytes)
     copy(child = newChild)
 }
 
+/** Content-equal holder for an exact string set carried in a plan.
+  * Serialized as a sorted Array[String] (deterministic equality /
+  * hashCode); the probe-side HashSet of UTF8Strings is rebuilt lazily
+  * once per JVM, never shipped.
+  */
+final class StringSet(strings0: Array[String]) extends Serializable {
+  val strings: Array[String] = {
+    val s = strings0.clone(); java.util.Arrays.sort(s.asInstanceOf[Array[AnyRef]]); s
+  }
+  @transient lazy val probe: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = {
+    val h = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](strings.length * 2)
+    strings.foreach(s => h.add(org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+    h
+  }
+  override def equals(o: Any): Boolean = o match {
+    case s: StringSet => java.util.Arrays.equals(
+      strings.asInstanceOf[Array[AnyRef]], s.strings.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  private val hc: Int = java.util.Arrays.hashCode(strings.asInstanceOf[Array[AnyRef]])
+  override def hashCode: Int = hc
+  override def toString: String = s"<string set of ${strings.length}>"
+}
+
+/** EXACT set membership against a driver-built string set riding in
+  * the plan — the confirm-side sibling of the Bloom screens above: one
+  * O(1) hash probe per value instead of the O(|set|) scan an
+  * `array_contains(typedlit(...), x)` literal pays per row, and the
+  * plan/canonicalization sees one compact reference object instead of
+  * a giant literal array. Composes inside higher-order-function
+  * lambdas (the child is just an expression), staying in whole-stage
+  * codegen. The set must be driver-bounded (a blocklist, an eval-set
+  * distillate) — corpus-scale sets belong in a join.
+  */
+case class InStringSet(child: Expression, set: StringSet)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"in_string_set requires a string input, got ${child.dataType.sql}")
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "in_string_set"
+
+  /** Row-level entry point shared by eval and generated code. */
+  def test(v: org.apache.spark.unsafe.types.UTF8String): Boolean = set.probe.contains(v)
+
+  override def nullSafeEval(input: Any): Any =
+    test(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stringSetPred", this, classOf[InStringSet].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.test($c)")
+  }
+
+  override def toString: String = s"in_string_set($child, $set)"
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object SketchExpressions {
 
   private def serialize(bloom: BloomFilter): Array[Byte] = {
@@ -163,4 +225,11 @@ object SketchExpressions {
     */
   def bloom_might_contain_any(bloom: BloomFilter, arr: Column): Column =
     bridge.column(BloomMightContainAnyString(bridge.expression(arr), new SketchBytes(serialize(bloom))))
+
+  /** Exact membership of a string column value in a driver-built set
+    * (O(1) probe; see [[InStringSet]]). `set` is shared across calls —
+    * build it once per plan, not per column use.
+    */
+  def in_string_set(set: StringSet, v: Column): Column =
+    bridge.column(InStringSet(bridge.expression(v), set))
 }

@@ -122,6 +122,36 @@ object TextOps {
         size(col("ids")).cast("long").as("bucket_size"),
         (size(col("ids")) - cap).cast("long").as("n_dropped"))
 
+  /** The repeated-span TABLE behind the `dedup_span_exact` report:
+    * every non-overlapping `size`-token span occurring in >= `minDf`
+    * distinct documents, with its document frequency — the df >= 2
+    * span STRINGS the per-doc report counts but does not emit. This is
+    * the query that turns the report's signal into an actionable
+    * blocklist (see `StreamingCorpusOps.spanScrub`). Shape: one native
+    * WordChunks explode + one df aggregate keyed on the span — hot
+    * spans cost one row each.
+    */
+  def repeatedSpans(docs: org.apache.spark.sql.DataFrame, size: Int = 32,
+      minDf: Long = 2L): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
+        explode(graft.functions.TextExpressions.word_chunks(col("text"), size, size))
+          .as("span"))
+      .groupBy(col("span"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+
+  /** Driver-side blocklist build: the `limit` hottest repeated spans
+    * (df desc, span text tie-break for determinism) as an array for
+    * `spanScrub`. The limit keeps the collect bounded by policy — a
+    * blocklist is the hot boilerplate tail, not every duplicate.
+    */
+  def collectRepeatedSpans(docs: org.apache.spark.sql.DataFrame, size: Int = 32,
+      minDf: Long = 2L, limit: Int = 10000): Array[String] =
+    repeatedSpans(docs, size, minDf)
+      .orderBy(col("df").desc, col("span"))
+      .limit(limit)
+      .select(col("span")).collect().map(_.getString(0))
+
   /** The ONE MinHash banding projection — shared by the batch
     * `dedup_minhash` query, the streaming bucket state
     * (`StreamingCorpusOps.bandRows`), and cross-corpus decontamination

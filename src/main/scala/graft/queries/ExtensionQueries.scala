@@ -1312,7 +1312,10 @@ object ExtensionQueries {
        "SELECT n.doc_id, CAST(nch AS BIGINT) AS n_spans, " +
        "COALESCE(nd, CAST(0 AS BIGINT)) AS n_dup_spans, " +
        "round(COALESCE(nd, 0) / nch, 6) AS dup_frac, " +
-       "CAST(CASE WHEN COALESCE(nd, 0) / nch >= 0.5 THEN 1 ELSE 0 END AS INT) AS is_span_dup " +
+       // the flag compares the ROUNDED fraction on BOTH engines (like
+       // dedup_gram_coverage) — comparing raw on one side and rounded
+       // on the other diverges exactly at the threshold boundary
+       "CAST(CASE WHEN round(COALESCE(nd, 0) / nch, 6) >= 0.5 THEN 1 ELSE 0 END AS INT) AS is_span_dup " +
        "FROM n LEFT JOIN sh ON n.doc_id = sh.doc_id ORDER BY n.doc_id"),
     "text_unigram_logprob" ->
       ("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents), " +

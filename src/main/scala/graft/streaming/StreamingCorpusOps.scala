@@ -166,27 +166,37 @@ object StreamingCorpusOps {
   /** Ingest-time boilerplate-span scrub — the ACT-ON-THE-SIGNAL twin of
     * the batch `dedup_span_exact` report: spans from `blockedSpans`
     * (non-overlapping `size`-token windows, the report's exact chunk
-    * definition — build the list from the report's repeated spans) are
-    * CUT from arriving text, the surviving spans re-joined in order.
-    * Headers, footers, and licence blocks die at the span, so the doc
-    * survives curation instead of being dropped whole.
+    * definition — build the list with
+    * `TextOps.collectRepeatedSpans(corpus, size)`, which exposes the
+    * report's df >= 2 span STRINGS) are CUT from arriving text, the
+    * surviving spans re-joined in order. Headers, footers, and licence
+    * blocks die at the span, so the doc survives curation instead of
+    * being dropped whole.
     *
     * Same cost model as [[deconGate]]: a driver-built Bloom over the
     * blocked spans screens each doc map-side in O(its spans); only
     * screen-positive docs (actual hits + the ~1% false-positive tail)
-    * pay the exact per-span membership filter, and only docs that
-    * actually LOSE a span are rebuilt — a clean doc's text passes
-    * through byte-identical (never re-normalized). Stateless and
-    * codegen'd end to end; identical on batch and stream. Output adds
-    * `spans_cut` (how many spans were removed) for pipeline telemetry.
+    * pay the exact membership check — an O(1) hash probe per span via
+    * the native `in_string_set` expression, NOT an
+    * `array_contains(typedlit(...))` literal whose per-span cost is a
+    * linear scan of the whole blocklist and whose literal array bloats
+    * the plan. Only docs that actually LOSE a span are rebuilt — a
+    * clean doc's text passes through byte-identical (never
+    * re-normalized). Stateless and codegen'd end to end; identical on
+    * batch and stream. Output adds `spans_cut` (how many spans were
+    * removed) for pipeline telemetry. The blocklist must be
+    * driver-bounded (hot boilerplate spans, not every duplicate in a
+    * corpus); a corpus-scale span kill-set belongs in an anti-join.
     */
   def spanScrub(docs: DataFrame, blockedSpans: Array[String],
       size: Int = 32): DataFrame = {
     val bloom = org.apache.spark.util.sketch.BloomFilter
       .create(math.max(blockedSpans.length, 1).toLong, 0.01)
     blockedSpans.foreach(bloom.putString)
+    val blockSet = new graft.functions.StringSet(blockedSpans)
     val spans = graft.functions.TextExpressions.word_chunks(col("text"), size, size)
-    val kept = filter(spans, c => !array_contains(typedlit(blockedSpans), c))
+    val kept = filter(spans,
+      c => !graft.functions.SketchExpressions.in_string_set(blockSet, c))
     docs
       .withColumn("__hit", coalesce(
         graft.functions.SketchExpressions.bloom_might_contain_any(bloom, spans),

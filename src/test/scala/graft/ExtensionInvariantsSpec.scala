@@ -260,34 +260,30 @@ class ExtensionInvariantsSpec extends SparkSpec {
     assert(q("dedup_exact").count() === docs.select("text").distinct().count())
   }
 
-  test("span-exact dedup: counts shared spans per doc, not pairs") {
+  test("span-exact dedup: counts shared spans per doc, not pairs (shipped query)") {
     // doc 1 and 2 share one exact 32-token span (1's second span, 2's
     // first); doc 3 is unique; doc 4 is a full clone of doc 3 (both of
     // its spans become shared). Fraction denominators are each doc's
-    // own span count.
+    // own span count. Drives the NAMED query over fixture parquet, so
+    // a regression in the real pipeline (zero-fill, df>=2, totality
+    // base) fails here, not just at the oracle gate.
     val span = (1 to 32).map(i => s"w$i").mkString(" ")
     val other = (1 to 32).map(i => s"x$i").mkString(" ")
     val uniq = (1 to 40).map(i => s"u$i").mkString(" ")
-    val docs = Seq(
+    val dir = java.nio.file.Files.createTempDirectory("spanfix").toString
+    Seq(
       (1L, s"$other $span"),  // 2 spans, 1 shared
       (2L, span),             // 1 span, shared
       (3L, uniq),             // 2 spans (40 tokens -> 32 + 8)
       (4L, uniq)              // clone: both spans shared
-    ).toDF("doc_id", "text")
-    val spansOf = (c: org.apache.spark.sql.Column) =>
-      graft.functions.TextExpressions.word_chunks(c, 32, 32)
-    import org.apache.spark.sql.functions._
-    val ch = docs.select(col("doc_id"), explode(spansOf(col("text"))).as("chunk"))
-      .select(col("doc_id"), xxhash64(col("chunk")).as("h"))
-    val df2 = ch.groupBy("h").agg(countDistinct(col("doc_id")).as("df"))
-    val shared = ch.join(df2.filter(col("df") >= 2), Seq("h"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
-    val got = docs.select(col("doc_id"), size(spansOf(col("text"))).cast("long").as("n_spans"))
-      .join(shared, Seq("doc_id"), "left")
-      .withColumn("n_dup_spans", coalesce(col("n_dup_spans"), lit(0L)))
-      .orderBy("doc_id")
-      .as[(Long, Long, Long)].collect().toSeq
-    assert(got === Seq((1L, 2L, 1L), (2L, 1L, 1L), (3L, 2L, 2L), (4L, 2L, 2L)))
+    ).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("dedup_span_exact")(spark, dir)
+      .as[(Long, Long, Long, Double, Int)].collect().toSeq
+    assert(got === Seq(
+      (1L, 2L, 1L, 0.5, 1),
+      (2L, 1L, 1L, 1.0, 1),
+      (3L, 2L, 2L, 1.0, 1),
+      (4L, 2L, 2L, 1.0, 1)))
   }
 
   test("temperature sampling up-weights small sources (alpha = 0.5)") {

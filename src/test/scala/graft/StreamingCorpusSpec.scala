@@ -137,7 +137,14 @@ class StreamingCorpusSpec extends SparkSpec {
     val boiler = (1 to 8).map(i => s"b$i").mkString(" ")
     val body = (1 to 8).map(i => s"c$i").mkString(" ")
     val tail = "t1 t2 t3"
-    val blocked = Array(boiler)
+    // the WHOLE loop: the blocklist comes from the span-dedup signal
+    // itself (collectRepeatedSpans = the df>=2 span strings behind
+    // dedup_span_exact), not from a hand-typed literal
+    val corpus = Seq(
+      (10L, s"$body $boiler $tail"),
+      (11L, s"$boiler other words here now")).toDF("doc_id", "text")
+    val blocked = graft.operators.TextOps.collectRepeatedSpans(corpus, size = 8)
+    assert(blocked.toSeq === Seq(boiler), "report must surface the repeated span text")
     // doc 1: boilerplate is its SECOND span -> only that span cut;
     // doc 2: clean, but oddly spaced -> must pass through byte-identical
     //        (a rebuilt doc would be whitespace-renormalized);
