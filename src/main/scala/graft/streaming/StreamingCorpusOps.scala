@@ -110,12 +110,18 @@ object StreamingCorpusOps {
     val bloom = org.apache.spark.util.sketch.BloomFilter
       .create(math.max(benchGrams.length, 1).toLong, 0.01)
     benchGrams.foreach(bloom.putString)
+    // exact confirm = one O(1) hash probe per doc gram (native
+    // in_string_set against a plan-held StringSet) — an
+    // arrays_overlap(.., typedlit(benchGrams)) literal re-built its
+    // probe set per ROW and embedded the whole gram array in the plan
+    val benchSet = new graft.functions.StringSet(benchGrams)
     docs
       .withColumn("__grams",
         graft.operators.TextOps.distinctShinglesOfText(col("text"), n))
       .filter(!coalesce(
         graft.functions.SketchExpressions.bloom_might_contain_any(bloom, col("__grams")) &&
-          arrays_overlap(col("__grams"), typedlit(benchGrams)),
+          exists(col("__grams"),
+            g => graft.functions.SketchExpressions.in_string_set(benchSet, g)),
         lit(false)))
       .drop("__grams")
   }
