@@ -45,6 +45,7 @@ object ScaleSmoke {
         "decon_ngram_overlap", "decon_bloom_prefilter", "decon_minhash_neardup",
         "text_pii_scrub", "corpus_hot_ngrams", "export_shard_stats",
         "text_unigram_logprob", "text_chunks", "corpus_stats", "dedup_span_exact",
+        "sample_temperature",
         // similarity family on the 10x embeddings (exact duplicates =
         // the worst case for near-dup cosine: every replica pair scores
         // 1.0, so candidate sets are maximally hot)
