@@ -184,6 +184,28 @@ class DecontaminationSpec extends SparkSpec {
     assert(misses === 0L)
   }
 
+  test("property: in_string_set is exact membership; value-equal across builds") {
+    import org.scalacheck.Prop.forAll
+    import org.scalacheck.Test.{check => scCheck, Parameters}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val prop = forAll { (set: List[String], probes: List[String]) =>
+      val expr = graft.functions.InStringSet(
+        Literal("x"), new graft.functions.StringSet(set.toArray))
+      // exact membership for arbitrary unicode strings, hits and misses
+      (probes ++ set).forall(p =>
+        expr.test(UTF8String.fromString(p)) == set.contains(p))
+    }
+    assert(scCheck(Parameters.default.withMinSuccessfulTests(50), prop).passed)
+    // two independently built sets with equal content (different input
+    // order!) must compare/canonicalize equal, like SketchBytes
+    val a = graft.functions.InStringSet(
+      Literal(7L), new graft.functions.StringSet(Array("b", "a", "c")))
+    val b = graft.functions.InStringSet(
+      Literal(7L), new graft.functions.StringSet(Array("c", "a", "b")))
+    assert(a === b && a.canonicalized === b.canonicalized && a.semanticEquals(b))
+  }
+
   test("identically built bloom predicates are value-equal and canonicalize together") {
     // Two expressions carrying byte-identical sketches must compare
     // equal (content equality via SketchBytes, not array reference
