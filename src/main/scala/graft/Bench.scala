@@ -1,9 +1,41 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** 1-minute system load average (OS runnable-queue length; -1 where
+    * the platform can't report one). Recorded into the bench JSON so a
+    * number taken on a loaded box is SELF-DESCRIBING: the r5 artifact
+    * was ~15-30% inflated by concurrent load and manufactured phantom
+    * cross-round regressions that a clean rerun disproved.
+    */
+  private def loadAvg(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** Single-thread CPU calibration: wall-time (ms) of a fixed 100M-step
+    * xorshift loop. Load average misses short bursts and counts
+    * uninterruptible IO; this measures what the bench actually feels —
+    * how slowly one pinned thread runs RIGHT NOW. Compare across
+    * rounds: a clean machine scores a stable baseline, contention
+    * inflates it roughly linearly with oversubscription.
+    */
+  private def calibMs(): Double = {
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    val t0 = System.nanoTime()
+    while (i < 100000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    val ms = (System.nanoTime() - t0) / 1e6
+    if (x == 42L) System.err.println("") // keep the loop un-eliminable
+    ms
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val nproc = Runtime.getRuntime.availableProcessors()
+    val loadStart = loadAvg()
+    val calibStart = calibMs()
+    if (loadStart > nproc / 2.0)
+      System.err.println(f"[bench] WARNING: system load $loadStart%.1f on $nproc cpus " +
+        "— timings will be inflated by concurrent work; rerun on a quiet machine")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       // 8 shuffle partitions beats `cpus` at this scale factor: the data
@@ -89,13 +121,19 @@ object Bench {
       m.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val allErrors = oracledErrors ++ extraErrors
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"unoracled":${js(extras)},"errors":${jsStr(allErrors)},"sf":"$sfDir","reps":2,"agg":"min","warm_cache":true}""")
+    // End-of-run load/calibration: contention that started mid-bench
+    // shows up here even if the start looked clean.
+    val loadEnd = loadAvg()
+    val calibEnd = calibMs()
+    def r1(v: Double) = BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP)
+    val loadJson = s""""nproc":$nproc,"load_avg":[${r1(loadStart)},${r1(loadEnd)}],"calib_ms":[${r1(calibStart)},${r1(calibEnd)}]"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"unoracled":${js(extras)},"errors":${jsStr(allErrors)},"sf":"$sfDir","reps":2,"agg":"min","warm_cache":true,$loadJson}""")
     // A tail capture always keeps the LAST line, so the headline total is
     // repeated in a short self-contained line AFTER the big detail line:
     // even if the per-query map above is truncated away again, the
     // round's total stays machine-readable. Named total_compact so a
     // "metric":"total" matcher can never pick this line over the full one.
-    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_oracled":${results.size},"n_errors":${allErrors.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_oracled":${results.size},"n_errors":${allErrors.size},"sf":"$sfDir",$loadJson}""")
     spark.stop()
     // An oracled query that failed both reps means the headline total is
     // missing a term — fail the run loudly rather than report a deflated

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native Catalyst expression for the similarity-search hot path.
   *
@@ -86,11 +86,144 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Content-equal holder for a small centroid bank riding in a plan —
+  * the [[graft.functions.StringSet]] pattern for vectors: bare arrays
+  * in a case-class Expression compare by reference, which would block
+  * Catalyst canonicalization/CSE for any plan that assigns cells twice
+  * (e.g. an IVF probe side + corpus side sharing one bank). Centroids
+  * are re-sorted by ascending cid so the argmax loop's first-wins rule
+  * IS the ties-to-the-lower-cid contract.
+  *
+  * Driver-bounded by construction (O(k x dim) floats — 32 x 64 here);
+  * corpus-scale relations belong in a join, not an expression.
+  */
+final class CentroidBank(cids0: Array[Long], vecs0: Array[Array[Float]],
+    norms0: Array[Double]) extends Serializable {
+  require(cids0.length == vecs0.length && cids0.length == norms0.length
+      && cids0.nonEmpty,
+    s"centroid bank shape mismatch: ${cids0.length}/${vecs0.length}/${norms0.length}")
+  private val order: Array[Int] =
+    cids0.indices.sortBy(cids0(_)).toArray
+  val cids: Array[Long] = order.map(cids0)
+  val vecs: Array[Array[Float]] = order.map(vecs0)
+  val norms: Array[Double] = order.map(norms0)
+
+  override def equals(o: Any): Boolean = o match {
+    case b: CentroidBank =>
+      java.util.Arrays.equals(cids, b.cids) &&
+        java.util.Arrays.equals(norms, b.norms) &&
+        vecs.length == b.vecs.length &&
+        vecs.indices.forall(i => java.util.Arrays.equals(vecs(i), b.vecs(i)))
+    case _ => false
+  }
+  private val hc: Int = {
+    var h = java.util.Arrays.hashCode(cids)
+    h = 31 * h + java.util.Arrays.hashCode(norms)
+    vecs.foreach(v => h = 31 * h + java.util.Arrays.hashCode(v))
+    h
+  }
+  override def hashCode: Int = hc
+  override def toString: String = s"<centroid bank of ${cids.length}>"
+}
+
+/** Map-side argmax-cosine cell assignment against a plan-carried
+  * [[CentroidBank]]: one row in, one row out, ZERO exchange — replaces
+  * a `crossJoin(broadcast(centroids))` n x k row expansion followed by
+  * a `max_by` hash aggregate (one full shuffle of the corpus) with a
+  * single per-row loop over the k centroids.
+  *
+  * Bit-compatible with the SQL formulation it replaces, term by term:
+  *   - dot product: sequential left-to-right IEEE sum widening floats
+  *     per element — the same order as [[DotProduct]];
+  *   - score: `round(dot / sqrt(nv * ncv), 6)` where round replicates
+  *     Spark's `RoundBase` double branch exactly (NaN/Inf pass
+  *     through, else scala BigDecimal HALF_UP at scale 6);
+  *   - argmax: SQL double ordering (`max_by(cid, struct(cs, -cid))`
+  *     semantics) — `==` first so -0.0 ties 0.0 and the lower cid
+  *     wins, then `Double.compare` so NaN ranks above all numbers.
+  */
+case class SeededCellArgmax(vec: Expression, norm: Expression, bank: CentroidBank)
+    extends BinaryExpression {
+
+  override def left: Expression = vec
+  override def right: Expression = norm
+
+  override def checkInputDataTypes(): TypeCheckResult = vec.dataType match {
+    case ArrayType(FloatType, _) if norm.dataType == DoubleType =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"seeded_cell_argmax requires (array<float>, double), got " +
+        s"${vec.dataType.sql} / ${norm.dataType.sql}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "seeded_cell_argmax"
+
+  /** Row-level entry point shared by eval and generated code. */
+  def assign(v: ArrayData, nv: Double): Long = {
+    var best = 0L
+    var bestCs = 0.0
+    var first = true
+    var j = 0
+    while (j < bank.cids.length) {
+      val c = bank.vecs(j)
+      val n = java.lang.Math.min(v.numElements(), c.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += v.getFloat(i).toDouble * c(i).toDouble; i += 1 }
+      val cs = SeededCellArgmax.round6(s / java.lang.Math.sqrt(nv * bank.norms(j)))
+      // SQL double ordering: == catches the -0.0/0.0 tie (keep the
+      // earlier = lower cid), Double.compare ranks NaN above numbers
+      if (first || (cs != bestCs && java.lang.Double.compare(cs, bestCs) > 0)) {
+        bestCs = cs; best = bank.cids(j); first = false
+      }
+      j += 1
+    }
+    best
+  }
+
+  override def nullSafeEval(v: Any, n: Any): Any =
+    assign(v.asInstanceOf[ArrayData], n.asInstanceOf[Double])
+
+  // One virtual call per row against a plan-level reference object —
+  // the assignment projection stays inside whole-stage codegen.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cellArgmax", this, classOf[SeededCellArgmax].getName)
+    defineCodeGen(ctx, ev, (v, n) => s"$ref.assign($v, $n)")
+  }
+
+  override def toString: String = s"seeded_cell_argmax($vec, $norm, $bank)"
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(vec = l, norm = r)
+}
+
+object SeededCellArgmax {
+  /** Spark's `round(x, 6)` double semantics, verbatim (decompiled
+    * `RoundBase.nullSafeEval`, DoubleType branch): NaN/Infinity pass
+    * through untouched; everything else rounds via scala BigDecimal
+    * (shortest-decimal `Double.toString` representation) HALF_UP at
+    * scale 6. Pinned against Spark's own Round by a fuzz test
+    * (VectorOpsSpec) so an upstream semantics change fails CI.
+    */
+  def round6(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+}
+
 object VectorExpressions {
 
   /** Column facade: `dot_product(a, b)` over array<double> columns. */
   def dot_product(a: Column, b: Column): Column =
     bridge.column(DotProduct(bridge.expression(a), bridge.expression(b)))
+
+  /** Column facade: map-side argmax-cosine cell id (bigint) of `vec`
+    * (array<float>, with its precomputed norm) against `bank`. Build
+    * the bank ONCE per plan and share it across call sites so the
+    * expressions canonicalize equal.
+    */
+  def seeded_cell_argmax(bank: CentroidBank, vec: Column, norm: Column): Column =
+    bridge.column(SeededCellArgmax(bridge.expression(vec), bridge.expression(norm), bank))
 
   /** name -> builder, shared by [[register]] and
     * [[graft.GraftExtensions]] (same contract as

@@ -111,35 +111,48 @@ object ExtensionQueries {
       .withColumn("v", col("embedding"))
       .withColumn("nv", VectorOps.norm2(col("embedding")))
 
-  /** The 32 fixed seed centroids (vec_id 0..31) as a broadcastable dim. */
-  private def seedCentroids(s: SparkSession, dir: String): DataFrame =
-    embWithNorm(s, dir).filter(col("vec_id") < 32)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nv").as("ncv"))
+  /** The 32 fixed seed centroids (vec_id 0..31) collected ONCE into a
+    * plan-carried [[graft.functions.CentroidBank]]. BOUNDED driver
+    * collect, O(k x dim) = 32 x 64 floats — the same class as the
+    * Similarity.scala centroid collects; the filter is pushed into the
+    * parquet scan so the job reads one column chunk's worth of rows.
+    * Norms come from the SAME native dot the scorer uses upstream, so
+    * the collected doubles are bit-identical to the SQL formulation's.
+    */
+  private def seedCentroidBank(s: SparkSession, dir: String): graft.functions.CentroidBank = {
+    val rows = embWithNorm(s, dir).filter(col("vec_id") < 32)
+      .select(col("vec_id"), col("v"), col("nv")).collect()
+    new graft.functions.CentroidBank(
+      rows.map(_.getLong(0)),
+      rows.map(_.getSeq[Float](1).toArray),
+      rows.map(_.getDouble(2)))
+  }
 
   /** The ONE argmax-cosine cell assignment over `vecs` (scores rounded
-    * to 6 BEFORE argmax, ties to the lower cid) — parameterized by the
-    * input side so a single-vector probe pays O(32), not a full corpus
-    * pass (see sim_ivf_topk). argmax via max_by on (score, -cid): one
-    * hash aggregate, no window sort (same tie-break as ORDER BY cs
-    * DESC, cid). Output: (vec_id, cell, v, nv).
+    * to 6 BEFORE argmax, ties to the lower cid) — a pure MAP-SIDE
+    * projection via the native SeededCellArgmax expression: one row
+    * in, one row out, ZERO exchange. (The r5 formulation crossJoined a
+    * broadcast 32-row centroid dim — an n x 32 row expansion — then
+    * paid a max_by hash aggregate, i.e. a full corpus shuffle, just to
+    * collapse the expansion back; that aggregate was the shared hot
+    * stage of dedup_embedding, sim_ivf_topk, AND decon_embedding.)
+    * Output: (vec_id, cell, v, nv).
     */
-  private def assignSeededCells(vecs: DataFrame, cents: DataFrame): DataFrame =
-    vecs.select(col("vec_id"), col("v"), col("nv"))
-      .crossJoin(broadcast(cents))
-      .withColumn("cs",
-        round(VectorOps.dot(col("v"), col("cv")) / sqrt(col("nv") * col("ncv")), 6))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cid"), struct(col("cs"), (-col("cid")).as("nc"))).as("cell"),
-        first(col("v")).as("v"), first(col("nv")).as("nv"))
+  private def assignSeededCells(vecs: DataFrame,
+      bank: graft.functions.CentroidBank): DataFrame =
+    vecs.select(col("vec_id"),
+      graft.functions.VectorExpressions
+        .seeded_cell_argmax(bank, col("v"), col("nv")).as("cell"),
+      col("v"), col("nv"))
 
   /** Whole-corpus seeded assignment shared by `dedup_embedding`,
     * `sim_ivf_topk`, and `decon_embedding` — the SQL-replayable twin of
     * the learned quantizer in `operators.Similarity`. Norms are hoisted
-    * so the O(n x 32) scoring stage pays one dot product per pair, not
+    * so the pair-scoring consumers pay one dot product per pair, not
     * three.
     */
   private def seededCells(s: SparkSession, dir: String): DataFrame =
-    assignSeededCells(embWithNorm(s, dir), seedCentroids(s, dir))
+    assignSeededCells(embWithNorm(s, dir), seedCentroidBank(s, dir))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -437,17 +450,19 @@ object ExtensionQueries {
     // At scale: partition the index by cell, read one partition per
     // probe (see Similarity.probeIndex for the persisted variant).
     "sim_ivf_topk" -> ((s, dir) => {
-      // The probe side locates the query's cell by scoring ONE vector
-      // against the 32-row centroid dim (filter pushed to the scan) —
-      // NOT by running the whole-corpus assignment and filtering to
-      // vec_id=42, which re-paid the full O(n x 32) cross-join argmax
-      // per probe just to read off one cell id. The corpus-wide
-      // assignment below now runs exactly once per query.
+      // ONE centroid bank per query, shared by the probe side and the
+      // corpus side (content-equal, so Catalyst canonicalizes the two
+      // assignment expressions identically). The probe locates the
+      // query's cell by scoring ONE row (filter pushed to the scan);
+      // the corpus side is a pure map-side projection — the whole plan
+      // has no shuffle exchange at all: scan -> assign -> broadcast
+      // 1-row probe -> filter to the probe's cell -> score ->
+      // TakeOrderedAndProject (asserted in PlanAuditSpec).
+      val bank = seedCentroidBank(s, dir)
       val qCell = assignSeededCells(
-          embWithNorm(s, dir).filter(col("vec_id") === 42),
-          seedCentroids(s, dir))
+          embWithNorm(s, dir).filter(col("vec_id") === 42), bank)
         .select(col("v").as("qv"), col("nv").as("nq"), col("cell").as("qcell"))
-      seededCells(s, dir).crossJoin(broadcast(qCell))
+      assignSeededCells(embWithNorm(s, dir), bank).crossJoin(broadcast(qCell))
         .filter(col("cell") === col("qcell") && col("vec_id") =!= 42)
         .select(col("vec_id"),
           round(VectorOps.dot(col("qv"), col("v")) / sqrt(col("nq") * col("nv")), 6).as("cos_sim"))

@@ -204,6 +204,35 @@ class PlanAuditSpec extends SparkSpec {
       s"corpus shuffled on the low-cardinality source key:\n${joinLines.mkString("\n")}")
   }
 
+  test("seeded cell assignment is map-side: sim_ivf_topk plans ZERO shuffle exchange") {
+    // The native SeededCellArgmax replaced a crossJoin(n x 32) + max_by
+    // hash aggregate (a full corpus shuffle). The whole probe query
+    // must now be: scan -> assign projection -> broadcast 1-row probe
+    // -> filter -> score -> TakeOrderedAndProject. Any hashpartitioning
+    // exchange means the aggregate resurfaced.
+    val p = plan("sim_ivf_topk")
+    assert(p.contains("seeded_cell_argmax"),
+      s"native assignment expression missing from the plan:\n$p")
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") ||
+        l.contains("Exchange rangepartitioning") ||
+        l.contains("Exchange SinglePartition"))
+    assert(shuffles === 0, s"expected a shuffle-free probe plan, got $shuffles:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k degenerated to a global sort:\n$p")
+  }
+
+  test("embedding dedup/decon pay no per-vector aggregate for cell assignment") {
+    // the only aggregates allowed are the consumers' own (pair counts);
+    // a HashAggregate keyed on vec_id is the r5 assignment shuffle
+    for (q <- Seq("dedup_embedding", "decon_embedding")) {
+      val p = plan(q)
+      assert(p.contains("seeded_cell_argmax"),
+        s"$q: native assignment expression missing:\n$p")
+      assert(!p.contains("HashAggregate(keys=[vec_id"),
+        s"$q: per-vector assignment aggregate resurfaced:\n$p")
+    }
+  }
+
   test("minhash signatures shuffle only at banding, not before") {
     // native MinHashSlices means NO groupBy(doc_id) aggregation stage:
     // the plan must not contain a doc_id hash aggregate before banding

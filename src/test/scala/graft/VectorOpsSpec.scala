@@ -36,4 +36,70 @@ class VectorOpsSpec extends SparkSpec {
     assert(spark.sql("SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) v")
       .head().getDouble(0) === 11.0)
   }
+
+  test("round6 replicates Spark's round(x, 6) bit for bit (fuzz + edges)") {
+    // SeededCellArgmax bakes the rounding INTO the expression; if an
+    // upstream Spark release changes RoundBase's double branch this
+    // must fail rather than silently diverge from the SQL twin.
+    val rnd = new scala.util.Random(0xC0FFEE)
+    val edge = Seq(0.0, -0.0, Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, 0.1234565, -0.1234565, 0.9999995, 1e-7,
+      -1e-7, 0.45, 1.0, -1.0)
+    val xs = edge ++ Seq.fill(5000)(rnd.nextDouble() * 2 - 1) ++
+      Seq.fill(1000)(java.lang.Double.longBitsToDouble(rnd.nextLong()))
+        .filterNot(d => d.isNaN || d.isInfinite).map(d => d % 10)
+    val got = xs.toDF("x").select(col("x"), round(col("x"), 6).as("spark"))
+      .collect()
+    for (r <- got) {
+      val mine = graft.functions.SeededCellArgmax.round6(r.getDouble(0))
+      val spark = r.getDouble(1)
+      assert(java.lang.Double.doubleToLongBits(mine) ===
+        java.lang.Double.doubleToLongBits(spark),
+        s"round6(${r.getDouble(0)}) = $mine but Spark rounds to $spark")
+    }
+  }
+
+  test("SeededCellArgmax == the crossJoin + max_by SQL formulation on all embeddings") {
+    // The native map-side assignment must agree row for row with the
+    // declarative plan it replaced (which is ALSO the DuckDB oracle's
+    // formulation): n x 32 expansion, round-6 cosine, max_by tie to
+    // the lower cid.
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").as("v"),
+        VectorOps.norm2(col("embedding")).as("nv"))
+    val cents = emb.filter(col("vec_id") < 32)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nv").as("ncv"))
+    val sql = emb.crossJoin(broadcast(cents))
+      .withColumn("cs",
+        round(VectorOps.dot(col("v"), col("cv")) / sqrt(col("nv") * col("ncv")), 6))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("cs"), (-col("cid")).as("nc"))).as("cell"))
+    val rows = cents.collect()
+    val bank = new graft.functions.CentroidBank(
+      rows.map(_.getLong(0)),
+      rows.map(_.getSeq[Float](1).toArray),
+      rows.map(_.getDouble(2)))
+    val native = emb.select(col("vec_id"),
+      VectorExpressions.seeded_cell_argmax(bank, col("v"), col("nv")).as("cell"))
+    val diff = native.as("n").join(sql.as("s"), Seq("vec_id"))
+      .filter(col("n.cell") =!= col("s.cell"))
+    assert(diff.count() === 0, s"cell assignment diverged:\n${diff.take(5).mkString("\n")}")
+  }
+
+  test("CentroidBank is content-equal and sorts by cid; argmax ties go to the lower cid") {
+    val a = new graft.functions.CentroidBank(
+      Array(3L, 1L), Array(Array(1f, 0f), Array(0f, 1f)), Array(1.0, 1.0))
+    val b = new graft.functions.CentroidBank(
+      Array(1L, 3L), Array(Array(0f, 1f), Array(1f, 0f)), Array(1.0, 1.0))
+    assert(a === b, "bank equality must not depend on input order")
+    assert(a.hashCode === b.hashCode)
+    assert(a.cids.toSeq === Seq(1L, 3L))
+    // two identical centroids => identical scores => lower cid wins
+    val tie = new graft.functions.CentroidBank(
+      Array(7L, 2L), Array(Array(1f, 1f), Array(1f, 1f)), Array(2.0, 2.0))
+    val got = Seq((Seq(1f, 1f), 2.0)).toDF("v", "nv")
+      .select(VectorExpressions.seeded_cell_argmax(tie, col("v"), col("nv")))
+      .head().getLong(0)
+    assert(got === 2L)
+  }
 }
