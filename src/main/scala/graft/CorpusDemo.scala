@@ -14,9 +14,11 @@ import graft.streaming.StreamingCorpusOps
   * landing zone exactly as a production ingest would run:
   *
   *   JSONL landing zone → schema-enforced ingest (corrupt lines
-  *   quarantined) → PII scrub → benchmark decon gate → quality +
-  *   repetition gate, per micro-batch with replay-safe parquet
-  *   outputs — then a batch pass over the landed corpus: exact dedup
+  *   quarantined) → PII scrub → benchmark decon gate → boilerplate
+  *   span scrub (blocklist from the previous build's repeated-span
+  *   report) → quality + repetition gate, per micro-batch with
+  *   replay-safe parquet outputs — then a batch pass over the landed
+  *   corpus: exact dedup
   *   by content hash AND MinHash-LSH near-dup clusters (the shared
   *   banding + connected components).
   *
@@ -43,12 +45,31 @@ object CorpusDemo {
     def jsonl(id: Long, text: String): String =
       s"""{"doc_id": $id, "text": "$text", "lang": "en", "source": "s0", "n_chars": ${text.length}}"""
 
+    // Boilerplate footer (8 tokens = exactly one span at size 8):
+    // "yesterday's" corpus report found it repeated across documents,
+    // so today's ingest carries it as a span blocklist — the
+    // report→blocklist→scrub lifecycle of TextOps.collectRepeatedSpans
+    // + StreamingCorpusOps.spanScrub, run here over a prior-batch
+    // fixture standing in for the previous corpus build.
+    val footer = "subscribe to the channel newsletter for weekly updates"
+    val priorCorpus = Seq((8001L, footer), (8002L, footer)).toDF("doc_id", "text")
+    val blockedSpans = graft.operators.TextOps.collectRepeatedSpans(priorCorpus, size = 8)
+
     val keepable = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val lead6 = "granite harbor velvet crimson ladder monsoon copper zenith " +
+      "argon meadow spiral tundra quartz ember falcon ridge"
+    val lead7 = "walnut cobalt prairie lantern mosaic thunder saffron glacier " +
+      "pixel orchard nimbus carousel basalt echo juniper harvest"
     Files.writeString(landing.resolve("batch0.jsonl"), Seq(
       jsonl(1L, keepable),
       jsonl(2L, keepable), // exact dup of 1 — the batch dedup pass keeps one
       jsonl(3L, s"intro words $benchText outro"), // benchmark leak — decon gate drops it
       jsonl(4L, "contact me at Spam.Bot@Example.COM " + keepable), // PII — scrubbed, then kept
+      // boilerplate carriers: 16 unique lead tokens + the 8-token
+      // footer aligned on a span boundary — the scrub cuts the footer
+      // span, the unique lead survives the quality gate
+      jsonl(6L, s"$lead6 $footer"),
+      jsonl(7L, s"$lead7 $footer"),
       """{"doc_id": 5, "text": "torn""" // corrupt — quarantined
     ).mkString("\n"))
 
@@ -62,12 +83,17 @@ object CorpusDemo {
         val (good, quarantine) = CorpusIngest.split(batch)
         quarantine.write.mode("overwrite").parquet(s"$out/quarantine/ingest=$batchId")
         val kept = StreamingCorpusOps.qualityGate(
-          StreamingCorpusOps.deconGate(
-            StreamingCorpusOps.piiScrub(good), benchGrams, 8)).persist()
+          StreamingCorpusOps.spanScrub(
+            StreamingCorpusOps.deconGate(
+              StreamingCorpusOps.piiScrub(good), benchGrams, 8),
+            blockedSpans, size = 8)).persist()
         kept.write.mode("overwrite").parquet(s"$out/corpus/ingest=$batchId")
         counts.merge("quarantined", quarantine.count(), Long.box(_) + Long.box(_))
         counts.merge("ingested", good.count(), Long.box(_) + Long.box(_))
         counts.merge("kept", kept.count(), Long.box(_) + Long.box(_))
+        counts.merge("spans_cut",
+          kept.agg(coalesce(sum(col("spans_cut")), lit(0L))).head().getLong(0),
+          Long.box(_) + Long.box(_))
         kept.unpersist(); batch.unpersist()
         ()
       }
@@ -116,6 +142,7 @@ object CorpusDemo {
 
     println(s"CORPUS_DEMO ingested=${counts.get("ingested")} " +
       s"quarantined=${counts.get("quarantined")} kept=${counts.get("kept")} " +
+      s"spans_cut=${counts.get("spans_cut")} " +
       s"distinct=${distinctDocs.count()} neardup_clusters=$clusters scrubbed=$scrubOk " +
       s"chunks=$nChunks shard_chunks=$shardChunks")
     spark.stop()

@@ -129,6 +129,70 @@ object DevProbe {
     t("df2_size") { df2.count() }
     t("sh_size") { sh.count() }
 
+    // ---- jaccard stage breakdown: which stage dominates? ----
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
+    val filtered = sh.withColumn("df", count(lit(1)).over(w))
+      .filter(col("df") >= 2 && col("df") <= TextOps.MaxBucket)
+    t("stage_explode_only") { sh.count() }
+    t("stage_window_filter") { filtered.count() }
+    t("stage_collect_list") {
+      filtered.groupBy(col("s")).agg(collect_list(col("dn")).as("ids")).count()
+    }
+    t("stage_pair_explode") {
+      filtered.groupBy(col("s")).agg(collect_list(col("dn")).as("ids"))
+        .select(explode(TextOps.pairCombinations(col("ids"))).as("p0")).count()
+    }
+    t("stage_pair_count_agg") {
+      filtered.groupBy(col("s")).agg(collect_list(col("dn")).as("ids"))
+        .select(explode(TextOps.pairCombinations(col("ids"))).as("p0"))
+        .select(least(col("p0.a"), col("p0.b")).as("pa"),
+          greatest(col("p0.a"), col("p0.b")).as("pb"))
+        .filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("i")).count()
+    }
+    // shuffle-partition sensitivity: the bucket exchange moves ~1.4M
+    // 16-byte rows; 8 partitions may under-parallelize the window sort
+    for (sp <- Seq("8", "16", "32")) {
+      spark.conf.set("spark.sql.shuffle.partitions", sp)
+      t(s"jacc_window_sp$sp") {
+        val p = sh.withColumn("df", count(lit(1)).over(w))
+          .filter(col("df") >= 2 && col("df") <= TextOps.MaxBucket)
+          .groupBy(col("s"))
+          .agg(collect_list(col("dn")).as("ids"))
+          .select(explode(TextOps.pairCombinations(col("ids"))).as("p0"))
+          .select(least(col("p0.a"), col("p0.b")).as("pa"),
+            greatest(col("p0.a"), col("p0.b")).as("pb"))
+          .filter(col("pa") < col("pb"))
+          .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("i"))
+        finish(p).count()
+      }
+    }
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    // AQE coalesces the ~4MB posting exchange to 1 partition => the
+    // window sort runs single-threaded. An explicit repartition(N, s)
+    // is not coalescible: does restored parallelism beat the extra
+    // scheduling?
+    for (np <- Seq(8, 32)) {
+      t(s"jacc_repart$np") {
+        val p = sh.repartition(np, col("s"))
+          .withColumn("df", count(lit(1)).over(w))
+          .filter(col("df") >= 2 && col("df") <= TextOps.MaxBucket)
+          .groupBy(col("s"))
+          .agg(collect_list(col("dn")).as("ids"))
+          .select(explode(TextOps.pairCombinations(col("ids"))).as("p0"))
+          .select(least(col("p0.a"), col("p0.b")).as("pa"),
+            greatest(col("p0.a"), col("p0.b")).as("pb"))
+          .filter(col("pa") < col("pb"))
+          .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("i"))
+        finish(p).count()
+      }
+    }
+    // and the full query as shipped (orderBy included), for the bench gap
+    t("jacc_shipped_full") {
+      queries.ExtensionQueries.queries("dedup_ngram_jaccard")(spark, sfDir).count()
+    }
+
     spark.stop()
   }
 }

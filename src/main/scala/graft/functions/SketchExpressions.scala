@@ -150,8 +150,14 @@ case class BloomMightContainAnyString(child: Expression, sketch: SketchBytes)
   * once per JVM, never shipped.
   */
 final class StringSet(strings0: Array[String]) extends Serializable {
+  // Canonicalize to a SORTED DISTINCT non-null array: equality is by
+  // this array, so without the dedup two semantically equal sets built
+  // with different duplicate multiplicity would compare UNEQUAL —
+  // blocking exactly the canonicalization/CSE benefit the class exists
+  // for — and a stray null would NPE the sort (and the probe build).
   val strings: Array[String] = {
-    val s = strings0.clone(); java.util.Arrays.sort(s.asInstanceOf[Array[AnyRef]]); s
+    val s = strings0.filter(_ != null).distinct
+    java.util.Arrays.sort(s.asInstanceOf[Array[AnyRef]]); s
   }
   @transient lazy val probe: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = {
     val h = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](strings.length * 2)

@@ -188,7 +188,15 @@ object StreamingCorpusOps {
     * linear scan of the whole blocklist and whose literal array bloats
     * the plan. Only docs that actually LOSE a span are rebuilt — a
     * clean doc's text passes through byte-identical (never
-    * re-normalized). Stateless and codegen'd end to end; identical on
+    * re-normalized). CAVEAT — survivor whitespace: when any span IS
+    * cut, the remaining text is rebuilt as `array_join(kept, " ")`
+    * over the word-chunk tokens, so runs of spaces/newlines in the
+    * SURVIVING content collapse to single spaces — lossy beyond the
+    * removed span itself. That matches the chunk definition (the same
+    * tokens the signal was computed on) and is fine for LM curation;
+    * if byte fidelity of survivors matters, cut spans by character
+    * offset in the original text instead of re-joining tokens.
+    * Stateless and codegen'd end to end; identical on
     * batch and stream. Output adds `spans_cut` (how many spans were
     * removed) for pipeline telemetry. The blocklist must be
     * driver-bounded (hot boilerplate spans, not every duplicate in a

@@ -204,6 +204,12 @@ class DecontaminationSpec extends SparkSpec {
     val b = graft.functions.InStringSet(
       Literal(7L), new graft.functions.StringSet(Array("c", "a", "b")))
     assert(a === b && a.canonicalized === b.canonicalized && a.semanticEquals(b))
+    // duplicate multiplicity and nulls must not break value equality:
+    // the constructor canonicalizes to a sorted distinct non-null set
+    val c = new graft.functions.StringSet(Array("a", "a", null, "b", "c", "b"))
+    val d = new graft.functions.StringSet(Array("c", "b", "a"))
+    assert(c === d && c.hashCode === d.hashCode)
+    assert(c.probe.size === 3)
   }
 
   test("identically built bloom predicates are value-equal and canonicalize together") {

@@ -103,6 +103,21 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.tail.toSeq === inMem)
   }
 
+  test("sim_ivf_topk_indexed query: probe-only serving path equals the trained twin") {
+    import spark.implicits._
+    val got = SparkEntry.queries("sim_ivf_topk_indexed")(spark, sf0001)
+      .as[(Long, Double)].collect().toSeq
+    assert(got.length === 5)
+    assert(!got.exists(_._1 == 42L), "self-match must be dropped")
+    // same k-sizing rule, same probes, deterministic trainer => the
+    // persisted probe must reproduce the in-memory trained results
+    val inMem = Similarity.ivfTopK(spark, Tables.embeddings(spark, sf0001),
+      queryVecId = 42, topK = 5, probes = 2,
+      nHint = Tables.parquetRowCount(spark, s"$sf0001/embeddings.parquet"))
+      .as[(Long, Double)].collect().toSeq
+    assert(got === inMem)
+  }
+
   test("streaming append: new vectors land in their cells and are probe-able") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
@@ -145,8 +160,13 @@ class SimilaritySpec extends SparkSpec {
       // interval, so require the count stable across THREE consecutive
       // 200 ms polls (a 400 ms quiet window) before trusting it
       def poll() = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+      // deadline-bounded: a listener bus that never settles must fail
+      // the test with a message, not hang the suite
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
       var stable = 0; var last = poll()
       while (stable < 2) {
+        assert(System.nanoTime() < deadline,
+          s"job count for group $group never stabilized (last saw $last)")
         Thread.sleep(200)
         val cur = poll()
         if (cur == last) stable += 1 else { stable = 0; last = cur }
