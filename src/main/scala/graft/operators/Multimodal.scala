@@ -7,13 +7,16 @@ import org.apache.spark.sql.functions._
   * payloads are opaque `binary` columns with typed metadata; decode /
   * feature-extraction runs partition-batched over the payload bytes.
   *
-  * Decode is REAL for the codec-free PGM (P5) format — header parse,
-  * pixel access, nearest-neighbor resize, and concatenated-frame
-  * sampling all operate on actual pixels (MultimodalSpec asserts known
-  * pixel values end to end). Payloads that are not PGM fall back to the
-  * deterministic byte-statistics STUB (lossy image/audio codecs aren't
-  * in this container); the partition-batched execution shape — one
-  * decoder instantiation per partition, NOT per row, the same shape a
+  * Decode is REAL for three formats — PGM (P5), uncompressed BMP
+  * (8-bit paletted + 24-bit BGR), and 8-bit grayscale non-interlaced
+  * PNG (JDK Inflater, verified CRCs, all five scanline filters) —
+  * header parse, pixel access, nearest-neighbor resize, and
+  * concatenated-frame sampling all operate on actual pixels
+  * (MultimodalSpec asserts known pixel values end to end). Anything
+  * else falls back to the deterministic byte-statistics STUB (lossy
+  * image/audio codecs aren't in this container; see the README format
+  * table); the partition-batched execution shape — one decoder
+  * instantiation per partition, NOT per row, the same shape a
   * vectorized/Arrow UDF would use — is identical on both paths.
   *
   * 100 TB notes: payloads never shuffle uncompacted — bucketing happens
@@ -259,11 +262,193 @@ object Multimodal {
     out
   }
 
-  /** Codec-dispatching single-image decode: PGM then BMP. The kernels
-    * below are format-agnostic past this point.
+  // ---- PNG codec (8-bit grayscale, non-interlaced) ---------------------
+  // Third real raster format. PNG's only compression is DEFLATE, which
+  // the JDK ships (java.util.zip.Inflater) — still zero third-party
+  // codec dependencies, same spirit as PGM/BMP. Structure (W3C PNG
+  // spec / RFC 2083): 8-byte signature, then chunks of
+  // [length u32 BE][type 4CC][data][CRC32 over type+data]. Supported:
+  // IHDR bit depth 8, color type 0 (grayscale), compression 0, filter
+  // method 0, interlace 0; all five scanline filter types
+  // (None/Sub/Up/Average/Paeth) are unfiltered. Chunk CRCs are
+  // VERIFIED — a corrupted chunk rejects the payload (stub fallback)
+  // instead of decoding garbage. Ancillary chunks (tEXt, gAMA, ...)
+  // are skipped, per spec.
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def u32be(p: Array[Byte], i: Int): Long =
+    ((p(i) & 0xffL) << 24) | ((p(i + 1) & 0xffL) << 16) |
+      ((p(i + 2) & 0xffL) << 8) | (p(i + 3) & 0xffL)
+
+  /** Parse one PNG starting at `offset`; returns the image and the
+    * offset just past its IEND chunk, or None if the bytes are not a
+    * well-formed 8-bit grayscale non-interlaced PNG (CRC mismatches,
+    * truncated/overlong zlib streams, and unknown filter types all
+    * reject).
+    */
+  def decodePngAt(payload: Array[Byte], offset: Int): Option[(PgmImage, Int)] = {
+    var i = offset
+    if (i + 8 > payload.length) return None
+    var s = 0
+    while (s < 8) { if (payload(i + s) != PngSig(s)) return None; s += 1 }
+    i += 8
+    var width = 0
+    var height = 0
+    var seenIhdr = false
+    var done = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!done) {
+      if (i + 8 > payload.length) return None
+      val len = u32be(payload, i)
+      // long arithmetic: a hostile length must not overflow the bound check
+      if (len > Int.MaxValue - 12 || i + 12L + len > payload.length) return None
+      val dataOff = i + 8
+      val crc = new java.util.zip.CRC32()
+      crc.update(payload, i + 4, 4 + len.toInt)
+      if (crc.getValue != u32be(payload, dataOff + len.toInt)) return None
+      val typ = new String(payload, i + 4, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      typ match {
+        case "IHDR" =>
+          if (seenIhdr || len != 13) return None
+          width = u32be(payload, dataOff).toInt
+          height = u32be(payload, dataOff + 4).toInt
+          val bitDepth = payload(dataOff + 8) & 0xff
+          val colorType = payload(dataOff + 9) & 0xff
+          val comp = payload(dataOff + 10) & 0xff
+          val filterMethod = payload(dataOff + 11) & 0xff
+          val interlace = payload(dataOff + 12) & 0xff
+          if (bitDepth != 8 || colorType != 0 || comp != 0 ||
+              filterMethod != 0 || interlace != 0) return None
+          if (width <= 0 || height <= 0 ||
+              (width.toLong + 1) * height > Int.MaxValue) return None
+          seenIhdr = true
+        case "IDAT" =>
+          if (!seenIhdr) return None
+          idat.write(payload, dataOff, len.toInt)
+        case "IEND" =>
+          if (!seenIhdr || len != 0) return None
+          done = true
+        case _ => () // ancillary chunk: skip
+      }
+      i += 12 + len.toInt
+    }
+    // Inflate to exactly height scanlines of (1 filter byte + width)
+    val raw = new Array[Byte](height * (width + 1))
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      while (got < raw.length) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && (inf.finished() || inf.needsInput())) return None // truncated
+        got += n
+      }
+      // the stream must END here — extra pixels would mean the header lied
+      val scratch = new Array[Byte](1)
+      if (!inf.finished() && inf.inflate(scratch) != 0) return None
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inf.end()
+    // Unfilter (spec §6): a = left, b = up, c = up-left, all 0 off-image
+    val px = new Array[Byte](width * height)
+    var y = 0
+    while (y < height) {
+      val ft = raw(y * (width + 1)) & 0xff
+      if (ft > 4) return None
+      val rowOff = y * (width + 1) + 1
+      var x = 0
+      while (x < width) {
+        val rawv = raw(rowOff + x) & 0xff
+        val a = if (x > 0) px(y * width + x - 1) & 0xff else 0
+        val b = if (y > 0) px((y - 1) * width + x) & 0xff else 0
+        val c = if (x > 0 && y > 0) px((y - 1) * width + x - 1) & 0xff else 0
+        val v = ft match {
+          case 0 => rawv
+          case 1 => rawv + a
+          case 2 => rawv + b
+          case 3 => rawv + (a + b) / 2
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            rawv + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        px(y * width + x) = v.toByte // mod-256 per spec
+        x += 1
+      }
+      y += 1
+    }
+    Some((PgmImage(width, height, 255, px), i))
+  }
+
+  def decodePng(payload: Array[Byte]): Option[PgmImage] =
+    decodePngAt(payload, 0).map(_._1)
+
+  /** Serialize as 8-bit grayscale non-interlaced PNG: filter-0
+    * scanlines, one IDAT, verified-CRC chunks — pixel-exact round trip
+    * through [[decodePng]].
+    */
+  def encodePng(img: PgmImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(PngSig, 0, PngSig.length)
+    def be(v: Long): Array[Byte] = Array(
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      bos.write(be(data.length.toLong), 0, 4)
+      val tb = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      bos.write(tb, 0, 4)
+      bos.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      bos.write(be(crc.getValue), 0, 4)
+    }
+    val ihdr = new Array[Byte](13)
+    System.arraycopy(be(img.width.toLong), 0, ihdr, 0, 4)
+    System.arraycopy(be(img.height.toLong), 0, ihdr, 4, 4)
+    ihdr(8) = 8 // bit depth
+    // color type 0 (grayscale), compression 0, filter 0, interlace 0
+    chunk("IHDR", ihdr)
+    val rawLines = new Array[Byte](img.height * (img.width + 1))
+    var y = 0
+    while (y < img.height) {
+      // filter byte 0 then the raw row
+      System.arraycopy(img.pixels, y * img.width,
+        rawLines, y * (img.width + 1) + 1, img.width)
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    val compressed = try {
+      deflater.setInput(rawLines); deflater.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+      out.toByteArray
+    } finally deflater.end()
+    chunk("IDAT", compressed)
+    chunk("IEND", Array.emptyByteArray)
+    bos.toByteArray
+  }
+
+  /** All frames of a concatenated-PNG container, or Nil if the payload
+    * isn't one.
+    */
+  def decodePngFrames(payload: Array[Byte]): Seq[PgmImage] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[PgmImage]
+    var off = 0
+    var more = payload.nonEmpty
+    while (more) decodePngAt(payload, off) match {
+      case Some((img, next)) => out += img; off = next; more = off < payload.length
+      case None => more = false
+    }
+    if (out.nonEmpty && off == payload.length) out.toSeq else Nil
+  }
+
+  /** Codec-dispatching single-image decode: PGM, then BMP, then PNG.
+    * The kernels below are format-agnostic past this point.
     */
   def decodeImage(payload: Array[Byte]): Option[PgmImage] =
-    decodePgm(payload).orElse(decodeBmp(payload))
+    decodePgm(payload).orElse(decodeBmp(payload)).orElse(decodePng(payload))
 
   /** Deterministic multi-frame P5 container for a document row — the
     * zero-egress stand-in for a real media column. Frame dimensions and
@@ -319,7 +504,7 @@ object Multimodal {
     hist
   }
 
-  /** REAL decode when the payload is a P5 or BMP image: 16-bin
+  /** REAL decode when the payload is a P5, BMP, or PNG image: 16-bin
     * luminance histogram over the decoded PIXELS (bin = 16 * value /
     * (maxval+1)), normalized by pixel count — header bytes never
     * pollute the features. Falls back to [[decodeStub]] for anything
@@ -385,19 +570,22 @@ object Multimodal {
   case class Frame(asset_id: Long, frame_idx: Int, n_frames_total: Int,
       frame: Array[Byte])
 
-  /** Resize kernel: REAL nearest-neighbor pixel resample for P5 and
-    * BMP payloads — output re-encoded in the INPUT's format (a .bmp in
-    * is a .bmp out), so a mixed-format asset column keeps per-row
-    * format stability through the pipeline. Byte-stride stand-in for
-    * payloads no codec-free parser covers. Pure bytes-in/bytes-out on
-    * every path.
+  /** Resize kernel: REAL nearest-neighbor pixel resample for P5, BMP,
+    * and PNG payloads — output re-encoded in the INPUT's format (a
+    * .bmp in is a .bmp out), so a mixed-format asset column keeps
+    * per-row format stability through the pipeline. Byte-stride
+    * stand-in for payloads no shipped parser covers. Pure
+    * bytes-in/bytes-out on every path.
     */
   def resizeKernel(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
     decodePgm(payload) match {
       case Some(img) => encodePgm(resizePgm(img, w, h))
       case None => decodeBmp(payload) match {
         case Some(img) => encodeBmp(resizePgm(img, w, h))
-        case None => resizeStub(payload, w, h)
+        case None => decodePng(payload) match {
+          case Some(img) => encodePng(resizePgm(img, w, h))
+          case None => resizeStub(payload, w, h)
+        }
       }
     }
 
@@ -456,7 +644,11 @@ object Multimodal {
         else {
           val bmpFrames = decodeBmpFrames(a.payload)
           if (bmpFrames.nonEmpty) bmpFrames.map(encodeBmp).toArray
-          else a.payload.grouped(frameBytes).toArray
+          else {
+            val pngFrames = decodePngFrames(a.payload)
+            if (pngFrames.nonEmpty) pngFrames.map(encodePng).toArray
+            else a.payload.grouped(frameBytes).toArray
+          }
         }
       frames.indices.collect {
         case i if i % stride == 0 => Frame(a.asset_id, i, frames.length, frames(i))

@@ -193,6 +193,134 @@ class MultimodalSpec extends SparkSpec {
     assert(scCheck(Parameters.default.withMinSuccessfulTests(50), prop).passed)
   }
 
+  test("PNG codec: hand-built grayscale image exercises all five scanline filters") {
+    val w = 4; val h = 5
+    val target = Array.tabulate(w * h)(i => ((i * 37 + 11) % 256).toByte)
+    // FORWARD-filter each row with a different filter type — an
+    // independent reimplementation of spec §6 the decoder must invert
+    def px(x: Int, y: Int): Int = if (x < 0 || y < 0) 0 else target(y * w + x) & 0xff
+    val raw = new Array[Byte](h * (w + 1))
+    for (y <- 0 until h) {
+      val ft = y % 5
+      raw(y * (w + 1)) = ft.toByte
+      for (x <- 0 until w) {
+        val v = px(x, y)
+        val a = px(x - 1, y); val b = px(x, y - 1); val c = px(x - 1, y - 1)
+        val f = ft match {
+          case 0 => v
+          case 1 => v - a
+          case 2 => v - b
+          case 3 => v - (a + b) / 2
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            v - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        raw(y * (w + 1) + 1 + x) = f.toByte
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val cOut = new java.io.ByteArrayOutputStream()
+    val cbuf = new Array[Byte](1024)
+    while (!defl.finished()) cOut.write(cbuf, 0, defl.deflate(cbuf))
+    defl.end()
+    def be(v: Long) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val tb = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32(); crc.update(tb); crc.update(data)
+      be(data.length.toLong) ++ tb ++ data ++ be(crc.getValue)
+    }
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val ihdr = be(w.toLong) ++ be(h.toLong) ++ Array[Byte](8, 0, 0, 0, 0)
+    val png = sig ++ chunk("IHDR", ihdr) ++
+      chunk("tEXt", "comment skip me".getBytes("US-ASCII")) ++ // ancillary: skipped
+      chunk("IDAT", cOut.toByteArray) ++ chunk("IEND", Array.emptyByteArray)
+    val img = Multimodal.decodePng(png).get
+    assert(img.width === w && img.height === h && img.maxVal === 255)
+    assert(img.pixels.toSeq === target.toSeq)
+    // a flipped IDAT byte fails the chunk CRC -> reject, never mis-decode
+    val idatAt = png.indexOfSlice("IDAT".getBytes("US-ASCII"))
+    val corrupt = png.clone()
+    corrupt(idatAt + 4) = (corrupt(idatAt + 4) ^ 0x40).toByte
+    assert(Multimodal.decodePng(corrupt).isEmpty)
+    // truncation rejects
+    assert(Multimodal.decodePng(png.dropRight(1)).isEmpty)
+    // unsupported bit depth (16) rejects even with a valid CRC
+    val ihdr16 = ihdr.clone(); ihdr16(8) = 16
+    assert(Multimodal.decodePng(sig ++ chunk("IHDR", ihdr16) ++
+      chunk("IDAT", cOut.toByteArray) ++ chunk("IEND", Array.emptyByteArray)).isEmpty)
+    // a zlib stream DECLARING fewer pixels than IHDR rejects (truncated raster)
+    val short = new java.util.zip.Deflater()
+    short.setInput(raw.dropRight(w + 1)); short.finish()
+    val sOut = new java.io.ByteArrayOutputStream()
+    while (!short.finished()) sOut.write(cbuf, 0, short.deflate(cbuf))
+    short.end()
+    assert(Multimodal.decodePng(sig ++ chunk("IHDR", ihdr) ++
+      chunk("IDAT", sOut.toByteArray) ++ chunk("IEND", Array.emptyByteArray)).isEmpty)
+  }
+
+  test("PNG resize and features run on real pixels through the shared kernels") {
+    val src = Multimodal.PgmImage(4, 4, 255, Array.tabulate(16)(_.toByte))
+    val assets = Seq(Multimodal.Asset(1L, "image",
+      Multimodal.encodePng(src), "s")).toDS()
+    val out = Multimodal.resize(assets, w = 2, h = 2).collect().head
+    val outImg = Multimodal.decodePng(out.payload).get
+    assert(outImg.pixels.toSeq === Seq[Byte](0, 2, 8, 10))
+    assert(Multimodal.decodePgm(out.payload).isEmpty &&
+      Multimodal.decodeBmp(out.payload).isEmpty, "PNG in must mean PNG out")
+    // features: 2x2 black/white PNG -> same histogram as its PGM/BMP twins
+    val bw = Multimodal.PgmImage(2, 2, 255, Array[Byte](0, 0, -1, -1))
+    val f = Multimodal.decodeFeatures(Multimodal.encodePng(bw))
+    assert(f(0) === 0.5f && f(Multimodal.FeatureDim - 1) === 0.5f)
+  }
+
+  test("PNG container frame sampling splits at IEND boundaries") {
+    val frames = (0 until 3).map(i =>
+      Multimodal.PgmImage(2, 1, 255, Array[Byte]((10 * i).toByte, (10 * i + 1).toByte)))
+    val container = frames.map(Multimodal.encodePng).reduce(_ ++ _)
+    val assets = Seq(Multimodal.Asset(7L, "video", container, "s")).toDS()
+    val got = Multimodal.sampleFrames(assets, frameBytes = 16, stride = 2)
+      .orderBy("frame_idx").collect()
+    assert(got.map(_.frame_idx).toSeq === Seq(0, 2))
+    assert(got.forall(_.n_frames_total === 3))
+    got.foreach { fr =>
+      val img = Multimodal.decodePng(fr.frame).get
+      assert(img.pixels.toSeq === frames(fr.frame_idx).pixels.toSeq)
+    }
+  }
+
+  test("property: PNG encode/decode round-trips any image, agreeing with PGM/BMP") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check => scCheck, Parameters}
+    val genImg = for {
+      w <- Gen.choose(1, 37)
+      h <- Gen.choose(1, 19)
+      px <- Gen.containerOfN[Array, Byte](w * h, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield Multimodal.PgmImage(w, h, 255, px)
+    val prop = Prop.forAll(genImg) { img =>
+      val via = Multimodal.decodePng(Multimodal.encodePng(img)).get
+      via.width == img.width && via.height == img.height &&
+        java.util.Arrays.equals(via.pixels, img.pixels) &&
+        Multimodal.decodeImage(Multimodal.encodePng(img)).get.pixels.toSeq ==
+          Multimodal.decodeImage(Multimodal.encodePgm(img)).get.pixels.toSeq
+    }
+    assert(scCheck(Parameters.default.withMinSuccessfulTests(50), prop).passed)
+  }
+
+  test("payloads outside the real-codec set (PGM/BMP/PNG) take the stub path") {
+    // the README format table promises: anything that isn't one of the
+    // three shipped parsers falls back to the byte-statistics stub —
+    // JPEG/audio magic must never half-decode
+    val jpeg = Array(0xff, 0xd8, 0xff, 0xe0).map(_.toByte) ++ Array.fill[Byte](64)(7)
+    val riff = "RIFF1234WAVEfmt ".getBytes("US-ASCII") ++ Array.fill[Byte](32)(3)
+    val noise = "not an image at all".getBytes("US-ASCII")
+    for (p <- Seq(jpeg, riff, noise)) {
+      assert(Multimodal.decodeImage(p).isEmpty)
+      assert(Multimodal.decodeFeatures(p).toSeq === Multimodal.decodeStub(p).toSeq)
+    }
+  }
+
   test("synthetic PGM container encodes the md5-derived params the decoder reads back") {
     val hash = "0123456789abcdef0123456789abcdef"
     val payload = Multimodal.syntheticPgmContainer(hash, nBytes = 10L)
