@@ -74,6 +74,21 @@ object DevProbe {
         .withColumn("jaccard", round(col("i") / (col("na") + col("nb") - col("i")), 6))
         .filter(col("jaccard") >= 0.2)
         .select(col("a_id"), col("b_id"), col("jaccard"))
+    // the ONE posting pipeline under probe (window df filter -> bucket
+    // lists -> canonicalized pair counts) — every variant below feeds a
+    // differently-partitioned `src` through this same body so a change
+    // to the pair canonicalization can't silently diverge per probe
+    def pairCounts(src: DataFrame): DataFrame =
+      src.withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
+        .filter(col("df") >= 2 && col("df") <= TextOps.MaxBucket)
+        .groupBy(col("s"))
+        .agg(collect_list(col("dn")).as("ids"))
+        .select(explode(TextOps.pairCombinations(col("ids"))).as("p0"))
+        .select(least(col("p0.a"), col("p0.b")).as("pa"),
+          greatest(col("p0.a"), col("p0.b")).as("pb"))
+        .filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("i"))
 
     t("jacc_current_list") {
       val p = sh.groupBy(col("s"))
@@ -111,19 +126,7 @@ object DevProbe {
         .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("i"))
       finish(p).count()
     }
-    t("jacc_window_fused") {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
-      val p = sh.withColumn("df", count(lit(1)).over(w))
-        .filter(col("df") >= 2 && col("df") <= TextOps.MaxBucket)
-        .groupBy(col("s"))
-        .agg(collect_list(col("dn")).as("ids"))
-        .select(explode(TextOps.pairCombinations(col("ids"))).as("p0"))
-        .select(least(col("p0.a"), col("p0.b")).as("pa"),
-          greatest(col("p0.a"), col("p0.b")).as("pb"))
-        .filter(col("pa") < col("pb"))
-        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("i"))
-      finish(p).count()
-    }
+    t("jacc_window_fused") { finish(pairCounts(sh)).count() }
     // second placement of the same plan: measures run-order effects only
     t("jacc_df_prefilter_rep2") { dfPrefilterPlan().count() }
     t("df2_size") { df2.count() }
@@ -154,18 +157,7 @@ object DevProbe {
     // 16-byte rows; 8 partitions may under-parallelize the window sort
     for (sp <- Seq("8", "16", "32")) {
       spark.conf.set("spark.sql.shuffle.partitions", sp)
-      t(s"jacc_window_sp$sp") {
-        val p = sh.withColumn("df", count(lit(1)).over(w))
-          .filter(col("df") >= 2 && col("df") <= TextOps.MaxBucket)
-          .groupBy(col("s"))
-          .agg(collect_list(col("dn")).as("ids"))
-          .select(explode(TextOps.pairCombinations(col("ids"))).as("p0"))
-          .select(least(col("p0.a"), col("p0.b")).as("pa"),
-            greatest(col("p0.a"), col("p0.b")).as("pb"))
-          .filter(col("pa") < col("pb"))
-          .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("i"))
-        finish(p).count()
-      }
+      t(s"jacc_window_sp$sp") { finish(pairCounts(sh)).count() }
     }
     spark.conf.set("spark.sql.shuffle.partitions", "8")
 
@@ -174,19 +166,7 @@ object DevProbe {
     // is not coalescible: does restored parallelism beat the extra
     // scheduling?
     for (np <- Seq(8, 32)) {
-      t(s"jacc_repart$np") {
-        val p = sh.repartition(np, col("s"))
-          .withColumn("df", count(lit(1)).over(w))
-          .filter(col("df") >= 2 && col("df") <= TextOps.MaxBucket)
-          .groupBy(col("s"))
-          .agg(collect_list(col("dn")).as("ids"))
-          .select(explode(TextOps.pairCombinations(col("ids"))).as("p0"))
-          .select(least(col("p0.a"), col("p0.b")).as("pa"),
-            greatest(col("p0.a"), col("p0.b")).as("pb"))
-          .filter(col("pa") < col("pb"))
-          .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("i"))
-        finish(p).count()
-      }
+      t(s"jacc_repart$np") { finish(pairCounts(sh.repartition(np, col("s")))).count() }
     }
     // and the full query as shipped (orderBy included), for the bench gap
     t("jacc_shipped_full") {

@@ -335,15 +335,29 @@ object Multimodal {
       }
       i += 12 + len.toInt
     }
-    // Inflate to exactly height scanlines of (1 filter byte + width)
-    val raw = new Array[Byte](height * (width + 1))
+    // Inflate to exactly height scanlines of (1 filter byte + width).
+    // Allocation is bounded by the ACTUAL payload bytes, not header
+    // claims alone (the same discipline as decodePgmAt's raster check):
+    // DEFLATE tops out near 1032:1, so a few-hundred-byte payload
+    // declaring a 65535 x 32000 raster — a classic decompression bomb —
+    // rejects here instead of allocating ~2 GB per hostile asset row.
+    // The +64 covers fixed zlib framing on tiny legitimate rasters.
+    val rawLen = height * (width + 1)
+    val idatBytes = idat.toByteArray
+    if (rawLen.toLong > 1032L * idatBytes.length + 64) return None
+    val raw = new Array[Byte](rawLen)
     val inf = new java.util.zip.Inflater()
     try {
-      inf.setInput(idat.toByteArray)
+      inf.setInput(idatBytes)
       var got = 0
       while (got < raw.length) {
         val n = inf.inflate(raw, got, raw.length - got)
-        if (n == 0 && (inf.finished() || inf.needsInput())) return None // truncated
+        // needsDictionary: an FDICT (preset dictionary) stream makes
+        // inflate() return 0 with finished()=false AND needsInput()=
+        // false forever — without this check one crafted payload spins
+        // the executor task for good. PNG forbids FDICT, so reject.
+        if (n == 0 && (inf.finished() || inf.needsInput() ||
+            inf.needsDictionary())) return None // truncated or FDICT
         got += n
       }
       // the stream must END here — extra pixels would mean the header lied

@@ -163,10 +163,20 @@ object ExtensionQueries {
   private val ivfIndexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def ivfIndexDir(s: SparkSession, dir: String): String =
     ivfIndexDirs.computeIfAbsent(dir, _ => {
-      val out = java.nio.file.Files.createTempDirectory("graft-ivf-index-").toString
-      graft.operators.Similarity.saveIndex(s, Tables.embeddings(s, dir), out,
+      val out = java.nio.file.Files.createTempDirectory("graft-ivf-index-")
+      // the index is JVM-scoped scratch: delete it on exit so repeated
+      // bench/verify runs don't accumulate parquet under the temp root
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        try Files.walk(out).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+        catch { case _: java.io.IOException => () } // best-effort cleanup
+        ()
+      }))
+      graft.operators.Similarity.saveIndex(s, Tables.embeddings(s, dir), out.toString,
         nHint = Tables.parquetRowCount(s, s"$dir/embeddings.parquet"))
-      out
+      out.toString
     })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

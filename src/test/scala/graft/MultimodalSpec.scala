@@ -258,6 +258,17 @@ class MultimodalSpec extends SparkSpec {
     short.end()
     assert(Multimodal.decodePng(sig ++ chunk("IHDR", ihdr) ++
       chunk("IDAT", sOut.toByteArray) ++ chunk("IEND", Array.emptyByteArray)).isEmpty)
+    // an FDICT (preset-dictionary) zlib stream must REJECT, not hang:
+    // CMF=0x78 FLG=0x20 passes the zlib check ((0x7820 % 31) == 0 with
+    // bit 5 set), then Inflater reports needsDictionary forever
+    val fdict = Array[Byte](0x78, 0x20, 1, 2, 3, 4, 9, 9, 9, 9)
+    assert(Multimodal.decodePng(sig ++ chunk("IHDR", ihdr) ++
+      chunk("IDAT", fdict) ++ chunk("IEND", Array.emptyByteArray)).isEmpty)
+    // decompression bomb: a valid-CRC header declaring a ~2 GB raster
+    // over a few IDAT bytes must reject BEFORE allocating
+    val bombIhdr = be(65535L) ++ be(32000L) ++ Array[Byte](8, 0, 0, 0, 0)
+    assert(Multimodal.decodePng(sig ++ chunk("IHDR", bombIhdr) ++
+      chunk("IDAT", cOut.toByteArray) ++ chunk("IEND", Array.emptyByteArray)).isEmpty)
   }
 
   test("PNG resize and features run on real pixels through the shared kernels") {
