@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
   * payloads are opaque `binary` columns with typed metadata; decode /
   * feature-extraction runs partition-batched over the payload bytes.
   *
-  * Decode is REAL for three formats — PGM (P5), uncompressed BMP
-  * (8-bit paletted + 24-bit BGR), and 8-bit grayscale non-interlaced
-  * PNG (JDK Inflater, verified CRCs, all five scanline filters) —
-  * header parse, pixel access, nearest-neighbor resize, and
-  * concatenated-frame sampling all operate on actual pixels
-  * (MultimodalSpec asserts known pixel values end to end). Anything
+  * Decode is REAL for four formats — PGM (P5), uncompressed BMP
+  * (8-bit paletted + 24-bit BGR), 8-bit grayscale non-interlaced
+  * PNG (JDK Inflater, verified CRCs, all five scanline filters), and
+  * 16-bit PCM WAV (RIFF chunk walk, fmt cross-field validation) —
+  * header parse, pixel/sample access, nearest-neighbor resize and
+  * resample, and concatenated-frame/clip sampling all operate on
+  * actual pixels or samples (MultimodalSpec asserts known values end
+  * to end). Anything
   * else falls back to the deterministic byte-statistics STUB (lossy
   * image/audio codecs aren't in this container; see the README format
   * table); the partition-batched execution shape — one decoder
@@ -464,6 +466,185 @@ object Multimodal {
   def decodeImage(payload: Array[Byte]): Option[PgmImage] =
     decodePgm(payload).orElse(decodeBmp(payload)).orElse(decodePng(payload))
 
+  // ---- WAV (RIFF PCM) codec --------------------------------------------
+  // Fourth real format, and the first AUDIO one: canonical RIFF/WAVE
+  // container with 16-bit integer PCM — the interchange format every
+  // audio toolchain reads and the only one that needs no entropy coder,
+  // so it stays zero-third-party like PGM/BMP/PNG. Structure (Microsoft
+  // RIFF spec / RFC 2361 WAVE taxonomy): "RIFF" + u32 LE payload size +
+  // "WAVE", then chunks of [4CC][u32 LE size][data][pad byte when size
+  // is odd]. Supported: format tag 1 (linear PCM), 16 bits/sample,
+  // 1..8 channels, "fmt " before "data", unknown chunks (LIST, fact,
+  // cue...) skipped per spec. The fmt chunk's redundant fields
+  // (blockAlign, byteRate) are VERIFIED against channels/rate — an
+  // inconsistent header rejects (stub fallback) instead of decoding
+  // misaligned samples.
+
+  /** Interleaved 16-bit PCM: `samples.length = frames * channels`,
+    * channel-major within a frame (the WAV interleave order).
+    */
+  case class PcmAudio(sampleRate: Int, channels: Int, samples: Array[Short]) {
+    def frames: Int = samples.length / channels
+    /** Whole milliseconds of audio (integer floor — replayable in SQL). */
+    def durationMs: Long = frames.toLong * 1000L / sampleRate
+  }
+
+  /** Parse one WAV starting at `offset`; returns the audio and the
+    * offset just past the RIFF chunk (including its pad byte), or None
+    * if the bytes are not a well-formed 16-bit PCM WAV.
+    */
+  def decodeWavAt(payload: Array[Byte], offset: Int): Option[(PcmAudio, Int)] = {
+    val o = offset
+    if (o + 12 > payload.length || payload(o) != 'R' || payload(o + 1) != 'I' ||
+        payload(o + 2) != 'F' || payload(o + 3) != 'F' ||
+        payload(o + 8) != 'W' || payload(o + 9) != 'A' ||
+        payload(o + 10) != 'V' || payload(o + 11) != 'E')
+      return None
+    val riffSize = u32(payload, o + 4)
+    // long arithmetic: a hostile size must not overflow the bound check
+    val end = o + 8L + riffSize
+    if (riffSize < 4 || end > payload.length) return None
+    var i = o + 12L
+    var rate = 0
+    var channels = 0
+    var dataOff = -1L
+    var dataLen = 0L
+    while (i + 8 <= end && dataOff < 0) {
+      val size = u32(payload, (i + 4).toInt)
+      val body = i + 8
+      if (body + size > end) return None
+      val tag = new String(payload, i.toInt, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      tag match {
+        case "fmt " =>
+          if (size < 16 || channels != 0) return None // duplicate fmt rejects
+          val b = body.toInt
+          val fmtTag = u16(payload, b)
+          channels = u16(payload, b + 2)
+          rate = u32(payload, b + 4).toInt
+          val byteRate = u32(payload, b + 8)
+          val blockAlign = u16(payload, b + 12)
+          val bits = u16(payload, b + 14)
+          if (fmtTag != 1 || bits != 16 || channels < 1 || channels > 8 ||
+              rate <= 0 || blockAlign != channels * 2 ||
+              byteRate != rate.toLong * blockAlign) return None
+        case "data" =>
+          if (channels == 0) return None // fmt must precede data
+          dataOff = body; dataLen = size
+        case _ => () // ancillary chunk: skip
+      }
+      i = body + size + (size & 1) // chunks are even-aligned
+    }
+    if (dataOff < 0) return None
+    // data must hold whole frames; total samples must fit one array
+    if (dataLen % (channels * 2) != 0 || dataLen / 2 > Int.MaxValue) return None
+    val n = (dataLen / 2).toInt
+    val samples = new Array[Short](n)
+    var s = 0
+    while (s < n) {
+      samples(s) = u16(payload, (dataOff + s * 2L).toInt).toShort
+      s += 1
+    }
+    Some((PcmAudio(rate, channels, samples), (end + (riffSize & 1)).toInt))
+  }
+
+  def decodeWav(payload: Array[Byte]): Option[PcmAudio] =
+    decodeWavAt(payload, 0).map(_._1)
+
+  /** Serialize as the canonical 44-byte-header WAV (fmt 16 + data) —
+    * sample-exact round trip through [[decodeWav]].
+    */
+  def encodeWav(a: PcmAudio): Array[Byte] = {
+    val dataLen = a.samples.length * 2
+    val out = new Array[Byte](44 + dataLen + (dataLen & 1))
+    def put4(i: Int, s: String): Unit = { var k = 0; while (k < 4) { out(i + k) = s.charAt(k).toByte; k += 1 } }
+    def putU16(i: Int, v: Int): Unit = { out(i) = v.toByte; out(i + 1) = (v >> 8).toByte }
+    def putU32(i: Int, v: Long): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+      out(i + 2) = (v >> 16).toByte; out(i + 3) = (v >> 24).toByte
+    }
+    put4(0, "RIFF"); putU32(4, 36L + dataLen + (dataLen & 1)); put4(8, "WAVE")
+    put4(12, "fmt "); putU32(16, 16L)
+    putU16(20, 1); putU16(22, a.channels); putU32(24, a.sampleRate.toLong)
+    putU32(28, a.sampleRate.toLong * a.channels * 2) // byte rate
+    putU16(32, a.channels * 2); putU16(34, 16) // block align, bits
+    put4(36, "data"); putU32(40, dataLen.toLong)
+    var s = 0
+    while (s < a.samples.length) {
+      out(44 + s * 2) = a.samples(s).toByte
+      out(44 + s * 2 + 1) = (a.samples(s) >> 8).toByte
+      s += 1
+    }
+    out
+  }
+
+  /** Nearest-neighbor sample-rate conversion on real samples — the
+    * audio analog of [[resizePgm]]: frame f of the output copies frame
+    * floor(f * inFrames / outFrames) of the input, all channels moving
+    * together so interleave never skews.
+    */
+  def resampleWav(a: PcmAudio, newRate: Int): PcmAudio = {
+    require(newRate > 0, s"sample rate must be positive, got $newRate")
+    if (newRate == a.sampleRate || a.frames == 0)
+      return PcmAudio(newRate, a.channels, a.samples.clone())
+    val outFrames = math.max(1, (a.frames.toLong * newRate / a.sampleRate).toInt)
+    val out = new Array[Short](outFrames * a.channels)
+    var f = 0
+    while (f < outFrames) {
+      val src = (f.toLong * a.frames / outFrames).toInt
+      var c = 0
+      while (c < a.channels) {
+        out(f * a.channels + c) = a.samples(src * a.channels + c)
+        c += 1
+      }
+      f += 1
+    }
+    PcmAudio(newRate, a.channels, out)
+  }
+
+  /** All clips of a concatenated-WAV container, or Nil if the payload
+    * isn't one.
+    */
+  def decodeWavFrames(payload: Array[Byte]): Seq[PcmAudio] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[PcmAudio]
+    var off = 0
+    var more = payload.nonEmpty
+    while (more) decodeWavAt(payload, off) match {
+      case Some((a, next)) => out += a; off = next; more = off < payload.length
+      case None => more = false
+    }
+    if (out.nonEmpty && off == payload.length) out.toSeq else Nil
+  }
+
+  /** Deterministic concatenated-WAV container for a document row — the
+    * audio twin of [[syntheticPgmContainer]]. Clip parameters (rate,
+    * channel count, frames per clip, clip count) derive from the doc's
+    * content hash / byte length by arithmetic the `multimodal_audio`
+    * DuckDB oracle replays; samples are filled from the hash bytes. The
+    * oracled query ENCODES with this and reports what
+    * [[decodeWavFrames]] reads back, so the hash gate fails on any
+    * chunk-walk, fmt-validation, or clip-boundary misparse.
+    */
+  def syntheticWavContainer(contentHash: String, nBytes: Long): Array[Byte] = {
+    val rate = 8000 * (1 + contentHash.charAt(0).toInt % 3) // 8/16/24 kHz
+    val channels = 1 + (nBytes % 2).toInt
+    val framesPerClip = 200 + (contentHash.charAt(1).toInt % 16) * 25
+    val nClips = (nBytes % 5 + 1).toInt
+    val samples = new Array[Short](framesPerClip * channels)
+    var i = 0
+    while (i < samples.length) {
+      // spread hash chars across the full 16-bit range, sign included
+      samples(i) =
+        ((contentHash.charAt(i % contentHash.length).toInt * 1009 + i * 131) % 65536 - 32768).toShort
+      i += 1
+    }
+    val one = encodeWav(PcmAudio(rate, channels, samples))
+    val out = new Array[Byte](one.length * nClips)
+    var c = 0
+    while (c < nClips) { System.arraycopy(one, 0, out, c * one.length, one.length); c += 1 }
+    out
+  }
+
   /** Deterministic multi-frame P5 container for a document row — the
     * zero-egress stand-in for a real media column. Frame dimensions and
     * frame count derive from the doc's content hash / byte length by
@@ -521,8 +702,10 @@ object Multimodal {
   /** REAL decode when the payload is a P5, BMP, or PNG image: 16-bin
     * luminance histogram over the decoded PIXELS (bin = 16 * value /
     * (maxval+1)), normalized by pixel count — header bytes never
-    * pollute the features. Falls back to [[decodeStub]] for anything
-    * else.
+    * pollute the features. A WAV payload gets the audio analog: a
+    * 16-bin amplitude histogram over the decoded SAMPLES (bin =
+    * 16 * (sample + 32768) / 65536), normalized by sample count. Falls
+    * back to [[decodeStub]] for anything else.
     */
   def decodeFeatures(payload: Array[Byte]): Array[Float] =
     decodeImage(payload) match {
@@ -541,7 +724,21 @@ object Multimodal {
           while (j < FeatureDim) { hist(j) /= img.pixels.length.toFloat; j += 1 }
         }
         hist
-      case None => decodeStub(payload)
+      case None => decodeWav(payload) match {
+        case Some(a) =>
+          val hist = new Array[Float](FeatureDim)
+          var i = 0
+          while (i < a.samples.length) {
+            hist(((a.samples(i) + 32768) * FeatureDim) >>> 16) += 1f
+            i += 1
+          }
+          if (a.samples.length > 0) {
+            var j = 0
+            while (j < FeatureDim) { hist(j) /= a.samples.length.toFloat; j += 1 }
+          }
+          hist
+        case None => decodeStub(payload)
+      }
     }
 
   /** Documents table -> binary assets (text bytes as the opaque payload;
@@ -637,6 +834,32 @@ object Multimodal {
     }
   }
 
+  case class ResampledAsset(asset_id: Long, modality: String, sample_rate: Int,
+      n_frames: Int, payload: Array[Byte])
+
+  /** Partition-batched sample-rate conversion — the audio twin of
+    * [[resize]]: WAV payloads are decoded, nearest-neighbor resampled
+    * to `rate`, and re-encoded; anything else passes through with
+    * `n_frames = -1` so a mixed-modality asset column never loses rows
+    * (filter on `n_frames >= 0` for the audio subset).
+    */
+  def resample(assets: Dataset[Asset], rate: Int): Dataset[ResampledAsset] = {
+    require(rate > 0, s"sample rate must be positive, got $rate")
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      // codec init would happen here, once per partition
+      it.map { a =>
+        decodeWav(a.payload) match {
+          case Some(audio) =>
+            val r = resampleWav(audio, rate)
+            ResampledAsset(a.asset_id, a.modality, rate, r.frames, encodeWav(r))
+          case None =>
+            ResampledAsset(a.asset_id, a.modality, rate, -1, a.payload)
+        }
+      }
+    }
+  }
+
   /** Frame sampling: split the payload into frames, keep every
     * `stride`-th — ONE asset row fans out to N frame rows (flatMap, the
     * Spark shape of a video frame sampler). A concatenated-PGM
@@ -661,7 +884,11 @@ object Multimodal {
           else {
             val pngFrames = decodePngFrames(a.payload)
             if (pngFrames.nonEmpty) pngFrames.map(encodePng).toArray
-            else a.payload.grouped(frameBytes).toArray
+            else {
+              val wavClips = decodeWavFrames(a.payload)
+              if (wavClips.nonEmpty) wavClips.map(encodeWav).toArray
+              else a.payload.grouped(frameBytes).toArray
+            }
           }
         }
       frames.indices.collect {

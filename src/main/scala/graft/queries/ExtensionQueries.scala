@@ -1094,6 +1094,35 @@ object ExtensionQueries {
         }
         .toDF("doc_id", "n_bytes", "content_hash", "width", "height", "n_frames")
         .orderBy(col("doc_id"))
+    }),
+
+    // Audio twin of multimodal_features: each doc gets a deterministic
+    // concatenated-WAV container (clip parameters = the md5 arithmetic
+    // the DuckDB oracle replays), and the reported rate / channels /
+    // frames / clip count / total duration are what
+    // Multimodal.decodeWavFrames reads BACK from the encoded bytes — so
+    // the hash gate fails if the RIFF chunk walk, fmt validation, or
+    // clip-boundary detection misparses anything.
+    "multimodal_audio" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("n_bytes"),
+          md5(col("text")).as("content_hash"))
+        .as[(Long, Long, String)]
+        .mapPartitions { it =>
+          // codec init would happen here, once per partition
+          it.map { case (id, nBytes, hash) =>
+            val payload = graft.operators.Multimodal.syntheticWavContainer(hash, nBytes)
+            val clips = graft.operators.Multimodal.decodeWavFrames(payload)
+            require(clips.nonEmpty, s"doc $id: synthetic WAV container failed to decode")
+            (id, nBytes, hash, clips.head.sampleRate, clips.head.channels,
+              clips.head.frames, clips.length, clips.map(_.durationMs).sum)
+          }
+        }
+        .toDF("doc_id", "n_bytes", "content_hash", "sample_rate", "channels",
+          "clip_frames", "n_clips", "total_ms")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1480,6 +1509,21 @@ object ExtensionQueries {
        "CAST(16 + (ascii(substr(md5(text), 1, 1)) % 8) * 4 AS INT) AS width, " +
        "CAST(16 + (ascii(substr(md5(text), 2, 1)) % 8) * 4 AS INT) AS height, " +
        "CAST(octet_length(encode(text)) % 7 + 1 AS INT) AS n_frames " +
-       "FROM documents ORDER BY doc_id")
+       "FROM documents ORDER BY doc_id"),
+    "multimodal_audio" ->
+      // replays syntheticWavContainer's construction arithmetic; the
+      // Spark side reports what the REAL decoder read back, so equality
+      // means the decode inverted the encode exactly
+      ("WITH p AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+       "md5(text) AS content_hash, " +
+       "8000 * (1 + ascii(substr(md5(text), 1, 1)) % 3) AS rate, " +
+       "200 + (ascii(substr(md5(text), 2, 1)) % 16) * 25 AS frames " +
+       "FROM documents) " +
+       "SELECT doc_id, n_bytes, content_hash, CAST(rate AS INT) AS sample_rate, " +
+       "CAST(1 + n_bytes % 2 AS INT) AS channels, " +
+       "CAST(frames AS INT) AS clip_frames, " +
+       "CAST(n_bytes % 5 + 1 AS INT) AS n_clips, " +
+       "CAST((n_bytes % 5 + 1) * ((frames * 1000) // rate) AS BIGINT) AS total_ms " +
+       "FROM p ORDER BY doc_id")
   )
 }

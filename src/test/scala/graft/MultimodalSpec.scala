@@ -319,15 +319,17 @@ class MultimodalSpec extends SparkSpec {
     assert(scCheck(Parameters.default.withMinSuccessfulTests(50), prop).passed)
   }
 
-  test("payloads outside the real-codec set (PGM/BMP/PNG) take the stub path") {
+  test("payloads outside the real-codec set (PGM/BMP/PNG/WAV) take the stub path") {
     // the README format table promises: anything that isn't one of the
-    // three shipped parsers falls back to the byte-statistics stub —
-    // JPEG/audio magic must never half-decode
+    // four shipped parsers falls back to the byte-statistics stub —
+    // JPEG magic and MALFORMED RIFF must never half-decode (this RIFF
+    // declares a size far past the payload end)
     val jpeg = Array(0xff, 0xd8, 0xff, 0xe0).map(_.toByte) ++ Array.fill[Byte](64)(7)
     val riff = "RIFF1234WAVEfmt ".getBytes("US-ASCII") ++ Array.fill[Byte](32)(3)
     val noise = "not an image at all".getBytes("US-ASCII")
     for (p <- Seq(jpeg, riff, noise)) {
       assert(Multimodal.decodeImage(p).isEmpty)
+      assert(Multimodal.decodeWav(p).isEmpty)
       assert(Multimodal.decodeFeatures(p).toSeq === Multimodal.decodeStub(p).toSeq)
     }
   }
@@ -340,6 +342,156 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.head.width === 16 + ('0'.toInt % 8) * 4)
     assert(frames.head.height === 16 + ('1'.toInt % 8) * 4)
     assert(frames.forall(f => f.width === frames.head.width && f.height === frames.head.height))
+  }
+
+  test("WAV codec: hand-built fixture with ancillary chunk decodes sample-exact") {
+    // Built byte by byte from the RIFF spec, NOT via encodeWav — so an
+    // encoder/decoder pair that agree on the same wrong layout can't
+    // pass. Mono 16-bit PCM at 8 kHz, 4 samples, with an odd-sized
+    // LIST chunk (pad byte!) between "WAVE" and "fmt ".
+    def u16le(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def u32le(v: Long) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val samples = Seq(0, 1000, -1000, -32768)
+    val data = samples.flatMap(s => u16le(s & 0xffff)).toArray
+    val fmt = u16le(1) ++ u16le(1) ++ u32le(8000) ++ u32le(16000) ++ u16le(2) ++ u16le(16)
+    val list = "LIST".getBytes("US-ASCII") ++ u32le(3) ++ Array[Byte]('I', 'N', 'F', 0) // 3 bytes + pad
+    val body = "WAVE".getBytes("US-ASCII") ++ list ++
+      "fmt ".getBytes("US-ASCII") ++ u32le(16) ++ fmt ++
+      "data".getBytes("US-ASCII") ++ u32le(data.length.toLong) ++ data
+    val wav = "RIFF".getBytes("US-ASCII") ++ u32le(body.length.toLong) ++ body
+    val a = Multimodal.decodeWav(wav).get
+    assert(a.sampleRate === 8000 && a.channels === 1 && a.frames === 4)
+    assert(a.samples.toSeq === samples.map(_.toShort))
+    assert(a.durationMs === 0L) // 4 frames at 8 kHz floors to 0 ms
+    // encodeWav of the same audio round-trips through decodeWav exactly
+    val back = Multimodal.decodeWav(Multimodal.encodeWav(a)).get
+    assert(back.samples.toSeq === a.samples.toSeq && back.sampleRate === 8000)
+  }
+
+  test("WAV codec: inconsistent or hostile headers reject, never mis-decode") {
+    val good = Multimodal.encodeWav(
+      Multimodal.PcmAudio(8000, 2, Array[Short](1, 2, 3, 4)))
+    assert(Multimodal.decodeWav(good).isDefined)
+    def mut(off: Int, v: Byte): Array[Byte] = { val c = good.clone(); c(off) = v; c }
+    assert(Multimodal.decodeWav(mut(20, 3)).isEmpty)  // fmt tag: IEEE float
+    assert(Multimodal.decodeWav(mut(34, 8)).isEmpty)  // 8 bits/sample
+    assert(Multimodal.decodeWav(mut(32, 3)).isEmpty)  // blockAlign != channels*2
+    assert(Multimodal.decodeWav(mut(28, 99)).isEmpty) // byteRate != rate*blockAlign
+    assert(Multimodal.decodeWav(mut(22, 0)).isEmpty)  // zero channels
+    assert(Multimodal.decodeWav(good.dropRight(3)).isEmpty) // truncated data
+    // data size not a whole number of frames
+    val oddData = { val c = good.clone(); c(40) = 7; c } // dataLen 8 -> 7
+    assert(Multimodal.decodeWav(oddData).isEmpty)
+    // data chunk before any fmt chunk
+    val dataFirst = {
+      val c = good.clone()
+      System.arraycopy("data".getBytes("US-ASCII"), 0, c, 12, 4)
+      c
+    }
+    assert(Multimodal.decodeWav(dataFirst).isEmpty)
+    // riffSize overflowing past the payload (hostile length)
+    assert(Multimodal.decodeWav(mut(7, 0x7f)).isEmpty)
+  }
+
+  test("WAV resample: nearest-neighbor frames, channels move together") {
+    // stereo: L channel counts up, R channel counts down — after any
+    // resample each frame must still pair L=k with R=-k
+    val frames = 100
+    val inter = Array.tabulate[Short](frames * 2)(i =>
+      if (i % 2 == 0) (i / 2).toShort else (-(i / 2)).toShort)
+    val a = Multimodal.PcmAudio(16000, 2, inter)
+    val down = Multimodal.resampleWav(a, 4000)
+    assert(down.frames === 25 && down.channels === 2 && down.sampleRate === 4000)
+    (0 until down.frames).foreach { f =>
+      val l = down.samples(f * 2); val r = down.samples(f * 2 + 1)
+      assert(l === (f * 4).toShort && r === (-(f * 4)).toShort) // src = floor(f*100/25)
+    }
+    val up = Multimodal.resampleWav(a, 32000)
+    assert(up.frames === 200)
+    (0 until up.frames).foreach { f =>
+      assert(up.samples(f * 2) === (f / 2).toShort)
+    }
+    // same-rate resample is the identity
+    assert(Multimodal.resampleWav(a, 16000).samples.toSeq === inter.toSeq)
+  }
+
+  test("WAV features: amplitude histogram over samples, not header bytes") {
+    // all samples at 0 land mid-range: exactly one histogram bin = 1
+    val silent = Multimodal.encodeWav(Multimodal.PcmAudio(8000, 1, Array.fill[Short](64)(0)))
+    val f = Multimodal.decodeFeatures(silent)
+    assert(f(8) === 1.0f && f.sum === 1.0f) // (0+32768)*16/65536 = bin 8
+    // full-scale negative all in bin 0, full-scale positive in bin 15
+    val lo = Multimodal.encodeWav(Multimodal.PcmAudio(8000, 1, Array.fill[Short](8)(Short.MinValue)))
+    val hi = Multimodal.encodeWav(Multimodal.PcmAudio(8000, 1, Array.fill[Short](8)(Short.MaxValue)))
+    assert(Multimodal.decodeFeatures(lo)(0) === 1.0f)
+    assert(Multimodal.decodeFeatures(hi)(15) === 1.0f)
+  }
+
+  test("WAV container clip sampling splits at RIFF boundaries") {
+    val clipA = Multimodal.encodeWav(Multimodal.PcmAudio(8000, 1, Array[Short](1, 2, 3)))
+    val clipB = Multimodal.encodeWav(Multimodal.PcmAudio(16000, 2, Array[Short](4, 5, 6, 7)))
+    val container = clipA ++ clipB ++ clipA
+    val clips = Multimodal.decodeWavFrames(container)
+    assert(clips.map(_.sampleRate) === Seq(8000, 16000, 8000))
+    assert(clips(1).samples.toSeq === Seq[Short](4, 5, 6, 7))
+    // trailing garbage means it is NOT a clean container
+    assert(Multimodal.decodeWavFrames(container ++ Array[Byte](9)) === Nil)
+    // through the Dataset op: one asset row fans out into clip rows,
+    // each a complete re-encoded WAV
+    val ds = spark.createDataset(Seq(
+      Multimodal.Asset(7L, "audio", container, "test")))
+    val rows = Multimodal.sampleFrames(ds, frameBytes = 999, stride = 1)
+      .orderBy("frame_idx").collect()
+    assert(rows.length === 3 && rows.forall(_.n_frames_total === 3))
+    assert(rows.map(r => Multimodal.decodeWav(r.frame).get.sampleRate).toSeq
+      === Seq(8000, 16000, 8000))
+  }
+
+  test("property: WAV encode/decode round-trips any clip; resample preserves rate contract") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check => scCheck, Parameters}
+    val genAudio = for {
+      rate <- Gen.oneOf(8000, 16000, 22050, 44100)
+      ch <- Gen.choose(1, 4)
+      frames <- Gen.choose(1, 200)
+      s <- Gen.containerOfN[Array, Short](frames * ch,
+        Gen.choose(Short.MinValue, Short.MaxValue))
+    } yield Multimodal.PcmAudio(rate, ch, s)
+    val prop = Prop.forAll(genAudio) { a =>
+      val back = Multimodal.decodeWav(Multimodal.encodeWav(a)).get
+      back.sampleRate == a.sampleRate && back.channels == a.channels &&
+        java.util.Arrays.equals(back.samples, a.samples) && {
+          val r = Multimodal.resampleWav(a, 12000)
+          r.sampleRate == 12000 && r.channels == a.channels &&
+            r.samples.length == r.frames * r.channels && r.frames >= 1
+        }
+    }
+    assert(scCheck(Parameters.default.withMinSuccessfulTests(50), prop).passed)
+  }
+
+  test("synthetic WAV container encodes the md5-derived params the decoder reads back") {
+    val hash = "0123456789abcdef0123456789abcdef"
+    val payload = Multimodal.syntheticWavContainer(hash, nBytes = 11L)
+    val clips = Multimodal.decodeWavFrames(payload)
+    assert(clips.length === (11 % 5 + 1))
+    assert(clips.head.sampleRate === 8000 * (1 + '0'.toInt % 3))
+    assert(clips.head.channels === 1 + (11 % 2))
+    assert(clips.head.frames === 200 + ('1'.toInt % 16) * 25)
+    assert(clips.forall(c => c.sampleRate === clips.head.sampleRate &&
+      c.samples.toSeq === clips.head.samples.toSeq))
+  }
+
+  test("resample Dataset op: audio converts, non-audio passes through flagged") {
+    val audio = Multimodal.encodeWav(
+      Multimodal.PcmAudio(16000, 1, Array.tabulate[Short](160)(_.toShort)))
+    val ds = spark.createDataset(Seq(
+      Multimodal.Asset(1L, "audio", audio, "test"),
+      Multimodal.Asset(2L, "text", "hello".getBytes("US-ASCII"), "test")))
+    val out = Multimodal.resample(ds, 8000).orderBy("asset_id").collect()
+    assert(out(0).n_frames === 80 && out(0).sample_rate === 8000)
+    assert(Multimodal.decodeWav(out(0).payload).get.frames === 80)
+    assert(out(1).n_frames === -1) // pass-through, payload untouched
+    assert(out(1).payload.toSeq === "hello".getBytes("US-ASCII").toSeq)
   }
 
   test("frame sampling fans one asset into strided frame rows") {
