@@ -1,0 +1,557 @@
+package graft.operators
+
+import graft.operators.Multimodal.PgmImage
+
+/** Baseline JPEG codec (grayscale, sequential DCT) — the fifth real
+  * format in the multimodal family and the first LOSSY one, built from
+  * the public ITU-T T.81 spec with zero third-party code: marker-walk
+  * parse, canonical Huffman decode built from the file's own DHT
+  * segments (spec §C / §F.2.2), run-length + magnitude-category AC/DC
+  * entropy decode with byte-unstuffing and restart-marker handling,
+  * dequantize + dezigzag, separable double-precision IDCT
+  * (StrictMath cosine table, so results are bit-identical across
+  * JVMs), and level shift. Supported: baseline sequential (SOF0),
+  * 8-bit, ONE component (grayscale), with or without restart
+  * intervals. Progressive (SOF2), arithmetic coding, 12-bit, and
+  * multi-component color reject cleanly to the stub path — the README
+  * format table stays the single source of truth.
+  *
+  * The encoder emits baseline grayscale with the spec's Annex K
+  * example luminance quantization + Huffman tables (the tables every
+  * camera and library ship as "quality 50"), writing its tables into
+  * DQT/DHT — so decode(encode(img)) is self-describing and the decoder
+  * never assumes them. JPEG is lossy by design: round trips are
+  * near-exact (tests bound the per-pixel error), not byte-exact like
+  * PGM/BMP/PNG/WAV.
+  *
+  * Hostile-input posture (same discipline as the PNG decoder): all
+  * segment lengths are bounds-checked in long arithmetic, Huffman
+  * tables are validated (code counts vs values), the entropy reader
+  * can never read past the payload, and total block count is bounded
+  * by actual entropy bytes — a few-hundred-byte payload declaring a
+  * 65000x65000 frame rejects before allocating 4 GB.
+  */
+object Jpeg {
+
+  // Zigzag scan order (T.81 Figure A.6): index in scan order -> index
+  // in natural raster order.
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  // Annex K.1 example luminance quantization table (natural order via
+  // zigzag mapping below; stored here in raster order).
+  private val StdQuant: Array[Int] = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+
+  // Annex K.3.1 luminance DC Huffman table: BITS (counts per code
+  // length 1..16) + HUFFVAL (symbols in code order).
+  private val StdDcBits: Array[Int] =
+    Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val StdDcVals: Array[Int] = (0 to 11).toArray
+
+  // Annex K.3.2 luminance AC Huffman table.
+  private val StdAcBits: Array[Int] =
+    Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val StdAcVals: Array[Int] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16,
+    0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7,
+    0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5,
+    0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4,
+    0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea,
+    0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa)
+
+  // IDCT/FDCT basis: cos((2x+1) u pi / 16) * C(u) scaling folded in.
+  // StrictMath, not Math: the table must be bit-identical on every JVM
+  // the partitions run on, or the same payload could decode to
+  // different pixels on different executors.
+  private val CosTable: Array[Double] = {
+    val t = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      val cu = if (u == 0) 1.0 / StrictMath.sqrt(2.0) else 1.0
+      var x = 0
+      while (x < 8) {
+        t(u * 8 + x) = cu * StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 16.0)
+        x += 1
+      }
+      u += 1
+    }
+    t
+  }
+
+  /** Canonical Huffman table in spec §F.2.2.3 decode form. */
+  private final class HuffTable(bits: Array[Int], vals: Array[Int]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17) // -1 = no codes at this length
+    val valPtr = new Array[Int](17)
+    val values: Array[Int] = vals
+    val ok: Boolean = {
+      var code = 0
+      var k = 0
+      var valid = vals.length == bits.sum && vals.length > 0 && vals.length <= 256
+      var l = 1
+      while (l <= 16 && valid) {
+        valPtr(l) = k
+        minCode(l) = code
+        if (bits(l - 1) == 0) maxCode(l) = -1
+        else { k += bits(l - 1); code += bits(l - 1); maxCode(l) = code - 1 }
+        if (code > (1 << l)) valid = false // over-subscribed tree
+        code <<= 1
+        l += 1
+      }
+      valid
+    }
+  }
+
+  /** MSB-first bit reader over the entropy-coded segment with 0xFF00
+    * unstuffing. Restart markers are consumed by [[alignToRestart]];
+    * any other marker (or running off the payload) makes reads fail.
+    */
+  private final class BitReader(p: Array[Byte], var pos: Int, val end: Int) {
+    private var bitBuf = 0
+    private var bitCnt = 0
+    var bad = false
+    def readBit(): Int = {
+      if (bitCnt == 0) {
+        if (pos >= end) { bad = true; return 0 }
+        val b = p(pos) & 0xff
+        pos += 1
+        if (b == 0xff) {
+          if (pos >= end) { bad = true; return 0 }
+          val b2 = p(pos) & 0xff
+          if (b2 == 0x00) pos += 1 // stuffed 0xFF data byte
+          else { bad = true; return 0 } // a real marker mid-entropy
+        }
+        bitBuf = b; bitCnt = 8
+      }
+      bitCnt -= 1
+      (bitBuf >> bitCnt) & 1
+    }
+    def readBits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+    def decodeHuff(t: HuffTable): Int = {
+      var code = readBit()
+      var l = 1
+      while (l <= 16) {
+        if (t.maxCode(l) >= 0 && code <= t.maxCode(l))
+          return t.values(t.valPtr(l) + code - t.minCode(l))
+        code = (code << 1) | readBit()
+        l += 1
+        if (bad) return -1
+      }
+      bad = true; -1 // 17+ bits: not a valid code
+    }
+    /** Byte-align and consume the expected RSTn marker (T.81 §F.2.1.3.1). */
+    def alignToRestart(n: Int): Boolean = {
+      bitCnt = 0
+      if (pos + 2 > end || (p(pos) & 0xff) != 0xff ||
+          (p(pos + 1) & 0xff) != (0xd0 + n)) return false
+      pos += 2
+      true
+    }
+  }
+
+  /** Sign extension of a magnitude-category value (T.81 §F.2.2.1
+    * EXTEND): an s-bit value with a 0 top bit encodes a negative.
+    */
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  /** Parse one baseline grayscale JPEG starting at `offset`; returns
+    * the image and the offset just past its EOI marker, or None for
+    * anything that is not well-formed baseline sequential single-
+    * component JPEG.
+    */
+  def decodeJpegAt(payload: Array[Byte], offset: Int): Option[(PgmImage, Int)] = {
+    val n = payload.length
+    var i = offset
+    def u16(at: Int): Int = ((payload(at) & 0xff) << 8) | (payload(at + 1) & 0xff)
+    if (i + 2 > n || (payload(i) & 0xff) != 0xff || (payload(i + 1) & 0xff) != 0xd8)
+      return None // SOI
+    i += 2
+    var width = 0
+    var height = 0
+    var quant: Array[Int] = null // natural order
+    val huffDc = new Array[HuffTable](4)
+    val huffAc = new Array[HuffTable](4)
+    var dcSel = -1
+    var acSel = -1
+    var qSel = -1
+    var restartInterval = 0
+    var scanStart = -1
+    val quantTables = new Array[Array[Int]](4)
+    // ---- marker segment walk up to SOS ----
+    while (scanStart < 0) {
+      if (i + 4 > n || (payload(i) & 0xff) != 0xff) return None
+      val marker = payload(i + 1) & 0xff
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) return None
+      val segLen = u16(i + 2)
+      if (segLen < 2 || i + 2L + segLen > n) return None
+      val body = i + 4
+      val bodyLen = segLen - 2
+      marker match {
+        case 0xdb => // DQT: one or more tables
+          var o = body
+          while (o < body + bodyLen) {
+            val pq = (payload(o) & 0xff) >> 4
+            val tq = payload(o) & 0x0f
+            if (pq != 0 || tq > 3 || o + 65 > body + bodyLen) return None // 8-bit only
+            val t = new Array[Int](64)
+            var z = 0
+            while (z < 64) {
+              val q = payload(o + 1 + z) & 0xff
+              if (q == 0) return None
+              t(Zigzag(z)) = q
+              z += 1
+            }
+            quantTables(tq) = t
+            o += 65
+          }
+          if (o != body + bodyLen) return None
+        case 0xc4 => // DHT: one or more tables
+          var o = body
+          while (o < body + bodyLen) {
+            if (o + 17 > body + bodyLen) return None
+            val tc = (payload(o) & 0xff) >> 4
+            val th = payload(o) & 0x0f
+            if (tc > 1 || th > 3) return None
+            val bits = Array.tabulate(16)(k => payload(o + 1 + k) & 0xff)
+            val nv = bits.sum
+            if (nv == 0 || nv > 256 || o + 17 + nv > body + bodyLen) return None
+            val vals = Array.tabulate(nv)(k => payload(o + 17 + k) & 0xff)
+            val t = new HuffTable(bits, vals)
+            if (!t.ok) return None
+            if (tc == 0) huffDc(th) = t else huffAc(th) = t
+            o += 17 + nv
+          }
+          if (o != body + bodyLen) return None
+        case 0xc0 => // SOF0: baseline sequential
+          if (bodyLen < 8 || (payload(body) & 0xff) != 8) return None // 8-bit
+          height = u16(body + 1)
+          width = u16(body + 3)
+          val nComp = payload(body + 5) & 0xff
+          if (nComp != 1 || bodyLen != 6 + 3 * nComp) return None // grayscale only
+          val sampling = payload(body + 7) & 0xff
+          if (sampling != 0x11) return None // 1x1
+          qSel = payload(body + 8) & 0xff
+          if (width <= 0 || height <= 0 || qSel > 3 ||
+              width.toLong * height > Int.MaxValue) return None
+        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+             0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+          return None // extended/progressive/lossless/arithmetic: stub path
+        case 0xdd => // DRI
+          if (bodyLen != 2) return None
+          restartInterval = u16(body)
+        case 0xda => // SOS
+          if (width == 0) return None // SOF must precede SOS
+          val nc = payload(body) & 0xff
+          if (nc != 1 || bodyLen != 1 + 2 * nc + 3) return None
+          dcSel = (payload(body + 2) & 0xff) >> 4
+          acSel = payload(body + 2) & 0x0f
+          if (dcSel > 3 || acSel > 3) return None
+          scanStart = body + bodyLen
+        case 0xd9 => return None // EOI before any scan
+        case _ => () // APPn / COM / other: skip
+      }
+      i += 2 + segLen
+    }
+    quant = quantTables(qSel)
+    if (quant == null || huffDc(dcSel) == null || huffAc(acSel) == null) return None
+    val dcT = huffDc(dcSel)
+    val acT = huffAc(acSel)
+    val bw = (width + 7) / 8
+    val bh = (height + 7) / 8
+    val totalBlocks = bw.toLong * bh
+    // Decompression-bomb bound by ACTUAL bytes (PNG-decoder discipline):
+    // every block costs >= 3 entropy bits (shortest DC code + EOB), so
+    // a payload can't legitimately declare more than ~8/3 blocks per
+    // remaining byte. A 300-byte payload claiming 65000x65000 (66M
+    // blocks => 4.2 GB of pixels) dies here, not at the allocator.
+    if (totalBlocks > (n - scanStart).toLong * 8 / 3 + 64) return None
+    val px = new Array[Byte](width * height)
+    val reader = new BitReader(payload, scanStart, n)
+    val coef = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    var pred = 0
+    var blockIdx = 0
+    var restartCount = 0
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        if (restartInterval > 0 && blockIdx > 0 &&
+            blockIdx % restartInterval == 0) {
+          if (!reader.alignToRestart(restartCount & 7)) return None
+          restartCount += 1
+          pred = 0
+        }
+        // ---- entropy-decode one 8x8 block (T.81 §F.2.2) ----
+        java.util.Arrays.fill(coef, 0)
+        val s = reader.decodeHuff(dcT)
+        if (reader.bad || s < 0 || s > 11) return None
+        pred += extend(reader.readBits(s), s)
+        coef(0) = pred * quant(0)
+        var k = 1
+        while (k < 64) {
+          val rs = reader.decodeHuff(acT)
+          if (reader.bad || rs < 0) return None
+          val r = rs >> 4
+          val size = rs & 0x0f
+          if (size == 0) {
+            if (r == 15) k += 16 // ZRL: sixteen zeros
+            else k = 64 // EOB
+          } else {
+            k += r
+            if (k > 63) return None
+            coef(Zigzag(k)) = extend(reader.readBits(size), size) * quant(Zigzag(k))
+            k += 1
+          }
+        }
+        if (reader.bad) return None
+        // ---- separable IDCT (rows then columns) + level shift ----
+        var y0 = 0
+        while (y0 < 8) { // 1-D IDCT over each row of coefficients
+          var x0 = 0
+          while (x0 < 8) {
+            var acc = 0.0
+            var u = 0
+            while (u < 8) { acc += CosTable(u * 8 + x0) * coef(y0 * 8 + u); u += 1 }
+            tmp(y0 * 8 + x0) = acc / 2.0
+            x0 += 1
+          }
+          y0 += 1
+        }
+        var x1 = 0
+        while (x1 < 8) { // 1-D IDCT down each column, write clamped pixels
+          var y1 = 0
+          while (y1 < 8) {
+            var acc = 0.0
+            var v = 0
+            while (v < 8) { acc += CosTable(v * 8 + y1) * tmp(v * 8 + x1); v += 1 }
+            val s2 = (acc / 2.0 + 128.0).round.toInt
+            val gx = bx * 8 + x1
+            val gy = by * 8 + y1
+            if (gx < width && gy < height)
+              px(gy * width + gx) = math.max(0, math.min(255, s2)).toByte
+            y1 += 1
+          }
+          x1 += 1
+        }
+        blockIdx += 1
+        bx += 1
+      }
+      by += 1
+    }
+    // ---- trailer: optional byte-aligned padding, then EOI ----
+    var e = reader.pos
+    if (e + 2 > n || (payload(e) & 0xff) != 0xff ||
+        (payload(e + 1) & 0xff) != 0xd9) return None
+    e += 2
+    Some((PgmImage(width, height, 255, px), e))
+  }
+
+  def decodeJpeg(payload: Array[Byte]): Option[PgmImage] =
+    decodeJpegAt(payload, 0).map(_._1)
+
+  /** All frames of a concatenated-JPEG container, or Nil if the
+    * payload isn't one.
+    */
+  def decodeJpegFrames(payload: Array[Byte]): Seq[PgmImage] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[PgmImage]
+    var off = 0
+    var more = payload.nonEmpty
+    while (more) decodeJpegAt(payload, off) match {
+      case Some((img, next)) => out += img; off = next; more = off < payload.length
+      case None => more = false
+    }
+    if (out.nonEmpty && off == payload.length) out.toSeq else Nil
+  }
+
+  // ---- Encoder ---------------------------------------------------------
+
+  private final class BitWriter(bos: java.io.ByteArrayOutputStream) {
+    private var buf = 0
+    private var cnt = 0
+    def write(bits: Int, nBits: Int): Unit = {
+      var k = nBits - 1
+      while (k >= 0) {
+        buf = (buf << 1) | ((bits >> k) & 1)
+        cnt += 1
+        if (cnt == 8) {
+          bos.write(buf)
+          if (buf == 0xff) bos.write(0x00) // byte stuffing
+          buf = 0; cnt = 0
+        }
+        k -= 1
+      }
+    }
+    def flushWithOnes(): Unit = { // pad the final byte with 1s, per convention
+      while (cnt != 0) write(1, 1)
+    }
+  }
+
+  /** (code, length) for each symbol of a canonical table. */
+  private def buildCodes(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+    var code = 0
+    var vi = 0
+    val out = Map.newBuilder[Int, (Int, Int)]
+    var l = 1
+    while (l <= 16) {
+      var c = 0
+      while (c < bits(l - 1)) {
+        out += vals(vi) -> ((code, l))
+        code += 1; vi += 1; c += 1
+      }
+      code <<= 1
+      l += 1
+    }
+    out.result()
+  }
+
+  private lazy val DcCodes = buildCodes(StdDcBits, StdDcVals)
+  private lazy val AcCodes = buildCodes(StdAcBits, StdAcVals)
+
+  /** Magnitude category: smallest s with |v| < 2^s. */
+  private def category(v: Int): Int = {
+    var a = math.abs(v)
+    var s = 0
+    while (a != 0) { a >>= 1; s += 1 }
+    s
+  }
+
+  /** Serialize as baseline grayscale JPEG with the Annex K example
+    * tables (written into DQT/DHT — the stream is self-describing).
+    * Lossy: [[decodeJpeg]] recovers pixels to within quantization
+    * error, exact for flat blocks.
+    */
+  def encodeJpeg(img: PgmImage): Array[Byte] = {
+    require(img.width > 0 && img.height > 0, "empty image")
+    val bos = new java.io.ByteArrayOutputStream()
+    def m(marker: Int): Unit = { bos.write(0xff); bos.write(marker) }
+    def seg(marker: Int, body: Array[Int]): Unit = {
+      m(marker); bos.write((body.length + 2) >> 8); bos.write((body.length + 2) & 0xff)
+      body.foreach(bos.write)
+    }
+    m(0xd8) // SOI
+    seg(0xdb, 0 +: Array.tabulate(64)(z => StdQuant(Zigzag(z)))) // DQT id 0
+    seg(0xc0, Array(8, // SOF0: precision
+      img.height >> 8, img.height & 0xff, img.width >> 8, img.width & 0xff,
+      1, 1, 0x11, 0)) // 1 component, id 1, 1x1 sampling, quant 0
+    seg(0xc4, 0x00 +: (StdDcBits ++ StdDcVals)) // DHT DC 0
+    seg(0xc4, 0x10 +: (StdAcBits ++ StdAcVals)) // DHT AC 0
+    seg(0xda, Array(1, 1, 0x00, 0, 63, 0)) // SOS: comp 1, DC0/AC0, full spectral
+    val w = new BitWriter(bos)
+    val bw = (img.width + 7) / 8
+    val bh = (img.height + 7) / 8
+    val block = new Array[Double](64)
+    val coef = new Array[Int](64)
+    var pred = 0
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        // level-shifted source block; out-of-image pixels replicate the
+        // nearest edge pixel (keeps gradients smooth at the boundary)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val sx = math.min(bx * 8 + x, img.width - 1)
+            val sy = math.min(by * 8 + y, img.height - 1)
+            block(y * 8 + x) = (img.pixels(sy * img.width + sx) & 0xff) - 128.0
+            x += 1
+          }
+          y += 1
+        }
+        // separable FDCT + quantize
+        val tmp = new Array[Double](64)
+        var v0 = 0
+        while (v0 < 8) { // rows
+          var u0 = 0
+          while (u0 < 8) {
+            var acc = 0.0
+            var x = 0
+            while (x < 8) { acc += CosTable(u0 * 8 + x) * block(v0 * 8 + x); x += 1 }
+            tmp(v0 * 8 + u0) = acc / 2.0
+            u0 += 1
+          }
+          v0 += 1
+        }
+        var u1 = 0
+        while (u1 < 8) { // columns
+          var v1 = 0
+          while (v1 < 8) {
+            var acc = 0.0
+            var y1 = 0
+            while (y1 < 8) { acc += CosTable(v1 * 8 + y1) * tmp(y1 * 8 + u1); y1 += 1 }
+            val q = StdQuant(v1 * 8 + u1)
+            coef(v1 * 8 + u1) = StrictMath.round(acc / 2.0 / q).toInt
+            v1 += 1
+          }
+          u1 += 1
+        }
+        // entropy-encode: DC diff then AC run-lengths in zigzag order
+        val diff = coef(0) - pred
+        pred = coef(0)
+        val s = category(diff)
+        val (dc, dl) = DcCodes(s)
+        w.write(dc, dl)
+        if (s > 0) w.write(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+        var run = 0
+        var k = 1
+        while (k < 64) {
+          val c = coef(Zigzag(k))
+          if (c == 0) run += 1
+          else {
+            while (run > 15) { val (z, zl) = AcCodes(0xf0); w.write(z, zl); run -= 16 }
+            val size = category(c)
+            val (ac, al) = AcCodes((run << 4) | size)
+            w.write(ac, al)
+            w.write(if (c < 0) c + (1 << size) - 1 else c, size)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) { val (e, el) = AcCodes(0x00); w.write(e, el) } // EOB
+        bx += 1
+      }
+      by += 1
+    }
+    w.flushWithOnes()
+    m(0xd9) // EOI
+    bos.toByteArray
+  }
+}

@@ -460,11 +460,13 @@ object Multimodal {
     if (out.nonEmpty && off == payload.length) out.toSeq else Nil
   }
 
-  /** Codec-dispatching single-image decode: PGM, then BMP, then PNG.
-    * The kernels below are format-agnostic past this point.
+  /** Codec-dispatching single-image decode: PGM, then BMP, then PNG,
+    * then baseline-grayscale JPEG (see [[Jpeg]]). The kernels below are
+    * format-agnostic past this point.
     */
   def decodeImage(payload: Array[Byte]): Option[PgmImage] =
     decodePgm(payload).orElse(decodeBmp(payload)).orElse(decodePng(payload))
+      .orElse(Jpeg.decodeJpeg(payload))
 
   // ---- WAV (RIFF PCM) codec --------------------------------------------
   // Fourth real format, and the first AUDIO one: canonical RIFF/WAVE
@@ -795,7 +797,10 @@ object Multimodal {
         case Some(img) => encodeBmp(resizePgm(img, w, h))
         case None => decodePng(payload) match {
           case Some(img) => encodePng(resizePgm(img, w, h))
-          case None => resizeStub(payload, w, h)
+          case None => Jpeg.decodeJpeg(payload) match {
+            case Some(img) => Jpeg.encodeJpeg(resizePgm(img, w, h))
+            case None => resizeStub(payload, w, h)
+          }
         }
       }
     }
@@ -887,7 +892,11 @@ object Multimodal {
             else {
               val wavClips = decodeWavFrames(a.payload)
               if (wavClips.nonEmpty) wavClips.map(encodeWav).toArray
-              else a.payload.grouped(frameBytes).toArray
+              else {
+                val jpegFrames = Jpeg.decodeJpegFrames(a.payload)
+                if (jpegFrames.nonEmpty) jpegFrames.map(Jpeg.encodeJpeg).toArray
+                else a.payload.grouped(frameBytes).toArray
+              }
             }
           }
         }

@@ -1,10 +1,12 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Multimodal
+import graft.operators.{Jpeg, Multimodal}
 
-/** The multimodal plumbing is real even though the decode kernel is a
-  * stub: schema, bucketed partitioning, batch shape, and determinism.
+/** Multimodal: the Spark plumbing (schema, bucketed partitioning,
+  * batch shape, determinism) plus the five real codecs — PGM, BMP,
+  * PNG, baseline-grayscale JPEG, and 16-bit PCM WAV; everything else
+  * must reject cleanly to the documented stub path.
   */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
@@ -319,11 +321,12 @@ class MultimodalSpec extends SparkSpec {
     assert(scCheck(Parameters.default.withMinSuccessfulTests(50), prop).passed)
   }
 
-  test("payloads outside the real-codec set (PGM/BMP/PNG/WAV) take the stub path") {
+  test("payloads outside the real-codec set (PGM/BMP/PNG/JPEG/WAV) take the stub path") {
     // the README format table promises: anything that isn't one of the
-    // four shipped parsers falls back to the byte-statistics stub —
-    // JPEG magic and MALFORMED RIFF must never half-decode (this RIFF
-    // declares a size far past the payload end)
+    // five shipped parsers falls back to the byte-statistics stub —
+    // MALFORMED JPEG (an APP0 length pointing past the payload end) and
+    // MALFORMED RIFF (declared size far past the end) must never
+    // half-decode
     val jpeg = Array(0xff, 0xd8, 0xff, 0xe0).map(_.toByte) ++ Array.fill[Byte](64)(7)
     val riff = "RIFF1234WAVEfmt ".getBytes("US-ASCII") ++ Array.fill[Byte](32)(3)
     val noise = "not an image at all".getBytes("US-ASCII")
@@ -509,5 +512,197 @@ class MultimodalSpec extends SparkSpec {
       val expect = payload.slice(f.frame_idx * 16, math.min((f.frame_idx + 1) * 16, payload.length))
       assert(f.frame.toSeq === expect.toSeq)
     }
+  }
+
+  // ---- JPEG (baseline grayscale) ---------------------------------------
+
+  /** Independent test-side JPEG assembler: segment writer + MSB-first
+    * bit packer, so the fixtures below owe NOTHING to the production
+    * encoder — they are T.81 written out by hand.
+    */
+  private def jseg(marker: Int, body: Array[Int]): Array[Byte] =
+    (Array(0xff, marker, (body.length + 2) >> 8, (body.length + 2) & 0xff) ++ body)
+      .map(_.toByte)
+  private def jbits(s: String): Array[Byte] = {
+    val b = s.filter(c => c == '0' || c == '1')
+    require(b.length % 8 == 0, "pad the fixture bitstring to whole bytes")
+    b.grouped(8).map(g => Integer.parseInt(g, 2).toByte).toArray
+  }
+
+  test("JPEG codec: hand-built fixture with CUSTOM tables decodes DC-exact") {
+    // 16x8 grayscale, two flat 8x8 blocks (left=200, right=136), with
+    // quant and Huffman tables DIFFERENT from the encoder's Annex K
+    // defaults — proving the decoder builds its entropy state from the
+    // file's own DQT/DHT rather than assuming the standard tables.
+    //   quant: all 16s (zigzag order == natural order for a constant)
+    //   DC DHT: symbols {6 -> code 00, 3 -> code 01} (two 2-bit codes)
+    //   AC DHT: symbol {0x00 (EOB) -> code 0} (one 1-bit code)
+    // block1: p=200 -> FDCT DC (p-128)*8=576, /16 -> 36, diff=36 cat 6
+    //         -> DC code 00 + 100100; EOB 0
+    // block2: p=136 -> DC 4, diff 4-36=-32 cat 6 -> 00 + 011111; EOB 0
+    // bits: 00 100100 0 | 00 011111 0 + six 1-pad = 0x24 0x0F 0xBF
+    val sof = jseg(0xc0, Array(8, 0, 8, 0, 16, 1, 1, 0x11, 0))
+    val dqt = jseg(0xdb, 0 +: Array.fill(64)(16))
+    val dhtDc = jseg(0xc4, Array(0x00, 0, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 6, 3))
+    val dhtAc = jseg(0xc4, Array(0x10, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0x00))
+    val sos = jseg(0xda, Array(1, 1, 0x00, 0, 63, 0))
+    val soi = Array(0xff, 0xd8).map(_.toByte)
+    val eoi = Array(0xff, 0xd9).map(_.toByte)
+    val com = jseg(0xfe, "ancillary comment, skip me".getBytes("US-ASCII").map(_.toInt))
+    val entropy = jbits("00 100100 0 00 011111 0 111111")
+    assert(entropy.toSeq === Seq(0x24.toByte, 0x0f.toByte, 0xbf.toByte))
+    val fixture = soi ++ com ++ dqt ++ sof ++ dhtDc ++ dhtAc ++ sos ++ entropy ++ eoi
+    val img = Jpeg.decodeJpeg(fixture).get
+    assert(img.width === 16 && img.height === 8 && img.maxVal === 255)
+    for (y <- 0 until 8; x <- 0 until 16)
+      assert((img.pixels(y * 16 + x) & 0xff) === (if (x < 8) 200 else 136),
+        s"pixel ($x,$y)")
+    // the shared dispatch picks the JPEG branch for it
+    assert(Multimodal.decodeImage(fixture).get.pixels.toSeq === img.pixels.toSeq)
+    assert(Multimodal.decodePgm(fixture).isEmpty && Multimodal.decodeBmp(fixture).isEmpty
+      && Multimodal.decodePng(fixture).isEmpty)
+  }
+
+  test("JPEG codec: restart markers byte-align and reset the DC predictor") {
+    // same two flat blocks, DRI=1: block1 (00 100100 0 -> pad to 16
+    // bits), RST0, block2 re-predicting from 0: diff=4 cat 3 -> 01 +
+    // 100, EOB 0 -> 01 100 0 + 2-pad
+    val sof = jseg(0xc0, Array(8, 0, 8, 0, 16, 1, 1, 0x11, 0))
+    val dqt = jseg(0xdb, 0 +: Array.fill(64)(16))
+    val dhtDc = jseg(0xc4, Array(0x00, 0, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 6, 3))
+    val dhtAc = jseg(0xc4, Array(0x10, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0x00))
+    val dri = jseg(0xdd, Array(0, 1))
+    val sos = jseg(0xda, Array(1, 1, 0x00, 0, 63, 0))
+    val fixture = Array(0xff, 0xd8).map(_.toByte) ++ dqt ++ sof ++ dhtDc ++ dhtAc ++
+      dri ++ sos ++ jbits("00 100100 0 1111111") ++ Array(0xff, 0xd0).map(_.toByte) ++
+      jbits("01 100 0 11") ++ Array(0xff, 0xd9).map(_.toByte)
+    val img = Jpeg.decodeJpeg(fixture).get
+    assert(img.width === 16 && img.height === 8)
+    for (y <- 0 until 8; x <- 0 until 16)
+      assert((img.pixels(y * 16 + x) & 0xff) === (if (x < 8) 200 else 136),
+        s"pixel ($x,$y)")
+    // a WRONG restart ordinal (RST3 where RST0 is due) must reject
+    val bad = fixture.clone()
+    val rstAt = fixture.indexOfSlice(Array(0xff.toByte, 0xd0.toByte))
+    bad(rstAt + 1) = 0xd3.toByte
+    assert(Jpeg.decodeJpeg(bad).isEmpty)
+  }
+
+  test("JPEG codec: hostile and unsupported inputs reject, never mis-decode") {
+    val good = Jpeg.encodeJpeg(
+      Multimodal.PgmImage(16, 16, 255, Array.tabulate(256)(i => (i % 251).toByte)))
+    assert(Jpeg.decodeJpeg(good).isDefined)
+    // truncation (EOI gone, or mid-entropy) rejects
+    assert(Jpeg.decodeJpeg(good.dropRight(1)).isEmpty)
+    assert(Jpeg.decodeJpeg(good.dropRight(7)).isEmpty)
+    // progressive (SOF2) rejects to the stub path
+    val sofAt = good.indexOfSlice(Array(0xff.toByte, 0xc0.toByte))
+    assert(sofAt > 0)
+    val prog = good.clone(); prog(sofAt + 1) = 0xc2.toByte
+    assert(Jpeg.decodeJpeg(prog).isEmpty)
+    assert(Multimodal.decodeFeatures(prog).toSeq === Multimodal.decodeStub(prog).toSeq)
+    // decompression bomb: dims whose product overflows Int reject at SOF
+    val bomb1 = jseg(0xc0, Array(8, 0xfe, 0xff, 0xfa, 0x00, 1, 1, 0x11, 0))
+    assert(Jpeg.decodeJpeg(Array(0xff, 0xd8).map(_.toByte) ++
+      jseg(0xdb, 0 +: Array.fill(64)(16)) ++ bomb1).isEmpty)
+    // ... and plausible dims (4000x4000 = 250k blocks) over a few
+    // entropy bytes reject on the blocks-vs-bytes bound, BEFORE the
+    // 16 MB pixel allocation
+    val dhtDc = jseg(0xc4, Array(0x00, 0, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 6, 3))
+    val dhtAc = jseg(0xc4, Array(0x10, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0x00))
+    val bigSof = jseg(0xc0, Array(8, 4000 >> 8, 4000 & 0xff, 4000 >> 8, 4000 & 0xff, 1, 1, 0x11, 0))
+    val bomb2 = Array(0xff, 0xd8).map(_.toByte) ++ jseg(0xdb, 0 +: Array.fill(64)(16)) ++
+      bigSof ++ dhtDc ++ dhtAc ++ jseg(0xda, Array(1, 1, 0x00, 0, 63, 0)) ++
+      Array.fill[Byte](32)(0x55) ++ Array(0xff, 0xd9).map(_.toByte)
+    assert(Jpeg.decodeJpeg(bomb2).isEmpty)
+    // an over-subscribed Huffman tree (three 1-bit codes) rejects
+    val badDht = jseg(0xc4, Array(0x00, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 2))
+    assert(Jpeg.decodeJpeg(Array(0xff, 0xd8).map(_.toByte) ++
+      jseg(0xdb, 0 +: Array.fill(64)(16)) ++
+      jseg(0xc0, Array(8, 0, 8, 0, 8, 1, 1, 0x11, 0)) ++ badDht ++ dhtAc ++
+      jseg(0xda, Array(1, 1, 0x00, 0, 63, 0)) ++ jbits("00000000") ++
+      Array(0xff, 0xd9).map(_.toByte)).isEmpty)
+    // a zero quant entry rejects (division-free guarantee)
+    assert(Jpeg.decodeJpeg(Array(0xff, 0xd8).map(_.toByte) ++
+      jseg(0xdb, 0 +: (Array.fill(63)(16) :+ 0)) ++ Array(0xff, 0xd9).map(_.toByte)).isEmpty)
+  }
+
+  test("JPEG resize and features run on real pixels through the shared kernels") {
+    // flat blocks survive JPEG exactly when (p-128) is even, so the
+    // lossy codec still supports exact kernel assertions
+    val flat = Multimodal.PgmImage(8, 8, 255, Array.fill[Byte](64)(200.toByte))
+    val assets = Seq(Multimodal.Asset(1L, "image",
+      Jpeg.encodeJpeg(flat), "s")).toDS()
+    val out = Multimodal.resize(assets, w = 4, h = 4).collect().head
+    val outImg = Jpeg.decodeJpeg(out.payload).get
+    assert(outImg.width === 4 && outImg.height === 4)
+    assert(outImg.pixels.forall(p => (p & 0xff) === 200), "JPEG in must mean JPEG out")
+    assert(Multimodal.decodePng(out.payload).isEmpty &&
+      Multimodal.decodeBmp(out.payload).isEmpty)
+    // features: flat-black JPEG -> all luminance mass in histogram bin 0,
+    // same as its exact-codec twins
+    val black = Multimodal.PgmImage(8, 8, 255, Array.fill[Byte](64)(0))
+    val f = Multimodal.decodeFeatures(Jpeg.encodeJpeg(black))
+    assert(f.toSeq === Multimodal.decodeFeatures(Multimodal.encodePgm(black)).toSeq)
+    assert(f(0) === 1.0f)
+  }
+
+  test("JPEG container frame sampling splits at EOI boundaries") {
+    val values = Seq(200, 136, 72) // all even (p-128): DC-exact round trips
+    val frames = values.map(v =>
+      Multimodal.PgmImage(8, 8, 255, Array.fill[Byte](64)(v.toByte)))
+    val container = frames.map(Jpeg.encodeJpeg).reduce(_ ++ _)
+    assert(Jpeg.decodeJpegFrames(container).length === 3)
+    val assets = Seq(Multimodal.Asset(7L, "video", container, "s")).toDS()
+    val got = Multimodal.sampleFrames(assets, frameBytes = 16, stride = 2)
+      .orderBy("frame_idx").collect()
+    assert(got.map(_.frame_idx).toSeq === Seq(0, 2))
+    assert(got.forall(_.n_frames_total === 3))
+    got.foreach { fr =>
+      val img = Jpeg.decodeJpeg(fr.frame).get
+      assert(img.pixels.forall(p => (p & 0xff) === values(fr.frame_idx)))
+    }
+    // trailing garbage past the last EOI disqualifies the container
+    assert(Jpeg.decodeJpegFrames(container :+ 0x00.toByte).isEmpty)
+  }
+
+  test("property: JPEG round-trips are lossy-bounded; flat images exact to +-1") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check => scCheck, Parameters}
+    // flat images: only the DC coefficient is nonzero, so the error is
+    // the DC quantization rounding alone: |err| <= quant(0)/(2*8) = 1
+    val genFlat = for {
+      w <- Gen.choose(1, 37)
+      h <- Gen.choose(1, 19)
+      v <- Gen.choose(0, 255)
+    } yield Multimodal.PgmImage(w, h, 255, Array.fill[Byte](w * h)(v.toByte))
+    val flatProp = Prop.forAll(genFlat) { img =>
+      val back = Jpeg.decodeJpeg(Jpeg.encodeJpeg(img)).get
+      back.width == img.width && back.height == img.height &&
+        back.pixels.indices.forall(i =>
+          math.abs((back.pixels(i) & 0xff) - (img.pixels(i) & 0xff)) <= 1)
+    }
+    assert(scCheck(Parameters.default.withMinSuccessfulTests(50), flatProp).passed)
+    // smooth gradients: low-frequency energy, quantized by the small
+    // top-left Annex K entries — empirically < 8, asserted at <= 12 to
+    // leave headroom without letting a broken IDCT (errors ~100) pass
+    val genGrad = for {
+      w <- Gen.choose(2, 33)
+      h <- Gen.choose(2, 21)
+      ax <- Gen.choose(-3, 3)
+      by <- Gen.choose(-3, 3)
+      c <- Gen.choose(60, 190)
+    } yield Multimodal.PgmImage(w, h, 255, Array.tabulate(w * h) { i =>
+      math.max(0, math.min(255, c + ax * (i % w) + by * (i / w))).toByte
+    })
+    val gradProp = Prop.forAll(genGrad) { img =>
+      val enc = Jpeg.encodeJpeg(img)
+      val back = Jpeg.decodeJpeg(enc).get
+      java.util.Arrays.equals(enc, Jpeg.encodeJpeg(img)) && // deterministic
+        back.width == img.width && back.height == img.height &&
+        back.pixels.indices.forall(i =>
+          math.abs((back.pixels(i) & 0xff) - (img.pixels(i) & 0xff)) <= 12)
+    }
+    assert(scCheck(Parameters.default.withMinSuccessfulTests(50), gradProp).passed)
   }
 }
