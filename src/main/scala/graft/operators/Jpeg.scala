@@ -210,6 +210,7 @@ object Jpeg {
     var dcSel = -1
     var acSel = -1
     var qSel = -1
+    var compId = -1
     var restartInterval = 0
     var scanStart = -1
     val quantTables = new Array[Array[Int]](4)
@@ -264,6 +265,7 @@ object Jpeg {
           width = u16(body + 3)
           val nComp = payload(body + 5) & 0xff
           if (nComp != 1 || bodyLen != 6 + 3 * nComp) return None // grayscale only
+          compId = payload(body + 6) & 0xff
           val sampling = payload(body + 7) & 0xff
           if (sampling != 0x11) return None // 1x1
           qSel = payload(body + 8) & 0xff
@@ -277,11 +279,23 @@ object Jpeg {
           restartInterval = u16(body)
         case 0xda => // SOS
           if (width == 0) return None // SOF must precede SOS
+          // A single-component baseline scan body is exactly 6 bytes
+          // (Ns=1, one selector pair, Ss/Se/AhAl); check the length
+          // BEFORE any body read so a truncated SOS at payload end
+          // rejects instead of indexing past the array.
+          if (bodyLen != 6) return None
           val nc = payload(body) & 0xff
-          if (nc != 1 || bodyLen != 1 + 2 * nc + 3) return None
+          if (nc != 1) return None
+          if ((payload(body + 1) & 0xff) != compId) return None // selector must match SOF
           dcSel = (payload(body + 2) & 0xff) >> 4
           acSel = payload(body + 2) & 0x0f
           if (dcSel > 3 || acSel > 3) return None
+          // Baseline sequential is always the full spectral band with no
+          // successive approximation (T.81 §B.2.3): Ss=0, Se=63, Ah=Al=0.
+          // Anything else is a malformed/progressive scan header — reject
+          // rather than misdecode it as a full scan.
+          if ((payload(body + 3) & 0xff) != 0 || (payload(body + 4) & 0xff) != 63 ||
+              (payload(body + 5) & 0xff) != 0) return None
           scanStart = body + bodyLen
         case 0xd9 => return None // EOI before any scan
         case _ => () // APPn / COM / other: skip
@@ -296,11 +310,13 @@ object Jpeg {
     val bh = (height + 7) / 8
     val totalBlocks = bw.toLong * bh
     // Decompression-bomb bound by ACTUAL bytes (PNG-decoder discipline):
-    // every block costs >= 3 entropy bits (shortest DC code + EOB), so
-    // a payload can't legitimately declare more than ~8/3 blocks per
-    // remaining byte. A 300-byte payload claiming 65000x65000 (66M
-    // blocks => 4.2 GB of pixels) dies here, not at the allocator.
-    if (totalBlocks > (n - scanStart).toLong * 8 / 3 + 64) return None
+    // with the file's own (possibly optimized) Huffman tables a flat
+    // block can legally cost as little as 2 entropy bits (1-bit DC
+    // cat-0 code + 1-bit EOB), so a payload can't legitimately declare
+    // more than 4 blocks per remaining byte. A 300-byte payload
+    // claiming 65000x65000 (66M blocks => 4.2 GB of pixels) dies here,
+    // not at the allocator.
+    if (totalBlocks > (n - scanStart).toLong * 4 + 64) return None
     val px = new Array[Byte](width * height)
     val reader = new BitReader(payload, scanStart, n)
     val coef = new Array[Int](64)
@@ -389,16 +405,8 @@ object Jpeg {
   /** All frames of a concatenated-JPEG container, or Nil if the
     * payload isn't one.
     */
-  def decodeJpegFrames(payload: Array[Byte]): Seq[PgmImage] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[PgmImage]
-    var off = 0
-    var more = payload.nonEmpty
-    while (more) decodeJpegAt(payload, off) match {
-      case Some((img, next)) => out += img; off = next; more = off < payload.length
-      case None => more = false
-    }
-    if (out.nonEmpty && off == payload.length) out.toSeq else Nil
-  }
+  def decodeJpegFrames(payload: Array[Byte]): Seq[PgmImage] =
+    Multimodal.decodeFramesWith(payload, decodeJpegAt)
 
   // ---- Encoder ---------------------------------------------------------
 
@@ -459,6 +467,10 @@ object Jpeg {
     */
   def encodeJpeg(img: PgmImage): Array[Byte] = {
     require(img.width > 0 && img.height > 0, "empty image")
+    // SOF0 stores dimensions as u16 — larger values would silently
+    // truncate mod 65536 in the header and corrupt the stream.
+    require(img.width <= 0xffff && img.height <= 0xffff,
+      s"JPEG dimensions exceed u16: ${img.width}x${img.height}")
     val bos = new java.io.ByteArrayOutputStream()
     def m(marker: Int): Unit = { bos.write(0xff); bos.write(marker) }
     def seg(marker: Int, body: Array[Int]): Unit = {
@@ -478,6 +490,7 @@ object Jpeg {
     val bh = (img.height + 7) / 8
     val block = new Array[Double](64)
     val coef = new Array[Int](64)
+    val tmp = new Array[Double](64)
     var pred = 0
     var by = 0
     while (by < bh) {
@@ -497,7 +510,6 @@ object Jpeg {
           y += 1
         }
         // separable FDCT + quantize
-        val tmp = new Array[Double](64)
         var v0 = 0
         while (v0 < 8) { // rows
           var u0 = 0

@@ -124,34 +124,38 @@ object Multimodal {
     PgmImage(w, h, img.maxVal, out)
   }
 
-  /** All P5 frames of a concatenated-PGM container ("video": frames are
-    * consecutive P5 images back to back), or Nil if the payload doesn't
-    * start with one.
+  /** Generic concatenated-container walk shared by every codec's
+    * `decodeXFrames`: decode frames back to back from offset 0 and
+    * accept only a full-coverage parse (at least one frame, zero
+    * trailing bytes) — anything else returns Nil so callers fall
+    * through to the next codec / stub path. The acceptance rule lives
+    * HERE, once, so a future change (e.g. tolerating a pad byte) can't
+    * drift between formats.
     */
-  def decodePgmFrames(payload: Array[Byte]): Seq[PgmImage] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[PgmImage]
-    var off = 0
-    var more = true
-    while (more) decodePgmAt(payload, off) match {
-      case Some((img, next)) => out += img; off = next; more = off < payload.length
-      case None => more = false
-    }
-    if (off == payload.length) out.toSeq else Nil // trailing garbage: not a PGM container
-  }
-
-  /** All frames of a concatenated-BMP container (each frame's declared
-    * file size delimits it), or Nil if the payload isn't one.
-    */
-  def decodeBmpFrames(payload: Array[Byte]): Seq[PgmImage] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[PgmImage]
+  private[operators] def decodeFramesWith[A](payload: Array[Byte],
+      decodeAt: (Array[Byte], Int) => Option[(A, Int)]): Seq[A] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[A]
     var off = 0
     var more = payload.nonEmpty
-    while (more) decodeBmpAt(payload, off) match {
-      case Some((img, next)) => out += img; off = next; more = off < payload.length
+    while (more) decodeAt(payload, off) match {
+      case Some((a, next)) => out += a; off = next; more = off < payload.length
       case None => more = false
     }
     if (out.nonEmpty && off == payload.length) out.toSeq else Nil
   }
+
+  /** All P5 frames of a concatenated-PGM container ("video": frames are
+    * consecutive P5 images back to back), or Nil if the payload doesn't
+    * start with one.
+    */
+  def decodePgmFrames(payload: Array[Byte]): Seq[PgmImage] =
+    decodeFramesWith(payload, decodePgmAt)
+
+  /** All frames of a concatenated-BMP container (each frame's declared
+    * file size delimits it), or Nil if the payload isn't one.
+    */
+  def decodeBmpFrames(payload: Array[Byte]): Seq[PgmImage] =
+    decodeFramesWith(payload, decodeBmpAt)
 
   // ---- BMP (Windows bitmap) codec --------------------------------------
   // Second genuine codec-free raster format: BITMAPFILEHEADER (14 bytes,
@@ -449,16 +453,8 @@ object Multimodal {
   /** All frames of a concatenated-PNG container, or Nil if the payload
     * isn't one.
     */
-  def decodePngFrames(payload: Array[Byte]): Seq[PgmImage] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[PgmImage]
-    var off = 0
-    var more = payload.nonEmpty
-    while (more) decodePngAt(payload, off) match {
-      case Some((img, next)) => out += img; off = next; more = off < payload.length
-      case None => more = false
-    }
-    if (out.nonEmpty && off == payload.length) out.toSeq else Nil
-  }
+  def decodePngFrames(payload: Array[Byte]): Seq[PgmImage] =
+    decodeFramesWith(payload, decodePngAt)
 
   /** Codec-dispatching single-image decode: PGM, then BMP, then PNG,
     * then baseline-grayscale JPEG (see [[Jpeg]]). The kernels below are
@@ -589,7 +585,14 @@ object Multimodal {
     require(newRate > 0, s"sample rate must be positive, got $newRate")
     if (newRate == a.sampleRate || a.frames == 0)
       return PcmAudio(newRate, a.channels, a.samples.clone())
-    val outFrames = math.max(1, (a.frames.toLong * newRate / a.sampleRate).toInt)
+    // Long arithmetic end to end: upsampling a large decodable clip can
+    // push frames*newRate/sampleRate (and outFrames*channels) past
+    // Int.MaxValue, which would otherwise wrap into a 1-frame output or
+    // a NegativeArraySizeException.
+    val outFramesL = math.max(1L, a.frames.toLong * newRate / a.sampleRate)
+    require(outFramesL * a.channels <= Int.MaxValue,
+      s"resampled audio too large: $outFramesL frames x ${a.channels} channels")
+    val outFrames = outFramesL.toInt
     val out = new Array[Short](outFrames * a.channels)
     var f = 0
     while (f < outFrames) {
@@ -607,16 +610,8 @@ object Multimodal {
   /** All clips of a concatenated-WAV container, or Nil if the payload
     * isn't one.
     */
-  def decodeWavFrames(payload: Array[Byte]): Seq[PcmAudio] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[PcmAudio]
-    var off = 0
-    var more = payload.nonEmpty
-    while (more) decodeWavAt(payload, off) match {
-      case Some((a, next)) => out += a; off = next; more = off < payload.length
-      case None => more = false
-    }
-    if (out.nonEmpty && off == payload.length) out.toSeq else Nil
-  }
+  def decodeWavFrames(payload: Array[Byte]): Seq[PcmAudio] =
+    decodeFramesWith(payload, decodeWavAt)
 
   /** Deterministic concatenated-WAV container for a document row — the
     * audio twin of [[syntheticPgmContainer]]. Clip parameters (rate,

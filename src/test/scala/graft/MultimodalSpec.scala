@@ -627,6 +627,67 @@ class MultimodalSpec extends SparkSpec {
       jseg(0xdb, 0 +: (Array.fill(63)(16) :+ 0)) ++ Array(0xff, 0xd9).map(_.toByte)).isEmpty)
   }
 
+  test("JPEG codec: truncated/malformed SOS headers reject cleanly") {
+    val dqt = jseg(0xdb, 0 +: Array.fill(64)(16))
+    val sof = jseg(0xc0, Array(8, 0, 8, 0, 8, 1, 1, 0x11, 0))
+    val dhtDc = jseg(0xc4, Array(0x00, 0, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 6, 3))
+    val dhtAc = jseg(0xc4, Array(0x10, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0x00))
+    val soi = Array(0xff, 0xd8).map(_.toByte)
+    // an empty SOS segment as the FINAL payload bytes: the length field
+    // passes the segment bound but the body is zero bytes — must return
+    // None, not index one past the array (regression: pre-fix AIOOBE)
+    assert(Jpeg.decodeJpeg(soi ++ dqt ++ sof ++ dhtDc ++ dhtAc ++
+      jseg(0xda, Array.empty[Int])).isEmpty)
+    // non-baseline spectral selection (Ss=1) must reject, not misdecode
+    // as a full sequential scan
+    assert(Jpeg.decodeJpeg(soi ++ dqt ++ sof ++ dhtDc ++ dhtAc ++
+      jseg(0xda, Array(1, 1, 0x00, 1, 63, 0)) ++ jbits("00000000") ++
+      Array(0xff, 0xd9).map(_.toByte)).isEmpty)
+    // successive-approximation bits (Ah/Al != 0) likewise reject
+    assert(Jpeg.decodeJpeg(soi ++ dqt ++ sof ++ dhtDc ++ dhtAc ++
+      jseg(0xda, Array(1, 1, 0x00, 0, 63, 0x01)) ++ jbits("00000000") ++
+      Array(0xff, 0xd9).map(_.toByte)).isEmpty)
+    // a scan selecting a component the SOF never declared rejects
+    assert(Jpeg.decodeJpeg(soi ++ dqt ++ sof ++ dhtDc ++ dhtAc ++
+      jseg(0xda, Array(1, 2, 0x00, 0, 63, 0)) ++ jbits("00000000") ++
+      Array(0xff, 0xd9).map(_.toByte)).isEmpty)
+  }
+
+  test("JPEG codec: 2-bit-per-block optimized streams clear the bomb bound") {
+    // A legally minimal stream: 1-bit DC code for category 0 and a
+    // 1-bit AC EOB make a flat block cost exactly 2 entropy bits. 300
+    // such blocks (8x2400) fit in 75 entropy bytes — the old >=3-bit
+    // bound falsely rejected this shape (regression); the 2-bit bound
+    // must decode it.
+    val dqt = jseg(0xdb, 0 +: Array.fill(64)(16))
+    val sof = jseg(0xc0, Array(8, 2400 >> 8, 2400 & 0xff, 0, 8, 1, 1, 0x11, 0))
+    val dhtDc = jseg(0xc4, Array(0x00, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0))
+    val dhtAc = jseg(0xc4, Array(0x10, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0x00))
+    val fixture = Array(0xff, 0xd8).map(_.toByte) ++ dqt ++ sof ++ dhtDc ++ dhtAc ++
+      jseg(0xda, Array(1, 1, 0x00, 0, 63, 0)) ++ new Array[Byte](75) ++
+      Array(0xff, 0xd9).map(_.toByte)
+    val img = Jpeg.decodeJpeg(fixture).get
+    assert(img.width === 8 && img.height === 2400)
+    assert(img.pixels.forall(p => (p & 0xff) === 128)) // DC 0 => level-shift only
+  }
+
+  test("JPEG encoder rejects dimensions beyond the SOF0 u16 range") {
+    // 70000 > 65535 would truncate mod 65536 in the header — must throw,
+    // not silently emit a corrupt stream
+    assertThrows[IllegalArgumentException] {
+      Jpeg.encodeJpeg(Multimodal.PgmImage(70000, 1, 255, new Array[Byte](70000)))
+    }
+  }
+
+  test("resampleWav bounds its output size instead of wrapping Int") {
+    // frames * newRate / sampleRate > Int.MaxValue: pre-fix this wrapped
+    // to a 1-frame output; now it must throw a clear error
+    val a = Multimodal.PcmAudio(1, 1, new Array[Short](1 << 20))
+    assertThrows[IllegalArgumentException] {
+      Multimodal.resampleWav(a, 4000000)
+    }
+  }
+
   test("JPEG resize and features run on real pixels through the shared kernels") {
     // flat blocks survive JPEG exactly when (p-128) is even, so the
     // lossy codec still supports exact kernel assertions
