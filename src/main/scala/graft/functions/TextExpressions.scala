@@ -258,6 +258,40 @@ case class WordChunks(child: Expression, size: Int, stride: Int)
     copy(child = newChild)
 }
 
+/** HTML → visible text, the extraction stage of WARC/crawl ingest
+  * (see [[graft.operators.Warc]]): strips comments, script and style
+  * blocks (including `<` characters INSIDE script code — the classic
+  * regex-tag-stripper trap), replaces every other tag with a space,
+  * decodes the fixed entity set (`&amp; &lt; &gt; &quot; &apos; &#39;
+  * &nbsp;` + decimal/hex numeric references), then collapses
+  * whitespace runs to single spaces and trims. The whitespace class is
+  * exactly RE2's `\s` ([\t\n\f\r ]) so a SQL oracle can replay the
+  * normalization with `regexp_replace(s, '\s+', ' ', 'g')`; `&nbsp;`
+  * decodes straight to a regular space for the same reason.
+  * Deterministic, single-pass, allocation = one output builder — runs
+  * as a compiled static call inside whole-stage codegen.
+  */
+case class HtmlToText(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"html_to_text requires a string input, got ${child.dataType.sql}")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "html_to_text"
+
+  override def nullSafeEval(input: Any): Any =
+    TextExpressions.htmlToText(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextExpressions.htmlToText($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
 
   // MessageDigest is stateful; one instance per thread serves every row
@@ -518,7 +552,90 @@ object TextExpressions {
     * injection ([[graft.GraftExtensions]]); the two registration paths
     * cannot drift apart.
     */
+  /** Codegen entry point of [[HtmlToText]]. */
+  def htmlToText(html: UTF8String): UTF8String =
+    UTF8String.fromString(htmlToTextString(html.toString))
+
+  // RE2's \s, exactly — see the HtmlToText scaladoc for why NOT
+  // Character.isWhitespace (the SQL oracle must be able to replay the
+  // normalization with regexp_replace '\s+').
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
+
+  /** Visible text of an HTML fragment (see [[HtmlToText]] for the
+    * contract). Also the extraction stage [[graft.operators.Warc]]'s
+    * ingest surface calls directly on decoded entities.
+    */
+  def htmlToTextString(html: String): String = {
+    val n = html.length
+    val sb = new java.lang.StringBuilder(n)
+    def matches(at: Int, s: String): Boolean =
+      html.regionMatches(true, at, s, 0, s.length)
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (matches(i, "<!--")) { // comment: skip to -->
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (matches(i, "<script")) { // raw-text element: a '<'
+          var e = i + 7 // inside the code is NOT a tag
+          while (e < n && !matches(e, "</script")) e += 1
+          i = if (e >= n) n else { val g = html.indexOf('>', e); if (g < 0) n else g + 1 }
+        } else if (matches(i, "<style")) {
+          var e = i + 6
+          while (e < n && !matches(e, "</style")) e += 1
+          i = if (e >= n) n else { val g = html.indexOf('>', e); if (g < 0) n else g + 1 }
+        } else { // any other tag: skip to '>'
+          val g = html.indexOf('>', i)
+          i = if (g < 0) n else g + 1
+        }
+        sb.append(' ') // tags separate words; the collapse pass dedups
+      } else if (c == '&') {
+        val semi = html.indexOf(';', i + 1)
+        val decoded: Int = // -1 = not a recognized entity
+          if (semi < 0 || semi > i + 12) -1
+          else {
+            val name = html.substring(i + 1, semi)
+            name match {
+              case "amp" => '&'
+              case "lt" => '<'
+              case "gt" => '>'
+              case "quot" => '"'
+              case "apos" => '\''
+              case "nbsp" => ' ' // regular space, deliberately (see scaladoc)
+              case _ =>
+                if (name.length >= 2 && name.charAt(0) == '#') {
+                  try {
+                    val cp =
+                      if (name.charAt(1) == 'x' || name.charAt(1) == 'X')
+                        Integer.parseInt(name.substring(2), 16)
+                      else Integer.parseInt(name.substring(1))
+                    if (cp >= 0 && cp <= 0x10ffff &&
+                        !(cp >= 0xd800 && cp <= 0xdfff)) cp else -1
+                  } catch { case _: NumberFormatException => -1 }
+                } else -1
+            }
+          }
+        if (decoded >= 0) { sb.appendCodePoint(decoded); i = semi + 1 }
+        else { sb.append('&'); i += 1 } // bare ampersand: literal
+      } else { sb.append(c); i += 1 }
+    }
+    // collapse [\t\n\f\r ]+ runs to one space; trim both ends
+    val out = new java.lang.StringBuilder(sb.length)
+    var j = 0
+    var pendingSpace = false
+    while (j < sb.length) {
+      val ch = sb.charAt(j)
+      if (isWs(ch)) pendingSpace = out.length > 0
+      else { if (pendingSpace) out.append(' '); pendingSpace = false; out.append(ch) }
+      j += 1
+    }
+    out.toString
+  }
+
   def functionBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "html_to_text" -> (exprs => HtmlToText(exprs.head)),
     "word_shingles" -> (exprs => WordShingles(exprs.head, intArg(exprs, 1))),
     "distinct_shingles" -> (exprs => DistinctShingles(exprs.head, intArg(exprs, 1))),
     "distinct_shingle_structs" -> (exprs => DistinctShingleStructs(exprs.head, intArg(exprs, 1))),

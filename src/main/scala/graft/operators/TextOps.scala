@@ -234,4 +234,12 @@ object TextOps {
       lit(EmailPattern), lit("<EMAIL>")),
       lit(Ipv4Pattern), lit("<IP>")),
       lit(PhonePattern), lit("<PHONE>"))
+
+  /** Visible text of an HTML column — the extraction stage of crawl
+    * ingest (native codegen'd expression; see
+    * [[graft.functions.HtmlToText]] for the exact contract).
+    */
+  def htmlToText(c: Column): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.functions.HtmlToText(org.apache.spark.sql.graft.bridge.expression(c)))
 }

@@ -1123,6 +1123,74 @@ object ExtensionQueries {
         .toDF("doc_id", "n_bytes", "content_hash", "sample_rate", "channels",
           "clip_frames", "n_clips", "total_ms")
         .orderBy(col("doc_id"))
+    }),
+
+    // Crawl-ingest twin of the multimodal family: each doc gets a
+    // deterministic per-record-gzip .warc.gz container (construction
+    // parameters = the arithmetic the DuckDB oracle replays), and the
+    // reported record count / statuses / entity bytes / extraction hash
+    // are what the REAL parser chain (gunzip -> WARC record walk ->
+    // HTTP split -> html_to_text) reads BACK from the bytes — so the
+    // hash gate fails on any gzip-member, framing, Content-Length,
+    // header, status-line, or tag/entity/whitespace extraction
+    // misparse. The extraction must also invert the HTML escape
+    // exactly (decode(escape(text)) == text for ALL doc texts).
+    "warc_ingest" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.map { case (id, text) =>
+            val payload = graft.operators.Warc.syntheticWarcContainer(id, text)
+            val recs = graft.operators.Warc.decodeWarc(payload)
+            require(recs.nonEmpty, s"doc $id: synthetic WARC failed to decode")
+            val https = recs.map(r =>
+              graft.operators.Warc.parseHttpResponse(r.body).getOrElse(
+                sys.error(s"doc $id: embedded HTTP response failed to parse")))
+            val extracted = https.map(h =>
+              graft.functions.TextExpressions.htmlToTextString(
+                new String(h.entity, java.nio.charset.StandardCharsets.UTF_8)))
+              .mkString(" ")
+            val hash = md.digest(extracted.getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+              .map(b => f"$b%02x").mkString
+            (id, recs.length.toLong, https.count(_.status == 200).toLong,
+              https.head.status,
+              https.map(_.entity.length.toLong).sum, hash)
+          }
+        }
+        .toDF("doc_id", "n_records", "n_ok", "first_status", "entity_bytes",
+          "extract_hash")
+        .orderBy(col("doc_id"))
+    }),
+
+    // html_to_text as an IN-PLAN native expression (the WARC query
+    // above calls the same implementation record-at-a-time inside
+    // mapPartitions; this one keeps the whole build-escape-extract
+    // chain in whole-stage codegen): wrap each doc's ESCAPED text in an
+    // HTML page whose script block carries a bare '<' (the tag-stripper
+    // trap), extract, and report the visible text. The oracle never
+    // parses HTML — it derives the expected extraction from the raw
+    // text, so Spark's escape and extraction must compose to the exact
+    // inverse pair.
+    "text_html_extract" -> ((s, dir) => {
+      val esc = ((c: org.apache.spark.sql.Column) => c)
+        .andThen(c => regexp_replace(c, lit("&"), lit("&amp;")))
+        .andThen(c => regexp_replace(c, lit("<"), lit("&lt;")))
+        .andThen(c => regexp_replace(c, lit(">"), lit("&gt;")))
+        .apply(col("text"))
+      val html = concat(
+        lit("<html><body><h2>Doc "), col("doc_id").cast("string"),
+        lit("</h2><script>if (a < b) { x(); }</script><p>"), esc,
+        lit("</p><!-- c --></body></html>"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.operators.TextOps.htmlToText(html).as("extracted"))
+        .withColumn("n_tokens",
+          size(split(col("extracted"), " ")).cast("long"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1524,6 +1592,42 @@ object ExtensionQueries {
        "CAST(frames AS INT) AS clip_frames, " +
        "CAST(n_bytes % 5 + 1 AS INT) AS n_clips, " +
        "CAST((n_bytes % 5 + 1) * ((frames * 1000) // rate) AS BIGINT) AS total_ms " +
-       "FROM p ORDER BY doc_id")
+       "FROM p ORDER BY doc_id"),
+    "warc_ingest" ->
+      // replays syntheticWarcContainer's construction arithmetic AND
+      // derives the expected html_to_text extraction from the raw text;
+      // the Spark side reports what the real gunzip -> WARC -> HTTP ->
+      // extraction chain read back, so equality means every layer
+      // inverted its encode exactly
+      ("WITH d AS (SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) nb FROM documents), " +
+       "r AS (SELECT doc_id, text, nb, unnest(generate_series(0, CAST(nb % 3 AS INT))) j FROM d), " +
+       "e AS (SELECT doc_id, j, " +
+       "CASE WHEN (doc_id + j) % 7 = 3 THEN '<html><body><p>404 Not Found</p></body></html>' " +
+       "ELSE '<html><head><title>Doc ' || doc_id || ' Rec ' || j || " +
+       "'</title><script>var x = 1 < 2 && \"a\";</script><style>p { color: red; }</style></head><body><h1>Doc ' " +
+       "|| doc_id || ' Rec ' || j || '</h1><p>' || " +
+       "replace(replace(replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '\"', '&quot;'), '''', '&#39;') " +
+       "|| '</p><!-- hidden --></body></html>' END AS entity, " +
+       "CASE WHEN (doc_id + j) % 7 = 3 THEN 404 ELSE 200 END AS status, " +
+       "CASE WHEN (doc_id + j) % 7 = 3 THEN '404 Not Found' " +
+       "ELSE trim('Doc ' || doc_id || ' Rec ' || j || ' Doc ' || doc_id || ' Rec ' || j || ' ' || " +
+       "trim(regexp_replace(text, '\\s+', ' ', 'g'))) END AS extract FROM r) " +
+       "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_records, " +
+       "CAST(SUM(CASE WHEN status = 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok, " +
+       "CAST(MIN(CASE WHEN j = 0 THEN status END) AS INT) AS first_status, " +
+       "CAST(SUM(octet_length(encode(entity))) AS BIGINT) AS entity_bytes, " +
+       "md5(string_agg(extract, ' ' ORDER BY j)) AS extract_hash " +
+       "FROM e GROUP BY doc_id ORDER BY doc_id"),
+    "text_html_extract" ->
+      // the oracle never parses HTML: it derives the expected visible
+      // text straight from the raw document text, so the Spark side's
+      // escape chain and native html_to_text must compose to the exact
+      // inverse pair (and the script block's bare '<' must not derail
+      // the tag stripper)
+      ("WITH x AS (SELECT doc_id, trim('Doc ' || doc_id || ' ' || " +
+       "trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS extracted FROM documents) " +
+       "SELECT doc_id, extracted, " +
+       "CAST(len(string_split(extracted, ' ')) AS BIGINT) AS n_tokens " +
+       "FROM x ORDER BY doc_id")
   )
 }
