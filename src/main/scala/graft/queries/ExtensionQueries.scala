@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{TextOps, VectorOps}
+import graft.operators.{BpeTrainer, TextOps, VectorOps}
 
 /** Training-data-pipeline extension operators (SURVEY.md §2.3 /
   * BASELINE.json north star): dedup (exact, MinHash-LSH, SimHash,
@@ -1166,6 +1166,62 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-domain crawl caps — the C4/CCNet-style domain-budget stage: a
+    // crawl is never allowed to let one hot host dominate the corpus,
+    // so docs are ranked within their host by a deterministic
+    // engine-portable hash and only the first K survive. URLs are
+    // derived from doc metadata (the arithmetic the oracle replays) and
+    // the host comes back through parse_url — Spark's codegen'd URL
+    // parser, exercised against the oracle's string arithmetic. One
+    // hash exchange on host (the window partition); hosts are many and
+    // bounded here, and the production answer for a pathological
+    // mega-host is the hash-coin keep rate of sample_mixture (no rank
+    // needed), so the exact window stays the right tool for the report.
+    "crawl_domain_cap" -> ((s, dir) => {
+      val url = concat(lit("https://"), col("source"), lit(".example.org/"),
+        col("lang"), lit("/doc-"), col("doc_id").cast("string"))
+      val host = parse_url(url, lit("HOST"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("host"))
+        .orderBy(col("h"), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), host.as("host"),
+          md5(col("doc_id").cast("string")).as("h"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rn") <= 20, 1L).otherwise(0L)).as("n_kept"),
+          min(when(col("rn") <= 20, col("doc_id"))).as("first_kept"),
+          max(when(col("rn") <= 20, col("doc_id"))).as("last_kept"))
+        .orderBy(col("host"))
+    }),
+
+    // BPE tokenizer training, stage 1 of 2 — the corpus-sized word
+    // dictionary (the ONLY stage of BPE that touches corpus bytes; see
+    // BpeTrainer's scaladoc for the 100 TB argument). Map-side partial
+    // agg into one hash exchange on the word, deterministic
+    // (count desc, word) top slice. Oracled: DuckDB replays the
+    // split/filter/count/rank arithmetic exactly.
+    "bpe_word_dict" -> ((s, dir) =>
+      BpeTrainer.wordCounts(Tables.documents(s, dir))
+        .orderBy(col("cnt").desc, col("word"))
+        .limit(100)),
+
+    // BPE stage 2 — train 200 merges over the dictionary (driver loop,
+    // deterministic by (count desc, pair asc) argmax) and apply the
+    // learned vocabulary back over the corpus as a broadcast merge
+    // table with a per-partition word memo: per-doc token counts under
+    // a REAL subword vocabulary, vs text_tokens' whitespace/regex
+    // approximations. The merge loop is not SQL-expressible, so this
+    // is a declared rows-only query; BpeTrainerSpec pins the merge
+    // table on the Sennrich fixture and cross-checks tokenCounts
+    // against encodeWord.
+    "bpe_token_counts" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val model = BpeTrainer.train(docs, numMerges = 200)
+      BpeTrainer.tokenCounts(s, docs, model).orderBy(col("doc_id"))
+    }),
+
     // html_to_text as an IN-PLAN native expression (the WARC query
     // above calls the same implementation record-at-a-time inside
     // mapPartitions; this one keeps the whole build-escape-extract
@@ -1618,6 +1674,22 @@ object ExtensionQueries {
        "CAST(SUM(octet_length(encode(entity))) AS BIGINT) AS entity_bytes, " +
        "md5(string_agg(extract, ' ' ORDER BY j)) AS extract_hash " +
        "FROM e GROUP BY doc_id ORDER BY doc_id"),
+    "crawl_domain_cap" ->
+      // the oracle derives the host by the same string arithmetic the
+      // query feeds parse_url, so a parse_url host-extraction quirk
+      // (port, userinfo, case) would surface as a hash mismatch
+      ("WITH u AS (SELECT doc_id, source || '.example.org' AS host, " +
+       "md5(CAST(doc_id AS VARCHAR)) AS h FROM documents), " +
+       "r AS (SELECT doc_id, host, row_number() OVER (PARTITION BY host ORDER BY h, doc_id) rn FROM u) " +
+       "SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+       "CAST(SUM(CASE WHEN rn <= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+       "CAST(MIN(CASE WHEN rn <= 20 THEN doc_id END) AS BIGINT) AS first_kept, " +
+       "CAST(MAX(CASE WHEN rn <= 20 THEN doc_id END) AS BIGINT) AS last_kept " +
+       "FROM r GROUP BY host ORDER BY host"),
+    "bpe_word_dict" ->
+      ("WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents) " +
+       "SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM w WHERE length(word) > 0 " +
+       "GROUP BY word ORDER BY cnt DESC, word LIMIT 100"),
     "text_html_extract" ->
       // the oracle never parses HTML: it derives the expected visible
       // text straight from the raw document text, so the Spark side's
