@@ -1218,7 +1218,10 @@ object ExtensionQueries {
     // against encodeWord.
     "bpe_token_counts" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val model = BpeTrainer.train(docs, numMerges = 200)
+      // 40 merges < the ~150 needed to collapse this corpus's tiny
+      // vocabulary entirely — keeps the output in the realistic
+      // partial-merge regime (at web scale, vocab >> merges always)
+      val model = BpeTrainer.train(docs, numMerges = 40)
       BpeTrainer.tokenCounts(s, docs, model).orderBy(col("doc_id"))
     }),
 
