@@ -38,6 +38,15 @@ object BpeTrainer {
   /** Word-final marker symbol (Sennrich formulation): lets the model
     * distinguish "er" inside a word from "er" ending one, and makes
     * detokenization lossless for space-separated text.
+    *
+    * The literal string "&#47;w&gt;"-style sequence CAN occur in real
+    * text (this repo ingests HTML), so the trainer refuses to learn
+    * any merge whose merged symbol equals the marker — without that
+    * guard a corpus rich in literal "</w>" could forge a mid-word
+    * symbol string-equal to the marker and make encodeWord apply
+    * end-of-word merges mid-word. Single code-point symbols can never
+    * collide (the marker is 4 chars), so blocking the merge closes
+    * every construction path.
     */
   val EndOfWord = "</w>"
 
@@ -129,7 +138,7 @@ object BpeTrainer {
         c1 < 0 || (c1 == 0 && p._2.compareTo(q._2) < 0)
       }
       pairCounts.foreach { case (p, c) =>
-        if (c >= 2 &&
+        if (c >= 2 && (p._1 + p._2) != EndOfWord &&
             (best == null || c > bestCount || (c == bestCount && pairLess(p, best)))) {
           best = p; bestCount = c
         }
@@ -210,7 +219,11 @@ object BpeTrainer {
   def tokenCounts(spark: SparkSession, docs: DataFrame, model: BpeModel): DataFrame = {
     import spark.implicits._
     val bcModel = spark.sparkContext.broadcast(model)
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    // null-tolerant like the SQL stage-1 formulation: a NULL text is an
+    // empty doc, a NULL doc_id is dropped (it could not be unboxed)
+    docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      .where(col("doc_id").isNotNull)
+      .as[(Long, String)]
       .mapPartitions { it =>
         val m = bcModel.value
         val memo = new java.util.HashMap[String, Integer]()
@@ -221,7 +234,8 @@ object BpeTrainer {
           text.split(" ").foreach { w =>
             if (w.nonEmpty) {
               nWords += 1
-              nChars += w.length
+              // code points, matching Spark length() and the symbol split
+              nChars += w.codePointCount(0, w.length)
               var t = memo.get(w)
               if (t == null) {
                 t = Integer.valueOf(encodeWord(w, m).length)

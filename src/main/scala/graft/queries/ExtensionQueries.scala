@@ -1181,9 +1181,7 @@ object ExtensionQueries {
       val url = concat(lit("https://"), col("source"), lit(".example.org/"),
         col("lang"), lit("/doc-"), col("doc_id").cast("string"))
       val host = parse_url(url, lit("HOST"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("host"))
-        .orderBy(col("h"), col("doc_id"))
+      val w = Window.partitionBy(col("host")).orderBy(col("h"), col("doc_id"))
       Tables.documents(s, dir)
         .select(col("doc_id"), host.as("host"),
           md5(col("doc_id").cast("string")).as("h"))
@@ -1207,7 +1205,7 @@ object ExtensionQueries {
         .orderBy(col("cnt").desc, col("word"))
         .limit(100)),
 
-    // BPE stage 2 — train 200 merges over the dictionary (driver loop,
+    // BPE stage 2 — train the merge table over the dictionary (driver loop,
     // deterministic by (count desc, pair asc) argmax) and apply the
     // learned vocabulary back over the corpus as a broadcast merge
     // table with a per-partition word memo: per-doc token counts under

@@ -88,8 +88,30 @@ class BpeTrainerSpec extends SparkSpec {
     assert(got(0) === ((1L, 3L, 8L, 14L)))
   }
 
+  test("a merge can never forge the EndOfWord marker") {
+    // literal "</w>" inside corpus words: without the guard the trainer
+    // would learn a mid-word symbol string-equal to the marker
+    val m = BpeTrainer.trainFromCounts(Seq(("x</w>y", 5L), ("z</w>", 4L)), 50)
+    assert(!m.mergedTokens.contains(EndOfWord))
+    // segmentation of such a word stays well-formed (ends at the real marker)
+    val toks = BpeTrainer.encodeWord("x</w>y", m)
+    assert(toks.mkString === "x</w>y" + EndOfWord)
+  }
+
+  test("tokenCounts tolerates null text and drops null doc_id") {
+    val docs = Seq(
+      (java.lang.Long.valueOf(1L), "low low"),
+      (java.lang.Long.valueOf(2L), null: String),
+      (null: java.lang.Long, "ignored"))
+      .toDF("doc_id", "text")
+    val m = BpeTrainer.trainFromCounts(sennrich, 5)
+    val got = BpeTrainer.tokenCounts(spark, docs, m)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got === Array((1L, 2L, 4L, 6L), (2L, 0L, 0L, 0L)))
+  }
+
   test("model trains end-to-end on the documents table") {
-    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val docs = Tables.documents(spark, sf0001)
     val m = BpeTrainer.train(docs, 50)
     assert(m.merges.length === 50)
     // apply produces one row per doc with tokens >= words (a word is
