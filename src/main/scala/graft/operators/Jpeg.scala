@@ -2,19 +2,26 @@ package graft.operators
 
 import graft.operators.Multimodal.PgmImage
 
-/** Baseline JPEG codec (grayscale, sequential DCT) — the fifth real
-  * format in the multimodal family and the first LOSSY one, built from
-  * the public ITU-T T.81 spec with zero third-party code: marker-walk
+/** Baseline JPEG codec (sequential DCT) — the fifth real format in
+  * the multimodal family and the first LOSSY one, built from the
+  * public ITU-T T.81 spec with zero third-party code: marker-walk
   * parse, canonical Huffman decode built from the file's own DHT
   * segments (spec §C / §F.2.2), run-length + magnitude-category AC/DC
   * entropy decode with byte-unstuffing and restart-marker handling,
   * dequantize + dezigzag, separable double-precision IDCT
   * (StrictMath cosine table, so results are bit-identical across
   * JVMs), and level shift. Supported: baseline sequential (SOF0),
-  * 8-bit, ONE component (grayscale), with or without restart
-  * intervals. Progressive (SOF2), arithmetic coding, 12-bit, and
-  * multi-component color reject cleanly to the stub path — the README
-  * format table stays the single source of truth.
+  * 8-bit, grayscale (one component, non-interleaved) AND YCbCr color
+  * (three components, interleaved MCUs, any 1-4 sampling factor grid
+  * incl. 4:4:4 / 4:2:2 / 4:2:0), with or without restart intervals.
+  * Color decodes to the LUMA plane: JPEG's Y channel already IS the
+  * ITU-R 601 luma every other codec in this family converges to, so
+  * the chroma blocks are entropy-decoded only to advance the bit
+  * stream (their IDCT — half the blocks of a 4:2:0 file — is skipped
+  * entirely, which is also the fast path). Progressive (SOF2),
+  * arithmetic coding, 12-bit, and 2/4-component frames reject cleanly
+  * to the stub path — the README format table stays the single source
+  * of truth.
   *
   * The encoder emits baseline grayscale with the spec's Annex K
   * example luminance quantization + Huffman tables (the tables every
@@ -190,10 +197,19 @@ object Jpeg {
   private def extend(v: Int, s: Int): Int =
     if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
 
-  /** Parse one baseline grayscale JPEG starting at `offset`; returns
-    * the image and the offset just past its EOI marker, or None for
-    * anything that is not well-formed baseline sequential single-
-    * component JPEG.
+  /** One frame component: SOF id, sampling factors, quant selector,
+    * scan entropy tables (filled at SOS), and its DC predictor.
+    */
+  private final class Component(val id: Int, val h: Int, val v: Int, val tq: Int) {
+    var dcT: HuffTable = null
+    var acT: HuffTable = null
+    var pred = 0
+  }
+
+  /** Parse one baseline JPEG starting at `offset`; returns the LUMA
+    * image and the offset just past its EOI marker, or None for
+    * anything that is not well-formed baseline sequential grayscale or
+    * 3-component YCbCr JPEG.
     */
   def decodeJpegAt(payload: Array[Byte], offset: Int): Option[(PgmImage, Int)] = {
     val n = payload.length
@@ -204,13 +220,9 @@ object Jpeg {
     i += 2
     var width = 0
     var height = 0
-    var quant: Array[Int] = null // natural order
     val huffDc = new Array[HuffTable](4)
     val huffAc = new Array[HuffTable](4)
-    var dcSel = -1
-    var acSel = -1
-    var qSel = -1
-    var compId = -1
+    var comps: Array[Component] = null
     var restartInterval = 0
     var scanStart = -1
     val quantTables = new Array[Array[Int]](4)
@@ -259,17 +271,31 @@ object Jpeg {
             o += 17 + nv
           }
           if (o != body + bodyLen) return None
-        case 0xc0 => // SOF0: baseline sequential
+        case 0xc0 => // SOF0: baseline sequential, 1 (gray) or 3 (YCbCr)
+          if (comps != null) return None // one frame header only
           if (bodyLen < 8 || (payload(body) & 0xff) != 8) return None // 8-bit
           height = u16(body + 1)
           width = u16(body + 3)
           val nComp = payload(body + 5) & 0xff
-          if (nComp != 1 || bodyLen != 6 + 3 * nComp) return None // grayscale only
-          compId = payload(body + 6) & 0xff
-          val sampling = payload(body + 7) & 0xff
-          if (sampling != 0x11) return None // 1x1
-          qSel = payload(body + 8) & 0xff
-          if (width <= 0 || height <= 0 || qSel > 3 ||
+          if ((nComp != 1 && nComp != 3) || bodyLen != 6 + 3 * nComp) return None
+          comps = Array.tabulate(nComp) { c =>
+            val o = body + 6 + 3 * c
+            new Component(payload(o) & 0xff, (payload(o + 1) & 0xff) >> 4,
+              payload(o + 1) & 0x0f, payload(o + 2) & 0xff)
+          }
+          // duplicate component ids would make SOS selectors ambiguous
+          if (comps.map(_.id).distinct.length != nComp) return None
+          // grayscale is only ever written 1x1; color factors 1-4 with
+          // the max being an exact multiple of each (every real
+          // encoder's grid: 4:4:4, 4:2:2, 4:4:0, 4:2:0, 4:1:1)
+          if (nComp == 1 && (comps(0).h != 1 || comps(0).v != 1)) return None
+          val hM = comps.map(_.h).max
+          val vM = comps.map(_.v).max
+          if (comps.exists(c => c.h < 1 || c.h > 4 || c.v < 1 || c.v > 4 ||
+              hM % c.h != 0 || vM % c.v != 0 || c.tq > 3)) return None
+          // T.81 B.2.2: sum of Hi*Vi over an interleaved MCU <= 10
+          if (comps.map(c => c.h * c.v).sum > 10) return None
+          if (width <= 0 || height <= 0 ||
               width.toLong * height > Int.MaxValue) return None
         case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
              0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
@@ -278,37 +304,52 @@ object Jpeg {
           if (bodyLen != 2) return None
           restartInterval = u16(body)
         case 0xda => // SOS
-          if (width == 0) return None // SOF must precede SOS
-          // A single-component baseline scan body is exactly 6 bytes
-          // (Ns=1, one selector pair, Ss/Se/AhAl); check the length
-          // BEFORE any body read so a truncated SOS at payload end
-          // rejects instead of indexing past the array.
-          if (bodyLen != 6) return None
+          if (comps == null) return None // SOF must precede SOS
+          // A baseline scan body is exactly 1 + 2*Ns + 3 bytes; check
+          // the length BEFORE any body read so a truncated SOS at
+          // payload end rejects instead of indexing past the array.
+          if (bodyLen < 1) return None
           val nc = payload(body) & 0xff
-          if (nc != 1) return None
-          if ((payload(body + 1) & 0xff) != compId) return None // selector must match SOF
-          dcSel = (payload(body + 2) & 0xff) >> 4
-          acSel = payload(body + 2) & 0x0f
-          if (dcSel > 3 || acSel > 3) return None
+          // baseline writes ONE scan: non-interleaved for grayscale,
+          // fully interleaved for color (Ns = Nf)
+          if (nc != comps.length || bodyLen != 4 + 2 * nc) return None
+          var c = 0
+          while (c < nc) {
+            val o = body + 1 + 2 * c
+            // selectors must match SOF components in SOF order — the
+            // layout every baseline encoder emits
+            if ((payload(o) & 0xff) != comps(c).id) return None
+            val dcSel = (payload(o + 1) & 0xff) >> 4
+            val acSel = payload(o + 1) & 0x0f
+            if (dcSel > 3 || acSel > 3) return None
+            comps(c).dcT = huffDc(dcSel)
+            comps(c).acT = huffAc(acSel)
+            if (comps(c).dcT == null || comps(c).acT == null) return None
+            c += 1
+          }
           // Baseline sequential is always the full spectral band with no
           // successive approximation (T.81 §B.2.3): Ss=0, Se=63, Ah=Al=0.
           // Anything else is a malformed/progressive scan header — reject
           // rather than misdecode it as a full scan.
-          if ((payload(body + 3) & 0xff) != 0 || (payload(body + 4) & 0xff) != 63 ||
-              (payload(body + 5) & 0xff) != 0) return None
+          val se = body + 1 + 2 * nc
+          if ((payload(se) & 0xff) != 0 || (payload(se + 1) & 0xff) != 63 ||
+              (payload(se + 2) & 0xff) != 0) return None
           scanStart = body + bodyLen
         case 0xd9 => return None // EOI before any scan
         case _ => () // APPn / COM / other: skip
       }
       i += 2 + segLen
     }
-    quant = quantTables(qSel)
-    if (quant == null || huffDc(dcSel) == null || huffAc(acSel) == null) return None
-    val dcT = huffDc(dcSel)
-    val acT = huffAc(acSel)
-    val bw = (width + 7) / 8
-    val bh = (height + 7) / 8
-    val totalBlocks = bw.toLong * bh
+    if (comps.exists(c => quantTables(c.tq) == null)) return None
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
+    // MCU grid: grayscale scans are non-interleaved (MCU = one block,
+    // T.81 §A.2.2 — sampling factors don't shape the layout); color
+    // scans interleave Hi x Vi blocks per component per MCU.
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+    val blocksPerMcu = comps.map(c => c.h * c.v).sum
+    val totalBlocks = mcusX.toLong * mcusY * blocksPerMcu
     // Decompression-bomb bound by ACTUAL bytes (PNG-decoder discipline):
     // with the file's own (possibly optimized) Huffman tables a flat
     // block can legally cost as little as 2 entropy bits (1-bit DC
@@ -317,85 +358,134 @@ object Jpeg {
     // claiming 65000x65000 (66M blocks => 4.2 GB of pixels) dies here,
     // not at the allocator.
     if (totalBlocks > (n - scanStart).toLong * 4 + 64) return None
-    val px = new Array[Byte](width * height)
+    // The output is the LUMA plane = component 0 (Y for color, the
+    // sole component for gray), decoded on its own sample grid then
+    // replicated up to frame size. Chroma components are entropy-
+    // decoded to keep the bit stream in sync but never IDCT'd.
+    val lc = comps(0)
+    val lumaW = (width * lc.h + hMax - 1) / hMax // ceil, T.81 §A.1.1
+    val lumaH = (height * lc.v + vMax - 1) / vMax
+    val luma = new Array[Byte](lumaW * lumaH)
     val reader = new BitReader(payload, scanStart, n)
     val coef = new Array[Int](64)
     val tmp = new Array[Double](64)
-    var pred = 0
-    var blockIdx = 0
+    var mcuIdx = 0
     var restartCount = 0
-    var by = 0
-    while (by < bh) {
-      var bx = 0
-      while (bx < bw) {
-        if (restartInterval > 0 && blockIdx > 0 &&
-            blockIdx % restartInterval == 0) {
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (restartInterval > 0 && mcuIdx > 0 &&
+            mcuIdx % restartInterval == 0) {
           if (!reader.alignToRestart(restartCount & 7)) return None
           restartCount += 1
-          pred = 0
+          var c = 0
+          while (c < comps.length) { comps(c).pred = 0; c += 1 }
         }
-        // ---- entropy-decode one 8x8 block (T.81 §F.2.2) ----
-        java.util.Arrays.fill(coef, 0)
-        val s = reader.decodeHuff(dcT)
-        if (reader.bad || s < 0 || s > 11) return None
-        pred += extend(reader.readBits(s), s)
-        coef(0) = pred * quant(0)
-        var k = 1
-        while (k < 64) {
-          val rs = reader.decodeHuff(acT)
-          if (reader.bad || rs < 0) return None
-          val r = rs >> 4
-          val size = rs & 0x0f
-          if (size == 0) {
-            if (r == 15) k += 16 // ZRL: sixteen zeros
-            else k = 64 // EOB
-          } else {
-            k += r
-            if (k > 63) return None
-            coef(Zigzag(k)) = extend(reader.readBits(size), size) * quant(Zigzag(k))
-            k += 1
+        var ci = 0
+        while (ci < comps.length) {
+          val comp = comps(ci)
+          val quant = quantTables(comp.tq)
+          val isLuma = ci == 0
+          var bv = 0
+          while (bv < comp.v) {
+            var bhh = 0
+            while (bhh < comp.h) {
+              // ---- entropy-decode one 8x8 block (T.81 §F.2.2) ----
+              if (isLuma) java.util.Arrays.fill(coef, 0)
+              val s = reader.decodeHuff(comp.dcT)
+              if (reader.bad || s < 0 || s > 11) return None
+              comp.pred += extend(reader.readBits(s), s)
+              if (isLuma) coef(0) = comp.pred * quant(0)
+              var k = 1
+              while (k < 64) {
+                val rs = reader.decodeHuff(comp.acT)
+                if (reader.bad || rs < 0) return None
+                val r = rs >> 4
+                val size = rs & 0x0f
+                if (size == 0) {
+                  if (r == 15) k += 16 // ZRL: sixteen zeros
+                  else k = 64 // EOB
+                } else {
+                  k += r
+                  if (k > 63) return None
+                  val v = extend(reader.readBits(size), size)
+                  if (isLuma) coef(Zigzag(k)) = v * quant(Zigzag(k))
+                  k += 1
+                }
+              }
+              if (reader.bad) return None
+              if (isLuma) {
+                // ---- separable IDCT (rows then cols) + level shift ----
+                var y0 = 0
+                while (y0 < 8) { // 1-D IDCT over each row of coefficients
+                  var x0 = 0
+                  while (x0 < 8) {
+                    var acc = 0.0
+                    var u = 0
+                    while (u < 8) { acc += CosTable(u * 8 + x0) * coef(y0 * 8 + u); u += 1 }
+                    tmp(y0 * 8 + x0) = acc / 2.0
+                    x0 += 1
+                  }
+                  y0 += 1
+                }
+                val ox = (mx * comp.h + bhh) * 8 // block origin in luma grid
+                val oy = (my * comp.v + bv) * 8
+                var x1 = 0
+                while (x1 < 8) { // 1-D IDCT down each column, write clamped
+                  var y1 = 0
+                  while (y1 < 8) {
+                    var acc = 0.0
+                    var v = 0
+                    while (v < 8) { acc += CosTable(v * 8 + y1) * tmp(v * 8 + x1); v += 1 }
+                    val s2 = (acc / 2.0 + 128.0).round.toInt
+                    val gx = ox + x1
+                    val gy = oy + y1
+                    if (gx < lumaW && gy < lumaH)
+                      luma(gy * lumaW + gx) = math.max(0, math.min(255, s2)).toByte
+                    y1 += 1
+                  }
+                  x1 += 1
+                }
+              }
+              bhh += 1
+            }
+            bv += 1
           }
+          ci += 1
         }
-        if (reader.bad) return None
-        // ---- separable IDCT (rows then columns) + level shift ----
-        var y0 = 0
-        while (y0 < 8) { // 1-D IDCT over each row of coefficients
-          var x0 = 0
-          while (x0 < 8) {
-            var acc = 0.0
-            var u = 0
-            while (u < 8) { acc += CosTable(u * 8 + x0) * coef(y0 * 8 + u); u += 1 }
-            tmp(y0 * 8 + x0) = acc / 2.0
-            x0 += 1
-          }
-          y0 += 1
-        }
-        var x1 = 0
-        while (x1 < 8) { // 1-D IDCT down each column, write clamped pixels
-          var y1 = 0
-          while (y1 < 8) {
-            var acc = 0.0
-            var v = 0
-            while (v < 8) { acc += CosTable(v * 8 + y1) * tmp(v * 8 + x1); v += 1 }
-            val s2 = (acc / 2.0 + 128.0).round.toInt
-            val gx = bx * 8 + x1
-            val gy = by * 8 + y1
-            if (gx < width && gy < height)
-              px(gy * width + gx) = math.max(0, math.min(255, s2)).toByte
-            y1 += 1
-          }
-          x1 += 1
-        }
-        blockIdx += 1
-        bx += 1
+        mcuIdx += 1
+        mx += 1
       }
-      by += 1
+      my += 1
     }
     // ---- trailer: optional byte-aligned padding, then EOI ----
     var e = reader.pos
     if (e + 2 > n || (payload(e) & 0xff) != 0xff ||
         (payload(e + 1) & 0xff) != 0xd9) return None
     e += 2
+    // Replicate the luma grid up to frame dimensions (identity for
+    // gray and for any file whose Y uses the max sampling factors —
+    // i.e. every real YCbCr file; the general path covers the legal
+    // oddballs where Y is subsampled too).
+    val px =
+      if (lumaW == width && lumaH == height) luma
+      else {
+        val fx = hMax / lc.h
+        val fy = vMax / lc.v
+        val out = new Array[Byte](width * height)
+        var gy = 0
+        while (gy < height) {
+          val sy = gy / fy
+          var gx = 0
+          while (gx < width) {
+            out(gy * width + gx) = luma(sy * lumaW + gx / fx)
+            gx += 1
+          }
+          gy += 1
+        }
+        out
+      }
     Some((PgmImage(width, height, 255, px), e))
   }
 

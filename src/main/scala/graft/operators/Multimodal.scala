@@ -290,9 +290,16 @@ object Multimodal {
 
   /** Parse one PNG starting at `offset`; returns the image and the
     * offset just past its IEND chunk, or None if the bytes are not a
-    * well-formed 8-bit grayscale non-interlaced PNG (CRC mismatches,
-    * truncated/overlong zlib streams, and unknown filter types all
-    * reject).
+    * well-formed 8-bit non-interlaced PNG (CRC mismatches, truncated/
+    * overlong zlib streams, and unknown filter types all reject).
+    *
+    * All five 8-bit color types decode: 0 grayscale, 2 truecolor RGB,
+    * 3 paletted (PLTE required before IDAT), 4 gray+alpha, 6 RGBA —
+    * color collapses to the same ITU-R 601 integer luma the BMP path
+    * uses, and alpha is ignored (the downstream features are
+    * luma-plane statistics; compositing against a background is a
+    * rendering decision, not a decode one). 16-bit depths and
+    * interlaced images reject to the stub.
     */
   def decodePngAt(payload: Array[Byte], offset: Int): Option[(PgmImage, Int)] = {
     var i = offset
@@ -302,6 +309,11 @@ object Multimodal {
     i += 8
     var width = 0
     var height = 0
+    var channels = 0
+    var colorType = -1
+    var paletteOff = -1
+    var paletteEntries = 0
+    var seenIdat = false
     var seenIhdr = false
     var done = false
     val idat = new java.io.ByteArrayOutputStream()
@@ -322,17 +334,31 @@ object Multimodal {
           width = u32be(payload, dataOff).toInt
           height = u32be(payload, dataOff + 4).toInt
           val bitDepth = payload(dataOff + 8) & 0xff
-          val colorType = payload(dataOff + 9) & 0xff
+          colorType = payload(dataOff + 9) & 0xff
           val comp = payload(dataOff + 10) & 0xff
           val filterMethod = payload(dataOff + 11) & 0xff
           val interlace = payload(dataOff + 12) & 0xff
-          if (bitDepth != 8 || colorType != 0 || comp != 0 ||
-              filterMethod != 0 || interlace != 0) return None
+          channels = colorType match {
+            case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+            case _ => return None
+          }
+          if (bitDepth != 8 || comp != 0 || filterMethod != 0 ||
+              interlace != 0) return None
           if (width <= 0 || height <= 0 ||
-              (width.toLong + 1) * height > Int.MaxValue) return None
+              (width.toLong * channels + 1) * height > Int.MaxValue ||
+              width.toLong * height > Int.MaxValue) return None
           seenIhdr = true
+        case "PLTE" =>
+          // legal only for color types 2, 3, 6; mandatory for 3 (§11.2.3)
+          if (!seenIhdr || seenIdat || paletteOff >= 0) return None
+          if (colorType == 0 || colorType == 4) return None
+          if (len == 0 || len % 3 != 0 || len > 768) return None
+          paletteOff = dataOff
+          paletteEntries = len.toInt / 3
         case "IDAT" =>
           if (!seenIhdr) return None
+          if (colorType == 3 && paletteOff < 0) return None
+          seenIdat = true
           idat.write(payload, dataOff, len.toInt)
         case "IEND" =>
           if (!seenIhdr || len != 0) return None
@@ -341,14 +367,16 @@ object Multimodal {
       }
       i += 12 + len.toInt
     }
-    // Inflate to exactly height scanlines of (1 filter byte + width).
-    // Allocation is bounded by the ACTUAL payload bytes, not header
-    // claims alone (the same discipline as decodePgmAt's raster check):
-    // DEFLATE tops out near 1032:1, so a few-hundred-byte payload
-    // declaring a 65535 x 32000 raster — a classic decompression bomb —
-    // rejects here instead of allocating ~2 GB per hostile asset row.
-    // The +64 covers fixed zlib framing on tiny legitimate rasters.
-    val rawLen = height * (width + 1)
+    // Inflate to exactly height scanlines of (1 filter byte + the
+    // pixel bytes). Allocation is bounded by the ACTUAL payload bytes,
+    // not header claims alone (the same discipline as decodePgmAt's
+    // raster check): DEFLATE tops out near 1032:1, so a few-hundred-
+    // byte payload declaring a 65535 x 32000 raster — a classic
+    // decompression bomb — rejects here instead of allocating ~2 GB
+    // per hostile asset row. The +64 covers fixed zlib framing on
+    // tiny legitimate rasters.
+    val rowBytes = width * channels
+    val rawLen = height * (rowBytes + 1)
     val idatBytes = idat.toByteArray
     if (rawLen.toLong > 1032L * idatBytes.length + 64) return None
     val raw = new Array[Byte](rawLen)
@@ -371,19 +399,22 @@ object Multimodal {
       if (!inf.finished() && inf.inflate(scratch) != 0) return None
     } catch { case _: java.util.zip.DataFormatException => return None }
     finally inf.end()
-    // Unfilter (spec §6): a = left, b = up, c = up-left, all 0 off-image
-    val px = new Array[Byte](width * height)
+    // Unfilter (spec §6) IN PLACE over the scanline buffer: filters
+    // operate on BYTES with the pixel stride (a = `channels` bytes
+    // left, b = same byte one row up, c = both), so color types share
+    // one loop; 0 off-image per spec.
     var y = 0
     while (y < height) {
-      val ft = raw(y * (width + 1)) & 0xff
+      val ft = raw(y * (rowBytes + 1)) & 0xff
       if (ft > 4) return None
-      val rowOff = y * (width + 1) + 1
+      val rowOff = y * (rowBytes + 1) + 1
+      val prevOff = rowOff - (rowBytes + 1)
       var x = 0
-      while (x < width) {
+      while (x < rowBytes) {
         val rawv = raw(rowOff + x) & 0xff
-        val a = if (x > 0) px(y * width + x - 1) & 0xff else 0
-        val b = if (y > 0) px((y - 1) * width + x) & 0xff else 0
-        val c = if (x > 0 && y > 0) px((y - 1) * width + x - 1) & 0xff else 0
+        val a = if (x >= channels) raw(rowOff + x - channels) & 0xff else 0
+        val b = if (y > 0) raw(prevOff + x) & 0xff else 0
+        val c = if (x >= channels && y > 0) raw(prevOff + x - channels) & 0xff else 0
         val v = ft match {
           case 0 => rawv
           case 1 => rawv + a
@@ -394,7 +425,30 @@ object Multimodal {
             val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
             rawv + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
         }
-        px(y * width + x) = v.toByte // mod-256 per spec
+        raw(rowOff + x) = v.toByte // mod-256 per spec
+        x += 1
+      }
+      y += 1
+    }
+    // Collapse to the luma plane
+    val px = new Array[Byte](width * height)
+    y = 0
+    while (y < height) {
+      val rowOff = y * (rowBytes + 1) + 1
+      var x = 0
+      while (x < width) {
+        val p = rowOff + x * channels
+        px(y * width + x) = colorType match {
+          case 0 | 4 => raw(p) // gray (alpha, if any, ignored)
+          case 2 | 6 => // RGB / RGBA
+            luma(raw(p) & 0xff, raw(p + 1) & 0xff, raw(p + 2) & 0xff)
+          case 3 => // palette index -> RGB triple
+            val idx = raw(p) & 0xff
+            if (idx >= paletteEntries) return None
+            val pe = paletteOff + idx * 3
+            luma(payload(pe) & 0xff, payload(pe + 1) & 0xff,
+              payload(pe + 2) & 0xff)
+        }
         x += 1
       }
       y += 1

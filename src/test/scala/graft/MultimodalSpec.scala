@@ -273,6 +273,103 @@ class MultimodalSpec extends SparkSpec {
       chunk("IDAT", cOut.toByteArray) ++ chunk("IEND", Array.emptyByteArray)).isEmpty)
   }
 
+  test("PNG color types 2/3/4/6 decode to ITU-R 601 luma (stride-aware filters)") {
+    def be(v: Long) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val tb = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32(); crc.update(tb); crc.update(data)
+      be(data.length.toLong) ++ tb ++ data ++ be(crc.getValue)
+    }
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(); d.setInput(raw); d.finish()
+      val o = new java.io.ByteArrayOutputStream(); val b = new Array[Byte](1024)
+      while (!d.finished()) o.write(b, 0, d.deflate(b))
+      d.end(); o.toByteArray
+    }
+    // forward-filter with the CHANNEL stride — an independent spec §6
+    // reimplementation; each row uses a different filter type so the
+    // decoder's byte-stride inversion is exercised on every filter
+    def buildPng(w: Int, h: Int, colorType: Int, channels: Int,
+        data: Array[Byte], plte: Option[Array[Byte]] = None): Array[Byte] = {
+      val rowBytes = w * channels
+      def at(x: Int, y: Int): Int =
+        if (x < 0 || y < 0) 0 else data(y * rowBytes + x) & 0xff
+      val raw = new Array[Byte](h * (rowBytes + 1))
+      for (y <- 0 until h) {
+        val ft = y % 5
+        raw(y * (rowBytes + 1)) = ft.toByte
+        for (x <- 0 until rowBytes) {
+          val v = at(x, y)
+          val a = at(x - channels, y); val b = at(x, y - 1); val c = at(x - channels, y - 1)
+          val f = ft match {
+            case 0 => v
+            case 1 => v - a
+            case 2 => v - b
+            case 3 => v - (a + b) / 2
+            case 4 =>
+              val p = a + b - c
+              val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+              v - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          }
+          raw(y * (rowBytes + 1) + 1 + x) = f.toByte
+        }
+      }
+      val ihdr = be(w.toLong) ++ be(h.toLong) ++
+        Array[Byte](8, colorType.toByte, 0, 0, 0)
+      sig ++ chunk("IHDR", ihdr) ++
+        plte.map(p => chunk("PLTE", p)).getOrElse(Array.emptyByteArray) ++
+        chunk("IDAT", deflate(raw)) ++ chunk("IEND", Array.emptyByteArray)
+    }
+    def lum(r: Int, g: Int, b: Int): Byte = ((r * 299 + g * 587 + b * 114) / 1000).toByte
+    val w = 3; val h = 5
+    // truecolor RGB (ct 2)
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 41 + 7) % 256).toByte)
+    val gotRgb = Multimodal.decodePng(buildPng(w, h, 2, 3, rgb)).get
+    val expRgb = Array.tabulate(w * h)(i =>
+      lum(rgb(i * 3) & 0xff, rgb(i * 3 + 1) & 0xff, rgb(i * 3 + 2) & 0xff))
+    assert(gotRgb.width === w && gotRgb.height === h)
+    assert(gotRgb.pixels.toSeq === expRgb.toSeq)
+    // RGBA (ct 6): alpha bytes must not perturb the luma
+    val rgba = Array.tabulate(w * h * 4)(i => ((i * 59 + 3) % 256).toByte)
+    val gotRgba = Multimodal.decodePng(buildPng(w, h, 6, 4, rgba)).get
+    val expRgba = Array.tabulate(w * h)(i =>
+      lum(rgba(i * 4) & 0xff, rgba(i * 4 + 1) & 0xff, rgba(i * 4 + 2) & 0xff))
+    assert(gotRgba.pixels.toSeq === expRgba.toSeq)
+    // gray+alpha (ct 4): gray channel passes through
+    val ga = Array.tabulate(w * h * 2)(i => ((i * 23 + 5) % 256).toByte)
+    val gotGa = Multimodal.decodePng(buildPng(w, h, 4, 2, ga)).get
+    assert(gotGa.pixels.toSeq === Array.tabulate(w * h)(i => ga(i * 2)).toSeq)
+    // paletted (ct 3): indices -> RGB triples -> luma
+    val plte = Array[Byte](
+      0, 0, 0, // 0: black
+      -1, -1, -1, // 1: white
+      -1, 0, 0, // 2: red
+      0, -1, 0) // 3: green
+    val idx = Array.tabulate(w * h)(i => (i % 4).toByte)
+    val gotPal = Multimodal.decodePng(buildPng(w, h, 3, 1, idx, Some(plte))).get
+    val palLuma = Array[Byte](0, -1 /* 255 */, lum(255, 0, 0), lum(0, 255, 0))
+    assert(gotPal.pixels.toSeq === idx.map(i => palLuma(i & 0xff)).toSeq)
+    // hostile: ct3 without PLTE rejects
+    assert(Multimodal.decodePng(buildPng(w, h, 3, 1, idx, None)).isEmpty)
+    // hostile: palette index out of range rejects
+    val oob = idx.clone(); oob(0) = 9
+    assert(Multimodal.decodePng(buildPng(w, h, 3, 1, oob, Some(plte))).isEmpty)
+    // hostile: PLTE on grayscale rejects (spec: prohibited for ct 0/4)
+    val gray = Array.tabulate(w * h)(i => (i * 17).toByte)
+    assert(Multimodal.decodePng(buildPng(w, h, 0, 1, gray, Some(plte))).isEmpty)
+    // hostile: empty / non-multiple-of-3 / oversized PLTE reject
+    assert(Multimodal.decodePng(buildPng(w, h, 3, 1, idx,
+      Some(Array.emptyByteArray))).isEmpty)
+    assert(Multimodal.decodePng(buildPng(w, h, 3, 1, idx,
+      Some(Array[Byte](1, 2)))).isEmpty)
+    assert(Multimodal.decodePng(buildPng(w, h, 3, 1, idx,
+      Some(new Array[Byte](771)))).isEmpty)
+    // the gray path still decodes identically through the same loop
+    assert(Multimodal.decodePng(buildPng(w, h, 0, 1, gray)).get.pixels.toSeq
+      === gray.toSeq)
+  }
+
   test("PNG resize and features run on real pixels through the shared kernels") {
     val src = Multimodal.PgmImage(4, 4, 255, Array.tabulate(16)(_.toByte))
     val assets = Seq(Multimodal.Asset(1L, "image",
@@ -561,6 +658,123 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeImage(fixture).get.pixels.toSeq === img.pixels.toSeq)
     assert(Multimodal.decodePgm(fixture).isEmpty && Multimodal.decodeBmp(fixture).isEmpty
       && Multimodal.decodePng(fixture).isEmpty)
+  }
+
+  test("JPEG codec: YCbCr 4:4:4 color decodes the Y plane as luma") {
+    // 8x8 color, one MCU = Y + Cb + Cr blocks, all flat. Y uses quant
+    // table 0 (16s), chroma table 1 (32s) — per-component selection.
+    // DC DHT: {6 -> 00, 3 -> 01, 0 -> 10}; AC DHT: {EOB -> 0}.
+    //   Y=200: DC (200-128)*8/16 = 36, diff 36 cat 6 -> 00 100100, EOB
+    //   Cb=144: DC (144-128)*8/32 = 4, diff 4 cat 3 -> 01 100, EOB
+    //   Cr=112: DC -4, diff -4 cat 3 -> 01 011, EOB
+    val dqtY = jseg(0xdb, 0 +: Array.fill(64)(16))
+    val dqtC = jseg(0xdb, 1 +: Array.fill(64)(32))
+    val dhtDc = jseg(0xc4, Array(0x00, 0, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 6, 3, 0))
+    val dhtAc = jseg(0xc4, Array(0x10, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0x00))
+    val sof = jseg(0xc0, Array(8, 0, 8, 0, 8, 3,
+      1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1))
+    val sos = jseg(0xda, Array(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0))
+    val soi = Array(0xff, 0xd8).map(_.toByte)
+    val eoi = Array(0xff, 0xd9).map(_.toByte)
+    val entropy = jbits("00 100100 0  01 100 0  01 011 0  111")
+    val fixture = soi ++ dqtY ++ dqtC ++ sof ++ dhtDc ++ dhtAc ++ sos ++ entropy ++ eoi
+    val img = Jpeg.decodeJpeg(fixture).get
+    assert(img.width === 8 && img.height === 8)
+    assert(img.pixels.forall(p => (p & 0xff) === 200), "luma == the Y plane")
+    // the shared dispatch takes the JPEG branch for color too
+    assert(Multimodal.decodeImage(fixture).get.pixels.toSeq === img.pixels.toSeq)
+  }
+
+  test("JPEG codec: 4:2:0 interleaved MCUs with per-component DC predictors") {
+    // 16x16, one MCU: FOUR Y blocks (2x2 sampling) + Cb + Cr. Flat Y
+    // quadrants 200/136/72/8; Y DC walk 36, 4, -28, -60 (diff -32 =
+    // cat 6 -> 011111 each); chroma predictors start at 0 INDEPENDENT
+    // of Y's (4 and -4, cat 3) — a shared predictor would corrupt them.
+    val dqtY = jseg(0xdb, 0 +: Array.fill(64)(16))
+    val dqtC = jseg(0xdb, 1 +: Array.fill(64)(32))
+    val dhtDc = jseg(0xc4, Array(0x00, 0, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 6, 3, 0))
+    val dhtAc = jseg(0xc4, Array(0x10, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0x00))
+    val sof = jseg(0xc0, Array(8, 0, 16, 0, 16, 3,
+      1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
+    val sos = jseg(0xda, Array(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0))
+    val entropy = jbits(
+      "00 100100 0  00 011111 0  00 011111 0  00 011111 0" + // Y x4
+      "  01 100 0  01 011 0") // Cb, Cr — 48 bits, already byte-aligned
+    val fixture = Array(0xff, 0xd8).map(_.toByte) ++ dqtY ++ dqtC ++ sof ++
+      dhtDc ++ dhtAc ++ sos ++ entropy ++ Array(0xff, 0xd9).map(_.toByte)
+    val img = Jpeg.decodeJpeg(fixture).get
+    assert(img.width === 16 && img.height === 16)
+    val quad = Array(200, 136, 72, 8)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val expect = quad((y / 8) * 2 + (x / 8))
+      assert((img.pixels(y * 16 + x) & 0xff) === expect, s"pixel ($x,$y)")
+    }
+  }
+
+  test("JPEG codec: subsampled-luma oddball replicates Y up to frame size") {
+    // Legal-but-rare grid: Y 1x1 while Cb is 2x2 (hMax from chroma).
+    // 16x16 frame -> Y grid is 8x8 and must replicate 2x to frame
+    // size. Cb contributes FOUR blocks per MCU (first diff 4 = 01 100,
+    // then three diff-0 = 10), Cr one.
+    val dqtY = jseg(0xdb, 0 +: Array.fill(64)(16))
+    val dqtC = jseg(0xdb, 1 +: Array.fill(64)(32))
+    val dhtDc = jseg(0xc4, Array(0x00, 0, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 6, 3, 0))
+    val dhtAc = jseg(0xc4, Array(0x10, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0x00))
+    val sof = jseg(0xc0, Array(8, 0, 16, 0, 16, 3,
+      1, 0x11, 0, 2, 0x22, 1, 3, 0x11, 1))
+    val sos = jseg(0xda, Array(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0))
+    val entropy = jbits(
+      "00 100100 0" + // Y
+      "  01 100 0  10 0  10 0  10 0" + // Cb x4
+      "  01 011 0" + // Cr
+      "  11") // pad
+    val fixture = Array(0xff, 0xd8).map(_.toByte) ++ dqtY ++ dqtC ++ sof ++
+      dhtDc ++ dhtAc ++ sos ++ entropy ++ Array(0xff, 0xd9).map(_.toByte)
+    val img = Jpeg.decodeJpeg(fixture).get
+    assert(img.width === 16 && img.height === 16)
+    assert(img.pixels.forall(p => (p & 0xff) === 200))
+  }
+
+  test("JPEG codec: malformed color frames reject, never mis-decode") {
+    val dqtY = jseg(0xdb, 0 +: Array.fill(64)(16))
+    val dqtC = jseg(0xdb, 1 +: Array.fill(64)(32))
+    val dhtDc = jseg(0xc4, Array(0x00, 0, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 6, 3, 0))
+    val dhtAc = jseg(0xc4, Array(0x10, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0x00))
+    val sos3 = jseg(0xda, Array(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0))
+    val soi = Array(0xff, 0xd8).map(_.toByte)
+    val eoi = Array(0xff, 0xd9).map(_.toByte)
+    val bits = jbits("00 100100 0  01 100 0  01 011 0  111")
+    def fix(sof: Array[Byte], sos: Array[Byte]): Array[Byte] =
+      soi ++ dqtY ++ dqtC ++ sof ++ dhtDc ++ dhtAc ++ sos ++ bits ++ eoi
+    val goodSof = jseg(0xc0, Array(8, 0, 8, 0, 8, 3,
+      1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1))
+    assert(Jpeg.decodeJpeg(fix(goodSof, sos3)).isDefined) // sanity
+    // 2-component frames are outside the supported set
+    val sof2 = jseg(0xc0, Array(8, 0, 8, 0, 8, 2, 1, 0x11, 0, 2, 0x11, 1))
+    assert(Jpeg.decodeJpeg(fix(sof2,
+      jseg(0xda, Array(2, 1, 0x00, 2, 0x00, 0, 63, 0))).clone()).isEmpty)
+    // sampling factor 0 rejects
+    assert(Jpeg.decodeJpeg(fix(jseg(0xc0, Array(8, 0, 8, 0, 8, 3,
+      1, 0x01, 0, 2, 0x11, 1, 3, 0x11, 1)), sos3)).isEmpty)
+    // non-divisible grid (3 vs max 2) rejects
+    assert(Jpeg.decodeJpeg(fix(jseg(0xc0, Array(8, 0, 8, 0, 8, 3,
+      1, 0x22, 0, 2, 0x33, 1, 3, 0x11, 1)), sos3)).isEmpty)
+    // sum Hi*Vi > 10 rejects (4x4 + 1x1 + 1x1 = 18)
+    assert(Jpeg.decodeJpeg(fix(jseg(0xc0, Array(8, 0, 8, 0, 8, 3,
+      1, 0x44, 0, 2, 0x11, 1, 3, 0x11, 1)), sos3)).isEmpty)
+    // duplicate component ids reject
+    assert(Jpeg.decodeJpeg(fix(jseg(0xc0, Array(8, 0, 8, 0, 8, 3,
+      1, 0x11, 0, 1, 0x11, 1, 3, 0x11, 1)), sos3)).isEmpty)
+    // a single-component scan over a 3-component frame rejects
+    // (baseline color is one interleaved scan)
+    assert(Jpeg.decodeJpeg(fix(goodSof,
+      jseg(0xda, Array(1, 1, 0x00, 0, 63, 0)))).isEmpty)
+    // SOS selectors out of SOF order reject
+    assert(Jpeg.decodeJpeg(fix(goodSof,
+      jseg(0xda, Array(3, 2, 0x00, 1, 0x00, 3, 0x00, 0, 63, 0)))).isEmpty)
+    // a chroma quant selector with no matching DQT rejects
+    assert(Jpeg.decodeJpeg((soi ++ dqtY ++ goodSof ++ dhtDc ++ dhtAc ++
+      sos3 ++ bits ++ eoi)).isEmpty)
   }
 
   test("JPEG codec: restart markers byte-align and reset the DC predictor") {
