@@ -19,9 +19,11 @@ import graft.operators.Multimodal.PgmImage
   * the chroma blocks are entropy-decoded only to advance the bit
   * stream (their IDCT — half the blocks of a 4:2:0 file — is skipped
   * entirely, which is also the fast path). Progressive (SOF2),
-  * arithmetic coding, 12-bit, and 2/4-component frames reject cleanly
-  * to the stub path — the README format table stays the single source
-  * of truth.
+  * arithmetic coding, 12-bit, 2/4-component frames, and RGB-tagged
+  * 3-component frames (Adobe APP14 transform 0, or 'R','G','B'
+  * component ids — their first channel is red, not luma) reject
+  * cleanly to the stub path — the README format table stays the
+  * single source of truth.
   *
   * The encoder emits baseline grayscale with the spec's Annex K
   * example luminance quantization + Huffman tables (the tables every
@@ -223,6 +225,9 @@ object Jpeg {
     val huffDc = new Array[HuffTable](4)
     val huffAc = new Array[HuffTable](4)
     var comps: Array[Component] = null
+    var hMax = 1
+    var vMax = 1
+    var adobeRgb = false
     var restartInterval = 0
     var scanStart = -1
     val quantTables = new Array[Array[Int]](4)
@@ -285,14 +290,20 @@ object Jpeg {
           }
           // duplicate component ids would make SOS selectors ambiguous
           if (comps.map(_.id).distinct.length != nComp) return None
+          // 3-component frames are decoded AS YCbCr (comp 0 = luma);
+          // component ids spelling "RGB" mean an RGB frame whose first
+          // channel is red, not luma — reject to the stub rather than
+          // return the red plane as grayscale (see also APP14 below)
+          if (nComp == 3 && comps(0).id == 'R' && comps(1).id == 'G' &&
+              comps(2).id == 'B') return None
           // grayscale is only ever written 1x1; color factors 1-4 with
           // the max being an exact multiple of each (every real
           // encoder's grid: 4:4:4, 4:2:2, 4:4:0, 4:2:0, 4:1:1)
           if (nComp == 1 && (comps(0).h != 1 || comps(0).v != 1)) return None
-          val hM = comps.map(_.h).max
-          val vM = comps.map(_.v).max
+          hMax = comps.map(_.h).max
+          vMax = comps.map(_.v).max
           if (comps.exists(c => c.h < 1 || c.h > 4 || c.v < 1 || c.v > 4 ||
-              hM % c.h != 0 || vM % c.v != 0 || c.tq > 3)) return None
+              hMax % c.h != 0 || vMax % c.v != 0 || c.tq > 3)) return None
           // T.81 B.2.2: sum of Hi*Vi over an interleaved MCU <= 10
           if (comps.map(c => c.h * c.v).sum > 10) return None
           if (width <= 0 || height <= 0 ||
@@ -336,13 +347,20 @@ object Jpeg {
               (payload(se + 2) & 0xff) != 0) return None
           scanStart = body + bodyLen
         case 0xd9 => return None // EOI before any scan
+        case 0xee => // APP14: Adobe color-transform tag
+          // transform 0 on a 3-component frame declares RGB (not
+          // YCbCr) channels; decoding comp 0 as luma would return the
+          // red plane, so flag it and reject after the walk
+          if (bodyLen >= 12 && payload(body) == 'A' && payload(body + 1) == 'd' &&
+              payload(body + 2) == 'o' && payload(body + 3) == 'b' &&
+              payload(body + 4) == 'e' && (payload(body + 11) & 0xff) == 0)
+            adobeRgb = true
         case _ => () // APPn / COM / other: skip
       }
       i += 2 + segLen
     }
+    if (adobeRgb && comps.length == 3) return None
     if (comps.exists(c => quantTables(c.tq) == null)) return None
-    val hMax = comps.map(_.h).max
-    val vMax = comps.map(_.v).max
     // MCU grid: grayscale scans are non-interleaved (MCU = one block,
     // T.81 §A.2.2 — sampling factors don't shape the layout); color
     // scans interleave Hi x Vi blocks per component per MCU.

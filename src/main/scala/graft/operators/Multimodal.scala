@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
   * payloads are opaque `binary` columns with typed metadata; decode /
   * feature-extraction runs partition-batched over the payload bytes.
   *
-  * Decode is REAL for four formats — PGM (P5), uncompressed BMP
-  * (8-bit paletted + 24-bit BGR), 8-bit grayscale non-interlaced
-  * PNG (JDK Inflater, verified CRCs, all five scanline filters), and
-  * 16-bit PCM WAV (RIFF chunk walk, fmt cross-field validation) —
+  * Decode is REAL for four formats here (plus baseline JPEG in
+  * [[Jpeg]]) — PGM (P5), uncompressed BMP (8-bit paletted + 24-bit
+  * BGR), 8-bit non-interlaced PNG in all five color types (JDK
+  * Inflater, verified CRCs, all five scanline filters, color to
+  * ITU-R 601 luma), and 16-bit PCM WAV (RIFF chunk walk, fmt
+  * cross-field validation) —
   * header parse, pixel/sample access, nearest-neighbor resize and
   * resample, and concatenated-frame/clip sampling all operate on
   * actual pixels or samples (MultimodalSpec asserts known values end
@@ -268,18 +270,19 @@ object Multimodal {
     out
   }
 
-  // ---- PNG codec (8-bit grayscale, non-interlaced) ---------------------
+  // ---- PNG codec (8-bit, non-interlaced, all five color types) ---------
   // Third real raster format. PNG's only compression is DEFLATE, which
   // the JDK ships (java.util.zip.Inflater) — still zero third-party
   // codec dependencies, same spirit as PGM/BMP. Structure (W3C PNG
   // spec / RFC 2083): 8-byte signature, then chunks of
   // [length u32 BE][type 4CC][data][CRC32 over type+data]. Supported:
-  // IHDR bit depth 8, color type 0 (grayscale), compression 0, filter
-  // method 0, interlace 0; all five scanline filter types
-  // (None/Sub/Up/Average/Paeth) are unfiltered. Chunk CRCs are
-  // VERIFIED — a corrupted chunk rejects the payload (stub fallback)
-  // instead of decoding garbage. Ancillary chunks (tEXt, gAMA, ...)
-  // are skipped, per spec.
+  // IHDR bit depth 8, color types 0/2/3/4/6 (grayscale, truecolor,
+  // paletted, gray+alpha, RGBA — color collapses to ITU-R 601 luma),
+  // compression 0, filter method 0, interlace 0; all five scanline
+  // filter types (None/Sub/Up/Average/Paeth) are unfiltered with the
+  // channel stride. Chunk CRCs are VERIFIED — a corrupted chunk
+  // rejects the payload (stub fallback) instead of decoding garbage.
+  // Ancillary chunks (tEXt, gAMA, ...) are skipped, per spec.
 
   private val PngSig: Array[Byte] =
     Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
@@ -430,28 +433,52 @@ object Multimodal {
       }
       y += 1
     }
-    // Collapse to the luma plane
+    // Collapse to the luma plane — colorType is image-invariant, so
+    // branch once and loop per type (grayscale rows block-copy)
     val px = new Array[Byte](width * height)
-    y = 0
-    while (y < height) {
-      val rowOff = y * (rowBytes + 1) + 1
-      var x = 0
-      while (x < width) {
-        val p = rowOff + x * channels
-        px(y * width + x) = colorType match {
-          case 0 | 4 => raw(p) // gray (alpha, if any, ignored)
-          case 2 | 6 => // RGB / RGBA
-            luma(raw(p) & 0xff, raw(p + 1) & 0xff, raw(p + 2) & 0xff)
-          case 3 => // palette index -> RGB triple
-            val idx = raw(p) & 0xff
-            if (idx >= paletteEntries) return None
-            val pe = paletteOff + idx * 3
-            luma(payload(pe) & 0xff, payload(pe + 1) & 0xff,
-              payload(pe + 2) & 0xff)
+    colorType match {
+      case 0 => // grayscale: the scanline IS the luma row
+        y = 0
+        while (y < height) {
+          System.arraycopy(raw, y * (rowBytes + 1) + 1, px, y * width, width)
+          y += 1
         }
-        x += 1
-      }
-      y += 1
+      case 3 => // palette indices -> RGB triples; precompute index luma
+        val palLuma = new Array[Byte](paletteEntries)
+        var pi = 0
+        while (pi < paletteEntries) {
+          val pe = paletteOff + pi * 3
+          palLuma(pi) = luma(payload(pe) & 0xff, payload(pe + 1) & 0xff,
+            payload(pe + 2) & 0xff)
+          pi += 1
+        }
+        y = 0
+        while (y < height) {
+          val rowOff = y * (rowBytes + 1) + 1
+          var x = 0
+          while (x < width) {
+            val idx = raw(rowOff + x) & 0xff
+            if (idx >= paletteEntries) return None
+            px(y * width + x) = palLuma(idx)
+            x += 1
+          }
+          y += 1
+        }
+      case _ => // 2/6: RGB(A); 4: gray+alpha — alpha bytes skipped
+        val isGray = colorType == 4
+        y = 0
+        while (y < height) {
+          val rowOff = y * (rowBytes + 1) + 1
+          var x = 0
+          while (x < width) {
+            val p = rowOff + x * channels
+            px(y * width + x) =
+              if (isGray) raw(p)
+              else luma(raw(p) & 0xff, raw(p + 1) & 0xff, raw(p + 2) & 0xff)
+            x += 1
+          }
+          y += 1
+        }
     }
     Some((PgmImage(width, height, 255, px), i))
   }

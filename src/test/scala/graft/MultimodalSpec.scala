@@ -775,6 +775,23 @@ class MultimodalSpec extends SparkSpec {
     // a chroma quant selector with no matching DQT rejects
     assert(Jpeg.decodeJpeg((soi ++ dqtY ++ goodSof ++ dhtDc ++ dhtAc ++
       sos3 ++ bits ++ eoi)).isEmpty)
+    // an Adobe APP14 transform-0 tag declares RGB channels: decoding
+    // comp 0 as luma would return the RED plane — must reject
+    val app14rgb = jseg(0xee,
+      "Adobe".getBytes("US-ASCII").map(_.toInt) ++ Array(0, 100, 0, 0, 0, 0, 0))
+    assert(Jpeg.decodeJpeg(soi ++ app14rgb ++ dqtY ++ dqtC ++ goodSof ++
+      dhtDc ++ dhtAc ++ sos3 ++ bits ++ eoi).isEmpty)
+    // ... while transform 1 (YCbCr) still decodes
+    val app14ycc = jseg(0xee,
+      "Adobe".getBytes("US-ASCII").map(_.toInt) ++ Array(0, 100, 0, 0, 0, 0, 1))
+    assert(Jpeg.decodeJpeg(soi ++ app14ycc ++ dqtY ++ dqtC ++ goodSof ++
+      dhtDc ++ dhtAc ++ sos3 ++ bits ++ eoi).isDefined)
+    // component ids spelling 'R','G','B' reject too
+    val sofRgb = jseg(0xc0, Array(8, 0, 8, 0, 8, 3,
+      'R'.toInt, 0x11, 0, 'G'.toInt, 0x11, 1, 'B'.toInt, 0x11, 1))
+    assert(Jpeg.decodeJpeg(soi ++ dqtY ++ dqtC ++ sofRgb ++ dhtDc ++ dhtAc ++
+      jseg(0xda, Array(3, 'R'.toInt, 0x00, 'G'.toInt, 0x00, 'B'.toInt, 0x00, 0, 63, 0)) ++
+      bits ++ eoi).isEmpty)
   }
 
   test("JPEG codec: restart markers byte-align and reset the DC predictor") {
