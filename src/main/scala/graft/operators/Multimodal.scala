@@ -780,7 +780,8 @@ object Multimodal {
   /** REAL decode when the payload is a P5, BMP, or PNG image: 16-bin
     * luminance histogram over the decoded PIXELS (bin = 16 * value /
     * (maxval+1)), normalized by pixel count — header bytes never
-    * pollute the features. A WAV payload gets the audio analog: a
+    * pollute the features. A Y4M video gets the same histogram over
+    * ALL frames' luma pixels; a WAV payload gets the audio analog: a
     * 16-bin amplitude histogram over the decoded SAMPLES (bin =
     * 16 * (sample + 32768) / 65536), normalized by sample count. Falls
     * back to [[decodeStub]] for anything else.
@@ -802,7 +803,22 @@ object Multimodal {
           while (j < FeatureDim) { hist(j) /= img.pixels.length.toFloat; j += 1 }
         }
         hist
-      case None => decodeWav(payload) match {
+      case None => Y4m.decodeY4m(payload).filter(_.frames.nonEmpty) match {
+        case Some(v) =>
+          val hist = new Array[Float](FeatureDim)
+          var n = 0L
+          v.frames.foreach { f =>
+            var i = 0
+            while (i < f.pixels.length) {
+              hist(((f.pixels(i) & 0xff) * FeatureDim) / 256) += 1f
+              i += 1
+            }
+            n += f.pixels.length
+          }
+          var j = 0
+          while (j < FeatureDim) { hist(j) /= n.toFloat; j += 1 }
+          hist
+        case None => decodeWav(payload) match {
         case Some(a) =>
           val hist = new Array[Float](FeatureDim)
           var i = 0
@@ -814,8 +830,9 @@ object Multimodal {
             var j = 0
             while (j < FeatureDim) { hist(j) /= a.samples.length.toFloat; j += 1 }
           }
-          hist
-        case None => decodeStub(payload)
+            hist
+          case None => decodeStub(payload)
+        }
       }
     }
 
@@ -875,7 +892,18 @@ object Multimodal {
           case Some(img) => encodePng(resizePgm(img, w, h))
           case None => Jpeg.decodeJpeg(payload) match {
             case Some(img) => Jpeg.encodeJpeg(resizePgm(img, w, h))
-            case None => resizeStub(payload, w, h)
+            case None => Y4m.decodeY4m(payload) match {
+              case Some(v) =>
+                // odd target dims can't carry a subsampled chroma tag;
+                // fall back to 4:4:4 (always legal) instead of throwing
+                // inside an executor — kernel stays pure bytes->bytes
+                val chroma =
+                  if (v.chroma != "mono" && (w % 2 != 0 || h % 2 != 0)) "444"
+                  else v.chroma
+                Y4m.encodeY4m(v.copy(width = w, height = h, chroma = chroma,
+                  frames = v.frames.map(f => resizePgm(f, w, h))))
+              case None => resizeStub(payload, w, h)
+            }
           }
         }
       }
@@ -971,7 +999,14 @@ object Multimodal {
               else {
                 val jpegFrames = Jpeg.decodeJpegFrames(a.payload)
                 if (jpegFrames.nonEmpty) jpegFrames.map(Jpeg.encodeJpeg).toArray
-                else a.payload.grouped(frameBytes).toArray
+                else Y4m.decodeY4m(a.payload).filter(_.frames.nonEmpty) match {
+                  // a VIDEO splits at its own FRAME boundaries — each
+                  // emitted frame is a complete single-frame .y4m
+                  // (format stability, like every codec branch above)
+                  case Some(v) => v.frames.map(f =>
+                    Y4m.encodeY4m(v.copy(frames = Vector(f)))).toArray
+                  case None => a.payload.grouped(frameBytes).toArray
+                }
               }
             }
           }

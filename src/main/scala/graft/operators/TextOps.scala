@@ -242,4 +242,55 @@ object TextOps {
   def htmlToText(c: Column): Column =
     org.apache.spark.sql.graft.bridge.column(
       graft.functions.HtmlToText(org.apache.spark.sql.graft.bridge.expression(c)))
+
+  /** Naive-Bayes document quality scoring — the classifier-based
+    * filtering stage of CCNet / DCLM-style curation (public method:
+    * train a cheap linear classifier on a trusted "seed" corpus vs the
+    * raw crawl, keep documents the classifier scores seed-like). NB
+    * with add-one smoothing is the closed-form member of that family:
+    * "training" IS two token-count aggregates, so the whole train +
+    * score pipeline stays declarative and DuckDB-replayable — no
+    * gradient loop, no model file.
+    *
+    * `seed` is a boolean Column marking the trusted class (e.g.
+    * `col("lang") === "en"` for an English-reference run, or a join
+    * flag from a curated id list). Output: one row per doc with
+    * `n_tokens` and `nb_logodds` = mean over tokens of
+    * ln P(w|seed) - ln P(w|background), add-one smoothed; positive
+    * means seed-like. The mean (not the sum) keeps the score
+    * length-invariant, and round(6) after the aggregate keeps both
+    * engines' double sums inside rounding tolerance (same regime as
+    * `text_unigram_logprob`).
+    *
+    * Scale shape: two exchanges total — the vocabulary aggregate
+    * (keyed on the token; vocabulary is Zipf-bounded, ~millions of
+    * rows at 100 TB) and the per-doc score aggregate. The class-total
+    * row rides in as a 1-row broadcast cross join; the token->llr join
+    * is the same linear build-side join as `text_unigram_logprob`
+    * (each token row meets exactly one vocab row; AQE splits hot-token
+    * partitions). Docs with zero tokens after an empty-text split
+    * cannot occur (split("") = [""], one token), so the output is
+    * total over the input.
+    */
+  def nbQualityScore(docs: org.apache.spark.sql.DataFrame,
+      seed: Column): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      seed.cast("int").as("seed"),
+      explode(tokens(col("text"))).as("w"))
+    val vocab = toks.groupBy(col("w")).agg(
+      sum(col("seed")).as("cnt_seed"),
+      sum(lit(1) - col("seed")).as("cnt_bg"))
+    val tot = vocab.agg(
+      sum(col("cnt_seed")).as("tot_seed"),
+      sum(col("cnt_bg")).as("tot_bg"),
+      count(lit(1)).as("v"))
+    toks.join(vocab, Seq("w"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(
+          log((col("cnt_seed") + 1) / (col("tot_seed") + col("v"))) -
+            log((col("cnt_bg") + 1) / (col("tot_bg") + col("v")))), 6)
+          .as("nb_logodds"))
+  }
 }

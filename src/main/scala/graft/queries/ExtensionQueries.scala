@@ -1029,6 +1029,18 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Classifier-based quality filtering (CCNet / DCLM stage): score
+    // every document by a seed-vs-background Naive Bayes log-odds,
+    // seed = the English documents (standing in for "trusted reference
+    // corpus" — the label rule is one Column, swappable for a curated
+    // id join). Training IS two aggregates (see TextOps.nbQualityScore
+    // for the scale argument: vocab exchange + score exchange, 1-row
+    // broadcast totals), so the full train+score pipeline replays in
+    // DuckDB and the hash gate covers the MODEL, not just the apply.
+    "quality_nb_score" -> ((s, dir) =>
+      TextOps.nbQualityScore(Tables.documents(s, dir), col("lang") === "en")
+        .orderBy(col("doc_id"))),
+
     // Corpus-level hot-gram report: the exact top-20 5-grams by
     // document frequency — the operational query behind every
     // stop-shingle / boilerplate threshold in this engine (pick
@@ -1122,6 +1134,42 @@ object ExtensionQueries {
         }
         .toDF("doc_id", "n_bytes", "content_hash", "sample_rate", "channels",
           "clip_frames", "n_clips", "total_ms")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Video twin of multimodal_features/_audio: each doc gets a
+    // deterministic YUV4MPEG2 stream (parameters AND the luma fill =
+    // the md5 arithmetic the DuckDB oracle replays), and the reported
+    // dims / rate / chroma mode / frame count / duration / corner
+    // pixels are what Y4m.decodeY4m reads BACK from the encoded bytes.
+    // y_first is frame 0's (0,0) pixel and y_last is the LAST frame's
+    // (w-1,h-1) pixel — a mis-sized chroma plane shifts every
+    // subsequent frame's offset, so y_last catches exactly the class
+    // of bug (plane-size arithmetic per chroma tag) that header-only
+    // reporting would miss.
+    "multimodal_video" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("n_bytes"),
+          md5(col("text")).as("content_hash"))
+        .as[(Long, Long, String)]
+        .mapPartitions { it =>
+          // codec init would happen here, once per partition
+          it.map { case (id, nBytes, hash) =>
+            val payload = graft.operators.Y4m.syntheticY4mContainer(hash, nBytes)
+            val v = graft.operators.Y4m.decodeY4m(payload).getOrElse(
+              sys.error(s"doc $id: synthetic Y4M container failed to decode"))
+            require(v.frames.nonEmpty, s"doc $id: zero frames decoded")
+            (id, nBytes, hash, v.width, v.height, v.fpsNum, v.fpsDen,
+              v.chroma, v.frames.length, v.durationMs,
+              v.frames.head.pixel(0, 0),
+              v.frames.last.pixel(v.width - 1, v.height - 1))
+          }
+        }
+        .toDF("doc_id", "n_bytes", "content_hash", "width", "height",
+          "fps_num", "fps_den", "chroma", "n_frames", "total_ms",
+          "y_first", "y_last")
         .orderBy(col("doc_id"))
     }),
 
@@ -1561,6 +1609,19 @@ object ExtensionQueries {
        "CAST(MIN(cnt) AS BIGINT) AS rarest_df " +
        "FROM t JOIN v USING (w) CROSS JOIN tot " +
        "GROUP BY doc_id ORDER BY doc_id"),
+    "quality_nb_score" ->
+      // replays train + score: same token stream, same add-one
+      // smoothing, same mean-of-log-odds; ln() agreement between the
+      // engines is absorbed by round(6) after the average (the
+      // text_unigram_logprob regime)
+      ("WITH t AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END seed, " +
+       "unnest(string_split(text, ' ')) w FROM documents), " +
+       "v AS (SELECT w, SUM(seed) cs, SUM(1 - seed) cb FROM t GROUP BY w), " +
+       "tot AS (SELECT SUM(cs) ts, SUM(cb) tb, COUNT(*) vv FROM v) " +
+       "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, " +
+       "round(AVG(ln((cs + 1.0) / (ts + vv)) - ln((cb + 1.0) / (tb + vv))), 6) AS nb_logodds " +
+       "FROM t JOIN v USING (w) CROSS JOIN tot " +
+       "GROUP BY doc_id ORDER BY doc_id"),
     "corpus_hot_ngrams" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
        s"sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest($shSql) s FROM t)) " +
@@ -1649,6 +1710,31 @@ object ExtensionQueries {
        "CAST(frames AS INT) AS clip_frames, " +
        "CAST(n_bytes % 5 + 1 AS INT) AS n_clips, " +
        "CAST((n_bytes % 5 + 1) * ((frames * 1000) // rate) AS BIGINT) AS total_ms " +
+       "FROM p ORDER BY doc_id"),
+    "multimodal_video" ->
+      // replays syntheticY4mContainer's construction arithmetic — incl.
+      // the luma fill for the two reported corner pixels; the Spark
+      // side reports what the REAL y4m parser read back, so equality
+      // means header parse, chroma-plane sizing, and the frame walk
+      // all inverted the encode exactly
+      ("WITH p AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+       "md5(text) AS content_hash, " +
+       "16 + (ascii(substr(md5(text), 1, 1)) % 8) * 4 AS w, " +
+       "16 + (ascii(substr(md5(text), 2, 1)) % 8) * 4 AS h, " +
+       "24 + (ascii(substr(md5(text), 3, 1)) % 3) * 6 AS fn, " +
+       "1 + CAST(octet_length(encode(text)) % 2 AS INT) AS fd, " +
+       "CAST(octet_length(encode(text)) % 6 + 1 AS INT) AS nf " +
+       "FROM documents) " +
+       "SELECT doc_id, n_bytes, content_hash, " +
+       "CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
+       "CAST(fn AS INT) AS fps_num, CAST(fd AS INT) AS fps_den, " +
+       "CASE CAST(n_bytes % 4 AS INT) WHEN 0 THEN '420' WHEN 1 THEN '422' " +
+       "WHEN 2 THEN '444' ELSE 'mono' END AS chroma, " +
+       "nf AS n_frames, " +
+       "CAST(nf * 1000 * fd // fn AS BIGINT) AS total_ms, " +
+       "CAST((ascii(substr(content_hash, 1, 1)) * 31) % 256 AS INT) AS y_first, " +
+       "CAST((ascii(substr(content_hash, CAST((w * h - 1 + nf - 1) % 32 AS INT) + 1, 1)) * 31 " +
+       "+ (w * h - 1) * 7 + (nf - 1) * 13) % 256 AS INT) AS y_last " +
        "FROM p ORDER BY doc_id"),
     "warc_ingest" ->
       // replays syntheticWarcContainer's construction arithmetic AND

@@ -139,6 +139,52 @@ class ExtensionInvariantsSpec extends SparkSpec {
       "a doc with the corpus-rarest token should be high-surprisal")
   }
 
+  test("NB quality score: hand-computed log-odds on a tiny corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "good clean prose", "en"),
+      (2L, "good solid prose", "en"),
+      (3L, "spam spam buy", "de"),
+      (4L, "buy now spam", "de"))
+      .toDF("doc_id", "text", "lang")
+    val got = graft.operators.TextOps
+      .nbQualityScore(docs, org.apache.spark.sql.functions.col("lang") === "en")
+      .orderBy("doc_id")
+      .as[(Long, Long, Double)].collect()
+    // Independent computation: totS = totB = 6, V = 7, so the smoothed
+    // llr collapses to ln(cs+1) - ln(cb+1) (denominators cancel).
+    val ln = (x: Int) => math.log(x.toDouble)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = Map(
+      1L -> r6((ln(3) - ln(1) + (ln(2) - ln(1)) + (ln(3) - ln(1))) / 3), // good clean prose
+      2L -> r6((ln(3) + ln(2) + ln(3)) / 3), // good solid prose (same counts)
+      3L -> r6((-(ln(4) - ln(1)) * 2 - (ln(3) - ln(1))) / 3), // spam spam buy
+      4L -> r6((-ln(3) - ln(2) - ln(4)) / 3)) // buy now spam
+    assert(got.length === 4)
+    got.foreach { case (id, n, score) =>
+      assert(n === 3)
+      assert(math.abs(score - expected(id)) < 2e-6, s"doc $id")
+    }
+    // seed docs positive, background negative — the classifier separates
+    assert(got.filter(_._1 <= 2).forall(_._3 > 0))
+    assert(got.filter(_._1 >= 3).forall(_._3 < 0))
+  }
+
+  test("NB quality score separates the seed class on the corpus") {
+    val rows = q("quality_nb_score").as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val langs = graft.Tables.documents(spark, sf0001)
+      .select("doc_id", "lang").as[(Long, String)].collect().toMap
+    val (en, rest) = rows.partition(r => langs(r._1) == "en")
+    assert(en.nonEmpty && rest.nonEmpty)
+    val meanEn = en.map(_._3).sum / en.length
+    val meanRest = rest.map(_._3).sum / rest.length
+    assert(meanEn > meanRest,
+      s"seed-class mean $meanEn should exceed background mean $meanRest")
+    // every doc scored exactly once
+    assert(rows.map(_._1).distinct.length === rows.length)
+  }
+
   test("sequence packing: bins are per-source, contiguous, near-budget") {
     val rows = q("text_pack")
       .select("source", "bin", "n_docs", "bin_tokens")

@@ -958,6 +958,26 @@ class MultimodalSpec extends SparkSpec {
     assert(Jpeg.decodeJpegFrames(container :+ 0x00.toByte).isEmpty)
   }
 
+  test("Y4M video frame sampling splits at FRAME boundaries") {
+    import graft.operators.Y4m
+    val values = Seq(10, 20, 30, 40)
+    val frames = values.map(v =>
+      Multimodal.PgmImage(4, 2, 255, Array.fill[Byte](8)(v.toByte))).toVector
+    val video = Y4m.Y4mVideo(4, 2, 30, 1, "420", frames)
+    val assets = Seq(Multimodal.Asset(8L, "video", Y4m.encodeY4m(video), "s")).toDS()
+    val got = Multimodal.sampleFrames(assets, frameBytes = 16, stride = 2)
+      .orderBy("frame_idx").collect()
+    assert(got.map(_.frame_idx).toSeq === Seq(0, 2))
+    assert(got.forall(_.n_frames_total === 4))
+    got.foreach { fr =>
+      // each emitted frame is a complete single-frame .y4m carrying the
+      // parent's header (dims, rate, chroma)
+      val one = Y4m.decodeY4m(fr.frame).get
+      assert(one.width === 4 && one.chroma === "420" && one.frames.length === 1)
+      assert(one.frames.head.pixels.forall(p => (p & 0xff) === values(fr.frame_idx)))
+    }
+  }
+
   test("property: JPEG round-trips are lossy-bounded; flat images exact to +-1") {
     import org.scalacheck.{Gen, Prop}
     import org.scalacheck.Test.{check => scCheck, Parameters}

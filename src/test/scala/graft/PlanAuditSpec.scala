@@ -166,6 +166,19 @@ class PlanAuditSpec extends SparkSpec {
       s"token stream shuffled for the vocab join:\n${joinLines.mkString("\n")}")
   }
 
+  test("NB quality scorer: broadcast vocab join, token stream never shuffled") {
+    // same scale contract as the unigram scorer: corpus side is scan ->
+    // explode -> broadcast vocab join -> partial agg; the 1-row class
+    // totals ride a broadcast nested loop. A SortMergeJoin on `w`
+    // would shuffle the full token stream — the 100 TB killer.
+    val p = plan("quality_nb_score")
+    val joinLines = p.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joinLines.exists(_.contains("BroadcastHashJoin")),
+      s"vocab join should broadcast at test scale:\n${joinLines.mkString("\n")}")
+    assert(!joinLines.exists(l => l.contains("SortMergeJoin") && l.contains("[w#")),
+      s"token stream shuffled for the vocab join:\n${joinLines.mkString("\n")}")
+  }
+
   test("ngram jaccard pays ONE posting-list shuffle: df window fused into the bucket exchange") {
     // the plan must be: Exchange(s) -> Sort -> Window(df) -> Filter ->
     // collect_list agg WITH NO OWN EXCHANGE (distribution satisfied by
