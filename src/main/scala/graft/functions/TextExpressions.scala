@@ -575,16 +575,23 @@ object TextExpressions {
     while (i < n) {
       val c = html.charAt(i)
       if (c == '<') {
+        // A raw-text element name must be a FULL token: '<script' is the
+        // script element only when followed by '>', '/', or whitespace
+        // (WHATWG HTML §13.2.5.6 tag-name termination) — '<scripty>' is
+        // an ordinary unknown element. Same boundary rule on the closing
+        // '</script' scan so '</scripty>' doesn't end raw-text mode.
+        def nameEndsAt(at: Int): Boolean =
+          at >= n || { val c = html.charAt(at); c == '>' || c == '/' || isWs(c) }
         if (matches(i, "<!--")) { // comment: skip to -->
           val e = html.indexOf("-->", i + 4)
           i = if (e < 0) n else e + 3
-        } else if (matches(i, "<script")) { // raw-text element: a '<'
-          var e = i + 7 // inside the code is NOT a tag
-          while (e < n && !matches(e, "</script")) e += 1
+        } else if (matches(i, "<script") && nameEndsAt(i + 7)) {
+          var e = i + 7 // raw-text element: a '<' inside the code is NOT a tag
+          while (e < n && !(matches(e, "</script") && nameEndsAt(e + 8))) e += 1
           i = if (e >= n) n else { val g = html.indexOf('>', e); if (g < 0) n else g + 1 }
-        } else if (matches(i, "<style")) {
+        } else if (matches(i, "<style") && nameEndsAt(i + 6)) {
           var e = i + 6
-          while (e < n && !matches(e, "</style")) e += 1
+          while (e < n && !(matches(e, "</style") && nameEndsAt(e + 7))) e += 1
           i = if (e >= n) n else { val g = html.indexOf('>', e); if (g < 0) n else g + 1 }
         } else { // any other tag: skip to '>'
           val g = html.indexOf('>', i)

@@ -233,9 +233,19 @@ object Jpeg {
     val quantTables = new Array[Array[Int]](4)
     // ---- marker segment walk up to SOS ----
     while (scanStart < 0) {
-      if (i + 4 > n || (payload(i) & 0xff) != 0xff) return None
+      if (i + 2 > n || (payload(i) & 0xff) != 0xff) return None
+      // T.81 B.1.1.2: any number of 0xff fill bytes may pad in front of
+      // a marker code — skip them rather than misread the second 0xff
+      // of a padded marker as a length-bearing segment code.
+      while (i + 1 < n && (payload(i + 1) & 0xff) == 0xff) i += 1
+      if (i + 4 > n) return None
       val marker = payload(i + 1) & 0xff
-      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) return None
+      // Standalone markers (SOI again, TEM, RSTn) carry no length field
+      // (T.81 B.1.1.3) and don't belong between header segments — reject
+      // them explicitly instead of misparsing their next two bytes as a
+      // segment length.
+      if (marker == 0xd8 || marker == 0x01 ||
+          (marker >= 0xd0 && marker <= 0xd7)) return None
       val segLen = u16(i + 2)
       if (segLen < 2 || i + 2L + segLen > n) return None
       val body = i + 4

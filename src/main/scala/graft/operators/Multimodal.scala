@@ -624,7 +624,12 @@ object Multimodal {
       samples(s) = u16(payload, (dataOff + s * 2L).toInt).toShort
       s += 1
     }
-    Some((PcmAudio(rate, channels, samples), (end + (riffSize & 1)).toInt))
+    // An odd riffSize is even-padded by the spec, but an unpadded file at
+    // the tail of a concatenated payload is still decodable — only consume
+    // the pad byte when it actually exists.
+    val next = end + (riffSize & 1)
+    Some((PcmAudio(rate, channels, samples),
+      math.min(next, payload.length.toLong).toInt))
   }
 
   def decodeWav(payload: Array[Byte]): Option[PcmAudio] =

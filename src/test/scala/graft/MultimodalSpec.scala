@@ -236,7 +236,7 @@ class MultimodalSpec extends SparkSpec {
     val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
     val ihdr = be(w.toLong) ++ be(h.toLong) ++ Array[Byte](8, 0, 0, 0, 0)
     val png = sig ++ chunk("IHDR", ihdr) ++
-      chunk("tEXt", "comment skip me".getBytes("US-ASCII")) ++ // ancillary: skipped
+      chunk("tEXt", "comment\u0000skip me".getBytes("US-ASCII")) ++ // ancillary: skipped
       chunk("IDAT", cOut.toByteArray) ++ chunk("IEND", Array.emptyByteArray)
     val img = Multimodal.decodePng(png).get
     assert(img.width === w && img.height === h && img.maxVal === 255)
@@ -817,6 +817,43 @@ class MultimodalSpec extends SparkSpec {
     val rstAt = fixture.indexOfSlice(Array(0xff.toByte, 0xd0.toByte))
     bad(rstAt + 1) = 0xd3.toByte
     assert(Jpeg.decodeJpeg(bad).isEmpty)
+  }
+
+  test("0xff fill bytes before a marker are legal; stray TEM rejects") {
+    val img = Multimodal.PgmImage(8, 8, 255, Array.tabulate(64)(i => (i * 3).toByte))
+    val enc = Jpeg.encodeJpeg(img)
+    val want = Jpeg.decodeJpeg(enc).get
+    // T.81 B.1.1.2: any number of 0xff fill bytes may precede a marker —
+    // splice two after SOI and the decode must be byte-identical
+    val padded = enc.take(2) ++ Array[Byte](0xff.toByte, 0xff.toByte) ++ enc.drop(2)
+    val got = Jpeg.decodeJpeg(padded).get
+    assert(got.width === want.width && got.height === want.height)
+    assert(java.util.Arrays.equals(got.pixels, want.pixels))
+    // a standalone TEM (0xff 0x01) between segments carries no length —
+    // it must reject cleanly, not be misparsed as a length-bearing segment
+    val tem = enc.take(2) ++ Array[Byte](0xff.toByte, 0x01.toByte) ++ enc.drop(2)
+    assert(Jpeg.decodeJpeg(tem).isEmpty)
+  }
+
+  test("unpadded odd-riffSize WAV at the tail of a container still decodes") {
+    def u16le(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def u32le(v: Long) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val data = u16le(7) ++ u16le(0xfff9) // samples 7, -7
+    val fmt = u16le(1) ++ u16le(1) ++ u32le(8000) ++ u32le(16000) ++ u16le(2) ++ u16le(16)
+    // trailing odd-size ancillary chunk with NO pad byte -> odd riffSize,
+    // file ends exactly at the RIFF boundary (spec-sloppy but seen in the
+    // wild); the decoder must not demand a pad byte past payload end
+    val body = "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ u32le(16) ++ fmt ++
+      "data".getBytes("US-ASCII") ++ u32le(data.length.toLong) ++ data ++
+      "note".getBytes("US-ASCII") ++ u32le(3) ++ Array[Byte]('e', 'n', 'd')
+    assert(body.length % 2 === 1)
+    val odd = "RIFF".getBytes("US-ASCII") ++ u32le(body.length.toLong) ++ body
+    assert(Multimodal.decodeWav(odd).exists(_.samples.toSeq === Seq[Short](7, -7)))
+    val clipA = Multimodal.encodeWav(Multimodal.PcmAudio(8000, 1, Array[Short](1, 2)))
+    val clips = Multimodal.decodeWavFrames(clipA ++ odd)
+    assert(clips.length === 2)
+    assert(clips(1).samples.toSeq === Seq[Short](7, -7))
   }
 
   test("JPEG codec: hostile and unsupported inputs reject, never mis-decode") {
