@@ -1251,6 +1251,138 @@ object ExtensionQueries {
         .orderBy(col("host"))
     }),
 
+    // The WHOLE crawl-curation pipeline as ONE DataFrame chain — every
+    // stage above is individually oracled; this query proves they
+    // COMPOSE (gate order, column wiring, normalization parity):
+    //   synthetic .warc.gz fetch -> real ingest (gunzip -> WARC walk ->
+    //   HTTP split -> html_to_text) -> fetch gate (drop all-404 docs)
+    //   -> boilerplate strip -> PII scrub -> verbatim 8-gram decon gate
+    //   -> quality gate -> repetition gate -> exact dedup -> span dedup
+    //   -> per-domain cap -> shard export stats.
+    // Gate ORDER is load-bearing: the scrub must precede dedup (docs
+    // differing only in PII must collapse — each doc's crawl copy gets
+    // a doc-unique PII suffix that only scrubbing makes equal), and
+    // decon must see scrubbed content (the gate a real pipeline runs on
+    // curated text). Plan shape: everything through the gates is ONE
+    // map-side stage — ingest, strip, and scrub inside the
+    // mapPartitions (one pass per row; as DF columns the optimizer
+    // inlined the content chain into every gate predicate), then the
+    // decon/quality/repetition gates as DF predicates over the
+    // materialized content column (the bench gram set rides in as a
+    // broadcast-literal StringSet, streaming-gate style) — the FIRST
+    // exchange is the exact-dedup aggregate, asserted in PlanAuditSpec.
+    // Downstream
+    // repeats of the dedup subtree (span df, join-back) collapse into
+    // one execution via Spark's exchange reuse, so the expensive ingest
+    // scan runs ONCE. The DuckDB oracle replays every stage: the
+    // construction arithmetic for the WARC bytes and the SAME
+    // regex/gram/window/hash pipeline on the replayed strings (same
+    // work-asymmetry note as warc_ingest: Spark parses real bytes, the
+    // oracle replays string arithmetic).
+    "crawl_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      // Benchmark split = every 50th doc (the decon family's split).
+      // Bench text is normalized EXPLICITLY (the crawl side's content
+      // is html_to_text-normalized, so gram strings must come from the
+      // same whitespace regime); eval sets are tiny by contract, so the
+      // driver-side gram collect is the streaming-gate budget class.
+      val benchNorm = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+        .select(trim(regexp_replace(col("text"), "\\s+", " ")).as("text"))
+      val benchGrams = graft.operators.Decontamination.collectBenchGrams(benchNorm, 8)
+      // Fetch + ingest: per doc, build the synthetic .warc.gz (the doc
+      // text PLUS a doc-unique PII suffix — the crawl's dirty copy) and
+      // run the REAL parser chain; keep the FIRST 200-status record's
+      // extraction. Docs whose every record is a 404 yield n_ok = 0.
+      val ingested = docs
+        .filter(pmod(col("doc_id"), lit(50)) =!= 0)
+        .select(col("doc_id"), col("source"), col("lang"), col("text"))
+        .as[(Long, String, String, String)]
+        .mapPartitions { it =>
+          // Boilerplate strip + PII scrub run HERE, once per row, on the
+          // same java.util.regex engine and the same shared TextOps
+          // patterns Spark's regexp_replace compiles to. As DF columns
+          // the optimizer inlined the 4-regexp content chain into every
+          // gate predicate of the (HOF-induced non-codegen) filter —
+          // ~10 recomputations per row; materializing content at the
+          // serialization boundary makes each gate read it once.
+          val strip = java.util.regex.Pattern
+            .compile("^Doc [0-9]+ Rec [0-9]+ Doc [0-9]+ Rec [0-9]+ ?")
+          val email = java.util.regex.Pattern.compile(TextOps.EmailPattern)
+          val ip = java.util.regex.Pattern.compile(TextOps.Ipv4Pattern)
+          val phone = java.util.regex.Pattern.compile(TextOps.PhonePattern)
+          it.map { case (id, source, lang, text) =>
+            val raw = text + " contact user" + id + "@example.com phone +1-555-" +
+              f"${id % 10000}%04d" + " host 10.0." + (id % 256) + ".7"
+            val payload = graft.operators.Warc.syntheticWarcContainer(id, raw)
+            val recs = graft.operators.Warc.decodeWarc(payload)
+            require(recs.nonEmpty, s"doc $id: synthetic WARC failed to decode")
+            val https = recs.map(r => graft.operators.Warc.parseHttpResponse(r.body)
+              .getOrElse(sys.error(s"doc $id: embedded HTTP response failed to parse")))
+            val extract = https.find(_.status == 200)
+              .map(h => graft.functions.TextExpressions.htmlToTextString(
+                new String(h.entity, java.nio.charset.StandardCharsets.UTF_8)))
+              .getOrElse("")
+            val content = phone.matcher(ip.matcher(email.matcher(
+              strip.matcher(extract).replaceAll(""))
+              .replaceAll("<EMAIL>")).replaceAll("<IP>")).replaceAll("<PHONE>")
+            (id, source, lang, https.count(_.status == 200).toLong, content)
+          }
+        }
+        .toDF("doc_id", "source", "lang", "n_ok", "content")
+      val wsC = TextOps.tokens(col("content"))
+      val top2 = round(graft.functions.TextExpressions.top_gram_frac(col("content"), 2), 6)
+      val top3 = round(graft.functions.TextExpressions.top_gram_frac(col("content"), 3), 6)
+      val dup5 = when(size(wsC) > 4,
+          round(lit(1.0) - size(array_distinct(TextOps.shinglesOfText(col("content"), 5)))
+            .cast("double") / (size(wsC) - lit(4)), 6))
+        .otherwise(lit(0.0))
+      val gated = graft.streaming.StreamingCorpusOps.deconGate(
+          ingested.filter(col("n_ok") >= 1), // fetch gate
+          benchGrams, 8, textCol = "content")
+        .filter(size(wsC) >= 10 && size(wsC) <= 120 &&
+          round(size(array_distinct(wsC)) / size(wsC), 6) >= 0.15) // quality
+        .filter(top2 <= 0.2 && top3 <= 0.18 && dup5 <= 0.15) // repetition
+        .select(col("doc_id"), col("source"), col("lang"), col("content"))
+      // Exact dedup — the chain's FIRST exchange; min_by keeps the
+      // lowest-id survivor's whole row in the same aggregate.
+      val deduped = gated
+        .groupBy(md5(col("content")).as("content_hash"))
+        .agg(min_by(struct(gated.columns.map(col): _*), col("doc_id")).as("r"))
+        .select(col("r.*"))
+      // Span dedup over the survivors (dedup_span_exact's shape: 8-byte
+      // xxhash64 chunk keys, df >= 2, drop docs with dup_frac >= 0.5).
+      def spans(c: Column) = graft.functions.TextExpressions.word_chunks(c, 32, 32)
+      val ch = deduped.select(col("doc_id"), explode(spans(col("content"))).as("chunk"))
+        .select(col("doc_id"), xxhash64(col("chunk")).as("h"))
+      val cdf = ch.groupBy(col("h")).agg(count_distinct(col("doc_id")).as("df"))
+      val shared = ch.join(cdf.filter(col("df") >= 2), Seq("h"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_spans"))
+      val spanKept = deduped
+        .withColumn("n_spans", size(spans(col("content"))).cast("long"))
+        .join(shared, Seq("doc_id"), "left")
+        .filter(round(coalesce(col("n_dup_spans"), lit(0L)) / col("n_spans"), 6) < 0.5)
+      // Per-domain cap (crawl_domain_cap's rank) on the survivors.
+      val url = concat(lit("https://"), col("source"), lit(".example.org/"),
+        col("lang"), lit("/doc-"), col("doc_id").cast("string"))
+      val wHost = Window.partitionBy(col("host")).orderBy(col("hh"), col("doc_id"))
+      val capped = spanKept
+        .withColumn("host", parse_url(url, lit("HOST")))
+        .withColumn("hh", md5(col("doc_id").cast("string")))
+        .withColumn("rn", row_number().over(wHost))
+        .filter(col("rn") <= 20)
+      // Shard export stats — the pipeline's terminal report.
+      graft.operators.Export.shuffledShards(capped, 16)
+        .withColumn("tokens", TextOps.subwordCount(TextOps.tokens(col("content"))).cast("long"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tokens")).as("shard_tokens"),
+          sum(col("shuffle_rank")).as("rank_checksum"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("shard"))
+    }),
+
     // BPE tokenizer training, stage 1 of 2 — the corpus-sized word
     // dictionary (the ONLY stage of BPE that touches corpus bytes; see
     // BpeTrainer's scaladoc for the 100 TB argument). Map-side partial
@@ -1782,6 +1914,78 @@ object ExtensionQueries {
        "CAST(MIN(CASE WHEN rn <= 20 THEN doc_id END) AS BIGINT) AS first_kept, " +
        "CAST(MAX(CASE WHEN rn <= 20 THEN doc_id END) AS BIGINT) AS last_kept " +
        "FROM r GROUP BY host ORDER BY host"),
+    "crawl_pipeline" ->
+      // full-pipeline replay: WARC construction arithmetic (the
+      // warc_ingest regime) for fetch + extraction, then the SAME
+      // strip/scrub regexes, gram join (decon), quality/repetition
+      // formulas, md5 dedup window, chunk-df span dedup, domain-cap
+      // rank, and shard arithmetic as the stage oracles above — so a
+      // composition bug in EITHER engine breaks the hash
+      ("WITH bench AS (SELECT trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t " +
+       "FROM documents WHERE doc_id % 50 = 0), " +
+       "bg AS (SELECT DISTINCT array_to_string(ws[i : i+7], ' ') AS g " +
+       "FROM (SELECT string_split(t, ' ') ws FROM bench), " +
+       "LATERAL (SELECT unnest(generate_series(1, len(ws) - 7)) i)), " +
+       "d AS (SELECT doc_id, source, lang, " +
+       "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com phone +1-555-' || " +
+       "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' host 10.0.' || " +
+       "CAST(doc_id % 256 AS VARCHAR) || '.7' AS raw " +
+       "FROM documents WHERE doc_id % 50 <> 0), " +
+       "m AS (SELECT *, CAST(octet_length(encode(raw)) AS BIGINT) nb FROM d), " +
+       "rec AS (SELECT doc_id, unnest(generate_series(0, CAST(nb % 3 AS INT))) j FROM m), " +
+       "ok AS (SELECT doc_id, MIN(j) j0 FROM rec WHERE (doc_id + j) % 7 <> 3 GROUP BY doc_id), " +
+       "ex AS (SELECT m.doc_id, m.source, m.lang, " +
+       "trim('Doc ' || m.doc_id || ' Rec ' || j0 || ' Doc ' || m.doc_id || ' Rec ' || j0 || ' ' || " +
+       "trim(regexp_replace(raw, '\\s+', ' ', 'g'))) AS extract FROM m JOIN ok USING (doc_id)), " +
+       "strip AS (SELECT doc_id, source, lang, " +
+       "regexp_replace(extract, '^Doc [0-9]+ Rec [0-9]+ Doc [0-9]+ Rec [0-9]+ ?', '') AS content_raw FROM ex), " +
+       "scrub AS (SELECT doc_id, source, lang, " +
+       "regexp_replace(regexp_replace(regexp_replace(content_raw, " +
+       "'(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'), " +
+       "'\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'), " +
+       "'\\+1-555-[0-9]{4}', '<PHONE>', 'g') AS content FROM strip), " +
+       "cg AS (SELECT doc_id, array_to_string(ws[i : i+7], ' ') g " +
+       "FROM (SELECT doc_id, string_split(content, ' ') ws FROM scrub), " +
+       "LATERAL (SELECT unnest(generate_series(1, len(ws) - 7)) i)), " +
+       "hit AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (g)), " +
+       "decon AS (SELECT * FROM scrub WHERE doc_id NOT IN (SELECT doc_id FROM hit)), " +
+       "q AS (SELECT *, string_split(content, ' ') ws FROM decon), " +
+       "q1 AS (SELECT * FROM q WHERE len(ws) BETWEEN 10 AND 120 " +
+       "AND round(len(list_distinct(ws)) / len(ws), 6) >= 0.15), " +
+       "g2 AS (SELECT doc_id, max(c)*1.0/sum(c) f FROM (SELECT doc_id, g, count(*) c FROM " +
+       "(SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1])) g FROM q1) " +
+       "GROUP BY doc_id, g) GROUP BY doc_id), " +
+       "g3 AS (SELECT doc_id, max(c)*1.0/sum(c) f FROM (SELECT doc_id, g, count(*) c FROM " +
+       "(SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) g FROM q1) " +
+       "GROUP BY doc_id, g) GROUP BY doc_id), " +
+       "g5 AS (SELECT doc_id, CASE WHEN len(ws) > 4 THEN 1.0 - len(list_distinct(" +
+       "list_transform(generate_series(1, len(ws)-4), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])" +
+       "))*1.0/(len(ws)-4) ELSE 0.0 END f FROM q1), " +
+       "rep AS (SELECT q1.* FROM q1 " +
+       "LEFT JOIN g2 USING (doc_id) LEFT JOIN g3 USING (doc_id) LEFT JOIN g5 USING (doc_id) " +
+       "WHERE round(coalesce(g2.f, 0), 6) <= 0.2 AND round(coalesce(g3.f, 0), 6) <= 0.18 " +
+       "AND round(coalesce(g5.f, 0), 6) <= 0.15), " +
+       "ded AS (SELECT * FROM rep QUALIFY row_number() OVER (PARTITION BY md5(content) ORDER BY doc_id) = 1), " +
+       "n AS (SELECT doc_id, ws, CASE WHEN len(ws) <= 32 THEN 1 " +
+       "ELSE CAST(ceil((len(ws) - 32) / 32.0) AS BIGINT) + 1 END nch FROM ded), " +
+       "c AS (SELECT doc_id, array_to_string(ws[(i-1)*32+1 : least((i-1)*32+32, len(ws))], ' ') chunk " +
+       "FROM n, LATERAL (SELECT unnest(generate_series(1, nch)) i)), " +
+       "cdf AS (SELECT chunk, COUNT(DISTINCT doc_id) ddf FROM c GROUP BY chunk), " +
+       "sh AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) nd FROM c JOIN cdf USING (chunk) " +
+       "WHERE ddf >= 2 GROUP BY doc_id), " +
+       "spankept AS (SELECT ded.* FROM ded JOIN n USING (doc_id) LEFT JOIN sh USING (doc_id) " +
+       "WHERE round(COALESCE(nd, 0) / nch, 6) < 0.5), " +
+       "u AS (SELECT *, source || '.example.org' AS host, md5(CAST(doc_id AS VARCHAR)) hh FROM spankept), " +
+       "cap AS (SELECT * FROM u QUALIFY row_number() OVER (PARTITION BY host ORDER BY hh, doc_id) <= 20), " +
+       "fin AS (SELECT doc_id, " +
+       "CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 16 AS INT) shard, " +
+       "CAST('0x' || substr(md5('ord|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) rk, " +
+       "CAST(list_sum(list_transform(string_split(content, ' '), w -> CAST(ceil(length(w)/4.0) AS BIGINT))) AS BIGINT) tokens " +
+       "FROM cap) " +
+       "SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS shard_tokens, " +
+       "CAST(SUM(rk) AS BIGINT) AS rank_checksum, CAST(MIN(doc_id) AS BIGINT) AS min_doc, " +
+       "CAST(MAX(doc_id) AS BIGINT) AS max_doc " +
+       "FROM fin GROUP BY shard ORDER BY shard"),
     "bpe_word_dict" ->
       ("WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents) " +
        "SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM w WHERE length(word) > 0 " +

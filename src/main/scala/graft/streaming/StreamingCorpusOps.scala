@@ -106,7 +106,8 @@ object StreamingCorpusOps {
     * earlier ScalaUDF paid a per-row InternalRow→Seq[String] conversion
     * and broke whole-stage codegen around the gate).
     */
-  def deconGate(docs: DataFrame, benchGrams: Array[String], n: Int): DataFrame = {
+  def deconGate(docs: DataFrame, benchGrams: Array[String], n: Int,
+      textCol: String = "text"): DataFrame = {
     val bloom = org.apache.spark.util.sketch.BloomFilter
       .create(math.max(benchGrams.length, 1).toLong, 0.01)
     benchGrams.foreach(bloom.putString)
@@ -117,7 +118,7 @@ object StreamingCorpusOps {
     val benchSet = new graft.functions.StringSet(benchGrams)
     docs
       .withColumn("__grams",
-        graft.operators.TextOps.distinctShinglesOfText(col("text"), n))
+        graft.operators.TextOps.distinctShinglesOfText(col(textCol), n))
       .filter(!coalesce(
         graft.functions.SketchExpressions.bloom_might_contain_any(bloom, col("__grams")) &&
           exists(col("__grams"),

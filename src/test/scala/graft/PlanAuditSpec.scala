@@ -246,6 +246,60 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("crawl pipeline: map-side to the dedup exchange; ingest subtree reused, not re-run") {
+    // The composed pipeline's scale contract: ingest + strip + scrub +
+    // decon/quality/repetition gates are ONE map stage — the first
+    // exchange above the ingest MapPartitions must be the exact-dedup
+    // aggregate (keyed on the md5 content hash), with no join, window,
+    // or generate in between, and no exchange below the ingest at all.
+    // The span-dedup/cap stages reference the dedup output three more
+    // times; exchange reuse must collapse those so the expensive
+    // WARC-parse scan runs ONCE (a lost ReusedExchange = 3x ingest).
+    // AQE off for a stable printed tree; reuse itself is AQE-independent.
+    val prior = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val lines = plan("crawl_pipeline").linesIterator.toVector
+      // structural indent = the "+- "/":- " marker position (NOT the
+      // first letter: the "*(n) " codegen prefix would shift it)
+      def depth(l: String): Int = {
+        val i = l.indexOf("+- "); val j = l.indexOf(":- ")
+        if (i < 0 && j < 0) 0 else if (i < 0) j else if (j < 0) i else math.min(i, j)
+      }
+      val mp = lines.indexWhere(_.contains("MapPartitions"))
+      assert(mp >= 0, s"ingest MapPartitions missing:\n${lines.mkString("\n")}")
+      assert(lines.count(_.contains("MapPartitions")) === 1,
+        s"ingest runs more than once (exchange reuse lost):\n${lines.mkString("\n")}")
+      assert(lines.exists(_.contains("ReusedExchange")),
+        s"dedup subtree not reused:\n${lines.mkString("\n")}")
+      // walk UP the ancestor chain from the ingest to its first exchange
+      var j = mp - 1
+      var lvl = depth(lines(mp))
+      var exchange: Option[String] = None
+      while (j >= 0 && exchange.isEmpty) {
+        if (depth(lines(j)) < lvl) {
+          lvl = depth(lines(j))
+          if (lines(j).contains("Exchange")) exchange = Some(lines(j))
+          else assert(!Seq("Join", "Window", "Generate").exists(lines(j).contains),
+            s"non-map-side node between ingest and the first exchange: ${lines(j)}")
+        }
+        j -= 1
+      }
+      assert(exchange.exists(_.contains("Exchange hashpartitioning")),
+        s"first exchange above the ingest is not the dedup hash exchange: $exchange")
+      // below the ingest: only the deserialize + pruned scan, no exchange
+      var k = mp + 1
+      while (k < lines.length && depth(lines(k)) > depth(lines(mp))) {
+        assert(!lines(k).contains("Exchange"),
+          s"exchange below the ingest scan: ${lines(k)}")
+        k += 1
+      }
+    } finally prior match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("minhash signatures shuffle only at banding, not before") {
     // native MinHashSlices means NO groupBy(doc_id) aggregation stage:
     // the plan must not contain a doc_id hash aggregate before banding
