@@ -10,20 +10,21 @@ import graft.operators.Multimodal.PgmImage
   * entropy decode with byte-unstuffing and restart-marker handling,
   * dequantize + dezigzag, separable double-precision IDCT
   * (StrictMath cosine table, so results are bit-identical across
-  * JVMs), and level shift. Supported: baseline sequential (SOF0),
-  * 8-bit, grayscale (one component, non-interleaved) AND YCbCr color
-  * (three components, interleaved MCUs, any 1-4 sampling factor grid
-  * incl. 4:4:4 / 4:2:2 / 4:2:0), with or without restart intervals.
-  * Color decodes to the LUMA plane: JPEG's Y channel already IS the
-  * ITU-R 601 luma every other codec in this family converges to, so
-  * the chroma blocks are entropy-decoded only to advance the bit
-  * stream (their IDCT — half the blocks of a 4:2:0 file — is skipped
-  * entirely, which is also the fast path). Progressive (SOF2),
-  * arithmetic coding, 12-bit, 2/4-component frames, and RGB-tagged
-  * 3-component frames (Adobe APP14 transform 0, or 'R','G','B'
-  * component ids — their first channel is red, not luma) reject
-  * cleanly to the stub path — the README format table stays the
-  * single source of truth.
+  * JVMs), and level shift. Supported: baseline sequential (SOF0) AND
+  * progressive (SOF2, T.81 Annex G: spectral selection + successive
+  * approximation, DC/AC first + refinement scans, EOB runs, between-
+  * scan DHT/DRI), 8-bit, grayscale (one component, non-interleaved)
+  * AND YCbCr color (three components, interleaved MCUs, any 1-4
+  * sampling factor grid incl. 4:4:4 / 4:2:2 / 4:2:0), with or without
+  * restart intervals. Color decodes to the LUMA plane: JPEG's Y
+  * channel already IS the ITU-R 601 luma every other codec in this
+  * family converges to, so the chroma blocks are entropy-decoded only
+  * to advance the bit stream (baseline; progressive goes further and
+  * skips chroma-only scans at BYTE level). Arithmetic coding, 12-bit,
+  * 2/4-component frames, and RGB-tagged 3-component frames (Adobe
+  * APP14 transform 0, or 'R','G','B' component ids — their first
+  * channel is red, not luma) reject cleanly to the stub path — the
+  * README format table stays the single source of truth.
   *
   * The encoder emits baseline grayscale with the spec's Annex K
   * example luminance quantization + Huffman tables (the tables every
@@ -199,6 +200,72 @@ object Jpeg {
   private def extend(v: Int, s: Int): Int =
     if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
 
+  /** Parse one DHT segment body (one or more tables) into the table
+    * slots; false on malformed input. Shared by the header walk and the
+    * progressive between-scan table updates.
+    */
+  private def parseDht(payload: Array[Byte], body: Int, bodyLen: Int,
+      huffDc: Array[HuffTable], huffAc: Array[HuffTable]): Boolean = {
+    var o = body
+    while (o < body + bodyLen) {
+      if (o + 17 > body + bodyLen) return false
+      val tc = (payload(o) & 0xff) >> 4
+      val th = payload(o) & 0x0f
+      if (tc > 1 || th > 3) return false
+      val bits = Array.tabulate(16)(k => payload(o + 1 + k) & 0xff)
+      val nv = bits.sum
+      if (nv == 0 || nv > 256 || o + 17 + nv > body + bodyLen) return false
+      val vals = Array.tabulate(nv)(k => payload(o + 17 + k) & 0xff)
+      val t = new HuffTable(bits, vals)
+      if (!t.ok) return false
+      if (tc == 0) huffDc(th) = t else huffAc(th) = t
+      o += 17 + nv
+    }
+    o == body + bodyLen
+  }
+
+  /** Dequantize + separable IDCT of one 8x8 block of UNQUANTIZED
+    * natural-order coefficients (at `off` in `coefs`) into the luma
+    * plane at block origin (ox, oy) — same arithmetic as the baseline
+    * path's inline IDCT, shared by the progressive output stage.
+    */
+  private def idctToLuma(coefs: Array[Int], off: Int, quant: Array[Int],
+      luma: Array[Byte], lumaW: Int, lumaH: Int, ox: Int, oy: Int,
+      tmp: Array[Double]): Unit = {
+    var y0 = 0
+    while (y0 < 8) { // 1-D IDCT over each row of coefficients
+      var x0 = 0
+      while (x0 < 8) {
+        var acc = 0.0
+        var u = 0
+        while (u < 8) {
+          acc += CosTable(u * 8 + x0) *
+            (coefs(off + y0 * 8 + u).toDouble * quant(y0 * 8 + u))
+          u += 1
+        }
+        tmp(y0 * 8 + x0) = acc / 2.0
+        x0 += 1
+      }
+      y0 += 1
+    }
+    var x1 = 0
+    while (x1 < 8) { // 1-D IDCT down each column, write clamped
+      var y1 = 0
+      while (y1 < 8) {
+        var acc = 0.0
+        var v = 0
+        while (v < 8) { acc += CosTable(v * 8 + y1) * tmp(v * 8 + x1); v += 1 }
+        val s2 = (acc / 2.0 + 128.0).round.toInt
+        val gx = ox + x1
+        val gy = oy + y1
+        if (gx < lumaW && gy < lumaH)
+          luma(gy * lumaW + gx) = math.max(0, math.min(255, s2)).toByte
+        y1 += 1
+      }
+      x1 += 1
+    }
+  }
+
   /** One frame component: SOF id, sampling factors, quant selector,
     * scan entropy tables (filled at SOS), and its DC predictor.
     */
@@ -230,6 +297,8 @@ object Jpeg {
     var adobeRgb = false
     var restartInterval = 0
     var scanStart = -1
+    var progressive = false
+    var sosAt = -1
     val quantTables = new Array[Array[Int]](4)
     // ---- marker segment walk up to SOS ----
     while (scanStart < 0) {
@@ -270,24 +339,10 @@ object Jpeg {
           }
           if (o != body + bodyLen) return None
         case 0xc4 => // DHT: one or more tables
-          var o = body
-          while (o < body + bodyLen) {
-            if (o + 17 > body + bodyLen) return None
-            val tc = (payload(o) & 0xff) >> 4
-            val th = payload(o) & 0x0f
-            if (tc > 1 || th > 3) return None
-            val bits = Array.tabulate(16)(k => payload(o + 1 + k) & 0xff)
-            val nv = bits.sum
-            if (nv == 0 || nv > 256 || o + 17 + nv > body + bodyLen) return None
-            val vals = Array.tabulate(nv)(k => payload(o + 17 + k) & 0xff)
-            val t = new HuffTable(bits, vals)
-            if (!t.ok) return None
-            if (tc == 0) huffDc(th) = t else huffAc(th) = t
-            o += 17 + nv
-          }
-          if (o != body + bodyLen) return None
-        case 0xc0 => // SOF0: baseline sequential, 1 (gray) or 3 (YCbCr)
+          if (!parseDht(payload, body, bodyLen, huffDc, huffAc)) return None
+        case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive, 1 or 3 comps
           if (comps != null) return None // one frame header only
+          progressive = marker == 0xc2
           if (bodyLen < 8 || (payload(body) & 0xff) != 8) return None // 8-bit
           height = u16(body + 1)
           width = u16(body + 3)
@@ -318,12 +373,18 @@ object Jpeg {
           if (comps.map(c => c.h * c.v).sum > 10) return None
           if (width <= 0 || height <= 0 ||
               width.toLong * height > Int.MaxValue) return None
-        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+        case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
              0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
-          return None // extended/progressive/lossless/arithmetic: stub path
+          return None // extended/lossless/arithmetic: stub path
         case 0xdd => // DRI
           if (bodyLen != 2) return None
           restartInterval = u16(body)
+        case 0xda if progressive => // first SOS of a progressive frame:
+          // scan headers differ per scan and are parsed by the
+          // progressive scan loop itself — just record where it starts
+          if (comps == null) return None
+          sosAt = i
+          scanStart = body + bodyLen // exits the walk; value unused
         case 0xda => // SOS
           if (comps == null) return None // SOF must precede SOS
           // A baseline scan body is exactly 1 + 2*Ns + 3 bytes; check
@@ -371,6 +432,9 @@ object Jpeg {
     }
     if (adobeRgb && comps.length == 3) return None
     if (comps.exists(c => quantTables(c.tq) == null)) return None
+    if (progressive)
+      return decodeProgressiveFrom(payload, sosAt, n, width, height,
+        comps, quantTables, huffDc, huffAc, restartInterval, hMax, vMax)
     // MCU grid: grayscale scans are non-interleaved (MCU = one block,
     // T.81 §A.2.2 — sampling factors don't shape the layout); color
     // scans interleave Hi x Vi blocks per component per MCU.
@@ -517,6 +581,357 @@ object Jpeg {
     Some((PgmImage(width, height, 255, px), e))
   }
 
+  /** Progressive (SOF2) scan loop + final IDCT (T.81 Annex G / §G.2).
+    * Coefficients accumulate across DC/AC first + refinement scans in a
+    * full-frame luma coefficient buffer, then dequantize+IDCT once at
+    * EOI. Luma-bearing scans are entropy-decoded (interleaved DC scans
+    * decode chroma DC too, to stay in bit-sync); chroma-ONLY scans are
+    * skipped at BYTE level — their bits can never touch the luma plane,
+    * so the skip is both correct and the fast path (half the entropy
+    * data of a 4:2:0 color file is never bit-decoded). Scan headers are
+    * validated per §G.1.1.1.1 (DC: Ss=Se=0; AC: Ns=1, 1<=Ss<=Se<=63;
+    * Ah=0 or Al+1); DHT/DRI may appear between scans, while a mid-frame
+    * DQT/SOF/DNL rejects — re-quantizing already-coded coefficients
+    * would mis-decode, and this codec never mis-decodes.
+    */
+  private def decodeProgressiveFrom(payload: Array[Byte], firstSos: Int,
+      n: Int, width: Int, height: Int, comps: Array[Component],
+      quantTables: Array[Array[Int]], huffDc: Array[HuffTable],
+      huffAc: Array[HuffTable], restartInterval0: Int,
+      hMax: Int, vMax: Int): Option[(PgmImage, Int)] = {
+    def u16(at: Int): Int = ((payload(at) & 0xff) << 8) | (payload(at + 1) & 0xff)
+    var restartInterval = restartInterval0
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+    val blocksPerMcu = comps.map(c => c.h * c.v).sum
+    val totalBlocks = mcusX.toLong * mcusY * blocksPerMcu
+    // Decompression-bomb bound, TIGHTER than baseline's 4 blocks/byte:
+    // progressive spends a DC bit plus (in any real file) several AC
+    // scans per block, and — unlike the streaming baseline path — the
+    // decoder must hold every luma coefficient (256 B/block), so the
+    // allocation is bounded at one block per remaining payload byte.
+    if (totalBlocks > (n - firstSos).toLong + 64) return None
+    val lc = comps(0)
+    val lumaW = (width * lc.h + hMax - 1) / hMax // luma sample grid
+    val lumaH = (height * lc.v + vMax - 1) / vMax
+    val lumaBw = mcusX * lc.h // padded block grid (interleaved indexing)
+    val lumaBh = mcusY * lc.v
+    val bwN = (lumaW + 7) / 8 // non-interleaved block grid (§A.2.2)
+    val bhN = (lumaH + 7) / 8
+    val lumaCoef = new Array[Int](lumaBw * lumaBh * 64)
+    var dcSeen = false
+
+    /** Advance past one scan's entropy-coded bytes without decoding:
+      * stuffed 0xFF00 pairs, restart markers, and 0xFF fill bytes are
+      * interior; anything else after 0xFF is the next marker.
+      */
+    def skipEntropy(pos0: Int): Int = {
+      var pos = pos0
+      while (pos + 1 < n) {
+        if ((payload(pos) & 0xff) != 0xff) pos += 1
+        else {
+          val b2 = payload(pos + 1) & 0xff
+          if (b2 == 0x00) pos += 2
+          else if (b2 >= 0xd0 && b2 <= 0xd7) pos += 2
+          else if (b2 == 0xff) pos += 1
+          else return pos
+        }
+      }
+      -1
+    }
+
+    /** Parse + decode (or skip) the scan whose SOS marker is at
+      * `sosPos`; returns the offset of the next marker, or -1.
+      */
+    def handleScan(sosPos: Int): Int = {
+      if (sosPos + 4 > n) return -1
+      val segLen = u16(sosPos + 2)
+      if (segLen < 2 || sosPos + 2L + segLen > n) return -1
+      val body = sosPos + 4
+      val bodyLen = segLen - 2
+      if (bodyLen < 1) return -1
+      val ns = payload(body) & 0xff
+      if (ns < 1 || ns > comps.length || bodyLen != 4 + 2 * ns) return -1
+      // scan components must be distinct SOF components in SOF order
+      val scanComps = new Array[Component](ns)
+      val dcSel = new Array[Int](ns)
+      val acSel = new Array[Int](ns)
+      var prev = -1
+      var c = 0
+      while (c < ns) {
+        val o = body + 1 + 2 * c
+        val id = payload(o) & 0xff
+        val idx = comps.indexWhere(_.id == id)
+        if (idx < 0 || idx <= prev) return -1
+        prev = idx
+        scanComps(c) = comps(idx)
+        dcSel(c) = (payload(o + 1) & 0xff) >> 4
+        acSel(c) = payload(o + 1) & 0x0f
+        if (dcSel(c) > 3 || acSel(c) > 3) return -1
+        c += 1
+      }
+      val ss = payload(body + 1 + 2 * ns) & 0xff
+      val se = payload(body + 2 + 2 * ns) & 0xff
+      val ahal = payload(body + 3 + 2 * ns) & 0xff
+      val ah = ahal >> 4
+      val al = ahal & 0x0f
+      val dataStart = body + bodyLen
+      val isDc = ss == 0
+      if (isDc && se != 0) return -1
+      if (!isDc && (ns != 1 || se < ss || se > 63)) return -1
+      if (al > 13 || (ah != 0 && ah != al + 1)) return -1
+      if (!scanComps.exists(_ eq comps(0))) return skipEntropy(dataStart)
+      val reader = new BitReader(payload, dataStart, n)
+      if (isDc) {
+        if (ah == 0) {
+          var c2 = 0
+          while (c2 < ns) {
+            scanComps(c2).dcT = huffDc(dcSel(c2))
+            if (scanComps(c2).dcT == null) return -1
+            scanComps(c2).pred = 0
+            c2 += 1
+          }
+          dcSeen = true
+        }
+        if (ns == 1) { // non-interleaved DC over the luma block grid
+          val comp = scanComps(0)
+          var blockIdx = 0
+          var by = 0
+          while (by < bhN) {
+            var bx = 0
+            while (bx < bwN) {
+              if (restartInterval > 0 && blockIdx > 0 &&
+                  blockIdx % restartInterval == 0) {
+                if (!reader.alignToRestart((blockIdx / restartInterval - 1) & 7))
+                  return -1
+                comp.pred = 0
+              }
+              val base = (by * lumaBw + bx) * 64
+              if (ah == 0) {
+                val s = reader.decodeHuff(comp.dcT)
+                if (reader.bad || s < 0 || s > 11) return -1
+                comp.pred += extend(reader.readBits(s), s)
+                lumaCoef(base) = comp.pred << al
+              } else if (reader.readBit() == 1) lumaCoef(base) |= (1 << al)
+              if (reader.bad) return -1
+              blockIdx += 1
+              bx += 1
+            }
+            by += 1
+          }
+        } else { // interleaved DC over the frame MCU grid
+          var mcuIdx = 0
+          var my = 0
+          while (my < mcusY) {
+            var mx = 0
+            while (mx < mcusX) {
+              if (restartInterval > 0 && mcuIdx > 0 &&
+                  mcuIdx % restartInterval == 0) {
+                if (!reader.alignToRestart((mcuIdx / restartInterval - 1) & 7))
+                  return -1
+                var c3 = 0
+                while (c3 < ns) { scanComps(c3).pred = 0; c3 += 1 }
+              }
+              var c3 = 0
+              while (c3 < ns) {
+                val comp = scanComps(c3)
+                val isLuma = comp eq comps(0)
+                var bv = 0
+                while (bv < comp.v) {
+                  var bhh = 0
+                  while (bhh < comp.h) {
+                    if (ah == 0) {
+                      val s = reader.decodeHuff(comp.dcT)
+                      if (reader.bad || s < 0 || s > 11) return -1
+                      comp.pred += extend(reader.readBits(s), s)
+                      if (isLuma)
+                        lumaCoef(((my * comp.v + bv) * lumaBw +
+                          (mx * comp.h + bhh)) * 64) = comp.pred << al
+                    } else {
+                      val bit = reader.readBit()
+                      if (isLuma && bit == 1)
+                        lumaCoef(((my * comp.v + bv) * lumaBw +
+                          (mx * comp.h + bhh)) * 64) |= (1 << al)
+                    }
+                    if (reader.bad) return -1
+                    bhh += 1
+                  }
+                  bv += 1
+                }
+                c3 += 1
+              }
+              mcuIdx += 1
+              mx += 1
+            }
+            my += 1
+          }
+        }
+      } else { // AC scan: always non-interleaved, here always luma
+        val acT = huffAc(acSel(0))
+        if (acT == null) return -1
+        val p1 = 1 << al
+        val m1 = -p1
+        var eobrun = 0
+        var blockIdx = 0
+        var by = 0
+        while (by < bhN) {
+          var bx = 0
+          while (bx < bwN) {
+            if (restartInterval > 0 && blockIdx > 0 &&
+                blockIdx % restartInterval == 0) {
+              if (!reader.alignToRestart((blockIdx / restartInterval - 1) & 7))
+                return -1
+              eobrun = 0
+            }
+            val base = (by * lumaBw + bx) * 64
+            if (ah == 0) { // first pass for this band (§G.2.2)
+              if (eobrun > 0) eobrun -= 1
+              else {
+                var k = ss
+                while (k <= se) {
+                  val rs = reader.decodeHuff(acT)
+                  if (reader.bad || rs < 0) return -1
+                  val r = rs >> 4
+                  val sz = rs & 0x0f
+                  if (sz == 0) {
+                    if (r < 15) { // EOBn: run of end-of-band blocks
+                      eobrun = (1 << r) - 1
+                      if (r > 0) eobrun += reader.readBits(r)
+                      k = 64
+                    } else k += 16 // ZRL
+                  } else {
+                    k += r
+                    if (k > se) return -1
+                    lumaCoef(base + Zigzag(k)) = extend(reader.readBits(sz), sz) * p1
+                    k += 1
+                  }
+                  if (reader.bad) return -1
+                }
+              }
+            } else { // refinement pass (§G.1.2.3): one correction bit per
+              var k = ss // already-nonzero coefficient, sign bits for new ones
+              if (eobrun == 0) {
+                while (k <= se) {
+                  val rs = reader.decodeHuff(acT)
+                  if (reader.bad || rs < 0) return -1
+                  var r = rs >> 4
+                  val sz = rs & 0x0f
+                  var newval = 0
+                  if (sz == 0) {
+                    if (r < 15) {
+                      eobrun = (1 << r) - 1
+                      if (r > 0) eobrun += reader.readBits(r)
+                      r = 64 // walk out the band refining nonzero history
+                    }
+                  } else {
+                    if (sz != 1) return -1
+                    newval = if (reader.readBit() == 1) p1 else m1
+                  }
+                  var placed = false
+                  while (k <= se && !placed) {
+                    val ci = base + Zigzag(k)
+                    k += 1
+                    if (lumaCoef(ci) != 0) {
+                      if (reader.readBit() == 1 && (lumaCoef(ci) & p1) == 0)
+                        lumaCoef(ci) += (if (lumaCoef(ci) >= 0) p1 else m1)
+                    } else if (r == 0) {
+                      if (newval != 0) lumaCoef(ci) = newval
+                      placed = true
+                    } else r -= 1
+                    if (reader.bad) return -1
+                  }
+                  if (!placed && newval != 0) return -1 // coeff past band end
+                }
+              } else {
+                while (k <= se) { // block inside an EOB run: corrections only
+                  val ci = base + Zigzag(k)
+                  k += 1
+                  if (lumaCoef(ci) != 0) {
+                    if (reader.readBit() == 1 && (lumaCoef(ci) & p1) == 0)
+                      lumaCoef(ci) += (if (lumaCoef(ci) >= 0) p1 else m1)
+                  }
+                  if (reader.bad) return -1
+                }
+                eobrun -= 1
+              }
+            }
+            blockIdx += 1
+            bx += 1
+          }
+          by += 1
+        }
+      }
+      if (reader.bad) -1 else reader.pos
+    }
+
+    // ---- scan loop: SOS segments with DHT/DRI/APPn/COM between ----
+    var i = firstSos
+    var endPos = -1
+    while (endPos < 0) {
+      if (i + 2 > n || (payload(i) & 0xff) != 0xff) return None
+      while (i + 1 < n && (payload(i + 1) & 0xff) == 0xff) i += 1 // fill bytes
+      if (i + 2 > n) return None
+      val marker = payload(i + 1) & 0xff
+      if (marker == 0xd9) endPos = i + 2 // EOI
+      else if (marker == 0xda) {
+        val next = handleScan(i)
+        if (next < 0) return None
+        i = next
+      } else if (marker == 0xd8 || marker == 0x01 ||
+          (marker >= 0xd0 && marker <= 0xd7)) return None
+      else {
+        if (i + 4 > n) return None
+        val segLen = u16(i + 2)
+        if (segLen < 2 || i + 2L + segLen > n) return None
+        marker match {
+          case 0xc4 =>
+            if (!parseDht(payload, i + 4, segLen - 2, huffDc, huffAc)) return None
+          case 0xdd =>
+            if (segLen != 4) return None
+            restartInterval = u16(i + 4)
+          case 0xdb | 0xdc => return None // mid-frame DQT/DNL: reject
+          case m2 if m2 >= 0xc0 && m2 <= 0xcf => return None // second SOF
+          case _ => () // APPn / COM: skip
+        }
+        i += 2 + segLen
+      }
+    }
+    if (!dcSeen) return None
+    // ---- dequantize + IDCT the luma grid, then replicate to frame ----
+    val quant = quantTables(lc.tq)
+    val luma = new Array[Byte](lumaW * lumaH)
+    val tmp = new Array[Double](64)
+    var by = 0
+    while (by < bhN) {
+      var bx = 0
+      while (bx < bwN) {
+        idctToLuma(lumaCoef, (by * lumaBw + bx) * 64, quant,
+          luma, lumaW, lumaH, bx * 8, by * 8, tmp)
+        bx += 1
+      }
+      by += 1
+    }
+    val px =
+      if (lumaW == width && lumaH == height) luma
+      else {
+        val fx = hMax / lc.h
+        val fy = vMax / lc.v
+        val out = new Array[Byte](width * height)
+        var gy = 0
+        while (gy < height) {
+          val sy = gy / fy
+          var gx = 0
+          while (gx < width) {
+            out(gy * width + gx) = luma(sy * lumaW + gx / fx)
+            gx += 1
+          }
+          gy += 1
+        }
+        out
+      }
+    Some((PgmImage(width, height, 255, px), endPos))
+  }
+
   def decodeJpeg(payload: Array[Byte]): Option[PgmImage] =
     decodeJpegAt(payload, 0).map(_._1)
 
@@ -578,6 +993,53 @@ object Jpeg {
     s
   }
 
+  /** Level-shift + separable FDCT + StdQuant quantize of the 8x8 block
+    * at block position (bx, by); out-of-image pixels replicate the
+    * nearest edge pixel (keeps gradients smooth at the boundary).
+    * Shared by the baseline and progressive encoders so both quantize
+    * identically — the decode-equality test between the two encodings
+    * leans on that.
+    */
+  private def fdctQuantBlock(img: PgmImage, bx: Int, by: Int,
+      block: Array[Double], tmp: Array[Double], coef: Array[Int]): Unit = {
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val sx = math.min(bx * 8 + x, img.width - 1)
+        val sy = math.min(by * 8 + y, img.height - 1)
+        block(y * 8 + x) = (img.pixels(sy * img.width + sx) & 0xff) - 128.0
+        x += 1
+      }
+      y += 1
+    }
+    var v0 = 0
+    while (v0 < 8) { // rows
+      var u0 = 0
+      while (u0 < 8) {
+        var acc = 0.0
+        var x = 0
+        while (x < 8) { acc += CosTable(u0 * 8 + x) * block(v0 * 8 + x); x += 1 }
+        tmp(v0 * 8 + u0) = acc / 2.0
+        u0 += 1
+      }
+      v0 += 1
+    }
+    var u1 = 0
+    while (u1 < 8) { // columns
+      var v1 = 0
+      while (v1 < 8) {
+        var acc = 0.0
+        var y1 = 0
+        while (y1 < 8) { acc += CosTable(v1 * 8 + y1) * tmp(y1 * 8 + u1); y1 += 1 }
+        val q = StdQuant(v1 * 8 + u1)
+        coef(v1 * 8 + u1) = StrictMath.round(acc / 2.0 / q).toInt
+        v1 += 1
+      }
+      u1 += 1
+    }
+  }
+
   /** Serialize as baseline grayscale JPEG with the Annex K example
     * tables (written into DQT/DHT — the stream is self-describing).
     * Lossy: [[decodeJpeg]] recovers pixels to within quantization
@@ -614,45 +1076,7 @@ object Jpeg {
     while (by < bh) {
       var bx = 0
       while (bx < bw) {
-        // level-shifted source block; out-of-image pixels replicate the
-        // nearest edge pixel (keeps gradients smooth at the boundary)
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            val sx = math.min(bx * 8 + x, img.width - 1)
-            val sy = math.min(by * 8 + y, img.height - 1)
-            block(y * 8 + x) = (img.pixels(sy * img.width + sx) & 0xff) - 128.0
-            x += 1
-          }
-          y += 1
-        }
-        // separable FDCT + quantize
-        var v0 = 0
-        while (v0 < 8) { // rows
-          var u0 = 0
-          while (u0 < 8) {
-            var acc = 0.0
-            var x = 0
-            while (x < 8) { acc += CosTable(u0 * 8 + x) * block(v0 * 8 + x); x += 1 }
-            tmp(v0 * 8 + u0) = acc / 2.0
-            u0 += 1
-          }
-          v0 += 1
-        }
-        var u1 = 0
-        while (u1 < 8) { // columns
-          var v1 = 0
-          while (v1 < 8) {
-            var acc = 0.0
-            var y1 = 0
-            while (y1 < 8) { acc += CosTable(v1 * 8 + y1) * tmp(y1 * 8 + u1); y1 += 1 }
-            val q = StdQuant(v1 * 8 + u1)
-            coef(v1 * 8 + u1) = StrictMath.round(acc / 2.0 / q).toInt
-            v1 += 1
-          }
-          u1 += 1
-        }
+        fdctQuantBlock(img, bx, by, block, tmp, coef)
         // entropy-encode: DC diff then AC run-lengths in zigzag order
         val diff = coef(0) - pred
         pred = coef(0)
@@ -681,6 +1105,210 @@ object Jpeg {
       by += 1
     }
     w.flushWithOnes()
+    m(0xd9) // EOI
+    bos.toByteArray
+  }
+
+  // AC table for the PROGRESSIVE encoder: the Annex K baseline table
+  // has no EOBn symbols above EOB0 (sequential coding never emits
+  // them), so progressive scans need their own table. A fixed flat
+  // table — all 256 run/size symbols at 8 or 9 bits — is valid,
+  // self-describing (written into DHT), and leaves every all-1-bits
+  // code unused so byte-pad bits can never alias a symbol.
+  private val ProgAcBits: Array[Int] = {
+    val b = new Array[Int](16)
+    b(7) = 128 // symbols 0x00-0x7f at 8 bits ('0' + 7)
+    b(8) = 128 // symbols 0x80-0xff at 9 bits ('10' + 7)
+    b
+  }
+  private val ProgAcVals: Array[Int] = (0 until 256).toArray
+  private lazy val ProgAcCodes = buildCodes(ProgAcBits, ProgAcVals)
+
+  /** Serialize as PROGRESSIVE grayscale JPEG (SOF2) with libjpeg's
+    * classic 6-scan luminance script — DC first (Al=1), AC first bands
+    * 1-5 and 6-63 (Al=2), full-band AC refinement to Al=1, the DC
+    * refinement bit, and the final AC refinement to Al=0 — so one
+    * encode exercises every progressive scan TYPE (DC/AC x
+    * first/refine), EOB runs, ZRL-with-corrections, and buffered
+    * correction bits. Same FDCT + quantizer as [[encodeJpeg]], so the
+    * two encodings decode to IDENTICAL pixels (asserted in tests: the
+    * independently-validated sequential path is the oracle for this
+    * one).
+    */
+  def encodeJpegProgressive(img: PgmImage): Array[Byte] = {
+    require(img.width > 0 && img.height > 0, "empty image")
+    require(img.width <= 0xffff && img.height <= 0xffff,
+      s"JPEG dimensions exceed u16: ${img.width}x${img.height}")
+    val bw = (img.width + 7) / 8
+    val bh = (img.height + 7) / 8
+    val blocks = new Array[Array[Int]](bw * bh)
+    locally {
+      val block = new Array[Double](64)
+      val tmp = new Array[Double](64)
+      var by = 0
+      while (by < bh) {
+        var bx = 0
+        while (bx < bw) {
+          val c = new Array[Int](64)
+          fdctQuantBlock(img, bx, by, block, tmp, c)
+          blocks(by * bw + bx) = c
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    def m(marker: Int): Unit = { bos.write(0xff); bos.write(marker) }
+    def seg(marker: Int, body: Array[Int]): Unit = {
+      m(marker); bos.write((body.length + 2) >> 8); bos.write((body.length + 2) & 0xff)
+      body.foreach(bos.write)
+    }
+    m(0xd8) // SOI
+    seg(0xdb, 0 +: Array.tabulate(64)(z => StdQuant(Zigzag(z))))
+    seg(0xc2, Array(8, // SOF2: precision
+      img.height >> 8, img.height & 0xff, img.width >> 8, img.width & 0xff,
+      1, 1, 0x11, 0)) // 1 component, id 1, 1x1 sampling, quant 0
+    seg(0xc4, 0x00 +: (StdDcBits ++ StdDcVals)) // DHT DC 0
+    seg(0xc4, 0x10 +: (ProgAcBits ++ ProgAcVals)) // DHT AC 0 (flat table)
+    def sos(ss: Int, se: Int, ah: Int, al: Int): Unit =
+      seg(0xda, Array(1, 1, 0x00, ss, se, (ah << 4) | al))
+
+    // ---- scan 1: DC first, Al=1 (diff chain over the SHIFTED values)
+    sos(0, 0, 0, 1)
+    locally {
+      val w = new BitWriter(bos)
+      var pred = 0
+      blocks.foreach { c =>
+        val v = c(0) >> 1 // arithmetic shift: the DC point transform
+        val diff = v - pred
+        pred = v
+        val s = category(diff)
+        val (dc, dl) = DcCodes(s)
+        w.write(dc, dl)
+        if (s > 0) w.write(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      }
+      w.flushWithOnes()
+    }
+
+    // ---- AC first scan of one band (§G.1.2.2 semantics)
+    def acFirst(ss: Int, se: Int, al: Int): Unit = {
+      sos(ss, se, 0, al)
+      val w = new BitWriter(bos)
+      var eobrun = 0
+      def emitEobrun(): Unit = if (eobrun > 0) {
+        var nb = 0
+        var t = eobrun
+        while (t > 1) { t >>= 1; nb += 1 }
+        val (c0, l0) = ProgAcCodes(nb << 4)
+        w.write(c0, l0)
+        if (nb > 0) w.write(eobrun & ((1 << nb) - 1), nb)
+        eobrun = 0
+      }
+      blocks.foreach { c =>
+        var r = 0
+        var k = ss
+        while (k <= se) {
+          val raw = c(Zigzag(k))
+          val v = if (raw < 0) -((-raw) >> al) else raw >> al // toward zero
+          if (v == 0) r += 1
+          else {
+            emitEobrun()
+            while (r > 15) { val (z, zl) = ProgAcCodes(0xf0); w.write(z, zl); r -= 16 }
+            val size = category(v)
+            val (ac, alen) = ProgAcCodes((r << 4) | size)
+            w.write(ac, alen)
+            w.write(if (v < 0) v + (1 << size) - 1 else v, size)
+            r = 0
+          }
+          k += 1
+        }
+        if (r > 0) { eobrun += 1; if (eobrun == 0x7fff) emitEobrun() }
+      }
+      emitEobrun()
+      w.flushWithOnes()
+    }
+
+    // ---- AC refinement scan (§G.1.2.3): newly-significant coefficients
+    // carry (run, 1) + sign; already-nonzero ones contribute correction
+    // bits BUFFERED until the next emitted symbol or EOB run
+    def acRefine(ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      sos(ss, se, ah, al)
+      val w = new BitWriter(bos)
+      var eobrun = 0
+      val runBits = new scala.collection.mutable.ArrayBuffer[Int]() // ride the EOB run
+      def emitEobrun(): Unit = {
+        if (eobrun > 0) {
+          var nb = 0
+          var t = eobrun
+          while (t > 1) { t >>= 1; nb += 1 }
+          val (c0, l0) = ProgAcCodes(nb << 4)
+          w.write(c0, l0)
+          if (nb > 0) w.write(eobrun & ((1 << nb) - 1), nb)
+          eobrun = 0
+        }
+        runBits.foreach(b => w.write(b, 1))
+        runBits.clear()
+      }
+      val absv = new Array[Int](64)
+      blocks.foreach { c =>
+        var eob = ss - 1 // last newly-significant index; band is EOB past it
+        var k = ss
+        while (k <= se) {
+          val a = math.abs(c(Zigzag(k))) >> al
+          absv(k) = a
+          if (a == 1) eob = k
+          k += 1
+        }
+        var r = 0
+        val pending = new scala.collection.mutable.ArrayBuffer[Int]()
+        k = ss
+        while (k <= se) {
+          val a = absv(k)
+          if (a == 0) r += 1
+          else {
+            // ZRLs only when they can't fold into the EOB run
+            while (r > 15 && k <= eob) {
+              emitEobrun()
+              val (z, zl) = ProgAcCodes(0xf0)
+              w.write(z, zl)
+              r -= 16
+              pending.foreach(b => w.write(b, 1))
+              pending.clear()
+            }
+            if (a > 1) pending += (a & 1) // history coefficient: correction bit
+            else {
+              emitEobrun()
+              val (ac, alen) = ProgAcCodes((r << 4) | 1)
+              w.write(ac, alen)
+              w.write(if (c(Zigzag(k)) < 0) 0 else 1, 1)
+              pending.foreach(b => w.write(b, 1))
+              pending.clear()
+              r = 0
+            }
+          }
+          k += 1
+        }
+        if (r > 0 || pending.nonEmpty) {
+          eobrun += 1
+          runBits ++= pending
+          if (eobrun == 0x7fff) emitEobrun()
+        }
+      }
+      emitEobrun()
+      w.flushWithOnes()
+    }
+
+    acFirst(1, 5, 2) // scan 2
+    acFirst(6, 63, 2) // scan 3
+    acRefine(1, 63, 2, 1) // scan 4
+    // ---- scan 5: DC refinement — the next lower DC bit, one per block
+    sos(0, 0, 1, 0)
+    locally {
+      val w = new BitWriter(bos)
+      blocks.foreach(c => w.write(c(0) & 1, 1))
+      w.flushWithOnes()
+    }
+    acRefine(1, 63, 1, 0) // scan 6
     m(0xd9) // EOI
     bos.toByteArray
   }

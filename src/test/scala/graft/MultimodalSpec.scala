@@ -856,6 +856,88 @@ class MultimodalSpec extends SparkSpec {
     assert(clips(1).samples.toSeq === Seq[Short](7, -7))
   }
 
+  test("progressive JPEG: hand-built fixture decodes to known pixels") {
+    // 8x8 flat gray 144, quant all-16: FDCT DC = 8*(144-128) = 128,
+    // quantized 8. Built byte by byte from T.81 Annex G with MINIMAL
+    // hand tables (DC cats 0-3 at 3 bits, AC table = EOB only), NOT via
+    // encodeJpegProgressive — an encoder/decoder pair agreeing on the
+    // same wrong scan semantics can't pass. Scans: DC first at Al=1
+    // (sends 8>>1 = 4, cat 3 code '011' + bits '100'), AC first 1-63
+    // (EOB '00'), DC refine (bit (8>>0)&1 = 0).
+    val fix =
+      Array(0xff, 0xd8).map(_.toByte) ++
+      jseg(0xdb, 0 +: Array.fill(64)(16)) ++
+      jseg(0xc2, Array(8, 0, 8, 0, 8, 1, 1, 0x11, 0)) ++
+      jseg(0xc4, 0x00 +: (Array(0, 0, 4, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) ++
+        Array(0, 1, 2, 3))) ++
+      jseg(0xc4, 0x10 +: (Array(0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) ++
+        Array(0))) ++
+      jseg(0xda, Array(1, 1, 0x00, 0, 0, 0x01)) ++ jbits("01110011") ++
+      jseg(0xda, Array(1, 1, 0x00, 1, 63, 0x00)) ++ jbits("00111111") ++
+      jseg(0xda, Array(1, 1, 0x00, 0, 0, 0x10)) ++ jbits("01111111") ++
+      Array(0xff, 0xd9).map(_.toByte)
+    val img = Jpeg.decodeJpeg(fix).get
+    assert(img.width === 8 && img.height === 8)
+    assert(img.pixels.forall(p => (p & 0xff) === 144), img.pixels.map(_ & 0xff).toSeq)
+    // truncating any scan's entropy data rejects (EOI required)
+    for (cut <- Seq(1, fix.length / 2, fix.length - 3, fix.length - 1))
+      assert(Jpeg.decodeJpeg(fix.take(cut)).isEmpty, s"cut at $cut")
+  }
+
+  test("progressive encode decodes pixel-identical to the sequential encode") {
+    // Same FDCT + quantizer on both paths, so the SEQUENTIAL decode is
+    // the oracle for the whole progressive scan machinery: any
+    // first/refine/EOB-run/correction-bit disagreement between the
+    // progressive encoder and decoder shows up as a pixel diff against
+    // the independently-fixtured baseline path.
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 60) {
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(24)
+      val px = trial % 3 match {
+        case 0 => // smooth gradient: long EOB runs across blocks
+          val ax = rnd.nextInt(9) - 4; val by = rnd.nextInt(9) - 4
+          val c = 60 + rnd.nextInt(130)
+          Array.tabulate(w * h)(i =>
+            math.max(0, math.min(255, c + ax * (i % w) + by * (i / w))).toByte)
+        case 1 => // noise: dense AC coefficients, ZRLs, correction bits
+          Array.fill(w * h)(rnd.nextInt(256).toByte)
+        case _ => // flat: DC-only, maximal EOB runs
+          Array.fill(w * h)(rnd.nextInt(256).toByte).map(_ => rnd.nextInt(256).toByte)
+      }
+      val img = Multimodal.PgmImage(w, h, 255, px)
+      val seqDec = Jpeg.decodeJpeg(Jpeg.encodeJpeg(img)).get
+      val prog = Jpeg.encodeJpegProgressive(img)
+      val progDec = Jpeg.decodeJpeg(prog)
+      assert(progDec.isDefined, s"trial $trial ${w}x$h: progressive decode failed")
+      assert(progDec.get.width === w && progDec.get.height === h)
+      assert(java.util.Arrays.equals(progDec.get.pixels, seqDec.pixels),
+        s"trial $trial ${w}x$h: progressive != sequential decode")
+    }
+  }
+
+  test("progressive JPEG survives fuzzing and mixes with baseline frames") {
+    val img = Multimodal.PgmImage(20, 16, 255,
+      Array.tabulate(320)(i => ((i * 7) % 251).toByte))
+    val prog = Jpeg.encodeJpegProgressive(img)
+    // random bit flips must never throw — reject or decode, both fine
+    val rnd = new scala.util.Random(11)
+    for (_ <- 0 until 300) {
+      val mut = prog.clone()
+      val at = rnd.nextInt(mut.length)
+      mut(at) = (mut(at) ^ (1 << rnd.nextInt(8))).toByte
+      Jpeg.decodeJpeg(mut) // must not throw
+    }
+    // every truncation rejects (EOI is mandatory)
+    for (cut <- 0 until prog.length by 7)
+      assert(Jpeg.decodeJpeg(prog.take(cut)).isEmpty, s"cut at $cut")
+    // a concatenated container may mix progressive and baseline frames
+    val base = Jpeg.encodeJpeg(img)
+    val frames = Jpeg.decodeJpegFrames(prog ++ base)
+    assert(frames.length === 2)
+    assert(java.util.Arrays.equals(frames.head.pixels, frames(1).pixels))
+  }
+
   test("JPEG codec: hostile and unsupported inputs reject, never mis-decode") {
     val good = Jpeg.encodeJpeg(
       Multimodal.PgmImage(16, 16, 255, Array.tabulate(256)(i => (i % 251).toByte)))
@@ -863,7 +945,9 @@ class MultimodalSpec extends SparkSpec {
     // truncation (EOI gone, or mid-entropy) rejects
     assert(Jpeg.decodeJpeg(good.dropRight(1)).isEmpty)
     assert(Jpeg.decodeJpeg(good.dropRight(7)).isEmpty)
-    // progressive (SOF2) rejects to the stub path
+    // a SOF2 frame carrying a baseline-style full-band scan header
+    // (Ss=0, Se=63 — an illegal progressive DC scan, G.1.1.1.1) rejects
+    // rather than guessing which coding model the scan uses
     val sofAt = good.indexOfSlice(Array(0xff.toByte, 0xc0.toByte))
     assert(sofAt > 0)
     val prog = good.clone(); prog(sofAt + 1) = 0xc2.toByte
