@@ -27,6 +27,46 @@ import graft.operators.Warc
   */
 object WarcIngest {
 
+  /** The fixed `binaryFile` source schema — file streams require an
+    * explicit schema, and binaryFile's is static.
+    */
+  private val BinaryFileSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+  }
+
+  private type RecordRow = (String, Int, String, String, String, String,
+    Option[Int], String, Array[Byte], String)
+
+  /** One file's bytes -> typed record rows. THE shared record walk —
+    * batch and streaming ingest both call this, so the two surfaces
+    * cannot drift (the engine-wide batch=stream contract).
+    */
+  private def recordRows(path: String, bytes: Array[Byte]): Seq[RecordRow] =
+    Warc.decodeWarc(bytes).zipWithIndex.map { case (rec, idx) =>
+      val http =
+        if (rec.recordType == "response") Warc.parseHttpResponse(rec.body)
+        else None
+      val isHtml = http.exists(_.contentType.exists(_.toLowerCase
+        .startsWith("text/html")))
+      (path, idx, rec.recordType, rec.recordId, rec.date,
+        rec.targetUri.orNull,
+        http.map(_.status), http.flatMap(_.contentType).orNull,
+        http.map(_.entity).getOrElse(rec.body),
+        if (isHtml)
+          graft.functions.TextExpressions.htmlToTextString(
+            new String(http.get.entity, java.nio.charset.StandardCharsets.UTF_8))
+        else null)
+    }
+
+  private val RecordCols = Seq("path", "record_idx", "record_type",
+    "record_id", "warc_date", "target_uri", "http_status", "content_type",
+    "entity", "text")
+
   /** Every record of every WARC file under `dir` (plain `.warc` or
     * per-record-gzip `.warc.gz`, detected by magic bytes) as typed
     * rows:
@@ -51,25 +91,43 @@ object WarcIngest {
     spark.read.format("binaryFile").load(dir)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) =>
-        Warc.decodeWarc(bytes).zipWithIndex.map { case (rec, idx) =>
-          val http =
-            if (rec.recordType == "response") Warc.parseHttpResponse(rec.body)
-            else None
-          val isHtml = http.exists(_.contentType.exists(_.toLowerCase
-            .startsWith("text/html")))
-          (path, idx, rec.recordType, rec.recordId, rec.date,
-            rec.targetUri.orNull,
-            http.map(_.status), http.flatMap(_.contentType).orNull,
-            http.map(_.entity).getOrElse(rec.body),
-            if (isHtml)
-              graft.functions.TextExpressions.htmlToTextString(
-                new String(http.get.entity, java.nio.charset.StandardCharsets.UTF_8))
-            else null)
-        }
+      .flatMap { case (path, bytes) => recordRows(path, bytes) }
+      .toDF(RecordCols: _*)
+  }
+
+  /** Streaming twin of [[readWarcRecords]]: a `readStream` file source
+    * over the landing directory, so segments uploaded while a crawl is
+    * in flight ingest incrementally through the SAME record walk
+    * ([[recordRows]]) — checkpoint the query and a restart resumes at
+    * the first unprocessed segment, never re-emitting a processed one.
+    * Same 100 TB shape as batch: one task per segment file, zero
+    * shuffles from raw bytes to typed rows; the file-source's
+    * `maxFilesPerTrigger` option is the ingest throttle.
+    */
+  def streamWarcRecords(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.readStream.format("binaryFile").schema(BinaryFileSchema).load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) => recordRows(path, bytes) }
+      .toDF(RecordCols: _*)
+  }
+
+  /** Streaming twin of [[quarantine]]: arriving segments that fail the
+    * WARC parse land here as dead-letter rows instead of failing the
+    * ingest query — the streaming side of the same never-half-ingest
+    * contract (a torn segment yields zero record rows and ONE
+    * quarantine row).
+    */
+  def streamQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.readStream.format("binaryFile").schema(BinaryFileSchema).load(dir)
+      .select(col("path"), col("length"), col("content"))
+      .as[(String, Long, Array[Byte])]
+      .flatMap { case (path, len, bytes) =>
+        if (Warc.decodeWarc(bytes).isEmpty) Some((path, len)) else None
       }
-      .toDF("path", "record_idx", "record_type", "record_id", "warc_date",
-        "target_uri", "http_status", "content_type", "entity", "text")
+      .toDF("path", "length")
   }
 
   /** Files under `dir` that failed to parse as WARC — the auditable

@@ -288,4 +288,66 @@ class WarcSpec extends SparkSpec {
       dir.listFiles().foreach(_.delete()); dir.delete()
     }
   }
+
+  test("streaming WARC ingest: arriving segments over two micro-batches match batch") {
+    val dir = java.nio.file.Files.createTempDirectory("warc_stream").toFile
+    val ckpt = java.nio.file.Files.createTempDirectory("warc_stream_ckpt").toFile
+    val ckptQ = java.nio.file.Files.createTempDirectory("warc_stream_ckpt_q").toFile
+    try {
+      def respRec(id: String, uri: String, html: String) =
+        Warc.WarcRecord("1.0", Vector(
+          "WARC-Type" -> "response",
+          "WARC-Record-ID" -> s"<urn:test:$id>",
+          "WARC-Date" -> "2026-02-02T00:00:00Z",
+          "WARC-Target-URI" -> uri),
+          Warc.encodeHttpResponse(200, "OK",
+            Seq("Content-Type" -> "text/html"), b(html)))
+      // micro-batch 1: one two-record gzip segment
+      java.nio.file.Files.write(new java.io.File(dir, "seg-0.warc.gz").toPath,
+        Warc.gzipMember(Warc.encodeWarcRecord(respRec("a", "https://x.org/1", "<p>one</p>"))) ++
+          Warc.gzipMember(Warc.encodeWarcRecord(respRec("b", "https://x.org/2", "<p>two</p>"))))
+      val records = WarcIngest.streamWarcRecords(spark, dir.getAbsolutePath)
+        .writeStream.format("memory").queryName("warc_stream_records")
+        .option("checkpointLocation", ckpt.getAbsolutePath).start()
+      val quarantine = WarcIngest.streamQuarantine(spark, dir.getAbsolutePath)
+        .writeStream.format("memory").queryName("warc_stream_quarantine")
+        .option("checkpointLocation", ckptQ.getAbsolutePath).start()
+      try {
+        records.processAllAvailable()
+        quarantine.processAllAvailable()
+        assert(spark.sql("SELECT * FROM warc_stream_records").count() === 2)
+        assert(spark.sql("SELECT * FROM warc_stream_quarantine").count() === 0)
+        // micro-batch 2: one more good segment + one torn one
+        java.nio.file.Files.write(new java.io.File(dir, "seg-1.warc").toPath,
+          Warc.encodeWarcRecord(respRec("c", "https://x.org/3", "<p>three</p>")))
+        java.nio.file.Files.write(new java.io.File(dir, "broken.warc.gz").toPath,
+          b("torn segment bytes"))
+        records.processAllAvailable()
+        quarantine.processAllAvailable()
+        val streamed = spark.sql(
+          "SELECT path, record_idx, record_type, record_id, warc_date, " +
+          "target_uri, http_status, content_type, text FROM warc_stream_records")
+          .orderBy("path", "record_idx").collect()
+        assert(streamed.length === 3) // the second batch APPENDED, never re-emitted
+        // batch twin over the same directory: identical rows (shared walk)
+        val batch = WarcIngest.readWarcRecords(spark, dir.getAbsolutePath)
+          .select("path", "record_idx", "record_type", "record_id", "warc_date",
+            "target_uri", "http_status", "content_type", "text")
+          .orderBy("path", "record_idx").collect()
+        assert(streamed.toSeq === batch.toSeq)
+        assert(streamed.map(_.getAs[String]("text")).toSeq === Seq("one", "two", "three"))
+        // the torn segment dead-letters on the streaming side too
+        val q2 = spark.sql("SELECT path FROM warc_stream_quarantine").collect()
+        assert(q2.length === 1 && q2.head.getString(0).endsWith("broken.warc.gz"))
+      } finally {
+        records.stop(); quarantine.stop()
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(dir); rm(ckpt); rm(ckptQ)
+    }
+  }
 }
