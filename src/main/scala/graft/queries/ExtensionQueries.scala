@@ -1433,6 +1433,28 @@ object ExtensionQueries {
       BpeTrainer.tokenCounts(s, docs, model).orderBy(col("doc_id"))
     }),
 
+    // The BPE APPLY under a PINNED merge table — the oracled half of
+    // the tokenizer story (training's merge loop is not
+    // SQL-expressible, so bpe_token_counts above is rows-only; the
+    // apply under a FIXED table IS replayable). The 10 merges are
+    // chosen with per-rule DISJOINT characters (plus same-char run
+    // rules and one end-of-word merge), which makes the merge count of
+    // a word equal its non-overlapping substring counts — exactly what
+    // DuckDB's replace()/LIKE arithmetic computes. Disjointness is what
+    // buys replayability, NOT a semantic simplification: the Spark side
+    // still runs the full rank-scan merge loop of encodeWord (memo,
+    // symbol split, EOW marker), and the hash gate fails if that loop's
+    // leftmost-first order or chain handling drifts from BPE semantics
+    // (BpeTrainerSpec pins the interacting cases).
+    "bpe_apply_fixed" -> ((s, dir) => {
+      val model = BpeTrainer.BpeModel(Vector(
+        ("o", "r"), ("t", "h"), ("a", "n"), ("u", "m"), ("v", "e"),
+        ("s", "c"), ("w", "i"), ("l", "l"), ("g", "g"),
+        ("p", BpeTrainer.EndOfWord)))
+      BpeTrainer.tokenCounts(s, Tables.documents(s, dir), model)
+        .orderBy(col("doc_id"))
+    }),
+
     // html_to_text as an IN-PLAN native expression (the WARC query
     // above calls the same implementation record-at-a-time inside
     // mapPartitions; this one keeps the whole build-escape-extract
@@ -2011,6 +2033,29 @@ object ExtensionQueries {
       ("WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents) " +
        "SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM w WHERE length(word) > 0 " +
        "GROUP BY word ORDER BY cnt DESC, word LIMIT 100"),
+    "bpe_apply_fixed" ->
+      // per-rule-disjoint merges: BPE merge count per word == the sum
+      // of non-overlapping substring counts (replace arithmetic) + the
+      // end-of-word rule; tokens = chars + 1 (EOW symbol) - merges
+      ("WITH t AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) word FROM documents), " +
+       "nz AS (SELECT doc_id, word FROM t WHERE length(word) > 0), " +
+       "per AS (SELECT doc_id, length(word) chars, length(word) + 1 " +
+       "- (length(word) - length(replace(word, 'or', ''))) // 2 " +
+       "- (length(word) - length(replace(word, 'th', ''))) // 2 " +
+       "- (length(word) - length(replace(word, 'an', ''))) // 2 " +
+       "- (length(word) - length(replace(word, 'um', ''))) // 2 " +
+       "- (length(word) - length(replace(word, 've', ''))) // 2 " +
+       "- (length(word) - length(replace(word, 'sc', ''))) // 2 " +
+       "- (length(word) - length(replace(word, 'wi', ''))) // 2 " +
+       "- (length(word) - length(replace(word, 'll', ''))) // 2 " +
+       "- (length(word) - length(replace(word, 'gg', ''))) // 2 " +
+       "- (CASE WHEN word LIKE '%p' THEN 1 ELSE 0 END) AS toks FROM nz), " +
+       "agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) nw, CAST(SUM(toks) AS BIGINT) nt, " +
+       "CAST(SUM(chars) AS BIGINT) nc FROM per GROUP BY doc_id) " +
+       "SELECT d.doc_id, CAST(COALESCE(nw, 0) AS BIGINT) AS n_words, " +
+       "CAST(COALESCE(nt, 0) AS BIGINT) AS n_tokens, " +
+       "CAST(COALESCE(nc, 0) AS BIGINT) AS n_chars " +
+       "FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id"),
     "text_html_extract" ->
       // the oracle never parses HTML: it derives the expected visible
       // text straight from the raw document text, so the Spark side's

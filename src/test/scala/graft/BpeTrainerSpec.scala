@@ -123,4 +123,26 @@ class BpeTrainerSpec extends SparkSpec {
       assert(t >= w); assert(t <= c + w)
     }
   }
+
+  test("pinned disjoint merge table: the bpe_apply_fixed oracle's arithmetic cases") {
+    // The bpe_apply_fixed query leans on per-rule-disjoint characters
+    // making BPE's merge count equal non-overlapping substring counts;
+    // these pin the interacting shapes that equality rests on —
+    // leftmost-first at equal rank, same-char runs, merged outputs not
+    // re-pairing, and the end-of-word merge.
+    val model = BpeModel(Vector(
+      ("o", "r"), ("t", "h"), ("a", "n"), ("u", "m"), ("v", "e"),
+      ("s", "c"), ("w", "i"), ("l", "l"), ("g", "g"), ("p", EndOfWord)))
+    def toks(w: String) = BpeTrainer.encodeWord(w, model)
+    assert(toks("vector") === Vector("ve", "c", "t", "or", EndOfWord))
+    assert(toks("scan") === Vector("sc", "an", EndOfWord))
+    assert(toks("small") === Vector("s", "m", "a", "ll", EndOfWord))
+    assert(toks("lll") === Vector("ll", "l", EndOfWord)) // leftmost, no re-pair
+    assert(toks("agg") === Vector("a", "gg", EndOfWord))
+    assert(toks("group") === Vector("g", "r", "o", "u", "p" + EndOfWord))
+    assert(toks("oorr") === Vector("o", "or", "r", EndOfWord)) // single occurrence
+    assert(toks("oror") === Vector("or", "or", EndOfWord))
+    assert(toks("thor") === Vector("th", "or", EndOfWord))
+    assert(toks("pp") === Vector("p", "p" + EndOfWord)) // only the LAST p merges EOW
+  }
 }
