@@ -618,6 +618,10 @@ object Jpeg {
     val lumaBh = mcusY * lc.v
     val bwN = (lumaW + 7) / 8 // non-interleaved block grid (§A.2.2)
     val bhN = (lumaH + 7) / 8
+    // u16 dims admit up to ~68G coefficients; the bytes bound above
+    // normally rejects first, but the allocation itself must never be
+    // an Int-overflowed negative size (reject, don't throw)
+    if (lumaBw.toLong * lumaBh * 64 > Int.MaxValue) return None
     val lumaCoef = new Array[Int](lumaBw * lumaBh * 64)
     var dcSeen = false
 
