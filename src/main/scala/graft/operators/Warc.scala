@@ -301,7 +301,14 @@ object Warc {
     */
   def gzipMember(bytes: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
-    val gz = new java.util.zip.GZIPOutputStream(bos)
+    // BEST_SPEED: this writer only feeds the engine's own round trips
+    // (the synthetic crawl containers and tests); the decoder verifies
+    // the CRC at ANY level, so the level is semantically invisible and
+    // deflate is otherwise the hottest instruction stream of the
+    // per-row container builds (crawl_pipeline / warc_ingest).
+    val gz = new java.util.zip.GZIPOutputStream(bos) {
+      `def`.setLevel(java.util.zip.Deflater.BEST_SPEED)
+    }
     gz.write(bytes)
     gz.close()
     bos.toByteArray
