@@ -143,10 +143,14 @@ object Bench {
         try Tables.load(spark, sfDir2, t).cache().count()
         catch { case _: Throwable => () }
       }
+      // Sample load/calib at THIS window's start (not run start), so the
+      // pair brackets exactly the sf2 timing pass and the line's
+      // contention readout describes its own window, not the whole run.
+      val loadStart2 = loadAvg()
+      val calibStart2 = calibMs()
       val (results2, errors2) = timeAll(oracled, sfDir2)
       val total2 = if (results2.nonEmpty) results2.values.sum else 0.0
-      // own load/calib tail so THIS window's contention is visible too
-      val loadJson2 = s""""nproc":$nproc,"load_avg":[${r1(loadStart)},${r1(loadAvg())}],"calib_ms":[${r1(calibStart)},${r1(calibMs())}]"""
+      val loadJson2 = s""""nproc":$nproc,"load_avg":[${r1(loadStart2)},${r1(loadAvg())}],"calib_ms":[${r1(calibStart2)},${r1(calibMs())}]"""
       println(s"""{"metric":"total_compact","value":$total2,"unit":"sec","n_oracled":${results2.size},"n_errors":${errors2.size},"sf":"$sfDir2",$loadJson2}""")
     }
     // A tail capture always keeps the LAST line, so the headline total is

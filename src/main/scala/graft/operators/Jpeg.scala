@@ -184,9 +184,14 @@ object Jpeg {
       }
       bad = true; -1 // 17+ bits: not a valid code
     }
-    /** Byte-align and consume the expected RSTn marker (T.81 §F.2.1.3.1). */
+    /** Byte-align and consume the expected RSTn marker (T.81 §F.2.1.3.1).
+      * B.1.1.2 allows any number of 0xFF fill bytes before a marker, so
+      * skip them first (mirroring the header walk and skipEntropy).
+      */
     def alignToRestart(n: Int): Boolean = {
       bitCnt = 0
+      while (pos + 2 < end && (p(pos) & 0xff) == 0xff && (p(pos + 1) & 0xff) == 0xff)
+        pos += 1
       if (pos + 2 > end || (p(pos) & 0xff) != 0xff ||
           (p(pos + 1) & 0xff) != (0xd0 + n)) return false
       pos += 2
@@ -605,12 +610,14 @@ object Jpeg {
     val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
     val blocksPerMcu = comps.map(c => c.h * c.v).sum
     val totalBlocks = mcusX.toLong * mcusY * blocksPerMcu
-    // Decompression-bomb bound, TIGHTER than baseline's 4 blocks/byte:
-    // progressive spends a DC bit plus (in any real file) several AC
-    // scans per block, and — unlike the streaming baseline path — the
-    // decoder must hold every luma coefficient (256 B/block), so the
-    // allocation is bounded at one block per remaining payload byte.
-    if (totalBlocks > (n - firstSos).toLong + 64) return None
+    // Decompression-bomb bound, bits-based: the luma DC-first scan
+    // costs at least one bit per block (a Huffman code is >= 1 bit,
+    // T.81 §F.1.2.1.2), so more blocks than remaining payload BITS is
+    // structurally impossible. One-per-BYTE (the previous bound) was
+    // wrong: EOB runs cover up to 32767 blocks in one code, so smooth
+    // progressive images — exactly where progressive compresses best —
+    // legitimately spend well under 8 bits/block and were rejected.
+    if (totalBlocks > 8L * (n - firstSos) + 64) return None
     val lc = comps(0)
     val lumaW = (width * lc.h + hMax - 1) / hMax // luma sample grid
     val lumaH = (height * lc.v + vMax - 1) / vMax
@@ -618,10 +625,14 @@ object Jpeg {
     val lumaBh = mcusY * lc.v
     val bwN = (lumaW + 7) / 8 // non-interleaved block grid (§A.2.2)
     val bhN = (lumaH + 7) / 8
-    // u16 dims admit up to ~68G coefficients; the bytes bound above
-    // normally rejects first, but the allocation itself must never be
-    // an Int-overflowed negative size (reject, don't throw)
-    if (lumaBw.toLong * lumaBh * 64 > Int.MaxValue) return None
+    // Memory cap, payload-independent: progressive (unlike the
+    // streaming baseline path) must hold the full luma coefficient
+    // plane, so the allocation itself is capped at 64 MB (16M Int
+    // coefficients = a 4096x4096 luma plane). Executors run many codec
+    // tasks concurrently; a per-row buffer past this is a memory bomb
+    // regardless of how honestly the entropy data paid for its blocks.
+    // This also subsumes Int overflow of the u16-dim product (~68G).
+    if (lumaBw.toLong * lumaBh * 64 > 16L * 1024 * 1024) return None
     val lumaCoef = new Array[Int](lumaBw * lumaBh * 64)
     var dcSeen = false
 

@@ -314,6 +314,8 @@ object Multimodal {
     var height = 0
     var channels = 0
     var colorType = -1
+    var sampleBytes = 1
+    var interlaced = false
     var paletteOff = -1
     var paletteEntries = 0
     var seenIdat = false
@@ -345,10 +347,17 @@ object Multimodal {
             case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
             case _ => return None
           }
-          if (bitDepth != 8 || comp != 0 || filterMethod != 0 ||
-              interlace != 0) return None
+          // Legal depth/type combos (spec §11.2.2): 16-bit everywhere
+          // except paletted (whose indices are at most 8-bit); sub-byte
+          // depths (1/2/4, gray + paletted only) still reject to the
+          // stub — documented posture, same as compressed audio.
+          val depthOk = bitDepth == 8 || (bitDepth == 16 && colorType != 3)
+          if (!depthOk || comp != 0 || filterMethod != 0 ||
+              interlace > 1) return None
+          sampleBytes = bitDepth / 8
+          interlaced = interlace == 1
           if (width <= 0 || height <= 0 ||
-              (width.toLong * channels + 1) * height > Int.MaxValue ||
+              (width.toLong * channels * sampleBytes + 1) * height > Int.MaxValue ||
               width.toLong * height > Int.MaxValue) return None
           seenIhdr = true
         case "PLTE" =>
@@ -370,7 +379,31 @@ object Multimodal {
       }
       i += 12 + len.toInt
     }
-    // Inflate to exactly height scanlines of (1 filter byte + the
+    // Scanline layout: one pass for a sequential image; the seven
+    // Adam7 passes (spec §8.2 — (x0, y0, dx, dy) sub-grids) for an
+    // interlaced one. Each pass is an INDEPENDENT sub-image: its own
+    // scanlines, its own filter bytes, filters referencing only rows
+    // within the pass. A pass whose sub-grid is empty (e.g. pass 2 of
+    // a width-4 image) contributes NO scanlines — not even filter
+    // bytes (§8.2) — which is exactly the edge a naive ceil() walk
+    // gets wrong on tiny images.
+    val bpp = channels * sampleBytes
+    val passes: Array[(Int, Int, Int, Int)] =
+      if (!interlaced) Array((0, 0, 1, 1))
+      else Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                 (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    def passDims(p: (Int, Int, Int, Int)): (Int, Int) = {
+      val (x0, y0, dx, dy) = p
+      (if (width > x0) (width - x0 + dx - 1) / dx else 0,
+       if (height > y0) (height - y0 + dy - 1) / dy else 0)
+    }
+    var rawLenL = 0L
+    passes.foreach { p =>
+      val (pw, ph) = passDims(p)
+      if (pw > 0 && ph > 0) rawLenL += ph.toLong * (pw.toLong * bpp + 1)
+    }
+    if (rawLenL > Int.MaxValue) return None
+    // Inflate to exactly the pass scanlines of (1 filter byte + the
     // pixel bytes). Allocation is bounded by the ACTUAL payload bytes,
     // not header claims alone (the same discipline as decodePgmAt's
     // raster check): DEFLATE tops out near 1032:1, so a few-hundred-
@@ -378,8 +411,7 @@ object Multimodal {
     // decompression bomb — rejects here instead of allocating ~2 GB
     // per hostile asset row. The +64 covers fixed zlib framing on
     // tiny legitimate rasters.
-    val rowBytes = width * channels
-    val rawLen = height * (rowBytes + 1)
+    val rawLen = rawLenL.toInt
     val idatBytes = idat.toByteArray
     if (rawLen.toLong > 1032L * idatBytes.length + 64) return None
     val raw = new Array[Byte](rawLen)
@@ -402,83 +434,106 @@ object Multimodal {
       if (!inf.finished() && inf.inflate(scratch) != 0) return None
     } catch { case _: java.util.zip.DataFormatException => return None }
     finally inf.end()
-    // Unfilter (spec §6) IN PLACE over the scanline buffer: filters
-    // operate on BYTES with the pixel stride (a = `channels` bytes
-    // left, b = same byte one row up, c = both), so color types share
-    // one loop; 0 off-image per spec.
-    var y = 0
-    while (y < height) {
-      val ft = raw(y * (rowBytes + 1)) & 0xff
-      if (ft > 4) return None
-      val rowOff = y * (rowBytes + 1) + 1
-      val prevOff = rowOff - (rowBytes + 1)
-      var x = 0
-      while (x < rowBytes) {
-        val rawv = raw(rowOff + x) & 0xff
-        val a = if (x >= channels) raw(rowOff + x - channels) & 0xff else 0
-        val b = if (y > 0) raw(prevOff + x) & 0xff else 0
-        val c = if (x >= channels && y > 0) raw(prevOff + x - channels) & 0xff else 0
-        val v = ft match {
-          case 0 => rawv
-          case 1 => rawv + a
-          case 2 => rawv + b
-          case 3 => rawv + (a + b) / 2
-          case 4 =>
-            val p = a + b - c
-            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
-            rawv + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
-        }
-        raw(rowOff + x) = v.toByte // mod-256 per spec
-        x += 1
+    // 16-bit samples collapse to 8 by linear rescale with rounding
+    // (spec §13.12 recommends round(v * 255 / 65535), which libpng's
+    // png_do_scale_16 also implements); the encoder's v -> v * 257
+    // (hi = lo = v) expansion inverts exactly under it, so 16-bit
+    // round trips are pixel-exact.
+    def sample8(off: Int): Int =
+      if (sampleBytes == 1) raw(off) & 0xff
+      else {
+        val v = ((raw(off) & 0xff) << 8) | (raw(off + 1) & 0xff)
+        (510 * v + 65535) / 131070
       }
-      y += 1
-    }
-    // Collapse to the luma plane — colorType is image-invariant, so
-    // branch once and loop per type (grayscale rows block-copy)
-    val px = new Array[Byte](width * height)
-    colorType match {
-      case 0 => // grayscale: the scanline IS the luma row
-        y = 0
-        while (y < height) {
-          System.arraycopy(raw, y * (rowBytes + 1) + 1, px, y * width, width)
-          y += 1
-        }
-      case 3 => // palette indices -> RGB triples; precompute index luma
-        val palLuma = new Array[Byte](paletteEntries)
+    // Palette index luma precomputed once (indices are 8-bit only)
+    val palLuma: Array[Byte] =
+      if (colorType != 3) null
+      else {
+        val pl = new Array[Byte](paletteEntries)
         var pi = 0
         while (pi < paletteEntries) {
           val pe = paletteOff + pi * 3
-          palLuma(pi) = luma(payload(pe) & 0xff, payload(pe + 1) & 0xff,
+          pl(pi) = luma(payload(pe) & 0xff, payload(pe + 1) & 0xff,
             payload(pe + 2) & 0xff)
           pi += 1
         }
-        y = 0
-        while (y < height) {
-          val rowOff = y * (rowBytes + 1) + 1
+        pl
+      }
+    // Per pass: unfilter (spec §9) IN PLACE — filters operate on BYTES
+    // with the pixel stride bpp (a = bpp bytes left, b = same byte one
+    // row up WITHIN THE PASS, c = both; 0 off-image / off-pass) — then
+    // collapse to luma and scatter into the full raster at the pass's
+    // (x0 + x*dx, y0 + y*dy) grid positions.
+    val px = new Array[Byte](width * height)
+    var passOff = 0
+    var pi = 0
+    while (pi < passes.length) {
+      val (x0, y0, dx, dy) = passes(pi)
+      val (pw, ph) = passDims(passes(pi))
+      if (pw > 0 && ph > 0) {
+        val prb = pw * bpp
+        var y = 0
+        while (y < ph) {
+          val ft = raw(passOff + y * (prb + 1)) & 0xff
+          if (ft > 4) return None
+          val rowOff = passOff + y * (prb + 1) + 1
+          val prevOff = rowOff - (prb + 1)
           var x = 0
-          while (x < width) {
-            val idx = raw(rowOff + x) & 0xff
-            if (idx >= paletteEntries) return None
-            px(y * width + x) = palLuma(idx)
+          while (x < prb) {
+            val rawv = raw(rowOff + x) & 0xff
+            val a = if (x >= bpp) raw(rowOff + x - bpp) & 0xff else 0
+            val b = if (y > 0) raw(prevOff + x) & 0xff else 0
+            val c = if (x >= bpp && y > 0) raw(prevOff + x - bpp) & 0xff else 0
+            val v = ft match {
+              case 0 => rawv
+              case 1 => rawv + a
+              case 2 => rawv + b
+              case 3 => rawv + (a + b) / 2
+              case 4 =>
+                val p = a + b - c
+                val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+                rawv + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+            }
+            raw(rowOff + x) = v.toByte // mod-256 per spec
             x += 1
           }
           y += 1
         }
-      case _ => // 2/6: RGB(A); 4: gray+alpha — alpha bytes skipped
-        val isGray = colorType == 4
-        y = 0
-        while (y < height) {
-          val rowOff = y * (rowBytes + 1) + 1
-          var x = 0
-          while (x < width) {
-            val p = rowOff + x * channels
-            px(y * width + x) =
-              if (isGray) raw(p)
-              else luma(raw(p) & 0xff, raw(p + 1) & 0xff, raw(p + 2) & 0xff)
-            x += 1
+        if (colorType == 0 && sampleBytes == 1 && !interlaced) {
+          // fast path (the overwhelmingly common crawl case): the
+          // scanline IS the luma row, one block copy per row
+          y = 0
+          while (y < ph) {
+            System.arraycopy(raw, passOff + y * (prb + 1) + 1, px, y * width, width)
+            y += 1
           }
-          y += 1
+        } else {
+          y = 0
+          while (y < ph) {
+            val rowOff = passOff + y * (prb + 1) + 1
+            val outRow = (y0 + y * dy) * width
+            var x = 0
+            while (x < pw) {
+              val p = rowOff + x * bpp
+              val v: Byte = colorType match {
+                case 0 | 4 => sample8(p).toByte // gray (alpha skipped)
+                case 3 =>
+                  val idx = raw(p) & 0xff
+                  if (idx >= paletteEntries) return None
+                  palLuma(idx)
+                case _ => // 2/6: RGB(A), alpha skipped
+                  luma(sample8(p), sample8(p + sampleBytes),
+                    sample8(p + 2 * sampleBytes))
+              }
+              px(outRow + x0 + x * dx) = v
+              x += 1
+            }
+            y += 1
+          }
         }
+        passOff += ph * (prb + 1)
+      }
+      pi += 1
     }
     Some((PgmImage(width, height, 255, px), i))
   }

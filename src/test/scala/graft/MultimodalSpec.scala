@@ -817,6 +817,12 @@ class MultimodalSpec extends SparkSpec {
     val rstAt = fixture.indexOfSlice(Array(0xff.toByte, 0xd0.toByte))
     bad(rstAt + 1) = 0xd3.toByte
     assert(Jpeg.decodeJpeg(bad).isEmpty)
+    // B.1.1.2 fill bytes are legal before RSTn too: splice an extra
+    // 0xff ahead of the restart marker and the decode must be identical
+    val filled = fixture.take(rstAt) ++ Array(0xff.toByte) ++ fixture.drop(rstAt)
+    val imgF = Jpeg.decodeJpeg(filled)
+    assert(imgF.isDefined, "fill byte before RST0 rejected")
+    assert(java.util.Arrays.equals(imgF.get.pixels, img.pixels))
   }
 
   test("0xff fill bytes before a marker are legal; stray TEM rejects") {
@@ -913,6 +919,26 @@ class MultimodalSpec extends SparkSpec {
       assert(progDec.get.width === w && progDec.get.height === h)
       assert(java.util.Arrays.equals(progDec.get.pixels, seqDec.pixels),
         s"trial $trial ${w}x$h: progressive != sequential decode")
+    }
+    // Large smooth images: EOB runs make per-block cost FAR below one
+    // byte (a 512x512 flat image is ~4096 blocks in well under 4 KB of
+    // entropy data), so these trials pin the bits-based bomb bound at
+    // Jpeg.decodeProgressiveFrom — the old one-block-per-BYTE bound
+    // rejected exactly these valid files. Flat and gradient both, at
+    // sizes the small random trials above (max 40x24) never reach.
+    for ((w, h, kind) <- Seq((128, 128, "flat"), (256, 256, "flat"),
+                             (512, 512, "flat"), (512, 512, "gradient"))) {
+      val px = kind match {
+        case "flat" => Array.fill(w * h)(128.toByte)
+        case _ => Array.tabulate(w * h)(i =>
+          math.max(0, math.min(255, 40 + (i % w) / 4 + (i / w) / 8)).toByte)
+      }
+      val img = Multimodal.PgmImage(w, h, 255, px)
+      val seqDec = Jpeg.decodeJpeg(Jpeg.encodeJpeg(img)).get
+      val progDec = Jpeg.decodeJpeg(Jpeg.encodeJpegProgressive(img))
+      assert(progDec.isDefined, s"${w}x$h $kind: progressive decode failed")
+      assert(java.util.Arrays.equals(progDec.get.pixels, seqDec.pixels),
+        s"${w}x$h $kind: progressive != sequential decode")
     }
   }
 
