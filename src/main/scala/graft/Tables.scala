@@ -26,18 +26,34 @@ object Tables {
     * `event_type`<->`type`, `user_id`<->`user`, `ts`<->`meta.dt`,
     * `props` (JSON string)<->nested meta.
     *
-    * `ts` is TIMESTAMP(NANOS) in the parquet, which Spark's reader
-    * rejects; read it as raw nanos (legacy conf, set at runtime so any
-    * session works) and truncate to microseconds with integer division —
-    * the same ns->us truncation DuckDB applies, so oracle comparisons
-    * agree. Integer `div`, NOT double division: epoch-nanos (~1.7e18)
-    * overflow a double's 53-bit mantissa.
+    * `ts` has shipped as TWO physical types across data drops, so the
+    * loader adapts to what the footer says instead of assuming one:
+    *   - TIMESTAMP(NANOS): Spark's reader rejects it outright; read as
+    *     raw nanos (legacy conf, set at runtime so any session works)
+    *     and truncate to microseconds with integer division — the same
+    *     ns->us truncation DuckDB applies. Integer `div`, NOT double
+    *     division: epoch-nanos (~1.7e18) overflow a double's 53-bit
+    *     mantissa.
+    *   - TIMESTAMP(MICROS) (isAdjustedToUTC=false): Spark reads it
+    *     natively as TIMESTAMP_NTZ; cast to the session-local TIMESTAMP
+    *     (session tz pinned UTC in build.sbt/Verify) so downstream
+    *     window/date arithmetic and the DuckDB oracle see the same
+    *     instants either way.
+    * Either path lands on TimestampType micros — consumers and oracles
+    * are physical-type agnostic.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) read as raw nanos
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", expr("cast(ts as timestamp)"))
+      case _ => raw // already session-local TimestampType
+    }
   }
 
   /** Revision-text analog (reference `scanner.py:178-196`): the corpus the
