@@ -370,6 +370,138 @@ class MultimodalSpec extends SparkSpec {
       === gray.toSeq)
   }
 
+  test("PNG Adam7 interlace and 16-bit depths decode exactly (independent forward build)") {
+    // Independent spec reimplementation (§8.2 pass extraction + §9
+    // forward filtering at the BYTE stride bpp), generalized over
+    // bitDepth and interlace — NOT built via encodePng, so the decoder
+    // and this builder can only agree by both following the spec.
+    def be(v: Long) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val tb = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32(); crc.update(tb); crc.update(data)
+      be(data.length.toLong) ++ tb ++ data ++ be(crc.getValue)
+    }
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(); d.setInput(raw); d.finish()
+      val o = new java.io.ByteArrayOutputStream(); val b = new Array[Byte](1024)
+      while (!d.finished()) o.write(b, 0, d.deflate(b))
+      d.end(); o.toByteArray
+    }
+    val adam7 = Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    // samples(x, y, ch) gives the FULL-DEPTH sample value (0..255 for
+    // depth 8, 0..65535 for depth 16)
+    def buildPng(w: Int, h: Int, colorType: Int, channels: Int, depth: Int,
+        interlace: Boolean, samples: (Int, Int, Int) => Int): Array[Byte] = {
+      val sb = depth / 8
+      val bpp = channels * sb
+      val passes = if (interlace) adam7 else Array((0, 0, 1, 1))
+      val raw = new java.io.ByteArrayOutputStream()
+      for ((x0, y0, dx, dy) <- passes) {
+        val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+        val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+        if (pw > 0 && ph > 0) {
+          // serialize the pass sub-image, then forward-filter its rows
+          val prb = pw * bpp
+          val sub = new Array[Byte](ph * prb)
+          for (y <- 0 until ph; x <- 0 until pw; ch <- 0 until channels) {
+            val v = samples(x0 + x * dx, y0 + y * dy, ch)
+            val off = y * prb + x * bpp + ch * sb
+            if (sb == 1) sub(off) = v.toByte
+            else { sub(off) = (v >>> 8).toByte; sub(off + 1) = v.toByte }
+          }
+          def at(i: Int, y: Int): Int = if (i < 0 || y < 0) 0 else sub(y * prb + i) & 0xff
+          for (y <- 0 until ph) {
+            val ft = (y + x0 + y0) % 5 // rotate filters; offset varies per pass
+            raw.write(ft)
+            for (i <- 0 until prb) {
+              val v = at(i, y)
+              val a = at(i - bpp, y); val b = at(i, y - 1); val c = at(i - bpp, y - 1)
+              val f = ft match {
+                case 0 => v
+                case 1 => v - a
+                case 2 => v - b
+                case 3 => v - (a + b) / 2
+                case 4 =>
+                  val p = a + b - c
+                  val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+                  v - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+              }
+              raw.write(f & 0xff)
+            }
+          }
+        }
+      }
+      val ihdr = be(w.toLong) ++ be(h.toLong) ++
+        Array[Byte](depth.toByte, colorType.toByte, 0, 0,
+          if (interlace) 1.toByte else 0.toByte)
+      sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", deflate(raw.toByteArray)) ++
+        chunk("IEND", Array.emptyByteArray)
+    }
+    def scale16(v: Int): Int = (510 * v + 65535) / 131070 // §13.12 round(v*255/65535)
+    def lum(r: Int, g: Int, b: Int): Byte = ((r * 299 + g * 587 + b * 114) / 1000).toByte
+
+    // Adam7 grayscale at sizes where passes go EMPTY (1x1 keeps only
+    // pass 1; 2x2 drops passes 2-4; 5x3 has single-pixel passes) plus
+    // sizes exercising partial final blocks — decode must equal the
+    // sequential decode of the same pixels, pixel for pixel.
+    for ((w, h) <- Seq((1, 1), (2, 2), (3, 3), (4, 4), (5, 3), (5, 5),
+                       (8, 8), (10, 9), (16, 16), (17, 5))) {
+      val pix = (x: Int, y: Int, _: Int) => (x * 31 + y * 57 + 11) % 256
+      val gotI = Multimodal.decodePng(buildPng(w, h, 0, 1, 8, interlace = true, pix))
+      assert(gotI.isDefined, s"${w}x$h interlaced gray failed to decode")
+      val exp = Array.tabulate(w * h)(i => pix(i % w, i / w, 0).toByte)
+      assert(gotI.get.pixels.toSeq === exp.toSeq, s"${w}x$h interlaced gray pixels")
+    }
+    // Adam7 truecolor: the pass walk must keep the 3-byte pixel stride
+    val (cw, ch2) = (10, 9)
+    val rgbAt = (x: Int, y: Int, c: Int) => ((x * 7 + y * 13 + c * 101 + 3) * 37) % 256
+    val gotRgbI = Multimodal.decodePng(buildPng(cw, ch2, 2, 3, 8, interlace = true, rgbAt)).get
+    val expRgbI = Array.tabulate(cw * ch2)(i =>
+      lum(rgbAt(i % cw, i / cw, 0), rgbAt(i % cw, i / cw, 1), rgbAt(i % cw, i / cw, 2)))
+    assert(gotRgbI.pixels.toSeq === expRgbI.toSeq, "interlaced RGB luma")
+
+    // 16-bit gray, hi==lo expansion (v*257): inverts EXACTLY under the
+    // §13.12 rescale, so decode equals the 8-bit original
+    val g8 = (x: Int, y: Int, _: Int) => (x * 19 + y * 43 + 5) % 256
+    val got16 = Multimodal.decodePng(
+      buildPng(7, 6, 0, 1, 16, interlace = false, (x, y, c) => g8(x, y, c) * 257)).get
+    assert(got16.pixels.toSeq === Array.tabulate(42)(i => g8(i % 7, i / 7, 0).toByte).toSeq,
+      "16-bit v*257 gray must round-trip to the 8-bit value")
+    // 16-bit gray, ARBITRARY samples: decode = round(v*255/65535), and
+    // the 2-byte stride must thread the filters (rotating per row)
+    val g16 = (x: Int, y: Int, _: Int) => (x * 9176 + y * 21523 + 77) % 65536
+    val gotArb = Multimodal.decodePng(buildPng(9, 5, 0, 1, 16, interlace = false, g16)).get
+    assert(gotArb.pixels.toSeq ===
+      Array.tabulate(45)(i => scale16(g16(i % 9, i / 9, 0)).toByte).toSeq,
+      "16-bit arbitrary gray rescale")
+    // 16-bit RGBA + interlace together: stride 8, alpha skipped, luma
+    // of the RESCALED channels (matching the decoder's sample8-then-
+    // luma order)
+    val s16 = (x: Int, y: Int, c: Int) => ((x * 5081 + y * 12289 + c * 31013 + 9) * 7) % 65536
+    val gotRgba16 = Multimodal.decodePng(buildPng(6, 7, 6, 4, 16, interlace = true, s16)).get
+    val expRgba16 = Array.tabulate(42)(i =>
+      lum(scale16(s16(i % 6, i / 6, 0)), scale16(s16(i % 6, i / 6, 1)),
+        scale16(s16(i % 6, i / 6, 2))))
+    assert(gotRgba16.pixels.toSeq === expRgba16.toSeq, "interlaced 16-bit RGBA luma")
+
+    // Reject postures stay: 16-bit paletted is illegal (§11.2.2),
+    // sub-byte depths and unknown interlace methods reject to the stub
+    assert(Multimodal.decodePng(buildPng(4, 4, 3, 1, 16, interlace = false, g16)).isEmpty,
+      "16-bit paletted must reject")
+    // (rebuilt with valid CRCs so the rejection is the HEADER check,
+    // not a CRC mismatch)
+    def headerOnly(depth: Int, interlaceMethod: Int): Array[Byte] = {
+      val ihdr = be(4L) ++ be(4L) ++
+        Array[Byte](depth.toByte, 0, 0, 0, interlaceMethod.toByte)
+      sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", deflate(new Array[Byte](20))) ++
+        chunk("IEND", Array.emptyByteArray)
+    }
+    assert(Multimodal.decodePng(headerOnly(4, 0)).isEmpty, "4-bit depth must reject")
+    assert(Multimodal.decodePng(headerOnly(8, 2)).isEmpty, "interlace method 2 must reject")
+  }
+
   test("PNG resize and features run on real pixels through the shared kernels") {
     val src = Multimodal.PgmImage(4, 4, 255, Array.tabulate(16)(_.toByte))
     val assets = Seq(Multimodal.Asset(1L, "image",
