@@ -793,6 +793,58 @@ object Multimodal {
     * [[decodePgmFrames]] reads back, so the hash gate exercises the
     * real decoder, not the construction arithmetic.
     */
+  /** Family-structured synthetic image for the perceptual-hash dedup
+    * query: all docs sharing `baseHash` (one hash per FAMILY) get the
+    * same base raster, and each doc perturbs ONE pixel from its own
+    * `pertHash` — the image analog of near-duplicate crawl assets
+    * (same photo, one watermark/EXIF byte different). Construction
+    * arithmetic (dims from the first two base-hash chars, fill from
+    * the base-hash bytes, perturbation position/value from the first
+    * three pert-hash chars) is exactly what the DuckDB oracle replays;
+    * the bytes go through the REAL PNG encoder so the consuming query
+    * exercises the codec path, not the arithmetic.
+    */
+  def syntheticFamilyPng(baseHash: String, pertHash: String): Array[Byte] = {
+    val w = 16 + (baseHash.charAt(0).toInt % 8) * 4
+    val h = 16 + (baseHash.charAt(1).toInt % 8) * 4
+    val px = new Array[Byte](w * h)
+    var i = 0
+    while (i < px.length) { px(i) = baseHash.charAt(i % baseHash.length).toByte; i += 1 }
+    val ppos = (pertHash.charAt(0).toInt * 31 + pertHash.charAt(1).toInt) % (w * h)
+    px(ppos) = pertHash.charAt(2).toInt.toByte
+    encodePng(PgmImage(w, h, 255, px))
+  }
+
+  /** 64-bit difference hash (dHash — the classic perceptual image
+    * fingerprint: sample a 9x8 brightness grid, emit one bit per
+    * horizontally-adjacent pair) returned as FOUR 16-bit band values
+    * rather than one packed long. Two reasons: the bands ARE the LSH
+    * bucket keys of the consuming near-dup join (pigeonhole: hamming
+    * <= 6 over 64 bits forces at least one of four 16-bit bands equal),
+    * and 16-bit values keep every engine's integer arithmetic far from
+    * the sign bit, so the DuckDB oracle replays bit-for-bit with plain
+    * `<<`/`xor`/`bit_count`. Grid sampling is integer-floor
+    * (`gy*h/8`, `gx*w/9`) — cheap, deterministic, and resolution-
+    * tolerant, which is the property that makes dHash a NEAR-dup
+    * fingerprint rather than an exact one.
+    */
+  def dhashBands(img: PgmImage): Array[Int] = {
+    val bands = new Array[Int](4)
+    var gy = 0
+    while (gy < 8) {
+      val sy = gy * img.height / 8
+      var gx = 0
+      while (gx < 8) {
+        val l = img.pixels(sy * img.width + gx * img.width / 9) & 0xff
+        val r = img.pixels(sy * img.width + (gx + 1) * img.width / 9) & 0xff
+        if (l > r) bands(gy / 2) |= 1 << ((gy % 2) * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    bands
+  }
+
   def syntheticPgmContainer(contentHash: String, nBytes: Long): Array[Byte] = {
     // dims kept small (16..44 px): decoder correctness is independent
     // of raster size, and the oracled query re-encodes the whole corpus

@@ -1213,6 +1213,56 @@ object ExtensionQueries {
     // price of doing the real work; the plan itself is one map-side
     // mapPartitions — embarrassingly parallel, no shuffle, no
     // scale-killer at 100 TB.
+    // Image near-dup via perceptual hash — the MULTIMODAL member of the
+    // dedup family (exact/minhash/simhash/ngram/embedding cover text
+    // and vectors; crawl corpora also carry the same image re-hosted
+    // with one-byte differences). Each doc family (doc_id div 7)
+    // shares a base raster; each member perturbs one pixel
+    // (Multimodal.syntheticFamilyPng), goes through the REAL PNG
+    // encode->decode, and fingerprints via dHash (9x8 brightness grid,
+    // 64 bits as four 16-bit bands). Candidate generation is the
+    // simhash pigeonhole: hamming <= 6 forces >= 1 of 4 bands equal,
+    // so band value = LSH bucket key. Scale shape: decode + dHash are
+    // map-side mapPartitions; ONE exchange on (band, value); buckets
+    // capped (TextOps.cappedPairs); verify = integer xor/bit_count on
+    // the candidate pairs only — answer-proportional, same contract as
+    // dedup_minhash_verified. The oracle replays the construction
+    // arithmetic + grid sampling + band/xor algebra in SQL, so a codec
+    // misparse OR a fingerprint/bucketing bug breaks the hash.
+    "dedup_image_phash" -> ((s, dir) => {
+      import s.implicits._
+      val hashed = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          md5(expr("cast(doc_id div 7 as string)")).as("bh"),
+          md5(col("text")).as("ph"))
+        .as[(Long, String, String)]
+        .mapPartitions { it =>
+          it.map { case (id, bh, ph) =>
+            val img = graft.operators.Multimodal.decodePng(
+              graft.operators.Multimodal.syntheticFamilyPng(bh, ph))
+              .getOrElse(sys.error(s"doc $id: synthetic family PNG failed to decode"))
+            val b = graft.operators.Multimodal.dhashBands(img)
+            (id, b(0), b(1), b(2), b(3))
+          }
+        }
+        .toDF("doc_id", "b0", "b1", "b2", "b3")
+      hashed
+        .select(col("*"), explode(sequence(lit(0), lit(3))).as("b"))
+        .withColumn("v",
+          expr("CASE b WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END"))
+        .groupBy(col("b"), col("v"))
+        .agg(array_sort(collect_set(struct(col("doc_id"), col("b0"), col("b1"),
+          col("b2"), col("b3")))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(TextOps.cappedPairs(col("ids"))).as("p"))
+        .select(col("p.a.doc_id").as("a_id"), col("p.b.doc_id").as("b_id"),
+          expr("CAST(bit_count(p.a.b0 ^ p.b.b0) + bit_count(p.a.b1 ^ p.b.b1) + " +
+            "bit_count(p.a.b2 ^ p.b.b2) + bit_count(p.a.b3 ^ p.b.b3) AS INT)").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 6)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     "warc_ingest" -> ((s, dir) => {
       import s.implicits._
       Tables.documents(s, dir)
@@ -1581,6 +1631,39 @@ object ExtensionQueries {
        "CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming " +
        "FROM banded a JOIN banded b ON a.b = b.b AND a.band_val = b.band_val AND a.doc_id < b.doc_id " +
        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 1 ORDER BY a_id, b_id"),
+    "dedup_image_phash" ->
+      // construction replay (family base hash, dims, fill, one-pixel
+      // perturbation) + dHash grid sampling + band/xor algebra — no
+      // codec on the oracle side; the Spark side must agree THROUGH
+      // its real PNG encode->decode round trip
+      ("WITH d AS (SELECT doc_id, md5(CAST(doc_id // 7 AS VARCHAR)) bh, md5(text) ph FROM documents), " +
+       "g AS (SELECT doc_id, bh, ph, 16 + (ascii(substr(bh, 1, 1)) % 8) * 4 AS w, " +
+       "16 + (ascii(substr(bh, 2, 1)) % 8) * 4 AS h FROM d), " +
+       "p AS (SELECT *, (ascii(substr(ph, 1, 1)) * 31 + ascii(substr(ph, 2, 1))) % (w * h) AS ppos, " +
+       "ascii(substr(ph, 3, 1)) AS pval FROM g), " +
+       "s AS (SELECT doc_id, gy, gx, CASE WHEN idx = ppos THEN pval " +
+       "ELSE ascii(substr(bh, (idx % 32) + 1, 1)) END AS pix " +
+       "FROM (SELECT doc_id, ppos, pval, bh, gy, gx, ((gy * h) // 8) * w + ((gx * w) // 9) AS idx FROM p " +
+       "CROSS JOIN (SELECT unnest(generate_series(0, 7)) gy) " +
+       "CROSS JOIN (SELECT unnest(generate_series(0, 8)) gx))), " +
+       "bits AS (SELECT l.doc_id, l.gy, l.gx, CASE WHEN l.pix > r.pix THEN 1 ELSE 0 END bt " +
+       "FROM s l JOIN s r ON l.doc_id = r.doc_id AND l.gy = r.gy AND r.gx = l.gx + 1 WHERE l.gx < 8), " +
+       "bw AS (SELECT doc_id, " +
+       "CAST(SUM(CASE WHEN gy // 2 = 0 THEN bt * (1 << ((gy % 2) * 8 + gx)) ELSE 0 END) AS BIGINT) b0, " +
+       "CAST(SUM(CASE WHEN gy // 2 = 1 THEN bt * (1 << ((gy % 2) * 8 + gx)) ELSE 0 END) AS BIGINT) b1, " +
+       "CAST(SUM(CASE WHEN gy // 2 = 2 THEN bt * (1 << ((gy % 2) * 8 + gx)) ELSE 0 END) AS BIGINT) b2, " +
+       "CAST(SUM(CASE WHEN gy // 2 = 3 THEN bt * (1 << ((gy % 2) * 8 + gx)) ELSE 0 END) AS BIGINT) b3 " +
+       "FROM bits GROUP BY doc_id), " +
+       "banded AS (SELECT doc_id, b0, b1, b2, b3, b, " +
+       "CASE b WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END v FROM bw " +
+       "CROSS JOIN (SELECT unnest([0, 1, 2, 3]) b)) " +
+       "SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id, " +
+       "CAST(bit_count(xor(l.b0, r.b0)) + bit_count(xor(l.b1, r.b1)) + " +
+       "bit_count(xor(l.b2, r.b2)) + bit_count(xor(l.b3, r.b3)) AS INT) AS hamming " +
+       "FROM banded l JOIN banded r ON l.b = r.b AND l.v = r.v AND l.doc_id < r.doc_id " +
+       "WHERE bit_count(xor(l.b0, r.b0)) + bit_count(xor(l.b1, r.b1)) + " +
+       "bit_count(xor(l.b2, r.b2)) + bit_count(xor(l.b3, r.b3)) <= 6 " +
+       "ORDER BY a_id, b_id"),
     "dedup_embedding" ->
       ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings), " +
        "c AS (SELECT vec_id cid, v cv FROM e WHERE vec_id < 32), " +

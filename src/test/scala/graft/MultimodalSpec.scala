@@ -502,6 +502,43 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodePng(headerOnly(8, 2)).isEmpty, "interlace method 2 must reject")
   }
 
+  test("dHash bands: known patterns, resolution tolerance, family perturbation") {
+    import Multimodal.{PgmImage, dhashBands}
+    // ascending rows: every left sample < its right neighbor -> no bits
+    val asc = PgmImage(9, 8, 255, Array.tabulate(72)(i => (i % 9).toByte))
+    assert(dhashBands(asc).toSeq === Seq(0, 0, 0, 0))
+    // descending rows: every comparison fires -> all 16 bits per band
+    val desc = PgmImage(9, 8, 255, Array.tabulate(72)(i => (9 - i % 9).toByte))
+    assert(dhashBands(desc).toSeq === Seq(0xffff, 0xffff, 0xffff, 0xffff))
+    // resolution tolerance — the property that makes dHash a NEAR-dup
+    // fingerprint: pixel-doubling the raster (2x in each axis) samples
+    // the same brightness structure, so the fingerprint is unchanged
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(9 * 8)((rnd.nextInt(256)).toByte)
+    val small = PgmImage(9, 8, 255, base)
+    val big = PgmImage(18, 16, 255, Array.tabulate(18 * 16) { i =>
+      val x = (i % 18) / 2; val y = (i / 18) / 2; base(y * 9 + x)
+    })
+    assert(dhashBands(small).toSeq === dhashBands(big).toSeq,
+      "2x upscale must not move the fingerprint")
+    // family perturbation: same base hash -> same raster except ONE
+    // pixel, so two members' fingerprints differ in at most 4 bits
+    // (the perturbed pixel borders at most 2 samples x 2 comparisons)
+    val bh = "0123456789abcdef0123456789abcdef"
+    val imgs = Seq("aa07", "3f19", "c2b8").map { ph =>
+      Multimodal.decodePng(Multimodal.syntheticFamilyPng(bh, ph)).get
+    }
+    for (Seq(a, b) <- imgs.combinations(2)) {
+      val (ba, bb) = (dhashBands(a), dhashBands(b))
+      val ham = (0 until 4).map(i => Integer.bitCount(ba(i) ^ bb(i))).sum
+      assert(ham <= 8, s"family members too far apart: hamming $ham")
+    }
+    // determinism: identical inputs -> identical bytes
+    assert(java.util.Arrays.equals(
+      Multimodal.syntheticFamilyPng(bh, "aa07"),
+      Multimodal.syntheticFamilyPng(bh, "aa07")))
+  }
+
   test("PNG resize and features run on real pixels through the shared kernels") {
     val src = Multimodal.PgmImage(4, 4, 255, Array.tabulate(16)(_.toByte))
     val assets = Seq(Multimodal.Asset(1L, "image",
