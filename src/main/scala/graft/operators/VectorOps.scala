@@ -41,4 +41,27 @@ object VectorOps {
     */
   def l2sq(a: Column, b: Column): Column =
     norm2(a) + norm2(b) - lit(2.0) * dot(a, b)
+
+  /** Per-dimension uniform scalar quantization to the 0..255 codebook
+    * (the int8-SQ memory-scale path: a quantized corpus is 4x smaller
+    * than float32, and scoring is integer multiply-adds). `mns`/`mxs`
+    * are array columns carrying the learned per-dim min/max (one tiny
+    * broadcast row — see sim_sq8_topk). Arithmetic is pinned to a
+    * replayable double expression, `floor((x - mn) * 255 / (mx - mn)
+    * + 0.5)` with a 0 fallback for constant dims, so the DuckDB oracle
+    * lands on identical codes; all downstream scoring is exact integer
+    * algebra from here.
+    */
+  def quantizeSq8(v: Column, mns: Column, mxs: Column): Column =
+    zip_with(toDouble(v), zip_with(mns, mxs, (a, b) => struct(a.as("mn"), b.as("mx"))),
+      (x, m) => when(m.getField("mx") === m.getField("mn"), lit(0L))
+        .otherwise(floor((x - m.getField("mn")) * lit(255) /
+          (m.getField("mx") - m.getField("mn")) + lit(0.5))))
+
+  /** Integer dot product over two quantized code arrays — BIGINT-exact
+    * (64-dim * 255^2 tops out far below Long range), so equality with
+    * the oracle is bit-for-bit, no rounding layer needed.
+    */
+  def dotSq8(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 }

@@ -499,6 +499,44 @@ object ExtensionQueries {
         .limit(10)
     }),
 
+    // Scalar-quantized (int8-SQ) similarity — the MEMORY-scale path
+    // next to sim_cosine_topk's compute baseline: per-dim uniform
+    // 0..255 codes shrink a float32 corpus 4x (100 TB of embeddings
+    // reads as 25 TB), and scoring becomes integer multiply-adds.
+    // Training IS one aggregate: per-dim min/max with map-side partial
+    // aggregation, so the exchange carries 64 rows per partition, not
+    // the corpus; the learned ranges collapse to ONE broadcast row.
+    // Quantize + score are then pure map-side array expressions and
+    // the top-k is a TakeOrderedAndProject. Scoring is SYMMETRIC
+    // (query quantized with the same codebook), which keeps the whole
+    // query in exact BIGINT algebra — the DuckDB oracle replays
+    // min/max, the pinned floor((x-mn)*255/(mx-mn)+0.5) code
+    // assignment, and the integer dot bit-for-bit. (An asymmetric
+    // float-query variant scores marginally better recall; symmetric
+    // is what makes the oracle exact.)
+    "sim_sq8_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val mm = emb
+        .select(posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy(col("i"))
+        .agg(min(col("x").cast("double")).as("mn"),
+          max(col("x").cast("double")).as("mx"))
+      val mmRow = mm
+        .groupBy()
+        .agg(array_sort(collect_list(struct(col("i"), col("mn"), col("mx")))).as("a"))
+        .select(transform(col("a"), m => m.getField("mn")).as("mns"),
+          transform(col("a"), m => m.getField("mx")).as("mxs"))
+      val quant = emb.crossJoin(broadcast(mmRow))
+        .select(col("vec_id"),
+          VectorOps.quantizeSq8(col("embedding"), col("mns"), col("mxs")).as("q"))
+      val qv = quant.filter(col("vec_id") === 7).select(col("q").as("qq"))
+      quant.filter(col("vec_id") =!= 7)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"), VectorOps.dotSq8(col("q"), col("qq")).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     // IVF-style ANN: coarse quantizer = 32 seed centroids (vec_id
     // 0..31 — up from 8: per-probe candidate set shrinks from n/8 to
     // n/32 while staying SQL-replayable); every vector is assigned to
@@ -1703,6 +1741,19 @@ object ExtensionQueries {
        "FROM embeddings, q WHERE vec_id <> 0) " +
        "SELECT vec_id, round(dot/sqrt(nq*nv), 6) AS cos_sim FROM s " +
        "ORDER BY cos_sim DESC, vec_id LIMIT 10"),
+    "sim_sq8_topk" ->
+      // min/max training, the pinned code assignment, and the integer
+      // dot replay exactly — scores are BIGINT so the compare is exact
+      ("WITH e AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) x FROM embeddings " +
+       "CROSS JOIN (SELECT unnest(generate_series(1, 64)) i)), " +
+       "mm AS (SELECT i, min(x) mn, max(x) mx FROM e GROUP BY i), " +
+       "q AS (SELECT vec_id, e.i, CAST(CASE WHEN mx = mn THEN 0 " +
+       "ELSE floor((x - mn) * 255 / (mx - mn) + 0.5) END AS BIGINT) q " +
+       "FROM e JOIN mm ON e.i = mm.i), " +
+       "qq AS (SELECT i, q AS qq FROM q WHERE vec_id = 7) " +
+       "SELECT q.vec_id, CAST(SUM(q.q * qq.qq) AS BIGINT) AS score " +
+       "FROM q JOIN qq ON q.i = qq.i WHERE q.vec_id <> 7 " +
+       "GROUP BY q.vec_id ORDER BY score DESC, vec_id LIMIT 10"),
     "sim_ivf_topk" ->
       ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings), " +
        "c AS (SELECT vec_id cid, v cv FROM e WHERE vec_id < 32), " +

@@ -21,6 +21,45 @@ class VectorOpsSpec extends SparkSpec {
     assert(both.filter(!col("eq")).count() === 0)
   }
 
+  test("scalar quantization: pinned codes, constant-dim fallback, exact integer dot") {
+    // known ranges: dim0 [0,1], dim1 [-2,2], dim2 constant (mn == mx)
+    val df = Seq(
+      (1L, Array(0.0f, -2.0f, 5.0f)),
+      (2L, Array(0.5f, 0.0f, 5.0f)),
+      (3L, Array(1.0f, 2.0f, 5.0f))
+    ).toDF("vec_id", "embedding")
+      .withColumn("mns", array(lit(0.0), lit(-2.0), lit(5.0)))
+      .withColumn("mxs", array(lit(1.0), lit(2.0), lit(5.0)))
+      .withColumn("q", VectorOps.quantizeSq8(col("embedding"), col("mns"), col("mxs")))
+    val got = df.select(col("vec_id"), col("q")).as[(Long, Array[Long])]
+      .collect().sortBy(_._1).map(_._2.toSeq)
+    // floor((x-mn)*255/(mx-mn)+0.5): 0 -> 0, 0.5 -> 128 (127.5+0.5),
+    // 1 -> 255; -2 -> 0, 0 -> 128, 2 -> 255; constant dim -> 0 always
+    assert(got(0) === Seq(0L, 0L, 0L))
+    assert(got(1) === Seq(128L, 128L, 0L))
+    assert(got(2) === Seq(255L, 255L, 0L))
+    // integer dot is exact BIGINT algebra
+    val d = df.filter(col("vec_id") === 2)
+      .crossJoin(df.filter(col("vec_id") === 3).select(col("q").as("q2")))
+      .select(VectorOps.dotSq8(col("q"), col("q2")))
+      .as[Long].head()
+    assert(d === 128L * 255 + 128L * 255)
+    // codes never leave the 0..255 codebook on real data
+    val emb = Tables.embeddings(spark, sf0001)
+    val mm = emb.select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("i"), col("mn"), col("mx")))).as("a"))
+      .select(transform(col("a"), m => m.getField("mn")).as("mns"),
+        transform(col("a"), m => m.getField("mx")).as("mxs"))
+    val bad = emb.crossJoin(broadcast(mm))
+      .select(VectorOps.quantizeSq8(col("embedding"), col("mns"), col("mxs")).as("q"))
+      .filter(exists(col("q"), c => c < 0 || c > 255))
+      .count()
+    assert(bad === 0L)
+  }
+
   test("DotProduct handles nulls and length mismatch") {
     val df = Seq(
       (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0, 9.0))), // min-length semantics
