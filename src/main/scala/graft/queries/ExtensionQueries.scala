@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{BpeTrainer, TextOps, VectorOps}
+import graft.operators.{BpeTrainer, TextOps, UrlOps, VectorOps}
 
 /** Training-data-pipeline extension operators (SURVEY.md §2.3 /
   * BASELINE.json north star): dedup (exact, MinHash-LSH, SimHash,
@@ -1343,6 +1343,44 @@ object ExtensionQueries {
     // bounded here, and the production answer for a pathological
     // mega-host is the hash-coin keep rate of sample_mixture (no rank
     // needed), so the exact window stays the right tool for the report.
+    // URL canonicalization + frontier dedup — upstream of every
+    // per-domain policy: the same resource arrives case-shuffled, with
+    // explicit default ports, fragments, utm params, shuffled query
+    // order, and trailing slashes. Each group of 4 docs (doc_id div 4)
+    // gets the SAME logical resource dressed in doc-dependent mess;
+    // UrlOps.canonicalizeUrl (pure codegen'd string expressions,
+    // map-side) must collapse every group to one canonical key. The
+    // only exchange is the groupBy on that key — the frontier-dedup
+    // plan shape at 100 TB. The oracle replays the mess construction
+    // AND an independent SQL formulation of the canonicalization
+    // rules, so a rule bug in either engine breaks the hash.
+    "crawl_url_canon" -> ((s, dir) => {
+      val g = expr("doc_id div 4")
+      val hostBase = concat(lit("w"), (g % 97).cast("string"), lit(".example.org"))
+      val url = concat(
+        when(col("doc_id") % 3 === 0, lit("HTTPS")).otherwise(lit("https")),
+        lit("://"),
+        when(col("doc_id") % 2 === 1, upper(hostBase)).otherwise(hostBase),
+        when(col("doc_id") % 5 === 0, lit(":443")).otherwise(lit("")),
+        lit("/p/"), g.cast("string"),
+        when(col("doc_id") % 7 === 0, lit("/")).otherwise(lit("")),
+        lit("?"),
+        when(col("doc_id") % 3 === 1, lit("utm_source=feed&a=1&b=2"))
+          .otherwise(when(col("doc_id") % 2 === 0, lit("b=2&a=1"))
+            .otherwise(lit("a=1&b=2"))),
+        when(col("doc_id") % 4 === 1,
+          concat(lit("#s"), col("doc_id").cast("string"))).otherwise(lit("")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), url.as("raw_url"))
+        .withColumn("canon_url", UrlOps.canonicalizeUrl(col("raw_url")))
+        .groupBy(col("canon_url"))
+        .agg(count(lit(1)).as("n_variants"),
+          countDistinct(col("raw_url")).as("n_distinct_raw"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("canon_url"))
+    }),
+
     "crawl_domain_cap" -> ((s, dir) => {
       val url = concat(lit("https://"), col("source"), lit(".example.org/"),
         col("lang"), lit("/doc-"), col("doc_id").cast("string"))
@@ -2079,6 +2117,42 @@ object ExtensionQueries {
        "CAST(SUM(octet_length(encode(entity))) AS BIGINT) AS entity_bytes, " +
        "md5(string_agg(extract, ' ' ORDER BY j)) AS extract_hash " +
        "FROM e GROUP BY doc_id ORDER BY doc_id"),
+    "crawl_url_canon" ->
+      // mess construction replay + an independent SQL formulation of
+      // the canonicalization rules (split_part/instr vs the engine's
+      // substring_index, list_sort vs array_sort)
+      ("WITH u AS (SELECT doc_id, " +
+       "(CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' || " +
+       "(CASE WHEN doc_id % 2 = 1 THEN upper('w' || CAST((doc_id // 4) % 97 AS VARCHAR) || '.example.org') " +
+       "ELSE 'w' || CAST((doc_id // 4) % 97 AS VARCHAR) || '.example.org' END) || " +
+       "(CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) || " +
+       "'/p/' || CAST(doc_id // 4 AS VARCHAR) || " +
+       "(CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END) || '?' || " +
+       "(CASE WHEN doc_id % 3 = 1 THEN 'utm_source=feed&a=1&b=2' " +
+       "WHEN doc_id % 2 = 0 THEN 'b=2&a=1' ELSE 'a=1&b=2' END) || " +
+       "(CASE WHEN doc_id % 4 = 1 THEN '#s' || CAST(doc_id AS VARCHAR) ELSE '' END) AS raw_url " +
+       "FROM documents), " +
+       "nf AS (SELECT doc_id, raw_url, CASE WHEN instr(raw_url, '#') > 0 " +
+       "THEN substr(raw_url, 1, instr(raw_url, '#') - 1) ELSE raw_url END AS n FROM u), " +
+       "bq AS (SELECT doc_id, raw_url, " +
+       "CASE WHEN instr(n, '?') > 0 THEN substr(n, 1, instr(n, '?') - 1) ELSE n END AS base, " +
+       "CASE WHEN instr(n, '?') > 0 THEN substr(n, instr(n, '?') + 1) ELSE '' END AS q FROM nf), " +
+       "hp AS (SELECT doc_id, raw_url, q, lower(split_part(base, '://', 1)) AS scheme, " +
+       "split_part(split_part(base, '://', 2), '/', 1) AS hostport, " +
+       "CASE WHEN instr(split_part(base, '://', 2), '/') > 0 " +
+       "THEN substr(split_part(base, '://', 2), instr(split_part(base, '://', 2), '/')) ELSE '' END AS path0 " +
+       "FROM bq), " +
+       "cn AS (SELECT doc_id, raw_url, scheme || '://' || " +
+       "lower(regexp_replace(hostport, ':(80|443)$', '')) || " +
+       "(CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/' " +
+       "ELSE regexp_replace(path0, '/+$', '') END) || " +
+       "(CASE WHEN len(list_filter(string_split(q, '&'), p -> p <> '' AND NOT p LIKE 'utm_%')) > 0 " +
+       "THEN '?' || array_to_string(list_sort(list_filter(string_split(q, '&'), " +
+       "p -> p <> '' AND NOT p LIKE 'utm_%')), '&') ELSE '' END) AS canon_url FROM hp) " +
+       "SELECT canon_url, CAST(COUNT(*) AS BIGINT) AS n_variants, " +
+       "CAST(COUNT(DISTINCT raw_url) AS BIGINT) AS n_distinct_raw, " +
+       "MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc " +
+       "FROM cn GROUP BY canon_url ORDER BY canon_url"),
     "crawl_domain_cap" ->
       // the oracle derives the host by the same string arithmetic the
       // query feeds parse_url, so a parse_url host-extraction quirk
