@@ -1373,9 +1373,13 @@ object ExtensionQueries {
       Tables.documents(s, dir)
         .select(col("doc_id"), url.as("raw_url"))
         .withColumn("canon_url", UrlOps.canonicalizeUrl(col("raw_url")))
+        // n_messy is a map-side comparison, NOT count(distinct raw):
+        // a distinct aggregate plans a second exchange keyed on
+        // (canon, raw) — at frontier scale that doubles the shuffle
+        // for a diagnostic column
         .groupBy(col("canon_url"))
         .agg(count(lit(1)).as("n_variants"),
-          countDistinct(col("raw_url")).as("n_distinct_raw"),
+          sum(when(col("raw_url") =!= col("canon_url"), 1L).otherwise(0L)).as("n_messy"),
           min(col("doc_id")).as("first_doc"),
           max(col("doc_id")).as("last_doc"))
         .orderBy(col("canon_url"))
@@ -2150,7 +2154,7 @@ object ExtensionQueries {
        "THEN '?' || array_to_string(list_sort(list_filter(string_split(q, '&'), " +
        "p -> p <> '' AND NOT p LIKE 'utm_%')), '&') ELSE '' END) AS canon_url FROM hp) " +
        "SELECT canon_url, CAST(COUNT(*) AS BIGINT) AS n_variants, " +
-       "CAST(COUNT(DISTINCT raw_url) AS BIGINT) AS n_distinct_raw, " +
+       "CAST(SUM(CASE WHEN raw_url <> canon_url THEN 1 ELSE 0 END) AS BIGINT) AS n_messy, " +
        "MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc " +
        "FROM cn GROUP BY canon_url ORDER BY canon_url"),
     "crawl_domain_cap" ->

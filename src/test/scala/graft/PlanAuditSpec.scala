@@ -246,6 +246,52 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("image phash: decode+fingerprint map-side, one bucket exchange before pairing") {
+    // scan -> mapPartitions (decode + dHash) -> band explode must all
+    // stay in the scan stage; the FIRST exchange is the (band, value)
+    // bucket groupBy. distinct + the output sort are the only later
+    // exchanges — 3 total. A 4th means the fingerprint stage itself
+    // started shuffling (e.g. the explode got planned behind one).
+    val p = plan("dedup_image_phash")
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 2, s"expected bucket + distinct exchanges only, got $shuffles:\n$p")
+    val total = p.linesIterator.count(_.contains("Exchange "))
+    assert(total <= 3, s"expected <= 3 exchanges (bucket, distinct, sort), got $total:\n$p")
+  }
+
+  test("sq8 similarity: 64-row training exchange, broadcast codebook, top-k not a sort") {
+    // the ONLY live hash exchange is the per-dim min/max aggregate
+    // (map-side partials make it 64 rows per partition); the codebook
+    // subtree is referenced by both the corpus and the query branch,
+    // so its SECOND appearance must be a ReusedExchange — training
+    // runs once. Ranges + quantized query arrive by broadcast; top-k
+    // compiles to TakeOrderedAndProject. AQE off for a stable tree
+    // (reuse itself is AQE-independent).
+    val prior = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan("sim_sq8_topk")
+      val hashEx = p.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+      assert(hashEx <= 1, s"expected only the min/max training exchange, got $hashEx:\n$p")
+      assert(p.contains("ReusedExchange"),
+        s"query-side codebook twin re-trains instead of reusing:\n$p")
+      assert(p.contains("BroadcastExchange"), s"codebook/query not broadcast:\n$p")
+      assert(p.contains("TakeOrderedAndProject"), s"top-k degenerated to a global sort:\n$p")
+      assert(p.contains("partial_min") || p.contains("partial_max"),
+        s"min/max training lost its map-side partial aggregation:\n$p")
+    } finally prior match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
+  test("url canonicalization is map-side: only the dedup groupBy and sort exchange") {
+    val p = plan("crawl_url_canon")
+    val n = p.linesIterator.count(_.contains("Exchange "))
+    assert(n <= 2, s"expected canon groupBy + output sort only, got $n:\n$p")
+  }
+
   test("crawl pipeline: map-side to the dedup exchange; ingest subtree reused, not re-run") {
     // The composed pipeline's scale contract: ingest + strip + scrub +
     // decon/quality/repetition gates are ONE map stage — the first
