@@ -50,7 +50,11 @@ object ScaleSmoke {
         // the worst case for near-dup cosine: every replica pair scores
         // 1.0, so candidate sets are maximally hot)
         "sim_cosine_topk", "sim_ivf_topk", "sim_ivf_topk_trained",
-        "dedup_embedding_trained", "decon_embedding")) {
+        "dedup_embedding_trained", "decon_embedding",
+        // round-8 additions: perceptual-hash buckets under 10x
+        // duplicate pressure, quantizer training over 10x vectors,
+        // canonical-key dedup over 10x url groups
+        "dedup_image_phash", "sim_sq8_topk", "crawl_url_canon")) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).count()
       println(f"$q%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $n%10d rows")
