@@ -573,7 +573,11 @@ object Multimodal {
         rawLines, y * (img.width + 1) + 1, img.width)
       y += 1
     }
-    val deflater = new java.util.zip.Deflater()
+    // BEST_SPEED: the pixels are already exact (DEFLATE is lossless at
+    // every level), so level only trades encode CPU for transfer bytes
+    // — and this encoder's hot caller is the per-row synthetic path in
+    // the oracled multimodal queries, where encode cost is the bill
+    val deflater = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
     val compressed = try {
       deflater.setInput(rawLines); deflater.finish()
       val out = new java.io.ByteArrayOutputStream()
