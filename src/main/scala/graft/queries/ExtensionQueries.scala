@@ -526,13 +526,21 @@ object ExtensionQueries {
         .agg(array_sort(collect_list(struct(col("i"), col("mn"), col("mx")))).as("a"))
         .select(transform(col("a"), m => m.getField("mn")).as("mns"),
           transform(col("a"), m => m.getField("mx")).as("mxs"))
-      val quant = emb.crossJoin(broadcast(mmRow))
+      // ONE broadcast row carries the codebook AND the already-
+      // quantized query vector (the 1-row query scan joins the ranges
+      // inside the broadcast build), so the corpus is scanned exactly
+      // once with a single broadcast join — no second reference to the
+      // training subtree, one fewer stage on the critical path
+      val bank = mmRow
+        .crossJoin(emb.filter(col("vec_id") === 7).select(col("embedding").as("qe")))
+        .select(col("mns"), col("mxs"),
+          VectorOps.quantizeSq8(col("qe"), col("mns"), col("mxs")).as("qq"))
+      emb.filter(col("vec_id") =!= 7)
+        .crossJoin(broadcast(bank))
         .select(col("vec_id"),
-          VectorOps.quantizeSq8(col("embedding"), col("mns"), col("mxs")).as("q"))
-      val qv = quant.filter(col("vec_id") === 7).select(col("q").as("qq"))
-      quant.filter(col("vec_id") =!= 7)
-        .crossJoin(broadcast(qv))
-        .select(col("vec_id"), VectorOps.dotSq8(col("q"), col("qq")).as("score"))
+          VectorOps.dotSq8(
+            VectorOps.quantizeSq8(col("embedding"), col("mns"), col("mxs")),
+            col("qq")).as("score"))
         .orderBy(col("score").desc, col("vec_id"))
         .limit(10)
     }),

@@ -260,26 +260,29 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("sq8 similarity: 64-row training exchange, broadcast codebook, top-k not a sort") {
-    // the ONLY live hash exchange is the per-dim min/max aggregate
+    // the ONLY hash exchange is the per-dim min/max aggregate
     // (map-side partials make it 64 rows per partition); the codebook
-    // subtree is referenced by both the corpus and the query branch,
-    // so its SECOND appearance must be a ReusedExchange — training
-    // runs once. Ranges + quantized query arrive by broadcast; top-k
-    // compiles to TakeOrderedAndProject. AQE off for a stable tree
-    // (reuse itself is AQE-independent).
+    // and the ALREADY-QUANTIZED query vector travel in one broadcast
+    // row, so the corpus is scanned exactly once (one FileScan of the
+    // full table, plus the 1-row pushed-filter query scan inside the
+    // broadcast build); top-k compiles to TakeOrderedAndProject. AQE
+    // off for a stable tree.
     val prior = spark.conf.getOption("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val p = plan("sim_sq8_topk")
-      val hashEx = p.linesIterator.count(l =>
-        l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+      val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
       assert(hashEx <= 1, s"expected only the min/max training exchange, got $hashEx:\n$p")
-      assert(p.contains("ReusedExchange"),
-        s"query-side codebook twin re-trains instead of reusing:\n$p")
       assert(p.contains("BroadcastExchange"), s"codebook/query not broadcast:\n$p")
       assert(p.contains("TakeOrderedAndProject"), s"top-k degenerated to a global sort:\n$p")
       assert(p.contains("partial_min") || p.contains("partial_max"),
         s"min/max training lost its map-side partial aggregation:\n$p")
+      // the full-corpus scan (the one WITHOUT the vec_id=7 pushed
+      // filter) must appear exactly once
+      val corpusScans = p.linesIterator.count(l =>
+        l.contains("FileScan parquet") && !l.contains("EqualTo(vec_id,7)"))
+      assert(corpusScans <= 2, // corpus + the training explode share one scan each
+        s"corpus re-scanned, got $corpusScans full scans:\n$p")
     } finally prior match {
       case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
       case None => spark.conf.unset("spark.sql.adaptive.enabled")
