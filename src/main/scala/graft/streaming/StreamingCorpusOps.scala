@@ -271,13 +271,60 @@ object StreamingCorpusOps {
     * the exact freeze point.
     */
   def minhashCandidates(docs: DataFrame, maxBucket: Int = 512,
+      ttl: Option[java.time.Duration] = None): Dataset[CandidatePair] =
+    candidatesFromBands(bandRows(docs), maxBucket, ttl)
+
+  /** Banding projection for IMAGE payloads — the multimodal analog of
+    * [[bandRows]]: decode through the real codec dispatch
+    * (PGM/BMP/PNG), fingerprint with dHash, one row per 16-bit band
+    * (`Multimodal.dhashBands` — band value doubles as the LSH bucket
+    * key, same pigeonhole as the batch `dedup_image_phash`).
+    * Undecodable payloads emit nothing: candidate generation is a
+    * best-effort accelerator, and the quarantine path for corrupt
+    * assets is the ingest source's job, not the fingerprinter's.
+    */
+  def phashBandRows(assets: DataFrame): Dataset[BandRow] = {
+    implicit val inEnc: Encoder[(Long, Array[Byte])] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    assets.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          graft.operators.Multimodal.decodeImage(payload) match {
+            case Some(img) =>
+              val b = graft.operators.Multimodal.dhashBands(img)
+              (0 until 4).iterator.map(i => BandRow(i, b(i).toString, id))
+            case None => Iterator.empty
+          }
+        }
+      }
+  }
+
+  /** Incremental image near-dup candidates: the SAME bucket-state
+    * operator as [[minhashCandidates]] fed by dHash bands — a new
+    * image pairs against every perceptually-colliding image the
+    * stream has accumulated, across micro-batches. Downstream verify
+    * (exact hamming over the full 64-bit fingerprint, as in the batch
+    * query) filters band-collision false positives.
+    */
+  def phashCandidates(assets: DataFrame, maxBucket: Int = 512,
+      ttl: Option[java.time.Duration] = None): Dataset[CandidatePair] =
+    candidatesFromBands(phashBandRows(assets), maxBucket, ttl)
+
+  /** The shared bucket-state core: band rows in, candidate pairs out.
+    * Band SOURCES differ per modality (text MinHash, image dHash); the
+    * state semantics — deterministic intra-batch order, freeze-at-cap,
+    * optional TTL — are one definition, so the streaming dedup
+    * contract cannot drift between modalities.
+    */
+  def candidatesFromBands(bands: Dataset[BandRow], maxBucket: Int = 512,
       ttl: Option[java.time.Duration] = None): Dataset[CandidatePair] = {
     implicit val bucketEnc: Encoder[Bucket] = Encoders.product[Bucket]
     implicit val keyEnc: Encoder[(Int, String)] =
       Encoders.tuple(Encoders.scalaInt, Encoders.STRING)
     val timeout = if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
-    bandRows(docs)
+    bands
       .groupByKey(b => (b.band_idx, b.band_hash))
       .flatMapGroupsWithState(OutputMode.Append, timeout)(
         (key: (Int, String), it: Iterator[BandRow], state: GroupState[Bucket]) => {

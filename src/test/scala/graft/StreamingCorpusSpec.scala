@@ -43,6 +43,43 @@ class StreamingCorpusSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("image phash candidates pair a new asset against earlier batches' state") {
+    import graft.operators.Multimodal
+    // two perceptual families (distinct base rasters), one-pixel
+    // member perturbations — the re-hosted-image case the batch
+    // dedup_image_phash targets, arriving as a STREAM
+    val bhA = "00112233445566778899aabbccddeeff"
+    val bhB = "fedcba98765432100123456789abcdef"
+    def png(bh: String, ph: String): Array[Byte] = Multimodal.syntheticFamilyPng(bh, ph)
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = StreamingCorpusOps.phashCandidates(
+        in.toDF().toDF("doc_id", "payload"))
+      .writeStream.format("memory").queryName("cand_img")
+      .outputMode(OutputMode.Append).trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData((1L, png(bhA, "aa0")), (2L, png(bhA, "3f1")), (20L, png(bhB, "c2b")))
+      drain(q)
+      val afterB1 = spark.sql("SELECT DISTINCT a_id, b_id FROM cand_img")
+        .as[(Long, Long)].collect().toSet
+      assert(afterB1.contains((1L, 2L)), s"family A pair missing: $afterB1")
+      assert(!afterB1.exists { case (a, b) => (a >= 20) != (b >= 20) },
+        s"cross-family candidate leaked: $afterB1")
+      // a third family-A member arrives a BATCH later: bucket state
+      // must pair it against both earlier copies without any rescan
+      in.addData((3L, png(bhA, "777")))
+      drain(q)
+      val afterB2 = spark.sql("SELECT DISTINCT a_id, b_id FROM cand_img")
+        .as[(Long, Long)].collect().toSet
+      assert(afterB2.contains((1L, 3L)) && afterB2.contains((2L, 3L)),
+        s"cross-batch family pairs missing: $afterB2")
+      // undecodable payloads produce no candidates and no failure
+      in.addData((99L, Array[Byte](1, 2, 3)))
+      drain(q)
+      assert(!spark.sql("SELECT * FROM cand_img").as[CandidatePair]
+        .collect().exists(p => p.a_id == 99L || p.b_id == 99L))
+    } finally q.stop()
+  }
+
   test("bucket freeze: bounded one-sided over-emission vs the batch whole-bucket drop") {
     // Batch drops an over-cap bucket WHOLE (zero pairs); an Append-mode
     // stream cannot retract, so pairs emitted before the freeze stand.
