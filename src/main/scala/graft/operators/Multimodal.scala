@@ -797,6 +797,67 @@ object Multimodal {
     * [[decodePgmFrames]] reads back, so the hash gate exercises the
     * real decoder, not the construction arithmetic.
     */
+  /** Family-structured synthetic WAV for the audio-fingerprint dedup
+    * query — the audio twin of [[syntheticFamilyPng]]: docs sharing
+    * `baseHash` get the same mono 16-bit PCM signal (8 kHz, 64..176
+    * frames from the first base-hash char, samples from the hash
+    * bytes), and each doc perturbs ONE sample from its own `pertHash`
+    * — re-encoded audio with a click, the near-dup case. Construction
+    * arithmetic is exactly what the DuckDB oracle replays; bytes go
+    * through the REAL WAV encoder so the consuming query exercises the
+    * codec path.
+    */
+  def syntheticFamilyWav(baseHash: String, pertHash: String): Array[Byte] = {
+    val n = 64 + (baseHash.charAt(0).toInt % 8) * 16
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      samples(i) = ((baseHash.charAt(i % baseHash.length).toInt - 80) * 256).toShort
+      i += 1
+    }
+    val ppos = (pertHash.charAt(0).toInt * 31 + pertHash.charAt(1).toInt) % n
+    samples(ppos) = ((pertHash.charAt(2).toInt - 80) * 256).toShort
+    encodeWav(PcmAudio(8000, 1, samples))
+  }
+
+  /** 64-bit energy-envelope difference hash for audio — the acoustic
+    * analog of [[dhashBands]] (and the same shape chromaprint-style
+    * fingerprints reduce to: coarse spectral/energy envelope, one bit
+    * per adjacent-frame comparison): the signal is cut into 65
+    * windows (`window(i) = i*65/n` — integer, resolution-tolerant the
+    * same way the dHash grid is), each window's energy is the exact
+    * integer sum of |sample|, and bit w says whether window w out-
+    * powers window w+1 in MEAN energy. The mean matters: `i*65/n`
+    * yields windows of floor/ceil(n/65) samples in a fixed pattern per
+    * n, and comparing raw sums makes that size pattern — identical
+    * for every equal-length signal — dominate the bits (measured: the
+    * sum variant collapsed a 5000-doc corpus into ~500-member
+    * 0x5555-band buckets). Mean comparison stays in exact integer
+    * algebra by cross-multiplying: `e(w)*cnt(w+1) > e(w+1)*cnt(w)` —
+    * no division, so the DuckDB oracle replays it bit-for-bit. Four
+    * 16-bit bands double as the LSH bucket keys of the consuming
+    * near-dup join.
+    */
+  def audioFingerprintBands(a: PcmAudio): Array[Int] = {
+    val n = a.samples.length
+    val e = new Array[Long](65)
+    val cnt = new Array[Long](65)
+    var i = 0
+    while (i < n) {
+      val w = (i.toLong * 65 / n).toInt
+      e(w) += math.abs(a.samples(i).toInt)
+      cnt(w) += 1
+      i += 1
+    }
+    val bands = new Array[Int](4)
+    var w = 0
+    while (w < 64) {
+      if (e(w) * cnt(w + 1) > e(w + 1) * cnt(w)) bands(w / 16) |= 1 << (w % 16)
+      w += 1
+    }
+    bands
+  }
+
   /** Family-structured synthetic image for the perceptual-hash dedup
     * query: all docs sharing `baseHash` (one hash per FAMILY) get the
     * same base raster, and each doc perturbs ONE pixel from its own

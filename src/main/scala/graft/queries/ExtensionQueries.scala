@@ -1317,6 +1317,50 @@ object ExtensionQueries {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // Audio near-dup via energy-envelope fingerprint — the AUDIO
+    // member of the dedup family (dedup_image_phash's acoustic twin):
+    // doc families share a synthetic PCM signal, each member carries a
+    // one-sample click (Multimodal.syntheticFamilyWav), the bytes go
+    // through the REAL WAV encode->decode, and the fingerprint is 64
+    // adjacent-window energy comparisons packed as four 16-bit LSH
+    // band keys (Multimodal.audioFingerprintBands — all integer
+    // algebra). Same plan shape and bench work-asymmetry as the image
+    // query: map-side codec + fingerprint, one (band, value) exchange,
+    // capped buckets, hamming verify on candidates only.
+    "dedup_audio_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      val hashed = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          md5(expr("cast(doc_id div 5 as string)")).as("bh"),
+          md5(col("text")).as("ph"))
+        .as[(Long, String, String)]
+        .mapPartitions { it =>
+          it.map { case (id, bh, ph) =>
+            val clip = graft.operators.Multimodal.decodeWav(
+              graft.operators.Multimodal.syntheticFamilyWav(bh, ph))
+              .getOrElse(sys.error(s"doc $id: synthetic family WAV failed to decode"))
+            val b = graft.operators.Multimodal.audioFingerprintBands(clip)
+            (id, b(0), b(1), b(2), b(3))
+          }
+        }
+        .toDF("doc_id", "b0", "b1", "b2", "b3")
+      hashed
+        .select(col("*"), explode(sequence(lit(0), lit(3))).as("b"))
+        .withColumn("v",
+          expr("CASE b WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END"))
+        .groupBy(col("b"), col("v"))
+        .agg(array_sort(collect_set(struct(col("doc_id"), col("b0"), col("b1"),
+          col("b2"), col("b3")))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(TextOps.cappedPairs(col("ids"))).as("p"))
+        .select(col("p.a.doc_id").as("a_id"), col("p.b.doc_id").as("b_id"),
+          expr("CAST(bit_count(p.a.b0 ^ p.b.b0) + bit_count(p.a.b1 ^ p.b.b1) + " +
+            "bit_count(p.a.b2 ^ p.b.b2) + bit_count(p.a.b3 ^ p.b.b3) AS INT)").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 6)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     "warc_ingest" -> ((s, dir) => {
       import s.implicits._
       Tables.documents(s, dir)
@@ -1727,6 +1771,42 @@ object ExtensionQueries {
        "CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming " +
        "FROM banded a JOIN banded b ON a.b = b.b AND a.band_val = b.band_val AND a.doc_id < b.doc_id " +
        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 1 ORDER BY a_id, b_id"),
+    "dedup_audio_fingerprint" ->
+      // construction replay (family PCM fill, one-sample click) +
+      // window MEAN energies via integer cross-multiplication + the
+      // band/xor algebra; the empty tail window a 64-sample signal
+      // leaves at w=64 is materialized via the full window grid
+      // (COALESCE 0) so both engines compare it
+      ("WITH d AS (SELECT doc_id, md5(CAST(doc_id // 5 AS VARCHAR)) bh, md5(text) ph FROM documents), " +
+       "g AS (SELECT doc_id, bh, ph, 64 + (ascii(substr(bh, 1, 1)) % 8) * 16 AS n FROM d), " +
+       "p AS (SELECT *, (ascii(substr(ph, 1, 1)) * 31 + ascii(substr(ph, 2, 1))) % n AS ppos, " +
+       "ascii(substr(ph, 3, 1)) AS pc FROM g), " +
+       "s AS (SELECT doc_id, (i * 65) // n AS w, " +
+       "abs(CASE WHEN i = ppos THEN (pc - 80) * 256 " +
+       "ELSE (ascii(substr(bh, (i % 32) + 1, 1)) - 80) * 256 END) AS v " +
+       "FROM p CROSS JOIN (SELECT unnest(generate_series(0, 175)) i) WHERE i < n), " +
+       "e AS (SELECT doc_id, w, CAST(SUM(v) AS BIGINT) ev, CAST(COUNT(*) AS BIGINT) cw FROM s GROUP BY doc_id, w), " +
+       "ee AS (SELECT p.doc_id, wi.w, COALESCE(e.ev, 0) ev, COALESCE(e.cw, 0) cw FROM p " +
+       "CROSS JOIN (SELECT unnest(generate_series(0, 64)) w) wi " +
+       "LEFT JOIN e ON e.doc_id = p.doc_id AND e.w = wi.w), " +
+       "bits AS (SELECT l.doc_id, l.w, CASE WHEN l.ev * r.cw > r.ev * l.cw THEN 1 ELSE 0 END bt " +
+       "FROM ee l JOIN ee r ON l.doc_id = r.doc_id AND r.w = l.w + 1 WHERE l.w < 64), " +
+       "bw AS (SELECT doc_id, " +
+       "CAST(SUM(CASE WHEN w // 16 = 0 THEN bt * (1 << (w % 16)) ELSE 0 END) AS BIGINT) b0, " +
+       "CAST(SUM(CASE WHEN w // 16 = 1 THEN bt * (1 << (w % 16)) ELSE 0 END) AS BIGINT) b1, " +
+       "CAST(SUM(CASE WHEN w // 16 = 2 THEN bt * (1 << (w % 16)) ELSE 0 END) AS BIGINT) b2, " +
+       "CAST(SUM(CASE WHEN w // 16 = 3 THEN bt * (1 << (w % 16)) ELSE 0 END) AS BIGINT) b3 " +
+       "FROM bits GROUP BY doc_id), " +
+       "banded AS (SELECT doc_id, b0, b1, b2, b3, b, " +
+       "CASE b WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END v FROM bw " +
+       "CROSS JOIN (SELECT unnest([0, 1, 2, 3]) b)) " +
+       "SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id, " +
+       "CAST(bit_count(xor(l.b0, r.b0)) + bit_count(xor(l.b1, r.b1)) + " +
+       "bit_count(xor(l.b2, r.b2)) + bit_count(xor(l.b3, r.b3)) AS INT) AS hamming " +
+       "FROM banded l JOIN banded r ON l.b = r.b AND l.v = r.v AND l.doc_id < r.doc_id " +
+       "WHERE bit_count(xor(l.b0, r.b0)) + bit_count(xor(l.b1, r.b1)) + " +
+       "bit_count(xor(l.b2, r.b2)) + bit_count(xor(l.b3, r.b3)) <= 6 " +
+       "ORDER BY a_id, b_id"),
     "dedup_image_phash" ->
       // construction replay (family base hash, dims, fill, one-pixel
       // perturbation) + dHash grid sampling + band/xor algebra — no

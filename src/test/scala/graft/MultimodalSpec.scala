@@ -539,6 +539,42 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.syntheticFamilyPng(bh, "aa07")))
   }
 
+  test("audio fingerprint: known envelopes, size-bias regression, family locality") {
+    import Multimodal.{PcmAudio, audioFingerprintBands}
+    // n=65: one sample per window, so the envelope IS the samples.
+    // strictly rising -> no window out-powers its successor -> no bits
+    val rising = PcmAudio(8000, 1, Array.tabulate(65)(i => (i * 100).toShort))
+    assert(audioFingerprintBands(rising).toSeq === Seq(0, 0, 0, 0))
+    // strictly falling -> every comparison fires -> all 64 bits
+    val falling = PcmAudio(8000, 1, Array.tabulate(65)(i => ((65 - i) * 100).toShort))
+    assert(audioFingerprintBands(falling).toSeq === Seq(0xffff, 0xffff, 0xffff, 0xffff))
+    // MEAN normalization regression: a constant signal at a length
+    // with UNEVEN window sizes (176/65 -> 3,2-sample pattern) must
+    // fingerprint to zero — the sum variant emitted the size pattern
+    // itself, collapsing every equal-length signal into one bucket
+    val flat = PcmAudio(8000, 1, Array.fill(176)(1000.toShort))
+    assert(audioFingerprintBands(flat).toSeq === Seq(0, 0, 0, 0),
+      "window-size pattern leaked into a constant signal's fingerprint")
+    // resolution tolerance: sample-doubling preserves window means
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(65)((rnd.nextInt(8000) - 4000).toShort)
+    val doubled = base.flatMap(s => Array(s, s))
+    assert(audioFingerprintBands(PcmAudio(8000, 1, base)).toSeq ===
+      audioFingerprintBands(PcmAudio(16000, 1, doubled)).toSeq,
+      "2x resample must not move the fingerprint")
+    // family perturbation: one-sample click moves one window's mean,
+    // so two members differ in at most ~4 bits
+    val bh = "0123456789abcdef0123456789abcdef"
+    val clips = Seq("aa07", "3f19", "c2b8").map { ph =>
+      Multimodal.decodeWav(Multimodal.syntheticFamilyWav(bh, ph)).get
+    }
+    for (Seq(a, b) <- clips.combinations(2)) {
+      val (ba, bb) = (audioFingerprintBands(a), audioFingerprintBands(b))
+      val ham = (0 until 4).map(i => Integer.bitCount(ba(i) ^ bb(i))).sum
+      assert(ham <= 8, s"family members too far apart: hamming $ham")
+    }
+  }
+
   test("PNG resize and features run on real pixels through the shared kernels") {
     val src = Multimodal.PgmImage(4, 4, 255, Array.tabulate(16)(_.toByte))
     val assets = Seq(Multimodal.Asset(1L, "image",

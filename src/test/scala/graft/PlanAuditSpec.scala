@@ -246,17 +246,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("image phash: decode+fingerprint map-side, one bucket exchange before pairing") {
-    // scan -> mapPartitions (decode + dHash) -> band explode must all
-    // stay in the scan stage; the FIRST exchange is the (band, value)
-    // bucket groupBy. distinct + the output sort are the only later
-    // exchanges — 3 total. A 4th means the fingerprint stage itself
-    // started shuffling (e.g. the explode got planned behind one).
-    val p = plan("dedup_image_phash")
-    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
-    assert(shuffles <= 2, s"expected bucket + distinct exchanges only, got $shuffles:\n$p")
-    val total = p.linesIterator.count(_.contains("Exchange "))
-    assert(total <= 3, s"expected <= 3 exchanges (bucket, distinct, sort), got $total:\n$p")
+  test("perceptual dedup (image + audio): codec+fingerprint map-side, one bucket exchange") {
+    // scan -> mapPartitions (decode + fingerprint) -> band explode must
+    // all stay in the scan stage; the FIRST exchange is the
+    // (band, value) bucket groupBy. distinct + the output sort are the
+    // only later exchanges — 3 total. A 4th means the fingerprint
+    // stage itself started shuffling.
+    for (q <- Seq("dedup_image_phash", "dedup_audio_fingerprint")) {
+      val p = plan(q)
+      val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(shuffles <= 2, s"$q: expected bucket + distinct exchanges only, got $shuffles:\n$p")
+      val total = p.linesIterator.count(_.contains("Exchange "))
+      assert(total <= 3, s"$q: expected <= 3 exchanges (bucket, distinct, sort), got $total:\n$p")
+    }
   }
 
   test("sq8 similarity: 64-row training exchange, broadcast codebook, top-k not a sort") {
