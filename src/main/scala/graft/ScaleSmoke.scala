@@ -54,7 +54,8 @@ object ScaleSmoke {
         // round-8 additions: perceptual-hash buckets under 10x
         // duplicate pressure, quantizer training over 10x vectors,
         // canonical-key dedup over 10x url groups
-        "dedup_image_phash", "dedup_audio_fingerprint", "sim_sq8_topk",
+        "dedup_image_phash", "dedup_audio_fingerprint", "dedup_video_phash",
+        "sim_sq8_topk",
         "crawl_url_canon")) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).count()

@@ -259,6 +259,43 @@ object Y4m {
     * (which shifts every later frame's offset), or frame walk
     * misreads anything.
     */
+  /** Family-structured synthetic video for the video-fingerprint dedup
+    * query — the video twin of `Multimodal.syntheticFamilyPng`: docs
+    * sharing `baseHash` get the same multi-frame stream (dims, chroma
+    * mode, frame count, and every frame's luma fill from the base-hash
+    * arithmetic), and each doc perturbs ONE pixel of FRAME 0 from its
+    * own `pertHash` — a re-encoded clip with a one-pixel watermark.
+    * Frame 0's fill is `(c[i%32]*31 + i*7) % 256`, which is exactly
+    * what the DuckDB oracle replays; the bytes go through the REAL Y4M
+    * encoder so the consuming query exercises the stream-header walk
+    * and per-chroma plane sizing (a mis-sized chroma plane shifts
+    * every later frame and corrupts the decoded frame count).
+    */
+  def syntheticFamilyY4m(baseHash: String, pertHash: String): Array[Byte] = {
+    val w = 16 + (baseHash.charAt(0).toInt % 8) * 4
+    val h = 16 + (baseHash.charAt(1).toInt % 8) * 4
+    val chroma = (baseHash.charAt(2).toInt % 4) match {
+      case 0 => "420"
+      case 1 => "422"
+      case 2 => "444"
+      case _ => "mono"
+    }
+    val nFrames = baseHash.charAt(3).toInt % 4 + 2 // 2..5
+    val frames = Vector.tabulate(nFrames) { f =>
+      val px = new Array[Byte](w * h)
+      var i = 0
+      while (i < px.length) {
+        px(i) = ((baseHash.charAt((i + f) % baseHash.length).toInt * 31 +
+          i * 7 + f * 13) % 256).toByte
+        i += 1
+      }
+      PgmImage(w, h, 255, px)
+    }
+    val ppos = (pertHash.charAt(0).toInt * 31 + pertHash.charAt(1).toInt) % (w * h)
+    frames.head.pixels(ppos) = ((pertHash.charAt(2).toInt * 31 + ppos * 7) % 256).toByte
+    encodeY4m(Y4mVideo(w, h, 25, 1, chroma, frames))
+  }
+
   def syntheticY4mContainer(contentHash: String, nBytes: Long): Array[Byte] = {
     // dims are multiples of 4 (16..44) so every chroma mode is legal
     val w = 16 + (contentHash.charAt(0).toInt % 8) * 4

@@ -1361,6 +1361,52 @@ object ExtensionQueries {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // Video near-dup via first-frame perceptual hash — the VIDEO
+    // member of the dedup family, completing the modality set (text /
+    // vectors / image / audio / video). Doc families share a synthetic
+    // multi-frame Y4M stream; each member carries a one-pixel frame-0
+    // watermark (Y4m.syntheticFamilyY4m). The REAL decoder walks the
+    // whole stream (header, per-chroma plane sizing, every FRAME
+    // marker) — a plane-size bug shifts later frames and breaks the
+    // decode, not just the fingerprint — then frame 0 is fingerprinted
+    // with the SAME dHash the image query uses (first-frame sampling,
+    // the standard thumbnail heuristic for clip dedup). Same plan
+    // shape and bench work-asymmetry as the image/audio queries.
+    "dedup_video_phash" -> ((s, dir) => {
+      import s.implicits._
+      val hashed = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          md5(expr("cast(doc_id div 6 as string)")).as("bh"),
+          md5(col("text")).as("ph"))
+        .as[(Long, String, String)]
+        .mapPartitions { it =>
+          it.map { case (id, bh, ph) =>
+            val v = graft.operators.Y4m.decodeY4m(
+              graft.operators.Y4m.syntheticFamilyY4m(bh, ph))
+              .getOrElse(sys.error(s"doc $id: synthetic family Y4M failed to decode"))
+            require(v.frames.nonEmpty, s"doc $id: zero frames decoded")
+            val b = graft.operators.Multimodal.dhashBands(v.frames.head)
+            (id, b(0), b(1), b(2), b(3))
+          }
+        }
+        .toDF("doc_id", "b0", "b1", "b2", "b3")
+      hashed
+        .select(col("*"), explode(sequence(lit(0), lit(3))).as("b"))
+        .withColumn("v",
+          expr("CASE b WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END"))
+        .groupBy(col("b"), col("v"))
+        .agg(array_sort(collect_set(struct(col("doc_id"), col("b0"), col("b1"),
+          col("b2"), col("b3")))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(TextOps.cappedPairs(col("ids"))).as("p"))
+        .select(col("p.a.doc_id").as("a_id"), col("p.b.doc_id").as("b_id"),
+          expr("CAST(bit_count(p.a.b0 ^ p.b.b0) + bit_count(p.a.b1 ^ p.b.b1) + " +
+            "bit_count(p.a.b2 ^ p.b.b2) + bit_count(p.a.b3 ^ p.b.b3) AS INT)").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 6)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     "warc_ingest" -> ((s, dir) => {
       import s.implicits._
       Tables.documents(s, dir)
@@ -1796,6 +1842,39 @@ object ExtensionQueries {
        "CAST(SUM(CASE WHEN w // 16 = 1 THEN bt * (1 << (w % 16)) ELSE 0 END) AS BIGINT) b1, " +
        "CAST(SUM(CASE WHEN w // 16 = 2 THEN bt * (1 << (w % 16)) ELSE 0 END) AS BIGINT) b2, " +
        "CAST(SUM(CASE WHEN w // 16 = 3 THEN bt * (1 << (w % 16)) ELSE 0 END) AS BIGINT) b3 " +
+       "FROM bits GROUP BY doc_id), " +
+       "banded AS (SELECT doc_id, b0, b1, b2, b3, b, " +
+       "CASE b WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END v FROM bw " +
+       "CROSS JOIN (SELECT unnest([0, 1, 2, 3]) b)) " +
+       "SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id, " +
+       "CAST(bit_count(xor(l.b0, r.b0)) + bit_count(xor(l.b1, r.b1)) + " +
+       "bit_count(xor(l.b2, r.b2)) + bit_count(xor(l.b3, r.b3)) AS INT) AS hamming " +
+       "FROM banded l JOIN banded r ON l.b = r.b AND l.v = r.v AND l.doc_id < r.doc_id " +
+       "WHERE bit_count(xor(l.b0, r.b0)) + bit_count(xor(l.b1, r.b1)) + " +
+       "bit_count(xor(l.b2, r.b2)) + bit_count(xor(l.b3, r.b3)) <= 6 " +
+       "ORDER BY a_id, b_id"),
+    "dedup_video_phash" ->
+      // frame-0 construction replay (family fill `(c*31 + i*7) % 256`,
+      // one-pixel watermark) + the same dHash grid/band/xor algebra as
+      // the image oracle — no codec on the oracle side; the Spark side
+      // must agree THROUGH the full Y4M stream decode
+      ("WITH d AS (SELECT doc_id, md5(CAST(doc_id // 6 AS VARCHAR)) bh, md5(text) ph FROM documents), " +
+       "g AS (SELECT doc_id, bh, ph, 16 + (ascii(substr(bh, 1, 1)) % 8) * 4 AS w, " +
+       "16 + (ascii(substr(bh, 2, 1)) % 8) * 4 AS h FROM d), " +
+       "p AS (SELECT *, (ascii(substr(ph, 1, 1)) * 31 + ascii(substr(ph, 2, 1))) % (w * h) AS ppos, " +
+       "ascii(substr(ph, 3, 1)) AS pc FROM g), " +
+       "s AS (SELECT doc_id, gy, gx, CASE WHEN idx = ppos THEN (pc * 31 + ppos * 7) % 256 " +
+       "ELSE (ascii(substr(bh, (idx % 32) + 1, 1)) * 31 + idx * 7) % 256 END AS pix " +
+       "FROM (SELECT doc_id, ppos, pc, bh, gy, gx, ((gy * h) // 8) * w + ((gx * w) // 9) AS idx FROM p " +
+       "CROSS JOIN (SELECT unnest(generate_series(0, 7)) gy) " +
+       "CROSS JOIN (SELECT unnest(generate_series(0, 8)) gx))), " +
+       "bits AS (SELECT l.doc_id, l.gy, l.gx, CASE WHEN l.pix > r.pix THEN 1 ELSE 0 END bt " +
+       "FROM s l JOIN s r ON l.doc_id = r.doc_id AND l.gy = r.gy AND r.gx = l.gx + 1 WHERE l.gx < 8), " +
+       "bw AS (SELECT doc_id, " +
+       "CAST(SUM(CASE WHEN gy // 2 = 0 THEN bt * (1 << ((gy % 2) * 8 + gx)) ELSE 0 END) AS BIGINT) b0, " +
+       "CAST(SUM(CASE WHEN gy // 2 = 1 THEN bt * (1 << ((gy % 2) * 8 + gx)) ELSE 0 END) AS BIGINT) b1, " +
+       "CAST(SUM(CASE WHEN gy // 2 = 2 THEN bt * (1 << ((gy % 2) * 8 + gx)) ELSE 0 END) AS BIGINT) b2, " +
+       "CAST(SUM(CASE WHEN gy // 2 = 3 THEN bt * (1 << ((gy % 2) * 8 + gx)) ELSE 0 END) AS BIGINT) b3 " +
        "FROM bits GROUP BY doc_id), " +
        "banded AS (SELECT doc_id, b0, b1, b2, b3, b, " +
        "CASE b WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END v FROM bw " +

@@ -252,7 +252,8 @@ class PlanAuditSpec extends SparkSpec {
     // (band, value) bucket groupBy. distinct + the output sort are the
     // only later exchanges — 3 total. A 4th means the fingerprint
     // stage itself started shuffling.
-    for (q <- Seq("dedup_image_phash", "dedup_audio_fingerprint")) {
+    for (q <- Seq("dedup_image_phash", "dedup_audio_fingerprint",
+        "dedup_video_phash")) {
       val p = plan(q)
       val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
       assert(shuffles <= 2, s"$q: expected bucket + distinct exchanges only, got $shuffles:\n$p")

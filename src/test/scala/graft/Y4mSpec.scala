@@ -206,6 +206,45 @@ class Y4mSpec extends AnyFunSuite {
     }
   }
 
+  test("family container: shared base stream, frame-0 watermark locality, all chroma modes") {
+    import graft.operators.Multimodal
+    // base hashes chosen so char 2 walks all four chroma modes; every
+    // variant must decode through the real plane-size walk
+    val bhs = Seq("0103456789abcdef0123456789abcdef", // charAt(2)='0' -> 420
+      "0113456789abcdef0123456789abcdef",             // '1' -> 422
+      "0123456789abcdef0123456789abcdef",             // '2' -> 444
+      "0133456789abcdef0123456789abcdef")             // '3' -> mono
+    val modes = bhs.map { bh =>
+      val v = Y4m.decodeY4m(Y4m.syntheticFamilyY4m(bh, "aa0")).get
+      assert(v.width == 16 + (bh.charAt(0).toInt % 8) * 4)
+      assert(v.frames.length == bh.charAt(3).toInt % 4 + 2)
+      // frame 0 fill replays as (c*31 + i*7) % 256 away from the watermark
+      val w = v.width
+      val ppos = (('a'.toInt * 31 + 'a'.toInt)) % (w * v.height)
+      val checkIdx = if (ppos == 0) 1 else 0
+      val expected = (bh.charAt(checkIdx % 32).toInt * 31 + checkIdx * 7) % 256
+      assert((v.frames.head.pixels(checkIdx) & 0xff) == expected)
+      v.chroma
+    }
+    assert(modes.toSet === Set("420", "422", "444", "mono"))
+    // family locality: members differ by one frame-0 pixel, so their
+    // first-frame dHashes stay within a few bits
+    val bh = bhs.head
+    val clips = Seq("aa07", "3f19", "c2b8").map { ph =>
+      Y4m.decodeY4m(Y4m.syntheticFamilyY4m(bh, ph)).get
+    }
+    for (Seq(a, b) <- clips.combinations(2)) {
+      val (ba, bb) = (Multimodal.dhashBands(a.frames.head), Multimodal.dhashBands(b.frames.head))
+      val ham = (0 until 4).map(i => Integer.bitCount(ba(i) ^ bb(i))).sum
+      assert(ham <= 8, s"family members too far apart: hamming $ham")
+      // later frames carry NO watermark: identical across members
+      assert(java.util.Arrays.equals(a.frames(1).pixels, b.frames(1).pixels))
+    }
+    // determinism
+    assert(java.util.Arrays.equals(Y4m.syntheticFamilyY4m(bh, "aa07"),
+      Y4m.syntheticFamilyY4m(bh, "aa07")))
+  }
+
   test("Multimodal dispatch: features, frame split, resize route video") {
     val hash = "fedcba9876543210fedcba9876543210"
     val payload = Y4m.syntheticY4mContainer(hash, 9L) // 422, 4 frames
