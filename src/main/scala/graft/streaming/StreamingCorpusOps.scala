@@ -290,22 +290,40 @@ object StreamingCorpusOps {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, payload) =>
-          graft.operators.Multimodal.decodeImage(payload) match {
-            case Some(img) =>
-              val b = graft.operators.Multimodal.dhashBands(img)
-              (0 until 4).iterator.map(i => BandRow(i, b(i).toString, id))
+          fingerprintOf(payload) match {
+            case Some((tag, b)) =>
+              (0 until 4).iterator.map(i => BandRow(i, s"$tag:${b(i)}", id))
             case None => Iterator.empty
           }
         }
       }
   }
 
-  /** Incremental image near-dup candidates: the SAME bucket-state
-    * operator as [[minhashCandidates]] fed by dHash bands — a new
-    * image pairs against every perceptually-colliding image the
-    * stream has accumulated, across micro-batches. Downstream verify
-    * (exact hamming over the full 64-bit fingerprint, as in the batch
-    * query) filters band-collision false positives.
+  /** Modality dispatch for the streaming fingerprinter: images (PGM/
+    * BMP/PNG/JPEG) take the dHash, Y4M video takes frame-0 dHash, WAV
+    * audio takes the energy-envelope fingerprint — each through its
+    * REAL decoder, all landing in the same four-16-bit-band shape, so
+    * one bucket-state operator serves every modality. Band values are
+    * only comparable WITHIN a modality, so the bucket key carries a
+    * modality tag — a WAV and a PNG can never share a bucket, by
+    * construction rather than by trusting downstream verify.
+    */
+  private def fingerprintOf(payload: Array[Byte]): Option[(String, Array[Int])] = {
+    import graft.operators.{Multimodal, Y4m}
+    Multimodal.decodeImage(payload).map(img => ("i", Multimodal.dhashBands(img)))
+      .orElse(Y4m.decodeY4m(payload).filter(_.frames.nonEmpty)
+        .map(v => ("v", Multimodal.dhashBands(v.frames.head))))
+      .orElse(Multimodal.decodeWav(payload).map(a => ("a", Multimodal.audioFingerprintBands(a))))
+  }
+
+  /** Incremental perceptual near-dup candidates: the SAME bucket-state
+    * operator as [[minhashCandidates]] fed by fingerprint bands — a
+    * new asset (image, WAV clip, or Y4M stream; see [[phashBandRows]]'
+    * modality dispatch) pairs against every perceptually-colliding
+    * asset the stream has accumulated, across micro-batches.
+    * Downstream verify (exact hamming over the full 64-bit
+    * fingerprint, as in the batch queries) filters band-collision
+    * false positives.
     */
   def phashCandidates(assets: DataFrame, maxBucket: Int = 512,
       ttl: Option[java.time.Duration] = None): Dataset[CandidatePair] =

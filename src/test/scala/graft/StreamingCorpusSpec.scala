@@ -77,6 +77,23 @@ class StreamingCorpusSpec extends SparkSpec {
       drain(q)
       assert(!spark.sql("SELECT * FROM cand_img").as[CandidatePair]
         .collect().exists(p => p.a_id == 99L || p.b_id == 99L))
+      // modality dispatch: a WAV family pairs through the SAME
+      // operator, and modality-tagged bucket keys keep audio and
+      // image candidates structurally separate. Clicks land at
+      // samples 48 ("a11") and 15 ("b11") of the n=64 signal: bits
+      // 47/48 and 14/15 — bands 0, 2, 3 may move but band 1 is
+      // untouched, so the pigeonhole guarantees a shared bucket
+      // (4 changed bits CAN span all 4 bands; a family test must
+      // pick clicks that provably don't)
+      in.addData(
+        (50L, Multimodal.syntheticFamilyWav(bhA, "a11")),
+        (51L, Multimodal.syntheticFamilyWav(bhA, "b11")))
+      drain(q)
+      val withAudio = spark.sql("SELECT DISTINCT a_id, b_id FROM cand_img")
+        .as[(Long, Long)].collect().toSet
+      assert(withAudio.contains((50L, 51L)), s"audio family pair missing: $withAudio")
+      assert(!withAudio.exists { case (a, b) => b >= 50 && a < 50 },
+        s"cross-modality candidate leaked: $withAudio")
     } finally q.stop()
   }
 
