@@ -37,7 +37,12 @@ object UrlOps {
     val hostPath = substring_index(base, "://", -1)
     val hostPort = substring_index(hostPath, "/", 1)
     val rawPath = hostPath.substr(length(hostPort) + 1, length(hostPath))
-    val host = lower(regexp_replace(hostPort, ":(80|443)$", ""))
+    // the default port is SCHEME-relative: http on :443 (or https on
+    // :80) is a different origin and must survive canonicalization
+    val lowered = lower(hostPort)
+    val host = when(scheme === "http", regexp_replace(lowered, ":80$", ""))
+      .when(scheme === "https", regexp_replace(lowered, ":443$", ""))
+      .otherwise(lowered)
     val trimmed = regexp_replace(rawPath, "/+$", "")
     val path = when(trimmed === "", lit("/")).otherwise(trimmed)
     val params = filter(split(qstr, "&"),

@@ -2322,7 +2322,9 @@ object ExtensionQueries {
        "THEN substr(split_part(base, '://', 2), instr(split_part(base, '://', 2), '/')) ELSE '' END AS path0 " +
        "FROM bq), " +
        "cn AS (SELECT doc_id, raw_url, scheme || '://' || " +
-       "lower(regexp_replace(hostport, ':(80|443)$', '')) || " +
+       "(CASE WHEN scheme = 'http' THEN regexp_replace(lower(hostport), ':80$', '') " +
+       "WHEN scheme = 'https' THEN regexp_replace(lower(hostport), ':443$', '') " +
+       "ELSE lower(hostport) END) || " +
        "(CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/' " +
        "ELSE regexp_replace(path0, '/+$', '') END) || " +
        "(CASE WHEN len(list_filter(string_split(q, '&'), p -> p <> '' AND NOT p LIKE 'utm_%')) > 0 " +

@@ -16,6 +16,9 @@ class UrlOpsSpec extends SparkSpec {
       Seq("https://h.org/a", "http://h.org/a"), "default ports strip")
     assert(canon("https://h.org:8080/a") === Seq("https://h.org:8080/a"),
       "non-default port survives")
+    assert(canon("http://h.org:443/a", "https://h.org:80/a") ===
+      Seq("http://h.org:443/a", "https://h.org:80/a"),
+      "the OTHER scheme's default port is a real origin and survives")
     assert(canon("https://h.org/a#sec-2") === Seq("https://h.org/a"), "fragment drops")
     assert(canon("https://h.org/a?utm_source=x&b=2&a=1") === Seq("https://h.org/a?a=1&b=2"),
       "utm params drop, the rest sort")
