@@ -161,6 +161,32 @@ object ExtensionQueries {
     * a live deployment would version the index dir per build.
     */
   private val ivfIndexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Shared pairing tail of the perceptual-dedup family (image dHash,
+    * audio envelope, video frame-0 dHash): a `(doc_id, b0..b3)`
+    * fingerprint frame in, verified near-dup pairs out. Band values
+    * double as LSH bucket keys (pigeonhole: hamming <= maxHamming over
+    * 64 bits forces >= 1 of 4 bands equal when maxHamming < 8), ONE
+    * exchange on (band, value), capped buckets, integer xor/bit_count
+    * verify on candidates only. One definition so the three modality
+    * queries cannot drift in plan shape or pairing semantics.
+    */
+  private def perceptualPairs(hashed: DataFrame, maxHamming: Int): DataFrame =
+    hashed
+      .select(col("*"), explode(sequence(lit(0), lit(3))).as("b"))
+      .withColumn("v",
+        expr("CASE b WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END"))
+      .groupBy(col("b"), col("v"))
+      .agg(array_sort(collect_set(struct(col("doc_id"), col("b0"), col("b1"),
+        col("b2"), col("b3")))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(TextOps.cappedPairs(col("ids"))).as("p"))
+      .select(col("p.a.doc_id").as("a_id"), col("p.b.doc_id").as("b_id"),
+        expr("CAST(bit_count(p.a.b0 ^ p.b.b0) + bit_count(p.a.b1 ^ p.b.b1) + " +
+          "bit_count(p.a.b2 ^ p.b.b2) + bit_count(p.a.b3 ^ p.b.b3) AS INT)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("a_id"), col("b_id"))
+
   private def ivfIndexDir(s: SparkSession, dir: String): String =
     ivfIndexDirs.computeIfAbsent(dir, _ => {
       val out = java.nio.file.Files.createTempDirectory("graft-ivf-index-")
@@ -1300,21 +1326,7 @@ object ExtensionQueries {
           }
         }
         .toDF("doc_id", "b0", "b1", "b2", "b3")
-      hashed
-        .select(col("*"), explode(sequence(lit(0), lit(3))).as("b"))
-        .withColumn("v",
-          expr("CASE b WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END"))
-        .groupBy(col("b"), col("v"))
-        .agg(array_sort(collect_set(struct(col("doc_id"), col("b0"), col("b1"),
-          col("b2"), col("b3")))).as("ids"))
-        .filter(size(col("ids")) > 1)
-        .select(explode(TextOps.cappedPairs(col("ids"))).as("p"))
-        .select(col("p.a.doc_id").as("a_id"), col("p.b.doc_id").as("b_id"),
-          expr("CAST(bit_count(p.a.b0 ^ p.b.b0) + bit_count(p.a.b1 ^ p.b.b1) + " +
-            "bit_count(p.a.b2 ^ p.b.b2) + bit_count(p.a.b3 ^ p.b.b3) AS INT)").as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 6)
-        .orderBy(col("a_id"), col("b_id"))
+      perceptualPairs(hashed, maxHamming = 6)
     }),
 
     // Audio near-dup via energy-envelope fingerprint — the AUDIO
@@ -1344,21 +1356,7 @@ object ExtensionQueries {
           }
         }
         .toDF("doc_id", "b0", "b1", "b2", "b3")
-      hashed
-        .select(col("*"), explode(sequence(lit(0), lit(3))).as("b"))
-        .withColumn("v",
-          expr("CASE b WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END"))
-        .groupBy(col("b"), col("v"))
-        .agg(array_sort(collect_set(struct(col("doc_id"), col("b0"), col("b1"),
-          col("b2"), col("b3")))).as("ids"))
-        .filter(size(col("ids")) > 1)
-        .select(explode(TextOps.cappedPairs(col("ids"))).as("p"))
-        .select(col("p.a.doc_id").as("a_id"), col("p.b.doc_id").as("b_id"),
-          expr("CAST(bit_count(p.a.b0 ^ p.b.b0) + bit_count(p.a.b1 ^ p.b.b1) + " +
-            "bit_count(p.a.b2 ^ p.b.b2) + bit_count(p.a.b3 ^ p.b.b3) AS INT)").as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 6)
-        .orderBy(col("a_id"), col("b_id"))
+      perceptualPairs(hashed, maxHamming = 6)
     }),
 
     // Video near-dup via first-frame perceptual hash — the VIDEO
@@ -1390,21 +1388,7 @@ object ExtensionQueries {
           }
         }
         .toDF("doc_id", "b0", "b1", "b2", "b3")
-      hashed
-        .select(col("*"), explode(sequence(lit(0), lit(3))).as("b"))
-        .withColumn("v",
-          expr("CASE b WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END"))
-        .groupBy(col("b"), col("v"))
-        .agg(array_sort(collect_set(struct(col("doc_id"), col("b0"), col("b1"),
-          col("b2"), col("b3")))).as("ids"))
-        .filter(size(col("ids")) > 1)
-        .select(explode(TextOps.cappedPairs(col("ids"))).as("p"))
-        .select(col("p.a.doc_id").as("a_id"), col("p.b.doc_id").as("b_id"),
-          expr("CAST(bit_count(p.a.b0 ^ p.b.b0) + bit_count(p.a.b1 ^ p.b.b1) + " +
-            "bit_count(p.a.b2 ^ p.b.b2) + bit_count(p.a.b3 ^ p.b.b3) AS INT)").as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 6)
-        .orderBy(col("a_id"), col("b_id"))
+      perceptualPairs(hashed, maxHamming = 6)
     }),
 
     "warc_ingest" -> ((s, dir) => {
