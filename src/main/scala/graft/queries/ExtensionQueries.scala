@@ -161,6 +161,30 @@ object ExtensionQueries {
     * a live deployment would version the index dir per build.
     */
   private val ivfIndexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** The image-fingerprint frame shared by `dedup_image_phash` and
+    * `decon_image_phash`: family-structured synthetic PNGs through the
+    * REAL codec round trip, dHash as four 16-bit bands — `(doc_id,
+    * b0..b3)`, one row per doc, pure map-side.
+    */
+  private def imagePhashFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        md5(expr("cast(doc_id div 7 as string)")).as("bh"),
+        md5(col("text")).as("ph"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        it.map { case (id, bh, ph) =>
+          val img = graft.operators.Multimodal.decodePng(
+            graft.operators.Multimodal.syntheticFamilyPng(bh, ph))
+            .getOrElse(sys.error(s"doc $id: synthetic family PNG failed to decode"))
+          val b = graft.operators.Multimodal.dhashBands(img)
+          (id, b(0), b(1), b(2), b(3))
+        }
+      }
+      .toDF("doc_id", "b0", "b1", "b2", "b3")
+  }
+
   /** Shared pairing tail of the perceptual-dedup family (image dHash,
     * audio envelope, video frame-0 dHash): a `(doc_id, b0..b3)`
     * fingerprint frame in, verified near-dup pairs out. Band values
@@ -1309,24 +1333,43 @@ object ExtensionQueries {
     // ~2-3x wall-clock ratio vs the oracle is the price of the real
     // work, not an optimizer gap — the codec stage is pure map-side
     // and embarrassingly parallel at 100 TB.
-    "dedup_image_phash" -> ((s, dir) => {
-      import s.implicits._
-      val hashed = Tables.documents(s, dir)
-        .select(col("doc_id"),
-          md5(expr("cast(doc_id div 7 as string)")).as("bh"),
-          md5(col("text")).as("ph"))
-        .as[(Long, String, String)]
-        .mapPartitions { it =>
-          it.map { case (id, bh, ph) =>
-            val img = graft.operators.Multimodal.decodePng(
-              graft.operators.Multimodal.syntheticFamilyPng(bh, ph))
-              .getOrElse(sys.error(s"doc $id: synthetic family PNG failed to decode"))
-            val b = graft.operators.Multimodal.dhashBands(img)
-            (id, b(0), b(1), b(2), b(3))
-          }
-        }
-        .toDF("doc_id", "b0", "b1", "b2", "b3")
-      perceptualPairs(hashed, maxHamming = 6)
+    "dedup_image_phash" -> ((s, dir) =>
+      perceptualPairs(imagePhashFrame(s, dir), maxHamming = 6)),
+
+    // MULTIMODAL rung of the decontamination ladder: a benchmark's
+    // images leak into training sets re-encoded and watermarked, where
+    // the text rungs (verbatim grams, minhash, embeddings) see
+    // nothing. Same contract as decon_embedding: the bench side
+    // (doc_id % 50 == 0, the split every decon rung uses) is tiny, so
+    // its banded fingerprints BROADCAST and the train side never
+    // shuffles for the match; candidates = band-key collisions,
+    // verify = exact hamming <= 6; the report is total (every train
+    // doc, contaminated or not) via a one-column pruned scan as the
+    // totality base — NOT the fingerprint frame, which would run the
+    // codec twice.
+    "decon_image_phash" -> ((s, dir) => {
+      val banded = imagePhashFrame(s, dir)
+        .select(col("*"), explode(sequence(lit(0), lit(3))).as("b"))
+        .withColumn("v",
+          expr("CASE b WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END"))
+      val t = banded.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+        .select(col("b"), col("v"), col("doc_id").as("tid"),
+          col("b0").as("t0"), col("b1").as("t1"), col("b2").as("t2"), col("b3").as("t3"))
+      val bench = banded.filter(pmod(col("doc_id"), lit(50)) === 0)
+        .select(col("b"), col("v"), col("doc_id").as("bid"),
+          col("b0").as("q0"), col("b1").as("q1"), col("b2").as("q2"), col("b3").as("q3"))
+      val m = t.join(broadcast(bench), Seq("b", "v"))
+        .filter(expr("CAST(bit_count(t0 ^ q0) + bit_count(t1 ^ q1) + " +
+          "bit_count(t2 ^ q2) + bit_count(t3 ^ q3) AS INT)") <= 6)
+        .select(col("tid"), col("bid")).distinct()
+        .groupBy(col("tid")).agg(count(lit(1)).as("n_bench_matches"))
+      Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(50)) =!= 0)
+        .select(col("doc_id"))
+        .join(m.withColumnRenamed("tid", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("n_bench_matches", coalesce(col("n_bench_matches"), lit(0L)))
+        .withColumn("is_image_contaminated", (col("n_bench_matches") >= 1).cast("int"))
+        .orderBy(col("doc_id"))
     }),
 
     // Audio near-dup via energy-envelope fingerprint — the AUDIO
@@ -1870,6 +1913,40 @@ object ExtensionQueries {
        "WHERE bit_count(xor(l.b0, r.b0)) + bit_count(xor(l.b1, r.b1)) + " +
        "bit_count(xor(l.b2, r.b2)) + bit_count(xor(l.b3, r.b3)) <= 6 " +
        "ORDER BY a_id, b_id"),
+    "decon_image_phash" ->
+      // same construction/grid/band replay as dedup_image_phash, then
+      // the bench split + band-collision join + totality left join
+      ("WITH d AS (SELECT doc_id, md5(CAST(doc_id // 7 AS VARCHAR)) bh, md5(text) ph FROM documents), " +
+       "g AS (SELECT doc_id, bh, ph, 16 + (ascii(substr(bh, 1, 1)) % 8) * 4 AS w, " +
+       "16 + (ascii(substr(bh, 2, 1)) % 8) * 4 AS h FROM d), " +
+       "p AS (SELECT *, (ascii(substr(ph, 1, 1)) * 31 + ascii(substr(ph, 2, 1))) % (w * h) AS ppos, " +
+       "ascii(substr(ph, 3, 1)) AS pval FROM g), " +
+       "s AS (SELECT doc_id, gy, gx, CASE WHEN idx = ppos THEN pval " +
+       "ELSE ascii(substr(bh, (idx % 32) + 1, 1)) END AS pix " +
+       "FROM (SELECT doc_id, ppos, pval, bh, gy, gx, ((gy * h) // 8) * w + ((gx * w) // 9) AS idx FROM p " +
+       "CROSS JOIN (SELECT unnest(generate_series(0, 7)) gy) " +
+       "CROSS JOIN (SELECT unnest(generate_series(0, 8)) gx))), " +
+       "bits AS (SELECT l.doc_id, l.gy, l.gx, CASE WHEN l.pix > r.pix THEN 1 ELSE 0 END bt " +
+       "FROM s l JOIN s r ON l.doc_id = r.doc_id AND l.gy = r.gy AND r.gx = l.gx + 1 WHERE l.gx < 8), " +
+       "bw AS (SELECT doc_id, " +
+       "CAST(SUM(CASE WHEN gy // 2 = 0 THEN bt * (1 << ((gy % 2) * 8 + gx)) ELSE 0 END) AS BIGINT) b0, " +
+       "CAST(SUM(CASE WHEN gy // 2 = 1 THEN bt * (1 << ((gy % 2) * 8 + gx)) ELSE 0 END) AS BIGINT) b1, " +
+       "CAST(SUM(CASE WHEN gy // 2 = 2 THEN bt * (1 << ((gy % 2) * 8 + gx)) ELSE 0 END) AS BIGINT) b2, " +
+       "CAST(SUM(CASE WHEN gy // 2 = 3 THEN bt * (1 << ((gy % 2) * 8 + gx)) ELSE 0 END) AS BIGINT) b3 " +
+       "FROM bits GROUP BY doc_id), " +
+       "banded AS (SELECT doc_id, b0, b1, b2, b3, b, " +
+       "CASE b WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END v FROM bw " +
+       "CROSS JOIN (SELECT unnest([0, 1, 2, 3]) b)), " +
+       "m AS (SELECT DISTINCT t.doc_id tid, q.doc_id bid FROM banded t " +
+       "JOIN banded q ON t.b = q.b AND t.v = q.v " +
+       "WHERE t.doc_id % 50 <> 0 AND q.doc_id % 50 = 0 AND " +
+       "bit_count(xor(t.b0, q.b0)) + bit_count(xor(t.b1, q.b1)) + " +
+       "bit_count(xor(t.b2, q.b2)) + bit_count(xor(t.b3, q.b3)) <= 6), " +
+       "cnt AS (SELECT tid, CAST(COUNT(*) AS BIGINT) n FROM m GROUP BY tid) " +
+       "SELECT d2.doc_id, COALESCE(cnt.n, 0) AS n_bench_matches, " +
+       "CAST(CASE WHEN COALESCE(cnt.n, 0) >= 1 THEN 1 ELSE 0 END AS INT) AS is_image_contaminated " +
+       "FROM documents d2 LEFT JOIN cnt ON cnt.tid = d2.doc_id " +
+       "WHERE d2.doc_id % 50 <> 0 ORDER BY d2.doc_id"),
     "dedup_image_phash" ->
       // construction replay (family base hash, dims, fill, one-pixel
       // perturbation) + dHash grid sampling + band/xor algebra — no

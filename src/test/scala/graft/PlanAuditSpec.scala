@@ -87,7 +87,8 @@ class PlanAuditSpec extends SparkSpec {
     for ((q, key) <- Seq(
         "decon_ngram_overlap" -> "[s#",
         "decon_minhash_neardup" -> "[band_idx#",
-        "decon_embedding" -> "[cell#")) {
+        "decon_embedding" -> "[cell#",
+        "decon_image_phash" -> "[b#")) {
       val p = plan(q)
       val joinLines = p.linesIterator.filter(_.contains("Join")).toSeq
       assert(joinLines.exists(l => l.contains("BroadcastHashJoin") && l.contains(key)),
