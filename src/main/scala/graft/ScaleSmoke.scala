@@ -55,6 +55,7 @@ object ScaleSmoke {
         // duplicate pressure, quantizer training over 10x vectors,
         // canonical-key dedup over 10x url groups
         "dedup_image_phash", "dedup_audio_fingerprint", "dedup_video_phash",
+        "decon_image_phash",
         "sim_sq8_topk",
         "crawl_url_canon")) {
       val t0 = System.nanoTime()
