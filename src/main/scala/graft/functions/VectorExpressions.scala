@@ -27,7 +27,8 @@ case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   private def elemOk(t: DataType): Boolean = t match {
-    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) |
+         ArrayType(LongType, _) => true
     case _ => false
   }
 
@@ -35,30 +36,41 @@ case class DotProduct(left: Expression, right: Expression)
     if (elemOk(left.dataType) && elemOk(right.dataType))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"dot_product requires array<double|float> inputs, got " +
+      s"dot_product requires array<double|float|bigint> inputs, got " +
         s"${left.dataType.sql} / ${right.dataType.sql}")
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
 
-  // float inputs are widened per element — IEEE float->double widening is
-  // exact, so results are bit-identical to casting the array first (and to
-  // the DuckDB oracle's CAST(x AS DOUBLE)). Accepting floats natively keeps
-  // the scoring projection free of the higher-order `transform` cast, which
-  // would otherwise break whole-stage codegen.
-  private def isFloat(e: Expression): Boolean =
-    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  // float/long inputs are widened per element — IEEE float->double
+  // widening is exact, and long->double is exact below 2^53 (the sq8
+  // quantized-code caller tops out at 255, and its per-product bound is
+  // 255^2 with <= dim summands, all integer-exact in a double), so
+  // results are bit-identical to casting the array first (and to the
+  // DuckDB oracle's CAST(x AS DOUBLE)). Accepting these natively keeps
+  // the scoring projection free of the higher-order `transform` cast,
+  // which would otherwise break whole-stage codegen.
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val lf = isFloat(left); val rf = isFloat(right)
+    val lt = elemType(left); val rt = elemType(right)
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
     while (i < n) {
-      val xv: Double = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv: Double = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      val xv: Double = lt match {
+        case FloatType => x.getFloat(i).toDouble
+        case LongType => x.getLong(i).toDouble
+        case _ => x.getDouble(i)
+      }
+      val yv: Double = rt match {
+        case FloatType => y.getFloat(i).toDouble
+        case LongType => y.getLong(i).toDouble
+        case _ => y.getDouble(i)
+      }
       s += xv * yv
       i += 1
     }
@@ -70,8 +82,13 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
-      val getA = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
-      val getB = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      def getter(t: DataType, v: String): String = t match {
+        case FloatType => s"(double) $v.getFloat($i)"
+        case LongType => s"(double) $v.getLong($i)"
+        case _ => s"$v.getDouble($i)"
+      }
+      val getA = getter(elemType(left), a)
+      val getB = getter(elemType(right), b)
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;

@@ -58,10 +58,32 @@ object VectorOps {
         .otherwise(floor((x - m.getField("mn")) * lit(255) /
           (m.getField("mx") - m.getField("mn")) + lit(0.5))))
 
+  /** Affine reconstruction of quantized codes back to approximate
+    * values: `mn + q * (mx - mn) / 255` per dimension. Scoring MUST
+    * run on reconstructions, not raw codes: codes are shifted by
+    * `-mn*255/(mx-mn)`, so a symmetric dot of raw codes ranks an
+    * affine-distorted functional whose `mn` cross-terms swamp the true
+    * inner product on near-orthogonal data (measured on the test
+    * embeddings: raw-code top-10 overlaps the exact top-10 in 0-1 of
+    * 10; reconstruction overlaps 10 of 10 — see the sq8 invariant in
+    * ExtensionInvariantsSpec). The expression is pinned so the DuckDB
+    * oracle replays it; a rounding layer at the query edge absorbs
+    * summation-order ulps, the same contract as the cosine queries.
+    */
+  def reconstructSq8(q: Column, mns: Column, mxs: Column): Column =
+    zip_with(q, zip_with(mns, mxs, (a, b) => struct(a.as("mn"), b.as("mx"))),
+      (x, m) => m.getField("mn") +
+        x * (m.getField("mx") - m.getField("mn")) / lit(255))
+
   /** Integer dot product over two quantized code arrays — BIGINT-exact
-    * (64-dim * 255^2 tops out far below Long range), so equality with
-    * the oracle is bit-for-bit, no rounding layer needed.
+    * (64-dim * 255^2 tops out far below Long range AND below 2^53, so
+    * the native double accumulator is integer-exact and the final cast
+    * recovers the BIGINT bit-for-bit; equality with the oracle needs
+    * no rounding layer). Routed through the codegen'd DotProduct
+    * (which accepts array<bigint> natively) instead of a zip_with/
+    * aggregate fold, which would be CodegenFallback in the scoring
+    * projection — the hot scan stage of sim_sq8_topk.
     */
   def dotSq8(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.VectorExpressions.dot_product(a, b).cast("long")
 }

@@ -556,14 +556,16 @@ object ExtensionQueries {
     // Training IS one aggregate: per-dim min/max with map-side partial
     // aggregation, so the exchange carries 64 rows per partition, not
     // the corpus; the learned ranges collapse to ONE broadcast row.
-    // Quantize + score are then pure map-side array expressions and
-    // the top-k is a TakeOrderedAndProject. Scoring is SYMMETRIC
-    // (query quantized with the same codebook), which keeps the whole
-    // query in exact BIGINT algebra — the DuckDB oracle replays
-    // min/max, the pinned floor((x-mn)*255/(mx-mn)+0.5) code
-    // assignment, and the integer dot bit-for-bit. (An asymmetric
-    // float-query variant scores marginally better recall; symmetric
-    // is what makes the oracle exact.)
+    // Quantize + reconstruct + score are pure map-side array
+    // expressions and the top-k is a TakeOrderedAndProject. Scoring
+    // runs on AFFINE RECONSTRUCTIONS (mn + q*step —
+    // VectorOps.reconstructSq8 documents why a symmetric raw-code dot
+    // ranks garbage: measured 0/10 overlap with the exact top-10 on
+    // the test embeddings, vs 10/10 reconstructed;
+    // ExtensionInvariantsSpec pins the recall). The oracle replays
+    // the pinned training/assignment/reconstruction arithmetic, with
+    // round(6) at the edge absorbing summation-order ulps (the
+    // cosine-query contract).
     "sim_sq8_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val mm = emb
@@ -581,16 +583,15 @@ object ExtensionQueries {
       // inside the broadcast build), so the corpus is scanned exactly
       // once with a single broadcast join — no second reference to the
       // training subtree, one fewer stage on the critical path
+      def recon(v: Column) = VectorOps.reconstructSq8(
+        VectorOps.quantizeSq8(v, col("mns"), col("mxs")), col("mns"), col("mxs"))
       val bank = mmRow
         .crossJoin(emb.filter(col("vec_id") === 7).select(col("embedding").as("qe")))
-        .select(col("mns"), col("mxs"),
-          VectorOps.quantizeSq8(col("qe"), col("mns"), col("mxs")).as("qq"))
+        .select(col("mns"), col("mxs"), recon(col("qe")).as("rq"))
       emb.filter(col("vec_id") =!= 7)
         .crossJoin(broadcast(bank))
         .select(col("vec_id"),
-          VectorOps.dotSq8(
-            VectorOps.quantizeSq8(col("embedding"), col("mns"), col("mxs")),
-            col("qq")).as("score"))
+          round(VectorOps.dot(recon(col("embedding")), col("rq")), 6).as("score"))
         .orderBy(col("score").desc, col("vec_id"))
         .limit(10)
     }),
@@ -2020,16 +2021,17 @@ object ExtensionQueries {
        "SELECT vec_id, round(dot/sqrt(nq*nv), 6) AS cos_sim FROM s " +
        "ORDER BY cos_sim DESC, vec_id LIMIT 10"),
     "sim_sq8_topk" ->
-      // min/max training, the pinned code assignment, and the integer
-      // dot replay exactly — scores are BIGINT so the compare is exact
+      // min/max training, the pinned code assignment, and the affine
+      // reconstruction replay exactly; round(6) absorbs summation-
+      // order ulps (the cosine-query contract)
       ("WITH e AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) x FROM embeddings " +
        "CROSS JOIN (SELECT unnest(generate_series(1, 64)) i)), " +
        "mm AS (SELECT i, min(x) mn, max(x) mx FROM e GROUP BY i), " +
-       "q AS (SELECT vec_id, e.i, CAST(CASE WHEN mx = mn THEN 0 " +
-       "ELSE floor((x - mn) * 255 / (mx - mn) + 0.5) END AS BIGINT) q " +
+       "q AS (SELECT vec_id, e.i, mn + CAST(CASE WHEN mx = mn THEN 0 " +
+       "ELSE floor((x - mn) * 255 / (mx - mn) + 0.5) END AS BIGINT) * (mx - mn) / 255 AS r " +
        "FROM e JOIN mm ON e.i = mm.i), " +
-       "qq AS (SELECT i, q AS qq FROM q WHERE vec_id = 7) " +
-       "SELECT q.vec_id, CAST(SUM(q.q * qq.qq) AS BIGINT) AS score " +
+       "qq AS (SELECT i, r AS rq FROM q WHERE vec_id = 7) " +
+       "SELECT q.vec_id, round(SUM(q.r * qq.rq), 6) AS score " +
        "FROM q JOIN qq ON q.i = qq.i WHERE q.vec_id <> 7 " +
        "GROUP BY q.vec_id ORDER BY score DESC, vec_id LIMIT 10"),
     "sim_ivf_topk" ->

@@ -301,6 +301,32 @@ class ExtensionInvariantsSpec extends SparkSpec {
     assert(sims.forall(s => s >= -1.0 && s <= 1.0))
   }
 
+  test("sq8 quantized ranking tracks the exact float-dot ranking") {
+    // The 0..255 codes keep ~8 bits per dimension, so the quantized
+    // integer dot must preserve the head of the EXACT (double) dot
+    // ranking — the property that makes SQ a usable index, not just a
+    // compressed blob. Pin: the sq8 top-1 appears in the exact top-3,
+    // and the sq8 top-10 overlaps the exact top-10 in >= 7 ids.
+    // (Same query vector and candidate universe as sim_sq8_topk.)
+    import org.apache.spark.sql.functions._
+    val sq8 = q("sim_sq8_topk").as[(Long, Double)].collect().map(_._1)
+    val emb = Tables.embeddings(spark, sf0001)
+    val qv = emb.filter(col("vec_id") === 7)
+      .select(graft.operators.VectorOps.toDouble(col("embedding")).as("qv"))
+    val exact = emb.filter(col("vec_id") =!= 7)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        graft.operators.VectorOps.dot(col("qv"),
+          graft.operators.VectorOps.toDouble(col("embedding"))).as("d"))
+      .orderBy(col("d").desc, col("vec_id"))
+      .limit(10).as[(Long, Double)].collect().map(_._1)
+    assert(exact.take(3).contains(sq8.head),
+      s"sq8 top-1 ${sq8.head} not in exact top-3 ${exact.take(3).toSeq}")
+    val overlap = sq8.toSet.intersect(exact.toSet).size
+    assert(overlap >= 7, s"sq8/exact top-10 overlap only $overlap: " +
+      s"${sq8.toSeq} vs ${exact.toSeq}")
+  }
+
   test("property: exact-dedup keeper count equals distinct content count") {
     val docs = Tables.documents(spark, sf0001)
     assert(q("dedup_exact").count() === docs.select("text").distinct().count())
