@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
@@ -101,6 +101,97 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** The int8-SQ quantize-then-reconstruct round trip in ONE native
+  * pass: per dimension, `code = floor((x - mn) * 255 / (mx - mn) +
+  * 0.5)` (0 when the dim is constant) and `value = mn + code *
+  * (mx - mn) / 255`. The HOF formulation — `reconstructSq8(
+  * quantizeSq8(v))`, a zip_with-of-zip_with chain twice over — is
+  * CodegenFallback per element; this compiles to a primitive double
+  * loop, keeping the sq8 scoring projection (the corpus-scan hot
+  * stage of `sim_sq8_topk`) inside one WholeStageCodegen span.
+  * Arithmetic is pinned IDENTICAL to the HOF chain (VectorOpsSpec
+  * asserts bit-for-bit equality on real embeddings), so the DuckDB
+  * oracle replay is unchanged. Output length = min of the three
+  * array lengths; null if any input is null.
+  */
+case class Sq8Reconstruct(vec: Expression, mns: Expression, mxs: Expression)
+    extends TernaryExpression {
+
+  override def first: Expression = vec
+  override def second: Expression = mns
+  override def third: Expression = mxs
+
+  private def vecOk(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  private def rangeOk(t: DataType): Boolean = t match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (vecOk(vec.dataType) && rangeOk(mns.dataType) && rangeOk(mxs.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sq8_reconstruct requires (array<float|double>, array<double>, " +
+        s"array<double>), got ${vec.dataType.sql} / ${mns.dataType.sql} / " +
+        s"${mxs.dataType.sql}")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "sq8_reconstruct"
+
+  private def vecIsFloat: Boolean =
+    vec.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any, lo: Any, hi: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val mn = lo.asInstanceOf[ArrayData]
+    val mx = hi.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), math.min(mn.numElements(), mx.numElements()))
+    val out = new Array[Double](n)
+    val f = vecIsFloat
+    var i = 0
+    while (i < n) {
+      val xv = if (f) x.getFloat(i).toDouble else x.getDouble(i)
+      val l = mn.getDouble(i)
+      val h = mx.getDouble(i)
+      out(i) = if (h == l) l
+        else l + Math.floor((xv - l) * 255 / (h - l) + 0.5) * (h - l) / 255
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, lo, hi) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      val xv = ctx.freshName("xv")
+      val l = ctx.freshName("lo")
+      val h = ctx.freshName("hi")
+      val getX = if (vecIsFloat) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($v.numElements(),
+         |  java.lang.Math.min($lo.numElements(), $hi.numElements()));
+         |double[] $out = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = $getX;
+         |  double $l = $lo.getDouble($i);
+         |  double $h = $hi.getDouble($i);
+         |  $out[$i] = ($h == $l) ? $l :
+         |    $l + java.lang.Math.floor(($xv - $l) * 255 / ($h - $l) + 0.5) * ($h - $l) / 255;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(vec = newFirst, mns = newSecond, mxs = newThird)
 }
 
 /** Content-equal holder for a small centroid bank riding in a plan —
@@ -246,8 +337,16 @@ object VectorExpressions {
     * [[graft.GraftExtensions]] (same contract as
     * `TextExpressions.functionBuilders`).
     */
+  /** Column facade: the int8-SQ round trip (quantize + reconstruct)
+    * of `v` under per-dim ranges `mns`/`mxs`, as one codegen'd pass.
+    */
+  def sq8_reconstruct(v: Column, mns: Column, mxs: Column): Column =
+    bridge.column(Sq8Reconstruct(bridge.expression(v),
+      bridge.expression(mns), bridge.expression(mxs)))
+
   def functionBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "dot_product" -> (exprs => DotProduct(exprs.head, exprs(1))))
+    "dot_product" -> (exprs => DotProduct(exprs.head, exprs(1))),
+    "sq8_reconstruct" -> (exprs => Sq8Reconstruct(exprs.head, exprs(1), exprs(2))))
 
   /** Optional SQL registration: `SELECT dot_product(a, b)`. */
   def register(spark: SparkSession): Unit =

@@ -75,6 +75,16 @@ object VectorOps {
       (x, m) => m.getField("mn") +
         x * (m.getField("mx") - m.getField("mn")) / lit(255))
 
+  /** The full quantize-then-reconstruct round trip of a RAW vector as
+    * ONE native codegen'd pass (graft.functions.Sq8Reconstruct) —
+    * bit-identical to `reconstructSq8(quantizeSq8(v))` (VectorOpsSpec
+    * cross-checks on real embeddings) but free of the four interpreted
+    * zip_with closures, so the sim_sq8_topk scoring projection stays
+    * inside whole-stage codegen.
+    */
+  def sq8Approx(v: Column, mns: Column, mxs: Column): Column =
+    graft.functions.VectorExpressions.sq8_reconstruct(v, mns, mxs)
+
   /** Integer dot product over two quantized code arrays — BIGINT-exact
     * (64-dim * 255^2 tops out far below Long range AND below 2^53, so
     * the native double accumulator is integer-exact and the final cast

@@ -583,8 +583,7 @@ object ExtensionQueries {
       // inside the broadcast build), so the corpus is scanned exactly
       // once with a single broadcast join — no second reference to the
       // training subtree, one fewer stage on the critical path
-      def recon(v: Column) = VectorOps.reconstructSq8(
-        VectorOps.quantizeSq8(v, col("mns"), col("mxs")), col("mns"), col("mxs"))
+      def recon(v: Column) = VectorOps.sq8Approx(v, col("mns"), col("mxs"))
       val bank = mmRow
         .crossJoin(emb.filter(col("vec_id") === 7).select(col("embedding").as("qe")))
         .select(col("mns"), col("mxs"), recon(col("qe")).as("rq"))

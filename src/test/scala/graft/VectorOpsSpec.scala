@@ -60,6 +60,35 @@ class VectorOpsSpec extends SparkSpec {
     assert(bad === 0L)
   }
 
+  test("Sq8Reconstruct == the HOF quantize+reconstruct chain, bit for bit") {
+    // the native fused pass must be indistinguishable from the
+    // reference formulation on real data (the DotProduct-vs-fold
+    // contract, applied to the sq8 round trip)
+    val emb = Tables.embeddings(spark, sf0001)
+    val mm = emb.select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("i"), col("mn"), col("mx")))).as("a"))
+      .select(transform(col("a"), m => m.getField("mn")).as("mns"),
+        transform(col("a"), m => m.getField("mx")).as("mxs"))
+    val both = emb.crossJoin(broadcast(mm))
+      .select(VectorOps.sq8Approx(col("embedding"), col("mns"), col("mxs")).as("native"),
+        VectorOps.reconstructSq8(
+          VectorOps.quantizeSq8(col("embedding"), col("mns"), col("mxs")),
+          col("mns"), col("mxs")).as("fold"))
+      .withColumn("eq", col("native") === col("fold"))
+    assert(both.filter(!col("eq")).count() === 0)
+    // constant-dim fallback and SQL registration
+    graft.functions.VectorExpressions.register(spark)
+    val one = Seq((Array(1.0f, 5.0f), Array(0.0, 5.0), Array(2.0, 5.0)))
+      .toDF("v", "mns", "mxs").createOrReplaceTempView("sq8_t")
+    val got = spark.sql("SELECT sq8_reconstruct(v, mns, mxs) FROM sq8_t")
+      .as[Array[Double]].head()
+    // dim0: code = floor(1*255/2 + 0.5) = 128 -> 0 + 128*2/255; dim1 constant -> mn
+    assert(got(0) === 128.0 * 2 / 255 && got(1) === 5.0)
+  }
+
   test("DotProduct handles nulls and length mismatch") {
     val df = Seq(
       (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0, 9.0))), // min-length semantics
