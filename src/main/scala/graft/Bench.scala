@@ -128,6 +128,15 @@ object Bench {
     val loadEnd = loadAvg()
     val calibEnd = calibMs()
     def r1(v: Double) = BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP)
+    // Box-invariant continuity number: total seconds divided by the
+    // window's mean single-thread calibration (ms). Two rounds on boxes
+    // of different speed then compare directly on total_per_calib
+    // without a judge rerun — the r8 artifact read as a 1.9x regression
+    // until a same-box readjudication showed every untouched query had
+    // slowed uniformly with calib_ms (the box, not the code).
+    def perCalib(total: Double, c1: Double, c2: Double): BigDecimal =
+      BigDecimal(total / ((c1 + c2) / 2.0))
+        .setScale(5, BigDecimal.RoundingMode.HALF_UP)
     val loadJson = s""""nproc":$nproc,"load_avg":[${r1(loadStart)},${r1(loadEnd)}],"calib_ms":[${r1(calibStart)},${r1(calibEnd)}]"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"unoracled":${js(extras)},"errors":${jsStr(allErrors)},"sf":"$sfDir","reps":2,"agg":"min","warm_cache":true,$loadJson}""")
     // Second scale point: re-time the oracled set at a SMALLER sf and emit
@@ -150,15 +159,16 @@ object Bench {
       val calibStart2 = calibMs()
       val (results2, errors2) = timeAll(oracled, sfDir2)
       val total2 = if (results2.nonEmpty) results2.values.sum else 0.0
-      val loadJson2 = s""""nproc":$nproc,"load_avg":[${r1(loadStart2)},${r1(loadAvg())}],"calib_ms":[${r1(calibStart2)},${r1(calibMs())}]"""
-      println(s"""{"metric":"total_compact","value":$total2,"unit":"sec","n_oracled":${results2.size},"n_errors":${errors2.size},"sf":"$sfDir2",$loadJson2}""")
+      val calibEnd2 = calibMs()
+      val loadJson2 = s""""nproc":$nproc,"load_avg":[${r1(loadStart2)},${r1(loadAvg())}],"calib_ms":[${r1(calibStart2)},${r1(calibEnd2)}]"""
+      println(s"""{"metric":"total_compact","value":$total2,"unit":"sec","total_per_calib":${perCalib(total2, calibStart2, calibEnd2)},"n_oracled":${results2.size},"n_errors":${errors2.size},"sf":"$sfDir2",$loadJson2}""")
     }
     // A tail capture always keeps the LAST line, so the headline total is
     // repeated in a short self-contained line AFTER the big detail line:
     // even if the per-query map above is truncated away again, the
     // round's total stays machine-readable. Named total_compact so a
     // "metric":"total" matcher can never pick this line over the full one.
-    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_oracled":${results.size},"n_errors":${allErrors.size},"sf":"$sfDir",$loadJson}""")
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","total_per_calib":${perCalib(total, calibStart, calibEnd)},"n_oracled":${results.size},"n_errors":${allErrors.size},"sf":"$sfDir",$loadJson}""")
     spark.stop()
     // An oracled query that failed both reps means the headline total is
     // missing a term — fail the run loudly rather than report a deflated

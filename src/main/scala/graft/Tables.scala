@@ -45,7 +45,15 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Session-conf mutation, guarded set-once: the NANOS footer type is
+    // unreadable without this conf, so the loader must own it, but a
+    // loader re-setting a session conf on every call is a global side
+    // effect on the shared session (another user reading a genuine
+    // nanos column elsewhere would be silently affected by the timing
+    // of OUR calls). Idempotent + checked first, so after the first
+    // events() call the session is never mutated again.
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, dir, "events")
     raw.schema("ts").dataType match {
       case LongType => // TIMESTAMP(NANOS) read as raw nanos

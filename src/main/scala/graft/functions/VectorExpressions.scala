@@ -105,7 +105,10 @@ case class DotProduct(left: Expression, right: Expression)
 
 /** The int8-SQ quantize-then-reconstruct round trip in ONE native
   * pass: per dimension, `code = floor((x - mn) * 255 / (mx - mn) +
-  * 0.5)` (0 when the dim is constant) and `value = mn + code *
+  * 0.5)` (0 when the dim is constant) CLAMPED to [0, 255] — values
+  * outside the learned range (unseen queries against a trained
+  * codebook, the normal deployment case) must land on the codebook
+  * edge, not on an out-of-codebook code — and `value = mn + code *
   * (mx - mn) / 255`. The HOF formulation — `reconstructSq8(
   * quantizeSq8(v))`, a zip_with-of-zip_with chain twice over — is
   * CodegenFallback per element; this compiles to a primitive double
@@ -159,7 +162,8 @@ case class Sq8Reconstruct(vec: Expression, mns: Expression, mxs: Expression)
       val l = mn.getDouble(i)
       val h = mx.getDouble(i)
       out(i) = if (h == l) l
-        else l + Math.floor((xv - l) * 255 / (h - l) + 0.5) * (h - l) / 255
+        else l + Math.min(255.0, Math.max(0.0,
+          Math.floor((xv - l) * 255 / (h - l) + 0.5))) * (h - l) / 255
       i += 1
     }
     new GenericArrayData(out)
@@ -183,7 +187,8 @@ case class Sq8Reconstruct(vec: Expression, mns: Expression, mxs: Expression)
          |  double $l = $lo.getDouble($i);
          |  double $h = $hi.getDouble($i);
          |  $out[$i] = ($h == $l) ? $l :
-         |    $l + java.lang.Math.floor(($xv - $l) * 255 / ($h - $l) + 0.5) * ($h - $l) / 255;
+         |    $l + java.lang.Math.min(255.0, java.lang.Math.max(0.0,
+         |      java.lang.Math.floor(($xv - $l) * 255 / ($h - $l) + 0.5))) * ($h - $l) / 255;
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin

@@ -16,20 +16,55 @@ import org.apache.spark.sql.functions._
   * consuming dedup is the groupBy on the canonical URL itself. The
   * rule set is the conservative RFC 3986 §6 subset every crawler
   * agrees on (lowercase scheme/host, default-port strip, fragment
-  * drop) plus the two conventions from the C4/CCNet lineage (tracking-
-  * param drop, query-param sort); path dot-segment resolution and
-  * percent-encoding normalization are deliberately out of scope — they
-  * change fetch semantics on hostile servers.
+  * drop, §6.2.2.2 decode of UNRESERVED-character escapes + uppercase
+  * hex for the rest) plus the two conventions from the C4/CCNet
+  * lineage (tracking-param drop, query-param sort); path dot-segment
+  * resolution and decoding of RESERVED characters are deliberately
+  * out of scope — they change fetch semantics on hostile servers.
   */
 object UrlOps {
 
-  /** Canonical form: lowercase scheme+host, strip `:80`/`:443`, drop
-    * the `#fragment`, drop `utm_*` tracking params, sort what remains,
-    * collapse trailing slashes (empty path prints as `/`). Idempotent
-    * (canon(canon(u)) == canon(u)) — pinned by UrlOpsSpec.
+  /** Percent-encoding normalization — the RFC 3986 §6.2.2 safe
+    * subset: escapes of UNRESERVED characters (`%41`..`%5A`,
+    * `%61`..`%7A`, `%30`..`%39`, `-` `.` `_` `~`) decode to the bare
+    * character (they are never delimiters, so decoding cannot change
+    * URL structure — safe to run on the RAW string before parsing),
+    * every other well-formed escape keeps its meaning but gets
+    * UPPERCASE hex (`%2f` -> `%2F`, §6.2.2.1), and a `%` NOT followed
+    * by two hex digits passes through byte-for-byte (rejecting would
+    * turn a frontier dedup into a crash loop on real crawl data).
+    * Idempotent: decoded output contains no `%` that the rules would
+    * touch again (`%25` — the escaped `%` itself — is reserved, so it
+    * stays encoded and cannot re-expose an escape).
+    */
+  def normalizePercent(u: Column): Column = {
+    val parts = split(u, "%", -1)
+    val decoded = transform(slice(parts, lit(2), greatest(size(parts) - 1, lit(0))), p => {
+      val hex2 = p.substr(lit(1), lit(2))
+      val rest = p.substr(lit(3), length(p))
+      val d = conv(hex2, 16, 10).cast("int")
+      val unreserved = (d >= 65 && d <= 90) || (d >= 97 && d <= 122) ||
+        (d >= 48 && d <= 57) || d.isin(45, 46, 95, 126)
+      when(!hex2.rlike("^[0-9A-Fa-f]{2}$"), concat(lit("%"), p))
+        .when(unreserved, concat(call_function("char", d), rest))
+        .otherwise(concat(lit("%"), upper(hex2), rest))
+    })
+    concat(element_at(parts, 1), array_join(decoded, ""))
+  }
+
+  /** Canonical form: percent-normalize (see [[normalizePercent]]),
+    * lowercase scheme+host, strip `:80`/`:443`, drop the `#fragment`,
+    * drop `utm_*` tracking params, sort what remains, collapse
+    * trailing slashes (empty path prints as `/`). A string with no
+    * `://` (relative link, `mailto:`, bare host — all common in real
+    * frontiers) is not a parseable absolute URL: it passes through
+    * UNCHANGED rather than coming back mangled by component splits
+    * that found no components. Idempotent (canon(canon(u)) ==
+    * canon(u)) — pinned by UrlOpsSpec.
     */
   def canonicalizeUrl(u: Column): Column = {
-    val noFrag = substring_index(u, "#", 1)
+    val pu = normalizePercent(u)
+    val noFrag = substring_index(pu, "#", 1)
     val base = substring_index(noFrag, "?", 1)
     val qstr = when(instr(noFrag, "?") > 0,
       noFrag.substr(instr(noFrag, "?") + 1, length(noFrag))).otherwise(lit(""))
@@ -47,8 +82,9 @@ object UrlOps {
     val path = when(trimmed === "", lit("/")).otherwise(trimmed)
     val params = filter(split(qstr, "&"),
       p => p =!= "" && !p.startsWith("utm_"))
-    concat(scheme, lit("://"), host, path,
+    val canon = concat(scheme, lit("://"), host, path,
       when(size(params) > 0, concat(lit("?"), array_join(array_sort(params), "&")))
         .otherwise(lit("")))
+    when(instr(u, "://") > 0, canon).otherwise(u)
   }
 }

@@ -48,15 +48,20 @@ object VectorOps {
     * are array columns carrying the learned per-dim min/max (one tiny
     * broadcast row — see sim_sq8_topk). Arithmetic is pinned to a
     * replayable double expression, `floor((x - mn) * 255 / (mx - mn)
-    * + 0.5)` with a 0 fallback for constant dims, so the DuckDB oracle
-    * lands on identical codes; all downstream scoring is exact integer
-    * algebra from here.
+    * + 0.5)` with a 0 fallback for constant dims, CLAMPED to [0, 255]
+    * — the normal deployment case quantizes UNSEEN vectors against a
+    * trained codebook, and a value outside the learned range would
+    * otherwise yield a negative or >255 code, silently breaking the
+    * int8 storage premise (reference SQ implementations clamp for the
+    * same reason). The DuckDB oracle replays the same clamp; all
+    * downstream scoring is exact integer algebra from here.
     */
   def quantizeSq8(v: Column, mns: Column, mxs: Column): Column =
     zip_with(toDouble(v), zip_with(mns, mxs, (a, b) => struct(a.as("mn"), b.as("mx"))),
       (x, m) => when(m.getField("mx") === m.getField("mn"), lit(0L))
-        .otherwise(floor((x - m.getField("mn")) * lit(255) /
-          (m.getField("mx") - m.getField("mn")) + lit(0.5))))
+        .otherwise(greatest(lit(0L), least(lit(255L),
+          floor((x - m.getField("mn")) * lit(255) /
+            (m.getField("mx") - m.getField("mn")) + lit(0.5))))))
 
   /** Affine reconstruction of quantized codes back to approximate
     * values: `mn + q * (mx - mn) / 255` per dimension. Scoring MUST

@@ -263,13 +263,19 @@ object Y4m {
     * query — the video twin of `Multimodal.syntheticFamilyPng`: docs
     * sharing `baseHash` get the same multi-frame stream (dims, chroma
     * mode, frame count, and every frame's luma fill from the base-hash
-    * arithmetic), and each doc perturbs ONE pixel of FRAME 0 from its
-    * own `pertHash` — a re-encoded clip with a one-pixel watermark.
-    * Frame 0's fill is `(c[i%32]*31 + i*7) % 256`, which is exactly
-    * what the DuckDB oracle replays; the bytes go through the REAL Y4M
-    * encoder so the consuming query exercises the stream-header walk
-    * and per-chroma plane sizing (a mis-sized chroma plane shifts
-    * every later frame and corrupts the decoded frame count).
+    * arithmetic), and each doc derives TWO member edits from its own
+    * `pertHash` — a one-pixel watermark on an ARBITRARY frame (char 3
+    * picks the frame, not always 0), and a re-cut: half the members
+    * drop the leading frame (char 4), the common trimmed-re-upload
+    * case that a first-frame-only fingerprint is structurally blind
+    * to. Frame `af`'s fill is `(c[(i+af)%32]*31 + i*7 + af*13) % 256`
+    * where `af` is the PRE-trim (absolute) frame index — trimming
+    * removes frames, it does not renumber the pixels — which is
+    * exactly what the DuckDB oracle replays; the bytes go through the
+    * REAL Y4M encoder so the consuming query exercises the
+    * stream-header walk and per-chroma plane sizing (a mis-sized
+    * chroma plane shifts every later frame and corrupts the decoded
+    * frame count).
     */
   def syntheticFamilyY4m(baseHash: String, pertHash: String): Array[Byte] = {
     val w = 16 + (baseHash.charAt(0).toInt % 8) * 4
@@ -291,9 +297,12 @@ object Y4m {
       }
       PgmImage(w, h, 255, px)
     }
+    val wmFrame = pertHash.charAt(3).toInt % nFrames
     val ppos = (pertHash.charAt(0).toInt * 31 + pertHash.charAt(1).toInt) % (w * h)
-    frames.head.pixels(ppos) = ((pertHash.charAt(2).toInt * 31 + ppos * 7) % 256).toByte
-    encodeY4m(Y4mVideo(w, h, 25, 1, chroma, frames))
+    frames(wmFrame).pixels(ppos) =
+      ((pertHash.charAt(2).toInt * 31 + ppos * 7) % 256).toByte
+    val trim = pertHash.charAt(4).toInt % 2 // nFrames >= 2, so >= 1 survives
+    encodeY4m(Y4mVideo(w, h, 25, 1, chroma, frames.drop(trim)))
   }
 
   def syntheticY4mContainer(contentHash: String, nBytes: Long): Array[Byte] = {

@@ -290,30 +290,33 @@ object StreamingCorpusOps {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, payload) =>
-          fingerprintOf(payload) match {
-            case Some((tag, b)) =>
-              (0 until 4).iterator.map(i => BandRow(i, s"$tag:${b(i)}", id))
-            case None => Iterator.empty
+          fingerprintsOf(payload).iterator.flatMap { case (tag, b) =>
+            (0 until 4).iterator.map(i => BandRow(i, s"$tag:${b(i)}", id))
           }
         }
       }
   }
 
   /** Modality dispatch for the streaming fingerprinter: images (PGM/
-    * BMP/PNG/JPEG) take the dHash, Y4M video takes frame-0 dHash, WAV
-    * audio takes the energy-envelope fingerprint — each through its
-    * REAL decoder, all landing in the same four-16-bit-band shape, so
-    * one bucket-state operator serves every modality. Band values are
-    * only comparable WITHIN a modality, so the bucket key carries a
-    * modality tag — a WAV and a PNG can never share a bucket, by
-    * construction rather than by trusting downstream verify.
+    * BMP/PNG/JPEG) take the dHash, Y4M video takes a dHash PER FRAME
+    * (the batch `dedup_video_phash` contract — frame-index-agnostic
+    * bands are what let a trimmed re-upload collide with its
+    * original), WAV audio takes the energy-envelope fingerprint —
+    * each through its REAL decoder, every fingerprint landing in the
+    * same four-16-bit-band shape, so one bucket-state operator serves
+    * every modality. Band values are only comparable WITHIN a
+    * modality, so the bucket key carries a modality tag — a WAV and a
+    * PNG can never share a bucket, by construction rather than by
+    * trusting downstream verify. Undecodable payloads yield nothing.
     */
-  private def fingerprintOf(payload: Array[Byte]): Option[(String, Array[Int])] = {
+  private def fingerprintsOf(payload: Array[Byte]): Seq[(String, Array[Int])] = {
     import graft.operators.{Multimodal, Y4m}
-    Multimodal.decodeImage(payload).map(img => ("i", Multimodal.dhashBands(img)))
+    Multimodal.decodeImage(payload).map(img => Seq(("i", Multimodal.dhashBands(img))))
       .orElse(Y4m.decodeY4m(payload).filter(_.frames.nonEmpty)
-        .map(v => ("v", Multimodal.dhashBands(v.frames.head))))
-      .orElse(Multimodal.decodeWav(payload).map(a => ("a", Multimodal.audioFingerprintBands(a))))
+        .map(v => v.frames.map(fr => ("v", Multimodal.dhashBands(fr)))))
+      .orElse(Multimodal.decodeWav(payload)
+        .map(a => Seq(("a", Multimodal.audioFingerprintBands(a)))))
+      .getOrElse(Seq.empty)
   }
 
   /** Incremental perceptual near-dup candidates: the SAME bucket-state

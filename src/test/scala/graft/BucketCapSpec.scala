@@ -60,6 +60,26 @@ class BucketCapSpec extends SparkSpec {
     assert(TextOps.bucketOverflow(healthy).isEmpty)
   }
 
+  test("perceptual fingerprint buckets stay under the cap at the gate scale factors") {
+    // The three perceptual ORACLES replay uncapped self-joins while the
+    // Spark side caps (band, value) buckets at MaxBucket — an over-cap
+    // bucket would drop pairs ONLY on the Spark side and break the
+    // correctness hash silently. The round-8 survey records a near-miss
+    // (~500-member buckets from the rejected sum-energy audio
+    // fingerprint), so the margin is pinned loudly, at the scale
+    // factors the gate actually runs (sf0.01 verify, sf0.1 re-check).
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+        if new java.io.File(dir).isDirectory) {
+      for ((name, banded) <- graft.queries.ExtensionQueries.perceptualBandFrames(spark, dir)) {
+        val biggest = banded.groupBy(col("b"), col("v")).count()
+          .agg(max(col("count"))).as[Long].head()
+        assert(biggest < TextOps.MaxBucket,
+          s"$name@$dir: max (band,value) bucket $biggest >= cap ${TextOps.MaxBucket} — " +
+            "capped Spark pairs would diverge from the uncapped oracle")
+      }
+    }
+  }
+
   test("cap leaves sub-cap buckets bit-identical") {
     val ids = typedLit(Seq(3L, 5L, 9L))
     val capped = spark.range(1)

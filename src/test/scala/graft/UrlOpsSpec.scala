@@ -30,20 +30,41 @@ class UrlOpsSpec extends SparkSpec {
       Seq("https://h.org/", "https://h.org/"), "empty path prints as /")
   }
 
+  test("percent-encoding: unreserved decode, reserved uppercase, malformed passthrough") {
+    assert(canon("https://h.org/%70/%41%7e?a=%31") === Seq("https://h.org/p/A~?a=1"),
+      "escapes of unreserved chars (p, A, ~, 1) decode to the bare character")
+    assert(canon("https://h.org/a%2fb?c=x%2fy") === Seq("https://h.org/a%2Fb?c=x%2Fy"),
+      "reserved escapes stay ENCODED but hex uppercases (%2f = '/')")
+    assert(canon("https://h.org/a?b=%25zz") === Seq("https://h.org/a?b=%25zz"),
+      "%25 (the escaped %) is reserved: stays encoded, does not re-expose an escape")
+    assert(canon("https://h.org/a?b=100%", "https://h.org/a?b=%z1") ===
+      Seq("https://h.org/a?b=100%", "https://h.org/a?b=%z1"),
+      "a % not followed by two hex digits passes through byte-for-byte")
+    assert(canon("https://h.org/%70%2f%70") === Seq("https://h.org/p%2Fp"),
+      "mixed: decode around a preserved reserved escape")
+  }
+
+  test("strings without :// pass through unchanged (relative links, mailto, bare hosts)") {
+    for (u <- Seq("mailto:admin@example.org", "/relative/path?b=2&a=1",
+        "example.org/p/1", "HTTPS:no-slashes", ""))
+      assert(canon(u) === Seq(u), s"non-absolute input must not be mangled: $u")
+  }
+
   test("property: canonicalization is idempotent on the messy-variant space") {
     import org.scalacheck.{Gen, Prop}
     import org.scalacheck.Test.{check => scCheck, Parameters}
     val genUrl = for {
       up <- Gen.oneOf(true, false)
       port <- Gen.oneOf("", ":443", ":8080")
+      pesc <- Gen.oneOf("", "/%70x", "/x%2fy", "/x%zz", "/100%")
       slash <- Gen.oneOf("", "/", "//")
       frag <- Gen.oneOf("", "#x")
-      params <- Gen.someOf(Seq("a=1", "b=2", "utm_c=3", "z=9"))
+      params <- Gen.someOf(Seq("a=1", "b=2", "utm_c=3", "z=9", "e=%41", "f=x%2fy"))
       n <- Gen.choose(0, 99)
     } yield {
       val host = if (up) s"H$n.Example.ORG" else s"h$n.example.org"
       val q = if (params.isEmpty) "" else "?" + scala.util.Random.shuffle(params).mkString("&")
-      s"https://$host$port/p/$n$slash$q$frag"
+      s"https://$host$port/p/$n$pesc$slash$q$frag"
     }
     val prop = Prop.forAll(genUrl) { u =>
       val once = canon(u).head
@@ -57,8 +78,12 @@ class UrlOpsSpec extends SparkSpec {
       "https://w5.example.org/p/5?a=1&b=2",
       "HTTPS://W5.EXAMPLE.ORG/p/5?b=2&a=1",
       "https://w5.example.org:443/p/5?a=1&b=2#frag",
-      "https://w5.example.org/p/5/?utm_source=feed&a=1&b=2")
+      "https://w5.example.org/p/5/?utm_source=feed&a=1&b=2",
+      "https://w5.example.org/%70/5?a=%31&b=2")
     val keys = canon(variants: _*).distinct
     assert(keys === Seq("https://w5.example.org/p/5?a=1&b=2"))
+    // reserved escapes: hex case collapses, the escape itself survives
+    assert(canon("https://h.org/d?c=x%2fy", "https://h.org/d?c=x%2Fy").distinct ===
+      Seq("https://h.org/d?c=x%2Fy"))
   }
 }

@@ -89,6 +89,23 @@ class VectorOpsSpec extends SparkSpec {
     assert(got(0) === 128.0 * 2 / 255 && got(1) === 5.0)
   }
 
+  test("sq8 clamps out-of-range values to the codebook edge (unseen-query case)") {
+    // a query quantized against a PREVIOUSLY-trained codebook routinely
+    // falls outside the learned per-dim range; codes must saturate at
+    // 0/255, never leave int8 storage range — in the HOF quantizer AND
+    // the fused native round trip
+    val df = Seq((Array(-3.0f, 9.0f, 0.5f)))
+      .toDF("v")
+      .withColumn("mns", array(lit(0.0), lit(0.0), lit(0.0)))
+      .withColumn("mxs", array(lit(1.0), lit(1.0), lit(1.0)))
+    val codes = df.select(VectorOps.quantizeSq8(col("v"), col("mns"), col("mxs")))
+      .as[Array[Long]].head()
+    assert(codes.toSeq === Seq(0L, 255L, 128L))
+    val recon = df.select(VectorOps.sq8Approx(col("v"), col("mns"), col("mxs")))
+      .as[Array[Double]].head()
+    assert(recon.toSeq === Seq(0.0, 1.0, 128.0 / 255))
+  }
+
   test("DotProduct handles nulls and length mismatch") {
     val df = Seq(
       (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0, 9.0))), // min-length semantics

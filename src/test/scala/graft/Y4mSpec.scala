@@ -206,7 +206,7 @@ class Y4mSpec extends AnyFunSuite {
     }
   }
 
-  test("family container: shared base stream, frame-0 watermark locality, all chroma modes") {
+  test("family container: shared base, arbitrary-frame watermark, re-cut trim, all chroma modes") {
     import graft.operators.Multimodal
     // base hashes chosen so char 2 walks all four chroma modes; every
     // variant must decode through the real plane-size walk
@@ -215,34 +215,49 @@ class Y4mSpec extends AnyFunSuite {
       "0123456789abcdef0123456789abcdef",             // '2' -> 444
       "0133456789abcdef0123456789abcdef")             // '3' -> mono
     val modes = bhs.map { bh =>
-      val v = Y4m.decodeY4m(Y4m.syntheticFamilyY4m(bh, "aa0")).get
+      val nf = bh.charAt(3).toInt % 4 + 2
+      val v = Y4m.decodeY4m(Y4m.syntheticFamilyY4m(bh, "aa000")).get // tm=0
       assert(v.width == 16 + (bh.charAt(0).toInt % 8) * 4)
-      assert(v.frames.length == bh.charAt(3).toInt % 4 + 2)
-      // frame 0 fill replays as (c*31 + i*7) % 256 away from the watermark
-      val w = v.width
-      val ppos = (('a'.toInt * 31 + 'a'.toInt)) % (w * v.height)
-      val checkIdx = if (ppos == 0) 1 else 0
-      val expected = (bh.charAt(checkIdx % 32).toInt * 31 + checkIdx * 7) % 256
-      assert((v.frames.head.pixels(checkIdx) & 0xff) == expected)
+      assert(v.frames.length == nf)
+      // fill replays as (c[(i+af)%32]*31 + i*7 + af*13) % 256 away
+      // from the watermark — check a frame the watermark is NOT on
+      val wf = '0'.toInt % nf
+      val af = if (wf == 0) 1 else 0
+      val expected = (bh.charAt(af % 32).toInt * 31 + 0 * 7 + af * 13) % 256
+      assert((v.frames(af).pixels(0) & 0xff) == expected)
       v.chroma
     }
     assert(modes.toSet === Set("420", "422", "444", "mono"))
-    // family locality: members differ by one frame-0 pixel, so their
-    // first-frame dHashes stay within a few bits
+
     val bh = bhs.head
-    val clips = Seq("aa07", "3f19", "c2b8").map { ph =>
-      Y4m.decodeY4m(Y4m.syntheticFamilyY4m(bh, ph)).get
-    }
-    for (Seq(a, b) <- clips.combinations(2)) {
-      val (ba, bb) = (Multimodal.dhashBands(a.frames.head), Multimodal.dhashBands(b.frames.head))
-      val ham = (0 until 4).map(i => Integer.bitCount(ba(i) ^ bb(i))).sum
-      assert(ham <= 8, s"family members too far apart: hamming $ham")
-      // later frames carry NO watermark: identical across members
-      assert(java.util.Arrays.equals(a.frames(1).pixels, b.frames(1).pixels))
-    }
+    val nf = bh.charAt(3).toInt % 4 + 2
+    val wf = '0'.toInt % nf // both A and B use ph charAt(3) = '0'
+    val a = Y4m.decodeY4m(Y4m.syntheticFamilyY4m(bh, "aa000")).get
+    val b = Y4m.decodeY4m(Y4m.syntheticFamilyY4m(bh, "ab000")).get
+    val c = Y4m.decodeY4m(Y4m.syntheticFamilyY4m(bh, "aa001")).get // tm=1
+    assert(a.frames.length == nf && c.frames.length == nf - 1)
+    // arbitrary-frame watermark: ONLY frame wf differs between members
+    for (f <- 0 until nf if f != wf)
+      assert(java.util.Arrays.equals(a.frames(f).pixels, b.frames(f).pixels),
+        s"non-watermark frame $f differs")
+    val nDiff = a.frames(wf).pixels.zip(b.frames(wf).pixels)
+      .count { case (x, y) => x != y }
+    assert(nDiff >= 1 && nDiff <= 2,
+      s"watermark frame should differ in 1-2 pixels, got $nDiff")
+    // the watermarked frames stay dHash-local (one-pixel edit)
+    val (ba, bb) = (Multimodal.dhashBands(a.frames(wf)), Multimodal.dhashBands(b.frames(wf)))
+    val ham = (0 until 4).map(i => Integer.bitCount(ba(i) ^ bb(i))).sum
+    assert(ham <= 8, s"family members too far apart: hamming $ham")
+    // re-cut: C is A minus the leading frame — frame j of the trimmed
+    // clip is EXACTLY frame j+1 of the untrimmed member (same
+    // watermark), the case an all-frames fingerprint must catch and a
+    // frame-0-only fingerprint cannot
+    for (j <- 0 until nf - 1)
+      assert(java.util.Arrays.equals(c.frames(j).pixels, a.frames(j + 1).pixels),
+        s"trimmed frame $j != untrimmed frame ${j + 1}")
     // determinism
-    assert(java.util.Arrays.equals(Y4m.syntheticFamilyY4m(bh, "aa07"),
-      Y4m.syntheticFamilyY4m(bh, "aa07")))
+    assert(java.util.Arrays.equals(Y4m.syntheticFamilyY4m(bh, "aa000"),
+      Y4m.syntheticFamilyY4m(bh, "aa000")))
   }
 
   test("Multimodal dispatch: features, frame split, resize route video") {
