@@ -858,6 +858,95 @@ object Multimodal {
     bands
   }
 
+  /** Family-structured synthetic WAV for the SHIFT-TOLERANT audio
+    * near-dup query (`dedup_audio_shingle`) — the time-offset re-upload
+    * case the global-envelope fingerprint is structurally blind to:
+    * docs sharing `baseHash` get the same mono PCM signal (1280..2176
+    * samples, fill `(c[(k%32)] * (k*13+7)) % 4093 - 2046`: the hash
+    * char MULTIPLIES the position term so different families'
+    * sequences decorrelate — an ADDITIVE position term is shared
+    * across every doc and measured as the dominant signal (max
+    * (value)-bucket 884 at sf0.1, past the 512 cap); the modulus is
+    * PRIME because a power-of-two modulus leaks gcd structure from
+    * even chars — and each doc carries a one-sample click
+    * from its own `pertHash`, AND each doc is prefixed by 0..3
+    * shingle-window-aligned windows of doc-unique noise (`pertHash`
+    * char 4) — a clip that starts up to 24 samples later. All lengths
+    * are multiples of the window size, so the base signal's windows
+    * stay aligned after the prefix and its shingles survive the shift.
+    * Construction arithmetic is exactly what the DuckDB oracle
+    * replays; bytes go through the REAL WAV encoder.
+    */
+  def syntheticFamilyWavShifted(baseHash: String, pertHash: String): Array[Byte] = {
+    val n = 1280 + (baseHash.charAt(0).toInt % 8) * 128
+    val off = (pertHash.charAt(3).toInt % 4) * ShingleWindow
+    val ppos = (pertHash.charAt(0).toInt * 31 + pertHash.charAt(1).toInt) % n
+    val samples = new Array[Short](off + n)
+    var i = 0
+    while (i < off) {
+      samples(i) = ((pertHash.charAt(i % 32).toInt * (i * 13 + 7)) % 4093 - 2046).toShort
+      i += 1
+    }
+    var k = 0
+    while (k < n) {
+      samples(off + k) =
+        if (k == ppos) ((pertHash.charAt(2).toInt * (k * 13 + 7)) % 4093 - 2046).toShort
+        else ((baseHash.charAt(k % 32).toInt * (k * 13 + 7)) % 4093 - 2046).toShort
+      k += 1
+    }
+    encodeWav(PcmAudio(8000, 1, samples))
+  }
+
+  /** Fixed-size analysis window (samples) and bits per shingle for the
+    * shift-tolerant audio fingerprint. The windows are FIXED-size
+    * (unlike [[audioFingerprintBands]]' 65-way split of the whole
+    * clip), which is the property that buys shift tolerance: a clip
+    * offset by a whole number of windows produces the same window
+    * energies at shifted indices, and shingle VALUES — not positions —
+    * are the LSH keys.
+    */
+  val ShingleWindow = 8
+  val ShingleBits = 32
+
+  /** Overlapping energy-envelope sub-fingerprints (shingles) — the
+    * chromaprint-style answer to time offsets: cut the signal into
+    * fixed [[ShingleWindow]]-sample windows (trailing partial window
+    * dropped), compare adjacent windows' exact integer |sample| sums
+    * (equal-size windows, so plain sums — no size-pattern bias to
+    * cross-multiply away), and pack every run of [[ShingleBits]]
+    * consecutive comparison bits into one 32-bit value, sliding one
+    * window at a time. A clip offset by k whole windows emits the
+    * same values k positions later — the consuming query buckets on
+    * VALUE only, so the offset is invisible. All integer algebra,
+    * replayed bit-for-bit by the DuckDB oracle; values are returned as
+    * unsigned-range Longs (bit 31 set would flip an Int negative and
+    * diverge from the oracle's BIGINT shift sum).
+    */
+  def audioShingleValues(a: PcmAudio): Array[Long] = {
+    val nw = a.samples.length / ShingleWindow
+    if (nw < ShingleBits + 1) return Array.empty
+    val e = new Array[Long](nw)
+    var i = 0
+    while (i < nw * ShingleWindow) {
+      e(i / ShingleWindow) += math.abs(a.samples(i).toInt)
+      i += 1
+    }
+    val nBits = nw - 1
+    val out = new Array[Long](nBits - ShingleBits + 1)
+    var j = 0
+    while (j < out.length) {
+      var v = 0L
+      var k = 0
+      while (k < ShingleBits) {
+        if (e(j + k) > e(j + k + 1)) v |= 1L << k
+        k += 1
+      }
+      out(j) = v
+      j += 1
+    }
+    out
+  }
+
   /** Family-structured synthetic image for the perceptual-hash dedup
     * query: all docs sharing `baseHash` (one hash per FAMILY) get the
     * same base raster, and each doc perturbs ONE pixel from its own

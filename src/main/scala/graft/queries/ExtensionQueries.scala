@@ -256,6 +256,33 @@ object ExtensionQueries {
         .toDF("doc_id", "b0", "b1", "b2", "b3")
     }
 
+  /** The shingle frame of `dedup_audio_shingle`: shifted-family WAVs
+    * (doc-unique prefix of 0..3 windows + shared base signal + click)
+    * through the REAL codec, overlapping 32-bit energy-comparison
+    * sub-fingerprints (`Multimodal.audioShingleValues`) — `(doc_id,
+    * sh)`, DISTINCT values per doc (set semantics are what the
+    * pairing counts), materialized once per corpus dir.
+    */
+  private def audioShingleFrame(s: SparkSession, dir: String): DataFrame =
+    materializedFrame(s, s"audioshingle:$dir") {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          md5(expr("cast(doc_id div 5 as string)")).as("bh"),
+          md5(col("text")).as("ph"))
+        .as[(Long, String, String)]
+        .mapPartitions { it =>
+          it.flatMap { case (id, bh, ph) =>
+            val clip = graft.operators.Multimodal.decodeWav(
+              graft.operators.Multimodal.syntheticFamilyWavShifted(bh, ph))
+              .getOrElse(sys.error(s"doc $id: synthetic shifted WAV failed to decode"))
+            graft.operators.Multimodal.audioShingleValues(clip)
+              .distinct.iterator.map(v => (id, v))
+          }
+        }
+        .toDF("doc_id", "sh")
+    }
+
   /** The ALL-FRAMES video-fingerprint frame of `dedup_video_phash`:
     * family Y4M streams with per-member arbitrary-frame watermarks and
     * leading-frame trims through the REAL stream decode, EVERY frame
@@ -315,7 +342,11 @@ object ExtensionQueries {
     Map(
       "image" -> bandExplode(imagePhashFrame(s, dir)),
       "audio" -> bandExplode(audioFingerprintFrame(s, dir)),
-      "video" -> bandExplode(videoPhashFrame(s, dir)))
+      "video" -> bandExplode(videoPhashFrame(s, dir)),
+      // the shingle frame's bucket key is the value alone — conformed
+      // to the (b, v) shape so the same audit covers it
+      "audio_shingle" -> audioShingleFrame(s, dir)
+        .select(lit(0).as("b"), col("sh").as("v"), col("doc_id")))
 
   /** Pairing tail of the MULTI-FINGERPRINT perceptual queries (video
     * all-frames today; any keyframe/shingle source tomorrow): frame
@@ -746,6 +777,70 @@ object ExtensionQueries {
         .crossJoin(broadcast(bank))
         .select(col("vec_id"),
           round(VectorOps.dot(recon(col("embedding")), col("rq")), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // Product quantization (PQ) — the MEMORY-scale rung beyond SQ8:
+    // sq8 stores one byte PER DIMENSION (4x smaller than float32); PQ
+    // stores one byte PER SUBSPACE — 8 subspaces x 8 dims here, so a
+    // 256-byte vector becomes an 8-byte code (32x) and 100 TB of
+    // embeddings serves from ~3 TB. Training is the seededCells
+    // recipe PER SUBSPACE: the first 256 vectors' subvectors are the
+    // subspace codebook (bounded driver collect, 256 x 8 floats x 8
+    // banks), assignment is the SAME argmax-round6-cosine/tie-lower
+    // contract as sim_ivf_topk via per-subspace SeededCellArgmax
+    // expressions — pure map-side, ZERO exchange in the whole plan.
+    // Scoring is ASYMMETRIC (ADC): the RAW query against each
+    // vector's reconstruction = sum over subspaces of dot(q_sub,
+    // codeword) — 8 lookups into broadcast-literal tables of
+    // precomputed dots, never a reconstruction materialized per row
+    // (the sq8 recall lesson generalized: score reconstructions, keep
+    // the query exact). The oracle replays subspace slicing,
+    // assignment, and the ordered table-sum; round(6) at the edge
+    // absorbs the sum-order ulps of adding the 8 subspace dots (the
+    // cosine-query contract). Recall vs the exact scan is pinned in
+    // ExtensionInvariantsSpec — coarse 256-codeword quantization on
+    // near-random vectors is honest about its limits there.
+    "sim_pq_topk" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val seedRows = emb.filter(col("vec_id") < 256)
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .collect()
+      val qv = emb.filter(col("vec_id") === 299)
+        .select(col("embedding")).as[Array[Float]].head()
+      def subOf(v: Array[Float], si: Int): Array[Float] = v.slice(si * 8, si * 8 + 8)
+      // sequential left-to-right widening sum — the DotProduct order,
+      // so driver-side table entries are bit-identical to the
+      // engine-side and oracle-side formulations
+      def dotSeq(a: Array[Float], b: Array[Float]): Double = {
+        var acc = 0.0; var i = 0
+        val n = math.min(a.length, b.length)
+        while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+        acc
+      }
+      val banks = (0 until 8).map { si =>
+        new graft.functions.CentroidBank(
+          seedRows.map(_._1),
+          seedRows.map(r => subOf(r._2, si)),
+          seedRows.map(r => dotSeq(subOf(r._2, si), subOf(r._2, si))))
+      }
+      // ADC tables: dot(query subvector, codeword), indexed by cid
+      // (banks sort by ascending cid, and seed cids are 0..255)
+      val tables = (0 until 8).map { si =>
+        val qs = subOf(qv, si)
+        banks(si).vecs.map(c => dotSeq(qs, c))
+      }
+      val score = (0 until 8).map { si =>
+        val vs = slice(col("embedding"), si * 8 + 1, 8)
+        element_at(typedLit(tables(si).toSeq),
+          (graft.functions.VectorExpressions
+            .seeded_cell_argmax(banks(si), vs, VectorOps.dot(vs, vs))
+            .cast("int")) + 1)
+      }.reduce(_ + _)
+      emb.filter(col("vec_id") =!= 299)
+        .select(col("vec_id"), round(score, 6).as("score"))
         .orderBy(col("score").desc, col("vec_id"))
         .limit(10)
     }),
@@ -1537,6 +1632,32 @@ object ExtensionQueries {
     "dedup_audio_fingerprint" -> ((s, dir) =>
       perceptualPairs(audioFingerprintFrame(s, dir), maxHamming = 6)),
 
+    // SHIFT-TOLERANT audio near-dup via overlapping shingles — the
+    // rung above dedup_audio_fingerprint's global envelope: a clip
+    // offset by 100 ms fingerprints differently there (the 65-window
+    // split realigns), but shingles over FIXED-size windows emit the
+    // same VALUES at shifted positions, and value — not position — is
+    // the bucket key. The shifted family (Multimodal.
+    // syntheticFamilyWavShifted) prepends 0..3 windows of doc-unique
+    // noise to a shared base signal: exactly the members the global
+    // fingerprint cannot pair. Scale shape: codec + shingling are
+    // map-side (memoized store), ONE exchange into value buckets,
+    // capped expansion, then the doc-pair rollup (shared-value count)
+    // rides its own groupBy — pairs with >= 8 shared shingles report.
+    // The oracle replays construction, windowing, bit packing, and
+    // the distinct-value join in SQL.
+    "dedup_audio_shingle" -> ((s, dir) =>
+      audioShingleFrame(s, dir)
+        .groupBy(col("sh"))
+        .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(TextOps.cappedPairs(col("ids"))).as("p"))
+        .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 8)
+        .orderBy(col("a_id"), col("b_id"))),
+
     // Video near-dup via ALL-FRAMES perceptual hash — the VIDEO member
     // of the dedup family, completing the modality set (text / vectors
     // / image / audio / video). Doc families share a synthetic
@@ -2012,6 +2133,33 @@ object ExtensionQueries {
        "WHERE bit_count(xor(l.b0, r.b0)) + bit_count(xor(l.b1, r.b1)) + " +
        "bit_count(xor(l.b2, r.b2)) + bit_count(xor(l.b3, r.b3)) <= 6 " +
        "ORDER BY a_id, b_id"),
+    "dedup_audio_shingle" ->
+      // shifted-family construction replay (doc-unique prefix, shared
+      // aperiodic base fill, one-sample click) + fixed-window energy
+      // sums + adjacent comparisons + 32-bit shingle packing + the
+      // distinct-value self-join; HAVING COUNT(*) = 32 drops the
+      // partial shingles at each clip's tail
+      ("WITH d AS (SELECT doc_id, md5(CAST(doc_id // 5 AS VARCHAR)) bh, md5(text) ph FROM documents), " +
+       "g AS (SELECT doc_id, bh, ph, 1280 + (ascii(substr(bh, 1, 1)) % 8) * 128 AS n, " +
+       "(ascii(substr(ph, 4, 1)) % 4) * 8 AS o FROM d), " +
+       "p AS (SELECT *, (ascii(substr(ph, 1, 1)) * 31 + ascii(substr(ph, 2, 1))) % n AS ppos FROM g), " +
+       "s AS (SELECT doc_id, i // 8 AS w, " +
+       "abs(CASE WHEN i < o THEN (ascii(substr(ph, (i % 32) + 1, 1)) * (i * 13 + 7)) % 4093 - 2046 " +
+       "WHEN i - o = ppos THEN (ascii(substr(ph, 3, 1)) * ((i - o) * 13 + 7)) % 4093 - 2046 " +
+       "ELSE (ascii(substr(bh, ((i - o) % 32) + 1, 1)) * ((i - o) * 13 + 7)) % 4093 - 2046 END) AS v " +
+       "FROM p CROSS JOIN (SELECT unnest(generate_series(0, 2199)) i) WHERE i < o + n), " +
+       "e AS (SELECT doc_id, w, CAST(SUM(v) AS BIGINT) ev FROM s GROUP BY doc_id, w), " +
+       "bits AS (SELECT l.doc_id, l.w, CASE WHEN l.ev > r.ev THEN 1 ELSE 0 END bt " +
+       "FROM e l JOIN e r ON l.doc_id = r.doc_id AND r.w = l.w + 1), " +
+       "shv AS (SELECT b.doc_id, j.j, CAST(SUM(CASE WHEN b.bt = 1 " +
+       "THEN (CAST(1 AS BIGINT) << (b.w - j.j)) ELSE 0 END) AS BIGINT) AS v " +
+       "FROM bits b JOIN (SELECT unnest(generate_series(0, 242)) j) j " +
+       "ON b.w >= j.j AND b.w < j.j + 32 " +
+       "GROUP BY b.doc_id, j.j HAVING COUNT(*) = 32), " +
+       "ds AS (SELECT DISTINCT doc_id, v FROM shv) " +
+       "SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS n_shared " +
+       "FROM ds a JOIN ds b ON a.v = b.v AND a.doc_id < b.doc_id " +
+       "GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 8 ORDER BY a_id, b_id"),
     "dedup_video_phash" ->
       // ALL-FRAMES construction replay: per-frame fill
       // `(c[(i+af)%32]*31 + i*7 + af*13) % 256` at the PRE-trim frame
@@ -2181,6 +2329,27 @@ object ExtensionQueries {
        "SELECT q.vec_id, round(SUM(q.r * qq.rq), 6) AS score " +
        "FROM q JOIN qq ON q.i = qq.i WHERE q.vec_id <> 7 " +
        "GROUP BY q.vec_id ORDER BY score DESC, vec_id LIMIT 10"),
+    "sim_pq_topk" ->
+      // subspace slicing + the seeded argmax-round6-cosine assignment
+      // per subspace + asymmetric table scoring; list(t ORDER BY s)
+      // keeps the 8 subspace dots summing in the engine's left-to-
+      // right order, and round(6) absorbs the residual ulps
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings), " +
+       "subn AS (SELECT vec_id, s, v[(s*8+1):(s*8+8)] AS sv, " +
+       "list_sum(list_transform(v[(s*8+1):(s*8+8)], x -> x*x)) AS nv " +
+       "FROM e CROSS JOIN (SELECT unnest(generate_series(0, 7)) s)), " +
+       "c AS (SELECT vec_id AS cid, s, sv AS cv, nv AS nc FROM subn WHERE vec_id < 256), " +
+       "scored AS (SELECT t.vec_id, t.s, c.cid, round(" +
+       "list_sum(list_transform(list_zip(t.sv, c.cv), p -> p[1]*p[2])) / sqrt(t.nv * c.nc), 6) cs " +
+       "FROM subn t JOIN c ON t.s = c.s), " +
+       "codes AS (SELECT vec_id, s, cid FROM scored " +
+       "QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY cs DESC, cid) = 1), " +
+       "q AS (SELECT s, sv AS qv FROM subn WHERE vec_id = 299), " +
+       "adc AS (SELECT codes.vec_id, codes.s, " +
+       "list_sum(list_transform(list_zip(q.qv, c.cv), p -> p[1]*p[2])) AS t " +
+       "FROM codes JOIN c ON codes.s = c.s AND codes.cid = c.cid JOIN q ON q.s = codes.s) " +
+       "SELECT vec_id, round(list_sum(list(t ORDER BY s)), 6) AS score FROM adc " +
+       "WHERE vec_id <> 299 GROUP BY vec_id ORDER BY score DESC, vec_id LIMIT 10"),
     "sim_ivf_topk" ->
       ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings), " +
        "c AS (SELECT vec_id cid, v cv FROM e WHERE vec_id < 32), " +

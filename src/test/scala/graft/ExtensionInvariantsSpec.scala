@@ -327,6 +327,36 @@ class ExtensionInvariantsSpec extends SparkSpec {
       s"${sq8.toSeq} vs ${exact.toSeq}")
   }
 
+  test("PQ asymmetric-distance ranking tracks the exact ranking within its honest bounds") {
+    // 8-byte PQ codes (one byte per 8-dim subspace) are a 32x
+    // compression — much coarser than sq8's byte-per-dimension, and
+    // the seeded 256-codeword banks are untrained, so the pinned
+    // bound is honest rather than flattering: the PQ top-10 must
+    // overlap the exact dot top-10 in >= 4 ids, and PQ's own top-1
+    // must sit in the exact top-20 (a score function that ranks an
+    // unrelated vector first would pass neither). Measured at the
+    // current drop: overlap 6/10. The sq8 lesson holds shape here:
+    // scoring runs on RECONSTRUCTIONS (codeword dots) with the query
+    // kept exact (ADC) — never on raw code ids.
+    import org.apache.spark.sql.functions._
+    val pq = q("sim_pq_topk").as[(Long, Double)].collect().map(_._1)
+    val emb = Tables.embeddings(spark, sf0001)
+    val qv = emb.filter(col("vec_id") === 299)
+      .select(graft.operators.VectorOps.toDouble(col("embedding")).as("qv"))
+    val exact = emb.filter(col("vec_id") =!= 299)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        graft.operators.VectorOps.dot(col("qv"),
+          graft.operators.VectorOps.toDouble(col("embedding"))).as("d"))
+      .orderBy(col("d").desc, col("vec_id"))
+      .limit(20).as[(Long, Double)].collect().map(_._1)
+    val overlap = pq.toSet.intersect(exact.take(10).toSet).size
+    assert(overlap >= 4, s"pq/exact top-10 overlap only $overlap: " +
+      s"${pq.toSeq} vs ${exact.take(10).toSeq}")
+    assert(exact.contains(pq.head),
+      s"pq top-1 ${pq.head} not in exact top-20 ${exact.toSeq}")
+  }
+
   test("property: exact-dedup keeper count equals distinct content count") {
     val docs = Tables.documents(spark, sf0001)
     assert(q("dedup_exact").count() === docs.select("text").distinct().count())

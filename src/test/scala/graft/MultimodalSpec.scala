@@ -575,6 +575,34 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audio shingles: offset invariance, click locality, short-clip guard") {
+    import Multimodal.{PcmAudio, audioShingleValues, syntheticFamilyWavShifted, decodeWav}
+    val bh = "0123456789abcdef0123456789abcdef"
+    // ph chars: 0-1 click pos, 2 click value, 3 offset selector.
+    // '0' % 4 = 0 windows of prefix; '3' % 4 = 3 windows (24 samples).
+    val noShift = decodeWav(syntheticFamilyWavShifted(bh, "aa0034567890123456789012345678ab")).get
+    val shifted = decodeWav(syntheticFamilyWavShifted(bh, "aa0334567890123456789012345678ab")).get
+    assert(shifted.samples.length === noShift.samples.length + 24)
+    val (s0, s3) = (audioShingleValues(noShift).toSet, audioShingleValues(shifted).toSet)
+    // OFFSET INVARIANCE — the reason this fingerprint exists: every
+    // shingle of the unshifted clip survives in the shifted clip (the
+    // prefix only ADDS values at the front); the global-envelope
+    // fingerprint realigns its 65 windows and loses this entirely
+    assert(s0.subsetOf(s3),
+      s"shift destroyed ${(s0 -- s3).size} of ${s0.size} shingles")
+    // different click AND different offset: the click perturbs one
+    // window -> at most ShingleBits + 1 shingle positions change; the
+    // rest of the (large) shingle set is shared across the shift
+    val other = decodeWav(syntheticFamilyWavShifted(bh, "ff9904567890123456789012345678ab")).get
+    val sOther = audioShingleValues(other).toSet
+    assert((s0 & sOther).size >= 8,
+      s"family members share only ${(s0 & sOther).size} shingles")
+    // a clip too short for even one full shingle fingerprint is empty,
+    // not a crash (33 windows = 264 samples minimum)
+    assert(audioShingleValues(PcmAudio(8000, 1, new Array[Short](263))).isEmpty)
+    assert(audioShingleValues(PcmAudio(8000, 1, new Array[Short](264))).length === 1)
+  }
+
   test("PNG resize and features run on real pixels through the shared kernels") {
     val src = Multimodal.PgmImage(4, 4, 255, Array.tabulate(16)(_.toByte))
     val assets = Seq(Multimodal.Asset(1L, "image",

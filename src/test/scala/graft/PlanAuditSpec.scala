@@ -263,6 +263,34 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("pq similarity: zero exchange — map-side subspace assignment + table lookups") {
+    // banks and ADC tables ride the plan as literals/reference
+    // objects (bounded driver collects, the seededCells contract), so
+    // the whole query is scan -> project (8 native argmax + 8 array
+    // lookups) -> TakeOrderedAndProject: NO exchange of any kind. An
+    // exchange appearing here means assignment or scoring fell back
+    // to a join/aggregate formulation.
+    val p = plan("sim_pq_topk")
+    assert(p.contains("seeded_cell_argmax"),
+      s"native subspace assignment missing:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k degenerated to a global sort:\n$p")
+    val n = p.linesIterator.count(_.contains("Exchange "))
+    assert(n === 0, s"sim_pq_topk planned $n exchanges, expected none:\n$p")
+  }
+
+  test("audio shingle dedup: one bucket exchange, pair rollup, output sort") {
+    // fingerprint store scan -> value-bucket groupBy -> capped pair
+    // explode -> (a,b) rollup -> sort: the rollup and sort are the
+    // only exchanges past the bucketing, same budget as the
+    // perceptual family.
+    val p = plan("dedup_audio_shingle")
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 2, s"expected bucket + rollup exchanges only, got $shuffles:\n$p")
+    val total = p.linesIterator.count(_.contains("Exchange "))
+    assert(total <= 3, s"expected <= 3 exchanges (bucket, rollup, sort), got $total:\n$p")
+  }
+
   test("sq8 similarity: 64-row training exchange, broadcast codebook, top-k not a sort") {
     // the ONLY hash exchange is the per-dim min/max aggregate
     // (map-side partials make it 64 rows per partition); the codebook
