@@ -140,11 +140,53 @@ object CorpusDemo {
     val shardChunks = spark.read.parquet(s"$out/shards").count()
     chunks.unpersist()
 
+    // Multimodal stage: the corpus docs carry image assets, and the
+    // same perceptual near-dup gate the batch queries run
+    // (dedup_image_phash) streams here through the landing-zone shape:
+    // binaryFile source -> real PNG decode -> dHash bands ->
+    // cross-batch bucket state (StreamingCorpusOps.phashCandidates).
+    // Docs 6 and 7 re-host the same hero image with a one-pixel
+    // watermark (the re-encoded-asset case); doc 1's image is
+    // unrelated — exactly one candidate pair must surface.
+    val assetsDir = Files.createTempDirectory("corpus_assets")
+    val heroBase = "00112233445566778899aabbccddeeff"
+    val otherBase = "fedcba98765432100123456789abcdef"
+    def writeAsset(id: Long, bytes: Array[Byte]): Unit = {
+      Files.write(assetsDir.resolve(s"$id.png"), bytes)
+      ()
+    }
+    writeAsset(6L, graft.operators.Multimodal.syntheticFamilyPng(heroBase, "aa0"))
+    writeAsset(7L, graft.operators.Multimodal.syntheticFamilyPng(heroBase, "3f1"))
+    writeAsset(1L, graft.operators.Multimodal.syntheticFamilyPng(otherBase, "c2b"))
+    // file streams require an explicit schema; binaryFile's is static
+    val binarySchema = {
+      import org.apache.spark.sql.types._
+      StructType(Seq(
+        StructField("path", StringType),
+        StructField("modificationTime", TimestampType),
+        StructField("length", LongType),
+        StructField("content", BinaryType)))
+    }
+    val aq = StreamingCorpusOps.phashCandidates(
+        spark.readStream.format("binaryFile")
+          .schema(binarySchema)
+          .load(assetsDir.toString)
+          .select(regexp_extract(col("path"), "(\\d+)\\.png$", 1)
+            .cast("long").as("doc_id"), col("content").as("payload")))
+      .writeStream.format("memory").queryName("demo_phash")
+      .option("checkpointLocation", s"$out/ckpt_phash")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    if (!aq.awaitTermination(120000))
+      throw new IllegalStateException(
+        "CorpusDemo: asset fingerprint stream did not finish within 120 s")
+    val phashPairs = spark.sql("SELECT DISTINCT a_id, b_id FROM demo_phash").count()
+
     println(s"CORPUS_DEMO ingested=${counts.get("ingested")} " +
       s"quarantined=${counts.get("quarantined")} kept=${counts.get("kept")} " +
       s"spans_cut=${counts.get("spans_cut")} " +
       s"distinct=${distinctDocs.count()} neardup_clusters=$clusters scrubbed=$scrubOk " +
-      s"chunks=$nChunks shard_chunks=$shardChunks")
+      s"chunks=$nChunks shard_chunks=$shardChunks phash_pairs=$phashPairs")
     spark.stop()
   }
 }

@@ -319,6 +319,41 @@ object StreamingCorpusOps {
       .getOrElse(Seq.empty)
   }
 
+  /** Banding projection for the SHIFT-TOLERANT audio fingerprint: WAV
+    * payloads through the real codec, one row per DISTINCT 32-bit
+    * shingle value (`Multimodal.audioShingleValues`) — value, not
+    * position, is the bucket key, so a clip arriving in a later
+    * micro-batch offset by whole windows still lands in the buckets
+    * its original populated. band_idx is constant 0: the shingle
+    * space is one banding dimension, and the `as:` modality tag keeps
+    * it disjoint from every dHash/envelope bucket.
+    */
+  def audioShingleBandRows(assets: DataFrame): Dataset[BandRow] = {
+    implicit val inEnc: Encoder[(Long, Array[Byte])] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    assets.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          graft.operators.Multimodal.decodeWav(payload).toSeq.flatMap { clip =>
+            graft.operators.Multimodal.audioShingleValues(clip).distinct
+              .map(v => BandRow(0, s"as:$v", id))
+          }
+        }
+      }
+  }
+
+  /** Incremental shingle near-dup candidates — the streaming twin of
+    * `dedup_audio_shingle`'s candidate stage: the same bucket-state
+    * core, fed by shingle values. NOTE the batch query VERIFIES by
+    * shared-value count (>= 8); these are the pre-verify candidates,
+    * the same contract as [[minhashCandidates]] vs
+    * `dedup_minhash_verified`.
+    */
+  def audioShingleCandidates(assets: DataFrame, maxBucket: Int = 512,
+      ttl: Option[java.time.Duration] = None): Dataset[CandidatePair] =
+    candidatesFromBands(audioShingleBandRows(assets), maxBucket, ttl)
+
   /** Incremental perceptual near-dup candidates: the SAME bucket-state
     * operator as [[minhashCandidates]] fed by fingerprint bands — a
     * new asset (image, WAV clip, or Y4M stream; see [[phashBandRows]]'

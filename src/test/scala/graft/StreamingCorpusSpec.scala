@@ -97,6 +97,61 @@ class StreamingCorpusSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("video phash candidates: a TRIMMED re-upload pairs across batches") {
+    import graft.operators.Y4m
+    // family bhA: nf = '1' % 4 + 2 = 3 frames. The batch-2 member is a
+    // re-cut (leading frame trimmed): its frame j is the original's
+    // frame j+1, so only frame-index-AGNOSTIC per-frame bands can pair
+    // them — exactly what the batch all-frames dedup_video_phash does,
+    // and what a frame-0-only streaming fingerprint would miss.
+    val bhA = "00112233445566778899aabbccddeeff"
+    val bhB = "fedcba98765432100123456789abcdef"
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = StreamingCorpusOps.phashCandidates(
+        in.toDF().toDF("doc_id", "payload"))
+      .writeStream.format("memory").queryName("cand_vid")
+      .outputMode(OutputMode.Append).trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData((1L, Y4m.syntheticFamilyY4m(bhA, "aa000")),
+        (20L, Y4m.syntheticFamilyY4m(bhB, "cc000")))
+      drain(q)
+      // batch 2: the trimmed member of family A
+      in.addData((2L, Y4m.syntheticFamilyY4m(bhA, "aa001")))
+      drain(q)
+      val pairs = spark.sql("SELECT DISTINCT a_id, b_id FROM cand_vid")
+        .as[(Long, Long)].collect().toSet
+      assert(pairs.contains((1L, 2L)), s"trimmed re-upload did not pair: $pairs")
+      assert(!pairs.exists { case (a, b) => (a >= 20) != (b >= 20) },
+        s"cross-family candidate leaked: $pairs")
+    } finally q.stop()
+  }
+
+  test("audio shingle candidates: a time-OFFSET clip pairs across batches") {
+    import graft.operators.Multimodal
+    // the shifted family: batch-2 member starts 3 windows (24 samples)
+    // later than the batch-1 member — the global-envelope fingerprint
+    // realigns and misses this; shingle VALUES survive the shift
+    val bhA = "00112233445566778899aabbccddeeff"
+    val bhB = "fedcba98765432100123456789abcdef"
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = StreamingCorpusOps.audioShingleCandidates(
+        in.toDF().toDF("doc_id", "payload"))
+      .writeStream.format("memory").queryName("cand_shingle")
+      .outputMode(OutputMode.Append).trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData((1L, Multimodal.syntheticFamilyWavShifted(bhA, "aa0034567890123456789012345678ab")),
+        (20L, Multimodal.syntheticFamilyWavShifted(bhB, "cc0034567890123456789012345678ab")))
+      drain(q)
+      in.addData((2L, Multimodal.syntheticFamilyWavShifted(bhA, "ab0334567890123456789012345678ab")))
+      drain(q)
+      val pairs = spark.sql("SELECT DISTINCT a_id, b_id FROM cand_shingle")
+        .as[(Long, Long)].collect().toSet
+      assert(pairs.contains((1L, 2L)), s"offset clip did not pair: $pairs")
+      assert(!pairs.exists { case (a, b) => (a >= 20) != (b >= 20) },
+        s"cross-family candidate leaked: $pairs")
+    } finally q.stop()
+  }
+
   test("bucket freeze: bounded one-sided over-emission vs the batch whole-bucket drop") {
     // Batch drops an over-cap bucket WHOLE (zero pairs); an Append-mode
     // stream cannot retract, so pairs emitted before the freeze stand.
