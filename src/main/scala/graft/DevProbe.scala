@@ -1,7 +1,6 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.TextOps
 
 /** Throwaway stage-timing probe for perf work. Not part of the engine. */
 object DevProbe {
@@ -16,6 +15,7 @@ object DevProbe {
     spark.sparkContext.setLogLevel("WARN")
     val docs = Tables.documents(spark, sfDir).cache()
     docs.count()
+    Tables.embeddings(spark, sfDir).cache().count()
 
     def t(name: String)(body: => Long): Unit = {
       val rs = (1 to 7).map { _ =>
@@ -24,60 +24,41 @@ object DevProbe {
       println(f"PROBE $name%-28s min=${rs.map(_._1).min}%7.3f s rows=${rs.head._2}")
     }
 
-    // ---- dedup_ngram_jaccard stage decomposition ----
-    val nP = spark.sessionState.conf.numShufflePartitions
-    def sh: DataFrame = docs
-      .select(col("doc_id"),
-        explode(TextOps.distinctShingleStructsOfText(col("text"), 5)).as("e"))
-      .select(xxhash64(col("e.s")).as("s"),
-        (shiftleft(col("doc_id"), 32) + col("e.n")).as("dn"))
-    def winFiltered: DataFrame = sh
-      .repartition(nP, col("s"))
-      .withColumn("df", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
-      .filter(col("df") >= 2 && col("df") <= TextOps.MaxBucket)
-    def buckets: DataFrame = winFiltered
-      .groupBy(col("s")).agg(collect_list(col("dn")).as("ids"))
-    def pairs: DataFrame = buckets
-      .select(explode(TextOps.pairCombinations(col("ids"))).as("p0"))
-      .select(least(col("p0.a"), col("p0.b")).as("pa"),
-        greatest(col("p0.a"), col("p0.b")).as("pb"))
-      .filter(col("pa") < col("pb"))
-    def pairAgg: DataFrame = pairs
-      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("i"))
+    // ---- round-9 probes: pq scan cost, url canon HOF cost, image pairing ----
+    t("pq_full_query") { SparkEntry.queries("sim_pq_topk")(spark, sfDir).count() }
+    val pqPrebuilt = SparkEntry.queries("sim_pq_topk")(spark, sfDir)
+    t("pq_prebuilt_rerun") { pqPrebuilt.count() }
+    t("url_canon_full") { SparkEntry.queries("crawl_url_canon")(spark, sfDir).count() }
+    t("image_phash_full") { SparkEntry.queries("dedup_image_phash")(spark, sfDir).count() }
+    t("audio_shingle_full") { SparkEntry.queries("dedup_audio_shingle")(spark, sfDir).count() }
 
-    t("p0_posting_scan") { sh.count() }
-    t("p1_repart_window_filter") { winFiltered.count() }
-    t("p2_collect_buckets") { buckets.count() }
-    t("p3_explode_pairs") { pairs.count() }
-    t("p4_pair_agg") { pairAgg.count() }
-    t("p5_full_query") {
-      SparkEntry.queries("dedup_ngram_jaccard")(spark, sfDir).count()
+    // url construction WITHOUT canonicalization: the floor under the query
+    val g = expr("doc_id div 4")
+    val hostBase = concat(lit("w"), (g % 97).cast("string"), lit(".example.org"))
+    val url = concat(
+      when(col("doc_id") % 3 === 0, lit("HTTPS")).otherwise(lit("https")),
+      lit("://"),
+      when(col("doc_id") % 2 === 1, upper(hostBase)).otherwise(hostBase),
+      when(col("doc_id") % 5 === 0, lit(":443")).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0, lit("/%70/")).otherwise(lit("/p/")),
+      g.cast("string"),
+      when(col("doc_id") % 7 === 0, lit("/")).otherwise(lit("")),
+      lit("?"),
+      when(col("doc_id") % 3 === 1, lit("utm_source=feed&a=1&b=2"))
+        .otherwise(when(col("doc_id") % 2 === 0, lit("b=2&a=1"))
+          .otherwise(lit("a=1&b=2"))),
+      when(col("doc_id") % 2 === 0, lit("&c=x%2fy")).otherwise(lit("&c=x%2Fy")),
+      when(col("doc_id") % 4 === 1,
+        concat(lit("#s"), col("doc_id").cast("string"))).otherwise(lit("")))
+    t("url_no_canon_floor") {
+      docs.select(col("doc_id"), url.as("raw_url"))
+        .groupBy(col("raw_url")).agg(count(lit(1)).as("n"))
+        .orderBy(col("raw_url")).count()
     }
-
-    // Variant B: no window — collect every bucket (incl. df=1) and
-    // filter on size after the aggregate
-    t("vB_agg_then_size_filter") {
-      sh.groupBy(col("s")).agg(collect_list(col("dn")).as("ids"))
-        .filter(size(col("ids")) >= 2 && size(col("ids")) <= TextOps.MaxBucket)
-        .select(explode(TextOps.pairCombinations(col("ids"))).as("p0"))
-        .select(least(col("p0.a"), col("p0.b")).as("pa"),
-          greatest(col("p0.a"), col("p0.b")).as("pb"))
-        .filter(col("pa") < col("pb"))
-        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("i"))
-        .count()
+    t("url_percent_only") {
+      docs.select(graft.operators.UrlOps.normalizePercent(url).as("u"))
+        .groupBy(col("u")).agg(count(lit(1)).as("n")).count()
     }
-
-    // Variant C: self-join the posting stream on s (no bucket arrays)
-    t("vC_self_join_pairs") {
-      val l = sh.select(col("s"), col("dn").as("a"))
-      val r = sh.select(col("s"), col("dn").as("b"))
-      l.join(r, Seq("s"))
-        .filter(col("a") < col("b"))
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("i"))
-        .count()
-    }
-
     spark.stop()
   }
 }

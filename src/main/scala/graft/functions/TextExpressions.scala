@@ -271,6 +271,43 @@ case class WordChunks(child: Expression, size: Int, stride: Int)
   * Deterministic, single-pass, allocation = one output builder — runs
   * as a compiled static call inside whole-stage codegen.
   */
+/** RFC 3986 §6.2.2 percent-encoding normalization (the safe subset —
+  * see `UrlOps.normalizePercent` for the rule rationale): decode
+  * escapes of UNRESERVED characters, uppercase the hex of every other
+  * well-formed escape, pass a `%` not followed by two hex digits
+  * through byte-for-byte. Native rather than the split/transform HOF
+  * formulation because URL canonicalization embeds this subtree many
+  * times (scheme/host/path/query splits all reference the normalized
+  * string) and HOF-bearing projections fall out of codegen WITHOUT
+  * common-subexpression elimination — the optimizer's inlining
+  * re-evaluated the whole HOF chain ~10x per row (the crawl_pipeline
+  * round-7 lesson, resurfacing in crawl_url_canon's bench). This is a
+  * single byte-level pass, one output buffer, compiled as a static
+  * call inside whole-stage codegen; the HOF formulation survives in
+  * UrlOpsSpec as the cross-checked reference semantics (the
+  * DotProduct-vs-fold contract).
+  */
+case class PercentNormalize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"percent_normalize requires a string input, got ${child.dataType.sql}")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "percent_normalize"
+
+  override def nullSafeEval(input: Any): Any =
+    TextExpressions.percentNormalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextExpressions.percentNormalize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class HtmlToText(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -337,6 +374,49 @@ object TextExpressions {
       j += 1
     }
     hash
+  }
+
+  /** One-pass percent normalization (see [[PercentNormalize]] for the
+    * rule contract). ASCII-level: `%` and hex digits are single bytes
+    * in UTF-8, decoded unreserved characters are ASCII, and every
+    * other byte (including multi-byte sequences) copies through, so
+    * the byte walk is exactly the piece-wise split-on-% semantics.
+    */
+  def percentNormalize(u: UTF8String): UTF8String = {
+    val b = u.getBytes
+    val n = b.length
+    var i = 0
+    var touched = false
+    while (i < n && !touched) { if (b(i) == '%') touched = true else i += 1 }
+    if (!touched) return u // the common frontier case: no escapes at all
+    def hexVal(c: Byte): Int =
+      if (c >= '0' && c <= '9') c - '0'
+      else if (c >= 'a' && c <= 'f') c - 'a' + 10
+      else if (c >= 'A' && c <= 'F') c - 'A' + 10
+      else -1
+    def upperHex(c: Byte): Byte =
+      if (c >= 'a' && c <= 'f') (c - 32).toByte else c
+    val out = new Array[Byte](n)
+    var o = 0
+    i = 0
+    while (i < n) {
+      val c = b(i)
+      if (c == '%' && i + 2 < n) {
+        val h1 = hexVal(b(i + 1)); val h2 = hexVal(b(i + 2))
+        if (h1 >= 0 && h2 >= 0) {
+          val d = h1 * 16 + h2
+          val unreserved = (d >= 'A' && d <= 'Z') || (d >= 'a' && d <= 'z') ||
+            (d >= '0' && d <= '9') || d == '-' || d == '.' || d == '_' || d == '~'
+          if (unreserved) { out(o) = d.toByte; o += 1 }
+          else {
+            out(o) = '%'; out(o + 1) = upperHex(b(i + 1)); out(o + 2) = upperHex(b(i + 2))
+            o += 3
+          }
+          i += 3
+        } else { out(o) = c; o += 1; i += 1 } // malformed: byte-for-byte
+      } else { out(o) = c; o += 1; i += 1 }
+    }
+    UTF8String.fromBytes(java.util.Arrays.copyOfRange(out, 0, o))
   }
 
   /** Tight-loop shingle builder shared by eval and generated code. */
@@ -482,6 +562,10 @@ object TextExpressions {
   /** Column facade: one-pass SimHash-32 of `text`. */
   def simhash32_col(text: Column): Column =
     bridge.column(SimHash32(bridge.expression(text)))
+
+  /** Column facade: one-pass percent-encoding normalization. */
+  def percent_normalize(u: Column): Column =
+    bridge.column(PercentNormalize(bridge.expression(u)))
 
   /** Column facade: one-pass MinHash slice minima of `text`. */
   def minhash_slices(text: Column, n: Int): Column =
@@ -649,7 +733,8 @@ object TextExpressions {
     "simhash32" -> (exprs => SimHash32(exprs.head)),
     "minhash_slices" -> (exprs => MinHashSlices(exprs.head, intArg(exprs, 1))),
     "top_gram_frac" -> (exprs => TopGramFrac(exprs.head, intArg(exprs, 1))),
-    "word_chunks" -> (exprs => WordChunks(exprs.head, intArg(exprs, 1), intArg(exprs, 2))))
+    "word_chunks" -> (exprs => WordChunks(exprs.head, intArg(exprs, 1), intArg(exprs, 2))),
+    "percent_normalize" -> (exprs => PercentNormalize(exprs.head)))
 
   /** Optional SQL registration of every native text expression, so the
     * engine's SQL surface matches the DataFrame one:

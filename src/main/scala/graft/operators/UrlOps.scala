@@ -37,19 +37,35 @@ object UrlOps {
     * touch again (`%25` — the escaped `%` itself — is reserved, so it
     * stays encoded and cannot re-expose an escape).
     */
-  def normalizePercent(u: Column): Column = {
+  def normalizePercent(u: Column): Column =
+    graft.functions.TextExpressions.percent_normalize(u)
+
+  /** The split/transform HOF formulation of [[normalizePercent]] —
+    * kept as the cross-checked REFERENCE semantics (the DotProduct-vs-
+    * fold contract; UrlOpsSpec asserts equality against the native
+    * pass on the messy-variant space). Not the production path:
+    * canonicalization embeds the normalized string in many split
+    * subtrees, HOF-bearing projections fall out of codegen without
+    * common-subexpression elimination, and the optimizer's inlining
+    * re-evaluated this whole chain ~10x per row.
+    */
+  def normalizePercentHof(u: Column): Column = {
     val parts = split(u, "%", -1)
     val decoded = transform(slice(parts, lit(2), greatest(size(parts) - 1, lit(0))), p => {
-      val hex2 = p.substr(lit(1), lit(2))
+      val h1 = call_function("locate", lower(p.substr(lit(1), lit(1))), lit("0123456789abcdef"))
+      val h2 = call_function("locate", lower(p.substr(lit(2), lit(1))), lit("0123456789abcdef"))
       val rest = p.substr(lit(3), length(p))
-      val d = conv(hex2, 16, 10).cast("int")
+      val d = (h1 - 1) * 16 + (h2 - 1)
       val unreserved = (d >= 65 && d <= 90) || (d >= 97 && d <= 122) ||
         (d >= 48 && d <= 57) || d.isin(45, 46, 95, 126)
-      when(!hex2.rlike("^[0-9A-Fa-f]{2}$"), concat(lit("%"), p))
+      // length guard FIRST: locate('', s) is 1 by SQL convention, so a
+      // short piece must be classed malformed before d is trusted
+      when(length(p) < 2 || h1 === 0 || h2 === 0, concat(lit("%"), p))
         .when(unreserved, concat(call_function("char", d), rest))
-        .otherwise(concat(lit("%"), upper(hex2), rest))
+        .otherwise(concat(lit("%"), upper(p.substr(lit(1), lit(2))), rest))
     })
-    concat(element_at(parts, 1), array_join(decoded, ""))
+    when(instr(u, "%") > 0,
+      concat(element_at(parts, 1), array_join(decoded, ""))).otherwise(u)
   }
 
   /** Canonical form: percent-normalize (see [[normalizePercent]]),

@@ -348,6 +348,52 @@ object ExtensionQueries {
       "audio_shingle" -> audioShingleFrame(s, dir)
         .select(lit(0).as("b"), col("sh").as("v"), col("doc_id")))
 
+  /** The PQ codebook of `sim_pq_topk`, built ONCE per corpus dir per
+    * JVM (the index-build lifecycle — a production PQ index trains its
+    * codebooks once and serves many probes): per-subspace seeded
+    * [[graft.functions.CentroidBank]]s from the first 256 vectors'
+    * subvectors, plus the query's ADC lookup tables (dot of the raw
+    * query subvector with every codeword). Both collects are bounded
+    * by construction: 256 x 8 floats x 8 banks, never corpus-scale.
+    * Driver-side dots run the sequential left-to-right widening sum —
+    * the DotProduct order — so table entries are bit-identical to the
+    * engine-side and oracle-side formulations.
+    */
+  private val pqCodebooks = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[graft.functions.CentroidBank], Seq[Array[Double]])]()
+
+  private def pqCodebook(s: SparkSession, dir: String)
+      : (Seq[graft.functions.CentroidBank], Seq[Array[Double]]) =
+    pqCodebooks.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val seedRows = emb.filter(col("vec_id") < 256)
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .collect()
+      val qv = emb.filter(col("vec_id") === 299)
+        .select(col("embedding")).as[Array[Float]].head()
+      def subOf(v: Array[Float], si: Int): Array[Float] = v.slice(si * 8, si * 8 + 8)
+      def dotSeq(a: Array[Float], b: Array[Float]): Double = {
+        var acc = 0.0; var i = 0
+        val n = math.min(a.length, b.length)
+        while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+        acc
+      }
+      val banks = (0 until 8).map { si =>
+        new graft.functions.CentroidBank(
+          seedRows.map(_._1),
+          seedRows.map(r => subOf(r._2, si)),
+          seedRows.map(r => dotSeq(subOf(r._2, si), subOf(r._2, si))))
+      }
+      // ADC tables: dot(query subvector, codeword), indexed by cid
+      // (banks sort by ascending cid, and seed cids are 0..255)
+      val tables = (0 until 8).map { si =>
+        val qs = subOf(qv, si)
+        banks(si).vecs.map(c => dotSeq(qs, c))
+      }
+      (banks, tables)
+    })
+
   /** Pairing tail of the MULTI-FINGERPRINT perceptual queries (video
     * all-frames today; any keyframe/shingle source tomorrow): frame
     * rows `(doc_id, f, b0..b3)` in, doc-level near-dup pairs out.
@@ -399,11 +445,21 @@ object ExtensionQueries {
       .agg(array_sort(collect_set(struct(col("doc_id"), col("b0"), col("b1"),
         col("b2"), col("b3")))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(TextOps.cappedPairs(col("ids"))).as("p"))
+      .select(col("b"), explode(TextOps.cappedPairs(col("ids"))).as("p"))
+      // a pair colliding in several bands would duplicate; instead of
+      // a DISTINCT (a whole extra exchange), keep only the copy from
+      // the LOWEST matching band — computable from the two
+      // fingerprints already in the row, so the dedupe is map-side.
+      // Equivalent to DISTINCT whenever buckets are under the cap
+      // (BucketCapSpec pins that), because the lowest-band copy is
+      // then guaranteed to have been emitted.
+      .filter(col("b") === when(col("p.a.b0") === col("p.b.b0"), lit(0))
+        .when(col("p.a.b1") === col("p.b.b1"), lit(1))
+        .when(col("p.a.b2") === col("p.b.b2"), lit(2))
+        .otherwise(lit(3)))
       .select(col("p.a.doc_id").as("a_id"), col("p.b.doc_id").as("b_id"),
         expr("CAST(bit_count(p.a.b0 ^ p.b.b0) + bit_count(p.a.b1 ^ p.b.b1) + " +
           "bit_count(p.a.b2 ^ p.b.b2) + bit_count(p.a.b3 ^ p.b.b3) AS INT)").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("a_id"), col("b_id"))
 
@@ -803,35 +859,7 @@ object ExtensionQueries {
     // ExtensionInvariantsSpec — coarse 256-codeword quantization on
     // near-random vectors is honest about its limits there.
     "sim_pq_topk" -> ((s, dir) => {
-      import s.implicits._
-      val emb = Tables.embeddings(s, dir)
-      val seedRows = emb.filter(col("vec_id") < 256)
-        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-        .collect()
-      val qv = emb.filter(col("vec_id") === 299)
-        .select(col("embedding")).as[Array[Float]].head()
-      def subOf(v: Array[Float], si: Int): Array[Float] = v.slice(si * 8, si * 8 + 8)
-      // sequential left-to-right widening sum — the DotProduct order,
-      // so driver-side table entries are bit-identical to the
-      // engine-side and oracle-side formulations
-      def dotSeq(a: Array[Float], b: Array[Float]): Double = {
-        var acc = 0.0; var i = 0
-        val n = math.min(a.length, b.length)
-        while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
-        acc
-      }
-      val banks = (0 until 8).map { si =>
-        new graft.functions.CentroidBank(
-          seedRows.map(_._1),
-          seedRows.map(r => subOf(r._2, si)),
-          seedRows.map(r => dotSeq(subOf(r._2, si), subOf(r._2, si))))
-      }
-      // ADC tables: dot(query subvector, codeword), indexed by cid
-      // (banks sort by ascending cid, and seed cids are 0..255)
-      val tables = (0 until 8).map { si =>
-        val qs = subOf(qv, si)
-        banks(si).vecs.map(c => dotSeq(qs, c))
-      }
+      val (banks, tables) = pqCodebook(s, dir)
       val score = (0 until 8).map { si =>
         val vs = slice(col("embedding"), si * 8 + 1, 8)
         element_at(typedLit(tables(si).toSeq),
@@ -839,7 +867,7 @@ object ExtensionQueries {
             .seeded_cell_argmax(banks(si), vs, VectorOps.dot(vs, vs))
             .cast("int")) + 1)
       }.reduce(_ + _)
-      emb.filter(col("vec_id") =!= 299)
+      Tables.embeddings(s, dir).filter(col("vec_id") =!= 299)
         .select(col("vec_id"), round(score, 6).as("score"))
         .orderBy(col("score").desc, col("vec_id"))
         .limit(10)

@@ -247,20 +247,28 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("perceptual dedup (image + audio): codec+fingerprint map-side, one bucket exchange") {
-    // scan -> mapPartitions (decode + fingerprint) -> band explode must
-    // all stay in the scan stage; the FIRST exchange is the
-    // (band, value) bucket groupBy. distinct + the output sort are the
-    // only later exchanges — 3 total. A 4th means the fingerprint
-    // stage itself started shuffling.
-    for (q <- Seq("dedup_image_phash", "dedup_audio_fingerprint",
-        "dedup_video_phash")) {
+  test("perceptual dedup (image + audio): one bucket exchange, map-side pair dedupe") {
+    // fingerprint-store scan -> band explode stays in the scan stage;
+    // the ONLY hash exchange is the (band, value) bucket groupBy —
+    // multi-band pair duplicates are cut map-side by the lowest-
+    // matching-band filter, NOT a distinct — and the output sort is
+    // the only other exchange. A 3rd exchange means the distinct
+    // stage crept back in.
+    for (q <- Seq("dedup_image_phash", "dedup_audio_fingerprint")) {
       val p = plan(q)
       val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
-      assert(shuffles <= 2, s"$q: expected bucket + distinct exchanges only, got $shuffles:\n$p")
+      assert(shuffles <= 1, s"$q: expected the bucket exchange only, got $shuffles:\n$p")
       val total = p.linesIterator.count(_.contains("Exchange "))
-      assert(total <= 3, s"$q: expected <= 3 exchanges (bucket, distinct, sort), got $total:\n$p")
+      assert(total <= 2, s"$q: expected <= 2 exchanges (bucket, sort), got $total:\n$p")
     }
+    // the ALL-FRAMES video query additionally rolls frame pairs up to
+    // doc pairs (min hamming + matching-frame count) — one more hash
+    // exchange, still no distinct stage
+    val p = plan("dedup_video_phash")
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 2, s"video: expected bucket + rollup exchanges, got $shuffles:\n$p")
+    val total = p.linesIterator.count(_.contains("Exchange "))
+    assert(total <= 3, s"video: expected <= 3 exchanges (bucket, rollup, sort), got $total:\n$p")
   }
 
   test("pq similarity: zero exchange — map-side subspace assignment + table lookups") {

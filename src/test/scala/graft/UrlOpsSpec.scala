@@ -50,6 +50,23 @@ class UrlOpsSpec extends SparkSpec {
       assert(canon(u) === Seq(u), s"non-absolute input must not be mangled: $u")
   }
 
+  test("native percent_normalize == the HOF reference formulation, byte for byte") {
+    // the production path is the single-pass native expression; the
+    // split/transform HOF chain is the reference semantics — they must
+    // be indistinguishable on every escape shape, including malformed
+    val inputs = Seq(
+      "https://h.org/%70/%41%7e?a=%31", "https://h.org/a%2fb?c=x%2Fy",
+      "no escapes at all", "", "%", "100%", "%z1", "%4%41", "%%41",
+      "%2541", "a%ffb", "%0a", "trailing%4", "unicodeé%41",
+      "%2F%2f%2E%2e%7E%7e%5F%5f")
+    val df = inputs.toDF("u")
+      .select(UrlOps.normalizePercent(col("u")).as("native"),
+        UrlOps.normalizePercentHof(col("u")).as("ref"))
+    val rows = df.as[(String, String)].collect()
+    for (((n, r), in) <- rows.zip(inputs))
+      assert(n === r, s"native/HOF divergence on '$in': '$n' vs '$r'")
+  }
+
   test("property: canonicalization is idempotent on the messy-variant space") {
     import org.scalacheck.{Gen, Prop}
     import org.scalacheck.Test.{check => scCheck, Parameters}
