@@ -57,7 +57,11 @@ object ScaleSmoke {
         "dedup_image_phash", "dedup_audio_fingerprint", "dedup_video_phash",
         "decon_image_phash",
         "sim_sq8_topk",
-        "crawl_url_canon")) {
+        "crawl_url_canon",
+        // round-9 additions: shingle buckets and the PQ scan under 10x
+        // duplicate pressure, plus the widened decon ladder
+        "dedup_audio_shingle", "sim_pq_topk",
+        "decon_audio_fingerprint", "decon_video_phash")) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).count()
       println(f"$q%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $n%10d rows")

@@ -394,6 +394,42 @@ object ExtensionQueries {
       (banks, tables)
     })
 
+  /** Shared decon tail of the perceptual ladder rungs (image / audio /
+    * video): a fingerprint frame in (`(doc_id, [f,] b0..b3)` — a
+    * multi-fingerprint frame like the all-frames video store works
+    * unchanged, the band keys simply don't carry the frame index),
+    * the per-train-doc contamination report out. Same contract as
+    * `decon_embedding`: the bench side (doc_id % 50 == 0, the split
+    * every decon rung uses) is tiny, so its banded fingerprints
+    * BROADCAST and the train side never shuffles for the match;
+    * candidates = band-key collisions, verify = exact hamming <= 6;
+    * the report is total (every train doc, contaminated or not) via a
+    * one-column pruned documents scan as the totality base — NOT the
+    * fingerprint frame, which would double-read the store.
+    */
+  private def perceptualDecon(s: SparkSession, dir: String, frame: DataFrame,
+      flagCol: String): DataFrame = {
+    val banded = bandExplode(frame)
+    val t = banded.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+      .select(col("b"), col("v"), col("doc_id").as("tid"),
+        col("b0").as("t0"), col("b1").as("t1"), col("b2").as("t2"), col("b3").as("t3"))
+    val bench = banded.filter(pmod(col("doc_id"), lit(50)) === 0)
+      .select(col("b"), col("v"), col("doc_id").as("bid"),
+        col("b0").as("q0"), col("b1").as("q1"), col("b2").as("q2"), col("b3").as("q3"))
+    val m = t.join(broadcast(bench), Seq("b", "v"))
+      .filter(expr("CAST(bit_count(t0 ^ q0) + bit_count(t1 ^ q1) + " +
+        "bit_count(t2 ^ q2) + bit_count(t3 ^ q3) AS INT)") <= 6)
+      .select(col("tid"), col("bid")).distinct()
+      .groupBy(col("tid")).agg(count(lit(1)).as("n_bench_matches"))
+    Tables.documents(s, dir)
+      .filter(pmod(col("doc_id"), lit(50)) =!= 0)
+      .select(col("doc_id"))
+      .join(m.withColumnRenamed("tid", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("n_bench_matches", coalesce(col("n_bench_matches"), lit(0L)))
+      .withColumn(flagCol, (col("n_bench_matches") >= 1).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Pairing tail of the MULTI-FINGERPRINT perceptual queries (video
     * all-frames today; any keyframe/shingle source tomorrow): frame
     * rows `(doc_id, f, b0..b3)` in, doc-level near-dup pairs out.
@@ -1625,27 +1661,24 @@ object ExtensionQueries {
     // doc, contaminated or not) via a one-column pruned scan as the
     // totality base — NOT the fingerprint frame, which would run the
     // codec twice.
-    "decon_image_phash" -> ((s, dir) => {
-      val banded = bandExplode(imagePhashFrame(s, dir))
-      val t = banded.filter(pmod(col("doc_id"), lit(50)) =!= 0)
-        .select(col("b"), col("v"), col("doc_id").as("tid"),
-          col("b0").as("t0"), col("b1").as("t1"), col("b2").as("t2"), col("b3").as("t3"))
-      val bench = banded.filter(pmod(col("doc_id"), lit(50)) === 0)
-        .select(col("b"), col("v"), col("doc_id").as("bid"),
-          col("b0").as("q0"), col("b1").as("q1"), col("b2").as("q2"), col("b3").as("q3"))
-      val m = t.join(broadcast(bench), Seq("b", "v"))
-        .filter(expr("CAST(bit_count(t0 ^ q0) + bit_count(t1 ^ q1) + " +
-          "bit_count(t2 ^ q2) + bit_count(t3 ^ q3) AS INT)") <= 6)
-        .select(col("tid"), col("bid")).distinct()
-        .groupBy(col("tid")).agg(count(lit(1)).as("n_bench_matches"))
-      Tables.documents(s, dir)
-        .filter(pmod(col("doc_id"), lit(50)) =!= 0)
-        .select(col("doc_id"))
-        .join(m.withColumnRenamed("tid", "doc_id"), Seq("doc_id"), "left")
-        .withColumn("n_bench_matches", coalesce(col("n_bench_matches"), lit(0L)))
-        .withColumn("is_image_contaminated", (col("n_bench_matches") >= 1).cast("int"))
-        .orderBy(col("doc_id"))
-    }),
+    "decon_image_phash" -> ((s, dir) =>
+      perceptualDecon(s, dir, imagePhashFrame(s, dir), "is_image_contaminated")),
+
+    // AUDIO rung of the decon ladder: benchmark audio leaks re-encoded
+    // with a click where every text rung sees nothing. Same broadcast
+    // shape, over the SAME memoized fingerprint store as
+    // dedup_audio_fingerprint — the dedup and decon rungs of a
+    // modality always share one codec pass.
+    "decon_audio_fingerprint" -> ((s, dir) =>
+      perceptualDecon(s, dir, audioFingerprintFrame(s, dir), "is_audio_contaminated")),
+
+    // VIDEO rung: the bench side's PER-FRAME fingerprints broadcast,
+    // so a training clip that contains ANY frame perceptually matching
+    // ANY benchmark frame flags — which is exactly what catches a
+    // trimmed/re-cut leak (the frame indices differ; the band keys
+    // don't carry them).
+    "decon_video_phash" -> ((s, dir) =>
+      perceptualDecon(s, dir, videoPhashFrame(s, dir), "is_video_contaminated")),
 
     // Audio near-dup via energy-envelope fingerprint — the AUDIO
     // member of the dedup family (dedup_image_phash's acoustic twin):
@@ -1716,6 +1749,14 @@ object ExtensionQueries {
           it.map { case (id, text) =>
             val payload = graft.operators.Warc.syntheticWarcContainer(id, text)
             val recs = graft.operators.Warc.decodeWarc(payload)
+            // DELIBERATELY stricter than the production ingest: this
+            // oracled query runs over a synthetic corpus where every
+            // container is well-formed by construction, so a parse
+            // failure is an ENGINE bug and must fail loudly. The
+            // batch/stream ingest analog (sources.WarcIngest)
+            // quarantines instead — real crawls carry torn segments
+            // that must never fail the job. Do not "fix" either side
+            // toward the other.
             require(recs.nonEmpty, s"doc $id: synthetic WARC failed to decode")
             val https = recs.map(r =>
               graft.operators.Warc.parseHttpResponse(r.body).getOrElse(
@@ -2188,6 +2229,85 @@ object ExtensionQueries {
        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS n_shared " +
        "FROM ds a JOIN ds b ON a.v = b.v AND a.doc_id < b.doc_id " +
        "GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 8 ORDER BY a_id, b_id"),
+    "decon_audio_fingerprint" ->
+      // the dedup_audio_fingerprint fingerprint chain + the decon tail
+      // (bench split, band-collision join, totality left join)
+      ("WITH d AS (SELECT doc_id, md5(CAST(doc_id // 5 AS VARCHAR)) bh, md5(text) ph FROM documents), " +
+       "g AS (SELECT doc_id, bh, ph, 64 + (ascii(substr(bh, 1, 1)) % 8) * 16 AS n FROM d), " +
+       "p AS (SELECT *, (ascii(substr(ph, 1, 1)) * 31 + ascii(substr(ph, 2, 1))) % n AS ppos, " +
+       "ascii(substr(ph, 3, 1)) AS pc FROM g), " +
+       "s AS (SELECT doc_id, (i * 65) // n AS w, " +
+       "abs(CASE WHEN i = ppos THEN (pc - 80) * 256 " +
+       "ELSE (ascii(substr(bh, (i % 32) + 1, 1)) - 80) * 256 END) AS v " +
+       "FROM p CROSS JOIN (SELECT unnest(generate_series(0, 175)) i) WHERE i < n), " +
+       "e AS (SELECT doc_id, w, CAST(SUM(v) AS BIGINT) ev, CAST(COUNT(*) AS BIGINT) cw FROM s GROUP BY doc_id, w), " +
+       "ee AS (SELECT p.doc_id, wi.w, COALESCE(e.ev, 0) ev, COALESCE(e.cw, 0) cw FROM p " +
+       "CROSS JOIN (SELECT unnest(generate_series(0, 64)) w) wi " +
+       "LEFT JOIN e ON e.doc_id = p.doc_id AND e.w = wi.w), " +
+       "bits AS (SELECT l.doc_id, l.w, CASE WHEN l.ev * r.cw > r.ev * l.cw THEN 1 ELSE 0 END bt " +
+       "FROM ee l JOIN ee r ON l.doc_id = r.doc_id AND r.w = l.w + 1 WHERE l.w < 64), " +
+       "bw AS (SELECT doc_id, " +
+       "CAST(SUM(CASE WHEN w // 16 = 0 THEN bt * (1 << (w % 16)) ELSE 0 END) AS BIGINT) b0, " +
+       "CAST(SUM(CASE WHEN w // 16 = 1 THEN bt * (1 << (w % 16)) ELSE 0 END) AS BIGINT) b1, " +
+       "CAST(SUM(CASE WHEN w // 16 = 2 THEN bt * (1 << (w % 16)) ELSE 0 END) AS BIGINT) b2, " +
+       "CAST(SUM(CASE WHEN w // 16 = 3 THEN bt * (1 << (w % 16)) ELSE 0 END) AS BIGINT) b3 " +
+       "FROM bits GROUP BY doc_id), " +
+       "banded AS (SELECT doc_id, b0, b1, b2, b3, b, " +
+       "CASE b WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END v FROM bw " +
+       "CROSS JOIN (SELECT unnest([0, 1, 2, 3]) b)), " +
+       "m AS (SELECT DISTINCT t.doc_id tid, q.doc_id bid FROM banded t " +
+       "JOIN banded q ON t.b = q.b AND t.v = q.v " +
+       "WHERE t.doc_id % 50 <> 0 AND q.doc_id % 50 = 0 AND " +
+       "bit_count(xor(t.b0, q.b0)) + bit_count(xor(t.b1, q.b1)) + " +
+       "bit_count(xor(t.b2, q.b2)) + bit_count(xor(t.b3, q.b3)) <= 6), " +
+       "cnt AS (SELECT tid, CAST(COUNT(*) AS BIGINT) n FROM m GROUP BY tid) " +
+       "SELECT d2.doc_id, COALESCE(cnt.n, 0) AS n_bench_matches, " +
+       "CAST(CASE WHEN COALESCE(cnt.n, 0) >= 1 THEN 1 ELSE 0 END AS INT) AS is_audio_contaminated " +
+       "FROM documents d2 LEFT JOIN cnt ON cnt.tid = d2.doc_id " +
+       "WHERE d2.doc_id % 50 <> 0 ORDER BY d2.doc_id"),
+    "decon_video_phash" ->
+      // the all-frames dedup_video_phash fingerprint chain (per-frame
+      // banded rows) + the decon tail; DISTINCT (tid, bid) collapses
+      // multi-frame matches so a clip counts each leaked benchmark
+      // clip once
+      ("WITH d AS (SELECT doc_id, md5(CAST(doc_id // 6 AS VARCHAR)) bh, md5(text) ph FROM documents), " +
+       "g AS (SELECT doc_id, bh, ph, 16 + (ascii(substr(bh, 1, 1)) % 8) * 4 AS w, " +
+       "16 + (ascii(substr(bh, 2, 1)) % 8) * 4 AS h, " +
+       "ascii(substr(bh, 4, 1)) % 4 + 2 AS nf FROM d), " +
+       "p AS (SELECT *, (ascii(substr(ph, 1, 1)) * 31 + ascii(substr(ph, 2, 1))) % (w * h) AS ppos, " +
+       "ascii(substr(ph, 3, 1)) AS pc, " +
+       "ascii(substr(ph, 4, 1)) % nf AS wf, " +
+       "ascii(substr(ph, 5, 1)) % 2 AS tm FROM g), " +
+       "fr AS (SELECT p.*, af.af, af.af - tm AS f FROM p " +
+       "CROSS JOIN (SELECT unnest(generate_series(0, 4)) af) af " +
+       "WHERE af.af >= tm AND af.af < nf), " +
+       "s AS (SELECT doc_id, f, gy, gx, CASE WHEN af = wf AND idx = ppos THEN (pc * 31 + ppos * 7) % 256 " +
+       "ELSE (ascii(substr(bh, ((idx + af) % 32) + 1, 1)) * 31 + idx * 7 + af * 13) % 256 END AS pix " +
+       "FROM (SELECT doc_id, f, af, wf, ppos, pc, bh, gy, gx, " +
+       "((gy * h) // 8) * w + ((gx * w) // 9) AS idx FROM fr " +
+       "CROSS JOIN (SELECT unnest(generate_series(0, 7)) gy) " +
+       "CROSS JOIN (SELECT unnest(generate_series(0, 8)) gx))), " +
+       "bits AS (SELECT l.doc_id, l.f, l.gy, l.gx, CASE WHEN l.pix > r.pix THEN 1 ELSE 0 END bt " +
+       "FROM s l JOIN s r ON l.doc_id = r.doc_id AND l.f = r.f AND l.gy = r.gy AND r.gx = l.gx + 1 WHERE l.gx < 8), " +
+       "bw AS (SELECT doc_id, f, " +
+       "CAST(SUM(CASE WHEN gy // 2 = 0 THEN bt * (1 << ((gy % 2) * 8 + gx)) ELSE 0 END) AS BIGINT) b0, " +
+       "CAST(SUM(CASE WHEN gy // 2 = 1 THEN bt * (1 << ((gy % 2) * 8 + gx)) ELSE 0 END) AS BIGINT) b1, " +
+       "CAST(SUM(CASE WHEN gy // 2 = 2 THEN bt * (1 << ((gy % 2) * 8 + gx)) ELSE 0 END) AS BIGINT) b2, " +
+       "CAST(SUM(CASE WHEN gy // 2 = 3 THEN bt * (1 << ((gy % 2) * 8 + gx)) ELSE 0 END) AS BIGINT) b3 " +
+       "FROM bits GROUP BY doc_id, f), " +
+       "banded AS (SELECT doc_id, f, b0, b1, b2, b3, b, " +
+       "CASE b WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END v FROM bw " +
+       "CROSS JOIN (SELECT unnest([0, 1, 2, 3]) b)), " +
+       "m AS (SELECT DISTINCT t.doc_id tid, q.doc_id bid FROM banded t " +
+       "JOIN banded q ON t.b = q.b AND t.v = q.v " +
+       "WHERE t.doc_id % 50 <> 0 AND q.doc_id % 50 = 0 AND " +
+       "bit_count(xor(t.b0, q.b0)) + bit_count(xor(t.b1, q.b1)) + " +
+       "bit_count(xor(t.b2, q.b2)) + bit_count(xor(t.b3, q.b3)) <= 6), " +
+       "cnt AS (SELECT tid, CAST(COUNT(*) AS BIGINT) n FROM m GROUP BY tid) " +
+       "SELECT d2.doc_id, COALESCE(cnt.n, 0) AS n_bench_matches, " +
+       "CAST(CASE WHEN COALESCE(cnt.n, 0) >= 1 THEN 1 ELSE 0 END AS INT) AS is_video_contaminated " +
+       "FROM documents d2 LEFT JOIN cnt ON cnt.tid = d2.doc_id " +
+       "WHERE d2.doc_id % 50 <> 0 ORDER BY d2.doc_id"),
     "dedup_video_phash" ->
       // ALL-FRAMES construction replay: per-frame fill
       // `(c[(i+af)%32]*31 + i*7 + af*13) % 256` at the PRE-trim frame

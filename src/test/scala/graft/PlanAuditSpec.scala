@@ -88,7 +88,9 @@ class PlanAuditSpec extends SparkSpec {
         "decon_ngram_overlap" -> "[s#",
         "decon_minhash_neardup" -> "[band_idx#",
         "decon_embedding" -> "[cell#",
-        "decon_image_phash" -> "[b#")) {
+        "decon_image_phash" -> "[b#",
+        "decon_audio_fingerprint" -> "[b#",
+        "decon_video_phash" -> "[b#")) {
       val p = plan(q)
       val joinLines = p.linesIterator.filter(_.contains("Join")).toSeq
       assert(joinLines.exists(l => l.contains("BroadcastHashJoin") && l.contains(key)),
