@@ -348,51 +348,80 @@ object ExtensionQueries {
       "audio_shingle" -> audioShingleFrame(s, dir)
         .select(lit(0).as("b"), col("sh").as("v"), col("doc_id")))
 
-  /** The PQ codebook of `sim_pq_topk`, built ONCE per corpus dir per
-    * JVM (the index-build lifecycle — a production PQ index trains its
-    * codebooks once and serves many probes): per-subspace seeded
-    * [[graft.functions.CentroidBank]]s from the first 256 vectors'
-    * subvectors, plus the query's ADC lookup tables (dot of the raw
-    * query subvector with every codeword). Both collects are bounded
-    * by construction: 256 x 8 floats x 8 banks, never corpus-scale.
+  /** The PQ codebook shared by `sim_pq_topk` and `sim_ivfpq_topk`,
+    * built ONCE per corpus dir per JVM (the index-build lifecycle — a
+    * production PQ index trains its codebooks once and serves many
+    * probes): per-subspace seeded [[graft.functions.CentroidBank]]s
+    * from the first 256 vectors' subvectors. ADC lookup tables (dot of
+    * the raw query subvector with every codeword) are per QUERY, so
+    * they memoize on (dir, query id) — the banks stay one build no
+    * matter how many probes hit them. All collects are bounded by
+    * construction: 256 x 8 floats x 8 banks, never corpus-scale.
     * Driver-side dots run the sequential left-to-right widening sum —
     * the DotProduct order — so table entries are bit-identical to the
     * engine-side and oracle-side formulations.
     */
-  private val pqCodebooks = new java.util.concurrent.ConcurrentHashMap[
-    String, (Seq[graft.functions.CentroidBank], Seq[Array[Double]])]()
+  private val pqBankDirs = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[graft.functions.CentroidBank]]()
+  private val pqAdcTables = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[Array[Double]]]()
 
-  private def pqCodebook(s: SparkSession, dir: String)
-      : (Seq[graft.functions.CentroidBank], Seq[Array[Double]]) =
-    pqCodebooks.computeIfAbsent(dir, _ => {
+  private def pqSubOf(v: Array[Float], si: Int): Array[Float] = v.slice(si * 8, si * 8 + 8)
+  private def pqDotSeq(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  private def pqBanks(s: SparkSession, dir: String): Seq[graft.functions.CentroidBank] =
+    pqBankDirs.computeIfAbsent(dir, _ => {
       import s.implicits._
-      val emb = Tables.embeddings(s, dir)
-      val seedRows = emb.filter(col("vec_id") < 256)
+      val seedRows = Tables.embeddings(s, dir).filter(col("vec_id") < 256)
         .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
         .collect()
-      val qv = emb.filter(col("vec_id") === 299)
-        .select(col("embedding")).as[Array[Float]].head()
-      def subOf(v: Array[Float], si: Int): Array[Float] = v.slice(si * 8, si * 8 + 8)
-      def dotSeq(a: Array[Float], b: Array[Float]): Double = {
-        var acc = 0.0; var i = 0
-        val n = math.min(a.length, b.length)
-        while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
-        acc
-      }
-      val banks = (0 until 8).map { si =>
+      (0 until 8).map { si =>
         new graft.functions.CentroidBank(
           seedRows.map(_._1),
-          seedRows.map(r => subOf(r._2, si)),
-          seedRows.map(r => dotSeq(subOf(r._2, si), subOf(r._2, si))))
+          seedRows.map(r => pqSubOf(r._2, si)),
+          seedRows.map(r => pqDotSeq(pqSubOf(r._2, si), pqSubOf(r._2, si))))
       }
+    })
+
+  private def pqCodebook(s: SparkSession, dir: String, qid: Long)
+      : (Seq[graft.functions.CentroidBank], Seq[Array[Double]]) = {
+    val banks = pqBanks(s, dir)
+    val tables = pqAdcTables.computeIfAbsent(s"$dir#$qid", _ => {
+      import s.implicits._
+      val qv = Tables.embeddings(s, dir).filter(col("vec_id") === qid)
+        .select(col("embedding")).as[Array[Float]].head()
       // ADC tables: dot(query subvector, codeword), indexed by cid
       // (banks sort by ascending cid, and seed cids are 0..255)
-      val tables = (0 until 8).map { si =>
-        val qs = subOf(qv, si)
-        banks(si).vecs.map(c => dotSeq(qs, c))
+      (0 until 8).map { si =>
+        val qs = pqSubOf(qv, si)
+        banks(si).vecs.map(c => pqDotSeq(qs, c))
       }
-      (banks, tables)
     })
+    (banks, tables)
+  }
+
+  /** The asymmetric-distance (ADC) PQ score of one row: per subspace,
+    * a native argmax assignment to the subspace codebook followed by a
+    * lookup into the query's precomputed codeword-dot table — 8
+    * argmaxes + 8 broadcast-literal array reads, all map-side. The 8
+    * subspace dots sum LEFT-TO-RIGHT (reduce order), which the oracle
+    * replays with `list_sum(list(t ORDER BY s))`; consumers round(6)
+    * at the edge to absorb the residual ulps.
+    */
+  private def pqAdcScore(banks: Seq[graft.functions.CentroidBank],
+      tables: Seq[Array[Double]], v: Column): Column =
+    (0 until 8).map { si =>
+      val vs = slice(v, si * 8 + 1, 8)
+      element_at(typedLit(tables(si).toSeq),
+        (graft.functions.VectorExpressions
+          .seeded_cell_argmax(banks(si), vs, VectorOps.dot(vs, vs))
+          .cast("int")) + 1)
+    }.reduce(_ + _)
 
   /** Shared decon tail of the perceptual ladder rungs (image / audio /
     * video): a fingerprint frame in (`(doc_id, [f,] b0..b3)` — a
@@ -895,16 +924,39 @@ object ExtensionQueries {
     // ExtensionInvariantsSpec — coarse 256-codeword quantization on
     // near-random vectors is honest about its limits there.
     "sim_pq_topk" -> ((s, dir) => {
-      val (banks, tables) = pqCodebook(s, dir)
-      val score = (0 until 8).map { si =>
-        val vs = slice(col("embedding"), si * 8 + 1, 8)
-        element_at(typedLit(tables(si).toSeq),
-          (graft.functions.VectorExpressions
-            .seeded_cell_argmax(banks(si), vs, VectorOps.dot(vs, vs))
-            .cast("int")) + 1)
-      }.reduce(_ + _)
+      val (banks, tables) = pqCodebook(s, dir, qid = 299L)
       Tables.embeddings(s, dir).filter(col("vec_id") =!= 299)
-        .select(col("vec_id"), round(score, 6).as("score"))
+        .select(col("vec_id"),
+          round(pqAdcScore(banks, tables, col("embedding")), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // IVF x PQ — the COMPOSITE 100 TB serving architecture, and the
+    // reason both rungs exist: IVF alone prunes candidates (read n/32
+    // of the corpus per probe) but still pays float32 memory; PQ alone
+    // compresses 32x but scans every code. Composed, a probe touches
+    // n/32 candidates at 8 bytes each — the shape FAISS/ScaNN-class
+    // systems deploy. Coarse quantizer = the SAME 32 seed centroids /
+    // argmax-round6-cosine contract as sim_ivf_topk (one full-vector
+    // native assignment per row); fine scoring = the SAME per-subspace
+    // codes + asymmetric ADC tables as sim_pq_topk (8 native argmaxes
+    // + 8 broadcast-literal lookups), both pure map-side, so the whole
+    // plan is scan -> assign -> broadcast 1-row probe -> filter to the
+    // probe's cell -> ADC score -> TakeOrderedAndProject: ZERO shuffle
+    // exchange (plan-audited). Distinct query (vec_id 298) so the
+    // rung's ADC tables memoize beside sim_pq_topk's rather than
+    // replacing them — the banks themselves build once per dir.
+    "sim_ivfpq_topk" -> ((s, dir) => {
+      val bank = seedCentroidBank(s, dir)
+      val (banks, tables) = pqCodebook(s, dir, qid = 298L)
+      val qCell = assignSeededCells(
+          embWithNorm(s, dir).filter(col("vec_id") === 298), bank)
+        .select(col("cell").as("qcell"))
+      assignSeededCells(embWithNorm(s, dir), bank).crossJoin(broadcast(qCell))
+        .filter(col("cell") === col("qcell") && col("vec_id") =!= 298)
+        .select(col("vec_id"),
+          round(pqAdcScore(banks, tables, col("v")), 6).as("score"))
         .orderBy(col("score").desc, col("vec_id"))
         .limit(10)
     }),
@@ -2514,6 +2566,36 @@ object ExtensionQueries {
        "sqrt(list_sum(list_transform(q.qv, x -> x*x)) * list_sum(list_transform(wc.v, x -> x*x)))" +
        ", 6) AS cos_sim FROM wc, q WHERE wc.cell = q.qcell AND wc.vec_id <> 42 " +
        "ORDER BY cos_sim DESC, vec_id LIMIT 5"),
+    "sim_ivfpq_topk" ->
+      // the sim_ivf_topk cell CTE (coarse prune to the probe's cell)
+      // composed with the sim_pq_topk code/ADC CTEs (fine scoring);
+      // query vec_id 298, both stages replayed verbatim
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings), " +
+       "c AS (SELECT vec_id cid, v cv FROM e WHERE vec_id < 32), " +
+       "cscored AS (SELECT e.vec_id, c.cid, round(" +
+       "list_sum(list_transform(list_zip(e.v, c.cv), p -> p[1]*p[2])) / " +
+       "sqrt(list_sum(list_transform(e.v, x -> x*x)) * list_sum(list_transform(c.cv, x -> x*x)))" +
+       ", 6) cs FROM e CROSS JOIN c), " +
+       "cells AS (SELECT vec_id, cid AS cell FROM cscored " +
+       "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) = 1), " +
+       "qc AS (SELECT cell qcell FROM cells WHERE vec_id = 298), " +
+       "subn AS (SELECT vec_id, s, v[(s*8+1):(s*8+8)] AS sv, " +
+       "list_sum(list_transform(v[(s*8+1):(s*8+8)], x -> x*x)) AS nv " +
+       "FROM e CROSS JOIN (SELECT unnest(generate_series(0, 7)) s)), " +
+       "pc AS (SELECT vec_id AS cid, s, sv AS cv, nv AS nc FROM subn WHERE vec_id < 256), " +
+       "pscored AS (SELECT t.vec_id, t.s, pc.cid, round(" +
+       "list_sum(list_transform(list_zip(t.sv, pc.cv), p -> p[1]*p[2])) / sqrt(t.nv * pc.nc), 6) cs " +
+       "FROM subn t JOIN pc ON t.s = pc.s), " +
+       "codes AS (SELECT vec_id, s, cid FROM pscored " +
+       "QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY cs DESC, cid) = 1), " +
+       "q AS (SELECT s, sv AS qv FROM subn WHERE vec_id = 298), " +
+       "adc AS (SELECT codes.vec_id, codes.s, " +
+       "list_sum(list_transform(list_zip(q.qv, pc.cv), p -> p[1]*p[2])) AS t " +
+       "FROM codes JOIN pc ON codes.s = pc.s AND codes.cid = pc.cid JOIN q ON q.s = codes.s) " +
+       "SELECT adc.vec_id, round(list_sum(list(t ORDER BY s)), 6) AS score " +
+       "FROM adc JOIN cells ON adc.vec_id = cells.vec_id CROSS JOIN qc " +
+       "WHERE cells.cell = qc.qcell AND adc.vec_id <> 298 " +
+       "GROUP BY adc.vec_id ORDER BY score DESC, adc.vec_id LIMIT 10"),
     "sim_centroids" ->
       ("SELECT label, i, round(avg(v), 6) AS c FROM " +
        "(SELECT label, i, CAST(embedding[i] AS DOUBLE) v FROM embeddings " +

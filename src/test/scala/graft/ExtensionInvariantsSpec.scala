@@ -357,6 +357,53 @@ class ExtensionInvariantsSpec extends SparkSpec {
       s"pq top-1 ${pq.head} not in exact top-20 ${exact.toSeq}")
   }
 
+  test("ivf x pq: results live in the probe cell; ADC ranking tracks exact within-cell") {
+    // Two separable promises, pinned separately: (1) PRUNING — every
+    // returned id was assigned to the query's coarse cell (a stray id
+    // means the cell filter broke); (2) SCORING — within the pruned
+    // candidate set, the 32x-compressed ADC ranking tracks the exact
+    // float-dot ranking under the same PQ honesty bounds as
+    // sim_pq_topk (overlap >= 4 of 10, ADC top-1 in exact top-20).
+    // Cell membership is recomputed here from first principles (the
+    // same public CentroidBank + native argmax the query uses), not
+    // read back from the query under test.
+    import org.apache.spark.sql.functions._
+    val ivfpq = q("sim_ivfpq_topk").as[(Long, Double)].collect().map(_._1)
+    assert(ivfpq.nonEmpty)
+    val emb = Tables.embeddings(spark, sf0001)
+      .withColumn("v", col("embedding"))
+      .withColumn("nv", graft.operators.VectorOps.norm2(col("embedding")))
+    val seedRows = emb.filter(col("vec_id") < 32)
+      .select(col("vec_id"), col("v"), col("nv")).collect()
+    val bank = new graft.functions.CentroidBank(
+      seedRows.map(_.getLong(0)),
+      seedRows.map(_.getSeq[Float](1).toArray),
+      seedRows.map(_.getDouble(2)))
+    val assigned = emb.select(col("vec_id"), col("v"),
+      graft.functions.VectorExpressions
+        .seeded_cell_argmax(bank, col("v"), col("nv")).as("cell"))
+    val qcell = assigned.filter(col("vec_id") === 298)
+      .select(col("cell").cast("long")).as[Long].head()
+    val members = assigned
+      .filter(col("cell").cast("long") === qcell && col("vec_id") =!= 298)
+    val memberSet = members.select(col("vec_id")).as[Long].collect().toSet
+    assert(ivfpq.forall(memberSet.contains),
+      s"ids outside the probe cell: ${ivfpq.filterNot(memberSet.contains).toSeq}")
+    val qv = emb.filter(col("vec_id") === 298)
+      .select(graft.operators.VectorOps.toDouble(col("v")).as("qv"))
+    val exact = members.crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        graft.operators.VectorOps.dot(col("qv"),
+          graft.operators.VectorOps.toDouble(col("v"))).as("d"))
+      .orderBy(col("d").desc, col("vec_id"))
+      .limit(20).as[(Long, Double)].collect().map(_._1)
+    val overlap = ivfpq.toSet.intersect(exact.take(10).toSet).size
+    assert(overlap >= 4, s"ivfpq/exact-within-cell top-10 overlap only $overlap: " +
+      s"${ivfpq.toSeq} vs ${exact.take(10).toSeq}")
+    assert(exact.contains(ivfpq.head),
+      s"ivfpq top-1 ${ivfpq.head} not in exact-within-cell top-20 ${exact.toSeq}")
+  }
+
   test("property: exact-dedup keeper count equals distinct content count") {
     val docs = Tables.documents(spark, sf0001)
     assert(q("dedup_exact").count() === docs.select("text").distinct().count())

@@ -289,6 +289,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(n === 0, s"sim_pq_topk planned $n exchanges, expected none:\n$p")
   }
 
+  test("ivf x pq similarity: coarse prune + ADC scoring, still zero shuffle exchange") {
+    // The composite rung must not cost more plan than its parts: the
+    // coarse assignment is the sim_ivf_topk map-side projection, the
+    // probe is a broadcast 1-row cross join, and the fine scoring is
+    // the sim_pq_topk projection — so the only acceptable plan is
+    // scan -> assign -> broadcast probe -> filter -> ADC project ->
+    // TakeOrderedAndProject with NO hash/range/single exchange. A
+    // shuffle appearing here means one of the two assignment stages
+    // fell back to a join/aggregate formulation.
+    val p = plan("sim_ivfpq_topk")
+    assert(p.contains("seeded_cell_argmax"),
+      s"native assignment expression missing from the plan:\n$p")
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") ||
+        l.contains("Exchange rangepartitioning") ||
+        l.contains("Exchange SinglePartition"))
+    assert(shuffles === 0, s"expected a shuffle-free probe plan, got $shuffles:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k degenerated to a global sort:\n$p")
+  }
+
   test("audio shingle dedup: one bucket exchange, pair rollup, output sort") {
     // fingerprint store scan -> value-bucket groupBy -> capped pair
     // explode -> (a,b) rollup -> sort: the rollup and sort are the
