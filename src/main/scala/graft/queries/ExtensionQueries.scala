@@ -661,6 +661,35 @@ object ExtensionQueries {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // The DECISION step of semantic dedup (the SemDeDup recipe: cluster
+    // embeddings, then drop near-duplicates WITHIN each cluster): a
+    // vector is dropped iff a LOWER-id vector in its cell scores
+    // cosine >= 0.45 against it — deterministic, order-free, and local
+    // to a cell, so the keeper set needs no cross-cell pass and no
+    // iteration (unlike the minhash cluster keeper, which resolves
+    // transitive chains). Plan: the dedup_embedding within-cell pair
+    // join proposes the dropped ids (a set bounded by the pair count,
+    // tiny next to the corpus), which then BROADCASTS into a left-anti
+    // join against the assignment frame — the corpus never shuffles
+    // for the subtraction. At 100 TB: pair work is bounded per cell by
+    // the quantizer (multi-probe/finer k to cap cell sizes), and the
+    // dropped set stays << corpus by construction (it IS the
+    // duplicates).
+    "dedup_embedding_keep" -> ((s, dir) => {
+      val cells = seededCells(s, dir)
+      val l = cells.select(col("cell"), col("vec_id").as("a_id"),
+        col("v").as("va"), col("nv").as("na"))
+      val r = cells.select(col("cell"), col("vec_id").as("b_id"),
+        col("v").as("vb"), col("nv").as("nb"))
+      val dropped = l.join(r, Seq("cell"))
+        .filter(col("a_id") < col("b_id"))
+        .filter(round(VectorOps.dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")), 6) >= 0.45)
+        .select(col("b_id")).distinct()
+      cells.join(broadcast(dropped), cells("vec_id") === dropped("b_id"), "left_anti")
+        .select(col("vec_id"), col("cell"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Near-dup CLUSTERS: connected components over the MinHash candidate
     // pairs (the stage that turns pairs into dedup groups + one keeper
     // per group). Distributed min-label propagation: each iteration is
@@ -2490,6 +2519,25 @@ object ExtensionQueries {
        "list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])) / " +
        "sqrt(list_sum(list_transform(a.v, x -> x*x)) * list_sum(list_transform(b.v, x -> x*x)))" +
        ", 6) >= 0.45 ORDER BY a_id, b_id"),
+    "dedup_embedding_keep" ->
+      // the dedup_embedding cell + pair CTEs, then keepers = vectors
+      // with NO lower-id within-cell neighbor at cosine >= 0.45
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings), " +
+       "c AS (SELECT vec_id cid, v cv FROM e WHERE vec_id < 32), " +
+       "scored AS (SELECT e.vec_id, e.v, c.cid, round(" +
+       "list_sum(list_transform(list_zip(e.v, c.cv), p -> p[1]*p[2])) / " +
+       "sqrt(list_sum(list_transform(e.v, x -> x*x)) * list_sum(list_transform(c.cv, x -> x*x)))" +
+       ", 6) cs FROM e CROSS JOIN c), " +
+       "cells AS (SELECT vec_id, v, cid AS cell FROM scored " +
+       "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) = 1), " +
+       "dropped AS (SELECT DISTINCT b.vec_id FROM cells a JOIN cells b " +
+       "ON a.cell = b.cell AND a.vec_id < b.vec_id " +
+       "WHERE round(" +
+       "list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])) / " +
+       "sqrt(list_sum(list_transform(a.v, x -> x*x)) * list_sum(list_transform(b.v, x -> x*x)))" +
+       ", 6) >= 0.45) " +
+       "SELECT vec_id, cell FROM cells WHERE vec_id NOT IN (SELECT vec_id FROM dropped) " +
+       "ORDER BY vec_id"),
     "dedup_ngram_jaccard" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
        s"sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest($shSql) s FROM t)), " +

@@ -404,6 +404,25 @@ class ExtensionInvariantsSpec extends SparkSpec {
       s"ivfpq top-1 ${ivfpq.head} not in exact-within-cell top-20 ${exact.toSeq}")
   }
 
+  test("semantic keeper set is exactly the corpus minus the pair-targets") {
+    // The keeper rule is definitional from dedup_embedding's own
+    // output: an id is dropped iff it appears as the HIGHER side (b)
+    // of some within-cell pair at cosine >= 0.45. So keepers must be
+    // the full id set minus the distinct b-side of the pair query —
+    // checked both directions (no dropped id kept, no extra id
+    // dropped), tying the two queries together semantically instead
+    // of re-deriving either.
+    val pairs = q("dedup_embedding").as[(Long, Long, Double)].collect()
+    val droppedExpected = pairs.map(_._2).toSet
+    val kept = q("dedup_embedding_keep").as[(Long, Long)].collect().map(_._1).toSet
+    val all = Tables.embeddings(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("vec_id"))
+      .as[Long].collect().toSet
+    assert(kept === all.diff(droppedExpected),
+      s"keeper set mismatch: unexpected drops ${all.diff(droppedExpected).diff(kept)}, " +
+        s"kept-but-dropped ${kept.intersect(droppedExpected)}")
+  }
+
   test("property: exact-dedup keeper count equals distinct content count") {
     val docs = Tables.documents(spark, sf0001)
     assert(q("dedup_exact").count() === docs.select("text").distinct().count())

@@ -309,6 +309,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"top-k degenerated to a global sort:\n$p")
   }
 
+  test("semantic keeper subtraction is a broadcast anti-join, never a shuffled one") {
+    // The dropped set is bounded by the duplicate-pair count (tiny
+    // next to the corpus), so the subtraction must plan as a
+    // BroadcastHashJoin LeftAnti against the map-side assignment
+    // frame. A SortMergeJoin here means the corpus shuffled just to
+    // subtract a small set — the formulation that dies at 100 TB.
+    val p = plan("dedup_embedding_keep")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"expected a broadcast left-anti subtraction:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-shuffling join in the keeper plan:\n$p")
+  }
+
   test("audio shingle dedup: one bucket exchange, pair rollup, output sort") {
     // fingerprint store scan -> value-bucket groupBy -> capped pair
     // explode -> (a,b) rollup -> sort: the rollup and sort are the
