@@ -61,7 +61,12 @@ object ScaleSmoke {
         // round-9 additions: shingle buckets and the PQ scan under 10x
         // duplicate pressure, plus the widened decon ladder
         "dedup_audio_shingle", "sim_pq_topk",
-        "decon_audio_fingerprint", "decon_video_phash")) {
+        "decon_audio_fingerprint", "decon_video_phash",
+        // composite IVF x PQ probe and the semantic keeper subtraction
+        // — the keeper's dropped set grows WITH the duplicate pressure
+        // (every replica pair is a drop), the exact stress the
+        // broadcast-anti formulation must absorb
+        "sim_ivfpq_topk", "dedup_embedding_keep")) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).count()
       println(f"$q%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $n%10d rows")

@@ -1820,6 +1820,35 @@ object ExtensionQueries {
     "dedup_video_phash" -> ((s, dir) =>
       perceptualFramePairs(videoPhashFrame(s, dir), maxHamming = 6)),
 
+    // Cross-modality EVIDENCE UNION: one row per near-dup doc pair
+    // with the per-modality verdicts side by side — "is this document
+    // a re-host of that one in ANY modality, and in how many?" — the
+    // question a curation reviewer actually asks before dropping a
+    // family. Each input is an already-verified pair set (answer-
+    // sized, not corpus-sized), so the two full-outer joins shuffle
+    // only answers; the fingerprint stores are the memoized ones, so
+    // the rollup adds ZERO codec work on a warm corpus. At 100 TB the
+    // same holds structurally: pair sets are bounded by the duplicate
+    // rate, and the rollup cost is O(pairs), independent of corpus
+    // width.
+    "dedup_multimodal_rollup" -> ((s, dir) => {
+      val img = perceptualPairs(imagePhashFrame(s, dir), maxHamming = 6)
+        .withColumnRenamed("hamming", "image_hamming")
+      val aud = perceptualPairs(audioFingerprintFrame(s, dir), maxHamming = 6)
+        .withColumnRenamed("hamming", "audio_hamming")
+      val vid = perceptualFramePairs(videoPhashFrame(s, dir), maxHamming = 6)
+        .select(col("a_id"), col("b_id"), col("min_hamming").as("video_min_hamming"))
+      img.join(aud, Seq("a_id", "b_id"), "full_outer")
+        .join(vid, Seq("a_id", "b_id"), "full_outer")
+        .select(col("a_id"), col("b_id"),
+          (when(col("image_hamming").isNotNull, 1).otherwise(0) +
+            when(col("audio_hamming").isNotNull, 1).otherwise(0) +
+            when(col("video_min_hamming").isNotNull, 1).otherwise(0))
+            .cast("int").as("n_modalities"),
+          col("image_hamming"), col("audio_hamming"), col("video_min_hamming"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     "warc_ingest" -> ((s, dir) => {
       import s.implicits._
       Tables.documents(s, dir)
@@ -2197,7 +2226,7 @@ object ExtensionQueries {
     "UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.node), " +
     "labels AS (SELECT node, MIN(r) AS label FROM reach GROUP BY node)"
 
-  def oracleSql: Map[String, String] = Map(
+  private val baseOracleSql: Map[String, String] = Map(
     "dedup_exact" ->
       ("SELECT md5(text) AS content_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS n_copies " +
        "FROM documents GROUP BY md5(text) ORDER BY keep_id"),
@@ -3132,4 +3161,23 @@ object ExtensionQueries {
        "CAST(len(string_split(extracted, ' ')) AS BIGINT) AS n_tokens " +
        "FROM x ORDER BY doc_id")
   )
+
+  /** The rollup oracle IS the three modality pair oracles composed —
+    * each construction-replay chain runs verbatim as a CTE, full-outer
+    * joined on the doc pair — so there is no second copy of any
+    * fingerprint SQL to drift from its dedup twin.
+    */
+  def oracleSql: Map[String, String] = baseOracleSql + (
+    "dedup_multimodal_rollup" ->
+      (s"WITH i AS (${baseOracleSql("dedup_image_phash")}), " +
+       s"a AS (${baseOracleSql("dedup_audio_fingerprint")}), " +
+       s"v AS (${baseOracleSql("dedup_video_phash")}) " +
+       "SELECT a_id, b_id, CAST(" +
+       "(CASE WHEN i.hamming IS NOT NULL THEN 1 ELSE 0 END) + " +
+       "(CASE WHEN a.hamming IS NOT NULL THEN 1 ELSE 0 END) + " +
+       "(CASE WHEN v.min_hamming IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS n_modalities, " +
+       "i.hamming AS image_hamming, a.hamming AS audio_hamming, " +
+       "v.min_hamming AS video_min_hamming " +
+       "FROM i FULL OUTER JOIN a USING (a_id, b_id) " +
+       "FULL OUTER JOIN v USING (a_id, b_id) ORDER BY a_id, b_id"))
 }

@@ -423,6 +423,32 @@ class ExtensionInvariantsSpec extends SparkSpec {
         s"kept-but-dropped ${kept.intersect(droppedExpected)}")
   }
 
+  test("multimodal rollup is the exact union of the three modality pair sets") {
+    // Definitional tie to the queries it composes: the rollup's key
+    // set must equal image-pairs UNION audio-pairs UNION video-pairs,
+    // each per-modality column must be present exactly for pairs that
+    // modality reported (same hamming value), and n_modalities must
+    // count the non-null evidence columns. Any drift between the
+    // rollup and its inputs — a lost pair, a phantom pair, a
+    // mis-joined hamming — fails one of the three checks.
+    val img = q("dedup_image_phash").as[(Long, Long, Int)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val aud = q("dedup_audio_fingerprint").as[(Long, Long, Int)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val vid = q("dedup_video_phash").as[(Long, Long, Int, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val roll = q("dedup_multimodal_rollup")
+      .as[(Long, Long, Int, Option[Int], Option[Int], Option[Int])].collect()
+    assert(roll.map(r => (r._1, r._2)).toSet ===
+      img.keySet ++ aud.keySet ++ vid.keySet)
+    roll.foreach { case (a, b, n, ih, ah, vh) =>
+      assert(ih === img.get((a, b)), s"image evidence mismatch on ($a,$b)")
+      assert(ah === aud.get((a, b)), s"audio evidence mismatch on ($a,$b)")
+      assert(vh === vid.get((a, b)), s"video evidence mismatch on ($a,$b)")
+      assert(n === Seq(ih, ah, vh).count(_.isDefined), s"bad modality count on ($a,$b)")
+    }
+  }
+
   test("property: exact-dedup keeper count equals distinct content count") {
     val docs = Tables.documents(spark, sf0001)
     assert(q("dedup_exact").count() === docs.select("text").distinct().count())
