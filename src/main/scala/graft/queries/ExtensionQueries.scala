@@ -2175,6 +2175,147 @@ object ExtensionQueries {
         .withColumn("n_tokens",
           size(split(col("extracted"), " ")).cast("long"))
         .orderBy(col("doc_id"))
+    }),
+
+    // BM25 ranked retrieval (Okapi BM25, Lucene idf form): the standard
+    // relevance score of web search and of retrieval-driven curation
+    // (picking the training docs most relevant to a probe query). For a
+    // BOUNDED query (three terms here), scan-scoring beats building an
+    // inverted index first: tf per term is a map-side array count on
+    // the token array already in the row — no posting explode, no
+    // per-term shuffle — so the only exchange in the whole plan is the
+    // single-row corpus-stats aggregate (N, total length, per-term df;
+    // 32 partial rows) that then BROADCASTS back over the scan. idf is
+    // the Lucene form ln(1 + (N-df+0.5)/(df+0.5)), strictly positive
+    // even for terms appearing in nearly every doc (this corpus's tiny
+    // vocabulary), where raw Robertson idf goes negative and would
+    // invert the ranking. The three per-term scores sum in a FIXED
+    // left-assoc expression (no aggregation-order nondeterminism);
+    // round(6) at the edge absorbs engine ulps (the cosine contract).
+    // Plan: scan -> map tf/dl -> one-row agg -> broadcast crossJoin ->
+    // score -> TakeOrderedAndProject. At 100 TB the stats row is a
+    // pre-computed corpus statistic; the scoring pass stays one scan.
+    "search_bm25_topk" -> ((s, dir) => {
+      val ws = TextOps.tokens(col("text"))
+      val terms = Seq("vector", "stream", "window")
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id") +: size(ws).cast("long").as("dl") +:
+          terms.zipWithIndex.map { case (t, i) =>
+            size(filter(ws, w => w === t)).cast("long").as(s"tf$i") }: _*)
+      val stats = base.agg(
+        count(lit(1)).as("n"), sum(col("dl")).as("sumdl"),
+        sum((col("tf0") > 0).cast("long")).as("df0"),
+        sum((col("tf1") > 0).cast("long")).as("df1"),
+        sum((col("tf2") > 0).cast("long")).as("df2"))
+      val avgdl = col("sumdl").cast("double") / col("n")
+      def termScore(i: Int): Column = {
+        val tf = col(s"tf$i").cast("double")
+        val df = col(s"df$i").cast("double")
+        val idf = log(lit(1.0) + (col("n") - df + 0.5) / (df + 0.5))
+        idf * (tf * lit(2.2)) /
+          (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+      }
+      base.crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("dl"), col("tf0"), col("tf1"), col("tf2"),
+          round(termScore(0) + termScore(1) + termScore(2), 6).as("bm25"))
+        .filter(col("bm25") > 0)
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)
+    }),
+
+    // Inverted-index posting stats — the INDEX-BUILD side of retrieval
+    // (search_bm25_topk is the query side): one distinct-term explode,
+    // tf computed map-side from the token array already in the row (no
+    // (doc, term) pre-aggregation exchange), then ONE hash exchange on
+    // the term — the posting-list partitioning itself, which is how an
+    // inverted index shards at 100 TB (each reducer owns a term range
+    // and writes its posting lists). Output: per-term df (posting list
+    // length), cf (collection frequency), max tf, and the first doc —
+    // all integers, fully order-independent.
+    "search_postings" -> ((s, dir) => {
+      val ws = TextOps.tokens(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), ws.as("ws"))
+        .select(col("doc_id"), col("ws"),
+          explode(array_distinct(col("ws"))).as("term"))
+        .withColumn("tf", size(filter(col("ws"), w => w === col("term"))).cast("long"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+          max(col("tf")).as("max_tf"), min(col("doc_id")).as("first_doc"))
+        .orderBy(col("term"))
+    }),
+
+    // TF-IDF keyword extraction: top-3 salient terms per doc — the
+    // per-document summary view of curation dashboards and the feature
+    // side of simple relevance classifiers. df comes from ONE exchange
+    // over distinct (doc, term); the df frame is VOCABULARY-sized, so
+    // it broadcasts back onto the per-doc distinct terms (tf is a
+    // map-side array count on the token array already in the row — no
+    // (doc, term) pre-aggregation exchange) and the corpus-size row
+    // rides the same broadcast trick as search_bm25_topk. The only
+    // other exchange is the per-doc window for top-3 — partitioned by
+    // doc_id, i.e. the exchange is the answer's own layout. Ranking
+    // runs on the ROUNDED tfidf with a term tiebreak so both engines
+    // cut the same top-3 (terms in every doc have idf = ln(1) = 0 and
+    // rank purely by the tiebreak — deterministic, not degenerate).
+    "corpus_keywords" -> ((s, dir) => {
+      val ws = TextOps.tokens(col("text"))
+      val terms = Tables.documents(s, dir)
+        .select(col("doc_id"), ws.as("ws"))
+        .select(col("doc_id"), col("ws"),
+          explode(array_distinct(col("ws"))).as("term"))
+        .withColumn("tf", size(filter(col("ws"), w => w === col("term"))).cast("long"))
+        .drop("ws")
+      val stats = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+      val dfFrame = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val scored = terms
+        .join(broadcast(dfFrame), Seq("term"))
+        .crossJoin(broadcast(stats))
+        .withColumn("tfidf",
+          round(col("tf") * log(col("n").cast("double") / col("df")), 6))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term"))
+      scored.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"),
+          col("tfidf"))
+        .orderBy(col("doc_id"), col("rk"))
+    }),
+
+    // PageRank over the crawl link graph — THE iterative-graph workload
+    // of web-corpus curation (rank-weighted sampling, spam demotion,
+    // seed scoring). Edges are derived arithmetically from doc_id
+    // (three out-links per node, self-loops allowed, so out-degree is
+    // exactly 3 and there are no dangling nodes to special-case);
+    // 5 damped iterations in FIXED-POINT integer arithmetic (rank in
+    // parts-per-million of the uniform mass, r' = 0.15e6 + 85% of the
+    // summed integer contributions, all floor divisions) — integer
+    // sums are order-independent, so the result is bit-exact across
+    // engines and runs with NO rounding contract at all, the pinned-
+    // arithmetic recipe of the sketch family applied to graph
+    // iteration. Per iteration the plan is: map-side explode of the
+    // derived out-links + a zero row per node (keeps rankless nodes
+    // total) -> ONE hash exchange on the target id. At 100 TB the
+    // loop is the same five exchanges over a persisted edge frame —
+    // the canonical bulk-synchronous shape; AQE handles the skewed
+    // high-in-degree hubs.
+    "crawl_pagerank" -> ((s, dir) => {
+      val nodes = Tables.documents(s, dir).select(col("doc_id").as("i"))
+      val nFrame = nodes.agg(count(lit(1)).as("nn"))
+      def targets = array(
+        (col("i") * 31 + 7) % col("nn"),
+        (col("i") * 17 + 3) % col("nn"),
+        (col("i") * 13 + 11) % col("nn"))
+      var ranks = nodes.select(col("i"), lit(1000000L).as("r"))
+      for (_ <- 1 to 5) {
+        val contribs = ranks.crossJoin(broadcast(nFrame))
+          .select(explode(targets).as("i"), expr("r div 3").as("c"))
+        ranks = contribs.union(nodes.select(col("i"), lit(0L).as("c")))
+          .groupBy(col("i")).agg(sum(col("c")).as("sc"))
+          .select(col("i"), expr("CAST(150000 + (85 * sc) div 100 AS BIGINT)").as("r"))
+      }
+      ranks.select(col("i").as("doc_id"), col("r").as("rank_ppm"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -3159,7 +3300,70 @@ object ExtensionQueries {
        "trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS extracted FROM documents) " +
        "SELECT doc_id, extracted, " +
        "CAST(len(string_split(extracted, ' ')) AS BIGINT) AS n_tokens " +
-       "FROM x ORDER BY doc_id")
+       "FROM x ORDER BY doc_id"),
+    "search_bm25_topk" ->
+      // replay: map-side tf/dl, one-row corpus stats, Lucene-idf BM25
+      // with the SAME left-assoc expression shape as the Spark side
+      // (k1=1.2, b=0.75 folded to the 2.2 / 0.25 / 0.75 literals);
+      // round(6) absorbs engine ulps, ties at the cut break on doc_id
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
+       "d AS (SELECT doc_id, CAST(len(ws) AS BIGINT) dl, " +
+       "CAST(len(list_filter(ws, w -> w = 'vector')) AS BIGINT) tf0, " +
+       "CAST(len(list_filter(ws, w -> w = 'stream')) AS BIGINT) tf1, " +
+       "CAST(len(list_filter(ws, w -> w = 'window')) AS BIGINT) tf2 FROM t), " +
+       "st AS (SELECT COUNT(*) n, SUM(dl) sumdl, " +
+       "SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) df0, " +
+       "SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) df1, " +
+       "SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) df2 FROM d), " +
+       "sc AS (SELECT doc_id, dl, tf0, tf1, tf2, round(" +
+       "ln(1.0 + (n - CAST(df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5)) * (CAST(tf0 AS DOUBLE) * 2.2) / " +
+       "(CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n))) + " +
+       "ln(1.0 + (n - CAST(df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5)) * (CAST(tf1 AS DOUBLE) * 2.2) / " +
+       "(CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n))) + " +
+       "ln(1.0 + (n - CAST(df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5)) * (CAST(tf2 AS DOUBLE) * 2.2) / " +
+       "(CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n))), 6) AS bm25 " +
+       "FROM d, st) " +
+       "SELECT doc_id, dl, tf0, tf1, tf2, bm25 FROM sc WHERE bm25 > 0 " +
+       "ORDER BY bm25 DESC, doc_id LIMIT 20"),
+    "search_postings" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
+       "p AS (SELECT doc_id, term, COUNT(*) tf FROM " +
+       "(SELECT doc_id, unnest(ws) term FROM t) GROUP BY doc_id, term) " +
+       "SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf, " +
+       "CAST(MAX(tf) AS BIGINT) AS max_tf, CAST(MIN(doc_id) AS BIGINT) AS first_doc " +
+       "FROM p GROUP BY term ORDER BY term"),
+    "corpus_keywords" ->
+      // rank on the ROUNDED tfidf with a term tiebreak (both engines
+      // cut the same top-3); tf replayed as a (doc, term) count — the
+      // Spark side computes it map-side from the token array, same value
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
+       "nn AS (SELECT COUNT(*) n FROM documents), " +
+       "p AS (SELECT doc_id, term, COUNT(*) tf FROM " +
+       "(SELECT doc_id, unnest(ws) term FROM t) GROUP BY doc_id, term), " +
+       "d AS (SELECT term, COUNT(*) df FROM p GROUP BY term), " +
+       "sc AS (SELECT doc_id, p.term, tf, df, " +
+       "round(tf * ln(CAST(n AS DOUBLE) / df), 6) tfidf, " +
+       "CAST(row_number() OVER (PARTITION BY doc_id " +
+       "ORDER BY round(tf * ln(CAST(n AS DOUBLE) / df), 6) DESC, p.term) AS BIGINT) rk " +
+       "FROM p JOIN d ON p.term = d.term, nn) " +
+       "SELECT doc_id, rk, term, CAST(tf AS BIGINT) AS tf, df, tfidf " +
+       "FROM sc WHERE rk <= 3 ORDER BY doc_id, rk"),
+    "crawl_pagerank" -> {
+      // 5 unrolled damped iterations in the SAME fixed-point integer
+      // arithmetic as the Spark loop (floor divisions, ppm scale) —
+      // integer sums are order-independent, so the compare is bit-exact
+      // with no rounding contract
+      def iter(prev: String, cur: String): String =
+        s"$cur AS (SELECT d.i, CAST(150000 + (85 * COALESCE(SUM(x.c2), 0)) // 100 AS BIGINT) r " +
+        s"FROM docs d LEFT JOIN (SELECT e.t, $prev.r // 3 c2 FROM e JOIN $prev ON e.i = $prev.i) x " +
+        "ON x.t = d.i GROUP BY d.i)"
+      "WITH docs AS (SELECT doc_id i FROM documents), " +
+      "nn AS (SELECT COUNT(*) c FROM docs), " +
+      "e AS (SELECT i, unnest([(i*31+7)%c, (i*17+3)%c, (i*13+11)%c]) t FROM docs, nn), " +
+      "r0 AS (SELECT i, CAST(1000000 AS BIGINT) r FROM docs), " +
+      (1 to 5).map(k => iter(s"r${k - 1}", s"r$k")).mkString("", ", ", " ") +
+      "SELECT i AS doc_id, r AS rank_ppm FROM r5 ORDER BY doc_id"
+    }
   )
 
   /** The rollup oracle IS the three modality pair oracles composed —

@@ -517,4 +517,88 @@ class ExtensionInvariantsSpec extends SparkSpec {
     }
     assert(scCheck(Parameters.default.withMinSuccessfulTests(20), prop).passed)
   }
+
+  test("bm25 top-k: every hit matches a query term, ranking is the true head") {
+    // (doc_id, dl, tf0, tf1, tf2, bm25)
+    val rows = q("search_bm25_topk")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(rows.length === 20)
+    assert(rows.forall { case (_, _, t0, t1, t2, s) => t0 + t1 + t2 > 0 && s > 0 },
+      "a scored hit must contain at least one query term")
+    val scores = rows.map(_._6)
+    assert(scores.toSeq === scores.sorted.reverse.toSeq, "scores must be non-increasing")
+    // the cut is the TRUE head: rescore the whole corpus from first
+    // principles driver-side (same Lucene-idf arithmetic) and require
+    // the query's 20 ids == the brute-force top-20 under (rounded
+    // score desc, doc_id)
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val terms = Seq("vector", "stream", "window")
+    val tfs = docs.map { case (id, text) =>
+      val ws = text.split(" ")
+      (id, ws.length.toLong, terms.map(t => ws.count(_ == t).toLong))
+    }
+    val n = tfs.length.toDouble
+    val sumdl = tfs.map(_._2).sum.toDouble
+    val dfT = terms.indices.map(i => tfs.count(_._3(i) > 0).toDouble)
+    val expectTop = tfs.map { case (id, dl, tf) =>
+      val s = terms.indices.map { i =>
+        val idf = math.log(1.0 + (n - dfT(i) + 0.5) / (dfT(i) + 0.5))
+        idf * (tf(i) * 2.2) / (tf(i) + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))
+      }.sum
+      (id, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.filter(_._2 > 0).sortBy { case (id, s) => (-s, id) }.take(20).map(_._1)
+    assert(rows.map(_._1).toSeq === expectTop.toSeq)
+  }
+
+  test("postings stats agree with a driver-side recomputation") {
+    val got = q("search_postings")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val expect = docs.flatMap { case (id, text) =>
+      text.split(" ").groupBy(identity).map { case (w, g) => (w, id, g.length.toLong) }
+    }.groupBy(_._1).map { case (w, ps) =>
+      w -> ((ps.length.toLong, ps.map(_._3).sum, ps.map(_._3).max, ps.map(_._2).min))
+    }
+    assert(got === expect)
+  }
+
+  test("keywords: exactly top-3 per doc, tfidf consistent with df and N") {
+    val rows = q("corpus_keywords")
+      .as[(Long, Long, String, Long, Long, Double)].collect()
+    val n = Tables.documents(spark, sf0001).count()
+    rows.groupBy(_._1).foreach { case (doc, rs) =>
+      assert(rs.map(_._2).sorted.toSeq === Seq(1L, 2L, 3L), s"doc $doc ranks")
+    }
+    rows.foreach { case (doc, _, term, tf, df, tfidf) =>
+      val expect = BigDecimal(tf * math.log(n.toDouble / df))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(tfidf === expect, s"doc $doc term $term")
+    }
+  }
+
+  test("pagerank conserves mass within floor loss and keeps every node") {
+    val rows = q("crawl_pagerank").as[(Long, Long)].collect()
+    val n = Tables.documents(spark, sf0001).count()
+    assert(rows.length === n, "every node must keep a rank row")
+    assert(rows.forall(_._2 >= 150000L), "the damping base is a hard floor")
+    val total = rows.map(_._2).sum
+    // each iteration floors at most 3 ppm per node (div 3) + 1 ppm
+    // (div 100); 5 iterations x 85% retention keeps the loss tiny
+    assert(total <= n * 1000000L, s"mass created: $total > ${n * 1000000L}")
+    assert(total >= (n * 1000000L * 97) / 100, s"mass lost beyond floor budget: $total")
+    // a hub with three derived in-links must outrank an orphan: find
+    // in-degrees from first principles and compare group means
+    val inDeg = (0L until n).flatMap(i =>
+        Seq((i * 31 + 7) % n, (i * 17 + 3) % n, (i * 13 + 11) % n))
+      .groupBy(identity).map { case (t, g) => t -> g.size }
+    val rank = rows.toMap
+    val hubs = rank.filter { case (id, _) => inDeg.getOrElse(id, 0) >= 5 }.values
+    val cold = rank.filter { case (id, _) => inDeg.getOrElse(id, 0) <= 1 }.values
+    if (hubs.nonEmpty && cold.nonEmpty)
+      assert(hubs.sum / hubs.size > cold.sum / cold.size,
+        "high in-degree nodes must average a higher rank")
+  }
 }

@@ -431,4 +431,50 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("HashAggregate(keys=[doc_id"),
       s"signature aggregation resurfaced (native expression bypassed):\n$p")
   }
+
+  test("bm25 scan-scoring: broadcast one-row stats, no posting shuffle, top-k not a sort") {
+    // the scoring pass must be ONE pass over the corpus: tf per query
+    // term is a map-side array count (no explode/Generate on the
+    // scoring side), the corpus-stats row broadcasts back, and the
+    // only hash-partitioning exchange anywhere would be posting lists
+    // creeping in (there are none — the stats agg is SinglePartition)
+    val p = plan("search_bm25_topk")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 0,
+      s"bm25 planned a posting/aggregate shuffle:\n$p")
+    assert(p.contains("BroadcastExchange"), s"stats row must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k degenerated to a global sort:\n$p")
+  }
+
+  test("postings build: one term exchange plus the output sort") {
+    val p = plan("search_postings")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"posting build must shuffle once, on the term:\n$p")
+  }
+
+  test("keywords: vocabulary df broadcasts; exchanges are df agg + per-doc window") {
+    // the df frame is vocabulary-sized -> its join back onto the
+    // distinct-term rows must be a BroadcastHashJoin (a SortMergeJoin
+    // here would shuffle the full posting stream on the term key);
+    // hash exchanges: df aggregate + the doc_id window partitioning
+    val p = plan("corpus_keywords")
+    assert(p.contains("BroadcastHashJoin"), s"df join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"posting stream shuffled on term:\n$p")
+    val n = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(n <= 2, s"expected df-agg + window exchanges only, got $n:\n$p")
+  }
+
+  test("pagerank: one exchange per iteration, edges derived map-side, no joins") {
+    // 5 iterations = 5 contribution aggregates (hash exchange on the
+    // target id) + the output sort; the per-iteration corpus-size row
+    // rides a broadcast cross join, and the edge list is a map-side
+    // Generate — a shuffled join anywhere means the arithmetic edge
+    // derivation regressed to a materialized edge-table join
+    val p = plan("crawl_pagerank")
+    val n = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(n === 5, s"expected exactly the 5 iteration exchanges, got $n:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"pagerank planned a shuffled join:\n$p")
+    assert(p.linesIterator.count(_.contains("Generate explode")) === 5,
+      s"expected one map-side out-link explode per iteration:\n$p")
+  }
 }
