@@ -324,6 +324,107 @@ object SeededCellArgmax {
     else BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
 
+/** Content-equal holder for one subspace of a RESIDUAL product
+  * quantizer: the 256 codewords (residual subvectors of the seed
+  * vectors, in exact double arithmetic) plus the PROBE CELL's centroid
+  * subvector — candidate residuals are computed against it inside the
+  * expression, so the caller hands in the raw float subvector and the
+  * whole residual-subtract + 256-codeword argmin runs in one per-row
+  * loop. Same canonicalization rationale as [[CentroidBank]] (bare
+  * arrays compare by reference and would block CSE); codewords
+  * re-sorted by ascending cid so first-wins IS ties-to-the-lower-cid.
+  * Driver-bounded by construction: 256 x 8 doubles per subspace.
+  */
+final class ResidualPqBank(cids0: Array[Long], vecs0: Array[Array[Double]],
+    val centroidSub: Array[Double]) extends Serializable {
+  require(cids0.length == vecs0.length && cids0.nonEmpty,
+    s"residual bank shape mismatch: ${cids0.length}/${vecs0.length}")
+  private val order: Array[Int] = cids0.indices.sortBy(cids0(_)).toArray
+  val cids: Array[Long] = order.map(cids0)
+  val vecs: Array[Array[Double]] = order.map(vecs0)
+
+  override def equals(o: Any): Boolean = o match {
+    case b: ResidualPqBank =>
+      java.util.Arrays.equals(cids, b.cids) &&
+        java.util.Arrays.equals(centroidSub, b.centroidSub) &&
+        vecs.length == b.vecs.length &&
+        vecs.indices.forall(i => java.util.Arrays.equals(vecs(i), b.vecs(i)))
+    case _ => false
+  }
+  private val hc: Int = {
+    var h = java.util.Arrays.hashCode(cids)
+    h = 31 * h + java.util.Arrays.hashCode(centroidSub)
+    vecs.foreach(v => h = 31 * h + java.util.Arrays.hashCode(v))
+    h
+  }
+  override def hashCode: Int = hc
+  override def toString: String = s"<residual pq bank of ${cids.length}>"
+}
+
+/** Map-side argmin-squared-L2 codeword assignment for residual PQ:
+  * takes the raw float SUBVECTOR, subtracts the bank's probe-cell
+  * centroid subvector (exact float->double widening, the oracle's
+  * CAST arithmetic), and returns the cid of the nearest codeword —
+  * squared L2 summed sequentially left-to-right, `round(d, 6)` BEFORE
+  * the argmin (Spark RoundBase double semantics via
+  * [[SeededCellArgmax.round6]]), ties to the LOWER cid (first-wins on
+  * strict less-than). The L2 twin of [[SeededCellArgmax]]: one row
+  * in, one row out, zero exchange, whole-stage-codegen friendly via
+  * one virtual call per row.
+  */
+case class ResidualArgminL2(vec: Expression, bank: ResidualPqBank)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def child: Expression = vec
+
+  override def checkInputDataTypes(): TypeCheckResult = vec.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"residual_argmin_l2 requires array<float>, got ${vec.dataType.sql}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "residual_argmin_l2"
+
+  /** Row-level entry point shared by eval and generated code. */
+  def assign(v: ArrayData): Long = {
+    var best = 0L
+    var bestD = 0.0
+    var first = true
+    var j = 0
+    while (j < bank.cids.length) {
+      val cw = bank.vecs(j)
+      val n = java.lang.Math.min(
+        java.lang.Math.min(v.numElements(), bank.centroidSub.length), cw.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val d = (v.getFloat(i).toDouble - bank.centroidSub(i)) - cw(i)
+        s += d * d
+        i += 1
+      }
+      val ds = SeededCellArgmax.round6(s)
+      if (first || (ds != bestD && java.lang.Double.compare(ds, bestD) < 0)) {
+        bestD = ds; best = bank.cids(j); first = false
+      }
+      j += 1
+    }
+    best
+  }
+
+  override def nullSafeEval(v: Any): Any = assign(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("resArgmin", this, classOf[ResidualArgminL2].getName)
+    defineCodeGen(ctx, ev, v => s"$ref.assign($v)")
+  }
+
+  override def toString: String = s"residual_argmin_l2($vec, $bank)"
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(vec = newChild)
+}
+
 object VectorExpressions {
 
   /** Column facade: `dot_product(a, b)` over array<double> columns. */
@@ -337,6 +438,13 @@ object VectorExpressions {
     */
   def seeded_cell_argmax(bank: CentroidBank, vec: Column, norm: Column): Column =
     bridge.column(SeededCellArgmax(bridge.expression(vec), bridge.expression(norm), bank))
+
+  /** Column facade: residual-PQ codeword id (bigint) of the raw float
+    * subvector `vecSub` against `bank` (probe-cell centroid + 256
+    * residual codewords) — argmin of round6(squared L2), ties lower.
+    */
+  def residual_argmin_l2(bank: ResidualPqBank, vecSub: Column): Column =
+    bridge.column(ResidualArgminL2(bridge.expression(vecSub), bank))
 
   /** name -> builder, shared by [[register]] and
     * [[graft.GraftExtensions]] (same contract as

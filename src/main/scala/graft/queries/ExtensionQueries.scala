@@ -405,6 +405,79 @@ object ExtensionQueries {
     (banks, tables)
   }
 
+  /** The RESIDUAL-PQ codebook of `sim_ivfpq_residual_topk` — the
+    * faithful FAISS IndexIVFPQ composition: PQ trains on RESIDUALS
+    * (vector minus its coarse cell's centroid), not raw vectors, so
+    * the codewords only have to cover the within-cell spread — the
+    * precision win that makes residual encoding the production
+    * standard. Codewords per subspace = the first 256 vectors'
+    * residual subvectors (each against its OWN cell's centroid, in
+    * exact float->double arithmetic); the probe-cell centroid rides
+    * inside each [[graft.functions.ResidualPqBank]] so the engine
+    * subtracts it per candidate row. Seed/query cell assignments come
+    * from a bounded 257-row collect through the SAME native argmax
+    * expression the corpus side uses (no driver re-derivation to
+    * drift). ADC tables are squared-L2 of the query residual
+    * subvector against every codeword, summed sequentially — memoized
+    * per (dir, query) like the raw-PQ tables. Returns (banks, tables,
+    * probe cell id).
+    */
+  private val resPqCodebooks = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[graft.functions.ResidualPqBank], Seq[Array[Double]], Long)]()
+
+  private def resPqCodebook(s: SparkSession, dir: String, qid: Long)
+      : (Seq[graft.functions.ResidualPqBank], Seq[Array[Double]], Long) =
+    resPqCodebooks.computeIfAbsent(s"$dir#$qid", _ => {
+      import s.implicits._
+      val bank = seedCentroidBank(s, dir)
+      val rows = assignSeededCells(
+          embWithNorm(s, dir).filter(col("vec_id") < 256 || col("vec_id") === qid), bank)
+        .select(col("vec_id"), col("cell"), col("v"))
+        .as[(Long, Long, Array[Float])].collect()
+      val centroidByCid: Map[Long, Array[Float]] = bank.cids.zip(bank.vecs).toMap
+      def residual(v: Array[Float], cell: Long): Array[Double] = {
+        val c = centroidByCid(cell)
+        Array.tabulate(math.min(v.length, c.length))(i => v(i).toDouble - c(i).toDouble)
+      }
+      def sub(r: Array[Double], si: Int): Array[Double] = r.slice(si * 8, si * 8 + 8)
+      def l2seq(a: Array[Double], b: Array[Double]): Double = {
+        var acc = 0.0; var i = 0
+        val n = math.min(a.length, b.length)
+        while (i < n) { val d = a(i) - b(i); acc += d * d; i += 1 }
+        acc
+      }
+      val seeds = rows.filter(_._1 < 256).sortBy(_._1)
+      val (_, qCell, qVec) = rows.find(_._1 == qid)
+        .getOrElse(sys.error(s"query vector $qid missing from $dir"))
+      val qRes = residual(qVec, qCell)
+      val qCentroid = centroidByCid(qCell).map(_.toDouble)
+      val banks = (0 until 8).map { si =>
+        new graft.functions.ResidualPqBank(
+          seeds.map(_._1),
+          seeds.map(r => sub(residual(r._3, r._2), si)),
+          qCentroid.slice(si * 8, si * 8 + 8))
+      }
+      val tables = (0 until 8).map { si =>
+        banks(si).vecs.map(cw => l2seq(sub(qRes, si), cw))
+      }
+      (banks, tables, qCell)
+    })
+
+  /** The residual-ADC distance of one candidate row (already filtered
+    * to the probe cell, so its residual centroid IS the bank's): per
+    * subspace a native residual-subtract + 256-codeword argmin, then
+    * a broadcast-literal table lookup; the 8 squared-L2 terms sum
+    * left-to-right (the `list(t ORDER BY s)` oracle order).
+    */
+  private def resAdcDist(banks: Seq[graft.functions.ResidualPqBank],
+      tables: Seq[Array[Double]], v: Column): Column =
+    (0 until 8).map { si =>
+      element_at(typedLit(tables(si).toSeq),
+        (graft.functions.VectorExpressions
+          .residual_argmin_l2(banks(si), slice(v, si * 8 + 1, 8))
+          .cast("int")) + 1)
+    }.reduce(_ + _)
+
   /** The asymmetric-distance (ADC) PQ score of one row: per subspace,
     * a native argmax assignment to the subspace codebook followed by a
     * lookup into the query's precomputed codeword-dot table — 8
@@ -987,6 +1060,29 @@ object ExtensionQueries {
         .select(col("vec_id"),
           round(pqAdcScore(banks, tables, col("v")), 6).as("score"))
         .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // RESIDUAL IVF x PQ — the faithful FAISS IndexIVFPQ: where
+    // sim_ivfpq_topk PQ-encodes RAW vectors, this rung encodes each
+    // vector's residual against its coarse centroid, so the 256
+    // codewords only span the within-cell spread (the precision win
+    // that makes residual encoding the deployment standard), and
+    // scoring is nearest-by-L2 ADC on the query residual — top-k by
+    // SMALLEST distance, the metric FAISS serves. The probe cell and
+    // the codebook come from the memoized build (bounded 257-row
+    // collect through the same native assignment the corpus uses), so
+    // the plan is scan -> native 32-cell assign -> literal-cell filter
+    // -> 8 native residual argmins + table lookups ->
+    // TakeOrderedAndProject: ZERO exchange, like its siblings.
+    "sim_ivfpq_residual_topk" -> ((s, dir) => {
+      val bank = seedCentroidBank(s, dir)
+      val (rbanks, rtables, qcell) = resPqCodebook(s, dir, qid = 297L)
+      assignSeededCells(embWithNorm(s, dir), bank)
+        .filter(col("cell") === lit(qcell) && col("vec_id") =!= 297)
+        .select(col("vec_id"),
+          round(resAdcDist(rbanks, rtables, col("v")), 6).as("adc_dist"))
+        .orderBy(col("adc_dist"), col("vec_id"))
         .limit(10)
     }),
 
@@ -2814,6 +2910,38 @@ object ExtensionQueries {
        "FROM adc JOIN cells ON adc.vec_id = cells.vec_id CROSS JOIN qc " +
        "WHERE cells.cell = qc.qcell AND adc.vec_id <> 298 " +
        "GROUP BY adc.vec_id ORDER BY score DESC, adc.vec_id LIMIT 10"),
+    "sim_ivfpq_residual_topk" ->
+      // the sim_ivfpq coarse CTEs, but PQ codes/ADC run on RESIDUALS
+      // (v minus the OWN cell's centroid, exact double arithmetic) and
+      // scoring is squared-L2 argmin / ADC sum ascending — round(6)
+      // BEFORE each argmin (ties to the lower cid), query vec_id 297
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings), " +
+       "c AS (SELECT vec_id cid, v cv FROM e WHERE vec_id < 32), " +
+       "cscored AS (SELECT e.vec_id, c.cid, round(" +
+       "list_sum(list_transform(list_zip(e.v, c.cv), p -> p[1]*p[2])) / " +
+       "sqrt(list_sum(list_transform(e.v, x -> x*x)) * list_sum(list_transform(c.cv, x -> x*x)))" +
+       ", 6) cs FROM e CROSS JOIN c), " +
+       "cells AS (SELECT vec_id, cid AS cell FROM cscored " +
+       "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) = 1), " +
+       "qc AS (SELECT cell qcell FROM cells WHERE vec_id = 297), " +
+       "res AS (SELECT e.vec_id, list_transform(list_zip(e.v, c.cv), p -> p[1] - p[2]) AS r " +
+       "FROM e JOIN cells ON e.vec_id = cells.vec_id JOIN c ON c.cid = cells.cell), " +
+       "rsub AS (SELECT vec_id, s, r[(s*8+1):(s*8+8)] AS rv " +
+       "FROM res CROSS JOIN (SELECT unnest(generate_series(0, 7)) s)), " +
+       "rc AS (SELECT vec_id AS cid, s, rv AS cw FROM rsub WHERE vec_id < 256), " +
+       "rscored AS (SELECT t.vec_id, t.s, rc.cid, round(" +
+       "list_sum(list_transform(list_zip(t.rv, rc.cw), p -> (p[1]-p[2])*(p[1]-p[2]))), 6) d " +
+       "FROM rsub t JOIN rc ON t.s = rc.s), " +
+       "codes AS (SELECT vec_id, s, cid FROM rscored " +
+       "QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) = 1), " +
+       "q AS (SELECT s, rv AS qv FROM rsub WHERE vec_id = 297), " +
+       "adc AS (SELECT codes.vec_id, codes.s, " +
+       "list_sum(list_transform(list_zip(q.qv, rc.cw), p -> (p[1]-p[2])*(p[1]-p[2]))) AS t " +
+       "FROM codes JOIN rc ON codes.s = rc.s AND codes.cid = rc.cid JOIN q ON q.s = codes.s) " +
+       "SELECT adc.vec_id, round(list_sum(list(t ORDER BY s)), 6) AS adc_dist " +
+       "FROM adc JOIN cells ON adc.vec_id = cells.vec_id CROSS JOIN qc " +
+       "WHERE cells.cell = qc.qcell AND adc.vec_id <> 297 " +
+       "GROUP BY adc.vec_id ORDER BY adc_dist, adc.vec_id LIMIT 10"),
     "sim_centroids" ->
       ("SELECT label, i, round(avg(v), 6) AS c FROM " +
        "(SELECT label, i, CAST(embedding[i] AS DOUBLE) v FROM embeddings " +

@@ -404,6 +404,59 @@ class ExtensionInvariantsSpec extends SparkSpec {
       s"ivfpq top-1 ${ivfpq.head} not in exact-within-cell top-20 ${exact.toSeq}")
   }
 
+  test("residual ivfpq: results live in the probe cell; residual ADC tracks exact L2") {
+    // same two promises as the raw-PQ rung, for the RESIDUAL encoder
+    // and the L2 metric it serves: (1) every id is in vec 297's coarse
+    // cell (recomputed from first principles); (2) the residual-ADC
+    // nearest-10 tracks the exact squared-L2 nearest ranking within
+    // the cell under the honest PQ bounds (overlap >= 4 of 10, ADC
+    // top-1 in exact top-20).
+    import org.apache.spark.sql.functions._
+    val res = q("sim_ivfpq_residual_topk").as[(Long, Double)].collect()
+    assert(res.nonEmpty)
+    assert(res.forall(_._2 >= 0.0), "a squared distance cannot be negative")
+    assert(res.map(_._2).toSeq === res.map(_._2).sortBy(identity).toSeq,
+      "distances must be non-decreasing")
+    val ids = res.map(_._1)
+    val emb = Tables.embeddings(spark, sf0001)
+      .withColumn("v", col("embedding"))
+      .withColumn("nv", graft.operators.VectorOps.norm2(col("embedding")))
+    val seedRows = emb.filter(col("vec_id") < 32)
+      .select(col("vec_id"), col("v"), col("nv")).collect()
+    val bank = new graft.functions.CentroidBank(
+      seedRows.map(_.getLong(0)),
+      seedRows.map(_.getSeq[Float](1).toArray),
+      seedRows.map(_.getDouble(2)))
+    val assigned = emb.select(col("vec_id"), col("v"),
+      graft.functions.VectorExpressions
+        .seeded_cell_argmax(bank, col("v"), col("nv")).as("cell"))
+    val qcell = assigned.filter(col("vec_id") === 297)
+      .select(col("cell").cast("long")).as[Long].head()
+    val members = assigned
+      .filter(col("cell").cast("long") === qcell && col("vec_id") =!= 297)
+    val memberSet = members.select(col("vec_id")).as[Long].collect().toSet
+    assert(ids.forall(memberSet.contains),
+      s"ids outside the probe cell: ${ids.filterNot(memberSet.contains).toSeq}")
+    // exact squared-L2 within the cell, ascending: d = |q|^2 - 2 q.v + |v|^2
+    val qv = emb.filter(col("vec_id") === 297)
+      .select(graft.operators.VectorOps.toDouble(col("v")).as("qv"))
+    val exact = members.crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        (graft.operators.VectorOps.dot(col("qv"), col("qv"))
+          - lit(2.0) * graft.operators.VectorOps.dot(col("qv"),
+              graft.operators.VectorOps.toDouble(col("v")))
+          + graft.operators.VectorOps.dot(
+              graft.operators.VectorOps.toDouble(col("v")),
+              graft.operators.VectorOps.toDouble(col("v")))).as("d"))
+      .orderBy(col("d"), col("vec_id"))
+      .limit(20).as[(Long, Double)].collect().map(_._1)
+    val overlap = ids.toSet.intersect(exact.take(10).toSet).size
+    assert(overlap >= 4, s"residual-ADC/exact-L2 top-10 overlap only $overlap: " +
+      s"${ids.toSeq} vs ${exact.take(10).toSeq}")
+    assert(exact.contains(ids.head),
+      s"residual-ADC top-1 ${ids.head} not in exact-L2 top-20 ${exact.toSeq}")
+  }
+
   test("semantic keeper set is exactly the corpus minus the pair-targets") {
     // The keeper rule is definitional from dedup_embedding's own
     // output: an id is dropped iff it appears as the HIGHER side (b)

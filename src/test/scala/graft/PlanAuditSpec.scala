@@ -432,6 +432,22 @@ class PlanAuditSpec extends SparkSpec {
       s"signature aggregation resurfaced (native expression bypassed):\n$p")
   }
 
+  test("residual ivfpq: zero exchange — literal-cell filter + native residual argmins") {
+    // probe cell and codebook are driver-built (bounded 257-row
+    // collect), so the serving plan must be a single corpus pass:
+    // scan -> native coarse assign -> literal cell filter -> 8 native
+    // residual argmins + ADC lookups -> TakeOrderedAndProject
+    val p = plan("sim_ivfpq_residual_topk")
+    assert(p.contains("residual_argmin_l2"),
+      s"native residual assignment missing from the plan:\n$p")
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") ||
+        l.contains("Exchange rangepartitioning") ||
+        l.contains("Exchange SinglePartition"))
+    assert(shuffles === 0, s"expected a shuffle-free probe plan, got $shuffles:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k degenerated to a global sort:\n$p")
+  }
+
   test("bm25 scan-scoring: broadcast one-row stats, no posting shuffle, top-k not a sort") {
     // the scoring pass must be ONE pass over the corpus: tf per query
     // term is a map-side array count (no explode/Generate on the
