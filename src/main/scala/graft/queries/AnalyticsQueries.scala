@@ -322,6 +322,49 @@ object AnalyticsQueries {
         .orderBy(col("hour_start"))
     }),
 
+    // Ordered-funnel analysis: users who signed up, then purchased
+    // strictly AFTER their first signup, then clicked strictly after
+    // that first qualifying purchase — the sequential-event workload
+    // of product analytics (each step's timestamp anchors the next,
+    // so a purchase BEFORE signup must not count). Three chained
+    // conditional-min windows over the SAME user partitioning — one
+    // shuffle total, each step a pure column of the previous
+    // projection — then one global distinct-count row. All
+    // timestamps/integers: no rounding contract.
+    "q23_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+      Tables.events(s, dir)
+        .withColumn("s_ts",
+          min(when(col("event_type") === "signup", col("ts"))).over(w))
+        .withColumn("p_ts",
+          min(when(col("event_type") === "purchase" && col("ts") > col("s_ts"),
+            col("ts"))).over(w))
+        .withColumn("c_ts",
+          min(when(col("event_type") === "click" && col("ts") > col("p_ts"),
+            col("ts"))).over(w))
+        .agg(
+          countDistinct(when(col("s_ts").isNotNull, col("user_id"))).as("u_signup"),
+          countDistinct(when(col("p_ts").isNotNull, col("user_id"))).as("u_purchase"),
+          countDistinct(when(col("c_ts").isNotNull, col("user_id"))).as("u_click"))
+    }),
+
+    // Cohort retention matrix: users grouped by first-seen day, counted
+    // per week-offset of later activity — the standard retention view.
+    // One window pass (first day per user) + one distinct-count
+    // aggregate; both keyed on user/cohort, integer/date outputs only.
+    "q24_retention" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+        .withColumn("cohort", min(col("d")).over(w))
+        .withColumn("wk", expr("CAST(datediff(d, cohort) div 7 AS BIGINT)"))
+        .groupBy(col("cohort"), col("wk"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort"), col("wk"))
+    }),
+
     // Semi/anti joins (EXISTS / NOT EXISTS): customers with vs without
     // orders, tagged and unioned; dims broadcast.
     "q16_semi_anti" -> ((s, dir) => {
@@ -470,6 +513,26 @@ object AnalyticsQueries {
        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
        "UNION ALL SELECT 'no_orders' AS segment, c_custkey FROM customer " +
        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
-       "ORDER BY segment, c_custkey")
+       "ORDER BY segment, c_custkey"),
+    "q23_funnel" ->
+      // the same three chained conditional-min windows; each CTE layer
+      // makes the previous step's anchor visible to the next condition
+      ("WITH s1 AS (SELECT user_id, ts, event_type, " +
+       "min(CASE WHEN event_type = 'signup' THEN ts END) OVER (PARTITION BY user_id) s_ts " +
+       "FROM events), " +
+       "s2 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > s_ts THEN ts END) " +
+       "OVER (PARTITION BY user_id) p_ts FROM s1), " +
+       "s3 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > p_ts THEN ts END) " +
+       "OVER (PARTITION BY user_id) c_ts FROM s2) " +
+       "SELECT CAST(COUNT(DISTINCT CASE WHEN s_ts IS NOT NULL THEN user_id END) AS BIGINT) AS u_signup, " +
+       "CAST(COUNT(DISTINCT CASE WHEN p_ts IS NOT NULL THEN user_id END) AS BIGINT) AS u_purchase, " +
+       "CAST(COUNT(DISTINCT CASE WHEN c_ts IS NOT NULL THEN user_id END) AS BIGINT) AS u_click " +
+       "FROM s3"),
+    "q24_retention" ->
+      ("WITH t AS (SELECT user_id, CAST(ts AS DATE) d FROM events), " +
+       "c AS (SELECT user_id, d, min(d) OVER (PARTITION BY user_id) cohort FROM t) " +
+       "SELECT cohort, CAST(datediff('day', cohort, d) // 7 AS BIGINT) AS wk, " +
+       "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users " +
+       "FROM c GROUP BY cohort, wk ORDER BY cohort, wk")
   )
 }

@@ -571,6 +571,25 @@ class ExtensionInvariantsSpec extends SparkSpec {
     assert(scCheck(Parameters.default.withMinSuccessfulTests(20), prop).passed)
   }
 
+  test("funnel steps are monotone; retention bounded by the cohort's week 0") {
+    // a user cannot reach a later funnel step without the earlier one
+    val (uS, uP, uC) = q("q23_funnel").as[(Long, Long, Long)].head()
+    assert(uS >= uP && uP >= uC, s"funnel not monotone: $uS/$uP/$uC")
+    assert(uS > 0, "corpus has signups; step 1 cannot be empty")
+    // week 0 contains every cohort member (their first event IS in
+    // week 0), so no later week may exceed it, and the week-0 column
+    // sums to the distinct-user total
+    val ret = q("q24_retention")
+      .as[(java.sql.Date, Long, Long)].collect()
+    val wk0 = ret.filter(_._2 == 0L).map(r => r._1 -> r._3).toMap
+    ret.filter(_._2 > 0L).foreach { case (cohort, wk, n) =>
+      assert(n <= wk0(cohort), s"cohort $cohort week $wk exceeds its week 0")
+    }
+    val users = Tables.events(spark, sf0001)
+      .select("user_id").distinct().count()
+    assert(wk0.values.sum === users, "week-0 rows must partition the user base")
+  }
+
   test("bm25 top-k: every hit matches a query term, ranking is the true head") {
     // (doc_id, dl, tf0, tf1, tf2, bm25)
     val rows = q("search_bm25_topk")

@@ -432,6 +432,20 @@ class PlanAuditSpec extends SparkSpec {
       s"signature aggregation resurfaced (native expression bypassed):\n$p")
   }
 
+  test("funnel + retention: the chained windows share ONE user exchange") {
+    // q23's three conditional-min windows and q24's first-day window
+    // all partition by user_id — they must ride a single shuffle, with
+    // only the distinct-count aggregation machinery after it
+    val pf = plan("q23_funnel")
+    assert(pf.linesIterator.count(_.contains("Window")) >= 3,
+      s"funnel lost its chained windows:\n$pf")
+    assert(pf.linesIterator.count(_.contains("Exchange ")) <= 3,
+      s"funnel: windows no longer share one exchange:\n$pf")
+    val pr = plan("q24_retention")
+    assert(pr.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2,
+      s"retention: expected window + distinct-agg exchanges only:\n$pr")
+  }
+
   test("residual ivfpq: zero exchange — literal-cell filter + native residual argmins") {
     // probe cell and codebook are driver-built (bounded 257-row
     // collect), so the serving plan must be a single corpus pass:
