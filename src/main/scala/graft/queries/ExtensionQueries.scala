@@ -2412,6 +2412,80 @@ object ExtensionQueries {
       }
       ranks.select(col("i").as("doc_id"), col("r").as("rank_ppm"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Triangle counting + global clustering coefficient — the
+    // multi-way self-join graph workload (spam-farm detection: link
+    // farms are triangle-dense). Links: two RING links (i+1, i+2 —
+    // crawl locality: neighboring pages link each other, and every
+    // consecutive id triple closes a triangle) + one hash link
+    // (long-range structure), so the triangle join has real signal
+    // (the pagerank graph's three affine maps are triangle-free).
+    // Edges are ORIENTED low-id -> high-id and deduped first, so each
+    // triangle is counted exactly once by the canonical two-join
+    // (e1: a-b, e2: b-c, e3: a-c closes it) — at scale the low->high
+    // orientation is also the standard skew cut (every join key's
+    // fan-out is bounded by the node's higher-neighbor count, not its
+    // full degree). Wedges (2-paths through b) = sum over b of
+    // deg(b)-choose-2 on the UNDIRECTED degree; global coefficient =
+    // 3*triangles/wedges (the one double, round(6)).
+    "crawl_triangles" -> ((s, dir) => {
+      val nodes = Tables.documents(s, dir).select(col("doc_id").as("i"))
+      val nFrame = nodes.agg(count(lit(1)).as("nn"))
+      val tgt = explode(array(
+        (col("i") + 1) % col("nn"),
+        (col("i") + 2) % col("nn"),
+        (col("i") * 31 + 7) % col("nn"))).as("t")
+      val edges = nodes.crossJoin(broadcast(nFrame))
+        .select(col("i"), tgt)
+        .filter(col("i") =!= col("t"))
+        .select(least(col("i"), col("t")).as("a"),
+          greatest(col("i"), col("t")).as("b"))
+        .distinct()
+      val deg = edges.select(col("a").as("v")).union(edges.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      val wedges = deg.agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"),
+        count(lit(1)).as("n_connected_nodes"))
+      val e1 = edges
+      val e2 = edges.select(col("a").as("b"), col("b").as("c"))
+      val e3 = edges.select(col("a").as("a3"), col("b").as("c3"))
+      val tris = e1.join(e2, Seq("b"))
+        .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+        .agg(count(lit(1)).as("n_triangles"))
+      edges.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(broadcast(tris))
+        .crossJoin(broadcast(wedges))
+        .select(col("n_edges"), col("n_connected_nodes"), col("n_wedges"),
+          col("n_triangles"),
+          round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
+            .as("clustering_coeff"))
+    }),
+
+    // RAG-style document chunking: fixed 32-token windows at stride 24
+    // (8-token overlap) — the ingest shape of retrieval pipelines,
+    // where overlap keeps sentence context across chunk boundaries.
+    // Chunk derivation is a pure map-side explode of a per-doc
+    // generate_series (no shuffle until the output sort); the content
+    // hash pins the exact token slice cross-engine without dumping
+    // chunk text through the gate. At 100 TB this is the map stage in
+    // front of the embedding UDF — chunks never re-shuffle.
+    "corpus_chunks" -> ((s, dir) => {
+      val ws = TextOps.tokens(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), ws.as("ws"))
+        .withColumn("n", size(col("ws")).cast("long"))
+        // last chunk = first stride multiple whose 32-token window
+        // reaches the end: k_max = ceil((n-32)/24) = (n-9) div 24,
+        // floored at 0 — no redundant tail chunk whose tokens are all
+        // already covered by its predecessor
+        .withColumn("k", explode(sequence(lit(0L),
+          greatest(lit(0L), expr("(n - 9) div 24")))))
+        .withColumn("chunk", slice(col("ws"), (col("k") * 24 + 1).cast("int"), lit(32)))
+        .select(col("doc_id"), col("k").as("chunk_id"),
+          size(col("chunk")).cast("long").as("n_chunk_tokens"),
+          element_at(col("chunk"), 1).as("first_token"),
+          md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_id"))
     })
   )
 
@@ -3491,7 +3565,37 @@ object ExtensionQueries {
       "r0 AS (SELECT i, CAST(1000000 AS BIGINT) r FROM docs), " +
       (1 to 5).map(k => iter(s"r${k - 1}", s"r$k")).mkString("", ", ", " ") +
       "SELECT i AS doc_id, r AS rank_ppm FROM r5 ORDER BY doc_id"
-    }
+    },
+    "crawl_triangles" ->
+      // ring + hash edges, oriented low->high and deduped; canonical
+      // two-join triangle closure; wedges from the undirected degree;
+      // one double (the coefficient), round(6). Links derive via
+      // UNION ALL, not unnest: this DuckDB build hits an internal
+      // binder error ("Failed to bind column reference") when a WHERE
+      // filters on an unnest alias from an upstream CTE
+      ("WITH docs AS (SELECT doc_id i FROM documents), " +
+       "nn AS (SELECT COUNT(*) c FROM docs), " +
+       "raw AS (SELECT i, (i+1)%c t FROM docs, nn " +
+       "UNION ALL SELECT i, (i+2)%c FROM docs, nn " +
+       "UNION ALL SELECT i, (i*31+7)%c FROM docs, nn), " +
+       "e AS (SELECT DISTINCT least(i, t) a, greatest(i, t) b FROM raw WHERE i <> t), " +
+       "deg AS (SELECT v, COUNT(*) d FROM " +
+       "(SELECT a v FROM e UNION ALL SELECT b v FROM e) GROUP BY v), " +
+       "w AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) n_wedges, " +
+       "COUNT(*) n_connected_nodes FROM deg), " +
+       "tri AS (SELECT COUNT(*) n_triangles FROM e e1 " +
+       "JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) " +
+       "SELECT (SELECT COUNT(*) FROM e) AS n_edges, n_connected_nodes, n_wedges, " +
+       "n_triangles, round(3.0 * n_triangles / n_wedges, 6) AS clustering_coeff " +
+       "FROM w, tri"),
+    "corpus_chunks" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
+       "c AS (SELECT doc_id, ws, unnest(generate_series(0, greatest(0, (len(ws) - 9) // 24))) k FROM t) " +
+       "SELECT doc_id, CAST(k AS BIGINT) AS chunk_id, " +
+       "CAST(len(ws[(k*24+1):(k*24+32)]) AS BIGINT) AS n_chunk_tokens, " +
+       "ws[k*24+1] AS first_token, " +
+       "md5(array_to_string(ws[(k*24+1):(k*24+32)], ' ')) AS chunk_hash " +
+       "FROM c ORDER BY doc_id, chunk_id")
   )
 
   /** The rollup oracle IS the three modality pair oracles composed —

@@ -651,6 +651,50 @@ class ExtensionInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("triangles: exact count from a driver-side recomputation; chunks tile each doc") {
+    val Array((nEdges, nNodes, nWedges, nTris, coeff)) =
+      q("crawl_triangles").as[(Long, Long, Long, Long, Double)].collect()
+    // brute-force ground truth on the 500-node graph
+    val n = Tables.documents(spark, sf0001).count()
+    val edges = (0L until n).flatMap(i =>
+        Seq((i + 1) % n, (i + 2) % n, (i * 31 + 7) % n).filter(_ != i)
+          .map(t => (math.min(i, t), math.max(i, t)))).toSet
+    val adj = edges.groupBy(_._1).map { case (a, es) => a -> es.map(_._2) }
+    val expectTris = edges.toSeq.map { case (a, b) =>
+      adj.getOrElse(a, Set.empty).count(c => c > b && edges((b, c)))
+    }.sum
+    assert(nEdges === edges.size.toLong)
+    assert(nTris === expectTris.toLong)
+    assert(nTris >= n - 2, "every consecutive ring triple closes a triangle")
+    val degs = edges.toSeq.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+    assert(nNodes === degs.size.toLong)
+    assert(nWedges === degs.values.map(g => g.size.toLong * (g.size - 1) / 2).sum)
+    assert(coeff > 0.0 && coeff <= 1.0)
+    // chunks: stride-24/width-32 tiling — every token index of every
+    // doc is covered, chunk 0 starts at token 1, only the last chunk
+    // may be short, and consecutive chunks overlap by exactly 8
+    val chunks = q("corpus_chunks")
+      .as[(Long, Long, Long, String, String)].collect()
+    val nTokens = Tables.documents(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.col("text"), " ")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    chunks.groupBy(_._1).foreach { case (doc, cs) =>
+      val total = nTokens(doc)
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === sorted.indices.map(_.toLong),
+        s"doc $doc chunk ids not contiguous")
+      sorted.dropRight(1).foreach { c =>
+        assert(c._3 === 32L, s"doc $doc chunk ${c._2} short before the last") }
+      val last = sorted.last
+      assert(last._2 * 24 + last._3 >= total,
+        s"doc $doc tail tokens uncovered")
+      assert(last._2 * 24 < total, s"doc $doc has an empty trailing chunk")
+    }
+  }
+
   test("pagerank conserves mass within floor loss and keeps every node") {
     val rows = q("crawl_pagerank").as[(Long, Long)].collect()
     val n = Tables.documents(spark, sf0001).count()

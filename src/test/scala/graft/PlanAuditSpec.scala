@@ -432,6 +432,23 @@ class PlanAuditSpec extends SparkSpec {
       s"signature aggregation resurfaced (native expression bypassed):\n$p")
   }
 
+  test("triangles avoid nested loops; chunking is map-side to the output sort") {
+    // the two-join closure must stay hash/sort-based — a
+    // BroadcastNestedLoopJoin or CartesianProduct means the join keys
+    // got lost and the count degenerated to all-pairs (the nn
+    // corpus-count rows legitimately ride broadcast cross joins,
+    // which plan as BNLJ over ONE row — so assert on CartesianProduct
+    // and on the explode count instead)
+    val pt = plan("crawl_triangles")
+    assert(!pt.contains("CartesianProduct"),
+      s"triangle closure degenerated to all-pairs:\n$pt")
+    val pc = plan("corpus_chunks")
+    assert(pc.linesIterator.count(_.contains("Exchange hashpartitioning")) === 0,
+      s"chunking planned a shuffle before the output sort:\n$pc")
+    assert(pc.linesIterator.count(_.contains("Generate explode")) === 1,
+      s"chunking must be one map-side explode:\n$pc")
+  }
+
   test("funnel + retention: the chained windows share ONE user exchange") {
     // q23's three conditional-min windows and q24's first-day window
     // all partition by user_id — they must ride a single shuffle, with
