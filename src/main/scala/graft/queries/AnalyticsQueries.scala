@@ -365,6 +365,24 @@ object AnalyticsQueries {
         .orderBy(col("cohort"), col("wk"))
     }),
 
+    // Per-group z-score outliers: the classic anomaly-detection scan
+    // (events whose value sits >= 1.5 population standard deviations
+    // from their type's mean). One window exchange on event_type;
+    // mu/sigma/z are the only doubles, rounded at 4 (the percentile
+    // contract) BEFORE the threshold so both engines gate identically.
+    "q25_zscore_outliers" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+      Tables.events(s, dir)
+        .withColumn("mu", avg(col("value")).over(w))
+        .withColumn("sigma", stddev_pop(col("value")).over(w))
+        .withColumn("z", round((col("value") - col("mu")) / col("sigma"), 4))
+        .filter(col("sigma") > 0 && abs(col("z")) >= 1.5)
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 4).as("value"), col("z"))
+        .orderBy(col("event_id"))
+    }),
+
     // Semi/anti joins (EXISTS / NOT EXISTS): customers with vs without
     // orders, tagged and unioned; dims broadcast.
     "q16_semi_anti" -> ((s, dir) => {
@@ -533,6 +551,14 @@ object AnalyticsQueries {
        "c AS (SELECT user_id, d, min(d) OVER (PARTITION BY user_id) cohort FROM t) " +
        "SELECT cohort, CAST(datediff('day', cohort, d) // 7 AS BIGINT) AS wk, " +
        "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users " +
-       "FROM c GROUP BY cohort, wk ORDER BY cohort, wk")
+       "FROM c GROUP BY cohort, wk ORDER BY cohort, wk"),
+    "q25_zscore_outliers" ->
+      ("WITH s AS (SELECT event_id, event_type, value, " +
+       "avg(value) OVER (PARTITION BY event_type) mu, " +
+       "stddev_pop(value) OVER (PARTITION BY event_type) sigma FROM events) " +
+       "SELECT event_id, event_type, round(value, 4) AS value, " +
+       "round((value - mu) / sigma, 4) AS z FROM s " +
+       "WHERE sigma > 0 AND abs(round((value - mu) / sigma, 4)) >= 1.5 " +
+       "ORDER BY event_id")
   )
 }

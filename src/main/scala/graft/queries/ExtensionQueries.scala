@@ -2486,6 +2486,24 @@ object ExtensionQueries {
           element_at(col("chunk"), 1).as("first_token"),
           md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
         .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // Rank-weighted sampling: keep each doc with probability
+    // proportional to its PageRank — the quality-weighted corpus cut
+    // (C4/CCNet-style pipelines weight crawl sampling by link
+    // authority). Composes crawl_pagerank's fixed-point ranks with the
+    // portable hash coin: keep iff coin(doc) < rank_ppm div 4 (~21%
+    // average acceptance at rank scale 1e6) — all integers, fully
+    // deterministic, zero extra exchanges beyond the rank loop's own
+    // (the coin and threshold are map-side on the rank frame).
+    "sample_rank_weighted" -> ((s, dir) => {
+      val coin = pmod(TextOps.portableHash32(concat(lit("rw|"),
+        col("doc_id").cast("string"))), lit(1000000L))
+      queries("crawl_pagerank")(s, dir)
+        .withColumn("coin", coin)
+        .filter(col("coin") < expr("rank_ppm div 4"))
+        .select(col("doc_id"), col("rank_ppm"), col("coin"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -3595,7 +3613,27 @@ object ExtensionQueries {
        "CAST(len(ws[(k*24+1):(k*24+32)]) AS BIGINT) AS n_chunk_tokens, " +
        "ws[k*24+1] AS first_token, " +
        "md5(array_to_string(ws[(k*24+1):(k*24+32)], ' ')) AS chunk_hash " +
-       "FROM c ORDER BY doc_id, chunk_id")
+       "FROM c ORDER BY doc_id, chunk_id"),
+    "sample_rank_weighted" -> {
+      // the crawl_pagerank oracle verbatim as a CTE (baseOracleSql
+      // composition happens below for the rollup; here the rank SQL is
+      // assembled in place from the same iteration builder), then the
+      // portable md5 coin against rank_ppm div 4
+      def iter(prev: String, cur: String): String =
+        s"$cur AS (SELECT d.i, CAST(150000 + (85 * COALESCE(SUM(x.c2), 0)) // 100 AS BIGINT) r " +
+        s"FROM docs d LEFT JOIN (SELECT e.t, $prev.r // 3 c2 FROM e JOIN $prev ON e.i = $prev.i) x " +
+        "ON x.t = d.i GROUP BY d.i)"
+      "WITH docs AS (SELECT doc_id i FROM documents), " +
+      "nn AS (SELECT COUNT(*) c FROM docs), " +
+      "e AS (SELECT i, unnest([(i*31+7)%c, (i*17+3)%c, (i*13+11)%c]) t FROM docs, nn), " +
+      "r0 AS (SELECT i, CAST(1000000 AS BIGINT) r FROM docs), " +
+      (1 to 5).map(k => iter(s"r${k - 1}", s"r$k")).mkString("", ", ", ", ") +
+      "coined AS (SELECT i AS doc_id, r AS rank_ppm, " +
+      "CAST('0x' || substr(md5('rw|' || CAST(i AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 AS coin " +
+      "FROM r5) " +
+      "SELECT doc_id, rank_ppm, coin FROM coined WHERE coin < rank_ppm // 4 " +
+      "ORDER BY doc_id"
+    }
   )
 
   /** The rollup oracle IS the three modality pair oracles composed —

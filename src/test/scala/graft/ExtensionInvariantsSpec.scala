@@ -695,6 +695,20 @@ class ExtensionInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("rank-weighted sample accepts ~rank/4e6 of docs; z outliers clear the bar") {
+    val kept = q("sample_rank_weighted").as[(Long, Long, Long)].collect()
+    val n = Tables.documents(spark, sf0001).count()
+    kept.foreach { case (doc, rank, coin) =>
+      assert(coin < rank / 4, s"doc $doc kept with coin $coin >= ${rank / 4}") }
+    // expected acceptance = mean(rank_ppm)/4e6 ~ 21%; the md5 coin is
+    // uniform enough on 500 draws to land well inside [10%, 35%]
+    val rate = kept.length.toDouble / n
+    assert(rate > 0.10 && rate < 0.35, s"acceptance rate $rate out of band")
+    val zs = q("q25_zscore_outliers")
+      .select("z").as[Double].collect()
+    assert(zs.nonEmpty && zs.forall(z => math.abs(z) >= 1.5))
+  }
+
   test("pagerank conserves mass within floor loss and keeps every node") {
     val rows = q("crawl_pagerank").as[(Long, Long)].collect()
     val n = Tables.documents(spark, sf0001).count()
