@@ -81,6 +81,58 @@ object StatefulOps {
           Iterator(next)
         })
 
+  case class FunnelEvent(user_id: Long, ts_us: Long, event_type: String)
+  /** Per-user funnel progress: earliest signup, earliest purchase
+    * strictly after it, earliest click strictly after that — the
+    * streaming twin of the batch `q23_funnel` chained windows.
+    */
+  case class FunnelState(user_id: Long, s_us: Option[Long],
+      p_us: Option[Long], c_us: Option[Long]) {
+    def stage: Int =
+      if (c_us.isDefined) 3 else if (p_us.isDefined) 2
+      else if (s_us.isDefined) 1 else 0
+  }
+
+  implicit private val feEnc: Encoder[FunnelEvent] = Encoders.product[FunnelEvent]
+  implicit private val fsEnc: Encoder[FunnelState] = Encoders.product[FunnelState]
+
+  /** Continuous funnel tracking (signup -> purchase-after ->
+    * click-after) as a per-user state machine: O(1) state per user
+    * (three optional timestamps), each batch advances the machine and
+    * emits the user's current [[FunnelState]] — counting stages over
+    * the latest emission per user reproduces the batch funnel's three
+    * distinct-counts continuously.
+    *
+    * Ordering contract: exact under event-time-ordered delivery
+    * within the watermark horizon (rows sort by ts inside a batch;
+    * across batches the machine is forward-only — the same replay
+    * contract as the dedup twins). A signup arriving AFTER a
+    * purchase it should anchor is the watermark-late case; the batch
+    * twin over the full log remains the reconciliation path, exactly
+    * as reference `flaglog.py` re-reads its append-only log.
+    */
+  def funnelStages(events: Dataset[FunnelEvent]): Dataset[FunnelState] =
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (user: Long, it: Iterator[FunnelEvent], state: GroupState[FunnelState]) => {
+          var st = state.getOption.getOrElse(FunnelState(user, None, None, None))
+          it.toSeq.sortBy(e => (e.ts_us, e.event_type)).foreach { e =>
+            st = e.event_type match {
+              case "signup" if st.s_us.isEmpty =>
+                st.copy(s_us = Some(e.ts_us))
+              case "purchase" if st.p_us.isEmpty &&
+                  st.s_us.exists(e.ts_us > _) =>
+                st.copy(p_us = Some(e.ts_us))
+              case "click" if st.c_us.isEmpty &&
+                  st.p_us.exists(e.ts_us > _) =>
+                st.copy(c_us = Some(e.ts_us))
+              case _ => st
+            }
+          }
+          state.update(st)
+          Iterator(st)
+        })
+
   /** The repeat-state machine on Spark 4's transformWithState —
     * the successor API to flatMapGroupsWithState: explicit named state
     * variables with DECLARATIVE TTL (the runtime evicts; no manual

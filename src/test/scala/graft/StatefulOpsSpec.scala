@@ -27,4 +27,42 @@ class StatefulOpsSpec extends SparkSpec {
       assert(last(3L) === UserTotal(3, 4, 1))
     } finally q.stop()
   }
+
+  test("streaming funnel stages match the batch q23_funnel counts (3-batch replay)") {
+    // the real sf0.001 events, time-ordered and split into three
+    // micro-batches — under the in-order replay contract the final
+    // per-user stage counts must equal the batch query's three
+    // distinct-counts exactly
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StatefulOps.{FunnelEvent, FunnelState}
+    val rows = Tables.events(spark, sf0001)
+      .selectExpr("user_id", "unix_micros(ts) AS ts_us", "event_type")
+      .as[FunnelEvent].collect().sortBy(_.ts_us)
+    val thirds = rows.grouped((rows.length + 2) / 3).toSeq
+    val in = MemoryStream[FunnelEvent]
+    val q = graft.streaming.StatefulOps.funnelStages(in.toDS())
+      .writeStream.format("memory").queryName("funnel_stages")
+      .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // mid-stream check: after batch 1 no user may be AHEAD of its
+      // final stage (the machine is monotone)
+      in.addData(thirds.head.toSeq)
+      q.processAllAvailable()
+      val mid = spark.table("funnel_stages").as[FunnelState].collect()
+        .groupBy(_.user_id).map { case (_, ss) => ss.last }
+      thirds.drop(1).foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
+      val fin = spark.table("funnel_stages").as[FunnelState].collect()
+        .groupBy(_.user_id).map { case (u, ss) =>
+          u -> ss.maxBy(s => (s.stage, s.c_us.orElse(s.p_us).orElse(s.s_us))) }
+      mid.foreach(s => assert(s.stage <= fin(s.user_id).stage,
+        s"user ${s.user_id} regressed"))
+      val Array((uS, uP, uC)) = SparkEntry.queries("q23_funnel")(spark, sf0001)
+        .as[(Long, Long, Long)].collect()
+      val stages = fin.values.map(_.stage).toSeq
+      assert(stages.count(_ >= 1).toLong === uS)
+      assert(stages.count(_ >= 2).toLong === uP)
+      assert(stages.count(_ >= 3).toLong === uC)
+    } finally q.stop()
+  }
 }
