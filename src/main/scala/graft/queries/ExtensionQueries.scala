@@ -2504,6 +2504,40 @@ object ExtensionQueries {
         .filter(col("coin") < expr("rank_ppm div 4"))
         .select(col("doc_id"), col("rank_ppm"), col("coin"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Fuzzy string join, SymSpell-style: vocabulary terms within
+    // Levenshtein distance 2 of each other — the typo-tolerant join of
+    // query-log normalization and OCR cleanup. Blocking = DELETION
+    // NEIGHBORHOODS (every string reachable by deleting <= 2 chars;
+    // if ed(a,b) <= 2 the neighborhoods intersect — the SymSpell
+    // guarantee), so candidates come from ONE hash exchange on the
+    // variant key and the exact Levenshtein verify runs on DISTINCT
+    // candidate pairs only — never the all-pairs cross join, which is
+    // what makes this the 100 TB fuzzy-join shape (neighborhood size
+    // is O(len^2) per term, independent of vocabulary size). The
+    // LSH-then-verify recipe applied to edit distance.
+    "fuzzy_term_join" -> ((s, dir) => {
+      val terms = Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("t"))
+        .filter(length(col("t")) > 0).distinct()
+      val withVars = terms
+        .withColumn("d1", expr(
+          "transform(sequence(1, length(t)), " +
+          "i -> concat(substr(t, 1, i-1), substr(t, i+1, length(t))))"))
+        .withColumn("d2", expr(
+          "flatten(transform(filter(d1, v -> length(v) > 0), " +
+          "v -> transform(sequence(1, length(v)), " +
+          "i -> concat(substr(v, 1, i-1), substr(v, i+1, length(v))))))"))
+        .select(col("t"),
+          explode(array_distinct(concat(array(col("t")), col("d1"), col("d2")))).as("v"))
+      val a = withVars.select(col("v"), col("t").as("a"))
+      val b = withVars.select(col("v"), col("t").as("b"))
+      a.join(b, Seq("v")).filter(col("a") < col("b"))
+        .select(col("a"), col("b")).distinct()
+        .withColumn("dist", levenshtein(col("a"), col("b")).cast("int"))
+        .filter(col("dist") <= 2)
+        .orderBy(col("a"), col("b"))
     })
   )
 
@@ -3633,7 +3667,21 @@ object ExtensionQueries {
       "FROM r5) " +
       "SELECT doc_id, rank_ppm, coin FROM coined WHERE coin < rank_ppm // 4 " +
       "ORDER BY doc_id"
-    }
+    },
+    "fuzzy_term_join" ->
+      // same deletion-neighborhood blocking + exact levenshtein verify
+      // (identical edit-distance semantics in both engines)
+      ("WITH t0 AS (SELECT DISTINCT unnest(string_split(text, ' ')) t FROM documents), " +
+       "t1 AS (SELECT t FROM t0 WHERE length(t) > 0), " +
+       "d AS (SELECT t, list_transform(generate_series(1, length(t)), " +
+       "i -> substr(t, 1, i-1) || substr(t, i+1, length(t))) d1 FROM t1), " +
+       "vv AS (SELECT t, unnest(list_distinct([t] || d1 || " +
+       "flatten(list_transform(list_filter(d1, v -> length(v) > 0), " +
+       "v -> list_transform(generate_series(1, length(v)), " +
+       "i -> substr(v, 1, i-1) || substr(v, i+1, length(v))))))) v FROM d), " +
+       "p AS (SELECT DISTINCT a.t a, b.t b FROM vv a JOIN vv b ON a.v = b.v AND a.t < b.t) " +
+       "SELECT a, b, CAST(levenshtein(a, b) AS INT) AS dist FROM p " +
+       "WHERE levenshtein(a, b) <= 2 ORDER BY a, b")
   )
 
   /** The rollup oracle IS the three modality pair oracles composed —

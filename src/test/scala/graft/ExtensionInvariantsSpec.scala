@@ -695,6 +695,31 @@ class ExtensionInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("fuzzy join finds EVERY vocab pair within edit distance 2 (SymSpell recall)") {
+    val got = q("fuzzy_term_join").as[(String, String, Int)].collect()
+    // brute-force ground truth over the full vocabulary: deletion-
+    // neighborhood blocking must lose nothing at ed <= 2
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val vocab = Tables.documents(spark, sf0001)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")))
+      .distinct().as[String].collect().filter(_.nonEmpty).sorted
+    val expect = (for {
+      i <- vocab.indices; j <- (i + 1) until vocab.length
+      d = lev(vocab(i), vocab(j)) if d <= 2
+    } yield (vocab(i), vocab(j), d)).toSet
+    assert(got.toSet === expect, "blocking must be lossless at ed <= 2")
+    assert(got.nonEmpty && got.forall(_._3 <= 2))
+  }
+
   test("rank-weighted sample accepts ~rank/4e6 of docs; z outliers clear the bar") {
     val kept = q("sample_rank_weighted").as[(Long, Long, Long)].collect()
     val n = Tables.documents(spark, sf0001).count()

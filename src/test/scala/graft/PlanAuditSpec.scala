@@ -432,6 +432,16 @@ class PlanAuditSpec extends SparkSpec {
       s"signature aggregation resurfaced (native expression bypassed):\n$p")
   }
 
+  test("fuzzy join: variant-key blocking join, never a cross product") {
+    // the candidate join must be an equi-join on the deletion-variant
+    // key; a CartesianProduct or BroadcastNestedLoopJoin means the
+    // blocking key vanished and the join degenerated to all-pairs —
+    // the exact failure mode neighborhood blocking exists to prevent
+    val p = plan("fuzzy_term_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join degenerated to all-pairs:\n$p")
+  }
+
   test("triangles avoid nested loops; chunking is map-side to the output sort") {
     // the two-join closure must stay hash/sort-based — a
     // BroadcastNestedLoopJoin or CartesianProduct means the join keys
