@@ -365,6 +365,27 @@ object AnalyticsQueries {
         .orderBy(col("cohort"), col("wk"))
     }),
 
+    // Two-phase SALTED aggregation — the skew-mitigation pattern as a
+    // first-class operator, with its defining property under the
+    // oracle gate: the result is IDENTICAL to the direct groupBy (the
+    // oracle is the plain GROUP BY — salting must be invisible in the
+    // output). Phase 1 pre-aggregates on (key, salt) so a hot key's
+    // rows spread over 8 reducers; phase 2 collapses the <= 8 partial
+    // rows per key. For low-cardinality keys over skewed data this
+    // bounds any single reducer's input at ~1/8 of the hot key — the
+    // hand-rolled twin of AQE's skew-join split, usable where AQE
+    // can't see the skew (pre-aggregated upstreams, non-join shapes).
+    // Integer-cents sums keep the two-phase total bit-equal to the
+    // one-phase oracle.
+    "q26_salted_agg" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), pmod(col("event_id"), lit(8L)).as("salt"))
+        .agg(count(lit(1)).as("pn"), sum(asInt(col("value"), 100L)).as("pc"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("pn")).as("n"), (sum(col("pc")) / 100.0).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // Per-group z-score outliers: the classic anomaly-detection scan
     // (events whose value sits >= 1.5 population standard deviations
     // from their type's mean). One window exchange on event_type;
@@ -559,6 +580,12 @@ object AnalyticsQueries {
        "SELECT event_id, event_type, round(value, 4) AS value, " +
        "round((value - mu) / sigma, 4) AS z FROM s " +
        "WHERE sigma > 0 AND abs(round((value - mu) / sigma, 4)) >= 1.5 " +
-       "ORDER BY event_id")
+       "ORDER BY event_id"),
+    "q26_salted_agg" ->
+      // deliberately the DIRECT single-phase aggregate: salting is a
+      // physical-plan technique and must not change the result
+      ("SELECT event_type, COUNT(*) AS n, " +
+       "CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_value " +
+       "FROM events GROUP BY event_type ORDER BY event_type")
   )
 }

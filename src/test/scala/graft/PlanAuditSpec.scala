@@ -432,6 +432,19 @@ class PlanAuditSpec extends SparkSpec {
       s"signature aggregation resurfaced (native expression bypassed):\n$p")
   }
 
+  test("salted agg plans BOTH phases: a (key, salt) exchange before the key exchange") {
+    // the whole point is the physical shape — phase 1 must actually
+    // hash-partition on (event_type, salt) before the per-key collapse;
+    // if Catalyst ever fused the phases the skew protection silently
+    // vanished while the (oracle-checked) result stayed identical
+    val p = plan("q26_salted_agg")
+    val n = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(n === 2, s"expected the salted + final exchanges, got $n:\n$p")
+    // the alias is rewritten to _groupingexpression; the salt's pmod
+    // derivation is the stable fingerprint
+    assert(p.contains("pmod(event_id"), s"salt key missing from the plan:\n$p")
+  }
+
   test("fuzzy join: variant-key blocking join, never a cross product") {
     // the candidate join must be an equi-join on the deletion-variant
     // key; a CartesianProduct or BroadcastNestedLoopJoin means the
