@@ -69,4 +69,25 @@ object SketchAgg {
     override def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
+
+  /** Sketch-output twin of [[KMinValues]]: same bounded buffer, same
+    * reduce/merge, but FINISHES with the sorted k-minimum hash array
+    * instead of the estimate — the shape a sketch STORE serves (per-
+    * group sketches roll up to coarser scopes by re-merging arrays,
+    * never re-scanning rows). KMV's merge is EXACT: the k smallest of
+    * a union of per-group k-smallest sets IS the k smallest of the
+    * union — so an estimate derived from merged sketches equals the
+    * directly-computed one bit-for-bit (q27_sketch_rollup pins this
+    * through the oracle gate).
+    */
+  class KMinValuesSketch(k: Int) extends Aggregator[Long, KmvBuf, Array[Long]] {
+    private val inner = new KMinValues(k)
+    override def zero: KmvBuf = inner.zero
+    override def reduce(b: KmvBuf, h: Long): KmvBuf = inner.reduce(b, h)
+    override def merge(a: KmvBuf, b: KmvBuf): KmvBuf = inner.merge(a, b)
+    override def finish(b: KmvBuf): Array[Long] = b.vals
+    override def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
 }

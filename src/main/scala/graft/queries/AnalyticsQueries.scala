@@ -365,6 +365,40 @@ object AnalyticsQueries {
         .orderBy(col("cohort"), col("wk"))
     }),
 
+    // Mergeable-sketch rollup: per-type KMV sketches (bounded k=64
+    // arrays) roll up to the global scope by MERGING ARRAYS — the
+    // corpus rows are scanned exactly once, and the 'all' estimate is
+    // derived purely from the per-type sketches. KMV merge is EXACT
+    // (k smallest of a union of k-smallest sets = k smallest of the
+    // union), so the oracle computes the 'all' row DIRECTLY from the
+    // raw rows and the hash gate proves merge-exactness cross-engine
+    // — the property that lets a 100 TB sketch store serve any scope
+    // rollup without a rescan.
+    "q27_sketch_rollup" -> ((s, dir) => {
+      import s.implicits._
+      val kmvSk = new graft.functions.SketchAgg.KMinValuesSketch(64)
+      def est(sk: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        when(size(sk) < 64, size(sk).cast("double"))
+          .otherwise(lit(63 * 4294967296.0) / greatest(element_at(sk, 64), lit(1L)))
+      val perType = Tables.events(s, dir)
+        .select(col("event_type"),
+          graft.operators.TextOps.portableHash32(col("user_id")).as("h"))
+        .as[(String, Long)]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(kmvSk.toColumn.name("sk"))
+        .toDF("event_type", "sk")
+      val merged = perType
+        .select(explode(col("sk")).as("h")).distinct()
+        .orderBy(col("h")).limit(64)
+        .agg(sort_array(collect_list(col("h"))).as("sk"))
+      perType
+        .select(concat(lit("type:"), col("event_type")).as("scope"),
+          round(est(col("sk")), 6).as("kmv_users"))
+        .unionByName(merged.select(lit("all").as("scope"),
+          round(est(col("sk")), 6).as("kmv_users")))
+        .orderBy(col("scope"))
+    }),
+
     // Two-phase SALTED aggregation — the skew-mitigation pattern as a
     // first-class operator, with its defining property under the
     // oracle gate: the result is IDENTICAL to the direct groupBy (the
@@ -586,6 +620,26 @@ object AnalyticsQueries {
       // physical-plan technique and must not change the result
       ("SELECT event_type, COUNT(*) AS n, " +
        "CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_value " +
-       "FROM events GROUP BY event_type ORDER BY event_type")
+       "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q27_sketch_rollup" ->
+      // the 'all' row computes DIRECTLY over the raw rows — equality
+      // with Spark's sketch-merge derivation proves KMV merge-exactness
+      ("WITH h AS (SELECT DISTINCT event_type, " +
+       "CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) hv FROM events), " +
+       "r AS (SELECT event_type, hv, " +
+       "row_number() OVER (PARTITION BY event_type ORDER BY hv) rn, " +
+       "COUNT(*) OVER (PARTITION BY event_type) n FROM h), " +
+       "t AS (SELECT 'type:' || event_type AS scope, " +
+       "round(CASE WHEN n < 64 THEN CAST(n AS DOUBLE) " +
+       "ELSE 63 * 4294967296.0 / greatest(hv, 1) END, 6) AS kmv_users " +
+       "FROM r WHERE rn = least(n, 64)), " +
+       "g AS (SELECT DISTINCT hv FROM h), " +
+       "gr AS (SELECT hv, row_number() OVER (ORDER BY hv) rn, COUNT(*) OVER () n FROM g), " +
+       "a AS (SELECT 'all' AS scope, " +
+       "round(CASE WHEN n < 64 THEN CAST(n AS DOUBLE) " +
+       "ELSE 63 * 4294967296.0 / greatest(hv, 1) END, 6) AS kmv_users " +
+       "FROM gr WHERE rn = least(n, 64)) " +
+       "SELECT scope, kmv_users FROM t UNION ALL SELECT scope, kmv_users FROM a " +
+       "ORDER BY scope")
   )
 }

@@ -55,4 +55,21 @@ class SketchAggSpec extends AnyFunSuite {
     // std error ~ 1/sqrt(k-2) ~ 12.7% at k=64; 4 sigma as the hard gate
     assert(math.abs(est - n) / n < 0.51, s"estimate $est too far from $n")
   }
+
+  test("sketch rollup is exact: merged per-group arrays == the direct global sketch") {
+    // the q27_sketch_rollup property at the aggregator level: split a
+    // stream into arbitrary groups, sketch each, merge the sketches —
+    // the result must be the IDENTICAL array the one-pass sketch
+    // produces (KMV merge-exactness, not just estimate-closeness)
+    val agg = new graft.functions.SketchAgg.KMinValuesSketch(16)
+    val hashes = (1L to 500L).map(hash)
+    val direct = hashes.foldLeft(agg.zero)(agg.reduce)
+    (2 to 7).foreach { parts =>
+      val merged = hashes.grouped(hashes.length / parts + 1)
+        .map(_.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      assert(agg.finish(merged).toSeq === agg.finish(direct).toSeq,
+        s"$parts-way merge diverged from the sequential sketch")
+    }
+  }
 }
