@@ -66,7 +66,22 @@ object ScaleSmoke {
         // — the keeper's dropped set grows WITH the duplicate pressure
         // (every replica pair is a drop), the exact stress the
         // broadcast-anti formulation must absorb
-        "sim_ivfpq_topk", "dedup_embedding_keep")) {
+        "sim_ivfpq_topk", "dedup_embedding_keep",
+        // late round-9 additions: retrieval (posting lists grow 10x,
+        // the bm25 stats row stays one row), graph iteration + closure
+        // on a 50k-node/150k-edge graph (pagerank shuffles 10x rows
+        // per iteration; triangle join fan-out grows with density —
+        // NOTE the replicated ids violate the derived graph's dense
+        // 0..n-1 contract, so % n targets include phantom sink nodes:
+        // fine here, where the smoke measures shuffle volume, and the
+        // oracled corpora satisfy the contract),
+        // residual-PQ scan over 10x codes, neighborhood-blocked fuzzy
+        // join (vocab unchanged => identical output under replication
+        // — a blocking-key correctness property in itself), chunking,
+        // and the rank-weighted cut
+        "search_bm25_topk", "search_postings", "corpus_keywords",
+        "crawl_pagerank", "crawl_triangles", "sim_ivfpq_residual_topk",
+        "fuzzy_term_join", "corpus_chunks", "sample_rank_weighted")) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).count()
       println(f"$q%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $n%10d rows")

@@ -365,6 +365,42 @@ object AnalyticsQueries {
         .orderBy(col("cohort"), col("wk"))
     }),
 
+    // Snapshot diff — the SCD/change-data-capture primitive: classify
+    // every key across two snapshot versions as added / removed /
+    // changed / unchanged and report per-status counts + integer-cents
+    // value deltas. The "old" snapshot derives deterministically from
+    // orders (keys % 7 == 0 absent -> 'added' in the new; % 5 == 0
+    // price-shifted -> 'changed'; plus synthetic retired keys ->
+    // 'removed'), so both engines build identical inputs. One FULL
+    // OUTER join on the key — both sides hash-partition once, the
+    // canonical reconcile shape for 100 TB table versions (at scale:
+    // bucketed snapshots make this a zero-shuffle zipper join).
+    "q28_snapshot_diff" -> ((s, dir) => {
+      val now = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"), asInt(col("o_totalprice"), 100L).as("v_new"))
+      val old = Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey").as("k"),
+          (asInt(col("o_totalprice"), 100L) +
+            when(col("o_orderkey") % 5 === 0, lit(1000L)).otherwise(lit(0L))).as("v_old"))
+        .unionByName(
+          // synthetic retired keys: present only in the old snapshot
+          Tables.orders(s, dir).filter(col("o_orderkey") % 11 === 0)
+            .select((col("o_orderkey") + 10000000L).as("k"),
+              asInt(col("o_totalprice"), 100L).as("v_old")))
+      now.join(old, Seq("k"), "full_outer")
+        .withColumn("status",
+          when(col("v_old").isNull, "added")
+            .when(col("v_new").isNull, "removed")
+            .when(col("v_new") =!= col("v_old"), "changed")
+            .otherwise("unchanged"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("v_new"), lit(0L)) - coalesce(col("v_old"), lit(0L)))
+            .as("delta_cents"))
+        .orderBy(col("status"))
+    }),
+
     // Mergeable-sketch rollup: per-type KMV sketches (bounded k=64
     // arrays) roll up to the global scope by MERGING ARRAYS — the
     // corpus rows are scanned exactly once, and the 'all' estimate is
@@ -621,6 +657,20 @@ object AnalyticsQueries {
       ("SELECT event_type, COUNT(*) AS n, " +
        "CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_value " +
        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q28_snapshot_diff" ->
+      ("WITH now_s AS (SELECT o_orderkey k, CAST(round(o_totalprice*100) AS BIGINT) v_new FROM orders), " +
+       "old_s AS (SELECT o_orderkey k, CAST(round(o_totalprice*100) AS BIGINT) + " +
+       "(CASE WHEN o_orderkey % 5 = 0 THEN 1000 ELSE 0 END) v_old " +
+       "FROM orders WHERE o_orderkey % 7 <> 0 " +
+       "UNION ALL SELECT o_orderkey + 10000000, CAST(round(o_totalprice*100) AS BIGINT) " +
+       "FROM orders WHERE o_orderkey % 11 = 0), " +
+       "d AS (SELECT COALESCE(now_s.k, old_s.k) k, v_new, v_old, " +
+       "CASE WHEN v_old IS NULL THEN 'added' WHEN v_new IS NULL THEN 'removed' " +
+       "WHEN v_new <> v_old THEN 'changed' ELSE 'unchanged' END status " +
+       "FROM now_s FULL OUTER JOIN old_s ON now_s.k = old_s.k) " +
+       "SELECT status, COUNT(*) AS n, " +
+       "CAST(SUM(COALESCE(v_new, 0) - COALESCE(v_old, 0)) AS BIGINT) AS delta_cents " +
+       "FROM d GROUP BY status ORDER BY status"),
     "q27_sketch_rollup" ->
       // the 'all' row computes DIRECTLY over the raw rows — equality
       // with Spark's sketch-merge derivation proves KMV merge-exactness
