@@ -2506,6 +2506,45 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // HITS hubs & authorities — PageRank's companion link-analysis
+    // operator (Kleinberg): authority(v) = Σ hub(u) over in-links,
+    // hub(u) = Σ authority(v) over out-links, alternated. Four
+    // UNNORMALIZED iterations in pure integer arithmetic (out-degree
+    // 3 and in-degree ~3 bound growth at ~9x per round — h4 tops out
+    // near 9^4, far inside bigint), so like crawl_pagerank the compare
+    // is BIT-EXACT with no rounding contract; the usual float
+    // normalization only rescales, so unnormalized integer scores
+    // preserve the exact ranking. Per iteration: one map-side out-link
+    // explode + target aggregate (authority), then one edge join +
+    // source aggregate (hub) — the canonical BSP shuffle pair; at
+    // scale both exchanges key on node ids and AQE absorbs hub skew.
+    "crawl_hits" -> ((s, dir) => {
+      val nodes = Tables.documents(s, dir).select(col("doc_id").as("i"))
+      val nFrame = nodes.agg(count(lit(1)).as("nn"))
+      def targets = array(
+        (col("i") * 31 + 7) % col("nn"),
+        (col("i") * 17 + 3) % col("nn"),
+        (col("i") * 13 + 11) % col("nn"))
+      val edges = nodes.crossJoin(broadcast(nFrame))
+        .select(col("i"), explode(targets).as("t"))
+      var hub = nodes.select(col("i"), lit(1L).as("h"))
+      var auth = nodes.select(col("i"), lit(1L).as("a"))
+      for (_ <- 1 to 4) {
+        auth = edges.join(hub, Seq("i"))
+          .groupBy(col("t")).agg(sum(col("h")).as("a"))
+          .withColumnRenamed("t", "i")
+          .join(nodes, Seq("i"), "right")
+          .select(col("i"), coalesce(col("a"), lit(0L)).as("a"))
+        hub = edges.join(auth.withColumnRenamed("i", "t"), Seq("t"))
+          .groupBy(col("i")).agg(sum(col("a")).as("h"))
+          .join(nodes, Seq("i"), "right")
+          .select(col("i"), coalesce(col("h"), lit(0L)).as("h"))
+      }
+      hub.join(auth, Seq("i"))
+        .select(col("i").as("doc_id"), col("h").as("hub"), col("a").as("authority"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Fuzzy string join, SymSpell-style: vocabulary terms within
     // Levenshtein distance 2 of each other — the typo-tolerant join of
     // query-log normalization and OCR cleanup. Blocking = DELETION
@@ -3667,6 +3706,26 @@ object ExtensionQueries {
       "FROM r5) " +
       "SELECT doc_id, rank_ppm, coin FROM coined WHERE coin < rank_ppm // 4 " +
       "ORDER BY doc_id"
+    },
+    "crawl_hits" -> {
+      // 4 unrolled authority/hub alternations in the same integer
+      // arithmetic as the Spark loop — bit-exact, no rounding contract
+      def authStep(prevH: String, cur: String): String =
+        s"$cur AS (SELECT d.i, CAST(COALESCE(SUM(x.h), 0) AS BIGINT) a FROM docs d " +
+        s"LEFT JOIN (SELECT e.t, $prevH.h FROM e JOIN $prevH ON e.i = $prevH.i) x " +
+        "ON x.t = d.i GROUP BY d.i)"
+      def hubStep(curA: String, cur: String): String =
+        s"$cur AS (SELECT d.i, CAST(COALESCE(SUM(x.a), 0) AS BIGINT) h FROM docs d " +
+        s"LEFT JOIN (SELECT e.i ii, $curA.a FROM e JOIN $curA ON e.t = $curA.i) x " +
+        "ON x.ii = d.i GROUP BY d.i)"
+      "WITH docs AS (SELECT doc_id i FROM documents), " +
+      "nn AS (SELECT COUNT(*) c FROM docs), " +
+      "e AS (SELECT i, unnest([(i*31+7)%c, (i*17+3)%c, (i*13+11)%c]) t FROM docs, nn), " +
+      "h0 AS (SELECT i, CAST(1 AS BIGINT) h FROM docs), " +
+      (1 to 4).map(k => authStep(s"h${k - 1}", s"a$k") + ", " +
+        hubStep(s"a$k", s"h$k")).mkString("", ", ", " ") +
+      "SELECT h4.i AS doc_id, h4.h AS hub, a4.a AS authority " +
+      "FROM h4 JOIN a4 ON h4.i = a4.i ORDER BY doc_id"
     },
     "fuzzy_term_join" ->
       // same deletion-neighborhood blocking + exact levenshtein verify

@@ -734,6 +734,25 @@ class ExtensionInvariantsSpec extends SparkSpec {
     assert(zs.nonEmpty && zs.forall(z => math.abs(z) >= 1.5))
   }
 
+  test("hits scores equal a driver-side exact recomputation") {
+    val got = q("crawl_hits").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val n = Tables.documents(spark, sf0001).count()
+    val edges = (0L until n).flatMap(i =>
+      Seq((i * 31 + 7) % n, (i * 17 + 3) % n, (i * 13 + 11) % n).map(t => (i, t)))
+    var h = Map.empty[Long, Long].withDefaultValue(1L)
+    var a = Map.empty[Long, Long].withDefaultValue(0L)
+    for (_ <- 1 to 4) {
+      a = edges.groupBy(_._2).map { case (t, es) => t -> es.map(e => h(e._1)).sum }
+        .withDefaultValue(0L)
+      h = edges.groupBy(_._1).map { case (u, es) => u -> es.map(e => a(e._2)).sum }
+        .withDefaultValue(0L)
+    }
+    assert(got.size === n)
+    (0L until n).foreach { i =>
+      assert(got(i) === ((h(i), a(i))), s"node $i") }
+  }
+
   test("pagerank conserves mass within floor loss and keeps every node") {
     val rows = q("crawl_pagerank").as[(Long, Long)].collect()
     val n = Tables.documents(spark, sf0001).count()
