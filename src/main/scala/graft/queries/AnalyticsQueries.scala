@@ -365,6 +365,28 @@ object AnalyticsQueries {
         .orderBy(col("cohort"), col("wk"))
     }),
 
+    // Equi-depth histogram per group: ntile(10) over (value, id) —
+    // the bucket boundaries every query optimizer and data-profiling
+    // dashboard derives. Partitioned by event_type so the sort window
+    // scales horizontally (a GLOBAL ntile would funnel the corpus
+    // through one task — at 100 TB global equi-depth comes from
+    // approx-percentile boundaries instead, which q15 covers); the
+    // event_id tiebreak makes bucket assignment deterministic under
+    // equal values in both engines.
+    "q29_equidepth_hist" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("bucket", ntile(10).over(w).cast("long"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("value")), 4).as("lo"),
+          round(max(col("value")), 4).as("hi"),
+          (sum(asInt(col("value"), 100L)) / 100.0).as("bucket_sum"))
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
     // Snapshot diff — the SCD/change-data-capture primitive: classify
     // every key across two snapshot versions as added / removed /
     // changed / unchanged and report per-status counts + integer-cents
@@ -657,6 +679,14 @@ object AnalyticsQueries {
       ("SELECT event_type, COUNT(*) AS n, " +
        "CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_value " +
        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q29_equidepth_hist" ->
+      ("WITH b AS (SELECT event_type, value, " +
+       "CAST(ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) bucket " +
+       "FROM events) " +
+       "SELECT event_type, bucket, COUNT(*) AS n, " +
+       "round(MIN(value), 4) AS lo, round(MAX(value), 4) AS hi, " +
+       "CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)/100.0 AS bucket_sum " +
+       "FROM b GROUP BY event_type, bucket ORDER BY event_type, bucket"),
     "q28_snapshot_diff" ->
       ("WITH now_s AS (SELECT o_orderkey k, CAST(round(o_totalprice*100) AS BIGINT) v_new FROM orders), " +
        "old_s AS (SELECT o_orderkey k, CAST(round(o_totalprice*100) AS BIGINT) + " +

@@ -2506,6 +2506,42 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Count-min sketch heavy-hitter estimates — the OTHER classic
+    // mergeable sketch (frequencies, where KMV does cardinalities):
+    // d=3 salted hash rows x w=128 counters, every cell a simple SUM —
+    // so the sketch build is ONE hash exchange on (row, cell) and the
+    // merge across shards is counter addition (the 100 TB property).
+    // Estimates = min over the 3 rows of the probed cell, NEVER an
+    // underestimate (pinned via `over_count >= 0` in the output and
+    // the invariants spec). Probes = the full vocabulary with exact
+    // counts beside the estimate, so the gate checks construction AND
+    // the estimate arithmetic; the md5 cell hashes replay in DuckDB.
+    "corpus_cms_counts" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("term"))
+        .filter(length(col("term")) > 0)
+      def cell(j: Int, t: Column): Column =
+        pmod(TextOps.portableHash32(concat(lit(s"cms$j|"), t)), lit(128L))
+      val cells = toks
+        .select(explode(array((0 until 3).map(j =>
+          struct(lit(j).as("j"), cell(j, col("term")).as("c"))): _*)).as("jc"))
+        .select(col("jc.j").as("j"), col("jc.c").as("c"))
+        .groupBy(col("j"), col("c")).agg(count(lit(1)).as("n"))
+      val exact = toks.groupBy(col("term")).agg(count(lit(1)).as("exact_count"))
+      val probed = (0 until 3).foldLeft(
+          exact.withColumn("est", lit(Long.MaxValue))) { (df, j) =>
+        df.join(broadcast(cells.filter(col("j") === j)
+            .select(col("c").as(s"c$j"), col("n").as(s"n$j"))),
+            cell(j, col("term")) === col(s"c$j"))
+          .withColumn("est", least(col("est"), col(s"n$j")))
+          .drop(s"c$j", s"n$j")
+      }
+      probed
+        .select(col("term"), col("exact_count"), col("est").as("cms_estimate"),
+          (col("est") - col("exact_count")).as("over_count"))
+        .orderBy(col("term"))
+    }),
+
     // HITS hubs & authorities — PageRank's companion link-analysis
     // operator (Kleinberg): authority(v) = Σ hub(u) over in-links,
     // hub(u) = Σ authority(v) over out-links, alternated. Four
@@ -3707,6 +3743,23 @@ object ExtensionQueries {
       "SELECT doc_id, rank_ppm, coin FROM coined WHERE coin < rank_ppm // 4 " +
       "ORDER BY doc_id"
     },
+    "corpus_cms_counts" ->
+      // replay: same salted md5 cells, same min-of-3 estimate
+      ("WITH toks AS (SELECT unnest(string_split(text, ' ')) term FROM documents), " +
+       "t1 AS (SELECT term FROM toks WHERE length(term) > 0), " +
+       "cells AS (SELECT j, c, COUNT(*) n FROM (" +
+       "SELECT j, CAST('0x' || substr(md5('cms' || j || '|' || term), 1, 8) AS BIGINT) % 128 c " +
+       "FROM t1 CROSS JOIN (SELECT unnest(generate_series(0, 2)) j)) GROUP BY j, c), " +
+       "exact_t AS (SELECT term, COUNT(*) exact_count FROM t1 GROUP BY term), " +
+       "probed AS (SELECT term, exact_count, " +
+       "least(" +
+       "(SELECT n FROM cells WHERE j = 0 AND c = CAST('0x' || substr(md5('cms0|' || term), 1, 8) AS BIGINT) % 128), " +
+       "(SELECT n FROM cells WHERE j = 1 AND c = CAST('0x' || substr(md5('cms1|' || term), 1, 8) AS BIGINT) % 128), " +
+       "(SELECT n FROM cells WHERE j = 2 AND c = CAST('0x' || substr(md5('cms2|' || term), 1, 8) AS BIGINT) % 128)" +
+       ") est FROM exact_t) " +
+       "SELECT term, exact_count, CAST(est AS BIGINT) AS cms_estimate, " +
+       "CAST(est - exact_count AS BIGINT) AS over_count " +
+       "FROM probed ORDER BY term"),
     "crawl_hits" -> {
       // 4 unrolled authority/hub alternations in the same integer
       // arithmetic as the Spark loop — bit-exact, no rounding contract

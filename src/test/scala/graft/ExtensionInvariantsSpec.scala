@@ -734,6 +734,18 @@ class ExtensionInvariantsSpec extends SparkSpec {
     assert(zs.nonEmpty && zs.forall(z => math.abs(z) >= 1.5))
   }
 
+  test("cms never underestimates and is exact when no collision occurred") {
+    val rows = q("corpus_cms_counts").as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (term, exact, est, over) =>
+      assert(est >= exact, s"$term: CMS underestimated — impossible by construction")
+      assert(over === est - exact, s"$term: over_count inconsistent")
+    }
+    // with 31 terms in 128 cells x 3 rows, at least one term should
+    // estimate exactly (all 3 of its cells collision-free)
+    assert(rows.exists(_._4 == 0L), "no collision-free estimate at all — hash degenerate?")
+  }
+
   test("hits scores equal a driver-side exact recomputation") {
     val got = q("crawl_hits").as[(Long, Long, Long)].collect()
       .map(r => r._1 -> ((r._2, r._3))).toMap
