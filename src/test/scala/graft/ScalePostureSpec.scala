@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Machine-checked proofs of the two scale techniques the design
+  * notes claim but no oracled query can express (they are PHYSICAL
+  * layout/runtime properties, invisible in results):
+  *
+  *  - BUCKETING: two tables bucketed on the join key join with ZERO
+  *    shuffle exchange — the co-located-join contract that makes a
+  *    repeated 100 TB fact-fact join pay its partitioning once at
+  *    write time instead of on every query.
+  *  - AQE SKEW SPLIT: a pathologically skewed join is re-planned at
+  *    runtime into split subpartitions — the fallback that saves the
+  *    one-hot-key join no static plan can fix.
+  *
+  * Both are asserted against actual plans, not configuration, so a
+  * regression (bucket info dropped on read, AQE accidentally disabled
+  * by a conf interaction) fails CI.
+  */
+class ScalePostureSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val prior = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try { pairs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
+    finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("bucketed tables join with zero shuffle exchange (co-located join)") {
+    spark.sql("DROP TABLE IF EXISTS orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS customer_bkt")
+    Tables.orders(spark, sf0001)
+      .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("orders_bkt")
+    Tables.customer(spark, sf0001)
+      .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("customer_bkt")
+    withConf(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+      val j = spark.table("orders_bkt")
+        .join(spark.table("customer_bkt"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+      // the join itself must consume the bucketed layout directly; the
+      // only legal exchange is the groupBy's (keyed on c_mktsegment)
+      val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+      assert(exchanges.forall(_.contains("c_mktsegment")),
+        s"join shuffled despite bucketing:\n${exchanges.mkString("\n")}\n$p")
+      // and the result must equal the unbucketed formulation
+      val expect = Tables.orders(spark, sf0001)
+        .join(Tables.customer(spark, sf0001),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+        .as[(String, Long)].collect().toMap
+      assert(j.as[(String, Long)].collect().toMap === expect)
+    }
+    spark.sql("DROP TABLE IF EXISTS orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS customer_bkt")
+  }
+
+  test("AQE splits the skewed side of a pathological join at runtime") {
+    // 100k rows, 95% on ONE key, joined to a small-but-not-broadcast
+    // dim; with the skew thresholds lowered to test scale, AQE must
+    // mark the sort-merge join as skew-handled after execution
+    withConf(
+        "spark.sql.adaptive.enabled" -> "true",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+        "spark.sql.adaptive.skewJoin.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val left = spark.range(0, 100000)
+        .select((when(col("id") % 20 =!= 0, lit(7L)).otherwise(col("id") % 97))
+          .as("k"), col("id").as("payload"))
+      val right = spark.range(0, 97).select(col("id").as("k"),
+        concat(lit("dim"), col("id")).as("tag"))
+      val j = left.join(right, Seq("k"))
+      // execute THIS dataframe's own query execution (count() would
+      // plan a different query and leave j's adaptive plan unresolved)
+      assert(j.collect().length === 100000)
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not mark the join as skew-split:\n$p")
+    }
+  }
+}
