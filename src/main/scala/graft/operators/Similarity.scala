@@ -239,6 +239,115 @@ object Similarity {
       .start()
   }
 
+  /** Per-subspace PQ codebooks, trained with the SAME Lloyd's trainer
+    * as the coarse quantizer (each subspace's subvectors form their
+    * own little corpus): m codebooks of up to `kCodes` codewords over
+    * `dsub`-dim slices. Returned as (m, dsub, codebooks[m][k][dsub]).
+    */
+  case class PqCodebooks(m: Int, dsub: Int, books: Array[Array[Array[Double]]])
+
+  def trainPq(spark: SparkSession, emb: DataFrame, m: Int = 8, dsub: Int = 8,
+      kCodes: Int = 256, iters: Int = 2, nHint: Long = 0L): PqCodebooks = {
+    val n = if (nHint > 0) nHint else emb.count()
+    val k = math.min(kCodes, math.max(16, n / 4)).toInt
+    val books = (0 until m).map { si =>
+      val sub = emb.select(col("vec_id"),
+        slice(col("embedding"), si * dsub + 1, dsub).as("embedding"))
+      trainIvf(spark, sub, k, iters, dim = dsub).centroids
+    }.toArray
+    PqCodebooks(m, dsub, books)
+  }
+
+  /** Persist an IVF-PQ index: every vector stored as its coarse cell
+    * (partition directory) + ONE packed bigint of m 8-bit PQ codes —
+    * 8 bytes of payload per vector, the 32x memory story made
+    * literal. Probes then read only their cells' code files. Layout:
+    * `dir/codes/cell=N/...parquet` (vec_id, code64) +
+    * `dir/centroids` + `dir/books` (si, cid, cv).
+    */
+  def savePqIndex(spark: SparkSession, emb: DataFrame, dir: String,
+      kCells: Int = 0, iters: Int = 3, nHint: Long = 0L): (Int, PqCodebooks) = {
+    import spark.implicits._
+    val k = sizeK(kCells, nHint, emb)
+    val coarse = trainIvf(spark, emb, k, iters)
+    val cents = centroidDf(spark, coarse.centroids)
+    val pq = trainPq(spark, emb, nHint = nHint)
+    require(pq.books.forall(_.length <= 256), "PQ codes must fit one byte each")
+    val bc = spark.sparkContext.broadcast(pq)
+    val coded = assignCells(emb, cents)
+      .select(col("vec_id"), col("cell").cast("int").as("cell"), col("v"))
+      .as[(Long, Int, Array[Double])]
+      .map { case (id, cell, v) =>
+        val p = bc.value
+        var packed = 0L
+        var si = 0
+        while (si < p.m) {
+          val book = p.books(si)
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < book.length) {
+            var d = 0.0; var i = 0
+            val cw = book(c)
+            while (i < p.dsub) {
+              val t = v(si * p.dsub + i) - cw(i); d += t * t; i += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          packed |= (best.toLong & 0xffL) << (si * 8)
+          si += 1
+        }
+        (id, cell, packed)
+      }
+      .toDF("vec_id", "cell", "code64")
+    coded.write.partitionBy("cell").mode("overwrite").parquet(s"$dir/codes")
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    pq.books.zipWithIndex.flatMap { case (book, si) =>
+      book.zipWithIndex.map { case (cw, cid) => (si, cid, cw) }
+    }.toSeq.toDF("si", "cid", "cv").write.mode("overwrite").parquet(s"$dir/books")
+    (k, pq)
+  }
+
+  /** Probe a persisted IVF-PQ index: centroids + codebooks load
+    * driver-side (k x dim and m x k x dsub — both corpus-independent),
+    * the probe set resolves locally, the codes scan carries the cell
+    * partition filter, and scoring is pure ADC: unpack each byte of
+    * code64 and sum m broadcast-literal table lookups — the scan
+    * touches 8 bytes per candidate, never a float vector.
+    */
+  def probePqIndex(spark: SparkSession, dir: String, qv: Array[Double],
+      topK: Int, probes: Int = 2): DataFrame = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .select(col("cid"), col("cv")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
+    val probeCells = nearestCells(cents, qv, probes)
+    val books = spark.read.parquet(s"$dir/books")
+      .select(col("si"), col("cid"), col("cv")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).map { case (si, rows) =>
+        si -> rows.sortBy(_._2).map(_._3)
+      }
+    val m = books.size
+    val dsub = books(0).head.length
+    // ADC tables: dot(query subvector, codeword) per (subspace, code)
+    val tables: IndexedSeq[Seq[Double]] = (0 until m).map { si =>
+      books(si).toSeq.map { cw =>
+        var s = 0.0; var i = 0
+        while (i < dsub) { s += qv(si * dsub + i) * cw(i); i += 1 }
+        s
+      }
+    }
+    val adc = (0 until m).map { si =>
+      element_at(typedLit(tables(si)),
+        (shiftright(col("code64"), si * 8).bitwiseAND(lit(0xffL))).cast("int") + 1)
+    }.reduce(_ + _)
+    spark.read.parquet(s"$dir/codes")
+      .filter(col("cell").isin(probeCells.toIndexedSeq: _*))
+      .select(col("vec_id"), round(adc, 6).as("adc_score"))
+      .orderBy(col("adc_score").desc, col("vec_id"))
+      .limit(topK)
+  }
+
   /** Production near-dup path: within-cell all-pairs under a LEARNED
     * k ~ sqrt(n) quantizer, so expected per-cell work is (n/k)^2 = n —
     * linear in corpus size, vs O(n^2/8) with 8 fixed cells.

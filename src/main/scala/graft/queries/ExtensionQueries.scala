@@ -609,6 +609,16 @@ object ExtensionQueries {
       out.toString
     })
 
+  private val pqIndexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def pqIndexDir(s: SparkSession, dir: String): String =
+    pqIndexDirs.computeIfAbsent(dir, _ => {
+      val out = tempDirWithCleanup("graft-pq-index-")
+      graft.operators.Similarity.savePqIndex(s, Tables.embeddings(s, dir), out.toString,
+        nHint = Tables.parquetRowCount(s, s"$dir/embeddings.parquet"))
+      out.toString
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- Dedup ---------------------------------------------------------
@@ -1142,6 +1152,24 @@ object ExtensionQueries {
       // the saved index contains the query vector itself; probe one
       // deeper and drop the guaranteed self-match (cos = 1.0, rank 1)
       graft.operators.Similarity.probeIndex(s, idx, qv, topK = 6, probes = 2)
+        .filter(col("vec_id") =!= 42)
+        .limit(5)
+    }),
+
+    // PERSISTED IVF-PQ serving path (rows-only like its IVF sibling —
+    // learned float codebooks aren't SQL-replayable): the index stores
+    // each vector as ONE packed bigint of 8 PQ codes under its coarse
+    // cell directory, so a probe partition-prunes to its cells and
+    // scans 8 BYTES per candidate — the oracled sim_ivfpq twins pin
+    // the arithmetic; this entry pins the storage + pruning lifecycle
+    // (build once per dir, probe many). SimilaritySpec asserts recall
+    // against the exact ranking and byte-exact code unpacking.
+    "sim_pq_topk_indexed" -> ((s, dir) => {
+      import s.implicits._
+      val idx = pqIndexDir(s, dir)
+      val qv = Tables.embeddings(s, dir).filter(col("vec_id") === 42)
+        .select(VectorOps.toDouble(col("embedding"))).as[Array[Double]].head()
+      graft.operators.Similarity.probePqIndex(s, idx, qv, topK = 6, probes = 2)
         .filter(col("vec_id") =!= 42)
         .limit(5)
     }),

@@ -103,6 +103,67 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.tail.toSeq === inMem)
   }
 
+  test("persisted PQ index: pruned 8-byte scan, exact code round trip, sane recall") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("pqidx").toString
+    val (k, pq) = Similarity.savePqIndex(spark, emb, dir, iters = 3)
+    assert(k === Similarity.defaultK(emb.count()))
+    val qv = emb.filter(col("vec_id") === 42)
+      .select(operators.VectorOps.toDouble(col("embedding")))
+      .as[Array[Double]].head()
+    val probed = Similarity.probePqIndex(spark, dir, qv, topK = 6, probes = 2)
+    // the codes scan must partition-prune to the probed cells and read
+    // ONLY (vec_id, code64) — never a float vector column
+    val scans = probed.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+      "codes scan lost its partition filter")
+    assert(scans.head.selectedPartitions.partitionCount === 2,
+      s"probe read ${scans.head.selectedPartitions.partitionCount} partitions, wanted 2")
+    val readCols = scans.head.requiredSchema.fieldNames.toSet
+    assert(readCols === Set("vec_id", "code64"),
+      s"PQ probe must scan codes only, read: $readCols")
+    // code64 round trip: unpack a stored code and re-derive it from
+    // the raw vector + saved codebooks — byte-exact
+    val stored = spark.read.parquet(s"$dir/codes")
+      .select(col("vec_id"), col("code64")).as[(Long, Long)].collect().toMap
+    val someVecs = emb.filter(col("vec_id").isin(0L, 7L, 42L))
+      .select(col("vec_id"), operators.VectorOps.toDouble(col("embedding")))
+      .as[(Long, Array[Double])].collect()
+    someVecs.foreach { case (id, v) =>
+      (0 until pq.m).foreach { si =>
+        val book = pq.books(si)
+        val best = book.indices.minBy { c =>
+          var d = 0.0; var i = 0
+          while (i < pq.dsub) { val t = v(si * pq.dsub + i) - book(c)(i); d += t * t; i += 1 }
+          (d, c)
+        }
+        val storedCode = ((stored(id) >> (si * 8)) & 0xffL).toInt
+        assert(storedCode === best, s"vec $id subspace $si")
+      }
+    }
+    // recall: the ADC head must intersect the exact cosine ranking
+    // computed over the SAME probed cells (PQ bounds, not exactness)
+    val rows = probed.filter(col("vec_id") =!= 42).as[(Long, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._2).toSeq === rows.map(_._2).sortBy(-_).toSeq)
+    val cellIds = spark.read.parquet(s"$dir/codes")
+      .select(col("vec_id")).as[Long].collect().toSet
+    val q = emb.filter(col("vec_id") === 42).select(col("embedding").as("qv"))
+    val exact = emb.filter(col("vec_id") =!= 42).crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(operators.VectorOps.cosine(col("qv"), col("embedding")), 6).as("cs"))
+      .orderBy(col("cs").desc, col("vec_id"))
+      .as[(Long, Double)].collect()
+    assert(rows.map(_._1).count(exact.take(20).map(_._1).toSet) >= 1,
+      s"ADC head ${rows.map(_._1).toSeq} misses the exact top-20 entirely")
+    assert(cellIds.contains(42L), "the query's own vector must live in the index")
+  }
+
   test("sim_ivf_topk_indexed query: probe-only serving path equals the trained twin") {
     import spark.implicits._
     val got = SparkEntry.queries("sim_ivf_topk_indexed")(spark, sf0001)
