@@ -2541,6 +2541,36 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Z-order (Morton) clustering key — the lakehouse data-layout
+    // technique behind multi-column data skipping: interleaving the
+    // bits of two columns gives a single sort key under which every
+    // contiguous file slice covers a BOUNDED RECTANGLE of (a, b)
+    // space, so min/max footer pruning works for predicates on EITHER
+    // column (a plain sort only ever skips on its leading column).
+    // The query buckets events into 16 z-ranges and reports each
+    // range's bounding box — pure integer bit arithmetic, replayed
+    // verbatim by the oracle; ZOrderLayoutSpec MEASURES the skipping
+    // win (per-partition bounding-box area under z-range partitioning
+    // vs id-range partitioning) since the layout property itself is
+    // invisible in any result set.
+    "export_zorder" -> ((s, dir) => {
+      val a = pmod(col("user_id"), lit(256L))
+      val b = pmod(floor(col("value")).cast("long"), lit(256L))
+      val z = (0 until 8).map { i =>
+        shiftleft(shiftright(col("a"), i).bitwiseAND(lit(1L)), 2 * i) +
+          shiftleft(shiftright(col("b"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+      }.reduce(_ + _)
+      Tables.events(s, dir)
+        .select(col("event_id"), a.as("a"), b.as("b"))
+        .withColumn("zval", z)
+        .withColumn("zbucket", expr("zval div 4096"))
+        .groupBy(col("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("a")).as("a_lo"), max(col("a")).as("a_hi"),
+          min(col("b")).as("b_lo"), max(col("b")).as("b_hi"))
+        .orderBy(col("zbucket"))
+    }),
+
     // Count-min sketch heavy-hitter estimates — the OTHER classic
     // mergeable sketch (frequencies, where KMV does cardinalities):
     // d=3 salted hash rows x w=128 counters, every cell a simple SUM —
@@ -3777,6 +3807,20 @@ object ExtensionQueries {
       "FROM r5) " +
       "SELECT doc_id, rank_ppm, coin FROM coined WHERE coin < rank_ppm // 4 " +
       "ORDER BY doc_id"
+    },
+    "export_zorder" -> {
+      // identical bit interleave: sum over i of ((a>>i)&1)<<2i +
+      // ((b>>i)&1)<<(2i+1) — integer-exact in both engines
+      val zExpr = (0 until 8).map(i =>
+        s"(((a >> $i) & 1) << ${2 * i}) + (((b >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      "WITH ab AS (SELECT event_id, user_id % 256 a, " +
+      "CAST(floor(value) AS BIGINT) % 256 b FROM events), " +
+      s"z AS (SELECT event_id, a, b, $zExpr zval FROM ab) " +
+      "SELECT zval // 4096 AS zbucket, COUNT(*) AS n, " +
+      "CAST(MIN(a) AS BIGINT) AS a_lo, CAST(MAX(a) AS BIGINT) AS a_hi, " +
+      "CAST(MIN(b) AS BIGINT) AS b_lo, CAST(MAX(b) AS BIGINT) AS b_hi " +
+      "FROM z GROUP BY zbucket ORDER BY zbucket"
     },
     "corpus_cms_counts" ->
       // replay: same salted md5 cells, same min-of-3 estimate

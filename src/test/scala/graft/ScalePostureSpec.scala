@@ -65,6 +65,32 @@ class ScalePostureSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS customer_bkt")
   }
 
+  test("z-order layout shrinks per-partition bounding boxes vs id layout") {
+    // the data-skipping claim behind export_zorder, measured: range-
+    // partition the same rows by zval vs by event_id and compare the
+    // total (a, b) bounding-box area per partition — the proxy for how
+    // much a min/max footer filter on EITHER column could prune
+    val a = pmod(col("user_id"), lit(256L))
+    val b = pmod(floor(col("value")).cast("long"), lit(256L))
+    val z = (0 until 8).map { i =>
+      shiftleft(shiftright(col("a"), i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(col("b"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+    val rows = Tables.events(spark, sf0001)
+      .select(col("event_id"), a.as("a"), b.as("b"))
+      .withColumn("zval", z)
+    def totalArea(df: org.apache.spark.sql.DataFrame): Long =
+      df.withColumn("p", spark_partition_id())
+        .groupBy(col("p"))
+        .agg(((max(col("a")) - min(col("a")) + 1) *
+          (max(col("b")) - min(col("b")) + 1)).as("area"))
+        .agg(sum(col("area"))).as[Long](spark.implicits.newLongEncoder).head()
+    val zArea = totalArea(rows.repartitionByRange(8, col("zval")))
+    val idArea = totalArea(rows.repartitionByRange(8, col("event_id")))
+    assert(zArea * 2 <= idArea,
+      s"z-order area $zArea not better than id layout $idArea")
+  }
+
   test("AQE splits the skewed side of a pathological join at runtime") {
     // 100k rows, 95% on ONE key, joined to a small-but-not-broadcast
     // dim; with the skew thresholds lowered to test scale, AQE must
