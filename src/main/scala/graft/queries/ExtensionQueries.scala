@@ -2541,6 +2541,32 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Data-quality expectations — the validation gate every ingest
+    // pipeline runs before publishing a table: each rule is a boolean
+    // predicate, all rules evaluate in ONE map-side pass (conditional
+    // sums in a single aggregate, then a constant-size unpivot), so a
+    // 100 TB audit costs one scan no matter how many rules. Violations
+    // are counted, not dropped — the report drives quarantine
+    // decisions downstream (the WarcIngest convention).
+    "dq_expectations" -> ((s, dir) => {
+      def viol(c: Column): Column = sum(when(c, 0L).otherwise(1L))
+      Tables.events(s, dir)
+        .agg(count(lit(1)).as("n_checked"),
+          viol(col("value") >= 0).as("v_value_nonneg"),
+          viol(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+            col("ts") < lit("2025-01-01").cast("timestamp")).as("v_ts_range"),
+          viol(col("event_type").isin("click", "view", "purchase", "signup", "error"))
+            .as("v_type_known"),
+          viol(col("user_id").isNotNull && col("user_id") >= 0 &&
+            col("user_id") < 100000).as("v_user_bounds"))
+        .select(col("n_checked"), expr(
+          "stack(4, 'value_nonneg', v_value_nonneg, 'ts_range', v_ts_range, " +
+          "'type_known', v_type_known, 'user_bounds', v_user_bounds) AS (rule, n_violations)"))
+        .select(col("rule"), col("n_checked"), col("n_violations"),
+          (col("n_violations") === 0).cast("int").as("pass"))
+        .orderBy(col("rule"))
+    }),
+
     // Z-order (Morton) clustering key — the lakehouse data-layout
     // technique behind multi-column data skipping: interleaving the
     // bits of two columns gives a single sort key under which every
@@ -3808,6 +3834,24 @@ object ExtensionQueries {
       "SELECT doc_id, rank_ppm, coin FROM coined WHERE coin < rank_ppm // 4 " +
       "ORDER BY doc_id"
     },
+    "dq_expectations" ->
+      ("WITH s AS (SELECT COUNT(*) n_checked, " +
+       "SUM(CASE WHEN value >= 0 THEN 0 ELSE 1 END) v_value_nonneg, " +
+       "SUM(CASE WHEN ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2025-01-01' " +
+       "THEN 0 ELSE 1 END) v_ts_range, " +
+       "SUM(CASE WHEN event_type IN ('click','view','purchase','signup','error') " +
+       "THEN 0 ELSE 1 END) v_type_known, " +
+       "SUM(CASE WHEN user_id IS NOT NULL AND user_id >= 0 AND user_id < 100000 " +
+       "THEN 0 ELSE 1 END) v_user_bounds FROM events), " +
+       // `rule` is a reserved word in DuckDB — keep the Spark-side
+       // column name by double-quoting the identifier
+       "u AS (SELECT 'value_nonneg' AS \"rule\", n_checked, CAST(v_value_nonneg AS BIGINT) n_violations FROM s " +
+       "UNION ALL SELECT 'ts_range', n_checked, CAST(v_ts_range AS BIGINT) FROM s " +
+       "UNION ALL SELECT 'type_known', n_checked, CAST(v_type_known AS BIGINT) FROM s " +
+       "UNION ALL SELECT 'user_bounds', n_checked, CAST(v_user_bounds AS BIGINT) FROM s) " +
+       "SELECT \"rule\", n_checked, n_violations, " +
+       "CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INT) AS pass " +
+       "FROM u ORDER BY \"rule\""),
     "export_zorder" -> {
       // identical bit interleave: sum over i of ((a>>i)&1)<<2i +
       // ((b>>i)&1)<<(2i+1) — integer-exact in both engines
