@@ -2541,6 +2541,63 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Contrastive-pair mining — the training-data side of embedding
+    // models: positives = the verified within-cell near-dup pairs
+    // (label 1, reusing dedup_embedding's own output), negatives =
+    // deterministic hash-drawn id pairs with the positives EXCLUDED
+    // (label 0), one negative drawn per positive so the set is
+    // balanced by construction. Everything is integer/hash
+    // arithmetic; the negative draw is a map-side expression over a
+    // positive-count-sized range and the positive-set exclusion is a
+    // broadcast anti-join (the pair set is answer-sized). Mirrors how
+    // SimCSE/CLIP-style pipelines mine hard-ish negatives at scale —
+    // a corpus-sized shuffle never happens.
+    "mine_contrastive_pairs" -> ((s, dir) => {
+      val pos = queries("dedup_embedding")(s, dir)
+        .select(col("a_id"), col("b_id")).cache()
+      val nPos = pos.count() // answer-sized; the cache bounds the recompute
+      val n = Tables.parquetRowCount(s, s"$dir/embeddings.parquet")
+      val draws = s.range(0, nPos * 4)
+        .select(col("id").as("k"),
+          pmod(TextOps.portableHash32(concat(lit("cn1|"), col("id").cast("string"))), lit(n)).as("x"),
+          pmod(TextOps.portableHash32(concat(lit("cn2|"), col("id").cast("string"))), lit(n)).as("y"))
+        .filter(col("x") =!= col("y"))
+        .select(col("k"), least(col("x"), col("y")).as("a_id"),
+          greatest(col("x"), col("y")).as("b_id"))
+        .join(broadcast(pos), Seq("a_id", "b_id"), "left_anti")
+        .orderBy(col("k")).limit(nPos.toInt)
+      val out = pos.select(col("a_id"), col("b_id"), lit(1).as("label"))
+        .unionByName(draws.select(col("a_id"), col("b_id"), lit(0).as("label")))
+        .orderBy(col("label").desc, col("a_id"), col("b_id"))
+      pos.unpersist()
+      out
+    }),
+
+    // Tokenizer fertility stats per language — the metric that decides
+    // whether a tokenizer is fair across languages (high bytes/token =
+    // the language pays more sequence length for the same text; the
+    // standard multilingual-tokenizer audit). One map-side pass +
+    // a language-keyed aggregate; ratios on integer-cents-style
+    // rounding (round 4) so both engines gate on identical numbers.
+    "corpus_tokenizer_stats" -> ((s, dir) => {
+      val ws = TextOps.tokens(col("text"))
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          octet_length(col("text")).cast("long").as("nb"),
+          size(ws).cast("long").as("nw"),
+          TextOps.subwordCount(ws).cast("long").as("nsw"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nb")).as("n_bytes"),
+          sum(col("nw")).as("n_words"),
+          sum(col("nsw")).as("n_subwords"),
+          round(sum(col("nb")).cast("double") / sum(col("nsw")), 4)
+            .as("bytes_per_token"),
+          round(sum(col("nsw")).cast("double") / sum(col("nw")), 4)
+            .as("fertility"))
+        .orderBy(col("lang"))
+    }),
+
     // Data-quality expectations — the validation gate every ingest
     // pipeline runs before publishing a table: each rule is a boolean
     // predicate, all rules evaluate in ONE map-side pass (conditional
@@ -3834,6 +3891,16 @@ object ExtensionQueries {
       "SELECT doc_id, rank_ppm, coin FROM coined WHERE coin < rank_ppm // 4 " +
       "ORDER BY doc_id"
     },
+    "corpus_tokenizer_stats" ->
+      ("WITH t AS (SELECT lang, CAST(strlen(text) AS BIGINT) nb, " +
+       "CAST(len(string_split(text, ' ')) AS BIGINT) nw, " +
+       "CAST(list_sum(list_transform(string_split(text, ' '), " +
+       "w -> CAST(ceil(length(w)/4.0) AS BIGINT))) AS BIGINT) nsw FROM documents) " +
+       "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(nb) AS BIGINT) AS n_bytes, " +
+       "CAST(SUM(nw) AS BIGINT) AS n_words, CAST(SUM(nsw) AS BIGINT) AS n_subwords, " +
+       "round(CAST(SUM(nb) AS DOUBLE) / SUM(nsw), 4) AS bytes_per_token, " +
+       "round(CAST(SUM(nsw) AS DOUBLE) / SUM(nw), 4) AS fertility " +
+       "FROM t GROUP BY lang ORDER BY lang"),
     "dq_expectations" ->
       ("WITH s AS (SELECT COUNT(*) n_checked, " +
        "SUM(CASE WHEN value >= 0 THEN 0 ELSE 1 END) v_value_nonneg, " +
@@ -3925,6 +3992,24 @@ object ExtensionQueries {
     * fingerprint SQL to drift from its dedup twin.
     */
   def oracleSql: Map[String, String] = baseOracleSql + (
+    "mine_contrastive_pairs" ->
+      // positives = the dedup_embedding oracle VERBATIM as a CTE; the
+      // negative draw replays the portable-hash arithmetic, excludes
+      // the positives, and cuts the first n_pos survivors by draw index
+      (s"WITH pos AS (${baseOracleSql("dedup_embedding")}), " +
+       "nn AS (SELECT COUNT(*) c FROM embeddings), " +
+       "np AS (SELECT COUNT(*) c FROM pos), " +
+       "d AS (SELECT k, least(x, y) a_id, greatest(x, y) b_id FROM (" +
+       "SELECT k, CAST('0x' || substr(md5('cn1|' || CAST(k AS VARCHAR)), 1, 8) AS BIGINT) % (SELECT c FROM nn) x, " +
+       "CAST('0x' || substr(md5('cn2|' || CAST(k AS VARCHAR)), 1, 8) AS BIGINT) % (SELECT c FROM nn) y " +
+       "FROM (SELECT unnest(generate_series(0, (SELECT c FROM np) * 4 - 1)) k)) WHERE x <> y), " +
+       "neg AS (SELECT a_id, b_id FROM (" +
+       "SELECT d.a_id, d.b_id, row_number() OVER (ORDER BY d.k) rn FROM d " +
+       "WHERE NOT EXISTS (SELECT 1 FROM pos p WHERE p.a_id = d.a_id AND p.b_id = d.b_id)) " +
+       "WHERE rn <= (SELECT c FROM np)) " +
+       "SELECT a_id, b_id, CAST(1 AS INT) AS label FROM pos " +
+       "UNION ALL SELECT a_id, b_id, CAST(0 AS INT) FROM neg " +
+       "ORDER BY label DESC, a_id, b_id"),
     "dedup_multimodal_rollup" ->
       (s"WITH i AS (${baseOracleSql("dedup_image_phash")}), " +
        s"a AS (${baseOracleSql("dedup_audio_fingerprint")}), " +

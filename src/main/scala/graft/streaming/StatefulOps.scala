@@ -133,6 +133,49 @@ object StatefulOps {
           Iterator(st)
         })
 
+  case class FrontierUrl(host: String, url: String, priority: Long)
+  case class GateDecision(host: String, url: String, emitted_batch: Long)
+
+  implicit private val fuEnc: Encoder[FrontierUrl] = Encoders.product[FrontierUrl]
+  implicit private val gdEnc: Encoder[GateDecision] = Encoders.product[GateDecision]
+  implicit private val defEnc: Encoder[(Long, List[FrontierUrl])] =
+    Encoders.tuple(Encoders.scalaLong,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[FrontierUrl]]())
+
+  /** Per-host crawl politeness gate: at most `budget` URLs emitted per
+    * host per micro-batch; the overflow is DEFERRED in per-host state
+    * (bounded by `deferCap` — beyond it, lowest-priority URLs drop,
+    * the standard frontier-pressure valve) and re-emitted in later
+    * batches as budget frees up. Ordering inside a host is
+    * (priority desc, url) — deterministic, so the same frontier replay
+    * emits the same schedule. State per host is O(deferCap); hosts
+    * hash-partition across executors — the politeness bottleneck of a
+    * 100 TB crawl is per-host, never global.
+    *
+    * Draining contract: a host's deferred queue advances when the host
+    * sees input (a real frontier continuously re-ticks hosts it wants
+    * drained — discovered links, retries, scheduler heartbeats);
+    * fMGWS does not invoke data-less groups under NoTimeout. An
+    * idle-host drain would add ProcessingTimeTimeout wakeups — left
+    * out deliberately: wall-clock timers make the emission schedule
+    * non-replayable, and replay-determinism is this gate's contract.
+    */
+  def politenessGate(urls: Dataset[FrontierUrl], budget: Int,
+      deferCap: Int = 1000): Dataset[GateDecision] = {
+    implicit val strEnc: Encoder[String] = Encoders.STRING
+    urls.groupByKey(_.host)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (host: String, it: Iterator[FrontierUrl],
+         state: GroupState[(Long, List[FrontierUrl])]) => {
+          val (batchNo, deferred) = state.getOption.getOrElse((0L, Nil))
+          val pending = (deferred ++ it.toSeq)
+            .sortBy(u => (-u.priority, u.url))
+          val (emit, rest) = pending.splitAt(budget)
+          state.update((batchNo + 1, rest.take(deferCap)))
+          emit.map(u => GateDecision(host, u.url, batchNo)).iterator
+        })
+  }
+
   /** The repeat-state machine on Spark 4's transformWithState —
     * the successor API to flatMapGroupsWithState: explicit named state
     * variables with DECLARATIVE TTL (the runtime evicts; no manual

@@ -734,6 +734,21 @@ class ExtensionInvariantsSpec extends SparkSpec {
     assert(zs.nonEmpty && zs.forall(z => math.abs(z) >= 1.5))
   }
 
+  test("contrastive mining: balanced labels, negatives disjoint from positives") {
+    val rows = q("mine_contrastive_pairs").as[(Long, Long, Int)].collect()
+    val (pos, neg) = rows.partition(_._3 == 1)
+    assert(pos.nonEmpty && pos.length === neg.length,
+      s"unbalanced: ${pos.length} positives vs ${neg.length} negatives")
+    val posSet = pos.map(r => (r._1, r._2)).toSet
+    assert(neg.forall(r => !posSet((r._1, r._2))),
+      "a negative duplicates a positive pair")
+    assert(rows.forall(r => r._1 < r._2), "pairs must be ordered")
+    // positives must be exactly the embedding near-dup pair set
+    val expectPos = q("dedup_embedding")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(posSet === expectPos)
+  }
+
   test("cms never underestimates and is exact when no collision occurred") {
     val rows = q("corpus_cms_counts").as[(String, Long, Long, Long)].collect()
     assert(rows.nonEmpty)
