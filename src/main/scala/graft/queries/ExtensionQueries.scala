@@ -2541,6 +2541,55 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic train/val/test split — the canonical ML-data
+    // assignment: a portable hash coin in [0, 100) maps to 90/5/5,
+    // STRATIFIED by source (each source splits at the same rates, so
+    // no split is accidentally dominated by one source). Pure map-side
+    // + a tiny (source x split) aggregate; the id-sum checksum pins
+    // the exact membership, not just the counts.
+    "export_splits" -> ((s, dir) => {
+      val coin = pmod(TextOps.portableHash32(concat(lit("split|"),
+        col("doc_id").cast("string"))), lit(100L))
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), coin.as("coin"))
+        .withColumn("split",
+          when(col("coin") < 90, "train")
+            .when(col("coin") < 95, "val")
+            .otherwise("test"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_checksum"))
+        .orderBy(col("source"), col("split"))
+    }),
+
+    // Split-leakage audit: near-duplicate pairs that STRADDLE the
+    // train/test boundary — the quiet eval-contamination channel that
+    // survives naive random splits (a test doc whose near-dup twin is
+    // in train is effectively memorized). Composes the MinHash
+    // verified near-dup pairs with the split coin: both sides of each
+    // pair get their split map-side (hash arithmetic on ids already in
+    // the row — no join back to documents), then one answer-sized
+    // aggregate per (split_a, split_b) with a leak flag on any pair
+    // leaving train. The production fix is cluster-level splitting
+    // (assign whole dedup_clusters to one split); this audit is how
+    // you discover you need it.
+    "export_split_leakage" -> ((s, dir) => {
+      def splitOf(id: Column): Column = {
+        val coin = pmod(TextOps.portableHash32(concat(lit("split|"),
+          id.cast("string"))), lit(100L))
+        when(coin < 90, "train").when(coin < 95, "val").otherwise("test")
+      }
+      queries("dedup_minhash_verified")(s, dir)
+        .select(col("a_id"), col("b_id"))
+        .withColumn("split_a", splitOf(col("a_id")))
+        .withColumn("split_b", splitOf(col("b_id")))
+        .groupBy(col("split_a"), col("split_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("a_id") + col("b_id")).as("pair_checksum"))
+        .withColumn("leaky",
+          (col("split_a") =!= col("split_b")).cast("int"))
+        .orderBy(col("split_a"), col("split_b"))
+    }),
+
     // Contrastive-pair mining — the training-data side of embedding
     // models: positives = the verified within-cell near-dup pairs
     // (label 1, reusing dedup_embedding's own output), negatives =
@@ -3891,6 +3940,14 @@ object ExtensionQueries {
       "SELECT doc_id, rank_ppm, coin FROM coined WHERE coin < rank_ppm // 4 " +
       "ORDER BY doc_id"
     },
+    "export_splits" ->
+      ("WITH t AS (SELECT source, doc_id, " +
+       "CAST('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 coin " +
+       "FROM documents) " +
+       "SELECT source, (CASE WHEN coin < 90 THEN 'train' WHEN coin < 95 THEN 'val' " +
+       "ELSE 'test' END) AS split, COUNT(*) AS n_docs, " +
+       "CAST(SUM(doc_id) AS BIGINT) AS id_checksum " +
+       "FROM t GROUP BY source, split ORDER BY source, split"),
     "corpus_tokenizer_stats" ->
       ("WITH t AS (SELECT lang, CAST(strlen(text) AS BIGINT) nb, " +
        "CAST(len(string_split(text, ' ')) AS BIGINT) nw, " +
@@ -3992,6 +4049,21 @@ object ExtensionQueries {
     * fingerprint SQL to drift from its dedup twin.
     */
   def oracleSql: Map[String, String] = baseOracleSql + (
+    "export_split_leakage" ->
+      // the dedup_minhash_verified oracle verbatim as the pair source,
+      // then the same split-coin arithmetic per pair side
+      (s"WITH pairs AS (${baseOracleSql("dedup_minhash_verified")}), " +
+       "t AS (SELECT a_id, b_id, " +
+       "(CASE WHEN ha < 90 THEN 'train' WHEN ha < 95 THEN 'val' ELSE 'test' END) split_a, " +
+       "(CASE WHEN hb < 90 THEN 'train' WHEN hb < 95 THEN 'val' ELSE 'test' END) split_b " +
+       "FROM (SELECT a_id, b_id, " +
+       "CAST('0x' || substr(md5('split|' || CAST(a_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 ha, " +
+       "CAST('0x' || substr(md5('split|' || CAST(b_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 hb " +
+       "FROM pairs)) " +
+       "SELECT split_a, split_b, COUNT(*) AS n_pairs, " +
+       "CAST(SUM(a_id + b_id) AS BIGINT) AS pair_checksum, " +
+       "CAST(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END AS INT) AS leaky " +
+       "FROM t GROUP BY split_a, split_b ORDER BY split_a, split_b"),
     "mine_contrastive_pairs" ->
       // positives = the dedup_embedding oracle VERBATIM as a CTE; the
       // negative draw replays the portable-hash arithmetic, excludes
