@@ -2664,10 +2664,15 @@ object ExtensionQueries {
           viol(col("event_type").isin("click", "view", "purchase", "signup", "error"))
             .as("v_type_known"),
           viol(col("user_id").isNotNull && col("user_id") >= 0 &&
-            col("user_id") < 100000).as("v_user_bounds"))
+            col("user_id") < 100000).as("v_user_bounds"),
+          // a rule the data actually violates (values range past 250):
+          // without one, the violation-counting path is dead code the
+          // oracle never exercises and pass=0 never appears
+          viol(col("value") < 250).as("v_value_cap"))
         .select(col("n_checked"), expr(
-          "stack(4, 'value_nonneg', v_value_nonneg, 'ts_range', v_ts_range, " +
-          "'type_known', v_type_known, 'user_bounds', v_user_bounds) AS (rule, n_violations)"))
+          "stack(5, 'value_nonneg', v_value_nonneg, 'ts_range', v_ts_range, " +
+          "'type_known', v_type_known, 'user_bounds', v_user_bounds, " +
+          "'value_cap', v_value_cap) AS (rule, n_violations)"))
         .select(col("rule"), col("n_checked"), col("n_violations"),
           (col("n_violations") === 0).cast("int").as("pass"))
         .orderBy(col("rule"))
@@ -3966,13 +3971,15 @@ object ExtensionQueries {
        "SUM(CASE WHEN event_type IN ('click','view','purchase','signup','error') " +
        "THEN 0 ELSE 1 END) v_type_known, " +
        "SUM(CASE WHEN user_id IS NOT NULL AND user_id >= 0 AND user_id < 100000 " +
-       "THEN 0 ELSE 1 END) v_user_bounds FROM events), " +
+       "THEN 0 ELSE 1 END) v_user_bounds, " +
+       "SUM(CASE WHEN value < 250 THEN 0 ELSE 1 END) v_value_cap FROM events), " +
        // `rule` is a reserved word in DuckDB — keep the Spark-side
        // column name by double-quoting the identifier
        "u AS (SELECT 'value_nonneg' AS \"rule\", n_checked, CAST(v_value_nonneg AS BIGINT) n_violations FROM s " +
        "UNION ALL SELECT 'ts_range', n_checked, CAST(v_ts_range AS BIGINT) FROM s " +
        "UNION ALL SELECT 'type_known', n_checked, CAST(v_type_known AS BIGINT) FROM s " +
-       "UNION ALL SELECT 'user_bounds', n_checked, CAST(v_user_bounds AS BIGINT) FROM s) " +
+       "UNION ALL SELECT 'user_bounds', n_checked, CAST(v_user_bounds AS BIGINT) FROM s " +
+       "UNION ALL SELECT 'value_cap', n_checked, CAST(v_value_cap AS BIGINT) FROM s) " +
        "SELECT \"rule\", n_checked, n_violations, " +
        "CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INT) AS pass " +
        "FROM u ORDER BY \"rule\""),
