@@ -2590,6 +2590,30 @@ object ExtensionQueries {
         .orderBy(col("split_a"), col("split_b"))
     }),
 
+    // Cluster-aware split — the FIX export_split_leakage motivates:
+    // hash the near-dup CLUSTER id (connected-component label;
+    // singleton docs are their own cluster), not the doc id, so every
+    // member of a duplicate family lands in the same split and
+    // cross-split leakage is zero BY CONSTRUCTION (the invariant spec
+    // re-derives the pair set and asserts it). Costs one extra
+    // left join against the answer-sized label frame on top of
+    // export_splits' plan.
+    "export_split_clustered" -> ((s, dir) =>
+      minhashClusterLabels(s, dir) { labels =>
+        val docs = Tables.documents(s, dir).select(col("doc_id"))
+          .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+          .withColumn("cluster_id", coalesce(col("label"), col("doc_id")))
+        val coin = pmod(TextOps.portableHash32(concat(lit("split|"),
+          col("cluster_id").cast("string"))), lit(100L))
+        docs.withColumn("split",
+            when(coin < 90, "train").when(coin < 95, "val").otherwise("test"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("cluster_id")).as("n_clusters"),
+            sum(col("doc_id")).as("id_checksum"))
+          .orderBy(col("split"))
+      }),
+
     // Contrastive-pair mining — the training-data side of embedding
     // models: positives = the verified within-cell near-dup pairs
     // (label 1, reusing dedup_embedding's own output), negatives =
@@ -2887,6 +2911,19 @@ object ExtensionQueries {
       (s"WITH RECURSIVE $minhashPairsCtes, $ccCtes " +
        "SELECT label AS cluster_id, COUNT(*) AS cluster_size, CAST(MIN(node) AS BIGINT) AS keep_id " +
        "FROM labels GROUP BY label ORDER BY cluster_id"),
+    "export_split_clustered" ->
+      // the CC labels CTEs + the split coin on the CLUSTER id
+      (s"WITH RECURSIVE $minhashPairsCtes, $ccCtes, " +
+       "assigned AS (SELECT d.doc_id, COALESCE(l.label, d.doc_id) cluster_id " +
+       "FROM documents d LEFT JOIN labels l ON d.doc_id = l.node), " +
+       "c AS (SELECT doc_id, cluster_id, " +
+       "CAST('0x' || substr(md5('split|' || CAST(cluster_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 coin " +
+       "FROM assigned) " +
+       "SELECT (CASE WHEN coin < 90 THEN 'train' WHEN coin < 95 THEN 'val' " +
+       "ELSE 'test' END) AS split, COUNT(*) AS n_docs, " +
+       "CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters, " +
+       "CAST(SUM(doc_id) AS BIGINT) AS id_checksum " +
+       "FROM c GROUP BY split ORDER BY split"),
     "dedup_keep_best" ->
       (s"WITH RECURSIVE $minhashPairsCtes, $ccCtes, " +
        "scored AS (SELECT doc_id, round(len(list_distinct(string_split(text, ' '))) / " +

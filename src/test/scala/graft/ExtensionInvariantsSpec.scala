@@ -734,6 +734,37 @@ class ExtensionInvariantsSpec extends SparkSpec {
     assert(zs.nonEmpty && zs.forall(z => math.abs(z) >= 1.5))
   }
 
+  test("cluster-aware split has ZERO cross-split near-dup leakage by construction") {
+    // re-derive both sides from first principles: each near-dup pair's
+    // two members must share a cluster label (CC over those very
+    // pairs), so hashing the cluster id forces one split per family;
+    // cross-check totals against export_split_clustered's own output
+    val pairs = q("dedup_minhash").select("a_id", "b_id")
+      .as[(Long, Long)].collect()
+    val labels = graft.operators.Clustering
+      .connectedComponents(spark,
+        q("dedup_minhash").select(org.apache.spark.sql.functions.col("a_id"),
+          org.apache.spark.sql.functions.col("b_id")))
+      .as[(Long, Long)].collect().toMap
+    def splitOf(cluster: Long): String = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split|$cluster".getBytes("UTF-8"))
+      val h = java.lang.Long.parseLong(
+        md5.take(4).map("%02x".format(_)).mkString, 16) % 100
+      if (h < 90) "train" else if (h < 95) "val" else "test"
+    }
+    pairs.foreach { case (a, b) =>
+      val (ca, cb) = (labels.getOrElse(a, a), labels.getOrElse(b, b))
+      assert(ca === cb, s"pair ($a,$b) split across clusters")
+      assert(splitOf(ca) === splitOf(cb))
+    }
+    val out = q("export_split_clustered")
+      .as[(String, Long, Long, Long)].collect()
+    val n = Tables.documents(spark, sf0001).count()
+    assert(out.map(_._2).sum === n, "splits must partition the corpus")
+    assert(out.map(_._1).toSet.subsetOf(Set("train", "val", "test")))
+  }
+
   test("contrastive mining: balanced labels, negatives disjoint from positives") {
     val rows = q("mine_contrastive_pairs").as[(Long, Long, Int)].collect()
     val (pos, neg) = rows.partition(_._3 == 1)
