@@ -262,8 +262,10 @@ object Similarity {
     * (partition directory) + ONE packed bigint of m 8-bit PQ codes —
     * 8 bytes of payload per vector, the 32x memory story made
     * literal. Probes then read only their cells' code files. Layout:
-    * `dir/codes/cell=N/...parquet` (vec_id, code64) +
-    * `dir/centroids` + `dir/books` (si, cid, cv).
+    * `dir/codes/ingest=base/cell=N/...parquet` (vec_id, code64) +
+    * `dir/centroids` + `dir/books` (si, cid, cv) — the ingest layer is
+    * the [[appendToIndex]] convention, so streaming appends
+    * ([[appendToPqIndex]]) land beside the base build replay-safely.
     */
   def savePqIndex(spark: SparkSession, emb: DataFrame, dir: String,
       kCells: Int = 0, iters: Int = 3, nHint: Long = 0L): (Int, PqCodebooks) = {
@@ -300,7 +302,7 @@ object Similarity {
         (id, cell, packed)
       }
       .toDF("vec_id", "cell", "code64")
-    coded.write.partitionBy("cell").mode("overwrite").parquet(s"$dir/codes")
+    coded.write.partitionBy("cell").mode("overwrite").parquet(s"$dir/codes/ingest=base")
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
     pq.books.zipWithIndex.flatMap { case (book, si) =>
       book.zipWithIndex.map { case (cw, cid) => (si, cid, cw) }
@@ -346,6 +348,60 @@ object Similarity {
       .select(col("vec_id"), round(adc, 6).as("adc_score"))
       .orderBy(col("adc_score").desc, col("vec_id"))
       .limit(topK)
+  }
+
+  /** Streaming maintenance for the PQ index: arriving vectors are
+    * coarse-assigned against the SAVED centroids and PQ-encoded
+    * against the SAVED codebooks (both broadcast — no retraining),
+    * then appended as packed codes under `ingest=<batchId>` (the
+    * replay-safe overwrite convention of [[appendToIndex]]). New data
+    * becomes ADC-probe-able as it lands at 8 bytes per vector;
+    * codebook drift is handled by a periodic batch `savePqIndex` swap,
+    * exactly like the IVF path's retrain story.
+    */
+  def appendToPqIndex(spark: SparkSession, stream: DataFrame, dir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val books: Array[Array[Array[Double]]] = spark.read.parquet(s"$dir/books")
+      .select(col("si"), col("cid"), col("cv")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toArray).toArray
+    val dsub = books(0)(0).length
+    val bc = spark.sparkContext.broadcast(books)
+    stream.writeStream
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        assignCells(b, cents)
+          .select(col("vec_id"), col("cell").cast("int").as("cell"), col("v"))
+          .as[(Long, Int, Array[Double])]
+          .map { case (id, cell, v) =>
+            val bk = bc.value
+            var packed = 0L
+            var si = 0
+            while (si < bk.length) {
+              val book = bk(si)
+              var best = 0; var bestD = Double.MaxValue
+              var c = 0
+              while (c < book.length) {
+                var d = 0.0; var i = 0
+                while (i < dsub) { val t = v(si * dsub + i) - book(c)(i); d += t * t; i += 1 }
+                if (d < bestD) { bestD = d; best = c }
+                c += 1
+              }
+              packed |= (best.toLong & 0xffL) << (si * 8)
+              si += 1
+            }
+            (id, cell, packed)
+          }
+          .toDF("vec_id", "cell", "code64")
+          .write.partitionBy("cell").mode("overwrite")
+          .parquet(s"$dir/codes/ingest=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
   }
 
   /** Production near-dup path: within-cell all-pairs under a LEARNED

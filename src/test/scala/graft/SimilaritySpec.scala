@@ -204,6 +204,38 @@ class SimilaritySpec extends SparkSpec {
     assert(top === ((450L, 1.0)))
   }
 
+  test("streaming PQ append: new vectors encode against the saved codebooks") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("pqgrow").toString
+    val (_, pq) = Similarity.savePqIndex(spark, emb.filter(col("vec_id") < 400), dir, iters = 2)
+    val before = spark.read.parquet(s"$dir/codes").count()
+    val newDir = java.nio.file.Files.createTempDirectory("pqnew").toString
+    emb.filter(col("vec_id") >= 400).write.parquet(s"$newDir/in")
+    val stream = spark.readStream.schema(emb.schema).parquet(s"$newDir/in")
+    val q = Similarity.appendToPqIndex(spark, stream, dir, s"$newDir/ckpt")
+    q.awaitTermination(120000)
+    assert(spark.read.parquet(s"$dir/codes").count() === before + 100)
+    // an appended vector's stored code must equal a driver-side
+    // re-encode against the SAVED codebooks — byte-exact, proving the
+    // stream used the persisted books, not a retrain
+    val stored = spark.read.parquet(s"$dir/codes")
+      .filter(col("vec_id") === 450).select(col("code64")).as[Long].head()
+    val v = emb.filter(col("vec_id") === 450)
+      .select(operators.VectorOps.toDouble(col("embedding")))
+      .as[Array[Double]].head()
+    (0 until pq.m).foreach { si =>
+      val book = pq.books(si)
+      val best = book.indices.minBy { c =>
+        var d = 0.0; var i = 0
+        while (i < pq.dsub) { val t = v(si * pq.dsub + i) - book(c)(i); d += t * t; i += 1 }
+        (d, c)
+      }
+      assert(((stored >> (si * 8)) & 0xffL).toInt === best, s"subspace $si")
+    }
+  }
+
   test("parquetRowCount reads the exact count from footers; nHint skips the COUNT job") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, sf0001)
