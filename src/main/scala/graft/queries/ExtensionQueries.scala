@@ -1665,6 +1665,36 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Bigram LM scoring with add-one smoothing — the next rung above
+    // unigram surprisal (a doc of common words in IMPLAUSIBLE order —
+    // shuffled boilerplate, spun text — scores badly here while
+    // sailing through the unigram gate). P(w2|w1) = (c2+1)/(c1+V);
+    // corpus model = two aggregates (bigram counts, token counts) +
+    // one broadcast vocab-size row; scoring joins each doc's bigrams
+    // to both count tables — Catalyst broadcasts the vocabulary-sized
+    // sides here, and at real scale the bigram join is the standard
+    // count-table shuffle. Same avg-ln rounding contract as the
+    // unigram query.
+    "text_bigram_logprob" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+      val c1 = toks.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+      val vsize = c1.agg(count(lit(1)).as("v"))
+      val bigrams = docs.select(col("doc_id"),
+        explode(TextOps.shinglesOfText(col("text"), 2)).as("bg"))
+      val c2 = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+      bigrams
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+        .join(c2, Seq("bg"))
+        .join(c1.withColumnRenamed("w", "w1"), Seq("w1"))
+        .crossJoin(broadcast(vsize))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(-log((col("c2") + 1) / (col("c1") + col("v")))), 6)
+            .as("avg_bigram_surprisal"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Classifier-based quality filtering (CCNet / DCLM stage): score
     // every document by a seed-vs-background Naive Bayes log-odds,
     // seed = the English documents (standing in for "trusted reference
@@ -2644,6 +2674,31 @@ object ExtensionQueries {
         .orderBy(col("label").desc, col("a_id"), col("b_id"))
       pos.unpersist()
       out
+    }),
+
+    // Sequence-length bucketing + padding-waste audit — the dataloader
+    // efficiency view: docs batch by pow2 length ceiling, and every
+    // token of (ceiling - length) is padding the GPU burns for
+    // nothing. Buckets via an exact integer CASE ladder, NOT
+    // ceil(log2(n)) — float log2 at an exact power-of-two boundary is
+    // a cross-engine ULP cliff; the ladder is boundary-exact in both.
+    // One map-side pass + a 5-row aggregate; waste_pct is the one
+    // rounded ratio.
+    "export_length_buckets" -> ((s, dir) => {
+      val n = TextOps.subwordCount(TextOps.tokens(col("text"))).cast("long")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), n.as("n"))
+        .withColumn("bucket_ceil",
+          when(col("n") <= 16, 16L).when(col("n") <= 32, 32L)
+            .when(col("n") <= 64, 64L).when(col("n") <= 128, 128L)
+            .otherwise(256L))
+        .groupBy(col("bucket_ceil"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n")).as("n_tokens"),
+          sum(col("bucket_ceil") - col("n")).as("pad_tokens"),
+          round(sum(col("bucket_ceil") - col("n")).cast("double") /
+            sum(col("bucket_ceil")), 4).as("waste_pct"))
+        .orderBy(col("bucket_ceil"))
     }),
 
     // Tokenizer fertility stats per language — the metric that decides
@@ -3990,6 +4045,29 @@ object ExtensionQueries {
        "ELSE 'test' END) AS split, COUNT(*) AS n_docs, " +
        "CAST(SUM(doc_id) AS BIGINT) AS id_checksum " +
        "FROM t GROUP BY source, split ORDER BY source, split"),
+    "export_length_buckets" ->
+      ("WITH t AS (SELECT doc_id, " +
+       "CAST(list_sum(list_transform(string_split(text, ' '), " +
+       "w -> CAST(ceil(length(w)/4.0) AS BIGINT))) AS BIGINT) n FROM documents), " +
+       "b AS (SELECT doc_id, n, CAST(CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32 " +
+       "WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128 ELSE 256 END AS BIGINT) bucket_ceil FROM t) " +
+       "SELECT bucket_ceil, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens, " +
+       "CAST(SUM(bucket_ceil - n) AS BIGINT) AS pad_tokens, " +
+       "round(CAST(SUM(bucket_ceil - n) AS DOUBLE) / SUM(bucket_ceil), 4) AS waste_pct " +
+       "FROM b GROUP BY bucket_ceil ORDER BY bucket_ceil"),
+    "text_bigram_logprob" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
+       "tok AS (SELECT doc_id, unnest(ws) w FROM t), " +
+       "c1 AS (SELECT w, COUNT(*) c1 FROM tok GROUP BY w), " +
+       "vs AS (SELECT COUNT(*) v FROM c1), " +
+       "bg AS (SELECT doc_id, bg FROM (SELECT doc_id, " +
+       "unnest(list_transform(generate_series(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1])) bg FROM t)), " +
+       "c2 AS (SELECT bg, COUNT(*) c2 FROM bg GROUP BY bg) " +
+       "SELECT doc_id, COUNT(*) AS n_bigrams, " +
+       "round(AVG(-ln((c2.c2 + 1) / (c1.c1 + v))), 6) AS avg_bigram_surprisal " +
+       "FROM bg JOIN c2 ON bg.bg = c2.bg " +
+       "JOIN c1 ON split_part(bg.bg, ' ', 1) = c1.w CROSS JOIN vs " +
+       "GROUP BY doc_id ORDER BY doc_id"),
     "corpus_tokenizer_stats" ->
       ("WITH t AS (SELECT lang, CAST(strlen(text) AS BIGINT) nb, " +
        "CAST(len(string_split(text, ' ')) AS BIGINT) nw, " +
