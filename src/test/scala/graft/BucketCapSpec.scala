@@ -87,4 +87,36 @@ class BucketCapSpec extends SparkSpec {
       .select(col("p.a"), col("p.b")).as[(Long, Long)].collect().toSet
     assert(capped === Set((3L, 5L), (3L, 9L), (5L, 9L)))
   }
+
+  test("fuzzy-join deletion-variant buckets stay bounded at the gate scale factors") {
+    // fuzzy_term_join's blocking join is deliberately UNCAPPED (the
+    // oracle replays the same uncapped join, so there is no divergence
+    // risk) — but a hot variant key (short strings share deletion
+    // neighborhoods) would make the equi-join quadratic in the bucket.
+    // Pin the actual bucket ceiling at both gate SFs so vocabulary
+    // drift that concentrates variants fails loudly; at a real
+    // million-term vocabulary this is the audit that says when the
+    // join needs the MaxBucket treatment of the perceptual family.
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+        if new java.io.File(dir).isDirectory) {
+      val terms = Tables.documents(spark, dir)
+        .select(explode(split(col("text"), " ")).as("t"))
+        .filter(length(col("t")) > 0).distinct()
+      val vars = terms
+        .withColumn("d1", expr(
+          "transform(sequence(1, length(t)), " +
+          "i -> concat(substr(t, 1, i-1), substr(t, i+1, length(t))))"))
+        .withColumn("d2", expr(
+          "flatten(transform(filter(d1, v -> length(v) > 0), " +
+          "v -> transform(sequence(1, length(v)), " +
+          "i -> concat(substr(v, 1, i-1), substr(v, i+1, length(v))))))"))
+        .select(explode(array_distinct(
+          concat(array(col("t")), col("d1"), col("d2")))).as("v"))
+      val biggest = vars.groupBy(col("v")).count()
+        .agg(max(col("count"))).as[Long].head()
+      assert(biggest <= 32,
+        s"$dir: hottest variant bucket $biggest — the blocking join is " +
+          "approaching quadratic territory; cap or lengthen the blocking key")
+    }
+  }
 }

@@ -187,4 +187,42 @@ class VectorOpsSpec extends SparkSpec {
       .head().getLong(0)
     assert(got === 2L)
   }
+
+  test("ResidualArgminL2 == a driver-side reference on random subvectors (fuzz + ties)") {
+    // the residual-PQ assignment's contract, re-derived independently:
+    // r = (double)v - centroidSub, dist = sequential sum of squares,
+    // round6 BEFORE the argmin, ties to the LOWER cid
+    val rnd = new scala.util.Random(0xBEEF)
+    val dsub = 8
+    val cids = Array.tabulate(16)(_.toLong)
+    val codewords = Array.fill(16)(Array.fill(dsub)(rnd.nextDouble() * 2 - 1))
+    // include an exact duplicate codeword pair so the tie path fires
+    codewords(9) = codewords(4).clone()
+    val centroid = Array.fill(dsub)(rnd.nextDouble() * 2 - 1)
+    val bank = new graft.functions.ResidualPqBank(cids, codewords, centroid)
+    val vecs = Seq.tabulate(200)(_ => Array.fill(dsub)(rnd.nextFloat() * 2 - 1))
+    def ref(v: Array[Float]): Long = {
+      val scored = cids.indices.map { j =>
+        var s = 0.0; var i = 0
+        while (i < dsub) {
+          val d = (v(i).toDouble - centroid(i)) - codewords(j)(i)
+          s += d * d; i += 1
+        }
+        (graft.functions.SeededCellArgmax.round6(s), cids(j))
+      }
+      scored.minBy(identity)._2 // (dist, cid) lexicographic = tie to lower cid
+    }
+    val got = vecs.map(_.toSeq).toDF("v")
+      .select(VectorExpressions.residual_argmin_l2(bank, col("v")))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq === vecs.map(ref))
+    // force a near-tie: a query sitting (modulo float rounding) on the
+    // duplicated codeword — cids 4 and 9 score equal after round6 and
+    // the LOWER cid must win in both the expression and the reference
+    val tieVec = codewords(4).zip(centroid).map { case (c, m) => (c + m).toFloat }
+    val tieGot = Seq(tieVec.toSeq).toDF("v")
+      .select(VectorExpressions.residual_argmin_l2(bank, col("v")))
+      .head().getLong(0)
+    assert(tieGot === ref(tieVec), "duplicate-codeword tie must follow the reference")
+  }
 }
