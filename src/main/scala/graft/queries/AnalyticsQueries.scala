@@ -299,6 +299,25 @@ object AnalyticsQueries {
         .orderBy(col("user_id"), col("session_seq"))
     }),
 
+    // Native session_window sessionization — the BUILT-IN operator
+    // twin of q14's hand-rolled lag/cumsum formulation (and of the
+    // streaming session windows the engine runs with watermarks): the
+    // oracle replays gaps-and-islands SQL, so the gate proves Spark's
+    // session_window semantics — window start = first event, end =
+    // last event + gap, events closer than the gap merge — equal the
+    // from-first-principles construction. Same single (user, time)
+    // shuffle as q14.
+    "q30_session_window" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("sess_start"),
+          col("session_window.end").as("sess_end"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("sess_start"))
+    }),
+
     // Exact interpolated percentiles per group (Spark `percentile` /
     // DuckDB `quantile_cont`), rounded for cross-engine FP safety.
     "q15_percentiles" -> ((s, dir) => {
@@ -631,6 +650,21 @@ object AnalyticsQueries {
        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM g) " +
        "SELECT user_id, session_seq, COUNT(*) AS n_events, MIN(ts) AS sess_start, MAX(ts) AS sess_end " +
        "FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq"),
+    "q30_session_window" ->
+      // gaps-and-islands from first principles. Boundary semantics:
+      // Spark's session_window merges an event only when it lands
+      // STRICTLY inside the previous session's end (ts < last + gap),
+      // so an exact-30-minute gap starts a NEW session — the break
+      // condition here is >=, unlike q14's hand-rolled > contract
+      ("WITH g AS (SELECT user_id, ts, " +
+       "CASE WHEN lag(epoch_us(ts)) OVER w IS NULL " +
+       "OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800 * 1000000 THEN 1 ELSE 0 END is_new " +
+       "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+       "s AS (SELECT user_id, ts, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) seq FROM g) " +
+       "SELECT user_id, MIN(ts) AS sess_start, " +
+       "MAX(ts) + INTERVAL 30 MINUTE AS sess_end, COUNT(*) AS n_events " +
+       "FROM s GROUP BY user_id, seq ORDER BY user_id, sess_start"),
     "q15_percentiles" ->
       ("SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50, " +
        "round(quantile_cont(value, 0.9), 4) AS p90, COUNT(*) AS n " +
