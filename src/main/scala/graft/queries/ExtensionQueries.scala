@@ -463,6 +463,69 @@ object ExtensionQueries {
       (banks, tables, qCell)
     })
 
+  /** Multi-probe residual-PQ codebook: the [[resPqCodebook]] build
+    * widened to the query's `probes` nearest coarse cells — per
+    * probed cell, a bank set whose centroidSub is THAT cell's (the
+    * codewords are identical across branches: they are the seeds'
+    * residuals against their OWN cells, independent of the probe) and
+    * ADC tables against the query's residual IN that cell (FAISS
+    * nprobe semantics: the query re-residualizes per probed list).
+    * The probe ranking replays the coarse quantizer's exact contract —
+    * round6 cosine, ties to the lower cid — so the oracle's
+    * row_number ordering matches. Returns (cell -> (banks, tables))
+    * in probe order.
+    */
+  private val resPqMultiCodebooks = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Long, (Seq[graft.functions.ResidualPqBank], Seq[Array[Double]]))]]()
+
+  private def resPqMultiCodebook(s: SparkSession, dir: String, qid: Long,
+      probes: Int): Seq[(Long, (Seq[graft.functions.ResidualPqBank], Seq[Array[Double]]))] =
+    resPqMultiCodebooks.computeIfAbsent(s"$dir#$qid#$probes", _ => {
+      import s.implicits._
+      val bank = seedCentroidBank(s, dir)
+      val rows = assignSeededCells(
+          embWithNorm(s, dir).filter(col("vec_id") < 256 || col("vec_id") === qid), bank)
+        .select(col("vec_id"), col("cell"), col("v"))
+        .as[(Long, Long, Array[Float])].collect()
+      val centroidByCid: Map[Long, Array[Float]] = bank.cids.zip(bank.vecs).toMap
+      def residualVs(v: Array[Float], c: Array[Float]): Array[Double] =
+        Array.tabulate(math.min(v.length, c.length))(i => v(i).toDouble - c(i).toDouble)
+      def sub(r: Array[Double], si: Int): Array[Double] = r.slice(si * 8, si * 8 + 8)
+      def l2seq(a: Array[Double], b: Array[Double]): Double = {
+        var acc = 0.0; var i = 0
+        val n = math.min(a.length, b.length)
+        while (i < n) { val d = a(i) - b(i); acc += d * d; i += 1 }
+        acc
+      }
+      val seeds = rows.filter(_._1 < 256).sortBy(_._1)
+      val codewords: Seq[Array[Array[Double]]] = (0 until 8).map { si =>
+        seeds.map(r => sub(residualVs(r._3, centroidByCid(r._2)), si))
+      }
+      val seedIds = seeds.map(_._1)
+      val qVec = rows.find(_._1 == qid)
+        .getOrElse(sys.error(s"query vector $qid missing from $dir"))._3
+      // probe ranking: the coarse quantizer's own arithmetic — dot via
+      // the sequential widening sum, round6 BEFORE ordering, tie lower
+      val nq = pqDotSeq(qVec, qVec)
+      val probeCells: Seq[Long] = bank.cids.indices.map { j =>
+        val cs = graft.functions.SeededCellArgmax.round6(
+          pqDotSeq(qVec, bank.vecs(j)) / math.sqrt(nq * bank.norms(j)))
+        (-cs, bank.cids(j))
+      }.sorted.take(probes).map(_._2)
+      probeCells.map { cell =>
+        val cSub = centroidByCid(cell).map(_.toDouble)
+        val qRes = residualVs(qVec, centroidByCid(cell))
+        val banks = (0 until 8).map { si =>
+          new graft.functions.ResidualPqBank(seedIds, codewords(si).toArray,
+            cSub.slice(si * 8, si * 8 + 8))
+        }
+        val tables = (0 until 8).map { si =>
+          banks(si).vecs.map(cw => l2seq(sub(qRes, si), cw))
+        }
+        cell -> ((banks, tables))
+      }
+    })
+
   /** The residual-ADC distance of one candidate row (already filtered
     * to the probe cell, so its residual centroid IS the bank's): per
     * subspace a native residual-subtract + 256-codeword argmin, then
@@ -1070,6 +1133,29 @@ object ExtensionQueries {
         .select(col("vec_id"),
           round(pqAdcScore(banks, tables, col("v")), 6).as("score"))
         .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // MULTI-PROBE residual IVF x PQ — FAISS nprobe=2: the single-probe
+    // rung misses neighbors sitting just across a cell boundary; the
+    // standard fix probes the query's 2 nearest coarse cells. Each
+    // branch re-residualizes the QUERY against ITS cell's centroid
+    // (codewords are shared — seed residuals don't depend on the
+    // probe) and the two map-side branches union into one
+    // TakeOrderedAndProject: candidates scanned = 2n/32, still ZERO
+    // exchange. Distinct query (vec 296) so codebooks memoize beside
+    // the single-probe rung's.
+    "sim_ivfpq_multiprobe_topk" -> ((s, dir) => {
+      val bank = seedCentroidBank(s, dir)
+      val branches = resPqMultiCodebook(s, dir, qid = 296L, probes = 2)
+      val base = assignSeededCells(embWithNorm(s, dir), bank)
+        .filter(col("vec_id") =!= 296)
+      branches.map { case (cell, (rbanks, rtables)) =>
+        base.filter(col("cell") === lit(cell))
+          .select(col("vec_id"),
+            round(resAdcDist(rbanks, rtables, col("v")), 6).as("adc_dist"))
+      }.reduce(_.unionByName(_))
+        .orderBy(col("adc_dist"), col("vec_id"))
         .limit(10)
     }),
 
@@ -3405,6 +3491,45 @@ object ExtensionQueries {
        "FROM adc JOIN cells ON adc.vec_id = cells.vec_id CROSS JOIN qc " +
        "WHERE cells.cell = qc.qcell AND adc.vec_id <> 298 " +
        "GROUP BY adc.vec_id ORDER BY score DESC, adc.vec_id LIMIT 10"),
+    "sim_ivfpq_multiprobe_topk" ->
+      // the residual-rung CTEs with nprobe=2: the query's TOP-2 cells
+      // by the coarse contract (round6 cosine desc, cid tiebreak),
+      // and the ADC q-residual re-derived PER PROBED CELL — each
+      // candidate scores against the q-residual of its own cell
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings), " +
+       "c AS (SELECT vec_id cid, v cv FROM e WHERE vec_id < 32), " +
+       "cscored AS (SELECT e.vec_id, c.cid, round(" +
+       "list_sum(list_transform(list_zip(e.v, c.cv), p -> p[1]*p[2])) / " +
+       "sqrt(list_sum(list_transform(e.v, x -> x*x)) * list_sum(list_transform(c.cv, x -> x*x)))" +
+       ", 6) cs FROM e CROSS JOIN c), " +
+       "cells AS (SELECT vec_id, cid AS cell FROM cscored " +
+       "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) = 1), " +
+       "qc AS (SELECT cid AS cell FROM (SELECT cid, " +
+       "row_number() OVER (ORDER BY cs DESC, cid) rn FROM cscored WHERE vec_id = 296) " +
+       "WHERE rn <= 2), " +
+       "res AS (SELECT e.vec_id, list_transform(list_zip(e.v, c.cv), p -> p[1] - p[2]) AS r " +
+       "FROM e JOIN cells ON e.vec_id = cells.vec_id JOIN c ON c.cid = cells.cell), " +
+       "rsub AS (SELECT vec_id, s, r[(s*8+1):(s*8+8)] AS rv " +
+       "FROM res CROSS JOIN (SELECT unnest(generate_series(0, 7)) s)), " +
+       "rc AS (SELECT vec_id AS cid, s, rv AS cw FROM rsub WHERE vec_id < 256), " +
+       "rscored AS (SELECT t.vec_id, t.s, rc.cid, round(" +
+       "list_sum(list_transform(list_zip(t.rv, rc.cw), p -> (p[1]-p[2])*(p[1]-p[2]))), 6) d " +
+       "FROM rsub t JOIN rc ON t.s = rc.s), " +
+       "codes AS (SELECT vec_id, s, cid FROM rscored " +
+       "QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) = 1), " +
+       "qres AS (SELECT qc.cell, list_transform(list_zip(q.v, cc.cv), p -> p[1] - p[2]) r " +
+       "FROM qc JOIN c cc ON cc.cid = qc.cell CROSS JOIN e q WHERE q.vec_id = 296), " +
+       "qsub AS (SELECT cell, s, r[(s*8+1):(s*8+8)] qv " +
+       "FROM qres CROSS JOIN (SELECT unnest(generate_series(0, 7)) s)), " +
+       "adc AS (SELECT codes.vec_id, codes.s, " +
+       "list_sum(list_transform(list_zip(qsub.qv, rc.cw), p -> (p[1]-p[2])*(p[1]-p[2]))) AS t " +
+       "FROM codes JOIN rc ON codes.s = rc.s AND codes.cid = rc.cid " +
+       "JOIN cells ON cells.vec_id = codes.vec_id " +
+       "JOIN qsub ON qsub.s = codes.s AND qsub.cell = cells.cell) " +
+       "SELECT adc.vec_id, round(list_sum(list(t ORDER BY s)), 6) AS adc_dist " +
+       "FROM adc JOIN cells ON adc.vec_id = cells.vec_id " +
+       "WHERE cells.cell IN (SELECT cell FROM qc) AND adc.vec_id <> 296 " +
+       "GROUP BY adc.vec_id ORDER BY adc_dist, adc.vec_id LIMIT 10"),
     "sim_ivfpq_residual_topk" ->
       // the sim_ivfpq coarse CTEs, but PQ codes/ADC run on RESIDUALS
       // (v minus the OWN cell's centroid, exact double arithmetic) and

@@ -457,6 +457,47 @@ class ExtensionInvariantsSpec extends SparkSpec {
       s"residual-ADC top-1 ${ids.head} not in exact-L2 top-20 ${exact.toSeq}")
   }
 
+  test("multiprobe residual ivfpq: results confined to the query's TOP-2 coarse cells") {
+    import org.apache.spark.sql.functions._
+    val res = q("sim_ivfpq_multiprobe_topk").as[(Long, Double)].collect()
+    assert(res.length === 10)
+    assert(res.map(_._2).toSeq === res.map(_._2).sorted.toSeq)
+    // recompute the probe set and memberships from first principles
+    val emb = Tables.embeddings(spark, sf0001)
+      .withColumn("v", col("embedding"))
+      .withColumn("nv", graft.operators.VectorOps.norm2(col("embedding")))
+    val seedRows = emb.filter(col("vec_id") < 32)
+      .select(col("vec_id"), col("v"), col("nv")).collect()
+    val bank = new graft.functions.CentroidBank(
+      seedRows.map(_.getLong(0)),
+      seedRows.map(_.getSeq[Float](1).toArray),
+      seedRows.map(_.getDouble(2)))
+    val assigned = emb.select(col("vec_id"),
+      graft.functions.VectorExpressions
+        .seeded_cell_argmax(bank, col("v"), col("nv")).as("cell").cast("long"))
+    val qv = emb.filter(col("vec_id") === 296)
+      .select(col("v")).as[Array[Float]].head()
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    val nq = dot(qv, qv)
+    val top2 = bank.cids.indices.map { j =>
+      val cs = graft.functions.SeededCellArgmax.round6(
+        dot(qv, bank.vecs(j)) / math.sqrt(nq * bank.norms(j)))
+      (-cs, bank.cids(j))
+    }.sorted.take(2).map(_._2).toSet
+    val cellOf = assigned.as[(Long, Long)].collect().toMap
+    res.foreach { case (id, _) =>
+      assert(top2.contains(cellOf(id)),
+        s"vec $id from cell ${cellOf(id)} outside probe set $top2") }
+    // multi-probe must draw from BOTH cells on this corpus (otherwise
+    // the second branch is dead weight and the test is vacuous)
+    assert(res.map(r => cellOf(r._1)).toSet.size === 2,
+      "top-10 came from one cell only — probe 2 added nothing here")
+  }
+
   test("semantic keeper set is exactly the corpus minus the pair-targets") {
     // The keeper rule is definitional from dedup_embedding's own
     // output: an id is dropped iff it appears as the HIGHER side (b)

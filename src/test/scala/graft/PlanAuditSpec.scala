@@ -486,6 +486,19 @@ class PlanAuditSpec extends SparkSpec {
       s"retention: expected window + distinct-agg exchanges only:\n$pr")
   }
 
+  test("multiprobe residual ivfpq: two unioned map-side branches, still zero exchange") {
+    val p = plan("sim_ivfpq_multiprobe_topk")
+    assert(p.contains("residual_argmin_l2"),
+      s"native residual assignment missing from the plan:\n$p")
+    assert(p.contains("Union"), s"expected the two probe branches to union:\n$p")
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") ||
+        l.contains("Exchange rangepartitioning") ||
+        l.contains("Exchange SinglePartition"))
+    assert(shuffles === 0, s"expected a shuffle-free multiprobe plan, got $shuffles:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k degenerated to a global sort:\n$p")
+  }
+
   test("residual ivfpq: zero exchange — literal-cell filter + native residual argmins") {
     // probe cell and codebook are driver-built (bounded 257-row
     // collect), so the serving plan must be a single corpus pass:
