@@ -2507,12 +2507,20 @@ object ExtensionQueries {
     // require giving up the broadcast (shuffling postings on term).
     "corpus_keywords" -> ((s, dir) => {
       val ws = TextOps.tokens(col("text"))
+      // localCheckpoint: the df aggregate AND the scoring join both
+      // consume the exploded posting frame — without materialization
+      // the corpus is scanned and exploded TWICE (no exchange to
+      // reuse: the df side aggregates, the scoring side doesn't).
+      // One materialized pass is the 100 TB-correct trade
+      // (nearDupPairs' precedent); at toy scale it also removes one
+      // of the three serialized jobs the PROFILE note blames.
       val terms = Tables.documents(s, dir)
         .select(col("doc_id"), ws.as("ws"))
         .select(col("doc_id"), col("ws"),
           explode(array_distinct(col("ws"))).as("term"))
         .withColumn("tf", size(filter(col("ws"), w => w === col("term"))).cast("long"))
         .drop("ws")
+        .localCheckpoint()
       val stats = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
       val dfFrame = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val scored = terms
