@@ -651,14 +651,14 @@ object AnalyticsQueries {
        "SELECT user_id, session_seq, COUNT(*) AS n_events, MIN(ts) AS sess_start, MAX(ts) AS sess_end " +
        "FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq"),
     "q30_session_window" ->
-      // gaps-and-islands from first principles. Boundary semantics:
-      // Spark's session_window merges an event only when it lands
-      // STRICTLY inside the previous session's end (ts < last + gap),
-      // so an exact-30-minute gap starts a NEW session — the break
-      // condition here is >=, unlike q14's hand-rolled > contract
+      // gaps-and-islands from first principles. Boundary semantics
+      // (pinned by StreamingWindowSpec's exact-gap probe): Spark's
+      // session_window merges an event landing ON the previous
+      // session's end (ts <= last + gap), so the break condition is
+      // strictly >, the same convention as q14's hand-rolled contract
       ("WITH g AS (SELECT user_id, ts, " +
        "CASE WHEN lag(epoch_us(ts)) OVER w IS NULL " +
-       "OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800 * 1000000 THEN 1 ELSE 0 END is_new " +
+       "OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000 THEN 1 ELSE 0 END is_new " +
        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
        "s AS (SELECT user_id, ts, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts " +
        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) seq FROM g) " +

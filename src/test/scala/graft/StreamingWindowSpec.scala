@@ -70,4 +70,50 @@ class StreamingWindowSpec extends SparkSpec {
       assert(!rows.exists(_._3 == 103L))
     } finally q.stop()
   }
+
+  test("streaming session windows merge across batches and close at the watermark") {
+    // the streaming twin of q30_session_window: events arriving in
+    // different micro-batches MERGE into one open session (state
+    // store); the session emits once its end falls behind the
+    // watermark. Boundary probe: an EXACT-30-minute gap still merges
+    // (ts == previous end is inclusive — this test is what pinned the
+    // q30 oracle's strictly-> break condition), while 30min+1s starts
+    // a new session.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, Timestamp)]
+    val agg = in.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("s"),
+        col("session_window.end").as("e"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("sesswin")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    def t(s: String) = Timestamp.valueOf(s)
+    try {
+      in.addData((1L, t("2026-08-12 10:00:00")))
+      q.processAllAvailable()
+      // second batch, 10 min later: must MERGE into the open session
+      in.addData((1L, t("2026-08-12 10:10:00")))
+      q.processAllAvailable()
+      // exactly 30 min after the last event (== the open session's
+      // end): MERGES — the inclusive boundary
+      in.addData((1L, t("2026-08-12 10:40:00")))
+      q.processAllAvailable()
+      // 30 min + 1 s after 10:40: strictly past the end -> NEW session
+      in.addData((1L, t("2026-08-12 11:10:01")))
+      q.processAllAvailable()
+      // advance the watermark far enough to close everything
+      in.addData((2L, t("2026-08-12 13:00:00")), (2L, t("2026-08-12 14:00:00")))
+      q.processAllAvailable()
+      val u1 = spark.table("sesswin").as[(Long, Timestamp, Timestamp, Long)]
+        .collect().filter(_._1 == 1L)
+        .map { case (_, s, e, n) => (s.toString, e.toString, n) }.toSet
+      assert(u1 === Set(
+        ("2026-08-12 10:00:00.0", "2026-08-12 11:10:00.0", 3L),
+        ("2026-08-12 11:10:01.0", "2026-08-12 11:40:01.0", 1L)),
+        s"got $u1")
+    } finally q.stop()
+  }
 }
