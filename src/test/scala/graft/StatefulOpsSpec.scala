@@ -65,6 +65,50 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnel state survives a query restart from the checkpoint") {
+    // durability, not just parity: run the funnel over a file source
+    // with a checkpoint, STOP the query, land more data, start a NEW
+    // query on the same checkpoint — the per-user state (earliest
+    // signup) must carry across the restart, so a purchase arriving
+    // after the restart still anchors to the pre-restart signup
+    import spark.implicits._
+    import graft.streaming.StatefulOps.{FunnelEvent, FunnelState}
+    val root = java.nio.file.Files.createTempDirectory("funnelckpt").toString
+    val inDir = s"$root/in"; val outDir = s"$root/out"; val ckpt = s"$root/ckpt"
+    Seq(FunnelEvent(1L, 1000L, "signup"), FunnelEvent(2L, 1500L, "click"))
+      .toDS().write.parquet(inDir)
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[FunnelEvent]].schema)
+        .parquet(inDir).as[FunnelEvent]
+      val q = graft.streaming.StatefulOps.funnelStages(stream)
+        .writeStream
+        // fMGWS runs in Update mode; parquet wants Append — fan out
+        // through foreachBatch (the RcSinks convention)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[FunnelState], _: Long) =>
+          b.write.mode("append").parquet(outDir); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      ()
+    }
+    runOnce() // batch 1: user 1 reaches stage 1
+    // land a purchase AFTER user 1's signup, then restart
+    Seq(FunnelEvent(1L, 2000L, "purchase"), FunnelEvent(1L, 3000L, "click"))
+      .toDS().write.mode("append").parquet(inDir)
+    runOnce() // new query, same checkpoint
+    val states = spark.read.parquet(outDir)
+      .as[FunnelState].collect().filter(_.user_id == 1L)
+    val last = states.maxBy(_.stage)
+    assert(last.stage === 3,
+      s"state lost across restart: ${states.toSeq}")
+    assert(last.s_us === Some(1000L) && last.p_us === Some(2000L) &&
+      last.c_us === Some(3000L))
+  }
+
   test("streaming funnel stages match the batch q23_funnel counts (3-batch replay)") {
     // the real sf0.001 events, time-ordered and split into three
     // micro-batches — under the in-order replay contract the final
