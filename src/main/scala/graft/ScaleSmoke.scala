@@ -81,7 +81,16 @@ object ScaleSmoke {
         // and the rank-weighted cut
         "search_bm25_topk", "search_postings", "corpus_keywords",
         "crawl_pagerank", "crawl_triangles", "sim_ivfpq_residual_topk",
-        "fuzzy_term_join", "corpus_chunks", "sample_rank_weighted")) {
+        "fuzzy_term_join", "corpus_chunks", "sample_rank_weighted",
+        // final-wave additions: second graph op, CMS build over 10x
+        // token volume, split + leakage + cluster-split machinery on
+        // 10x near-dup pressure (the leakage audit's pair input grows
+        // ~1000x), bigram LM counts, multiprobe ADC over 10x codes
+        "crawl_hits", "corpus_cms_counts", "export_splits",
+        "export_split_leakage", "export_split_clustered",
+        "text_bigram_logprob", "export_length_buckets",
+        "sim_ivfpq_multiprobe_topk")) { // (dq_expectations reads the
+        // events table, which this documents/embeddings corpus lacks)
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).count()
       println(f"$q%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $n%10d rows")
