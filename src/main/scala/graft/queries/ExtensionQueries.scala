@@ -2304,7 +2304,7 @@ object ExtensionQueries {
       // lowest-id survivor's whole row in the same aggregate.
       val deduped = gated
         .groupBy(md5(col("content")).as("content_hash"))
-        .agg(min_by(struct(gated.columns.map(col): _*), col("doc_id")).as("r"))
+        .agg(min_by(struct(gated.columns.toIndexedSeq.map(col): _*), col("doc_id")).as("r"))
         .select(col("r.*"))
       // Span dedup over the survivors (dedup_span_exact's shape: 8-byte
       // xxhash64 chunk keys, df >= 2, drop docs with dup_frac >= 0.5).
@@ -4303,7 +4303,7 @@ object ExtensionQueries {
     * joined on the doc pair — so there is no second copy of any
     * fingerprint SQL to drift from its dedup twin.
     */
-  def oracleSql: Map[String, String] = baseOracleSql + (
+  def oracleSql: Map[String, String] = baseOracleSql ++ Map(
     "export_split_leakage" ->
       // the dedup_minhash_verified oracle verbatim as the pair source,
       // then the same split-coin arithmetic per pair side
