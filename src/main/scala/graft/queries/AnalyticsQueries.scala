@@ -406,6 +406,46 @@ object AnalyticsQueries {
         .orderBy(col("event_type"), col("bucket"))
     }),
 
+    // GLOBAL equi-depth histogram — the scale path q29's comment
+    // promises. A global ntile would funnel the whole corpus through
+    // one sort task; instead: (1) quantize value to integer cents and
+    // build the CDF over the DISTINCT quantized domain (the groupBy
+    // shuffles ~|domain| rows — bounded by the value range, NOT the
+    // corpus; the cumulative window runs over that bounded table only);
+    // (2) decile boundaries = min quantized value whose cumulative
+    // count reaches ceil(i*n/10), derived with a broadcast 9-row
+    // target join; (3) the 9 boundaries collect to the driver (bounded,
+    // like the centroid fetches) and bucket assignment is a pure
+    // MAP-SIDE expression over the original scan — zero corpus
+    // shuffles besides the final 10-row aggregate. All-integer
+    // arithmetic end to end, so the oracle replays it bit-exactly.
+    // Value ties share a bucket (value-based histogram semantics, the
+    // deterministic contract ntile can't give across engines).
+    "q29b_equidepth_global" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir).withColumn("vc", asInt(col("value"), 100L))
+      val cdf = ev.groupBy(col("vc")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(Window.orderBy(col("vc"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val total = cdf.agg(sum(col("c")).as("n"))
+      val targets = s.range(1, 10).toDF("i").crossJoin(broadcast(total))
+        .select(col("i"), expr("(i * n + 9) div 10").as("t"))
+      val bs: Array[Long] = broadcast(targets)
+        .join(cdf, cdf("cum") >= col("t"))
+        .groupBy(col("i")).agg(min(col("vc")).as("b"))
+        .orderBy(col("i")).collect().map(_.getLong(1))
+      val bucket = bs.foldLeft(lit(1L)) { (acc, b) =>
+        acc + when(col("vc") > lit(b), lit(1L)).otherwise(lit(0L))
+      }
+      ev.withColumn("bucket", bucket)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(min(col("value")), 4).as("lo"),
+          round(max(col("value")), 4).as("hi"),
+          (sum(col("vc")) / 100.0).as("bucket_sum"))
+        .orderBy(col("bucket"))
+    }),
+
     // Snapshot diff — the SCD/change-data-capture primitive: classify
     // every key across two snapshot versions as added / removed /
     // changed / unchanged and report per-status counts + integer-cents
@@ -499,15 +539,18 @@ object AnalyticsQueries {
 
     // Per-group z-score outliers: the classic anomaly-detection scan
     // (events whose value sits >= 1.5 population standard deviations
-    // from their type's mean). One window exchange on event_type;
+    // from their type's mean). event_type is LOW-cardinality, so a
+    // Window.partitionBy(event_type) would funnel each type through a
+    // single task at scale; instead the per-type moments come from a
+    // partial-aggregating groupBy (map-side combine, ~|types| rows)
+    // broadcast back onto the scan — the corpus itself never shuffles.
     // mu/sigma/z are the only doubles, rounded at 4 (the percentile
     // contract) BEFORE the threshold so both engines gate identically.
     "q25_zscore_outliers" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("event_type"))
-      Tables.events(s, dir)
-        .withColumn("mu", avg(col("value")).over(w))
-        .withColumn("sigma", stddev_pop(col("value")).over(w))
+      val ev = Tables.events(s, dir)
+      val stats = ev.groupBy(col("event_type"))
+        .agg(avg(col("value")).as("mu"), stddev_pop(col("value")).as("sigma"))
+      ev.join(broadcast(stats), Seq("event_type"))
         .withColumn("z", round((col("value") - col("mu")) / col("sigma"), 4))
         .filter(col("sigma") > 0 && abs(col("z")) >= 1.5)
         .select(col("event_id"), col("event_type"),
@@ -721,6 +764,21 @@ object AnalyticsQueries {
        "round(MIN(value), 4) AS lo, round(MAX(value), 4) AS hi, " +
        "CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)/100.0 AS bucket_sum " +
        "FROM b GROUP BY event_type, bucket ORDER BY event_type, bucket"),
+    "q29b_equidepth_global" ->
+      // replays the Spark derivation with the SAME integer arithmetic:
+      // CDF over distinct cents, boundary_i = min vc with cum >=
+      // ceil(i*n/10), bucket = 1 + #boundaries strictly below vc
+      ("WITH e AS (SELECT event_id, value, CAST(round(value*100) AS BIGINT) vc FROM events), " +
+       "cdf AS (SELECT vc, COUNT(*) c FROM e GROUP BY vc), " +
+       "cum AS (SELECT vc, SUM(c) OVER (ORDER BY vc) cum FROM cdf), " +
+       "tot AS (SELECT COUNT(*) n FROM e), " +
+       "tg AS (SELECT i, (i * n + 9) // 10 AS t FROM generate_series(1, 9) g(i), tot), " +
+       "bnd AS (SELECT i, MIN(vc) b FROM tg JOIN cum ON cum.cum >= tg.t GROUP BY i), " +
+       "asg AS (SELECT e.event_id, e.value, e.vc, " +
+       "1 + (SELECT COUNT(*) FROM bnd WHERE bnd.b < e.vc) AS bucket FROM e) " +
+       "SELECT bucket, COUNT(*) AS n_rows, round(MIN(value), 4) AS lo, " +
+       "round(MAX(value), 4) AS hi, CAST(SUM(vc) AS BIGINT)/100.0 AS bucket_sum " +
+       "FROM asg GROUP BY bucket ORDER BY bucket"),
     "q28_snapshot_diff" ->
       ("WITH now_s AS (SELECT o_orderkey k, CAST(round(o_totalprice*100) AS BIGINT) v_new FROM orders), " +
        "old_s AS (SELECT o_orderkey k, CAST(round(o_totalprice*100) AS BIGINT) + " +

@@ -1766,8 +1766,14 @@ object ExtensionQueries {
       val toks = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
       val c1 = toks.groupBy(col("w")).agg(count(lit(1)).as("c1"))
       val vsize = c1.agg(count(lit(1)).as("v"))
-      val bigrams = docs.select(col("doc_id"),
-        explode(TextOps.shinglesOfText(col("text"), 2)).as("bg"))
+      // word_shingles truncates (emits one single-word "shingle") for
+      // docs shorter than the window, while the oracle's series-derived
+      // bigrams emit nothing — gate degenerate docs out identically on
+      // both sides before the explode
+      val bigrams = docs
+        .filter(size(TextOps.tokens(col("text"))) >= 2)
+        .select(col("doc_id"),
+          explode(TextOps.shinglesOfText(col("text"), 2)).as("bg"))
       val c2 = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
       bigrams
         .withColumn("w1", substring_index(col("bg"), " ", 1))
@@ -2750,9 +2756,13 @@ object ExtensionQueries {
     // SimCSE/CLIP-style pipelines mine hard-ish negatives at scale —
     // a corpus-sized shuffle never happens.
     "mine_contrastive_pairs" -> ((s, dir) => {
+      // localCheckpoint (not cache+unpersist): the pair set is
+      // answer-sized and materializes ONCE here, so the count, the
+      // positive union branch and the broadcast anti-join all read the
+      // checkpointed blocks instead of re-running the dedup subquery
       val pos = queries("dedup_embedding")(s, dir)
-        .select(col("a_id"), col("b_id")).cache()
-      val nPos = pos.count() // answer-sized; the cache bounds the recompute
+        .select(col("a_id"), col("b_id")).localCheckpoint()
+      val nPos = pos.count() // answer-sized
       val n = Tables.parquetRowCount(s, s"$dir/embeddings.parquet")
       val draws = s.range(0, nPos * 4)
         .select(col("id").as("k"),
@@ -2763,11 +2773,9 @@ object ExtensionQueries {
           greatest(col("x"), col("y")).as("b_id"))
         .join(broadcast(pos), Seq("a_id", "b_id"), "left_anti")
         .orderBy(col("k")).limit(nPos.toInt)
-      val out = pos.select(col("a_id"), col("b_id"), lit(1).as("label"))
+      pos.select(col("a_id"), col("b_id"), lit(1).as("label"))
         .unionByName(draws.select(col("a_id"), col("b_id"), lit(0).as("label")))
         .orderBy(col("label").desc, col("a_id"), col("b_id"))
-      pos.unpersist()
-      out
     }),
 
     // Sequence-length bucketing + padding-waste audit — the dataloader

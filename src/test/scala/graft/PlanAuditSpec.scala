@@ -560,4 +560,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("Generate explode")) === 5,
       s"expected one map-side out-link explode per iteration:\n$p")
   }
+
+  test("zscore: per-type moments broadcast back; no low-cardinality window") {
+    // event_type has a handful of distinct values — a window partitioned
+    // on it is one giant task per type at scale. The moments must come
+    // from a partial-aggregating groupBy joined back via broadcast.
+    val p = plan("q25_zscore_outliers")
+    assert(!p.contains("Window"), s"q25 regressed to a window plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-type moments must broadcast-join back onto the scan:\n$p")
+  }
+
+  test("global equi-depth: windows only over the bounded quantized domain") {
+    // the corpus-side path is scan -> map-side bucket expression ->
+    // 10-row aggregate; the only window in the plan runs over the
+    // distinct-cents CDF table (bounded by the value domain). Assert
+    // the bucket assignment never joins or re-windows the corpus.
+    val p = plan("q29b_equidepth_global")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"bucket assignment must be a map-side expression, not a join:\n$p")
+  }
 }
