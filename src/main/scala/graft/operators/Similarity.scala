@@ -249,7 +249,11 @@ object Similarity {
   def trainPq(spark: SparkSession, emb: DataFrame, m: Int = 8, dsub: Int = 8,
       kCodes: Int = 256, iters: Int = 2, nHint: Long = 0L): PqCodebooks = {
     val n = if (nHint > 0) nHint else emb.count()
-    val k = math.min(kCodes, math.max(16, n / 4)).toInt
+    // codeword budget: the full kCodes whenever the corpus can fill it
+    // (>= 2 training points per codeword) — more codewords = smaller
+    // quantization cells = smaller ADC error; only tiny corpora scale
+    // the budget down. At real scale this is always kCodes = 256.
+    val k = math.min(kCodes, math.max(16, n / 2)).toInt
     val books = (0 until m).map { si =>
       val sub = emb.select(col("vec_id"),
         slice(col("embedding"), si * dsub + 1, dsub).as("embedding"))

@@ -357,6 +357,34 @@ class ExtensionInvariantsSpec extends SparkSpec {
       s"pq top-1 ${pq.head} not in exact top-20 ${exact.toSeq}")
   }
 
+  test("TRAINED PQ recall reaches the sq8 bar — the win k-means buys over seeding") {
+    // The round-9 verdict's top ask: the seeded banks' honest bound is
+    // only >= 4/10; per-subspace Lloyd's training must lift the rung
+    // to the sq8 bar, >= 7/10 overlap vs the exact dot top-10 at
+    // sf0.01 (the driver's gate SF — measured 8/10 at this drop, 7/10
+    // at sf0.001). Seeding ties this only at toy scale, where the
+    // first-256 subvectors ARE most of the corpus (memorization); at
+    // real scale the seeds can't track the distribution but k-means
+    // does, so the trained rung is the one savePqIndex serves.
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val pq = SparkEntry.queries("sim_pq_topk_trained")(spark, dir)
+      .as[(Long, Double)].collect().map(_._1)
+    val emb = Tables.embeddings(spark, dir)
+    val qv = emb.filter(col("vec_id") === 299)
+      .select(graft.operators.VectorOps.toDouble(col("embedding")).as("qv"))
+    val exact = emb.filter(col("vec_id") =!= 299)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        graft.operators.VectorOps.dot(col("qv"),
+          graft.operators.VectorOps.toDouble(col("embedding"))).as("d"))
+      .orderBy(col("d").desc, col("vec_id"))
+      .limit(10).as[(Long, Double)].collect().map(_._1)
+    val overlap = pq.toSet.intersect(exact.toSet).size
+    assert(overlap >= 7, s"trained-pq/exact top-10 overlap only $overlap: " +
+      s"${pq.toSeq} vs ${exact.toSeq}")
+  }
+
   test("ivf x pq: results live in the probe cell; ADC ranking tracks exact within-cell") {
     // Two separable promises, pinned separately: (1) PRUNING — every
     // returned id was assigned to the query's coarse cell (a stray id
