@@ -408,6 +408,78 @@ object Similarity {
       .start()
   }
 
+  /** Retrain-and-swap for a persisted IVF index — the maintenance op
+    * the append path defers to: streaming appends encode against the
+    * ORIGINAL centroids, so after heavy ingest the coarse quantizer
+    * drifts from the data distribution (appended vectors crowd into
+    * whichever old cells happen to be nearest, and probe pruning
+    * degrades). This re-trains the quantizer over base + EVERY
+    * appended ingest layer (the cells store full vectors, so the index
+    * is self-contained), re-codes into a staged sibling directory, and
+    * swaps with the [[Compaction]] crash-ordering: stage VERIFIED
+    * before anything moves, live dir backed up until the swapped-in
+    * index proves readable, so no crash window loses the index.
+    * Returns the new cell count.
+    */
+  def retrainIndex(spark: SparkSession, dir: String,
+      kCells: Int = 0, iters: Int = 3): Int = {
+    import org.apache.hadoop.fs.Path
+    val all = spark.read.parquet(s"$dir/cells")
+      .select(col("vec_id"), col("v").as("embedding"))
+    val n = all.count()
+    val k = sizeK(kCells, n, all)
+    val idx = trainIvf(spark, all, k, iters)
+    val cents = centroidDf(spark, idx.centroids)
+    // stage the full new index beside the live one, then verify it
+    // BEFORE the live directory moves (the Compaction ordering)
+    val stage = s"${dir}__retraining"
+    assignCells(all, cents)
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$stage/cells/ingest=base")
+    cents.write.mode("overwrite").parquet(s"$stage/centroids")
+    require(spark.read.parquet(s"$stage/cells").count() == n,
+      s"retrained index row count mismatch for $dir — aborting, live index untouched")
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bak = new Path(dir + "__old")
+    fs.delete(bak, true) // stale backup from an earlier crash
+    fs.rename(path, bak)
+    fs.rename(new Path(stage), path)
+    require(spark.read.parquet(s"$dir/cells").count() == n,
+      s"post-swap verification failed for $dir — backup kept at $bak")
+    fs.delete(bak, true)
+    k
+  }
+
+  /** Retrain-and-swap for a persisted IVF-PQ index. PQ codes are NOT
+    * invertible (8 bytes cannot reconstruct the vector), so unlike
+    * [[retrainIndex]] the caller supplies the corpus (base + appended
+    * vectors — the upstream table the index was built from); coarse
+    * centroids AND per-subspace codebooks re-train over it, everything
+    * re-codes into a staged directory, and the swap follows the same
+    * verified crash-ordering. Returns (new cell count, new codebooks).
+    */
+  def retrainPqIndex(spark: SparkSession, emb: DataFrame, dir: String,
+      kCells: Int = 0, iters: Int = 3, nHint: Long = 0L): (Int, PqCodebooks) = {
+    import org.apache.hadoop.fs.Path
+    val stage = s"${dir}__retraining"
+    val out = savePqIndex(spark, emb, stage, kCells, iters, nHint)
+    val n = spark.read.parquet(s"$dir/codes").count()
+    val staged = spark.read.parquet(s"$stage/codes").count()
+    require(staged >= n,
+      s"retrained PQ index lost rows ($staged < $n) for $dir — aborting, live index untouched")
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bak = new Path(dir + "__old")
+    fs.delete(bak, true)
+    fs.rename(path, bak)
+    fs.rename(new Path(stage), path)
+    require(spark.read.parquet(s"$dir/codes").count() == staged,
+      s"post-swap verification failed for $dir — backup kept at $bak")
+    fs.delete(bak, true)
+    out
+  }
+
   /** Production near-dup path: within-cell all-pairs under a LEARNED
     * k ~ sqrt(n) quantizer, so expected per-cell work is (n/k)^2 = n —
     * linear in corpus size, vs O(n^2/8) with 8 fixed cells.

@@ -236,6 +236,96 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("retrain-and-swap: appended layers fold in; probes match a fresh-built index") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("ivfretrain").toString
+    // base index over the first 300 vectors, then TWO appended ingest
+    // layers (drift scenario: appends encode against stale centroids)
+    Similarity.saveIndex(spark, emb.filter(col("vec_id") < 300), dir, iters = 2)
+    // one checkpoint lineage, two stream restarts: ingest=<batchId>
+    // layers are only unique within a checkpoint's monotonic batch ids
+    val newDir = java.nio.file.Files.createTempDirectory("ivfretrainnew").toString
+    emb.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+      .write.mode("append").parquet(s"$newDir/in")
+    Similarity.appendToIndex(spark,
+      spark.readStream.schema(emb.schema).parquet(s"$newDir/in"),
+      dir, s"$newDir/ckpt").awaitTermination(120000)
+    emb.filter(col("vec_id") >= 400).write.mode("append").parquet(s"$newDir/in")
+    Similarity.appendToIndex(spark,
+      spark.readStream.schema(emb.schema).parquet(s"$newDir/in"),
+      dir, s"$newDir/ckpt").awaitTermination(120000)
+    assert(spark.read.parquet(s"$dir/cells").count() === 500)
+    // the stale quantizer was sized for 300 vectors; retrain re-sizes
+    // for all 500 and re-trains over every layer
+    val k = Similarity.retrainIndex(spark, dir, iters = 2)
+    assert(k === Similarity.defaultK(500))
+    assert(spark.read.parquet(s"$dir/cells").count() === 500)
+    // the swapped-in index collapses back to a single base layer (the
+    // append debt is paid) and no stage/backup dirs survive
+    val layers = new java.io.File(s"$dir/cells").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(layers === Set("ingest=base"), s"unexpected layers: $layers")
+    assert(!new java.io.File(dir + "__retraining").exists())
+    assert(!new java.io.File(dir + "__old").exists())
+    // probe results match a FRESH index built over the same 500
+    // vectors with the same k/iters — same centroids, same cells,
+    // same top-k rows
+    val freshDir = java.nio.file.Files.createTempDirectory("ivffresh").toString
+    Similarity.saveIndex(spark, emb, freshDir, iters = 2)
+    val qv = emb.filter(col("vec_id") === 450)
+      .select(operators.VectorOps.toDouble(col("embedding")))
+      .as[Array[Double]].head()
+    val retrained = Similarity.probeIndex(spark, dir, qv, topK = 10, probes = 2)
+      .as[(Long, Double)].collect().toSeq
+    val fresh = Similarity.probeIndex(spark, freshDir, qv, topK = 10, probes = 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(retrained === fresh)
+    // and the centroid matrices themselves are identical (the trainer
+    // is deterministic over identical vector content)
+    val a = spark.read.parquet(s"$dir/centroids").orderBy("cid")
+      .as[(Int, Array[Double])].collect().map { case (c, v) => (c, v.toSeq) }.toSeq
+    val b = spark.read.parquet(s"$freshDir/centroids").orderBy("cid")
+      .as[(Int, Array[Double])].collect().map { case (c, v) => (c, v.toSeq) }.toSeq
+    assert(a === b)
+  }
+
+  test("PQ retrain-and-swap: recoded index serves the new codebooks") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("pqretrain").toString
+    Similarity.savePqIndex(spark, emb.filter(col("vec_id") < 400), dir, iters = 2)
+    val newDir = java.nio.file.Files.createTempDirectory("pqretrainnew").toString
+    emb.filter(col("vec_id") >= 400).write.parquet(s"$newDir/in")
+    Similarity.appendToPqIndex(spark,
+      spark.readStream.schema(emb.schema).parquet(s"$newDir/in"),
+      dir, s"$newDir/ckpt").awaitTermination(120000)
+    assert(spark.read.parquet(s"$dir/codes").count() === 500)
+    // PQ codes are not invertible, so retrain takes the corpus
+    val (_, pq) = Similarity.retrainPqIndex(spark, emb, dir, iters = 2)
+    assert(spark.read.parquet(s"$dir/codes").count() === 500)
+    assert(!new java.io.File(dir + "__retraining").exists())
+    assert(!new java.io.File(dir + "__old").exists())
+    // a stored code must byte-match a driver re-encode against the NEW
+    // books (proof the swap serves the retrained codebooks, not stale)
+    val stored = spark.read.parquet(s"$dir/codes")
+      .filter(col("vec_id") === 450).select(col("code64")).as[Long].head()
+    val v = emb.filter(col("vec_id") === 450)
+      .select(operators.VectorOps.toDouble(col("embedding")))
+      .as[Array[Double]].head()
+    (0 until pq.m).foreach { si =>
+      val book = pq.books(si)
+      val best = book.indices.minBy { c =>
+        var d = 0.0; var i = 0
+        while (i < pq.dsub) { val t = v(si * pq.dsub + i) - book(c)(i); d += t * t; i += 1 }
+        (d, c)
+      }
+      assert(((stored >> (si * 8)) & 0xffL).toInt === best, s"subspace $si")
+    }
+  }
+
   test("parquetRowCount reads the exact count from footers; nHint skips the COUNT job") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, sf0001)
