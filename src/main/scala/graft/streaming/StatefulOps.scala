@@ -176,6 +176,79 @@ object StatefulOps {
         })
   }
 
+  /** The timer-draining politeness gate on transformWithState — the
+    * release path [[politenessGate]] deliberately omits: fMGWS under
+    * NoTimeout never invokes a data-less group, so a host whose
+    * frontier goes quiet would hold its deferred URLs forever. Here
+    * every deferral registers a processing-time timer one budget
+    * window (`drainMs`) out; when it fires with NO new input for the
+    * host, [[handleExpiredTimer]] releases the next `budget` URLs and
+    * re-arms until the queue drains dry. Stale timers are deleted
+    * before re-arming, so each host carries at most one. The trade is
+    * explicit: wall-clock drains make the emission SCHEDULE
+    * non-replayable (which batch a URL lands in depends on idle time),
+    * while the emission CONTENT stays deterministic — the same
+    * priority-desc/url order, the same deferCap valve. Use the fMGWS
+    * twin when replay-exact schedules matter more than idle drains.
+    */
+  private class PolitenessProcessor(budget: Int, deferCap: Int, drainMs: Long)
+      extends StatefulProcessor[String, FrontierUrl, GateDecision] {
+    @transient private var batchNo:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+    @transient private var deferred:
+      org.apache.spark.sql.streaming.ListState[FrontierUrl] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      batchNo = getHandle.getValueState[Long]("batchNo",
+        Encoders.scalaLong, TTLConfig.NONE)
+      deferred = getHandle.getListState[FrontierUrl]("deferred",
+        Encoders.product[FrontierUrl], TTLConfig.NONE)
+    }
+
+    /** One budget window for `host`: merge state + arrivals, emit the
+      * top `budget` by (priority desc, url), persist the rest (capped),
+      * re-arm the drain timer iff anything stays deferred.
+      */
+    private def window(host: String, arrivals: Seq[FrontierUrl],
+        nowMs: Long): Iterator[GateDecision] = {
+      val bn = if (batchNo.exists()) batchNo.get() else 0L
+      val pending = (deferred.get().toSeq ++ arrivals)
+        .sortBy(u => (-u.priority, u.url))
+      val (emit, rest) = pending.splitAt(budget)
+      val kept = rest.take(deferCap)
+      deferred.clear()
+      if (kept.nonEmpty) deferred.put(kept.toArray)
+      batchNo.update(bn + 1)
+      // materialize before deleting: deleteTimer under a live
+      // listTimers iterator mutates the store mid-scan
+      getHandle.listTimers().toList.foreach(t =>
+        getHandle.deleteTimer(t.asInstanceOf[Long]))
+      if (kept.nonEmpty) getHandle.registerTimer(nowMs + drainMs)
+      emit.map(u => GateDecision(host, u.url, bn)).iterator
+    }
+
+    override def handleInputRows(host: String, rows: Iterator[FrontierUrl],
+        timerValues: TimerValues): Iterator[GateDecision] =
+      window(host, rows.toSeq, timerValues.getCurrentProcessingTimeInMs())
+
+    override def handleExpiredTimer(host: String, timerValues: TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[GateDecision] =
+      window(host, Nil, timerValues.getCurrentProcessingTimeInMs())
+  }
+
+  /** transformWithState twin of [[politenessGate]] WITH the idle-host
+    * timer drain — deferred URLs release one budget per `drain` window
+    * even when the host sees no further frontier input.
+    */
+  def politenessGateTws(urls: Dataset[FrontierUrl], budget: Int,
+      deferCap: Int = 1000,
+      drain: java.time.Duration = java.time.Duration.ofSeconds(1)): Dataset[GateDecision] = {
+    implicit val strEnc: Encoder[String] = Encoders.STRING
+    urls.groupByKey(_.host)
+      .transformWithState(new PolitenessProcessor(budget, deferCap, drain.toMillis),
+        TimeMode.ProcessingTime, OutputMode.Append)
+  }
+
   /** The repeat-state machine on Spark 4's transformWithState —
     * the successor API to flatMapGroupsWithState: explicit named state
     * variables with DECLARATIVE TTL (the runtime evicts; no manual

@@ -65,6 +65,53 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("timer gate drains a deferred URL with NO new event for its host") {
+    // the case fMGWS cannot express: under NoTimeout a data-less group
+    // is never invoked, so a quiet host's deferred queue starves. The
+    // transformWithState twin arms a processing-time timer per
+    // deferral; when the budget window rolls over, the host drains on
+    // the timer even though every subsequent batch carries only OTHER
+    // hosts' traffic.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StatefulOps.{FrontierUrl, GateDecision}
+    // transformWithState requires the RocksDB state store provider
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[FrontierUrl]
+    val q = graft.streaming.StatefulOps.politenessGateTws(in.toDS(), budget = 2,
+        drain = java.time.Duration.ofMillis(300))
+      .writeStream.format("memory").queryName("timergate")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // ONE batch of input, then nothing ever again for any host. NOTE
+      // processAllAvailable() is unusable here BY DESIGN: registered
+      // timers make every execution require a follow-up batch, so the
+      // engine never latches noNewData — poll the sink instead.
+      in.addData(FrontierUrl("a.com", "a/1", 5), FrontierUrl("a.com", "a/2", 4),
+        FrontierUrl("a.com", "a/3", 3))
+      val deadline = System.currentTimeMillis + 120000
+      def rows() = spark.table("timergate").as[GateDecision].collect()
+      while (rows().length < 3 && System.currentTimeMillis < deadline)
+        Thread.sleep(200)
+      val got = rows().map(r => r.url -> r.emitted_batch).toMap
+      assert(got.keySet === Set("a/1", "a/2", "a/3"),
+        s"deferred a/3 must drain on the timer with no further input: $got")
+      // the budget window proves a/3 was DEFERRED first (window 0
+      // emitted the top-2 by priority; the timer's window 1 released
+      // it) — not just emitted late by scheduling noise
+      assert(got("a/1") === 0L && got("a/2") === 0L && got("a/3") === 1L,
+        s"expected a/3 in the timer's window 1: $got")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("funnel state survives a query restart from the checkpoint") {
     // durability, not just parity: run the funnel over a file source
     // with a checkpoint, STOP the query, land more data, start a NEW
