@@ -90,4 +90,59 @@ object SketchAgg {
     override def outputEncoder: Encoder[Array[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
+
+  /** One top-k entry: ranked by `score` DESC, ties to the LOWER `id`. */
+  case class TopKRow(score: Long, id: Long, payload: Long)
+  case class TopKBuf(rows: Array[TopKRow])
+
+  /** Bounded exact top-k by (score desc, id asc) — the aggregation-
+    * state twin of TakeOrderedAndProject for GROUPED top-k: the buffer
+    * never holds more than k rows (collect_list-then-slice would buffer
+    * the whole group), reduce is an insertion into a k-array, and the
+    * merge is associative — so map-side partial aggregation ships at
+    * most k rows per group per partition, the property that makes
+    * per-group top-k a one-exchange operator at any scale.
+    */
+  class TopK(k: Int) extends Aggregator[TopKRow, TopKBuf, Seq[TopKRow]] {
+    require(k >= 1, "TopK needs k >= 1")
+
+    // (score desc, id asc): r1 before r2?
+    private def before(r1: TopKRow, r2: TopKRow): Boolean =
+      r1.score > r2.score || (r1.score == r2.score && r1.id < r2.id)
+
+    override def zero: TopKBuf = TopKBuf(Array.empty)
+
+    override def reduce(b: TopKBuf, r: TopKRow): TopKBuf = {
+      val v = b.rows
+      if (v.length == k && !before(r, v(v.length - 1))) b
+      else {
+        var ins = 0
+        while (ins < v.length && before(v(ins), r)) ins += 1
+        val newLen = math.min(v.length + 1, k)
+        val out = new Array[TopKRow](newLen)
+        System.arraycopy(v, 0, out, 0, ins)
+        out(ins) = r
+        System.arraycopy(v, ins, out, ins + 1, newLen - ins - 1)
+        TopKBuf(out)
+      }
+    }
+
+    override def merge(a: TopKBuf, b: TopKBuf): TopKBuf = {
+      val x = a.rows; val y = b.rows
+      val out = new Array[TopKRow](math.min(x.length + y.length, k))
+      var i = 0; var j = 0; var n = 0
+      while (n < out.length) {
+        val take =
+          if (j >= y.length || (i < x.length && before(x(i), y(j)))) { val t = x(i); i += 1; t }
+          else { val t = y(j); j += 1; t }
+        out(n) = take; n += 1
+      }
+      TopKBuf(out)
+    }
+
+    override def finish(b: TopKBuf): Seq[TopKRow] = b.rows.toSeq
+    override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+    override def outputEncoder: Encoder[Seq[TopKRow]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[TopKRow]]()
+  }
 }

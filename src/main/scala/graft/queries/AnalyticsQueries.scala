@@ -558,6 +558,131 @@ object AnalyticsQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Per-group exact top-k WITHOUT a per-group window — the scale
+    // shape for "top users per segment" when a window partitioned on
+    // the low-cardinality group key would funnel each group through
+    // one task. The new bounded [[graft.functions.SketchAgg.TopK]]
+    // Aggregator keeps at most k rows of state with an associative
+    // merge, so map-side partial aggregation ships <= k rows per group
+    // per partition — per-group top-k as a one-exchange aggregate
+    // (collect_list-then-slice would buffer every user of the group).
+    // Ranked by (cents desc, user_id asc); the direct row_number
+    // oracle proves exactness.
+    "q31_topk_per_group" -> ((s, dir) => {
+      import s.implicits._
+      val topk = new graft.functions.SketchAgg.TopK(3)
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(asInt(col("value"), 100L)).as("cents"),
+          count(lit(1)).as("n_events"))
+        .select(col("event_type"), col("cents"), col("user_id"), col("n_events"))
+        .as[(String, Long, Long, Long)]
+        .groupByKey(_._1)
+        .mapValues(t => graft.functions.SketchAgg.TopKRow(t._2, t._3, t._4))
+        .agg(topk.toColumn.name("top"))
+        .toDF("event_type", "top")
+        .select(col("event_type"), posexplode(col("top")).as(Seq("i0", "t")))
+        .select(col("event_type"), (col("i0") + 1).cast("long").as("rk"),
+          col("t.id").as("user_id"), (col("t.score") / 100.0).as("total_value"),
+          col("t.payload").as("n_events"))
+        .orderBy(col("event_type"), col("rk"))
+    }),
+
+    // Fixed-point integer EWMA over the per-(type, day) series — the
+    // trend-smoothing every metrics pipeline runs, in the one shape
+    // that is BOTH scale-safe and bit-exact: the corpus aggregates
+    // once into (type, day) integer-cents rows (series length bounded
+    // by the calendar, not the corpus), then the inherently-sequential
+    // recurrence e_t = (c_t + 3*e_{t-1}) div 4 (alpha = 1/4) runs
+    // inside one array fold per type over that bounded series. All
+    // integer arithmetic — the oracle replays it exactly with a
+    // recursive CTE, no rounding contract needed.
+    "q32_ewma_daily" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(sum(asInt(col("value"), 100L)).as("c"))
+        .groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("d"), col("c")))).as("ser"))
+        .withColumn("ew", expr(
+          "aggregate(ser, CAST(array() AS ARRAY<STRUCT<d: DATE, c: BIGINT, e: BIGINT>>), " +
+          "(acc, x) -> array_append(acc, named_struct('d', x.d, 'c', x.c, " +
+          "'e', CASE WHEN size(acc) = 0 THEN x.c " +
+          "ELSE (x.c + 3 * element_at(acc, -1).e) div 4 END)))"))
+        .select(col("event_type"), explode(col("ew")).as("t"))
+        .select(col("event_type"), col("t.d").as("d"),
+          (col("t.c") / 100.0).as("daily_value"),
+          (col("t.e") / 100.0).as("ewma_value"))
+        .orderBy(col("event_type"), col("d"))
+    }),
+
+    // Single-pass column profiler — the data-quality sibling every
+    // warehouse ships (null rates, distinct counts, ranges) as ONE
+    // scan over orders: all per-column aggregates compute in the same
+    // stage (count_distinct adds its expand exchange; everything else
+    // is map-side partials), then unpivot to the (column, stats) shape
+    // profiling UIs consume. Values normalize to BIGINT (cents for
+    // money, epoch days for dates) so both engines emit identical
+    // numbers with no float or format contract.
+    "profile_columns" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          asInt(col("o_totalprice"), 100L).as("price_cents"),
+          datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
+            .cast("long").as("date_days"))
+      val prof = o.agg(
+        count(lit(1)).as("n"),
+        count(col("o_orderkey")).as("nn_orderkey"),
+        countDistinct(col("o_orderkey")).as("nd_orderkey"),
+        min(col("o_orderkey")).as("min_orderkey"),
+        max(col("o_orderkey")).as("max_orderkey"),
+        count(col("o_custkey")).as("nn_custkey"),
+        countDistinct(col("o_custkey")).as("nd_custkey"),
+        min(col("o_custkey")).as("min_custkey"),
+        max(col("o_custkey")).as("max_custkey"),
+        count(col("price_cents")).as("nn_price"),
+        countDistinct(col("price_cents")).as("nd_price"),
+        min(col("price_cents")).as("min_price"),
+        max(col("price_cents")).as("max_price"),
+        count(col("date_days")).as("nn_date"),
+        countDistinct(col("date_days")).as("nd_date"),
+        min(col("date_days")).as("min_date"),
+        max(col("date_days")).as("max_date"))
+      prof.select(col("n"), expr(
+        "stack(4, " +
+        "'o_orderkey', nn_orderkey, nd_orderkey, min_orderkey, max_orderkey, " +
+        "'o_custkey', nn_custkey, nd_custkey, min_custkey, max_custkey, " +
+        "'o_totalprice_cents', nn_price, nd_price, min_price, max_price, " +
+        "'o_orderdate_days', nn_date, nd_date, min_date, max_date) " +
+        "AS (column_name, n_filled, n_distinct, min_v, max_v)"))
+        .select(col("column_name"), col("n").as("n_rows"),
+          (col("n") - col("n_filled")).as("n_null"),
+          col("n_distinct"), col("min_v"), col("max_v"))
+        .orderBy(col("column_name"))
+    }),
+
+    // Incremental-view-maintenance merge: the partial-aggregate
+    // algebra that lets a 100 TB rollup absorb a delta WITHOUT
+    // rescanning the base — base slice and delta slice each aggregate
+    // independently (two disjoint scans standing in for "yesterday's
+    // materialized partials + today's increment"), then merge by
+    // SUMMING partials. The oracle is the direct one-shot GROUP BY
+    // over the union: the hash gate proves merge == recompute, the
+    // defining IVM property (count/sum are the mergeable pair; the
+    // KMV rollup q27 proves the sketch analogue).
+    "ivm_merge_agg" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(pmod(col("o_custkey"), lit(100L)).as("bucket"),
+          asInt(col("o_totalprice"), 100L).as("cents"), col("o_orderkey"))
+      def part(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        o.filter(f(col("o_orderkey")))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("pn"), sum(col("cents")).as("pc"))
+      part(k => k % 7 =!= 0).unionByName(part(k => k % 7 === 0))
+        .groupBy(col("bucket"))
+        .agg(sum(col("pn")).as("n"), (sum(col("pc")) / 100.0).as("sum_value"))
+        .orderBy(col("bucket"))
+    }),
+
     // Semi/anti joins (EXISTS / NOT EXISTS): customers with vs without
     // orders, tagged and unioned; dims broadcast.
     "q16_semi_anti" -> ((s, dir) => {
@@ -764,6 +889,48 @@ object AnalyticsQueries {
        "round(MIN(value), 4) AS lo, round(MAX(value), 4) AS hi, " +
        "CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)/100.0 AS bucket_sum " +
        "FROM b GROUP BY event_type, bucket ORDER BY event_type, bucket"),
+    "q31_topk_per_group" ->
+      // the direct window formulation: equality proves the bounded
+      // TopK aggregate selects exactly the window's ranked head
+      ("WITH t AS (SELECT event_type, user_id, " +
+       "CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) cents, " +
+       "COUNT(*) n_events FROM events GROUP BY event_type, user_id), " +
+       "r AS (SELECT *, row_number() OVER (PARTITION BY event_type " +
+       "ORDER BY cents DESC, user_id) rk FROM t) " +
+       "SELECT event_type, CAST(rk AS BIGINT) AS rk, user_id, " +
+       "cents/100.0 AS total_value, n_events FROM r WHERE rk <= 3 " +
+       "ORDER BY event_type, rk"),
+    "q32_ewma_daily" ->
+      // the recurrence replayed exactly: integer e_t = (c_t + 3e_{t-1}) // 4
+      ("WITH RECURSIVE d AS (SELECT event_type, CAST(ts AS DATE) d, " +
+       "CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) c " +
+       "FROM events GROUP BY event_type, CAST(ts AS DATE)), " +
+       "s AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY d) rn FROM d), " +
+       "e AS (SELECT event_type, d, rn, c, c AS e FROM s WHERE rn = 1 " +
+       "UNION ALL SELECT s.event_type, s.d, s.rn, s.c, (s.c + 3 * e.e) // 4 " +
+       "FROM s JOIN e ON s.event_type = e.event_type AND s.rn = e.rn + 1) " +
+       "SELECT event_type, d, c/100.0 AS daily_value, e/100.0 AS ewma_value " +
+       "FROM e ORDER BY event_type, d"),
+    "profile_columns" ->
+      ("WITH o AS (SELECT o_orderkey, o_custkey, " +
+       "CAST(round(o_totalprice*100) AS BIGINT) price_cents, " +
+       "CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) date_days " +
+       "FROM orders), " +
+       "p AS (SELECT 'o_orderkey' column_name, COUNT(*) n_rows, " +
+       "COUNT(*) - COUNT(o_orderkey) n_null, COUNT(DISTINCT o_orderkey) n_distinct, " +
+       "MIN(o_orderkey) min_v, MAX(o_orderkey) max_v FROM o " +
+       "UNION ALL SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey), " +
+       "COUNT(DISTINCT o_custkey), MIN(o_custkey), MAX(o_custkey) FROM o " +
+       "UNION ALL SELECT 'o_totalprice_cents', COUNT(*), COUNT(*) - COUNT(price_cents), " +
+       "COUNT(DISTINCT price_cents), MIN(price_cents), MAX(price_cents) FROM o " +
+       "UNION ALL SELECT 'o_orderdate_days', COUNT(*), COUNT(*) - COUNT(date_days), " +
+       "COUNT(DISTINCT date_days), MIN(date_days), MAX(date_days) FROM o) " +
+       "SELECT * FROM p ORDER BY column_name"),
+    "ivm_merge_agg" ->
+      // the DIRECT one-shot aggregate: merge-of-partials must equal it
+      ("SELECT o_custkey % 100 AS bucket, COUNT(*) AS n, " +
+       "CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_value " +
+       "FROM orders GROUP BY o_custkey % 100 ORDER BY bucket"),
     "q29b_equidepth_global" ->
       // replays the Spark derivation with the SAME integer arithmetic:
       // CDF over distinct cents, boundary_i = min vc with cum >=

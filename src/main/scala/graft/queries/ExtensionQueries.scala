@@ -2555,6 +2555,32 @@ object ExtensionQueries {
         .orderBy(col("term"))
     }),
 
+    // Positional phrase search — the retrieval rung BM25's bag-of-words
+    // scoring cannot answer: docs where "key agg" occurs as ADJACENT
+    // tokens, with the occurrence count (overlapping matches counted,
+    // the positional-postings semantics — a replace()-based count would
+    // undercount "key key agg"-style overlaps). Pure map-side: the
+    // token array is already in the row, so adjacency is one HOF filter
+    // over positions — scan -> expression -> ORDER BY, no exchange
+    // before the output sort. At multi-term scale the same predicate
+    // runs as a positional-postings join (term-filtered posting lists
+    // joined on (doc, pos+1)); for a 2-term phrase the fused scan IS
+    // the cheaper plan at any corpus size — it reads each doc once and
+    // never materializes the posting stream.
+    "search_phrase" -> ((s, dir) => {
+      val ws = TextOps.tokens(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), ws.as("ws"))
+        .withColumn("n_matches",
+          when(size(col("ws")) < 2, lit(0L))
+            .otherwise(expr("size(filter(sequence(1, size(ws) - 1), " +
+              "i -> element_at(ws, CAST(i AS INT)) = 'key' AND " +
+              "element_at(ws, CAST(i AS INT) + 1) = 'agg'))").cast("long")))
+        .filter(col("n_matches") > 0)
+        .select(col("doc_id"), col("n_matches"))
+        .orderBy(col("doc_id"))
+    }),
+
     // TF-IDF keyword extraction: top-3 salient terms per doc — the
     // per-document summary view of curation dashboards and the feature
     // side of simple relevance classifiers. df comes from ONE exchange
@@ -4160,6 +4186,16 @@ object ExtensionQueries {
        "SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf, " +
        "CAST(MAX(tf) AS BIGINT) AS max_tf, CAST(MIN(doc_id) AS BIGINT) AS first_doc " +
        "FROM p GROUP BY term ORDER BY term"),
+    "search_phrase" ->
+      // positional adjacency replayed over the same token split with
+      // the scalar-list HOF (this DuckDB build rejects lateral
+      // generate_series args); overlapping occurrences each count —
+      // postings semantics
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
+       "m AS (SELECT doc_id, CAST(len(list_filter(generate_series(1, len(ws) - 1), " +
+       "i -> ws[i] = 'key' AND ws[i + 1] = 'agg')) AS BIGINT) n_matches " +
+       "FROM t WHERE len(ws) >= 2) " +
+       "SELECT doc_id, n_matches FROM m WHERE n_matches > 0 ORDER BY doc_id"),
     "corpus_keywords" ->
       // rank on the ROUNDED tfidf with a term tiebreak (both engines
       // cut the same top-3); tf replayed as a (doc, term) count — the

@@ -72,4 +72,24 @@ class SketchAggSpec extends AnyFunSuite {
         s"$parts-way merge diverged from the sequential sketch")
     }
   }
+
+  test("TopK: bounded buffer, exact selection, split-merge invariance") {
+    import graft.functions.SketchAgg.{TopK, TopKRow}
+    val agg = new TopK(3)
+    // deterministic pseudo-stream with score ties (id breaks them)
+    val rows = (1L to 200L).map(i => TopKRow(score = (i * 37) % 50, id = i, payload = i * 2))
+    val expected = rows.sortBy(r => (-r.score, r.id)).take(3)
+    val direct = rows.foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(direct) === expected)
+    // the buffer NEVER exceeds k at any point of the fold
+    rows.scanLeft(agg.zero)(agg.reduce).foreach(b => assert(b.rows.length <= 3))
+    // arbitrary split + merge = the sequential result (associative
+    // merge is what licenses map-side partials)
+    (2 to 7).foreach { parts =>
+      val merged = rows.grouped(rows.length / parts + 1)
+        .map(_.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      assert(agg.finish(merged) === expected, s"$parts-way merge diverged")
+    }
+  }
 }
