@@ -683,6 +683,63 @@ object AnalyticsQueries {
         .orderBy(col("bucket"))
     }),
 
+    // Seasonal-baseline anomaly scan — q25's big sibling: the baseline
+    // is per (event_type, hour-of-day), so "a purchase spike at 3am"
+    // flags even when it is normal at noon (the decomposition every
+    // ops anomaly detector starts with). Same scale shape as q25: the
+    // baseline table is |types| x 24 rows from a partial-aggregating
+    // groupBy, broadcast back onto the scan — the corpus never
+    // shuffles. z rounded at 4 BEFORE the >= 2 gate (the shared
+    // cross-engine contract).
+    "q33_seasonal_anomaly" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("hh", hour(col("ts")).cast("long"))
+      val base = ev.groupBy(col("event_type"), col("hh"))
+        .agg(avg(col("value")).as("mu"), stddev_pop(col("value")).as("sigma"))
+      ev.join(broadcast(base), Seq("event_type", "hh"))
+        .withColumn("z", round((col("value") - col("mu")) / col("sigma"), 4))
+        .filter(col("sigma") > 0 && abs(col("z")) >= 2.0)
+        .select(col("event_id"), col("event_type"), col("hh"),
+          round(col("value"), 4).as("value"), col("z"))
+        .orderBy(col("event_id"))
+    }),
+
+    // KMV set-operation estimates across sketch pairs — what a sketch
+    // STORE is for: |A u B| comes from MERGING the two k-min arrays
+    // (exact: k smallest of a union of k-smallest sets), |A n B| by
+    // inclusion-exclusion, never re-scanning rows. The oracle computes
+    // the union estimate DIRECTLY from the raw rows (distinct hashes
+    // of users in either type), so the hash gate proves array-merge ==
+    // direct-sketch for every pair — the q27 property extended from
+    // rollup to set algebra. All 10 type pairs; the pair join is
+    // sketch-table-sized (|types| rows), broadcast by Catalyst.
+    "q34_kmv_intersect" -> ((s, dir) => {
+      import s.implicits._
+      val kmvSk = new graft.functions.SketchAgg.KMinValuesSketch(64)
+      def est(sk: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        when(size(sk) < 64, size(sk).cast("double"))
+          .otherwise(lit(63 * 4294967296.0) / greatest(element_at(sk, 64), lit(1L)))
+      val perType = Tables.events(s, dir)
+        .select(col("event_type"),
+          graft.operators.TextOps.portableHash32(col("user_id")).as("h"))
+        .as[(String, Long)]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(kmvSk.toColumn.name("sk"))
+        .toDF("event_type", "sk")
+      val a = perType.select(col("event_type").as("type_a"), col("sk").as("ska"))
+      val b = perType.select(col("event_type").as("type_b"), col("sk").as("skb"))
+      a.join(b, col("type_a") < col("type_b"))
+        .withColumn("sku", slice(array_sort(array_distinct(
+          concat(col("ska"), col("skb")))), 1, 64))
+        .select(col("type_a"), col("type_b"),
+          round(est(col("ska")), 6).as("est_a"),
+          round(est(col("skb")), 6).as("est_b"),
+          round(est(col("sku")), 6).as("est_union"),
+          round(est(col("ska")) + est(col("skb")) - est(col("sku")), 6)
+            .as("est_intersect"))
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
     // Semi/anti joins (EXISTS / NOT EXISTS): customers with vs without
     // orders, tagged and unioned; dims broadcast.
     "q16_semi_anti" -> ((s, dir) => {
@@ -889,6 +946,46 @@ object AnalyticsQueries {
        "round(MIN(value), 4) AS lo, round(MAX(value), 4) AS hi, " +
        "CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)/100.0 AS bucket_sum " +
        "FROM b GROUP BY event_type, bucket ORDER BY event_type, bucket"),
+    "q33_seasonal_anomaly" ->
+      ("WITH ev AS (SELECT event_id, event_type, " +
+       "CAST(EXTRACT(hour FROM ts) AS BIGINT) hh, value FROM events), " +
+       "s AS (SELECT event_id, event_type, hh, value, " +
+       "avg(value) OVER (PARTITION BY event_type, hh) mu, " +
+       "stddev_pop(value) OVER (PARTITION BY event_type, hh) sigma FROM ev) " +
+       "SELECT event_id, event_type, hh, round(value, 4) AS value, " +
+       "round((value - mu) / sigma, 4) AS z FROM s " +
+       "WHERE sigma > 0 AND abs(round((value - mu) / sigma, 4)) >= 2.0 " +
+       "ORDER BY event_id"),
+    "q34_kmv_intersect" ->
+      // union estimates compute DIRECTLY from raw rows; equality with
+      // Spark's array-merge derivation proves KMV set-algebra
+      // merge-exactness pair by pair. Ests stay UNROUNDED until the
+      // output edge (both engines), so inclusion-exclusion subtracts
+      // identical doubles.
+      ("WITH h AS (SELECT DISTINCT event_type, " +
+       "CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) hv FROM events), " +
+       "r AS (SELECT event_type, hv, " +
+       "row_number() OVER (PARTITION BY event_type ORDER BY hv) rn, " +
+       "COUNT(*) OVER (PARTITION BY event_type) n FROM h), " +
+       "t AS (SELECT event_type, CASE WHEN n < 64 THEN CAST(n AS DOUBLE) " +
+       "ELSE 63 * 4294967296.0 / greatest(hv, 1) END AS est " +
+       "FROM r WHERE rn = least(n, 64)), " +
+       "p AS (SELECT a.event_type type_a, a.est est_a, b.event_type type_b, b.est est_b " +
+       "FROM t a JOIN t b ON a.event_type < b.event_type), " +
+       "hu AS (SELECT p.type_a, p.type_b, h.hv FROM p JOIN h " +
+       "ON h.event_type = p.type_a OR h.event_type = p.type_b " +
+       "GROUP BY p.type_a, p.type_b, h.hv), " +
+       "ru AS (SELECT type_a, type_b, hv, " +
+       "row_number() OVER (PARTITION BY type_a, type_b ORDER BY hv) rn, " +
+       "COUNT(*) OVER (PARTITION BY type_a, type_b) n FROM hu), " +
+       "u AS (SELECT type_a, type_b, CASE WHEN n < 64 THEN CAST(n AS DOUBLE) " +
+       "ELSE 63 * 4294967296.0 / greatest(hv, 1) END AS est_union " +
+       "FROM ru WHERE rn = least(n, 64)) " +
+       "SELECT p.type_a, p.type_b, round(p.est_a, 6) AS est_a, " +
+       "round(p.est_b, 6) AS est_b, round(u.est_union, 6) AS est_union, " +
+       "round(p.est_a + p.est_b - u.est_union, 6) AS est_intersect " +
+       "FROM p JOIN u ON p.type_a = u.type_a AND p.type_b = u.type_b " +
+       "ORDER BY p.type_a, p.type_b"),
     "q31_topk_per_group" ->
       // the direct window formulation: equality proves the bounded
       // TopK aggregate selects exactly the window's ranked head

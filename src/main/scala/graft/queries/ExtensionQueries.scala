@@ -2761,6 +2761,36 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-stratum reservoir sample — "give me k uniform events per
+    // type" as ONE bounded aggregate: rank every event by a portable
+    // hash coin (hash order IS a uniform permutation, so the k
+    // smallest hashes are a uniform k-sample without replacement —
+    // and, unlike a true reservoir, replay-deterministic), and select
+    // them with the bounded [[graft.functions.SketchAgg.TopK]]
+    // aggregator (score = negated hash, ties to the lower event_id).
+    // Map-side partials ship <= k rows per type per partition — the
+    // distributed-reservoir property — where a window row_number would
+    // sort each stratum on one task.
+    "sample_reservoir" -> ((s, dir) => {
+      import s.implicits._
+      val topk = new graft.functions.SketchAgg.TopK(5)
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          TextOps.portableHash32(concat(lit("rsv|"),
+            col("event_id").cast("string"))).as("h"),
+          col("event_id"), col("user_id"))
+        .as[(String, Long, Long, Long)]
+        .groupByKey(_._1)
+        .mapValues(t => graft.functions.SketchAgg.TopKRow(-t._2, t._3, t._4))
+        .agg(topk.toColumn.name("top"))
+        .toDF("event_type", "top")
+        .select(col("event_type"), posexplode(col("top")).as(Seq("i0", "t")))
+        .select(col("event_type"), (col("i0") + 1).cast("long").as("rk"),
+          col("t.id").as("event_id"), col("t.payload").as("user_id"),
+          (-col("t.score")).as("h"))
+        .orderBy(col("event_type"), col("rk"))
+    }),
+
     // Deterministic train/val/test split — the canonical ML-data
     // assignment: a portable hash coin in [0, 100) maps to 90/5/5,
     // STRATIFIED by source (each source splits at the same rates, so
@@ -4278,6 +4308,16 @@ object ExtensionQueries {
       "SELECT doc_id, rank_ppm, coin FROM coined WHERE coin < rank_ppm // 4 " +
       "ORDER BY doc_id"
     },
+    "sample_reservoir" ->
+      // hash order is the uniform permutation; the window head replays
+      // the bounded TopK selection exactly (h asc, event_id tiebreak)
+      ("WITH t AS (SELECT event_type, event_id, user_id, " +
+       "CAST('0x' || substr(md5('rsv|' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) h " +
+       "FROM events), " +
+       "r AS (SELECT *, row_number() OVER (PARTITION BY event_type " +
+       "ORDER BY h, event_id) rk FROM t) " +
+       "SELECT event_type, CAST(rk AS BIGINT) AS rk, event_id, user_id, h " +
+       "FROM r WHERE rk <= 5 ORDER BY event_type, rk"),
     "export_splits" ->
       ("WITH t AS (SELECT source, doc_id, " +
        "CAST('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 coin " +

@@ -67,6 +67,46 @@ object StatefulOps {
         })
   }
 
+  case class ScoredEvent(event_type: String, cents: Long, event_id: Long,
+      user_id: Long)
+  case class TopSnapshot(event_type: String, rk: Long, event_id: Long,
+      user_id: Long, cents: Long, batches: Long)
+
+  implicit private val seEnc: Encoder[ScoredEvent] = Encoders.product[ScoredEvent]
+  implicit private val tsEnc: Encoder[TopSnapshot] = Encoders.product[TopSnapshot]
+  implicit private val tkEnc: Encoder[graft.functions.SketchAgg.TopKBuf] =
+    Encoders.product[graft.functions.SketchAgg.TopKBuf]
+
+  /** Running per-group top-k leaderboard across micro-batches — the
+    * streaming face of the SAME bounded [[graft.functions.SketchAgg
+    * .TopK]] buffer the batch `q31_topk_per_group` aggregates with:
+    * each batch folds its arrivals into a k-row buffer and MERGES with
+    * the k-row state (associativity is what makes the streaming and
+    * batch answers provably identical over the same rows — the spec
+    * pins that parity). State per group is O(k) forever; every batch
+    * re-emits the group's current top-k snapshot (Update semantics).
+    */
+  def runningTopK(events: Dataset[ScoredEvent], k: Int): Dataset[TopSnapshot] = {
+    implicit val strEnc: Encoder[String] = Encoders.STRING
+    implicit val stEnc: Encoder[(graft.functions.SketchAgg.TopKBuf, Long)] =
+      Encoders.tuple(tkEnc, Encoders.scalaLong)
+    val agg = new graft.functions.SketchAgg.TopK(k)
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (tpe: String, it: Iterator[ScoredEvent],
+            state: GroupState[(graft.functions.SketchAgg.TopKBuf, Long)]) => {
+          val (prev, batches) = state.getOption.getOrElse((agg.zero, 0L))
+          val batchBuf = it.foldLeft(agg.zero) { (b, e) =>
+            agg.reduce(b, graft.functions.SketchAgg.TopKRow(e.cents, e.event_id, e.user_id))
+          }
+          val merged = agg.merge(prev, batchBuf)
+          state.update((merged, batches + 1))
+          merged.rows.iterator.zipWithIndex.map { case (r, i) =>
+            TopSnapshot(tpe, i + 1L, r.id, r.payload, r.score, batches + 1)
+          }
+        })
+  }
+
   /** Running per-user totals across micro-batches: state survives
     * between batches and across checkpoint restarts.
     */

@@ -571,6 +571,30 @@ class PlanAuditSpec extends SparkSpec {
       s"per-type moments must broadcast-join back onto the scan:\n$p")
   }
 
+  test("grouped top-k: bounded aggregate, no per-group window, no group-sized collect") {
+    // the TopK Aggregator must plan as a (partial -> final) aggregate
+    // pair — never a Window partitioned on the low-cardinality group
+    // key, and never a collect_list that buffers the whole group
+    for (q <- Seq("q31_topk_per_group", "sample_reservoir")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q regressed to a window plan:\n$p")
+      assert(!p.contains("collect_list"), s"$q buffers whole groups:\n$p")
+    }
+  }
+
+  test("phrase search: fused map-side scan, no exchange before the output sort") {
+    val p = plan("search_phrase")
+    val n = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(n === 0, s"phrase adjacency must not shuffle the corpus:\n$p")
+  }
+
+  test("seasonal anomaly: baseline broadcasts back onto the scan") {
+    val p = plan("q33_seasonal_anomaly")
+    assert(!p.contains("Window"), s"q33 regressed to a window plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the (type, hour) baseline must broadcast-join back:\n$p")
+  }
+
   test("global equi-depth: windows only over the bounded quantized domain") {
     // the corpus-side path is scan -> map-side bucket expression ->
     // 10-row aggregate; the only window in the plan runs over the

@@ -65,6 +65,42 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("running top-k leaderboard: streaming snapshots match the batch TopK over the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StatefulOps.{ScoredEvent, TopSnapshot}
+    val in = MemoryStream[ScoredEvent]
+    val q = graft.streaming.StatefulOps.runningTopK(in.toDS(), k = 2)
+      .writeStream.format("memory").queryName("lead")
+      .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+    val b1 = Seq(ScoredEvent("a", 10, 1, 100), ScoredEvent("a", 30, 2, 200),
+      ScoredEvent("a", 20, 3, 300), ScoredEvent("b", 5, 4, 400))
+    val b2 = Seq(ScoredEvent("a", 25, 5, 500), ScoredEvent("b", 7, 6, 600),
+      // a score tie with event 2: lower event_id must win the rank
+      ScoredEvent("a", 30, 0, 700))
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      val last = spark.table("lead").as[TopSnapshot].collect()
+        .groupBy(_.event_type).map { case (t, rows) =>
+          val mb = rows.map(_.batches).max
+          t -> rows.filter(_.batches == mb).sortBy(_.rk)
+            .map(r => (r.rk, r.event_id, r.cents)).toSeq
+        }
+      // batch truth over ALL rows: a -> (30,#0), (30,#2); b -> 7, 5
+      assert(last("a") === Seq((1L, 0L, 30L), (2L, 2L, 30L)))
+      assert(last("b") === Seq((1L, 6L, 7L), (2L, 4L, 5L)))
+      // and the streaming result IS the batch aggregator's answer
+      val agg = new graft.functions.SketchAgg.TopK(2)
+      val direct = (b1 ++ b2).filter(_.event_type == "a")
+        .foldLeft(agg.zero)((b, e) =>
+          agg.reduce(b, graft.functions.SketchAgg.TopKRow(e.cents, e.event_id, e.user_id)))
+      assert(agg.finish(direct).map(r => (r.id, r.score)) === Seq((0L, 30L), (2L, 30L)))
+    } finally q.stop()
+  }
+
   test("timer gate drains a deferred URL with NO new event for its host") {
     // the case fMGWS cannot express: under NoTimeout a data-less group
     // is never invoked, so a quiet host's deferred queue starves. The
