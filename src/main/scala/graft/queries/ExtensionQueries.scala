@@ -1274,6 +1274,60 @@ object ExtensionQueries {
         .limit(5)
     }),
 
+    // Range search — the OTHER vector-serving API (FAISS range_search):
+    // every in-cell vector within a cosine RADIUS of the query, not a
+    // fixed k. Same zero-exchange shape as sim_ivf_topk (native seeded
+    // assignment, broadcast 1-row probe, literal-cell filter), but the
+    // tail is a threshold filter + order by id instead of
+    // TakeOrderedAndProject — the answer size is data-dependent, which
+    // is exactly why serving systems expose both APIs. round(6) before
+    // the >= gate (the shared cut contract).
+    "sim_range_search" -> ((s, dir) => {
+      val bank = seedCentroidBank(s, dir)
+      val qCell = assignSeededCells(
+          embWithNorm(s, dir).filter(col("vec_id") === 295), bank)
+        .select(col("v").as("qv"), col("nv").as("nq"), col("cell").as("qcell"))
+      assignSeededCells(embWithNorm(s, dir), bank).crossJoin(broadcast(qCell))
+        .filter(col("cell") === col("qcell") && col("vec_id") =!= 295)
+        .withColumn("cos_sim",
+          round(VectorOps.dot(col("qv"), col("v")) / sqrt(col("nq") * col("nv")), 6))
+        .filter(col("cos_sim") >= 0.1)
+        .select(col("vec_id"), col("cos_sim"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // BATCHED ANN serving — the throughput path: 4 queries share ONE
+    // corpus scan (the query table broadcasts; per-row work is 4 dot
+    // products) and the per-query top-5 comes from the bounded TopK
+    // aggregate keyed by query id — map-side partials ship <= 5 rows
+    // per query per partition, so the whole batch costs one scan + one
+    // k-bounded exchange no matter how many queries ride it. Scores
+    // rank as integer micro-cosines (round(cos * 1e6), identical in
+    // both engines) — the TopK buffer is integer-ordered, no double
+    // comparisons in state.
+    "sim_batch_topk" -> ((s, dir) => {
+      import s.implicits._
+      val topk = new graft.functions.SketchAgg.TopK(5)
+      val q = embWithNorm(s, dir)
+        .filter(col("vec_id").isin(290L, 291L, 292L, 293L))
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nv").as("nq"))
+      embWithNorm(s, dir).crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"),
+          round(VectorOps.dot(col("qv"), col("v")) / sqrt(col("nq") * col("nv"))
+            * 1e6).cast("long").as("score"),
+          col("vec_id"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .mapValues(t => graft.functions.SketchAgg.TopKRow(t._2, t._3, 0L))
+        .agg(topk.toColumn.name("top"))
+        .toDF("qid", "top")
+        .select(col("qid"), posexplode(col("top")).as(Seq("i0", "t")))
+        .select(col("qid"), (col("i0") + 1).cast("long").as("rk"),
+          col("t.id").as("vec_id"), (col("t.score") / 1e6).as("cos_sim"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // PRODUCTION twin of sim_ivf_topk: learned k ~ sqrt(n) quantizer +
     // multi-probe (2 nearest cells) for recall at cell boundaries.
     // Candidates scanned: probes * n/k = 2*sqrt(n), vs n/8 with fixed
@@ -1373,6 +1427,28 @@ object ExtensionQueries {
           (col("n_tokens") >= 10 && col("n_tokens") <= 120 && col("ttr") >= 0.15).cast("int"))
         .select(col("doc_id"), col("n_tokens"), col("avg_token_len"),
           col("stopword_ratio"), col("ttr"), col("is_quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Hapax legomena profile — the lexical-diversity signal text_quality's
+    // TTR misses: TTR says how many types a doc uses, the hapax ratio
+    // says how many it uses exactly ONCE (generated/templated text
+    // reuses its vocabulary; natural prose is hapax-heavy — the classic
+    // authorship/quality discriminator). Computed in O(n log n) per doc
+    // map-side: sort the token array once, a token is a hapax iff it
+    // differs from BOTH sorted neighbors — no per-type rescan of the
+    // doc (the naive distinct x count formulation is quadratic).
+    "text_hapax" -> ((s, dir) => {
+      val ws = TextOps.tokens(col("text"))
+      Tables.documents(s, dir)
+        .withColumn("sw", sort_array(ws))
+        .withColumn("n_tokens", size(col("sw")).cast("long"))
+        .withColumn("n_hapax", expr(
+          "CAST(size(filter(sequence(1, size(sw)), i -> " +
+          "(i = 1 OR element_at(sw, i) != element_at(sw, i - 1)) AND " +
+          "(i = size(sw) OR element_at(sw, i) != element_at(sw, i + 1)))) AS BIGINT)"))
+        .withColumn("hapax_ratio", round(col("n_hapax") / col("n_tokens"), 6))
+        .select(col("doc_id"), col("n_tokens"), col("n_hapax"), col("hapax_ratio"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2761,6 +2837,33 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Sequence packing for the dataloader — greedy first-fit in doc_id
+    // order into 512-subword-token bins, WITHIN (source, shard-of-256-
+    // docs) packing units: real distributed packers pack within a
+    // worker's shard precisely so no sequential dependency crosses
+    // workers, and that is what makes the prefix-sum window here scale
+    // (high-cardinality partition key, bounded rows per unit — NOT a
+    // per-source global cumsum). A doc that crosses the boundary opens
+    // the next bin (bin = exclusive-prefix div capacity), the standard
+    // streaming packer; per-bin fill ratios are the padding-waste
+    // metric export_length_buckets reports for the bucketed strategy.
+    "export_token_packing" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val n = TextOps.subwordCount(TextOps.tokens(col("text"))).cast("long")
+      val w = Window.partitionBy(col("source"), col("shard"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), n.as("n"))
+        .withColumn("shard", expr("doc_id div 256"))
+        .withColumn("cum", sum(col("n")).over(w))
+        .withColumn("bin", expr("(cum - n) div 512"))
+        .groupBy(col("source"), col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"),
+          round(sum(col("n")) / 512.0, 4).as("fill"))
+        .orderBy(col("source"), col("shard"), col("bin"))
+    }),
+
     // Per-stratum reservoir sample — "give me k uniform events per
     // type" as ONE bounded aggregate: rank every event by a portable
     // hash coin (hash order IS a uniform permutation, so the k
@@ -2977,6 +3080,22 @@ object ExtensionQueries {
         .select(col("rule"), col("n_checked"), col("n_violations"),
           (col("n_violations") === 0).cast("int").as("pass"))
         .orderBy(col("rule"))
+    }),
+
+    // Freshness audit — the dq_expectations sibling every ingestion SLA
+    // dashboard runs: per-partition (event_type) latest timestamp and
+    // its lag behind the table's global high-water mark. Two bounded
+    // aggregates (per-type, then a 1-row global max broadcast back);
+    // timestamps compare as integer epoch seconds, no format contract.
+    "dq_freshness" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val g = ev.agg(max(col("ts").cast("long")).as("hwm"))
+      ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), max(col("ts").cast("long")).as("latest_s"))
+        .crossJoin(broadcast(g))
+        .select(col("event_type"), col("n"), col("latest_s"),
+          (col("hwm") - col("latest_s")).as("lag_s"))
+        .orderBy(col("event_type"))
     }),
 
     // Z-order (Morton) clustering key — the lakehouse data-layout
@@ -3543,6 +3662,36 @@ object ExtensionQueries {
        "FROM embeddings, q WHERE vec_id <> 0) " +
        "SELECT vec_id, round(dot/sqrt(nq*nv), 6) AS cos_sim FROM s " +
        "ORDER BY cos_sim DESC, vec_id LIMIT 10"),
+    "sim_range_search" ->
+      // the sim_ivf_topk cell derivation with a radius cut instead of
+      // a LIMIT; round(6) before the >= gate in both engines
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings), " +
+       "c AS (SELECT vec_id cid, v cv FROM e WHERE vec_id < 32), " +
+       "scored AS (SELECT e.vec_id, c.cid, round(" +
+       "list_sum(list_transform(list_zip(e.v, c.cv), p -> p[1]*p[2])) / " +
+       "sqrt(list_sum(list_transform(e.v, x -> x*x)) * list_sum(list_transform(c.cv, x -> x*x)))" +
+       ", 6) cs FROM e CROSS JOIN c), " +
+       "cells AS (SELECT vec_id, cid AS cell FROM scored " +
+       "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) = 1), " +
+       "wc AS (SELECT e.vec_id, e.v, cells.cell FROM e JOIN cells USING (vec_id)), " +
+       "q AS (SELECT v qv, cell qcell FROM wc WHERE vec_id = 295), " +
+       "sc AS (SELECT wc.vec_id, round(" +
+       "list_sum(list_transform(list_zip(q.qv, wc.v), p -> p[1]*p[2])) / " +
+       "sqrt(list_sum(list_transform(q.qv, x -> x*x)) * list_sum(list_transform(wc.v, x -> x*x)))" +
+       ", 6) AS cos_sim FROM wc, q WHERE wc.cell = q.qcell AND wc.vec_id <> 295) " +
+       "SELECT vec_id, cos_sim FROM sc WHERE cos_sim >= 0.1 ORDER BY vec_id"),
+    "sim_batch_topk" ->
+      // 4 queries over one candidate derivation; integer micro-cosine
+      // ranks (round(cos * 1e6)) replayed identically
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings), " +
+       "q AS (SELECT vec_id qid, v qv FROM e WHERE vec_id IN (290, 291, 292, 293)), " +
+       "sc AS (SELECT q.qid, e.vec_id, CAST(round(" +
+       "list_sum(list_transform(list_zip(q.qv, e.v), p -> p[1]*p[2])) / " +
+       "sqrt(list_sum(list_transform(q.qv, x -> x*x)) * list_sum(list_transform(e.v, x -> x*x)))" +
+       " * 1000000) AS BIGINT) score FROM e CROSS JOIN q WHERE e.vec_id <> q.qid), " +
+       "r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) rk FROM sc) " +
+       "SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id, score/1000000.0 AS cos_sim " +
+       "FROM r WHERE rk <= 5 ORDER BY qid, rk"),
     "sim_sq8_topk" ->
       // min/max training, the pinned code assignment, and the affine
       // reconstruction replay exactly; round(6) absorbs summation-
@@ -4308,6 +4457,35 @@ object ExtensionQueries {
       "SELECT doc_id, rank_ppm, coin FROM coined WHERE coin < rank_ppm // 4 " +
       "ORDER BY doc_id"
     },
+    "export_token_packing" ->
+      // greedy first-fit replayed with the same exclusive-prefix bin
+      // rule over the same (source, shard) packing units
+      ("WITH t AS (SELECT source, doc_id, doc_id // 256 AS shard, " +
+       "CAST(list_sum(list_transform(string_split(text, ' '), " +
+       "w -> CAST(ceil(length(w)/4.0) AS BIGINT))) AS BIGINT) n FROM documents), " +
+       "c AS (SELECT *, SUM(n) OVER (PARTITION BY source, shard ORDER BY doc_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum FROM t), " +
+       "b AS (SELECT source, shard, CAST((cum - n) // 512 AS BIGINT) bin, n FROM c) " +
+       "SELECT source, shard, bin, COUNT(*) AS n_docs, " +
+       "CAST(SUM(n) AS BIGINT) AS n_tokens, " +
+       "round(CAST(SUM(n) AS BIGINT)/512.0, 4) AS fill " +
+       "FROM b GROUP BY source, shard, bin ORDER BY source, shard, bin"),
+    "dq_freshness" ->
+      ("WITH g AS (SELECT MAX(CAST(floor(epoch(ts)) AS BIGINT)) hwm FROM events), " +
+       "t AS (SELECT event_type, COUNT(*) n, " +
+       "MAX(CAST(floor(epoch(ts)) AS BIGINT)) latest_s FROM events GROUP BY event_type) " +
+       "SELECT event_type, n, latest_s, hwm - latest_s AS lag_s " +
+       "FROM t, g ORDER BY event_type"),
+    "text_hapax" ->
+      // sorted-neighbor hapax detection over the same token sort
+      ("WITH t AS (SELECT doc_id, list_sort(string_split(text, ' ')) sw FROM documents), " +
+       "h AS (SELECT doc_id, CAST(len(sw) AS BIGINT) n_tokens, " +
+       "CAST(len(list_filter(generate_series(1, len(sw)), i -> " +
+       "(i = 1 OR sw[i] != sw[i-1]) AND (i = len(sw) OR sw[i] != sw[i+1]))) AS BIGINT) n_hapax " +
+       "FROM t) " +
+       "SELECT doc_id, n_tokens, n_hapax, " +
+       "round(CAST(n_hapax AS DOUBLE) / n_tokens, 6) AS hapax_ratio " +
+       "FROM h ORDER BY doc_id"),
     "sample_reservoir" ->
       // hash order is the uniform permutation; the window head replays
       // the bounded TopK selection exactly (h asc, event_id tiebreak)
