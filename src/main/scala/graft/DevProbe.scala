@@ -24,41 +24,20 @@ object DevProbe {
       println(f"PROBE $name%-28s min=${rs.map(_._1).min}%7.3f s rows=${rs.head._2}")
     }
 
-    // ---- round-9 probes: pq scan cost, url canon HOF cost, image pairing ----
-    t("pq_full_query") { SparkEntry.queries("sim_pq_topk")(spark, sfDir).count() }
-    val pqPrebuilt = SparkEntry.queries("sim_pq_topk")(spark, sfDir)
-    t("pq_prebuilt_rerun") { pqPrebuilt.count() }
-    t("url_canon_full") { SparkEntry.queries("crawl_url_canon")(spark, sfDir).count() }
-    t("image_phash_full") { SparkEntry.queries("dedup_image_phash")(spark, sfDir).count() }
-    t("audio_shingle_full") { SparkEntry.queries("dedup_audio_shingle")(spark, sfDir).count() }
-
-    // url construction WITHOUT canonicalization: the floor under the query
-    val g = expr("doc_id div 4")
-    val hostBase = concat(lit("w"), (g % 97).cast("string"), lit(".example.org"))
-    val url = concat(
-      when(col("doc_id") % 3 === 0, lit("HTTPS")).otherwise(lit("https")),
-      lit("://"),
-      when(col("doc_id") % 2 === 1, upper(hostBase)).otherwise(hostBase),
-      when(col("doc_id") % 5 === 0, lit(":443")).otherwise(lit("")),
-      when(col("doc_id") % 11 === 0, lit("/%70/")).otherwise(lit("/p/")),
-      g.cast("string"),
-      when(col("doc_id") % 7 === 0, lit("/")).otherwise(lit("")),
-      lit("?"),
-      when(col("doc_id") % 3 === 1, lit("utm_source=feed&a=1&b=2"))
-        .otherwise(when(col("doc_id") % 2 === 0, lit("b=2&a=1"))
-          .otherwise(lit("a=1&b=2"))),
-      when(col("doc_id") % 2 === 0, lit("&c=x%2fy")).otherwise(lit("&c=x%2Fy")),
-      when(col("doc_id") % 4 === 1,
-        concat(lit("#s"), col("doc_id").cast("string"))).otherwise(lit("")))
-    t("url_no_canon_floor") {
-      docs.select(col("doc_id"), url.as("raw_url"))
-        .groupBy(col("raw_url")).agg(count(lit(1)).as("n"))
-        .orderBy(col("raw_url")).count()
+    // ---- round-10 probes: new-query costs vs scan floor ----
+    t("phrase_full") { SparkEntry.queries("search_phrase")(spark, sfDir).count() }
+    t("phrase_floor_split") {
+      docs.select(size(split(col("text"), " ")).as("n"))
+        .agg(sum(col("n"))).count()
     }
-    t("url_percent_only") {
-      docs.select(graft.operators.UrlOps.normalizePercent(url).as("u"))
-        .groupBy(col("u")).agg(count(lit(1)).as("n")).count()
+    t("phrase_contains_floor") {
+      docs.filter(col("text").contains("key agg")).count()
     }
+    t("profile_full") { SparkEntry.queries("profile_columns")(spark, sfDir).count() }
+    t("q29b_full") { SparkEntry.queries("q29b_equidepth_global")(spark, sfDir).count() }
+    t("q31_topk_full") { SparkEntry.queries("q31_topk_per_group")(spark, sfDir).count() }
+    t("text_hapax_full") { SparkEntry.queries("text_hapax")(spark, sfDir).count() }
+    t("sample_rank_weighted") { SparkEntry.queries("sample_rank_weighted")(spark, sfDir).count() }
     spark.stop()
   }
 }

@@ -57,6 +57,41 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** One-pass positional phrase-occurrence count: adjacent token pairs
+  * (w1, w2) in a space-delimited text, OVERLAPPING occurrences counted
+  * (postings semantics — replace()-style counting undercounts when the
+  * phrase can self-overlap). The HOF formulation (a lambda filter over
+  * `sequence(1, size-1)` with two element_at probes per position) runs
+  * interpreted and re-enters the lambda machinery per token — measured
+  * ~15x this expression's cost at sf0.1; this walks the token stream
+  * once per row inside whole-stage codegen.
+  */
+case class PhraseCount(child: Expression, w1: String, w2: String)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"phrase_count requires a string input, got ${child.dataType.sql}")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "phrase_count"
+
+  /** Row-level entry point shared by eval and generated code. */
+  def count(t: UTF8String): Long = TextExpressions.phraseCount(t, w1, w2)
+
+  override def nullSafeEval(input: Any): Any =
+    count(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("phraseCount", this, classOf[PhraseCount].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.count($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Distinct word shingles in one pass: [[WordShingles]] + dedup, so the
   * downstream `explode` consumes a ready array with no `array_distinct`
   * (a per-element hash-set pass over interpreted equality) in between.
@@ -596,6 +631,26 @@ object TextExpressions {
   /** Column facade: one-pass top-n-gram fraction of `text`. */
   def top_gram_frac(text: Column, n: Int): Column =
     bridge.column(TopGramFrac(bridge.expression(text), n))
+
+  /** One-pass adjacent-pair phrase count (see [[PhraseCount]]). Token
+    * boundaries are SINGLE spaces — split(" ", -1) semantics, matching
+    * `TextOps.tokens` (adjacent separators yield empty tokens, which
+    * can never equal a query word).
+    */
+  def phraseCount(text: UTF8String, w1: String, w2: String): Long = {
+    val toks = text.toString.split(" ", -1)
+    var c = 0L
+    var i = 0
+    while (i + 1 < toks.length) {
+      if (toks(i) == w1 && toks(i + 1) == w2) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** Column facade: positional phrase-occurrence count of (w1, w2). */
+  def phrase_count(text: Column, w1: String, w2: String): Column =
+    bridge.column(PhraseCount(bridge.expression(text), w1, w2))
 
   /** One-pass overlapping chunk windows (see [[WordChunks]]).
     * Chunk count = ceil((numTokens - size) / stride) + 1, floored at 1

@@ -616,47 +616,34 @@ object AnalyticsQueries {
     }),
 
     // Single-pass column profiler — the data-quality sibling every
-    // warehouse ships (null rates, distinct counts, ranges) as ONE
-    // scan over orders: all per-column aggregates compute in the same
-    // stage (count_distinct adds its expand exchange; everything else
-    // is map-side partials), then unpivot to the (column, stats) shape
-    // profiling UIs consume. Values normalize to BIGINT (cents for
-    // money, epoch days for dates) so both engines emit identical
-    // numbers with no float or format contract.
+    // warehouse ships (null rates, distinct counts, ranges). NOT the
+    // multi-countDistinct formulation: Catalyst plans that as an
+    // Expand multiplying every row by (#distinct aggs + 1) — measured
+    // ~1 s at sf0.1 vs this plan's ~0.3 s. Instead each row unpivots
+    // map-side into (column, value) pairs (stack — rows x 4, cheap
+    // narrow rows), ONE exchange aggregates them to the per-column
+    // VALUE HISTOGRAM (map-side combine collapses repeats before the
+    // wire), and every profile stat — row count, null count, distinct
+    // count, min, max — derives from that bounded table. Values
+    // normalize to BIGINT (cents for money, epoch days for dates) so
+    // both engines emit identical numbers with no float contract.
     "profile_columns" -> ((s, dir) => {
-      val o = Tables.orders(s, dir)
+      Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_custkey"),
           asInt(col("o_totalprice"), 100L).as("price_cents"),
           datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
             .cast("long").as("date_days"))
-      val prof = o.agg(
-        count(lit(1)).as("n"),
-        count(col("o_orderkey")).as("nn_orderkey"),
-        countDistinct(col("o_orderkey")).as("nd_orderkey"),
-        min(col("o_orderkey")).as("min_orderkey"),
-        max(col("o_orderkey")).as("max_orderkey"),
-        count(col("o_custkey")).as("nn_custkey"),
-        countDistinct(col("o_custkey")).as("nd_custkey"),
-        min(col("o_custkey")).as("min_custkey"),
-        max(col("o_custkey")).as("max_custkey"),
-        count(col("price_cents")).as("nn_price"),
-        countDistinct(col("price_cents")).as("nd_price"),
-        min(col("price_cents")).as("min_price"),
-        max(col("price_cents")).as("max_price"),
-        count(col("date_days")).as("nn_date"),
-        countDistinct(col("date_days")).as("nd_date"),
-        min(col("date_days")).as("min_date"),
-        max(col("date_days")).as("max_date"))
-      prof.select(col("n"), expr(
-        "stack(4, " +
-        "'o_orderkey', nn_orderkey, nd_orderkey, min_orderkey, max_orderkey, " +
-        "'o_custkey', nn_custkey, nd_custkey, min_custkey, max_custkey, " +
-        "'o_totalprice_cents', nn_price, nd_price, min_price, max_price, " +
-        "'o_orderdate_days', nn_date, nd_date, min_date, max_date) " +
-        "AS (column_name, n_filled, n_distinct, min_v, max_v)"))
-        .select(col("column_name"), col("n").as("n_rows"),
-          (col("n") - col("n_filled")).as("n_null"),
-          col("n_distinct"), col("min_v"), col("max_v"))
+        .select(expr(
+          "stack(4, 'o_orderkey', o_orderkey, 'o_custkey', o_custkey, " +
+          "'o_totalprice_cents', price_cents, 'o_orderdate_days', date_days) " +
+          "AS (column_name, v)"))
+        .groupBy(col("column_name"), col("v"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("column_name"))
+        .agg(sum(col("c")).as("n_rows"),
+          coalesce(sum(when(col("v").isNull, col("c"))), lit(0L)).as("n_null"),
+          count(col("v")).as("n_distinct"),
+          min(col("v")).as("min_v"), max(col("v")).as("max_v"))
         .orderBy(col("column_name"))
     }),
 

@@ -2643,19 +2643,15 @@ object ExtensionQueries {
     // joined on (doc, pos+1)); for a 2-term phrase the fused scan IS
     // the cheaper plan at any corpus size — it reads each doc once and
     // never materializes the posting stream.
-    "search_phrase" -> ((s, dir) => {
-      val ws = TextOps.tokens(col("text"))
+    "search_phrase" -> ((s, dir) =>
+      // native one-pass PhraseCount: the HOF lambda-filter formulation
+      // ran interpreted at ~15x this cost (see the expression Scaladoc)
       Tables.documents(s, dir)
-        .select(col("doc_id"), ws.as("ws"))
-        .withColumn("n_matches",
-          when(size(col("ws")) < 2, lit(0L))
-            .otherwise(expr("size(filter(sequence(1, size(ws) - 1), " +
-              "i -> element_at(ws, CAST(i AS INT)) = 'key' AND " +
-              "element_at(ws, CAST(i AS INT) + 1) = 'agg'))").cast("long")))
+        .select(col("doc_id"),
+          graft.functions.TextExpressions.phrase_count(col("text"), "key", "agg")
+            .as("n_matches"))
         .filter(col("n_matches") > 0)
-        .select(col("doc_id"), col("n_matches"))
-        .orderBy(col("doc_id"))
-    }),
+        .orderBy(col("doc_id"))),
 
     // TF-IDF keyword extraction: top-3 salient terms per doc — the
     // per-document summary view of curation dashboards and the feature
