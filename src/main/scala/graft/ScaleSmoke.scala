@@ -89,8 +89,15 @@ object ScaleSmoke {
         "crawl_hits", "corpus_cms_counts", "export_splits",
         "export_split_leakage", "export_split_clustered",
         "text_bigram_logprob", "export_length_buckets",
-        "sim_ivfpq_multiprobe_topk")) { // (dq_expectations reads the
-        // events table, which this documents/embeddings corpus lacks)
+        "sim_ivfpq_multiprobe_topk",
+        // round-10 additions: native phrase scan + hapax sort over 10x
+        // docs, sequence packing (10x docs = 10x packing units, bins
+        // per unit unchanged), trained-PQ ADC + range + batched probes
+        // over 10x codes/candidates
+        "search_phrase", "text_hapax", "export_token_packing",
+        "sim_pq_topk_trained", "sim_range_search", "sim_batch_topk")) {
+        // (the events-table queries — q31-q34, sample_reservoir,
+        // dq_freshness — can't run here: this corpus has no events)
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).count()
       println(f"$q%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $n%10d rows")

@@ -789,7 +789,17 @@ object TextExpressions {
     "minhash_slices" -> (exprs => MinHashSlices(exprs.head, intArg(exprs, 1))),
     "top_gram_frac" -> (exprs => TopGramFrac(exprs.head, intArg(exprs, 1))),
     "word_chunks" -> (exprs => WordChunks(exprs.head, intArg(exprs, 1), intArg(exprs, 2))),
-    "percent_normalize" -> (exprs => PercentNormalize(exprs.head)))
+    "percent_normalize" -> (exprs => PercentNormalize(exprs.head)),
+    "phrase_count" -> (exprs => PhraseCount(exprs.head,
+      strArg(exprs, 1), strArg(exprs, 2))))
+
+  private def strArg(exprs: Seq[Expression], i: Int): String =
+    exprs(i) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: UTF8String, StringType) =>
+        v.toString
+      case other => throw new IllegalArgumentException(
+        s"argument ${i + 1} must be a string literal, got $other")
+    }
 
   /** Optional SQL registration of every native text expression, so the
     * engine's SQL surface matches the DataFrame one:

@@ -727,6 +727,62 @@ object AnalyticsQueries {
         .orderBy(col("type_a"), col("type_b"))
     }),
 
+    // SCD Type-2 interval reconstruction — turn an append-only change
+    // log into validity windows ([ts, next ts) per user, NULL-open for
+    // the current version): the warehouse primitive behind every
+    // point-in-time dimension. ONE window exchange on the
+    // HIGH-cardinality user key (each user's history sorts
+    // independently — this is the window shape that scales, unlike the
+    // per-type windows q25/q29 replaced); versions then roll up per
+    // type with total covered duration in integer seconds.
+    "q35_scd2_intervals" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .withColumn("dur_s",
+          col("valid_to").cast("long") - col("ts").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_versions"),
+          sum(when(col("valid_to").isNull, 1L).otherwise(0L)).as("n_current"),
+          sum(coalesce(col("dur_s"), lit(0L))).as("total_dur_s"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Robust center/spread per type — exact MEDIAN + MAD (median
+    // absolute deviation), the outlier-resistant twin of q25's
+    // mean/sigma, derived WITHOUT any per-type sort: two passes of the
+    // q29b quantized-CDF pattern (integer cents, per-type cumulative
+    // counts over the DISTINCT value domain — bounded by the value
+    // range, not the corpus; median = least value whose cumulative
+    // count reaches ceil(n/2), then the same over |v - median|). The
+    // ~|types|-row median/MAD tables broadcast back; everything is
+    // integer arithmetic, replayed exactly by the oracle.
+    "q36_mad_robust" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), asInt(col("value"), 100L).as("vc"))
+      val tot = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      def leastAtHalf(df: DataFrame, valueCol: String, out: String): DataFrame =
+        df.groupBy(col("event_type"), col(valueCol)).agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum(col("c")).over(
+            Window.partitionBy(col("event_type")).orderBy(col(valueCol))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .join(broadcast(tot), Seq("event_type"))
+          .filter(col("cum") >= expr("(n + 1) div 2"))
+          .groupBy(col("event_type")).agg(min(col(valueCol)).as(out))
+      val med = leastAtHalf(ev, "vc", "med_vc")
+      val dev = ev.join(broadcast(med), Seq("event_type"))
+        .select(col("event_type"), abs(col("vc") - col("med_vc")).as("dv"))
+      val mad = leastAtHalf(dev, "dv", "mad_vc")
+      tot.join(broadcast(med), Seq("event_type"))
+        .join(broadcast(mad), Seq("event_type"))
+        .select(col("event_type"), col("n"),
+          (col("med_vc") / 100.0).as("median_value"),
+          (col("mad_vc") / 100.0).as("mad_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // Semi/anti joins (EXISTS / NOT EXISTS): customers with vs without
     // orders, tagged and unioned; dims broadcast.
     "q16_semi_anti" -> ((s, dir) => {
@@ -933,6 +989,33 @@ object AnalyticsQueries {
        "round(MIN(value), 4) AS lo, round(MAX(value), 4) AS hi, " +
        "CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)/100.0 AS bucket_sum " +
        "FROM b GROUP BY event_type, bucket ORDER BY event_type, bucket"),
+    "q35_scd2_intervals" ->
+      ("WITH s AS (SELECT event_type, " +
+       "CAST(floor(epoch(ts)) AS BIGINT) ts_s, " +
+       "lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER " +
+       "(PARTITION BY user_id ORDER BY ts, event_id) next_s " +
+       "FROM events) " +
+       "SELECT event_type, COUNT(*) AS n_versions, " +
+       "CAST(SUM(CASE WHEN next_s IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_current, " +
+       "CAST(SUM(COALESCE(next_s - ts_s, 0)) AS BIGINT) AS total_dur_s " +
+       "FROM s GROUP BY event_type ORDER BY event_type"),
+    "q36_mad_robust" ->
+      // the same integer CDF derivation, twice: median = least vc with
+      // cum >= ceil(n/2); MAD = the same over |vc - median|
+      ("WITH e AS (SELECT event_type, CAST(round(value*100) AS BIGINT) vc FROM events), " +
+       "tot AS (SELECT event_type, COUNT(*) n FROM e GROUP BY event_type), " +
+       "cdf AS (SELECT event_type, vc, COUNT(*) c FROM e GROUP BY event_type, vc), " +
+       "cum AS (SELECT event_type, vc, SUM(c) OVER (PARTITION BY event_type ORDER BY vc) cum FROM cdf), " +
+       "med AS (SELECT t.event_type, MIN(vc) med_vc FROM tot t JOIN cum " +
+       "ON cum.event_type = t.event_type AND cum.cum >= (t.n + 1) // 2 GROUP BY t.event_type), " +
+       "d AS (SELECT e.event_type, abs(e.vc - m.med_vc) dv FROM e JOIN med m ON e.event_type = m.event_type), " +
+       "dcdf AS (SELECT event_type, dv, COUNT(*) c FROM d GROUP BY event_type, dv), " +
+       "dcum AS (SELECT event_type, dv, SUM(c) OVER (PARTITION BY event_type ORDER BY dv) cum FROM dcdf), " +
+       "mad AS (SELECT t.event_type, MIN(dv) mad_vc FROM tot t JOIN dcum " +
+       "ON dcum.event_type = t.event_type AND dcum.cum >= (t.n + 1) // 2 GROUP BY t.event_type) " +
+       "SELECT t.event_type, t.n, m.med_vc/100.0 AS median_value, x.mad_vc/100.0 AS mad_value " +
+       "FROM tot t JOIN med m ON t.event_type = m.event_type " +
+       "JOIN mad x ON t.event_type = x.event_type ORDER BY t.event_type"),
     "q33_seasonal_anomaly" ->
       ("WITH ev AS (SELECT event_id, event_type, " +
        "CAST(EXTRACT(hour FROM ts) AS BIGINT) hh, value FROM events), " +

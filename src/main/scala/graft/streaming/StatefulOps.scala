@@ -107,6 +107,38 @@ object StatefulOps {
         })
   }
 
+  case class EwmaSnapshot(key: String, batch_cents: Long, ewma_cents: Long,
+      batches: Long)
+  implicit private val ewEnc: Encoder[EwmaSnapshot] = Encoders.product[EwmaSnapshot]
+
+  /** Streaming face of the q32 fixed-point EWMA: per key, each
+    * micro-batch contributes its integer-cents total and the state
+    * advances by the SAME alpha=1/4 recurrence e' = (c + 3e) div 4 —
+    * O(1) state per key, bit-exact and replay-deterministic (no
+    * wall-clock in the arithmetic; the batch is the time step, which
+    * is exactly how metric pipelines run EWMA over fixed ingest
+    * windows). First batch seeds e = c, like the batch query's first
+    * calendar day.
+    */
+  def runningEwma(events: Dataset[(String, Long)]): Dataset[EwmaSnapshot] = {
+    implicit val strEnc: Encoder[String] = Encoders.STRING
+    implicit val inEnc: Encoder[(String, Long)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
+    implicit val stEnc: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: String, it: Iterator[(String, Long)],
+            state: GroupState[(Long, Long)]) => {
+          val (prevE, batches) = state.getOption.getOrElse((0L, 0L))
+          var c = 0L
+          it.foreach(c += _._2)
+          val e = if (batches == 0L) c else (c + 3L * prevE) / 4L
+          state.update((e, batches + 1))
+          Iterator(EwmaSnapshot(key, c, e, batches + 1))
+        })
+  }
+
   /** Running per-user totals across micro-batches: state survives
     * between batches and across checkpoint restarts.
     */

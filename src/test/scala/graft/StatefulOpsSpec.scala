@@ -101,6 +101,30 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("running EWMA advances the q32 fixed-point recurrence per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StatefulOps.EwmaSnapshot
+    val in = MemoryStream[(String, Long)]
+    val q = graft.streaming.StatefulOps.runningEwma(in.toDS())
+      .writeStream.format("memory").queryName("ewma")
+      .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(("a", 40L), ("a", 60L), ("b", 8L)) // a: c=100 -> e=100
+      q.processAllAvailable()
+      in.addData(("a", 60L))                        // a: (60 + 300)/4 = 90
+      q.processAllAvailable()
+      in.addData(("a", 10L), ("b", 4L))             // a: (10 + 270)/4 = 70
+      q.processAllAvailable()
+      val last = spark.table("ewma").as[EwmaSnapshot].collect()
+        .groupBy(_.key).map { case (k, rs) => k -> rs.maxBy(_.batches) }
+      assert(last("a") === EwmaSnapshot("a", 10L, 70L, 3L))
+      // b saw batches 1 and 3 only: fMGWS skips data-less groups, so
+      // its recurrence advances per OBSERVED batch: e = (4 + 24)/4 = 7
+      assert(last("b") === EwmaSnapshot("b", 4L, 7L, 2L))
+    } finally q.stop()
+  }
+
   test("timer gate drains a deferred URL with NO new event for its host") {
     // the case fMGWS cannot express: under NoTimeout a data-less group
     // is never invoked, so a quiet host's deferred queue starves. The
