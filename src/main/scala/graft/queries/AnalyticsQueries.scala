@@ -727,6 +727,83 @@ object AnalyticsQueries {
         .orderBy(col("type_a"), col("type_b"))
     }),
 
+    // Tolerance-bounded as-of join — the feature-store variant of q13
+    // (pandas merge_asof's `tolerance`): a match older than 7 days is
+    // STALE and must surface as NULL, not silently join (the
+    // point-in-time-correctness rule that keeps training features from
+    // leaking ancient state). Same one-shuffle tagged-union window as
+    // q13; the tolerance is a post-window null-out, so the scale shape
+    // is unchanged. Output adds the staleness age in integer seconds.
+    "q37_asof_tolerance" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("signup", "purchase"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("signup_ts",
+          max(when(col("event_type") === "signup", col("ts"))).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("age_s",
+          col("ts").cast("long") - col("signup_ts").cast("long"))
+        .withColumn("signup_ts",
+          when(col("age_s") <= 7L * 86400L, col("signup_ts")))
+        .withColumn("age_s",
+          when(col("signup_ts").isNotNull, col("age_s")))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("signup_ts"), col("age_s"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Concurrency sweep over sessionized intervals — "how many session
+    // pairs overlapped, and what was peak concurrency, per day" WITHOUT
+    // enumerating the quadratic pair set: the classic sweep-line, as
+    // Spark windows. Session intervals come from the q14 sessionize
+    // logic; each emits a +1 boundary at its (day-clamped) start and
+    // -1 one microsecond after its end, the per-START-DAY ordered
+    // window keeps the running active count, and total overlapping
+    // pairs = sum over starts of the count already active (each start
+    // pairs with everything currently open). Partitioning by the
+    // session's start day bounds the window task (sessions per day,
+    // never the corpus) and keeps every session's two boundaries in
+    // one partition; the documented semantics is overlap among
+    // same-start-day sessions. Boundary ties order (-1 before +1), so
+    // a session starting exactly 1 us after another ends does NOT
+    // count as overlapping, while closed-interval touching (s' = e)
+    // does.
+    "q38_concurrency_sweep" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val run = byUser.rowsBetween(Window.unboundedPreceding, 0)
+      val sess = Tables.events(s, dir)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+        .withColumn("is_new",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+        .withColumn("session_seq", sum(col("is_new")).over(run))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min(unix_micros(col("ts"))).as("s_us"),
+          max(unix_micros(col("ts"))).as("e_us"))
+      // boundary stream: (+1 at start, -1 just after end); ties order
+      // (time, -delta, user) so an interval ending exactly when another
+      // starts still counts as overlapping (closed intervals, the
+      // convention the oracle replays)
+      val bounds = sess.select(to_date(timestamp_micros(col("s_us"))).as("d"),
+          col("s_us").as("t_us"), lit(1L).as("delta"), col("user_id"))
+        .unionByName(sess.select(to_date(timestamp_micros(col("s_us"))).as("d"),
+          (col("e_us") + 1L).as("t_us"), lit(-1L).as("delta"), col("user_id")))
+      val sweep = Window.partitionBy(col("d"))
+        .orderBy(col("t_us"), col("delta"), col("user_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      bounds
+        .withColumn("active", sum(col("delta")).over(sweep))
+        .groupBy(col("d"))
+        .agg(max(col("active")).as("peak_concurrency"),
+          sum(when(col("delta") === 1L, col("active") - 1L).otherwise(0L))
+            .as("overlap_pairs"),
+          sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_sessions"))
+        .orderBy(col("d"))
+    }),
+
     // SCD Type-2 interval reconstruction — turn an append-only change
     // log into validity windows ([ts, next ts) per user, NULL-open for
     // the current version): the warehouse primitive behind every
@@ -989,6 +1066,34 @@ object AnalyticsQueries {
        "round(MIN(value), 4) AS lo, round(MAX(value), 4) AS hi, " +
        "CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)/100.0 AS bucket_sum " +
        "FROM b GROUP BY event_type, bucket ORDER BY event_type, bucket"),
+    "q37_asof_tolerance" ->
+      // native ASOF LEFT JOIN + the 7-day staleness null-out
+      ("WITH a AS (SELECT p.event_id, p.user_id, p.ts, s.ts AS raw_signup, " +
+       "CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(s.ts)) AS BIGINT) AS raw_age " +
+       "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
+       "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s " +
+       "ON p.user_id = s.user_id AND s.ts <= p.ts) " +
+       "SELECT event_id, user_id, ts, " +
+       "CASE WHEN raw_age <= 604800 THEN raw_signup END AS signup_ts, " +
+       "CASE WHEN raw_age <= 604800 THEN raw_age END AS age_s " +
+       "FROM a ORDER BY event_id"),
+    "q38_concurrency_sweep" ->
+      // the sweep replayed: same session derivation as q14, boundaries
+      // at (s_us, +1) and (e_us + 1, -1), ties -1 first
+      ("WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) us FROM events), " +
+       "l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev_us FROM e), " +
+       "m AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END is_new FROM l), " +
+       "sq AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) session_seq FROM m), " +
+       "sess AS (SELECT user_id, session_seq, MIN(us) s_us, MAX(us) e_us FROM sq GROUP BY user_id, session_seq), " +
+       "b AS (SELECT CAST(make_timestamp(s_us) AS DATE) d, s_us t_us, 1 AS delta, user_id FROM sess " +
+       "UNION ALL SELECT CAST(make_timestamp(s_us) AS DATE), e_us + 1, -1, user_id FROM sess), " +
+       "sw AS (SELECT d, delta, SUM(delta) OVER (PARTITION BY d ORDER BY t_us, delta, user_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) active FROM b) " +
+       "SELECT d, CAST(MAX(active) AS BIGINT) AS peak_concurrency, " +
+       "CAST(SUM(CASE WHEN delta = 1 THEN active - 1 ELSE 0 END) AS BIGINT) AS overlap_pairs, " +
+       "CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions " +
+       "FROM sw GROUP BY d ORDER BY d"),
     "q35_scd2_intervals" ->
       ("WITH s AS (SELECT event_type, " +
        "CAST(floor(epoch(ts)) AS BIGINT) ts_s, " +
