@@ -902,4 +902,61 @@ class ExtensionInvariantsSpec extends SparkSpec {
       assert(hubs.sum / hubs.size > cold.sum / cold.size,
         "high in-degree nodes must average a higher rank")
   }
+
+  test("concurrency sweep equals brute-force pair enumeration") {
+    // the sweep-line (boundaries at s and e+1, remove-first ties) is
+    // subtle enough to deserve an independent oracle: enumerate every
+    // same-start-day session pair at sf0.001 and count closed-interval
+    // overlaps directly, plus peak concurrency by point-probing every
+    // boundary instant. Both must match the query's sweep output.
+    import org.apache.spark.sql.functions._
+    val rows = q("q38_concurrency_sweep")
+      .select(col("d").cast("string"), col("peak_concurrency"),
+        col("overlap_pairs"), col("n_sessions"))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // re-derive the session intervals exactly as the query does
+    val sess = q("q14_sessionize")
+      .select(col("user_id"), col("session_seq"),
+        unix_micros(col("sess_start")).as("s"), unix_micros(col("sess_end")).as("e"),
+        to_date(col("sess_start")).cast("string").as("d"))
+      .as[(Long, Long, Long, Long, String)].collect()
+    val byDay = sess.groupBy(_._5)
+    assert(byDay.keySet === rows.keySet)
+    for ((day, ss) <- byDay) {
+      val iv = ss.map(s => (s._3, s._4)).toSeq
+      var pairs = 0L
+      for (i <- iv.indices; j <- (i + 1) until iv.length) {
+        val (s1, e1) = iv(i); val (s2, e2) = iv(j)
+        if (s1 <= e2 && s2 <= e1) pairs += 1
+      }
+      val peak = iv.flatMap { case (s, e) => Seq(s, e) }.distinct
+        .map(t => iv.count { case (s, e) => s <= t && t <= e }).max
+      val (_, gotPeak, gotPairs, gotN) = rows(day)
+      assert(gotN === iv.length.toLong, s"$day session count")
+      assert(gotPairs === pairs, s"$day overlap pairs")
+      assert(gotPeak === peak.toLong, s"$day peak concurrency")
+    }
+  }
+
+  test("MAD invariants: half the mass within one MAD of the median") {
+    // the defining property of median/MAD: per type, >= ceil(n/2) of
+    // the values sit at |v - median| <= MAD, and fewer than ceil(n/2)
+    // sit strictly inside MAD - 1 cent (minimality of the CDF cut)
+    import org.apache.spark.sql.functions._
+    val stats = q("q36_mad_robust")
+      .select(col("event_type"), col("n"), col("median_value"), col("mad_value"))
+      .as[(String, Long, Double, Double)].collect()
+    val vals = Tables.events(spark, sf0001)
+      .select(col("event_type"), round(col("value") * 100).cast("long"))
+      .as[(String, Long)].collect().groupBy(_._1)
+    for ((tpe, n, med, mad) <- stats) {
+      val vc = vals(tpe).map(_._2)
+      val medC = math.round(med * 100); val madC = math.round(mad * 100)
+      val half = (n + 1) / 2
+      assert(vc.count(v => math.abs(v - medC) <= madC) >= half, s"$tpe: MAD too small")
+      assert(vc.count(v => math.abs(v - medC) <= madC - 1) < half, s"$tpe: MAD not minimal")
+      assert(vc.count(_ <= medC) >= half && vc.count(_ >= medC) >= n - half + 1,
+        s"$tpe: median not a median")
+    }
+  }
 }
