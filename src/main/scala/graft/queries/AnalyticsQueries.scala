@@ -727,6 +727,31 @@ object AnalyticsQueries {
         .orderBy(col("type_a"), col("type_b"))
     }),
 
+    // Time-weighted average — the metrics-pipeline aggregate a plain
+    // AVG silently gets wrong (a value held for an hour must weigh
+    // 3600x one held a second): per user, each event's value holds
+    // until the next event, TWA = integral / observed span. One
+    // window exchange on the high-cardinality user key; weights are
+    // integer cents x integer seconds (BIGINT-exact sums), the single
+    // rounded double is the final ratio. Single-event users (no span)
+    // are excluded — the documented domain.
+    "q39_time_weighted_avg" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("t_s", col("ts").cast("long"))
+        .withColumn("next_s", lead(col("t_s"), 1).over(w))
+        .withColumn("wt", asInt(col("value"), 100L) * (col("next_s") - col("t_s")))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("t_s")) - min(col("t_s"))).as("dur_s"),
+          sum(col("wt")).as("wsum"))
+        .filter(col("dur_s") > 0)
+        .select(col("user_id"), col("n_events"), col("dur_s"),
+          round(col("wsum") / (col("dur_s") * 100.0), 4).as("twa_value"))
+        .orderBy(col("user_id"))
+    }),
+
     // Tolerance-bounded as-of join — the feature-store variant of q13
     // (pandas merge_asof's `tolerance`): a match older than 7 days is
     // STALE and must surface as NULL, not silently join (the
@@ -1066,6 +1091,16 @@ object AnalyticsQueries {
        "round(MIN(value), 4) AS lo, round(MAX(value), 4) AS hi, " +
        "CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)/100.0 AS bucket_sum " +
        "FROM b GROUP BY event_type, bucket ORDER BY event_type, bucket"),
+    "q39_time_weighted_avg" ->
+      ("WITH e AS (SELECT user_id, event_id, ts, " +
+       "CAST(floor(epoch(ts)) AS BIGINT) t_s, " +
+       "CAST(round(value*100) AS BIGINT) vc FROM events), " +
+       "l AS (SELECT *, lead(t_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) next_s FROM e), " +
+       "g AS (SELECT user_id, COUNT(*) n_events, MAX(t_s) - MIN(t_s) AS dur_s, " +
+       "CAST(SUM(vc * (next_s - t_s)) AS BIGINT) wsum FROM l GROUP BY user_id) " +
+       "SELECT user_id, n_events, dur_s, " +
+       "round(wsum / (dur_s * 100.0), 4) AS twa_value " +
+       "FROM g WHERE dur_s > 0 ORDER BY user_id"),
     "q37_asof_tolerance" ->
       // native ASOF LEFT JOIN + the 7-day staleness null-out
       ("WITH a AS (SELECT p.event_id, p.user_id, p.ts, s.ts AS raw_signup, " +

@@ -1171,6 +1171,36 @@ object ExtensionQueries {
         .limit(10)
     }),
 
+    // ADC-shortlist + EXACT-rerank — the production answer to PQ's
+    // recall ceiling (FAISS's standard two-stage serve): the 8-byte
+    // ADC scan ranks a k'=50 shortlist (TakeOrderedAndProject over the
+    // code scan — the only corpus-wide stage), then the 50 full
+    // vectors fetch back (answer-sized broadcast join; at scale an
+    // id-pruned point lookup) and rerank by EXACT cosine. Quantization
+    // error only has to keep true neighbors inside the top-50, not
+    // rank them — which is why this rung's recall invariant is pinned
+    // NEAR-EXACT (>= 9/10) where raw ADC honestly sits at 4-8/10.
+    // Seeded banks (query 294), so the whole two-stage plan replays in
+    // SQL and the hash gate covers shortlist AND rerank.
+    "sim_pq_rerank_topk" -> ((s, dir) => {
+      val (banks, tables) = pqCodebook(s, dir, qid = 294L)
+      val shortlist = Tables.embeddings(s, dir).filter(col("vec_id") =!= 294)
+        .select(col("vec_id"),
+          round(pqAdcScore(banks, tables, col("embedding")), 6).as("adc"))
+        .orderBy(col("adc").desc, col("vec_id"))
+        .limit(50)
+      val qv = embWithNorm(s, dir).filter(col("vec_id") === 294)
+        .select(col("v").as("qv"), col("nv").as("nq"))
+      embWithNorm(s, dir)
+        .join(broadcast(shortlist), Seq("vec_id"))
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"), col("adc"),
+          round(VectorOps.dot(col("qv"), col("v")) / sqrt(col("nq") * col("nv")), 6)
+            .as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     // IVF x PQ — the COMPOSITE 100 TB serving architecture, and the
     // reason both rungs exist: IVF alone prunes candidates (read n/32
     // of the corpus per probe) but still pays float32 memory; PQ alone
@@ -3688,6 +3718,31 @@ object ExtensionQueries {
        "r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) rk FROM sc) " +
        "SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id, score/1000000.0 AS cos_sim " +
        "FROM r WHERE rk <= 5 ORDER BY qid, rk"),
+    "sim_pq_rerank_topk" ->
+      // the sim_pq_topk derivation (query 294) cut at a 50-row
+      // shortlist, then exact-cosine rerank over the fetched vectors
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings), " +
+       "subn AS (SELECT vec_id, s, v[(s*8+1):(s*8+8)] AS sv, " +
+       "list_sum(list_transform(v[(s*8+1):(s*8+8)], x -> x*x)) AS nv " +
+       "FROM e CROSS JOIN (SELECT unnest(generate_series(0, 7)) s)), " +
+       "c AS (SELECT vec_id AS cid, s, sv AS cv, nv AS nc FROM subn WHERE vec_id < 256), " +
+       "scored AS (SELECT t.vec_id, t.s, c.cid, round(" +
+       "list_sum(list_transform(list_zip(t.sv, c.cv), p -> p[1]*p[2])) / sqrt(t.nv * c.nc), 6) cs " +
+       "FROM subn t JOIN c ON t.s = c.s), " +
+       "codes AS (SELECT vec_id, s, cid FROM scored " +
+       "QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY cs DESC, cid) = 1), " +
+       "q AS (SELECT s, sv AS qv FROM subn WHERE vec_id = 294), " +
+       "adct AS (SELECT codes.vec_id, codes.s, " +
+       "list_sum(list_transform(list_zip(q.qv, c.cv), p -> p[1]*p[2])) AS t " +
+       "FROM codes JOIN c ON codes.s = c.s AND codes.cid = c.cid JOIN q ON q.s = codes.s), " +
+       "sl AS (SELECT vec_id, round(list_sum(list(t ORDER BY s)), 6) AS adc FROM adct " +
+       "WHERE vec_id <> 294 GROUP BY vec_id ORDER BY adc DESC, vec_id LIMIT 50), " +
+       "qf AS (SELECT v qv, list_sum(list_transform(v, x -> x*x)) nq FROM e WHERE vec_id = 294), " +
+       "r AS (SELECT sl.vec_id, sl.adc, round(" +
+       "list_sum(list_transform(list_zip(qf.qv, e.v), p -> p[1]*p[2])) / " +
+       "sqrt(qf.nq * list_sum(list_transform(e.v, x -> x*x))), 6) AS cos_sim " +
+       "FROM sl JOIN e ON sl.vec_id = e.vec_id, qf) " +
+       "SELECT vec_id, adc, cos_sim FROM r ORDER BY cos_sim DESC, vec_id LIMIT 10"),
     "sim_sq8_topk" ->
       // min/max training, the pinned code assignment, and the affine
       // reconstruction replay exactly; round(6) absorbs summation-

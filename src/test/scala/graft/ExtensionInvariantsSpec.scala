@@ -385,6 +385,36 @@ class ExtensionInvariantsSpec extends SparkSpec {
       s"${pq.toSeq} vs ${exact.toSeq}")
   }
 
+  test("ADC-shortlist + exact rerank recovers near-exact recall") {
+    // the two-stage serve only needs the PQ codes to keep true
+    // neighbors inside the top-50 shortlist; the exact rerank then
+    // restores the ranking — pinned at >= 9/10 overlap with the exact
+    // top-10 (vs 4-8/10 for raw ADC), and the rerank's top-1 must BE
+    // the exact top-1. Checked at sf0.01, the driver's gate SF.
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val rr = SparkEntry.queries("sim_pq_rerank_topk")(spark, dir)
+      .select(col("vec_id")).as[Long].collect()
+    val emb = Tables.embeddings(spark, dir)
+    val qv = emb.filter(col("vec_id") === 294)
+      .select(graft.operators.VectorOps.toDouble(col("embedding")).as("qv"))
+    val exact = emb.filter(col("vec_id") =!= 294)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        (graft.operators.VectorOps.dot(col("qv"),
+          graft.operators.VectorOps.toDouble(col("embedding"))) /
+          sqrt(graft.operators.VectorOps.norm2(col("qv")) *
+            graft.operators.VectorOps.norm2(
+              graft.operators.VectorOps.toDouble(col("embedding"))))).as("c"))
+      .orderBy(col("c").desc, col("vec_id"))
+      .limit(10).select(col("vec_id")).as[Long].collect()
+    val overlap = rr.toSet.intersect(exact.toSet).size
+    assert(overlap >= 9, s"rerank/exact top-10 overlap only $overlap: " +
+      s"${rr.toSeq} vs ${exact.toSeq}")
+    assert(rr.head === exact.head,
+      s"rerank top-1 ${rr.head} != exact top-1 ${exact.head}")
+  }
+
   test("ivf x pq: results live in the probe cell; ADC ranking tracks exact within-cell") {
     // Two separable promises, pinned separately: (1) PRUNING — every
     // returned id was assigned to the query's coarse cell (a stray id

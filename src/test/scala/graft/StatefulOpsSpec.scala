@@ -101,6 +101,45 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("leaderboard state survives a query restart from the checkpoint") {
+    // durability for the top-k state: run over a file source with a
+    // checkpoint, STOP, land more data, restart on the same checkpoint
+    // — a pre-restart leader must still outrank post-restart arrivals
+    import spark.implicits._
+    import graft.streaming.StatefulOps.{ScoredEvent, TopSnapshot}
+    val root = java.nio.file.Files.createTempDirectory("leadckpt").toString
+    val inDir = s"$root/in"; val outDir = s"$root/out"; val ckpt = s"$root/ckpt"
+    Seq(ScoredEvent("a", 100, 1, 10), ScoredEvent("a", 50, 2, 20))
+      .toDS().write.parquet(inDir)
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[ScoredEvent]].schema)
+        .parquet(inDir).as[ScoredEvent]
+      val q = graft.streaming.StatefulOps.runningTopK(stream, k = 2)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[TopSnapshot], _: Long) =>
+          b.write.mode("append").parquet(outDir); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      ()
+    }
+    runOnce()
+    // event 3 beats the pre-restart runner-up but not the leader
+    Seq(ScoredEvent("a", 80, 3, 30)).toDS()
+      .write.mode("append").parquet(inDir)
+    runOnce()
+    val last = spark.read.parquet(outDir).as[TopSnapshot].collect()
+    val mb = last.map(_.batches).max
+    val top = last.filter(_.batches == mb).sortBy(_.rk)
+      .map(r => (r.rk, r.event_id, r.cents)).toSeq
+    assert(top === Seq((1L, 1L, 100L), (2L, 3L, 80L)),
+      s"pre-restart leader must survive the checkpoint: $top")
+  }
+
   test("running EWMA advances the q32 fixed-point recurrence per batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
