@@ -3108,6 +3108,96 @@ object ExtensionQueries {
         .orderBy(col("rule"))
     }),
 
+    // Iterative k-core peeling (3 rounds, k = 6) over the derived link
+    // graph — the subgraph-refinement pattern none of the other graph
+    // ops exercise: each round recomputes degrees over the SURVIVING
+    // subgraph and drops nodes under k, converging toward the 6-core
+    // (k = 6 bites on this graph: 476 -> 396 -> 162 at sf0.01 — the
+    // min degree is 3 out-links + in-links, so k <= 5 peels nothing)
+    // (spam/link-farm analysis runs exactly this to find the dense
+    // center of a crawl graph). Rounds are FIXED at 3 (deterministic,
+    // SQL-replayable) rather than run to convergence; each round is
+    // two semi-joins against the alive set + one degree aggregate, and
+    // the shared undirected edge list materializes once
+    // (localCheckpoint — at scale, a checkpoint per round bounds the
+    // growing plan the same way).
+    "crawl_kcore6" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id").as("i"))
+      val n = Tables.parquetRowCount(s, s"$dir/documents.parquet")
+      val edges = docs.select(col("i"), explode(array(
+          pmod(col("i") * 31 + 7, lit(n)), pmod(col("i") * 17 + 3, lit(n)),
+          pmod(col("i") * 13 + 11, lit(n)))).as("j"))
+        .filter(col("i") =!= col("j"))
+        .select(least(col("i"), col("j")).as("a"),
+          greatest(col("i"), col("j")).as("b"))
+        .distinct()
+        .localCheckpoint()
+      def peel(alive: DataFrame): DataFrame = {
+        val e = edges
+          .join(alive.select(col("i").as("a")), Seq("a"))
+          .join(alive.select(col("i").as("b")), Seq("b"))
+        val deg = e.select(col("a").as("i"))
+          .unionByName(e.select(col("b").as("i")))
+          .groupBy(col("i")).agg(count(lit(1)).as("d"))
+        alive.join(deg, Seq("i"), "left")
+          .filter(coalesce(col("d"), lit(0L)) >= 6)
+          .select(col("i"))
+      }
+      val a1 = peel(docs).localCheckpoint()
+      val a2 = peel(a1).localCheckpoint()
+      val a3 = peel(a2)
+      a1.agg(count(lit(1)).as("n_alive")).select(lit(1L).as("round"), col("n_alive"))
+        .unionByName(a2.agg(count(lit(1)).as("n_alive"))
+          .select(lit(2L).as("round"), col("n_alive")))
+        .unionByName(a3.agg(count(lit(1)).as("n_alive"))
+          .select(lit(3L).as("round"), col("n_alive")))
+        .orderBy(col("round"))
+    }),
+
+    // Distribution-drift monitor — PSI (population stability index)
+    // per event_type between the month's first and second half: THE
+    // standard ML-serving drift alarm (PSI > 0.2 = retrain). Values
+    // bin at fixed 25.00-wide buckets; proportions are Laplace-
+    // smoothed ((c+1)/(n+B), B = bins seen in either period for the
+    // type) so empty bins stay defined; and the per-bin PSI terms —
+    // identical doubles in both engines — SUM IN BIN ORDER via an
+    // ordered fold (a plain SUM would be aggregation-order-dependent
+    // across engines). Two bounded aggregates + one full-outer join on
+    // (type, bin) — bin cardinality is the value range over 2500,
+    // never the corpus.
+    "dq_drift" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("period",
+          when(dayofmonth(col("ts")) <= 15, "ref").otherwise("cur"))
+        .withColumn("bin", expr("CAST(round(value * 100) AS BIGINT) div 2500"))
+      val c = ev.groupBy(col("event_type"), col("period"), col("bin"))
+        .agg(count(lit(1)).as("c"))
+      val ref = c.filter(col("period") === "ref")
+        .select(col("event_type"), col("bin"), col("c").as("cr"))
+      val cur = c.filter(col("period") === "cur")
+        .select(col("event_type"), col("bin"), col("c").as("cc"))
+      val joined = ref.join(cur, Seq("event_type", "bin"), "full_outer")
+        .select(col("event_type"), col("bin"),
+          coalesce(col("cr"), lit(0L)).as("cr"),
+          coalesce(col("cc"), lit(0L)).as("cc"))
+      val tot = joined.groupBy(col("event_type"))
+        .agg(sum(col("cr")).as("nr"), sum(col("cc")).as("nc"),
+          count(lit(1)).as("b"))
+      joined.join(broadcast(tot), Seq("event_type"))
+        .withColumn("p", (col("cr") + 1) / (col("nr") + col("b")))
+        .withColumn("q", (col("cc") + 1) / (col("nc") + col("b")))
+        .withColumn("term", (col("p") - col("q")) * log(col("p") / col("q")))
+        .groupBy(col("event_type"))
+        .agg(first(col("nr")).as("n_ref"), first(col("nc")).as("n_cur"),
+          first(col("b")).as("n_bins"),
+          sort_array(collect_list(struct(col("bin"), col("term")))).as("ts0"))
+        .withColumn("psi", round(expr(
+          "aggregate(ts0, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)"), 6))
+        .select(col("event_type"), col("n_ref"), col("n_cur"),
+          col("n_bins"), col("psi"))
+        .orderBy(col("event_type"))
+    }),
+
     // Freshness audit — the dq_expectations sibling every ingestion SLA
     // dashboard runs: per-partition (event_type) latest timestamp and
     // its lag behind the table's global high-water mark. Two bounded
@@ -4521,6 +4611,48 @@ object ExtensionQueries {
        "CAST(SUM(n) AS BIGINT) AS n_tokens, " +
        "round(CAST(SUM(n) AS BIGINT)/512.0, 4) AS fill " +
        "FROM b GROUP BY source, shard, bin ORDER BY source, shard, bin"),
+    "crawl_kcore6" ->
+      // three unrolled peeling rounds over the same UNION-ALL-derived
+      // edge list (the unnest-alias WHERE limitation workaround)
+      ("WITH docs AS (SELECT doc_id i FROM documents), " +
+       "nn AS (SELECT COUNT(*) c FROM docs), " +
+       "e0 AS (SELECT i, (i*31+7)%c j FROM docs, nn " +
+       "UNION ALL SELECT i, (i*17+3)%c FROM docs, nn " +
+       "UNION ALL SELECT i, (i*13+11)%c FROM docs, nn), " +
+       "ed AS (SELECT DISTINCT least(i, j) a, greatest(i, j) b FROM e0 WHERE i <> j), " +
+       "d1 AS (SELECT v, COUNT(*) d FROM (SELECT a v FROM ed UNION ALL SELECT b FROM ed) GROUP BY v), " +
+       "a1 AS (SELECT i FROM docs JOIN d1 ON d1.v = docs.i WHERE d >= 6), " +
+       "e2 AS (SELECT a, b FROM ed JOIN a1 x ON ed.a = x.i JOIN a1 y ON ed.b = y.i), " +
+       "d2 AS (SELECT v, COUNT(*) d FROM (SELECT a v FROM e2 UNION ALL SELECT b FROM e2) GROUP BY v), " +
+       "a2 AS (SELECT i FROM a1 JOIN d2 ON d2.v = a1.i WHERE d >= 6), " +
+       "e3 AS (SELECT a, b FROM ed JOIN a2 x ON ed.a = x.i JOIN a2 y ON ed.b = y.i), " +
+       "d3 AS (SELECT v, COUNT(*) d FROM (SELECT a v FROM e3 UNION ALL SELECT b FROM e3) GROUP BY v), " +
+       "a3 AS (SELECT i FROM a2 JOIN d3 ON d3.v = a2.i WHERE d >= 6) " +
+       "SELECT 1 AS round, (SELECT COUNT(*) FROM a1) AS n_alive " +
+       "UNION ALL SELECT 2, (SELECT COUNT(*) FROM a2) " +
+       "UNION ALL SELECT 3, (SELECT COUNT(*) FROM a3) ORDER BY round"),
+    "dq_drift" ->
+      // same smoothing and the same BIN-ORDERED fold of identical
+      // double terms (list_sum over list(term ORDER BY bin))
+      ("WITH e AS (SELECT event_type, " +
+       "CASE WHEN day(ts) <= 15 THEN 'ref' ELSE 'cur' END period, " +
+       "CAST(round(value * 100) AS BIGINT) // 2500 AS bin FROM events), " +
+       "c AS (SELECT event_type, period, bin, COUNT(*) c FROM e GROUP BY event_type, period, bin), " +
+       "r AS (SELECT event_type, bin, c cr FROM c WHERE period = 'ref'), " +
+       "u AS (SELECT event_type, bin, c cc FROM c WHERE period = 'cur'), " +
+       "j AS (SELECT COALESCE(r.event_type, u.event_type) event_type, " +
+       "COALESCE(r.bin, u.bin) bin, COALESCE(cr, 0) cr, COALESCE(cc, 0) cc " +
+       "FROM r FULL OUTER JOIN u ON r.event_type = u.event_type AND r.bin = u.bin), " +
+       "t AS (SELECT event_type, CAST(SUM(cr) AS BIGINT) nr, " +
+       "CAST(SUM(cc) AS BIGINT) nc, COUNT(*) b FROM j GROUP BY event_type), " +
+       "terms AS (SELECT j.event_type, j.bin, t.nr, t.nc, t.b, " +
+       "((j.cr + 1.0) / (t.nr + t.b) - (j.cc + 1.0) / (t.nc + t.b)) * " +
+       "ln(((j.cr + 1.0) / (t.nr + t.b)) / ((j.cc + 1.0) / (t.nc + t.b))) term " +
+       "FROM j JOIN t ON j.event_type = t.event_type) " +
+       "SELECT event_type, MIN(nr) AS n_ref, MIN(nc) AS n_cur, " +
+       "CAST(MIN(b) AS BIGINT) AS n_bins, " +
+       "round(list_sum(list(term ORDER BY bin)), 6) AS psi " +
+       "FROM terms GROUP BY event_type ORDER BY event_type"),
     "dq_freshness" ->
       ("WITH g AS (SELECT MAX(CAST(floor(epoch(ts)) AS BIGINT)) hwm FROM events), " +
        "t AS (SELECT event_type, COUNT(*) n, " +
