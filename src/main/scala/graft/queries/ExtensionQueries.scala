@@ -2016,6 +2016,40 @@ object ExtensionQueries {
     // row, partition-batched (the mapPartitions shape of the whole
     // Multimodal family), so the hash gate fails if the codec misparses
     // a header, miscounts a frame boundary, or drops a trailing frame.
+    // Decoded-raster statistics through the REAL PGM codec — the
+    // "compute on pixels, not on bytes" rung of the multimodal family:
+    // the container round-trips through encode/decode per row
+    // (mapPartitions, codec-per-partition shape) and the stats — pixel
+    // count, luma sum, dark-pixel count — come from the DECODED
+    // raster. All integers, so the oracle replays them exactly from
+    // the synthetic construction (pixel i = hash char i mod 32; each
+    // hash position covers ((w*h - j) div 32) + 1 raster cells) and
+    // the hash gate covers the decoder output end to end.
+    "multimodal_luma_stats" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("n_bytes"),
+          md5(col("text")).as("content_hash"))
+        .as[(Long, Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, nBytes, hash) =>
+            val payload = graft.operators.Multimodal.syntheticPgmContainer(hash, nBytes)
+            val f = graft.operators.Multimodal.decodePgmFrames(payload).head
+            var sum = 0L; var dark = 0L; var i = 0
+            while (i < f.pixels.length) {
+              val v = f.pixels(i) & 0xff
+              sum += v
+              if (v < 64) dark += 1
+              i += 1
+            }
+            (id, f.pixels.length.toLong, sum, dark)
+          }
+        }
+        .toDF("doc_id", "n_px", "sum_luma", "n_dark")
+        .orderBy(col("doc_id"))
+    }),
+
     "multimodal_features" -> ((s, dir) => {
       import s.implicits._
       Tables.documents(s, dir)
@@ -4226,6 +4260,18 @@ object ExtensionQueries {
        "CAST(CASE WHEN COALESCE(n, 0) >= 1 THEN 1 ELSE 0 END AS INT) AS is_fuzzy_contaminated " +
        "FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d " +
        "LEFT JOIN cnt ON d.doc_id = cnt.tid ORDER BY d.doc_id"),
+    "multimodal_luma_stats" ->
+      // construction replay on the hash chars: pixel i = hash[i % 32],
+      // hash position j (1-based) covers ((w*h - j) // 32) + 1 cells
+      ("WITH t AS (SELECT doc_id, md5(text) hs, " +
+       "16 + (ascii(substr(md5(text), 1, 1)) % 8) * 4 AS wd, " +
+       "16 + (ascii(substr(md5(text), 2, 1)) % 8) * 4 AS ht FROM documents) " +
+       "SELECT doc_id, CAST(wd * ht AS BIGINT) AS n_px, " +
+       "CAST(list_sum(list_transform(generate_series(1, 32), " +
+       "j -> ascii(substr(hs, j, 1)) * ((wd * ht - j) // 32 + 1))) AS BIGINT) AS sum_luma, " +
+       "CAST(list_sum(list_transform(generate_series(1, 32), " +
+       "j -> CASE WHEN ascii(substr(hs, j, 1)) < 64 THEN (wd * ht - j) // 32 + 1 ELSE 0 END)) AS BIGINT) AS n_dark " +
+       "FROM t ORDER BY doc_id"),
     "multimodal_features" ->
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS content_hash, " +
        "CAST(16 + (ascii(substr(md5(text), 1, 1)) % 8) * 4 AS INT) AS width, " +
