@@ -727,6 +727,65 @@ object AnalyticsQueries {
         .orderBy(col("type_a"), col("type_b"))
     }),
 
+    // Explicit GROUPING SETS — the rollup/cube sibling that picks
+    // arbitrary grouping combinations in ONE pass ((type, dow),
+    // (type), ()): Spark expands each input row once per set (the
+    // same Expand machinery as rollup) with grouping_id()
+    // disambiguating NULL-as-group from NULL-as-value. Integer-cents
+    // sums; NULLS FIRST ordering pinned explicitly on both engines
+    // (Spark defaults nulls-first, DuckDB nulls-last).
+    "q40_grouping_sets" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("dow", dayofweek(col("ts")).cast("long"))
+        .groupingSets(
+          Seq(Seq(col("event_type"), col("dow")), Seq(col("event_type")), Seq()),
+          col("event_type"), col("dow"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          (sum(asInt(col("value"), 100L)) / 100.0).as("sum_value"))
+        .orderBy(col("gid"), col("event_type").asc_nulls_first,
+          col("dow").asc_nulls_first)
+    }),
+
+    // Exact per-group MODE — the most frequent value with a
+    // deterministic tie rule (smallest value wins): two partial-
+    // aggregating exchanges, (type, value) counts then a max_by
+    // selection on (count, -value) — never a per-group sort. The
+    // oracle is the direct ranked formulation.
+    "q41_mode_per_group" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), asInt(col("value"), 100L).as("vc"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("event_type"))
+        .agg(max_by(col("vc"), struct(col("cnt"), (-col("vc")).as("nv"))).as("mode_vc"),
+          max(col("cnt")).as("mode_n"))
+        .select(col("event_type"), (col("mode_vc") / 100.0).as("mode_value"),
+          col("mode_n"))
+        .orderBy(col("event_type"))
+    }),
+
+    // IVM with RETRACTIONS — the hard half of incremental view
+    // maintenance (ivm_merge_agg handles inserts): a delete arrives as
+    // a NEGATIVE partial (n = -1 per row, negated sum), the merge is
+    // the same partial SUM, and groups whose count reaches zero drop
+    // out of the view. Base partials aggregate ALL rows, the delete
+    // slice aggregates negated, and the oracle — the direct aggregate
+    // over the surviving rows — proves retract-merge == recompute.
+    "ivm_delete_retract" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(pmod(col("o_custkey"), lit(100L)).as("bucket"),
+          asInt(col("o_totalprice"), 100L).as("cents"), col("o_orderkey"))
+      val base = o.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("pn"), sum(col("cents")).as("pc"))
+      val retract = o.filter(col("o_orderkey") % 7 === 0)
+        .groupBy(col("bucket"))
+        .agg((-count(lit(1))).as("pn"), (-sum(col("cents"))).as("pc"))
+      base.unionByName(retract)
+        .groupBy(col("bucket"))
+        .agg(sum(col("pn")).as("n"), (sum(col("pc")) / 100.0).as("sum_value"))
+        .filter(col("n") > 0)
+        .orderBy(col("bucket"))
+    }),
+
     // Time-weighted average — the metrics-pipeline aggregate a plain
     // AVG silently gets wrong (a value held for an hour must weigh
     // 3600x one held a second): per user, each event's value holds
@@ -1091,6 +1150,27 @@ object AnalyticsQueries {
        "round(MIN(value), 4) AS lo, round(MAX(value), 4) AS hi, " +
        "CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)/100.0 AS bucket_sum " +
        "FROM b GROUP BY event_type, bucket ORDER BY event_type, bucket"),
+    "q40_grouping_sets" ->
+      ("SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow, " +
+       "CAST(GROUPING(event_type, CAST(dayofweek(ts) + 1 AS BIGINT)) AS BIGINT) AS gid, " +
+       "COUNT(*) AS n, " +
+       "CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_value " +
+       "FROM events GROUP BY GROUPING SETS " +
+       "((event_type, CAST(dayofweek(ts) + 1 AS BIGINT)), (event_type), ()) " +
+       "ORDER BY gid, event_type NULLS FIRST, dow NULLS FIRST"),
+    "q41_mode_per_group" ->
+      ("WITH c AS (SELECT event_type, CAST(round(value*100) AS BIGINT) vc, " +
+       "COUNT(*) cnt FROM events GROUP BY event_type, vc), " +
+       "r AS (SELECT *, row_number() OVER (PARTITION BY event_type " +
+       "ORDER BY cnt DESC, vc) rk FROM c) " +
+       "SELECT event_type, vc/100.0 AS mode_value, CAST(cnt AS BIGINT) AS mode_n " +
+       "FROM r WHERE rk = 1 ORDER BY event_type"),
+    "ivm_delete_retract" ->
+      // the DIRECT aggregate over the surviving rows
+      ("SELECT o_custkey % 100 AS bucket, COUNT(*) AS n, " +
+       "CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_value " +
+       "FROM orders WHERE o_orderkey % 7 <> 0 " +
+       "GROUP BY o_custkey % 100 ORDER BY bucket"),
     "q39_time_weighted_avg" ->
       ("WITH e AS (SELECT user_id, event_id, ts, " +
        "CAST(floor(epoch(ts)) AS BIGINT) t_s, " +
