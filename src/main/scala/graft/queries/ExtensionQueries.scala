@@ -1201,6 +1201,58 @@ object ExtensionQueries {
         .limit(10)
     }),
 
+    // TRAINED banks + exact rerank — the full production serve: k-means
+    // codebooks (the trained rung's banks, memoized per dir) rank the
+    // 8-byte ADC shortlist, exact cosine reranks the fetched 50.
+    // Rows-only like its trained sibling (learned float codebooks
+    // aren't SQL-replayable; the SEEDED rerank twin pins the two-stage
+    // arithmetic under the oracle gate). This rung closes the trained
+    // path's honest recall gap at larger SFs: raw trained ADC sits at
+    // ~5/10 overlap at sf0.1 where ExtensionInvariantsSpec pins this
+    // at >= 9/10 — quantization only has to keep neighbors in the
+    // 200-deep shortlist, not rank them. (200 is 10% of this corpus;
+    // production shortlists are a FIXED few thousand independent of n,
+    // so the two-stage cost stays sub-linear at any scale.)
+    "sim_pq_trained_rerank_topk" -> ((s, dir) => {
+      import s.implicits._
+      val pq = trainedPq(s, dir)
+      val qv = Tables.embeddings(s, dir).filter(col("vec_id") === 299)
+        .select(col("embedding")).as[Array[Float]].head()
+      val banks = (0 until pq.m).map { si =>
+        new graft.functions.ResidualPqBank(
+          Array.tabulate(pq.books(si).length)(_.toLong),
+          pq.books(si),
+          Array.fill(pq.dsub)(0.0))
+      }
+      val tables = (0 until pq.m).map { si =>
+        banks(si).vecs.map { cw =>
+          var acc = 0.0; var i = 0
+          while (i < pq.dsub) { acc += qv(si * pq.dsub + i).toDouble * cw(i); i += 1 }
+          acc
+        }
+      }
+      val score = (0 until pq.m).map { si =>
+        element_at(typedLit(tables(si).toSeq),
+          (graft.functions.VectorExpressions
+            .residual_argmin_l2(banks(si), slice(col("embedding"), si * pq.dsub + 1, pq.dsub))
+            .cast("int")) + 1)
+      }.reduce(_ + _)
+      val shortlist = Tables.embeddings(s, dir).filter(col("vec_id") =!= 299)
+        .select(col("vec_id"), round(score, 6).as("adc"))
+        .orderBy(col("adc").desc, col("vec_id"))
+        .limit(200)
+      val q = embWithNorm(s, dir).filter(col("vec_id") === 299)
+        .select(col("v").as("qv"), col("nv").as("nq"))
+      embWithNorm(s, dir)
+        .join(broadcast(shortlist), Seq("vec_id"))
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("adc"),
+          round(VectorOps.dot(col("qv"), col("v")) / sqrt(col("nq") * col("nv")), 6)
+            .as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     // IVF x PQ — the COMPOSITE 100 TB serving architecture, and the
     // reason both rungs exist: IVF alone prunes candidates (read n/32
     // of the corpus per probe) but still pays float32 memory; PQ alone

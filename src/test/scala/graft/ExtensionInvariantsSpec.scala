@@ -415,6 +415,32 @@ class ExtensionInvariantsSpec extends SparkSpec {
       s"rerank top-1 ${rr.head} != exact top-1 ${exact.head}")
   }
 
+  test("TRAINED banks + rerank close the recall gap at sf0.1") {
+    // raw trained ADC sits at ~5/10 overlap at sf0.1 (8-byte codes on
+    // near-random 64-dim vectors — the honest quantization limit); the
+    // two-stage serve must recover >= 9/10 with top-1 equality, which
+    // is the number a production deployment of the trained path ships.
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.1"
+    val rr = SparkEntry.queries("sim_pq_trained_rerank_topk")(spark, dir)
+      .select(col("vec_id")).as[Long].collect()
+    val emb = Tables.embeddings(spark, dir)
+    val qv = emb.filter(col("vec_id") === 299)
+      .select(graft.operators.VectorOps.toDouble(col("embedding")).as("qv"))
+    val exact = emb.filter(col("vec_id") =!= 299)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        graft.operators.VectorOps.dot(col("qv"),
+          graft.operators.VectorOps.toDouble(col("embedding"))).as("d"))
+      .orderBy(col("d").desc, col("vec_id"))
+      .limit(10).select(col("vec_id")).as[Long].collect()
+    val overlap = rr.toSet.intersect(exact.toSet).size
+    assert(overlap >= 9, s"trained-rerank/exact top-10 overlap only $overlap: " +
+      s"${rr.toSeq} vs ${exact.toSeq}")
+    assert(rr.head === exact.head,
+      s"trained-rerank top-1 ${rr.head} != exact top-1 ${exact.head}")
+  }
+
   test("ivf x pq: results live in the probe cell; ADC ranking tracks exact within-cell") {
     // Two separable promises, pinned separately: (1) PRUNING — every
     // returned id was assigned to the query's coarse cell (a stray id
