@@ -595,6 +595,22 @@ class PlanAuditSpec extends SparkSpec {
       s"the (type, hour) baseline must broadcast-join back:\n$p")
   }
 
+  test("robust median/MAD: every join back onto the corpus broadcasts") {
+    // the med/mad/tot tables are ~|types| rows — a SortMergeJoin here
+    // would shuffle the corpus for a 5-row dim; the CDF windows run
+    // over the bounded distinct-cents tables only (allowed)
+    val p = plan("q36_mad_robust")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"q36 shuffled the corpus for a bounded dim:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast dims:\n$p")
+  }
+
+  test("k-core peeling: semi-join rounds, no cartesian anywhere") {
+    val p = plan("crawl_kcore6")
+    assert(!p.contains("CartesianProduct"),
+      s"kcore planned a cartesian product:\n$p")
+  }
+
   test("global equi-depth: windows only over the bounded quantized domain") {
     // the corpus-side path is scan -> map-side bucket expression ->
     // 10-row aggregate; the only window in the plan runs over the
