@@ -3274,8 +3274,10 @@ object ExtensionQueries {
         .withColumn("q", (col("cc") + 1) / (col("nc") + col("b")))
         .withColumn("term", (col("p") - col("q")) * log(col("p") / col("q")))
         .groupBy(col("event_type"))
-        .agg(first(col("nr")).as("n_ref"), first(col("nc")).as("n_cur"),
-          first(col("b")).as("n_bins"),
+        // min over per-type constants (not first(): constant-by-
+        // construction, but min is order-insensitive by definition)
+        .agg(min(col("nr")).as("n_ref"), min(col("nc")).as("n_cur"),
+          min(col("b")).as("n_bins"),
           sort_array(collect_list(struct(col("bin"), col("term")))).as("ts0"))
         .withColumn("psi", round(expr(
           "aggregate(ts0, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)"), 6))
