@@ -36,8 +36,20 @@ object ScaleSmoke {
         embBase.withColumn("vec_id", col("vec_id") + lit(k * 1000000L)))
       .reduce(_.unionByName(_))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // events replicate with DISTINCT users and shifted event ids: the
+    // round-10 event-analytics family (grouped top-k, CDF medians,
+    // sweep-line, drift) must absorb 10x rows AND 10x key cardinality
+    // — replicating users unchanged would only deepen per-key history,
+    // which stresses nothing the windows don't already see
+    val evBase = Tables.events(spark, "/root/testdata/sf0.1")
+    (0 until 10).map(k =>
+        evBase.withColumn("event_id", col("event_id") + lit(k * 10000000L))
+          .withColumn("user_id", col("user_id") + lit(k * 1000000L)))
+      .reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
     println(s"corpus: ${spark.read.parquet(s"$dir/documents.parquet").count()} docs, " +
-      s"${spark.read.parquet(s"$dir/embeddings.parquet").count()} vectors")
+      s"${spark.read.parquet(s"$dir/embeddings.parquet").count()} vectors, " +
+      s"${spark.read.parquet(s"$dir/events.parquet").count()} events")
 
     for (q <- Seq("dedup_exact", "dedup_minhash", "dedup_simhash_pairs",
         "dedup_ngram_jaccard", "dedup_clusters", "dedup_gram_coverage",
@@ -95,9 +107,15 @@ object ScaleSmoke {
         // per unit unchanged), trained-PQ ADC + range + batched probes
         // over 10x codes/candidates
         "search_phrase", "text_hapax", "export_token_packing",
-        "sim_pq_topk_trained", "sim_range_search", "sim_batch_topk")) {
-        // (the events-table queries — q31-q34, sample_reservoir,
-        // dq_freshness — can't run here: this corpus has no events)
+        "sim_pq_topk_trained", "sim_range_search", "sim_batch_topk",
+        // round-10 event-analytics family over 10x events WITH 10x
+        // user cardinality: bounded top-k partials, quantized-CDF
+        // medians, the per-day sweep, PSI binning, grouping-set
+        // expand, and the high-cardinality windows
+        "q31_topk_per_group", "q32_ewma_daily", "q33_seasonal_anomaly",
+        "q36_mad_robust", "q38_concurrency_sweep", "q39_time_weighted_avg",
+        "dq_drift", "sample_reservoir", "q40_grouping_sets",
+        "q41_mode_per_group")) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).count()
       println(f"$q%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $n%10d rows")
