@@ -443,8 +443,15 @@ object Similarity {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bak = new Path(dir + "__old")
     fs.delete(bak, true) // stale backup from an earlier crash
-    fs.rename(path, bak)
-    fs.rename(new Path(stage), path)
+    // Hadoop rename reports failure by RETURNING false (cross-device,
+    // permission, concurrent recreation of the target) — an unchecked
+    // result here would leave the stale index live while claiming
+    // success, and the count re-check below could not catch it (old
+    // and new both count n; it verifies readability, not identity)
+    require(fs.rename(path, bak),
+      s"could not move live index aside for $dir — swap aborted, live index untouched")
+    require(fs.rename(new Path(stage), path),
+      s"could not move staged index into place for $dir — original at $bak")
     require(spark.read.parquet(s"$dir/cells").count() == n,
       s"post-swap verification failed for $dir — backup kept at $bak")
     fs.delete(bak, true)
@@ -472,8 +479,11 @@ object Similarity {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bak = new Path(dir + "__old")
     fs.delete(bak, true)
-    fs.rename(path, bak)
-    fs.rename(new Path(stage), path)
+    // rename results checked — see retrainIndex
+    require(fs.rename(path, bak),
+      s"could not move live index aside for $dir — swap aborted, live index untouched")
+    require(fs.rename(new Path(stage), path),
+      s"could not move staged index into place for $dir — original at $bak")
     require(spark.read.parquet(s"$dir/codes").count() == staged,
       s"post-swap verification failed for $dir — backup kept at $bak")
     fs.delete(bak, true)

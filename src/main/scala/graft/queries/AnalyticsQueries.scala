@@ -19,6 +19,28 @@ object AnalyticsQueries {
   private def asInt(c: org.apache.spark.sql.Column, scale: Long) =
     round(c * lit(scale)).cast("long")
 
+  /** Session intervals (30-min gap, (ts, event_id) tie order) — ONE
+    * derivation shared by `q14_sessionize` and `q38_concurrency_sweep`
+    * (whose brute-force invariant equates the two), so the gap rule
+    * and tie-break cannot drift between them. Output: (user_id,
+    * session_seq, n_events, s_us, e_us) with bounds in epoch micros.
+    */
+  private def sessionIntervals(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(s, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("is_new")).over(run))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("s_us"),
+        max(unix_micros(col("ts"))).as("e_us"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-flavored pricing summary: partial (map-side) agg + final
     // agg, one shuffle on the two grouping keys.
@@ -283,21 +305,12 @@ object AnalyticsQueries {
     // Sessionization: 30-minute-gap sessions per user (lag + running
     // count of session starts + per-session aggregate; two window passes
     // over the same (user, time) sort order -> a single shuffle).
-    "q14_sessionize" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val run = byUser.rowsBetween(Window.unboundedPreceding, 0)
-      Tables.events(s, dir)
-        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
-        .withColumn("is_new",
-          when(col("prev_us").isNull ||
-            unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
-        .withColumn("session_seq", sum(col("is_new")).over(run))
-        .groupBy(col("user_id"), col("session_seq"))
-        .agg(count(lit(1)).as("n_events"), min(col("ts")).as("sess_start"),
-          max(col("ts")).as("sess_end"))
-        .orderBy(col("user_id"), col("session_seq"))
-    }),
+    "q14_sessionize" -> ((s, dir) =>
+      sessionIntervals(s, dir)
+        .select(col("user_id"), col("session_seq"), col("n_events"),
+          timestamp_micros(col("s_us")).as("sess_start"),
+          timestamp_micros(col("e_us")).as("sess_end"))
+        .orderBy(col("user_id"), col("session_seq"))),
 
     // Native session_window sessionization — the BUILT-IN operator
     // twin of q14's hand-rolled lag/cumsum formulation (and of the
@@ -856,17 +869,7 @@ object AnalyticsQueries {
     // does.
     "q38_concurrency_sweep" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val run = byUser.rowsBetween(Window.unboundedPreceding, 0)
-      val sess = Tables.events(s, dir)
-        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
-        .withColumn("is_new",
-          when(col("prev_us").isNull ||
-            unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
-        .withColumn("session_seq", sum(col("is_new")).over(run))
-        .groupBy(col("user_id"), col("session_seq"))
-        .agg(min(unix_micros(col("ts"))).as("s_us"),
-          max(unix_micros(col("ts"))).as("e_us"))
+      val sess = sessionIntervals(s, dir)
       // boundary stream: (+1 at start, -1 just after end); ties order
       // (time, -delta, user) so an interval ending exactly when another
       // starts still counts as overlapping (closed intervals, the

@@ -409,6 +409,40 @@ object ExtensionQueries {
         m = 8, dsub = 8, kCodes = 256, iters = 6,
         nHint = Tables.parquetRowCount(s, s"$dir/embeddings.parquet")))
 
+  /** Trained-ADC score column for query `qid` over an `embedding`
+    * input column — ONE derivation shared by `sim_pq_topk_trained` and
+    * `sim_pq_trained_rerank_topk` so the assignment rule and table
+    * arithmetic cannot drift between the rungs: banks from
+    * [[trainedPq]] (argmin-L2 via a zero-centroid ResidualPqBank),
+    * ADC tables = driver dots of the raw query subvectors against the
+    * learned codewords.
+    */
+  private def trainedAdcScore(s: SparkSession, dir: String, qid: Long): Column = {
+    import s.implicits._
+    val pq = trainedPq(s, dir)
+    val qv = Tables.embeddings(s, dir).filter(col("vec_id") === qid)
+      .select(col("embedding")).as[Array[Float]].head()
+    val banks = (0 until pq.m).map { si =>
+      new graft.functions.ResidualPqBank(
+        Array.tabulate(pq.books(si).length)(_.toLong),
+        pq.books(si),
+        Array.fill(pq.dsub)(0.0))
+    }
+    val tables = (0 until pq.m).map { si =>
+      banks(si).vecs.map { cw =>
+        var acc = 0.0; var i = 0
+        while (i < pq.dsub) { acc += qv(si * pq.dsub + i).toDouble * cw(i); i += 1 }
+        acc
+      }
+    }
+    (0 until pq.m).map { si =>
+      element_at(typedLit(tables(si).toSeq),
+        (graft.functions.VectorExpressions
+          .residual_argmin_l2(banks(si), slice(col("embedding"), si * pq.dsub + 1, pq.dsub))
+          .cast("int")) + 1)
+    }.reduce(_ + _)
+  }
+
   private def pqCodebook(s: SparkSession, dir: String, qid: Long)
       : (Seq[graft.functions.CentroidBank], Seq[Array[Double]]) = {
     val banks = pqBanks(s, dir)
@@ -1141,35 +1175,12 @@ object ExtensionQueries {
     // pinning the arithmetic, and ExtensionInvariantsSpec pins this
     // rung's recall at the sq8 bar (>= 7/10 overlap vs the exact
     // top-10) — the measurable win training buys over seeding.
-    "sim_pq_topk_trained" -> ((s, dir) => {
-      import s.implicits._
-      val pq = trainedPq(s, dir)
-      val qv = Tables.embeddings(s, dir).filter(col("vec_id") === 299)
-        .select(col("embedding")).as[Array[Float]].head()
-      val banks = (0 until pq.m).map { si =>
-        new graft.functions.ResidualPqBank(
-          Array.tabulate(pq.books(si).length)(_.toLong),
-          pq.books(si),
-          Array.fill(pq.dsub)(0.0))
-      }
-      val tables = (0 until pq.m).map { si =>
-        banks(si).vecs.map { cw =>
-          var acc = 0.0; var i = 0
-          while (i < pq.dsub) { acc += qv(si * pq.dsub + i).toDouble * cw(i); i += 1 }
-          acc
-        }
-      }
-      val score = (0 until pq.m).map { si =>
-        element_at(typedLit(tables(si).toSeq),
-          (graft.functions.VectorExpressions
-            .residual_argmin_l2(banks(si), slice(col("embedding"), si * pq.dsub + 1, pq.dsub))
-            .cast("int")) + 1)
-      }.reduce(_ + _)
+    "sim_pq_topk_trained" -> ((s, dir) =>
       Tables.embeddings(s, dir).filter(col("vec_id") =!= 299)
-        .select(col("vec_id"), round(score, 6).as("score"))
+        .select(col("vec_id"),
+          round(trainedAdcScore(s, dir, qid = 299L), 6).as("score"))
         .orderBy(col("score").desc, col("vec_id"))
-        .limit(10)
-    }),
+        .limit(10)),
 
     // ADC-shortlist + EXACT-rerank — the production answer to PQ's
     // recall ceiling (FAISS's standard two-stage serve): the 8-byte
@@ -1214,31 +1225,9 @@ object ExtensionQueries {
     // production shortlists are a FIXED few thousand independent of n,
     // so the two-stage cost stays sub-linear at any scale.)
     "sim_pq_trained_rerank_topk" -> ((s, dir) => {
-      import s.implicits._
-      val pq = trainedPq(s, dir)
-      val qv = Tables.embeddings(s, dir).filter(col("vec_id") === 299)
-        .select(col("embedding")).as[Array[Float]].head()
-      val banks = (0 until pq.m).map { si =>
-        new graft.functions.ResidualPqBank(
-          Array.tabulate(pq.books(si).length)(_.toLong),
-          pq.books(si),
-          Array.fill(pq.dsub)(0.0))
-      }
-      val tables = (0 until pq.m).map { si =>
-        banks(si).vecs.map { cw =>
-          var acc = 0.0; var i = 0
-          while (i < pq.dsub) { acc += qv(si * pq.dsub + i).toDouble * cw(i); i += 1 }
-          acc
-        }
-      }
-      val score = (0 until pq.m).map { si =>
-        element_at(typedLit(tables(si).toSeq),
-          (graft.functions.VectorExpressions
-            .residual_argmin_l2(banks(si), slice(col("embedding"), si * pq.dsub + 1, pq.dsub))
-            .cast("int")) + 1)
-      }.reduce(_ + _)
       val shortlist = Tables.embeddings(s, dir).filter(col("vec_id") =!= 299)
-        .select(col("vec_id"), round(score, 6).as("adc"))
+        .select(col("vec_id"),
+          round(trainedAdcScore(s, dir, qid = 299L), 6).as("adc"))
         .orderBy(col("adc").desc, col("vec_id"))
         .limit(200)
       val q = embWithNorm(s, dir).filter(col("vec_id") === 299)
