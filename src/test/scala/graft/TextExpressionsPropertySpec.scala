@@ -49,7 +49,14 @@ class TextExpressionsPropertySpec extends SparkSpec {
       .otherwise(ceil((size(ws) - lit(4)) / lit(3.0)).cast("int") + 1)
     val declChunks = transform(sequence(lit(1), nCh),
       i => concat_ws(" ", slice(ws, (i - 1) * 3 + 1, lit(4))))
+    // phrase_count twin: the HOF lambda-filter it replaced (adjacent
+    // ("a", "b") pairs, overlap-counting), guarded for <2-token docs
+    val declPhrase = when(size(ws) < 2, lit(0L))
+      .otherwise(size(filter(sequence(lit(1), size(ws) - 1),
+        i => element_at(ws, i.cast("int")) === "a" &&
+          element_at(ws, i.cast("int") + 1) === "b")).cast("long"))
     val cmp = docs.select(
+      (TextExpressions.phrase_count(col("text"), "a", "b") === declPhrase).as("ph_eq"),
       (TextOps.shinglesOfText(col("text"), 5) === declShingles).as("sh_eq"),
       (TextExpressions.word_chunks(col("text"), 4, 3) === declChunks).as("ch_eq"),
       (abs(TextExpressions.top_gram_frac(col("text"), 2) - declTop2) < 1e-12).as("tg_eq"),
@@ -61,7 +68,7 @@ class TextExpressionsPropertySpec extends SparkSpec {
       (TextExpressions.minhash_slices(col("text"), 5) ===
         TextExpressions.minhash_slices(col("text"), 5)).as("mh_det"))
       .collect()
-    cmp.forall(r => (0 to 4).forall(r.getBoolean))
+    cmp.forall(r => (0 to 5).forall(r.getBoolean))
   }
 
   test("native expressions equal their declarative twins on adversarial strings") {
