@@ -2938,16 +2938,16 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // Sequence packing for the dataloader — greedy first-fit in doc_id
-    // order into 512-subword-token bins, WITHIN (source, shard-of-256-
-    // docs) packing units: real distributed packers pack within a
-    // worker's shard precisely so no sequential dependency crosses
-    // workers, and that is what makes the prefix-sum window here scale
-    // (high-cardinality partition key, bounded rows per unit — NOT a
-    // per-source global cumsum). A doc that crosses the boundary opens
-    // the next bin (bin = exclusive-prefix div capacity), the standard
-    // streaming packer; per-bin fill ratios are the padding-waste
-    // metric export_length_buckets reports for the bucketed strategy.
+    // Sequence packing, the SCALE-PATH twin of `text_pack` (the q29 /
+    // q29b relationship): text_pack packs per SOURCE — its prefix-sum
+    // window is bounded only while sources stay numerous — while this
+    // packs WITHIN (source, shard-of-256-docs) units, the way real
+    // distributed packers shard the sequential dependency so no
+    // prefix-sum crosses workers (high-cardinality partition key,
+    // bounded rows per unit). Same greedy first-fit rule: a doc that
+    // crosses the boundary opens the next bin (bin = exclusive-prefix
+    // div capacity); per-bin fill ratios are the padding-waste metric
+    // export_length_buckets reports for the bucketed strategy.
     "export_token_packing" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val n = TextOps.subwordCount(TextOps.tokens(col("text"))).cast("long")
