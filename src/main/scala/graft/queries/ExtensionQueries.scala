@@ -2724,12 +2724,15 @@ object ExtensionQueries {
     // length), cf (collection frequency), max tf, and the first doc —
     // all integers, fully order-independent.
     "search_postings" -> ((s, dir) => {
-      val ws = TextOps.tokens(col("text"))
+      // native one-pass (term, tf) structs: the explode(array_distinct)
+      // + HOF-filter tf re-scanned the token array once per distinct
+      // term (O(terms x tokens) per doc, interpreted); TermCountStructs
+      // computes the whole posting row in one compiled counting scan.
       Tables.documents(s, dir)
-        .select(col("doc_id"), ws.as("ws"))
-        .select(col("doc_id"), col("ws"),
-          explode(array_distinct(col("ws"))).as("term"))
-        .withColumn("tf", size(filter(col("ws"), w => w === col("term"))).cast("long"))
+        .select(col("doc_id"),
+          explode(graft.functions.TextExpressions.term_count_structs(col("text")))
+            .as("tc"))
+        .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
         .groupBy(col("term"))
         .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
           max(col("tf")).as("max_tf"), min(col("doc_id")).as("first_doc"))
@@ -2771,28 +2774,25 @@ object ExtensionQueries {
     // runs on the ROUNDED tfidf with a term tiebreak so both engines
     // cut the same top-3 (terms in every doc have idf = ln(1) = 0 and
     // rank purely by the tiebreak — deterministic, not degenerate).
-    // PROFILE (sf0.1, calib~220 box): ~1.6 s vs DuckDB 0.13 s — the
-    // gap is THREE serialized Spark jobs (stats agg, df agg + its
-    // broadcast, main+window+sort), each paying the local-mode
-    // scheduling floor, not plan work: per-row compute is O(distinct
-    // terms x tokens) ~ 3k ops/doc and the window carries 30 rows/doc.
-    // At real scale the three stages amortize; fusing them would
-    // require giving up the broadcast (shuffling postings on term).
+    // tf comes from the native one-pass TermCountStructs scan — the
+    // previous explode(array_distinct) + HOF-filter tf re-scanned the
+    // token array once per distinct term (O(terms x tokens) per doc,
+    // interpreted lambda: round-10's worst real-work ratio at 17.8x
+    // the oracle); the posting frame is now one compiled O(tokens)
+    // counting pass per doc (A/B numbers in the expression Scaladoc).
     "corpus_keywords" -> ((s, dir) => {
-      val ws = TextOps.tokens(col("text"))
       // localCheckpoint: the df aggregate AND the scoring join both
       // consume the exploded posting frame — without materialization
       // the corpus is scanned and exploded TWICE (no exchange to
       // reuse: the df side aggregates, the scoring side doesn't).
       // One materialized pass is the 100 TB-correct trade
       // (nearDupPairs' precedent); at toy scale it also removes one
-      // of the three serialized jobs the PROFILE note blames.
+      // of the three serialized jobs.
       val terms = Tables.documents(s, dir)
-        .select(col("doc_id"), ws.as("ws"))
-        .select(col("doc_id"), col("ws"),
-          explode(array_distinct(col("ws"))).as("term"))
-        .withColumn("tf", size(filter(col("ws"), w => w === col("term"))).cast("long"))
-        .drop("ws")
+        .select(col("doc_id"),
+          explode(graft.functions.TextExpressions.term_count_structs(col("text")))
+            .as("tc"))
+        .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
         .localCheckpoint()
       val stats = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
       val dfFrame = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
