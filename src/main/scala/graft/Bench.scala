@@ -44,7 +44,18 @@ object Bench {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: WindowExec's no-partition-defined warning fires
+    // per window query and the spam (thousands of lines at 148 queries
+    // x 2 reps) twice pushed the JSON detail line out of the driver's
+    // tail-capture window (BENCH_r10/r11 both lost the per-query map).
+    // The bench's own diagnostics go through System.err directly.
+    spark.sparkContext.setLogLevel("ERROR")
+    // Every emitted JSON line is ALSO appended to a file (default
+    // bench_out.json in the working directory) so the per-query map
+    // survives even if stdout is truncated by the capture window.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val outLines = scala.collection.mutable.ArrayBuffer[String]()
+    def emit(line: String): Unit = { println(line); outLines += line }
     // Warm-up (untimed): run every query once at the smallest scale
     // factor. Plan shapes are identical across scale factors, so the
     // timed runs hit the whole-stage-codegen class cache and JIT-warm
@@ -138,7 +149,7 @@ object Bench {
       BigDecimal(total / ((c1 + c2) / 2.0))
         .setScale(5, BigDecimal.RoundingMode.HALF_UP)
     val loadJson = s""""nproc":$nproc,"load_avg":[${r1(loadStart)},${r1(loadEnd)}],"calib_ms":[${r1(calibStart)},${r1(calibEnd)}]"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"unoracled":${js(extras)},"errors":${jsStr(allErrors)},"sf":"$sfDir","reps":2,"agg":"min","warm_cache":true,$loadJson}""")
+    emit(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"unoracled":${js(extras)},"errors":${jsStr(allErrors)},"sf":"$sfDir","reps":2,"agg":"min","warm_cache":true,$loadJson}""")
     // Second scale point: re-time the oracled set at a SMALLER sf and emit
     // another compact line keyed by its sf, so the artifact carries a
     // round-over-round scaling SLOPE (total vs data volume), not just a
@@ -161,14 +172,18 @@ object Bench {
       val total2 = if (results2.nonEmpty) results2.values.sum else 0.0
       val calibEnd2 = calibMs()
       val loadJson2 = s""""nproc":$nproc,"load_avg":[${r1(loadStart2)},${r1(loadAvg())}],"calib_ms":[${r1(calibStart2)},${r1(calibEnd2)}]"""
-      println(s"""{"metric":"total_compact","value":$total2,"unit":"sec","total_per_calib":${perCalib(total2, calibStart2, calibEnd2)},"n_oracled":${results2.size},"n_errors":${errors2.size},"sf":"$sfDir2",$loadJson2}""")
+      emit(s"""{"metric":"total_compact","value":$total2,"unit":"sec","total_per_calib":${perCalib(total2, calibStart2, calibEnd2)},"n_oracled":${results2.size},"n_errors":${errors2.size},"sf":"$sfDir2",$loadJson2}""")
     }
     // A tail capture always keeps the LAST line, so the headline total is
     // repeated in a short self-contained line AFTER the big detail line:
     // even if the per-query map above is truncated away again, the
     // round's total stays machine-readable. Named total_compact so a
     // "metric":"total" matcher can never pick this line over the full one.
-    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","total_per_calib":${perCalib(total, calibStart, calibEnd)},"n_oracled":${results.size},"n_errors":${allErrors.size},"sf":"$sfDir",$loadJson}""")
+    emit(s"""{"metric":"total_compact","value":$total,"unit":"sec","total_per_calib":${perCalib(total, calibStart, calibEnd)},"n_oracled":${results.size},"n_errors":${allErrors.size},"sf":"$sfDir",$loadJson}""")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (outLines.mkString("\n") + "\n").getBytes("UTF-8"))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write $outPath: $e") }
     spark.stop()
     // An oracled query that failed both reps means the headline total is
     // missing a term — fail the run loudly rather than report a deflated

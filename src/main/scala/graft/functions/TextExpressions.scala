@@ -169,10 +169,17 @@ case class DistinctShingleStructs(child: Expression, n: Int) extends UnaryExpres
   * oracle). This computes every (term, tf) pair in a single
   * O(tokens) counting scan; terms are zero-copy UTF8String slices
   * over the input's backing bytes (the distinct-shingle pattern).
-  * DevProbe A/B at sf0.1 (calib-comparable runs, same box):
-  * corpus_keywords 1.48 s HOF → 0.34 s native (~4.4×), search_postings
-  * 1.20 s → 0.27 s; per-doc work is now linear, so the win GROWS with
-  * document length at scale.
+  * Per-doc work is linear, so the win over the HOF formulation GROWS
+  * with document length at scale; concrete timings live in the
+  * committed `DevProbe` A/B probes and the per-round BENCH artifacts,
+  * not here (in-code numbers go stale and aren't reproducible).
+  *
+  * Memory note: because each emitted term is a zero-copy slice, every
+  * (term, tf) struct pins the FULL document's byte array until the
+  * consumer (explode → UnsafeRow) copies it out — transient per-row
+  * amplification, the [[DistinctShingleStructs]] trade. If heap
+  * pressure ever shows up here, copy terms onto fresh arrays with
+  * `UTF8String.fromBytes` per term.
   */
 case class TermCountStructs(child: Expression) extends UnaryExpression {
 
@@ -754,12 +761,15 @@ object TextExpressions {
   def word_chunks(text: Column, size: Int, stride: Int): Column =
     bridge.column(WordChunks(bridge.expression(text), size, stride))
 
-  private def intArg(exprs: Seq[Expression], i: Int): Int =
+  private def intArg(exprs: Seq[Expression], i: Int): Int = {
+    if (exprs.length <= i) throw new IllegalArgumentException(
+      s"missing argument ${i + 1}: expected an integer literal, got only ${exprs.length} argument(s)")
     exprs(i).eval(null) match {
       case n: Int => n
       case other => throw new IllegalArgumentException(
         s"argument ${i + 1} must be an integer literal, got $other")
     }
+  }
 
   /** name -> builder for every SQL-surfaced native text expression —
     * the ONE list backing both session-level temp registration
@@ -866,16 +876,20 @@ object TextExpressions {
     "top_gram_frac" -> (exprs => TopGramFrac(exprs.head, intArg(exprs, 1))),
     "word_chunks" -> (exprs => WordChunks(exprs.head, intArg(exprs, 1), intArg(exprs, 2))),
     "percent_normalize" -> (exprs => PercentNormalize(exprs.head)),
+    "term_count_structs" -> (exprs => TermCountStructs(exprs.head)),
     "phrase_count" -> (exprs => PhraseCount(exprs.head,
       strArg(exprs, 1), strArg(exprs, 2))))
 
-  private def strArg(exprs: Seq[Expression], i: Int): String =
+  private def strArg(exprs: Seq[Expression], i: Int): String = {
+    if (exprs.length <= i) throw new IllegalArgumentException(
+      s"missing argument ${i + 1}: expected a string literal, got only ${exprs.length} argument(s)")
     exprs(i) match {
       case org.apache.spark.sql.catalyst.expressions.Literal(v: UTF8String, StringType) =>
         v.toString
       case other => throw new IllegalArgumentException(
         s"argument ${i + 1} must be a string literal, got $other")
     }
+  }
 
   /** Optional SQL registration of every native text expression, so the
     * engine's SQL surface matches the DataFrame one:

@@ -201,6 +201,7 @@ object Similarity {
     */
   def probeIndex(spark: SparkSession, dir: String, qv: Array[Double],
       topK: Int, probes: Int = 2): DataFrame = {
+    recoverSwap(spark, dir) // heal a crashed retrain swap before reading
     val cents = spark.read.parquet(s"$dir/centroids")
       .select(col("cid"), col("cv")).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
@@ -323,6 +324,7 @@ object Similarity {
     */
   def probePqIndex(spark: SparkSession, dir: String, qv: Array[Double],
       topK: Int, probes: Int = 2): DataFrame = {
+    recoverSwap(spark, dir) // heal a crashed retrain swap before reading
     val cents = spark.read.parquet(s"$dir/centroids")
       .select(col("cid"), col("cv")).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
@@ -421,9 +423,21 @@ object Similarity {
     * index proves readable, so no crash window loses the index.
     * Returns the new cell count.
     */
+  /** Crash-recovery for the retrain swap: the swap's only unsafe
+    * window is between "live moved to `__old`" and "stage moved to
+    * live" — a crash there leaves NO live directory but an intact
+    * backup. Rename the backup straight back (atomic on the same
+    * filesystem, same as the forward swap) and report whether a
+    * recovery happened. Idempotent and cheap (two metadata probes), so
+    * the open/retrain paths call it unconditionally first.
+    */
+  def recoverSwap(spark: SparkSession, dir: String): Boolean =
+    Compaction.recover(spark, dir) // same `__old` contract as compaction
+
   def retrainIndex(spark: SparkSession, dir: String,
       kCells: Int = 0, iters: Int = 3): Int = {
     import org.apache.hadoop.fs.Path
+    recoverSwap(spark, dir) // heal a crashed earlier swap before reading
     val all = spark.read.parquet(s"$dir/cells")
       .select(col("vec_id"), col("v").as("embedding"))
     val n = all.count()
@@ -450,8 +464,15 @@ object Similarity {
     // and new both count n; it verifies readability, not identity)
     require(fs.rename(path, bak),
       s"could not move live index aside for $dir — swap aborted, live index untouched")
-    require(fs.rename(new Path(stage), path),
-      s"could not move staged index into place for $dir — original at $bak")
+    if (!fs.rename(new Path(stage), path)) {
+      // restore the live index IN-PROCESS rather than leaving the
+      // rename-back to a later recoverSwap (which only runs if someone
+      // opens this index again)
+      val restored = fs.rename(bak, path)
+      throw new IllegalStateException(
+        s"could not move staged index into place for $dir — " +
+          (if (restored) "original restored" else s"RESTORE FAILED, original at $bak"))
+    }
     require(spark.read.parquet(s"$dir/cells").count() == n,
       s"post-swap verification failed for $dir — backup kept at $bak")
     fs.delete(bak, true)
@@ -469,6 +490,7 @@ object Similarity {
   def retrainPqIndex(spark: SparkSession, emb: DataFrame, dir: String,
       kCells: Int = 0, iters: Int = 3, nHint: Long = 0L): (Int, PqCodebooks) = {
     import org.apache.hadoop.fs.Path
+    recoverSwap(spark, dir) // heal a crashed earlier swap before reading
     val stage = s"${dir}__retraining"
     val out = savePqIndex(spark, emb, stage, kCells, iters, nHint)
     val n = spark.read.parquet(s"$dir/codes").count()
@@ -482,8 +504,12 @@ object Similarity {
     // rename results checked — see retrainIndex
     require(fs.rename(path, bak),
       s"could not move live index aside for $dir — swap aborted, live index untouched")
-    require(fs.rename(new Path(stage), path),
-      s"could not move staged index into place for $dir — original at $bak")
+    if (!fs.rename(new Path(stage), path)) {
+      val restored = fs.rename(bak, path)
+      throw new IllegalStateException(
+        s"could not move staged index into place for $dir — " +
+          (if (restored) "original restored" else s"RESTORE FAILED, original at $bak"))
+    }
     require(spark.read.parquet(s"$dir/codes").count() == staged,
       s"post-swap verification failed for $dir — backup kept at $bak")
     fs.delete(bak, true)

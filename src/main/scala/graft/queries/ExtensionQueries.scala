@@ -403,11 +403,18 @@ object ExtensionQueries {
   private val trainedPqBooks = new java.util.concurrent.ConcurrentHashMap[
     String, graft.operators.Similarity.PqCodebooks]()
 
-  private def trainedPq(s: SparkSession, dir: String): graft.operators.Similarity.PqCodebooks =
-    trainedPqBooks.computeIfAbsent(dir, _ =>
+  // Memo key includes the corpus row count, so a dir whose
+  // embeddings.parquet is REWRITTEN (append/compaction between calls
+  // in one JVM) retrains instead of serving codebooks for the old
+  // corpus. Same-count content rewrites still hit the memo — fine for
+  // the immutable per-SF test corpora; a mutable deployment would key
+  // on a table version/snapshot id instead.
+  private def trainedPq(s: SparkSession, dir: String): graft.operators.Similarity.PqCodebooks = {
+    val n = Tables.parquetRowCount(s, s"$dir/embeddings.parquet")
+    trainedPqBooks.computeIfAbsent(s"$dir@$n", _ =>
       graft.operators.Similarity.trainPq(s, Tables.embeddings(s, dir),
-        m = 8, dsub = 8, kCodes = 256, iters = 6,
-        nHint = Tables.parquetRowCount(s, s"$dir/embeddings.parquet")))
+        m = 8, dsub = 8, kCodes = 256, iters = 6, nHint = n))
+  }
 
   /** Trained-ADC score column for query `qid` over an `embedding`
     * input column — ONE derivation shared by `sim_pq_topk_trained` and

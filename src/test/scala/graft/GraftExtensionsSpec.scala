@@ -41,12 +41,15 @@ class GraftExtensionsSpec extends SparkSpec {
           |  simhash32('alpha beta gamma') AS sim,
           |  minhash_slices('a b c d e f', 5) AS mh,
           |  top_gram_frac('a b a b a b', 2) AS tg,
-          |  dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp
+          |  dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
+          |  term_count_structs('a b a') AS tc
           |""".stripMargin).head()
       assert(row.getSeq[String](0) === Seq("a b c d e", "b c d e f"))
       assert(row.getInt(1) === 2) // distinct 2-grams: "a b", "b a"
       assert(row.getSeq[String](3).length === 8)
       assert(row.getDouble(5) === 11.0)
+      val tc = row.getSeq[org.apache.spark.sql.Row](6)
+      assert(tc.map(r => (r.getString(0), r.getLong(1))) === Seq("a" -> 2L, "b" -> 1L))
     }
   }
 

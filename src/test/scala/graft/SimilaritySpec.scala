@@ -291,6 +291,30 @@ class SimilaritySpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("crashed retrain swap: probe heals the index from the __old backup") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf0001).filter(col("vec_id") < 200)
+    val dir = java.nio.file.Files.createTempDirectory("ivfcrash").toString + "/idx"
+    Similarity.saveIndex(spark, emb, dir, iters = 2)
+    val qv = emb.filter(col("vec_id") === 50)
+      .select(operators.VectorOps.toDouble(col("embedding")))
+      .as[Array[Double]].head()
+    val healthy = Similarity.probeIndex(spark, dir, qv, topK = 5, probes = 2)
+      .as[(Long, Double)].collect().toSeq
+    // simulate the swap's only unsafe window: live moved to __old, the
+    // staged rename never happened (crash between the two renames)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "__old")))
+    // next open self-heals: rename-back, then identical serving results
+    val healed = Similarity.probeIndex(spark, dir, qv, topK = 5, probes = 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(healed === healthy)
+    assert(!new java.io.File(dir + "__old").exists())
+  }
+
   test("PQ retrain-and-swap: recoded index serves the new codebooks") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -55,8 +55,17 @@ class TextExpressionsPropertySpec extends SparkSpec {
       .otherwise(size(filter(sequence(lit(1), size(ws) - 1),
         i => element_at(ws, i.cast("int")) === "a" &&
           element_at(ws, i.cast("int") + 1) === "b")).cast("long"))
+    // term_count_structs twin: the exact explode(array_distinct) +
+    // size(filter) formulation it replaced in search_postings /
+    // corpus_keywords (empty tokens from doubled spaces INCLUDED —
+    // split-on-single-space semantics), as an array so per-doc
+    // first-occurrence ORDER is pinned too, not just the multiset
+    val declTc = transform(array_distinct(ws),
+      t => struct(t.as("term"),
+        size(filter(ws, x => x === t)).cast("long").as("tf")))
     val cmp = docs.select(
       (TextExpressions.phrase_count(col("text"), "a", "b") === declPhrase).as("ph_eq"),
+      (TextExpressions.term_count_structs(col("text")) === declTc).as("tc_eq"),
       (TextOps.shinglesOfText(col("text"), 5) === declShingles).as("sh_eq"),
       (TextExpressions.word_chunks(col("text"), 4, 3) === declChunks).as("ch_eq"),
       (abs(TextExpressions.top_gram_frac(col("text"), 2) - declTop2) < 1e-12).as("tg_eq"),
@@ -68,7 +77,7 @@ class TextExpressionsPropertySpec extends SparkSpec {
       (TextExpressions.minhash_slices(col("text"), 5) ===
         TextExpressions.minhash_slices(col("text"), 5)).as("mh_det"))
       .collect()
-    cmp.forall(r => (0 to 5).forall(r.getBoolean))
+    cmp.forall(r => (0 to 6).forall(r.getBoolean))
   }
 
   test("native expressions equal their declarative twins on adversarial strings") {
