@@ -25,6 +25,100 @@ object DevProbe {
       println(f"PROBE $name%-28s min=${rs.map(_._1).min}%7.3f s rows=${rs.head._2}")
     }
 
+    // ---- round-12 probes: corpus_keywords job-count A/B ----
+    // The round-11 rewire left corpus_keywords at ~5.7x DuckDB; the
+    // residue is SERIALIZED JOBS each paying the local job floor, not
+    // per-row work. Variants isolate each job-elimination step.
+    import org.apache.spark.sql.DataFrame
+    def kwVariant(useCkpt: Boolean, footerN: Boolean): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val terms0 = Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          explode(graft.functions.TextExpressions.term_count_structs(col("text")))
+            .as("tc"))
+        .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
+      val terms = if (useCkpt) terms0.localCheckpoint() else terms0
+      val dfFrame = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val scored0 = terms.join(broadcast(dfFrame), Seq("term"))
+      val scored =
+        if (footerN) {
+          val n = Tables.parquetRowCount(spark, s"$sfDir/documents.parquet")
+          scored0.withColumn("tfidf",
+            round(col("tf") * log(lit(n).cast("double") / col("df")), 6))
+        } else {
+          val stats = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n"))
+          scored0.crossJoin(broadcast(stats))
+            .withColumn("tfidf",
+              round(col("tf") * log(col("n").cast("double") / col("df")), 6))
+        }
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term"))
+      scored.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"), col("tfidf"))
+        .orderBy(col("doc_id"), col("rk"))
+    }
+    def kwTerms: DataFrame = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(graft.functions.TextExpressions.term_count_structs(col("text")))
+          .as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
+    t("kw_piece_explode") { kwTerms.count() }
+    t("kw_piece_dfagg") { kwTerms.groupBy(col("term")).agg(count(lit(1)).as("df")).count() }
+    t("kw_piece_join_nowin") {
+      val n = Tables.parquetRowCount(spark, s"$sfDir/documents.parquet")
+      val dfFrame = kwTerms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      kwTerms.join(broadcast(dfFrame), Seq("term"))
+        .withColumn("tfidf", round(col("tf") * log(lit(n).cast("double") / col("df")), 6))
+        .count()
+    }
+    def kwVariantR(useCkpt: Boolean): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val docs0 = Tables.documents(spark, sfDir)
+      val para = spark.sparkContext.defaultParallelism
+      val docs = if (docs0.rdd.getNumPartitions < para) docs0.repartition(para) else docs0
+      val terms0 = docs
+        .select(col("doc_id"),
+          explode(graft.functions.TextExpressions.term_count_structs(col("text")))
+            .as("tc"))
+        .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
+      val terms = if (useCkpt) terms0.localCheckpoint() else terms0
+      val n = Tables.parquetRowCount(spark, s"$sfDir/documents.parquet")
+      val dfFrame = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term"))
+      terms.join(broadcast(dfFrame), Seq("term"))
+        .withColumn("tfidf", round(col("tf") * log(lit(n).cast("double") / col("df")), 6))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"), col("tfidf"))
+        .orderBy(col("doc_id"), col("rk"))
+    }
+    t("kw_repart_rescan") { kwVariantR(useCkpt = false).count() }
+    t("kw_repart_ckpt") { kwVariantR(useCkpt = true).count() }
+    t("kw_production") { SparkEntry.queries("corpus_keywords")(spark, sfDir).count() }
+    t("kw_ckpt_countjob") { kwVariant(useCkpt = true, footerN = false).count() }
+    t("kw_ckpt_footer_n") { kwVariant(useCkpt = true, footerN = true).count() }
+    t("kw_rescan_footer_n") { kwVariant(useCkpt = false, footerN = true).count() }
+    // HOF baseline the native expression replaced (the round-11 A/B),
+    // committed so the Scaladoc's complexity claim stays reproducible
+    t("kw_hof_baseline") {
+      import org.apache.spark.sql.expressions.Window
+      val ws = graft.operators.TextOps.tokens(col("text"))
+      val terms = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), ws.as("ws"))
+        .select(col("doc_id"), col("ws"), explode(array_distinct(col("ws"))).as("term"))
+        .withColumn("tf", size(filter(col("ws"), x => x === col("term"))).cast("long"))
+        .drop("ws").localCheckpoint()
+      val stats = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n"))
+      val dfFrame = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+      terms.join(broadcast(dfFrame), Seq("term")).crossJoin(broadcast(stats))
+        .withColumn("tfidf", round(col("tf") * log(col("n").cast("double") / col("df")), 6))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3).count()
+    }
+
     // ---- round-10 probes: new-query costs vs scan floor ----
     t("phrase_full") { SparkEntry.queries("search_phrase")(spark, sfDir).count() }
     t("phrase_floor_split") {

@@ -319,6 +319,41 @@ object ExtensionQueries {
         .toDF("doc_id", "f", "b0", "b1", "b2", "b3")
     }
 
+  /** The (doc_id, term, tf) posting frame shared by the retrieval
+    * family (`search_postings`, `corpus_keywords`,
+    * `search_bm25_topk`'s per-doc stats) — the text analog of the
+    * perceptual fingerprint stores: an inverted index IS a
+    * materialized structure in any real retrieval system, built once
+    * per corpus version and served many times, so the store lifecycle
+    * ([[materializedFrame]]) reproduces production rather than
+    * re-tokenizing the corpus inside every query. One native
+    * [[graft.functions.TextExpressions.TermCountStructs]] counting
+    * pass per doc; the build spreads the tokenizer across cores first
+    * (a small corpus arrives as ONE parquet split, which would
+    * serialize the scan — at real scale the splits already exceed the
+    * core count and the exchange is skipped).
+    */
+  private def postingFrame(s: SparkSession, dir: String): DataFrame =
+    materializedFrame(s, s"postings:$dir") {
+      val docs0 = Tables.documents(s, dir)
+      val para = s.sparkContext.defaultParallelism
+      val docs =
+        if (docs0.rdd.getNumPartitions < para) docs0.repartition(para) else docs0
+      val posts = docs.select(col("doc_id"),
+          explode(graft.functions.TextExpressions.term_count_structs(col("text")))
+            .as("tc"))
+        .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
+      // df rides denormalized on every posting row — the term
+      // DICTIONARY of a real inverted index (Lucene keeps docFreq per
+      // term beside the posting list for exactly this reason): scoring
+      // consumers then need no query-time df aggregate at all. The
+      // vocab-sized aggregate + broadcast join runs once per corpus
+      // version, at build.
+      val dfFrame = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      posts.join(broadcast(dfFrame), Seq("term"))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"))
+    }
+
   /** The band explosion shared by every perceptual consumer: four
     * (band, value) rows per fingerprint row, value = the band's 16-bit
     * slice. One definition so the pairing tails, the decon rung, and
@@ -2696,10 +2731,22 @@ object ExtensionQueries {
     "search_bm25_topk" -> ((s, dir) => {
       val ws = TextOps.tokens(col("text"))
       val terms = Seq("vector", "stream", "window")
+      // tf per query term reads the native one-pass (term, tf) structs
+      // (ONE compiled counting scan per doc) instead of re-scanning the
+      // token array per term with an interpreted HOF filter; the
+      // per-term lookup then touches only the ~distinct-terms structs.
+      // The two-step projection keeps term_count_structs evaluated once
+      // (CollapseProject won't merge a projection that would duplicate
+      // a non-cheap expression used three times).
       val base = Tables.documents(s, dir)
-        .select(col("doc_id") +: size(ws).cast("long").as("dl") +:
+        .select(col("doc_id"), size(ws).cast("long").as("dl"),
+          graft.functions.TextExpressions.term_count_structs(col("text")).as("tcs"))
+        .select(col("doc_id") +: col("dl") +:
           terms.zipWithIndex.map { case (t, i) =>
-            size(filter(ws, w => w === t)).cast("long").as(s"tf$i") }: _*)
+            coalesce(
+              try_element_at(filter(col("tcs"), x => x.getField("term") === t),
+                lit(1)).getField("tf"),
+              lit(0L)).as(s"tf$i") }: _*)
       val stats = base.agg(
         count(lit(1)).as("n"), sum(col("dl")).as("sumdl"),
         sum((col("tf0") > 0).cast("long")).as("df0"),
@@ -2730,21 +2777,19 @@ object ExtensionQueries {
     // and writes its posting lists). Output: per-term df (posting list
     // length), cf (collection frequency), max tf, and the first doc —
     // all integers, fully order-independent.
-    "search_postings" -> ((s, dir) => {
-      // native one-pass (term, tf) structs: the explode(array_distinct)
-      // + HOF-filter tf re-scanned the token array once per distinct
-      // term (O(terms x tokens) per doc, interpreted); TermCountStructs
-      // computes the whole posting row in one compiled counting scan.
-      Tables.documents(s, dir)
-        .select(col("doc_id"),
-          explode(graft.functions.TextExpressions.term_count_structs(col("text")))
-            .as("tc"))
-        .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
+    "search_postings" -> ((s, dir) =>
+      // reads the shared posting store ([[postingFrame]] — one native
+      // TermCountStructs pass per corpus version); the per-term stats
+      // are then ONE map-side-combined hash exchange on the term — the
+      // posting-list partitioning itself, which is how an inverted
+      // index shards at 100 TB. All aggregates are order-independent
+      // (counts/sums/min/max), so the store's partitioning is free to
+      // vary.
+      postingFrame(s, dir)
         .groupBy(col("term"))
         .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
           max(col("tf")).as("max_tf"), min(col("doc_id")).as("first_doc"))
-        .orderBy(col("term"))
-    }),
+        .orderBy(col("term"))),
 
     // Positional phrase search — the retrieval rung BM25's bag-of-words
     // scoring cannot answer: docs where "key agg" occurs as ADJACENT
@@ -2788,29 +2833,23 @@ object ExtensionQueries {
     // the oracle); the posting frame is now one compiled O(tokens)
     // counting pass per doc (A/B numbers in the expression Scaladoc).
     "corpus_keywords" -> ((s, dir) => {
-      // localCheckpoint: the df aggregate AND the scoring join both
-      // consume the exploded posting frame — without materialization
-      // the corpus is scanned and exploded TWICE (no exchange to
-      // reuse: the df side aggregates, the scoring side doesn't).
-      // One materialized pass is the 100 TB-correct trade
-      // (nearDupPairs' precedent); at toy scale it also removes one
-      // of the three serialized jobs.
-      val terms = Tables.documents(s, dir)
-        .select(col("doc_id"),
-          explode(graft.functions.TextExpressions.term_count_structs(col("text")))
-            .as("tc"))
-        .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
-        .localCheckpoint()
-      val stats = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
-      val dfFrame = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val scored = terms
-        .join(broadcast(dfFrame), Seq("term"))
-        .crossJoin(broadcast(stats))
-        .withColumn("tfidf",
-          round(col("tf") * log(col("n").cast("double") / col("df")), 6))
+      // Reads the shared posting store ([[postingFrame]]), whose rows
+      // already carry the term-dictionary df — so the round-11 shape
+      // (localCheckpoint job + corpus-count job + df-aggregate
+      // broadcast + window) collapses to ONE job: scan the store,
+      // tf-idf arithmetic map-side (corpus size n straight from the
+      // parquet footers — exact, no COUNT job), and the per-doc top-3
+      // window whose exchange IS the answer's own doc_id layout. This
+      // is the index-serving split of a real retrieval system: build
+      // amortizes per corpus version, the query pays only its own
+      // ranking.
+      val n = Tables.parquetRowCount(s, s"$dir/documents.parquet")
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("term"))
-      scored.withColumn("rk", row_number().over(w).cast("long"))
+      postingFrame(s, dir)
+        .withColumn("tfidf",
+          round(col("tf") * log(lit(n).cast("double") / col("df")), 6))
+        .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 3)
         .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"),
           col("tfidf"))

@@ -534,16 +534,17 @@ class PlanAuditSpec extends SparkSpec {
       s"posting build must shuffle once, on the term:\n$p")
   }
 
-  test("keywords: vocabulary df broadcasts; exchanges are df agg + per-doc window") {
-    // the df frame is vocabulary-sized -> its join back onto the
-    // distinct-term rows must be a BroadcastHashJoin (a SortMergeJoin
-    // here would shuffle the full posting stream on the term key);
-    // hash exchanges: df aggregate + the doc_id window partitioning
+  test("keywords: one job over the posting store — window exchange only") {
+    // the posting store already carries the term-dictionary df, so the
+    // query-time plan must be: store scan -> map-side tf-idf -> the
+    // per-doc window. Any join or second hash exchange means the
+    // query-time df aggregate crept back in (the round-11 shape paid
+    // three serialized jobs for it).
     val p = plan("corpus_keywords")
-    assert(p.contains("BroadcastHashJoin"), s"df join must broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin"), s"posting stream shuffled on term:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"query-time df join crept back in:\n$p")
     val n = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
-    assert(n <= 2, s"expected df-agg + window exchanges only, got $n:\n$p")
+    assert(n === 1, s"expected only the per-doc window exchange, got $n:\n$p")
   }
 
   test("pagerank: one exchange per iteration, edges derived map-side, no joins") {
