@@ -119,6 +119,8 @@ object DevProbe {
         .filter(col("rk") <= 3).count()
     }
 
+    t("sim_recall_report") { SparkEntry.queries("sim_recall_report")(spark, sfDir).count() }
+
     // ---- round-10 probes: new-query costs vs scan floor ----
     t("phrase_full") { SparkEntry.queries("search_phrase")(spark, sfDir).count() }
     t("phrase_floor_split") {

@@ -111,6 +111,21 @@ object ExtensionQueries {
       .withColumn("v", col("embedding"))
       .withColumn("nv", VectorOps.norm2(col("embedding")))
 
+  /** (rung query name, its seeded query vec_id, its top-k) for every
+    * ORACLED rung of the ANN serving ladder — the ONE list driving
+    * both the `sim_recall_report` frame and its composed oracle, so
+    * the two cannot drift on which rung probes which query vector.
+    */
+  private val recallRungs: Seq[(String, Long, Int)] = Seq(
+    ("sim_cosine_topk", 0L, 10),
+    ("sim_ivf_topk", 42L, 5),
+    ("sim_sq8_topk", 7L, 10),
+    ("sim_pq_topk", 299L, 10),
+    ("sim_ivfpq_topk", 298L, 10),
+    ("sim_ivfpq_multiprobe_topk", 296L, 10),
+    ("sim_ivfpq_residual_topk", 297L, 10),
+    ("sim_pq_rerank_topk", 294L, 10))
+
   /** The 32 fixed seed centroids (vec_id 0..31) collected ONCE into a
     * plan-carried [[graft.functions.CentroidBank]]. BOUNDED driver
     * collect, O(k x dim) = 32 x 64 floats — the same class as the
@@ -1509,6 +1524,39 @@ object ExtensionQueries {
         .select(col("label"), (col("i0") + 1).cast("int").as("i"),
           round(col("c"), 6).as("c"))
         .orderBy(col("label"), col("i"))
+    }),
+
+    // Recall report across the ANN serving ladder: for every ORACLED
+    // rung, the top-k id set is intersected with the EXACT cosine
+    // top-k for that rung's own query vector (each rung probes a
+    // different seeded query id, so each gets its own exact baseline)
+    // and the report row is the integer overlap — recall as a
+    // CORRECTNESS surface, not just a spec-level bar: a quantizer or
+    // probe-selection regression that still produces well-formed top-k
+    // rows now breaks a hash-gated query instead of only a test.
+    // Per-rung plans are the rungs' own (zero-exchange ADC scans etc.);
+    // each intersect is a 10-row broadcast join + a count. The trained
+    // rungs (learned float codebooks, not SQL-replayable) keep their
+    // recall bars in ExtensionInvariantsSpec.
+    "sim_recall_report" -> ((s, dir) => {
+      def exactTop(qid: Long, k: Int): DataFrame = {
+        val q = embWithNorm(s, dir).filter(col("vec_id") === qid)
+          .select(col("v").as("qv"), col("nv").as("nq"))
+        embWithNorm(s, dir).filter(col("vec_id") =!= qid)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            round(VectorOps.dot(col("qv"), col("v")) /
+              sqrt(col("nq") * col("nv")), 6).as("cs"))
+          .orderBy(col("cs").desc, col("vec_id"))
+          .limit(k)
+          .select(col("vec_id"))
+      }
+      recallRungs.map { case (name, qid, k) =>
+        queries(name)(s, dir).select(col("vec_id"))
+          .join(broadcast(exactTop(qid, k)), Seq("vec_id"))
+          .agg(count(lit(1)).as("n_overlap"))
+          .select(lit(name).as("rung"), lit(k.toLong).as("k"), col("n_overlap"))
+      }.reduce(_ union _).orderBy(col("rung"))
     }),
 
     // ---- Text analysis -------------------------------------------------
@@ -4948,6 +4996,29 @@ object ExtensionQueries {
     * fingerprint SQL to drift from its dedup twin.
     */
   def oracleSql: Map[String, String] = baseOracleSql ++ Map(
+    "sim_recall_report" -> {
+      // every oracled rung's OWN oracle SQL as a CTE (verbatim — the
+      // rung arithmetic cannot drift from the rung queries), each
+      // intersected with an exact-cosine top-k CTE for that rung's
+      // seeded query vector; overlap counted as an integer
+      def exactSql(qid: Long, k: Int): String =
+        "SELECT vec_id FROM (SELECT vec_id, round(dot/sqrt(nq*nv), 6) AS cs FROM (" +
+        "SELECT e.vec_id, " +
+        "list_sum(list_transform(list_zip(q.qe, e.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) dot, " +
+        "list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) nq, " +
+        "list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) nv " +
+        s"FROM embeddings e, (SELECT embedding qe FROM embeddings WHERE vec_id = $qid) q " +
+        s"WHERE e.vec_id <> $qid) " +
+        s"ORDER BY cs DESC, vec_id LIMIT $k)"
+      val ctes = recallRungs.zipWithIndex.map { case ((name, qid, k), i) =>
+        s"r$i AS (${baseOracleSql(name)}), x$i AS (${exactSql(qid, k)})"
+      }.mkString(", ")
+      val rows = recallRungs.zipWithIndex.map { case ((name, _, k), i) =>
+        s"SELECT '$name' AS rung, CAST($k AS BIGINT) AS k, " +
+        s"(SELECT COUNT(*) FROM r$i JOIN x$i USING (vec_id)) AS n_overlap"
+      }.mkString(" UNION ALL ")
+      s"WITH $ctes SELECT * FROM ($rows) ORDER BY rung"
+    },
     "export_split_leakage" ->
       // the dedup_minhash_verified oracle verbatim as the pair source,
       // then the same split-coin arithmetic per pair side
