@@ -115,7 +115,12 @@ object ScaleSmoke {
         "q31_topk_per_group", "q32_ewma_daily", "q33_seasonal_anomaly",
         "q36_mad_robust", "q38_concurrency_sweep", "q39_time_weighted_avg",
         "dq_drift", "sample_reservoir", "q40_grouping_sets",
-        "q41_mode_per_group")) {
+        "q41_mode_per_group",
+        // round-12 additions: the shuffled-join graph loop over a 10x
+        // materialized edge table whose 16 hub nodes now carry ~10x
+        // the in-degree (the skew-join pressure case), and the
+        // midnight-split sweep over 10x sessions
+        "crawl_pagerank_edges", "q38b_concurrency_sweep_midnight")) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).count()
       println(f"$q%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $n%10d rows")

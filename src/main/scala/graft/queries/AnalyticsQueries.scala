@@ -891,6 +891,45 @@ object AnalyticsQueries {
         .orderBy(col("d"))
     }),
 
+    // Cross-midnight variant of the concurrency sweep: q38 buckets a
+    // session under its START date, so a session alive at 23:59 still
+    // counts toward the NEXT day's concurrency but q38 never sees it
+    // there. Here every session is split at UTC day boundaries first —
+    // one [max(s, day_start), min(e, day_end)] segment per day touched
+    // (explode over the session's date range; session lengths are
+    // bounded by the 30-min gap rule, so the fan-out per row is tiny
+    // and map-side) — and the same closed-interval boundary sweep runs
+    // per day. n_sessions counts sessions ACTIVE that day (a
+    // midnight-crossing session contributes to both days). Plan shape
+    // is q38's: map-side segment explode, ONE window exchange on the
+    // day, final per-day agg.
+    "q38b_concurrency_sweep_midnight" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dayUs = 86400000000L
+      val segs = sessionIntervals(s, dir)
+        .withColumn("d", explode(sequence(
+          to_date(timestamp_micros(col("s_us"))),
+          to_date(timestamp_micros(col("e_us"))))))
+        .withColumn("day_s_us", unix_micros(col("d").cast("timestamp")))
+        .withColumn("seg_s", greatest(col("s_us"), col("day_s_us")))
+        .withColumn("seg_e", least(col("e_us"), col("day_s_us") + lit(dayUs - 1L)))
+      val bounds = segs.select(col("d"), col("seg_s").as("t_us"),
+          lit(1L).as("delta"), col("user_id"))
+        .unionByName(segs.select(col("d"), (col("seg_e") + 1L).as("t_us"),
+          lit(-1L).as("delta"), col("user_id")))
+      val sweep = Window.partitionBy(col("d"))
+        .orderBy(col("t_us"), col("delta"), col("user_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      bounds
+        .withColumn("active", sum(col("delta")).over(sweep))
+        .groupBy(col("d"))
+        .agg(max(col("active")).as("peak_concurrency"),
+          sum(when(col("delta") === 1L, col("active") - 1L).otherwise(0L))
+            .as("overlap_pairs"),
+          sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_sessions"))
+        .orderBy(col("d"))
+    }),
+
     // SCD Type-2 interval reconstruction — turn an append-only change
     // log into validity windows ([ts, next ts) per user, NULL-open for
     // the current version): the warehouse primitive behind every
@@ -1206,6 +1245,30 @@ object AnalyticsQueries {
        "sess AS (SELECT user_id, session_seq, MIN(us) s_us, MAX(us) e_us FROM sq GROUP BY user_id, session_seq), " +
        "b AS (SELECT CAST(make_timestamp(s_us) AS DATE) d, s_us t_us, 1 AS delta, user_id FROM sess " +
        "UNION ALL SELECT CAST(make_timestamp(s_us) AS DATE), e_us + 1, -1, user_id FROM sess), " +
+       "sw AS (SELECT d, delta, SUM(delta) OVER (PARTITION BY d ORDER BY t_us, delta, user_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) active FROM b) " +
+       "SELECT d, CAST(MAX(active) AS BIGINT) AS peak_concurrency, " +
+       "CAST(SUM(CASE WHEN delta = 1 THEN active - 1 ELSE 0 END) AS BIGINT) AS overlap_pairs, " +
+       "CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions " +
+       "FROM sw GROUP BY d ORDER BY d"),
+    "q38b_concurrency_sweep_midnight" ->
+      // q38's derivation with sessions split at UTC day boundaries:
+      // one segment per day touched (scalar-list generate_series over
+      // the date range — this build rejects LATERAL args), then the
+      // identical per-day sweep over segment bounds
+      ("WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) us FROM events), " +
+       "l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev_us FROM e), " +
+       "m AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END is_new FROM l), " +
+       "sq AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) session_seq FROM m), " +
+       "sess AS (SELECT user_id, session_seq, MIN(us) s_us, MAX(us) e_us FROM sq GROUP BY user_id, session_seq), " +
+       "seg0 AS (SELECT user_id, s_us, e_us, " +
+       "unnest(generate_series(CAST(make_timestamp(s_us) AS DATE), CAST(make_timestamp(e_us) AS DATE), INTERVAL 1 DAY)) dts FROM sess), " +
+       "seg AS (SELECT user_id, CAST(dts AS DATE) d, " +
+       "GREATEST(s_us, epoch_us(CAST(dts AS TIMESTAMP))) seg_s, " +
+       "LEAST(e_us, epoch_us(CAST(dts AS TIMESTAMP)) + 86399999999) seg_e FROM seg0), " +
+       "b AS (SELECT d, seg_s t_us, 1 AS delta, user_id FROM seg " +
+       "UNION ALL SELECT d, seg_e + 1, -1, user_id FROM seg), " +
        "sw AS (SELECT d, delta, SUM(delta) OVER (PARTITION BY d ORDER BY t_us, delta, user_id " +
        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) active FROM b) " +
        "SELECT d, CAST(MAX(active) AS BIGINT) AS peak_concurrency, " +

@@ -111,6 +111,23 @@ object ExtensionQueries {
       .withColumn("v", col("embedding"))
       .withColumn("nv", VectorOps.norm2(col("embedding")))
 
+  /** Deterministic hub-skewed edge table for `crawl_pagerank_edges`,
+    * materialized once per corpus dir ([[materializedFrame]] — a real
+    * crawl's link graph is extracted once and stored, not re-derived
+    * per query). Three out-links per node: two multiplicative-hash
+    * targets (uniform) and `src % 16` (one of 16 hubs — in-degree
+    * ~n/16, the skewed in-degree shape real webgraphs have).
+    */
+  private def crawlEdgeTable(s: SparkSession, dir: String): DataFrame =
+    materializedFrame(s, s"edges:$dir") {
+      val n = Tables.parquetRowCount(s, s"$dir/documents.parquet")
+      Tables.documents(s, dir).select(col("doc_id").as("src"))
+        .select(col("src"), explode(array(
+          (col("src") * 31 + 7) % n,
+          col("src") % 16,
+          (col("src") * 13 + 11) % n)).as("dst"))
+    }
+
   /** (rung query name, its seeded query vec_id, its top-k) for every
     * ORACLED rung of the ANN serving ladder — the ONE list driving
     * both the `sim_recall_report` frame and its composed oracle, so
@@ -2947,6 +2964,34 @@ object ExtensionQueries {
     // consecutive id triple closes a triangle) + one hash link
     // (long-range structure), so the triangle join has real signal
     // (the pagerank graph's three affine maps are triangle-free).
+    // PageRank over a MATERIALIZED edge table — the production twin of
+    // crawl_pagerank (whose edges derive arithmetically map-side, so
+    // its per-iteration plan never joins): real link graphs arrive as
+    // stored edge lists, so each iteration is rank-frame JOIN edges ON
+    // src, then ONE hash exchange on dst for the contribution sum —
+    // the canonical bulk-synchronous shape with a shuffled join in the
+    // loop. The edge table is deterministic and HUB-SKEWED (every
+    // node's second out-link targets one of 16 hub nodes, so hub
+    // in-degree is ~n/16 vs ~1 elsewhere — the in-degree shape real
+    // webgraphs have): at scale AQE's skew handling splits the hot
+    // dst partitions, and ScaleSmoke keeps the family valid at 10x.
+    // Same fixed-point ppm arithmetic as crawl_pagerank — bit-exact,
+    // no rounding contract. Out-degree is exactly 3 (no dangling).
+    "crawl_pagerank_edges" -> ((s, dir) => {
+      val nodes = Tables.documents(s, dir).select(col("doc_id").as("i"))
+      val edges = crawlEdgeTable(s, dir)
+      var ranks = nodes.select(col("i"), lit(1000000L).as("r"))
+      for (_ <- 1 to 5) {
+        val contribs = ranks.join(edges, ranks("i") === edges("src"))
+          .select(col("dst").as("i"), expr("r div 3").as("c"))
+        ranks = contribs.union(nodes.select(col("i"), lit(0L).as("c")))
+          .groupBy(col("i")).agg(sum(col("c")).as("sc"))
+          .select(col("i"), expr("CAST(150000 + (85 * sc) div 100 AS BIGINT)").as("r"))
+      }
+      ranks.select(col("i").as("doc_id"), col("r").as("rank_ppm"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Edges are ORIENTED low-id -> high-id and deduped first, so each
     // triangle is counted exactly once by the canonical two-join
     // (e1: a-b, e2: b-c, e3: a-c closes it) — at scale the low->high
@@ -4727,6 +4772,21 @@ object ExtensionQueries {
       "WITH docs AS (SELECT doc_id i FROM documents), " +
       "nn AS (SELECT COUNT(*) c FROM docs), " +
       "e AS (SELECT i, unnest([(i*31+7)%c, (i*17+3)%c, (i*13+11)%c]) t FROM docs, nn), " +
+      "r0 AS (SELECT i, CAST(1000000 AS BIGINT) r FROM docs), " +
+      (1 to 5).map(k => iter(s"r${k - 1}", s"r$k")).mkString("", ", ", " ") +
+      "SELECT i AS doc_id, r AS rank_ppm FROM r5 ORDER BY doc_id"
+    },
+    "crawl_pagerank_edges" -> {
+      // the materialized edge table replayed arithmetically (two
+      // multiplicative-hash targets + the mod-16 hub link), then the
+      // same 5 unrolled fixed-point iterations as crawl_pagerank
+      def iter(prev: String, cur: String): String =
+        s"$cur AS (SELECT d.i, CAST(150000 + (85 * COALESCE(SUM(x.c2), 0)) // 100 AS BIGINT) r " +
+        s"FROM docs d LEFT JOIN (SELECT e.t, $prev.r // 3 c2 FROM e JOIN $prev ON e.i = $prev.i) x " +
+        "ON x.t = d.i GROUP BY d.i)"
+      "WITH docs AS (SELECT doc_id i FROM documents), " +
+      "nn AS (SELECT COUNT(*) c FROM docs), " +
+      "e AS (SELECT i, unnest([(i*31+7)%c, i%16, (i*13+11)%c]) t FROM docs, nn), " +
       "r0 AS (SELECT i, CAST(1000000 AS BIGINT) r FROM docs), " +
       (1 to 5).map(k => iter(s"r${k - 1}", s"r$k")).mkString("", ", ", " ") +
       "SELECT i AS doc_id, r AS rank_ppm FROM r5 ORDER BY doc_id"
