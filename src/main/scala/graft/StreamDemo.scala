@@ -62,6 +62,93 @@ object StreamDemo {
       .select("filter", "change.title", "change.user", "log.folder", "log.file").show(false)
     println("== content files (K4), partitioned by event_date:")
     spark.read.parquet(s"$outDir/changes").show(false)
+
+    // ---- streaming event analytics, end to end -----------------------
+    // The stateful ops the batch q23/q31/q30 family twins: per-user
+    // funnel progression, running per-type top-k, and session windows
+    // that merge ACROSS micro-batches — driven here over a 3-batch
+    // deterministic event feed, summarized in one pinned line.
+    eventAnalyticsDemo(spark)
     spark.stop()
+  }
+
+  /** Deterministic 3-batch run of the streaming event-analytics ops;
+    * prints and RETURNS the `STREAM_DEMO ...` summary line (the line
+    * is the smoke contract, like CorpusDemo's `CORPUS_DEMO` line, and
+    * StreamingWindowSpec pins it verbatim).
+    */
+  def eventAnalyticsDemo(spark: SparkSession): String = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StatefulOps
+    import java.sql.Timestamp
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    def us(s: String) = ts(s).getTime * 1000L
+
+    // funnel: user 1 completes all 3 stages across batches, user 2
+    // stalls after signup, user 3 purchases without signup (stage 0)
+    val fin = MemoryStream[StatefulOps.FunnelEvent]
+    val fq = StatefulOps.funnelStages(fin.toDS())
+      .writeStream.format("memory").queryName("demo_funnel")
+      .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+    // top-k: per-type running leaderboard, k=2, scores in cents
+    val tin = MemoryStream[StatefulOps.ScoredEvent]
+    val tq = StatefulOps.runningTopK(tin.toDS(), k = 2)
+      .writeStream.format("memory").queryName("demo_topk")
+      .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+    // session windows: user 10's two batches merge into ONE session
+    // (10-min gap < the 30-min rule); user 11's second burst starts a
+    // new one; a late user-12 tick advances the watermark to close all
+    val sin = MemoryStream[(Long, Timestamp)]
+    val sq = sin.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("s"),
+        col("session_window.end").as("e"), col("n"))
+      .writeStream.format("memory").queryName("demo_sessions")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // batch 1
+      fin.addData(
+        StatefulOps.FunnelEvent(1L, us("2026-08-12 10:00:00"), "signup"),
+        StatefulOps.FunnelEvent(2L, us("2026-08-12 10:00:00"), "signup"),
+        StatefulOps.FunnelEvent(3L, us("2026-08-12 10:00:00"), "purchase"))
+      tin.addData(
+        StatefulOps.ScoredEvent("view", 500L, 100L, 1L),
+        StatefulOps.ScoredEvent("view", 900L, 101L, 2L))
+      sin.addData((10L, ts("2026-08-12 10:00:00")), (11L, ts("2026-08-12 10:05:00")))
+      Seq(fq, tq, sq).foreach(_.processAllAvailable())
+      // batch 2
+      fin.addData(StatefulOps.FunnelEvent(1L, us("2026-08-12 10:05:00"), "purchase"))
+      tin.addData(StatefulOps.ScoredEvent("view", 700L, 102L, 3L))
+      sin.addData((10L, ts("2026-08-12 10:10:00")), (11L, ts("2026-08-12 11:30:00")))
+      Seq(fq, tq, sq).foreach(_.processAllAvailable())
+      // batch 3 (+ a far-future tick to push the session watermark)
+      fin.addData(StatefulOps.FunnelEvent(1L, us("2026-08-12 10:06:00"), "click"))
+      tin.addData(StatefulOps.ScoredEvent("view", 800L, 103L, 4L))
+      sin.addData((12L, ts("2026-08-12 15:00:00")))
+      Seq(fq, tq, sq).foreach(_.processAllAvailable())
+
+      // latest funnel state per user (Update mode re-emits on change)
+      val stages = spark.table("demo_funnel")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("c_us").isNotNull, 3)
+          .when(col("p_us").isNotNull, 2)
+          .when(col("s_us").isNotNull, 1).otherwise(0)).as("stage"))
+        .orderBy(col("user_id"))
+        .select(col("stage")).as[Int].collect().mkString(",")
+      val top = spark.table("demo_topk")
+        .filter(col("batches") === 3L).orderBy(col("rk"))
+        .select(col("event_id")).as[Long].collect().mkString(",")
+      val sessions = spark.table("demo_sessions")
+        .orderBy(col("user_id"), col("s"))
+        .select(col("user_id"), col("n")).as[(Long, Long)].collect()
+        .map { case (u, n) => s"$u:$n" }.mkString(",")
+      val line = s"STREAM_DEMO funnel_stages=$stages topk=$top sessions=$sessions"
+      println(line)
+      line
+    } finally Seq(fq, tq, sq).foreach(_.stop())
   }
 }

@@ -91,6 +91,80 @@ class ScalePostureSpec extends SparkSpec {
       s"z-order area $zArea not better than id layout $idArea")
   }
 
+  test("z-ordered parquet: REAL footer stats prune row groups on a two-column box") {
+    // the skipping claim measured on the actual read path, not a
+    // proxy: write the same rows z-range-partitioned and
+    // id-range-partitioned, read every row group's (a, b) min/max
+    // straight from the parquet FOOTERS, and count the groups a
+    // two-column box predicate can drop. The id layout cannot skip
+    // (every file spans the full a/b domain); the z layout must skip
+    // most groups, because each z-range slice covers a bounded
+    // rectangle of (a, b) space.
+    import scala.jdk.CollectionConverters._
+    val a = pmod(col("user_id"), lit(256L))
+    val b = pmod(floor(col("value")).cast("long"), lit(256L))
+    val z = (0 until 8).map { i =>
+      shiftleft(shiftright(col("a"), i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(col("b"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+    val rows = Tables.events(spark, sf0001)
+      .select(col("event_id"), a.as("a"), b.as("b"))
+      .withColumn("zval", z)
+    val dir = java.nio.file.Files.createTempDirectory("zskip").toString
+    rows.repartitionByRange(8, col("zval")).sortWithinPartitions(col("zval"))
+      .write.mode("overwrite").parquet(s"$dir/z")
+    rows.repartitionByRange(8, col("event_id")).sortWithinPartitions(col("event_id"))
+      .write.mode("overwrite").parquet(s"$dir/id")
+
+    def rowGroupBoxes(path: String): Seq[(Long, Long, Long, Long)] = {
+      val conf = spark.sessionState.newHadoopConf()
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(conf)
+      fs.listStatus(root).toSeq.filter(_.getPath.getName.endsWith(".parquet"))
+        .flatMap { f =>
+          val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+          try rdr.getFooter.getBlocks.asScala.toSeq.map { blk =>
+            def mm(name: String): (Long, Long) = {
+              val c = blk.getColumns.asScala
+                .find(_.getPath.toDotString == name)
+                .getOrElse(sys.error(s"no column $name in footer"))
+              val st = c.getStatistics
+              assert(st != null && !st.isEmpty, s"footer lacks $name min/max stats")
+              (st.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+                st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+            }
+            val (alo, ahi) = mm("a"); val (blo, bhi) = mm("b")
+            (alo, ahi, blo, bhi)
+          } finally rdr.close()
+        }
+    }
+    val (lo, hi) = (10L, 20L) // the two-column range predicate's box
+    def surviving(gs: Seq[(Long, Long, Long, Long)]): Int =
+      gs.count { case (alo, ahi, blo, bhi) =>
+        !(ahi < lo || alo > hi || bhi < lo || blo > hi)
+      }
+    val zGroups = rowGroupBoxes(s"$dir/z")
+    val idGroups = rowGroupBoxes(s"$dir/id")
+    val zSurv = surviving(zGroups)
+    val idSurv = surviving(idGroups)
+    assert(zGroups.size >= 8 && idGroups.size >= 8, "expected >=8 row groups per layout")
+    assert(zGroups.size - zSurv > 0,
+      s"z layout skipped nothing: $zSurv of ${zGroups.size} groups survive")
+    assert(zSurv * 2 <= idSurv || idSurv == idGroups.size,
+      s"z layout ($zSurv/${zGroups.size}) not better than id layout ($idSurv/${idGroups.size})")
+
+    // and Spark's reader pushes this exact predicate down to those
+    // footers — plan shows the pushed range filters, results match a
+    // post-scan filter bit for bit
+    val pred = col("a").between(lo, hi) && col("b").between(lo, hi)
+    val q = spark.read.parquet(s"$dir/z").filter(pred)
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("GreaterThanOrEqual(a,10)"),
+      s"range predicate not pushed to the parquet scan:\n$scan")
+    assert(q.count() === rows.filter(pred).count())
+  }
+
   test("AQE splits the skewed side of a pathological join at runtime") {
     // 100k rows, 95% on ONE key, joined to a small-but-not-broadcast
     // dim; with the skew thresholds lowered to test scale, AQE must

@@ -116,4 +116,14 @@ class StreamingWindowSpec extends SparkSpec {
         s"got $u1")
     } finally q.stop()
   }
+
+  test("StreamDemo event-analytics smoke line is pinned verbatim") {
+    // the runMain contract: funnel stages per user (full funnel /
+    // stalled-at-signup / purchase-without-signup), the k=2 running
+    // leaderboard after 3 batches (scores 900 > 800), and the session
+    // set (user 10's batches MERGED into one 2-event session; user
+    // 11's 85-min gap split into two)
+    assert(StreamDemo.eventAnalyticsDemo(spark) ===
+      "STREAM_DEMO funnel_stages=3,1,0 topk=101,103 sessions=10:2,11:1,11:1")
+  }
 }
