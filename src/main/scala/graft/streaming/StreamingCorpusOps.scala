@@ -410,4 +410,37 @@ object StreamingCorpusOps {
           }
         })
   }
+
+  /** Streaming SEMANTIC decontamination gate — the embedding rung of
+    * the decon ladder applied at ingest: an arriving vector is DROPPED
+    * iff any benchmark vector in its own quantizer cell scores
+    * round-6 cosine >= `minCos` (the batch `decon_embedding` rule).
+    * Fully STATELESS: the cell is a native `seeded_cell_argmax`
+    * map-side projection (zero exchange), the benchmark side is a
+    * static broadcast frame (bench sets are small by construction),
+    * and the "contaminated by ANY neighbor" semantics ride a
+    * stream-static LEFT ANTI join whose condition carries the cosine
+    * gate — no state store, no watermark, every micro-batch decides
+    * independently and replays deterministically. Per-row cost at any
+    * corpus scale: one argmax over the k-cell bank + dot products
+    * against only the bench members of ONE cell.
+    */
+  def embeddingDeconGate(vecs: DataFrame,
+      bank: graft.functions.CentroidBank, bench: DataFrame,
+      minCos: Double): DataFrame = {
+    import graft.operators.VectorOps
+    def withCell(df: DataFrame, v: String, nv: String, cell: String): DataFrame =
+      df.withColumn(nv, VectorOps.norm2(col(v)))
+        .withColumn(cell, graft.functions.VectorExpressions
+          .seeded_cell_argmax(bank, col(v), col(nv)))
+    val b = broadcast(
+      withCell(bench.select(col("embedding").as("__bv")), "__bv", "__nb", "__bcell"))
+    withCell(vecs.withColumn("__v", col("embedding")), "__v", "__nv", "__cell")
+      .join(b,
+        col("__cell") === col("__bcell") &&
+          round(VectorOps.dot(col("__v"), col("__bv")) /
+            sqrt(col("__nv") * col("__nb")), 6) >= minCos,
+        "left_anti")
+      .drop("__v", "__nv", "__cell")
+  }
 }

@@ -18,6 +18,61 @@ class StreamingCorpusSpec extends SparkSpec {
   private val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
   private val textB = "one two three four five six seven eight nine ten"
 
+  test("streaming embedding decon gate equals the batch semantic rule across batches") {
+    import org.apache.spark.sql.functions.col
+    // Independent driver-side replay of the decon_embedding rule
+    // (seeded 32-centroid argmax cell, round-6 cosine >= 0.45 against
+    // any SAME-CELL bench vector) — not the gate's own code path.
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    def norm(v: Array[Float]): Double = v.map(x => x.toDouble * x).sum
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i).toDouble * b(i))
+    def r6(x: Double): Double = graft.functions.SeededCellArgmax.round6(x)
+    val cents = emb.filter(_._1 < 32)
+    val bank = new graft.functions.CentroidBank(
+      cents.map(_._1), cents.map(_._2), cents.map(c => norm(c._2)))
+    def cellOf(v: Array[Float]): Long =
+      cents.map { case (cid, cv) =>
+        (-r6(dot(v, cv) / math.sqrt(norm(v) * norm(cv))), cid)
+      }.min._2
+    val bench = emb.filter(_._1 % 50 == 0)
+    // the arriving stream: the train split PLUS a re-id'd clone of
+    // every bench vector (cosine 1.0, same cell — each clone MUST be
+    // dropped, so both the pass and the drop path are exercised)
+    val train = emb.filter(_._1 % 50 != 0) ++
+      bench.map { case (id, v) => (id + 10000L, v) }
+    val benchCells = bench.map(e => (cellOf(e._2), e._2))
+    val expected = train.filter { case (_, v) =>
+      val c = cellOf(v)
+      !benchCells.exists { case (bc, bv) =>
+        bc == c && r6(dot(v, bv) / math.sqrt(norm(v) * norm(bv))) >= 0.45
+      }
+    }.map(_._1).toSet
+    assert(expected.size < train.length, "fixture must actually drop something")
+    assert(train.exists(e => e._1 >= 10000L && !expected(e._1)),
+      "every bench clone should be dropped")
+
+    // the streaming gate over THREE micro-batches must admit exactly
+    // the batch-rule survivors (stateless: batch boundaries invisible)
+    val in = MemoryStream[(Long, Array[Float])]
+    val benchDf = bench.toSeq.toDF("vec_id", "embedding")
+    val q = StreamingCorpusOps.embeddingDeconGate(
+        in.toDF().toDF("vec_id", "embedding"), bank, benchDf, 0.45)
+      .select(col("vec_id"))
+      .writeStream.format("memory").queryName("edecon_gate")
+      .outputMode(OutputMode.Append).trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      train.grouped(math.max(train.length / 3, 1)).foreach { slice =>
+        in.addData(slice.toIndexedSeq)
+        drain(q)
+      }
+      val got = spark.table("edecon_gate").as[Long].collect().toSet
+      assert(got === expected)
+    } finally q.stop()
+  }
+
   private def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
     q.processAllAvailable()
 
