@@ -1556,21 +1556,39 @@ object ExtensionQueries {
     // rungs (learned float codebooks, not SQL-replayable) keep their
     // recall bars in ExtensionInvariantsSpec.
     "sim_recall_report" -> ((s, dir) => {
-      def exactTop(qid: Long, k: Int): DataFrame = {
-        val q = embWithNorm(s, dir).filter(col("vec_id") === qid)
-          .select(col("v").as("qv"), col("nv").as("nq"))
-        embWithNorm(s, dir).filter(col("vec_id") =!= qid)
-          .crossJoin(broadcast(q))
-          .select(col("vec_id"),
-            round(VectorOps.dot(col("qv"), col("v")) /
-              sqrt(col("nq") * col("nv")), 6).as("cs"))
-          .orderBy(col("cs").desc, col("vec_id"))
-          .limit(k)
-          .select(col("vec_id"))
-      }
+      import s.implicits._
+      // ALL EIGHT exact baselines come from ONE corpus pass (the
+      // sim_batch_topk shape): the rungs' query vectors broadcast
+      // together, integer micro-cosine ranks, bounded TopK(10) per
+      // qid — map-side partials ship <= 10 rows per qid per partition,
+      // so the whole exact side is one scan + one tiny exchange
+      // instead of eight broadcast-subtree scans. The ~80-row result
+      // is localCheckpointed because all eight intersects consume it
+      // (uncheckpointed, each broadcast build would re-run the pass).
+      val topk = new graft.functions.SketchAgg.TopK(10)
+      val qids = recallRungs.map(_._2).distinct
+      val q = embWithNorm(s, dir).filter(col("vec_id").isin(qids: _*))
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nv").as("nq"))
+      val exact = embWithNorm(s, dir).crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"),
+          round(VectorOps.dot(col("qv"), col("v")) / sqrt(col("nq") * col("nv"))
+            * 1e6).cast("long").as("score"),
+          col("vec_id"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .mapValues(t => graft.functions.SketchAgg.TopKRow(t._2, t._3, 0L))
+        .agg(topk.toColumn.name("top"))
+        .toDF("qid", "top")
+        .select(col("qid"), posexplode(col("top")).as(Seq("i0", "t")))
+        .select(col("qid"), (col("i0") + 1).cast("long").as("rk"),
+          col("t.id").as("vec_id"))
+        .localCheckpoint()
       recallRungs.map { case (name, qid, k) =>
         queries(name)(s, dir).select(col("vec_id"))
-          .join(broadcast(exactTop(qid, k)), Seq("vec_id"))
+          .join(broadcast(exact
+            .filter(col("qid") === qid && col("rk") <= k)
+            .select(col("vec_id"))), Seq("vec_id"))
           .agg(count(lit(1)).as("n_overlap"))
           .select(lit(name).as("rung"), lit(k.toLong).as("k"), col("n_overlap"))
       }.reduce(_ union _).orderBy(col("rung"))
@@ -5061,15 +5079,17 @@ object ExtensionQueries {
       // rung arithmetic cannot drift from the rung queries), each
       // intersected with an exact-cosine top-k CTE for that rung's
       // seeded query vector; overlap counted as an integer
+      // integer micro-cosine ranks (the sim_batch_topk convention, so
+      // both engines cut identical tie groups at the k boundary)
       def exactSql(qid: Long, k: Int): String =
-        "SELECT vec_id FROM (SELECT vec_id, round(dot/sqrt(nq*nv), 6) AS cs FROM (" +
+        "SELECT vec_id FROM (SELECT vec_id, CAST(round(dot/sqrt(nq*nv) * 1000000) AS BIGINT) AS sc FROM (" +
         "SELECT e.vec_id, " +
         "list_sum(list_transform(list_zip(q.qe, e.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) dot, " +
         "list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) nq, " +
         "list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) nv " +
         s"FROM embeddings e, (SELECT embedding qe FROM embeddings WHERE vec_id = $qid) q " +
         s"WHERE e.vec_id <> $qid) " +
-        s"ORDER BY cs DESC, vec_id LIMIT $k)"
+        s"ORDER BY sc DESC, vec_id LIMIT $k)"
       val ctes = recallRungs.zipWithIndex.map { case ((name, qid, k), i) =>
         s"r$i AS (${baseOracleSql(name)}), x$i AS (${exactSql(qid, k)})"
       }.mkString(", ")
