@@ -79,4 +79,55 @@ object Export {
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+
+  /** GLOBALLY ORDERED shard assignment — the range-partitioned twin of
+    * [[shuffledShards]], for exports that must keep a global order
+    * (curriculum schedules: short documents before long ones; or
+    * time-ordered corpora). `repartitionByRange` would do this but its
+    * boundaries come from run-dependent SAMPLING — not reproducible,
+    * which breaks the export family's bit-reproducibility contract —
+    * so the boundaries come from the q29b quantized-CDF machinery
+    * instead: one aggregate over the DISTINCT key domain (bounded by
+    * the value range, not the corpus), `nShards - 1` exact equi-depth
+    * cuts collected to the driver (bounded: one long per cut), and a
+    * broadcast-free map-side bucket expression. Equal keys always land
+    * in the same shard, so shard key-ranges never interleave:
+    * max(key) of shard j <= min(key) of shard j+1.
+    *
+    * Output: `docs` + `ord_key` (the subword-token count — the
+    * curriculum key) + `shard` (0-based).
+    */
+  def orderedShards(docs: DataFrame, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val keyed = docs.withColumn("ord_key",
+      TextOps.subwordCount(TextOps.tokens(col("text"))).cast("long"))
+    val cdf = keyed.groupBy(col("ord_key")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(Window.orderBy(col("ord_key"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val total = cdf.agg(sum(col("c")).as("n"))
+    val spark = docs.sparkSession
+    val targets = spark.range(1, nShards.toLong).toDF("i")
+      .crossJoin(broadcast(total))
+      .select(col("i"), expr(s"(i * n + ${nShards - 1}) div $nShards").as("t"))
+    val cuts: Array[Long] = broadcast(targets)
+      .join(cdf, cdf("cum") >= col("t"))
+      .groupBy(col("i")).agg(min(col("ord_key")).as("b"))
+      .orderBy(col("i")).collect().map(_.getLong(1))
+    val shard = cuts.foldLeft(lit(0L)) { (acc, b) =>
+      acc + when(col("ord_key") > lit(b), lit(1L)).otherwise(lit(0L))
+    }
+    keyed.withColumn("shard", shard.cast("int"))
+  }
+
+  /** Write [[orderedShards]] as parquet partitioned by `shard`, rows
+    * inside each shard file sorted by (ord_key, doc_id) — so reading
+    * shard 0, 1, 2, ... in file order replays the corpus in GLOBAL
+    * key order. Same one-exchange shape as [[writeShards]].
+    */
+  def writeOrderedShards(docs: DataFrame, path: String, nShards: Int): Unit =
+    orderedShards(docs, nShards)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("ord_key"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
 }

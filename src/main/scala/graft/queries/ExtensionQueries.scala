@@ -1635,14 +1635,18 @@ object ExtensionQueries {
     // differs from BOTH sorted neighbors — no per-type rescan of the
     // doc (the naive distinct x count formulation is quadratic).
     "text_hapax" -> ((s, dir) => {
+      // a hapax is a term with tf = 1, so the count reads straight off
+      // the native one-pass (term, tf) structs — the previous
+      // sort_array + per-POSITION interpreted lambda (4 element_at
+      // dispatches per token) is now a filter over the ~distinct-terms
+      // structs only
       val ws = TextOps.tokens(col("text"))
       Tables.documents(s, dir)
-        .withColumn("sw", sort_array(ws))
-        .withColumn("n_tokens", size(col("sw")).cast("long"))
-        .withColumn("n_hapax", expr(
-          "CAST(size(filter(sequence(1, size(sw)), i -> " +
-          "(i = 1 OR element_at(sw, i) != element_at(sw, i - 1)) AND " +
-          "(i = size(sw) OR element_at(sw, i) != element_at(sw, i + 1)))) AS BIGINT)"))
+        .withColumn("n_tokens", size(ws).cast("long"))
+        .withColumn("n_hapax",
+          size(filter(
+            graft.functions.TextExpressions.term_count_structs(col("text")),
+            x => x.getField("tf") === 1L)).cast("long"))
         .withColumn("hapax_ratio", round(col("n_hapax") / col("n_tokens"), 6))
         .select(col("doc_id"), col("n_tokens"), col("n_hapax"), col("hapax_ratio"))
         .orderBy(col("doc_id"))
@@ -2162,6 +2166,22 @@ object ExtensionQueries {
     // ordering cross-engine. Everything before the final agg is
     // map-side; the writer twin (Export.writeShards) adds exactly one
     // hash exchange on `shard`.
+    // Audit frame of the GLOBALLY ORDERED export (Export.orderedShards
+    // — deterministic quantized-CDF range boundaries, the
+    // repartitionByRange twin whose cuts don't depend on run-time
+    // sampling): per shard, count + key range + doc range. The global
+    // order is VISIBLE in the result: shard j's hi never exceeds shard
+    // j+1's lo (equal keys always share a shard), which the oracle
+    // hash-checks by replaying the same CDF cuts.
+    "export_ordered_shards" -> ((s, dir) => {
+      graft.operators.Export.orderedShards(Tables.documents(s, dir), 16)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("ord_key")).as("lo"), max(col("ord_key")).as("hi"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(col("shard"))
+    }),
+
     "export_shard_stats" -> ((s, dir) => {
       graft.operators.Export.shuffledShards(Tables.documents(s, dir), 16)
         .withColumn("tokens", TextOps.subwordCount(TextOps.tokens(col("text"))).cast("long"))
@@ -4397,6 +4417,25 @@ object ExtensionQueries {
        s"sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest($shSql) s FROM t)) " +
        "SELECT s, COUNT(*) AS df, CAST(MIN(doc_id) AS BIGINT) AS first_doc " +
        "FROM sh GROUP BY s ORDER BY df DESC, s LIMIT 20"),
+    "export_ordered_shards" ->
+      // the quantized-CDF cuts replayed: equi-depth targets
+      // t_i = (i*n + 15) // 16, cut_i = least key with cum >= t_i,
+      // shard = count of cuts strictly below the key (LEFT JOIN so
+      // shard 0 keeps its docs), then the per-shard audit
+      ("WITH d AS (SELECT doc_id, " +
+       "CAST(list_sum(list_transform(string_split(text, ' '), w -> CAST(ceil(length(w)/4.0) AS BIGINT))) AS BIGINT) k " +
+       "FROM documents), " +
+       "cdf AS (SELECT k, COUNT(*) c FROM d GROUP BY k), " +
+       "cum AS (SELECT k, SUM(c) OVER (ORDER BY k) cum FROM cdf), " +
+       "tot AS (SELECT COUNT(*) n FROM d), " +
+       "tg AS (SELECT i, (i * n + 15) // 16 t FROM (SELECT unnest(generate_series(1, 15)) i), tot), " +
+       "b AS (SELECT tg.i, MIN(cum.k) b FROM tg JOIN cum ON cum.cum >= tg.t GROUP BY tg.i), " +
+       "sh AS (SELECT d.doc_id, d.k, COUNT(b.b) AS shard FROM d LEFT JOIN b ON d.k > b.b " +
+       "GROUP BY d.doc_id, d.k) " +
+       "SELECT CAST(shard AS INT) AS shard, COUNT(*) AS n_docs, " +
+       "CAST(MIN(k) AS BIGINT) AS lo, CAST(MAX(k) AS BIGINT) AS hi, " +
+       "CAST(MIN(doc_id) AS BIGINT) AS min_doc, CAST(MAX(doc_id) AS BIGINT) AS max_doc " +
+       "FROM sh GROUP BY shard ORDER BY shard"),
     "export_shard_stats" ->
       ("SELECT shard, COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS shard_tokens, " +
        "CAST(SUM(rk) AS BIGINT) AS rank_checksum, CAST(MIN(doc_id) AS BIGINT) AS min_doc, " +

@@ -93,4 +93,39 @@ class ExportSpec extends SparkSpec {
     // the hash is badly broken, not just unlucky
     assert(sizes.forall(n => n > 10 && n < 60), s"skewed shards: ${sizes.toSeq}")
   }
+
+  test("writeOrderedShards: shard key-ranges never interleave (global order on disk)") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("ordshards").toString
+    Export.writeOrderedShards(docs, dir, 16)
+    val back = spark.read.parquet(dir)
+    // every doc exactly once
+    assert(back.count() === docs.count())
+    assert(back.select("doc_id").distinct().count() === docs.count())
+    // per-shard key ranges, in shard order, must be non-interleaving:
+    // reading shard 0, 1, 2, ... in order replays a global key order
+    val ranges = back.groupBy(col("shard"))
+      .agg(min(col("ord_key")).as("lo"), max(col("ord_key")).as("hi"),
+        count(lit(1)).as("n"))
+      .orderBy(col("shard"))
+      .as[(Int, Long, Long, Long)].collect()
+    assert(ranges.nonEmpty && ranges.forall(_._4 > 0))
+    ranges.sliding(2).foreach {
+      case Array((s1, _, hi1, _), (s2, lo2, _, _)) =>
+        assert(hi1 <= lo2, s"shard $s1 hi=$hi1 interleaves shard $s2 lo=$lo2")
+      case _ => ()
+    }
+    // within a shard file, rows are sorted by (ord_key, doc_id): the
+    // written row order IS the curriculum order, no reader-side sort
+    val inFile = spark.read.parquet(s"$dir/shard=${ranges.head._1}")
+      .select(col("ord_key"), col("doc_id")).as[(Long, Long)].collect().toSeq
+    assert(inFile === inFile.sortBy(identity), "shard file rows not in (key, doc) order")
+    // determinism: a second export byte-compares on VALUES (same
+    // membership, same order)
+    val dir2 = java.nio.file.Files.createTempDirectory("ordshards2").toString
+    Export.writeOrderedShards(docs, dir2, 16)
+    val a = back.orderBy("shard", "ord_key", "doc_id").collect()
+    val b = spark.read.parquet(dir2).orderBy("shard", "ord_key", "doc_id").collect()
+    assert(a.sameElements(b))
+  }
 }
