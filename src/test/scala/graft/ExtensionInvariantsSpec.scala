@@ -1015,4 +1015,21 @@ class ExtensionInvariantsSpec extends SparkSpec {
         s"$tpe: median not a median")
     }
   }
+
+  test("recall report: brute and sq8 are exact, rerank never loses to raw PQ") {
+    // structural invariants of the ladder the hash gate can't express
+    // as ">=": the brute rung IS the exact baseline (overlap = k);
+    // int8 scalar quantization preserves this corpus's top-10 exactly;
+    // and the exact-cosine rerank of a 50-deep ADC shortlist can only
+    // improve on raw ADC ranking
+    val rows = q("sim_recall_report")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    rows.foreach { case (rung, (k, ov)) =>
+      assert(ov >= 0 && ov <= k, s"$rung overlap $ov outside [0, $k]")
+    }
+    assert(rows("sim_cosine_topk")._2 === 10L, "brute rung must be exact")
+    assert(rows("sim_sq8_topk")._2 === 10L, "sq8 loses top-10 it preserves on this corpus")
+    assert(rows("sim_pq_rerank_topk")._2 >= rows("sim_pq_topk")._2,
+      s"rerank (${rows("sim_pq_rerank_topk")._2}) below raw PQ (${rows("sim_pq_topk")._2})")
+  }
 }

@@ -547,6 +547,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(n === 1, s"expected only the per-doc window exchange, got $n:\n$p")
   }
 
+  test("edge-table pagerank: real joins but never cartesian; 5 contribution exchanges") {
+    // the edge table is a materialized store, so each iteration must
+    // JOIN it (broadcast at this SF; SMJ at scale) — but a cartesian /
+    // nested-loop anywhere means the join key got lost, and fewer than
+    // 5 hash exchanges means an iteration's contribution aggregate
+    // collapsed into something else
+    val p = plan("crawl_pagerank_edges")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pagerank-over-edges planned an unkeyed join:\n$p")
+    val n = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(n >= 5, s"expected >= 5 contribution aggregates, got $n:\n$p")
+  }
+
+  test("midnight sweep: map-side segment explode, day-window exchanges only") {
+    val p = plan("q38b_concurrency_sweep_midnight")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"midnight split planned a join (must be a map-side explode):\n$p")
+    val n = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(n <= 3, s"expected day-window + agg exchanges only, got $n:\n$p")
+  }
+
+  test("ordered export audit: CDF over the bounded key domain, no corpus sort") {
+    // the boundary derivation must aggregate the DISTINCT key domain
+    // (one exchange) + the global cumulative window; the corpus itself
+    // is never range-sorted inside the audit (the per-shard agg is a
+    // hash exchange, the final ORDER BY is over <= 16 rows)
+    val p = plan("export_ordered_shards")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"ordered-shard audit planned a shuffled join:\n$p")
+    val n = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(n <= 3, s"expected CDF + shard-agg exchanges only, got $n:\n$p")
+  }
+
   test("pagerank: one exchange per iteration, edges derived map-side, no joins") {
     // 5 iterations = 5 contribution aggregates (hash exchange on the
     // target id) + the output sort; the per-iteration corpus-size row
