@@ -2139,6 +2139,33 @@ object ExtensionQueries {
       TextOps.nbQualityScore(Tables.documents(s, dir), col("lang") === "en")
         .orderBy(col("doc_id"))),
 
+    // Classifier calibration — the step after training a quality
+    // classifier and before wiring it into the pipeline: a confusion
+    // matrix per candidate THRESHOLD over the NB log-odds scores, so
+    // the keep-gate's cut is picked from measured precision/recall
+    // instead of guessed. Scores go to integer MICROS (nb_logodds is
+    // already round(6), so micros are exact integers — no float
+    // compare at the gate); the 5-threshold grid is a tiny map-side
+    // explode; counts are pure integers. Plan: the score derivation's
+    // own exchanges + one doc-keyed label join + ONE final aggregate
+    // on the 5-row threshold key.
+    "quality_nb_confusion" -> ((s, dir) => {
+      val labels = Tables.documents(s, dir)
+        .select(col("doc_id"), (col("lang") === "en").cast("long").as("label"))
+      TextOps.nbQualityScore(Tables.documents(s, dir), col("lang") === "en")
+        .join(labels, Seq("doc_id"))
+        .withColumn("sc", round(col("nb_logodds") * 1e6).cast("long"))
+        .select(col("sc"), col("label"),
+          explode(typedLit(Seq(-20000L, -10000L, 0L, 10000L, 20000L))).as("thr"))
+        .withColumn("pred", (col("sc") >= col("thr")).cast("long"))
+        .groupBy(col("thr"))
+        .agg(sum(col("label") * col("pred")).as("tp"),
+          sum((lit(1L) - col("label")) * col("pred")).as("fp"),
+          sum((lit(1L) - col("label")) * (lit(1L) - col("pred"))).as("tn"),
+          sum(col("label") * (lit(1L) - col("pred"))).as("fn"))
+        .orderBy(col("thr"))
+    }),
+
     // Corpus-level hot-gram report: the exact top-20 5-grams by
     // document frequency — the operational query behind every
     // stop-shingle / boilerplate threshold in this engine (pick
@@ -5138,6 +5165,21 @@ object ExtensionQueries {
       }.mkString(" UNION ALL ")
       s"WITH $ctes SELECT * FROM ($rows) ORDER BY rung"
     },
+    "quality_nb_confusion" ->
+      // the quality_nb_score oracle verbatim as the score source, then
+      // integer-micro thresholds and pure-integer confusion counts
+      (s"WITH q AS (${baseOracleSql("quality_nb_score")}), " +
+       "l AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label FROM documents), " +
+       "sc AS (SELECT q.doc_id, CAST(round(nb_logodds * 1000000) AS BIGINT) s, l.label " +
+       "FROM q JOIN l USING (doc_id)), " +
+       "g AS (SELECT unnest([-20000, -10000, 0, 10000, 20000]) thr), " +
+       "p AS (SELECT thr, label, CASE WHEN s >= thr THEN 1 ELSE 0 END pred FROM sc CROSS JOIN g) " +
+       "SELECT CAST(thr AS BIGINT) AS thr, " +
+       "CAST(SUM(label * pred) AS BIGINT) AS tp, " +
+       "CAST(SUM((1 - label) * pred) AS BIGINT) AS fp, " +
+       "CAST(SUM((1 - label) * (1 - pred)) AS BIGINT) AS tn, " +
+       "CAST(SUM(label * (1 - pred)) AS BIGINT) AS fn " +
+       "FROM p GROUP BY thr ORDER BY thr"),
     "export_split_leakage" ->
       // the dedup_minhash_verified oracle verbatim as the pair source,
       // then the same split-coin arithmetic per pair side
