@@ -99,26 +99,43 @@ object Export {
     */
   def orderedShards(docs: DataFrame, nShards: Int): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
-    import org.apache.spark.sql.expressions.Window
     val keyed = docs.withColumn("ord_key",
       TextOps.subwordCount(TextOps.tokens(col("text"))).cast("long"))
-    val cdf = keyed.groupBy(col("ord_key")).agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum(col("c")).over(Window.orderBy(col("ord_key"))
+    val cuts = equiDepthCuts(keyed, "ord_key", nShards)
+    keyed.withColumn("shard", bucketOf(col("ord_key"), cuts).cast("int"))
+  }
+
+  /** Exact equi-depth cut points of an integer key column — the
+    * deterministic replacement for sampling-based range boundaries
+    * (q29b's quantized-CDF recipe, factored out): one aggregate over
+    * the DISTINCT key domain (bounded by the value range, not the
+    * corpus), a cumulative window over that domain, and `nBuckets - 1`
+    * cuts collected to the driver (bounded: one long each). Cut i =
+    * least key whose cumulative count reaches ceil(i * n / nBuckets).
+    */
+  def equiDepthCuts(df: DataFrame, keyCol: String, nBuckets: Int): Array[Long] = {
+    import org.apache.spark.sql.expressions.Window
+    val cdf = df.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(Window.orderBy(col(keyCol))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val total = cdf.agg(sum(col("c")).as("n"))
-    val spark = docs.sparkSession
-    val targets = spark.range(1, nShards.toLong).toDF("i")
+    val targets = df.sparkSession.range(1, nBuckets.toLong).toDF("i")
       .crossJoin(broadcast(total))
-      .select(col("i"), expr(s"(i * n + ${nShards - 1}) div $nShards").as("t"))
-    val cuts: Array[Long] = broadcast(targets)
+      .select(col("i"), expr(s"(i * n + ${nBuckets - 1}) div $nBuckets").as("t"))
+    broadcast(targets)
       .join(cdf, cdf("cum") >= col("t"))
-      .groupBy(col("i")).agg(min(col("ord_key")).as("b"))
+      .groupBy(col("i")).agg(min(col(keyCol)).as("b"))
       .orderBy(col("i")).collect().map(_.getLong(1))
-    val shard = cuts.foldLeft(lit(0L)) { (acc, b) =>
-      acc + when(col("ord_key") > lit(b), lit(1L)).otherwise(lit(0L))
-    }
-    keyed.withColumn("shard", shard.cast("int"))
   }
+
+  /** 0-based bucket of `key` under `cuts`: the count of cuts strictly
+    * below it, so equal keys always share a bucket (ranges can touch
+    * but never interleave).
+    */
+  def bucketOf(key: org.apache.spark.sql.Column, cuts: Array[Long]): org.apache.spark.sql.Column =
+    cuts.foldLeft(lit(0L)) { (acc, b) =>
+      acc + when(key > lit(b), lit(1L)).otherwise(lit(0L))
+    }
 
   /** Write [[orderedShards]] as parquet partitioned by `shard`, rows
     * inside each shard file sorted by (ord_key, doc_id) — so reading

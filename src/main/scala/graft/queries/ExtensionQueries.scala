@@ -2139,6 +2139,36 @@ object ExtensionQueries {
       TextOps.nbQualityScore(Tables.documents(s, dir), col("lang") === "en")
         .orderBy(col("doc_id"))),
 
+    // Perplexity-bucketed sampling — the LM-score mixing stage of
+    // modern curation (DCLM/DoReMi flavor): bucket documents into
+    // unigram-surprisal QUARTILES (exact equi-depth cuts over integer
+    // micro-surprisal — Export.equiDepthCuts, the deterministic
+    // quantized-CDF machinery) and keep per-bucket hash-coin fractions
+    // that favor the MIDDLE of the distribution — the lowest-surprisal
+    // quartile is boilerplate-heavy, the highest is noise-heavy, so
+    // both downsample to 25% while the middle keeps 75%. Everything
+    // is integers (micro scores, ppm coins) — fully deterministic and
+    // SQL-replayable; the only additions over the score derivation's
+    // own plan are the bounded-domain CDF and a map-side coin.
+    "sample_perplexity_buckets" -> ((s, dir) => {
+      val scored = queries("text_unigram_logprob")(s, dir)
+        .select(col("doc_id"),
+          round(col("avg_surprisal") * 1e6).cast("long").as("sc"))
+      val cuts = graft.operators.Export.equiDepthCuts(scored, "sc", 4)
+      val rates = Seq(250000L, 750000L, 750000L, 250000L)
+      scored
+        .withColumn("bucket", graft.operators.Export.bucketOf(col("sc"), cuts))
+        .withColumn("coin", pmod(TextOps.portableHash32(
+          concat(lit("pplx|"), col("doc_id").cast("string"))), lit(1000000L)))
+        .withColumn("keep",
+          (col("coin") < element_at(typedLit(rates), (col("bucket") + 1).cast("int")))
+            .cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_kept"),
+          min(col("sc")).as("lo_micro"), max(col("sc")).as("hi_micro"))
+        .orderBy(col("bucket"))
+    }),
+
     // Classifier calibration — the step after training a quality
     // classifier and before wiring it into the pipeline: a confusion
     // matrix per candidate THRESHOLD over the NB log-odds scores, so
@@ -5165,6 +5195,26 @@ object ExtensionQueries {
       }.mkString(" UNION ALL ")
       s"WITH $ctes SELECT * FROM ($rows) ORDER BY rung"
     },
+    "sample_perplexity_buckets" ->
+      // the unigram-surprisal oracle verbatim, micro-int scores, the
+      // same CDF quartile cuts, md5 ppm coin, mid-heavy keep rates
+      (s"WITH u AS (${baseOracleSql("text_unigram_logprob")}), " +
+       "d AS (SELECT doc_id, CAST(round(avg_surprisal * 1000000) AS BIGINT) sc FROM u), " +
+       "cdf AS (SELECT sc, COUNT(*) c FROM d GROUP BY sc), " +
+       "cum AS (SELECT sc, SUM(c) OVER (ORDER BY sc) cum FROM cdf), " +
+       "tot AS (SELECT COUNT(*) n FROM d), " +
+       "tg AS (SELECT i, (i * n + 3) // 4 t FROM (SELECT unnest([1, 2, 3]) i), tot), " +
+       "b AS (SELECT tg.i, MIN(cum.sc) b FROM tg JOIN cum ON cum.cum >= tg.t GROUP BY tg.i), " +
+       "bk AS (SELECT d.doc_id, d.sc, COUNT(b.b) AS bucket FROM d LEFT JOIN b ON d.sc > b.b " +
+       "GROUP BY d.doc_id, d.sc), " +
+       "k AS (SELECT bucket, sc, " +
+       "CAST(CAST('0x' || substr(md5('pplx|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 AS BIGINT) coin, " +
+       "CASE bucket WHEN 0 THEN 250000 WHEN 1 THEN 750000 WHEN 2 THEN 750000 ELSE 250000 END rate " +
+       "FROM bk) " +
+       "SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_docs, " +
+       "CAST(SUM(CASE WHEN coin < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+       "CAST(MIN(sc) AS BIGINT) AS lo_micro, CAST(MAX(sc) AS BIGINT) AS hi_micro " +
+       "FROM k GROUP BY bucket ORDER BY bucket"),
     "quality_nb_confusion" ->
       // the quality_nb_score oracle verbatim as the score source, then
       // integer-micro thresholds and pure-integer confusion counts
