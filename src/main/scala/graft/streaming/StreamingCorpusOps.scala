@@ -411,6 +411,51 @@ object StreamingCorpusOps {
         })
   }
 
+  /** Running per-term posting statistics. */
+  case class PostingStat(term: String, df: Long, cf: Long, max_tf: Long,
+      first_doc: Long)
+  implicit private val postEnc: Encoder[PostingStat] = Encoders.product[PostingStat]
+
+  /** Streaming INDEX-BUILD twin of the batch `search_postings` /
+    * `postingFrame` store: arriving documents fold into per-term
+    * posting statistics (df, collection frequency, max tf, first doc)
+    * held as per-term state — the incremental maintenance a
+    * continuously ingesting retrieval index needs, where the batch
+    * path would re-tokenize the whole corpus per refresh. The
+    * tokenizer is the SAME native one-pass `TermCountStructs` scan as
+    * the batch store (term universe and tf arithmetic cannot drift);
+    * state is O(1) per term and the update is associative, so replay
+    * order within a batch doesn't matter (doc_id-sorted anyway for
+    * determinism of the emission sequence). Emits the updated row per
+    * term per batch (Update mode — latest row per term is the current
+    * index entry). Assumes each doc_id arrives ONCE (run behind
+    * [[exactDedup]], the at-most-once-per-doc convention of the
+    * streaming corpus family).
+    */
+  def runningPostings(docs: DataFrame): Dataset[PostingStat] = {
+    implicit val strEnc: Encoder[String] = Encoders.STRING
+    implicit val inEnc: Encoder[(String, Long, Long)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong)
+    docs
+      .select(col("doc_id"),
+        explode(TextExpressions.term_count_structs(col("text"))).as("tc"))
+      .select(col("tc.term"), col("doc_id"), col("tc.tf"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (term: String, it: Iterator[(String, Long, Long)],
+            state: GroupState[PostingStat]) => {
+          var st = state.getOption.getOrElse(
+            PostingStat(term, 0L, 0L, 0L, Long.MaxValue))
+          it.toSeq.sortBy(_._2).foreach { case (_, doc, tf) =>
+            st = PostingStat(term, st.df + 1L, st.cf + tf,
+              math.max(st.max_tf, tf), math.min(st.first_doc, doc))
+          }
+          state.update(st)
+          Iterator.single(st)
+        })
+  }
+
   /** Streaming SEMANTIC decontamination gate — the embedding rung of
     * the decon ladder applied at ingest: an arriving vector is DROPPED
     * iff any benchmark vector in its own quantizer cell scores

@@ -76,6 +76,31 @@ class StreamingCorpusSpec extends SparkSpec {
   private def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
     q.processAllAvailable()
 
+  test("running posting stats converge to the batch search_postings index") {
+    import org.apache.spark.sql.functions.col
+    val in = MemoryStream[Doc]
+    val q = StreamingCorpusOps.runningPostings(in.toDF())
+      .writeStream.format("memory").queryName("run_postings")
+      .outputMode(OutputMode.Update).trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // the sf0.001 corpus in three arrival waves
+      val docs = Tables.documents(spark, sf0001)
+        .select(col("doc_id"), col("text")).as[Doc].collect().sortBy(_.doc_id)
+      docs.grouped(math.max(docs.length / 3, 1)).foreach { slice =>
+        in.addData(slice.toIndexedSeq)
+        drain(q)
+      }
+      // current index = the LAST emitted row per term (Update mode);
+      // df grows monotonically, so max df per term IS the last row
+      val got = spark.table("run_postings")
+        .as[(String, Long, Long, Long, Long)].collect()
+        .groupBy(_._1).map { case (_, rows) => rows.maxBy(_._2) }.toSet
+      val want = SparkEntry.queries("search_postings")(spark, sf0001)
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("near-dup candidates pair a new doc against earlier batches' state") {
     val in = MemoryStream[Doc]
     val q = StreamingCorpusOps.minhashCandidates(in.toDF())
