@@ -53,9 +53,23 @@ object Bench {
     // Every emitted JSON line is ALSO appended to a file (default
     // bench_out.json in the working directory) so the per-query map
     // survives even if stdout is truncated by the capture window.
+    // Truncated once at run start, then appended PER LINE as emitted:
+    // a mid-run crash (the same failure class the file exists to
+    // survive) leaves the lines produced so far, never a stale
+    // previous run masquerading as this one.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    val outLines = scala.collection.mutable.ArrayBuffer[String]()
-    def emit(line: String): Unit = { println(line); outLines += line }
+    try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(outPath))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not reset $outPath: $e") }
+    def emit(line: String): Unit = {
+      println(line)
+      try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (line + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      catch { case e: java.io.IOException =>
+        System.err.println(s"[bench] could not write $outPath: $e") }
+    }
     // Warm-up (untimed): run every query once at the smallest scale
     // factor. Plan shapes are identical across scale factors, so the
     // timed runs hit the whole-stage-codegen class cache and JIT-warm
@@ -180,10 +194,6 @@ object Bench {
     // round's total stays machine-readable. Named total_compact so a
     // "metric":"total" matcher can never pick this line over the full one.
     emit(s"""{"metric":"total_compact","value":$total,"unit":"sec","total_per_calib":${perCalib(total, calibStart, calibEnd)},"n_oracled":${results.size},"n_errors":${allErrors.size},"sf":"$sfDir",$loadJson}""")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (outLines.mkString("\n") + "\n").getBytes("UTF-8"))
-    catch { case e: java.io.IOException =>
-      System.err.println(s"[bench] could not write $outPath: $e") }
     spark.stop()
     // An oracled query that failed both reps means the headline total is
     // missing a term — fail the run loudly rather than report a deflated

@@ -101,7 +101,13 @@ object Export {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     val keyed = docs.withColumn("ord_key",
       TextOps.subwordCount(TextOps.tokens(col("text"))).cast("long"))
-    val cuts = equiDepthCuts(keyed, "ord_key", nShards)
+    // The cuts derivation is a SEPARATE, column-pruned pass (it reads
+    // only what the key needs), then the main pass re-derives the key
+    // — deliberately two passes, like repartitionByRange's sampling
+    // pass but exact: materializing the full keyed corpus to save the
+    // second key computation would checkpoint EVERY column (text
+    // included), which is the worse trade at any scale.
+    val cuts = equiDepthCuts(keyed.select(col("ord_key")), "ord_key", nShards)
     keyed.withColumn("shard", bucketOf(col("ord_key"), cuts).cast("int"))
   }
 

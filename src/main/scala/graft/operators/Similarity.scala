@@ -410,6 +410,17 @@ object Similarity {
       .start()
   }
 
+  /** Crash-recovery for the retrain swap: the swap's only unsafe
+    * window is between "live moved to `__old`" and "stage moved to
+    * live" — a crash there leaves NO live directory but an intact
+    * backup. Rename the backup straight back (atomic on the same
+    * filesystem, same as the forward swap) and report whether a
+    * recovery happened. Idempotent and cheap (two metadata probes), so
+    * the open/retrain paths call it unconditionally first.
+    */
+  def recoverSwap(spark: SparkSession, dir: String): Boolean =
+    Compaction.recover(spark, dir) // same `__old` contract as compaction
+
   /** Retrain-and-swap for a persisted IVF index — the maintenance op
     * the append path defers to: streaming appends encode against the
     * ORIGINAL centroids, so after heavy ingest the coarse quantizer
@@ -423,17 +434,6 @@ object Similarity {
     * index proves readable, so no crash window loses the index.
     * Returns the new cell count.
     */
-  /** Crash-recovery for the retrain swap: the swap's only unsafe
-    * window is between "live moved to `__old`" and "stage moved to
-    * live" — a crash there leaves NO live directory but an intact
-    * backup. Rename the backup straight back (atomic on the same
-    * filesystem, same as the forward swap) and report whether a
-    * recovery happened. Idempotent and cheap (two metadata probes), so
-    * the open/retrain paths call it unconditionally first.
-    */
-  def recoverSwap(spark: SparkSession, dir: String): Boolean =
-    Compaction.recover(spark, dir) // same `__old` contract as compaction
-
   def retrainIndex(spark: SparkSession, dir: String,
       kCells: Int = 0, iters: Int = 3): Int = {
     import org.apache.hadoop.fs.Path

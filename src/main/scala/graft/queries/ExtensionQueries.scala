@@ -121,10 +121,15 @@ object ExtensionQueries {
   private def crawlEdgeTable(s: SparkSession, dir: String): DataFrame =
     materializedFrame(s, s"edges:$dir") {
       val n = Tables.parquetRowCount(s, s"$dir/documents.parquet")
+      // hub count clamps to n so a degenerate corpus (< 16 docs) never
+      // links to nonexistent node ids (which would make the rank loop
+      // emit phantom documents the oracle's docs-anchored LEFT JOIN
+      // cannot produce)
+      val hubs = math.min(16L, n)
       Tables.documents(s, dir).select(col("doc_id").as("src"))
         .select(col("src"), explode(array(
           (col("src") * 31 + 7) % n,
-          col("src") % 16,
+          col("src") % hubs,
           (col("src") * 13 + 11) % n)).as("dst"))
     }
 
@@ -371,10 +376,16 @@ object ExtensionQueries {
       val para = s.sparkContext.defaultParallelism
       val docs =
         if (docs0.rdd.getNumPartitions < para) docs0.repartition(para) else docs0
+      // localCheckpoint keeps the build a SINGLE tokenizer pass: the
+      // df aggregate and the join probe side both consume `posts`,
+      // and without materialization each would re-run the explode
+      // (there is no exchange between them for ReuseExchange to
+      // share). Paid once per corpus version, at store build.
       val posts = docs.select(col("doc_id"),
           explode(graft.functions.TextExpressions.term_count_structs(col("text")))
             .as("tc"))
         .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
+        .localCheckpoint()
       // df rides denormalized on every posting row — the term
       // DICTIONARY of a real inverted index (Lucene keeps docFreq per
       // term beside the posting list for exactly this reason): scoring
@@ -2151,9 +2162,14 @@ object ExtensionQueries {
     // SQL-replayable; the only additions over the score derivation's
     // own plan are the bounded-domain CDF and a map-side coin.
     "sample_perplexity_buckets" -> ((s, dir) => {
+      // localCheckpoint: equiDepthCuts' driver collect and the
+      // bucket/coin/agg pass both consume the scored frame — without
+      // materialization the whole unigram-LM derivation would run
+      // twice. The checkpointed frame is tiny ((doc_id, sc) longs).
       val scored = queries("text_unigram_logprob")(s, dir)
         .select(col("doc_id"),
           round(col("avg_surprisal") * 1e6).cast("long").as("sc"))
+        .localCheckpoint()
       val cuts = graft.operators.Export.equiDepthCuts(scored, "sc", 4)
       val rates = Seq(250000L, 750000L, 750000L, 250000L)
       scored
@@ -3052,13 +3068,6 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // Triangle counting + global clustering coefficient — the
-    // multi-way self-join graph workload (spam-farm detection: link
-    // farms are triangle-dense). Links: two RING links (i+1, i+2 —
-    // crawl locality: neighboring pages link each other, and every
-    // consecutive id triple closes a triangle) + one hash link
-    // (long-range structure), so the triangle join has real signal
-    // (the pagerank graph's three affine maps are triangle-free).
     // PageRank over a MATERIALIZED edge table — the production twin of
     // crawl_pagerank (whose edges derive arithmetically map-side, so
     // its per-iteration plan never joins): real link graphs arrive as
@@ -3087,6 +3096,13 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Triangle counting + global clustering coefficient — the
+    // multi-way self-join graph workload (spam-farm detection: link
+    // farms are triangle-dense). Links: two RING links (i+1, i+2 —
+    // crawl locality: neighboring pages link each other, and every
+    // consecutive id triple closes a triangle) + one hash link
+    // (long-range structure), so the triangle join has real signal
+    // (the pagerank graph's three affine maps are triangle-free).
     // Edges are ORIENTED low-id -> high-id and deduped first, so each
     // triangle is counted exactly once by the canonical two-join
     // (e1: a-b, e2: b-c, e3: a-c closes it) — at scale the low->high
@@ -4900,7 +4916,7 @@ object ExtensionQueries {
         "ON x.t = d.i GROUP BY d.i)"
       "WITH docs AS (SELECT doc_id i FROM documents), " +
       "nn AS (SELECT COUNT(*) c FROM docs), " +
-      "e AS (SELECT i, unnest([(i*31+7)%c, i%16, (i*13+11)%c]) t FROM docs, nn), " +
+      "e AS (SELECT i, unnest([(i*31+7)%c, i%LEAST(16, c), (i*13+11)%c]) t FROM docs, nn), " +
       "r0 AS (SELECT i, CAST(1000000 AS BIGINT) r FROM docs), " +
       (1 to 5).map(k => iter(s"r${k - 1}", s"r$k")).mkString("", ", ", " ") +
       "SELECT i AS doc_id, r AS rank_ppm FROM r5 ORDER BY doc_id"
