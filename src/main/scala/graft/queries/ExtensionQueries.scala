@@ -2138,6 +2138,41 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // PMI collocation mining — the classic corpus-analytics operator
+    // for phrase discovery (tokenizer merge candidates, stopword-pair
+    // boilerplate, entity detection): pointwise mutual information of
+    // adjacent token pairs, ln((c2/Nb) / ((c1a/N)(c1b/N))), computed
+    // as ONE double expression of identical shape on both engines
+    // (round(6) absorbs ln ulps — the cosine contract). Counts come
+    // from the same token/bigram derivations as text_bigram_logprob;
+    // the pair table is vocabulary-squared-sized, so both unigram
+    // joins broadcast, and min-support c2 >= 5 bounds the report
+    // before ranking. Top-20 by (pmi desc, pair) via
+    // TakeOrderedAndProject — never a global sort.
+    "corpus_pmi_pairs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(explode(TextOps.tokens(col("text"))).as("w"))
+      val c1 = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val nTok = toks.agg(count(lit(1)).as("n"))
+      val bigrams = docs.filter(size(TextOps.tokens(col("text"))) >= 2)
+        .select(explode(TextOps.shinglesOfText(col("text"), 2)).as("bg"))
+      val nBg = bigrams.agg(count(lit(1)).as("nb"))
+      bigrams.groupBy(col("bg")).agg(count(lit(1)).as("n_pair"))
+        .filter(col("n_pair") >= 5)
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+        .withColumn("w2", substring_index(col("bg"), " ", -1))
+        .join(broadcast(c1.select(col("w").as("w1"), col("c").as("n_w1"))), Seq("w1"))
+        .join(broadcast(c1.select(col("w").as("w2"), col("c").as("n_w2"))), Seq("w2"))
+        .crossJoin(broadcast(nTok))
+        .crossJoin(broadcast(nBg))
+        .withColumn("pmi", round(log(
+          col("n_pair").cast("double") * col("n") * col("n") /
+            (col("nb").cast("double") * col("n_w1") * col("n_w2"))), 6))
+        .select(col("bg"), col("n_pair"), col("n_w1"), col("n_w2"), col("pmi"))
+        .orderBy(col("pmi").desc, col("bg"))
+        .limit(20)
+    }),
+
     // Classifier-based quality filtering (CCNet / DCLM stage): score
     // every document by a seed-vs-background Naive Bayes log-odds,
     // seed = the English documents (standing in for "trusted reference
@@ -5083,6 +5118,23 @@ object ExtensionQueries {
        "FROM bg JOIN c2 ON bg.bg = c2.bg " +
        "JOIN c1 ON split_part(bg.bg, ' ', 1) = c1.w CROSS JOIN vs " +
        "GROUP BY doc_id ORDER BY doc_id"),
+    "corpus_pmi_pairs" ->
+      // same token/bigram derivations as text_bigram_logprob; the PMI
+      // double expression has the identical shape on both engines
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
+       "tok AS (SELECT doc_id, unnest(ws) w FROM t), " +
+       "c1 AS (SELECT w, COUNT(*) c FROM tok GROUP BY w), " +
+       "nt AS (SELECT COUNT(*) n FROM tok), " +
+       "bg AS (SELECT doc_id, bg FROM (SELECT doc_id, " +
+       "unnest(list_transform(generate_series(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1])) bg FROM t)), " +
+       "nb AS (SELECT COUNT(*) nb FROM bg), " +
+       "c2 AS (SELECT bg, COUNT(*) n_pair FROM bg GROUP BY bg) " +
+       "SELECT c2.bg, c2.n_pair, a.c AS n_w1, b.c AS n_w2, " +
+       "round(ln(CAST(c2.n_pair AS DOUBLE) * n * n / (CAST(nb.nb AS DOUBLE) * a.c * b.c)), 6) AS pmi " +
+       "FROM c2 JOIN c1 a ON split_part(c2.bg, ' ', 1) = a.w " +
+       "JOIN c1 b ON split_part(c2.bg, ' ', 2) = b.w " +
+       "CROSS JOIN nt CROSS JOIN nb " +
+       "WHERE c2.n_pair >= 5 ORDER BY pmi DESC, c2.bg LIMIT 20"),
     "corpus_tokenizer_stats" ->
       ("WITH t AS (SELECT lang, CAST(strlen(text) AS BIGINT) nb, " +
        "CAST(len(string_split(text, ' ')) AS BIGINT) nw, " +
