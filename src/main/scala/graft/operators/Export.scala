@@ -80,6 +80,35 @@ object Export {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming maintenance of the ORDERED export: boundaries are
+    * FROZEN at stream start (an online stream cannot re-derive exact
+    * global quantiles per batch without reprocessing history — the
+    * standard frozen-boundary contract of streaming range partitioning;
+    * re-cut with a batch [[writeOrderedShards]] when drift matters) and
+    * ride to every batch as plain literals; each micro-batch buckets
+    * its arrivals map-side and lands under `ingest=<batchId>/shard=N`
+    * with the same replay-safe overwrite convention as
+    * [[appendShards]]. Within every ingest layer, shard key-ranges
+    * obey the same non-interleaving guarantee as the batch export.
+    */
+  def appendOrderedShards(stream: DataFrame, cuts: Array[Long], path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch
+          .withColumn("ord_key",
+            TextOps.subwordCount(TextOps.tokens(col("text"))).cast("long"))
+          .withColumn("shard", bucketOf(col("ord_key"), cuts).cast("int"))
+          .repartition(col("shard"))
+          .sortWithinPartitions(col("shard"), col("ord_key"), col("doc_id"))
+          .write.mode("overwrite").partitionBy("shard")
+          .parquet(s"$path/ingest=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** GLOBALLY ORDERED shard assignment — the range-partitioned twin of
     * [[shuffledShards]], for exports that must keep a global order
     * (curriculum schedules: short documents before long ones; or

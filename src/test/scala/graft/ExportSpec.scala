@@ -72,6 +72,48 @@ class ExportSpec extends SparkSpec {
     assert(back.select("doc_id", "shard").as[(Long, Int)].collect().toSet === batchAssign)
   }
 
+  test("appendOrderedShards: frozen cuts bucket arrivals like the batch writer") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val out = Files.createTempDirectory("graft_ordexp_stream").toString
+    val ck = Files.createTempDirectory("graft_ordexp_ck").toString
+    // cuts derived ONCE from the full corpus (the frozen-boundary
+    // contract), then two arrival waves bucket against them
+    val keyed = docs.withColumn("ord_key",
+      graft.operators.TextOps.subwordCount(
+        graft.operators.TextOps.tokens(col("text"))).cast("long"))
+    val cuts = Export.equiDepthCuts(keyed.select(col("ord_key")), "ord_key", 8)
+    val all = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val (w1, w2) = all.splitAt(all.length / 2)
+    val in = MemoryStream[(Long, String)]
+    def stream = in.toDF().toDF("doc_id", "text")
+    in.addData(w1.toIndexedSeq)
+    assert(Export.appendOrderedShards(stream, cuts, out, ck).awaitTermination(60000))
+    in.addData(w2.toIndexedSeq)
+    assert(Export.appendOrderedShards(stream, cuts, out, ck).awaitTermination(60000))
+    val back = spark.read.parquet(out)
+    assert(back.select("doc_id").as[Long].collect().toSet === all.map(_._1).toSet)
+    // streamed shard assignment == the batch orderedShards assignment
+    // (same cuts, same key), regardless of which wave a doc arrived in
+    val streamed = back.select("doc_id", "shard").as[(Long, Int)].collect().toSet
+    val batch = Export.orderedShards(docs, 8)
+      .select("doc_id", "shard").as[(Long, Int)].collect().toSet
+    assert(streamed === batch)
+    // non-interleaving ranges hold WITHIN each ingest layer
+    val ranges = back.groupBy(col("ingest"), col("shard"))
+      .agg(min(col("ord_key")).as("lo"), max(col("ord_key")).as("hi"))
+      .orderBy(col("ingest"), col("shard"))
+      .as[(Long, Int, Long, Long)].collect()
+    ranges.groupBy(_._1).values.foreach { layer =>
+      layer.sortBy(_._2).sliding(2).foreach {
+        case Array((_, s1, _, hi1), (_, s2, lo2, _)) =>
+          assert(hi1 <= lo2, s"shard $s1 hi=$hi1 interleaves shard $s2 lo=$lo2")
+        case _ => ()
+      }
+    }
+  }
+
   test("a shard filter partition-prunes the export read to that shard's files") {
     val out = Files.createTempDirectory("graft_export_prune").toString
     Export.writeShards(docs, out, 8)
