@@ -111,6 +111,76 @@ object ExtensionQueries {
       .withColumn("v", col("embedding"))
       .withColumn("nv", VectorOps.norm2(col("embedding")))
 
+  /** Micro-int quantized embeddings for the iterative clustering
+    * family: each component becomes `round(x * 1e6)` — an INTEGER
+    * carried in a float (exact: |micro| <= ~2e6 < 2^24), so every
+    * downstream dot product / norm / component sum is exact integer
+    * arithmetic in doubles on BOTH engines and the Lloyd fixpoint is
+    * bit-reproducible with no per-iteration rounding contract (the
+    * crawl_pagerank fixed-point recipe lifted to vectors). `nv` is the
+    * exact integer squared norm (<= 64 x (2e6)^2 ~ 2.6e14 < 2^53).
+    */
+  private def embMicro(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1e6).cast("long").cast("float")).as("v"))
+      .withColumn("nv", VectorOps.norm2(col("v")))
+
+  /** Assemble a [[graft.functions.CentroidBank]] from collected
+    * (cid, component-index, micro-component) rows — the driver-side
+    * half of a Lloyd update. Components are exact micro ints, so the
+    * squared norms computed here are bit-identical to the oracle's
+    * `list_sum(list_transform(cv, x -> x * x))`. Bounded collect:
+    * O(k x dim) rows (8 x 64 here).
+    */
+  private def bankOfComponents(rows: Array[(Long, Int, Long)]): graft.functions.CentroidBank = {
+    val byCid = rows.groupBy(_._1).toArray.sortBy(_._1)
+    val cids = byCid.map(_._1)
+    val vecs = byCid.map { case (_, comps) =>
+      comps.sortBy(_._2).map(_._3.toFloat)
+    }
+    val norms = vecs.map(_.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+    new graft.functions.CentroidBank(cids, vecs, norms)
+  }
+
+  /** Shared body of `cluster_kmeans` / `sample_cluster_balanced`:
+    * spherical k-means (k = 8, seeds = vec_id 0..7, two Lloyd
+    * refinements + final assignment) in the micro-int fixed-point
+    * arithmetic of [[embMicro]]. Returns the UNSORTED
+    * (vec_id, cluster, cluster_n) assignment — consumers add their own
+    * output order (the balanced sampler re-partitions by cluster, so a
+    * pre-sort here would be dead work).
+    */
+  private def kmeansClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = embMicro(s, dir)
+    def assign(bank: graft.functions.CentroidBank): DataFrame =
+      emb.select(col("vec_id"),
+        graft.functions.VectorExpressions
+          .seeded_cell_argmax(bank, col("v"), col("nv")).as("cluster"),
+        col("v"))
+    def update(assigned: DataFrame): graft.functions.CentroidBank =
+      bankOfComponents(assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("cluster"), col("i"))
+        // exact mean numerator (long sum of micro ints) over an
+        // exact count -> one IEEE division + floor, both replayable
+        .agg(floor(sum(col("x").cast("long")) / count(lit(1))).as("m"))
+        .as[(Long, Int, Long)].collect())
+    val seeds = bankOfComponents(emb.filter(col("vec_id") < 8)
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"), col("x").cast("long"))
+      .as[(Long, Int, Long)].collect())
+    val refined = (1 to 2).foldLeft(seeds)((bank, _) => update(assign(bank)))
+    val fin = emb.select(col("vec_id"),
+      graft.functions.VectorExpressions
+        .seeded_cell_argmax(refined, col("v"), col("nv")).as("cluster"))
+    val sizes = fin.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_n"))
+    fin.join(broadcast(sizes), Seq("cluster"))
+      .select(col("vec_id"), col("cluster"), col("cluster_n"))
+  }
+
   /** Deterministic hub-skewed edge table for `crawl_pagerank_edges`,
     * materialized once per corpus dir ([[materializedFrame]] — a real
     * crawl's link graph is extracted once and stored, not re-derived
@@ -1552,6 +1622,47 @@ object ExtensionQueries {
         .select(col("label"), (col("i0") + 1).cast("int").as("i"),
           round(col("c"), 6).as("c"))
         .orderBy(col("label"), col("i"))
+    }),
+
+    // Spherical k-means over the embedding corpus (k = 8, seeds =
+    // vec_id 0..7, two Lloyd refinements + a final assignment) — the
+    // clustering stage of cluster-balanced curation (SemDeDup-style
+    // pipelines cluster first, then dedup/sample within clusters).
+    // Determinism: the crawl_pagerank fixed-point recipe lifted to
+    // vectors — components are micro ints (embMicro), so dot products,
+    // norms, and the per-dim mean numerators are EXACT integer
+    // arithmetic in doubles on both engines; the only non-integer steps
+    // (score division + round(6) before argmax, floor of the exact
+    // mean) are single IEEE ops on identical operands. Assignment ties
+    // go to the lower cid (CentroidBank order = QUALIFY cs DESC, cid).
+    // Scale shape: each Lloyd iteration is ONE corpus pass — a pure
+    // map-side native argmax (zero exchange) feeding a (cluster, dim)
+    // partial aggregate whose exchange carries <= k x 64 rows per
+    // partition; the refined centroids collapse to a bounded driver
+    // bank (k x dim micro ints — the codebook-collect class). The
+    // corpus is never cached driver-side; at 100 TB you'd persist the
+    // micro frame across iterations, the loop structure is unchanged.
+    // An emptied cluster simply drops out of the bank on BOTH engines
+    // (assignment is deterministic), shrinking k for later rounds.
+    "cluster_kmeans" -> ((s, dir) =>
+      kmeansClusters(s, dir).orderBy(col("vec_id"))),
+
+    // Cluster-balanced sampling off the kmeans assignment — the
+    // curation use of the clustering: cap every cluster at 32 docs so
+    // no dense region dominates the training mix (the cluster-balanced
+    // counterpart of sample_temperature's per-SOURCE balancing). The
+    // per-cluster choice is a deterministic hash-coin rank (lowest
+    // coins win, ties to the lower vec_id), so the sample is stable
+    // across runs/engines; one window per cluster on the assignment's
+    // own key — the 100 TB parallelism unit — and nothing global.
+    "sample_cluster_balanced" -> ((s, dir) => {
+      val coin = TextOps.portableHash32(concat(lit("cb|"), col("vec_id").cast("string")))
+      val w = Window.partitionBy(col("cluster")).orderBy(coin, col("vec_id"))
+      kmeansClusters(s, dir)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 32)
+        .select(col("cluster"), col("rk"), col("vec_id"), col("cluster_n"))
+        .orderBy(col("cluster"), col("rk"))
     }),
 
     // Recall report across the ANN serving ladder: for every ORACLED
@@ -4355,6 +4466,36 @@ object ExtensionQueries {
        "(SELECT label, i, CAST(embedding[i] AS DOUBLE) v FROM embeddings " +
        "CROSS JOIN (SELECT unnest(generate_series(1, 64)) i)) " +
        "GROUP BY label, i ORDER BY label, i"),
+    "cluster_kmeans" -> {
+      // two unrolled Lloyd iterations + final assignment in the SAME
+      // micro-int fixed-point arithmetic as the Spark loop: exact
+      // integer dots/norms/mean numerators, round(6) before each
+      // argmax (ties to the lower cid), floor of the exact mean
+      def iter(prev: String, k: Int): String =
+        s"s$k AS (SELECT en.vec_id, en.v, c.cid, " +
+        "round(list_sum(list_transform(list_zip(en.v, c.cv), p -> CAST(p[1] AS DOUBLE) * p[2])) / " +
+        s"sqrt(en.nv * c.nc), 6) cs FROM en CROSS JOIN $prev c), " +
+        s"a$k AS (SELECT vec_id, v, cid FROM s$k " +
+        "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) = 1), " +
+        s"u$k AS (SELECT cid, i, CAST(floor(SUM(CAST(v[i] AS DOUBLE)) / COUNT(*)) AS BIGINT) m " +
+        s"FROM a$k CROSS JOIN (SELECT unnest(generate_series(1, 64)) i) GROUP BY cid, i), " +
+        s"c$k AS (SELECT cid, cv, list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * x)) nc " +
+        s"FROM (SELECT cid, list(m ORDER BY i) cv FROM u$k GROUP BY cid))"
+      "WITH e AS (SELECT vec_id, " +
+      "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) v " +
+      "FROM embeddings), " +
+      "en AS (SELECT vec_id, v, list_sum(list_transform(v, x -> CAST(x AS DOUBLE) * x)) nv FROM e), " +
+      "c0 AS (SELECT vec_id cid, v cv, nv nc FROM en WHERE vec_id < 8), " +
+      iter("c0", 1) + ", " + iter("c1", 2) + ", " +
+      "s3 AS (SELECT en.vec_id, c.cid, " +
+      "round(list_sum(list_transform(list_zip(en.v, c.cv), p -> CAST(p[1] AS DOUBLE) * p[2])) / " +
+      "sqrt(en.nv * c.nc), 6) cs FROM en CROSS JOIN c2 c), " +
+      "a3 AS (SELECT vec_id, cid FROM s3 " +
+      "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) = 1), " +
+      "sz AS (SELECT cid, COUNT(*) n FROM a3 GROUP BY cid) " +
+      "SELECT a3.vec_id, a3.cid AS cluster, CAST(sz.n AS BIGINT) AS cluster_n " +
+      "FROM a3 JOIN sz USING (cid) ORDER BY vec_id"
+    },
     "text_langid" ->
       ("WITH c AS (SELECT doc_id, lang, " +
        "len(list_filter(ws, w -> w IN ('the','a','of'))) en, " +
@@ -5238,6 +5379,15 @@ object ExtensionQueries {
     * fingerprint SQL to drift from its dedup twin.
     */
   def oracleSql: Map[String, String] = baseOracleSql ++ Map(
+    "sample_cluster_balanced" ->
+      // the cluster_kmeans oracle verbatim as a CTE, then one window
+      // per cluster: lowest md5 ppm coins win, ties to the lower
+      // vec_id, cap 32
+      (s"WITH km AS (${baseOracleSql("cluster_kmeans")}) " +
+       "SELECT cluster, CAST(rk AS BIGINT) AS rk, vec_id, cluster_n FROM " +
+       "(SELECT vec_id, cluster, cluster_n, row_number() OVER (PARTITION BY cluster " +
+       "ORDER BY CAST('0x' || substr(md5('cb|' || CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT), vec_id) rk " +
+       "FROM km) WHERE rk <= 32 ORDER BY cluster, rk"),
     "sim_recall_report" -> {
       // every oracled rung's OWN oracle SQL as a CTE (verbatim — the
       // rung arithmetic cannot drift from the rung queries), each

@@ -1032,4 +1032,25 @@ class ExtensionInvariantsSpec extends SparkSpec {
     assert(rows("sim_pq_rerank_topk")._2 >= rows("sim_pq_topk")._2,
       s"rerank (${rows("sim_pq_rerank_topk")._2}) below raw PQ (${rows("sim_pq_topk")._2})")
   }
+
+  test("kmeans partitions the corpus; balanced sample caps every cluster") {
+    val n = Tables.embeddings(spark, sf0001).count()
+    val rows = q("cluster_kmeans").as[(Long, Long, Long)].collect()
+    assert(rows.length.toLong === n, "every vector assigned exactly once")
+    assert(rows.map(_._1).distinct.length === rows.length, "duplicate vec_id")
+    val sizes = rows.groupBy(_._2).map { case (c, g) => c -> g.length.toLong }
+    assert(sizes.nonEmpty && sizes.size <= 8, s"cluster count ${sizes.size}")
+    rows.foreach { case (id, c, cn) =>
+      assert(cn === sizes(c), s"vec $id carries stale cluster_n") }
+    val samp = q("sample_cluster_balanced").as[(Long, Long, Long, Long)].collect()
+    assert(samp.map(_._3).distinct.length === samp.length, "sample repeats a vec")
+    samp.groupBy(_._1).foreach { case (c, g) =>
+      assert(g.length.toLong === math.min(32L, sizes(c)),
+        s"cluster $c sampled ${g.length} of ${sizes(c)} (cap 32)")
+      assert(g.map(_._2).sorted.toSeq === (1L to g.length).map(identity),
+        s"cluster $c ranks not contiguous")
+      g.foreach { case (_, _, id, cn) =>
+        assert(cn === sizes(c), s"sample row $id stale cluster_n") }
+    }
+  }
 }

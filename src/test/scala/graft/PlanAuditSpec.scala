@@ -654,4 +654,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       s"bucket assignment must be a map-side expression, not a join:\n$p")
   }
+
+  test("kmeans final pass: native map-side assignment, sizes ride a broadcast") {
+    // the Lloyd refinements collapse to a driver-bounded centroid bank,
+    // so the FINAL frame must be: micro-quantize scan -> native argmax
+    // projection -> tiny size aggregate joined back by broadcast. A
+    // sort-merge/cartesian join or a second hash exchange means the
+    // assignment regressed to the r5 crossJoin + max_by shape.
+    val p = plan("cluster_kmeans")
+    assert(p.contains("seeded_cell_argmax"),
+      s"assignment must be the native argmax projection:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"kmeans output planned a corpus join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"cluster sizes must join back as a broadcast:\n$p")
+    val nHash = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(nHash <= 1, s"expected only the size-aggregate exchange, got $nHash:\n$p")
+  }
 }
