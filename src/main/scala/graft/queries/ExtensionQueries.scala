@@ -1934,6 +1934,49 @@ object ExtensionQueries {
         .orderBy(col("source"))
     }),
 
+    // DSIR-style importance resampling (the hashed-n-gram importance
+    // weighting of "Data Selection for Language Models via Importance
+    // Resampling"): score each doc by how much more likely its tokens
+    // are under the TARGET domain's hashed-unigram distribution than
+    // under the RAW corpus distribution, then resample with
+    // probability exp(min(0, avg log ratio)). Features are HASHED
+    // buckets (64 here; the paper hashes n-grams into 10k) so the
+    // model is fixed-size regardless of vocabulary — the property that
+    // makes the method a 100 TB pipeline stage: both distributions are
+    // ONE bounded aggregate (64 rows, map-side partials), the learned
+    // log-ratios ride a broadcast, and the per-doc score is a map-side
+    // join + one doc-keyed aggregate; nothing vocabulary-sized ever
+    // ships. Target = the 'en' slice (stand-in for the curated target
+    // corpus); add-one smoothing keeps zero-count buckets finite.
+    // Determinism: the ln-under-avg round(6) contract
+    // (text_unigram_logprob regime), an integer ppm keep threshold off
+    // the ROUNDED score, and the md5 ppm coin.
+    "sample_dsir" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), explode(TextOps.tokens(col("text"))).as("w"))
+        .withColumn("b",
+          pmod(TextOps.portableHash32(concat(lit("dsir|"), col("w"))), lit(64L)))
+      val counts = toks.groupBy(col("b")).agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
+      val tot = counts.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+      val lam = counts.crossJoin(broadcast(tot))
+        .select(col("b"),
+          (log((col("ct") + 1) / (col("tt") + 64)) -
+            log((col("cr") + 1) / (col("tr") + 64))).as("lam"))
+      val coin = pmod(TextOps.portableHash32(
+        concat(lit("dsirk|"), col("doc_id").cast("string"))), lit(1000000L))
+      toks.join(broadcast(lam), Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), round(avg(col("lam")), 6).as("avg_logratio"))
+        .withColumn("keep_ppm", least(lit(1000000L),
+          round(exp(col("avg_logratio")) * 1e6).cast("long")))
+        .withColumn("kept", (coin < col("keep_ppm")).cast("int"))
+        .select(col("doc_id"), col("n_tokens"), col("avg_logratio"),
+          col("keep_ppm"), col("kept"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Benchmark decontamination: flag training docs sharing a verbatim
     // 8-gram with the held-out benchmark split (doc_id % 50 == 0 — the
     // deterministic stand-in for a real eval set). Benchmark gram set is
@@ -4585,6 +4628,26 @@ object ExtensionQueries {
        "THEN 1 ELSE 0 END AS INT) kept FROM documents d JOIN r USING (source)) " +
        "SELECT source, COUNT(*) AS n_docs, CAST(SUM(kept) AS BIGINT) AS n_kept, " +
        "CAST(MIN(thr) AS BIGINT) AS thr FROM k GROUP BY source ORDER BY source"),
+    "sample_dsir" ->
+      // hashed-bucket target/raw distributions with add-one smoothing,
+      // ln-under-avg round(6), exp of the ROUNDED score as an integer
+      // ppm threshold, md5 ppm coin
+      ("WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) w FROM documents), " +
+       "tb AS (SELECT doc_id, lang, " +
+       "CAST('0x' || substr(md5('dsir|' || w), 1, 8) AS BIGINT) % 64 b FROM t), " +
+       "c AS (SELECT b, SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) ct, COUNT(*) cr " +
+       "FROM tb GROUP BY b), " +
+       "tot AS (SELECT CAST(SUM(ct) AS BIGINT) tt, CAST(SUM(cr) AS BIGINT) tr FROM c), " +
+       "lam AS (SELECT b, ln((ct + 1.0) / (tt + 64)) - ln((cr + 1.0) / (tr + 64)) lam " +
+       "FROM c CROSS JOIN tot), " +
+       "d AS (SELECT doc_id, COUNT(*) n_tokens, round(AVG(lam), 6) avg_logratio " +
+       "FROM tb JOIN lam USING (b) GROUP BY doc_id), " +
+       "k AS (SELECT doc_id, n_tokens, avg_logratio, " +
+       "LEAST(1000000, CAST(round(exp(avg_logratio) * 1000000) AS BIGINT)) keep_ppm FROM d) " +
+       "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, avg_logratio, keep_ppm, " +
+       "CAST(CASE WHEN CAST('0x' || substr(md5('dsirk|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) " +
+       "% 1000000 < keep_ppm THEN 1 ELSE 0 END AS INT) AS kept " +
+       "FROM k ORDER BY doc_id"),
     "decon_ngram_overlap" -> deconNgramOverlapSql,
     // The bloom-prefiltered plan is result-identical by construction
     // (pure prefilter + exact confirm join), so it shares the ONE decon

@@ -1033,6 +1033,24 @@ class ExtensionInvariantsSpec extends SparkSpec {
       s"rerank (${rows("sim_pq_rerank_topk")._2}) below raw PQ (${rows("sim_pq_topk")._2})")
   }
 
+  test("dsir: target slice out-scores the raw mix; keep gate is ppm-bounded") {
+    val langs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toMap
+    val rows = q("sample_dsir").as[(Long, Long, Double, Long, Int)].collect()
+    assert(rows.length === langs.size, "one score per document")
+    assert(rows.forall(r => r._4 >= 0 && r._4 <= 1000000L), "keep_ppm outside [0, 1e6]")
+    assert(rows.forall(r => r._5 == 0 || r._5 == 1))
+    // a doc with a non-positive log ratio can never keep with ppm 1e6
+    rows.filter(_._3 < 0).foreach(r =>
+      assert(r._4 < 1000000L, s"doc ${r._1}: negative ratio but saturated keep"))
+    val (en, rest) = rows.partition(r => langs(r._1) == "en")
+    assert(en.nonEmpty && rest.nonEmpty, "fixture must carry both slices")
+    val mEn = en.map(_._3).sum / en.length
+    val mRest = rest.map(_._3).sum / rest.length
+    assert(mEn > mRest,
+      s"importance weights must favor the target slice: en $mEn vs rest $mRest")
+  }
+
   test("kmeans partitions the corpus; balanced sample caps every cluster") {
     val n = Tables.embeddings(spark, sf0001).count()
     val rows = q("cluster_kmeans").as[(Long, Long, Long)].collect()
