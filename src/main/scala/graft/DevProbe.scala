@@ -121,6 +121,14 @@ object DevProbe {
 
     t("sim_recall_report") { SparkEntry.queries("sim_recall_report")(spark, sfDir).count() }
 
+    // ---- round-12 probes: recall-report decomposition ----
+    // where the report's wall-clock goes: each rung standalone (warm
+    // memoized banks) vs the assembled union
+    for (rung <- Seq("sim_cosine_topk", "sim_ivf_topk", "sim_sq8_topk",
+        "sim_pq_topk", "sim_ivfpq_topk", "sim_ivfpq_multiprobe_topk",
+        "sim_ivfpq_residual_topk", "sim_pq_rerank_topk"))
+      t(s"rr_rung_$rung") { SparkEntry.queries(rung)(spark, sfDir).count() }
+
     // ---- round-10 probes: new-query costs vs scan floor ----
     t("phrase_full") { SparkEntry.queries("search_phrase")(spark, sfDir).count() }
     t("phrase_floor_split") {

@@ -275,7 +275,7 @@ case class SeededCellArgmax(vec: Expression, norm: Expression, bank: CentroidBan
   /** Row-level entry point shared by eval and generated code. */
   def assign(v: ArrayData, nv: Double): Long = {
     var best = 0L
-    var bestCs = 0.0
+    var bestRaw = 0.0
     var first = true
     var j = 0
     while (j < bank.cids.length) {
@@ -284,11 +284,12 @@ case class SeededCellArgmax(vec: Expression, norm: Expression, bank: CentroidBan
       var s = 0.0
       var i = 0
       while (i < n) { s += v.getFloat(i).toDouble * c(i).toDouble; i += 1 }
-      val cs = SeededCellArgmax.round6(s / java.lang.Math.sqrt(nv * bank.norms(j)))
-      // SQL double ordering: == catches the -0.0/0.0 tie (keep the
-      // earlier = lower cid), Double.compare ranks NaN above numbers
-      if (first || (cs != bestCs && java.lang.Double.compare(cs, bestCs) > 0)) {
-        bestCs = cs; best = bank.cids(j); first = false
+      val raw = s / java.lang.Math.sqrt(nv * bank.norms(j))
+      // ROUNDED SQL double ordering via the margin comparator (== tie
+      // keeps the earlier = lower cid, NaN ranks above numbers); the
+      // exact BigDecimal round only runs on sub-quantum near-ties
+      if (first || SeededCellArgmax.compareRounded6(raw, bestRaw) > 0) {
+        bestRaw = raw; best = bank.cids(j); first = false
       }
       j += 1
     }
@@ -322,6 +323,37 @@ object SeededCellArgmax {
   def round6(x: Double): Double =
     if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
     else BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Rank `round6(a)` against `round6(b)` in SQL double order (>0 when
+    * a's rounded score ranks above, 0 when they tie — incl. the
+    * -0.0/0.0 and Inf/Inf ties — <0 otherwise) WITHOUT paying the
+    * BigDecimal rounding on the common path: round6 is monotone and
+    * moves a finite value by at most half a quantum (5e-7) plus an
+    * ulp, so when |a - b| > 2e-6 the raw difference already decides
+    * the rounded comparison; only near-tie pairs (within one rounding
+    * quantum of each other) fall through to the exact rounding. This
+    * is the argmax/argmin hot-loop cost: a 256-codeword PQ assignment
+    * was paying 256 BigDecimal rounds per subspace per row — with the
+    * margin test, near-ties are the only rounds left (~none: rounded
+    * cosine/L2 scores are far coarser spaced than 1e-6).
+    *
+    * Margin validity needs ulp(x) << 1e-6, i.e. |x| << 2^52 x 5e-7 ~
+    * 1e9 — every caller's score domain (cosines in [-1, 1], squared
+    * L2 of bounded embeddings) sits orders of magnitude below. The
+    * special values route themselves to the exact path: a NaN operand
+    * makes both margin tests false (NaN comparisons are false), and
+    * same-sign infinities subtract to NaN.
+    */
+  def compareRounded6(a: Double, b: Double): Int = {
+    val d = a - b
+    if (d > 2e-6) 1
+    else if (d < -2e-6) -1
+    else {
+      val ra = round6(a)
+      val rb = round6(b)
+      if (ra == rb) 0 else java.lang.Double.compare(ra, rb)
+    }
+  }
 }
 
 /** Content-equal holder for one subspace of a RESIDUAL product
@@ -403,9 +435,10 @@ case class ResidualArgminL2(vec: Expression, bank: ResidualPqBank)
         s += d * d
         i += 1
       }
-      val ds = SeededCellArgmax.round6(s)
-      if (first || (ds != bestD && java.lang.Double.compare(ds, bestD) < 0)) {
-        bestD = ds; best = bank.cids(j); first = false
+      // argmin of round6(s) via the margin comparator — exact rounding
+      // only on sub-quantum near-ties (see compareRounded6)
+      if (first || SeededCellArgmax.compareRounded6(s, bestD) < 0) {
+        bestD = s; best = bank.cids(j); first = false
       }
       j += 1
     }

@@ -144,6 +144,39 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("compareRounded6 == the exact round-then-compare, incl. sub-quantum near-ties") {
+    // the margin fast path must never disagree with the formulation it
+    // shortcuts: compare(round6(a), round6(b)) with == catching the
+    // -0.0/0.0 tie. Deltas are concentrated around the 1e-6 quantum
+    // and the 2e-6 margin where a fast-path bug would hide.
+    def exact(a: Double, b: Double): Int = {
+      val ra = graft.functions.SeededCellArgmax.round6(a)
+      val rb = graft.functions.SeededCellArgmax.round6(b)
+      if (ra == rb) 0 else java.lang.Double.compare(ra, rb)
+    }
+    val rnd = new scala.util.Random(0xD15C0)
+    val specials = Seq(0.0, -0.0, Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, 1.0, -1.0, 0.9999995, -0.9999995)
+    val pairs =
+      (for (a <- specials; b <- specials) yield (a, b)) ++
+      Seq.fill(20000) {
+        val a = rnd.nextDouble() * 2 - 1
+        val delta = rnd.nextInt(4) match {
+          case 0 => (rnd.nextDouble() * 2 - 1) * 1e-6   // inside the margin
+          case 1 => (rnd.nextDouble() * 2 - 1) * 4e-6   // straddles the margin
+          case 2 => (rnd.nextDouble() * 2 - 1) * 1e-3   // clear fast path
+          case _ => 0.0                                  // exact tie
+        }
+        (a, a + delta)
+      }
+    for ((a, b) <- pairs) {
+      val got = graft.functions.SeededCellArgmax.compareRounded6(a, b)
+      val want = exact(a, b)
+      assert(Integer.signum(got) === Integer.signum(want),
+        s"compareRounded6($a, $b) = $got but exact comparison says $want")
+    }
+  }
+
   test("SeededCellArgmax == the crossJoin + max_by SQL formulation on all embeddings") {
     // The native map-side assignment must agree row for row with the
     // declarative plan it replaced (which is ALSO the DuckDB oracle's
