@@ -121,6 +121,11 @@ object DevProbe {
 
     t("sim_recall_report") { SparkEntry.queries("sim_recall_report")(spark, sfDir).count() }
 
+    // ---- round-12 probes: trained-model serving costs (warm memos) ----
+    t("km_full") { SparkEntry.queries("cluster_kmeans")(spark, sfDir).count() }
+    t("km_balanced") { SparkEntry.queries("sample_cluster_balanced")(spark, sfDir).count() }
+    t("dsir_full") { SparkEntry.queries("sample_dsir")(spark, sfDir).count() }
+
     // ---- round-12 probes: recall-report decomposition ----
     // where the report's wall-clock goes: each rung standalone (warm
     // memoized banks) vs the assembled union

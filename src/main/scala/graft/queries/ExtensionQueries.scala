@@ -144,38 +144,92 @@ object ExtensionQueries {
     new graft.functions.CentroidBank(cids, vecs, norms)
   }
 
-  /** Shared body of `cluster_kmeans` / `sample_cluster_balanced`:
-    * spherical k-means (k = 8, seeds = vec_id 0..7, two Lloyd
-    * refinements + final assignment) in the micro-int fixed-point
-    * arithmetic of [[embMicro]]. Returns the UNSORTED
-    * (vec_id, cluster, cluster_n) assignment — consumers add their own
-    * output order (the balanced sampler re-partitions by cluster, so a
-    * pre-sort here would be dead work).
+  /** Refined k-means centroid bank, trained ONCE per corpus dir per
+    * JVM (the [[pqBanks]] / [[trainedPq]] index-build lifecycle — a
+    * production clustering trains once per corpus version and serves
+    * many assignment passes; the memo keys on the row count so a
+    * rewritten corpus retrains). Each Lloyd iteration is one corpus
+    * pass: a map-side native argmax feeding a (cluster, dim) partial
+    * aggregate whose exchange carries <= k x 64 rows per partition;
+    * only the k x 64 micro-int component rows reach the driver.
+    */
+  private val kmeansBankDirs = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.functions.CentroidBank]()
+
+  private def kmeansBank(s: SparkSession, dir: String): graft.functions.CentroidBank = {
+    val n = Tables.parquetRowCount(s, s"$dir/embeddings.parquet")
+    kmeansBankDirs.computeIfAbsent(s"$dir@$n", _ => {
+      import s.implicits._
+      val emb = embMicro(s, dir)
+      def assign(bank: graft.functions.CentroidBank): DataFrame =
+        emb.select(col("vec_id"),
+          graft.functions.VectorExpressions
+            .seeded_cell_argmax(bank, col("v"), col("nv")).as("cluster"),
+          col("v"))
+      def update(assigned: DataFrame): graft.functions.CentroidBank =
+        bankOfComponents(assigned
+          .select(col("cluster"), posexplode(col("v")).as(Seq("i", "x")))
+          .groupBy(col("cluster"), col("i"))
+          // exact mean numerator (long sum of micro ints) over an
+          // exact count -> one IEEE division + floor, both replayable
+          .agg(floor(sum(col("x").cast("long")) / count(lit(1))).as("m"))
+          .as[(Long, Int, Long)].collect())
+      val seeds = bankOfComponents(emb.filter(col("vec_id") < 8)
+        .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
+        .select(col("vec_id"), col("i"), col("x").cast("long"))
+        .as[(Long, Int, Long)].collect())
+      (1 to 2).foldLeft(seeds)((bank, _) => update(assign(bank)))
+    })
+  }
+
+  /** DSIR importance model, trained ONCE per corpus dir per JVM (the
+    * [[kmeansBank]] lifecycle): per hashed bucket, the add-one-smoothed
+    * log ratio between the target ('en') and raw token distributions.
+    * The log ratios are computed by the SAME Spark SQL expressions the
+    * scoring used when inlined (ln over exact integer counts), then
+    * collected — 64 doubles, the centroid-bank collect class — so the
+    * served values are bit-identical to the in-plan formulation and
+    * the DuckDB oracle's CTE replay. Buckets no token hashes to are
+    * never looked up; their slots stay 0.
+    */
+  private val dsirModelDirs = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[Double]]()
+
+  private def dsirLogRatios(s: SparkSession, dir: String): Array[Double] = {
+    val n = Tables.parquetRowCount(s, s"$dir/documents.parquet")
+    dsirModelDirs.computeIfAbsent(s"$dir@$n", _ => {
+      import s.implicits._
+      val toks = Tables.documents(s, dir)
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("w"))
+        .withColumn("b",
+          pmod(TextOps.portableHash32(concat(lit("dsir|"), col("w"))), lit(64L)))
+      val counts = toks.groupBy(col("b")).agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
+      val tot = counts.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+      val rows = counts.crossJoin(broadcast(tot))
+        .select(col("b"),
+          (log((col("ct") + 1) / (col("tt") + 64)) -
+            log((col("cr") + 1) / (col("tr") + 64))).as("lam"))
+        .as[(Long, Double)].collect()
+      val arr = new Array[Double](64)
+      rows.foreach { case (b, l) => arr(b.toInt) = l }
+      arr
+    })
+  }
+
+  /** Shared body of `cluster_kmeans` / `sample_cluster_balanced`: the
+    * final assignment against the memoized [[kmeansBank]] — one
+    * map-side native argmax pass + the tiny size aggregate joined back
+    * by broadcast. Returns the UNSORTED (vec_id, cluster, cluster_n)
+    * assignment — consumers add their own output order (the balanced
+    * sampler re-partitions by cluster, so a pre-sort here would be
+    * dead work).
     */
   private def kmeansClusters(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val emb = embMicro(s, dir)
-    def assign(bank: graft.functions.CentroidBank): DataFrame =
-      emb.select(col("vec_id"),
-        graft.functions.VectorExpressions
-          .seeded_cell_argmax(bank, col("v"), col("nv")).as("cluster"),
-        col("v"))
-    def update(assigned: DataFrame): graft.functions.CentroidBank =
-      bankOfComponents(assigned
-        .select(col("cluster"), posexplode(col("v")).as(Seq("i", "x")))
-        .groupBy(col("cluster"), col("i"))
-        // exact mean numerator (long sum of micro ints) over an
-        // exact count -> one IEEE division + floor, both replayable
-        .agg(floor(sum(col("x").cast("long")) / count(lit(1))).as("m"))
-        .as[(Long, Int, Long)].collect())
-    val seeds = bankOfComponents(emb.filter(col("vec_id") < 8)
-      .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
-      .select(col("vec_id"), col("i"), col("x").cast("long"))
-      .as[(Long, Int, Long)].collect())
-    val refined = (1 to 2).foldLeft(seeds)((bank, _) => update(assign(bank)))
-    val fin = emb.select(col("vec_id"),
+    val fin = embMicro(s, dir).select(col("vec_id"),
       graft.functions.VectorExpressions
-        .seeded_cell_argmax(refined, col("v"), col("nv")).as("cluster"))
+        .seeded_cell_argmax(kmeansBank(s, dir), col("v"), col("nv")).as("cluster"))
     val sizes = fin.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_n"))
     fin.join(broadcast(sizes), Seq("cluster"))
       .select(col("vec_id"), col("cluster"), col("cluster_n"))
@@ -1943,30 +1997,26 @@ object ExtensionQueries {
     // buckets (64 here; the paper hashes n-grams into 10k) so the
     // model is fixed-size regardless of vocabulary — the property that
     // makes the method a 100 TB pipeline stage: both distributions are
-    // ONE bounded aggregate (64 rows, map-side partials), the learned
-    // log-ratios ride a broadcast, and the per-doc score is a map-side
-    // join + one doc-keyed aggregate; nothing vocabulary-sized ever
-    // ships. Target = the 'en' slice (stand-in for the curated target
-    // corpus); add-one smoothing keeps zero-count buckets finite.
-    // Determinism: the ln-under-avg round(6) contract
-    // (text_unigram_logprob regime), an integer ppm keep threshold off
-    // the ROUNDED score, and the md5 ppm coin.
+    // ONE bounded aggregate (64 rows, map-side partials), trained once
+    // per corpus version ([[dsirLogRatios]] — the pqBanks lifecycle),
+    // and scoring is a single corpus pass whose per-token log ratio is
+    // a 64-entry literal-array lookup; nothing vocabulary-sized ever
+    // ships and the only exchange is the per-doc aggregate. Target =
+    // the 'en' slice (stand-in for the curated target corpus);
+    // add-one smoothing keeps zero-count buckets finite. Determinism:
+    // the ln-under-avg round(6) contract (text_unigram_logprob
+    // regime), an integer ppm keep threshold off the ROUNDED score,
+    // and the md5 ppm coin.
     "sample_dsir" -> ((s, dir) => {
+      val lam = dsirLogRatios(s, dir)
       val toks = Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"), explode(TextOps.tokens(col("text"))).as("w"))
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
         .withColumn("b",
           pmod(TextOps.portableHash32(concat(lit("dsir|"), col("w"))), lit(64L)))
-      val counts = toks.groupBy(col("b")).agg(
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
-        count(lit(1)).as("cr"))
-      val tot = counts.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
-      val lam = counts.crossJoin(broadcast(tot))
-        .select(col("b"),
-          (log((col("ct") + 1) / (col("tt") + 64)) -
-            log((col("cr") + 1) / (col("tr") + 64))).as("lam"))
       val coin = pmod(TextOps.portableHash32(
         concat(lit("dsirk|"), col("doc_id").cast("string"))), lit(1000000L))
-      toks.join(broadcast(lam), Seq("b"))
+      toks.select(col("doc_id"),
+          element_at(typedLit(lam.toSeq), col("b").cast("int") + 1).as("lam"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tokens"), round(avg(col("lam")), 6).as("avg_logratio"))
         .withColumn("keep_ppm", least(lit(1000000L),
