@@ -2469,6 +2469,44 @@ object ExtensionQueries {
         .limit(20)
     }),
 
+    // Filter ENSEMBLING — the DCLM/CCNet production shape: no single
+    // quality signal survives contact with a web corpus, so the keep
+    // gate combines the independent models (NB seed-vs-background
+    // log-odds, unigram-LM surprisal, Gopher repetition fractions,
+    // the heuristic token gate) into one integer score. Signals are
+    // micro-int quantized off their queries' ROUNDED outputs, so the
+    // weighted sum is exact integer arithmetic on both engines and the
+    // keep threshold cuts identical numbers (the sample_temperature
+    // contract); weights: NB dominates (x2), surprisal subtracts,
+    // repetition penalized x3 (boilerplate is the worst failure mode),
+    // threshold -3.5e6 = the corpus median ensemble, so the gate
+    // actually splits. Each component frame keeps its own oracle; this
+    // query's oracle composes those CTEs verbatim, so a drift in any
+    // component breaks both gates. The joins are doc-keyed frames of
+    // equal cardinality — at 100 TB each signal is one corpus-pass
+    // column and the ensemble is the standard multi-join on the
+    // partition key (or a zip of co-partitioned columns).
+    "quality_ensemble" -> ((s, dir) => {
+      val nb = queries("quality_nb_score")(s, dir).select(col("doc_id"),
+        round(col("nb_logodds") * 1e6).cast("long").as("nb_micro"))
+      val su = queries("text_unigram_logprob")(s, dir).select(col("doc_id"),
+        round(col("avg_surprisal") * 1e6).cast("long").as("sur_micro"))
+      val rep = queries("text_repetition")(s, dir).select(col("doc_id"),
+        round(col("top_2gram_frac") * 1e6).cast("long").as("top2_micro"),
+        round(col("dup_5gram_frac") * 1e6).cast("long").as("dup5_micro"))
+      val tq = queries("text_quality")(s, dir)
+        .select(col("doc_id"), col("is_quality"))
+      nb.join(su, Seq("doc_id")).join(rep, Seq("doc_id")).join(tq, Seq("doc_id"))
+        .withColumn("ensemble_micro",
+          col("nb_micro") * 2 - col("sur_micro") -
+            (col("top2_micro") + col("dup5_micro")) * 3)
+        .withColumn("keep",
+          (col("is_quality") === 1 && col("ensemble_micro") > -3500000L).cast("int"))
+        .select(col("doc_id"), col("nb_micro"), col("sur_micro"),
+          col("top2_micro"), col("dup5_micro"), col("ensemble_micro"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Shard-export audit: the deterministic global shuffle that turns a
     // curated corpus into fixed training shards (operators.Export).
     // shard = hash(doc_id) mod 16, within-shard order = an INDEPENDENT
@@ -5492,6 +5530,27 @@ object ExtensionQueries {
     * fingerprint SQL to drift from its dedup twin.
     */
   def oracleSql: Map[String, String] = baseOracleSql ++ Map(
+    "quality_ensemble" ->
+      // the four component oracles verbatim as CTEs, micro-int
+      // quantized off their rounded outputs, exact integer weighted
+      // sum, the median threshold
+      (s"WITH nb AS (${baseOracleSql("quality_nb_score")}), " +
+       s"su AS (${baseOracleSql("text_unigram_logprob")}), " +
+       s"rep AS (${baseOracleSql("text_repetition")}), " +
+       s"tq AS (${baseOracleSql("text_quality")}), " +
+       "j AS (SELECT nb.doc_id, " +
+       "CAST(round(nb.nb_logodds * 1000000) AS BIGINT) nb_micro, " +
+       "CAST(round(su.avg_surprisal * 1000000) AS BIGINT) sur_micro, " +
+       "CAST(round(rep.top_2gram_frac * 1000000) AS BIGINT) top2_micro, " +
+       "CAST(round(rep.dup_5gram_frac * 1000000) AS BIGINT) dup5_micro, " +
+       "tq.is_quality FROM nb JOIN su ON nb.doc_id = su.doc_id " +
+       "JOIN rep ON nb.doc_id = rep.doc_id JOIN tq ON nb.doc_id = tq.doc_id) " +
+       "SELECT doc_id, nb_micro, sur_micro, top2_micro, dup5_micro, " +
+       "2 * nb_micro - sur_micro - 3 * (top2_micro + dup5_micro) AS ensemble_micro, " +
+       "CAST(CASE WHEN is_quality = 1 AND " +
+       "2 * nb_micro - sur_micro - 3 * (top2_micro + dup5_micro) > -3500000 " +
+       "THEN 1 ELSE 0 END AS INT) AS keep " +
+       "FROM j ORDER BY doc_id"),
     "sample_cluster_balanced" ->
       // the cluster_kmeans oracle verbatim as a CTE, then one window
       // per cluster: lowest md5 ppm coins win, ties to the lower

@@ -1033,6 +1033,19 @@ class ExtensionInvariantsSpec extends SparkSpec {
       s"rerank (${rows("sim_pq_rerank_topk")._2}) below raw PQ (${rows("sim_pq_topk")._2})")
   }
 
+  test("quality ensemble gates both ways and keeps only above-threshold docs") {
+    val rows = q("quality_ensemble")
+      .as[(Long, Long, Long, Long, Long, Long, Int)].collect()
+    val (kept, dropped) = rows.partition(_._7 == 1)
+    assert(kept.nonEmpty && dropped.nonEmpty,
+      s"gate must split the corpus (kept ${kept.length}/${rows.length})")
+    assert(kept.forall(_._6 > -3500000L), "kept doc below the ensemble threshold")
+    val mKept = kept.map(_._6).sum.toDouble / kept.length
+    val mDropped = dropped.map(_._6).sum.toDouble / dropped.length
+    assert(mKept > mDropped,
+      s"kept docs must out-score dropped: $mKept vs $mDropped")
+  }
+
   test("dsir: target slice out-scores the raw mix; keep gate is ppm-bounded") {
     val langs = Tables.documents(spark, sf0001)
       .select($"doc_id", $"lang").as[(Long, String)].collect().toMap
