@@ -32,6 +32,15 @@ object VectorOps {
 
   def norm2(a: Column): Column = dot(a, a)
 
+  /** Micro-int quantization: each component becomes `round(x * 1e6)`
+    * carried in a float (exact: |micro| < 2^24 for |x| <~ 16) — the
+    * fixed-point domain of the kmeans clustering family, shared by the
+    * batch corpus frame and the streaming admission gate so both sides
+    * score the SAME integers against the trained centroid bank.
+    */
+  def microQuantize(v: Column): Column =
+    transform(v, x => round(x.cast("double") * 1e6).cast("long").cast("float"))
+
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(norm2(a) * norm2(b))
 

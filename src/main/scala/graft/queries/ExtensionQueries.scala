@@ -122,9 +122,7 @@ object ExtensionQueries {
     */
   private def embMicro(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
-      .select(col("vec_id"),
-        transform(col("embedding"),
-          x => round(x.cast("double") * 1e6).cast("long").cast("float")).as("v"))
+      .select(col("vec_id"), VectorOps.microQuantize(col("embedding")).as("v"))
       .withColumn("nv", VectorOps.norm2(col("v")))
 
   /** Assemble a [[graft.functions.CentroidBank]] from collected
@@ -217,6 +215,15 @@ object ExtensionQueries {
       arr
     })
   }
+
+  /** The refined kmeans bank, exposed for external serving surfaces:
+    * the streaming cluster-balanced admission gate
+    * (StreamingCorpusOps.clusterBalancedGate) trains in batch and
+    * serves this bank FROZEN at ingest — the embeddingDeconGate
+    * batch-trains/stream-serves convention.
+    */
+  def trainedKmeansBank(s: SparkSession, dir: String): graft.functions.CentroidBank =
+    kmeansBank(s, dir)
 
   /** Shared body of `cluster_kmeans` / `sample_cluster_balanced`: the
     * final assignment against the memoized [[kmeansBank]] — one

@@ -456,6 +456,60 @@ object StreamingCorpusOps {
         })
   }
 
+  case class ClusterPick(cluster: Long, rk: Long, vec_id: Long, batches: Long)
+  /** Bottom-k admission state: parallel coin/id seqs (kept sorted by
+    * (coin, id)) instead of a Seq of tuples — product-encodable as two
+    * bigint arrays in the state store. */
+  case class PickState(coins: Seq[Long], ids: Seq[Long], batches: Long)
+  implicit private val cpEnc: Encoder[ClusterPick] = Encoders.product[ClusterPick]
+  implicit private val psEnc: Encoder[PickState] = Encoders.product[PickState]
+
+  /** Streaming cluster-balanced admission — the ingest face of
+    * `sample_cluster_balanced`: an arriving vector is assigned its
+    * kmeans cluster MAP-SIDE against the FROZEN batch-trained bank
+    * (the embeddingDeconGate convention: training happens in batch,
+    * ingest only serves), and each cluster admits the `cap` arrivals
+    * with the LOWEST deterministic hash coins, ties to the lower
+    * vec_id. Bottom-k of a pure per-row function is ORDER-FREE — the
+    * admitted set after ANY arrival order equals the batch sampler
+    * run over the same rows, so the stream's final state is bit-equal
+    * to the batch query (the spec pins full parity against
+    * `sample_cluster_balanced`). O(cap) state per cluster, no
+    * watermark; every batch re-emits the cluster's current admitted
+    * ranks (Update semantics, the runningTopK convention).
+    */
+  def clusterBalancedGate(vecs: DataFrame,
+      bank: graft.functions.CentroidBank, cap: Int = 32): Dataset[ClusterPick] = {
+    import graft.operators.{TextOps, VectorOps}
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val rowEnc: Encoder[(Long, Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    val assigned = vecs
+      // the bank lives in the micro-int fixed-point domain — arrivals
+      // must quantize identically or boundary vectors change cluster
+      .withColumn("__v", VectorOps.microQuantize(col("embedding")))
+      .withColumn("__nv", VectorOps.norm2(col("__v")))
+      .withColumn("cluster", graft.functions.VectorExpressions
+        .seeded_cell_argmax(bank, col("__v"), col("__nv")))
+      .withColumn("coin", TextOps.portableHash32(
+        concat(lit("cb|"), col("vec_id").cast("string"))))
+      .select(col("cluster"), col("coin"), col("vec_id"))
+      .as[(Long, Long, Long)]
+    assigned.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (cluster: Long, it: Iterator[(Long, Long, Long)],
+            state: GroupState[PickState]) => {
+          val prev = state.getOption.getOrElse(PickState(Nil, Nil, 0L))
+          val merged = (prev.coins.zip(prev.ids) ++ it.map(r => (r._2, r._3)))
+            .sorted.take(cap)
+          val next = PickState(merged.map(_._1), merged.map(_._2), prev.batches + 1)
+          state.update(next)
+          merged.iterator.zipWithIndex.map { case ((_, id), i) =>
+            ClusterPick(cluster, i + 1L, id, next.batches)
+          }
+        })
+  }
+
   /** Streaming SEMANTIC decontamination gate — the embedding rung of
     * the decon ladder applied at ingest: an arriving vector is DROPPED
     * iff any benchmark vector in its own quantizer cell scores

@@ -76,6 +76,42 @@ class StreamingCorpusSpec extends SparkSpec {
   private def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
     q.processAllAvailable()
 
+  test("streaming cluster-balanced admission converges to the batch sampler") {
+    import org.apache.spark.sql.functions.col
+    // the corpus in three arrival waves through the FROZEN
+    // batch-trained bank; the admitted set per cluster is bottom-32
+    // coins — order-free, so the final stream state must be BIT-EQUAL
+    // to sample_cluster_balanced over the same rows
+    val bank = graft.queries.ExtensionQueries.trainedKmeansBank(spark, sf0001)
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = StreamingCorpusOps.clusterBalancedGate(
+        in.toDF().toDF("vec_id", "embedding"), bank, cap = 32)
+      .writeStream.format("memory").queryName("cb_gate")
+      .outputMode(OutputMode.Update).trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      val emb = Tables.embeddings(spark, sf0001)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+      emb.grouped(math.max(emb.length / 3, 1)).foreach { slice =>
+        in.addData(slice.toIndexedSeq)
+        drain(q)
+      }
+      // current admitted set = each cluster's LATEST emission wave
+      // (Update mode; a cluster untouched by the last batch keeps its
+      // earlier wave)
+      val got = spark.table("cb_gate")
+        .as[(Long, Long, Long, Long)].collect()
+        .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+          val latest = rows.map(_._4).max
+          rows.filter(_._4 == latest).map(r => (r._1, r._2, r._3)).toSeq
+        }.toSet
+      val want = SparkEntry.queries("sample_cluster_balanced")(spark, sf0001)
+        .select(col("cluster"), col("rk"), col("vec_id"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("running posting stats converge to the batch search_postings index") {
     import org.apache.spark.sql.functions.col
     val in = MemoryStream[Doc]
