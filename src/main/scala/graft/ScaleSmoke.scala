@@ -120,7 +120,14 @@ object ScaleSmoke {
         // materialized edge table whose 16 hub nodes now carry ~10x
         // the in-degree (the skew-join pressure case), and the
         // midnight-split sweep over 10x sessions
-        "crawl_pagerank_edges", "q38b_concurrency_sweep_midnight")) {
+        "crawl_pagerank_edges", "q38b_concurrency_sweep_midnight",
+        // round-12 second wave: Lloyd training + assignment over 10x
+        // vectors (replicas collapse into the same cells — the skew
+        // case for the (cluster, dim) update aggregate), the balanced
+        // cut on top, the hashed-bucket importance model over 10x
+        // token volume, and the four-signal ensemble join
+        "cluster_kmeans", "sample_cluster_balanced", "sample_dsir",
+        "quality_ensemble")) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).count()
       println(f"$q%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $n%10d rows")
