@@ -345,6 +345,15 @@ object SeededCellArgmax {
     * same-sign infinities subtract to NaN.
     */
   def compareRounded6(a: Double, b: Double): Int = {
+    // Guard the margin precondition in code, not just the Scaladoc: at
+    // |x| >= 1e9 the ulp approaches the 1e-6 quantum and the fast path
+    // could disagree with round6-then-compare, so large magnitudes
+    // take the exact path. Every current caller is orders below this.
+    if (math.abs(a) >= 1e9 || math.abs(b) >= 1e9) {
+      val ra = round6(a)
+      val rb = round6(b)
+      return if (ra == rb) 0 else java.lang.Double.compare(ra, rb)
+    }
     val d = a - b
     if (d > 2e-6) 1
     else if (d < -2e-6) -1

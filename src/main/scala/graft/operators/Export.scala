@@ -157,10 +157,17 @@ object Export {
     val targets = df.sparkSession.range(1, nBuckets.toLong).toDF("i")
       .crossJoin(broadcast(total))
       .select(col("i"), expr(s"(i * n + ${nBuckets - 1}) div $nBuckets").as("t"))
-    broadcast(targets)
+    val cuts = broadcast(targets)
       .join(cdf, cdf("cum") >= col("t"))
       .groupBy(col("i")).agg(min(col(keyCol)).as("b"))
       .orderBy(col("i")).collect().map(_.getLong(1))
+    // An empty input yields zero cuts, which bucketOf would silently
+    // map to "everything in bucket 0" — fail loudly instead so an
+    // empty corpus can't masquerade as a single-shard export.
+    require(cuts.length == nBuckets - 1,
+      s"equiDepthCuts: expected ${nBuckets - 1} cuts, got ${cuts.length}" +
+        " (empty or degenerate input frame)")
+    cuts
   }
 
   /** 0-based bucket of `key` under `cuts`: the count of cuts strictly

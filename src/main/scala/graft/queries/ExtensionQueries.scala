@@ -186,9 +186,13 @@ object ExtensionQueries {
     * The log ratios are computed by the SAME Spark SQL expressions the
     * scoring used when inlined (ln over exact integer counts), then
     * collected — 64 doubles, the centroid-bank collect class — so the
-    * served values are bit-identical to the in-plan formulation and
-    * the DuckDB oracle's CTE replay. Buckets no token hashes to are
-    * never looked up; their slots stay 0.
+    * served values are bit-identical to the in-plan formulation.
+    * Cross-engine parity with the DuckDB oracle's CTE replay is NOT a
+    * bit-identity claim (JVM Math.log and DuckDB's libm may differ in
+    * the last ulp): it rests on the round(6)/integer-ppm contract
+    * downstream absorbing those ulps, per the repo's ln-ulp
+    * convention. Buckets no token hashes to are never looked up;
+    * their slots stay 0.
     */
   private val dsirModelDirs = new java.util.concurrent.ConcurrentHashMap[
     String, Array[Double]]()
@@ -249,9 +253,10 @@ object ExtensionQueries {
     * targets (uniform) and `src % 16` (one of 16 hubs — in-degree
     * ~n/16, the skewed in-degree shape real webgraphs have).
     */
-  private def crawlEdgeTable(s: SparkSession, dir: String): DataFrame =
-    materializedFrame(s, s"edges:$dir") {
-      val n = Tables.parquetRowCount(s, s"$dir/documents.parquet")
+  private def crawlEdgeTable(s: SparkSession, dir: String): DataFrame = {
+    // dir@rowCount key for the same staleness reason as [[postingFrame]]
+    val n = Tables.parquetRowCount(s, s"$dir/documents.parquet")
+    materializedFrame(s, s"edges:$dir@$n") {
       // hub count clamps to n so a degenerate corpus (< 16 docs) never
       // links to nonexistent node ids (which would make the rank loop
       // emit phantom documents the oracle's docs-anchored LEFT JOIN
@@ -263,6 +268,7 @@ object ExtensionQueries {
           col("src") % hubs,
           (col("src") * 13 + 11) % n)).as("dst"))
     }
+  }
 
   /** (rung query name, its seeded query vec_id, its top-k) for every
     * ORACLED rung of the ANN serving ladder — the ONE list driving
@@ -502,7 +508,11 @@ object ExtensionQueries {
     * core count and the exchange is skipped).
     */
   private def postingFrame(s: SparkSession, dir: String): DataFrame =
-    materializedFrame(s, s"postings:$dir") {
+    // keyed on dir@rowCount like the other per-corpus-version memos
+    // (trainedPq/kmeansBank/dsir): a same-JVM corpus rewrite must not
+    // serve a stale index. The footer count is metadata-only (no job).
+    materializedFrame(s,
+      s"postings:$dir@${Tables.parquetRowCount(s, s"$dir/documents.parquet")}") {
       val docs0 = Tables.documents(s, dir)
       val para = s.sparkContext.defaultParallelism
       val docs =
