@@ -121,6 +121,47 @@ object DevProbe {
 
     t("sim_recall_report") { SparkEntry.queries("sim_recall_report")(spark, sfDir).count() }
 
+    // ---- round-13 probes: BM25 scan-scoring vs index probe A/B ----
+    // bm25_scan_baseline reproduces the round-12 shape (corpus scan +
+    // native struct lookup per term + one-row stats agg); the
+    // production query now probes the posting store with a pushed
+    // term IN filter. Warm the store first (first build pays the
+    // tokenizer once per corpus version).
+    t("bm25_store_warm") { SparkEntry.queries("search_postings")(spark, sfDir).count() }
+    t("bm25_production") { SparkEntry.queries("search_bm25_topk")(spark, sfDir).count() }
+    t("bm25_scan_baseline") {
+      val ws = graft.operators.TextOps.tokens(col("text"))
+      val terms = Seq("vector", "stream", "window")
+      val base = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), size(ws).cast("long").as("dl"),
+          graft.functions.TextExpressions.term_count_structs(col("text")).as("tcs"))
+        .select(col("doc_id") +: col("dl") +:
+          terms.zipWithIndex.map { case (tm, i) =>
+            coalesce(
+              try_element_at(filter(col("tcs"), x => x.getField("term") === tm),
+                lit(1)).getField("tf"),
+              lit(0L)).as(s"tf$i") }: _*)
+      val stats = base.agg(
+        count(lit(1)).as("n"), sum(col("dl")).as("sumdl"),
+        sum((col("tf0") > 0).cast("long")).as("df0"),
+        sum((col("tf1") > 0).cast("long")).as("df1"),
+        sum((col("tf2") > 0).cast("long")).as("df2"))
+      val avgdl = col("sumdl").cast("double") / col("n")
+      def termScore(i: Int) = {
+        val tf = col(s"tf$i").cast("double")
+        val df = col(s"df$i").cast("double")
+        val idf = log(lit(1.0) + (col("n") - df + 0.5) / (df + 0.5))
+        idf * (tf * lit(2.2)) /
+          (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+      }
+      base.crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          round(termScore(0) + termScore(1) + termScore(2), 6).as("bm25"))
+        .filter(col("bm25") > 0)
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20).count()
+    }
+
     // ---- round-12 probes: trained-model serving costs (warm memos) ----
     t("km_full") { SparkEntry.queries("cluster_kmeans")(spark, sfDir).count() }
     t("km_balanced") { SparkEntry.queries("sample_cluster_balanced")(spark, sfDir).count() }

@@ -493,19 +493,25 @@ object ExtensionQueries {
         .toDF("doc_id", "f", "b0", "b1", "b2", "b3")
     }
 
-  /** The (doc_id, term, tf) posting frame shared by the retrieval
-    * family (`search_postings`, `corpus_keywords`,
-    * `search_bm25_topk`'s per-doc stats) — the text analog of the
-    * perceptual fingerprint stores: an inverted index IS a
-    * materialized structure in any real retrieval system, built once
-    * per corpus version and served many times, so the store lifecycle
-    * ([[materializedFrame]]) reproduces production rather than
-    * re-tokenizing the corpus inside every query. One native
+  /** The (doc_id, term, tf, df, dl) posting frame shared by the
+    * retrieval family (`search_postings`, `corpus_keywords`,
+    * `search_bm25_topk`) — the text analog of the perceptual
+    * fingerprint stores: an inverted index IS a materialized structure
+    * in any real retrieval system, built once per corpus version and
+    * served many times, so the store lifecycle ([[materializedFrame]])
+    * reproduces production rather than re-tokenizing the corpus inside
+    * every query. One native
     * [[graft.functions.TextExpressions.TermCountStructs]] counting
     * pass per doc; the build spreads the tokenizer across cores first
     * (a small corpus arrives as ONE parquet split, which would
     * serialize the scan — at real scale the splits already exceed the
-    * core count and the exchange is skipped).
+    * core count and the exchange is skipped). Beside the term
+    * dictionary's df, every posting row also carries the document
+    * LENGTH dl = sum of the doc's term counts (== `size(split(text,
+    * ' '))` exactly — the native tokenizer reproduces `split`'s
+    * empty-token semantics, see `boundaries`): the Lucene-norms
+    * pattern, so length-normalized scorers (BM25) read everything
+    * they need per doc from the matched posting rows alone.
     */
   private def postingFrame(s: SparkSession, dir: String): DataFrame =
     // keyed on dir@rowCount like the other per-corpus-version memos
@@ -521,11 +527,19 @@ object ExtensionQueries {
       // df aggregate and the join probe side both consume `posts`,
       // and without materialization each would re-run the explode
       // (there is no exchange between them for ReuseExchange to
-      // share). Paid once per corpus version, at store build.
+      // share). Paid once per corpus version, at store build. dl is
+      // folded off the struct array BEFORE the explode (same projected
+      // attribute, evaluated once), so it costs one linear pass over
+      // the distinct-term structs, not a per-doc window after the
+      // explode.
       val posts = docs.select(col("doc_id"),
-          explode(graft.functions.TextExpressions.term_count_structs(col("text")))
-            .as("tc"))
-        .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
+          graft.functions.TextExpressions.term_count_structs(col("text"))
+            .as("tcs"))
+        .select(col("doc_id"),
+          expr("aggregate(tcs, CAST(0 AS BIGINT), (a, x) -> a + x.tf)").as("dl"),
+          explode(col("tcs")).as("tc"))
+        .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"),
+          col("dl"))
         .localCheckpoint()
       // df rides denormalized on every posting row — the term
       // DICTIONARY of a real inverted index (Lucene keeps docFreq per
@@ -535,7 +549,24 @@ object ExtensionQueries {
       // version, at build.
       val dfFrame = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
       posts.join(broadcast(dfFrame), Seq("term"))
-        .select(col("doc_id"), col("term"), col("tf"), col("df"))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("dl"))
+    }
+
+  /** One-row corpus statistics of the posting store (total token
+    * count `sumdl`) — the index-metadata side of the store, memoized
+    * with the same dir@rowCount lifecycle. BM25's avgdl then costs
+    * the scorer a one-row broadcast instead of a query-time aggregate
+    * over the whole store. (Corpus SIZE n comes from the parquet
+    * footers — metadata-only, no job — so it is not stored here.)
+    */
+  private def postingStatsFrame(s: SparkSession, dir: String): DataFrame =
+    materializedFrame(s,
+      s"postingstats:$dir@${Tables.parquetRowCount(s, s"$dir/documents.parquet")}") {
+      // sum over DISTINCT docs, not posting rows (dl is denormalized
+      // onto every posting of a doc): fold one row per doc first.
+      postingFrame(s, dir).groupBy(col("doc_id"))
+        .agg(max(col("dl")).as("dl"))
+        .agg(sum(col("dl")).as("sumdl"))
     }
 
   /** The band explosion shared by every perceptual consumer: four
@@ -3182,55 +3213,47 @@ object ExtensionQueries {
 
     // BM25 ranked retrieval (Okapi BM25, Lucene idf form): the standard
     // relevance score of web search and of retrieval-driven curation
-    // (picking the training docs most relevant to a probe query). For a
-    // BOUNDED query (three terms here), scan-scoring beats building an
-    // inverted index first: tf per term is a map-side array count on
-    // the token array already in the row — no posting explode, no
-    // per-term shuffle — so the only exchange in the whole plan is the
-    // single-row corpus-stats aggregate (N, total length, per-term df;
-    // 32 partial rows) that then BROADCASTS back over the scan. idf is
-    // the Lucene form ln(1 + (N-df+0.5)/(df+0.5)), strictly positive
-    // even for terms appearing in nearly every doc (this corpus's tiny
-    // vocabulary), where raw Robertson idf goes negative and would
-    // invert the ranking. The three per-term scores sum in a FIXED
-    // left-assoc expression (no aggregation-order nondeterminism);
-    // round(6) at the edge absorbs engine ulps (the cosine contract).
-    // Plan: scan -> map tf/dl -> one-row agg -> broadcast crossJoin ->
-    // score -> TakeOrderedAndProject. At 100 TB the stats row is a
-    // pre-computed corpus statistic; the scoring pass stays one scan.
+    // (picking the training docs most relevant to a probe query).
+    // Served OFF THE INVERTED INDEX ([[postingFrame]]), the way a real
+    // retrieval system answers a bounded query: the term IN (...)
+    // predicate pushes down to the store's parquet scan, so the query
+    // touches ONLY the matched posting lists — at 100 TB that is the
+    // difference between re-scoring the corpus and reading a few MB of
+    // postings. Matched rows already carry everything BM25 needs per
+    // doc: tf, the term dictionary's global df, and the doc length dl
+    // (Lucene-norms pattern); docs with tf=0 for a term contribute a
+    // 0.0 term score regardless of idf, so no global df lookup is
+    // needed for unmatched terms. Corpus stats: n from the parquet
+    // footers (metadata-only), sumdl from the memoized one-row
+    // [[postingStatsFrame]]. idf is the Lucene form
+    // ln(1 + (N-df+0.5)/(df+0.5)), strictly positive even for terms
+    // appearing in nearly every doc, where raw Robertson idf goes
+    // negative and would invert the ranking. The three per-term scores
+    // sum in a FIXED left-assoc expression (no aggregation-order
+    // nondeterminism); round(6) at the edge absorbs engine ulps (the
+    // cosine contract). Plan: store scan w/ pushed term filter ->
+    // per-doc pivot agg (exchange over matched rows only) -> broadcast
+    // stats crossJoin -> score -> TakeOrderedAndProject.
     "search_bm25_topk" -> ((s, dir) => {
-      val ws = TextOps.tokens(col("text"))
       val terms = Seq("vector", "stream", "window")
-      // tf per query term reads the native one-pass (term, tf) structs
-      // (ONE compiled counting scan per doc) instead of re-scanning the
-      // token array per term with an interpreted HOF filter; the
-      // per-term lookup then touches only the ~distinct-terms structs.
-      // The two-step projection keeps term_count_structs evaluated once
-      // (CollapseProject won't merge a projection that would duplicate
-      // a non-cheap expression used three times).
-      val base = Tables.documents(s, dir)
-        .select(col("doc_id"), size(ws).cast("long").as("dl"),
-          graft.functions.TextExpressions.term_count_structs(col("text")).as("tcs"))
-        .select(col("doc_id") +: col("dl") +:
-          terms.zipWithIndex.map { case (t, i) =>
-            coalesce(
-              try_element_at(filter(col("tcs"), x => x.getField("term") === t),
-                lit(1)).getField("tf"),
-              lit(0L)).as(s"tf$i") }: _*)
-      val stats = base.agg(
-        count(lit(1)).as("n"), sum(col("dl")).as("sumdl"),
-        sum((col("tf0") > 0).cast("long")).as("df0"),
-        sum((col("tf1") > 0).cast("long")).as("df1"),
-        sum((col("tf2") > 0).cast("long")).as("df2"))
-      val avgdl = col("sumdl").cast("double") / col("n")
+      val n = Tables.parquetRowCount(s, s"$dir/documents.parquet")
+      val matched = postingFrame(s, dir).filter(col("term").isin(terms: _*))
+      val aggs =
+        max(col("dl")).as("dl") +:
+        terms.zipWithIndex.flatMap { case (t, i) => Seq(
+          coalesce(max(when(col("term") === t, col("tf"))), lit(0L)).as(s"tf$i"),
+          coalesce(max(when(col("term") === t, col("df"))), lit(0L)).as(s"df$i"))
+        }
+      val perDoc = matched.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      val avgdl = col("sumdl").cast("double") / lit(n)
       def termScore(i: Int): Column = {
         val tf = col(s"tf$i").cast("double")
         val df = col(s"df$i").cast("double")
-        val idf = log(lit(1.0) + (col("n") - df + 0.5) / (df + 0.5))
+        val idf = log(lit(1.0) + (lit(n) - df + 0.5) / (df + 0.5))
         idf * (tf * lit(2.2)) /
           (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
       }
-      base.crossJoin(broadcast(stats))
+      perDoc.crossJoin(broadcast(postingStatsFrame(s, dir)))
         .select(col("doc_id"), col("dl"), col("tf0"), col("tf1"), col("tf2"),
           round(termScore(0) + termScore(1) + termScore(2), 6).as("bm25"))
         .filter(col("bm25") > 0)

@@ -515,16 +515,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"top-k degenerated to a global sort:\n$p")
   }
 
-  test("bm25 scan-scoring: broadcast one-row stats, no posting shuffle, top-k not a sort") {
-    // the scoring pass must be ONE pass over the corpus: tf per query
-    // term is a map-side array count (no explode/Generate on the
-    // scoring side), the corpus-stats row broadcasts back, and the
-    // only hash-partitioning exchange anywhere would be posting lists
-    // creeping in (there are none — the stats agg is SinglePartition)
+  test("bm25 index probe: pushed term filter, one pivot exchange, top-k not a sort") {
+    // bm25 serves off the posting store: the term IN (...) predicate
+    // must reach the store's parquet scan as a pushed filter (the
+    // query reads matched posting lists, not the corpus), the only
+    // hash exchange is the per-doc pivot over those matched rows, the
+    // memoized one-row stats frame broadcasts, and nothing re-tokenizes
+    // at query time (no Generate/explode anywhere in the serving plan)
     val p = plan("search_bm25_topk")
-    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 0,
-      s"bm25 planned a posting/aggregate shuffle:\n$p")
+    assert("PushedFilters: \\[[^\\]]*In\\(term".r.findFirstIn(p).isDefined,
+      s"term IN filter did not push to the posting-store scan:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1,
+      s"bm25 probe planned more than the per-doc pivot exchange:\n$p")
     assert(p.contains("BroadcastExchange"), s"stats row must broadcast:\n$p")
+    assert(!p.contains("Generate"), s"query-time tokenization crept back in:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"top-k degenerated to a global sort:\n$p")
   }
 
