@@ -569,6 +569,56 @@ object ExtensionQueries {
         .agg(sum(col("dl")).as("sumdl"))
     }
 
+  /** The BM25 top-20 frame behind `search_bm25_topk`, factored out so
+    * `search_hybrid_rrf` fuses the SAME lexical ranking (one
+    * definition — the recallRungs discipline applied to retrieval
+    * fusion). See the `search_bm25_topk` entry for the plan contract.
+    */
+  private def bm25TopFrame(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("vector", "stream", "window")
+    val n = Tables.parquetRowCount(s, s"$dir/documents.parquet")
+    val matched = postingFrame(s, dir).filter(col("term").isin(terms: _*))
+    val aggs =
+      max(col("dl")).as("dl") +:
+      terms.zipWithIndex.flatMap { case (t, i) => Seq(
+        coalesce(max(when(col("term") === t, col("tf"))), lit(0L)).as(s"tf$i"),
+        coalesce(max(when(col("term") === t, col("df"))), lit(0L)).as(s"df$i"))
+      }
+    val perDoc = matched.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val avgdl = col("sumdl").cast("double") / lit(n)
+    def termScore(i: Int): Column = {
+      val tf = col(s"tf$i").cast("double")
+      val df = col(s"df$i").cast("double")
+      val idf = log(lit(1.0) + (lit(n) - df + 0.5) / (df + 0.5))
+      idf * (tf * lit(2.2)) /
+        (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+    }
+    perDoc.crossJoin(broadcast(postingStatsFrame(s, dir)))
+      .select(col("doc_id"), col("dl"), col("tf0"), col("tf1"), col("tf2"),
+        round(termScore(0) + termScore(1) + termScore(2), 6).as("bm25"))
+      .filter(col("bm25") > 0)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** The brute-force cosine top-10 frame behind `sim_cosine_topk`,
+    * factored out for the same one-definition reason (it is also the
+    * vector arm of `search_hybrid_rrf`). See the `sim_cosine_topk`
+    * entry for the plan contract.
+    */
+  private def cosineTopFrame(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), VectorOps.norm2(col("embedding")).as("nq"))
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(VectorOps.dot(col("qv"), col("embedding")) /
+          sqrt(col("nq") * VectorOps.norm2(col("embedding"))), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** The band explosion shared by every perceptual consumer: four
     * (band, value) rows per fingerprint row, value = the band's 16-bit
     * slice. One definition so the pairing tails, the decon rung, and
@@ -1324,22 +1374,50 @@ object ExtensionQueries {
     // ---- Similarity search --------------------------------------------
     // Brute-force cosine top-k vs query vector (vec_id=0): map-side
     // score + TakeOrderedAndProject — the honest 100 TB baseline scan.
-    "sim_cosine_topk" -> ((s, dir) => {
-      // Scores run on the raw float arrays via the native DotProduct
-      // (widens per-element — bit-identical to casting first, but the
-      // projection stays inside whole-stage codegen).
-      // The query vector's norm is computed ONCE (in the 1-row broadcast
-      // side), not per scanned row — the per-row cost is one dot + one
-      // norm instead of three dots.
-      val emb = Tables.embeddings(s, dir)
-      val q = emb.filter(col("vec_id") === 0)
-        .select(col("embedding").as("qv"), VectorOps.norm2(col("embedding")).as("nq"))
-      emb.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(q))
-        .select(col("vec_id"),
-          round(VectorOps.dot(col("qv"), col("embedding")) /
-            sqrt(col("nq") * VectorOps.norm2(col("embedding"))), 6).as("cos_sim"))
-        .orderBy(col("cos_sim").desc, col("vec_id"))
+    // Scores run on the raw float arrays via the native DotProduct
+    // (widens per-element — bit-identical to casting first, but the
+    // projection stays inside whole-stage codegen).
+    // The query vector's norm is computed ONCE (in the 1-row broadcast
+    // side), not per scanned row — the per-row cost is one dot + one
+    // norm instead of three dots. Body in [[cosineTopFrame]] (shared
+    // with search_hybrid_rrf's vector arm).
+    "sim_cosine_topk" -> ((s, dir) => cosineTopFrame(s, dir)),
+
+    // Hybrid retrieval via Reciprocal Rank Fusion (RRF, K=60 — the
+    // Cormack/Clarke/Buettcher constant): the standard way modern
+    // search and RAG data pipelines combine a LEXICAL ranking (BM25
+    // off the inverted index) with a VECTOR ranking (embedding cosine)
+    // without score calibration — fusion reads only the two systems'
+    // RANKS, so the wildly different score scales never meet. Both
+    // arms are the exact frames served by `search_bm25_topk` and
+    // `sim_cosine_topk` (one definition each); ranks come from
+    // row_number over each arm's own deterministic (rounded score,
+    // id) order, so the integer rank domain is oracle-exact and the
+    // only doubles are the two 1/(60+rank) terms, summed in a fixed
+    // order and rounded at the edge. The rank windows run over
+    // ALREADY-LIMITED frames (20 and 10 rows — bounded by contract,
+    // not corpus-sized; the single-partition WindowExec is over k
+    // rows), and the fusion join is a ≤30-row full outer. At 100 TB
+    // each arm scales as its own serving plan; fusion cost stays O(k).
+    "search_hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val lex = bm25TopFrame(s, dir)
+        .select(col("doc_id"),
+          row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
+            .cast("long").as("lex_rank"))
+      val vec = cosineTopFrame(s, dir)
+        .select(col("vec_id").as("doc_id"),
+          row_number().over(Window.orderBy(col("cos_sim").desc, col("vec_id")))
+            .cast("long").as("vec_rank"))
+      lex.as("l").join(vec.as("v"), col("l.doc_id") === col("v.doc_id"), "full_outer")
+        .select(
+          coalesce(col("l.doc_id"), col("v.doc_id")).as("doc_id"),
+          coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+          coalesce(col("vec_rank"), lit(0L)).as("vec_rank"),
+          round(
+            coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)), 6).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
         .limit(10)
     }),
 
@@ -3234,32 +3312,7 @@ object ExtensionQueries {
     // cosine contract). Plan: store scan w/ pushed term filter ->
     // per-doc pivot agg (exchange over matched rows only) -> broadcast
     // stats crossJoin -> score -> TakeOrderedAndProject.
-    "search_bm25_topk" -> ((s, dir) => {
-      val terms = Seq("vector", "stream", "window")
-      val n = Tables.parquetRowCount(s, s"$dir/documents.parquet")
-      val matched = postingFrame(s, dir).filter(col("term").isin(terms: _*))
-      val aggs =
-        max(col("dl")).as("dl") +:
-        terms.zipWithIndex.flatMap { case (t, i) => Seq(
-          coalesce(max(when(col("term") === t, col("tf"))), lit(0L)).as(s"tf$i"),
-          coalesce(max(when(col("term") === t, col("df"))), lit(0L)).as(s"df$i"))
-        }
-      val perDoc = matched.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-      val avgdl = col("sumdl").cast("double") / lit(n)
-      def termScore(i: Int): Column = {
-        val tf = col(s"tf$i").cast("double")
-        val df = col(s"df$i").cast("double")
-        val idf = log(lit(1.0) + (lit(n) - df + 0.5) / (df + 0.5))
-        idf * (tf * lit(2.2)) /
-          (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
-      }
-      perDoc.crossJoin(broadcast(postingStatsFrame(s, dir)))
-        .select(col("doc_id"), col("dl"), col("tf0"), col("tf1"), col("tf2"),
-          round(termScore(0) + termScore(1) + termScore(2), 6).as("bm25"))
-        .filter(col("bm25") > 0)
-        .orderBy(col("bm25").desc, col("doc_id"))
-        .limit(20)
-    }),
+    "search_bm25_topk" -> ((s, dir) => bm25TopFrame(s, dir)),
 
     // Inverted-index posting stats — the INDEX-BUILD side of retrieval
     // (search_bm25_topk is the query side): one distinct-term explode,
@@ -5570,6 +5623,21 @@ object ExtensionQueries {
     * fingerprint SQL to drift from its dedup twin.
     */
   def oracleSql: Map[String, String] = baseOracleSql ++ Map(
+    // RRF fusion replay: both arms compose their own oracles verbatim
+    // as CTEs (nested WITH — the quality_ensemble precedent), ranks
+    // from row_number over the same (rounded score, id) order, fused
+    // with the same fixed-order 1/(60+rank) sum and edge round(6).
+    "search_hybrid_rrf" ->
+      (s"WITH lexq AS (${baseOracleSql("search_bm25_topk")}), " +
+       s"vecq AS (${baseOracleSql("sim_cosine_topk")}), " +
+       "lexr AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) lex_rank FROM lexq), " +
+       "vecr AS (SELECT vec_id AS doc_id, row_number() OVER (ORDER BY cos_sim DESC, vec_id) vec_rank FROM vecq) " +
+       "SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, " +
+       "CAST(COALESCE(l.lex_rank, 0) AS BIGINT) AS lex_rank, " +
+       "CAST(COALESCE(v.vec_rank, 0) AS BIGINT) AS vec_rank, " +
+       "round(COALESCE(1.0/(60 + l.lex_rank), 0) + COALESCE(1.0/(60 + v.vec_rank), 0), 6) AS rrf " +
+       "FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id " +
+       "ORDER BY rrf DESC, doc_id LIMIT 10"),
     "quality_ensemble" ->
       // the four component oracles verbatim as CTEs, micro-int
       // quantized off their rounded outputs, exact integer weighted

@@ -1084,4 +1084,37 @@ class ExtensionInvariantsSpec extends SparkSpec {
         assert(cn === sizes(c), s"sample row $id stale cluster_n") }
     }
   }
+
+  test("hybrid RRF: ranks bound to their arms, score is the rank fusion, order holds") {
+    val lex = q("search_bm25_topk").select("doc_id").as[Long].collect()
+      .zipWithIndex.map { case (d, i) => d -> (i + 1L) }.toMap
+    val vec = q("sim_cosine_topk").select("vec_id").as[Long].collect()
+      .zipWithIndex.map { case (d, i) => d -> (i + 1L) }.toMap
+    val fused = q("search_hybrid_rrf")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(fused.length === 10)
+    fused.foreach { case (d, lr, vr, s) =>
+      // ranks must be EXACTLY each arm's own ordering (the arms emit
+      // rows already ordered by (score desc, id), so zipWithIndex
+      // reproduces row_number)
+      assert(lr === lex.getOrElse(d, 0L), s"doc $d lex_rank $lr vs arm ${lex.get(d)}")
+      assert(vr === vec.getOrElse(d, 0L), s"doc $d vec_rank $vr vs arm ${vec.get(d)}")
+      assert(lr > 0 || vr > 0, s"doc $d in neither arm")
+      val expect = BigDecimal(
+        (if (lr > 0) 1.0 / (60 + lr) else 0.0) +
+        (if (vr > 0) 1.0 / (60 + vr) else 0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(s === expect, s"doc $d rrf $s != recomputed $expect")
+    }
+    // output is the TOP-10 of the fusion: every fused-and-cut doc must
+    // score <= the last kept row (ties broken by doc_id upstream)
+    val kept = fused.map(_._4)
+    assert(kept.sameElements(kept.sorted.reverse), "fusion not rank-ordered")
+    // a doc ranked in BOTH arms must out-score any doc holding only
+    // ONE arm's same-or-worse rank
+    for ((d, lr, vr, s) <- fused if lr > 0 && vr > 0;
+         (d2, lr2, vr2, s2) <- fused if d2 != d && (lr2 == 0 || vr2 == 0)
+           && (lr2 == 0 || lr2 >= lr) && (vr2 == 0 || vr2 >= vr))
+      assert(s > s2, s"doc $d (both arms) scored <= doc $d2 (one arm)")
+  }
 }
