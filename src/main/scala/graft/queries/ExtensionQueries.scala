@@ -2358,6 +2358,46 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // The ACT on dedup_span_exact's signal at corpus scale: rebuild
+    // every document with its cross-doc duplicated 32-token spans CUT
+    // — the anti-join scrub that `StreamingCorpusOps.spanScrub`'s
+    // contract names as the right shape when the kill-set is
+    // corpus-sized (a driver blocklist is for the hot boilerplate
+    // tail; here EVERY df >= 2 span dies). Same exchange skeleton as
+    // the report: chunk explode -> df agg keyed on the 8-byte
+    // xxhash64 (same engine-internal-key collision trade as
+    // dedup_span_exact, documented there) -> join back riding the
+    // SAME h partitioning (no extra exchange) -> keep df == 1 chunks
+    // -> per-doc ordered reassembly -> left join the totality base,
+    // so a doc losing every span still reports with empty text
+    // instead of vanishing. Reassembly is array_join over the kept
+    // chunks in position order (the spanScrub whitespace contract:
+    // surviving runs of spaces collapse — the tokens ARE the chunk
+    // definition the signal was computed on). Output: doc_id,
+    // n_spans, spans_cut, scrubbed.
+    "text_span_scrub" -> ((s, dir) => {
+      def spans(c: Column) = graft.functions.TextExpressions.word_chunks(c, 32, 32)
+      val ch = Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), posexplode(spans(col("text"))).as(Seq("i0", "span")))
+        .withColumn("h", xxhash64(col("span")))
+      val dfF = ch.groupBy(col("h")).agg(count_distinct(col("doc_id")).as("df"))
+      val kept = ch.join(dfF, Seq("h")).filter(col("df") === 1)
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("i0"), col("span")))).as("ks"))
+        .select(col("doc_id"),
+          expr("array_join(transform(ks, x -> x.span), ' ')").as("scrubbed0"),
+          size(col("ks")).cast("long").as("n_kept"))
+      Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), size(spans(col("text"))).cast("long").as("n_spans"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_spans"),
+          (col("n_spans") - coalesce(col("n_kept"), lit(0L))).as("spans_cut"),
+          coalesce(col("scrubbed0"), lit("")).as("scrubbed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus report card: the per-source health dashboard every
     // pipeline run opens with — doc counts, token spend, language
     // spread, and how much survives the quality gate (the SAME
@@ -4883,6 +4923,24 @@ object ExtensionQueries {
        // on the other diverges exactly at the threshold boundary
        "CAST(CASE WHEN round(COALESCE(nd, 0) / nch, 6) >= 0.5 THEN 1 ELSE 0 END AS INT) AS is_span_dup " +
        "FROM n LEFT JOIN sh ON n.doc_id = sh.doc_id ORDER BY n.doc_id"),
+    "text_span_scrub" ->
+      // the dedup_span_exact chunk replay, then: keep ddf = 1 chunks,
+      // reassemble in position order (string_agg ORDER BY i), totality
+      // base LEFT JOIN so fully-scrubbed docs survive with empty text
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents WHERE text IS NOT NULL), " +
+       "n AS (SELECT doc_id, ws, CASE WHEN len(ws) <= 32 THEN 1 " +
+       "ELSE CAST(ceil((len(ws) - 32) / 32.0) AS BIGINT) + 1 END nch FROM t), " +
+       "c AS (SELECT doc_id, i, " +
+       "array_to_string(ws[(i-1)*32+1 : least((i-1)*32+32, len(ws))], ' ') chunk " +
+       "FROM n, LATERAL (SELECT unnest(generate_series(1, nch)) i)), " +
+       "df AS (SELECT chunk, COUNT(DISTINCT doc_id) ddf FROM c GROUP BY chunk), " +
+       "k AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY i) scrubbed, " +
+       "CAST(COUNT(*) AS BIGINT) nk FROM c JOIN df USING (chunk) " +
+       "WHERE ddf = 1 GROUP BY doc_id) " +
+       "SELECT n.doc_id, CAST(nch AS BIGINT) AS n_spans, " +
+       "CAST(nch - COALESCE(nk, 0) AS BIGINT) AS spans_cut, " +
+       "COALESCE(scrubbed, '') AS scrubbed " +
+       "FROM n LEFT JOIN k ON n.doc_id = k.doc_id ORDER BY n.doc_id"),
     "text_unigram_logprob" ->
       ("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents), " +
        "v AS (SELECT w, COUNT(*) cnt FROM t GROUP BY w), " +

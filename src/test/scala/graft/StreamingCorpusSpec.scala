@@ -400,6 +400,37 @@ class StreamingCorpusSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("anti-join span scrub agrees with blocklist spanScrub on the real corpus") {
+    import org.apache.spark.sql.functions.col
+    // the two deployment shapes of the same curation act: the batch
+    // query kills EVERY df>=2 span via anti-join (corpus-scale
+    // kill-set), the streaming op cuts from a driver blocklist built
+    // by the same report. With the blocklist = the FULL df>=2 set,
+    // the kept TOKEN STREAMS must agree doc-for-doc (spanScrub passes
+    // clean docs through byte-identical while the query rebuilds all
+    // docs from chunks, so raw strings may differ on whitespace only)
+    val docs = Tables.documents(spark, sf0001)
+    val blocked = graft.operators.TextOps.collectRepeatedSpans(docs, size = 32)
+    assert(blocked.length < 10000, "blocklist truncated — comparison not total")
+    val viaBlocklist = StreamingCorpusOps.spanScrub(docs, blocked, size = 32)
+      .orderBy(col("doc_id"))
+      .select("doc_id", "text", "spans_cut")
+      .as[(Long, String, Int)].collect()
+    val q = SparkEntry.queries("text_span_scrub")(spark, sf0001)
+      .as[(Long, Long, Long, String)].collect()
+    assert(q.length === viaBlocklist.length)
+    assert(q.exists(_._3 > 0), "fixture never exercises the cut path — vacuous")
+    assert(q.exists(_._3 === 0L), "fixture never exercises the clean path")
+    q.zip(viaBlocklist).foreach { case ((d, nSpans, cut, scr), (d2, t2, cut2)) =>
+      assert(d === d2)
+      assert(cut === cut2.toLong, s"doc $d spans_cut $cut vs blocklist-op $cut2")
+      assert(cut <= nSpans)
+      assert(scr.split(" ").filter(_.nonEmpty).toSeq ===
+        t2.split(" ").filter(_.nonEmpty).toSeq,
+        s"doc $d kept token streams diverge")
+    }
+  }
+
   test("token-budget gate admits greedily per shard and persists spend across batches") {
     import graft.streaming.StreamingCorpusOps.SrcDoc
     // 4-char words => 1 subword each; "w w w w" = 4 tokens = 4 subwords
