@@ -127,7 +127,12 @@ object ScaleSmoke {
         // cut on top, the hashed-bucket importance model over 10x
         // token volume, and the four-signal ensemble join
         "cluster_kmeans", "sample_cluster_balanced", "sample_dsir",
-        "quality_ensemble")) {
+        "quality_ensemble",
+        // round-13 additions: the anti-join scrub under 10x duplicate
+        // pressure (every replicated doc's EVERY span goes df>=2, so
+        // the kill-set is maximal and reassembly runs on every doc),
+        // and rank fusion over the 10x-served arms
+        "text_span_scrub", "search_hybrid_rrf")) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).count()
       println(f"$q%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $n%10d rows")
