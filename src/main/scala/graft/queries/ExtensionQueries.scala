@@ -3001,6 +3001,41 @@ object ExtensionQueries {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // The decon ladder's PER-DOC MATRIX: every train doc against all
+    // six decontamination rungs (verbatim 8-gram, fuzzy MinHash,
+    // semantic embedding, image/audio/video perceptual) in one row —
+    // the release-gate artifact a curation run signs off on ("which
+    // rung flagged this doc, and how many agree"). Each rung is the
+    // EXACT frame served by its own oracled query (composed via the
+    // queries() registry, the quality_ensemble precedent), so the
+    // matrix cannot drift from the rungs; all six are total over the
+    // same doc_id%50!=0 train universe (embeddings ride the parallel
+    // vec_id space), so the joins are inner and row-preserving. The
+    // perceptual rungs reuse their memoized fingerprint stores — the
+    // rollup adds join work, never a second codec pass. Cost shape at
+    // 100 TB: six co-keyed joins on doc_id over per-doc flag frames,
+    // each the size of the corpus' id column.
+    "decon_rollup" -> ((s, dir) => {
+      val vb = queries("decon_ngram_overlap")(s, dir)
+        .select(col("doc_id"), col("is_contaminated").as("verbatim"))
+      val fz = queries("decon_minhash_neardup")(s, dir)
+        .select(col("doc_id"), col("is_fuzzy_contaminated").as("fuzzy"))
+      val sm = queries("decon_embedding")(s, dir)
+        .select(col("vec_id").as("doc_id"), col("is_semantic_contaminated").as("semantic"))
+      val im = queries("decon_image_phash")(s, dir)
+        .select(col("doc_id"), col("is_image_contaminated").as("image"))
+      val au = queries("decon_audio_fingerprint")(s, dir)
+        .select(col("doc_id"), col("is_audio_contaminated").as("audio"))
+      val vi = queries("decon_video_phash")(s, dir)
+        .select(col("doc_id"), col("is_video_contaminated").as("video"))
+      vb.join(fz, Seq("doc_id")).join(sm, Seq("doc_id"))
+        .join(im, Seq("doc_id")).join(au, Seq("doc_id")).join(vi, Seq("doc_id"))
+        .withColumn("n_rungs_flagged",
+          (col("verbatim") + col("fuzzy") + col("semantic") +
+            col("image") + col("audio") + col("video")).cast("int"))
+        .orderBy(col("doc_id"))
+    }),
+
     "warc_ingest" -> ((s, dir) => {
       import s.implicits._
       Tables.documents(s, dir)
@@ -5696,6 +5731,28 @@ object ExtensionQueries {
        "round(COALESCE(1.0/(60 + l.lex_rank), 0) + COALESCE(1.0/(60 + v.vec_rank), 0), 6) AS rrf " +
        "FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id " +
        "ORDER BY rrf DESC, doc_id LIMIT 10"),
+    // decon matrix: all six rung oracles composed verbatim as CTEs,
+    // inner-joined on the shared train id universe
+    "decon_rollup" ->
+      (s"WITH vb AS (${baseOracleSql("decon_ngram_overlap")}), " +
+       s"fz AS (${baseOracleSql("decon_minhash_neardup")}), " +
+       s"sm AS (${baseOracleSql("decon_embedding")}), " +
+       s"im AS (${baseOracleSql("decon_image_phash")}), " +
+       s"au AS (${baseOracleSql("decon_audio_fingerprint")}), " +
+       s"vi AS (${baseOracleSql("decon_video_phash")}) " +
+       "SELECT vb.doc_id AS doc_id, " +
+       "vb.is_contaminated AS verbatim, fz.is_fuzzy_contaminated AS fuzzy, " +
+       "sm.is_semantic_contaminated AS semantic, im.is_image_contaminated AS image, " +
+       "au.is_audio_contaminated AS audio, vi.is_video_contaminated AS video, " +
+       "CAST(vb.is_contaminated + fz.is_fuzzy_contaminated + " +
+       "sm.is_semantic_contaminated + im.is_image_contaminated + " +
+       "au.is_audio_contaminated + vi.is_video_contaminated AS INT) AS n_rungs_flagged " +
+       "FROM vb JOIN fz ON vb.doc_id = fz.doc_id " +
+       "JOIN sm ON vb.doc_id = sm.vec_id " +
+       "JOIN im ON vb.doc_id = im.doc_id " +
+       "JOIN au ON vb.doc_id = au.doc_id " +
+       "JOIN vi ON vb.doc_id = vi.doc_id " +
+       "ORDER BY vb.doc_id"),
     "quality_ensemble" ->
       // the four component oracles verbatim as CTEs, micro-int
       // quantized off their rounded outputs, exact integer weighted

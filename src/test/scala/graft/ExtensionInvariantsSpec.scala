@@ -1085,6 +1085,30 @@ class ExtensionInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("decon rollup: total over train, flags binary, count consistent, rungs agree") {
+    val roll = q("decon_rollup")
+      .as[(Long, Int, Int, Int, Int, Int, Int, Int)].collect()
+    val train = Tables.documents(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.expr("doc_id % 50 != 0")).count()
+    assert(roll.length.toLong === train, "matrix must be total over the train split")
+    roll.foreach { case (d, vb, fz, sm, im, au, vi, n) =>
+      val flags = Seq(vb, fz, sm, im, au, vi)
+      assert(flags.forall(f => f == 0 || f == 1), s"doc $d non-binary flag")
+      assert(n === flags.sum, s"doc $d n_rungs_flagged $n != ${flags.sum}")
+    }
+    assert(roll.exists(_._8 > 0), "no rung fired — vacuous matrix")
+    // the matrix columns must BE the rungs' own flags (spot the two
+    // text rungs; the perceptual three share one helper already)
+    val vbMap = q("decon_ngram_overlap")
+      .select("doc_id", "is_contaminated").as[(Long, Int)].collect().toMap
+    val fzMap = q("decon_minhash_neardup")
+      .select("doc_id", "is_fuzzy_contaminated").as[(Long, Int)].collect().toMap
+    roll.foreach { r =>
+      assert(r._2 === vbMap(r._1), s"doc ${r._1} verbatim flag drifted")
+      assert(r._3 === fzMap(r._1), s"doc ${r._1} fuzzy flag drifted")
+    }
+  }
+
   test("hybrid RRF: ranks bound to their arms, score is the rank fusion, order holds") {
     val lex = q("search_bm25_topk").select("doc_id").as[Long].collect()
       .zipWithIndex.map { case (d, i) => d -> (i + 1L) }.toMap
