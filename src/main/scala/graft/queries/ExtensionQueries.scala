@@ -3001,6 +3001,33 @@ object ExtensionQueries {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // Hard-negative mining for retriever training — the complement of
+    // mine_contrastive_pairs' in-embedding-space mining: candidates
+    // the LEXICAL ranker loves (BM25 top-20, the exact
+    // [[bm25TopFrame]] the serving query emits) scored by the
+    // SEMANTIC arm (cosine vs the vec_id=0 query embedding, the
+    // sim_cosine_topk arithmetic verbatim). High-BM25/low-cosine docs
+    // are the classic "lexically plausible, semantically wrong"
+    // negatives contrastive retrievers need (DPR/ANCE recipe);
+    // is_hard_negative gates on the ROUNDED cosine < 0 (orthogonal or
+    // opposed), hardest first in the output. Plan: the 20-row lexical
+    // frame BROADCASTS into one embeddings join + the 1-row query
+    // crossJoin — at 100 TB the embedding side is one pruned scan (or
+    // a bucketed lookup), never a shuffle of the corpus.
+    "mine_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"), VectorOps.norm2(col("embedding")).as("nq"))
+      broadcast(bm25TopFrame(s, dir).select(col("doc_id"), col("bm25")))
+        .join(emb.select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+        .crossJoin(broadcast(qv))
+        .select(col("doc_id"), col("bm25"),
+          round(VectorOps.dot(col("qv"), col("embedding")) /
+            sqrt(col("nq") * VectorOps.norm2(col("embedding"))), 6).as("cos_sim"))
+        .withColumn("is_hard_negative", (col("cos_sim") < 0.0).cast("int"))
+        .orderBy(col("cos_sim").asc, col("doc_id"))
+    }),
+
     // The decon ladder's PER-DOC MATRIX: every train doc against all
     // six decontamination rungs (verbatim 8-gram, fuzzy MinHash,
     // semantic embedding, image/audio/video perceptual) in one row —
@@ -5731,6 +5758,20 @@ object ExtensionQueries {
        "round(COALESCE(1.0/(60 + l.lex_rank), 0) + COALESCE(1.0/(60 + v.vec_rank), 0), 6) AS rrf " +
        "FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id " +
        "ORDER BY rrf DESC, doc_id LIMIT 10"),
+    // lexical arm composed verbatim, cosine arithmetic = the
+    // sim_cosine_topk oracle's exact pattern; threshold on the
+    // rounded value on BOTH engines
+    "mine_hard_negatives" ->
+      (s"WITH lexq AS (${baseOracleSql("search_bm25_topk")}), " +
+       "q AS (SELECT embedding qe FROM embeddings WHERE vec_id = 0), " +
+       "sc AS (SELECT l.doc_id, l.bm25, " +
+       "round(list_sum(list_transform(list_zip(qe, e.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / " +
+       "sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) * " +
+       "list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) cos_sim " +
+       "FROM lexq l JOIN embeddings e ON l.doc_id = e.vec_id, q) " +
+       "SELECT doc_id, bm25, cos_sim, " +
+       "CAST(CASE WHEN cos_sim < 0.0 THEN 1 ELSE 0 END AS INT) AS is_hard_negative " +
+       "FROM sc ORDER BY cos_sim, doc_id"),
     // decon matrix: all six rung oracles composed verbatim as CTEs,
     // inner-joined on the shared train id universe
     "decon_rollup" ->

@@ -1085,6 +1085,21 @@ class ExtensionInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("hard negatives: exactly the lexical arm rescored, both classes present") {
+    val lexIds = q("search_bm25_topk").select("doc_id").as[Long].collect().toSet
+    val hn = q("mine_hard_negatives").as[(Long, Double, Double, Int)].collect()
+    assert(hn.map(_._1).toSet === lexIds, "candidate set must BE the bm25 top-k")
+    hn.foreach { case (d, bm25, cs, h) =>
+      assert(bm25 > 0 && cs >= -1.0 && cs <= 1.0)
+      assert(h === (if (cs < 0.0) 1 else 0), s"doc $d flag disagrees with cos $cs")
+    }
+    assert(hn.exists(_._4 === 1) && hn.exists(_._4 === 0),
+      "fixture must yield both hard negatives and semantic positives")
+    // hardest first
+    val cs = hn.map(_._3)
+    assert(cs.sameElements(cs.sorted), "output not ordered hardest-first")
+  }
+
   test("decon rollup: total over train, flags binary, count consistent, rungs agree") {
     val roll = q("decon_rollup")
       .as[(Long, Int, Int, Int, Int, Int, Int, Int)].collect()

@@ -532,6 +532,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"top-k degenerated to a global sort:\n$p")
   }
 
+  test("hard negatives: lexical frame broadcasts into the embeddings join") {
+    // the 20-row bm25 frame and the 1-row query vector must both ride
+    // broadcasts — the embeddings side is ONE scan, never shuffled
+    // for the join (a hash exchange here would shuffle the corpus'
+    // embedding column to meet 20 rows)
+    val p = plan("mine_hard_negatives")
+    assert(p.contains("BroadcastHashJoin"), s"lexical arm did not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"embeddings side got shuffled for a 20-row probe:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unkeyed join:\n$p")
+  }
+
   test("postings build: one term exchange plus the output sort") {
     val p = plan("search_postings")
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
