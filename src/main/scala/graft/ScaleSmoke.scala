@@ -132,7 +132,10 @@ object ScaleSmoke {
         // pressure (every replicated doc's EVERY span goes df>=2, so
         // the kill-set is maximal and reassembly runs on every doc),
         // and rank fusion over the 10x-served arms
-        "text_span_scrub", "search_hybrid_rrf")) {
+        "text_span_scrub", "search_hybrid_rrf",
+        // persisted-index bm25 serving: 10x postings land bucketed,
+        // the probe still lists only its term buckets
+        "search_bm25_indexed")) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).count()
       println(f"$q%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $n%10d rows")

@@ -574,10 +574,38 @@ object ExtensionQueries {
     * definition — the recallRungs discipline applied to retrieval
     * fusion). See the `search_bm25_topk` entry for the plan contract.
     */
-  private def bm25TopFrame(s: SparkSession, dir: String): DataFrame = {
-    val terms = Seq("vector", "stream", "window")
+  private def bm25TopFrame(s: SparkSession, dir: String): DataFrame =
+    bm25Score(s, dir,
+      postingFrame(s, dir).filter(col("term").isin(Bm25Terms: _*)))
+
+  /** The pinned three-term probe query of the retrieval family. */
+  private[graft] val Bm25Terms = Seq("vector", "stream", "window")
+
+  /** Per-corpus-version PERSISTED text index ([[operators.TextIndex]]):
+    * the posting store bucketed by term hash on disk, built once per
+    * corpus version per JVM (the ivfIndexDirs lifecycle) and served by
+    * partition-pruned probes.
+    */
+  private val textIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def textIndexDir(s: SparkSession, dir: String): String = {
     val n = Tables.parquetRowCount(s, s"$dir/documents.parquet")
-    val matched = postingFrame(s, dir).filter(col("term").isin(terms: _*))
+    textIndexDirs.computeIfAbsent(s"$dir@$n", _ => {
+      val out = tempDirWithCleanup("graft-text-index-")
+      graft.operators.TextIndex.save(postingFrame(s, dir), out.toString)
+      out.toString
+    })
+  }
+
+  /** BM25 scoring tail over an already-matched posting frame — shared
+    * by the memoized-store path (`search_bm25_topk`) and the persisted
+    * partition-pruned index path (`search_bm25_indexed`), so the two
+    * serving shapes cannot drift on the scoring arithmetic.
+    */
+  private def bm25Score(s: SparkSession, dir: String,
+      matched: DataFrame): DataFrame = {
+    val terms = Bm25Terms
+    val n = Tables.parquetRowCount(s, s"$dir/documents.parquet")
     val aggs =
       max(col("dl")).as("dl") +:
       terms.zipWithIndex.flatMap { case (t, i) => Seq(
@@ -3416,6 +3444,20 @@ object ExtensionQueries {
     // stats crossJoin -> score -> TakeOrderedAndProject.
     "search_bm25_topk" -> ((s, dir) => bm25TopFrame(s, dir)),
 
+    // The PERSISTED-index serving path of the same query — BM25 off
+    // the on-disk term-bucketed inverted index
+    // ([[operators.TextIndex]], the sim_ivf_topk_indexed analog):
+    // probe-set buckets resolve driver-side at zero jobs, the file
+    // listing prunes to the probed bucket directories (partition
+    // filter — ScalePostureSpec counts selectedPartitions), and the
+    // term IN filter pushes into the surviving scans. Result-identical
+    // to search_bm25_topk by construction (same postings, same
+    // [[bm25Score]] tail), so it shares that query's oracle — the
+    // decon_bloom_prefilter physical-twin convention.
+    "search_bm25_indexed" -> ((s, dir) =>
+      bm25Score(s, dir,
+        graft.operators.TextIndex.probe(s, textIndexDir(s, dir), Bm25Terms))),
+
     // Inverted-index posting stats — the INDEX-BUILD side of retrieval
     // (search_bm25_topk is the query side): one distinct-term explode,
     // tf computed map-side from the token array already in the row (no
@@ -5743,6 +5785,10 @@ object ExtensionQueries {
     * fingerprint SQL to drift from its dedup twin.
     */
   def oracleSql: Map[String, String] = baseOracleSql ++ Map(
+    // physical twin of search_bm25_topk (persisted partition-pruned
+    // index, same postings + scoring tail) — shares its oracle, the
+    // decon_bloom_prefilter convention
+    "search_bm25_indexed" -> baseOracleSql("search_bm25_topk"),
     // RRF fusion replay: both arms compose their own oracles verbatim
     // as CTEs (nested WITH — the quality_ensemble precedent), ranks
     // from row_number over the same (rounded score, id) order, fused

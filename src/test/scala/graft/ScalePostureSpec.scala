@@ -30,6 +30,37 @@ class ScalePostureSpec extends SparkSpec {
     }
   }
 
+  test("text index probe prunes the file listing to the probed term buckets") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.operators.TextIndex
+    import graft.queries.ExtensionQueries.{Bm25Terms, textIndexDir}
+    // the driver-side bucket hash must BE Spark's xxhash64 — recompute
+    // through the engine and compare (a drift here would silently
+    // probe the wrong directories and return an empty frame)
+    val viaSpark = spark.range(1)
+      .select(Bm25Terms.map(t =>
+        pmod(xxhash64(lit(t)), lit(TextIndex.NumBuckets.toLong)).as(t)): _*)
+      .head()
+    Bm25Terms.zipWithIndex.foreach { case (t, i) =>
+      assert(TextIndex.bucketOf(t) === viaSpark.getLong(i),
+        s"driver bucketOf('$t') drifted from Spark's xxhash64") }
+    // the probe's file scan must carry a partition filter and list
+    // ONLY the probed buckets' directories
+    val probed = TextIndex.probe(spark, textIndexDir(spark, sf0001), Bm25Terms)
+    val scans = probed.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+      "postings scan lost its partition filter")
+    val want = Bm25Terms.map(TextIndex.bucketOf).distinct.length
+    assert(scans.head.selectedPartitions.partitionCount === want,
+      s"probe read ${scans.head.selectedPartitions.partitionCount} bucket dirs, wanted $want")
+    // and the served result equals the memoized-store path exactly
+    val a = SparkEntry.queries("search_bm25_indexed")(spark, sf0001).collect().toSeq
+    val b = SparkEntry.queries("search_bm25_topk")(spark, sf0001).collect().toSeq
+    assert(a === b, "indexed serving drifted from the store path")
+  }
+
   test("bucketed tables join with zero shuffle exchange (co-located join)") {
     spark.sql("DROP TABLE IF EXISTS orders_bkt")
     spark.sql("DROP TABLE IF EXISTS customer_bkt")
