@@ -20,6 +20,17 @@ import org.apache.spark.sql.functions._
   * per-directory file counts sane at test scale; a production store
   * sizes buckets to its vocabulary (the cell-count analog of the IVF
   * index).
+  *
+  * SEGMENTS (the Lucene convention): each writer owns an
+  * `ingest=<writer>` layer above the buckets — the base build writes
+  * `ingest=base`, each streaming micro-batch `ingest=<batchId>`
+  * (replay-safe overwrite, the [[Similarity.appendToIndex]]
+  * convention). Posting rows carry the PER-SEGMENT df; because every
+  * doc lives in exactly one segment, the global df of a term is the
+  * SUM of its per-segment dfs — recoverable at probe time from the
+  * matched rows alone (a term's postings all land in its bucket), so
+  * df never goes stale the way a denormalized global value would.
+  * Single-segment probes can use the stored df directly.
   */
 object TextIndex {
   val NumBuckets = 64
@@ -35,26 +46,92 @@ object TextIndex {
     if (m < 0) m + NumBuckets else m
   }
 
-  /** Persist a posting frame (doc_id, term, tf, df, dl, ...) bucketed
-    * by term hash. One shuffle-free pass over the postings: the bucket
-    * is a map-side projection and partitionBy splits the write.
+  /** The posting rows of a document frame: (doc_id, term, tf, df, dl)
+    * — ONE native `term_count_structs` counting pass per doc, dl
+    * folded off the struct array before the explode, df (document
+    * frequency WITHIN `docs`) denormalized onto every row via a
+    * vocabulary-sized broadcast. This is the one definition behind
+    * the memoized posting store, the base index build, and each
+    * streaming segment.
+    */
+  def postingsOf(docs: DataFrame): DataFrame = {
+    // localCheckpoint keeps this a SINGLE tokenizer pass: the df
+    // aggregate and the join probe side both consume `posts`, and
+    // without materialization each would re-run the explode.
+    val posts = docs.select(col("doc_id"),
+        graft.functions.TextExpressions.term_count_structs(col("text"))
+          .as("tcs"))
+      .select(col("doc_id"),
+        expr("aggregate(tcs, CAST(0 AS BIGINT), (a, x) -> a + x.tf)").as("dl"),
+        explode(col("tcs")).as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"),
+        col("dl"))
+      .localCheckpoint()
+    val dfFrame = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    posts.join(broadcast(dfFrame), Seq("term"))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("dl"))
+  }
+
+  /** Persist a posting frame bucketed by term hash as the `base`
+    * segment. One shuffle-free pass over the postings: the bucket is
+    * a map-side projection and partitionBy splits the write.
     */
   def save(postings: DataFrame, dir: String): Unit =
     postings
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(NumBuckets.toLong)))
       .write.partitionBy("bucket").mode("overwrite")
-      .parquet(s"$dir/postings")
+      .parquet(s"$dir/postings/ingest=base")
 
-  /** Read ONLY the probed terms' buckets, then the exact term filter.
-    * The `bucket IN (...)` predicate is a partition filter (directory
-    * listing prunes to the probe set); `term IN (...)` pushes into the
-    * surviving parquet scans.
+  /** Read ONLY the probed terms' buckets (across all segments), then
+    * the exact term filter. The `bucket IN (...)` predicate is a
+    * partition filter (directory listing prunes to the probe set);
+    * `term IN (...)` pushes into the surviving parquet scans. With
+    * `refreshDf`, the stored per-segment df is replaced by the exact
+    * global df (sum over the term's matched rows' segments — each doc
+    * lives in one segment, so per-segment dfs sum to the global
+    * value); single-segment readers can skip it and use the stored df.
     */
-  def probe(spark: SparkSession, dir: String, terms: Seq[String]): DataFrame = {
+  def probe(spark: SparkSession, dir: String, terms: Seq[String],
+      refreshDf: Boolean = false): DataFrame = {
     val buckets = terms.map(bucketOf).distinct
-    spark.read.parquet(s"$dir/postings")
+    val matched = spark.read.parquet(s"$dir/postings")
       .filter(col("bucket").isin(buckets: _*))
       .filter(col("term").isin(terms: _*))
-      .drop("bucket")
+    val out =
+      if (refreshDf) {
+        // every (term, segment) pair repeats one df value; the distinct
+        // set is segments x probed-terms sized, so it broadcasts back
+        // over the matched postings
+        val seg = matched.select(col("term"), col("ingest"), col("df"))
+          .distinct()
+          .groupBy(col("term")).agg(sum(col("df")).as("df_global"))
+        matched.drop("df")
+          .join(broadcast(seg), Seq("term"))
+          .withColumnRenamed("df_global", "df")
+          .select(col("doc_id"), col("term"), col("tf"), col("df"), col("dl"),
+            col("bucket"), col("ingest"))
+      } else matched
+    out.drop("bucket", "ingest")
   }
+
+  /** Streaming index maintenance: each micro-batch of documents lands
+    * as its own `ingest=<batchId>` segment (replay-safe overwrite —
+    * the [[Similarity.appendToIndex]] convention), bucketed like the
+    * base build, with per-segment df. New documents become probe-able
+    * as they land; df stays exact under the sum-over-segments
+    * contract above. Segment compaction when small-files debt
+    * accumulates is a periodic batch rewrite (operators.Compaction).
+    */
+  def appendToIndex(spark: SparkSession, stream: DataFrame, dir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        postingsOf(b)
+          .withColumn("bucket",
+            pmod(xxhash64(col("term")), lit(NumBuckets.toLong)))
+          .write.partitionBy("bucket").mode("overwrite")
+          .parquet(s"$dir/postings/ingest=$batchId")
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
 }

@@ -523,33 +523,12 @@ object ExtensionQueries {
       val para = s.sparkContext.defaultParallelism
       val docs =
         if (docs0.rdd.getNumPartitions < para) docs0.repartition(para) else docs0
-      // localCheckpoint keeps the build a SINGLE tokenizer pass: the
-      // df aggregate and the join probe side both consume `posts`,
-      // and without materialization each would re-run the explode
-      // (there is no exchange between them for ReuseExchange to
-      // share). Paid once per corpus version, at store build. dl is
-      // folded off the struct array BEFORE the explode (same projected
-      // attribute, evaluated once), so it costs one linear pass over
-      // the distinct-term structs, not a per-doc window after the
-      // explode.
-      val posts = docs.select(col("doc_id"),
-          graft.functions.TextExpressions.term_count_structs(col("text"))
-            .as("tcs"))
-        .select(col("doc_id"),
-          expr("aggregate(tcs, CAST(0 AS BIGINT), (a, x) -> a + x.tf)").as("dl"),
-          explode(col("tcs")).as("tc"))
-        .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"),
-          col("dl"))
-        .localCheckpoint()
-      // df rides denormalized on every posting row — the term
-      // DICTIONARY of a real inverted index (Lucene keeps docFreq per
-      // term beside the posting list for exactly this reason): scoring
-      // consumers then need no query-time df aggregate at all. The
-      // vocab-sized aggregate + broadcast join runs once per corpus
-      // version, at build.
-      val dfFrame = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      posts.join(broadcast(dfFrame), Seq("term"))
-        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("dl"))
+      // construction (one native counting pass, dl folded before the
+      // explode, df denormalized via a vocab-sized broadcast — the
+      // term DICTIONARY of a real inverted index) lives in
+      // [[operators.TextIndex.postingsOf]], the one definition shared
+      // with the persisted index's base build and streaming segments.
+      graft.operators.TextIndex.postingsOf(docs)
     }
 
   /** One-row corpus statistics of the posting store (total token

@@ -400,6 +400,43 @@ class StreamingCorpusSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("text index append: new docs probe-able as segments, summed df exact") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.TextIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft-ti-append-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ti-ckpt-").toString
+    val base = Seq(
+      (1L, "vector stream alpha"),
+      (2L, "vector beta gamma")).toDF("doc_id", "text")
+    TextIndex.save(TextIndex.postingsOf(base), dir)
+    val in = MemoryStream[Doc]
+    val q = TextIndex.appendToIndex(spark, in.toDF(), dir, ckpt)
+    try {
+      in.addData(Doc(10L, "vector delta"), Doc(11L, "epsilon stream"))
+      q.processAllAvailable()
+      in.addData(Doc(12L, "vector zeta"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // probe sees base + both segments; refreshed df = global df (each
+    // doc lives in exactly one segment, so per-segment dfs sum exact)
+    val got = TextIndex.probe(spark, dir, Seq("vector", "stream"), refreshDf = true)
+      .select("doc_id", "term", "tf", "df", "dl")
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    val rebuilt = TextIndex.postingsOf(
+        base.unionByName(Seq((10L, "vector delta"), (11L, "epsilon stream"),
+          (12L, "vector zeta")).toDF("doc_id", "text")))
+      .filter(col("term").isin("vector", "stream"))
+      .select("doc_id", "term", "tf", "df", "dl")
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    assert(got === rebuilt,
+      s"appended probe diverged from a fresh single-segment rebuild:\n$got\nvs\n$rebuilt")
+    // without refresh, df is the honest PER-SEGMENT value: doc 12's
+    // segment saw one 'vector'
+    val seg = TextIndex.probe(spark, dir, Seq("vector"))
+      .filter(col("doc_id") === 12L).select("df").as[Long].head()
+    assert(seg === 1L, s"per-segment df should be 1, got $seg")
+  }
+
   test("anti-join span scrub agrees with blocklist spanScrub on the real corpus") {
     import org.apache.spark.sql.functions.col
     // the two deployment shapes of the same curation act: the batch
