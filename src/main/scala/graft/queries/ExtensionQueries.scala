@@ -2430,6 +2430,42 @@ object ExtensionQueries {
         .orderBy(col("source").asc_nulls_last)
     }),
 
+    // Duplication-inflation accounting — the "how much of this source
+    // is copies" number every crawl review opens with, and the
+    // denominator behind dedup ROI decisions: per source, exact-dup
+    // groups (same md5 content key as dedup_exact) rolled up to doc
+    // and TOKEN waste (identical text = identical token count, so a
+    // group of n copies wastes (n-1) x its per-copy tokens). Scoped
+    // WITHIN-SOURCE deliberately: cross-source dups are a routing
+    // question, not an inflation one. The corpus plants near-dups but
+    // zero byte-exact clones, so every doc_id % 7 == 0 doc gets one
+    // DETERMINISTIC synthetic re-upload first — the text_pii_scrub
+    // convention: the operator under test is the accounting, and a
+    // PII-free/clone-free corpus would leave its oracle vacuous. Two
+    // hash aggregates — (source, content) then source — both
+    // map-side-combinable; integer-exact except the final rounded
+    // fraction.
+    "corpus_dedup_inflation" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+      val withReups = base.select(col("source"), col("text"))
+        .unionByName(base.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select(col("source"), col("text")))
+      val d = withReups
+        .select(col("source"), md5(col("text")).as("h"),
+          TextOps.subwordCount(TextOps.tokens(col("text"))).cast("long").as("t"))
+      d.groupBy(col("source"), col("h"))
+        .agg(count(lit(1)).as("n"), min(col("t")).as("t"))
+        .groupBy(col("source"))
+        .agg(sum(col("n")).as("n_docs"),
+          count(lit(1)).as("n_distinct"),
+          (sum(col("n")) - count(lit(1))).as("n_dup_docs"),
+          sum(col("n") * col("t")).as("tokens_total"),
+          sum((col("n") - 1) * col("t")).as("tokens_dup"))
+        .withColumn("dup_frac",
+          round(col("n_dup_docs") / col("n_docs").cast("double"), 6))
+        .orderBy(col("source").asc_nulls_last)
+    }),
+
     // Context chunking (the RAG / context-window preparation step):
     // split each doc into strided 32-token windows with 8 tokens of
     // overlap (stride 24) — overlap keeps boundary-spanning facts
@@ -4226,6 +4262,22 @@ object ExtensionQueries {
     "dedup_exact" ->
       ("SELECT md5(text) AS content_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS n_copies " +
        "FROM documents GROUP BY md5(text) ORDER BY keep_id"),
+    "corpus_dedup_inflation" ->
+      // same content key as dedup_exact, same subword accounting as
+      // the export family (ceil(len/4) per word); the doc_id % 7
+      // re-uploads replayed in the UNION ALL
+      ("WITH u AS (SELECT source, text FROM documents " +
+       "UNION ALL SELECT source, text FROM documents WHERE doc_id % 7 = 0), " +
+       "d AS (SELECT source, md5(text) h, " +
+       "CAST(list_sum(list_transform(string_split(text, ' '), w -> CAST(ceil(length(w)/4.0) AS BIGINT))) AS BIGINT) t " +
+       "FROM u), " +
+       "g AS (SELECT source, h, COUNT(*) n, MIN(t) t FROM d GROUP BY source, h) " +
+       "SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs, COUNT(*) AS n_distinct, " +
+       "CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dup_docs, " +
+       "CAST(SUM(n * t) AS BIGINT) AS tokens_total, " +
+       "CAST(SUM((n - 1) * t) AS BIGINT) AS tokens_dup, " +
+       "round((SUM(n) - COUNT(*)) / CAST(SUM(n) AS DOUBLE), 6) AS dup_frac " +
+       "FROM g GROUP BY source ORDER BY source"),
     "dedup_minhash" ->
       (s"WITH $minhashPairsCtes " +
        "SELECT a_id, b_id FROM pairs ORDER BY a_id, b_id"),

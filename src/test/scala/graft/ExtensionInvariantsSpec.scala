@@ -1085,6 +1085,40 @@ class ExtensionInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("dedup inflation: partitions the corpus+reups, waste = the planted copies") {
+    val rows = q("corpus_dedup_inflation")
+      .as[(String, Long, Long, Long, Long, Long, Double)].collect()
+    val base = Tables.documents(spark, sf0001)
+    val nDocs = base.count()
+    val nReups = base.filter(org.apache.spark.sql.functions.expr("doc_id % 7 = 0")).count()
+    assert(rows.map(_._2).sum === nDocs + nReups,
+      "per-source docs must partition corpus + planted re-uploads")
+    rows.foreach { case (src, n, d, dup, tt, td, f) =>
+      assert(dup === n - d, s"$src: n_dup_docs inconsistent")
+      assert(td >= 0 && td <= tt, s"$src: token waste out of bounds")
+      val expect = BigDecimal(dup.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(f === expect, s"$src: dup_frac $f != $expect")
+    }
+    assert(rows.exists(_._4 > 0), "no source saw a planted re-upload")
+    // base texts are clone-free (dedup_exact = one group per doc), so
+    // the planted copies are EXACTLY the waste: per source, dup docs
+    // == its doc_id%7==0 count and distinct == its base doc count
+    val perSrc = base.groupBy($"source")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.expr(
+            "CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END")).as("r"))
+      .as[(String, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    rows.foreach { case (src, n, d, dup, _, _, _) =>
+      val (bn, br) = perSrc(src)
+      assert(d === bn, s"$src: distinct != base docs")
+      assert(dup === br, s"$src: dup docs != planted re-uploads")
+      assert(n === bn + br, s"$src: total docs drifted")
+    }
+  }
+
   test("hard negatives: exactly the lexical arm rescored, both classes present") {
     val lexIds = q("search_bm25_topk").select("doc_id").as[Long].collect().toSet
     val hn = q("mine_hard_negatives").as[(Long, Double, Double, Int)].collect()
