@@ -2716,6 +2716,39 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Inter-gate agreement (Cohen's kappa) between two INDEPENDENT
+    // quality signals — the calibration sanity check behind any gate
+    // ensemble: if two gates agree no better than chance (kappa ~ 0),
+    // ensembling them is voting noise; if they agree perfectly
+    // (kappa ~ 1), the second gate adds nothing. Gates: the NB
+    // classifier (logodds > 0) and the unigram-LM surprisal cut
+    // (< 3.41, splitting this corpus non-degenerately) — both read
+    // their own oracled queries' exact frames via the registry. The
+    // contingency table is one integer aggregate over the joined
+    // flags; po/pe/kappa are exact small-integer arithmetic in
+    // doubles, rounded only at the edge. One row out.
+    "quality_gate_kappa" -> ((s, dir) => {
+      val a = queries("quality_nb_score")(s, dir)
+        .select(col("doc_id"), (col("nb_logodds") > 0.0).cast("int").as("ga"))
+      val b = queries("text_unigram_logprob")(s, dir)
+        .select(col("doc_id"), (col("avg_surprisal") < 3.41).cast("int").as("gb"))
+      val ct = a.join(b, Seq("doc_id")).agg(
+        sum((col("ga") === 1 && col("gb") === 1).cast("long")).as("n11"),
+        sum((col("ga") === 1 && col("gb") === 0).cast("long")).as("n10"),
+        sum((col("ga") === 0 && col("gb") === 1).cast("long")).as("n01"),
+        sum((col("ga") === 0 && col("gb") === 0).cast("long")).as("n00"))
+      val n = (col("n11") + col("n10") + col("n01") + col("n00")).cast("double")
+      val po = (col("n11") + col("n00")).cast("double") / n
+      val pe =
+        ((col("n11") + col("n10")).cast("double") *
+          (col("n11") + col("n01")).cast("double") +
+         (col("n01") + col("n00")).cast("double") *
+          (col("n10") + col("n00")).cast("double")) / (n * n)
+      ct.select(col("n11"), col("n10"), col("n01"), col("n00"),
+        round(po, 6).as("po"), round(pe, 6).as("pe"),
+        round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+    }),
+
     // Shard-export audit: the deterministic global shuffle that turns a
     // curated corpus into fixed training shards (operators.Export).
     // shard = hash(doc_id) mod 16, within-shard order = an INDEPENDENT
@@ -5835,6 +5868,30 @@ object ExtensionQueries {
        "round(COALESCE(1.0/(60 + l.lex_rank), 0) + COALESCE(1.0/(60 + v.vec_rank), 0), 6) AS rrf " +
        "FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id " +
        "ORDER BY rrf DESC, doc_id LIMIT 10"),
+    // both gate oracles composed verbatim; contingency in exact
+    // integers, po/pe/kappa mirrored arithmetic, rounded at the edge
+    "quality_gate_kappa" ->
+      (s"WITH nb AS (${baseOracleSql("quality_nb_score")}), " +
+       s"su AS (${baseOracleSql("text_unigram_logprob")}), " +
+       "ct AS (SELECT " +
+       "CAST(SUM(CASE WHEN nb_logodds > 0 AND avg_surprisal < 3.41 THEN 1 ELSE 0 END) AS BIGINT) n11, " +
+       "CAST(SUM(CASE WHEN nb_logodds > 0 AND avg_surprisal >= 3.41 THEN 1 ELSE 0 END) AS BIGINT) n10, " +
+       "CAST(SUM(CASE WHEN nb_logodds <= 0 AND avg_surprisal < 3.41 THEN 1 ELSE 0 END) AS BIGINT) n01, " +
+       "CAST(SUM(CASE WHEN nb_logodds <= 0 AND avg_surprisal >= 3.41 THEN 1 ELSE 0 END) AS BIGINT) n00 " +
+       "FROM nb JOIN su USING (doc_id)) " +
+       "SELECT n11, n10, n01, n00, " +
+       "round(CAST(n11 + n00 AS DOUBLE) / CAST(n11 + n10 + n01 + n00 AS DOUBLE), 6) AS po, " +
+       "round((CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE) + " +
+       "CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE)) / " +
+       "(CAST(n11 + n10 + n01 + n00 AS DOUBLE) * CAST(n11 + n10 + n01 + n00 AS DOUBLE)), 6) AS pe, " +
+       "round((CAST(n11 + n00 AS DOUBLE) / CAST(n11 + n10 + n01 + n00 AS DOUBLE) - " +
+       "(CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE) + " +
+       "CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE)) / " +
+       "(CAST(n11 + n10 + n01 + n00 AS DOUBLE) * CAST(n11 + n10 + n01 + n00 AS DOUBLE))) / " +
+       "(1.0 - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE) + " +
+       "CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE)) / " +
+       "(CAST(n11 + n10 + n01 + n00 AS DOUBLE) * CAST(n11 + n10 + n01 + n00 AS DOUBLE))), 6) AS kappa " +
+       "FROM ct"),
     // lexical arm composed verbatim, cosine arithmetic = the
     // sim_cosine_topk oracle's exact pattern; threshold on the
     // rounded value on BOTH engines

@@ -1085,6 +1085,22 @@ class ExtensionInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("gate kappa: contingency total, bounds, and recomputation hold") {
+    val Array((n11, n10, n01, n00, po, pe, k)) = q("quality_gate_kappa")
+      .as[(Long, Long, Long, Long, Double, Double, Double)].collect()
+    val n = n11 + n10 + n01 + n00
+    assert(n === Tables.documents(spark, sf0001).count(), "table must be total")
+    assert(Seq(n11, n10, n01, n00).forall(_ > 0),
+      "all four cells must be populated — degenerate gates make kappa vacuous")
+    assert(po >= 0 && po <= 1 && pe > 0 && pe < 1 && k > -1 && k < 1)
+    val poR = (n11 + n00).toDouble / n
+    val peR = ((n11 + n10).toDouble * (n11 + n01) + (n01 + n00).toDouble * (n10 + n00)) / (n.toDouble * n)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(po === r6(poR) && pe === r6(peR) && k === r6((poR - peR) / (1.0 - peR)),
+      s"kappa arithmetic drifted: $po/$pe/$k vs ${r6(poR)}/${r6(peR)}/${r6((poR - peR) / (1.0 - peR))}")
+  }
+
   test("dedup inflation: partitions the corpus+reups, waste = the planted copies") {
     val rows = q("corpus_dedup_inflation")
       .as[(String, Long, Long, Long, Long, Long, Double)].collect()
