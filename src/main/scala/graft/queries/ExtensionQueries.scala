@@ -1718,6 +1718,64 @@ object ExtensionQueries {
     // rank as integer micro-cosines (round(cos * 1e6), identical in
     // both engines) — the TopK buffer is integer-ordered, no double
     // comparisons in state.
+    // MMR diversification (Maximal Marginal Relevance, Carbonell &
+    // Goldstein) — the rerank rung above the ANN ladder: from the
+    // cosine top-20 candidate window, greedily pick 10 results
+    // balancing relevance against redundancy (mmr = 0.5*rel -
+    // 0.5*max-sim-to-already-picked, empty-set max = 0, rounded at
+    // the edge, ties to the lower vec_id). The candidate scan is the
+    // distributed part (one corpus pass + TakeOrderedAndProject);
+    // the greedy runs on the DRIVER over the collected 20-row window
+    // — the BpeTrainer convention: rerank windows are bounded by
+    // contract in any real system, and a 20x20 rounded-cosine matrix
+    // is the centroid-collect class, not a corpus collect. Local
+    // arithmetic mirrors the engine exactly (sequential
+    // left-to-right widening dot, round-half-away-from-zero), so the
+    // oracle's 10 chained greedy CTEs replay it bit-for-bit.
+    "sim_mmr_rerank" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"), VectorOps.norm2(col("embedding")).as("nq"))
+      val cand = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("embedding"),
+          round(VectorOps.dot(col("qv"), col("embedding")) /
+            sqrt(col("nq") * VectorOps.norm2(col("embedding"))), 6).as("rel"))
+        .orderBy(col("rel").desc, col("vec_id"))
+        .limit(20)
+      val window = cand.collect().map(r =>
+        (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          d += a(i).toDouble * b(i).toDouble
+          na += a(i).toDouble * a(i).toDouble
+          nb += b(i).toDouble * b(i).toDouble
+          i += 1
+        }
+        r6(d / math.sqrt(na * nb))
+      }
+      val remaining = scala.collection.mutable.LinkedHashMap(
+        window.map(t => t._1 -> t).toIndexedSeq: _*)
+      val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Double, Double)]
+      for (rank <- 1 to math.min(10, window.length)) {
+        val best = remaining.valuesIterator.map { case (id, v, rel) =>
+          val mp = if (selected.isEmpty) 0.0
+            else selected.iterator.map(sv => cos(v, sv._2)).max
+          (id, rel, mp, r6(0.5 * rel - 0.5 * mp))
+        }.minBy { case (id, _, _, m) => (-m, id) }
+        out += ((rank.toLong, best._1, best._2, best._3, best._4))
+        selected += ((best._1, remaining(best._1)._2))
+        remaining.remove(best._1)
+      }
+      s.createDataFrame(out.toSeq)
+        .toDF("rk", "vec_id", "rel", "max_prev_sim", "mmr")
+    }),
+
     "sim_batch_topk" -> ((s, dir) => {
       import s.implicits._
       val topk = new graft.functions.SketchAgg.TopK(5)
@@ -5848,7 +5906,51 @@ object ExtensionQueries {
     * joined on the doc pair — so there is no second copy of any
     * fingerprint SQL to drift from its dedup twin.
     */
+  /** The MMR greedy replayed as 10 chained CTEs: cand = the cosine
+    * top-20 window, pw = its 20x20 rounded pairwise-cosine matrix
+    * (400 rows — bounded by the window contract), step i picks the
+    * remaining candidate maximizing round(0.5*rel - 0.5*max-sim-to-
+    * selected, 6) with the vec_id tiebreak. Generated by a loop so
+    * the step shape cannot drift between iterations.
+    */
+  private def mmrOracleSql: String = {
+    // cand and pw are MATERIALIZED: DuckDB re-evaluates plain CTEs
+    // per reference, and the 10 greedy steps reference them ~30 times
+    // — unmaterialized, that re-opens the parquet per reference and
+    // exhausts file handles
+    val head =
+      "WITH e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings), " +
+      "q AS (SELECT v qv, list_sum(list_transform(v, x -> x*x)) nq FROM e WHERE vec_id = 0), " +
+      "cand AS MATERIALIZED (SELECT vec_id, v, round(" +
+      "list_sum(list_transform(list_zip(qv, v), p -> p[1]*p[2])) / " +
+      "sqrt(nq * list_sum(list_transform(v, x -> x*x))), 6) rel " +
+      "FROM e, q WHERE vec_id <> 0 ORDER BY rel DESC, vec_id LIMIT 20), " +
+      "pw AS MATERIALIZED (SELECT a.vec_id aid, b.vec_id bid, round(" +
+      "list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])) / " +
+      "sqrt(list_sum(list_transform(a.v, x -> x*x)) * list_sum(list_transform(b.v, x -> x*x)))" +
+      ", 6) s FROM cand a JOIN cand b ON a.vec_id <> b.vec_id), " +
+      "s1 AS MATERIALIZED (SELECT vec_id, rel, CAST(0 AS DOUBLE) mp, round(0.5*rel, 6) mmr " +
+      "FROM cand ORDER BY round(0.5*rel, 6) DESC, vec_id LIMIT 1), " +
+      "sel1 AS MATERIALIZED (SELECT vec_id FROM s1)"
+    // every step CTE is MATERIALIZED: s_i references sel_{i-1} twice
+    // and sel_i re-references sel_{i-1} — unmaterialized, the CTE
+    // inlining expands the chain EXPONENTIALLY (2^10 copies of cand)
+    val steps = (2 to 10).map { i =>
+      s", s$i AS MATERIALIZED (SELECT c.vec_id, c.rel, m.mp, round(0.5*c.rel - 0.5*m.mp, 6) mmr " +
+      s"FROM cand c JOIN (SELECT aid, MAX(s) mp FROM pw WHERE bid IN (SELECT vec_id FROM sel${i - 1}) GROUP BY aid) m " +
+      "ON m.aid = c.vec_id " +
+      s"WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1}) " +
+      "ORDER BY mmr DESC, c.vec_id LIMIT 1), " +
+      s"sel$i AS MATERIALIZED (SELECT vec_id FROM sel${i - 1} UNION ALL SELECT vec_id FROM s$i)"
+    }.mkString
+    val union = (1 to 10).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rk, vec_id, rel, mp AS max_prev_sim, mmr FROM s$i")
+      .mkString(" UNION ALL ")
+    s"$head$steps $union ORDER BY rk"
+  }
+
   def oracleSql: Map[String, String] = baseOracleSql ++ Map(
+    "sim_mmr_rerank" -> mmrOracleSql,
     // physical twin of search_bm25_topk (persisted partition-pruned
     // index, same postings + scoring tail) — shares its oracle, the
     // decon_bloom_prefilter convention

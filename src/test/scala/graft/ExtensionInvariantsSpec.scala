@@ -1085,6 +1085,25 @@ class ExtensionInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("MMR rerank: top-1 kept, formula holds, order genuinely diversifies") {
+    val mmr = q("sim_mmr_rerank").as[(Long, Long, Double, Double, Double)].collect()
+    assert(mmr.map(_._1).toSeq === (1L to 10L), "ranks must be 1..10 in order")
+    assert(mmr.map(_._2).distinct.length === 10, "a vector was picked twice")
+    val top = q("sim_cosine_topk").as[(Long, Double)].collect()
+    assert(mmr.head._2 === top.head._1, "rank 1 must be the relevance top-1")
+    assert(mmr.head._4 === 0.0, "empty selected set must read max_prev_sim = 0")
+    mmr.foreach { case (rk, id, rel, mp, m) =>
+      assert(rel >= -1.0 && rel <= 1.0 && mp >= -1.0 && mp <= 1.0)
+      val expect = BigDecimal(0.5 * rel - 0.5 * mp)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(m === expect, s"rank $rk id $id mmr $m != $expect")
+    }
+    // the redundancy penalty must actually CHANGE the order vs pure
+    // relevance, else the fixture proves nothing
+    assert(mmr.map(_._2).toSeq !== top.map(_._1).toSeq,
+      "MMR order equals pure relevance — diversification vacuous")
+  }
+
   test("gate kappa: contingency total, bounds, and recomputation hold") {
     val Array((n11, n10, n01, n00, po, pe, k)) = q("quality_gate_kappa")
       .as[(Long, Long, Long, Long, Double, Double, Double)].collect()
