@@ -135,7 +135,10 @@ object ScaleSmoke {
         "text_span_scrub", "search_hybrid_rrf",
         // persisted-index bm25 serving: 10x postings land bucketed,
         // the probe still lists only its term buckets
-        "search_bm25_indexed")) {
+        "search_bm25_indexed",
+        // LPA over the 10x edge table: 4 bulk-synchronous rounds with
+        // ~10x the hub in-degree (the label-count aggregate's skew case)
+        "crawl_communities")) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).count()
       println(f"$q%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $n%10d rows")

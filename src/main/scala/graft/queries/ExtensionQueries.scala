@@ -3701,6 +3701,43 @@ object ExtensionQueries {
     // dst partitions, and ScaleSmoke keeps the family valid at 10x.
     // Same fixed-point ppm arithmetic as crawl_pagerank — bit-exact,
     // no rounding contract. Out-degree is exactly 3 (no dangling).
+    // Community detection by synchronous label propagation (LPA,
+    // Raghavan et al.) over the SAME materialized crawl edge table as
+    // crawl_pagerank_edges — the missing rung of the graph family
+    // (rank/HITS/triangles/k-core say how IMPORTANT or DENSE; LPA
+    // says which pages travel together, the unit of per-site dedup
+    // and topic-bucketed sampling). Determinism: synchronous rounds
+    // (all labels update from the previous frame), label = the most
+    // frequent neighbor label counting multiplicity plus one self
+    // vote, ties to the SMALLEST label — integer-only, so the result
+    // is bit-exact cross-engine with no rounding contract (the
+    // crawl_pagerank recipe). Exactly 4 rounds, unrolled: per round
+    // one join + one (v, lbl) count exchange + the per-node argmax
+    // window — the same bulk-synchronous shape as the rank loop, and
+    // at 100 TB the same persisted-edge join per iteration (AQE
+    // splits the 16 hub keys).
+    "crawl_communities" -> ((s, dir) => {
+      val edges = crawlEdgeTable(s, dir)
+      val nodes = Tables.documents(s, dir).select(col("doc_id").as("v"))
+      val und = edges.select(col("src").as("v"), col("dst").as("u"))
+        .unionByName(edges.select(col("dst").as("v"), col("src").as("u")))
+        .unionByName(nodes.select(col("v"), col("v").as("u")))
+      var labels = nodes.select(col("v").as("u"), col("v").as("lbl"))
+      for (_ <- 1 to 4) {
+        val counted = und.join(labels, Seq("u"))
+          .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy(col("v"))
+          .orderBy(col("c").desc, col("lbl").asc)
+        labels = counted.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).select(col("v").as("u"), col("lbl"))
+      }
+      val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
+      labels.join(sizes, Seq("lbl"))
+        .select(col("u").as("doc_id"), col("lbl").as("community"),
+          col("n_members"))
+        .orderBy(col("doc_id"))
+    }),
+
     "crawl_pagerank_edges" -> ((s, dir) => {
       val nodes = Tables.documents(s, dir).select(col("doc_id").as("i"))
       val edges = crawlEdgeTable(s, dir)
@@ -5609,6 +5646,28 @@ object ExtensionQueries {
       "r0 AS (SELECT i, CAST(1000000 AS BIGINT) r FROM docs), " +
       (1 to 5).map(k => iter(s"r${k - 1}", s"r$k")).mkString("", ", ", " ") +
       "SELECT i AS doc_id, r AS rank_ppm FROM r5 ORDER BY doc_id"
+    },
+    "crawl_communities" -> {
+      // the edge table replayed arithmetically, undirected + self
+      // votes, then 4 unrolled synchronous min-mode rounds. Every
+      // round CTE is MATERIALIZED (the MMR lesson: plain CTEs inline
+      // per reference and the chain would re-expand).
+      def round(prev: String, cur: String): String =
+        s"$cur AS MATERIALIZED (SELECT v u, lbl FROM (" +
+        s"SELECT und.v, l.lbl, COUNT(*) c, " +
+        "row_number() OVER (PARTITION BY und.v ORDER BY COUNT(*) DESC, l.lbl) rn " +
+        s"FROM und JOIN $prev l ON und.u = l.u GROUP BY und.v, l.lbl) WHERE rn = 1)"
+      "WITH docs AS (SELECT doc_id i FROM documents), " +
+      "nn AS (SELECT COUNT(*) c FROM docs), " +
+      "e0 AS (SELECT i, unnest([(i*31+7)%c, i%LEAST(16, c), (i*13+11)%c]) t FROM docs, nn), " +
+      "und AS MATERIALIZED (SELECT i v, t u FROM e0 " +
+      "UNION ALL SELECT t v, i u FROM e0 " +
+      "UNION ALL SELECT i v, i u FROM docs), " +
+      "l0 AS (SELECT i u, i lbl FROM docs), " +
+      (1 to 4).map(k => round(s"l${k - 1}", s"l$k")).mkString("", ", ", ", ") +
+      "sz AS (SELECT lbl, COUNT(*) n FROM l4 GROUP BY lbl) " +
+      "SELECT l4.u AS doc_id, l4.lbl AS community, CAST(sz.n AS BIGINT) AS n_members " +
+      "FROM l4 JOIN sz ON l4.lbl = sz.lbl ORDER BY doc_id"
     },
     "crawl_pagerank_edges" -> {
       // the materialized edge table replayed arithmetically (two

@@ -1085,6 +1085,21 @@ class ExtensionInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("LPA communities: total, sizes consistent, genuinely clustered") {
+    val rows = q("crawl_communities").as[(Long, Long, Long)].collect()
+    val n = Tables.documents(spark, sf0001).count()
+    assert(rows.length.toLong === n, "every node must carry a label")
+    assert(rows.map(_._1).distinct.length === rows.length, "duplicate node")
+    val ids = rows.map(_._1).toSet
+    rows.foreach { case (v, c, m) =>
+      assert(ids.contains(c), s"node $v's community $c is not a node id") }
+    val sizes = rows.groupBy(_._2).map { case (c, g) => c -> g.length.toLong }
+    rows.foreach { case (v, c, m) =>
+      assert(m === sizes(c), s"node $v carries stale n_members") }
+    assert(sizes.size > 1 && sizes.size < n,
+      s"degenerate community structure: ${sizes.size} communities over $n nodes")
+  }
+
   test("MMR rerank: top-1 kept, formula holds, order genuinely diversifies") {
     val mmr = q("sim_mmr_rerank").as[(Long, Long, Double, Double, Double)].collect()
     assert(mmr.map(_._1).toSeq === (1L to 10L), "ranks must be 1..10 in order")
