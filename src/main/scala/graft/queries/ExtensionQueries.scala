@@ -2807,6 +2807,34 @@ object ExtensionQueries {
         round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
     }),
 
+    // Deterministic dataloader INTERLEAVE schedule (stride scheduling,
+    // Waldspurger-style, with weight = source size — i.e. proportional
+    // fair-share): sample_mixture decides WHAT survives a mixture;
+    // this decides the ORDER a dataloader consumes it in, so no
+    // source floods the head of training. Each doc's virtual time is
+    // rk * 1e6 div n_source (integer — bit-exact cross-engine): a
+    // source with k docs lands ~its k/n share of every schedule
+    // prefix. Per-source rank is one window (the parallelism unit);
+    // the output is the FIRST 200 slots via TakeOrderedAndProject
+    // (top-k by vt, never a global sort), slot = row_number over the
+    // already-cut 200 rows.
+    "export_interleave" -> ((s, dir) => {
+      val wSrc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      val v = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"))
+        .withColumn("rk", row_number().over(wSrc).cast("long"))
+        .withColumn("ns", count(lit(1)).over(Window.partitionBy(col("source"))))
+        .withColumn("vt_micro", expr("(rk * 1000000) div ns"))
+        .select(col("source"), col("doc_id"), col("vt_micro"))
+        .orderBy(col("vt_micro"), col("source"), col("doc_id"))
+        .limit(200)
+      v.withColumn("slot",
+          row_number().over(Window.orderBy(col("vt_micro"), col("source"), col("doc_id")))
+            .cast("long"))
+        .select(col("slot"), col("source"), col("doc_id"), col("vt_micro"))
+        .orderBy(col("slot"))
+    }),
+
     // Shard-export audit: the deterministic global shuffle that turns a
     // curated corpus into fixed training shards (operators.Export).
     // shard = hash(doc_id) mod 16, within-shard order = an INDEPENDENT
@@ -5231,6 +5259,16 @@ object ExtensionQueries {
        s"sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest($shSql) s FROM t)) " +
        "SELECT s, COUNT(*) AS df, CAST(MIN(doc_id) AS BIGINT) AS first_doc " +
        "FROM sh GROUP BY s ORDER BY df DESC, s LIMIT 20"),
+    "export_interleave" ->
+      ("WITH s AS (SELECT source, doc_id, " +
+       "row_number() OVER (PARTITION BY source ORDER BY doc_id) rk FROM documents), " +
+       "n AS (SELECT source, COUNT(*) ns FROM documents GROUP BY source), " +
+       "v AS (SELECT s.source, doc_id, CAST(rk * 1000000 // ns AS BIGINT) vt_micro " +
+       "FROM s JOIN n ON s.source = n.source), " +
+       "t AS (SELECT source, doc_id, vt_micro FROM v " +
+       "ORDER BY vt_micro, source, doc_id LIMIT 200) " +
+       "SELECT CAST(row_number() OVER (ORDER BY vt_micro, source, doc_id) AS BIGINT) AS slot, " +
+       "source, doc_id, vt_micro FROM t ORDER BY slot"),
     "export_ordered_shards" ->
       // the quantized-CDF cuts replayed: equi-depth targets
       // t_i = (i*n + 15) // 16, cut_i = least key with cum >= t_i,

@@ -1085,6 +1085,29 @@ class ExtensionInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("interleave schedule: fair-share prefix, vt recomputed, slots dense") {
+    val sched = q("export_interleave").as[(Long, String, Long, Long)].collect()
+    assert(sched.map(_._1).toSeq === (1L to 200L), "slots must be dense 1..200")
+    // vt recomputation: per source the k-th appearance must carry
+    // vt = k*1e6 div n_source
+    val ns = Tables.documents(spark, sf0001).groupBy($"source")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    sched.groupBy(_._2).foreach { case (src, g) =>
+      g.sortBy(_._1).zipWithIndex.foreach { case ((_, _, _, vt), i) =>
+        assert(vt === (i + 1L) * 1000000L / ns(src),
+          s"$src appearance ${i + 1}: vt $vt") }
+    }
+    // proportional fairness: every source's share of the 200-slot
+    // prefix tracks its corpus share within +-2 slots
+    val total = ns.values.sum
+    sched.groupBy(_._2).foreach { case (src, g) =>
+      val expect = 200.0 * ns(src) / total
+      assert(math.abs(g.length - expect) <= 2.0,
+        s"$src got ${g.length} slots, fair share $expect") }
+  }
+
   test("LPA communities: total, sizes consistent, genuinely clustered") {
     val rows = q("crawl_communities").as[(Long, Long, Long)].collect()
     val n = Tables.documents(spark, sf0001).count()
