@@ -1051,6 +1051,111 @@ object ExtensionQueries {
       out.toString
     })
 
+  /** The shingle-LSH candidate INTERSECTION frame shared by
+    * `dedup_ngram_jaccard` and `dedup_containment` — (a_id, b_id,
+    * na, nb, i) for every candidate pair, one definition so the two
+    * measures cannot drift on candidates, the stop-shingle policy,
+    * or the packed-id scheme. All plan commentary below is the
+    * jaccard query's original (the plan is unchanged by the split).
+    */
+  private def shingleIntersections(s: SparkSession, dir: String): DataFrame = {
+      // Single shingle pass: the per-doc distinct-shingle count rides
+      // along on every exploded row (map-side, no second scan), so the
+      // Jaccard denominator needs NO sizes table at all — no join, no
+      // per-document broadcast (a per-doc table shipped to every
+      // executor is O(corpus) and a scale-killer).
+      //
+      // Native fused scan: distinct shingles + per-doc count emerge as
+      // struct rows from ONE expression (DistinctShingleStructs), the
+      // Generate explodes a ready array, and everything downstream is
+      // whole-stage codegen — no interpreted per-element lambda left
+      // anywhere on the widest stage. The (doc_id, n) payload is PACKED
+      // into one long (doc_id high 32 bits, so packed order == doc_id
+      // order): the bucket agg collects primitive longs instead of
+      // structs and the shuffle rows are 16 bytes flat. Packing bound:
+      // doc_id in [0, 2^31) and n < 2^32 — ENFORCED below with a
+      // codegen'd guard that raises instead of sign-extending a big id
+      // into silently wrong negative pairs; an id space beyond 2^31
+      // would revert to the struct payload, same plan shape.
+      //
+      // The shuffle key is xxhash64(shingle) — an 8-byte long instead
+      // of the ~30-byte shingle text on the pipeline's widest shuffle.
+      // The key is engine-internal (the oracle joins on raw shingles):
+      // a cross-shingle collision (~n^2/2^65) merges two posting lists,
+      // producing one spurious low-i candidate that the jaccard >= 0.2
+      // gate then discards; the pa < pb guard below drops the
+      // intra-doc-collision self-pair. Any surviving perturbation would
+      // trip the hash gate.
+      val packableId = when(
+          col("doc_id") >= 0 && col("doc_id") < (1L << 31), col("doc_id"))
+        .otherwise(raise_error(concat(
+          lit("dedup_ngram_jaccard: doc_id outside packable range [0, 2^31): "),
+          col("doc_id").cast("string"))))
+      val sh = Tables.documents(s, dir)
+        .select(packableId.as("doc_id"),
+          explode(TextOps.distinctShingleStructsOfText(col("text"), 5)).as("e"))
+        .select(xxhash64(col("e.s")).as("s"),
+          (shiftleft(col("doc_id"), 32) + col("e.n")).as("dn"))
+      // Skew guard: STOP-SHINGLE filtering, not a bucket cap. A shingle
+      // shared by > MaxBucket docs is boilerplate (its pair expansion is
+      // quadratic AND its evidentiary value is ~zero); dropping the
+      // whole posting list keeps every surviving pair's `i` exact — a
+      // truncated list would silently undercount intersections for
+      // pairs that also meet in other buckets. `n` stays the full
+      // distinct-shingle count on BOTH engines (the oracle applies the
+      // same df filter to the intersection only), so jaccard values are
+      // exact under the shared definition; healthy corpora (no shingle
+      // over the threshold) are bit-identical to the unfiltered query.
+      //
+      // collect_list, NOT array_sort(collect_set(...)): the rows are
+      // already distinct per (doc_id, s) (distinct shingles upstream),
+      // so the set's per-insert hashing buys nothing, and sorting every
+      // bucket costs ~0.6 s at sf0.1. Sorted buckets are only needed
+      // when a CAP truncates them deterministically — here over-cap
+      // buckets are dropped WHOLE (stop-shingles), so order is free to
+      // vary and each pair is instead canonicalized by least/greatest
+      // on the packed longs (doc_id ordering, see packing above).
+      //
+      // df prefilter BEFORE the bucket materialization: most 5-grams in
+      // a natural corpus are unique (df=1 — here ~95% of postings) and
+      // can never produce a pair, yet the old plan built a one-element
+      // collect_list buffer for every one of them. The document
+      // frequency is a window count over the SAME hash partitioning the
+      // bucket agg needs, so Catalyst plans ONE exchange on `s`: window
+      // df → filter (df=1 and stop-shingles both die here) → the
+      // collect_list agg runs partition-local on the ~5% survivors with
+      // no second shuffle. (Measured vs alternatives at sf0.1: a
+      // count-agg + broadcast-semi-join prefilter pays a second pass
+      // and a separate agg exchange — slower; this fused form cut the
+      // query ~30%.) Semantics are identical: window df == bucket size.
+      // EXPLICIT repartition on the posting key, pinned to the session's
+      // shuffle-partition setting: at bench scale the posting exchange
+      // is ~4 MB, so AQE's 64 MB advisory coalesces it to ONE partition
+      // and the window sort runs single-threaded — measured +30% on the
+      // whole query (0.25 s -> 0.32 s at sf0.1). A user-specified
+      // partition count is exempt from AQE coalescing, restoring the
+      // sort/agg/explode parallelism; it tracks spark.sql.shuffle
+      // .partitions, so cluster deployments scale it with the data
+      // instead of inheriting a bench-tuned constant. Semantics are
+      // untouched (same hash distribution the window would demand).
+      sh.repartition(s.sessionState.conf.numShufflePartitions, col("s"))
+        .withColumn("df",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
+        .filter(col("df") >= 2 && col("df") <= TextOps.MaxBucket)
+        .groupBy(col("s"))
+        .agg(collect_list(col("dn")).as("ids"))
+        .select(explode(TextOps.pairCombinations(col("ids"))).as("p0"))
+        .select(least(col("p0.a"), col("p0.b")).as("pa"),
+          greatest(col("p0.a"), col("p0.b")).as("pb"))
+        .filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("i"))
+        .select(shiftright(col("pa"), 32).as("a_id"),
+          shiftright(col("pb"), 32).as("b_id"),
+          col("pa").bitwiseAND(lit(0xffffffffL)).as("na"),
+          col("pb").bitwiseAND(lit(0xffffffffL)).as("nb"),
+          col("i"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- Dedup ---------------------------------------------------------
@@ -1264,107 +1369,30 @@ object ExtensionQueries {
     // which is the irreducible distinct-shingle map scan every text
     // query pays. Verdict: at parity; not a scale risk (one hash
     // exchange, answer-bounded pair work, stop-shingle skew guard).
-    "dedup_ngram_jaccard" -> ((s, dir) => {
-      // Single shingle pass: the per-doc distinct-shingle count rides
-      // along on every exploded row (map-side, no second scan), so the
-      // Jaccard denominator needs NO sizes table at all — no join, no
-      // per-document broadcast (a per-doc table shipped to every
-      // executor is O(corpus) and a scale-killer).
-      //
-      // Native fused scan: distinct shingles + per-doc count emerge as
-      // struct rows from ONE expression (DistinctShingleStructs), the
-      // Generate explodes a ready array, and everything downstream is
-      // whole-stage codegen — no interpreted per-element lambda left
-      // anywhere on the widest stage. The (doc_id, n) payload is PACKED
-      // into one long (doc_id high 32 bits, so packed order == doc_id
-      // order): the bucket agg collects primitive longs instead of
-      // structs and the shuffle rows are 16 bytes flat. Packing bound:
-      // doc_id in [0, 2^31) and n < 2^32 — ENFORCED below with a
-      // codegen'd guard that raises instead of sign-extending a big id
-      // into silently wrong negative pairs; an id space beyond 2^31
-      // would revert to the struct payload, same plan shape.
-      //
-      // The shuffle key is xxhash64(shingle) — an 8-byte long instead
-      // of the ~30-byte shingle text on the pipeline's widest shuffle.
-      // The key is engine-internal (the oracle joins on raw shingles):
-      // a cross-shingle collision (~n^2/2^65) merges two posting lists,
-      // producing one spurious low-i candidate that the jaccard >= 0.2
-      // gate then discards; the pa < pb guard below drops the
-      // intra-doc-collision self-pair. Any surviving perturbation would
-      // trip the hash gate.
-      val packableId = when(
-          col("doc_id") >= 0 && col("doc_id") < (1L << 31), col("doc_id"))
-        .otherwise(raise_error(concat(
-          lit("dedup_ngram_jaccard: doc_id outside packable range [0, 2^31): "),
-          col("doc_id").cast("string"))))
-      val sh = Tables.documents(s, dir)
-        .select(packableId.as("doc_id"),
-          explode(TextOps.distinctShingleStructsOfText(col("text"), 5)).as("e"))
-        .select(xxhash64(col("e.s")).as("s"),
-          (shiftleft(col("doc_id"), 32) + col("e.n")).as("dn"))
-      // Skew guard: STOP-SHINGLE filtering, not a bucket cap. A shingle
-      // shared by > MaxBucket docs is boilerplate (its pair expansion is
-      // quadratic AND its evidentiary value is ~zero); dropping the
-      // whole posting list keeps every surviving pair's `i` exact — a
-      // truncated list would silently undercount intersections for
-      // pairs that also meet in other buckets. `n` stays the full
-      // distinct-shingle count on BOTH engines (the oracle applies the
-      // same df filter to the intersection only), so jaccard values are
-      // exact under the shared definition; healthy corpora (no shingle
-      // over the threshold) are bit-identical to the unfiltered query.
-      //
-      // collect_list, NOT array_sort(collect_set(...)): the rows are
-      // already distinct per (doc_id, s) (distinct shingles upstream),
-      // so the set's per-insert hashing buys nothing, and sorting every
-      // bucket costs ~0.6 s at sf0.1. Sorted buckets are only needed
-      // when a CAP truncates them deterministically — here over-cap
-      // buckets are dropped WHOLE (stop-shingles), so order is free to
-      // vary and each pair is instead canonicalized by least/greatest
-      // on the packed longs (doc_id ordering, see packing above).
-      //
-      // df prefilter BEFORE the bucket materialization: most 5-grams in
-      // a natural corpus are unique (df=1 — here ~95% of postings) and
-      // can never produce a pair, yet the old plan built a one-element
-      // collect_list buffer for every one of them. The document
-      // frequency is a window count over the SAME hash partitioning the
-      // bucket agg needs, so Catalyst plans ONE exchange on `s`: window
-      // df → filter (df=1 and stop-shingles both die here) → the
-      // collect_list agg runs partition-local on the ~5% survivors with
-      // no second shuffle. (Measured vs alternatives at sf0.1: a
-      // count-agg + broadcast-semi-join prefilter pays a second pass
-      // and a separate agg exchange — slower; this fused form cut the
-      // query ~30%.) Semantics are identical: window df == bucket size.
-      // EXPLICIT repartition on the posting key, pinned to the session's
-      // shuffle-partition setting: at bench scale the posting exchange
-      // is ~4 MB, so AQE's 64 MB advisory coalesces it to ONE partition
-      // and the window sort runs single-threaded — measured +30% on the
-      // whole query (0.25 s -> 0.32 s at sf0.1). A user-specified
-      // partition count is exempt from AQE coalescing, restoring the
-      // sort/agg/explode parallelism; it tracks spark.sql.shuffle
-      // .partitions, so cluster deployments scale it with the data
-      // instead of inheriting a bench-tuned constant. Semantics are
-      // untouched (same hash distribution the window would demand).
-      sh.repartition(s.sessionState.conf.numShufflePartitions, col("s"))
-        .withColumn("df",
-          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
-        .filter(col("df") >= 2 && col("df") <= TextOps.MaxBucket)
-        .groupBy(col("s"))
-        .agg(collect_list(col("dn")).as("ids"))
-        .select(explode(TextOps.pairCombinations(col("ids"))).as("p0"))
-        .select(least(col("p0.a"), col("p0.b")).as("pa"),
-          greatest(col("p0.a"), col("p0.b")).as("pb"))
-        .filter(col("pa") < col("pb"))
-        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("i"))
-        .select(shiftright(col("pa"), 32).as("a_id"),
-          shiftright(col("pb"), 32).as("b_id"),
-          col("pa").bitwiseAND(lit(0xffffffffL)).as("na"),
-          col("pb").bitwiseAND(lit(0xffffffffL)).as("nb"),
-          col("i"))
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      shingleIntersections(s, dir)
         .withColumn("jaccard", round(col("i") / (col("na") + col("nb") - col("i")), 6))
         .filter(col("jaccard") >= 0.2)
         .select(col("a_id"), col("b_id"), col("jaccard"))
-        .orderBy(col("a_id"), col("b_id"))
-    }),
+        .orderBy(col("a_id"), col("b_id"))),
+
+    // ASYMMETRIC near-dup: containment c(A in B) = |A∩B|/|A| — the
+    // measure that catches SUBSET duplication (a quote, an embedded
+    // article, a doc-plus-appendix re-release) where Jaccard stays low
+    // because the union is dominated by the larger doc. Same candidate
+    // machinery as dedup_ngram_jaccard ([[shingleIntersections]] — one
+    // definition, one exchange), different final arithmetic: both
+    // directions reported, flagged on the rounded max containment
+    // (= i / min(na, nb)) >= 0.5.
+    "dedup_containment" -> ((s, dir) =>
+      shingleIntersections(s, dir)
+        .withColumn("c_a", round(col("i") / col("na"), 6))
+        .withColumn("c_b", round(col("i") / col("nb"), 6))
+        .filter(round(col("i") / least(col("na"), col("nb")), 6) >= 0.5)
+        .select(col("a_id"), col("b_id"), col("i").as("n_shared"),
+          col("c_a"), col("c_b"))
+        .orderBy(col("a_id"), col("b_id"))),
+
 
     // PRODUCTION twin of dedup_embedding: LEARNED k ~ sqrt(n) k-means
     // quantizer (Similarity.trainIvf) instead of 8 fixed seed cells, so
@@ -4797,6 +4825,22 @@ object ExtensionQueries {
        "SELECT a_id, b_id, round(CAST(i AS DOUBLE)/(sa.n + sb.n - i), 6) AS jaccard " +
        "FROM inter JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id " +
        "WHERE round(CAST(i AS DOUBLE)/(sa.n + sb.n - i), 6) >= 0.2 ORDER BY a_id, b_id"),
+    "dedup_containment" ->
+      // same shingle/stop-shingle/intersection CTEs as the jaccard
+      // oracle, different final arithmetic (both containment
+      // directions; the gate is on the rounded max containment)
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
+       s"sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest($shSql) s FROM t)), " +
+       "sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id), " +
+       "hot AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) > 512), " +
+       "inter AS (SELECT a.doc_id a_id, b.doc_id b_id, COUNT(*) i FROM sh a JOIN sh b " +
+       "ON a.s = b.s AND a.doc_id < b.doc_id " +
+       "WHERE a.s NOT IN (SELECT s FROM hot) GROUP BY a.doc_id, b.doc_id) " +
+       "SELECT a_id, b_id, CAST(i AS BIGINT) AS n_shared, " +
+       "round(CAST(i AS DOUBLE)/sa.n, 6) AS c_a, " +
+       "round(CAST(i AS DOUBLE)/sb.n, 6) AS c_b " +
+       "FROM inter JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id " +
+       "WHERE round(CAST(i AS DOUBLE)/least(sa.n, sb.n), 6) >= 0.5 ORDER BY a_id, b_id"),
     "sim_cosine_topk" ->
       ("WITH q AS (SELECT embedding qe FROM embeddings WHERE vec_id = 0), " +
        "s AS (SELECT vec_id, " +

@@ -1085,6 +1085,24 @@ class ExtensionInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("containment: ordered pairs, bounded, dominates jaccard, direction real") {
+    val cont = q("dedup_containment").as[(Long, Long, Long, Double, Double)].collect()
+    assert(cont.nonEmpty)
+    cont.foreach { case (a, b, i, ca, cb) =>
+      assert(a < b && i > 0)
+      assert(ca > 0 && ca <= 1 && cb > 0 && cb <= 1)
+      assert(math.max(ca, cb) >= 0.5 - 1e-9, s"($a,$b) below the gate") }
+    // max containment always dominates jaccard on shared pairs
+    // (i/min(na,nb) >= i/(na+nb-i) pointwise)
+    val jac = q("dedup_ngram_jaccard").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    cont.foreach { case (a, b, _, ca, cb) =>
+      jac.get((a, b)).foreach(j =>
+        assert(math.max(ca, cb) >= j - 1e-9, s"($a,$b): containment < jaccard")) }
+    assert(cont.exists(t => t._4 != t._5),
+      "every pair symmetric — the directional measure is vacuous here")
+  }
+
   test("interleave schedule: fair-share prefix, vt recomputed, slots dense") {
     val sched = q("export_interleave").as[(Long, String, Long, Long)].collect()
     assert(sched.map(_._1).toSeq === (1L to 200L), "slots must be dense 1..200")
