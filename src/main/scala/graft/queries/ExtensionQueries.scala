@@ -2004,6 +2004,48 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // RAKE keyphrase extraction (Rose et al. 2010) — the PHRASE-level
+    // complement of corpus_keywords' single-term tf-idf: candidate
+    // phrases are maximal stopword-free token runs (the SAME stopEn
+    // list as text_quality — one stopword definition), scored by the
+    // classic degree/frequency word statistic. Word scores are
+    // INTEGER ppm ((deg * 1e6) div freq) so the per-phrase sum is
+    // order-free and bit-exact cross-engine — the fixed-point recipe
+    // applied to RAKE's rational scores. Plan: token explode ->
+    // per-doc run window (the answer's own doc layout) -> phrase agg
+    // -> vocabulary-sized word-stats broadcast -> per-doc top-3
+    // window. Top-3 distinct phrases per doc, ties to the
+    // lexicographically lower phrase.
+    "corpus_keyphrases" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "w")))
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val runs = tok
+        .withColumn("st", col("w").isin(stopEn: _*))
+        .withColumn("run", sum(col("st").cast("long")).over(wDoc))
+        .filter(!col("st"))
+      val ph = runs.groupBy(col("doc_id"), col("run"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("w")))).as("pws"),
+          count(lit(1)).as("len"))
+        .select(col("doc_id"), col("run"), col("len"),
+          expr("array_join(transform(pws, x -> x.w), ' ')").as("phrase"))
+      val pw = ph.select(col("doc_id"), col("run"), col("len"), col("phrase"),
+        explode(split(col("phrase"), " ")).as("w"))
+      val wstats = pw.groupBy(col("w"))
+        .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+      val psc = pw.join(broadcast(wstats), Seq("w"))
+        .withColumn("sppm", expr("(deg * 1000000) div freq"))
+        .groupBy(col("doc_id"), col("run"), col("phrase"))
+        .agg(sum(col("sppm")).as("score_ppm"))
+      val dist = psc.select(col("doc_id"), col("phrase"), col("score_ppm")).distinct()
+      val wTop = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score_ppm").desc, col("phrase"))
+      dist.withColumn("rk", row_number().over(wTop).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("phrase"), col("score_ppm"))
+        .orderBy(col("doc_id"), col("rk"))
+    }),
+
     // Quality scoring: token stats + type-token ratio + gate.
     "text_quality" -> ((s, dir) => {
       val ws = TextOps.tokens(col("text"))
@@ -5258,6 +5300,30 @@ object ExtensionQueries {
        // on the other diverges exactly at the threshold boundary
        "CAST(CASE WHEN round(COALESCE(nd, 0) / nch, 6) >= 0.5 THEN 1 ELSE 0 END AS INT) AS is_span_dup " +
        "FROM n LEFT JOIN sh ON n.doc_id = sh.doc_id ORDER BY n.doc_id"),
+    "corpus_keyphrases" ->
+      // run ids via a running stopword count, phrases via string_agg
+      // ORDER BY pos, integer-ppm word scores, per-doc top-3
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
+       "tok AS (SELECT doc_id, i pos, ws[i] w FROM t, " +
+       "LATERAL (SELECT unnest(generate_series(1, len(ws))) i)), " +
+       "tok2 AS (SELECT doc_id, pos, w, " +
+       "SUM(CASE WHEN w IN ('the','a','of') THEN 1 ELSE 0 END) " +
+       "OVER (PARTITION BY doc_id ORDER BY pos) run, " +
+       "w IN ('the','a','of') st FROM tok), " +
+       "ph AS MATERIALIZED (SELECT doc_id, run, " +
+       "string_agg(w, ' ' ORDER BY pos) phrase, COUNT(*) len " +
+       "FROM tok2 WHERE NOT st GROUP BY doc_id, run), " +
+       "pw AS MATERIALIZED (SELECT doc_id, run, len, phrase, " +
+       "unnest(string_split(phrase, ' ')) w FROM ph), " +
+       "wst AS (SELECT w, COUNT(*) freq, SUM(len) deg FROM pw GROUP BY w), " +
+       "psc AS (SELECT doc_id, run, phrase, " +
+       "CAST(SUM(deg * 1000000 // freq) AS BIGINT) score_ppm " +
+       "FROM pw JOIN wst USING (w) GROUP BY doc_id, run, phrase), " +
+       "dist AS (SELECT DISTINCT doc_id, phrase, score_ppm FROM psc), " +
+       "rk AS (SELECT doc_id, phrase, score_ppm, " +
+       "row_number() OVER (PARTITION BY doc_id ORDER BY score_ppm DESC, phrase) rn FROM dist) " +
+       "SELECT doc_id, CAST(rn AS BIGINT) AS rk, phrase, score_ppm " +
+       "FROM rk WHERE rn <= 3 ORDER BY doc_id, rk"),
     "text_span_scrub" ->
       // the dedup_span_exact chunk replay, then: keep ddf = 1 chunks,
       // reassemble in position order (string_agg ORDER BY i), totality

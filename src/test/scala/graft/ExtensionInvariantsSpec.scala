@@ -1085,6 +1085,24 @@ class ExtensionInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("keyphrases: stopword-free, <=3 per doc, ranked, multi-word present") {
+    val kp = q("corpus_keyphrases").as[(Long, Long, String, Long)].collect()
+    assert(kp.nonEmpty)
+    val stops = Set("the", "a", "of")
+    kp.foreach { case (d, rk, phrase, s) =>
+      assert(rk >= 1 && rk <= 3)
+      assert(s > 0, s"doc $d phrase '$phrase' non-positive score")
+      assert(phrase.split(" ").forall(w => !stops.contains(w)),
+        s"doc $d phrase '$phrase' contains a stopword") }
+    kp.groupBy(_._1).foreach { case (d, g) =>
+      assert(g.map(_._2).sorted.toSeq === (1L to g.length),
+        s"doc $d ranks not dense")
+      val sc = g.sortBy(_._2).map(_._4)
+      assert(sc.sameElements(sc.sorted.reverse), s"doc $d not score-ordered") }
+    assert(kp.exists(_._3.contains(" ")),
+      "no multi-word phrase — RAKE degenerates to unigrams here")
+  }
+
   test("containment: ordered pairs, bounded, dominates jaccard, direction real") {
     val cont = q("dedup_containment").as[(Long, Long, Long, Double, Double)].collect()
     assert(cont.nonEmpty)
