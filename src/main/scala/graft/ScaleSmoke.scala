@@ -138,7 +138,11 @@ object ScaleSmoke {
         "search_bm25_indexed",
         // LPA over the 10x edge table: 4 bulk-synchronous rounds with
         // ~10x the hub in-degree (the label-count aggregate's skew case)
-        "crawl_communities")) {
+        "crawl_communities",
+        // round-13 third wave: RAKE token windows + vocab broadcast at
+        // 10x, containment over the 10x-pressure shingle buckets, the
+        // fair-share schedule's top-k over 10x docs
+        "corpus_keyphrases", "dedup_containment", "export_interleave")) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).count()
       println(f"$q%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $n%10d rows")
