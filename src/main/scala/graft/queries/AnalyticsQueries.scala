@@ -799,6 +799,31 @@ object AnalyticsQueries {
         .orderBy(col("bucket"))
     }),
 
+    // VALUE-based RANGE window frame — the windowing capability the
+    // rest of the window family (ROWS frames, lead/lag, session/
+    // tumbling) doesn't exercise: per user, the trailing ONE HOUR of
+    // events by TIMESTAMP VALUE, not by row count — the "requests in
+    // the last hour" rate-limit / rolling-exposure shape. The frame
+    // runs on an INTEGER microsecond domain (unix_micros) so both
+    // engines cut the frame boundary identically with no interval
+    // arithmetic in play; peers at the same microsecond are included
+    // together by RANGE semantics (no tiebreak needed — value-based
+    // frames are tie-insensitive by definition). Aggregates are a
+    // count and an integer-cents sum (order-free). One window
+    // exchange on the high-cardinality user key.
+    "q42_trailing_range_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tm"))
+        .rangeBetween(-3599999999L, 0)
+      Tables.events(s, dir)
+        .withColumn("tm", unix_micros(col("ts")))
+        .withColumn("cents", asInt(col("value"), 100L))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(col("cents")).over(w).as("v_cents_1h"))
+        .orderBy(col("event_id"))
+    }),
+
     // Time-weighted average — the metrics-pipeline aggregate a plain
     // AVG silently gets wrong (a value held for an hour must weigh
     // 3600x one held a second): per user, each event's value holds
@@ -1213,6 +1238,16 @@ object AnalyticsQueries {
        "CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_value " +
        "FROM orders WHERE o_orderkey % 7 <> 0 " +
        "GROUP BY o_custkey % 100 ORDER BY bucket"),
+    "q42_trailing_range_window" ->
+      // same integer microsecond domain, numeric RANGE frame
+      ("WITH e AS (SELECT event_id, user_id, epoch_us(ts) tm, " +
+       "CAST(round(value*100) AS BIGINT) cents FROM events) " +
+       "SELECT event_id, user_id, " +
+       "CAST(COUNT(*) OVER w AS BIGINT) AS n_1h, " +
+       "CAST(SUM(cents) OVER w AS BIGINT) AS v_cents_1h " +
+       "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tm " +
+       "RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW) " +
+       "ORDER BY event_id"),
     "q39_time_weighted_avg" ->
       ("WITH e AS (SELECT user_id, event_id, ts, " +
        "CAST(floor(epoch(ts)) AS BIGINT) t_s, " +

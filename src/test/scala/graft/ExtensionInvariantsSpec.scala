@@ -1085,6 +1085,27 @@ class ExtensionInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("trailing range window equals brute-force per-event recount") {
+    import org.apache.spark.sql.functions.{col, unix_micros, round => sround, lit}
+    val got = q("q42_trailing_range_window")
+      .as[(Long, Long, Long, Long)].collect()
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tm"),
+        sround(col("value") * lit(100)).cast("long").as("cents"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length === ev.length, "window output must be total")
+    val byUser = ev.groupBy(_._2)
+    val tmOf = ev.map(e => e._1 -> (e._2, e._3)).toMap
+    got.foreach { case (eid, uid, n, v) =>
+      val (u, tm) = tmOf(eid)
+      assert(u === uid)
+      val frame = byUser(u).filter(e => e._3 <= tm && e._3 >= tm - 3599999999L)
+      assert(n === frame.length.toLong, s"event $eid count $n != ${frame.length}")
+      assert(v === frame.map(_._4).sum, s"event $eid sum drifted")
+      assert(n >= 1, "frame must include the row itself")
+    }
+  }
+
   test("keyphrases: stopword-free, <=3 per doc, ranked, multi-word present") {
     val kp = q("corpus_keyphrases").as[(Long, Long, String, Long)].collect()
     assert(kp.nonEmpty)
