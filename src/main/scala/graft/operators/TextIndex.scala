@@ -122,6 +122,52 @@ object TextIndex {
     * contract above. Segment compaction when small-files debt
     * accumulates is a periodic batch rewrite (operators.Compaction).
     */
+  /** Segment compaction — the maintenance op the append path defers
+    * to (the [[Similarity.retrainIndex]] analog for text): merge every
+    * ingest segment back into ONE `ingest=base` layer with the exact
+    * GLOBAL df denormalized (recomputed from the posting rows — each
+    * doc lives in one segment, so row-derived df IS the global value),
+    * clearing both the small-files debt and the per-segment-df
+    * staleness for stored-df readers. Swap follows the Compaction
+    * crash-ordering: stage verified before anything moves, live dir
+    * backed up until the swapped-in index proves readable; a crashed
+    * swap heals on the next open via `Compaction.recover`. Returns the
+    * posting row count.
+    */
+  def compactIndex(spark: SparkSession, dir: String): Long = {
+    import org.apache.hadoop.fs.Path
+    Compaction.recover(spark, dir) // heal a crashed earlier swap first
+    val posts = spark.read.parquet(s"$dir/postings")
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"))
+      .localCheckpoint()
+    val n = posts.count()
+    val dfFrame = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stage = s"${dir}__retraining"
+    posts.join(broadcast(dfFrame), Seq("term"))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("dl"))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(NumBuckets.toLong)))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$stage/postings/ingest=base")
+    require(spark.read.parquet(s"$stage/postings").count() == n,
+      s"compacted index row count mismatch for $dir — aborting, live index untouched")
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bak = new Path(dir + "__old")
+    fs.delete(bak, true)
+    require(fs.rename(path, bak),
+      s"could not move live index aside for $dir — swap aborted, live index untouched")
+    if (!fs.rename(new Path(stage), path)) {
+      val restored = fs.rename(bak, path)
+      throw new IllegalStateException(
+        s"could not move staged index into place for $dir — " +
+          (if (restored) "original restored" else s"RESTORE FAILED, original at $bak"))
+    }
+    require(spark.read.parquet(s"$dir/postings").count() == n,
+      s"post-swap verification failed for $dir — backup kept at $bak")
+    fs.delete(bak, true)
+    n
+  }
+
   def appendToIndex(spark: SparkSession, stream: DataFrame, dir: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream

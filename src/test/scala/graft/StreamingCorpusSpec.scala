@@ -435,6 +435,20 @@ class StreamingCorpusSpec extends SparkSpec {
     val seg = TextIndex.probe(spark, dir, Seq("vector"))
       .filter(col("doc_id") === 12L).select("df").as[Long].head()
     assert(seg === 1L, s"per-segment df should be 1, got $seg")
+
+    // compaction merges the three segments into one base layer with
+    // the exact GLOBAL df stored — the STORED df (no refresh) now
+    // equals the fresh rebuild, and the ingest layer collapses
+    val nRows = TextIndex.compactIndex(spark, dir)
+    assert(nRows === spark.read.parquet(s"$dir/postings").count())
+    val layers = spark.read.parquet(s"$dir/postings")
+      .select("ingest").distinct().as[String].collect().toSeq
+    assert(layers === Seq("base"), s"segments survived compaction: $layers")
+    val compacted = TextIndex.probe(spark, dir, Seq("vector", "stream"))
+      .select("doc_id", "term", "tf", "df", "dl")
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    assert(compacted === rebuilt,
+      "compacted stored-df probe diverged from the fresh rebuild")
   }
 
   test("anti-join span scrub agrees with blocklist spanScrub on the real corpus") {
