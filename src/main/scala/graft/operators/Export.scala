@@ -52,6 +52,83 @@ object Export {
       .sortWithinPartitions(col("shard"), col("shuffle_rank"), col("doc_id"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
 
+  /** One USTAR (POSIX tar) header block + content + 512-padding for a
+    * single entry — every byte deterministic (mode 0644, uid/gid 0,
+    * mtime 0, empty uname/gname), so a re-export is BIT-identical and
+    * shard files can be content-hashed for cache keys. Checksum per
+    * the spec: header summed with the checksum field as spaces, then
+    * six octal digits + NUL + space.
+    */
+  private[operators] def tarEntry(name: String, data: Array[Byte]): Array[Byte] = {
+    val nameB = name.getBytes("UTF-8")
+    require(nameB.length <= 100, s"tar entry name too long: $name")
+    val h = new Array[Byte](512)
+    def put(off: Int, s: String): Unit = {
+      val b = s.getBytes("UTF-8"); System.arraycopy(b, 0, h, off, b.length)
+    }
+    System.arraycopy(nameB, 0, h, 0, nameB.length)
+    put(100, "0000644\u0000")                       // mode
+    put(108, "0000000\u0000")                       // uid
+    put(116, "0000000\u0000")                       // gid
+    put(124, f"${data.length}%011o" + "\u0000")     // size
+    put(136, "00000000000\u0000")                   // mtime = 0
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)  // checksum spaces
+    h(156) = '0'                                    // typeflag: regular file
+    put(257, "ustar\u000000")                       // magic + version
+    val sum = h.foldLeft(0)((a, b) => a + (b & 0xff))
+    put(148, f"$sum%06o" + "\u0000 ")
+    val padded = (data.length + 511) / 512 * 512
+    val out = new Array[Byte](512 + padded)
+    System.arraycopy(h, 0, out, 0, 512)
+    System.arraycopy(data, 0, out, 512, data.length)
+    out
+  }
+
+  /** WebDataset-style tar shard export: ONE `shard-NNNNN.tar` per
+    * shard, entries named `<doc_id>.txt` in shuffle-rank order — the
+    * layout tar-streaming dataloaders (WebDataset et al.) consume by
+    * assigning whole tar files to workers and reading them
+    * sequentially. Same shard membership and within-shard order as
+    * [[writeShards]] (one `shuffledShards` definition); rows of a
+    * shard are contiguous after the repartition+sort, so each task
+    * streams its shards' entries straight into Hadoop-FS tar files —
+    * no per-entry small files, no driver involvement, and the bytes
+    * are fully deterministic (see [[tarEntry]]) down to the trailing
+    * 1024-zero terminator.
+    */
+  def writeTarShards(docs: DataFrame, path: String, nShards: Int): Unit = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      docs.sparkSession.sparkContext.hadoopConfiguration)
+    val rows = shuffledShards(docs, nShards)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("shuffle_rank"), col("doc_id"))
+      .select(col("shard"), col("doc_id"), col("text"))
+    rows.queryExecution.toRdd.foreachPartition { it =>
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(conf.value)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(path))
+      var cur = -1
+      var out: java.io.OutputStream = null
+      def close(): Unit = if (out != null) {
+        out.write(new Array[Byte](1024)) // tar end-of-archive
+        out.close(); out = null
+      }
+      it.foreach { r =>
+        val shard = r.getInt(0)
+        if (shard != cur) {
+          close(); cur = shard
+          out = fs.create(new org.apache.hadoop.fs.Path(
+            path, f"shard-$shard%05d.tar"), true)
+        }
+        val id = r.getLong(1)
+        val text = r.getUTF8String(2)
+        out.write(tarEntry(s"$id.txt",
+          if (text == null) Array.emptyByteArray else text.getBytes))
+      }
+      close()
+    }
+  }
+
   /** Streaming shard maintenance: arriving documents are assigned to
     * their (stable, hash-determined) shard and land under
     * `ingest=<batchId>/shard=N`, so a continuously-ingesting corpus

@@ -170,4 +170,61 @@ class ExportSpec extends SparkSpec {
     val b = spark.read.parquet(dir2).orderBy("shard", "ord_key", "doc_id").collect()
     assert(a.sameElements(b))
   }
+
+  // minimal independent USTAR reader: parse (name, content) entries,
+  // verifying each header checksum — a writer bug (bad octal, missing
+  // padding, wrong magic) fails here, not in some downstream dataloader
+  private def readTar(bytes: Array[Byte]): Seq[(String, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var off = 0
+    while (off + 512 <= bytes.length && bytes(off) != 0) {
+      val h = bytes.slice(off, off + 512)
+      assert(new String(h, 257, 5, "UTF-8") === "ustar", s"bad magic at $off")
+      val stored = new String(h, 148, 8, "UTF-8").takeWhile(c => c >= '0' && c <= '7')
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+      val sum = h.foldLeft(0)((a, b) => a + (b & 0xff))
+      assert(Integer.parseInt(stored, 8) === sum, s"checksum mismatch at $off")
+      val name = new String(h.takeWhile(_ != 0), "UTF-8")
+      val size = Integer.parseInt(
+        new String(h, 124, 12, "UTF-8").trim.takeWhile(_ != 0), 8)
+      out += name -> new String(bytes, off + 512, size, "UTF-8")
+      off += 512 + (size + 511) / 512 * 512
+    }
+    out.toSeq
+  }
+
+  test("writeTarShards: valid USTAR, rank-ordered entries, bit-identical re-export") {
+    val docs = Tables.documents(spark, sf0001)
+    val dir = Files.createTempDirectory("tarshards").toString
+    Export.writeTarShards(docs, dir, 4)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".tar"))
+      .sortBy(_.getName)
+    assert(files.map(_.getName).toSeq ===
+      (0 until 4).map(i => f"shard-$i%05d.tar"), "one tar per shard")
+    // expected membership + order from the ONE shared assignment
+    val want = Export.shuffledShards(docs, 4)
+      .select(col("shard"), col("shuffle_rank"), col("doc_id"), col("text"))
+      .as[(Int, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(e => (e._2, e._3))).toMap
+    var total = 0
+    for (f <- files) {
+      val shard = f.getName.stripPrefix("shard-").stripSuffix(".tar").toInt
+      val entries = readTar(Files.readAllBytes(f.toPath))
+      val expect = want(shard)
+      assert(entries.map(_._1) === expect.map(e => s"${e._3}.txt").toSeq,
+        s"shard $shard entry order diverged from the shuffle-rank order")
+      assert(entries.map(_._2) === expect.map(_._4).toSeq,
+        s"shard $shard contents diverged")
+      total += entries.length
+    }
+    assert(total.toLong === docs.count(), "every doc exactly once")
+    // bit-identical re-export (mtime 0, fixed metadata): same bytes
+    val dir2 = Files.createTempDirectory("tarshards2").toString
+    Export.writeTarShards(docs, dir2, 4)
+    for (f <- files) {
+      val g = Paths.get(dir2, f.getName)
+      assert(java.util.Arrays.equals(Files.readAllBytes(f.toPath),
+        Files.readAllBytes(g)), s"${f.getName} not bit-identical across exports")
+    }
+  }
 }
