@@ -59,7 +59,7 @@ object Export {
     * the spec: header summed with the checksum field as spaces, then
     * six octal digits + NUL + space.
     */
-  private[operators] def tarEntry(name: String, data: Array[Byte]): Array[Byte] = {
+  private[graft] def tarEntry(name: String, data: Array[Byte]): Array[Byte] = {
     val nameB = name.getBytes("UTF-8")
     require(nameB.length <= 100, s"tar entry name too long: $name")
     val h = new Array[Byte](512)
@@ -127,6 +127,55 @@ object Export {
       }
       close()
     }
+  }
+
+  /** Parse one USTAR archive into (entry name, content bytes) pairs,
+    * verifying every header checksum — a torn or corrupted shard
+    * fails loudly instead of yielding silently-truncated documents.
+    * Accepts any spec-conforming producer (names NUL-terminated, size
+    * in octal, archive ends at the first zero block).
+    */
+  def readTarEntries(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
+    var off = 0
+    while (off + 512 <= bytes.length && bytes(off) != 0) {
+      val h = java.util.Arrays.copyOfRange(bytes, off, off + 512)
+      require(new String(h, 257, 5, "UTF-8") == "ustar", s"bad tar magic at offset $off")
+      val stored = new String(h, 148, 8, "UTF-8").takeWhile(c => c >= '0' && c <= '7')
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+      val sum = h.foldLeft(0)((a, b) => a + (b & 0xff))
+      require(Integer.parseInt(stored, 8) == sum, s"tar checksum mismatch at offset $off")
+      val name = new String(h.takeWhile(_ != 0), "UTF-8")
+      val size = Integer.parseInt(
+        new String(h, 124, 12, "UTF-8").trim.takeWhile(_ != 0), 8)
+      out += name -> java.util.Arrays.copyOfRange(bytes, off + 512, off + 512 + size)
+      off += 512 + (size + 511) / 512 * 512
+    }
+    out.toSeq
+  }
+
+  /** Read a [[writeTarShards]] export back into (shard, doc_id, text)
+    * rows — the engine-side consumer of its own dataloader format (and
+    * of any conforming WebDataset-style tar corpus): `binaryFile` scan
+    * (one task per shard file — the dataloader's own work-assignment
+    * granularity), tar walk + checksum verify per entry, doc_id
+    * recovered from the `<id>.txt` entry name. Row order within a
+    * shard is the archive's entry order (= shuffle-rank order for our
+    * own exports).
+    */
+  def readTarShards(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(s"$path/*.tar")
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        val shard = p.split("/").last.stripPrefix("shard-").stripSuffix(".tar").toInt
+        readTarEntries(bytes).map { case (name, data) =>
+          (shard, name.stripSuffix(".txt").toLong, new String(data, "UTF-8"))
+        }
+      }
+      .toDF("shard", "doc_id", "text")
   }
 
   /** Streaming shard maintenance: arriving documents are assigned to

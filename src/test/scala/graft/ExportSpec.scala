@@ -226,5 +226,23 @@ class ExportSpec extends SparkSpec {
       assert(java.util.Arrays.equals(Files.readAllBytes(f.toPath),
         Files.readAllBytes(g)), s"${f.getName} not bit-identical across exports")
     }
+    // the engine reads its own export back losslessly (distributed
+    // reader: binaryFile scan + checksum-verified tar walk)
+    val back = Export.readTarShards(spark, dir)
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    val orig = docs.select("doc_id", "text").as[(Long, String)].collect().toSet
+    assert(back === orig, "tar round trip lost or altered documents")
+  }
+
+  test("tarEntry handles padding boundaries: exact-block, empty, unicode") {
+    for (content <- Seq("x" * 512, "", "x" * 511, "x" * 513, "héllo 日本 😀")) {
+      val bytes = Export.tarEntry("42.txt", content.getBytes("UTF-8")) ++
+        new Array[Byte](1024)
+      val entries = Export.readTarEntries(bytes)
+      assert(entries.map(_._1) === Seq("42.txt"))
+      assert(new String(entries.head._2, "UTF-8") === content,
+        s"round trip broke at content length ${content.getBytes("UTF-8").length}")
+      assert(bytes.length % 512 === 0, "archive not block-aligned")
+    }
   }
 }
