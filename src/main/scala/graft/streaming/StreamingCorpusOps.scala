@@ -162,6 +162,43 @@ object StreamingCorpusOps {
         })
   }
 
+  case class SlotDoc(doc_id: Long, source: String, rk: Long, vt_micro: Long)
+  implicit private val slotEnc: Encoder[SlotDoc] = Encoders.product[SlotDoc]
+
+  /** Streaming face of `export_interleave`'s stride scheduler:
+    * arriving documents get a VIRTUAL TIME vt = rk * 1e6 div weight,
+    * where rk is the per-source arrival rank (ONE Long of state per
+    * source, persisted across micro-batches) and `weights` is the
+    * FROZEN per-source weight table — the frozen-boundary convention
+    * of the streaming export family (an online stream cannot know
+    * final source sizes; re-derive weights batch-side when the mix
+    * drifts). A downstream consumer draining by ascending vt reads
+    * sources at their weight ratios — the dataloader fair-share
+    * contract — while each doc's (rk, vt) is assigned at INGEST, one
+    * integer per source of state. Within a micro-batch, ranks assign
+    * in doc_id order (the tokenBudgetGate replay-determinism
+    * convention); across batches, by arrival. Unknown sources get
+    * weight 1.
+    */
+  def interleaveGate(docs: Dataset[SrcDoc],
+      weights: Map[String, Long]): Dataset[SlotDoc] = {
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val strEnc: Encoder[String] = Encoders.STRING
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (src: String, it: Iterator[SrcDoc], state: GroupState[Long]) => {
+          val w = math.max(1L, weights.getOrElse(src, 1L))
+          var rk = state.getOption.getOrElse(0L)
+          val out = Vector.newBuilder[SlotDoc]
+          it.toSeq.sortBy(_.doc_id).foreach { d =>
+            rk += 1L
+            out += SlotDoc(d.doc_id, src, rk, rk * 1000000L / w)
+          }
+          state.update(rk)
+          out.result().iterator
+        })
+  }
+
   /** Streaming PII scrub: the redaction chain applied at ingest — a
     * pure map-side projection (shared `TextOps.scrubPii` regexp chain),
     * so a document's PII never reaches the corpus store. Identical on

@@ -482,6 +482,31 @@ class StreamingCorpusSpec extends SparkSpec {
     }
   }
 
+  test("interleave gate: per-source ranks persist, vt = rk*1e6 div weight") {
+    import graft.streaming.StreamingCorpusOps.SrcDoc
+    val in = MemoryStream[SrcDoc]
+    val q = StreamingCorpusOps.interleaveGate(in.toDS(),
+        Map("a" -> 3L, "b" -> 1L))
+      .writeStream.format("memory").queryName("il_t1")
+      .outputMode(OutputMode.Append).trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(SrcDoc(1L, "x", "a"), SrcDoc(2L, "x", "a"), SrcDoc(10L, "x", "b"))
+      drain(q)
+      in.addData(SrcDoc(3L, "x", "a"), SrcDoc(11L, "x", "b"), SrcDoc(20L, "x", "c"))
+      drain(q)
+      val got = spark.sql("SELECT doc_id, source, rk, vt_micro FROM il_t1 ORDER BY doc_id")
+        .as[(Long, String, Long, Long)].collect().toSeq
+      assert(got === Seq(
+        (1L, "a", 1L, 333333L),   // 1e6/3 floor
+        (2L, "a", 2L, 666666L),
+        (3L, "a", 3L, 1000000L),  // rank persisted across batches
+        (10L, "b", 1L, 1000000L),
+        (11L, "b", 2L, 2000000L),
+        (20L, "c", 1L, 1000000L)  // unknown source -> weight 1
+      ), s"got $got")
+    } finally q.stop()
+  }
+
   test("token-budget gate admits greedily per shard and persists spend across batches") {
     import graft.streaming.StreamingCorpusOps.SrcDoc
     // 4-char words => 1 subword each; "w w w w" = 4 tokens = 4 subwords
