@@ -1085,6 +1085,12 @@ class ExtensionInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("retrieval demo line is pinned verbatim") {
+    assert(RetrievalDemo.summary(spark, sf0001) ===
+      "RETRIEVAL_DEMO bm25=20 indexed_eq=true hybrid_top=402 hardneg=5 " +
+        "mmr_top2=17,299 communities=22")
+  }
+
   test("trailing range window equals brute-force per-event recount") {
     import org.apache.spark.sql.functions.{col, unix_micros, round => sround, lit}
     val got = q("q42_trailing_range_window")
