@@ -1746,6 +1746,29 @@ object ExtensionQueries {
     // rank as integer micro-cosines (round(cos * 1e6), identical in
     // both engines) — the TopK buffer is integer-ordered, no double
     // comparisons in state.
+    // FILTERED vector search — the composition every vector store
+    // struggles with (predicate + ANN): cosine top-k restricted to a
+    // metadata slice (label = 3). At this corpus the honest plan is
+    // the filtered brute scan with the label predicate PUSHED TO THE
+    // PARQUET SCAN (PlanAuditSpec pins PushedFilters — the scan reads
+    // ~1/10th of the rows before any arithmetic); at index scale the
+    // same predicate rides into the cell/bucket scans of the persisted
+    // indexes (the partition-pruning machinery sim_ivf_topk_indexed
+    // already proves). Same scoring/rounding/tiebreak contract as
+    // sim_cosine_topk.
+    "sim_filtered_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"), VectorOps.norm2(col("embedding")).as("nq"))
+      emb.filter(col("vec_id") =!= 0 && col("label") === 3)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"),
+          round(VectorOps.dot(col("qv"), col("embedding")) /
+            sqrt(col("nq") * VectorOps.norm2(col("embedding"))), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     // MMR diversification (Maximal Marginal Relevance, Carbonell &
     // Goldstein) — the rerank rung above the ANN ladder: from the
     // cosine top-20 candidate window, greedily pick 10 results
@@ -4891,6 +4914,16 @@ object ExtensionQueries {
        "list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) nv " +
        "FROM embeddings, q WHERE vec_id <> 0) " +
        "SELECT vec_id, round(dot/sqrt(nq*nv), 6) AS cos_sim FROM s " +
+       "ORDER BY cos_sim DESC, vec_id LIMIT 10"),
+    "sim_filtered_topk" ->
+      // the sim_cosine_topk replay restricted to the label slice
+      ("WITH q AS (SELECT embedding qe FROM embeddings WHERE vec_id = 0), " +
+       "s AS (SELECT vec_id, label, " +
+       "list_sum(list_transform(list_zip(qe, embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) dot, " +
+       "list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) nq, " +
+       "list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) nv " +
+       "FROM embeddings, q WHERE vec_id <> 0 AND label = 3) " +
+       "SELECT vec_id, label, round(dot/sqrt(nq*nv), 6) AS cos_sim FROM s " +
        "ORDER BY cos_sim DESC, vec_id LIMIT 10"),
     "sim_range_search" ->
       // the sim_ivf_topk cell derivation with a radius cut instead of

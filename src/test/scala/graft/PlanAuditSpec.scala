@@ -532,6 +532,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"top-k degenerated to a global sort:\n$p")
   }
 
+  test("filtered vector search: label predicate pushed to the parquet scan") {
+    // the metadata slice must cut BEFORE any vector arithmetic —
+    // PushedFilters carries the label equality into the scan, the
+    // top-k stays TakeOrderedAndProject, zero hash exchanges
+    val p = plan("sim_filtered_topk")
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(label,3\\)".r.findFirstIn(p).isDefined,
+      s"label filter did not push to the scan:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 0,
+      s"filtered scan planned a shuffle:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k degenerated to a sort:\n$p")
+  }
+
   test("hard negatives: lexical frame broadcasts into the embeddings join") {
     // the 20-row bm25 frame and the 1-row query vector must both ride
     // broadcasts — the embeddings side is ONE scan, never shuffled
