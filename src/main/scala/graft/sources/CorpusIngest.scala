@@ -87,4 +87,41 @@ object CorpusIngest {
   def streamJsonl(spark: SparkSession, dir: String,
       schema: StructType = docSchema): DataFrame =
     parseLines(spark.readStream.text(dir), schema)
+
+  /** CSV/TSV twin of [[parseLines]]: one `from_csv` projection with
+    * the same corrupt-capture shape, so [[split]] serves BOTH formats
+    * with one quarantine contract (torn lines, arity mismatches,
+    * type-corrupt fields, blanks, and missing required fields all
+    * land in the audit trail). Pass `sep = "\t"` for TSV dumps;
+    * quoting follows the CSV spec (embedded separators inside
+    * double-quoted fields survive).
+    */
+  def parseCsvLines(lines: DataFrame, schema: StructType = docSchema,
+      sep: String = ","): DataFrame =
+    lines.select(col("value"),
+      from_csv(col("value"), schema.add(StructField(Corrupt, StringType)),
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> Corrupt,
+          "sep" -> sep)).as("p"))
+
+  /** Batch CSV read → (good, quarantine). A header line matching the
+    * schema's field names is DROPPED by default (it is layout, not a
+    * torn record — quarantining it would pollute the audit trail of
+    * every well-formed dump); any OTHER header-ish line still
+    * quarantines via the type check.
+    */
+  def readCsv(spark: SparkSession, path: String,
+      schema: StructType = docSchema, sep: String = ",",
+      dropHeader: Boolean = true): (DataFrame, DataFrame) = {
+    val header = schema.fieldNames.mkString(sep)
+    val lines0 = spark.read.text(path)
+    val lines = if (dropHeader) lines0.filter(col("value") =!= header) else lines0
+    split(parseCsvLines(lines, schema, sep), schema)
+  }
+
+  /** Streaming CSV ingest of a landing-zone directory — the
+    * [[streamJsonl]] twin over [[parseCsvLines]].
+    */
+  def streamCsv(spark: SparkSession, dir: String,
+      schema: StructType = docSchema, sep: String = ","): DataFrame =
+    parseCsvLines(spark.readStream.text(dir), schema, sep)
 }

@@ -88,4 +88,29 @@ class CorpusIngestSpec extends SparkSpec {
       assert(badOut.toSet === Set("broken {line"))
     } finally q.stop()
   }
+
+  test("CSV ingest: typed parse, quoted separators, one quarantine contract, header dropped") {
+    val lines = Seq(
+      "doc_id,text,lang,source,n_chars",       // header: layout, dropped
+      """1,"alpha, beta",en,s0,11""",           // quoted embedded comma
+      "2,uno dos,es,s1,7",
+      "x,bad id type,en,s0,3",                 // type-corrupt doc_id
+      "3,too,many,columns,here,extra",         // arity overflow
+      "",                                      // blank
+      "4,,en,s0,0")                            // missing required text
+    val f = Files.createTempFile("corpus", ".csv")
+    Files.writeString(f, lines.mkString("\n"))
+    val (good, quarantine) = CorpusIngest.readCsv(spark, f.toString)
+    assert(good.as[(Long, String, String, String, Long)].collect().toSet ===
+      Set((1L, "alpha, beta", "en", "s0", 11L), (2L, "uno dos", "es", "s1", 7L)))
+    val q = quarantine.as[String].collect().toSet
+    assert(q === Set("x,bad id type,en,s0,3", "3,too,many,columns,here,extra",
+      "", "4,,en,s0,0"), s"quarantine mismatch: $q")
+    // TSV: same machinery through the sep option
+    val t = Files.createTempFile("corpus", ".tsv")
+    Files.writeString(t, "5\ttab text\ten\ts0\t8")
+    val (tg, tq) = CorpusIngest.readCsv(spark, t.toString, sep = "\t")
+    assert(tg.as[(Long, String, String, String, Long)].collect().toSeq ===
+      Seq((5L, "tab text", "en", "s0", 8L)) && tq.isEmpty)
+  }
 }
