@@ -121,6 +121,37 @@ object DevProbe {
 
     t("sim_recall_report") { SparkEntry.queries("sim_recall_report")(spark, sfDir).count() }
 
+    // ---- round-13 probes: LPA argmax formulations ----
+    // production = packed-long hash-agg argmax. The window and
+    // struct-max variants pin WHY: struct-max falls to SortAggregate
+    // (measured ~2.1 s vs ~1.3 s at sf0.1); window ties the packed
+    // form here because the query is JOB-COUNT bound (4 rounds x 2
+    // exchanges), but pays a per-node sort the hash agg doesn't at
+    // scale.
+    t("lpa_production") { SparkEntry.queries("crawl_communities")(spark, sfDir).count() }
+    t("lpa_window_variant") {
+      import org.apache.spark.sql.expressions.Window
+      val n = Tables.parquetRowCount(spark, s"$sfDir/documents.parquet")
+      val hubs = math.min(16L, n)
+      val nodes = Tables.documents(spark, sfDir).select(col("doc_id").as("v"))
+      val edges = nodes.select(col("v").as("src"))
+        .select(col("src"), explode(array(
+          (col("src") * 31 + 7) % n, col("src") % hubs,
+          (col("src") * 13 + 11) % n)).as("dst"))
+      val und = edges.select(col("src").as("v"), col("dst").as("u"))
+        .unionByName(edges.select(col("dst").as("v"), col("src").as("u")))
+        .unionByName(nodes.select(col("v"), col("v").as("u")))
+      var labels = nodes.select(col("v").as("u"), col("v").as("lbl"))
+      for (_ <- 1 to 4) {
+        val counted = und.join(labels, Seq("u"))
+          .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy(col("v")).orderBy(col("c").desc, col("lbl").asc)
+        labels = counted.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).select(col("v").as("u"), col("lbl"))
+      }
+      labels.count()
+    }
+
     // ---- round-13 probes: BM25 scan-scoring vs index probe A/B ----
     // bm25_scan_baseline reproduces the round-12 shape (corpus scan +
     // native struct lookup per term + one-row stats agg); the

@@ -3847,10 +3847,22 @@ object ExtensionQueries {
       for (_ <- 1 to 4) {
         val counted = und.join(labels, Seq("u"))
           .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("c"))
-        val w = Window.partitionBy(col("v"))
-          .orderBy(col("c").desc, col("lbl").asc)
-        labels = counted.withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1).select(col("v").as("u"), col("lbl"))
+        // argmax via MAX over ONE PACKED LONG (count in the high 32
+        // bits, bit-inverted label in the low 32 — count desc, ties to
+        // the SMALLEST label): same result as a row_number window or a
+        // struct-max, but the aggregate buffer stays a primitive so
+        // Catalyst keeps it a HASH aggregate (struct-max falls back to
+        // SortAggregate; the window adds a per-node sort — the
+        // dedup_ngram_jaccard packed-long recipe applied to argmax).
+        // Packing bound: counts and labels < 2^31 — labels are doc_ids
+        // (the jaccard packable contract) and a count is bounded by
+        // degree+1.
+        labels = counted
+          .groupBy(col("v"))
+          .agg(max(shiftleft(col("c"), 32) +
+            (lit(0xffffffffL) - col("lbl"))).as("m"))
+          .select(col("v").as("u"),
+            (lit(0xffffffffL) - col("m").bitwiseAND(lit(0xffffffffL))).as("lbl"))
       }
       val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
       labels.join(sizes, Seq("lbl"))
