@@ -799,6 +799,27 @@ object AnalyticsQueries {
         .orderBy(col("bucket"))
     }),
 
+    // The RANK-FUNCTION family (rank, dense_rank, percent_rank,
+    // cume_dist) — four window functions the surface didn't exercise,
+    // run over an ordering WITH REAL TIES (n_chars repeats within a
+    // source) because tie handling is exactly where the four differ:
+    // rank gaps, dense_rank doesn't, percent_rank = (rank-1)/(n-1),
+    // cume_dist = peers-inclusive fraction. All four are
+    // integer-derived, so the doubles are exact cross-engine (round(6)
+    // at the edge only for column hygiene); output order pins the
+    // doc_id tiebreak. One window exchange on source.
+    "q43_rank_functions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          rank().over(w).cast("long").as("rk"),
+          dense_rank().over(w).cast("long").as("drk"),
+          round(percent_rank().over(w), 6).as("prk"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy(col("source"), col("n_chars"), col("doc_id"))
+    }),
+
     // VALUE-based RANGE window frame — the windowing capability the
     // rest of the window family (ROWS frames, lead/lag, session/
     // tumbling) doesn't exercise: per user, the trailing ONE HOUR of
@@ -1238,6 +1259,14 @@ object AnalyticsQueries {
        "CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_value " +
        "FROM orders WHERE o_orderkey % 7 <> 0 " +
        "GROUP BY o_custkey % 100 ORDER BY bucket"),
+    "q43_rank_functions" ->
+      ("SELECT source, doc_id, n_chars, " +
+       "CAST(rank() OVER w AS BIGINT) AS rk, " +
+       "CAST(dense_rank() OVER w AS BIGINT) AS drk, " +
+       "round(percent_rank() OVER w, 6) AS prk, " +
+       "round(cume_dist() OVER w, 6) AS cd " +
+       "FROM documents WINDOW w AS (PARTITION BY source ORDER BY n_chars) " +
+       "ORDER BY source, n_chars, doc_id"),
     "q42_trailing_range_window" ->
       // same integer microsecond domain, numeric RANGE frame
       ("WITH e AS (SELECT event_id, user_id, epoch_us(ts) tm, " +
