@@ -142,7 +142,12 @@ object ScaleSmoke {
         // round-13 third wave: RAKE token windows + vocab broadcast at
         // 10x, containment over the 10x-pressure shingle buckets, the
         // fair-share schedule's top-k over 10x docs
-        "corpus_keyphrases", "dedup_containment", "export_interleave")) {
+        "corpus_keyphrases", "dedup_containment", "export_interleave",
+        // filtered ANN (pushdown over 10x vectors), MMR's candidate
+        // scan, the RANGE frame over 10x user-event cardinality, and
+        // the tie-heavy rank family
+        "sim_filtered_topk", "sim_mmr_rerank",
+        "q42_trailing_range_window", "q43_rank_functions")) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).count()
       println(f"$q%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $n%10d rows")
