@@ -128,9 +128,7 @@ object DevProbe {
     // form here because the query is JOB-COUNT bound (4 rounds x 2
     // exchanges), but pays a per-node sort the hash agg doesn't at
     // scale.
-    t("lpa_production") { SparkEntry.queries("crawl_communities")(spark, sfDir).count() }
-    t("lpa_window_variant") {
-      import org.apache.spark.sql.expressions.Window
+    def lpaVariant(argmax: DataFrame => DataFrame): Long = {
       val n = Tables.parquetRowCount(spark, s"$sfDir/documents.parquet")
       val hubs = math.min(16L, n)
       val nodes = Tables.documents(spark, sfDir).select(col("doc_id").as("v"))
@@ -145,11 +143,37 @@ object DevProbe {
       for (_ <- 1 to 4) {
         val counted = und.join(labels, Seq("u"))
           .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("c"))
-        val w = Window.partitionBy(col("v")).orderBy(col("c").desc, col("lbl").asc)
-        labels = counted.withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1).select(col("v").as("u"), col("lbl"))
+        labels = argmax(counted)
       }
       labels.count()
+    }
+    t("lpa_production") { SparkEntry.queries("crawl_communities")(spark, sfDir).count() }
+    t("lpa_window_variant") {
+      import org.apache.spark.sql.expressions.Window
+      lpaVariant { counted =>
+        val w = Window.partitionBy(col("v")).orderBy(col("c").desc, col("lbl").asc)
+        counted.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).select(col("v").as("u"), col("lbl"))
+      }
+    }
+    t("lpa_structmax_variant") {
+      // SortAggregate fallback: the struct buffer is non-primitive
+      lpaVariant { counted =>
+        counted.groupBy(col("v"))
+          .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+          .select(col("v").as("u"), (-col("m.nl")).as("lbl"))
+      }
+    }
+    t("lpa_packed_variant") {
+      // the production argmax in isolation (production also pays the
+      // edge store read + the sizes join + the output sort)
+      lpaVariant { counted =>
+        counted.groupBy(col("v"))
+          .agg(max(shiftleft(col("c"), 32) +
+            (lit(0xffffffffL) - col("lbl"))).as("m"))
+          .select(col("v").as("u"),
+            (lit(0xffffffffL) - col("m").bitwiseAND(lit(0xffffffffL))).as("lbl"))
+      }
     }
 
     // ---- round-13 probes: BM25 scan-scoring vs index probe A/B ----

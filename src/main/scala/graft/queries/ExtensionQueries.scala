@@ -3864,10 +3864,16 @@ object ExtensionQueries {
           .select(col("v").as("u"),
             (lit(0xffffffffL) - col("m").bitwiseAND(lit(0xffffffffL))).as("lbl"))
       }
-      val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
-      labels.join(sizes, Seq("lbl"))
-        .select(col("u").as("doc_id"), col("lbl").as("community"),
-          col("n_members"))
+      // community sizes via a WINDOW over the final labels, not a
+      // self-join: the join's build side would re-evaluate the whole
+      // 4-round subtree (no exchange for ReuseExchange to share —
+      // measured ~2x the query, see the lpa_* DevProbe family); the
+      // window is one extra exchange on the label over a single
+      // evaluation
+      labels
+        .select(col("u").as("doc_id"), col("lbl").as("community"))
+        .withColumn("n_members", count(lit(1)).over(
+          Window.partitionBy(col("community"))))
         .orderBy(col("doc_id"))
     }),
 
