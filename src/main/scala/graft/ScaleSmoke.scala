@@ -147,7 +147,19 @@ object ScaleSmoke {
         // scan, the RANGE frame over 10x user-event cardinality, and
         // the tie-heavy rank family
         "sim_filtered_topk", "sim_mmr_rerank",
-        "q42_trailing_range_window", "q43_rank_functions")) {
+        "q42_trailing_range_window", "q43_rank_functions",
+        // round-13 fourth wave: RM3's posting-store re-score over 10x
+        // postings (the expansion broadcast stays 5 rows), the seeded
+        // rank loop (10x nodes, phantom-sink caveat as crawl_pagerank),
+        // soft-dedup weighting under maximal duplicate pressure (every
+        // replica group has n >= 10, so weights actually bite), and
+        // the integer-OLS fit over the replicated vocabulary
+        "search_rm3_expand", "search_snippets", "crawl_ppr",
+        "sample_soft_dedup", "corpus_zipf",
+        // QL pivot over 10x postings (stats still one broadcast row),
+        // the burstiness aggregate over 10x posting rows, and the
+        // token-weighted curriculum CDF over the replicated key space
+        "search_ql_dirichlet", "corpus_burstiness", "export_curriculum")) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).count()
       println(f"$q%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $n%10d rows")

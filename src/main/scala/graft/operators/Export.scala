@@ -296,6 +296,36 @@ object Export {
     cuts
   }
 
+  /** Weighted twin of [[equiDepthCuts]]: boundaries that split the
+    * TOTAL WEIGHT (not the row count) into `nBuckets` near-equal
+    * slabs — e.g. token-balanced curriculum phases where each doc
+    * weighs its token count. Same shape: one per-key aggregate, a
+    * key-ordered running sum over the (distinct-key-sized, not
+    * corpus-sized) CDF frame, a broadcast target probe, and a bounded
+    * nBuckets-1 collect. Equal keys always land in one bucket (cuts
+    * are key values, [[bucketOf]] counts cuts strictly below), so
+    * buckets are exactly equal only up to key granularity.
+    */
+  def weightedEquiDepthCuts(df: DataFrame, keyCol: String, weightCol: String,
+      nBuckets: Int): Array[Long] = {
+    import org.apache.spark.sql.expressions.Window
+    val cdf = df.groupBy(col(keyCol)).agg(sum(col(weightCol)).as("c"))
+      .withColumn("cum", sum(col("c")).over(Window.orderBy(col(keyCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val total = cdf.agg(sum(col("c")).as("n"))
+    val targets = df.sparkSession.range(1, nBuckets.toLong).toDF("i")
+      .crossJoin(broadcast(total))
+      .select(col("i"), expr(s"(i * n + ${nBuckets - 1}) div $nBuckets").as("t"))
+    val cuts = broadcast(targets)
+      .join(cdf, cdf("cum") >= col("t"))
+      .groupBy(col("i")).agg(min(col(keyCol)).as("b"))
+      .orderBy(col("i")).collect().map(_.getLong(1))
+    require(cuts.length == nBuckets - 1,
+      s"weightedEquiDepthCuts: expected ${nBuckets - 1} cuts, got ${cuts.length}" +
+        " (empty or degenerate input frame)")
+    cuts
+  }
+
   /** 0-based bucket of `key` under `cuts`: the count of cuts strictly
     * below it, so equal keys always share a bucket (ranges can touch
     * but never interleave).

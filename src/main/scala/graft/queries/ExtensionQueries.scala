@@ -1156,6 +1156,28 @@ object ExtensionQueries {
           col("i"))
   }
 
+  /** Exact-dup content groups over the synthetically re-uploaded
+    * corpus (every doc_id % 7 == 0 doc unioned once more — the
+    * text_pii_scrub convention: the fixtures ship zero byte-exact
+    * clones, so the operators under test would otherwise run on a
+    * vacuous signal). One row per (source, content-hash) group with
+    * copy count `n` and per-copy subword tokens `t` — the ONE
+    * definition of "duplicate group" shared by the inflation
+    * accounting (`corpus_dedup_inflation`) and the soft-dedup
+    * weighting (`sample_soft_dedup`).
+    */
+  private def reupContentGroups(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+    val withReups = base.select(col("source"), col("text"))
+      .unionByName(base.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select(col("source"), col("text")))
+    withReups
+      .select(col("source"), md5(col("text")).as("h"),
+        TextOps.subwordCount(TextOps.tokens(col("text"))).cast("long").as("t"))
+      .groupBy(col("source"), col("h"))
+      .agg(count(lit(1)).as("n"), min(col("t")).as("t"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- Dedup ---------------------------------------------------------
@@ -1454,6 +1476,113 @@ object ExtensionQueries {
             coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)), 6).as("rrf"))
         .orderBy(col("rrf").desc, col("doc_id"))
         .limit(10)
+    }),
+
+    // Pseudo-relevance-feedback query expansion (the RM3 recipe,
+    // Lavrenko/Croft relevance models as productionized in Anserini):
+    // take the lexical arm's top-10 as the FEEDBACK set, mine the 5
+    // heaviest non-query terms from their postings (weight = summed
+    // tf over the feedback docs — the RM1 estimate with uniform doc
+    // priors), then re-score the WHOLE corpus against the expanded
+    // term set with tf-idf weighting. This is the standard
+    // vocabulary-mismatch fix a retrieval-driven curation pipeline
+    // runs when the seed query under-recalls. Plan: the feedback set
+    // is a 10-row broadcast into the posting store (matched rows
+    // only), expansion terms are a 5-row broadcast back into the SAME
+    // memoized store — two bounded broadcasts, one exchange each, and
+    // the corpus is never re-tokenized (store lifecycle). Determinism:
+    // expansion weights are exact integer tf sums (ties at the 5-cut
+    // break on term), per-term contributions are rounded to INTEGER
+    // MICROS before the per-doc sum (order-free — the ppm contract),
+    // final ties break on doc_id.
+    "search_rm3_expand" -> ((s, dir) => {
+      val n = Tables.parquetRowCount(s, s"$dir/documents.parquet")
+      val posting = postingFrame(s, dir)
+      val fb = bm25TopFrame(s, dir)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+        .select(col("doc_id"))
+      val exp = posting.join(broadcast(fb), Seq("doc_id"))
+        .filter(!col("term").isin(Bm25Terms: _*))
+        .groupBy(col("term")).agg(sum(col("tf")).as("w"))
+        .orderBy(col("w").desc, col("term")).limit(5)
+      posting.join(broadcast(exp), Seq("term"))
+        .select(col("doc_id"),
+          round((col("w") * col("tf")).cast("double") *
+            log(lit(n.toDouble) / col("df")) * lit(1000000.0))
+            .cast("long").as("c_micro"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c_micro")).as("rm3_micro"),
+          count(lit(1)).as("n_terms"))
+        .orderBy(col("rm3_micro").desc, col("doc_id"))
+        .limit(10)
+    }),
+
+    // Query-likelihood retrieval with Dirichlet smoothing (Ponte/Croft
+    // language-model scoring as standardized in Zhai/Lafferty, mu =
+    // 2000 — the OTHER classic lexical scorer next to BM25, and the
+    // one whose scores are comparable across queries): score(d) =
+    // sum_q ln((tf + mu * cf/|C|) / (dl + mu)). Same serving shape as
+    // search_bm25_topk: matched posting rows pivot per doc (tf0..tf2
+    // + dl ride the store rows), the query terms' CORPUS frequencies
+    // collapse to one broadcast row beside the memoized sumdl stats
+    // row, and the cut is a TakeOrderedAndProject. The three ln terms
+    // sum in fixed query order (same expression shape as the oracle);
+    // round(6) absorbs libm ulps — the bm25 contract.
+    "search_ql_dirichlet" -> ((s, dir) => {
+      val terms = Bm25Terms
+      val mu = 2000.0
+      val matched = postingFrame(s, dir).filter(col("term").isin(terms: _*))
+      val aggs =
+        max(col("dl")).as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          coalesce(max(when(col("term") === t, col("tf"))), lit(0L)).as(s"tf$i") }
+      val perDoc = matched.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      val cfAggs = terms.zipWithIndex.map { case (t, i) =>
+        coalesce(sum(when(col("term") === t, col("tf"))), lit(0L)).as(s"cf$i") }
+      val cfRow = matched.groupBy().agg(cfAggs.head, cfAggs.tail: _*)
+      def termScore(i: Int): Column =
+        log((col(s"tf$i").cast("double") +
+          lit(mu) * col(s"cf$i").cast("double") / col("sumdl").cast("double")) /
+          (col("dl").cast("double") + lit(mu)))
+      perDoc.crossJoin(broadcast(cfRow))
+        .crossJoin(broadcast(postingStatsFrame(s, dir)))
+        .select(col("doc_id"), col("dl"), col("tf0"), col("tf1"), col("tf2"),
+          round(termScore(0) + termScore(1) + termScore(2), 6).as("ql"))
+        .orderBy(col("ql").desc, col("doc_id"))
+        .limit(20)
+    }),
+
+    // Best-window snippet extraction (the serving-side highlight every
+    // search UI and RAG context assembler needs): for the lexical
+    // arm's top-5 docs, the 10-token window with the most query-term
+    // hits, earliest window on ties. The candidate frame is bounded by
+    // contract (5 docs — a broadcast semi-join prunes the corpus scan
+    // to exactly those rows, so the window enumeration never touches
+    // the other 100 TB), the per-doc start explosion is O(doc length)
+    // rows for 5 docs, and the argmax window partitions by doc_id.
+    // Integer hit counts — no rounding contract needed; the snippet
+    // string itself is compared byte-exact by the oracle gate.
+    "search_snippets" -> ((s, dir) => {
+      val qt = array(Bm25Terms.map(lit): _*)
+      val top5 = bm25TopFrame(s, dir)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(5)
+        .select(col("doc_id"))
+      val docs = Tables.documents(s, dir)
+        .join(broadcast(top5), Seq("doc_id"))
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val starts = docs.select(col("doc_id"), col("ws"),
+        explode(sequence(lit(1), greatest(lit(1), size(col("ws")) - 9))).as("sp"))
+      val hits = starts.withColumn("n_hits",
+        size(filter(slice(col("ws"), col("sp"), lit(10)),
+          w => array_contains(qt, w))).cast("long"))
+      val byDoc = Window.partitionBy(col("doc_id"))
+        .orderBy(col("n_hits").desc, col("sp"))
+      hits.withColumn("rn", row_number().over(byDoc))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("sp").cast("long").as("best_start"),
+          col("n_hits"),
+          concat_ws(" ", slice(col("ws"), col("sp"), lit(10))).as("snippet"))
+        .orderBy(col("doc_id"))
     }),
 
     // Scalar-quantized (int8-SQ) similarity — the MEMORY-scale path
@@ -2581,6 +2710,64 @@ object ExtensionQueries {
         .orderBy(col("source").asc_nulls_last)
     }),
 
+    // Zipf rank-frequency fit — the corpus-health diagnostic next to
+    // corpus_stats: natural text follows cf ~ rank^slope with slope
+    // near -1, and a corpus whose fitted slope drifts far from that
+    // (too flat = template spam, too steep = tiny effective
+    // vocabulary) fails distributional QA before any model sees it.
+    // Term frequencies come from the memoized posting store (no
+    // re-tokenization), the top-100 cut is a TakeOrderedAndProject,
+    // and the OLS fit runs over ln-ln points quantized to INTEGER
+    // MICROS first, so all four regression sums are exact integer
+    // arithmetic (order-free — no summation-order ulps can reach the
+    // hash) and the only doubles are the final slope/intercept
+    // divisions, mirrored expression-for-expression by the oracle.
+    // The window runs over the already-limited 100-row frame (bounded
+    // by contract, not corpus-sized).
+    "corpus_zipf" -> ((s, dir) => {
+      val top = postingFrame(s, dir)
+        .groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+        .orderBy(col("cf").desc, col("term")).limit(100)
+        .withColumn("rk", row_number()
+          .over(Window.orderBy(col("cf").desc, col("term"))).cast("long"))
+      val xy = top.select(
+        round(log(col("rk").cast("double")) * 1000000.0).cast("long").as("xi"),
+        round(log(col("cf").cast("double")) * 1000000.0).cast("long").as("yi"))
+      val ag = xy.agg(count(lit(1)).as("n"),
+        sum(col("xi")).as("sx"), sum(col("yi")).as("sy"),
+        sum(col("xi") * col("yi")).as("sxy"),
+        sum(col("xi") * col("xi")).as("sxx"))
+      val num = col("n") * col("sxy") - col("sx") * col("sy")
+      val den = col("n") * col("sxx") - col("sx") * col("sx")
+      ag.select(col("n").as("n_terms"),
+        round(num.cast("double") / den.cast("double"), 6).as("slope"),
+        round((col("sy").cast("double") -
+          num.cast("double") / den.cast("double") * col("sx")) /
+          (col("n") * lit(1000000.0)), 6).as("intercept"))
+    }),
+
+    // Term burstiness (Church & Gale): variance-to-mean ratio of a
+    // term's per-doc tf over the docs CONTAINING it — topical content
+    // words arrive in bursts (VMR >> 1 would be Poisson's 1) while
+    // function words spread evenly; the signal behind "is this term a
+    // keyword or glue" that complements the rank-frequency view
+    // (corpus_zipf). One aggregate over the memoized posting store:
+    // VMR = (df * sum_tf2 - cf^2) / (df * cf) with EXACT integer
+    // numerator/denominator (the only double is the final rounded
+    // division, mirrored by the oracle), df >= 5 kills the
+    // small-sample tail, top-20 cut ties on term.
+    "corpus_burstiness" -> ((s, dir) =>
+      postingFrame(s, dir)
+        .groupBy(col("term"))
+        .agg(max(col("df")).as("df"), sum(col("tf")).as("cf"),
+          sum(col("tf") * col("tf")).as("sum_tf2"))
+        .filter(col("df") >= 5)
+        .select(col("term"), col("df"), col("cf"),
+          round((col("df") * col("sum_tf2") - col("cf") * col("cf")).cast("double") /
+            (col("df") * col("cf")).cast("double"), 6).as("vmr"))
+        .orderBy(col("vmr").desc, col("term"))
+        .limit(20)),
+
     // Duplication-inflation accounting — the "how much of this source
     // is copies" number every crawl review opens with, and the
     // denominator behind dedup ROI decisions: per source, exact-dup
@@ -2596,16 +2783,8 @@ object ExtensionQueries {
     // hash aggregates — (source, content) then source — both
     // map-side-combinable; integer-exact except the final rounded
     // fraction.
-    "corpus_dedup_inflation" -> ((s, dir) => {
-      val base = Tables.documents(s, dir)
-      val withReups = base.select(col("source"), col("text"))
-        .unionByName(base.filter(pmod(col("doc_id"), lit(7)) === 0)
-          .select(col("source"), col("text")))
-      val d = withReups
-        .select(col("source"), md5(col("text")).as("h"),
-          TextOps.subwordCount(TextOps.tokens(col("text"))).cast("long").as("t"))
-      d.groupBy(col("source"), col("h"))
-        .agg(count(lit(1)).as("n"), min(col("t")).as("t"))
+    "corpus_dedup_inflation" -> ((s, dir) =>
+      reupContentGroups(s, dir)
         .groupBy(col("source"))
         .agg(sum(col("n")).as("n_docs"),
           count(lit(1)).as("n_distinct"),
@@ -2614,8 +2793,35 @@ object ExtensionQueries {
           sum((col("n") - 1) * col("t")).as("tokens_dup"))
         .withColumn("dup_frac",
           round(col("n_dup_docs") / col("n_docs").cast("double"), 6))
-        .orderBy(col("source").asc_nulls_last)
-    }),
+        .orderBy(col("source").asc_nulls_last)),
+
+    // Soft deduplication (the SoftDeDup idea — down-WEIGHT copies
+    // instead of dropping them, so training keeps every document but
+    // a group of n byte-identical copies contributes one document's
+    // worth of gradient mass): each copy in an exact-dup group of
+    // size n gets weight 1e6 div n ppm, and the per-source report
+    // rolls raw vs EFFECTIVE (weighted) doc and token mass up next to
+    // the hard-dedup keep rate. Same synthetic doc_id % 7 re-uploads
+    // and the same (source, content-hash) groups as
+    // corpus_dedup_inflation — ONE shared frame
+    // ([[reupContentGroups]]) so the ROI accounting and the weighting
+    // cannot drift on what a "duplicate group" is. Integer-exact
+    // throughout (ppm weights, micro token mass); the only double is
+    // the final rounded ratio. Two hash aggregates, both
+    // map-side-combinable — the same 100 TB shape as the inflation
+    // report.
+    "sample_soft_dedup" -> ((s, dir) =>
+      reupContentGroups(s, dir)
+        .withColumn("w_ppm", expr("1000000 div n"))
+        .groupBy(col("source"))
+        .agg(sum(col("n")).as("n_docs"),
+          sum(col("n") * col("w_ppm")).as("eff_docs_micro"),
+          sum(col("n") * col("t")).as("tokens_total"),
+          sum(col("n") * col("w_ppm") * col("t")).as("eff_tokens_micro"))
+        .withColumn("soft_keep_frac",
+          round(col("eff_tokens_micro") /
+            (col("tokens_total").cast("double") * 1000000.0), 6))
+        .orderBy(col("source").asc_nulls_last)),
 
     // Context chunking (the RAG / context-window preparation step):
     // split each doc into strided 32-token windows with 8 tokens of
@@ -2898,6 +3104,33 @@ object ExtensionQueries {
       ct.select(col("n11"), col("n10"), col("n01"), col("n00"),
         round(po, 6).as("po"), round(pe, 6).as("pe"),
         round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+    }),
+
+    // Curriculum phase assignment (the easy-to-hard schedule of
+    // curriculum learning, Bengio et al.): order the corpus by the
+    // unigram-LM surprisal gate's own score (low surprisal = fluent,
+    // "easy" text first) and cut it into 4 TOKEN-BALANCED phases, so
+    // each curriculum stage feeds the trainer the same token budget.
+    // Reuses the quality family's score verbatim (the queries()
+    // registry — the gate and the schedule cannot drift) and the
+    // export family's equi-depth machinery in its new WEIGHTED form
+    // ([[graft.operators.Export.weightedEquiDepthCuts]]): boundaries
+    // come from a distinct-key-sized CDF (never a global sort of the
+    // corpus), the 3 cuts collect bounded, and phase assignment is a
+    // map-side cut count — the export_ordered_shards posture at
+    // 100 TB. Keys are the ROUNDED score in integer micros (exact on
+    // both engines — the rounding contract already guarantees the
+    // score values agree), equal keys share a phase by construction.
+    "export_curriculum" -> ((s, dir) => {
+      val su = queries("text_unigram_logprob")(s, dir)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("avg_surprisal") * 1000000.0).cast("long").as("k"))
+      val cuts = graft.operators.Export.weightedEquiDepthCuts(su, "k", "n_tokens", 4)
+      su.withColumn("phase", graft.operators.Export.bucketOf(col("k"), cuts))
+        .groupBy(col("phase"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("phase"))
     }),
 
     // Deterministic dataloader INTERLEAVE schedule (stride scheduling,
@@ -3809,6 +4042,46 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // PERSONALIZED PageRank (the seed-biased variant behind
+    // topic-focused crawling, SEAL-style seed expansion and
+    // "find more pages like this curated set" corpus growth): same
+    // synthetic link graph and bulk-synchronous loop as
+    // crawl_pagerank, but the teleport mass returns ONLY to the seed
+    // set (doc_id % 50 == 0 — 2% of the corpus) instead of uniformly,
+    // so scores measure proximity to the seeds rather than global
+    // importance. Fixed-point integer ppm arithmetic throughout
+    // (floor divisions, 4 unrolled synchronous rounds) — integer sums
+    // are order-independent, so the compare is BIT-EXACT cross-engine
+    // with no rounding contract (the crawl_pagerank recipe). The
+    // per-round teleport constant (150000 * nn) div ns rides the same
+    // 1-row broadcast as the node count; at 100 TB each round is the
+    // one contribution exchange keyed on the target id.
+    "crawl_ppr" -> ((s, dir) => {
+      val nodes = Tables.documents(s, dir).select(col("doc_id").as("i"))
+      val nFrame = nodes.agg(count(lit(1)).as("nn"),
+        sum(when(col("i") % 50 === 0, lit(1L)).otherwise(lit(0L))).as("ns"))
+      def targets = array(
+        (col("i") * 31 + 7) % col("nn"),
+        (col("i") * 17 + 3) % col("nn"),
+        (col("i") * 13 + 11) % col("nn"))
+      val seed = col("i") % 50 === 0
+      var ranks = nodes.select(col("i"),
+        when(seed, lit(1000000L)).otherwise(lit(0L)).as("r"))
+      for (_ <- 1 to 4) {
+        val contribs = ranks.crossJoin(broadcast(nFrame))
+          .select(explode(targets).as("i"), expr("r div 3").as("c"))
+        ranks = contribs.union(nodes.select(col("i"), lit(0L).as("c")))
+          .groupBy(col("i")).agg(sum(col("c")).as("sc"))
+          .crossJoin(broadcast(nFrame))
+          .select(col("i"),
+            (when(seed, expr("(150000 * nn) div ns")).otherwise(lit(0L)) +
+              expr("(85 * sc) div 100")).cast("long").as("r"))
+      }
+      ranks.select(col("i").as("doc_id"), col("r").as("ppr_ppm"),
+        seed.cast("int").as("is_seed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PageRank over a MATERIALIZED edge table — the production twin of
     // crawl_pagerank (whose edges derive arithmetically map-side, so
     // its per-iteration plan never joins): real link graphs arrive as
@@ -4545,6 +4818,24 @@ object ExtensionQueries {
        "CAST(SUM((n - 1) * t) AS BIGINT) AS tokens_dup, " +
        "round((SUM(n) - COUNT(*)) / CAST(SUM(n) AS DOUBLE), 6) AS dup_frac " +
        "FROM g GROUP BY source ORDER BY source"),
+    "sample_soft_dedup" ->
+      // same re-upload UNION ALL + (source, md5) groups as the
+      // inflation oracle (the shared reupContentGroups definition on
+      // the Spark side); ppm weights and micro token mass are exact
+      // integer arithmetic, only the final ratio is rounded
+      ("WITH u AS (SELECT source, text FROM documents " +
+       "UNION ALL SELECT source, text FROM documents WHERE doc_id % 7 = 0), " +
+       "d AS (SELECT source, md5(text) h, " +
+       "CAST(list_sum(list_transform(string_split(text, ' '), w -> CAST(ceil(length(w)/4.0) AS BIGINT))) AS BIGINT) t " +
+       "FROM u), " +
+       "g AS (SELECT source, h, COUNT(*) n, MIN(t) t FROM d GROUP BY source, h), " +
+       "w AS (SELECT source, n, t, 1000000 // n w_ppm FROM g) " +
+       "SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs, " +
+       "CAST(SUM(n * w_ppm) AS BIGINT) AS eff_docs_micro, " +
+       "CAST(SUM(n * t) AS BIGINT) AS tokens_total, " +
+       "CAST(SUM(n * w_ppm * t) AS BIGINT) AS eff_tokens_micro, " +
+       "round(SUM(n * w_ppm * t) / (CAST(SUM(n * t) AS DOUBLE) * 1000000.0), 6) AS soft_keep_frac " +
+       "FROM w GROUP BY source ORDER BY source"),
     "dedup_minhash" ->
       (s"WITH $minhashPairsCtes " +
        "SELECT a_id, b_id FROM pairs ORDER BY a_id, b_id"),
@@ -5323,6 +5614,35 @@ object ExtensionQueries {
        "CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs, CAST(SUM(q) AS BIGINT) AS n_quality, " +
        "CAST(MIN(doc_id) AS BIGINT) AS first_doc " +
        "FROM d GROUP BY source ORDER BY source"),
+    "corpus_zipf" ->
+      // ln-ln points quantized to integer micros BEFORE the four
+      // regression sums (exact integer arithmetic, order-free); the
+      // final slope/intercept divisions mirror the Spark expression
+      // shape term for term, rounded at the edge
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
+       "p AS (SELECT term, COUNT(*) cf FROM (SELECT unnest(ws) term FROM t) GROUP BY term), " +
+       "top AS (SELECT CAST(cf AS BIGINT) cf, " +
+       "row_number() OVER (ORDER BY cf DESC, term) rk FROM p ORDER BY cf DESC, term LIMIT 100), " +
+       "xy AS (SELECT CAST(round(ln(CAST(rk AS DOUBLE)) * 1000000.0) AS BIGINT) xi, " +
+       "CAST(round(ln(CAST(cf AS DOUBLE)) * 1000000.0) AS BIGINT) yi FROM top), " +
+       "ag AS (SELECT CAST(COUNT(*) AS BIGINT) n, CAST(SUM(xi) AS BIGINT) sx, " +
+       "CAST(SUM(yi) AS BIGINT) sy, CAST(SUM(xi*yi) AS BIGINT) sxy, " +
+       "CAST(SUM(xi*xi) AS BIGINT) sxx FROM xy) " +
+       "SELECT n AS n_terms, " +
+       "round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope, " +
+       "round((CAST(sy AS DOUBLE) - CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) * sx) / " +
+       "(n * 1000000.0), 6) AS intercept FROM ag"),
+    "corpus_burstiness" ->
+      // exact integer VMR numerator/denominator; the only double is
+      // the final rounded division, same expression shape as Spark
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
+       "p AS (SELECT doc_id, term, COUNT(*) tf FROM " +
+       "(SELECT doc_id, unnest(ws) term FROM t) GROUP BY doc_id, term), " +
+       "a AS (SELECT term, COUNT(*) df, CAST(SUM(tf) AS BIGINT) cf, " +
+       "CAST(SUM(tf*tf) AS BIGINT) s2 FROM p GROUP BY term) " +
+       "SELECT term, CAST(df AS BIGINT) AS df, cf, " +
+       "round(CAST(df*s2 - cf*cf AS DOUBLE) / CAST(df*cf AS DOUBLE), 6) AS vmr " +
+       "FROM a WHERE df >= 5 ORDER BY vmr DESC, term LIMIT 20"),
     "text_chunks" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
        "n AS (SELECT doc_id, ws, CASE WHEN len(ws) <= 32 THEN 1 " +
@@ -5797,6 +6117,25 @@ object ExtensionQueries {
        "FROM d, st) " +
        "SELECT doc_id, dl, tf0, tf1, tf2, bm25 FROM sc WHERE bm25 > 0 " +
        "ORDER BY bm25 DESC, doc_id LIMIT 20"),
+    "search_ql_dirichlet" ->
+      // Dirichlet-smoothed query likelihood replayed with the SAME
+      // left-assoc expression shape as the Spark scorer (mu = 2000
+      // folded as the 2000.0 literal); matched docs only (tf sum >
+      // 0 — the bm25 > 0 convention), round(6) absorbs libm ulps,
+      // ties at the cut break on doc_id
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
+       "d AS (SELECT doc_id, CAST(len(ws) AS BIGINT) dl, " +
+       "CAST(len(list_filter(ws, w -> w = 'vector')) AS BIGINT) tf0, " +
+       "CAST(len(list_filter(ws, w -> w = 'stream')) AS BIGINT) tf1, " +
+       "CAST(len(list_filter(ws, w -> w = 'window')) AS BIGINT) tf2 FROM t), " +
+       "st AS (SELECT SUM(dl) sumdl, SUM(tf0) cf0, SUM(tf1) cf1, SUM(tf2) cf2 FROM d), " +
+       "sc AS (SELECT doc_id, dl, tf0, tf1, tf2, round(" +
+       "ln((CAST(tf0 AS DOUBLE) + 2000.0 * CAST(cf0 AS DOUBLE) / CAST(sumdl AS DOUBLE)) / (CAST(dl AS DOUBLE) + 2000.0)) + " +
+       "ln((CAST(tf1 AS DOUBLE) + 2000.0 * CAST(cf1 AS DOUBLE) / CAST(sumdl AS DOUBLE)) / (CAST(dl AS DOUBLE) + 2000.0)) + " +
+       "ln((CAST(tf2 AS DOUBLE) + 2000.0 * CAST(cf2 AS DOUBLE) / CAST(sumdl AS DOUBLE)) / (CAST(dl AS DOUBLE) + 2000.0)), 6) AS ql " +
+       "FROM d, st WHERE tf0 + tf1 + tf2 > 0) " +
+       "SELECT doc_id, dl, tf0, tf1, tf2, ql FROM sc " +
+       "ORDER BY ql DESC, doc_id LIMIT 20"),
     "search_postings" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
        "p AS (SELECT doc_id, term, COUNT(*) tf FROM " +
@@ -5845,6 +6184,28 @@ object ExtensionQueries {
       "r0 AS (SELECT i, CAST(1000000 AS BIGINT) r FROM docs), " +
       (1 to 5).map(k => iter(s"r${k - 1}", s"r$k")).mkString("", ", ", " ") +
       "SELECT i AS doc_id, r AS rank_ppm FROM r5 ORDER BY doc_id"
+    },
+    "crawl_ppr" -> {
+      // 4 unrolled rounds in the crawl_pagerank integer recipe, but
+      // the teleport mass goes only to the i % 50 = 0 seeds:
+      // (150000 * n) // n_seeds per seed, 0 elsewhere. Integer floor
+      // divisions throughout — bit-exact, no rounding contract. The
+      // edge CTE is referenced by all four rounds -> MATERIALIZED
+      // (the MMR inlining lesson).
+      def iter(prev: String, cur: String): String =
+        s"$cur AS (SELECT d.i, CAST(CASE WHEN d.i % 50 = 0 THEN " +
+        "(150000 * (SELECT c FROM nn)) // (SELECT s FROM nn) ELSE 0 END " +
+        s"+ (85 * COALESCE(SUM(x.c2), 0)) // 100 AS BIGINT) r " +
+        s"FROM docs d LEFT JOIN (SELECT e.t, $prev.r // 3 c2 FROM e JOIN $prev ON e.i = $prev.i) x " +
+        "ON x.t = d.i GROUP BY d.i)"
+      "WITH docs AS (SELECT doc_id i FROM documents), " +
+      "nn AS (SELECT COUNT(*) c, CAST(SUM(CASE WHEN i % 50 = 0 THEN 1 ELSE 0 END) AS BIGINT) s FROM docs), " +
+      "e AS MATERIALIZED (SELECT i, unnest([(i*31+7)%c, (i*17+3)%c, (i*13+11)%c]) t FROM docs, nn), " +
+      "r0 AS (SELECT i, CAST(CASE WHEN i % 50 = 0 THEN 1000000 ELSE 0 END AS BIGINT) r FROM docs), " +
+      (1 to 4).map(k => iter(s"r${k - 1}", s"r$k")).mkString("", ", ", " ") +
+      "SELECT i AS doc_id, r AS ppr_ppm, " +
+      "CAST(CASE WHEN i % 50 = 0 THEN 1 ELSE 0 END AS INT) AS is_seed " +
+      "FROM r4 ORDER BY doc_id"
     },
     "crawl_communities" -> {
       // the edge table replayed arithmetically, undirected + self
@@ -6228,6 +6589,66 @@ object ExtensionQueries {
        "round(COALESCE(1.0/(60 + l.lex_rank), 0) + COALESCE(1.0/(60 + v.vec_rank), 0), 6) AS rrf " +
        "FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id " +
        "ORDER BY rrf DESC, doc_id LIMIT 10"),
+    // RM3 replay: the lexical arm's oracle composed verbatim, the
+    // posting CTE is referenced by both the expansion mine and the
+    // re-score -> MATERIALIZED; per-term contributions rounded to
+    // integer micros before the per-doc sum (order-free, the ppm
+    // contract), ties on term at the 5-cut and doc_id at the 10-cut
+    "search_rm3_expand" ->
+      (s"WITH lexq AS (${baseOracleSql("search_bm25_topk")}), " +
+       "fb AS (SELECT doc_id FROM lexq ORDER BY bm25 DESC, doc_id LIMIT 10), " +
+       // outer CTE names carry an rm_ prefix: the composed lexq is a
+       // NESTED WITH whose own t/d CTEs would otherwise collide
+       "rmt AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
+       "rmp AS MATERIALIZED (SELECT doc_id, term, COUNT(*) tf FROM " +
+       "(SELECT doc_id, unnest(ws) term FROM rmt) GROUP BY doc_id, term), " +
+       "rmd AS MATERIALIZED (SELECT term, COUNT(*) df FROM rmp GROUP BY term), " +
+       "rmn AS (SELECT COUNT(*) n FROM documents), " +
+       "ex AS MATERIALIZED (SELECT p.term, CAST(SUM(tf) AS BIGINT) w FROM rmp p JOIN fb USING (doc_id) " +
+       "WHERE p.term NOT IN ('vector', 'stream', 'window') " +
+       "GROUP BY p.term ORDER BY w DESC, p.term LIMIT 5), " +
+       "sc AS (SELECT p.doc_id, CAST(round(CAST(e.w * p.tf AS DOUBLE) * " +
+       "ln(CAST((SELECT n FROM rmn) AS DOUBLE) / d.df) * 1000000.0) AS BIGINT) c " +
+       "FROM rmp p JOIN ex e ON p.term = e.term JOIN rmd d ON p.term = d.term) " +
+       "SELECT doc_id, CAST(SUM(c) AS BIGINT) AS rm3_micro, " +
+       "CAST(COUNT(*) AS BIGINT) AS n_terms " +
+       "FROM sc GROUP BY doc_id ORDER BY rm3_micro DESC, doc_id LIMIT 10"),
+    // snippet replay: top-5 from the composed lexical oracle, window
+    // starts via the committed scalar-list generate_series pattern,
+    // integer hit counts, argmax by (hits DESC, start) per doc
+    "search_snippets" ->
+      (s"WITH lexq AS (${baseOracleSql("search_bm25_topk")}), " +
+       "fb AS (SELECT doc_id FROM lexq ORDER BY bm25 DESC, doc_id LIMIT 5), " +
+       // sn_ prefix on outer CTEs: lexq is a nested WITH with its own
+       // t CTE (the rm3 collision lesson)
+       "snt AS (SELECT d.doc_id, string_split(d.text, ' ') ws FROM documents d JOIN fb USING (doc_id)), " +
+       "sns AS (SELECT doc_id, ws, unnest(generate_series(1, greatest(1, len(ws) - 9))) sp FROM snt), " +
+       "snh AS (SELECT doc_id, ws, sp, CAST(len(list_filter(ws[sp:sp+9], " +
+       "w -> list_contains(['vector', 'stream', 'window'], w))) AS BIGINT) n_hits FROM sns), " +
+       "snr AS (SELECT doc_id, sp, n_hits, array_to_string(ws[sp:sp+9], ' ') snippet, " +
+       "row_number() OVER (PARTITION BY doc_id ORDER BY n_hits DESC, sp) rn FROM snh) " +
+       "SELECT doc_id, CAST(sp AS BIGINT) AS best_start, n_hits, snippet " +
+       "FROM snr WHERE rn = 1 ORDER BY doc_id"),
+    // curriculum replay: the surprisal oracle composed verbatim,
+    // token-weighted CDF over the distinct micro-score keys, the same
+    // (i * n + 3) // 4 targets as weightedEquiDepthCuts, phase =
+    // count of cuts strictly below the key; cu_ prefixes keep the
+    // outer CTEs clear of the nested arm's names
+    "export_curriculum" ->
+      (s"WITH cusu AS (${baseOracleSql("text_unigram_logprob")}), " +
+       "cud AS MATERIALIZED (SELECT doc_id, n_tokens, " +
+       "CAST(round(avg_surprisal * 1000000) AS BIGINT) k FROM cusu), " +
+       "cuck AS (SELECT k, CAST(SUM(n_tokens) AS BIGINT) c FROM cud GROUP BY k), " +
+       "cucd AS MATERIALIZED (SELECT k, SUM(c) OVER (ORDER BY k) cum FROM cuck), " +
+       "cutt AS (SELECT CAST(SUM(n_tokens) AS BIGINT) n FROM cud), " +
+       "cutg AS (SELECT i, (i * n + 3) // 4 t FROM (SELECT unnest([1, 2, 3]) i), cutt), " +
+       "cuts AS MATERIALIZED (SELECT i, MIN(k) b FROM cutg JOIN cucd ON cucd.cum >= cutg.t GROUP BY i), " +
+       "cuph AS (SELECT d.doc_id, d.n_tokens, d.k, " +
+       "(SELECT COUNT(*) FROM cuts c WHERE c.b < d.k) phase FROM cud d) " +
+       "SELECT CAST(phase AS BIGINT) AS phase, COUNT(*) AS n_docs, " +
+       "CAST(SUM(n_tokens) AS BIGINT) AS n_tokens, " +
+       "MIN(k) AS min_k, MAX(k) AS max_k " +
+       "FROM cuph GROUP BY phase ORDER BY phase"),
     // both gate oracles composed verbatim; contingency in exact
     // integers, po/pe/kappa mirrored arithmetic, rounded at the edge
     "quality_gate_kappa" ->

@@ -1326,4 +1326,200 @@ class ExtensionInvariantsSpec extends SparkSpec {
            && (lr2 == 0 || lr2 >= lr) && (vr2 == 0 || vr2 >= vr))
       assert(s > s2, s"doc $d (both arms) scored <= doc $d2 (one arm)")
   }
+
+  private def docTokens: Map[Long, Array[String]] =
+    Tables.documents(spark, sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> Option(t).map(_.split(" ", -1)).getOrElse(Array.empty[String]) }
+      .toMap
+
+  private def roundMicroLong(x: Double): Long =
+    BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  test("RM3 expansion: driver replay reproduces terms, weights and the top-10") {
+    val toks = docTokens
+    val n = toks.size
+    val queryTerms = Set("vector", "stream", "window")
+    val fb = q("search_bm25_topk").select("doc_id").as[Long].collect().take(10)
+    // RM1 weights: summed tf over the feedback docs, query terms out
+    val w = fb.flatMap(toks(_)).filterNot(queryTerms)
+      .groupBy(identity).map { case (t, g) => t -> g.length.toLong }
+    val exp = w.toSeq.sortBy { case (t, c) => (-c, t) }.take(5)
+    assert(exp.length === 5 && exp.forall(_._2 > 0), s"degenerate expansion: $exp")
+    val df = toks.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (t, g) => t -> g.size.toLong }
+    val scores = toks.flatMap { case (id, ws) =>
+      val tf = ws.groupBy(identity).map { case (t, g) => t -> g.length.toLong }
+      val matched = exp.filter { case (t, _) => tf.contains(t) }
+      if (matched.isEmpty) None
+      else Some((id, matched.map { case (t, wgt) =>
+        roundMicroLong((wgt * tf(t)).toDouble * math.log(n.toDouble / df(t)) * 1000000.0)
+      }.sum, matched.length.toLong))
+    }.toSeq
+    val expect = scores.sortBy { case (id, s, _) => (-s, id) }.take(10)
+    val got = q("search_rm3_expand").as[(Long, Long, Long)].collect().toSeq
+    assert(got === expect, s"rm3 replay drifted:\n got $got\n exp $expect")
+  }
+
+  test("snippets: driver replay reproduces the argmax window for each top-5 doc") {
+    val toks = docTokens
+    val queryTerms = Set("vector", "stream", "window")
+    val top5 = q("search_bm25_topk").select("doc_id").as[Long].collect().take(5)
+    val got = q("search_snippets").as[(Long, Long, Long, String)].collect()
+    assert(got.map(_._1).toSeq === top5.sorted.toSeq, "snippet doc set != lexical top-5")
+    got.foreach { case (id, start, hits, snip) =>
+      val ws = toks(id)
+      val starts = 1 to math.max(1, ws.length - 9)
+      val best = starts.map { sp =>
+        (sp, ws.slice(sp - 1, sp - 1 + 10).count(queryTerms)) }
+        .maxBy { case (sp, h) => (h, -sp) }
+      assert((start.toInt, hits.toInt) === best, s"doc $id window drifted")
+      assert(hits >= 1, s"doc $id: a bm25-positive doc must have a hit window")
+      assert(snip === ws.slice(start.toInt - 1, start.toInt - 1 + 10).mkString(" "),
+        s"doc $id snippet text drifted")
+    }
+  }
+
+  test("personalized pagerank: integer replay is bit-exact, seeds dominate") {
+    val n = Tables.documents(spark, sf0001).count()
+    val seeds = (0L until n).filter(_ % 50 == 0).toSet
+    val tele = 150000L * n / seeds.size
+    var r = (0L until n).map(i => i -> (if (seeds(i)) 1000000L else 0L)).toMap
+    for (_ <- 1 to 4) {
+      val in = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for (i <- 0L until n; t <- Seq((i * 31 + 7) % n, (i * 17 + 3) % n, (i * 13 + 11) % n))
+        in(t) += r(i) / 3
+      r = (0L until n).map(i =>
+        i -> ((if (seeds(i)) tele else 0L) + 85L * in(i) / 100L)).toMap
+    }
+    val got = q("crawl_ppr").as[(Long, Long, Int)].collect()
+    assert(got.length.toLong === n)
+    got.foreach { case (i, p, isSeed) =>
+      assert(isSeed === (if (seeds(i)) 1 else 0))
+      assert(p === r(i), s"node $i ppr $p != replay ${r(i)}")
+    }
+    // personalization must actually bias mass toward the seed set
+    val seedAvg = got.filter(_._3 == 1).map(_._2).sum / seeds.size
+    val restAvg = got.filter(_._3 == 0).map(_._2).sum / (n - seeds.size)
+    assert(seedAvg > 10 * restAvg,
+      s"seed bias vacuous: seed avg $seedAvg vs rest $restAvg")
+    // and some non-seed mass must exist (flow reaches the rest)
+    assert(got.exists(g => g._3 == 0 && g._2 > 0), "no mass left the seed set")
+  }
+
+  test("soft dedup: agrees with the inflation groups, weights bounded and non-vacuous") {
+    val soft = q("sample_soft_dedup")
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val infl = q("corpus_dedup_inflation")
+      .as[(String, Long, Long, Long, Long, Long, Double)].collect()
+    assert(soft.keySet === infl.map(_._1).toSet, "source sets differ")
+    infl.foreach { case (src, nDocs, _, nDup, tokTotal, _, _) =>
+      val (_, sDocs, effDocs, sTok, effTok, frac) = soft(src)
+      assert(sDocs === nDocs && sTok === tokTotal,
+        s"$src: totals drifted from the shared group frame")
+      assert(effDocs <= nDocs * 1000000L && effTok <= tokTotal * 1000000L)
+      if (nDup == 0) assert(effTok === tokTotal * 1000000L,
+        s"$src: dup-free source must keep full mass")
+      else assert(effTok < tokTotal * 1000000L && frac < 1.0,
+        s"$src: planted dups must cost mass")
+      val expectFrac = BigDecimal(effTok.toDouble / (tokTotal.toDouble * 1000000.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(frac === expectFrac, s"$src soft_keep_frac drifted")
+    }
+    // the %7 re-uploads hit every fixture source, so weighting must
+    // bite somewhere
+    assert(soft.values.exists(_._6 < 1.0), "soft weighting vacuous")
+  }
+
+  test("QL dirichlet: driver replay reproduces scores and the top-20") {
+    val toks = docTokens
+    val qts = Seq("vector", "stream", "window")
+    val dl = toks.map { case (id, ws) => id -> ws.length.toLong }
+    val sumdl = toks.collect { case (id, ws) if ws.nonEmpty || true => ws.length.toLong }.sum
+    val cf = qts.map(t => t -> toks.values.map(_.count(_ == t).toLong).sum)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val scored = toks.toSeq.flatMap { case (id, ws) =>
+      val tf = qts.map(t => ws.count(_ == t).toLong)
+      if (tf.sum == 0) None
+      else Some((id, dl(id), tf, r6(qts.indices.map { i =>
+        math.log((tf(i).toDouble + 2000.0 * cf(i)._2.toDouble / sumdl.toDouble) /
+          (dl(id).toDouble + 2000.0))
+      }.sum)))
+    }
+    val expect = scored.sortBy { case (id, _, _, s) => (-s, id) }.take(20)
+      .map { case (id, d, tf, s) => (id, d, tf(0), tf(1), tf(2), s) }
+    val got = q("search_ql_dirichlet")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got === expect, s"QL replay drifted:\n got $got\n exp $expect")
+    assert(got.forall(_._6 < 0), "a log-probability score must be negative")
+  }
+
+  test("burstiness: driver replay matches, content terms out-burst glue") {
+    val toks = docTokens
+    val perTerm = toks.toSeq.flatMap { case (id, ws) =>
+      ws.groupBy(identity).map { case (t, g) => (t, g.length.toLong) } }
+      .groupBy(_._1).map { case (t, g) =>
+        (t, g.length.toLong, g.map(_._2).sum, g.map(x => x._2 * x._2).sum) }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = perTerm.toSeq.filter(_._2 >= 5)
+      .map { case (t, df, cf, s2) =>
+        (t, df, cf, r6((df * s2 - cf * cf).toDouble / (df * cf).toDouble)) }
+      .sortBy { case (t, _, _, v) => (-v, t) }.take(20)
+    val got = q("corpus_burstiness").as[(String, Long, Long, Double)].collect().toSeq
+    assert(got === expect, s"burstiness replay drifted:\n got $got\n exp $expect")
+    assert(got.head._4 > 0, "top burstiness must be positive")
+  }
+
+  test("curriculum: phases are token-balanced, ordered by score, replay-exact") {
+    val su = q("text_unigram_logprob")
+      .as[(Long, Long, Double, Long)].collect()
+      .map { case (id, nt, s, _) =>
+        (id, nt, BigDecimal(s * 1000000.0).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong) }
+    // weighted equi-depth cut replay
+    val byKey = su.groupBy(_._3).map { case (k, g) => k -> g.map(_._2).sum }
+      .toSeq.sortBy(_._1)
+    val total = byKey.map(_._2).sum
+    val cum = byKey.scanLeft((0L, 0L)) { case ((_, c), (k, w)) => (k, c + w) }.drop(1)
+    val cuts = (1 to 3).map { i =>
+      val t = (i * total + 3) / 4
+      cum.find(_._2 >= t).get._1 }
+    val phases = su.map { case (id, nt, k) => (cuts.count(_ < k), nt) }
+    val expect = phases.groupBy(_._1).map { case (p, g) =>
+      (p.toLong, g.length.toLong, g.map(_._2).sum) }.toSeq.sortBy(_._1)
+    val got = q("export_curriculum").as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.map(r => (r._1, r._2, r._3)).toSeq === expect,
+      "curriculum replay drifted")
+    assert(got.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L), "all 4 phases must exist")
+    // phase key ranges must tile the score axis in order
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(a._5 <= b._4, s"phase ${a._1} max_k ${a._5} > phase ${b._1} min_k ${b._4}")
+    }
+    // token balance within key granularity: every phase within 10% of
+    // the fair quarter
+    got.foreach { p =>
+      assert(math.abs(p._3 - total / 4.0) <= total * 0.1,
+        s"phase ${p._1} tokens ${p._3} far from fair ${total / 4}") }
+  }
+
+  test("zipf fit: driver OLS replay matches, slope negative") {
+    val toks = docTokens
+    val cf = toks.values.flatten.groupBy(identity)
+      .map { case (t, g) => t -> g.size.toLong }
+    val top = cf.toSeq.sortBy { case (t, c) => (-c, t) }.take(100)
+    val xy = top.zipWithIndex.map { case ((_, c), i) =>
+      (roundMicroLong(math.log((i + 1).toDouble) * 1000000.0),
+        roundMicroLong(math.log(c.toDouble) * 1000000.0)) }
+    val nT = xy.length.toLong
+    val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+    val sxy = xy.map(p => p._1 * p._2).sum; val sxx = xy.map(p => p._1 * p._1).sum
+    val num = nT * sxy - sx * sy; val den = nT * sxx - sx * sx
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val slope = r6(num.toDouble / den.toDouble)
+    val intercept = r6((sy.toDouble - num.toDouble / den.toDouble * sx) / (nT * 1000000.0))
+    val Array((gotN, gotSlope, gotIcpt)) = q("corpus_zipf").as[(Long, Double, Double)].collect()
+    assert(gotN === nT && gotSlope === slope && gotIcpt === intercept,
+      s"zipf replay drifted: got ($gotN, $gotSlope, $gotIcpt) vs ($nT, $slope, $intercept)")
+    assert(gotSlope < 0, "frequency must fall with rank")
+  }
 }
