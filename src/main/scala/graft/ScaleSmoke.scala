@@ -159,7 +159,12 @@ object ScaleSmoke {
         // QL pivot over 10x postings (stats still one broadcast row),
         // the burstiness aggregate over 10x posting rows, and the
         // token-weighted curriculum CDF over the replicated key space
-        "search_ql_dirichlet", "corpus_burstiness", "export_curriculum")) {
+        "search_ql_dirichlet", "corpus_burstiness", "export_curriculum",
+        // the three-arm eval (each arm serves its own 10x plan; the
+        // gains join rides the 10x posting store), the reversed-edge
+        // self-join on the 10x hub-skewed edge table, and the KN count
+        // tables over the replicated bigram space
+        "search_eval_ndcg", "crawl_reciprocity", "text_bigram_kn")) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).count()
       println(f"$q%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $n%10d rows")

@@ -1517,6 +1517,52 @@ object ExtensionQueries {
         .limit(10)
     }),
 
+    // Retrieval-quality evaluation (the nDCG@10 report a serving
+    // pipeline runs on every index/ranker change): graded relevance
+    // is derived DETERMINISTICALLY from the corpus itself (gain =
+    // query-term tf capped at 10 — a graded-gain ladder wide enough that the three arms genuinely separate), and
+    // all three serving arms (BM25, Dirichlet QL, hybrid RRF) are the
+    // exact frames served by their own queries (the registry — an
+    // eval that re-implements its arms measures nothing). DCG sums
+    // integer gain x integer micro-discount (disc = round(1e6 *
+    // ln2/ln(rank+1)) — position weights agree cross-engine to the
+    // micro, then the sum is order-free integer arithmetic); ideal
+    // DCG is the global top-10 gain cut (TakeOrderedAndProject). The
+    // rank windows run over already-limited <= 20-row frames; gains
+    // ride the memoized posting store.
+    "search_eval_ndcg" -> ((s, dir) => {
+      val qts = Bm25Terms
+      def disc(rn: Column): Column =
+        round(lit(1000000.0) * log(lit(2.0)) / log(rn.cast("double") + lit(1.0)))
+          .cast("long")
+      val gains = postingFrame(s, dir).filter(col("term").isin(qts: _*))
+        .groupBy(col("doc_id")).agg(least(lit(10L), sum(col("tf"))).as("g"))
+      def arm(name: String, frame: DataFrame, score: String, id: String): DataFrame =
+        frame.select(col(id).as("doc_id"),
+            row_number().over(Window.orderBy(col(score).desc, col(id)))
+              .cast("long").as("rn"))
+          .filter(col("rn") <= 10)
+          .select(lit(name).as("arm"), col("doc_id"), col("rn"))
+      val arms =
+        arm("bm25", bm25TopFrame(s, dir), "bm25", "doc_id")
+          .unionByName(arm("ql", queries("search_ql_dirichlet")(s, dir), "ql", "doc_id"))
+          .unionByName(arm("rrf", queries("search_hybrid_rrf")(s, dir), "rrf", "doc_id"))
+      val dcg = arms.join(broadcast(gains), Seq("doc_id"), "left")
+        .select(col("arm"),
+          (coalesce(col("g"), lit(0L)) * disc(col("rn"))).as("c"))
+        .groupBy(col("arm")).agg(sum(col("c")).as("dcg_micro"))
+      // top-10 cut FIRST (TakeOrderedAndProject), window over 10 rows
+      val ideal = gains.orderBy(col("g").desc, col("doc_id")).limit(10)
+        .select(col("g"), row_number()
+          .over(Window.orderBy(col("g").desc, col("doc_id"))).cast("long").as("rn"))
+        .agg(sum(col("g") * disc(col("rn"))).as("idcg_micro"))
+      dcg.crossJoin(broadcast(ideal))
+        .select(col("arm"), col("dcg_micro"), col("idcg_micro"),
+          round(col("dcg_micro").cast("double") / col("idcg_micro").cast("double"), 6)
+            .as("ndcg"))
+        .orderBy(col("arm"))
+    }),
+
     // Query-likelihood retrieval with Dirichlet smoothing (Ponte/Croft
     // language-model scoring as standardized in Zhai/Lafferty, mu =
     // 2000 — the OTHER classic lexical scorer next to BM25, and the
@@ -2908,6 +2954,49 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Interpolated Kneser-Ney bigram scoring (Kneser/Ney 1995, the
+    // smoothing that actually ships in production n-gram LMs — see
+    // Chen & Goodman's study): P(w2|w1) = max(c12 - D, 0)/c(w1 .) +
+    // D * N1+(w1 .)/c(w1 .) * N1+(. w2)/|bigram types|, D = 0.75.
+    // Add-one smoothing (text_bigram_logprob) over-penalizes unseen
+    // pairs of frequent words; KN's CONTINUATION probability (how
+    // many contexts a word follows) fixes exactly that, so the two
+    // scores bracket a doc's real fluency. Same derivations and the
+    // same vocabulary-sized broadcast joins as the add-one scorer
+    // (history totals, distinct-successor and distinct-predecessor
+    // counts are all one aggregate each over the bigram frame); the
+    // probability is ONE double expression of identical shape on both
+    // engines, round(6) after the per-doc average (the ln-ulp
+    // contract). At 100 TB the count tables are Zipf-bounded like the
+    // unigram vocab.
+    "text_bigram_kn" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bigrams = docs
+        .filter(size(TextOps.tokens(col("text"))) >= 2)
+        .select(col("doc_id"),
+          explode(TextOps.shinglesOfText(col("text"), 2)).as("bg"))
+      val c2 = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+        .withColumn("w2", substring_index(col("bg"), " ", -1))
+      val hist = c2.groupBy(col("w1"))
+        .agg(sum(col("c2")).as("ch"), count(lit(1)).as("n1h"))
+      val cont = c2.groupBy(col("w2")).agg(count(lit(1)).as("n1c"))
+      val btypes = c2.agg(count(lit(1)).as("bt"))
+      val p =
+        greatest(col("c2").cast("double") - lit(0.75), lit(0.0)) / col("ch").cast("double") +
+        lit(0.75) * col("n1h").cast("double") / col("ch").cast("double") *
+          (col("n1c").cast("double") / col("bt").cast("double"))
+      bigrams
+        .join(c2.select(col("bg"), col("c2"), col("w1"), col("w2")), Seq("bg"))
+        .join(hist, Seq("w1"))
+        .join(cont, Seq("w2"))
+        .crossJoin(broadcast(btypes))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(-log(p)), 6).as("avg_kn_surprisal"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PMI collocation mining — the classic corpus-analytics operator
     // for phrase discovery (tokenizer merge candidates, stopword-pair
     // boilerplate, entity detection): pointwise mutual information of
@@ -4040,6 +4129,28 @@ object ExtensionQueries {
       }
       ranks.select(col("i").as("doc_id"), col("r").as("rank_ppm"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Edge reciprocity over the materialized crawl graph — the
+    // first-order "is this a social graph or a broadcast graph"
+    // diagnostic (webgraphs run ~0.2-0.4, spam link farms near 1):
+    // the fraction of distinct non-loop directed edges whose reverse
+    // edge also exists. One distinct exchange on the edge key and one
+    // self-join keyed (u,v)=(v,u) — the reversed side reuses the same
+    // shuffle width; counts are exact integers, the only double is
+    // the final rounded ratio. At 100 TB this is the canonical
+    // edge-keyed join (AQE splits the 16 hub keys).
+    "crawl_reciprocity" -> ((s, dir) => {
+      val e = crawlEdgeTable(s, dir)
+        .filter(col("src") =!= col("dst"))
+        .select(col("src").as("u"), col("dst").as("v")).distinct()
+      val rec = e.as("a").join(e.as("b"),
+        col("a.u") === col("b.v") && col("a.v") === col("b.u"))
+        .select(col("a.u").as("u"), col("a.v").as("v"))
+      e.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(rec.agg(count(lit(1)).as("n_reciprocal")))
+        .select(col("n_edges"), col("n_reciprocal"),
+          round(col("n_reciprocal") / col("n_edges").cast("double"), 6).as("reciprocity"))
     }),
 
     // PERSONALIZED PageRank (the seed-biased variant behind
@@ -6185,6 +6296,20 @@ object ExtensionQueries {
       (1 to 5).map(k => iter(s"r${k - 1}", s"r$k")).mkString("", ", ", " ") +
       "SELECT i AS doc_id, r AS rank_ppm FROM r5 ORDER BY doc_id"
     },
+    "crawl_reciprocity" ->
+      // the materialized edge table replayed arithmetically (the
+      // crawl_pagerank_edges replay), loops out, distinct, reverse
+      // self-join; exact integer counts, rounded ratio at the edge
+      ("WITH docs AS (SELECT doc_id i FROM documents), " +
+       "nn AS (SELECT COUNT(*) c FROM docs), " +
+       "e0 AS (SELECT i, unnest([(i*31+7)%c, i%LEAST(16, c), (i*13+11)%c]) t FROM docs, nn), " +
+       "e AS MATERIALIZED (SELECT DISTINCT i u, t v FROM e0 WHERE i <> t), " +
+       "ct AS (SELECT COUNT(*) n_edges FROM e), " +
+       "rc AS (SELECT COUNT(*) n_reciprocal FROM e a JOIN e b ON a.u = b.v AND a.v = b.u) " +
+       "SELECT CAST(n_edges AS BIGINT) AS n_edges, " +
+       "CAST(n_reciprocal AS BIGINT) AS n_reciprocal, " +
+       "round(n_reciprocal / CAST(n_edges AS DOUBLE), 6) AS reciprocity " +
+       "FROM ct, rc"),
     "crawl_ppr" -> {
       // 4 unrolled rounds in the crawl_pagerank integer recipe, but
       // the teleport mass goes only to the i % 50 = 0 seeds:
@@ -6406,6 +6531,27 @@ object ExtensionQueries {
        "FROM bg JOIN c2 ON bg.bg = c2.bg " +
        "JOIN c1 ON split_part(bg.bg, ' ', 1) = c1.w CROSS JOIN vs " +
        "GROUP BY doc_id ORDER BY doc_id"),
+    "text_bigram_kn" ->
+      // same bigram derivation as text_bigram_logprob; the KN
+      // probability is one double expression of identical shape
+      // (greatest/left-assoc product order mirrored), round(6) after
+      // the per-doc average
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
+       "bg AS (SELECT doc_id, bg FROM (SELECT doc_id, " +
+       "unnest(list_transform(generate_series(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1])) bg FROM t)), " +
+       "c2 AS MATERIALIZED (SELECT bg, COUNT(*) c2, split_part(bg, ' ', 1) w1, " +
+       "split_part(bg, ' ', 2) w2 FROM bg GROUP BY bg), " +
+       "hist AS (SELECT w1, CAST(SUM(c2) AS BIGINT) ch, COUNT(*) n1h FROM c2 GROUP BY w1), " +
+       "cont AS (SELECT w2, COUNT(*) n1c FROM c2 GROUP BY w2), " +
+       "bt AS (SELECT COUNT(*) bt FROM c2) " +
+       "SELECT doc_id, COUNT(*) AS n_bigrams, " +
+       "round(AVG(-ln(" +
+       "greatest(CAST(c2.c2 AS DOUBLE) - 0.75, 0.0) / CAST(ch AS DOUBLE) + " +
+       "0.75 * CAST(n1h AS DOUBLE) / CAST(ch AS DOUBLE) * " +
+       "(CAST(n1c AS DOUBLE) / CAST(bt.bt AS DOUBLE)))), 6) AS avg_kn_surprisal " +
+       "FROM bg JOIN c2 ON bg.bg = c2.bg " +
+       "JOIN hist ON c2.w1 = hist.w1 JOIN cont ON c2.w2 = cont.w2 CROSS JOIN bt " +
+       "GROUP BY doc_id ORDER BY doc_id"),
     "corpus_pmi_pairs" ->
       // same token/bigram derivations as text_bigram_logprob; the PMI
       // double expression has the identical shape on both engines
@@ -6568,6 +6714,25 @@ object ExtensionQueries {
     s"$head$steps $union ORDER BY rk"
   }
 
+  /** RRF fusion replay, factored out so the nDCG eval oracle composes
+    * the SAME string the `search_hybrid_rrf` gate checks: both arms
+    * compose their own oracles verbatim as CTEs (nested WITH — the
+    * quality_ensemble precedent), ranks from row_number over the same
+    * (rounded score, id) order, fused with the same fixed-order
+    * 1/(60+rank) sum and edge round(6).
+    */
+  private lazy val rrfOracleSql: String =
+    s"WITH lexq AS (${baseOracleSql("search_bm25_topk")}), " +
+    s"vecq AS (${baseOracleSql("sim_cosine_topk")}), " +
+    "lexr AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) lex_rank FROM lexq), " +
+    "vecr AS (SELECT vec_id AS doc_id, row_number() OVER (ORDER BY cos_sim DESC, vec_id) vec_rank FROM vecq) " +
+    "SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, " +
+    "CAST(COALESCE(l.lex_rank, 0) AS BIGINT) AS lex_rank, " +
+    "CAST(COALESCE(v.vec_rank, 0) AS BIGINT) AS vec_rank, " +
+    "round(COALESCE(1.0/(60 + l.lex_rank), 0) + COALESCE(1.0/(60 + v.vec_rank), 0), 6) AS rrf " +
+    "FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id " +
+    "ORDER BY rrf DESC, doc_id LIMIT 10"
+
   def oracleSql: Map[String, String] = baseOracleSql ++ Map(
     "sim_mmr_rerank" -> mmrOracleSql,
     // physical twin of search_bm25_topk (persisted partition-pruned
@@ -6578,17 +6743,7 @@ object ExtensionQueries {
     // as CTEs (nested WITH — the quality_ensemble precedent), ranks
     // from row_number over the same (rounded score, id) order, fused
     // with the same fixed-order 1/(60+rank) sum and edge round(6).
-    "search_hybrid_rrf" ->
-      (s"WITH lexq AS (${baseOracleSql("search_bm25_topk")}), " +
-       s"vecq AS (${baseOracleSql("sim_cosine_topk")}), " +
-       "lexr AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) lex_rank FROM lexq), " +
-       "vecr AS (SELECT vec_id AS doc_id, row_number() OVER (ORDER BY cos_sim DESC, vec_id) vec_rank FROM vecq) " +
-       "SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, " +
-       "CAST(COALESCE(l.lex_rank, 0) AS BIGINT) AS lex_rank, " +
-       "CAST(COALESCE(v.vec_rank, 0) AS BIGINT) AS vec_rank, " +
-       "round(COALESCE(1.0/(60 + l.lex_rank), 0) + COALESCE(1.0/(60 + v.vec_rank), 0), 6) AS rrf " +
-       "FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id " +
-       "ORDER BY rrf DESC, doc_id LIMIT 10"),
+    "search_hybrid_rrf" -> rrfOracleSql,
     // RM3 replay: the lexical arm's oracle composed verbatim, the
     // posting CTE is referenced by both the expansion mine and the
     // re-score -> MATERIALIZED; per-term contributions rounded to
@@ -6629,6 +6784,36 @@ object ExtensionQueries {
        "row_number() OVER (PARTITION BY doc_id ORDER BY n_hits DESC, sp) rn FROM snh) " +
        "SELECT doc_id, CAST(sp AS BIGINT) AS best_start, n_hits, snippet " +
        "FROM snr WHERE rn = 1 ORDER BY doc_id"),
+    // nDCG replay: all three arm oracles composed verbatim (nd_
+    // prefixes on every outer CTE — the nested arms own t/d/st/sc and
+    // lexq/vecq), tf-capped gains, integer micro discounts, the
+    // global ideal cut, rounded only at the final ratio
+    "search_eval_ndcg" ->
+      (s"WITH ndlex AS (${baseOracleSql("search_bm25_topk")}), " +
+       s"ndql AS (${baseOracleSql("search_ql_dirichlet")}), " +
+       s"ndrrf AS ($rrfOracleSql), " +
+       "ndt AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
+       "ndp AS (SELECT doc_id, term, COUNT(*) tf FROM " +
+       "(SELECT doc_id, unnest(ws) term FROM ndt) GROUP BY doc_id, term), " +
+       "ndg AS MATERIALIZED (SELECT doc_id, CAST(least(10, SUM(tf)) AS BIGINT) g FROM ndp " +
+       "WHERE term IN ('vector', 'stream', 'window') GROUP BY doc_id), " +
+       "ndlexr AS (SELECT 'bm25' arm, doc_id, rn FROM (SELECT doc_id, " +
+       "CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) rn FROM ndlex) WHERE rn <= 10), " +
+       "ndqlr AS (SELECT 'ql' arm, doc_id, rn FROM (SELECT doc_id, " +
+       "CAST(row_number() OVER (ORDER BY ql DESC, doc_id) AS BIGINT) rn FROM ndql) WHERE rn <= 10), " +
+       "ndrrfr AS (SELECT 'rrf' arm, doc_id, rn FROM (SELECT doc_id, " +
+       "CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) rn FROM ndrrf) WHERE rn <= 10), " +
+       "ndarms AS (SELECT * FROM ndlexr UNION ALL SELECT * FROM ndqlr UNION ALL SELECT * FROM ndrrfr), " +
+       "nddcg AS (SELECT arm, CAST(SUM(COALESCE(g, 0) * " +
+       "CAST(round(1000000.0 * ln(2.0) / ln(rn + 1.0)) AS BIGINT)) AS BIGINT) dcg_micro " +
+       "FROM ndarms LEFT JOIN ndg USING (doc_id) GROUP BY arm), " +
+       "ndideal AS (SELECT CAST(SUM(g * " +
+       "CAST(round(1000000.0 * ln(2.0) / ln(rk + 1.0)) AS BIGINT)) AS BIGINT) idcg_micro " +
+       "FROM (SELECT g, row_number() OVER (ORDER BY g DESC, doc_id) rk FROM ndg " +
+       "ORDER BY g DESC, doc_id LIMIT 10)) " +
+       "SELECT arm, dcg_micro, idcg_micro, " +
+       "round(CAST(dcg_micro AS DOUBLE) / CAST(idcg_micro AS DOUBLE), 6) AS ndcg " +
+       "FROM nddcg, ndideal ORDER BY arm"),
     // curriculum replay: the surprisal oracle composed verbatim,
     // token-weighted CDF over the distinct micro-score keys, the same
     // (i * n + 3) // 4 targets as weightedEquiDepthCuts, phase =

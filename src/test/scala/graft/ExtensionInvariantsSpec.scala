@@ -1502,6 +1502,98 @@ class ExtensionInvariantsSpec extends SparkSpec {
         s"phase ${p._1} tokens ${p._3} far from fair ${total / 4}") }
   }
 
+  test("nDCG: driver replay from the arms' own outputs, bounds hold") {
+    val toks = docTokens
+    val qts = Seq("vector", "stream", "window")
+    val gains = toks.map { case (id, ws) =>
+      id -> math.min(10L, ws.count(qts.contains(_)).toLong) }
+      .filter(_._2 > 0)
+    def discMicro(rn: Long): Long =
+      BigDecimal(1000000.0 * math.log(2.0) / math.log(rn + 1.0))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def dcgOf(ids: Seq[Long]): Long =
+      ids.take(10).zipWithIndex.map { case (id, i) =>
+        gains.getOrElse(id, 0L) * discMicro(i + 1L) }.sum
+    val arms = Map(
+      "bm25" -> q("search_bm25_topk").select("doc_id").as[Long].collect().toSeq,
+      "ql" -> q("search_ql_dirichlet").select("doc_id").as[Long].collect().toSeq,
+      "rrf" -> q("search_hybrid_rrf").select("doc_id").as[Long].collect().toSeq)
+    val idcg = gains.toSeq.sortBy { case (id, g) => (-g, id) }.take(10)
+      .zipWithIndex.map { case ((_, g), i) => g * discMicro(i + 1L) }.sum
+    val got = q("search_eval_ndcg").as[(String, Long, Long, Double)].collect()
+    assert(got.map(_._1).toSeq === Seq("bm25", "ql", "rrf"))
+    got.foreach { case (arm, dcg, ide, nd) =>
+      assert(ide === idcg, s"$arm idcg $ide != replay $idcg")
+      assert(dcg === dcgOf(arms(arm)), s"$arm dcg $dcg != replay ${dcgOf(arms(arm))}")
+      assert(nd > 0 && nd <= 1.0, s"$arm ndcg $nd out of bounds")
+      val r6 = BigDecimal(dcg.toDouble / ide.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(nd === r6, s"$arm ndcg $nd != $r6")
+    }
+    // the eval must actually separate a diluted arm from the lexical
+    // ones, else the fixture proves nothing
+    val byArm = got.map(r => r._1 -> r._4).toMap
+    assert(byArm("rrf") < byArm("bm25"),
+      "rrf (vector-diluted) should trail pure lexical on tf-derived gains")
+  }
+
+  test("reciprocity: exact edge replay, nonzero and sub-total") {
+    val n = Tables.documents(spark, sf0001).count()
+    val hubs = math.min(16L, n)
+    val edges = (0L until n).flatMap(i =>
+      Seq((i * 31 + 7) % n, i % hubs, (i * 13 + 11) % n).map(t => (i, t)))
+      .filter { case (u, v) => u != v }.distinct
+    val eset = edges.toSet
+    val nRec = edges.count { case (u, v) => eset((v, u)) }
+    val Array((gotE, gotR, gotF)) = q("crawl_reciprocity")
+      .as[(Long, Long, Double)].collect()
+    assert(gotE === edges.size.toLong && gotR === nRec.toLong,
+      s"replay drifted: got ($gotE, $gotR) vs (${edges.size}, $nRec)")
+    assert(gotR > 0 && gotR < gotE, "degenerate reciprocity fixture")
+    val r6 = BigDecimal(nRec.toDouble / edges.size)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(gotF === r6)
+  }
+
+  test("KN bigram: driver replay matches and P(.|w1) is a proper distribution") {
+    val toks = docTokens
+    val bigramsByDoc = toks.toSeq.collect { case (id, ws) if ws.length >= 2 =>
+      id -> ws.sliding(2).map(_.mkString(" ")).toSeq }
+    val c2 = bigramsByDoc.flatMap(_._2).groupBy(identity)
+      .map { case (bg, g) => bg -> g.length.toLong }
+    val hist = c2.groupBy(_._1.split(" ", 2)(0))
+      .map { case (w1, g) => w1 -> (g.values.sum, g.size.toLong) }
+    val cont = c2.groupBy(_._1.split(" ", 2)(1))
+      .map { case (w2, g) => w2 -> g.size.toLong }
+    val bt = c2.size.toLong
+    def p(bg: String): Double = {
+      val Array(w1, w2) = bg.split(" ", 2)
+      val (ch, n1h) = hist(w1)
+      math.max(c2(bg).toDouble - 0.75, 0.0) / ch.toDouble +
+        0.75 * n1h.toDouble / ch.toDouble * (cont(w2).toDouble / bt.toDouble)
+    }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = bigramsByDoc.map { case (id, bgs) =>
+      (id, bgs.length.toLong, r6(bgs.map(b => -math.log(p(b))).sum / bgs.length)) }
+      .sortBy(_._1)
+    val got = q("text_bigram_kn").as[(Long, Long, Double)].collect().toSeq
+    assert(got === expect, "KN replay drifted")
+    // the defining property KN has and add-one lacks: for any history,
+    // the smoothed mass over its OBSERVED successors plus the backed-
+    // off continuation mass of everything else sums to exactly 1
+    val vocabCont = cont.values.sum  // == bt
+    hist.keys.take(5).foreach { w1 =>
+      val (ch, n1h) = hist(w1)
+      // .toSeq before map: mapping a key SET of equal Double
+      // contributions would dedup them and silently shrink the sum
+      val observed = c2.keys.filter(_.split(" ", 2)(0) == w1).toSeq
+      val obsMass = observed.map(bg => math.max(c2(bg) - 0.75, 0.0) / ch).sum
+      val backoff = 0.75 * n1h / ch * (vocabCont.toDouble / bt)
+      assert(math.abs(obsMass + backoff - 1.0) < 1e-9,
+        s"history '$w1': KN mass ${obsMass + backoff} != 1")
+    }
+  }
+
   test("zipf fit: driver OLS replay matches, slope negative") {
     val toks = docTokens
     val cf = toks.values.flatten.groupBy(identity)
