@@ -164,7 +164,10 @@ object ScaleSmoke {
         // gains join rides the 10x posting store), the reversed-edge
         // self-join on the 10x hub-skewed edge table, and the KN count
         // tables over the replicated bigram space
-        "search_eval_ndcg", "crawl_reciprocity", "text_bigram_kn")) {
+        "search_eval_ndcg", "crawl_reciprocity", "text_bigram_kn",
+        // the (source, term) entropy aggregate over 10x token volume
+        // and the full-frame value windows at 10x user cardinality
+        "corpus_entropy", "q44_value_window")) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).count()
       println(f"$q%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $n%10d rows")

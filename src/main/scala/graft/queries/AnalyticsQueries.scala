@@ -820,6 +820,31 @@ object AnalyticsQueries {
         .orderBy(col("source"), col("n_chars"), col("doc_id"))
     }),
 
+    // first_value / last_value / nth_value over the full-partition
+    // frame — the value-extraction rungs of the window family that
+    // q43's rank ladder and the lead/lag consumers don't exercise.
+    // Per user (deterministic (ts, event_id) order), the first and
+    // last event types, the SECOND event's value (null for one-event
+    // users — nth_value's defining edge), and the partition count;
+    // the rank-1 cut makes the output user-sized. One window exchange
+    // on the high-cardinality user key.
+    "q44_value_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, dir)
+        .select(col("user_id"),
+          first(col("event_type")).over(full).as("first_type"),
+          last(col("event_type")).over(full).as("last_type"),
+          round(expr("nth_value(value, 2)").over(full), 4).as("second_value"),
+          count(lit(1)).over(full).as("n_events"),
+          row_number().over(ord).as("rn"))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("first_type"), col("last_type"),
+          col("second_value"), col("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
     // VALUE-based RANGE window frame — the windowing capability the
     // rest of the window family (ROWS frames, lead/lag, session/
     // tumbling) doesn't exercise: per user, the trailing ONE HOUR of
@@ -1267,6 +1292,17 @@ object AnalyticsQueries {
        "round(cume_dist() OVER w, 6) AS cd " +
        "FROM documents WINDOW w AS (PARTITION BY source ORDER BY n_chars) " +
        "ORDER BY source, n_chars, doc_id"),
+    "q44_value_window" ->
+      ("WITH w AS (SELECT user_id, " +
+       "first_value(event_type) OVER fw first_type, " +
+       "last_value(event_type) OVER fw last_type, " +
+       "round(nth_value(value, 2) OVER fw, 4) second_value, " +
+       "COUNT(*) OVER (PARTITION BY user_id) n_events, " +
+       "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) rn " +
+       "FROM events WINDOW fw AS (PARTITION BY user_id ORDER BY ts, event_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) " +
+       "SELECT user_id, first_type, last_type, second_value, " +
+       "CAST(n_events AS BIGINT) AS n_events FROM w WHERE rn = 1 ORDER BY user_id"),
     "q42_trailing_range_window" ->
       // same integer microsecond domain, numeric RANGE frame
       ("WITH e AS (SELECT event_id, user_id, epoch_us(ts) tm, " +

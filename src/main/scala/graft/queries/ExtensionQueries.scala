@@ -2814,6 +2814,33 @@ object ExtensionQueries {
         .orderBy(col("vmr").desc, col("term"))
         .limit(20)),
 
+    // Per-source token entropy (Shannon, in micro-nats) — the third
+    // distributional-health diagnostic beside corpus_zipf (shape) and
+    // corpus_burstiness (clumping): a source whose entropy collapses
+    // is template spam; one far above its peers is mixed-domain or
+    // encoding noise. Per-term contributions -p ln p are rounded to
+    // INTEGER MICROS before the per-source sum (order-free — the ppm
+    // contract; the quantization is part of the metric's definition,
+    // identical on both engines). Two hash aggregates keyed (source,
+    // term) then source; the totals side is one row per source, so
+    // the join back broadcasts.
+    "corpus_entropy" -> ((s, dir) => {
+      val counts = Tables.documents(s, dir)
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      val totals = counts.groupBy(col("source"))
+        .agg(sum(col("c")).as("tot"), count(lit(1)).as("n_terms"))
+      val p = col("c").cast("double") / col("tot")
+      counts.join(broadcast(totals), Seq("source"))
+        .select(col("source"), col("n_terms"), col("tot"),
+          round(-p * log(p) * lit(1000000.0)).cast("long").as("hm"))
+        .groupBy(col("source"), col("n_terms"), col("tot"))
+        .agg(sum(col("hm")).as("entropy_micro"))
+        .select(col("source"), col("n_terms"), col("tot").as("n_tokens"),
+          col("entropy_micro"))
+        .orderBy(col("source").asc_nulls_last)
+    }),
+
     // Duplication-inflation accounting — the "how much of this source
     // is copies" number every crawl review opens with, and the
     // denominator behind dedup ROI decisions: per source, exact-dup
@@ -5754,6 +5781,19 @@ object ExtensionQueries {
        "SELECT term, CAST(df AS BIGINT) AS df, cf, " +
        "round(CAST(df*s2 - cf*cf AS DOUBLE) / CAST(df*cf AS DOUBLE), 6) AS vmr " +
        "FROM a WHERE df >= 5 ORDER BY vmr DESC, term LIMIT 20"),
+    "corpus_entropy" ->
+      // -p ln p quantized to integer micros per term BEFORE the
+      // per-source sum (order-free), same expression shape as Spark
+      ("WITH t AS (SELECT source, string_split(text, ' ') ws FROM documents), " +
+       "tok AS (SELECT source, unnest(ws) w FROM t), " +
+       "c AS (SELECT source, w, COUNT(*) c FROM tok GROUP BY source, w), " +
+       "tt AS (SELECT source, CAST(SUM(c) AS BIGINT) tot, COUNT(*) n_terms FROM c GROUP BY source), " +
+       "h AS (SELECT c.source, n_terms, tot, " +
+       "CAST(round(-(CAST(c.c AS DOUBLE) / tot) * ln(CAST(c.c AS DOUBLE) / tot) * 1000000.0) AS BIGINT) hm " +
+       "FROM c JOIN tt ON c.source = tt.source) " +
+       "SELECT source, CAST(n_terms AS BIGINT) AS n_terms, tot AS n_tokens, " +
+       "CAST(SUM(hm) AS BIGINT) AS entropy_micro " +
+       "FROM h GROUP BY source, n_terms, tot ORDER BY source"),
     "text_chunks" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
        "n AS (SELECT doc_id, ws, CASE WHEN len(ws) <= 32 THEN 1 " +

@@ -264,6 +264,43 @@ object StreamingCorpusOps {
   private def size_(c: org.apache.spark.sql.Column) =
     org.apache.spark.sql.functions.size(c)
 
+  /** Streaming standing-query retrieval gate — the reference's
+    * standing query (`scanner.py:75-81` pulls events forever,
+    * `filter_.py:110-112` runs the registered patterns over each one)
+    * upgraded from boolean regex match to RANKED retrieval: score
+    * each arriving doc against a registered term query with the SAME
+    * Lucene-idf BM25 expression `search_bm25_topk` serves, and pass
+    * docs scoring at least `minScore`. A stream has no corpus
+    * statistics of its own, so the gate scores with PINNED stats from
+    * the last indexed corpus version (`n` docs, per-term `dfs`, total
+    * token count `sumdl`) — how production streaming scorers work:
+    * stats refresh when the index rebuilds, not per event. With the
+    * stats driver-side, the idf and avgdl constants FOLD at plan
+    * build (JVM `math.log` on the same doubles the batch scorer's
+    * codegen feeds `LOG`, so scores are bit-identical to
+    * `search_bm25_topk`'s for the same doc — pinned by
+    * StreamingCorpusSpec); the per-doc work is tf counting over the
+    * token array. Stateless map-side projection: identical on batch
+    * and stream, restart-safe with no state store. Null-text docs
+    * never match (the reference skips unfetchable text,
+    * `scanner.py:77-81`).
+    */
+  def standingQueryGate(docs: DataFrame, terms: Seq[String], n: Long,
+      dfs: Seq[Long], sumdl: Long, minScore: Double): DataFrame = {
+    require(terms.nonEmpty && terms.length == dfs.length,
+      "terms and dfs must align")
+    val ws = graft.operators.TextOps.tokens(col("text"))
+    val dl = size_(ws).cast("double")
+    val avgdl = sumdl.toDouble / n
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val tf = size_(filter(ws, w => w === t)).cast("double")
+      val idf = math.log(1.0 + (n - dfs(i).toDouble + 0.5) / (dfs(i).toDouble + 0.5))
+      lit(idf) * (tf * lit(2.2)) /
+        (tf + lit(1.2) * (lit(0.25) + lit(0.75) * dl / lit(avgdl)))
+    }.reduce(_ + _)
+    docs.withColumn("bm25", round(score, 6)).filter(col("bm25") >= minScore)
+  }
+
   /** Streaming exact dedup on the content key: the first arrival of a
     * text wins, replays and later clones are dropped by per-key state.
     * With a watermarked `ts` column upstream, swap to

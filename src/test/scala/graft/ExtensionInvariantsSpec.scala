@@ -1594,6 +1594,31 @@ class ExtensionInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("entropy: micro-quantized replay matches, bounded by ln(vocab)") {
+    val rows = Tables.documents(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("text"))
+      .as[(String, String)].collect()
+    val bySource = rows.groupBy(_._1).map { case (src, g) =>
+      val counts = g.flatMap(r => Option(r._2).map(_.split(" ", -1)).getOrElse(Array.empty))
+        .groupBy(identity).map { case (_, x) => x.length.toLong }.toSeq
+      val tot = counts.sum
+      val hm = counts.map { c =>
+        val p = c.toDouble / tot
+        BigDecimal(-p * math.log(p) * 1000000.0)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }.sum
+      src -> (counts.length.toLong, tot, hm)
+    }
+    val got = q("corpus_entropy").as[(String, Long, Long, Long)].collect()
+    got.foreach { case (src, nTerms, nTok, h) =>
+      val (eT, eTot, eH) = bySource(src)
+      assert((nTerms, nTok, h) === ((eT, eTot, eH)), s"$src entropy replay drifted")
+      assert(h > 0 && h <= BigDecimal(math.log(nTerms.toDouble) * 1000000.0).toLong + nTerms,
+        s"$src entropy $h outside (0, ln(V)] (+1 micro/term rounding slack)")
+    }
+  }
+
   test("zipf fit: driver OLS replay matches, slope negative") {
     val toks = docTokens
     val cf = toks.values.flatten.groupBy(identity)

@@ -640,4 +640,51 @@ class StreamingCorpusSpec extends SparkSpec {
         s"state must survive the restart, got: ${got}")
     } finally q2.stop()
   }
+
+  test("standing-query gate: scores are bit-identical to the batch scorer; stream = batch") {
+    import org.apache.spark.sql.functions.{col, split}
+    val terms = Seq("vector", "stream", "window")
+    // pinned stats of the "last indexed corpus version" (sf0.001),
+    // computed independently of the gate's code path
+    val toks = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), split(col("text"), " ", -1).as("ws"))
+      .as[(Long, Array[String])].collect()
+      .map { case (id, ws) => id -> Option(ws).getOrElse(Array.empty[String]) }
+    val n = toks.length.toLong
+    val dfs = terms.map(t => toks.count(_._2.contains(t)).toLong)
+    val sumdl = toks.map(_._2.length.toLong).sum
+    // batch application on the indexed corpus: every gate-passed doc
+    // that the top-20 report also ranks must carry the IDENTICAL
+    // rounded score (the bit-identity claim in the gate's contract)
+    val gate = StreamingCorpusOps.standingQueryGate(
+      Tables.documents(spark, sf0001), terms, n, dfs, sumdl, 0.5)
+    val gateScores = gate.select(col("doc_id"), col("bm25"))
+      .as[(Long, Double)].collect().toMap
+    val top = SparkEntry.queries("search_bm25_topk")(spark, sf0001)
+      .select(col("doc_id"), col("bm25")).as[(Long, Double)].collect()
+    assert(top.exists(_._2 >= 0.5), "fixture: some top doc must clear the gate")
+    top.filter(_._2 >= 0.5).foreach { case (id, s) =>
+      assert(gateScores.get(id).contains(s),
+        s"doc $id: gate ${gateScores.get(id)} != batch scorer $s") }
+    assert(gateScores.values.forall(_ >= 0.5), "gate passed a sub-threshold doc")
+    // streaming: same docs through a MemoryStream produce the same
+    // keep set; a null-text arrival never matches (the reference's
+    // skip-unfetchable semantics)
+    val in = MemoryStream[Doc]
+    val q = StreamingCorpusOps.standingQueryGate(in.toDF(), terms, n, dfs, sumdl, 0.5)
+      .writeStream.format("memory").queryName("sq_t1")
+      .outputMode(OutputMode.Append).trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      val sample = toks.take(50).map { case (id, ws) => Doc(id, ws.mkString(" ")) }
+      in.addData(sample.toSeq)
+      in.addData(Doc(9999L, null))
+      drain(q)
+      val streamed = spark.sql("SELECT doc_id, bm25 FROM sq_t1")
+        .as[(Long, Double)].collect().toMap
+      val expectIds = sample.map(_.doc_id).filter(gateScores.contains).toSet
+      assert(streamed.keySet === expectIds, "stream keep set != batch keep set")
+      streamed.foreach { case (id, s) => assert(s === gateScores(id)) }
+      assert(!streamed.contains(9999L), "null text must never match")
+    } finally q.stop()
+  }
 }
