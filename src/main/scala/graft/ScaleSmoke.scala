@@ -167,7 +167,9 @@ object ScaleSmoke {
         "search_eval_ndcg", "crawl_reciprocity", "text_bigram_kn",
         // the (source, term) entropy aggregate over 10x token volume
         // and the full-frame value windows at 10x user cardinality
-        "corpus_entropy", "q44_value_window")) {
+        "corpus_entropy", "q44_value_window",
+        // 4 doubling self-joins over 10x pointer rows (chains replicate)
+        "crawl_redirects")) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).count()
       println(f"$q%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $n%10d rows")

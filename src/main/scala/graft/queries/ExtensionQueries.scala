@@ -4158,6 +4158,45 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Redirect-chain resolution by POINTER DOUBLING (the Wyllie/
+    // path-doubling primitive): every crawl has redirect chains
+    // (30x-moved pages, URL canonicalization hops) and the curation
+    // pass must map each page to its FINAL target — but following
+    // chains one hop per round costs O(longest chain) shuffles.
+    // Doubling squares the reach instead: p <- p(p(i)) per round, so
+    // 4 self-joins resolve any chain up to 16 hops — the log-round
+    // trick that makes this viable at 100 TB (each round is ONE
+    // shuffled self-join on the pointer key). Synthetic deterministic
+    // redirects with REAL depth (a single-hop fixture would leave the
+    // doubling vacuous): every doc_id % 5 == 0 page redirects; the
+    // redirect set forms runs of 8 (chain position = (id div 5) % 8,
+    // each hop +5 stays inside the set), the run tail exits to the
+    // final page id+1 — chains up to ~9 hops with the wrap, so 4
+    // doubling rounds (reach 16) are genuinely REQUIRED, 3 would not
+    // converge — and every 5th run closes on its own head instead: a
+    // redirect CYCLE, whose pages stay flagged UNRESOLVED (real
+    // crawls quarantine redirect loops). Final pages point at
+    // themselves, so fixpoints ride through the joins with no special
+    // casing. Integer-only: bit-exact cross-engine, no rounding
+    // contract.
+    "crawl_redirects" -> ((s, dir) => {
+      val n = Tables.parquetRowCount(s, s"$dir/documents.parquet")
+      val nodes = Tables.documents(s, dir).select(col("doc_id").as("i"))
+      var p = nodes.select(col("i"),
+        when(col("i") % 5 =!= 0, col("i"))
+          .when(expr("(i div 5) % 8") < 7, (col("i") + 5) % n)
+          .when(expr("(i div 5) div 8") % 5 === 4, col("i") - 35)
+          .otherwise(col("i") + 1).as("p"))
+      for (_ <- 1 to 4) {
+        p = p.as("a").join(p.as("b"), col("a.p") === col("b.i"))
+          .select(col("a.i").as("i"), col("b.p").as("p"))
+      }
+      p.select(col("i").as("doc_id"), col("p").as("final_target"),
+        (col("i") % 5 === 0).cast("int").as("is_redirect"),
+        (col("p") % 5 =!= 0).cast("int").as("resolved"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Edge reciprocity over the materialized crawl graph — the
     // first-order "is this a social graph or a broadcast graph"
     // diagnostic (webgraphs run ~0.2-0.4, spam link farms near 1):
@@ -6335,6 +6374,23 @@ object ExtensionQueries {
       "r0 AS (SELECT i, CAST(1000000 AS BIGINT) r FROM docs), " +
       (1 to 5).map(k => iter(s"r${k - 1}", s"r$k")).mkString("", ", ", " ") +
       "SELECT i AS doc_id, r AS rank_ppm FROM r5 ORDER BY doc_id"
+    },
+    "crawl_redirects" -> {
+      // 4 unrolled doubling rounds: p_{k+1}(i) = p_k(p_k(i)); final
+      // pages are self-fixpoints so the joins need no special casing
+      def dbl(prev: String, cur: String): String =
+        s"$cur AS (SELECT a.i, b.p FROM $prev a JOIN $prev b ON a.p = b.i)"
+      "WITH docs AS (SELECT doc_id i FROM documents), " +
+      "nn AS (SELECT COUNT(*) c FROM docs), " +
+      "p0 AS (SELECT i, CASE WHEN i % 5 <> 0 THEN i " +
+      "WHEN (i // 5) % 8 < 7 THEN (i + 5) % c " +
+      "WHEN ((i // 5) // 8) % 5 = 4 THEN i - 35 " +
+      "ELSE i + 1 END p FROM docs, nn), " +
+      (1 to 4).map(k => dbl(s"p${k - 1}", s"p$k")).mkString("", ", ", " ") +
+      "SELECT i AS doc_id, p AS final_target, " +
+      "CAST(CASE WHEN i % 5 = 0 THEN 1 ELSE 0 END AS INT) AS is_redirect, " +
+      "CAST(CASE WHEN p % 5 <> 0 THEN 1 ELSE 0 END AS INT) AS resolved " +
+      "FROM p4 ORDER BY doc_id"
     },
     "crawl_reciprocity" ->
       // the materialized edge table replayed arithmetically (the

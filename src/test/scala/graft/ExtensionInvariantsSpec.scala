@@ -1619,6 +1619,36 @@ class ExtensionInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("redirects: doubling equals a sequential walk; cycles flagged; depth is real") {
+    val n = Tables.documents(spark, sf0001).count()
+    def redirect(i: Long): Boolean = i % 5 == 0
+    def r(i: Long): Long =
+      if (!redirect(i)) i
+      else if ((i / 5) % 8 < 7) (i + 5) % n
+      else if (((i / 5) / 8) % 5 == 4) i - 35
+      else i + 1
+    // independent formulation: walk one hop at a time, cap 20
+    def walk(i: Long): (Long, Boolean, Int) = {
+      var cur = i; var hops = 0
+      while (redirect(cur) && hops < 20) { cur = r(cur); hops += 1 }
+      (cur, !redirect(cur), hops)
+    }
+    val got = q("crawl_redirects").as[(Long, Long, Int, Int)].collect()
+    assert(got.length.toLong === n)
+    var maxHops = 0
+    got.foreach { case (i, tgt, isRed, res) =>
+      assert(isRed === (if (redirect(i)) 1 else 0))
+      val (fin, ok, hops) = walk(i)
+      if (ok) {
+        assert(res === 1 && tgt === fin, s"node $i: doubling ($tgt) != walk ($fin)")
+        maxHops = math.max(maxHops, hops)
+      } else
+        assert(res === 0 && redirect(tgt), s"node $i: cycle must stay unresolved")
+    }
+    assert(maxHops >= 9, s"fixture too shallow (max chain $maxHops) — doubling vacuous")
+    assert(got.exists(_._4 == 0), "no cycles — the unresolved branch is dead")
+  }
+
   test("zipf fit: driver OLS replay matches, slope negative") {
     val toks = docTokens
     val cf = toks.values.flatten.groupBy(identity)
