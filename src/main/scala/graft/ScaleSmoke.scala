@@ -169,7 +169,9 @@ object ScaleSmoke {
         // and the full-frame value windows at 10x user cardinality
         "corpus_entropy", "q44_value_window",
         // 4 doubling self-joins over 10x pointer rows (chains replicate)
-        "crawl_redirects")) {
+        "crawl_redirects",
+        // partition-batched WAV decode + trim over 10x clips
+        "multimodal_audio_trim")) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).count()
       println(f"$q%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $n%10d rows")

@@ -767,6 +767,63 @@ object Multimodal {
     * [[decodeWavFrames]] reads back, so the hash gate fails on any
     * chunk-walk, fmt-validation, or clip-boundary misparse.
     */
+  /** Deterministic mono WAV with REAL leading/trailing silence for the
+    * trim operator: lead/tail silent sample counts derive from hash
+    * chars 3 and 4 ((ascii % 4) * 16 — whole 16-sample windows), the
+    * loud middle's samples are guaranteed |amp| >= 1024 (alternating
+    * sign), frames = 256 + (ascii(char 2) % 8) * 32. The arithmetic is
+    * exactly what the `multimodal_audio_trim` DuckDB oracle replays;
+    * bytes go through the REAL encoder so the consumer exercises the
+    * codec path.
+    */
+  def syntheticWavWithSilence(contentHash: String): Array[Byte] = {
+    val frames = 256 + (contentHash.charAt(1).toInt % 8) * 32
+    val lead = (contentHash.charAt(2).toInt % 4) * 16
+    val tail = (contentHash.charAt(3).toInt % 4) * 16
+    val samples = new Array[Short](frames)
+    var i = lead
+    while (i < frames - tail) {
+      val mag = 1024 + (contentHash.charAt(i % contentHash.length).toInt * 131 + i * 7) % 20000
+      samples(i) = (if (i % 2 == 0) mag else -mag).toShort
+      i += 1
+    }
+    encodeWav(PcmAudio(8000, 1, samples))
+  }
+
+  /** Cut the maximal leading and trailing runs of `window`-sample
+    * windows whose peak |amplitude| is below `threshold` — the
+    * standard silence-trim pass an audio-dataset curation pipeline
+    * runs before feature extraction (dead air carries no training
+    * signal but costs storage and compute). Window-aligned: a partial
+    * final window is trimmed only if IT also stays under the
+    * threshold. Returns (leadSamplesCut, tailSamplesCut, kept).
+    */
+  def trimSilence(a: PcmAudio, window: Int = 16, threshold: Int = 1024): (Int, Int, PcmAudio) = {
+    val n = a.samples.length
+    def windowLoud(start: Int): Boolean = {
+      var i = start; val end = math.min(start + window, n); var loud = false
+      while (i < end && !loud) {
+        if (math.abs(a.samples(i).toInt) >= threshold) loud = true
+        i += 1
+      }
+      loud
+    }
+    var lead = 0
+    while (lead < n && !windowLoud(lead)) lead += window
+    lead = math.min(lead, n)
+    // tail windows sit on the SAME start-aligned grid as the lead scan
+    // (k * window boundaries), so the final — possibly partial —
+    // window is judged as one unit
+    var tailStart = n
+    var b = if (n == 0) 0 else ((n - 1) / window) * window
+    while (b >= lead && tailStart > lead && !windowLoud(b)) {
+      tailStart = b
+      b -= window
+    }
+    val kept = java.util.Arrays.copyOfRange(a.samples, lead, tailStart)
+    (lead, n - tailStart, PcmAudio(a.sampleRate, a.channels, kept))
+  }
+
   def syntheticWavContainer(contentHash: String, nBytes: Long): Array[Byte] = {
     val rate = 8000 * (1 + contentHash.charAt(0).toInt % 3) // 8/16/24 kHz
     val channels = 1 + (nBytes % 2).toInt

@@ -3405,6 +3405,39 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Silence-trim curation through the REAL WAV codec — the act-on-
+    // the-signal step of audio dataset prep (dead air carries no
+    // training signal but costs storage and GPU-hours; every speech
+    // corpus pipeline trims it before feature extraction). Each doc's
+    // synthetic clip carries GENUINE leading/trailing silence (whole
+    // 16-sample windows, from the doc hash — the construction the
+    // oracle replays); the operator decodes the real bytes, cuts the
+    // maximal sub-threshold window runs ([[Multimodal.trimSilence]]),
+    // and reports the trim accounting. Partition-batched codec kernel
+    // (mapPartitions — codec init once per partition), output is one
+    // row per doc; at 100 TB this is the same map-side shape as the
+    // fingerprint builders.
+    "multimodal_audio_trim" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"), md5(col("text")).as("content_hash"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, hash) =>
+            val payload = graft.operators.Multimodal.syntheticWavWithSilence(hash)
+            val clips = graft.operators.Multimodal.decodeWavFrames(payload)
+            require(clips.length == 1, s"doc $id: synthetic WAV failed to decode")
+            val a = clips.head
+            val (lead, tail, kept) = graft.operators.Multimodal.trimSilence(a)
+            (id, hash, a.samples.length.toLong, lead.toLong, tail.toLong,
+              kept.samples.length.toLong, kept.durationMs)
+          }
+        }
+        .toDF("doc_id", "content_hash", "n_samples", "lead_trimmed",
+          "tail_trimmed", "n_kept", "kept_ms")
+        .orderBy(col("doc_id"))
+    }),
+
     // Video twin of multimodal_features/_audio: each doc gets a
     // deterministic YUV4MPEG2 stream (parameters AND the luma fill =
     // the md5 arithmetic the DuckDB oracle replays), and the reported
@@ -6054,6 +6087,22 @@ object ExtensionQueries {
        "CAST(frames AS INT) AS clip_frames, " +
        "CAST(n_bytes % 5 + 1 AS INT) AS n_clips, " +
        "CAST((n_bytes % 5 + 1) * ((frames * 1000) // rate) AS BIGINT) AS total_ms " +
+       "FROM p ORDER BY doc_id"),
+    "multimodal_audio_trim" ->
+      // replays syntheticWavWithSilence's construction arithmetic
+      // (silent runs are whole windows, the loud middle clears the
+      // threshold by construction, so the codec-side trim lands
+      // exactly on the planted boundaries); `lead` is a DuckDB
+      // keyword -> ld/tl aliases
+      ("WITH p AS (SELECT doc_id, md5(text) h, " +
+       "256 + (ascii(substr(md5(text), 2, 1)) % 8) * 32 frames, " +
+       "(ascii(substr(md5(text), 3, 1)) % 4) * 16 ld, " +
+       "(ascii(substr(md5(text), 4, 1)) % 4) * 16 tl " +
+       "FROM documents) " +
+       "SELECT doc_id, h AS content_hash, CAST(frames AS BIGINT) AS n_samples, " +
+       "CAST(ld AS BIGINT) AS lead_trimmed, CAST(tl AS BIGINT) AS tail_trimmed, " +
+       "CAST(frames - ld - tl AS BIGINT) AS n_kept, " +
+       "CAST((frames - ld - tl) * 1000 // 8000 AS BIGINT) AS kept_ms " +
        "FROM p ORDER BY doc_id"),
     "multimodal_video" ->
       // replays syntheticY4mContainer's construction arithmetic — incl.

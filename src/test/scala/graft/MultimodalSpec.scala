@@ -1397,4 +1397,31 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(scCheck(Parameters.default.withMinSuccessfulTests(50), gradProp).passed)
   }
+
+  test("trimSilence: edges — all-silent, no-silence, boundary amp, unaligned tail") {
+    import Multimodal.{PcmAudio, trimSilence}
+    def pcm(ss: Seq[Int]) = PcmAudio(8000, 1, ss.map(_.toShort).toArray)
+    // all-silent clip: everything attributed to the lead cut
+    val (l1, t1, k1) = trimSilence(pcm(Seq.fill(64)(0)))
+    assert((l1, t1, k1.samples.length) === ((64, 0, 0)))
+    // no silence at all: untouched
+    val loud = Seq.tabulate(64)(i => if (i % 2 == 0) 5000 else -5000)
+    val (l2, t2, k2) = trimSilence(pcm(loud))
+    assert((l2, t2, k2.samples.length) === ((0, 0, 64)))
+    // threshold is >=: a 1024-amp window is LOUD, 1023 is silent
+    val (l3, _, _) = trimSilence(pcm(Seq.fill(16)(1023) ++ Seq.fill(16)(1024)))
+    assert(l3 === 16, "1023 must trim, 1024 must survive")
+    // shorter than one window, silent: whole clip goes
+    val (l4, t4, k4) = trimSilence(pcm(Seq.fill(7)(3)))
+    assert(l4 === 7 && t4 === 0 && k4.samples.length === 0)
+    // unaligned length: the partial FINAL window trims only if silent
+    val (_, t5, k5) = trimSilence(pcm(loud ++ Seq.fill(9)(0)))
+    assert(t5 === 9 && k5.samples.length === 64)
+    val (_, t6, k6) = trimSilence(pcm(loud ++ Seq.fill(8)(0) :+ 4000))
+    assert(t6 === 0 && k6.samples.length === 73, "a loud partial tail must survive")
+    // one loud sample inside a silent run stops the cut at its window
+    val (l7, _, _) = trimSilence(pcm(Seq.fill(16)(0) ++ (Seq.fill(5)(0) :+ 2000) ++
+      Seq.fill(10)(0) ++ loud))
+    assert(l7 === 16, "the window holding the first loud sample must survive")
+  }
 }
