@@ -699,4 +699,61 @@ class PlanAuditSpec extends SparkSpec {
     val nHash = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(nHash <= 1, s"expected only the size-aggregate exchange, got $nHash:\n$p")
   }
+
+  test("RM3 and QL: posting-store serving, bounded broadcasts, no corpus joins") {
+    // both retrieval rungs re-score off the memoized posting store;
+    // the feedback set (10 rows) and expansion set (5 rows) must ride
+    // broadcasts, never a shuffled corpus join, and no cartesian may
+    // appear anywhere
+    for (q <- Seq("search_rm3_expand", "search_ql_dirichlet")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+        s"$q planned a corpus-scale join:\n$p")
+    }
+    assert(plan("search_rm3_expand").contains("BroadcastHashJoin"),
+      "rm3's bounded fb/expansion sets must broadcast")
+  }
+
+  test("entropy and burstiness: constant exchange budget on their agg keys") {
+    // burstiness: one exchange for the (term) aggregate (the posting
+    // store is memoized — its build is not in this plan) + the top-k;
+    // entropy: (source, term) then (source), totals broadcast back
+    val pb = plan("corpus_burstiness")
+    assert(pb.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1,
+      s"burstiness grew an extra exchange:\n$pb")
+    // 4 printed exchange nodes: (source, w) counts — whose subtree
+    // prints TWICE (it feeds both the totals agg and the join left
+    // side; ReuseExchange dedupes the actual shuffle at runtime) —
+    // plus the totals (source) agg and the final (source, ...) agg
+    val pe = plan("corpus_entropy")
+    assert(pe.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 4,
+      s"entropy grew extra exchanges:\n$pe")
+    assert(pe.contains("BroadcastHashJoin"),
+      s"entropy totals must join back as a broadcast:\n$pe")
+  }
+
+  test("redirect doubling: exactly the 4 pointer self-joins, no cartesian") {
+    val p = plan("crawl_redirects")
+    assert(!p.contains("CartesianProduct"), s"redirects planned a cartesian:\n$p")
+    // p_{k+1} references p_k on BOTH join sides, so the printed tree
+    // duplicates each round's subtree: 4 doubling rounds = 2^4 - 1 =
+    // 15 join NODES. The duplicated copies are identical subtrees, so
+    // ReuseExchange computes each round's two shuffles (left keyed on
+    // p, right on i) once no matter how many copies print — the
+    // runtime cost is ~2 exchanges per round, not 2^rounds. A join
+    // count above 15 means a fifth round (or a plan change) snuck in.
+    val joins = p.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin"))
+    assert(joins == 15, s"expected the 4-round doubling tree (15 join nodes), got $joins:\n$p")
+  }
+
+  test("curriculum: phase assignment is a map-side cut count, not a corpus window") {
+    // the cuts collapse to 3 driver literals; the output plan must not
+    // re-sort or re-window the corpus to assign phases
+    val p = plan("export_curriculum")
+    assert(!p.linesIterator.exists(l => l.contains("Window") && !l.contains("WindowGroupLimit")),
+      s"curriculum phase assignment planned a window over the corpus:\n$p")
+    assert(!p.contains("CartesianProduct"), s"curriculum planned a cartesian:\n$p")
+  }
 }
