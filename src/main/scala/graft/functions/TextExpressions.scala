@@ -66,6 +66,41 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   * ~15x this expression's cost at sf0.1; this walks the token stream
   * once per row inside whole-stage codegen.
   */
+/** Native single-term tf: occurrences of `term` among the
+  * space-separated tokens of `child` (split-with-empty-tokens
+  * semantics — identical to `size(filter(split(text, ' '), w -> w =
+  * term))`, the interpreted HOF it replaces on hot paths like the
+  * streaming standing-query gate). Codegen'd via the shared
+  * [[TextExpressions.termCount]] byte walk.
+  */
+case class TermCount(child: Expression, term: String)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"term_count requires a string input, got ${child.dataType.sql}")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "term_count"
+
+  private lazy val termBytes = UTF8String.fromString(term).getBytes
+
+  /** Row-level entry point shared by eval and generated code. */
+  def count(t: UTF8String): Long = TextExpressions.termCount(t, termBytes)
+
+  override def nullSafeEval(input: Any): Any =
+    count(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("termCount", this, classOf[TermCount].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.count($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class PhraseCount(child: Expression, w1: String, w2: String)
     extends UnaryExpression {
 
@@ -720,6 +755,36 @@ object TextExpressions {
     * `TextOps.tokens` (adjacent separators yield empty tokens, which
     * can never equal a query word).
     */
+  /** Occurrences of `term` among the space-separated tokens of `text`
+    * — zero-copy byte-range compares over the shared [[boundaries]]
+    * walk (split-with-empty-tokens semantics, like every consumer of
+    * the token stream), no per-row String materialization.
+    */
+  def termCount(text: UTF8String, term: Array[Byte]): Long = {
+    val bytes = text.getBytes
+    val (starts, ends, n) = boundaries(bytes)
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      val len = ends(i) - starts(i)
+      if (len == term.length) {
+        var j = 0
+        var eq = true
+        while (j < len && eq) {
+          if (bytes(starts(i) + j) != term(j)) eq = false
+          j += 1
+        }
+        if (eq) c += 1
+      }
+      i += 1
+    }
+    c
+  }
+
+  /** Column facade: occurrences of the single token `term`. */
+  def term_count(text: Column, term: String): Column =
+    bridge.column(TermCount(bridge.expression(text), term))
+
   def phraseCount(text: UTF8String, w1: String, w2: String): Long = {
     val toks = text.toString.split(" ", -1)
     var c = 0L
@@ -878,7 +943,8 @@ object TextExpressions {
     "percent_normalize" -> (exprs => PercentNormalize(exprs.head)),
     "term_count_structs" -> (exprs => TermCountStructs(exprs.head)),
     "phrase_count" -> (exprs => PhraseCount(exprs.head,
-      strArg(exprs, 1), strArg(exprs, 2))))
+      strArg(exprs, 1), strArg(exprs, 2))),
+    "term_count" -> (exprs => TermCount(exprs.head, strArg(exprs, 1))))
 
   private def strArg(exprs: Seq[Expression], i: Int): String = {
     if (exprs.length <= i) throw new IllegalArgumentException(

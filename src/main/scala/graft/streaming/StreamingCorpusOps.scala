@@ -293,7 +293,10 @@ object StreamingCorpusOps {
     val dl = size_(ws).cast("double")
     val avgdl = sumdl.toDouble / n
     val score = terms.zipWithIndex.map { case (t, i) =>
-      val tf = size_(filter(ws, w => w === t)).cast("double")
+      // native codegen'd tf (same split-with-empty-tokens semantics as
+      // the posting store's tokenizer) — an interpreted HOF here would
+      // pay ~15x per event on the gate's hot path
+      val tf = graft.functions.TextExpressions.term_count(col("text"), t).cast("double")
       val idf = math.log(1.0 + (n - dfs(i).toDouble + 0.5) / (dfs(i).toDouble + 0.5))
       lit(idf) * (tf * lit(2.2)) /
         (tf + lit(1.2) * (lit(0.25) + lit(0.75) * dl / lit(avgdl)))
