@@ -171,7 +171,9 @@ object ScaleSmoke {
         // 4 doubling self-joins over 10x pointer rows (chains replicate)
         "crawl_redirects",
         // partition-batched WAV decode + trim over 10x clips
-        "multimodal_audio_trim")) {
+        "multimodal_audio_trim",
+        // two epoch top-k scans over 10x docs
+        "sample_epoch_shuffle")) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).count()
       println(f"$q%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $n%10d rows")

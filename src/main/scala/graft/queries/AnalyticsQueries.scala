@@ -820,6 +820,82 @@ object AnalyticsQueries {
         .orderBy(col("source"), col("n_chars"), col("doc_id"))
     }),
 
+    // The TPC-H Q5 join shape — five tables, two independent FK
+    // chains (lineitem->orders->customer and lineitem->supplier)
+    // meeting on a nation equality, dimension filters at the leaves —
+    // the canonical multi-way-join-planning workload the rest of the
+    // suite's two-table joins don't exercise. Catalyst gets the
+    // declarative form: date filter pushed into the orders scan,
+    // region filter into the 5-row region scan, nation/region ride
+    // broadcasts, and join order is the optimizer's call (the 100 TB
+    // posture: lineitem is the fact spine, everything else hashes or
+    // broadcasts onto it). Revenue is exact integer micro-cents
+    // (cents x (100 - discount%)) so the sum is order-free.
+    "q45_region_revenue" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        round(col("l_discount") * 100).cast("long").as("disc"))
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1998-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+      val supp = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+      val nat = Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val reg = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+        .select(col("r_regionkey"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("cents") * (lit(100L) - col("disc"))).as("revenue_microcents"),
+          count(lit(1)).as("n_lineitems"))
+        .orderBy(col("revenue_microcents").desc, col("n_name"))
+    }),
+
+    // Referential-integrity audit — the DQ family's missing classic
+    // beside dq_expectations (row rules) / dq_freshness / dq_drift:
+    // per FK relationship, how many child rows point at a parent that
+    // does not exist. The fixtures ship referentially CLEAN, so the
+    // audited "ingest" unions deterministic planted orphans first
+    // (the text_pii_scrub convention — the operator under test is the
+    // accounting, and a clean corpus would leave its oracle vacuous):
+    // every o_orderkey % 97 == 0 order re-arrives with a dangling
+    // custkey, and lineitem plants one dangling-supplier and one
+    // dangling-order row each. Each relationship is one LEFT ANTI
+    // join keyed on the FK — at 100 TB the standard orphan scan,
+    // with the parent key side aggregated to distinct keys first.
+    "dq_referential" -> ((s, dir) => {
+      val ord0 = Tables.orders(s, dir)
+      val li0 = Tables.lineitem(s, dir)
+      val ords = ord0.select(col("o_orderkey"), col("o_custkey"))
+        .unionByName(ord0.filter(col("o_orderkey") % 97 === 0)
+          .select(col("o_orderkey"), (col("o_custkey") + 10000000L).as("o_custkey")))
+      val lis = li0.select(col("l_orderkey"), col("l_suppkey"))
+        .unionByName(li0.filter(col("l_orderkey") % 101 === 0 && col("l_linenumber") === 1)
+          .select(col("l_orderkey"), (col("l_suppkey") + 10000000L).as("l_suppkey")))
+        .unionByName(li0.filter(col("l_orderkey") % 103 === 0 && col("l_linenumber") === 1)
+          .select((col("l_orderkey") + 10000000L).as("l_orderkey"), col("l_suppkey")))
+      def fkAudit(name: String, child: DataFrame, key: String,
+          parent: DataFrame, pkey: String): DataFrame =
+        child.agg(count(lit(1)).as("n_rows"))
+          .crossJoin(child.join(parent, child(key) === parent(pkey), "left_anti")
+            .agg(count(lit(1)).as("n_orphans")))
+          .select(lit(name).as("fk"), col("n_rows"), col("n_orphans"),
+            round(col("n_orphans") / col("n_rows").cast("double"), 6).as("orphan_frac"))
+      fkAudit("lineitem_orders", lis, "l_orderkey",
+          ords.select(col("o_orderkey")).distinct(), "o_orderkey")
+        .unionByName(fkAudit("lineitem_supplier", lis, "l_suppkey",
+          Tables.supplier(s, dir).select(col("s_suppkey")), "s_suppkey"))
+        .unionByName(fkAudit("orders_customer", ords, "o_custkey",
+          Tables.customer(s, dir).select(col("c_custkey")), "c_custkey"))
+        .orderBy(col("fk"))
+    }),
+
     // first_value / last_value / nth_value over the full-partition
     // frame — the value-extraction rungs of the window family that
     // q43's rank ladder and the lead/lag consumers don't exercise.
@@ -1292,6 +1368,38 @@ object AnalyticsQueries {
        "round(cume_dist() OVER w, 6) AS cd " +
        "FROM documents WINDOW w AS (PARTITION BY source ORDER BY n_chars) " +
        "ORDER BY source, n_chars, doc_id"),
+    "q45_region_revenue" ->
+      // exact integer micro-cents revenue; same date/region literals
+      ("SELECT n_name, " +
+       "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+       "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_microcents, " +
+       "COUNT(*) AS n_lineitems " +
+       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+       "JOIN customer ON o_custkey = c_custkey " +
+       "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+       "JOIN nation ON s_nationkey = n_nationkey " +
+       "JOIN region ON n_regionkey = r_regionkey " +
+       "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' " +
+       "AND o_orderdate < TIMESTAMP '1998-01-01' " +
+       "GROUP BY n_name ORDER BY revenue_microcents DESC, n_name"),
+    "dq_referential" ->
+      // planted orphans replayed in the UNION ALLs; orphan count via
+      // NOT EXISTS per relationship
+      ("WITH ords AS (SELECT o_orderkey, o_custkey FROM orders " +
+       "UNION ALL SELECT o_orderkey, o_custkey + 10000000 FROM orders WHERE o_orderkey % 97 = 0), " +
+       "lis AS (SELECT l_orderkey, l_suppkey FROM lineitem " +
+       "UNION ALL SELECT l_orderkey, l_suppkey + 10000000 FROM lineitem WHERE l_orderkey % 101 = 0 AND l_linenumber = 1 " +
+       "UNION ALL SELECT l_orderkey + 10000000, l_suppkey FROM lineitem WHERE l_orderkey % 103 = 0 AND l_linenumber = 1), " +
+       "r1 AS (SELECT 'lineitem_orders' fk, CAST(COUNT(*) AS BIGINT) n_rows, " +
+       "CAST(SUM(CASE WHEN NOT EXISTS (SELECT 1 FROM ords o WHERE o.o_orderkey = l.l_orderkey) THEN 1 ELSE 0 END) AS BIGINT) n_orphans FROM lis l), " +
+       "r2 AS (SELECT 'lineitem_supplier' fk, CAST(COUNT(*) AS BIGINT) n_rows, " +
+       "CAST(SUM(CASE WHEN NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey) THEN 1 ELSE 0 END) AS BIGINT) n_orphans FROM lis l), " +
+       "r3 AS (SELECT 'orders_customer' fk, CAST(COUNT(*) AS BIGINT) n_rows, " +
+       "CAST(SUM(CASE WHEN NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey) THEN 1 ELSE 0 END) AS BIGINT) n_orphans FROM ords o) " +
+       "SELECT fk, n_rows, n_orphans, " +
+       "round(n_orphans / CAST(n_rows AS DOUBLE), 6) AS orphan_frac " +
+       "FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3) " +
+       "ORDER BY fk"),
     "q44_value_window" ->
       ("WITH w AS (SELECT user_id, " +
        "first_value(event_type) OVER fw first_type, " +

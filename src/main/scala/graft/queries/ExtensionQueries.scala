@@ -3222,6 +3222,30 @@ object ExtensionQueries {
         round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
     }),
 
+    // Deterministic per-epoch reshuffle (every multi-epoch training
+    // run needs a DIFFERENT, REPLAYABLE order each epoch — torn jobs
+    // must resume mid-epoch on the exact same sequence): the order
+    // key is md5('ep<e>|' || doc_id), so epoch e's permutation is a
+    // pure function of (epoch, doc_id) — no RNG state to checkpoint,
+    // any worker can compute any slot. Reports the first 20 slots of
+    // epochs 0 and 1 via per-epoch TakeOrderedAndProject (top-k by
+    // hash key, never a global sort); the slot window runs over the
+    // already-cut 20-row frames. The invariant spec pins that the two
+    // epochs genuinely differ.
+    "sample_epoch_shuffle" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val cut = (0 to 1).map { e =>
+        docs.select(lit(e.toLong).as("epoch"), col("doc_id"),
+          md5(concat(lit(s"ep$e|"), col("doc_id").cast("string"))).as("k"))
+          .orderBy(col("k"), col("doc_id")).limit(20)
+      }.reduce(_ unionByName _)
+      cut.select(col("epoch"), col("doc_id"),
+          row_number().over(Window.partitionBy(col("epoch"))
+            .orderBy(col("k"), col("doc_id"))).cast("long").as("slot"))
+        .select(col("epoch"), col("slot"), col("doc_id"))
+        .orderBy(col("epoch"), col("slot"))
+    }),
+
     // Curriculum phase assignment (the easy-to-hard schedule of
     // curriculum learning, Bengio et al.): order the corpus by the
     // unigram-LM surprisal gate's own score (low surprisal = fluent,
@@ -5853,6 +5877,16 @@ object ExtensionQueries {
        "SELECT term, CAST(df AS BIGINT) AS df, cf, " +
        "round(CAST(df*s2 - cf*cf AS DOUBLE) / CAST(df*cf AS DOUBLE), 6) AS vmr " +
        "FROM a WHERE df >= 5 ORDER BY vmr DESC, term LIMIT 20"),
+    "sample_epoch_shuffle" ->
+      // the md5 order keys replayed per epoch; DuckDB || casts the
+      // int epoch to text, matching the Spark literal prefix
+      ("WITH e AS (SELECT ep.epoch, d.doc_id, " +
+       "md5('ep' || epoch || '|' || CAST(doc_id AS VARCHAR)) k " +
+       "FROM (SELECT doc_id FROM documents) d, (SELECT unnest([0, 1]) epoch) ep), " +
+       "r AS (SELECT epoch, doc_id, " +
+       "row_number() OVER (PARTITION BY epoch ORDER BY k, doc_id) slot FROM e) " +
+       "SELECT CAST(epoch AS BIGINT) AS epoch, CAST(slot AS BIGINT) AS slot, doc_id " +
+       "FROM r WHERE slot <= 20 ORDER BY epoch, slot"),
     "corpus_entropy" ->
       // -p ln p quantized to integer micros per term BEFORE the
       // per-source sum (order-free), same expression shape as Spark

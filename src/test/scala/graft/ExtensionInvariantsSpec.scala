@@ -1649,6 +1649,86 @@ class ExtensionInvariantsSpec extends SparkSpec {
     assert(got.exists(_._4 == 0), "no cycles — the unresolved branch is dead")
   }
 
+  test("q45 five-table join: exact driver replay at sf0.001") {
+    import org.apache.spark.sql.functions.col
+    val li = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      .as[(Long, Long, Double, Double)].collect()
+    val ord = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate").cast("string"))
+      .as[(Long, Long, String)].collect()
+      .filter(r => r._3 >= "1996-01-01" && r._3 < "1998-01-01")
+      .map(r => r._1 -> r._2).toMap
+    val cust = Tables.customer(spark, sf0001)
+      .select(col("c_custkey"), col("c_nationkey").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val supp = Tables.supplier(spark, sf0001)
+      .select(col("s_suppkey"), col("s_nationkey").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val nat = Tables.nation(spark, sf0001)
+      .select(col("n_nationkey").cast("long"), col("n_name"), col("n_regionkey").cast("long"))
+      .as[(Long, String, Long)].collect()
+    val asia = Tables.region(spark, sf0001)
+      .filter(col("r_name") === "ASIA").select(col("r_regionkey").cast("long"))
+      .as[Long].collect().toSet
+    val natName = nat.filter(n => asia(n._3)).map(n => n._1 -> n._2).toMap
+    def cents(x: Double) = BigDecimal(x * 100)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val agg = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    for ((ok, sk, ep, disc) <- li; ck <- ord.get(ok); cn <- cust.get(ck);
+         sn <- supp.get(sk) if cn == sn; name <- natName.get(sn)) {
+      val (r, c) = agg.getOrElse(name, (0L, 0L))
+      agg(name) = (r + cents(ep) * (100L - cents(disc)), c + 1L)
+    }
+    val expect = agg.toSeq.map { case (n, (r, c)) => (n, r, c) }
+      .sortBy { case (n, r, _) => (-r, n) }
+    val got = q("q45_region_revenue").as[(String, Long, Long)].collect().toSeq
+    assert(got === expect, s"q45 replay drifted:\n got $got\n exp $expect")
+    assert(got.nonEmpty && got.forall(_._2 > 0), "vacuous region revenue")
+  }
+
+  test("referential audit: orphan counts equal exactly the planted rows") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val nOrd = Tables.orders(spark, sf0001).count()
+    val nLi = Tables.lineitem(spark, sf0001).count()
+    val p97 = Tables.orders(spark, sf0001).filter(expr("o_orderkey % 97 = 0")).count()
+    val p101 = Tables.lineitem(spark, sf0001)
+      .filter(expr("l_orderkey % 101 = 0 AND l_linenumber = 1")).count()
+    val p103 = Tables.lineitem(spark, sf0001)
+      .filter(expr("l_orderkey % 103 = 0 AND l_linenumber = 1")).count()
+    // the planted keys must genuinely dangle for the counts to mean
+    // "exactly the planted rows"
+    val maxKey = Tables.orders(spark, sf0001)
+      .agg(org.apache.spark.sql.functions.max(col("o_orderkey"))).as[Long].head()
+    assert(maxKey < 10000000L, "planted offset no longer clears the key space")
+    val got = q("dq_referential").as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("orders_customer")._2 === nOrd + p97)
+    assert(got("orders_customer")._3 === p97)
+    assert(got("lineitem_orders")._2 === nLi + p101 + p103)
+    assert(got("lineitem_orders")._3 === p103)
+    assert(got("lineitem_supplier")._3 === p101)
+    assert(Seq(p97, p101, p103).forall(_ > 0), "a planted class is empty — vacuous audit")
+  }
+
+  test("epoch shuffle: md5 replay exact, epochs genuinely differ") {
+    val ids = Tables.documents(spark, sf0001).select("doc_id").as[Long].collect()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val expect = (0 to 1).flatMap { e =>
+      ids.map(id => (e.toLong, id, md5hex(s"ep$e|$id")))
+        .sortBy { case (_, id, k) => (k, id) }.take(20).zipWithIndex
+        .map { case ((ep, id, _), i) => (ep, i + 1L, id) }
+    }
+    val got = q("sample_epoch_shuffle").as[(Long, Long, Long)].collect().toSeq
+    assert(got === expect, "epoch shuffle replay drifted")
+    val e0 = got.filter(_._1 == 0).map(_._3)
+    val e1 = got.filter(_._1 == 1).map(_._3)
+    assert(e0 !== e1, "the two epochs produced the same order — reshuffle vacuous")
+    assert(e0.distinct.length === 20 && e1.distinct.length === 20)
+  }
+
   test("zipf fit: driver OLS replay matches, slope negative") {
     val toks = docTokens
     val cf = toks.values.flatten.groupBy(identity)
