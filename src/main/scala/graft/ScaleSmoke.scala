@@ -173,7 +173,9 @@ object ScaleSmoke {
         // partition-batched WAV decode + trim over 10x clips
         "multimodal_audio_trim",
         // two epoch top-k scans over 10x docs
-        "sample_epoch_shuffle")) {
+        "sample_epoch_shuffle",
+        // permuted-gather ADC over 10x codes + the host-pair coarsening
+        "sim_pq_balanced_topk", "crawl_host_graph")) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).count()
       println(f"$q%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $n%10d rows")

@@ -774,6 +774,70 @@ object ExtensionQueries {
     (banks, tables)
   }
 
+  /** ENERGY-BALANCED dimension permutation for PQ (the OPQ idea
+    * reduced to its SQL-replayable core): contiguous 8-dim slices
+    * concentrate whatever energy ordering the embedding dims happen
+    * to have, so one subspace's codewords work hard while another's
+    * encode noise. Rank dims by their corpus second moment and deal
+    * them round-robin into the 8 subspaces — each subspace gets one
+    * dim from every energy octile. The moments are summed over
+    * INTEGER MICRO quantized values (exact, order-free — no rounding
+    * contract on the permutation), the rank order ties on the dim
+    * index, and the 64-row collect is bounded by the dimensionality,
+    * never the corpus. Memoized per corpus version like the banks.
+    */
+  private val pqBalPermDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Int]]]()
+  private def pqBalancedPerm(s: SparkSession, dir: String): Array[Array[Int]] =
+    pqBalPermDirs.computeIfAbsent(
+      s"$dir@${Tables.parquetRowCount(s, s"$dir/embeddings.parquet")}", _ => {
+        import s.implicits._
+        val ranked = Tables.embeddings(s, dir)
+          .select(posexplode(col("embedding")).as(Seq("i", "x")))
+          .select(col("i"),
+            round(col("x").cast("double") * 1000000.0).cast("long").as("xi"))
+          .groupBy(col("i")).agg(sum(col("xi") * col("xi")).as("e2"))
+          .orderBy(col("e2").desc, col("i"))
+          .select(col("i")).as[Int].collect()
+        Array.tabulate(8)(si =>
+          ranked.zipWithIndex.collect { case (d, r) if r % 8 == si => d })
+      })
+
+  private def pqBalancedSub(v: Column, dims: Array[Int]): Column =
+    array(dims.map(d => element_at(v, d + 1)): _*)
+  private def pqBalSubOf(v: Array[Float], dims: Array[Int]): Array[Float] =
+    dims.map(v(_))
+
+  private val pqBalBankDirs = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[graft.functions.CentroidBank]]()
+  private val pqBalAdcTables = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[Array[Double]]]()
+  private def pqBalancedCodebook(s: SparkSession, dir: String, qid: Long)
+      : (Seq[graft.functions.CentroidBank], Seq[Array[Double]], Array[Array[Int]]) = {
+    import s.implicits._
+    val perm = pqBalancedPerm(s, dir)
+    val banks = pqBalBankDirs.computeIfAbsent(dir, _ => {
+      val seedRows = Tables.embeddings(s, dir).filter(col("vec_id") < 256)
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .collect()
+      (0 until 8).map { si =>
+        new graft.functions.CentroidBank(
+          seedRows.map(_._1),
+          seedRows.map(r => pqBalSubOf(r._2, perm(si))),
+          seedRows.map(r => pqDotSeq(pqBalSubOf(r._2, perm(si)), pqBalSubOf(r._2, perm(si)))))
+      }
+    })
+    val tables = pqBalAdcTables.computeIfAbsent(s"$dir#$qid", _ => {
+      val qv = Tables.embeddings(s, dir).filter(col("vec_id") === qid)
+        .select(col("embedding")).as[Array[Float]].head()
+      (0 until 8).map { si =>
+        val qs = pqBalSubOf(qv, perm(si))
+        banks(si).vecs.map(c => pqDotSeq(qs, c))
+      }
+    })
+    (banks, tables, perm)
+  }
+
   /** The RESIDUAL-PQ codebook of `sim_ivfpq_residual_topk` — the
     * faithful FAISS IndexIVFPQ composition: PQ trains on RESIDUALS
     * (vector minus its coarse cell's centroid), not raw vectors, so
@@ -1703,6 +1767,31 @@ object ExtensionQueries {
       Tables.embeddings(s, dir).filter(col("vec_id") =!= 299)
         .select(col("vec_id"),
           round(pqAdcScore(banks, tables, col("embedding")), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // ENERGY-BALANCED PQ — the OPQ idea's SQL-replayable core next to
+    // sim_pq_topk's contiguous slices: dims dealt round-robin into
+    // subspaces by descending corpus second moment (exact integer
+    // micro sums — the permutation carries NO rounding contract), so
+    // every subspace codes one dim from each energy octile instead of
+    // whatever order the embedding happens to ship. Serving is the
+    // identical zero-exchange ADC shape (scan -> 8 native argmax
+    // lookups over permuted gathers -> table sum ->
+    // TakeOrderedAndProject); the oracle replays moment ranking,
+    // permutation, assignment and the ordered table sum end to end.
+    "sim_pq_balanced_topk" -> ((s, dir) => {
+      val (banks, tables, perm) = pqBalancedCodebook(s, dir, qid = 293L)
+      val score = (0 until 8).map { si =>
+        val vs = pqBalancedSub(col("embedding"), perm(si))
+        element_at(typedLit(tables(si).toSeq),
+          (graft.functions.VectorExpressions
+            .seeded_cell_argmax(banks(si), vs, VectorOps.dot(vs, vs))
+            .cast("int")) + 1)
+      }.reduce(_ + _)
+      Tables.embeddings(s, dir).filter(col("vec_id") =!= 293)
+        .select(col("vec_id"), round(score, 6).as("score"))
         .orderBy(col("score").desc, col("vec_id"))
         .limit(10)
     }),
@@ -4215,6 +4304,22 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Host-graph coarsening — the first aggregation every web-graph
+    // analysis runs (page-level graphs are too fine for policy:
+    // crawl budgets, spam propagation and politeness all act on
+    // HOSTS): collapse the page edge table to (src_host, dst_host,
+    // weight) with host = doc_id div 50 (the same 50-page site
+    // grouping the decon bench split uses). ONE hash aggregate on the
+    // host pair — at 100 TB the canonical coarsening exchange, orders
+    // of magnitude smaller than the page graph it summarizes — and a
+    // top-20 TakeOrderedAndProject. Integer-only.
+    "crawl_host_graph" -> ((s, dir) =>
+      crawlEdgeTable(s, dir)
+        .select(expr("src div 50").as("src_host"), expr("dst div 50").as("dst_host"))
+        .groupBy(col("src_host"), col("dst_host")).agg(count(lit(1)).as("weight"))
+        .orderBy(col("weight").desc, col("src_host"), col("dst_host"))
+        .limit(20)),
+
     // Redirect-chain resolution by POINTER DOUBLING (the Wyllie/
     // path-doubling primitive): every crawl has redirect chains
     // (30x-moved pages, URL canonicalization hops) and the curation
@@ -5561,6 +5666,34 @@ object ExtensionQueries {
        "FROM codes JOIN c ON codes.s = c.s AND codes.cid = c.cid JOIN q ON q.s = codes.s) " +
        "SELECT vec_id, round(list_sum(list(t ORDER BY s)), 6) AS score FROM adc " +
        "WHERE vec_id <> 299 GROUP BY vec_id ORDER BY score DESC, vec_id LIMIT 10"),
+    "sim_pq_balanced_topk" ->
+      // the sim_pq_topk replay with PERMUTED subspace gathers: integer
+      // micro second moments rank the dims (exact — ties on the dim),
+      // round-robin deal, subvectors rebuilt as list(v[i] ORDER BY
+      // slot); assignment and the ordered ADC sum are verbatim
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings), " +
+       "en AS (SELECT i, CAST(SUM(xi*xi) AS BIGINT) e2 FROM " +
+       "(SELECT unnest(generate_series(1, len(embedding))) i, " +
+       "CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) xi " +
+       "FROM embeddings) GROUP BY i), " +
+       "pm AS MATERIALIZED (SELECT i, (r - 1) % 8 s, (r - 1) // 8 slot FROM " +
+       "(SELECT i, row_number() OVER (ORDER BY e2 DESC, i) r FROM en)), " +
+       "sub0 AS (SELECT e.vec_id, pm.s, list(e.v[pm.i] ORDER BY pm.slot) sv " +
+       "FROM e CROSS JOIN pm GROUP BY e.vec_id, pm.s), " +
+       "subn AS MATERIALIZED (SELECT vec_id, s, sv, " +
+       "list_sum(list_transform(sv, x -> x*x)) AS nv FROM sub0), " +
+       "c AS (SELECT vec_id AS cid, s, sv AS cv, nv AS nc FROM subn WHERE vec_id < 256), " +
+       "scored AS (SELECT t.vec_id, t.s, c.cid, round(" +
+       "list_sum(list_transform(list_zip(t.sv, c.cv), p -> p[1]*p[2])) / sqrt(t.nv * c.nc), 6) cs " +
+       "FROM subn t JOIN c ON t.s = c.s), " +
+       "codes AS (SELECT vec_id, s, cid FROM scored " +
+       "QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY cs DESC, cid) = 1), " +
+       "q AS (SELECT s, sv AS qv FROM subn WHERE vec_id = 293), " +
+       "adc AS (SELECT codes.vec_id, codes.s, " +
+       "list_sum(list_transform(list_zip(q.qv, c.cv), p -> p[1]*p[2])) AS t " +
+       "FROM codes JOIN c ON codes.s = c.s AND codes.cid = c.cid JOIN q ON q.s = codes.s) " +
+       "SELECT vec_id, round(list_sum(list(t ORDER BY s)), 6) AS score FROM adc " +
+       "WHERE vec_id <> 293 GROUP BY vec_id ORDER BY score DESC, vec_id LIMIT 10"),
     "sim_ivf_topk" ->
       ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings), " +
        "c AS (SELECT vec_id cid, v cv FROM e WHERE vec_id < 32), " +
@@ -6458,6 +6591,13 @@ object ExtensionQueries {
       (1 to 5).map(k => iter(s"r${k - 1}", s"r$k")).mkString("", ", ", " ") +
       "SELECT i AS doc_id, r AS rank_ppm FROM r5 ORDER BY doc_id"
     },
+    "crawl_host_graph" ->
+      // the edge replay grouped on // 50 host keys
+      ("WITH docs AS (SELECT doc_id i FROM documents), " +
+       "nn AS (SELECT COUNT(*) c FROM docs), " +
+       "e AS (SELECT i, unnest([(i*31+7)%c, i%LEAST(16, c), (i*13+11)%c]) t FROM docs, nn) " +
+       "SELECT i // 50 AS src_host, t // 50 AS dst_host, COUNT(*) AS weight " +
+       "FROM e GROUP BY 1, 2 ORDER BY weight DESC, src_host, dst_host LIMIT 20"),
     "crawl_redirects" -> {
       // 4 unrolled doubling rounds: p_{k+1}(i) = p_k(p_k(i)); final
       // pages are self-fixpoints so the joins need no special casing

@@ -385,6 +385,41 @@ class ExtensionInvariantsSpec extends SparkSpec {
       s"${pq.toSeq} vs ${exact.toSeq}")
   }
 
+  test("balanced PQ: permutation is a true deal, recall holds the seeded-PQ bar") {
+    import org.apache.spark.sql.functions._
+    // the permutation must partition all 64 dims into 8 octile-dealt
+    // groups — replay the integer-micro moment ranking driver-side
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("embedding")).as[Array[Float]].collect()
+    val e2 = Array.tabulate(emb.head.length) { d =>
+      emb.map { v =>
+        val xi = BigDecimal(v(d).toDouble * 1000000.0)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        xi * xi
+      }.sum
+    }
+    val ranked = e2.zipWithIndex.sortBy { case (e, d) => (-e, d) }.map(_._2)
+    val bal = q("sim_pq_balanced_topk").as[(Long, Double)].collect().map(_._1)
+    // recall floor: the permuted gathers must not LOSE to the seeded
+    // slices' honest >= 4/10 bound vs the exact dot top-10
+    val qv = Tables.embeddings(spark, sf0001).filter(col("vec_id") === 293)
+      .select(graft.operators.VectorOps.toDouble(col("embedding")).as("qv"))
+    val exact = Tables.embeddings(spark, sf0001).filter(col("vec_id") =!= 293)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), graft.operators.VectorOps.dot(col("qv"),
+        graft.operators.VectorOps.toDouble(col("embedding"))).as("d"))
+      .orderBy(col("d").desc, col("vec_id"))
+      .limit(10).as[(Long, Double)].collect().map(_._1)
+    val overlap = bal.toSet.intersect(exact.toSet).size
+    assert(overlap >= 4, s"balanced-pq/exact overlap only $overlap")
+    // ranked deal sanity: dims 0..63 all covered exactly once across
+    // the 8 round-robin groups
+    val groups = (0 until 8).map(si =>
+      ranked.zipWithIndex.collect { case (d, r) if r % 8 == si => d })
+    assert(groups.flatten.sorted.toSeq === (0 until emb.head.length).toSeq)
+    assert(groups.forall(_.length == emb.head.length / 8))
+  }
+
   test("ADC-shortlist + exact rerank recovers near-exact recall") {
     // the two-stage serve only needs the PQ codes to keep true
     // neighbors inside the top-50 shortlist; the exact rerank then
