@@ -1220,6 +1220,32 @@ object ExtensionQueries {
           col("i"))
   }
 
+  /** The per-doc unigram surprisal SCORE STORE behind
+    * `text_unigram_logprob` — promoted to the [[materializedFrame]]
+    * lifecycle (dir@rowCount key) because a curation pipeline scores
+    * the corpus ONCE and gates many times, and four queries here
+    * genuinely reuse it: the gate itself, `quality_gate_kappa` and
+    * `quality_ensemble` (via the registry), and `export_curriculum`
+    * (which needs the frame twice — the boundary collect and the
+    * phase rollup — and previously re-ran the vocab aggregate for
+    * each). Columns (doc_id, n_tokens, avg_surprisal, rarest_df),
+    * UNSORTED — consumers add their own output order.
+    */
+  private def surprisalFrame(s: SparkSession, dir: String): DataFrame =
+    materializedFrame(s,
+      s"surprisal:$dir@${Tables.parquetRowCount(s, s"$dir/documents.parquet")}") {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+      val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      val total = vocab.agg(sum(col("cnt")).as("n"))
+      toks.join(vocab, Seq("w"))
+        .crossJoin(broadcast(total))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(-log(col("cnt") / col("n"))), 6).as("avg_surprisal"),
+          min(col("cnt")).as("rarest_df"))
+    }
+
   /** Exact-dup content groups over the synthetically re-uploaded
     * corpus (every doc_id % 7 == 0 doc unioned once more — the
     * text_pii_scrub convention: the fixtures ship zero byte-exact
@@ -3020,19 +3046,8 @@ object ExtensionQueries {
     // partitions). Surprisal is doubles-under-avg like sim_centroids:
     // round(6) after the aggregate keeps both engines' sums inside the
     // rounding tolerance at any realistic doc length.
-    "text_unigram_logprob" -> ((s, dir) => {
-      val toks = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
-      val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      val total = vocab.agg(sum(col("cnt")).as("n"))
-      toks.join(vocab, Seq("w"))
-        .crossJoin(broadcast(total))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"),
-          round(avg(-log(col("cnt") / col("n"))), 6).as("avg_surprisal"),
-          min(col("cnt")).as("rarest_df"))
-        .orderBy(col("doc_id"))
-    }),
+    "text_unigram_logprob" -> ((s, dir) =>
+      surprisalFrame(s, dir).orderBy(col("doc_id"))),
 
     // Bigram LM scoring with add-one smoothing — the next rung above
     // unigram surprisal (a doc of common words in IMPLAUSIBLE order —
@@ -3351,7 +3366,7 @@ object ExtensionQueries {
     // both engines — the rounding contract already guarantees the
     // score values agree), equal keys share a phase by construction.
     "export_curriculum" -> ((s, dir) => {
-      val su = queries("text_unigram_logprob")(s, dir)
+      val su = surprisalFrame(s, dir)
         .select(col("doc_id"), col("n_tokens"),
           round(col("avg_surprisal") * 1000000.0).cast("long").as("k"))
       val cuts = graft.operators.Export.weightedEquiDepthCuts(su, "k", "n_tokens", 4)
