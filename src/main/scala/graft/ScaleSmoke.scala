@@ -175,7 +175,9 @@ object ScaleSmoke {
         // two epoch top-k scans over 10x docs
         "sample_epoch_shuffle",
         // permuted-gather ADC over 10x codes + the host-pair coarsening
-        "sim_pq_balanced_topk", "crawl_host_graph")) {
+        "sim_pq_balanced_topk", "crawl_host_graph",
+        // growth-curve aggregates + the key-multiplicity audit at 10x
+        "corpus_heaps", "dq_uniqueness")) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).count()
       println(f"$q%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $n%10d rows")

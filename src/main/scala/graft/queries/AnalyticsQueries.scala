@@ -41,6 +41,34 @@ object AnalyticsQueries {
         max(unix_micros(col("ts"))).as("e_us"))
   }
 
+  /** The "ingested" orders/lineitem frames the DQ audits run on: the
+    * clean fixtures unioned with DETERMINISTIC planted defects (the
+    * text_pii_scrub convention — clean inputs would leave the audits
+    * vacuous). ONE definition shared by `dq_referential` and
+    * `dq_uniqueness`, so the two reports can never disagree about
+    * what arrived: % 97 orders re-arrive with a dangling custkey
+    * (duplicate PK + FK orphan), % 101 first-line items re-arrive
+    * with a dangling suppkey (duplicate composite PK + FK orphan),
+    * % 103 first-line items re-arrive with a shifted orderkey (FK
+    * orphan, PK-unique).
+    */
+  private def ingestOrders(s: SparkSession, dir: String): DataFrame = {
+    val ord0 = Tables.orders(s, dir)
+    ord0.select(col("o_orderkey"), col("o_custkey"))
+      .unionByName(ord0.filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey"), (col("o_custkey") + 10000000L).as("o_custkey")))
+  }
+  private def ingestLineitem(s: SparkSession, dir: String): DataFrame = {
+    val li0 = Tables.lineitem(s, dir)
+    li0.select(col("l_orderkey"), col("l_suppkey"), col("l_linenumber"))
+      .unionByName(li0.filter(col("l_orderkey") % 101 === 0 && col("l_linenumber") === 1)
+        .select(col("l_orderkey"), (col("l_suppkey") + 10000000L).as("l_suppkey"),
+          col("l_linenumber")))
+      .unionByName(li0.filter(col("l_orderkey") % 103 === 0 && col("l_linenumber") === 1)
+        .select((col("l_orderkey") + 10000000L).as("l_orderkey"), col("l_suppkey"),
+          col("l_linenumber")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-flavored pricing summary: partial (map-side) agg + final
     // agg, one shuffle on the two grouping keys.
@@ -820,6 +848,30 @@ object AnalyticsQueries {
         .orderBy(col("source"), col("n_chars"), col("doc_id"))
     }),
 
+    // Primary-key uniqueness audit — dq_referential's companion over
+    // the SAME planted ingest: the % 97 order re-arrivals duplicate
+    // o_orderkey, and the % 101 lineitem plants duplicate the
+    // (l_orderkey, l_linenumber) composite PK (the % 103 plants shift
+    // the orderkey, so they stay PK-unique — a dangling FK is not a
+    // duplicate key, and the two audits must not conflate them). One
+    // hash aggregate per table on its key; exact integers plus the
+    // rounded rate.
+    "dq_uniqueness" -> ((s, dir) => {
+      def audit(name: String, keyed: DataFrame): DataFrame =
+        keyed.groupBy(col("k")).agg(count(lit(1)).as("m"))
+          .agg(sum(col("m")).as("n_rows"), count(lit(1)).as("n_keys"),
+            sum(when(col("m") > 1, lit(1L)).otherwise(lit(0L))).as("n_dup_keys"),
+            max(col("m")).as("max_multiplicity"))
+          .select(lit(name).as("tbl"), col("n_rows"), col("n_keys"),
+            col("n_dup_keys"), col("max_multiplicity"),
+            round(col("n_dup_keys") / col("n_keys").cast("double"), 6).as("dup_key_frac"))
+      audit("lineitem", ingestLineitem(s, dir)
+          .select(concat_ws("|", col("l_orderkey"), col("l_linenumber")).as("k")))
+        .unionByName(audit("orders", ingestOrders(s, dir)
+          .select(col("o_orderkey").cast("string").as("k"))))
+        .orderBy(col("tbl"))
+    }),
+
     // The TPC-H Q5 join shape — five tables, two independent FK
     // chains (lineitem->orders->customer and lineitem->supplier)
     // meeting on a nation equality, dimension filters at the leaves —
@@ -870,16 +922,8 @@ object AnalyticsQueries {
     // join keyed on the FK — at 100 TB the standard orphan scan,
     // with the parent key side aggregated to distinct keys first.
     "dq_referential" -> ((s, dir) => {
-      val ord0 = Tables.orders(s, dir)
-      val li0 = Tables.lineitem(s, dir)
-      val ords = ord0.select(col("o_orderkey"), col("o_custkey"))
-        .unionByName(ord0.filter(col("o_orderkey") % 97 === 0)
-          .select(col("o_orderkey"), (col("o_custkey") + 10000000L).as("o_custkey")))
-      val lis = li0.select(col("l_orderkey"), col("l_suppkey"))
-        .unionByName(li0.filter(col("l_orderkey") % 101 === 0 && col("l_linenumber") === 1)
-          .select(col("l_orderkey"), (col("l_suppkey") + 10000000L).as("l_suppkey")))
-        .unionByName(li0.filter(col("l_orderkey") % 103 === 0 && col("l_linenumber") === 1)
-          .select((col("l_orderkey") + 10000000L).as("l_orderkey"), col("l_suppkey")))
+      val ords = ingestOrders(s, dir)
+      val lis = ingestLineitem(s, dir)
       def fkAudit(name: String, child: DataFrame, key: String,
           parent: DataFrame, pkey: String): DataFrame =
         child.agg(count(lit(1)).as("n_rows"))
@@ -1368,6 +1412,23 @@ object AnalyticsQueries {
        "round(cume_dist() OVER w, 6) AS cd " +
        "FROM documents WINDOW w AS (PARTITION BY source ORDER BY n_chars) " +
        "ORDER BY source, n_chars, doc_id"),
+    "dq_uniqueness" ->
+      // same planted UNION ALLs as dq_referential; per-key counts
+      // rolled to table-level uniqueness stats
+      ("WITH ords AS (SELECT o_orderkey, o_custkey FROM orders " +
+       "UNION ALL SELECT o_orderkey, o_custkey + 10000000 FROM orders WHERE o_orderkey % 97 = 0), " +
+       "lis AS (SELECT l_orderkey, l_suppkey, l_linenumber FROM lineitem " +
+       "UNION ALL SELECT l_orderkey, l_suppkey + 10000000, l_linenumber FROM lineitem WHERE l_orderkey % 101 = 0 AND l_linenumber = 1 " +
+       "UNION ALL SELECT l_orderkey + 10000000, l_suppkey, l_linenumber FROM lineitem WHERE l_orderkey % 103 = 0 AND l_linenumber = 1), " +
+       "lk AS (SELECT CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) k, COUNT(*) m FROM lis GROUP BY 1), " +
+       "ok AS (SELECT CAST(o_orderkey AS VARCHAR) k, COUNT(*) m FROM ords GROUP BY 1), " +
+       "la AS (SELECT 'lineitem' tbl, CAST(SUM(m) AS BIGINT) n_rows, CAST(COUNT(*) AS BIGINT) n_keys, " +
+       "CAST(SUM(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT) n_dup_keys, CAST(MAX(m) AS BIGINT) max_multiplicity FROM lk), " +
+       "oa AS (SELECT 'orders' tbl, CAST(SUM(m) AS BIGINT) n_rows, CAST(COUNT(*) AS BIGINT) n_keys, " +
+       "CAST(SUM(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT) n_dup_keys, CAST(MAX(m) AS BIGINT) max_multiplicity FROM ok) " +
+       "SELECT tbl, n_rows, n_keys, n_dup_keys, max_multiplicity, " +
+       "round(n_dup_keys / CAST(n_keys AS DOUBLE), 6) AS dup_key_frac " +
+       "FROM (SELECT * FROM la UNION ALL SELECT * FROM oa) ORDER BY tbl"),
     "q45_region_revenue" ->
       // exact integer micro-cents revenue; same date/region literals
       ("SELECT n_name, " +

@@ -2907,6 +2907,58 @@ object ExtensionQueries {
           (col("n") * lit(1000000.0)), 6).as("intercept"))
     }),
 
+    // Heaps'-law vocabulary growth — corpus_zipf's companion
+    // diagnostic (Zipf describes the frequency SHAPE, Heaps the
+    // vocabulary GROWTH V(n) ~ K n^beta, beta ~ 0.4-0.6 for natural
+    // text): a corpus whose growth exponent collapses is recycling
+    // its vocabulary (template spam, synthetic loops); one that grows
+    // too fast is noise or encoding garbage. Checkpoints are doc-id
+    // deciles in ingest order; V(c) needs only each token's FIRST
+    // document (one min aggregate over the posting store — never a
+    // per-checkpoint rescan) and token counts come from the same
+    // store's per-doc dl. The log-log OLS runs on INTEGER-MICRO
+    // quantized points (the corpus_zipf recipe — all four sums
+    // exact); both decile tables are 10 rows, so the cumulative
+    // windows are bounded by construction.
+    "corpus_heaps" -> ((s, dir) => {
+      val n = Tables.parquetRowCount(s, s"$dir/documents.parquet")
+      val posting = postingFrame(s, dir)
+      // doc_id -> 0..9 ingest decile. Column `/` is a DOUBLE divide in
+      // Spark — the floor cast makes it the integer division the
+      // oracle's // performs (values <= 10n are exact in double)
+      def decileOf(c: Column): Column =
+        least(lit(9L), floor((c * 10L) / lit(n.toDouble)).cast("long"))
+      val firstDoc = posting.groupBy(col("term"))
+        .agg(min(col("doc_id")).as("fd"))
+        .groupBy(decileOf(col("fd")).as("d")).agg(count(lit(1)).as("nv"))
+      val toks = posting.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+        .groupBy(decileOf(col("doc_id")).as("d")).agg(sum(col("dl")).as("nt"))
+      val byDecile = Window.orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // LEFT from the token side: a decile can add ZERO new vocabulary
+      // (on a closed-vocab corpus every term first-occurs in decile 0
+      // — the flat-growth case this diagnostic exists to flag), and
+      // an inner join would silently drop those checkpoints
+      val pts = toks.join(firstDoc, Seq("d"), "left")
+        .select(col("d"), coalesce(col("nv"), lit(0L)).as("nv"), col("nt"))
+        .select(col("d"), sum(col("nv")).over(byDecile).as("v"),
+          sum(col("nt")).over(byDecile).as("t"))
+        .select(col("d"),
+          round(log(col("t").cast("double")) * 1000000.0).cast("long").as("xi"),
+          round(log(col("v").cast("double")) * 1000000.0).cast("long").as("yi"))
+      val ag = pts.agg(count(lit(1)).as("n"),
+        sum(col("xi")).as("sx"), sum(col("yi")).as("sy"),
+        sum(col("xi") * col("yi")).as("sxy"),
+        sum(col("xi") * col("xi")).as("sxx"))
+      val num = col("n") * col("sxy") - col("sx") * col("sy")
+      val den = col("n") * col("sxx") - col("sx") * col("sx")
+      ag.select(col("n").as("n_points"),
+        round(num.cast("double") / den.cast("double"), 6).as("beta"),
+        round((col("sy").cast("double") -
+          num.cast("double") / den.cast("double") * col("sx")) /
+          (col("n") * lit(1000000.0)), 6).as("ln_k"))
+    }),
+
     // Term burstiness (Church & Gale): variance-to-mean ratio of a
     // term's per-doc tf over the docs CONTAINING it — topical content
     // words arrive in bursts (VMR >> 1 would be Poisson's 1) while
@@ -6014,6 +6066,27 @@ object ExtensionQueries {
        "round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope, " +
        "round((CAST(sy AS DOUBLE) - CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) * sx) / " +
        "(n * 1000000.0), 6) AS intercept FROM ag"),
+    "corpus_heaps" ->
+      // first-occurrence deciles LEFT-joined from the token deciles
+      // (zero-new-vocab checkpoints survive), cumulative windows over
+      // the 10-row frame, integer-micro ln-ln OLS (the zipf recipe)
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
+       "nn AS (SELECT COUNT(*) c FROM documents), " +
+       "fd AS (SELECT term, MIN(doc_id) fd FROM (SELECT doc_id, unnest(ws) term FROM t) GROUP BY term), " +
+       "nv AS (SELECT least(9, fd * 10 // (SELECT c FROM nn)) d, COUNT(*) nv FROM fd GROUP BY 1), " +
+       "nt AS (SELECT least(9, doc_id * 10 // (SELECT c FROM nn)) d, " +
+       "CAST(SUM(len(ws)) AS BIGINT) nt FROM t GROUP BY 1), " +
+       "cum AS (SELECT nt.d, SUM(COALESCE(nv.nv, 0)) OVER (ORDER BY nt.d) v, " +
+       "SUM(nt.nt) OVER (ORDER BY nt.d) tt FROM nt LEFT JOIN nv ON nt.d = nv.d), " +
+       "xy AS (SELECT CAST(round(ln(CAST(tt AS DOUBLE)) * 1000000.0) AS BIGINT) xi, " +
+       "CAST(round(ln(CAST(v AS DOUBLE)) * 1000000.0) AS BIGINT) yi FROM cum), " +
+       "ag AS (SELECT CAST(COUNT(*) AS BIGINT) n, CAST(SUM(xi) AS BIGINT) sx, " +
+       "CAST(SUM(yi) AS BIGINT) sy, CAST(SUM(xi*yi) AS BIGINT) sxy, " +
+       "CAST(SUM(xi*xi) AS BIGINT) sxx FROM xy) " +
+       "SELECT n AS n_points, " +
+       "round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS beta, " +
+       "round((CAST(sy AS DOUBLE) - CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) * sx) / " +
+       "(n * 1000000.0), 6) AS ln_k FROM ag"),
     "corpus_burstiness" ->
       // exact integer VMR numerator/denominator; the only double is
       // the final rounded division, same expression shape as Spark

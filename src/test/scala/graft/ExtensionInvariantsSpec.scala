@@ -1764,6 +1764,75 @@ class ExtensionInvariantsSpec extends SparkSpec {
     assert(e0.distinct.length === 20 && e1.distinct.length === 20)
   }
 
+  test("heaps growth: decile replay exact; closed vocab reads as flat growth") {
+    val toks = docTokens
+    val n = toks.size.toLong
+    def decile(id: Long) = math.min(9L, id * 10 / n).toInt
+    val firstDoc = toks.toSeq.flatMap { case (id, ws) => ws.map(_ -> id) }
+      .groupBy(_._1).map { case (_, g) => g.map(_._2).min }
+    val nv = Array.fill(10)(0L)
+    firstDoc.foreach(id => nv(decile(id)) += 1)
+    val nt = Array.fill(10)(0L)
+    toks.foreach { case (id, ws) => nt(decile(id)) += ws.length.toLong }
+    val (vs, ts) = (nv.scanLeft(0L)(_ + _).drop(1), nt.scanLeft(0L)(_ + _).drop(1))
+    val xy = ts.zip(vs).map { case (t, v) =>
+      (roundMicroLong(math.log(t.toDouble) * 1000000.0),
+        roundMicroLong(math.log(v.toDouble) * 1000000.0)) }
+    val nT = 10L
+    val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+    val sxy = xy.map(p => p._1 * p._2).sum; val sxx = xy.map(p => p._1 * p._1).sum
+    val num = nT * sxy - sx * sy; val den = nT * sxx - sx * sx
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val Array((gotN, beta, lnK)) = q("corpus_heaps").as[(Long, Double, Double)].collect()
+    assert(gotN === 10L)
+    assert(beta === r6(num.toDouble / den.toDouble) &&
+      lnK === r6((sy.toDouble - num.toDouble / den.toDouble * sx) / (nT * 1000000.0)),
+      s"heaps replay drifted: got ($beta, $lnK)")
+    // this synthetic corpus has a CLOSED vocabulary — every term first
+    // occurs in decile 0 — so the honest reading is flat growth, the
+    // exact condition the diagnostic exists to flag
+    assert(vs.distinct.length === 1 && beta === 0.0,
+      s"closed-vocab fixture must read flat: v=$vs beta=$beta")
+    assert(vs.zip(vs.tail).forall { case (a, b) => a <= b }, "V must be monotone")
+  }
+
+  test("uniqueness audit: dup keys equal exactly the planted re-arrivals") {
+    import org.apache.spark.sql.functions.expr
+    val nOrd = Tables.orders(spark, sf0001).count()
+    val nLi = Tables.lineitem(spark, sf0001).count()
+    val p97 = Tables.orders(spark, sf0001).filter(expr("o_orderkey % 97 = 0")).count()
+    val p101 = Tables.lineitem(spark, sf0001)
+      .filter(expr("l_orderkey % 101 = 0 AND l_linenumber = 1")).count()
+    val p103 = Tables.lineitem(spark, sf0001)
+      .filter(expr("l_orderkey % 103 = 0 AND l_linenumber = 1")).count()
+    val got = q("dq_uniqueness").as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, oRows, oKeys, oDup, oMax, _) = got("orders")
+    assert(oRows === nOrd + p97 && oKeys === nOrd && oDup === p97 && oMax === 2L)
+    val (_, lRows, lKeys, lDup, lMax, _) = got("lineitem")
+    // the base fixture's (l_orderkey, l_linenumber) is NOT unique, so
+    // the lineitem expectations come from a full key replay rather
+    // than planted-count arithmetic
+    val baseKeys = Tables.lineitem(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("l_orderkey"),
+        org.apache.spark.sql.functions.col("l_linenumber").cast("long"))
+      .as[(Long, Long)].collect()
+    val ingest = baseKeys ++
+      baseKeys.filter { case (ok, ln) => ok % 101 == 0 && ln == 1 } ++
+      baseKeys.filter { case (ok, ln) => ok % 103 == 0 && ln == 1 }
+        .map { case (ok, ln) => (ok + 10000000L, ln) }
+    val mult = ingest.groupBy(identity).map(_._2.length.toLong)
+    assert(lRows === ingest.length.toLong && lKeys === mult.size.toLong &&
+      lDup === mult.count(_ > 1).toLong && lMax === mult.max,
+      s"lineitem uniqueness replay drifted: got ${got("lineitem")}")
+    assert(lRows === nLi + p101 + p103)
+    assert(p97 > 0 && p101 > 0 && p103 > 0, "a planted class is empty")
+    // the two DQ audits must agree on what arrived
+    val ref = q("dq_referential").as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(ref("orders_customer") === oRows && ref("lineitem_orders") === lRows)
+  }
+
   test("zipf fit: driver OLS replay matches, slope negative") {
     val toks = docTokens
     val cf = toks.values.flatten.groupBy(identity)
