@@ -2907,6 +2907,44 @@ object ExtensionQueries {
           (col("n") * lit(1000000.0)), 6).as("intercept"))
     }),
 
+    // Per-source distribution drift as Jensen-Shannon divergence from
+    // the corpus-wide unigram distribution — the symmetric, bounded
+    // ([0, ln 2]) companion to corpus_entropy: entropy says how
+    // CONCENTRATED a source's vocabulary is, JSD says how far it sits
+    // from everyone else (a source drifting toward spam or a new
+    // domain moves before its entropy does). JSD(P||Q) = H(M) -
+    // (H(P) + H(Q))/2 with M the midpoint needs three entropies; the
+    // equivalent per-term form sum p/2 ln(p/m) + q/2 ln(q/m) lets
+    // every contribution quantize to INTEGER MICROS before the sum
+    // (order-free, the entropy recipe). Terms absent from a source
+    // contribute only the corpus half (q/2 ln(q/m) with p = 0) — a
+    // LEFT join from the corpus dictionary keeps them. Exchanges:
+    // (source, term) counts, the term dictionary, and the per-source
+    // rollup; dictionary-side joins broadcast at vocab scale.
+    "corpus_source_jsd" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
+      val sc = toks.groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      val st = sc.groupBy(col("source")).agg(sum(col("c")).as("stot"))
+      val gc = sc.groupBy(col("w")).agg(sum(col("c")).as("g"))
+      val gt = gc.agg(sum(col("g")).as("gtot"))
+      // per (source, term-of-the-GLOBAL-dictionary) pair: p may be 0
+      val pairs = st.crossJoin(gc.crossJoin(broadcast(gt)))
+        .join(sc, Seq("source", "w"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val p = col("c").cast("double") / col("stot")
+      val qq = col("g").cast("double") / col("gtot")
+      val m = (p + qq) / lit(2.0)
+      val contrib =
+        when(col("c") > 0, p / lit(2.0) * log(p / m)).otherwise(lit(0.0)) +
+        qq / lit(2.0) * log(qq / m)
+      pairs
+        .select(col("source"),
+          round(contrib * lit(1000000.0)).cast("long").as("jm"))
+        .groupBy(col("source")).agg(sum(col("jm")).as("jsd_micro"))
+        .orderBy(col("source").asc_nulls_last)
+    }),
+
     // Heaps'-law vocabulary growth — corpus_zipf's companion
     // diagnostic (Zipf describes the frequency SHAPE, Heaps the
     // vocabulary GROWTH V(n) ~ K n^beta, beta ~ 0.4-0.6 for natural
@@ -6066,6 +6104,25 @@ object ExtensionQueries {
        "round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope, " +
        "round((CAST(sy AS DOUBLE) - CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) * sx) / " +
        "(n * 1000000.0), 6) AS intercept FROM ag"),
+    "corpus_source_jsd" ->
+      // the global dictionary cross-joined to the sources, per-source
+      // counts LEFT-joined (absent terms contribute the corpus half
+      // only); contributions quantized to integer micros pre-sum
+      ("WITH tok AS (SELECT source, unnest(string_split(text, ' ')) w FROM documents), " +
+       "sc AS MATERIALIZED (SELECT source, w, COUNT(*) c FROM tok GROUP BY source, w), " +
+       "st AS (SELECT source, CAST(SUM(c) AS BIGINT) stot FROM sc GROUP BY source), " +
+       "gc AS MATERIALIZED (SELECT w, CAST(SUM(c) AS BIGINT) g FROM sc GROUP BY w), " +
+       "gt AS (SELECT CAST(SUM(g) AS BIGINT) gtot FROM gc), " +
+       "pairs AS (SELECT st.source, st.stot, gc.w, gc.g, gt.gtot, COALESCE(sc.c, 0) c " +
+       "FROM st CROSS JOIN gc CROSS JOIN gt LEFT JOIN sc ON sc.source = st.source AND sc.w = gc.w), " +
+       "jm AS (SELECT source, CAST(round((" +
+       "CASE WHEN c > 0 THEN CAST(c AS DOUBLE) / stot / 2.0 * " +
+       "ln((CAST(c AS DOUBLE) / stot) / ((CAST(c AS DOUBLE) / stot + CAST(g AS DOUBLE) / gtot) / 2.0)) ELSE 0.0 END + " +
+       "CAST(g AS DOUBLE) / gtot / 2.0 * " +
+       "ln((CAST(g AS DOUBLE) / gtot) / ((CAST(c AS DOUBLE) / stot + CAST(g AS DOUBLE) / gtot) / 2.0))" +
+       ") * 1000000.0) AS BIGINT) jm FROM pairs) " +
+       "SELECT source, CAST(SUM(jm) AS BIGINT) AS jsd_micro " +
+       "FROM jm GROUP BY source ORDER BY source"),
     "corpus_heaps" ->
       // first-occurrence deciles LEFT-joined from the token deciles
       // (zero-new-vocab checkpoints survive), cumulative windows over

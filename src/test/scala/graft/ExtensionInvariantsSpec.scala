@@ -1833,6 +1833,34 @@ class ExtensionInvariantsSpec extends SparkSpec {
     assert(ref("orders_customer") === oRows && ref("lineitem_orders") === lRows)
   }
 
+  test("source JSD: driver replay exact, inside (0, ln 2)") {
+    val rows = Tables.documents(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("text"))
+      .as[(String, String)].collect()
+    val perSource = rows.groupBy(_._1).map { case (src, g) =>
+      src -> g.flatMap(r => Option(r._2).map(_.split(" ", -1)).getOrElse(Array.empty))
+        .groupBy(identity).map { case (w, x) => w -> x.length.toLong } }
+    val global = perSource.values.flatten
+      .groupBy(_._1).map { case (w, g) => w -> g.map(_._2).sum }
+    val gtot = global.values.sum
+    val got = q("corpus_source_jsd").as[(String, Long)].collect()
+    got.foreach { case (src, jm) =>
+      val cnt = perSource(src)
+      val stot = cnt.values.sum
+      val expect = global.toSeq.map { case (w, g) =>
+        val c = cnt.getOrElse(w, 0L)
+        val p = c.toDouble / stot; val qd = g.toDouble / gtot
+        val m = (p + qd) / 2.0
+        val contrib = (if (c > 0) p / 2.0 * math.log(p / m) else 0.0) +
+          qd / 2.0 * math.log(qd / m)
+        roundMicroLong(contrib * 1000000.0)
+      }.sum
+      assert(jm === expect, s"$src jsd $jm != replay $expect")
+      assert(jm > 0 && jm < 693148, s"$src jsd $jm outside (0, ln 2 micro)")
+    }
+  }
+
   test("zipf fit: driver OLS replay matches, slope negative") {
     val toks = docTokens
     val cf = toks.values.flatten.groupBy(identity)
