@@ -176,10 +176,10 @@ object ScaleSmoke {
         "sample_epoch_shuffle",
         // permuted-gather ADC over 10x codes + the host-pair coarsening
         "sim_pq_balanced_topk", "crawl_host_graph",
-        // growth-curve aggregates + the key-multiplicity audit at 10x
-        "corpus_heaps", "dq_uniqueness",
-        // source-x-dictionary JSD pairs at 10x vocab pressure
-        "corpus_source_jsd")) {
+        // growth-curve aggregates + source-x-dictionary JSD pairs at
+        // 10x (the DQ audits read the TPC-H tables, which the smoke's
+        // replicated dir does not carry)
+        "corpus_heaps", "corpus_source_jsd")) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).count()
       println(f"$q%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $n%10d rows")
