@@ -1234,17 +1234,25 @@ object ExtensionQueries {
   private def surprisalFrame(s: SparkSession, dir: String): DataFrame =
     materializedFrame(s,
       s"surprisal:$dir@${Tables.parquetRowCount(s, s"$dir/documents.parquet")}") {
-      val toks = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
-      val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      val total = vocab.agg(sum(col("cnt")).as("n"))
-      toks.join(vocab, Seq("w"))
-        .crossJoin(broadcast(total))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"),
-          round(avg(-log(col("cnt") / col("n"))), 6).as("avg_surprisal"),
-          min(col("cnt")).as("rarest_df"))
+      surprisalBuildFrame(s, dir)
     }
+
+  /** The store's construction plan, exposed so PlanAuditSpec can pin
+    * the broadcast-vocab/no-token-shuffle contract on the frame that
+    * actually pays the join (the served query just reads the store).
+    */
+  private[graft] def surprisalBuildFrame(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("n"))
+    toks.join(vocab, Seq("w"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(-log(col("cnt") / col("n"))), 6).as("avg_surprisal"),
+        min(col("cnt")).as("rarest_df"))
+  }
 
   /** Exact-dup content groups over the synthetically re-uploaded
     * corpus (every doc_id % 7 == 0 doc unioned once more — the

@@ -160,8 +160,12 @@ class PlanAuditSpec extends SparkSpec {
   test("unigram scorer never shuffles the token stream") {
     // the corpus-side plan must be scan -> explode -> broadcast vocab
     // join -> partial agg; a SortMergeJoin on `w` would mean the full
-    // token stream shuffled (the scale-killer this plan avoids)
-    val p = plan("text_unigram_logprob")
+    // token stream shuffled (the scale-killer this plan avoids).
+    // The served query now reads the materialized score store, so the
+    // audit targets the store's BUILD plan — the one that pays the
+    // join.
+    val p = graft.queries.ExtensionQueries.surprisalBuildFrame(spark, sf0001)
+      .queryExecution.executedPlan.toString
     val joinLines = p.linesIterator.filter(_.contains("Join")).toSeq
     assert(joinLines.exists(_.contains("BroadcastHashJoin")),
       s"vocab join should broadcast at test scale:\n${joinLines.mkString("\n")}")
