@@ -179,7 +179,9 @@ object ScaleSmoke {
         // growth-curve aggregates + source-x-dictionary JSD pairs at
         // 10x (the DQ audits read the TPC-H tables, which the smoke's
         // replicated dir does not carry)
-        "corpus_heaps", "corpus_source_jsd")) {
+        "corpus_heaps", "corpus_source_jsd",
+        // match-set facet rollup over 10x postings
+        "search_facets")) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).count()
       println(f"$q%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $n%10d rows")

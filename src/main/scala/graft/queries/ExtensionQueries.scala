@@ -1661,6 +1661,32 @@ object ExtensionQueries {
         .orderBy(col("arm"))
     }),
 
+    // Faceted match counts — the aggregation every search UI renders
+    // beside its ranked list ("12 results in src3, 9 in de"): the
+    // FULL match set (any query term, straight off the posting
+    // store's pushed term filter — facets summarize matches, they
+    // don't rank, so no score is computed), distinct doc ids, one
+    // semi-join back onto the metadata scan, then per-facet value
+    // counts with a top-5 cut per facet. The rank window partitions
+    // by facet over dimension-cardinality rows (sources/langs — never
+    // corpus-sized). At 100 TB this is the classic facet rollup: one
+    // doc-keyed join plus two map-side-combinable aggregates.
+    "search_facets" -> ((s, dir) => {
+      val matched = postingFrame(s, dir).filter(col("term").isin(Bm25Terms: _*))
+        .select(col("doc_id")).distinct()
+      val d = Tables.documents(s, dir).join(matched, Seq("doc_id"))
+      val bySrc = d.groupBy(lit("source").as("facet"), col("source").as("value"))
+        .agg(count(lit(1)).as("n_docs"))
+      val byLang = d.groupBy(lit("lang").as("facet"), col("lang").as("value"))
+        .agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("facet"))
+        .orderBy(col("n_docs").desc, col("value"))
+      bySrc.unionByName(byLang)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .orderBy(col("facet"), col("rk"))
+    }),
+
     // Query-likelihood retrieval with Dirichlet smoothing (Ponte/Croft
     // language-model scoring as standardized in Zhai/Lafferty, mu =
     // 2000 — the OTHER classic lexical scorer next to BM25, and the
@@ -6676,6 +6702,19 @@ object ExtensionQueries {
        "FROM d, st) " +
        "SELECT doc_id, dl, tf0, tf1, tf2, bm25 FROM sc WHERE bm25 > 0 " +
        "ORDER BY bm25 DESC, doc_id LIMIT 20"),
+    "search_facets" ->
+      // distinct match set replayed from the token stream, the two
+      // facet rollups, top-5 per facet with a value tiebreak
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
+       "m AS (SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest(ws) term FROM t) " +
+       "WHERE term IN ('vector', 'stream', 'window')), " +
+       "md AS (SELECT d.source, d.lang FROM documents d JOIN m USING (doc_id)), " +
+       "f AS (SELECT 'source' facet, source AS value, COUNT(*) n_docs FROM md GROUP BY 2 " +
+       "UNION ALL SELECT 'lang', lang, COUNT(*) FROM md GROUP BY 2), " +
+       "r AS (SELECT facet, value, CAST(n_docs AS BIGINT) n_docs, " +
+       "row_number() OVER (PARTITION BY facet ORDER BY n_docs DESC, value) rk FROM f) " +
+       "SELECT facet, value, n_docs, CAST(rk AS BIGINT) AS rk " +
+       "FROM r WHERE rk <= 5 ORDER BY facet, rk"),
     "search_ql_dirichlet" ->
       // Dirichlet-smoothed query likelihood replayed with the SAME
       // left-assoc expression shape as the Spark scorer (mu = 2000

@@ -1861,6 +1861,28 @@ class ExtensionInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("facets: driver replay exact, top-5 cut is real on the source facet") {
+    val rows = Tables.documents(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("lang"),
+        org.apache.spark.sql.functions.col("text"))
+      .as[(Long, String, String, String)].collect()
+    val qts = Set("vector", "stream", "window")
+    val matched = rows.filter(r =>
+      Option(r._4).exists(_.split(" ", -1).exists(qts.contains)))
+    def top5(vals: Seq[String]): Seq[(String, Long)] =
+      vals.groupBy(identity).map { case (v, g) => (v, g.length.toLong) }
+        .toSeq.sortBy { case (v, c) => (-c, v) }.take(5)
+    val expect =
+      top5(matched.map(_._3).toSeq).zipWithIndex.map { case ((v, c), i) => ("lang", v, c, i + 1L) } ++
+      top5(matched.map(_._2).toSeq).zipWithIndex.map { case ((v, c), i) => ("source", v, c, i + 1L) }
+    val got = q("search_facets").as[(String, String, Long, Long)].collect().toSeq
+    assert(got === expect, s"facet replay drifted:\n got $got\n exp $expect")
+    // the cut must be genuine on at least one facet (20 sources > 5)
+    assert(matched.map(_._2).distinct.length > 5, "source facet cut vacuous")
+  }
+
   test("zipf fit: driver OLS replay matches, slope negative") {
     val toks = docTokens
     val cf = toks.values.flatten.groupBy(identity)
