@@ -181,7 +181,10 @@ object ScaleSmoke {
         // replicated dir does not carry)
         "corpus_heaps", "corpus_source_jsd",
         // match-set facet rollup over 10x postings
-        "search_facets")) {
+        "search_facets",
+        // the gate-composed confusion rollup at 10x (hist reads orders
+        // — not in the smoke dir)
+        "quality_langid_confusion")) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).count()
       println(f"$q%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $n%10d rows")

@@ -940,6 +940,25 @@ object AnalyticsQueries {
         .orderBy(col("fk"))
     }),
 
+    // Equi-WIDTH histogram — the fixed-bucket twin of q29's equi-depth
+    // (depth answers "where are the quantiles", width answers "what
+    // does the distribution LOOK like" — dashboards bin by width):
+    // 10 integer-cents buckets spanning [min, max], bucket = exact
+    // integer division against the 1-row min/max broadcast. One
+    // aggregate for the bounds, one map-side bucket expression, one
+    // 10-row rollup — the canonical two-pass histogram at any scale.
+    "q46_equiwidth_hist" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val mm = o.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+      o.crossJoin(broadcast(mm))
+        .select(expr("least(9, ((cents - lo) * 10) div (hi - lo + 1))").as("bucket"),
+          col("cents"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .orderBy(col("bucket"))
+    }),
+
     // first_value / last_value / nth_value over the full-partition
     // frame — the value-extraction rungs of the window family that
     // q43's rank ladder and the lead/lag consumers don't exercise.
@@ -1461,6 +1480,12 @@ object AnalyticsQueries {
        "round(n_orphans / CAST(n_rows AS DOUBLE), 6) AS orphan_frac " +
        "FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3) " +
        "ORDER BY fk"),
+    "q46_equiwidth_hist" ->
+      ("WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) cents FROM orders), " +
+       "mm AS (SELECT MIN(cents) lo, MAX(cents) hi FROM o) " +
+       "SELECT least(9, ((cents - lo) * 10) // (hi - lo + 1)) AS bucket, " +
+       "COUNT(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS sum_cents " +
+       "FROM o, mm GROUP BY 1 ORDER BY bucket"),
     "q44_value_window" ->
       ("WITH w AS (SELECT user_id, " +
        "first_value(event_type) OVER fw first_type, " +

@@ -2351,6 +2351,28 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Language-ID confusion matrix — the eval rollup on top of
+    // text_langid's per-doc predictions (every classifier that gates
+    // a corpus needs its confusion published next to the gate, or
+    // nobody knows WHICH languages it silently drops): (labeled,
+    // predicted, n) cells plus per-label recall. Predictions come
+    // from the SAME langidPrediction expression the gate serves (the
+    // registry-composition discipline); one hash aggregate on the
+    // (label, prediction) pair — a handful of cells at any corpus
+    // size.
+    "quality_langid_confusion" -> ((s, dir) => {
+      val cells = queries("text_langid")(s, dir)
+        .groupBy(col("labeled_lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+      val totals = cells.groupBy(col("labeled_lang"))
+        .agg(sum(col("n")).as("n_label"))
+      cells.join(broadcast(totals), Seq("labeled_lang"))
+        .select(col("labeled_lang"), col("pred_lang"), col("n"),
+          (col("labeled_lang") === col("pred_lang")).cast("int").as("is_correct"),
+          round(col("n") / col("n_label").cast("double"), 6).as("frac_of_label"))
+        .orderBy(col("labeled_lang"), col("pred_lang"))
+    }),
+
     // RAKE keyphrase extraction (Rose et al. 2010) — the PHRASE-level
     // complement of corpus_keywords' single-term tf-idf: candidate
     // phrases are maximal stopword-free token runs (the SAME stopEn
@@ -7295,6 +7317,17 @@ object ExtensionQueries {
        "row_number() OVER (PARTITION BY doc_id ORDER BY n_hits DESC, sp) rn FROM snh) " +
        "SELECT doc_id, CAST(sp AS BIGINT) AS best_start, n_hits, snippet " +
        "FROM snr WHERE rn = 1 ORDER BY doc_id"),
+    // the text_langid oracle composed verbatim, rolled to cells
+    "quality_langid_confusion" ->
+      (s"WITH lid AS (${baseOracleSql("text_langid")}), " +
+       "cells AS (SELECT labeled_lang, pred_lang, CAST(COUNT(*) AS BIGINT) n " +
+       "FROM lid GROUP BY labeled_lang, pred_lang), " +
+       "tt AS (SELECT labeled_lang, CAST(SUM(n) AS BIGINT) n_label FROM cells GROUP BY labeled_lang) " +
+       "SELECT c.labeled_lang, c.pred_lang, c.n, " +
+       "CAST(CASE WHEN c.labeled_lang = c.pred_lang THEN 1 ELSE 0 END AS INT) AS is_correct, " +
+       "round(c.n / CAST(t.n_label AS DOUBLE), 6) AS frac_of_label " +
+       "FROM cells c JOIN tt t ON c.labeled_lang = t.labeled_lang " +
+       "ORDER BY c.labeled_lang, c.pred_lang"),
     // nDCG replay: all three arm oracles composed verbatim (nd_
     // prefixes on every outer CTE — the nested arms own t/d/st/sc and
     // lexq/vecq), tf-capped gains, integer micro discounts, the

@@ -1883,6 +1883,37 @@ class ExtensionInvariantsSpec extends SparkSpec {
     assert(matched.map(_._2).distinct.length > 5, "source facet cut vacuous")
   }
 
+  test("langid confusion: cells partition the gate's own predictions") {
+    val preds = q("text_langid")
+      .select("labeled_lang", "pred_lang").as[(String, String)].collect()
+    val expect = preds.groupBy(identity).map { case ((l, p), g) => (l, p, g.length.toLong) }
+      .toSeq.sortBy { case (l, p, _) => (l, p) }
+    val got = q("quality_langid_confusion")
+      .as[(String, String, Long, Int, Double)].collect()
+    assert(got.map(r => (r._1, r._2, r._3)).toSeq === expect, "cells drifted")
+    // per-label fractions sum to 1 (each cell rounded — allow micro slack)
+    got.groupBy(_._1).foreach { case (l, cells) =>
+      val s = cells.map(_._5).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"label $l fracs sum to $s")
+    }
+    assert(got.exists(r => r._4 == 1), "no correct prediction anywhere — vacuous")
+    assert(got.exists(r => r._4 == 0), "no confusion anywhere — vacuous")
+  }
+
+  test("equi-width histogram: buckets tile, totals account for every order") {
+    import org.apache.spark.sql.functions.col
+    val cents = Tables.orders(spark, sf0001)
+      .select(org.apache.spark.sql.functions
+        .round(col("o_totalprice") * 100).cast("long")).as[Long].collect()
+    val lo = cents.min; val hi = cents.max
+    val expect = cents.groupBy(c => math.min(9L, (c - lo) * 10 / (hi - lo + 1)))
+      .map { case (b, g) => (b, g.length.toLong, g.sum) }.toSeq.sortBy(_._1)
+    val got = q("q46_equiwidth_hist").as[(Long, Long, Long)].collect().toSeq
+    assert(got === expect, "histogram replay drifted")
+    assert(got.map(_._2).sum === cents.length.toLong, "orders lost")
+    assert(got.map(_._1) === got.map(_._1).sorted && got.head._1 === 0L && got.last._1 === 9L)
+  }
+
   test("zipf fit: driver OLS replay matches, slope negative") {
     val toks = docTokens
     val cf = toks.values.flatten.groupBy(identity)
