@@ -184,7 +184,9 @@ object ScaleSmoke {
         "search_facets",
         // the gate-composed confusion rollup at 10x (hist reads orders
         // — not in the smoke dir)
-        "quality_langid_confusion")) {
+        "quality_langid_confusion",
+        // the 16-row integrity rollup over 10x docs
+        "export_manifest")) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).count()
       println(f"$q%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $n%10d rows")

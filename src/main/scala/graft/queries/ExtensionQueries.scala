@@ -3588,6 +3588,27 @@ object ExtensionQueries {
         .orderBy(col("shard"))
     }),
 
+    // Export integrity manifest — the checksum file a consumer
+    // verifies BEFORE training on a copied/transferred export (shard
+    // stats say how big; the manifest says the CONTENT is intact):
+    // per shard, doc/byte totals plus two order-free checksums — the
+    // id sum (membership) and the summed md5-prefix of each doc's
+    // text (content; a single flipped byte anywhere in the shard
+    // moves it). Same shuffledShards assignment as the writer and the
+    // stats query (one definition), one map-side projection + one
+    // 16-row aggregate; integer-exact, no rounding contract.
+    "export_manifest" -> ((s, dir) =>
+      graft.operators.Export.shuffledShards(Tables.documents(s, dir), 16)
+        .select(col("shard"), col("doc_id"),
+          octet_length(col("text")).cast("long").as("nb"),
+          TextOps.portableHash32(col("text")).as("ck"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nb")).as("n_bytes"),
+          sum(col("doc_id")).as("id_checksum"),
+          sum(col("ck")).as("content_checksum"))
+        .orderBy(col("shard"))),
+
     // Multimodal metadata through the REAL decoder: each doc gets a
     // deterministic multi-frame P5 container (construction parameters =
     // the md5 arithmetic the DuckDB oracle replays), and the reported
@@ -6368,6 +6389,17 @@ object ExtensionQueries {
        "CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 16 AS INT) shard, " +
        "CAST('0x' || substr(md5('ord|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) rk, " +
        "CAST(list_sum(list_transform(string_split(text, ' '), w -> CAST(ceil(length(w)/4.0) AS BIGINT))) AS BIGINT) tokens " +
+       "FROM documents) GROUP BY shard ORDER BY shard"),
+    "export_manifest" ->
+      // same shard coin as export_shard_stats; checksums are exact
+      // integer sums (order-free) of the md5-prefix ints
+      ("SELECT shard, COUNT(*) AS n_docs, CAST(SUM(nb) AS BIGINT) AS n_bytes, " +
+       "CAST(SUM(doc_id) AS BIGINT) AS id_checksum, " +
+       "CAST(SUM(ck) AS BIGINT) AS content_checksum FROM (" +
+       "SELECT doc_id, " +
+       "CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 16 AS INT) shard, " +
+       "CAST(octet_length(encode(text)) AS BIGINT) nb, " +
+       "CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) ck " +
        "FROM documents) GROUP BY shard ORDER BY shard"),
     "sample_token_budget" ->
       ("WITH t AS (SELECT source, doc_id, " +

@@ -1914,6 +1914,32 @@ class ExtensionInvariantsSpec extends SparkSpec {
     assert(got.map(_._1) === got.map(_._1).sorted && got.head._1 === 0L && got.last._1 === 9L)
   }
 
+  test("manifest: checksums catch membership and content corruption") {
+    val rows = Tables.documents(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .as[(Long, String)].collect()
+    def h32(s: String): Long =
+      java.lang.Long.parseLong(java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+    val byShard = rows.groupBy { case (id, _) => (h32(id.toString) % 16).toInt }
+    val got = q("export_manifest").as[(Int, Long, Long, Long, Long)].collect()
+    assert(got.map(_._2).sum === rows.length.toLong, "docs lost")
+    got.foreach { case (sh, n, nb, idCk, ck) =>
+      val g = byShard(sh)
+      assert(n === g.length.toLong && idCk === g.map(_._1).sum)
+      assert(nb === g.map(r => Option(r._2).map(_.getBytes("UTF-8").length.toLong).getOrElse(0L)).sum)
+      assert(ck === g.flatMap(r => Option(r._2).map(h32)).sum,
+        s"shard $sh content checksum drifted")
+    }
+    // sensitivity: flipping one byte of one doc must move its shard's
+    // content checksum (the property a transfer check relies on)
+    val (someId, someText) = rows.find(_._2 != null).get
+    assert(h32(someText) !== h32(someText.updated(0,
+      if (someText.charAt(0) == 'x') 'y' else 'x')),
+      "prefix hash blind to a leading-byte flip")
+  }
+
   test("zipf fit: driver OLS replay matches, slope negative") {
     val toks = docTokens
     val cf = toks.values.flatten.groupBy(identity)
