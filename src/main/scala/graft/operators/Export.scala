@@ -61,7 +61,9 @@ object Export {
     */
   private[graft] def tarEntry(name: String, data: Array[Byte]): Array[Byte] = {
     val nameB = name.getBytes("UTF-8")
-    require(nameB.length <= 100, s"tar entry name too long: $name")
+    // strictly < 100 so the name field always keeps its NUL terminator —
+    // a 100-byte name would read back bleeding into the mode field
+    require(nameB.length < 100, s"tar entry name too long: $name")
     val h = new Array[Byte](512)
     def put(off: Int, s: String): Unit = {
       val b = s.getBytes("UTF-8"); System.arraycopy(b, 0, h, off, b.length)
@@ -94,7 +96,9 @@ object Export {
     * streams its shards' entries straight into Hadoop-FS tar files —
     * no per-entry small files, no driver involvement, and the bytes
     * are fully deterministic (see [[tarEntry]]) down to the trailing
-    * 1024-zero terminator.
+    * 1024-zero terminator. NULL `text` is written as an EMPTY payload
+    * (tar has no null encoding), so a write/read round trip coerces
+    * null → "" — by contract, and covered by ExportSpec.
     */
   def writeTarShards(docs: DataFrame, path: String, nShards: Int): Unit = {
     val conf = new org.apache.spark.util.SerializableConfiguration(
@@ -145,9 +149,14 @@ object Export {
       java.util.Arrays.fill(h, 148, 156, ' '.toByte)
       val sum = h.foldLeft(0)((a, b) => a + (b & 0xff))
       require(Integer.parseInt(stored, 8) == sum, s"tar checksum mismatch at offset $off")
-      val name = new String(h.takeWhile(_ != 0), "UTF-8")
+      val name = new String(h.take(100).takeWhile(_ != 0), "UTF-8")
       val size = Integer.parseInt(
         new String(h, 124, 12, "UTF-8").trim.takeWhile(_ != 0), 8)
+      // the header checksum only covers the header — without this bound a
+      // tar truncated mid-payload would zero-pad the content silently
+      require(off + 512 + size <= bytes.length,
+        s"truncated tar entry at offset $off: need ${size} content bytes, " +
+          s"archive has ${bytes.length - off - 512}")
       out += name -> java.util.Arrays.copyOfRange(bytes, off + 512, off + 512 + size)
       off += 512 + (size + 511) / 512 * 512
     }

@@ -816,7 +816,12 @@ object ExtensionQueries {
       : (Seq[graft.functions.CentroidBank], Seq[Array[Double]], Array[Array[Int]]) = {
     import s.implicits._
     val perm = pqBalancedPerm(s, dir)
-    val banks = pqBalBankDirs.computeIfAbsent(dir, _ => {
+    // banks/tables must invalidate TOGETHER with the permutation: key all
+    // three on dir@rowCount, else a same-JVM corpus rewrite recomputes the
+    // permutation but keeps serving banks built under the old one — and
+    // subvector gathers vs codewords silently disagree
+    val vkey = s"$dir@${Tables.parquetRowCount(s, s"$dir/embeddings.parquet")}"
+    val banks = pqBalBankDirs.computeIfAbsent(vkey, _ => {
       val seedRows = Tables.embeddings(s, dir).filter(col("vec_id") < 256)
         .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
         .collect()
@@ -827,7 +832,7 @@ object ExtensionQueries {
           seedRows.map(r => pqDotSeq(pqBalSubOf(r._2, perm(si)), pqBalSubOf(r._2, perm(si)))))
       }
     })
-    val tables = pqBalAdcTables.computeIfAbsent(s"$dir#$qid", _ => {
+    val tables = pqBalAdcTables.computeIfAbsent(s"$vkey#$qid", _ => {
       val qv = Tables.embeddings(s, dir).filter(col("vec_id") === qid)
         .select(col("embedding")).as[Array[Float]].head()
       (0 until 8).map { si =>
@@ -1791,7 +1796,8 @@ object ExtensionQueries {
       // training subtree, one fewer stage on the critical path
       def recon(v: Column) = VectorOps.sq8Approx(v, col("mns"), col("mxs"))
       val bank = mmRow
-        .crossJoin(emb.filter(col("vec_id") === 7).select(col("embedding").as("qe")))
+        .crossJoin(broadcast(
+          emb.filter(col("vec_id") === 7).select(col("embedding").as("qe"))))
         .select(col("mns"), col("mxs"), recon(col("qe")).as("rq"))
       emb.filter(col("vec_id") =!= 7)
         .crossJoin(broadcast(bank))

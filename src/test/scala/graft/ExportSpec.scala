@@ -245,4 +245,41 @@ class ExportSpec extends SparkSpec {
       assert(bytes.length % 512 === 0, "archive not block-aligned")
     }
   }
+
+  test("readTarEntries fails loudly on a tar truncated mid-payload") {
+    // intact header, content bytes cut short: the header checksum still
+    // verifies (it only covers the header), so without the explicit
+    // bound this would yield a silently zero-padded document
+    val full = Export.tarEntry("7.txt", ("y" * 600).getBytes("UTF-8"))
+    val torn = full.take(512 + 300) // header + less content than `size` claims
+    val e = intercept[IllegalArgumentException](Export.readTarEntries(torn))
+    assert(e.getMessage.contains("truncated tar entry"), e.getMessage)
+    // an archive torn ON a block boundary but before the declared size
+    // must also fail, not just mid-block tears
+    val blockTorn = full.take(512 + 512)
+    val e2 = intercept[IllegalArgumentException](Export.readTarEntries(blockTorn))
+    assert(e2.getMessage.contains("truncated tar entry"), e2.getMessage)
+  }
+
+  test("tarEntry name bound keeps the NUL terminator (99 ok, 100 rejected)") {
+    val name99 = "n" * 96 + ".txt" // 100 bytes would fill the field entirely
+    assert(name99.getBytes("UTF-8").length === 100)
+    intercept[IllegalArgumentException](Export.tarEntry(name99, Array[Byte](1)))
+    val ok = "n" * 95 + ".txt" // 99 bytes: field keeps its terminator
+    val bytes = Export.tarEntry(ok, "z".getBytes("UTF-8")) ++ new Array[Byte](1024)
+    assert(Export.readTarEntries(bytes).map(_._1) === Seq(ok),
+      "99-byte name must read back exactly, not bleed into the mode field")
+  }
+
+  test("writeTarShards null text coerces to empty string by contract") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha"), (2L, null.asInstanceOf[String]), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("tarnull").toString
+    Export.writeTarShards(docs, dir, 1)
+    val back = Export.readTarShards(spark, dir)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(back(2L) === "", "null text must round-trip as empty string (documented)")
+    assert(back(1L) === "alpha" && back(3L) === "gamma")
+  }
 }
