@@ -230,6 +230,103 @@ object DevProbe {
         "sim_ivfpq_residual_topk", "sim_pq_rerank_topk"))
       t(s"rr_rung_$rung") { SparkEntry.queries(rung)(spark, sfDir).count() }
 
+    // ---- round-14 probes: q38b rewrite A/B ----
+    // production (round 14): native session_window spans (narrow
+    // 2-column scan, no session_seq bookkeeping), ONE map-side explode
+    // emitting both sweep boundary rows, no user_id sort tiebreak
+    // (prefix-sum multiset is tie-order invariant), coalesce(1) final
+    // sort instead of a range exchange. The baseline replays the
+    // round-13 shape (lag/cumsum sessionIntervals + union of two full
+    // projections of `segs` + orderBy). Measured here (sf0.1, idle
+    // box, min-of-7): baseline ~0.75 s -> production ~0.40-0.45 s vs
+    // DuckDB 0.125-0.18 s. FLOOR NOTE: q38b_scan_floor (a bare count
+    // of the events input) measures ~0.157 s — MORE than DuckDB's
+    // whole query — so any multi-stage Spark formulation on this input
+    // is bounded below by the local job floor, not by plan quality;
+    // q38b_hof_variant (per-day sort_array+aggregate sweep, one fewer
+    // exchange) was measured ~0.40 s and rejected: ~10% gain for a
+    // per-day array materialization the spillable sort-window doesn't
+    // pay at scale.
+    t("q38b_scan_floor") { Tables.events(spark, sfDir).count() }
+    t("q38b_production") { SparkEntry.queries("q38b_concurrency_sweep_midnight")(spark, sfDir).count() }
+    t("q38b_hof_variant") {
+      val dayUs = 86400000000L
+      val segs = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("ts"))
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "1800000001 microseconds").as("sw"))
+        .agg(min(unix_micros(col("ts"))).as("s_us"),
+          max(unix_micros(col("ts"))).as("e_us"))
+        .select(col("s_us"), col("e_us"))
+        .withColumn("d", explode(sequence(
+          to_date(timestamp_micros(col("s_us"))),
+          to_date(timestamp_micros(col("e_us"))))))
+        .withColumn("day_s_us", unix_micros(col("d").cast("timestamp")))
+        .withColumn("seg_s", greatest(col("s_us"), col("day_s_us")))
+        .withColumn("seg_e", least(col("e_us"), col("day_s_us") + lit(dayUs - 1L)))
+      // boundary packed into one long: t_us*2 + (start ? 1 : 0) sorts
+      // as (t_us asc, delta asc) — ends (-1) before starts at equal t
+      segs.select(col("d"),
+          explode(array(col("seg_s") * 2L + 1L, (col("seg_e") + 1L) * 2L)).as("enc"))
+        .groupBy(col("d"))
+        .agg(sort_array(collect_list(col("enc"))).as("encs"))
+        .select(col("d"),
+          aggregate(col("encs"),
+            struct(lit(0L).as("active"), lit(0L).as("peak"),
+              lit(0L).as("ov"), lit(0L).as("ns")),
+            (acc, e) => {
+              val isStart = e % 2L === 1L
+              val na = acc.getField("active") + when(isStart, 1L).otherwise(-1L)
+              struct(na.as("active"),
+                greatest(acc.getField("peak"), na).as("peak"),
+                (acc.getField("ov") + when(isStart, na - 1L).otherwise(0L)).as("ov"),
+                (acc.getField("ns") + when(isStart, 1L).otherwise(0L)).as("ns"))
+            }).as("r"))
+        .select(col("d"), col("r.peak").as("peak_concurrency"),
+          col("r.ov").as("overlap_pairs"), col("r.ns").as("n_sessions"))
+        .coalesce(1).sortWithinPartitions(col("d")).count()
+    }
+    t("q38b_union_baseline") {
+      import org.apache.spark.sql.expressions.Window
+      val dayUs = 86400000000L
+      // exact replica of the private sessionIntervals helper
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val run = byUser.rowsBetween(Window.unboundedPreceding, 0)
+      val sess = Tables.events(spark, sfDir)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+        .withColumn("is_new",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_seq", sum(col("is_new")).over(run))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          min(unix_micros(col("ts"))).as("s_us"),
+          max(unix_micros(col("ts"))).as("e_us"))
+      val segs = sess
+        .withColumn("d", explode(sequence(
+          to_date(timestamp_micros(col("s_us"))),
+          to_date(timestamp_micros(col("e_us"))))))
+        .withColumn("day_s_us", unix_micros(col("d").cast("timestamp")))
+        .withColumn("seg_s", greatest(col("s_us"), col("day_s_us")))
+        .withColumn("seg_e", least(col("e_us"), col("day_s_us") + lit(dayUs - 1L)))
+      val bounds = segs.select(col("d"), col("seg_s").as("t_us"),
+          lit(1L).as("delta"), col("user_id"))
+        .unionByName(segs.select(col("d"), (col("seg_e") + 1L).as("t_us"),
+          lit(-1L).as("delta"), col("user_id")))
+      val sweep = Window.partitionBy(col("d"))
+        .orderBy(col("t_us"), col("delta"), col("user_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      bounds
+        .withColumn("active", sum(col("delta")).over(sweep))
+        .groupBy(col("d"))
+        .agg(max(col("active")).as("peak_concurrency"),
+          sum(when(col("delta") === 1L, col("active") - 1L).otherwise(0L))
+            .as("overlap_pairs"),
+          sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_sessions"))
+        .orderBy(col("d")).count()
+    }
+
     // ---- round-10 probes: new-query costs vs scan floor ----
     t("phrase_full") { SparkEntry.queries("search_phrase")(spark, sfDir).count() }
     t("phrase_floor_split") {

@@ -41,6 +41,28 @@ object AnalyticsQueries {
         max(unix_micros(col("ts"))).as("e_us"))
   }
 
+  /** Narrow session spans (s_us, e_us) for the concurrency sweeps —
+    * the same 30-minute-gap sessions as [[sessionIntervals]], built
+    * with the NATIVE `session_window` aggregate instead of the
+    * lag/cumsum window pair: one two-column scan, one exchange on
+    * user_id, one merging-sessions aggregate (no per-user sort-window
+    * passes, no session_seq bookkeeping the sweeps never read).
+    * Gap is 1800 s + 1 µs: session_window merges an event iff its
+    * gap to the previous is STRICTLY below the gap parameter, while
+    * the gaps-and-islands rule splits iff strictly ABOVE 1800 s — the
+    * +1 µs makes "exactly 1800 s apart" merge in both, so the two
+    * constructions define identical sessions (q38/q38b hashes are
+    * pinned against the lag-construction oracle at all SFs).
+    */
+  private def sessionSpans(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"))
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "1800000001 microseconds").as("sw"))
+      .agg(min(unix_micros(col("ts"))).as("s_us"),
+        max(unix_micros(col("ts"))).as("e_us"))
+      .select(col("s_us"), col("e_us"))
+
   /** The "ingested" orders/lineitem frames the DQ audits run on: the
     * clean fixtures unioned with DETERMINISTIC planted defects (the
     * text_pii_scrub convention — clean inputs would leave the audits
@@ -1079,17 +1101,25 @@ object AnalyticsQueries {
     // does.
     "q38_concurrency_sweep" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val sess = sessionIntervals(s, dir)
-      // boundary stream: (+1 at start, -1 just after end); ties order
-      // (time, -delta, user) so an interval ending exactly when another
-      // starts still counts as overlapping (closed intervals, the
-      // convention the oracle replays)
+      val sess = sessionSpans(s, dir)
+      // boundary stream: (+1 at start, -1 just after end) so an
+      // interval ending exactly when another starts still counts as
+      // overlapping (closed intervals, the convention the oracle
+      // replays). Both boundary rows come out of ONE map-side explode
+      // over the session row — a union of two projections would
+      // evaluate the session subtree twice and pay a union exchange
+      // before the sweep window. No user_id tiebreak in the sweep
+      // order: within an equal (t_us, delta) tie group the multiset of
+      // running sums is order-invariant, so peak/overlap/n_sessions
+      // are identical for ANY tie order — carrying the key would only
+      // widen the sort.
       val bounds = sess.select(to_date(timestamp_micros(col("s_us"))).as("d"),
-          col("s_us").as("t_us"), lit(1L).as("delta"), col("user_id"))
-        .unionByName(sess.select(to_date(timestamp_micros(col("s_us"))).as("d"),
-          (col("e_us") + 1L).as("t_us"), lit(-1L).as("delta"), col("user_id")))
+          explode(array(
+            struct(col("s_us").as("t_us"), lit(1L).as("delta")),
+            struct((col("e_us") + 1L).as("t_us"), lit(-1L).as("delta")))).as("b"))
+        .select(col("d"), col("b.t_us"), col("b.delta"))
       val sweep = Window.partitionBy(col("d"))
-        .orderBy(col("t_us"), col("delta"), col("user_id"))
+        .orderBy(col("t_us"), col("delta"))
         .rowsBetween(Window.unboundedPreceding, 0)
       bounds
         .withColumn("active", sum(col("delta")).over(sweep))
@@ -1098,7 +1128,11 @@ object AnalyticsQueries {
           sum(when(col("delta") === 1L, col("active") - 1L).otherwise(0L))
             .as("overlap_pairs"),
           sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_sessions"))
-        .orderBy(col("d"))
+        // per-day agg output is ≤ #days rows and already partitioned by
+        // d: coalesce(1) + in-partition sort gives the deterministic
+        // output order WITHOUT a range exchange (one fewer stage than
+        // orderBy; at any scale this frame is calendar-bounded)
+        .coalesce(1).sortWithinPartitions(col("d"))
     }),
 
     // Cross-midnight variant of the concurrency sweep: q38 buckets a
@@ -1111,24 +1145,34 @@ object AnalyticsQueries {
     // and map-side) — and the same closed-interval boundary sweep runs
     // per day. n_sessions counts sessions ACTIVE that day (a
     // midnight-crossing session contributes to both days). Plan shape
-    // is q38's: map-side segment explode, ONE window exchange on the
-    // day, final per-day agg.
+    // is q38's: map-side segment explode emitting BOTH boundary rows of
+    // a segment in the same pass (one evaluation of the explode
+    // subtree, no union exchange), ONE window exchange on the day,
+    // final per-day agg. At 100x a hot day is still a single window
+    // partition; the scale-safe refinement is a two-level sweep —
+    // salted partial boundary sums per (d, salt), then a merge pass —
+    // which this boundary encoding already supports (deltas are
+    // associative).
     "q38b_concurrency_sweep_midnight" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val dayUs = 86400000000L
-      val segs = sessionIntervals(s, dir)
+      val segs = sessionSpans(s, dir)
         .withColumn("d", explode(sequence(
           to_date(timestamp_micros(col("s_us"))),
           to_date(timestamp_micros(col("e_us"))))))
         .withColumn("day_s_us", unix_micros(col("d").cast("timestamp")))
         .withColumn("seg_s", greatest(col("s_us"), col("day_s_us")))
         .withColumn("seg_e", least(col("e_us"), col("day_s_us") + lit(dayUs - 1L)))
-      val bounds = segs.select(col("d"), col("seg_s").as("t_us"),
-          lit(1L).as("delta"), col("user_id"))
-        .unionByName(segs.select(col("d"), (col("seg_e") + 1L).as("t_us"),
-          lit(-1L).as("delta"), col("user_id")))
+      // no user_id in the boundary stream or the sweep tiebreak — see
+      // q38's invariance note (equal-(t_us, delta) tie groups yield the
+      // same prefix-sum multiset in any order)
+      val bounds = segs.select(col("d"),
+          explode(array(
+            struct(col("seg_s").as("t_us"), lit(1L).as("delta")),
+            struct((col("seg_e") + 1L).as("t_us"), lit(-1L).as("delta")))).as("b"))
+        .select(col("d"), col("b.t_us"), col("b.delta"))
       val sweep = Window.partitionBy(col("d"))
-        .orderBy(col("t_us"), col("delta"), col("user_id"))
+        .orderBy(col("t_us"), col("delta"))
         .rowsBetween(Window.unboundedPreceding, 0)
       bounds
         .withColumn("active", sum(col("delta")).over(sweep))
@@ -1137,7 +1181,7 @@ object AnalyticsQueries {
           sum(when(col("delta") === 1L, col("active") - 1L).otherwise(0L))
             .as("overlap_pairs"),
           sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_sessions"))
-        .orderBy(col("d"))
+        .coalesce(1).sortWithinPartitions(col("d"))
     }),
 
     // SCD Type-2 interval reconstruction — turn an append-only change
