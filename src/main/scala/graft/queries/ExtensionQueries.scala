@@ -1259,6 +1259,51 @@ object ExtensionQueries {
         min(col("cnt")).as("rarest_df"))
   }
 
+  /** The interpolated Kneser-Ney bigram MODEL STORE behind
+    * `text_bigram_kn` — the [[materializedFrame]] lifecycle
+    * (dir@rowCount key) because an n-gram LM is the canonical
+    * train-once/score-many artifact: a curation pipeline fits the
+    * model on one corpus snapshot and scores every candidate batch
+    * against it, exactly the postings/surprisal store contract. One
+    * row per bigram TYPE (vocab²-bounded, Zipf-thinned in practice)
+    * carrying the finished probability, so serving is a single
+    * broadcast join on the bigram stream.
+    */
+  private def knModelFrame(s: SparkSession, dir: String): DataFrame =
+    materializedFrame(s,
+      s"knmodel:$dir@${Tables.parquetRowCount(s, s"$dir/documents.parquet")}") {
+      knModelBuildFrame(s, dir)
+    }
+
+  /** The KN store's construction plan, exposed so PlanAuditSpec can
+    * audit the side that pays the aggregates: ONE corpus-side bigram
+    * exchange builds the type counts; history totals, distinct
+    * successor/predecessor counts and the type total are all
+    * bigram-type-sized aggregates that fold into the per-bigram
+    * probability on the build side (the served query reads the
+    * finished (bg, p) table).
+    */
+  private[graft] def knModelBuildFrame(s: SparkSession, dir: String): DataFrame = {
+    val bigrams = Tables.documents(s, dir)
+      .filter(size(TextOps.tokens(col("text"))) >= 2)
+      .select(explode(TextOps.shinglesOfText(col("text"), 2)).as("bg"))
+    val c2 = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+    val hist = c2.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("ch"), count(lit(1)).as("n1h"))
+    val cont = c2.groupBy(col("w2")).agg(count(lit(1)).as("n1c"))
+    val btypes = c2.agg(count(lit(1)).as("bt"))
+    val p =
+      greatest(col("c2").cast("double") - lit(0.75), lit(0.0)) / col("ch").cast("double") +
+      lit(0.75) * col("n1h").cast("double") / col("ch").cast("double") *
+        (col("n1c").cast("double") / col("bt").cast("double"))
+    c2.join(broadcast(hist), Seq("w1"))
+      .join(broadcast(cont), Seq("w2"))
+      .crossJoin(broadcast(btypes))
+      .select(col("bg"), p.as("p"))
+  }
+
   /** Exact-dup content groups over the synthetically re-uploaded
     * corpus (every doc_id % 7 == 0 doc unioned once more — the
     * text_pii_scrub convention: the fixtures ship zero byte-exact
@@ -3244,39 +3289,36 @@ object ExtensionQueries {
     // Add-one smoothing (text_bigram_logprob) over-penalizes unseen
     // pairs of frequent words; KN's CONTINUATION probability (how
     // many contexts a word follows) fixes exactly that, so the two
-    // scores bracket a doc's real fluency. Same derivations and the
-    // same vocabulary-sized broadcast joins as the add-one scorer
-    // (history totals, distinct-successor and distinct-predecessor
-    // counts are all one aggregate each over the bigram frame); the
-    // probability is ONE double expression of identical shape on both
-    // engines, round(6) after the per-doc average (the ln-ulp
-    // contract). At 100 TB the count tables are Zipf-bounded like the
-    // unigram vocab.
+    // scores bracket a doc's real fluency. The model is assembled
+    // entirely on the BUILD side: history totals, distinct-successor
+    // and distinct-predecessor counts (one aggregate each over the
+    // bigram-type frame) fold into a single per-bigram probability
+    // table, and the corpus-side bigram stream pays exactly ONE
+    // explicit broadcast join against it before the per-doc aggregate
+    // — zero pre-agg exchanges on the stream (the
+    // text_unigram_logprob broadcast-vocab contract, pinned by
+    // PlanAuditSpec). The probability is ONE double expression of
+    // identical shape on both engines, round(6) after the per-doc
+    // average (the ln-ulp contract). At 100 TB the count tables are
+    // Zipf-bounded like the unigram vocab; if bigram TYPES ever
+    // outgrow a broadcast, the same single score table shuffle-joins
+    // on bg — one exchange, each stream row meeting exactly one model
+    // row.
     "text_bigram_kn" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val bigrams = docs
+      // serving path: ONE corpus pass — map-side bigram explode, one
+      // explicit broadcast join against the finished model store
+      // ([[knModelFrame]]), per-doc partial aggregate. If bigram types
+      // ever outgrow a broadcast, the same store shuffle-joins on bg —
+      // one exchange, each stream row meeting exactly one model row.
+      val bigrams = Tables.documents(s, dir)
         .filter(size(TextOps.tokens(col("text"))) >= 2)
         .select(col("doc_id"),
           explode(TextOps.shinglesOfText(col("text"), 2)).as("bg"))
-      val c2 = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
-        .withColumn("w1", substring_index(col("bg"), " ", 1))
-        .withColumn("w2", substring_index(col("bg"), " ", -1))
-      val hist = c2.groupBy(col("w1"))
-        .agg(sum(col("c2")).as("ch"), count(lit(1)).as("n1h"))
-      val cont = c2.groupBy(col("w2")).agg(count(lit(1)).as("n1c"))
-      val btypes = c2.agg(count(lit(1)).as("bt"))
-      val p =
-        greatest(col("c2").cast("double") - lit(0.75), lit(0.0)) / col("ch").cast("double") +
-        lit(0.75) * col("n1h").cast("double") / col("ch").cast("double") *
-          (col("n1c").cast("double") / col("bt").cast("double"))
       bigrams
-        .join(c2.select(col("bg"), col("c2"), col("w1"), col("w2")), Seq("bg"))
-        .join(hist, Seq("w1"))
-        .join(cont, Seq("w2"))
-        .crossJoin(broadcast(btypes))
+        .join(broadcast(knModelFrame(s, dir)), Seq("bg"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
-          round(avg(-log(p)), 6).as("avg_kn_surprisal"))
+          round(avg(-log(col("p"))), 6).as("avg_kn_surprisal"))
         .orderBy(col("doc_id"))
     }),
 

@@ -186,6 +186,21 @@ class PlanAuditSpec extends SparkSpec {
       s"token stream shuffled for the vocab join:\n${joinLines.mkString("\n")}")
   }
 
+  test("KN bigram scorer: stream joins ONE broadcast model, never shuffled pre-agg") {
+    // the corpus-side bigram stream must reach its per-doc aggregate
+    // through a single BroadcastHashJoin on `bg` against the finished
+    // (bg, p) model table — the vocab-sized hist/cont/btypes joins all
+    // happen on the build side. A SortMergeJoin on `bg` means the
+    // corpus-sized bigram stream shuffled for the model join — the
+    // 100 TB killer the unigram contract forbids.
+    val p = plan("text_bigram_kn")
+    val joinLines = p.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joinLines.exists(_.contains("BroadcastHashJoin")),
+      s"model join should broadcast at test scale:\n${joinLines.mkString("\n")}")
+    assert(!joinLines.exists(l => l.contains("SortMergeJoin") && l.contains("[bg#")),
+      s"bigram stream shuffled for the model join:\n${joinLines.mkString("\n")}")
+  }
+
   test("ngram jaccard pays ONE posting-list shuffle: df window fused into the bucket exchange") {
     // the plan must be: Exchange(s) -> Sort -> Window(df) -> Filter ->
     // collect_list agg WITH NO OWN EXCHANGE (distribution satisfied by
