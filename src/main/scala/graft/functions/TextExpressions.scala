@@ -241,6 +241,62 @@ case class TermCountStructs(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Maximal stopword-free token runs ("RAKE candidate phrases") in one
+  * pass over the raw text, as `array<struct<phrase: string, len:
+  * bigint>>` in document order — one struct per run, `phrase` = the
+  * run's tokens joined by single spaces (a contiguous zero-copy byte
+  * slice: the run's tokens are adjacent in the input, so the joined
+  * form IS the original byte range), `len` = the run's token count.
+  * Duplicate phrases within a document are retained (consumers dedup
+  * at their own key).
+  *
+  * Replaces the posexplode → per-doc window (cumulative stopword
+  * count) → filter → collect_list/sort_array formulation of
+  * `corpus_keyphrases`: that shape shuffles and sorts the FULL token
+  * stream (stopwords included) once for the run numbering and again
+  * for the per-run aggregate, purely to recover adjacency the byte
+  * scan sees for free. Stopwords arrive as a comma-separated literal
+  * (the `term_count` string-literal convention) so the expression is
+  * SQL-registrable; membership is a hash probe per token against
+  * zero-copy slices. Empty tokens (doubled spaces) are non-stopwords,
+  * exactly like the `isin(stopEn)` they replace.
+  */
+case class PhraseRuns(child: Expression, stopCsv: String) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"phrase_runs requires a string input, got ${child.dataType.sql}")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("phrase", StringType, nullable = false),
+      StructField("len", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "phrase_runs"
+
+  @transient private lazy val stopSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    stopCsv.split(",", -1).foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  /** Row-level entry point shared by eval and generated code. */
+  def runs(t: UTF8String): GenericArrayData =
+    TextExpressions.phraseRuns(t, stopSet)
+
+  override def nullSafeEval(input: Any): Any =
+    runs(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("phraseRuns", this, classOf[PhraseRuns].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.runs($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** SimHash-32 fingerprint in one pass over the raw text.
   *
   * Semantics are IDENTICAL to the explode-based formulation (and the
@@ -785,6 +841,38 @@ object TextExpressions {
   def term_count(text: Column, term: String): Column =
     bridge.column(TermCount(bridge.expression(text), term))
 
+  /** One-pass stopword-free phrase runs (see [[PhraseRuns]]): a run is
+    * a maximal sequence of adjacent non-stopword tokens; its phrase is
+    * the contiguous byte range from the first token's start to the
+    * last token's end (single-space token semantics make the joined
+    * form identical to the slice).
+    */
+  def phraseRuns(text: UTF8String,
+      stop: java.util.HashSet[UTF8String]): GenericArrayData = {
+    val bytes = text.getBytes
+    val (starts, ends, numTokens) = boundaries(bytes)
+    def isStop(i: Int): Boolean =
+      stop.contains(UTF8String.fromBytes(bytes, starts(i), ends(i) - starts(i)))
+    val out = new java.util.ArrayList[Any]()
+    var i = 0
+    while (i < numTokens) {
+      if (isStop(i)) i += 1
+      else {
+        var j = i
+        while (j + 1 < numTokens && !isStop(j + 1)) j += 1
+        out.add(new GenericInternalRow(Array[Any](
+          UTF8String.fromBytes(bytes, starts(i), ends(j) - starts(i)),
+          (j - i + 1).toLong)): InternalRow)
+        i = j + 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Column facade: stopword-free phrase runs of `text`. */
+  def phrase_runs(text: Column, stop: Seq[String]): Column =
+    bridge.column(PhraseRuns(bridge.expression(text), stop.mkString(",")))
+
   def phraseCount(text: UTF8String, w1: String, w2: String): Long = {
     val toks = text.toString.split(" ", -1)
     var c = 0L
@@ -944,7 +1032,8 @@ object TextExpressions {
     "term_count_structs" -> (exprs => TermCountStructs(exprs.head)),
     "phrase_count" -> (exprs => PhraseCount(exprs.head,
       strArg(exprs, 1), strArg(exprs, 2))),
-    "term_count" -> (exprs => TermCount(exprs.head, strArg(exprs, 1))))
+    "term_count" -> (exprs => TermCount(exprs.head, strArg(exprs, 1))),
+    "phrase_runs" -> (exprs => PhraseRuns(exprs.head, strArg(exprs, 1))))
 
   private def strArg(exprs: Seq[Expression], i: Int): String = {
     if (exprs.length <= i) throw new IllegalArgumentException(

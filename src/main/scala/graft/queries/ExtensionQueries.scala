@@ -2431,36 +2431,46 @@ object ExtensionQueries {
     // classic degree/frequency word statistic. Word scores are
     // INTEGER ppm ((deg * 1e6) div freq) so the per-phrase sum is
     // order-free and bit-exact cross-engine — the fixed-point recipe
-    // applied to RAKE's rational scores. Plan: token explode ->
-    // per-doc run window (the answer's own doc layout) -> phrase agg
-    // -> vocabulary-sized word-stats broadcast -> per-doc top-3
-    // window. Top-3 distinct phrases per doc, ties to the
-    // lexicographically lower phrase.
+    // applied to RAKE's rational scores. Plan: ONE native byte scan
+    // per doc emits the candidate phrase structs directly
+    // (phrase_runs — the posexplode -> per-doc run window ->
+    // collect_list shape it replaces shuffled and sorted the full
+    // token stream twice just to recover adjacency; see the
+    // PhraseRuns scaladoc and the declarative-twin fuzz spec) ->
+    // vocabulary-sized word-stats broadcast -> per-doc top-3 window.
+    // Top-3 distinct phrases per doc, ties to the lexicographically
+    // lower phrase.
     "corpus_keyphrases" -> ((s, dir) => {
-      val tok = Tables.documents(s, dir)
-        .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "w")))
-      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val runs = tok
-        .withColumn("st", col("w").isin(stopEn: _*))
-        .withColumn("run", sum(col("st").cast("long")).over(wDoc))
-        .filter(!col("st"))
-      val ph = runs.groupBy(col("doc_id"), col("run"))
-        .agg(sort_array(collect_list(struct(col("pos"), col("w")))).as("pws"),
-          count(lit(1)).as("len"))
-        .select(col("doc_id"), col("run"), col("len"),
-          expr("array_join(transform(pws, x -> x.w), ' ')").as("phrase"))
-      val pw = ph.select(col("doc_id"), col("run"), col("len"), col("phrase"),
+      // localCheckpoint: the word-stats aggregate and the scoring join
+      // both consume the phrase frame — without materialization the
+      // native scan subtree evaluates twice (the q38b union lesson).
+      // The frame is phrase-level (one row per candidate run, far
+      // smaller than the token stream it replaced).
+      val ph = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(graft.functions.TextExpressions.phrase_runs(col("text"), stopEn))
+            .as("pr"))
+        .select(col("doc_id"), col("pr.len").as("len"), col("pr.phrase").as("phrase"))
+        .localCheckpoint()
+      val pw = ph.select(col("doc_id"), col("len"), col("phrase"),
         explode(split(col("phrase"), " ")).as("w"))
       val wstats = pw.groupBy(col("w"))
         .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+      // instance scoring + distinct-phrase dedup FUSED into one
+      // aggregate: identical phrase instances in a doc have identical
+      // scores, so per (doc_id, phrase, len) the instance score is
+      // tot / n_instances with n_instances = nw div len — exact
+      // integer arithmetic (tot is n_instances copies of one sum), no
+      // separate distinct() exchange
       val psc = pw.join(broadcast(wstats), Seq("w"))
         .withColumn("sppm", expr("(deg * 1000000) div freq"))
-        .groupBy(col("doc_id"), col("run"), col("phrase"))
-        .agg(sum(col("sppm")).as("score_ppm"))
-      val dist = psc.select(col("doc_id"), col("phrase"), col("score_ppm")).distinct()
+        .groupBy(col("doc_id"), col("phrase"), col("len"))
+        .agg(sum(col("sppm")).as("tot"), count(lit(1)).as("nw"))
+        .select(col("doc_id"), col("phrase"),
+          expr("tot div (nw div len)").as("score_ppm"))
       val wTop = Window.partitionBy(col("doc_id"))
         .orderBy(col("score_ppm").desc, col("phrase"))
-      dist.withColumn("rk", row_number().over(wTop).cast("long"))
+      psc.withColumn("rk", row_number().over(wTop).cast("long"))
         .filter(col("rk") <= 3)
         .select(col("doc_id"), col("rk"), col("phrase"), col("score_ppm"))
         .orderBy(col("doc_id"), col("rk"))
