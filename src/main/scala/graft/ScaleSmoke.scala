@@ -186,7 +186,11 @@ object ScaleSmoke {
         // — not in the smoke dir)
         "quality_langid_confusion",
         // the 16-row integrity rollup over 10x docs
-        "export_manifest")) {
+        "export_manifest",
+        // round-14: the trained-rung recall contract at 10x — one
+        // batched exact pass + six rung probes; the bars are corpus-
+        // size-aware so the 10x replica lands on the large-corpus bar
+        "sim_recall_report_trained")) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).count()
       println(f"$q%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $n%10d rows")

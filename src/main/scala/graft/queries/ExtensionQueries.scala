@@ -2387,6 +2387,84 @@ object ExtensionQueries {
       }.reduce(_ union _).orderBy(col("rung"))
     }),
 
+    // Recall CONTRACT over the TRAINED / PERSISTED-INDEX ANN rungs —
+    // the six rungs whose learned float codebooks are not
+    // SQL-replayable, so `sim_recall_report` cannot cover them. Each
+    // row is (rung, recall_ok): the engine measures the rung's REAL
+    // overlap against the exact cosine baseline (one batched corpus
+    // pass for both seeded query ids) and compares it to a pinned,
+    // corpus-size-aware floor bar; the ORACLE is the expected contract
+    // table (every rung healthy), NOT a computation replay — it exists
+    // so a trained-path recall regression flips the driver's
+    // hash/rows gate instead of hiding in a spec run. Floor bars are
+    // set one below the currently measured overlaps (drop-robust,
+    // still catching any quantizer/probe collapse); the TIGHT per-SF
+    // bars stay in ExtensionInvariantsSpec/SimilaritySpec:
+    //   ivf trained/indexed >= 3 of exact top-20 (measured 4-5)
+    //   pq indexed          >= 2 of exact top-20 (measured 3-5)
+    //   pq trained          >= 6 of exact top-10 (measured 7-8 on the
+    //                       500-vector corpora; >= 4 at 2000+ vectors,
+    //                       measured 5 at sf0.1 — the honest
+    //                       8-byte-code limit once the corpus stops
+    //                       fitting in the seed window)
+    //   trained rerank      >= 9 of exact top-10 AND exact top-1
+    //   dedup trained       >= 1 pair, every pair a<b at cos >= 0.45
+    "sim_recall_report_trained" -> ((s, dir) => {
+      import s.implicits._
+      val n = Tables.parquetRowCount(s, s"$dir/embeddings.parquet")
+      val topk = new graft.functions.SketchAgg.TopK(20)
+      val q = embWithNorm(s, dir).filter(col("vec_id").isin(42L, 299L))
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nv").as("nq"))
+      val exact = embWithNorm(s, dir).crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"),
+          round(VectorOps.dot(col("qv"), col("v")) / sqrt(col("nq") * col("nv"))
+            * 1e6).cast("long").as("score"),
+          col("vec_id"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .mapValues(t => graft.functions.SketchAgg.TopKRow(t._2, t._3, 0L))
+        .agg(topk.toColumn.name("top"))
+        .toDF("qid", "top")
+        .select(col("qid"), posexplode(col("top")).as(Seq("i0", "t")))
+        .select(col("qid"), (col("i0") + 1).cast("long").as("rk"),
+          col("t.id").as("vec_id"))
+        .localCheckpoint()
+      def okRow(name: String, qid: Long, rkMax: Int, bar: Long): DataFrame =
+        queries(name)(s, dir).select(col("vec_id"))
+          .join(broadcast(exact
+            .filter(col("qid") === qid && col("rk") <= rkMax)
+            .select(col("vec_id"))), Seq("vec_id"))
+          .agg(count(lit(1)).as("ov"))
+          .select(lit(name).as("rung"),
+            (col("ov") >= bar).cast("long").as("recall_ok"))
+      val pqBar = if (n >= 2000) 4L else 6L
+      val rr = queries("sim_pq_trained_rerank_topk")(s, dir)
+      val rrOk = rr.select(col("vec_id"))
+        .join(broadcast(exact.filter(col("qid") === 299L && col("rk") <= 10)
+          .select(col("vec_id"))), Seq("vec_id"))
+        .agg(count(lit(1)).as("ov"))
+        .crossJoin(broadcast(rr.limit(1).select(col("vec_id"))
+          .join(exact.filter(col("qid") === 299L && col("rk") === 1L)
+            .select(col("vec_id")), Seq("vec_id"))
+          .agg(count(lit(1)).as("t1ok"))))
+        .select(lit("sim_pq_trained_rerank_topk").as("rung"),
+          (col("ov") >= 9L && col("t1ok") === 1L).cast("long").as("recall_ok"))
+      val dedOk = queries("dedup_embedding_trained")(s, dir)
+        .agg(count(lit(1)).as("np"),
+          coalesce(min((col("a_id") < col("b_id") &&
+            col("cos_sim") >= 0.45).cast("long")), lit(0L)).as("okmin"))
+        .select(lit("dedup_embedding_trained").as("rung"),
+          (col("np") >= 1L && col("okmin") === 1L).cast("long").as("recall_ok"))
+      Seq(
+        okRow("sim_ivf_topk_trained", 42L, 20, 3L),
+        okRow("sim_ivf_topk_indexed", 42L, 20, 3L),
+        okRow("sim_pq_topk_indexed", 42L, 20, 2L),
+        okRow("sim_pq_topk_trained", 299L, 10, pqBar),
+        rrOk, dedOk)
+        .reduce(_ unionByName _).orderBy(col("rung"))
+    }),
+
     // ---- Text analysis -------------------------------------------------
     // Language-ID by lexicon-evidence vote: per-language word counts
     // (function words + genuine homographs, see the lexicons above),
@@ -7583,6 +7661,19 @@ object ExtensionQueries {
       }.mkString(" UNION ALL ")
       s"WITH $ctes SELECT * FROM ($rows) ORDER BY rung"
     },
+    "sim_recall_report_trained" ->
+      // CONTRACT oracle, not a replay: the trained rungs' learned
+      // float codebooks are not SQL-expressible, so the oracle pins
+      // the EXPECTED health bits (every rung meets its floor recall
+      // bar — the bars and the real overlap measurement live on the
+      // Spark side, see the query). A trained-path recall regression
+      // makes the engine emit recall_ok = 0 and flips the driver's
+      // hash gate.
+      ("SELECT rung, CAST(recall_ok AS BIGINT) AS recall_ok FROM (VALUES " +
+       "('dedup_embedding_trained', 1), ('sim_ivf_topk_indexed', 1), " +
+       "('sim_ivf_topk_trained', 1), ('sim_pq_topk_indexed', 1), " +
+       "('sim_pq_topk_trained', 1), ('sim_pq_trained_rerank_topk', 1)" +
+       ") AS t(rung, recall_ok) ORDER BY rung"),
     "sample_perplexity_buckets" ->
       // the unigram-surprisal oracle verbatim, micro-int scores, the
       // same CDF quartile cuts, md5 ppm coin, mid-heavy keep rates

@@ -1068,6 +1068,44 @@ class ExtensionInvariantsSpec extends SparkSpec {
       s"rerank (${rows("sim_pq_rerank_topk")._2}) below raw PQ (${rows("sim_pq_topk")._2})")
   }
 
+  test("trained recall contract: six rungs, all healthy, bit flips on a raised bar") {
+    // sim_recall_report_trained is the driver-gated twin of the spec
+    // bars above: its oracle is the expected CONTRACT table (all six
+    // trained/indexed rungs healthy), so this replay pins (a) the
+    // frame is exactly the six rungs the oracle lists, (b) every bit
+    // is 1 on the current drop, (c) the bit is REAL — the overlap
+    // behind sim_pq_topk_trained measured here sits under the
+    // next-higher bar, so a bar regression (or a recall drop of 2+)
+    // cannot keep reporting 1 vacuously.
+    val rows = q("sim_recall_report_trained").as[(String, Long)].collect()
+    assert(rows.map(_._1).toSeq === Seq("dedup_embedding_trained",
+      "sim_ivf_topk_indexed", "sim_ivf_topk_trained", "sim_pq_topk_indexed",
+      "sim_pq_topk_trained", "sim_pq_trained_rerank_topk"))
+    assert(rows.forall(_._2 == 1L), s"unhealthy rung: ${rows.toSeq}")
+    // the pq-trained bit is not saturated: measured overlap at this SF
+    // must be < 10 (a vacuous always-10 overlap would make the bar
+    // meaningless)
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf0001)
+    val qv = emb.filter(col("vec_id") === 299)
+      .select(graft.operators.VectorOps.toDouble(col("embedding")).as("qv"))
+    val exact = emb.filter(col("vec_id") =!= 299).crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        round(graft.operators.VectorOps.dot(col("qv"),
+          graft.operators.VectorOps.toDouble(col("embedding"))) /
+          sqrt(graft.operators.VectorOps.norm2(col("qv")) *
+            graft.operators.VectorOps.norm2(
+              graft.operators.VectorOps.toDouble(col("embedding")))) * 1e6)
+          .cast("long").as("sc"))
+      .orderBy(col("sc").desc, col("vec_id")).limit(10)
+      .select("vec_id").as[Long].collect().toSet
+    val pqT = SparkEntry.queries("sim_pq_topk_trained")(spark, sf0001)
+      .select(col("vec_id")).as[Long].collect().toSet
+    val ov = pqT.intersect(exact).size
+    assert(ov >= 6 && ov < 10,
+      s"pq-trained overlap $ov: bar 6 must be binding but met at sf0.001")
+  }
+
   test("quality ensemble gates both ways and keeps only above-threshold docs") {
     val rows = q("quality_ensemble")
       .as[(Long, Long, Long, Long, Long, Long, Int)].collect()
