@@ -186,6 +186,12 @@ object Bench {
       val total2 = if (results2.nonEmpty) results2.values.sum else 0.0
       val calibEnd2 = calibMs()
       val loadJson2 = s""""nproc":$nproc,"load_avg":[${r1(loadStart2)},${r1(loadAvg())}],"calib_ms":[${r1(calibStart2)},${r1(calibEnd2)}]"""
+      // full per-query map for the secondary SF too — consumed by
+      // tools/bench_summary.py for the committed round-close artifact.
+      // Deliberately NOT named "total" (the r5 lesson, in reverse): a
+      // "metric":"total" matcher must keep finding exactly one line —
+      // the primary SF's.
+      emit(s"""{"metric":"detail_sf2","value":$total2,"unit":"sec","queries":${js(results2)},"errors":${jsStr(errors2)},"sf":"$sfDir2","reps":2,"agg":"min","warm_cache":true,$loadJson2}""")
       emit(s"""{"metric":"total_compact","value":$total2,"unit":"sec","total_per_calib":${perCalib(total2, calibStart2, calibEnd2)},"n_oracled":${results2.size},"n_errors":${errors2.size},"sf":"$sfDir2",$loadJson2}""")
     }
     // A tail capture always keeps the LAST line, so the headline total is

@@ -190,7 +190,13 @@ object ScaleSmoke {
         // round-14: the trained-rung recall contract at 10x — one
         // batched exact pass + six rung probes; the bars are corpus-
         // size-aware so the 10x replica lands on the large-corpus bar
-        "sim_recall_report_trained")) {
+        "sim_recall_report_trained",
+        // round-14: diagonal-run substring dedup under MAXIMAL
+        // duplicate pressure — every doc has 9 verbatim replicas, so
+        // the anchor self-join runs at its worst pair fan-out (the
+        // 512 hot-gram cap and the per-doc-length run bound are the
+        // claims under test)
+        "dedup_substring")) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).count()
       println(f"$q%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $n%10d rows")

@@ -1259,6 +1259,29 @@ object ExtensionQueries {
         min(col("cnt")).as("rarest_df"))
   }
 
+  /** The audited ingest for `dedup_substring`: the clean corpus plus
+    * DETERMINISTIC planted spans (the text_pii_scrub convention — the
+    * fixtures ship no cross-document substrings, so the operator
+    * would otherwise run on a vacuous signal). % 7 == 0 docs
+    * re-arrive VERBATIM under id + 1e6 (full-length duplicate span);
+    * % 11 == 5 docs with >= 40 tokens re-arrive under id + 2e6 as
+    * PARTIAL QUOTES — per-doc-unique head/tail tokens around the
+    * 24-token middle slice (tokens 9..32), so run extension must
+    * stop at exactly 24 tokens instead of saturating to the full doc.
+    */
+  private def substringIngest(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val reups = base.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val quotes = base.filter(pmod(col("doc_id"), lit(11)) === 5 &&
+        size(split(col("text"), " ")) >= 40)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(lit("qh"), col("doc_id").cast("string"), lit(" "),
+          array_join(slice(split(col("text"), " "), 9, 24), " "),
+          lit(" qt"), col("doc_id").cast("string")).as("text"))
+    base.unionByName(reups).unionByName(quotes)
+  }
+
   /** The interpolated Kneser-Ney bigram MODEL STORE behind
     * `text_bigram_kn` — the [[materializedFrame]] lifecycle
     * (dir@rowCount key) because an n-gram LM is the canonical
@@ -2998,6 +3021,57 @@ object ExtensionQueries {
         .withColumn("n_dup_spans", coalesce(col("n_dup_spans"), lit(0L)))
         .withColumn("dup_frac", round(col("n_dup_spans") / col("n_spans"), 6))
         .withColumn("is_span_dup", (col("dup_frac") >= 0.5).cast("int"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Substring-level exact dedup — the suffix-array rung of the Lee
+    // et al. "Deduplicating Training Data Makes Language Models
+    // Better" recipe, re-expressed as SQL-replayable DIAGONAL RUN
+    // EXTENSION: dedup_span_exact sees only aligned 32-token blocks;
+    // this finds the LONGEST cross-document duplicated token span at
+    // ANY offset. Anchor = positional 8-gram; two documents sharing a
+    // common substring of length L >= 8 share L-7 consecutive anchors
+    // on one (a, b, pa-pb) diagonal, and conversely a diagonal run of
+    // m consecutive anchor positions chains to an exact common
+    // substring of m+7 tokens — so max-run + 7 IS the longest common
+    // substring (>= 8; shorter dups are below the anchor width by
+    // contract). The corpus ships no cross-doc spans, so the audited
+    // ingest plants them (the text_pii_scrub convention): % 7 == 0
+    // docs re-arrive verbatim (full-length span) and % 11 == 5 docs
+    // re-arrive as PARTIAL QUOTES — unique head/tail tokens around a
+    // 24-token middle slice, so the extension has to stop at 24, not
+    // saturate. Scale: anchors with > 512 occurrences are dropped
+    // (the LSH bucket-cap convention — corpus-hot 8-grams are
+    // boilerplate, not substring evidence; the cap is replayed in the
+    // oracle), so pair volume is bounded by cap x occurrences, never
+    // quadratic in a hot gram; runs ride ONE window on the pair
+    // diagonal whose groups are bounded by document length. Anchor
+    // key is xxhash64 (the dedup_span_exact engine-internal-key
+    // trade, documented there).
+    "dedup_substring" -> ((s, dir) => {
+      val ing = substringIngest(s, dir)
+      val g = ing.filter(size(split(col("text"), " ")) >= 8)
+        .select(col("doc_id"),
+          posexplode(TextOps.shinglesOfText(col("text"), 8)).as(Seq("pos", "gram")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          xxhash64(col("gram")).as("h"))
+      val wH = Window.partitionBy(col("h"))
+      val gg = g.withColumn("c", count(lit(1)).over(wH))
+        .filter(col("c") <= 512).drop("c")
+      val p = gg.as("x").join(gg.as("y"),
+          col("x.h") === col("y.h") && col("x.doc_id") =!= col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          col("x.pos").as("pa"), (col("x.pos") - col("y.pos")).as("diag"))
+      val wRun = Window.partitionBy(col("a"), col("b"), col("diag"))
+        .orderBy(col("pa"))
+      val runs = p
+        .withColumn("isl", col("pa") - row_number().over(wRun))
+        .groupBy(col("a"), col("b"), col("diag"), col("isl"))
+        .agg((count(lit(1)) + 7L).as("span"))
+      runs.groupBy(col("a"))
+        .agg(max(col("span")).as("max_dup_span"),
+          count_distinct(col("b")).as("n_partners"))
+        .select(col("a").as("doc_id"), col("max_dup_span"), col("n_partners"))
         .orderBy(col("doc_id"))
     }),
 
@@ -6443,6 +6517,31 @@ object ExtensionQueries {
        "row_number() OVER (PARTITION BY doc_id ORDER BY score_ppm DESC, phrase) rn FROM dist) " +
        "SELECT doc_id, CAST(rn AS BIGINT) AS rk, phrase, score_ppm " +
        "FROM rk WHERE rn <= 3 ORDER BY doc_id, rk"),
+    "dedup_substring" ->
+      // the planted ingest, positional 8-gram anchors (grouped on the
+      // gram STRING — the engine's xxhash64 key is the documented
+      // engine-internal trade), the 512 hot-gram cap replay, diagonal
+      // runs via the pos - row_number islands trick, span = run + 7
+      ("WITH base AS (SELECT doc_id, text FROM documents), " +
+       "re AS (SELECT doc_id + 1000000 AS doc_id, text FROM base WHERE doc_id % 7 = 0), " +
+       "qs AS (SELECT doc_id + 2000000 AS doc_id, " +
+       "'qh' || CAST(doc_id AS VARCHAR) || ' ' || " +
+       "array_to_string((string_split(text, ' '))[9:32], ' ') || " +
+       "' qt' || CAST(doc_id AS VARCHAR) AS text FROM base " +
+       "WHERE doc_id % 11 = 5 AND len(string_split(text, ' ')) >= 40), " +
+       "ing AS (SELECT * FROM base UNION ALL SELECT * FROM re UNION ALL SELECT * FROM qs), " +
+       "t AS (SELECT doc_id, string_split(text, ' ') ws FROM ing WHERE len(string_split(text, ' ')) >= 8), " +
+       "g AS MATERIALIZED (SELECT doc_id, i AS pos, array_to_string(ws[i : i+7], ' ') gram " +
+       "FROM t, LATERAL (SELECT unnest(generate_series(1, len(ws) - 7)) i)), " +
+       "dfh AS (SELECT gram, COUNT(*) c FROM g GROUP BY gram), " +
+       "gg AS MATERIALIZED (SELECT g.doc_id, g.pos, g.gram FROM g JOIN dfh USING (gram) WHERE c <= 512), " +
+       "p AS (SELECT x.doc_id a, y.doc_id b, x.pos pa, x.pos - y.pos diag " +
+       "FROM gg x JOIN gg y ON x.gram = y.gram AND x.doc_id <> y.doc_id), " +
+       "r AS (SELECT a, b, diag, pa, pa - row_number() OVER (PARTITION BY a, b, diag ORDER BY pa) isl FROM p), " +
+       "runs AS (SELECT a, b, COUNT(*) + 7 span FROM r GROUP BY a, b, diag, isl) " +
+       "SELECT a AS doc_id, CAST(MAX(span) AS BIGINT) AS max_dup_span, " +
+       "CAST(COUNT(DISTINCT b) AS BIGINT) AS n_partners " +
+       "FROM runs GROUP BY a ORDER BY doc_id"),
     "text_span_scrub" ->
       // the dedup_span_exact chunk replay, then: keep ddf = 1 chunks,
       // reassemble in position order (string_agg ORDER BY i), totality

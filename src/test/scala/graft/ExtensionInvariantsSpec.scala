@@ -1106,6 +1106,40 @@ class ExtensionInvariantsSpec extends SparkSpec {
       s"pq-trained overlap $ov: bar 6 must be binding but met at sf0.001")
   }
 
+  test("dedup_substring: re-uploads saturate, quotes stop at exactly 24 tokens") {
+    // the diagonal-run extension's two planted regimes: a verbatim
+    // re-upload's longest common substring is the WHOLE document
+    // (span = token count), while a partial quote's must stop at the
+    // 24-token slice — per-doc-unique head/tail tokens bound the
+    // extension, so a saturating (or truncating) run bug shows here
+    val rows = q("dedup_substring").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id",
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split($"text", " ")).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val reups = docs.keys.filter(_ % 7 == 0)
+    assert(reups.nonEmpty)
+    reups.foreach { id =>
+      assert(rows(id)._1 === docs(id),
+        s"re-uploaded doc $id: span ${rows(id)._1} != full length ${docs(id)}")
+      assert(rows(id + 1000000L)._1 === docs(id), s"re-upload twin of $id")
+    }
+    val quoted = docs.filter { case (id, n) => id % 11 == 5 && n >= 40 }.keys
+    assert(quoted.nonEmpty)
+    quoted.foreach { id =>
+      // the quote doc's longest span against ANY partner is the slice
+      assert(rows(id + 2000000L)._1 === 24L,
+        s"quote of $id: span ${rows(id + 2000000L)._1} != 24")
+      // the quoted base doc has at least the 24-token span (it may
+      // also be a % 7 re-upload, which saturates higher)
+      assert(rows(id)._1 >= 24L, s"quoted base $id below the slice length")
+    }
+    // every reported span is at least the 8-token anchor width
+    assert(rows.values.forall(_._1 >= 8L))
+  }
+
   test("quality ensemble gates both ways and keeps only above-threshold docs") {
     val rows = q("quality_ensemble")
       .as[(Long, Long, Long, Long, Long, Long, Int)].collect()
