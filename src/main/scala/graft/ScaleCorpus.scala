@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: materialize the ScaleSmoke 10x replica corpus to a FIXED
+  * directory (args(0), default /tmp/scale10x) so the same files can be
+  * read by BOTH engines for the SCALE.md same-scale pairing —
+  * ScaleSmoke's own replica lives in a run-private temp dir and runs
+  * the smoke suite, not a bench. Construction is ScaleSmoke's exactly:
+  * 10 replicas with id shifts of 1e6 (docs/vectors) and distinct users
+  * + shifted event ids (events). Not part of the engine surface.
+  */
+object ScaleCorpus {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/tmp/scale10x")
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = Tables.documents(spark, src)
+    (0 until 10).map(k =>
+        base.withColumn("doc_id", col("doc_id") + lit(k * 1000000L)))
+      .reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val embBase = Tables.embeddings(spark, src)
+    (0 until 10).map(k =>
+        embBase.withColumn("vec_id", col("vec_id") + lit(k * 1000000L)))
+      .reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    val evBase = Tables.events(spark, src)
+    (0 until 10).map(k =>
+        evBase.withColumn("event_id", col("event_id") + lit(k * 10000000L))
+          .withColumn("user_id", col("user_id") + lit(k * 1000000L)))
+      .reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    println(s"SCALE_CORPUS $out docs=" +
+      spark.read.parquet(s"$out/documents.parquet").count() + " vectors=" +
+      spark.read.parquet(s"$out/embeddings.parquet").count() + " events=" +
+      spark.read.parquet(s"$out/events.parquet").count())
+    spark.stop()
+  }
+}
