@@ -196,7 +196,11 @@ object ScaleSmoke {
         // the anchor self-join runs at its worst pair fan-out (the
         // 512 hot-gram cap and the per-doc-length run bound are the
         // claims under test)
-        "dedup_substring")) {
+        "dedup_substring",
+        // round-14 second wave: MLT off the 10x posting store, the
+        // within-cell kNN self-join at 10x vectors (sum(c^2) bound),
+        // the hopping-window expand over 10x events
+        "search_mlt", "sim_knn_graph", "q47_hopping_window")) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).count()
       println(f"$q%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $n%10d rows")

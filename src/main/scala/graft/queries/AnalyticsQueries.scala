@@ -981,6 +981,28 @@ object AnalyticsQueries {
         .orderBy(col("bucket"))
     }),
 
+    // HOPPING (sliding) time windows via the NATIVE `window()`
+    // table-valued grouping — the time-windowing rung the batch
+    // family still lacked (q14/q38 are sessions, q32/q39 tumble or
+    // weight by time; streaming has watermark windows): 10-minute
+    // windows sliding every 5, so every event lands in EXACTLY two
+    // overlapping windows — per window, event count and distinct
+    // users. The oracle replays Spark's epoch-aligned window
+    // semantics as pure integer arithmetic (start = t div slide *
+    // slide - k*slide, k in {0,1}); outputs are integer micros so the
+    // hash gate proves the built-in's alignment contract. One expand
+    // (2 rows per event, map-side) + one aggregate exchange on the
+    // window key — the same shape at any scale.
+    "q47_hopping_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          count_distinct(col("user_id")).as("n_users"))
+        .select(unix_micros(col("w.start")).as("w_start_us"),
+          unix_micros(col("w.end")).as("w_end_us"),
+          col("n_events"), col("n_users"))
+        .orderBy(col("w_start_us"))),
+
     // first_value / last_value / nth_value over the full-partition
     // frame — the value-extraction rungs of the window family that
     // q43's rank ladder and the lead/lag consumers don't exercise.
@@ -1530,6 +1552,16 @@ object AnalyticsQueries {
        "SELECT least(9, ((cents - lo) * 10) // (hi - lo + 1)) AS bucket, " +
        "COUNT(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS sum_cents " +
        "FROM o, mm GROUP BY 1 ORDER BY bucket"),
+    "q47_hopping_window" ->
+      // Spark's epoch-aligned hopping windows as integer arithmetic:
+      // each event lands in the window starting at t div slide * slide
+      // and the one slide earlier (size = 2 slides)
+      ("WITH e AS (SELECT user_id, epoch_us(ts) t FROM events), " +
+       "h AS (SELECT user_id, (t // 300000000) * 300000000 - k * 300000000 ws " +
+       "FROM e, (SELECT unnest([0, 1]) k)) " +
+       "SELECT ws AS w_start_us, ws + 600000000 AS w_end_us, " +
+       "COUNT(*) AS n_events, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users " +
+       "FROM h GROUP BY ws ORDER BY w_start_us"),
     "q44_value_window" ->
       ("WITH w AS (SELECT user_id, " +
        "first_value(event_type) OVER fw first_type, " +

@@ -328,6 +328,13 @@ object ExtensionQueries {
   private def seededCells(s: SparkSession, dir: String): DataFrame =
     assignSeededCells(embWithNorm(s, dir), seedCentroidBank(s, dir))
 
+  /** (vec_id, cell) projection of [[seededCells]] exposed for spec
+    * replays (the sim_knn_graph cell-closure check needs the full
+    * assignment, which no query output carries in isolation).
+    */
+  private[graft] def seededCellsForSpec(s: SparkSession, dir: String): DataFrame =
+    seededCells(s, dir).select(col("vec_id"), col("cell"))
+
   /** One persisted IVF index per corpus dir per JVM (sim_ivf_topk_
     * indexed): the build-once/probe-many lifecycle of a production
     * vector index, memoized so reps measure PROBE latency, not
@@ -1688,6 +1695,40 @@ object ExtensionQueries {
         .limit(10)
     }),
 
+    // More-like-this retrieval (the Lucene MoreLikeThis contract —
+    // "find documents similar to THIS one"): the query IS a document.
+    // Seed doc 42's heaviest terms (integer tf weights, df >= 2 so a
+    // term no other document shares can't seed the query, ties on
+    // term, top-5) re-score the corpus by tf-idf with the seed
+    // excluded — the dedup-adjacent serving shape a curation pipeline
+    // uses to expand a seed set ("more like these curated docs").
+    // Plan: the RM3 shape with a one-document feedback set — the
+    // seed's postings are a pushed doc_id probe into the memoized
+    // store, the 5-term set broadcasts back into the SAME store; the
+    // corpus is never re-tokenized. Determinism: integer seed
+    // weights, per-term contributions rounded to INTEGER MICROS
+    // before the per-doc sum, ties at both cuts on term / doc_id.
+    "search_mlt" -> ((s, dir) => {
+      val n = Tables.parquetRowCount(s, s"$dir/documents.parquet")
+      val posting = postingFrame(s, dir)
+      val seedId = 42L
+      val seed = posting
+        .filter(col("doc_id") === seedId && col("df") >= 2)
+        .select(col("term"), col("tf").as("w"))
+        .orderBy(col("w").desc, col("term")).limit(5)
+      posting.join(broadcast(seed), Seq("term"))
+        .filter(col("doc_id") =!= seedId)
+        .select(col("doc_id"),
+          round((col("w") * col("tf")).cast("double") *
+            log(lit(n.toDouble) / col("df")) * lit(1000000.0))
+            .cast("long").as("c_micro"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c_micro")).as("mlt_micro"),
+          count(lit(1)).as("n_terms"))
+        .orderBy(col("mlt_micro").desc, col("doc_id"))
+        .limit(10)
+    }),
+
     // Retrieval-quality evaluation (the nDCG@10 report a serving
     // pipeline runs on every index/ranker change): graded relevance
     // is derived DETERMINISTICALLY from the corpus itself (gain =
@@ -2486,6 +2527,34 @@ object ExtensionQueries {
         okRow("sim_pq_topk_trained", 299L, 10, pqBar),
         rrOk, dedOk)
         .reduce(_ unionByName _).orderBy(col("rung"))
+    }),
+
+    // k-NN GRAPH construction — the batch primitive under SemDeDup
+    // clustering, graph-based label propagation over embeddings, and
+    // kNN-classifier curation: top-3 nearest neighbors per vector,
+    // restricted to the vector's own seeded cell (the IVF
+    // approximation — the exact brute-force graph is O(n²) dots; the
+    // cell restriction is the SAME accuracy trade sim_ivf_topk makes,
+    // and the honest contract is "neighbors within the probe cell").
+    // Plan: the map-side native argmax assignment (zero exchange),
+    // ONE self-join on the cell key — within-cell pair volume is the
+    // sum(c²) bound the ScaleSmoke quantizer audit pins (k ~ sqrt(n)
+    // keeps it ~linear) — then a per-vector top-3 window on the
+    // join's own key. Determinism: cosine rounded to 6 BEFORE
+    // ranking, ties to the lower neighbor id.
+    "sim_knn_graph" -> ((s, dir) => {
+      val cells = seededCells(s, dir)
+      val p = cells.as("x").join(cells.as("y"),
+          col("x.cell") === col("y.cell") && col("x.vec_id") =!= col("y.vec_id"))
+        .select(col("x.vec_id").as("src"), col("y.vec_id").as("dst"),
+          round(VectorOps.dot(col("x.v"), col("y.v")) /
+            sqrt(col("x.nv") * col("y.nv")), 6).as("cos_sim"))
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("cos_sim").desc, col("dst"))
+      p.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("src"), col("rk"), col("dst"), col("cos_sim"))
+        .orderBy(col("src"), col("rk"))
     }),
 
     // ---- Text analysis -------------------------------------------------
@@ -5898,6 +5967,26 @@ object ExtensionQueries {
        "list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])) / " +
        "sqrt(list_sum(list_transform(a.v, x -> x*x)) * list_sum(list_transform(b.v, x -> x*x)))" +
        ", 6) >= 0.45 ORDER BY a_id, b_id"),
+    "sim_knn_graph" ->
+      // the dedup_embedding cell-assignment CTEs, then BOTH-direction
+      // within-cell pairs and a per-source top-3 (cos DESC rounded to
+      // 6 first, ties to the lower neighbor id)
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings), " +
+       "c AS (SELECT vec_id cid, v cv FROM e WHERE vec_id < 32), " +
+       "scored AS (SELECT e.vec_id, e.v, c.cid, round(" +
+       "list_sum(list_transform(list_zip(e.v, c.cv), p -> p[1]*p[2])) / " +
+       "sqrt(list_sum(list_transform(e.v, x -> x*x)) * list_sum(list_transform(c.cv, x -> x*x)))" +
+       ", 6) cs FROM e CROSS JOIN c), " +
+       "cells AS (SELECT vec_id, v, cid AS cell FROM scored " +
+       "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) = 1), " +
+       "knp AS (SELECT a.vec_id src, b.vec_id dst, round(" +
+       "list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])) / " +
+       "sqrt(list_sum(list_transform(a.v, x -> x*x)) * list_sum(list_transform(b.v, x -> x*x)))" +
+       ", 6) cos_sim FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id <> b.vec_id), " +
+       "knr AS (SELECT src, dst, cos_sim, " +
+       "row_number() OVER (PARTITION BY src ORDER BY cos_sim DESC, dst) rk FROM knp) " +
+       "SELECT src, CAST(rk AS BIGINT) AS rk, dst, cos_sim " +
+       "FROM knr WHERE rk <= 3 ORDER BY src, rk"),
     "dedup_embedding_keep" ->
       // the dedup_embedding cell + pair CTEs, then keepers = vectors
       // with NO lower-id within-cell neighbor at cosine >= 0.45
@@ -7568,6 +7657,24 @@ object ExtensionQueries {
        "SELECT doc_id, CAST(SUM(c) AS BIGINT) AS rm3_micro, " +
        "CAST(COUNT(*) AS BIGINT) AS n_terms " +
        "FROM sc GROUP BY doc_id ORDER BY rm3_micro DESC, doc_id LIMIT 10"),
+    // MLT replay: full posting/df derivation, the seed doc's top-5
+    // (tf DESC, term; df >= 2), tf-idf micros with the rm3 ln shape
+    "search_mlt" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
+       "mlp AS MATERIALIZED (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) tf " +
+       "FROM (SELECT doc_id, unnest(ws) term FROM t) GROUP BY doc_id, term), " +
+       "mld AS MATERIALIZED (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) df " +
+       "FROM mlp GROUP BY term), " +
+       "mln AS (SELECT COUNT(*) n FROM documents), " +
+       "mlsd AS (SELECT p.term, p.tf w FROM mlp p JOIN mld d USING (term) " +
+       "WHERE p.doc_id = 42 AND d.df >= 2 ORDER BY p.tf DESC, p.term LIMIT 5), " +
+       "mlsc AS (SELECT p.doc_id, CAST(round(CAST(e.w * p.tf AS DOUBLE) * " +
+       "ln(CAST((SELECT n FROM mln) AS DOUBLE) / d.df) * 1000000.0) AS BIGINT) c " +
+       "FROM mlp p JOIN mlsd e ON p.term = e.term JOIN mld d ON p.term = d.term " +
+       "WHERE p.doc_id <> 42) " +
+       "SELECT doc_id, CAST(SUM(c) AS BIGINT) AS mlt_micro, " +
+       "CAST(COUNT(*) AS BIGINT) AS n_terms " +
+       "FROM mlsc GROUP BY doc_id ORDER BY mlt_micro DESC, doc_id LIMIT 10"),
     // snippet replay: top-5 from the composed lexical oracle, window
     // starts via the committed scalar-list generate_series pattern,
     // integer hit counts, argmax by (hits DESC, start) per doc

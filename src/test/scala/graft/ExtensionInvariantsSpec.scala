@@ -1140,6 +1140,69 @@ class ExtensionInvariantsSpec extends SparkSpec {
     assert(rows.values.forall(_._1 >= 8L))
   }
 
+  test("search_mlt: seed excluded, terms bounded, results actually share seed vocabulary") {
+    val rows = q("search_mlt").as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    assert(!rows.exists(_._1 == 42L), "the seed document must not retrieve itself")
+    assert(rows.forall(r => r._3 >= 1 && r._3 <= 5),
+      "matched-term count outside the 5-term query bound")
+    // scores strictly ranked (desc, ties doc_id asc is the output order)
+    assert(rows.map(_._2).toSeq === rows.map(_._2).sortBy(-_).toSeq)
+    // every result doc really contains at least one of the seed's
+    // top-5 (df >= 2) terms — replayed independently from the raw text
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val tf = docs(42L).split(" ", -1).groupBy(identity).view.mapValues(_.length)
+    val df = docs.values.flatMap(_.split(" ", -1).distinct)
+      .groupBy(identity).view.mapValues(_.size)
+    val top5 = tf.filter { case (t, _) => df.getOrElse(t, 0) >= 2 }
+      .toSeq.sortBy { case (t, c) => (-c, t) }.take(5).map(_._1).toSet
+    rows.foreach { r =>
+      assert(docs(r._1).split(" ", -1).exists(top5), s"doc ${r._1} shares no seed term")
+    }
+  }
+
+  test("sim_knn_graph: ranks contiguous, neighbors stay in the source's cell") {
+    val rows = q("sim_knn_graph").as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._4 >= -1.0 - 1e-9 && r._4 <= 1.0 + 1e-9))
+    assert(rows.forall(r => r._1 != r._3), "self edge")
+    rows.groupBy(_._1).foreach { case (src, es) =>
+      val sorted = es.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1L to es.length).toSeq,
+        s"src $src ranks not contiguous")
+      assert(es.length <= 3)
+      // ranked by (cos desc, dst asc)
+      assert(sorted.map(e => (-e._4, e._3)).toSeq ===
+        sorted.map(e => (-e._4, e._3)).sortBy(identity).toSeq, s"src $src misranked")
+    }
+    // cell closure: every edge endpoint pair shares the seeded cell —
+    // dedup_embedding_keep exposes the SAME seeded assignment, but
+    // only for keepers; derive the full map from the kept cells plus
+    // the graph's own transitivity (src and dst must co-occur with a
+    // shared kept anchor) is weaker, so replay assignment directly
+    val cellOf = graft.queries.ExtensionQueries
+      .seededCellsForSpec(spark, sf0001)
+      .as[(Long, Long)].collect().toMap
+    rows.foreach(r => assert(cellOf(r._1) === cellOf(r._3),
+      s"edge ${r._1}->${r._3} crosses cells"))
+  }
+
+  test("q47 hopping windows: epoch-aligned, 2-slide width, every event counted exactly twice") {
+    val rows = q("q47_hopping_window").as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (ws, we, ne, nu) =>
+      assert(ws % 300000000L === 0L, s"window start $ws not slide-aligned")
+      assert(we - ws === 600000000L, s"window [$ws, $we) not 10 minutes wide")
+      assert(nu >= 1 && nu <= ne)
+    }
+    assert(rows.map(_._1).distinct.length === rows.length, "duplicate window")
+    // size = 2 x slide => every event lands in exactly two windows
+    val total = Tables.events(spark, sf0001).count()
+    assert(rows.map(_._3).sum === 2L * total,
+      s"hop multiplicity broken: ${rows.map(_._3).sum} != 2x$total")
+  }
+
   test("quality ensemble gates both ways and keeps only above-threshold docs") {
     val rows = q("quality_ensemble")
       .as[(Long, Long, Long, Long, Long, Long, Int)].collect()
