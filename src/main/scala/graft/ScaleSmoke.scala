@@ -200,7 +200,12 @@ object ScaleSmoke {
         // round-14 second wave: MLT off the 10x posting store, the
         // within-cell kNN self-join at 10x vectors (sum(c^2) bound),
         // the hopping-window expand over 10x events
-        "search_mlt", "sim_knn_graph", "q47_hopping_window")) {
+        "search_mlt", "sim_knn_graph", "q47_hopping_window",
+        // round-14 third wave: the silhouette audit over 10x vectors
+        // (duplicate-heavy clusters are the k-means worst case), BFS
+        // over the 10x hub-skewed edge store, the card's two corpus
+        // rollups
+        "cluster_silhouette", "crawl_bfs_layers", "export_dataset_card")) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).count()
       println(f"$q%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $n%10d rows")

@@ -2382,6 +2382,56 @@ object ExtensionQueries {
     "cluster_kmeans" -> ((s, dir) =>
       kmeansClusters(s, dir).orderBy(col("vec_id"))),
 
+    // Clustering quality audit — simplified (centroid-based)
+    // SILHOUETTE per cluster, the standard "did k-means actually find
+    // structure" report a curation pipeline reads before trusting
+    // cluster-balanced sampling: per vector, a = distance to its OWN
+    // cluster's centroid, b = the nearest OTHER centroid; s =
+    // (b - a) / max(a, b) in [-1, 1]. Determinism is the kmeans
+    // recipe end to end: components quantized to INTEGER MICROS,
+    // centroids = floor of the exact integer mean, squared distances
+    // are exact integer sums (bounded ~2.6e14 << 2^63), the only
+    // doubles are two sqrt's + one division on identical operands,
+    // and each vector's s is rounded to integer micros BEFORE the
+    // per-cluster sum (order-free). Plan: one component explode, the
+    // centroid aggregate collapses to <= k x 64 rows, distances ride
+    // a BROADCAST of that centroid table back over the components
+    // (map-side partial per (vec, cluster)), then a vector-sized
+    // window-free pivot and a k-row rollup.
+    "cluster_silhouette" -> ((s, dir) => {
+      val km = kmeansClusters(s, dir).select(col("vec_id"), col("cluster"))
+      val comp = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("vec_id"), col("i"),
+          round(col("x").cast("double") * 1000000.0).cast("long").as("xi"))
+      val cent = comp.join(km, Seq("vec_id"))
+        .groupBy(col("cluster"), col("i"))
+        .agg(floor(sum(col("xi")).cast("double") / count(lit(1)))
+          .cast("long").as("ci"))
+      val d2 = comp
+        .join(broadcast(cent.select(col("cluster").as("k"), col("i"), col("ci"))),
+          Seq("i"))
+        .groupBy(col("vec_id"), col("k"))
+        .agg(sum((col("xi") - col("ci")) * (col("xi") - col("ci"))).as("d2"))
+      val ab = d2.join(km, Seq("vec_id"))
+        .groupBy(col("vec_id"), col("cluster"))
+        .agg(min(when(col("k") === col("cluster"), col("d2"))).as("a2"),
+          min(when(col("k") =!= col("cluster"), col("d2"))).as("b2"))
+      val sMicro = ab.select(col("cluster"),
+        when(greatest(col("a2"), col("b2")) === 0L, lit(0L))
+          .otherwise(round(
+            (sqrt(col("b2").cast("double")) - sqrt(col("a2").cast("double"))) /
+              greatest(sqrt(col("a2").cast("double")), sqrt(col("b2").cast("double")))
+              * 1000000.0).cast("long")).as("s_micro"))
+      sMicro.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("s_micro")).as("sil_sum_micro"))
+        .select(col("cluster"), col("n_vecs"), col("sil_sum_micro"),
+          round(col("sil_sum_micro").cast("double") /
+            col("n_vecs").cast("double") / 1000000.0, 6).as("mean_sil"))
+        .orderBy(col("cluster"))
+    }),
+
     // Cluster-balanced sampling off the kmeans assignment — the
     // curation use of the clustering: cap every cluster at 32 docs so
     // no dense region dominates the training mix (the cluster-balanced
@@ -2555,6 +2605,72 @@ object ExtensionQueries {
         .filter(col("rk") <= 3)
         .select(col("src"), col("rk"), col("dst"), col("cos_sim"))
         .orderBy(col("src"), col("rk"))
+    }),
+
+    // Multi-source BFS layers over the materialized link graph — the
+    // frontier-expansion primitive behind crawl scheduling ("how far
+    // is the unseen web from our seed list"), reachability audits, and
+    // graph-distance features: hop distance (0..4) from the seed set
+    // (doc_id % 50 == 0, the PPR seed convention) over the SAME
+    // hub-skewed edge store crawl_pagerank_edges serves. Each round
+    // expands ONLY the newly-minimal frontier (min-distance agg after
+    // the union — expanding a node twice can never shorten a path, so
+    // this is exact BFS), one join + one aggregate exchange per round,
+    // 4 rounds bounded by contract. Output per layer: node count +
+    // id checksum, all integers.
+    "crawl_bfs_layers" -> ((s, dir) => {
+      val edges = crawlEdgeTable(s, dir)
+      var dist = Tables.documents(s, dir).select(col("doc_id").as("v"))
+        .filter(col("v") % 50 === 0)
+        .select(col("v"), lit(0L).as("d"))
+      for (r <- 1 to 4) {
+        val nxt = dist.filter(col("d") === (r - 1).toLong)
+          .join(edges, col("v") === col("src"))
+          .select(col("dst").as("v"), lit(r.toLong).as("d"))
+        dist = dist.unionByName(nxt)
+          .groupBy(col("v")).agg(min(col("d")).as("d"))
+      }
+      dist.groupBy(col("d"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("v")).as("node_checksum"))
+        .select(col("d").as("layer"), col("n_nodes"), col("node_checksum"))
+        .orderBy(col("layer"))
+    }),
+
+    // Dataset card — the one-page corpus summary every released
+    // training set ships (HF dataset cards, Datasheets for Datasets):
+    // size, length bounds, vocabulary mass, exact-duplication level,
+    // and source/language mix as (section, metric, value) rows. Two
+    // corpus passes total — one doc-level aggregate (counts, distinct
+    // text hashes, length bounds, mix cardinalities) and one
+    // token-level aggregate (vocabulary size, hapax count) — then a
+    // map-side stack() of the two 1-row frames; every value is an
+    // exact integer.
+    "export_dataset_card" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val d = docs.select(md5(col("text")).as("h"), col("source"), col("lang"),
+        size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+      val dAgg = d.agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+        count_distinct(col("h")).as("n_texts"),
+        count_distinct(col("source")).as("n_sources"),
+        count_distinct(col("lang")).as("n_langs"),
+        min(col("nt")).as("min_tokens"), max(col("nt")).as("max_tokens"))
+      val t = docs.select(explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val tAgg = t.agg(count(lit(1)).as("n_terms"),
+        sum((col("c") === 1L).cast("long")).as("hapax_terms"))
+      dAgg.crossJoin(broadcast(tAgg))
+        .select(expr("stack(10, " +
+          "'dup', 'exact_dup_docs', n_docs - n_texts, " +
+          "'dup', 'exact_text_groups', n_texts, " +
+          "'length', 'max_tokens', max_tokens, " +
+          "'length', 'min_tokens', min_tokens, " +
+          "'mix', 'n_langs', n_langs, " +
+          "'mix', 'n_sources', n_sources, " +
+          "'size', 'n_docs', n_docs, " +
+          "'size', 'n_tokens', n_tokens, " +
+          "'vocab', 'hapax_terms', hapax_terms, " +
+          "'vocab', 'n_terms', n_terms) AS (section, metric, value)"))
+        .orderBy(col("section"), col("metric"))
     }),
 
     // ---- Text analysis -------------------------------------------------
@@ -7308,6 +7424,55 @@ object ExtensionQueries {
       "SELECT doc_id, rank_ppm, coin FROM coined WHERE coin < rank_ppm // 4 " +
       "ORDER BY doc_id"
     },
+    "crawl_bfs_layers" ->
+      // the crawlEdgeTable arithmetic replayed ((i*31+7)%n, i%hubs,
+      // (i*13+11)%n), four unrolled frontier levels; min layer per
+      // node resolves multi-path rediscovery identically to the
+      // engine's min-distance aggregate
+      ("WITH bfn AS (SELECT COUNT(*) n FROM documents), " +
+       "bfe AS MATERIALIZED (SELECT doc_id src, unnest([" +
+       "(doc_id*31+7) % (SELECT n FROM bfn), " +
+       "doc_id % least(16, (SELECT n FROM bfn)), " +
+       "(doc_id*13+11) % (SELECT n FROM bfn)]) dst FROM documents), " +
+       "l0 AS (SELECT doc_id v FROM documents WHERE doc_id % 50 = 0), " +
+       "l1 AS MATERIALIZED (SELECT DISTINCT e.dst v FROM bfe e JOIN l0 ON e.src = l0.v), " +
+       "l2 AS MATERIALIZED (SELECT DISTINCT e.dst v FROM bfe e JOIN l1 ON e.src = l1.v), " +
+       "l3 AS MATERIALIZED (SELECT DISTINCT e.dst v FROM bfe e JOIN l2 ON e.src = l2.v), " +
+       "l4 AS (SELECT DISTINCT e.dst v FROM bfe e JOIN l3 ON e.src = l3.v), " +
+       "lv AS (SELECT v, 0 d FROM l0 UNION ALL SELECT v, 1 FROM l1 " +
+       "UNION ALL SELECT v, 2 FROM l2 UNION ALL SELECT v, 3 FROM l3 " +
+       "UNION ALL SELECT v, 4 FROM l4), " +
+       "md AS (SELECT v, MIN(d) d FROM lv GROUP BY v) " +
+       "SELECT CAST(d AS BIGINT) AS layer, COUNT(*) AS n_nodes, " +
+       "CAST(SUM(v) AS BIGINT) AS node_checksum " +
+       "FROM md GROUP BY d ORDER BY layer"),
+    "export_dataset_card" ->
+      ("WITH dcd AS (SELECT md5(text) h, source, lang, " +
+       "CAST(len(string_split(text, ' ')) AS BIGINT) nt FROM documents), " +
+       "dca AS (SELECT COUNT(*) n_docs, CAST(SUM(nt) AS BIGINT) n_tokens, " +
+       "CAST(COUNT(DISTINCT h) AS BIGINT) n_texts, " +
+       "CAST(COUNT(DISTINCT source) AS BIGINT) n_sources, " +
+       "CAST(COUNT(DISTINCT lang) AS BIGINT) n_langs, " +
+       "MIN(nt) min_tokens, MAX(nt) max_tokens FROM dcd), " +
+       "dct AS (SELECT w, COUNT(*) c FROM " +
+       "(SELECT unnest(string_split(text, ' ')) w FROM documents) GROUP BY w), " +
+       "dcv AS (SELECT CAST(COUNT(*) AS BIGINT) n_terms, " +
+       "CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) hapax_terms FROM dct), " +
+       // `value` is a reserved bare alias in this DuckDB (the
+       // rank/rule/label/lead family) — alias v inside, quote at the edge
+       "card AS (" +
+       "SELECT 'dup' section, 'exact_dup_docs' metric, n_docs - n_texts v FROM dca " +
+       "UNION ALL SELECT 'dup', 'exact_text_groups', n_texts FROM dca " +
+       "UNION ALL SELECT 'length', 'max_tokens', max_tokens FROM dca " +
+       "UNION ALL SELECT 'length', 'min_tokens', min_tokens FROM dca " +
+       "UNION ALL SELECT 'mix', 'n_langs', n_langs FROM dca " +
+       "UNION ALL SELECT 'mix', 'n_sources', n_sources FROM dca " +
+       "UNION ALL SELECT 'size', 'n_docs', n_docs FROM dca " +
+       "UNION ALL SELECT 'size', 'n_tokens', n_tokens FROM dca " +
+       "UNION ALL SELECT 'vocab', 'hapax_terms', hapax_terms FROM dcv " +
+       "UNION ALL SELECT 'vocab', 'n_terms', n_terms FROM dcv) " +
+       "SELECT section, metric, CAST(v AS BIGINT) AS \"value\" " +
+       "FROM card ORDER BY section, metric"),
     "export_token_packing" ->
       // greedy first-fit replayed with the same exclusive-prefix bin
       // rule over the same (source, shard) packing units
@@ -7842,6 +8007,35 @@ object ExtensionQueries {
        "(SELECT vec_id, cluster, cluster_n, row_number() OVER (PARTITION BY cluster " +
        "ORDER BY CAST('0x' || substr(md5('cb|' || CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT), vec_id) rk " +
        "FROM km) WHERE rk <= 32 ORDER BY cluster, rk"),
+    "cluster_silhouette" ->
+      // the cluster_kmeans oracle composed verbatim for assignments;
+      // centroids = floor of the exact integer-micro mean per
+      // (cluster, dim); squared distances are exact integer sums; the
+      // sqrt/divide shape mirrors the Spark expression, per-vector
+      // micros rounded BEFORE the cluster sum. si_ prefixes keep the
+      // outer CTEs clear of the nested arm's names.
+      (s"WITH sikm AS (${baseOracleSql("cluster_kmeans")}), " +
+       "sic AS MATERIALIZED (SELECT e.vec_id, i, " +
+       "CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) xi " +
+       "FROM embeddings e, LATERAL (SELECT unnest(generate_series(1, len(embedding))) i)), " +
+       "sict AS MATERIALIZED (SELECT km.cluster, c.i, " +
+       "CAST(floor(SUM(c.xi) / COUNT(*)) AS BIGINT) ci " +
+       "FROM sic c JOIN sikm km USING (vec_id) GROUP BY km.cluster, c.i), " +
+       "sid AS (SELECT c.vec_id, t.cluster k, " +
+       "CAST(SUM((c.xi - t.ci) * (c.xi - t.ci)) AS BIGINT) d2 " +
+       "FROM sic c JOIN sict t USING (i) GROUP BY c.vec_id, t.cluster), " +
+       "siab AS (SELECT d.vec_id, km.cluster, " +
+       "MIN(CASE WHEN d.k = km.cluster THEN d.d2 END) a2, " +
+       "MIN(CASE WHEN d.k <> km.cluster THEN d.d2 END) b2 " +
+       "FROM sid d JOIN sikm km USING (vec_id) GROUP BY d.vec_id, km.cluster), " +
+       "sis AS (SELECT cluster, CASE WHEN greatest(a2, b2) = 0 THEN 0 ELSE " +
+       "CAST(round((sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE))) / " +
+       "greatest(sqrt(CAST(a2 AS DOUBLE)), sqrt(CAST(b2 AS DOUBLE))) * 1000000.0) AS BIGINT) " +
+       "END s_micro FROM siab) " +
+       "SELECT cluster, COUNT(*) AS n_vecs, " +
+       "CAST(SUM(s_micro) AS BIGINT) AS sil_sum_micro, " +
+       "round(CAST(SUM(s_micro) AS DOUBLE) / COUNT(*) / 1000000.0, 6) AS mean_sil " +
+       "FROM sis GROUP BY cluster ORDER BY cluster"),
     "sim_recall_report" -> {
       // every oracled rung's OWN oracle SQL as a CTE (verbatim — the
       // rung arithmetic cannot drift from the rung queries), each

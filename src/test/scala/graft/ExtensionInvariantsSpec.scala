@@ -1203,6 +1203,52 @@ class ExtensionInvariantsSpec extends SparkSpec {
       s"hop multiplicity broken: ${rows.map(_._3).sum} != 2x$total")
   }
 
+  test("cluster_silhouette: totality, bounds, and the score really separates clusters") {
+    val rows = q("cluster_silhouette").as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val nVecs = Tables.embeddings(spark, sf0001).count()
+    assert(rows.map(_._2).sum === nVecs, "every vector scored exactly once")
+    rows.foreach { case (c, n, sumMicro, mean) =>
+      assert(mean >= -1.0 && mean <= 1.0, s"cluster $c mean silhouette $mean")
+      assert(math.abs(mean - sumMicro.toDouble / n / 1e6) < 1e-6,
+        s"cluster $c mean/sum inconsistent")
+    }
+    // clusters from the kmeans assignment must match 1:1
+    val km = q("cluster_kmeans").as[(Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSet === km.map(_._2).toSet, "cluster set drifted")
+  }
+
+  test("crawl_bfs_layers: seeds at layer 0, contiguous layers, nodes counted once") {
+    val rows = q("crawl_bfs_layers").as[(Long, Long, Long)].collect().sortBy(_._1)
+    val nDocs = Tables.documents(spark, sf0001).count()
+    val nSeeds = Tables.documents(spark, sf0001)
+      .filter($"doc_id" % 50 === 0).count()
+    assert(rows.head._1 === 0L && rows.head._2 === nSeeds,
+      s"layer 0 must be exactly the ${nSeeds} seeds: ${rows.head}")
+    assert(rows.map(_._1).toSeq === (0L until rows.length.toLong),
+      "layers not contiguous from 0")
+    assert(rows.map(_._2).sum <= nDocs, "a node appears in two layers")
+    assert(rows.length >= 2, "BFS never expanded past the seeds")
+  }
+
+  test("dataset card: integers reconcile with independent corpus derivations") {
+    val rows = q("export_dataset_card").as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(rows.size === 10)
+    val docs = Tables.documents(spark, sf0001)
+      .select($"text").as[String].collect()
+    assert(rows(("size", "n_docs")) === docs.length)
+    assert(rows(("size", "n_tokens")) === docs.map(_.split(" ", -1).length.toLong).sum)
+    assert(rows(("dup", "exact_text_groups")) === docs.distinct.length,
+      "md5-group count must equal distinct text count (no collision at this size)")
+    assert(rows(("dup", "exact_dup_docs")) ===
+      docs.length - docs.distinct.length)
+    assert(rows(("length", "min_tokens")) <= rows(("length", "max_tokens")))
+    val vocab = docs.flatMap(_.split(" ", -1)).groupBy(identity).view.mapValues(_.length)
+    assert(rows(("vocab", "n_terms")) === vocab.size.toLong)
+    assert(rows(("vocab", "hapax_terms")) === vocab.count(_._2 == 1).toLong)
+  }
+
   test("quality ensemble gates both ways and keeps only above-threshold docs") {
     val rows = q("quality_ensemble")
       .as[(Long, Long, Long, Long, Long, Long, Int)].collect()
