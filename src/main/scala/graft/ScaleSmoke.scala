@@ -205,7 +205,11 @@ object ScaleSmoke {
         // (duplicate-heavy clusters are the k-means worst case), BFS
         // over the 10x hub-skewed edge store, the card's two corpus
         // rollups
-        "cluster_silhouette", "crawl_bfs_layers", "export_dataset_card")) {
+        "cluster_silhouette", "crawl_bfs_layers", "export_dataset_card",
+        // round-14 fourth wave: bounded-sample quantiles over 10x
+        // events (the 64-row cap is the claim), the QI lattice over
+        // 10x docs
+        "q48_sketch_quantiles", "dq_k_anonymity")) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).count()
       println(f"$q%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $n%10d rows")

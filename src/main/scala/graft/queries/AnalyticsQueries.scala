@@ -790,6 +790,68 @@ object AnalyticsQueries {
         .orderBy(col("type_a"), col("type_b"))
     }),
 
+    // Sample-quantile SKETCH — the bounded-memory quantile rung of
+    // the sketch family (HLL q12, KMV q27/q34, CMS, TopK): per group,
+    // a FIXED-SIZE uniform sample selected by deterministic hash coin
+    // (the 64 smallest md5 coins — KMV's selection rule applied to
+    // rows, so the sample is mergeable: union-then-cut = cut-of-cuts)
+    // and the p50/p90 estimates read off the sorted sample at
+    // ceil(q*n). Both engines replay coin, cut, and rank identically
+    // — the estimate is bit-deterministic even though it IS an
+    // estimate of the true quantile (the q27 merge-exactness
+    // discipline). Per-group state is bounded at 64 rows at ANY
+    // scale; two windows ride ONE exchange on the group key.
+    "q48_sketch_quantiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        asInt(col("value"), 100L).as("vc"),
+        graft.operators.TextOps.portableHash32(
+          concat(lit("qs|"), col("event_id").cast("string"))).as("h"))
+      val wCoin = Window.partitionBy(col("event_type")).orderBy(col("h"), col("vc"))
+      val smp = ev.withColumn("rk", row_number().over(wCoin))
+        .filter(col("rk") <= 64)
+      val wVal = Window.partitionBy(col("event_type")).orderBy(col("vc"), col("h"))
+      val ranked = smp
+        .withColumn("vr", row_number().over(wVal).cast("long"))
+        .withColumn("ns", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+      ranked.groupBy(col("event_type"))
+        .agg(max(col("ns")).as("n_sample"),
+          (max(when(col("vr") === expr("(ns + 1) div 2"), col("vc"))) / 100.0)
+            .as("p50_est"),
+          (max(when(col("vr") === expr("(9 * ns + 9) div 10"), col("vc"))) / 100.0)
+            .as("p90_est"))
+        .orderBy(col("event_type"))
+    }),
+
+    // k-anonymity audit — the privacy gate a released dataset's
+    // metadata columns pass before publication: at each
+    // quasi-identifier generalization level (fine -> coarse), how
+    // many QI groups exist, the smallest group, and how many
+    // documents sit in groups below k = 10 (re-identifiable by QI
+    // match). The finest level buckets token length (div 50) beside
+    // source and lang, so the at-risk signal is live at every SF;
+    // generalizing to (source, lang) and then (source) shows the
+    // standard lattice walk toward k-anonymity. One aggregate pair
+    // per level, all integers.
+    "dq_k_anonymity" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("source"), col("lang"),
+          expr("size(split(text, ' ')) div 50").as("len_b"))
+      def level(name: String, keys: org.apache.spark.sql.Column*): DataFrame =
+        docs.groupBy(keys: _*).agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("n_groups"),
+            min(col("n")).as("min_group"),
+            sum(when(col("n") < 10, 1L).otherwise(0L)).as("n_at_risk_groups"),
+            sum(when(col("n") < 10, col("n")).otherwise(0L)).as("n_at_risk_docs"))
+          .select(lit(name).as("qi_level"), col("n_groups"), col("min_group"),
+            col("n_at_risk_groups"), col("n_at_risk_docs"))
+      level("1_source_lang_len", col("source"), col("lang"), col("len_b"))
+        .unionByName(level("2_source_lang", col("source"), col("lang")))
+        .unionByName(level("3_source", col("source")))
+        .orderBy(col("qi_level"))
+    }),
+
     // Explicit GROUPING SETS — the rollup/cube sibling that picks
     // arbitrary grouping combinations in ONE pass ((type, dow),
     // (type), ()): Spark expands each input row once per set (the
@@ -1552,6 +1614,44 @@ object AnalyticsQueries {
        "SELECT least(9, ((cents - lo) * 10) // (hi - lo + 1)) AS bucket, " +
        "COUNT(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS sum_cents " +
        "FROM o, mm GROUP BY 1 ORDER BY bucket"),
+    "q48_sketch_quantiles" ->
+      // coin/cut/rank replay: the md5 coin (portableHash32
+      // convention), the 64-smallest cut, sample ranks by (vc, h),
+      // p50/p90 at ceil(q * n) via integer (q*n + q') // d arithmetic
+      ("WITH e AS (SELECT event_type, CAST(round(value*100) AS BIGINT) vc, " +
+       "CAST('0x' || substr(md5('qs|' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) h " +
+       "FROM events), " +
+       "s AS (SELECT * FROM (SELECT event_type, vc, h, " +
+       "row_number() OVER (PARTITION BY event_type ORDER BY h, vc) rk FROM e) " +
+       "WHERE rk <= 64), " +
+       "r AS (SELECT event_type, vc, " +
+       "row_number() OVER (PARTITION BY event_type ORDER BY vc, h) vr, " +
+       "COUNT(*) OVER (PARTITION BY event_type) ns FROM s) " +
+       "SELECT event_type, CAST(MAX(ns) AS BIGINT) AS n_sample, " +
+       "MAX(CASE WHEN vr = (ns + 1) // 2 THEN vc END) / 100.0 AS p50_est, " +
+       "MAX(CASE WHEN vr = (9 * ns + 9) // 10 THEN vc END) / 100.0 AS p90_est " +
+       "FROM r GROUP BY event_type ORDER BY event_type"),
+    "dq_k_anonymity" ->
+      ("WITH d AS (SELECT source, lang, " +
+       "len(string_split(text, ' ')) // 50 len_b FROM documents), " +
+       "g1 AS (SELECT COUNT(*) n FROM d GROUP BY source, lang, len_b), " +
+       "g2 AS (SELECT COUNT(*) n FROM d GROUP BY source, lang), " +
+       "g3 AS (SELECT COUNT(*) n FROM d GROUP BY source), " +
+       "lv AS (" +
+       "SELECT '1_source_lang_len' qi_level, COUNT(*) n_groups, MIN(n) min_group, " +
+       "SUM(CASE WHEN n < 10 THEN 1 ELSE 0 END) n_at_risk_groups, " +
+       "SUM(CASE WHEN n < 10 THEN n ELSE 0 END) n_at_risk_docs FROM g1 " +
+       "UNION ALL SELECT '2_source_lang', COUNT(*), MIN(n), " +
+       "SUM(CASE WHEN n < 10 THEN 1 ELSE 0 END), " +
+       "SUM(CASE WHEN n < 10 THEN n ELSE 0 END) FROM g2 " +
+       "UNION ALL SELECT '3_source', COUNT(*), MIN(n), " +
+       "SUM(CASE WHEN n < 10 THEN 1 ELSE 0 END), " +
+       "SUM(CASE WHEN n < 10 THEN n ELSE 0 END) FROM g3) " +
+       "SELECT qi_level, CAST(n_groups AS BIGINT) AS n_groups, " +
+       "CAST(min_group AS BIGINT) AS min_group, " +
+       "CAST(n_at_risk_groups AS BIGINT) AS n_at_risk_groups, " +
+       "CAST(n_at_risk_docs AS BIGINT) AS n_at_risk_docs " +
+       "FROM lv ORDER BY qi_level"),
     "q47_hopping_window" ->
       // Spark's epoch-aligned hopping windows as integer arithmetic:
       // each event lands in the window starting at t div slide * slide

@@ -1249,6 +1249,46 @@ class ExtensionInvariantsSpec extends SparkSpec {
     assert(rows(("vocab", "hapax_terms")) === vocab.count(_._2 == 1).toLong)
   }
 
+  test("q48 sketch quantiles: bounded sample, ordered estimates, exact on small groups") {
+    val rows = q("q48_sketch_quantiles").as[(String, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (tp, ns, p50, p90) =>
+      assert(ns >= 1 && ns <= 64, s"$tp sample size $ns outside the 64 cap")
+      assert(p50 <= p90, s"$tp p50 $p50 above p90 $p90")
+    }
+    // groups smaller than the cap are sampled WHOLE, so the estimate
+    // is the exact percentile_disc — replay one such group if present,
+    // else verify the cap binds (ns == 64) for every group
+    val sizes = Tables.events(spark, sf0001)
+      .groupBy($"event_type").count().as[(String, Long)].collect().toMap
+    rows.foreach { case (tp, ns, p50, _) =>
+      if (sizes(tp) <= 64) {
+        assert(ns === sizes(tp), s"$tp small group must be fully sampled")
+        val vals = Tables.events(spark, sf0001).filter($"event_type" === tp)
+          .select(org.apache.spark.sql.functions.round($"value" * 100).cast("long"))
+          .as[Long].collect().sorted
+        assert(p50 === vals((vals.length + 1) / 2 - 1) / 100.0,
+          s"$tp exact-sample median drifted")
+      } else assert(ns === 64L)
+    }
+  }
+
+  test("k-anonymity: generalizing the QI lattice monotonically reduces risk") {
+    val rows = q("dq_k_anonymity").as[(String, Long, Long, Long, Long)].collect()
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq ===
+      Seq("1_source_lang_len", "2_source_lang", "3_source"))
+    // group counts shrink and minimum group size grows as QI coarsens
+    assert(rows(0)._2 >= rows(1)._2 && rows(1)._2 >= rows(2)._2)
+    assert(rows(0)._3 <= rows(1)._3 && rows(1)._3 <= rows(2)._3)
+    // at-risk docs can only shrink up the lattice
+    assert(rows(0)._5 >= rows(1)._5 && rows(1)._5 >= rows(2)._5)
+    // the finest level must carry a LIVE signal (len bucketing makes
+    // sub-k groups at every SF) and the coarsest must be k-anonymous
+    assert(rows(0)._4 >= 1, "finest QI level has no at-risk group — audit vacuous")
+    assert(rows(2)._4 === 0, "source-level groups should all clear k = 10")
+  }
+
   test("quality ensemble gates both ways and keeps only above-threshold docs") {
     val rows = q("quality_ensemble")
       .as[(Long, Long, Long, Long, Long, Long, Int)].collect()

@@ -71,6 +71,54 @@ class StreamingWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming hopping windows equal the q47 batch construction on shared data") {
+    // the streaming twin of q47_hopping_window: identical window(ts,
+    // 10m, 5m) spec, events split across micro-batches, closed windows
+    // must carry EXACTLY the batch aggregate (every event in exactly
+    // two windows; epoch-aligned starts)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, Long)]
+    // streaming forbids DISTINCT aggregates, so the parity metric
+    // beside the count is a user-id SUM checksum (order-free exact);
+    // the batch q47 keeps its count_distinct — this pins the WINDOW
+    // assignment, not the distinct machinery
+    val agg = in.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n_events"), sum(col("user_id")).as("u_sum"))
+      .select(col("window.start").as("ws"), col("n_events"), col("u_sum"))
+    val q = agg.writeStream.format("memory").queryName("hopwin")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    def t(s: String) = Timestamp.valueOf(s)
+    val data = Seq(
+      (t("2026-08-12 10:02:00"), 1L), (t("2026-08-12 10:04:00"), 2L),
+      (t("2026-08-12 10:07:00"), 1L), (t("2026-08-12 10:12:00"), 3L))
+    try {
+      in.addData(data.take(2): _*)
+      q.processAllAvailable()
+      in.addData(data.drop(2): _*)
+      q.processAllAvailable()
+      in.addData((t("2026-08-12 12:00:00"), 9L)) // close everything before 11:50
+      q.processAllAvailable()
+      val streamed = spark.table("hopwin").as[(Timestamp, Long, Long)].collect()
+        .map { case (ws, n, u) => (ws.toString, n, u) }
+        .filter(_._1 < "2026-08-12 11") // the closer event's own windows stay open
+        .toSet
+      val batch = (data :+ (t("2026-08-12 12:00:00"), 9L)).toDF("ts", "user_id")
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+        .agg(count(lit(1)).as("n"), sum(col("user_id")).as("u"))
+        .select(col("window.start").as("ws"), col("n"), col("u"))
+        .as[(Timestamp, Long, Long)].collect()
+        .map { case (ws, n, u) => (ws.toString, n, u) }
+        .filter(_._1 < "2026-08-12 11").toSet
+      assert(streamed === batch,
+        s"stream/batch hopping windows diverged:\n$streamed\nvs\n$batch")
+      // every pre-close event appears in exactly two windows
+      assert(batch.toSeq.map(_._2).sum === 2L * data.length)
+    } finally q.stop()
+  }
+
   test("streaming session windows merge across batches and close at the watermark") {
     // the streaming twin of q30_session_window: events arriving in
     // different micro-batches MERGE into one open session (state
