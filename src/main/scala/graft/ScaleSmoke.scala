@@ -209,7 +209,12 @@ object ScaleSmoke {
         // round-14 fourth wave: bounded-sample quantiles over 10x
         // events (the 64-row cap is the claim), the QI lattice over
         // 10x docs
-        "q48_sketch_quantiles", "dq_k_anonymity")) {
+        "q48_sketch_quantiles", "dq_k_anonymity",
+        // round-14 fifth wave: the source-centroid mix matrix and the
+        // 8-step farthest-point chain over 10x vectors (replicas make
+        // min-distances collapse to 0 for duplicated centers — the
+        // greedy must still terminate deterministically)
+        "sim_source_centroids", "sample_coreset_kcenter")) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).count()
       println(f"$q%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $n%10d rows")

@@ -2607,6 +2607,76 @@ object ExtensionQueries {
         .orderBy(col("src"), col("rk"))
     }),
 
+    // Embedding-space MIX diagnostic — per-source centroids and their
+    // pairwise cosines: the "are my sources semantically distinct or
+    // collapsed" readout a curation pipeline checks before trusting
+    // source-stratified sampling (a pair at cos ~ 1 means two feeds
+    // are the same distribution; sampling quotas between them are
+    // fiction). Kmeans determinism recipe: micro-int components,
+    // floor integer-mean centroids, cosine = double ops on identical
+    // exact operands + round(6). Plan: one component explode, a
+    // (source, dim)-sized aggregate, array fold, and a sources²-sized
+    // pair join — nothing corpus-sized after the first aggregate.
+    "sim_source_centroids" -> ((s, dir) => {
+      val src = Tables.documents(s, dir)
+        .select(col("doc_id").as("vec_id"), col("source"))
+      val comp = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("vec_id"), col("i"),
+          round(col("x").cast("double") * 1000000.0).cast("long").as("xi"))
+      val cent = comp.join(src, Seq("vec_id"))
+        .groupBy(col("source"), col("i"))
+        .agg(floor(sum(col("xi")).cast("double") / count(lit(1)))
+          .cast("long").as("ci"),
+          count(lit(1)).as("cn"))
+      val ca = cent.groupBy(col("source"))
+        .agg(expr("transform(sort_array(collect_list(struct(i, ci))), " +
+          "p -> cast(p.ci as double))").as("cv"),
+          max(col("cn")).as("n_vecs"))
+      val a = ca.select(col("source").as("source_a"), col("cv").as("va"),
+        col("n_vecs").as("n_a"))
+      val b = ca.select(col("source").as("source_b"), col("cv").as("vb"),
+        col("n_vecs").as("n_b"))
+      a.join(b, col("source_a") < col("source_b"))
+        .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+          round(VectorOps.dot(col("va"), col("vb")) /
+            sqrt(VectorOps.norm2(col("va")) * VectorOps.norm2(col("vb"))), 6)
+            .as("centroid_cos"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    // Greedy k-center coreset (farthest-point traversal, the 2-approx
+    // classic) — DIVERSITY sampling over the embedding corpus: pick
+    // the vector farthest (min squared distance to the chosen set,
+    // maximized) 8 times from seed vec_id 0 — the anti-SemDeDup
+    // selection a curation run uses for eval-set seeding and coverage
+    // probes. Each step is ONE corpus scan against the chosen set's
+    // <= 7 broadcast-literal vectors with a bounded 1-row collect
+    // (the codebook-collect class); distances are exact integer
+    // arithmetic in doubles (micro components, d² = nv + nc - 2·dot,
+    // bounded ~2.6e14 << 2^53), ties to the lower vec_id — fully
+    // replayed by the oracle's unrolled 7-step argmax chain.
+    "sample_coreset_kcenter" -> ((s, dir) => {
+      import s.implicits._
+      val emb = embMicro(s, dir)
+      val first = emb.filter(col("vec_id") === 0L)
+        .select(col("v"), col("nv")).as[(Seq[Double], Double)].head()
+      var chosen = List((0L, first._1, first._2, 0L))
+      for (_ <- 2 to 8) {
+        val minD = chosen.map { case (_, cv, nc, _) =>
+          col("nv") + lit(nc) - lit(2.0) * VectorOps.dot(col("v"), typedlit(cv)) }
+          .reduce(least(_, _))
+        val pick = emb.filter(!col("vec_id").isin(chosen.map(_._1): _*))
+          .select(col("vec_id"), col("v"), col("nv"), minD.as("md"))
+          .orderBy(col("md").desc, col("vec_id")).limit(1)
+          .as[(Long, Seq[Double], Double, Double)].head()
+        chosen = chosen :+ ((pick._1, pick._2, pick._3, pick._4.toLong))
+      }
+      chosen.zipWithIndex
+        .map { case ((id, _, _, md), k) => ((k + 1).toLong, id, md) }
+        .toDF("pick_order", "vec_id", "min_dist2")
+    }),
+
     // Multi-source BFS layers over the materialized link graph — the
     // frontier-expansion primitive behind crawl scheduling ("how far
     // is the unseen web from our seed list"), reachability audits, and
@@ -7423,6 +7493,47 @@ object ExtensionQueries {
       "FROM r5) " +
       "SELECT doc_id, rank_ppm, coin FROM coined WHERE coin < rank_ppm // 4 " +
       "ORDER BY doc_id"
+    },
+    "sim_source_centroids" ->
+      // micro components, floor integer-mean centroids per (source,
+      // dim), list fold ordered by dim, pairwise cosine on the exact
+      // centroid integers
+      ("WITH scc AS (SELECT e.vec_id, d.source, i, " +
+       "CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) xi " +
+       "FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id, " +
+       "LATERAL (SELECT unnest(generate_series(1, len(embedding))) i)), " +
+       "sct AS (SELECT source, i, CAST(floor(SUM(xi) / COUNT(*)) AS BIGINT) ci, " +
+       "COUNT(*) cn FROM scc GROUP BY source, i), " +
+       "sca AS MATERIALIZED (SELECT source, " +
+       "list_transform(list(ci ORDER BY i), x -> CAST(x AS DOUBLE)) cv, " +
+       "CAST(MAX(cn) AS BIGINT) n_vecs FROM sct GROUP BY source) " +
+       "SELECT a.source AS source_a, b.source AS source_b, " +
+       "a.n_vecs AS n_a, b.n_vecs AS n_b, " +
+       "round(list_sum(list_transform(list_zip(a.cv, b.cv), p -> p[1]*p[2])) / " +
+       "sqrt(list_sum(list_transform(a.cv, x -> x*x)) * " +
+       "list_sum(list_transform(b.cv, x -> x*x))), 6) AS centroid_cos " +
+       "FROM sca a JOIN sca b ON a.source < b.source " +
+       "ORDER BY source_a, source_b"),
+    "sample_coreset_kcenter" -> {
+      // the greedy chain unrolled: each step's argmax of min squared
+      // distance to the chosen set (exact BIGINT list arithmetic),
+      // ties to the lower vec_id; every re-referenced CTE MATERIALIZED
+      // (the MMR inliner lesson)
+      def step(k: Int): String =
+        s"s$k AS (SELECT e.vec_id, e.v, $k ord, " +
+        "MIN(list_sum(list_transform(list_zip(e.v, c.v), p -> (p[1]-p[2])*(p[1]-p[2])))) md " +
+        s"FROM kce e, ch${k - 1} c " +
+        s"WHERE e.vec_id NOT IN (SELECT vec_id FROM ch${k - 1}) " +
+        "GROUP BY e.vec_id, e.v ORDER BY md DESC, e.vec_id LIMIT 1), " +
+        s"ch$k AS MATERIALIZED (SELECT * FROM ch${k - 1} UNION ALL " +
+        s"SELECT vec_id, v, ord, md FROM s$k)"
+      "WITH kce AS MATERIALIZED (SELECT vec_id, " +
+      "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) v " +
+      "FROM embeddings), " +
+      "ch1 AS MATERIALIZED (SELECT vec_id, v, 1 ord, CAST(0 AS BIGINT) md FROM kce WHERE vec_id = 0), " +
+      (2 to 8).map(step).mkString(", ") + " " +
+      "SELECT CAST(ord AS BIGINT) AS pick_order, vec_id, " +
+      "CAST(md AS BIGINT) AS min_dist2 FROM ch8 ORDER BY pick_order"
     },
     "crawl_bfs_layers" ->
       // the crawlEdgeTable arithmetic replayed ((i*31+7)%n, i%hubs,

@@ -1289,6 +1289,39 @@ class ExtensionInvariantsSpec extends SparkSpec {
     assert(rows(2)._4 === 0, "source-level groups should all clear k = 10")
   }
 
+  test("source centroids: complete pair matrix, self-consistent counts, cosines bounded") {
+    val rows = q("sim_source_centroids")
+      .as[(String, String, Long, Long, Double)].collect()
+    val sources = (rows.map(_._1) ++ rows.map(_._2)).distinct.sorted
+    assert(rows.length === sources.length * (sources.length - 1) / 2,
+      "pair matrix incomplete")
+    rows.foreach { case (a, b, na, nb, cs) =>
+      assert(a < b, "pair orientation")
+      assert(cs >= -1.0 - 1e-9 && cs <= 1.0 + 1e-9, s"($a,$b) cos $cs")
+      assert(na >= 1 && nb >= 1)
+    }
+    // per-source counts are consistent across every pair mentioning it
+    val counts = rows.flatMap(r => Seq(r._1 -> r._3, r._2 -> r._4)).distinct
+    assert(counts.map(_._1).distinct.length === counts.length,
+      s"a source reports two different n_vecs: ${counts.sorted.toSeq}")
+    // counts sum to the embedded prefix of the corpus
+    assert(counts.map(_._2).sum === Tables.embeddings(spark, sf0001).count())
+  }
+
+  test("k-center coreset: greedy picks are diverse and distances non-increasing-ish") {
+    val rows = q("sample_coreset_kcenter").as[(Long, Long, Long)].collect()
+      .sortBy(_._1)
+    assert(rows.length === 8)
+    assert(rows.head === ((1L, 0L, 0L)), "seed pick must be vec 0 at distance 0")
+    assert(rows.map(_._2).distinct.length === 8, "duplicate pick")
+    // the greedy invariant: each pick's min-distance is >= every LATER
+    // pick's (the farthest-point radius shrinks monotonically)
+    val ds = rows.tail.map(_._3)
+    assert(ds.zip(ds.tail).forall { case (a, b) => a >= b },
+      s"k-center radius must be non-increasing: ${ds.toSeq}")
+    assert(ds.forall(_ > 0L), "a pick coincides with a chosen center")
+  }
+
   test("quality ensemble gates both ways and keeps only above-threshold docs") {
     val rows = q("quality_ensemble")
       .as[(Long, Long, Long, Long, Long, Long, Int)].collect()
