@@ -2452,16 +2452,29 @@ object ExtensionQueries {
     // (b - a) / max(a, b) in [-1, 1]. Determinism is the kmeans
     // recipe end to end: components quantized to INTEGER MICROS,
     // centroids = floor of the exact integer mean, squared distances
-    // are exact integer sums (bounded ~2.6e14 << 2^63), the only
-    // doubles are two sqrt's + one division on identical operands,
-    // and each vector's s is rounded to integer micros BEFORE the
-    // per-cluster sum (order-free). Plan: one component explode, the
-    // centroid aggregate collapses to <= k x 64 rows, distances ride
-    // a BROADCAST of that centroid table back over the components
-    // (map-side partial per (vec, cluster)), then a vector-sized
-    // window-free pivot and a k-row rollup.
+    // are exact integer arithmetic IN DOUBLES via d² = |v|² + |c|² -
+    // 2·v·c (every term an exact integer bounded ~2.6e14 << 2^53 —
+    // the embMicro discipline), the only true doubles are two sqrt's
+    // + one division on identical operands, and each vector's s is
+    // rounded to integer micros BEFORE the per-cluster sum
+    // (order-free). Plan: one component explode feeds the centroid
+    // aggregate (collapses to <= k x 64 rows, folded to k ARRAY
+    // rows); distances are then ONE corpus scan crossJoined with the
+    // k-row broadcast — one d² row per (vector, cluster), never a
+    // per-component expansion — a vector-sized pivot and a k-row
+    // rollup.
+    // PROFILE (sf0.1, idle-box min-of-5): ~0.85 s, of which ~0.45 s is
+    // the cluster_kmeans serving pass itself (the r13-adjudicated
+    // serialized-arm floor — trained-bank memo probe, argmax scan,
+    // sizes broadcast); the silhouette's own stages add ~0.4 s of
+    // bounded broadcast work vs DuckDB's 0.29 s full-Lloyd replay.
     "cluster_silhouette" -> ((s, dir) => {
+      // localCheckpoint: the centroid build AND the a/b pivot both
+      // consume the assignment — uncheckpointed, the trained-bank
+      // serving pass (argmax + sizes broadcast) runs twice. The frame
+      // is (vec_id, cluster) longs.
       val km = kmeansClusters(s, dir).select(col("vec_id"), col("cluster"))
+        .localCheckpoint()
       val comp = Tables.embeddings(s, dir)
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
         .select(col("vec_id"), col("i"),
@@ -2470,12 +2483,20 @@ object ExtensionQueries {
         .groupBy(col("cluster"), col("i"))
         .agg(floor(sum(col("xi")).cast("double") / count(lit(1)))
           .cast("long").as("ci"))
-      val d2 = comp
-        .join(broadcast(cent.select(col("cluster").as("k"), col("i"), col("ci"))),
-          Seq("i"))
-        .groupBy(col("vec_id"), col("k"))
-        .agg(sum((col("xi") - col("ci")) * (col("xi") - col("ci"))).as("d2"))
-      val ab = d2.join(km, Seq("vec_id"))
+        .groupBy(col("cluster"))
+        .agg(expr("transform(sort_array(collect_list(struct(i, ci))), " +
+          "p -> cast(p.ci as double))").as("cv"))
+        .select(col("cluster").as("k"), col("cv"),
+          VectorOps.norm2(col("cv")).as("nc"))
+      // the assignment rides the SAME scan as the distances (broadcast
+      // of the vector-sized checkpointed km frame) so the a/b pivot is
+      // a map-side partial aggregate with one exchange, not a join
+      val ab = embMicro(s, dir)
+        .join(broadcast(km), Seq("vec_id"))
+        .crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("cluster"), col("k"),
+          (col("nv") + col("nc") -
+            lit(2.0) * VectorOps.dot(col("v"), col("cv"))).as("d2"))
         .groupBy(col("vec_id"), col("cluster"))
         .agg(min(when(col("k") === col("cluster"), col("d2"))).as("a2"),
           min(when(col("k") =!= col("cluster"), col("d2"))).as("b2"))
