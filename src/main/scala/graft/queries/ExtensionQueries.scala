@@ -2743,7 +2743,9 @@ object ExtensionQueries {
       dist.groupBy(col("d"))
         .agg(count(lit(1)).as("n_nodes"), sum(col("v")).as("node_checksum"))
         .select(col("d").as("layer"), col("n_nodes"), col("node_checksum"))
-        .orderBy(col("layer"))
+        // <= 5 layer rows: in-partition sort after a shuffle-free
+        // coalesce beats a range exchange (the q38 output trick)
+        .coalesce(1).sortWithinPartitions(col("layer"))
     }),
 
     // Dataset card — the one-page corpus summary every released
