@@ -214,7 +214,11 @@ object ScaleSmoke {
         // 8-step farthest-point chain over 10x vectors (replicas make
         // min-distances collapse to 0 for duplicated centers — the
         // greedy must still terminate deterministically)
-        "sim_source_centroids", "sample_coreset_kcenter")) {
+        "sim_source_centroids", "sample_coreset_kcenter",
+        // round-14 sixth wave: vector PRF over 10x vectors, prefix
+        // novelty under full-replica pressure (every replica after the
+        // first scores ~0 novel — the signal the operator exists for)
+        "search_rocchio_vec", "text_ngram_novelty")) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).count()
       println(f"$q%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $n%10d rows")

@@ -1791,6 +1791,75 @@ object ExtensionQueries {
         .limit(10)
     }),
 
+    // VECTOR relevance feedback (Rocchio 1971, the embedding-side
+    // twin of RM3's term expansion): re-aim the query vector toward
+    // the centroid of its own top-10 — q' = (7·q + 3·c) div 10 in
+    // integer micros — and re-rank the corpus. The standard
+    // "embedding PRF" move when the seed vector under-recalls its
+    // neighborhood. Determinism: feedback set = the oracled
+    // sim_cosine_topk frame (one definition), centroid = floor
+    // integer-mean micros, q' = exact integer blend, final cosines
+    // round(6) with doc_id ties. Plan: 10-row broadcast into the
+    // component explode, <= 64-row centroid agg folded to ONE q' row,
+    // one corpus scan + TakeOrderedAndProject.
+    "search_rocchio_vec" -> ((s, dir) => {
+      val fb = cosineTopFrame(s, dir).select(col("vec_id"))
+      val comp = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("vec_id"), col("i"),
+          round(col("x").cast("double") * 1000000.0).cast("long").as("xi"))
+      val cent = comp.join(broadcast(fb), Seq("vec_id"))
+        .groupBy(col("i"))
+        .agg(floor(sum(col("xi")).cast("double") / count(lit(1)))
+          .cast("long").as("ci"))
+      // floor (not `div`) for the blend: micro components go negative,
+      // where Spark's div truncates toward zero but floor matches the
+      // oracle's arithmetic on both engines
+      val qp = comp.filter(col("vec_id") === 0L)
+        .join(cent, Seq("i"))
+        .select(col("i"),
+          floor((lit(7L) * col("xi") + lit(3L) * col("ci")).cast("double") / 10.0)
+            .cast("long").as("qi"))
+        .groupBy()
+        .agg(expr("transform(sort_array(collect_list(struct(i, qi))), " +
+          "p -> cast(p.qi as double))").as("qv"))
+        .select(col("qv"), VectorOps.norm2(col("qv")).as("nq"))
+      embMicro(s, dir).filter(col("vec_id") =!= 0L)
+        .crossJoin(broadcast(qp))
+        .select(col("vec_id"),
+          round(VectorOps.dot(col("qv"), col("v")) /
+            sqrt(col("nq") * col("nv")), 6).as("rocchio_cos"))
+        .orderBy(col("rocchio_cos").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // N-gram NOVELTY against the corpus PREFIX — the incremental-
+    // ingest curation signal ("how much of this document is new
+    // relative to everything already accepted", doc_id = arrival
+    // order): per doc, the fraction of its DISTINCT 8-grams whose
+    // FIRST occurrence (minimum doc_id) is this document. A re-upload
+    // scores ~0, fresh text ~1 — the online twin of
+    // dedup_gram_coverage's symmetric share. One native
+    // distinct-shingle scan, one min aggregate on the 8-byte gram
+    // hash (the dedup_span_exact engine-internal-key trade), the join
+    // back rides the SAME h partitioning. Docs under the 8-token
+    // anchor width are out of contract (both engines gate).
+    "text_ngram_novelty" -> ((s, dir) => {
+      val g = Tables.documents(s, dir)
+        .filter(size(split(col("text"), " ")) >= 8)
+        .select(col("doc_id"),
+          explode(graft.functions.TextExpressions
+            .distinct_shingles(col("text"), 8)).as("gram"))
+        .select(col("doc_id"), xxhash64(col("gram")).as("h"))
+      val first = g.groupBy(col("h")).agg(min(col("doc_id")).as("mn"))
+      g.join(first, Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum((col("doc_id") === col("mn")).cast("long")).as("n_novel"))
+        .withColumn("novelty_frac", round(col("n_novel") / col("n_grams"), 6))
+        .orderBy(col("doc_id"))
+    }),
+
     // Retrieval-quality evaluation (the nDCG@10 report a serving
     // pipeline runs on every index/ranker change): graded relevance
     // is derived DETERMINISTICALLY from the corpus itself (gain =
@@ -7975,6 +8044,41 @@ object ExtensionQueries {
        "SELECT doc_id, CAST(SUM(c) AS BIGINT) AS rm3_micro, " +
        "CAST(COUNT(*) AS BIGINT) AS n_terms " +
        "FROM sc GROUP BY doc_id ORDER BY rm3_micro DESC, doc_id LIMIT 10"),
+    "search_rocchio_vec" ->
+      // the sim_cosine_topk oracle composed verbatim as the feedback
+      // set; floor integer-mean centroid, floor((7q + 3c)/10) blend,
+      // micro-int cosine re-rank. ro_ prefixes clear the nested arm.
+      (s"WITH rofb AS (${baseOracleSql("sim_cosine_topk")}), " +
+       "roc AS MATERIALIZED (SELECT e.vec_id, i, " +
+       "CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) xi " +
+       "FROM embeddings e, LATERAL (SELECT unnest(generate_series(1, len(embedding))) i)), " +
+       "rocent AS (SELECT i, CAST(floor(SUM(xi) / COUNT(*)) AS BIGINT) ci " +
+       "FROM roc JOIN rofb USING (vec_id) GROUP BY i), " +
+       "roq AS (SELECT list_transform(list(" +
+       "CAST(floor((7 * q.xi + 3 * c.ci) / 10.0) AS BIGINT) ORDER BY q.i), " +
+       "x -> CAST(x AS DOUBLE)) qv FROM roc q JOIN rocent c ON q.i = c.i " +
+       "WHERE q.vec_id = 0), " +
+       "roe AS (SELECT vec_id, list_transform(embedding, " +
+       "x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) * 1.0) v " +
+       "FROM embeddings WHERE vec_id <> 0) " +
+       "SELECT e.vec_id, round(" +
+       "list_sum(list_transform(list_zip(q.qv, e.v), p -> p[1]*p[2])) / " +
+       "sqrt(list_sum(list_transform(q.qv, x -> x*x)) * " +
+       "list_sum(list_transform(e.v, x -> x*x))), 6) AS rocchio_cos " +
+       "FROM roe e, roq q ORDER BY rocchio_cos DESC, e.vec_id LIMIT 10"),
+    "text_ngram_novelty" ->
+      // distinct positional 8-grams on the gram STRING (the engine's
+      // xxhash64 key is the documented engine-internal trade), first
+      // occurrence by min doc_id
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents " +
+       "WHERE len(string_split(text, ' ')) >= 8), " +
+       "g AS MATERIALIZED (SELECT DISTINCT doc_id, array_to_string(ws[i : i+7], ' ') gram " +
+       "FROM t, LATERAL (SELECT unnest(generate_series(1, len(ws) - 7)) i)), " +
+       "f AS (SELECT gram, MIN(doc_id) mn FROM g GROUP BY gram) " +
+       "SELECT g.doc_id, COUNT(*) AS n_grams, " +
+       "CAST(SUM(CASE WHEN g.doc_id = f.mn THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, " +
+       "round(SUM(CASE WHEN g.doc_id = f.mn THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS novelty_frac " +
+       "FROM g JOIN f USING (gram) GROUP BY g.doc_id ORDER BY doc_id"),
     // MLT replay: full posting/df derivation, the seed doc's top-5
     // (tf DESC, term; df >= 2), tf-idf micros with the rm3 ln shape
     "search_mlt" ->

@@ -1322,6 +1322,48 @@ class ExtensionInvariantsSpec extends SparkSpec {
     assert(ds.forall(_ > 0L), "a pick coincides with a chosen center")
   }
 
+  test("rocchio: re-aimed ranking stays anchored to the feedback neighborhood") {
+    val ro = q("search_rocchio_vec").as[(Long, Double)].collect()
+    assert(ro.length === 10)
+    assert(!ro.exists(_._1 == 0L), "query vector must not retrieve itself")
+    assert(ro.map(_._2).toSeq === ro.map(_._2).sortBy(-_).toSeq)
+    // pulling the query TOWARD its top-10 centroid must keep a
+    // majority of the original neighborhood in the re-ranked top-10
+    // (Rocchio with beta < alpha is a refinement, not a jump)
+    val orig = q("sim_cosine_topk").as[(Long, Double)].collect().map(_._1).toSet
+    val kept = ro.map(_._1).count(orig)
+    assert(kept >= 5, s"re-rank kept only $kept of the feedback set")
+  }
+
+  test("ngram novelty: prefix semantics — doc 0 is all-novel, re-seen grams are not") {
+    val rows = q("text_ngram_novelty").as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, (ng, nn, f)) =>
+      assert(nn >= 0 && nn <= ng, s"doc $id novel count out of range")
+      assert(math.abs(f - nn.toDouble / ng) < 1e-6, s"doc $id frac inconsistent")
+    }
+    // the lowest doc id can only contain first occurrences
+    val first = rows.keys.min
+    assert(rows(first)._2 === rows(first)._1, s"doc $first must be fully novel")
+    // independent replay on a small slice: grams of the SECOND doc that
+    // also occur in the first must be non-novel
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
+    def grams(t: String): Set[String] = {
+      val ws = t.split(" ", -1)
+      (0 to math.max(ws.length - 8, 0)).map(i =>
+        ws.slice(i, math.min(i + 8, ws.length)).mkString(" ")).toSet
+    }
+    val (id0, t0) = docs.head
+    val overlapping = docs.tail.find { case (_, t) => grams(t).intersect(grams(t0)).nonEmpty }
+    overlapping.foreach { case (id, t) =>
+      val shared = grams(t).intersect(grams(t0)).size
+      assert(rows(id)._2 <= rows(id)._1 - shared,
+        s"doc $id: grams already in doc $id0 counted as novel")
+    }
+  }
+
   test("quality ensemble gates both ways and keeps only above-threshold docs") {
     val rows = q("quality_ensemble")
       .as[(Long, Long, Long, Long, Long, Long, Int)].collect()
