@@ -2765,6 +2765,11 @@ object ExtensionQueries {
     // arithmetic in doubles (micro components, d² = nv + nc - 2·dot,
     // bounded ~2.6e14 << 2^53), ties to the lower vec_id — fully
     // replayed by the oracle's unrolled 7-step argmax chain.
+    // PROFILE (sf0.1, idle-box): ~0.80 s vs DuckDB 0.27 s (~2.9x) —
+    // the greedy is INHERENTLY 8 serialized jobs (7 argmax scans + the
+    // seed fetch), each paying the local job floor on a 2000-row scan;
+    // per-step work is one broadcast-literal distance map, the
+    // scale-correct shape.
     "sample_coreset_kcenter" -> ((s, dir) => {
       import s.implicits._
       val emb = embMicro(s, dir)
@@ -3414,6 +3419,12 @@ object ExtensionQueries {
     // diagonal whose groups are bounded by document length. Anchor
     // key is xxhash64 (the dedup_span_exact engine-internal-key
     // trade, documented there).
+    // PROFILE (sf0.1, idle-box): ~0.86 s vs DuckDB 0.34 s (~2.5x) —
+    // five serialized stages (cap window, anchor self-join, diagonal
+    // run window, two aggregates) each paying the local job floor;
+    // the plan shapes are the scale-correct ones (caps bound the pair
+    // fan-out; at 10x full-replica pressure the query runs ~1.3-1.9 s
+    // while DuckDB's replay climbs past 5 s — see SCALE.md).
     "dedup_substring" -> ((s, dir) => {
       val ing = substringIngest(s, dir)
       val g = ing.filter(size(split(col("text"), " ")) >= 8)
