@@ -1845,12 +1845,16 @@ object ExtensionQueries {
     // back rides the SAME h partitioning. Docs under the 8-token
     // anchor width are out of contract (both engines gate).
     "text_ngram_novelty" -> ((s, dir) => {
+      // localCheckpoint: the first-occurrence aggregate and the join
+      // back both consume the gram frame — uncheckpointed, the native
+      // distinct-shingle scan evaluates twice
       val g = Tables.documents(s, dir)
         .filter(size(split(col("text"), " ")) >= 8)
         .select(col("doc_id"),
           explode(graft.functions.TextExpressions
             .distinct_shingles(col("text"), 8)).as("gram"))
         .select(col("doc_id"), xxhash64(col("gram")).as("h"))
+        .localCheckpoint()
       val first = g.groupBy(col("h")).agg(min(col("doc_id")).as("mn"))
       g.join(first, Seq("h"))
         .groupBy(col("doc_id"))
@@ -2772,7 +2776,11 @@ object ExtensionQueries {
     // scale-correct shape.
     "sample_coreset_kcenter" -> ((s, dir) => {
       import s.implicits._
-      val emb = embMicro(s, dir)
+      // localCheckpoint: seven argmax scans + the seed fetch all read
+      // this frame — uncheckpointed, every job re-runs the parquet
+      // scan + micro quantization (the q38b double-eval lesson,
+      // eight-fold)
+      val emb = embMicro(s, dir).localCheckpoint()
       val first = emb.filter(col("vec_id") === 0L)
         .select(col("v"), col("nv")).as[(Seq[Double], Double)].head()
       var chosen = List((0L, first._1, first._2, 0L))
