@@ -218,7 +218,10 @@ object ScaleSmoke {
         // round-14 sixth wave: vector PRF over 10x vectors, prefix
         // novelty under full-replica pressure (every replica after the
         // first scores ~0 novel — the signal the operator exists for)
-        "search_rocchio_vec", "text_ngram_novelty")) {
+        "search_rocchio_vec", "text_ngram_novelty",
+        // round-14 seventh wave: the real-decoder scene walk + lag
+        // hamming over 10x clips (memoized store pays the codec once)
+        "multimodal_video_scene_cuts")) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).count()
       println(f"$q%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $n%10d rows")

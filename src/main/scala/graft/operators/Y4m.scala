@@ -305,6 +305,41 @@ object Y4m {
     encodeY4m(Y4mVideo(w, h, 25, 1, chroma, frames.drop(trim)))
   }
 
+  /** Scene-STRUCTURED synthetic Y4M for temporal segmentation tests:
+    * 6..9 frames partitioned into 2..3 static scenes (scene id =
+    * (f * nScenes) div nFrames — pure integer arithmetic an oracle
+    * replays), every frame of a scene pixel-identical, scene
+    * boundaries switching the whole fill pattern. A scene-cut
+    * detector must fire exactly nScenes - 1 times per clip and never
+    * inside a scene. Same dim/chroma derivation as the family
+    * fixture; the fill is the family formula with the SCENE id where
+    * the frame index was.
+    */
+  def syntheticSceneY4m(contentHash: String): Array[Byte] = {
+    val w = 16 + (contentHash.charAt(0).toInt % 8) * 4
+    val h = 16 + (contentHash.charAt(1).toInt % 8) * 4
+    val chroma = (contentHash.charAt(2).toInt % 4) match {
+      case 0 => "420"
+      case 1 => "422"
+      case 2 => "444"
+      case _ => "mono"
+    }
+    val nFrames = 6 + (contentHash.charAt(3).toInt % 4) // 6..9
+    val nScenes = 2 + (contentHash.charAt(4).toInt % 2) // 2..3
+    val frames = Vector.tabulate(nFrames) { f =>
+      val scene = f * nScenes / nFrames
+      val px = new Array[Byte](w * h)
+      var i = 0
+      while (i < px.length) {
+        px(i) = ((contentHash.charAt((i + scene) % contentHash.length).toInt * 31 +
+          i * 7 + scene * 13) % 256).toByte
+        i += 1
+      }
+      PgmImage(w, h, 255, px)
+    }
+    encodeY4m(Y4mVideo(w, h, 25, 1, chroma, frames))
+  }
+
   def syntheticY4mContainer(contentHash: String, nBytes: Long): Array[Byte] = {
     // dims are multiples of 4 (16..44) so every chroma mode is legal
     val w = 16 + (contentHash.charAt(0).toInt % 8) * 4

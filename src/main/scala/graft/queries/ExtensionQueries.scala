@@ -500,6 +500,31 @@ object ExtensionQueries {
         .toDF("doc_id", "f", "b0", "b1", "b2", "b3")
     }
 
+  /** Per-frame dHash bands of the SCENE-structured synthetic clips
+    * (`Y4m.syntheticSceneY4m` through the REAL stream decode) — the
+    * store behind `multimodal_video_scene_cuts`, materialized once
+    * per corpus dir like every fingerprint store.
+    */
+  private def videoSceneBands(s: SparkSession, dir: String): DataFrame =
+    materializedFrame(s, s"videoscene:$dir") {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"), md5(col("text")).as("ch"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          it.flatMap { case (id, ch) =>
+            val v = graft.operators.Y4m.decodeY4m(
+              graft.operators.Y4m.syntheticSceneY4m(ch))
+              .getOrElse(sys.error(s"doc $id: synthetic scene Y4M failed to decode"))
+            v.frames.iterator.zipWithIndex.map { case (fr, f) =>
+              val b = graft.operators.Multimodal.dhashBands(fr)
+              (id, f, b(0), b(1), b(2), b(3))
+            }
+          }
+        }
+        .toDF("doc_id", "f", "b0", "b1", "b2", "b3")
+    }
+
   /** The (doc_id, term, tf, df, dl) posting frame shared by the
     * retrieval family (`search_postings`, `corpus_keywords`,
     * `search_bm25_topk`) — the text analog of the perceptual
@@ -4338,6 +4363,39 @@ object ExtensionQueries {
     // subsequent frame's offset, so y_last catches exactly the class
     // of bug (plane-size arithmetic per chroma tag) that header-only
     // reporting would miss.
+    // Temporal SCENE-CUT detection through the REAL Y4M stream decode
+    // — the keyframe-selection primitive of video training-data
+    // pipelines (sample one frame per scene instead of per stride):
+    // per clip, consecutive-frame dHash hamming over the decoded luma
+    // plane; a cut is ANY nonzero delta, because the scene fixture's
+    // scenes are STATIC (frames within a scene are pixel-identical —
+    // production tunes this threshold against motion). The fixture
+    // plants 2..3 scenes per clip deterministically
+    // (Y4m.syntheticSceneY4m — scene id = (f*nScenes) div nFrames),
+    // so n_cuts must read exactly nScenes - 1 (invariant-pinned); the
+    // oracle replays the construction + dHash algebra + lag hamming
+    // with no codec (the dedup_video_phash convention: the Spark side
+    // must agree THROUGH the real decoder). Bands come from the
+    // memoized per-frame store; the query itself is one window on the
+    // store's own doc key + a per-doc rollup.
+    "multimodal_video_scene_cuts" -> ((s, dir) => {
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("f"))
+      videoSceneBands(s, dir)
+        .withColumn("pb0", lag(col("b0"), 1).over(w))
+        .withColumn("pb1", lag(col("b1"), 1).over(w))
+        .withColumn("pb2", lag(col("b2"), 1).over(w))
+        .withColumn("pb3", lag(col("b3"), 1).over(w))
+        .withColumn("hm", when(col("pb0").isNotNull,
+          expr("bit_count(b0 ^ pb0) + bit_count(b1 ^ pb1) + " +
+            "bit_count(b2 ^ pb2) + bit_count(b3 ^ pb3)")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(col("hm") >= 1, 1L).otherwise(0L)).as("n_cuts"),
+          sum(when(col("hm") >= 1, col("f").cast("long")).otherwise(0L))
+            .as("cut_pos_sum"))
+        .orderBy(col("doc_id"))
+    }),
+
     "multimodal_video" -> ((s, dir) => {
       import s.implicits._
       Tables.documents(s, dir)
@@ -7144,6 +7202,44 @@ object ExtensionQueries {
        "CAST(frames - ld - tl AS BIGINT) AS n_kept, " +
        "CAST((frames - ld - tl) * 1000 // 8000 AS BIGINT) AS kept_ms " +
        "FROM p ORDER BY doc_id"),
+    "multimodal_video_scene_cuts" ->
+      // scene-fill construction replay (scene = (f*ns)//nf), the
+      // dedup_video_phash dHash grid/band algebra, lag hamming per
+      // doc, any-nonzero cut rule (static scenes)
+      ("WITH vsd AS (SELECT doc_id, md5(text) ch FROM documents), " +
+       "vsg AS (SELECT doc_id, ch, 16 + (ascii(substr(ch, 1, 1)) % 8) * 4 AS w, " +
+       "16 + (ascii(substr(ch, 2, 1)) % 8) * 4 AS h, " +
+       "6 + (ascii(substr(ch, 4, 1)) % 4) AS nf, " +
+       "2 + (ascii(substr(ch, 5, 1)) % 2) AS ns FROM vsd), " +
+       "vsf AS (SELECT doc_id, ch, w, h, f, (f * ns) // nf AS scene FROM vsg " +
+       "CROSS JOIN (SELECT unnest(generate_series(0, 8)) f) WHERE f < nf), " +
+       "vss AS (SELECT doc_id, f, gy, gx, " +
+       "(ascii(substr(ch, ((idx + scene) % 32) + 1, 1)) * 31 + idx * 7 + scene * 13) % 256 AS pix " +
+       "FROM (SELECT doc_id, ch, f, scene, gy, gx, " +
+       "((gy * h) // 8) * w + ((gx * w) // 9) AS idx FROM vsf " +
+       "CROSS JOIN (SELECT unnest(generate_series(0, 7)) gy) " +
+       "CROSS JOIN (SELECT unnest(generate_series(0, 8)) gx))), " +
+       "vsb AS (SELECT l.doc_id, l.f, l.gy, l.gx, " +
+       "CASE WHEN l.pix > r.pix THEN 1 ELSE 0 END bt " +
+       "FROM vss l JOIN vss r ON l.doc_id = r.doc_id AND l.f = r.f " +
+       "AND l.gy = r.gy AND r.gx = l.gx + 1 WHERE l.gx < 8), " +
+       "vsw AS (SELECT doc_id, f, " +
+       "CAST(SUM(CASE WHEN gy // 2 = 0 THEN bt * (1 << ((gy % 2) * 8 + gx)) ELSE 0 END) AS BIGINT) b0, " +
+       "CAST(SUM(CASE WHEN gy // 2 = 1 THEN bt * (1 << ((gy % 2) * 8 + gx)) ELSE 0 END) AS BIGINT) b1, " +
+       "CAST(SUM(CASE WHEN gy // 2 = 2 THEN bt * (1 << ((gy % 2) * 8 + gx)) ELSE 0 END) AS BIGINT) b2, " +
+       "CAST(SUM(CASE WHEN gy // 2 = 3 THEN bt * (1 << ((gy % 2) * 8 + gx)) ELSE 0 END) AS BIGINT) b3 " +
+       "FROM vsb GROUP BY doc_id, f), " +
+       "vsl AS (SELECT doc_id, f, b0, b1, b2, b3, " +
+       "lag(b0) OVER dw pb0, lag(b1) OVER dw pb1, " +
+       "lag(b2) OVER dw pb2, lag(b3) OVER dw pb3 FROM vsw " +
+       "WINDOW dw AS (PARTITION BY doc_id ORDER BY f)), " +
+       "vsh AS (SELECT doc_id, f, CASE WHEN pb0 IS NULL THEN NULL ELSE " +
+       "bit_count(xor(b0, pb0)) + bit_count(xor(b1, pb1)) + " +
+       "bit_count(xor(b2, pb2)) + bit_count(xor(b3, pb3)) END hm FROM vsl) " +
+       "SELECT doc_id, COUNT(*) AS n_frames, " +
+       "CAST(SUM(CASE WHEN hm >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts, " +
+       "CAST(SUM(CASE WHEN hm >= 1 THEN f ELSE 0 END) AS BIGINT) AS cut_pos_sum " +
+       "FROM vsh GROUP BY doc_id ORDER BY doc_id"),
     "multimodal_video" ->
       // replays syntheticY4mContainer's construction arithmetic — incl.
       // the luma fill for the two reported corner pixels; the Spark

@@ -1364,6 +1364,27 @@ class ExtensionInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("scene cuts: every clip reports exactly nScenes - 1 cuts at the planted boundaries") {
+    val rows = q("multimodal_video_scene_cuts").as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", org.apache.spark.sql.functions.md5($"text"))
+      .as[(Long, String)].collect()
+    assert(rows.size === docs.length)
+    docs.foreach { case (id, ch) =>
+      val nf = 6 + (ch.charAt(3).toInt % 4)
+      val ns = 2 + (ch.charAt(4).toInt % 2)
+      val (frames, cuts, posSum) = rows(id)
+      assert(frames === nf.toLong, s"doc $id frame count")
+      assert(cuts === (ns - 1).toLong,
+        s"doc $id: $cuts cuts for $ns planted scenes — detector fired " +
+          "inside a static scene or missed a boundary")
+      // the planted boundary positions: first frame f of each scene > 0
+      val expected = (1 until nf).filter(f => f * ns / nf != (f - 1) * ns / nf)
+      assert(posSum === expected.map(_.toLong).sum, s"doc $id cut positions drifted")
+    }
+  }
+
   test("quality ensemble gates both ways and keeps only above-threshold docs") {
     val rows = q("quality_ensemble")
       .as[(Long, Long, Long, Long, Long, Long, Int)].collect()

@@ -285,4 +285,23 @@ class Y4mSpec extends AnyFunSuite {
     val odd = Y4m.decodeY4m(Multimodal.resizeKernel(payload, 7, 5)).get
     assert(odd.width == 7 && odd.chroma == "444")
   }
+
+  test("scene fixture: frames pixel-identical inside a scene, different across boundaries") {
+    for (seed <- Seq("a1b2c3d4e5f6a7b8c9d0a1b2c3d4e5f6",
+        "0f1e2d3c4b5a60718293a4b5c6d7e8f9")) {
+      val v = Y4m.decodeY4m(Y4m.syntheticSceneY4m(seed)).get
+      val nf = 6 + (seed.charAt(3).toInt % 4)
+      val ns = 2 + (seed.charAt(4).toInt % 2)
+      assert(v.frames.length === nf)
+      def scene(f: Int) = f * ns / nf
+      for (f <- 1 until nf) {
+        val same = java.util.Arrays.equals(
+          v.frames(f).pixels, v.frames(f - 1).pixels)
+        if (scene(f) == scene(f - 1))
+          assert(same, s"seed $seed: frames $f-1/$f same scene but differ")
+        else
+          assert(!same, s"seed $seed: boundary $f-1/$f frames identical — no cut signal")
+      }
+    }
+  }
 }
