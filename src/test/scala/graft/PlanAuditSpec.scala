@@ -201,6 +201,40 @@ class PlanAuditSpec extends SparkSpec {
       s"bigram stream shuffled for the model join:\n${joinLines.mkString("\n")}")
   }
 
+  test("kNN graph: cell-keyed equi-join, never a cartesian or nested loop") {
+    // the self-join must key on the cell (within-cell pair volume =
+    // the sum(c^2) bound); a CartesianProduct or BroadcastNestedLoop
+    // here is the O(n^2) graph build the cell restriction exists to
+    // avoid
+    val p = plan("sim_knn_graph")
+    assert(!p.contains("CartesianProduct"), s"cartesian pair build:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop pair build:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("Join") && l.contains("cell")),
+      s"pair join not keyed on the cell:\n$p")
+  }
+
+  test("substring dedup: run aggregate reuses the diagonal window's partitioning") {
+    // the (a, b, diag, isl) groupBy must be satisfied by the run
+    // window's (a, b, diag) exchange — an extra corpus-sized shuffle
+    // between the window and the aggregate doubles the heavy stage.
+    // Budget: cap window (h) + self-join sides + diag window + the
+    // per-doc rollup's two-phase count-distinct (expand + (a, b)
+    // exchange + a exchange) + output sort — and never a cartesian
+    val p = plan("dedup_substring")
+    assert(!p.contains("CartesianProduct"), s"cartesian anchor join:\n$p")
+    val n = p.linesIterator.count(_.contains("Exchange "))
+    assert(n <= 7, s"substring dedup exchange budget blown ($n):\n$p")
+  }
+
+  test("silhouette: centroid table broadcasts; the corpus never shuffles for distances") {
+    // distances must ride a broadcast of the <= k-row centroid-array
+    // table over one corpus scan — a SortMergeJoin against the
+    // centroid side means the corpus shuffled for a k-row dim
+    val p = plan("cluster_silhouette")
+    assert(p.contains("BroadcastExchange"), s"no broadcast in the distance stage:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian distance build:\n$p")
+  }
+
   test("ngram jaccard pays ONE posting-list shuffle: df window fused into the bucket exchange") {
     // the plan must be: Exchange(s) -> Sort -> Window(df) -> Filter ->
     // collect_list agg WITH NO OWN EXCHANGE (distribution satisfied by
