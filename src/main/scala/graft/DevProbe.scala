@@ -327,6 +327,43 @@ object DevProbe {
         .orderBy(col("d")).count()
     }
 
+    // ---- round-14 probes: keyphrases native-run A/B ----
+    // production = native PhraseRuns byte scan + fused dedup-scoring;
+    // the baseline replays the round-13 shape (posexplode of the full
+    // token stream + per-doc cumulative-stopword window + collect_list
+    // + separate distinct() before the top-3 window)
+    t("kp_production") { SparkEntry.queries("corpus_keyphrases")(spark, sfDir).count() }
+    t("kp_window_baseline") {
+      import org.apache.spark.sql.expressions.Window
+      val stopEn = Seq("the", "a", "of")
+      val tok = Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val runs = tok
+        .withColumn("st", col("w").isin(stopEn: _*))
+        .withColumn("run", sum(col("st").cast("long")).over(wDoc))
+        .filter(!col("st"))
+      val ph = runs.groupBy(col("doc_id"), col("run"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("w")))).as("pws"),
+          count(lit(1)).as("len"))
+        .select(col("doc_id"), col("run"), col("len"),
+          expr("array_join(transform(pws, x -> x.w), ' ')").as("phrase"))
+      val pw = ph.select(col("doc_id"), col("run"), col("len"), col("phrase"),
+        explode(split(col("phrase"), " ")).as("w"))
+      val wstats = pw.groupBy(col("w"))
+        .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+      val psc = pw.join(broadcast(wstats), Seq("w"))
+        .withColumn("sppm", expr("(deg * 1000000) div freq"))
+        .groupBy(col("doc_id"), col("run"), col("phrase"))
+        .agg(sum(col("sppm")).as("score_ppm"))
+      val dist = psc.select(col("doc_id"), col("phrase"), col("score_ppm")).distinct()
+      val wTop = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score_ppm").desc, col("phrase"))
+      dist.withColumn("rk", row_number().over(wTop).cast("long"))
+        .filter(col("rk") <= 3).count()
+    }
+
     // ---- round-10 probes: new-query costs vs scan floor ----
     t("phrase_full") { SparkEntry.queries("search_phrase")(spark, sfDir).count() }
     t("phrase_floor_split") {

@@ -42,7 +42,8 @@ class GraftExtensionsSpec extends SparkSpec {
           |  minhash_slices('a b c d e f', 5) AS mh,
           |  top_gram_frac('a b a b a b', 2) AS tg,
           |  dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
-          |  term_count_structs('a b a') AS tc
+          |  term_count_structs('a b a') AS tc,
+          |  phrase_runs('x y the z', 'the,a,of') AS pr
           |""".stripMargin).head()
       assert(row.getSeq[String](0) === Seq("a b c d e", "b c d e f"))
       assert(row.getInt(1) === 2) // distinct 2-grams: "a b", "b a"
@@ -50,6 +51,8 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(row.getDouble(5) === 11.0)
       val tc = row.getSeq[org.apache.spark.sql.Row](6)
       assert(tc.map(r => (r.getString(0), r.getLong(1))) === Seq("a" -> 2L, "b" -> 1L))
+      val pr = row.getSeq[org.apache.spark.sql.Row](7)
+      assert(pr.map(r => (r.getString(0), r.getLong(1))) === Seq("x y" -> 2L, "z" -> 1L))
     }
   }
 
