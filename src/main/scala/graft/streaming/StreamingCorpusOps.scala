@@ -314,6 +314,30 @@ object StreamingCorpusOps {
     docs.withColumn("content_key", md5(col("text")))
       .dropDuplicates("content_key")
 
+  /** Streaming PREFIX-NOVELTY gate — the incremental twin of batch
+    * `text_ngram_novelty`: each arriving document's distinct 8-grams
+    * (native one-pass scan, docs under the anchor width gated like the
+    * batch query) are checked against the gram-hash state store and
+    * only FIRST occurrences survive, so the per-doc count of emitted
+    * rows IS the doc's novel-gram count against everything already
+    * ingested. In the streaming world "the corpus prefix" is arrival
+    * order — exactly the semantics an ingest gate wants; when arrival
+    * order equals doc_id order the emitted counts equal the batch
+    * query's n_novel bit-for-bit (spec-pinned, including across a
+    * checkpoint restart). Per-gram state is one key (the
+    * exactDedup/dropDuplicates machinery on the 8-byte hash); with a
+    * watermarked ts column upstream, swap to
+    * dropDuplicatesWithinWatermark for horizon-bounded state.
+    */
+  def novelGrams(docs: DataFrame): DataFrame =
+    docs
+      .filter(size_(split(col("text"), " ")) >= 8)
+      .select(col("doc_id"),
+        explode(graft.functions.TextExpressions
+          .distinct_shingles(col("text"), 8)).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("h"))
+      .dropDuplicates("h")
+
   /** The banding projection shared with `dedup_minhash` — delegates to
     * the single definition in `TextOps.minhashBandRows`.
     */

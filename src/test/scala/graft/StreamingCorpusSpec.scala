@@ -137,6 +137,58 @@ class StreamingCorpusSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("novelty gate: first occurrences only, exact counts, state survives restart") {
+    // doc 1 = fresh; doc 2 quotes doc 1's first 8 tokens + unique tail;
+    // doc 3 = fresh; doc 4 = verbatim re-upload of doc 1 (zero novel).
+    // File source + foreachBatch parquet sink so the seen-gram state
+    // genuinely recovers from the checkpoint (the leaderboard-restart
+    // pattern — the memory sink cannot resume).
+    val t1 = textA                                   // 10 tokens -> 3 grams
+    val t2 = textA.split(" ").take(8).mkString(" ") + " qq ww"
+    val t3 = textB
+    def grams(t: String): Set[String] = {
+      val ws = t.split(" ", -1)
+      (0 to ws.length - 8).map(i => ws.slice(i, i + 8).mkString(" ")).toSet
+    }
+    val root = java.nio.file.Files.createTempDirectory("novelgate").toString
+    val inDir = s"$root/in"; val outDir = s"$root/out"; val ckpt = s"$root/ckpt"
+    Seq(Doc(1L, t1), Doc(2L, t2), Doc(3L, t3), Doc(4L, t1))
+      .toDS().write.parquet(inDir)
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[Doc]].schema)
+        .parquet(inDir)
+      val q = StreamingCorpusOps.novelGrams(stream)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outDir); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      ()
+    }
+    runOnce()
+    def counts(): Map[Long, Long] = spark.read.parquet(outDir)
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    val c = counts()
+    assert(c(1L) === grams(t1).size.toLong, "first doc must be all-novel")
+    assert(c(2L) === (grams(t2) -- grams(t1)).size.toLong,
+      "quoted grams counted as novel")
+    assert(c(3L) === grams(t3).size.toLong)
+    assert(!c.contains(4L), "a verbatim re-upload must emit ZERO novel grams")
+    // restart on the same checkpoint: the seen-gram state must survive
+    // — another re-upload still emits nothing, genuinely new text passes
+    Seq(Doc(5L, t1), Doc(6L, "zz yy xx wv uu tt ss rr"))
+      .toDS().write.mode("append").parquet(inDir)
+    runOnce()
+    val c2 = counts()
+    assert(!c2.contains(5L), "seen-gram state lost across restart")
+    assert(c2(6L) === 1L)
+  }
+
   test("near-dup candidates pair a new doc against earlier batches' state") {
     val in = MemoryStream[Doc]
     val q = StreamingCorpusOps.minhashCandidates(in.toDF())
