@@ -152,8 +152,13 @@ class StreamingCorpusSpec extends SparkSpec {
     }
     val root = java.nio.file.Files.createTempDirectory("novelgate").toString
     val inDir = s"$root/in"; val outDir = s"$root/out"; val ckpt = s"$root/ckpt"
-    Seq(Doc(1L, t1), Doc(2L, t2), Doc(3L, t3), Doc(4L, t1))
-      .toDS().write.parquet(inDir)
+    // docs that SHARE grams must land in separate AvailableNow rounds:
+    // within one micro-batch the state store's first-occurrence pick
+    // between two simultaneous holders of a gram is partition-order
+    // arbitrary (arrival order is only defined ACROSS batches — the
+    // same contract the scaladoc states); docs 2 and 3 share nothing
+    // with each other, so they may share a round
+    Seq(Doc(1L, t1)).toDS().write.parquet(inDir)
     def runOnce(): Unit = {
       val stream = spark.readStream
         .schema(implicitly[org.apache.spark.sql.Encoder[Doc]].schema)
@@ -170,6 +175,10 @@ class StreamingCorpusSpec extends SparkSpec {
       q.awaitTermination(120000)
       ()
     }
+    runOnce()
+    Seq(Doc(2L, t2), Doc(3L, t3)).toDS().write.mode("append").parquet(inDir)
+    runOnce()
+    Seq(Doc(4L, t1)).toDS().write.mode("append").parquet(inDir)
     runOnce()
     def counts(): Map[Long, Long] = spark.read.parquet(outDir)
       .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
