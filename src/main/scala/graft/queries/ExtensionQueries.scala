@@ -1295,8 +1295,8 @@ object ExtensionQueries {
     * DETERMINISTIC planted spans (the text_pii_scrub convention — the
     * fixtures ship no cross-document substrings, so the operator
     * would otherwise run on a vacuous signal). % 7 == 0 docs
-    * re-arrive VERBATIM under id + 1e6 (full-length duplicate span);
-    * % 11 == 5 docs with >= 40 tokens re-arrive under id + 2e6 as
+    * re-arrive VERBATIM under id + 1e7 (full-length duplicate span);
+    * % 11 == 5 docs with >= 40 tokens re-arrive under id + 2e7 as
     * PARTIAL QUOTES — per-doc-unique head/tail tokens around the
     * 24-token middle slice (tokens 9..32), so run extension must
     * stop at exactly 24 tokens instead of saturating to the full doc.
@@ -1304,10 +1304,10 @@ object ExtensionQueries {
   private def substringIngest(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val reups = base.filter(pmod(col("doc_id"), lit(7)) === 0)
-      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
     val quotes = base.filter(pmod(col("doc_id"), lit(11)) === 5 &&
         size(split(col("text"), " ")) >= 40)
-      .select((col("doc_id") + 2000000L).as("doc_id"),
+      .select((col("doc_id") + 20000000L).as("doc_id"),
         concat(lit("qh"), col("doc_id").cast("string"), lit(" "),
           array_join(slice(split(col("text"), " "), 9, 24), " "),
           lit(" qt"), col("doc_id").cast("string")).as("text"))
@@ -6986,8 +6986,8 @@ object ExtensionQueries {
       // engine-internal trade), the 512 hot-gram cap replay, diagonal
       // runs via the pos - row_number islands trick, span = run + 7
       ("WITH base AS (SELECT doc_id, text FROM documents), " +
-       "re AS (SELECT doc_id + 1000000 AS doc_id, text FROM base WHERE doc_id % 7 = 0), " +
-       "qs AS (SELECT doc_id + 2000000 AS doc_id, " +
+       "re AS (SELECT doc_id + 10000000 AS doc_id, text FROM base WHERE doc_id % 7 = 0), " +
+       "qs AS (SELECT doc_id + 20000000 AS doc_id, " +
        "'qh' || CAST(doc_id AS VARCHAR) || ' ' || " +
        "array_to_string((string_split(text, ' '))[9:32], ' ') || " +
        "' qt' || CAST(doc_id AS VARCHAR) AS text FROM base " +

@@ -1124,14 +1124,14 @@ class ExtensionInvariantsSpec extends SparkSpec {
     reups.foreach { id =>
       assert(rows(id)._1 === docs(id),
         s"re-uploaded doc $id: span ${rows(id)._1} != full length ${docs(id)}")
-      assert(rows(id + 1000000L)._1 === docs(id), s"re-upload twin of $id")
+      assert(rows(id + 10000000L)._1 === docs(id), s"re-upload twin of $id")
     }
     val quoted = docs.filter { case (id, n) => id % 11 == 5 && n >= 40 }.keys
     assert(quoted.nonEmpty)
     quoted.foreach { id =>
       // the quote doc's longest span against ANY partner is the slice
-      assert(rows(id + 2000000L)._1 === 24L,
-        s"quote of $id: span ${rows(id + 2000000L)._1} != 24")
+      assert(rows(id + 20000000L)._1 === 24L,
+        s"quote of $id: span ${rows(id + 20000000L)._1} != 24")
       // the quoted base doc has at least the 24-token span (it may
       // also be a % 7 re-upload, which saturates higher)
       assert(rows(id)._1 >= 24L, s"quoted base $id below the slice length")
