@@ -107,6 +107,52 @@ object StatefulOps {
         })
   }
 
+  case class QuantileSnapshot(event_type: String, n_sample: Long,
+      p50_est: Double, p90_est: Double, batches: Long)
+  implicit private val qsEnc: Encoder[QuantileSnapshot] =
+    Encoders.product[QuantileSnapshot]
+
+  /** Streaming face of `q48_sketch_quantiles`: per type, the state is
+    * the same 64-smallest-coin bounded sample (KMV's selection rule on
+    * rows), maintained incrementally via the TopK buffer with
+    * score = -coin — so after ANY arrival order, any batch split, and
+    * any restart, the state equals the batch cut bit-for-bit (the
+    * sample is a deterministic SET: union-then-cut = cut-of-cuts —
+    * unlike arrival-order gates, this parity is ORDER-INDEPENDENT,
+    * which the spec exercises by feeding the stream shuffled).
+    * Quantiles read off the sorted sample at ceil(q·n), exactly the
+    * batch arithmetic. O(k) state per key. Input rows:
+    * (event_type, coin, vc).
+    */
+  def runningSampleQuantiles(events: Dataset[(String, Long, Long)],
+      k: Int = 64): Dataset[QuantileSnapshot] = {
+    implicit val strEnc: Encoder[String] = Encoders.STRING
+    implicit val inEnc: Encoder[(String, Long, Long)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong)
+    implicit val stEnc: Encoder[(graft.functions.SketchAgg.TopKBuf, Long)] =
+      Encoders.tuple(tkEnc, Encoders.scalaLong)
+    val agg = new graft.functions.SketchAgg.TopK(k)
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (tpe: String, it: Iterator[(String, Long, Long)],
+            state: GroupState[(graft.functions.SketchAgg.TopKBuf, Long)]) => {
+          val (prev, batches) = state.getOption.getOrElse((agg.zero, 0L))
+          // TopK orders (score desc, id asc); score = -coin, id = vc
+          // reproduces the batch cut's (coin asc, vc asc) exactly
+          val batchBuf = it.foldLeft(agg.zero) { (b, e) =>
+            agg.reduce(b, graft.functions.SketchAgg.TopKRow(-e._2, e._3, 0L))
+          }
+          val merged = agg.merge(prev, batchBuf)
+          state.update((merged, batches + 1))
+          val sample = merged.rows.map(r => (r.id, -r.score)) // (vc, coin)
+          val sorted = sample.sortBy(identity)
+          val n = sorted.length
+          def at(idx: Int): Double = sorted(idx - 1)._1 / 100.0
+          Iterator.single(QuantileSnapshot(tpe, n.toLong,
+            at((n + 1) / 2), at((9 * n + 9) / 10), batches + 1))
+        })
+  }
+
   case class EwmaSnapshot(key: String, batch_cents: Long, ewma_cents: Long,
       batches: Long)
   implicit private val ewEnc: Encoder[EwmaSnapshot] = Encoders.product[EwmaSnapshot]

@@ -8,6 +8,43 @@ import graft.streaming.StatefulOps.{UserEvent, UserTotal}
 /** Custom stateful op: state must accumulate across micro-batches. */
 class StatefulOpsSpec extends SparkSpec {
 
+  test("running sample quantiles equal batch q48 after SHUFFLED multi-batch arrival") {
+    // the bounded sample is a deterministic SET (the 64 smallest
+    // coins), so stream state must converge to the batch cut for ANY
+    // arrival order — the mergeability claim q48's scaladoc makes,
+    // exercised by feeding the corpus md5-shuffled in three waves
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Tables.events(spark, sf0001)
+      .select(col("event_type"),
+        graft.operators.TextOps.portableHash32(
+          concat(lit("qs|"), col("event_id").cast("string"))).as("coin"),
+        round(col("value") * 100).cast("long").as("vc"),
+        md5(col("event_id").cast("string")).as("shuf"))
+      .as[(String, Long, Long, String)].collect()
+      .sortBy(_._4).map(r => (r._1, r._2, r._3))
+    val in = MemoryStream[(String, Long, Long)]
+    val q = StatefulOps.runningSampleQuantiles(in.toDS())
+      .writeStream.format("memory").queryName("runq")
+      .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      rows.grouped(math.max(rows.length / 3, 1)).foreach { wave =>
+        in.addData(wave.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      // latest snapshot per type (Update mode -> max batches wins)
+      val got = spark.table("runq")
+        .as[(String, Long, Double, Double, Long)].collect()
+        .groupBy(_._1).map { case (_, rs) => rs.maxBy(_._5) }
+        .map(r => (r._1, r._2, r._3, r._4)).toSet
+      val want = SparkEntry.queries("q48_sketch_quantiles")(spark, sf0001)
+        .as[(String, Long, Double, Double)].collect().toSet
+      assert(got === want,
+        s"shuffled-arrival stream diverged from the batch sample:\n$got\nvs\n$want")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState accumulates per-user totals across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
