@@ -276,8 +276,14 @@ case class PhraseRuns(child: Expression, stopCsv: String) extends UnaryExpressio
   override def prettyName: String = "phrase_runs"
 
   @transient private lazy val stopSet: java.util.HashSet[UTF8String] = {
+    // Empty CSV entries (empty stop string, doubled/trailing commas)
+    // are dropped: the documented contract is that empty tokens from
+    // doubled spaces are NON-stopwords, matching the isin(stopEn)
+    // semantics this expression replaces — an "" entry in the set
+    // would silently invert that.
     val s = new java.util.HashSet[UTF8String]()
-    stopCsv.split(",", -1).foreach(w => s.add(UTF8String.fromString(w)))
+    stopCsv.split(",", -1).iterator.filter(_.nonEmpty)
+      .foreach(w => s.add(UTF8String.fromString(w)))
     s
   }
 

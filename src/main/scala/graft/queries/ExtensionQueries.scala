@@ -506,7 +506,8 @@ object ExtensionQueries {
     * per corpus dir like every fingerprint store.
     */
   private def videoSceneBands(s: SparkSession, dir: String): DataFrame =
-    materializedFrame(s, s"videoscene:$dir") {
+    materializedFrame(s,
+      s"videoscene:$dir@${Tables.parquetRowCount(s, s"$dir/documents.parquet")}") {
       import s.implicits._
       Tables.documents(s, dir)
         .select(col("doc_id"), md5(col("text")).as("ch"))
@@ -5211,7 +5212,7 @@ object ExtensionQueries {
         col("a.u") === col("b.v") && col("a.v") === col("b.u"))
         .select(col("a.u").as("u"), col("a.v").as("v"))
       e.agg(count(lit(1)).as("n_edges"))
-        .crossJoin(rec.agg(count(lit(1)).as("n_reciprocal")))
+        .crossJoin(broadcast(rec.agg(count(lit(1)).as("n_reciprocal"))))
         .select(col("n_edges"), col("n_reciprocal"),
           round(col("n_reciprocal") / col("n_edges").cast("double"), 6).as("reciprocity"))
     }),

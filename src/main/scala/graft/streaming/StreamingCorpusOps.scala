@@ -325,18 +325,42 @@ object StreamingCorpusOps {
     * order equals doc_id order the emitted counts equal the batch
     * query's n_novel bit-for-bit (spec-pinned, including across a
     * checkpoint restart). Per-gram state is one key (the
-    * exactDedup/dropDuplicates machinery on the 8-byte hash); with a
-    * watermarked ts column upstream, swap to
-    * dropDuplicatesWithinWatermark for horizon-bounded state.
+    * exactDedup/dropDuplicates machinery on the 8-byte hash).
+    *
+    * STATE CONTRACT: with `horizon = Some((tsCol, delay))` the gram
+    * state is bounded by the watermark horizon
+    * (`dropDuplicatesWithinWatermark` on the 8-byte hash — grams older
+    * than the delay are evicted, so a gram can re-read as novel after
+    * the horizon passes; that is the standard recency-bounded ingest
+    * gate). With `horizon = None` (the exact batch twin) state holds
+    * one entry per distinct gram FOREVER and the first-occurrence
+    * winner between two docs sharing a gram inside ONE micro-batch is
+    * partition-order nondeterministic — production callers must opt
+    * into that knowingly, so the unbounded mode logs a warning at
+    * query build.
     */
-  def novelGrams(docs: DataFrame): DataFrame =
-    docs
+  def novelGrams(docs: DataFrame,
+      horizon: Option[(String, String)] = None): DataFrame = {
+    val grams = docs
       .filter(size_(split(col("text"), " ")) >= 8)
-      .select(col("doc_id"),
+      .select(col("*"),
         explode(graft.functions.TextExpressions
           .distinct_shingles(col("text"), 8)).as("gram"))
-      .select(col("doc_id"), xxhash64(col("gram")).as("h"))
-      .dropDuplicates("h")
+      .withColumn("h", xxhash64(col("gram")))
+    horizon match {
+      case Some((tsCol, delay)) =>
+        grams.select(col("doc_id"), col(tsCol), col("h"))
+          .withWatermark(tsCol, delay)
+          .dropDuplicatesWithinWatermark("h")
+      case None =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          "novelGrams: UNBOUNDED gram state (one state-store entry per " +
+            "distinct 8-gram, never evicted) and nondeterministic " +
+            "within-batch first-occurrence ties; pass horizon=Some((ts, " +
+            "delay)) for watermark-bounded state")
+        grams.select(col("doc_id"), col("h")).dropDuplicates("h")
+    }
+  }
 
   /** The banding projection shared with `dedup_minhash` — delegates to
     * the single definition in `TextOps.minhashBandRows`.

@@ -198,6 +198,38 @@ class StreamingCorpusSpec extends SparkSpec {
     assert(c2(6L) === 1L)
   }
 
+  test("novelty gate with a watermark horizon bounds state and re-admits expired grams") {
+    // horizon-bounded mode (dropDuplicatesWithinWatermark on the gram
+    // hash): duplicates inside the delay are suppressed exactly like
+    // the unbounded twin, but once the watermark passes a gram's
+    // expiration its state is EVICTED — a later re-upload re-reads as
+    // novel. That re-admission is the observable proof state is bounded.
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val df = in.toDF().toDF("doc_id", "text", "ts")
+    val q = StreamingCorpusOps.novelGrams(df, horizon = Some(("ts", "10 minutes")))
+      .writeStream.format("memory").queryName("novel_wm")
+      .outputMode(OutputMode.Append).trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 00:$min%02d:00")
+      def counts(): Map[Long, Long] = spark.table("novel_wm")
+        .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+      val nA = textA.split(" ").length - 7 // distinct 8-grams in textA
+      in.addData((1L, textA, ts(0))); drain(q)
+      assert(counts()(1L) === nA.toLong)
+      // re-upload INSIDE the horizon: fully suppressed
+      in.addData((2L, textA, ts(5))); drain(q)
+      assert(!counts().contains(2L))
+      // unrelated doc pushes the watermark to 00:30 — past textA's
+      // grams' 00:10 expiration, so their state is evicted
+      in.addData((3L, textB, ts(40))); drain(q)
+      assert(counts()(3L) === (textB.split(" ").length - 7).toLong)
+      // the same text after eviction is novel AGAIN — bounded state
+      in.addData((4L, textA, ts(41))); drain(q)
+      assert(counts()(4L) === nA.toLong,
+        "gram state must be evicted once the watermark passes its horizon")
+    } finally q.stop()
+  }
+
   test("near-dup candidates pair a new doc against earlier batches' state") {
     val in = MemoryStream[Doc]
     val q = StreamingCorpusOps.minhashCandidates(in.toDF())
