@@ -364,6 +364,34 @@ object DevProbe {
         .filter(col("rk") <= 3).count()
     }
 
+    // ---- round-15 probes: corpus_cms_counts A/B ----
+    // r14 judge: 5.9x isolated — double corpus explode + 3 re-hashing
+    // broadcast joins. A = the old shape; B = the shipped rewrite
+    // (one corpus tokenize, cells derived from the vocab-sized exact
+    // frame, single broadcast map probe).
+    t("cms_old_triple_join") {
+      import graft.operators.TextOps
+      val toks = Tables.documents(spark, sfDir)
+        .select(explode(TextOps.tokens(col("text"))).as("term"))
+        .filter(length(col("term")) > 0)
+      def cell(j: Int, tc: org.apache.spark.sql.Column) =
+        pmod(TextOps.portableHash32(concat(lit(s"cms$j|"), tc)), lit(128L))
+      val cells = toks
+        .select(explode(array((0 until 3).map(j =>
+          struct(lit(j).as("j"), cell(j, col("term")).as("c"))): _*)).as("jc"))
+        .select(col("jc.j").as("j"), col("jc.c").as("c"))
+        .groupBy(col("j"), col("c")).agg(count(lit(1)).as("n"))
+      val exact = toks.groupBy(col("term")).agg(count(lit(1)).as("exact_count"))
+      (0 until 3).foldLeft(exact.withColumn("est", lit(Long.MaxValue))) { (df, j) =>
+        df.join(broadcast(cells.filter(col("j") === j)
+            .select(col("c").as(s"c$j"), col("n").as(s"n$j"))),
+            cell(j, col("term")) === col(s"c$j"))
+          .withColumn("est", least(col("est"), col(s"n$j")))
+          .drop(s"c$j", s"n$j")
+      }.count()
+    }
+    t("cms_new_full") { SparkEntry.queries("corpus_cms_counts")(spark, sfDir).count() }
+
     // ---- round-10 probes: new-query costs vs scan floor ----
     t("phrase_full") { SparkEntry.queries("search_phrase")(spark, sfDir).count() }
     t("phrase_floor_split") {

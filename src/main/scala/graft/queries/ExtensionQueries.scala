@@ -5818,34 +5818,42 @@ object ExtensionQueries {
     // Count-min sketch heavy-hitter estimates — the OTHER classic
     // mergeable sketch (frequencies, where KMV does cardinalities):
     // d=3 salted hash rows x w=128 counters, every cell a simple SUM —
-    // so the sketch build is ONE hash exchange on (row, cell) and the
     // merge across shards is counter addition (the 100 TB property).
     // Estimates = min over the 3 rows of the probed cell, NEVER an
     // underestimate (pinned via `over_count >= 0` in the output and
     // the invariants spec). Probes = the full vocabulary with exact
     // counts beside the estimate, so the gate checks construction AND
     // the estimate arithmetic; the md5 cell hashes replay in DuckDB.
+    //
+    // PLAN: the corpus is tokenized ONCE (explode -> per-term exact
+    // counts). Because cell(j, term) is a PURE function of the term,
+    // every CMS cell count is derivable from that vocabulary-sized
+    // frame — n(j, c) = Σ exact_count over terms hashing to (j, c) —
+    // so the sketch build, the 3x128 cell table and the probe all run
+    // over vocab-sized inputs, and the 3 per-row probes fold into ONE
+    // broadcast map row instead of three joins (the r14 5.9x was a
+    // double corpus explode + three re-hashing broadcast joins; this
+    // shape is one corpus exchange + constant-size tails — DevProbe
+    // `cms_*` A/B).
     "corpus_cms_counts" -> ((s, dir) => {
-      val toks = Tables.documents(s, dir)
-        .select(explode(TextOps.tokens(col("text"))).as("term"))
-        .filter(length(col("term")) > 0)
       def cell(j: Int, t: Column): Column =
         pmod(TextOps.portableHash32(concat(lit(s"cms$j|"), t)), lit(128L))
-      val cells = toks
-        .select(explode(array((0 until 3).map(j =>
-          struct(lit(j).as("j"), cell(j, col("term")).as("c"))): _*)).as("jc"))
-        .select(col("jc.j").as("j"), col("jc.c").as("c"))
-        .groupBy(col("j"), col("c")).agg(count(lit(1)).as("n"))
-      val exact = toks.groupBy(col("term")).agg(count(lit(1)).as("exact_count"))
-      val probed = (0 until 3).foldLeft(
-          exact.withColumn("est", lit(Long.MaxValue))) { (df, j) =>
-        df.join(broadcast(cells.filter(col("j") === j)
-            .select(col("c").as(s"c$j"), col("n").as(s"n$j"))),
-            cell(j, col("term")) === col(s"c$j"))
-          .withColumn("est", least(col("est"), col(s"n$j")))
-          .drop(s"c$j", s"n$j")
-      }
-      probed
+      val exact = Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy(col("term")).agg(count(lit(1)).as("exact_count"))
+        .localCheckpoint() // consumed twice (cell build + probe)
+      val cells = exact
+        .select(col("exact_count"),
+          explode(array((0 until 3).map(j =>
+            struct(lit(j).as("j"), cell(j, col("term")).as("c"))): _*)).as("jc"))
+        .groupBy(col("jc.j").as("j"), col("jc.c").as("c"))
+        .agg(sum(col("exact_count")).as("n"))
+      val cellMap = cells.agg(map_from_entries(collect_list(struct(
+        (col("j") * 128 + col("c")).cast("long").as("k"), col("n").as("v")))).as("m"))
+      exact.crossJoin(broadcast(cellMap))
+        .withColumn("est", least((0 until 3).map(j =>
+          element_at(col("m"), lit(j * 128L) + cell(j, col("term")))): _*))
         .select(col("term"), col("exact_count"), col("est").as("cms_estimate"),
           (col("est") - col("exact_count")).as("over_count"))
         .orderBy(col("term"))
