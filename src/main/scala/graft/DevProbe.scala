@@ -392,6 +392,55 @@ object DevProbe {
     }
     t("cms_new_full") { SparkEntry.queries("corpus_cms_counts")(spark, sfDir).count() }
 
+    // ndcg arm sharing: the shipped query localCheckpoints the 20-row
+    // bm25 frame + the gains frame so the rrf arm stops recomputing
+    // the lexical subtree (r14: 7.5x at the 10x point)
+    t("ndcg_full") { SparkEntry.queries("search_eval_ndcg")(spark, sfDir).count() }
+    t("ndcg_arm_rrf_alone") { SparkEntry.queries("search_hybrid_rrf")(spark, sfDir).count() }
+    t("ndcg_arm_cosine_alone") { SparkEntry.queries("sim_cosine_topk")(spark, sfDir).count() }
+    t("ndcg_store_scan_floor") {
+      graft.queries.ExtensionQueries.postingProbeFloor(spark, sfDir)
+    }
+    // job-count accounting: how many Spark jobs one ndcg evaluation
+    // schedules (the local job floor is ~0.1s/job — stage count IS
+    // the cost model on sub-second queries)
+    locally {
+      val durs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          durs.put(j.jobId, (j.time, 0L))
+        override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val s = Option(durs.get(j.jobId)).map(_._1).getOrElse(0L)
+          durs.put(j.jobId, (s, j.time))
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      val t0 = System.nanoTime()
+      SparkEntry.queries("search_eval_ndcg")(spark, sfDir).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.removeSparkListener(l)
+      import scala.jdk.CollectionConverters._
+      val rows = durs.asScala.toSeq.sortBy(_._1)
+        .map { case (id, (s, e)) => f"j$id=${(e - s) / 1e3}%.2fs" }
+      println(f"PROBE ndcg_jobs wall=$wall%.2fs ${rows.mkString(" ")}")
+    }
+    locally {
+      (1 to 3).foreach { _ =>
+        val t0 = System.nanoTime()
+        val df = SparkEntry.queries("search_eval_ndcg")(spark, sfDir)
+        val tBuild = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        df.queryExecution.executedPlan
+        val tPlan = (System.nanoTime() - t1) / 1e9
+        val t2 = System.nanoTime()
+        df.count()
+        val tExec = (System.nanoTime() - t2) / 1e9
+        println(f"PROBE ndcg_split build=$tBuild%.2fs plan=$tPlan%.2fs exec=$tExec%.2fs")
+      }
+    }
+    t("ndcg_arm_ql_alone") { SparkEntry.queries("search_ql_dirichlet")(spark, sfDir).count() }
+    t("ndcg_arm_bm25_alone") { SparkEntry.queries("search_bm25_topk")(spark, sfDir).count() }
+
     // ---- round-10 probes: new-query costs vs scan floor ----
     t("phrase_full") { SparkEntry.queries("search_phrase")(spark, sfDir).count() }
     t("phrase_floor_split") {

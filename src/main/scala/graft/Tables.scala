@@ -84,6 +84,17 @@ object Tables {
     * cost is O(#files) metadata reads — the same listing the scan
     * itself performs.
     */
+  /** Memo for [[parquetRowCount]]: keyed on (path, root mtime, root
+    * length) so the count survives the many per-query calls (store
+    * memo keys, literal stats) without re-opening every file footer,
+    * while a same-JVM REWRITE of the path (new dir/file mtime — Spark
+    * commits via rename, which touches the directory) still misses
+    * the memo and re-counts, preserving the staleness detection the
+    * dir@rowCount store keys rely on.
+    */
+  private val rowCountMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   def parquetRowCount(spark: SparkSession, path: String): Long = {
     import org.apache.hadoop.fs.Path
     import org.apache.parquet.hadoop.ParquetFileReader
@@ -91,20 +102,24 @@ object Tables {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
-    def files(p: Path): Seq[Path] = {
-      val st = fs.getFileStatus(p)
-      if (st.isFile) Seq(p)
-      else fs.listStatus(p).toIndexedSeq.flatMap { c =>
-        val name = c.getPath.getName
-        // skip hidden/metadata entries the parquet reader also skips
-        if (name.startsWith("_") || name.startsWith(".")) Seq.empty
-        else files(c.getPath)
+    val rootSt = fs.getFileStatus(root)
+    val stamp = s"$path@${rootSt.getModificationTime}:${rootSt.getLen}"
+    rowCountMemo.computeIfAbsent(stamp, _ => {
+      def files(p: Path): Seq[Path] = {
+        val st = fs.getFileStatus(p)
+        if (st.isFile) Seq(p)
+        else fs.listStatus(p).toIndexedSeq.flatMap { c =>
+          val name = c.getPath.getName
+          // skip hidden/metadata entries the parquet reader also skips
+          if (name.startsWith("_") || name.startsWith(".")) Seq.empty
+          else files(c.getPath)
+        }
       }
-    }
-    files(root).map { f =>
-      val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
-      try r.getRecordCount finally r.close()
-    }.sum
+      java.lang.Long.valueOf(files(root).map { f =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+        try r.getRecordCount finally r.close()
+      }.sum)
+    }).longValue
   }
 
   /** Register every table as a temp view AND every native text

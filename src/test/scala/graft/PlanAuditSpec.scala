@@ -580,7 +580,11 @@ class PlanAuditSpec extends SparkSpec {
       s"term IN filter did not push to the posting-store scan:\n$p")
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1,
       s"bm25 probe planned more than the per-doc pivot exchange:\n$p")
-    assert(p.contains("BroadcastExchange"), s"stats row must broadcast:\n$p")
+    // corpus stats (n, sumdl) are memoized index metadata spliced in
+    // as LITERALS — the serving plan carries no stats join at all
+    // (formerly a one-row broadcast; a join here means a query-time
+    // stats recompute crept back in)
+    assert(!p.contains("Join"), s"query-time stats join crept back in:\n$p")
     assert(!p.contains("Generate"), s"query-time tokenization crept back in:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"top-k degenerated to a global sort:\n$p")
   }

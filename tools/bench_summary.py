@@ -8,19 +8,66 @@ artifacts. Bench already writes its full JSON lines to bench_out.json
 COMMITTED, diff-friendly summary so "which query regressed" is
 answerable from the repo alone:
 
-  python3 tools/bench_summary.py <round> [bench_out.json]
+  python3 tools/bench_summary.py <round> [bench_out.json] [--duckdb oracle_sql.json]
 
 writes BENCH_SUMMARY_r<round>.json with, per benchmarked SF, the
 total/calibration fields plus every per-query time rounded to
 milliseconds (one compact line per SF).
+
+With --duckdb <oracle_sql.json> (a Verify dump's oracle file), each
+row also carries the SAME-BOX DuckDB denominators: every oracle run
+against the row's sf dir (warm views, min-of-2, 32 threads) as
+`duckdb_ms` plus `duckdb_total_sec` — so "which query is >2x" is
+answerable from the committed artifact alone, no judge-side rerun.
 """
 import json
+import os
 import sys
+import time
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def duckdb_times(oracle_file: str, sf_dir: str) -> dict:
+    import duckdb
+    sqls = json.load(open(oracle_file))
+    con = duckdb.connect()
+    con.execute("SET threads=32")
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if not os.path.exists(p):
+            continue
+        src = os.path.join(p, "*.parquet") if os.path.isdir(p) else p
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+    out = {}
+    for name in sorted(sqls):
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            try:
+                con.execute(sqls[name]).fetchall()
+            except Exception as e:  # record, never abort the sweep
+                out[name] = f"error: {e}"[:120]
+                best = None
+                break
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        if best is not None:
+            out[name] = int(round(best * 1000))
+    return out
 
 
 def main() -> None:
-    rnd = sys.argv[1]
-    src = sys.argv[2] if len(sys.argv) > 2 else "bench_out.json"
+    args = sys.argv[1:]
+    oracle_file = None
+    if "--duckdb" in args:
+        i = args.index("--duckdb")
+        oracle_file = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    rnd = args[0]
+    src = args[1] if len(args) > 1 else "bench_out.json"
     lines = [json.loads(l) for l in open(src) if l.strip()]
     totals = {l["sf"]: l for l in lines
               if l.get("metric") in ("total", "detail_sf2")}
@@ -42,6 +89,11 @@ def main() -> None:
         if t.get("unoracled"):
             row["unoracled_ms"] = {k: int(round(v * 1000))
                                    for k, v in sorted(t["unoracled"].items())}
+        if oracle_file:
+            d = duckdb_times(oracle_file, sf)
+            row["duckdb_ms"] = d
+            row["duckdb_total_sec"] = round(
+                sum(v for v in d.values() if isinstance(v, int)) / 1000.0, 3)
         out.append(row)
     dst = f"BENCH_SUMMARY_r{rnd}.json"
     with open(dst, "w") as f:
