@@ -424,20 +424,23 @@ object DevProbe {
         .map { case (id, (s, e)) => f"j$id=${(e - s) / 1e3}%.2fs" }
       println(f"PROBE ndcg_jobs wall=$wall%.2fs ${rows.mkString(" ")}")
     }
-    locally {
-      (1 to 3).foreach { _ =>
-        val t0 = System.nanoTime()
-        val df = SparkEntry.queries("search_eval_ndcg")(spark, sfDir)
-        val tBuild = (System.nanoTime() - t0) / 1e9
-        val t1 = System.nanoTime()
-        df.queryExecution.executedPlan
-        val tPlan = (System.nanoTime() - t1) / 1e9
-        val t2 = System.nanoTime()
-        df.count()
-        val tExec = (System.nanoTime() - t2) / 1e9
-        println(f"PROBE ndcg_split build=$tBuild%.2fs plan=$tPlan%.2fs exec=$tExec%.2fs")
+    // build/plan/exec split for any queries named in SPARK_GRAFT_SPLIT
+    // (comma-separated) — where does a sub-second query's wall go?
+    sys.env.getOrElse("SPARK_GRAFT_SPLIT", "search_eval_ndcg").split(",")
+      .filter(_.nonEmpty).foreach { qn =>
+        (1 to 3).foreach { _ =>
+          val t0 = System.nanoTime()
+          val df = SparkEntry.queries(qn)(spark, sfDir)
+          val tBuild = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          df.queryExecution.executedPlan
+          val tPlan = (System.nanoTime() - t1) / 1e9
+          val t2 = System.nanoTime()
+          df.count()
+          val tExec = (System.nanoTime() - t2) / 1e9
+          println(f"PROBE split_$qn build=$tBuild%.2fs plan=$tPlan%.2fs exec=$tExec%.2fs")
+        }
       }
-    }
     t("ndcg_arm_ql_alone") { SparkEntry.queries("search_ql_dirichlet")(spark, sfDir).count() }
     t("ndcg_arm_bm25_alone") { SparkEntry.queries("search_bm25_topk")(spark, sfDir).count() }
 

@@ -284,17 +284,7 @@ object Export {
     * least key whose cumulative count reaches ceil(i * n / nBuckets).
     */
   def equiDepthCuts(df: DataFrame, keyCol: String, nBuckets: Int): Array[Long] = {
-    import org.apache.spark.sql.expressions.Window
-    val cdf = df.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum(col("c")).over(Window.orderBy(col(keyCol))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val total = cdf.agg(sum(col("c")).as("n"))
-    val targets = df.sparkSession.range(1, nBuckets.toLong).toDF("i")
-      .crossJoin(broadcast(total))
-      .select(col("i"), expr(s"(i * n + ${nBuckets - 1}) div $nBuckets").as("t"))
-    val cuts = broadcast(targets)
-      .join(cdf, cdf("cum") >= col("t"))
-      .groupBy(col("i")).agg(min(col(keyCol)).as("b"))
+    val cuts = equiDepthCutsFrame(df, keyCol, nBuckets)
       .orderBy(col("i")).collect().map(_.getLong(1))
     // An empty input yields zero cuts, which bucketOf would silently
     // map to "everything in bucket 0" — fail loudly instead so an
@@ -303,6 +293,42 @@ object Export {
       s"equiDepthCuts: expected ${nBuckets - 1} cuts, got ${cuts.length}" +
         " (empty or degenerate input frame)")
     cuts
+  }
+
+  /** [[equiDepthCuts]] as a FRAME — `nBuckets - 1` rows of (i, b) —
+    * so a consumer can broadcast-join the boundaries and stay on the
+    * cluster instead of paying a driver collect + a serialized job
+    * (the `sample_perplexity_buckets` path). Same quantized-CDF
+    * arithmetic; the collect variant delegates here.
+    */
+  def equiDepthCutsFrame(df: DataFrame, keyCol: String, nBuckets: Int,
+      nHint: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the aggregate's output is DOMAIN-bounded (one row per distinct
+    // key value, never corpus-sized); coalesce(1) ahead of the global
+    // cumulative window satisfies its single-partition requirement
+    // without an Exchange stage, and the downstream target join +
+    // per-i aggregate then stay exchange-free too
+    val cdf = df.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+      .coalesce(1)
+      .withColumn("cum", sum(col("c")).over(Window.orderBy(col(keyCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // `nHint` (e.g. a parquet footer count the caller already knows):
+    // target ranks become literals, skipping the total aggregate +
+    // its broadcast — the ivfTopK/saveIndex nHint convention
+    val targets = nHint match {
+      case Some(n) =>
+        df.sparkSession.range(1, nBuckets.toLong).toDF("i")
+          .select(col("i"), expr(s"(i * ${n}L + ${nBuckets - 1}) div $nBuckets").as("t"))
+      case None =>
+        val total = cdf.agg(sum(col("c")).as("n"))
+        df.sparkSession.range(1, nBuckets.toLong).toDF("i")
+          .crossJoin(broadcast(total))
+          .select(col("i"), expr(s"(i * n + ${nBuckets - 1}) div $nBuckets").as("t"))
+    }
+    broadcast(targets)
+      .join(cdf, cdf("cum") >= col("t"))
+      .groupBy(col("i")).agg(min(col(keyCol)).as("b"))
   }
 
   /** Weighted twin of [[equiDepthCuts]]: boundaries that split the

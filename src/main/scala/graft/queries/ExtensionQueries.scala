@@ -4089,18 +4089,32 @@ object ExtensionQueries {
     // SQL-replayable; the only additions over the score derivation's
     // own plan are the bounded-domain CDF and a map-side coin.
     "sample_perplexity_buckets" -> ((s, dir) => {
-      // localCheckpoint: equiDepthCuts' driver collect and the
-      // bucket/coin/agg pass both consume the scored frame — without
-      // materialization the whole unigram-LM derivation would run
-      // twice. The checkpointed frame is tiny ((doc_id, sc) longs).
-      val scored = queries("text_unigram_logprob")(s, dir)
+      // both consumers (the CDF and the bucket/coin/agg pass) read
+      // the memoized surprisal STORE directly — a parquet re-read is
+      // cheaper than a localCheckpoint job, and skipping the served
+      // query's output orderBy drops its range exchange too
+      val scored = surprisalFrame(s, dir)
         .select(col("doc_id"),
           round(col("avg_surprisal") * 1e6).cast("long").as("sc"))
-        .localCheckpoint()
-      val cuts = graft.operators.Export.equiDepthCuts(scored, "sc", 4)
+      // quartile boundaries stay a 3-row FRAME broadcast back onto
+      // the scored docs (no driver collect, one fewer serialized
+      // job); raise_error guards the empty-cuts degenerate case the
+      // collect variant require()d. bucket = #cuts strictly below sc,
+      // exactly Export.bucketOf's fold.
+      val cutsRow = graft.operators.Export.equiDepthCutsFrame(scored, "sc", 4,
+          // the surprisal store holds exactly one row per document, so
+          // the footer count IS the CDF total — target ranks become
+          // literals (no total aggregate)
+          nHint = Some(Tables.parquetRowCount(s, s"$dir/documents.parquet")))
+        .agg(sort_array(collect_list(col("b"))).as("cuts"))
       val rates = Seq(250000L, 750000L, 750000L, 250000L)
       scored
-        .withColumn("bucket", graft.operators.Export.bucketOf(col("sc"), cuts))
+        .crossJoin(broadcast(cutsRow))
+        .withColumn("bucket",
+          when(size(col("cuts")) =!= 3,
+            raise_error(lit("equiDepthCutsFrame: degenerate cut set")))
+            .otherwise(size(filter(col("cuts"), c => col("sc") > c)).cast("long")))
+        .drop("cuts")
         .withColumn("coin", pmod(TextOps.portableHash32(
           concat(lit("pplx|"), col("doc_id").cast("string"))), lit(1000000L)))
         .withColumn("keep",
