@@ -221,7 +221,11 @@ object ScaleSmoke {
         "search_rocchio_vec", "text_ngram_novelty",
         // round-14 seventh wave: the real-decoder scene walk + lag
         // hamming over 10x clips (memoized store pays the codec once)
-        "multimodal_video_scene_cuts")) {
+        "multimodal_video_scene_cuts",
+        // round-15: the real link-extracted edge table at 10x pages
+        // (gunzip + WARC walk + href scan + RFC 3986 resolution per
+        // page — the map-side budget claim) and its host rollup
+        "crawl_link_graph", "crawl_link_host_graph")) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).count()
       println(f"$q%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $n%10d rows")

@@ -512,6 +512,76 @@ case class HtmlToText(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** HTML → outlink hrefs, the link-extraction stage of crawl-graph
+  * construction: the SAME comment/script/style-aware walk as
+  * [[HtmlToText]] (an href-looking string inside script code or a
+  * commented-out anchor must NOT become an edge — the classic regex
+  * extractor traps), finding `<a>` tags (full-token name match, the
+  * WHATWG §13.2.5.6 boundary rule) and scanning their attributes with
+  * quote-aware parsing (a quoted href may contain `>`). Emits each
+  * tag's FIRST `href` value (duplicate attributes: first wins, per
+  * WHATWG) entity-decoded ([[HtmlToText]]'s entity set — `&amp;` in a
+  * query string must decode before resolution), in document order,
+  * raw (resolution against the page's base URI is [[ResolveUrl]]'s
+  * job). Single pass, codegen'd static call.
+  */
+case class ExtractLinks(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"extract_links requires a string input, got ${child.dataType.sql}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "extract_links"
+
+  override def nullSafeEval(input: Any): Any =
+    TextExpressions.extractLinks(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextExpressions.extractLinks($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** RFC 3986 §5.2 reference resolution against a base URI — the step
+  * between href extraction and frontier admission: absolute refs pass
+  * through, scheme-relative refs take the base scheme, root-relative
+  * and path-relative refs merge with the base path, and dot segments
+  * are removed (§5.2.4). Fragments are DROPPED from the result (the
+  * frontier identity rule, as in `UrlOps.canonicalizeUrl`). Pure
+  * string walk, no java.net dependency, codegen'd static call; the
+  * query-side oracle replays the resolution arithmetic on constructed
+  * references, so a rule bug here breaks the hash gate.
+  */
+case class ResolveUrl(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"resolve_url requires string inputs, got " +
+        s"${left.dataType.sql} / ${right.dataType.sql}")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "resolve_url"
+
+  override def nullSafeEval(base: Any, ref: Any): Any =
+    TextExpressions.resolveUrl(
+      base.asInstanceOf[UTF8String], ref.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextExpressions.resolveUrl($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextExpressions {
 
   // MessageDigest is stateful; one instance per thread serves every row
@@ -879,6 +949,14 @@ object TextExpressions {
   def phrase_runs(text: Column, stop: Seq[String]): Column =
     bridge.column(PhraseRuns(bridge.expression(text), stop.mkString(",")))
 
+  /** Column facade: hrefs of `html`'s live anchor tags, in order. */
+  def extract_links(html: Column): Column =
+    bridge.column(ExtractLinks(bridge.expression(html)))
+
+  /** Column facade: RFC 3986 resolution of `ref` against `base`. */
+  def resolve_url(base: Column, ref: Column): Column =
+    bridge.column(ResolveUrl(bridge.expression(base), bridge.expression(ref)))
+
   def phraseCount(text: UTF8String, w1: String, w2: String): Long = {
     val toks = text.toString.split(" ", -1)
     var c = 0L
@@ -1025,8 +1103,211 @@ object TextExpressions {
     out.toString
   }
 
+  /** Codegen entry point of [[ExtractLinks]]. */
+  def extractLinks(html: UTF8String): GenericArrayData =
+    new GenericArrayData(extractLinksStrings(html.toString)
+      .map(UTF8String.fromString).toArray[Any])
+
+  /** [[HtmlToText]]'s entity rules applied to a flat string (attribute
+    * values — no tag stripping, no whitespace collapse).
+    */
+  private[graft] def decodeEntitiesString(s: String): String = {
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        val decoded: Int =
+          if (semi < 0 || semi > i + 12) -1
+          else {
+            val name = s.substring(i + 1, semi)
+            name match {
+              case "amp" => '&'
+              case "lt" => '<'
+              case "gt" => '>'
+              case "quot" => '"'
+              case "apos" => '\''
+              case "nbsp" => ' '
+              case _ =>
+                if (name.length >= 2 && name.charAt(0) == '#') {
+                  try {
+                    val cp =
+                      if (name.charAt(1) == 'x' || name.charAt(1) == 'X')
+                        Integer.parseInt(name.substring(2), 16)
+                      else Integer.parseInt(name.substring(1))
+                    if (cp >= 0 && cp <= 0x10ffff &&
+                        !(cp >= 0xd800 && cp <= 0xdfff)) cp else -1
+                  } catch { case _: NumberFormatException => -1 }
+                } else -1
+            }
+          }
+        if (decoded >= 0) { sb.appendCodePoint(decoded); i = semi + 1 }
+        else { sb.append('&'); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** The [[ExtractLinks]] walk (see the expression scaladoc for the
+    * contract); exposed for driver-side replay in specs and the
+    * streaming ingest twin.
+    */
+  def extractLinksStrings(html: String): Seq[String] = {
+    val n = html.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    def matches(at: Int, s: String): Boolean =
+      html.regionMatches(true, at, s, 0, s.length)
+    def nameEndsAt(at: Int): Boolean =
+      at >= n || { val c = html.charAt(at); c == '>' || c == '/' || isWs(c) }
+    var i = 0
+    while (i < n) {
+      if (html.charAt(i) == '<') {
+        if (matches(i, "<!--")) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (matches(i, "<script") && nameEndsAt(i + 7)) {
+          var e = i + 7
+          while (e < n && !(matches(e, "</script") && nameEndsAt(e + 8))) e += 1
+          i = if (e >= n) n else { val g = html.indexOf('>', e); if (g < 0) n else g + 1 }
+        } else if (matches(i, "<style") && nameEndsAt(i + 6)) {
+          var e = i + 6
+          while (e < n && !(matches(e, "</style") && nameEndsAt(e + 7))) e += 1
+          i = if (e >= n) n else { val g = html.indexOf('>', e); if (g < 0) n else g + 1 }
+        } else if (matches(i, "<a") && nameEndsAt(i + 2)) {
+          // attribute walk to the tag's '>', honoring quoted values
+          var j = i + 2
+          var href: String = null
+          var done = false
+          while (j < n && !done) {
+            val c = html.charAt(j)
+            if (c == '>') done = true
+            else if (isWs(c) || c == '/') j += 1
+            else {
+              val ns = j
+              while (j < n && {
+                val c2 = html.charAt(j)
+                !isWs(c2) && c2 != '=' && c2 != '>' && c2 != '/'
+              }) j += 1
+              val name = html.substring(ns, j)
+              while (j < n && isWs(html.charAt(j))) j += 1
+              var value: String = null
+              if (j < n && html.charAt(j) == '=') {
+                j += 1
+                while (j < n && isWs(html.charAt(j))) j += 1
+                if (j < n && (html.charAt(j) == '"' || html.charAt(j) == '\'')) {
+                  val q = html.charAt(j); j += 1
+                  val vs = j
+                  while (j < n && html.charAt(j) != q) j += 1
+                  value = html.substring(vs, j)
+                  if (j < n) j += 1
+                } else {
+                  val vs = j
+                  while (j < n && {
+                    val c2 = html.charAt(j); !isWs(c2) && c2 != '>'
+                  }) j += 1
+                  value = html.substring(vs, j)
+                }
+              }
+              if (href == null && value != null && name.equalsIgnoreCase("href"))
+                href = decodeEntitiesString(value)
+            }
+          }
+          if (href != null) out += href
+          i = if (j < n) j + 1 else n
+        } else {
+          val g = html.indexOf('>', i)
+          i = if (g < 0) n else g + 1
+        }
+      } else i += 1
+    }
+    out.toSeq
+  }
+
+  /** Codegen entry point of [[ResolveUrl]]. */
+  def resolveUrl(base: UTF8String, ref: UTF8String): UTF8String =
+    UTF8String.fromString(resolveUrlString(base.toString, ref.toString))
+
+  /** RFC 3986 §5.2 resolution (see [[ResolveUrl]]); fragments dropped. */
+  def resolveUrlString(base: String, ref: String): String = {
+    // (scheme | null, authority | null, path, query | null); fragment cut
+    def split(u0: String): (String, String, String, String) = {
+      var rest = u0
+      val h = rest.indexOf('#')
+      if (h >= 0) rest = rest.substring(0, h)
+      var scheme: String = null
+      val c = rest.indexOf(':')
+      if (c > 0 && rest.charAt(0).isLetter &&
+          (0 until c).forall { k =>
+            val ch = rest.charAt(k)
+            ch.isLetterOrDigit || ch == '+' || ch == '-' || ch == '.'
+          }) {
+        scheme = rest.substring(0, c)
+        rest = rest.substring(c + 1)
+      }
+      var auth: String = null
+      if (rest.startsWith("//")) {
+        var e = 2
+        while (e < rest.length && rest.charAt(e) != '/' && rest.charAt(e) != '?') e += 1
+        auth = rest.substring(2, e)
+        rest = rest.substring(e)
+      }
+      var query: String = null
+      val q = rest.indexOf('?')
+      if (q >= 0) { query = rest.substring(q + 1); rest = rest.substring(0, q) }
+      (scheme, auth, rest, query)
+    }
+    // remove_dot_segments, RFC 3986 §5.2.4
+    def rds(path: String): String = {
+      var in = path
+      val out = new java.lang.StringBuilder(path.length)
+      def dropLast(): Unit = {
+        val i = out.lastIndexOf("/")
+        out.setLength(if (i < 0) 0 else i)
+      }
+      while (in.nonEmpty) {
+        if (in.startsWith("../")) in = in.substring(3)
+        else if (in.startsWith("./")) in = in.substring(2)
+        else if (in.startsWith("/./")) in = "/" + in.substring(3)
+        else if (in == "/.") in = "/"
+        else if (in.startsWith("/../")) { in = "/" + in.substring(4); dropLast() }
+        else if (in == "/..") { in = "/"; dropLast() }
+        else if (in == "." || in == "..") in = ""
+        else {
+          val s = if (in.startsWith("/")) in.indexOf('/', 1) else in.indexOf('/')
+          if (s < 0) { out.append(in); in = "" }
+          else { out.append(in.substring(0, s)); in = in.substring(s) }
+        }
+      }
+      out.toString
+    }
+    def merge(baseAuth: String, basePath: String, refPath: String): String =
+      if (baseAuth != null && basePath.isEmpty) "/" + refPath
+      else {
+        val i = basePath.lastIndexOf('/')
+        if (i < 0) refPath else basePath.substring(0, i + 1) + refPath
+      }
+    val (bs, ba, bp, bq) = split(base)
+    val (rs, ra, rp, rq) = split(ref)
+    val (ts, ta, tp, tq) =
+      if (rs != null) (rs, ra, rds(rp), rq)
+      else if (ra != null) (bs, ra, rds(rp), rq)
+      else if (rp.isEmpty) (bs, ba, bp, if (rq != null) rq else bq)
+      else if (rp.startsWith("/")) (bs, ba, rds(rp), rq)
+      else (bs, ba, rds(merge(ba, bp, rp)), rq)
+    val sb = new java.lang.StringBuilder(base.length + ref.length)
+    if (ts != null) sb.append(ts).append(':')
+    if (ta != null) sb.append("//").append(ta)
+    sb.append(tp)
+    if (tq != null) sb.append('?').append(tq)
+    sb.toString
+  }
+
   def functionBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "html_to_text" -> (exprs => HtmlToText(exprs.head)),
+    "extract_links" -> (exprs => ExtractLinks(exprs.head)),
+    "resolve_url" -> (exprs => ResolveUrl(exprs.head, exprs(1))),
     "word_shingles" -> (exprs => WordShingles(exprs.head, intArg(exprs, 1))),
     "distinct_shingles" -> (exprs => DistinctShingles(exprs.head, intArg(exprs, 1))),
     "distinct_shingle_structs" -> (exprs => DistinctShingleStructs(exprs.head, intArg(exprs, 1))),

@@ -40,6 +40,14 @@ object UrlOps {
   def normalizePercent(u: Column): Column =
     graft.functions.TextExpressions.percent_normalize(u)
 
+  /** RFC 3986 §5.2 reference resolution against a base URI (native
+    * [[graft.functions.ResolveUrl]] — fragments dropped, dot segments
+    * removed): the step between `extract_links` and frontier
+    * admission/[[canonicalizeUrl]] in the crawl-graph chain.
+    */
+  def resolveUrl(base: Column, ref: Column): Column =
+    graft.functions.TextExpressions.resolve_url(base, ref)
+
   /** The split/transform HOF formulation of [[normalizePercent]] —
     * kept as the cross-checked REFERENCE semantics (the DotProduct-vs-
     * fold contract; UrlOpsSpec asserts equality against the native

@@ -351,6 +351,51 @@ object Warc {
     * record walk → HTTP split → html_to_text) reads BACK, so the hash
     * gate fails on any framing, header, length, or extraction misparse.
     */
+  /** One-record `.warc.gz` container for the LINK-GRAPH fixtures: the
+    * crawl page of `docId` at its canonical location (the
+    * `crawl_url_canon` host space), carrying `docId % 4 + 1` outlinks
+    * that exercise every RFC 3986 reference shape — absolute,
+    * scheme-relative, root-relative, same-directory relative, and
+    * dot-segment + entity-encoded-query relative. Anchors are EMPTY
+    * (an `<a href>` with no text adds nothing to `html_to_text`
+    * output) and two DECOYS are planted that a naive regex extractor
+    * would emit: an href-looking string inside script code and an
+    * anchor inside an HTML comment.
+    */
+  def syntheticLinkedWarcContainer(docId: Long): Array[Byte] = {
+    val host = s"w${docId % 97}.example.org"
+    val baseUri = s"https://$host/d${docId % 5}/p$docId.html"
+    val k = (docId % 4 + 1).toInt
+    val links = (0 until k).map { j =>
+      val t = (docId * 31 + j * 17 + 7) % 97
+      val p = (docId * 13 + j * 11 + 3) % 50
+      (docId + j) % 5 match {
+        case 0 => s"https://w$t.example.org/d${p % 5}/p$p.html"
+        case 1 => s"//w$t.example.org/d${p % 5}/p$p.html"
+        case 2 => s"/d${p % 5}/p$p.html"
+        case 3 => s"p$p.html"
+        case _ => s"../d${p % 5}/p$p.html?s=1&amp;t=$j"
+      }
+    }
+    val entity =
+      "<html><head><title>Page " + docId + "</title>" +
+        "<script>var u = \"<a href='/not/a/link'>\"; if (1 < 2) go(u);</script>" +
+        "<style>a { color: blue; }</style></head><body>" +
+        links.map(h => "<a href=\"" + h + "\"></a>").mkString +
+        "<!-- <a href=\"/commented/out\"></a> -->" +
+        "</body></html>"
+    val http = encodeHttpResponse(200, "OK",
+      Seq("Content-Type" -> "text/html; charset=utf-8"),
+      entity.getBytes(UTF_8))
+    val rec = WarcRecord("1.0", Vector(
+      "WARC-Type" -> "response",
+      "WARC-Record-ID" -> s"<urn:graft:page-$docId>",
+      "WARC-Date" -> "2026-01-01T00:00:00Z",
+      "WARC-Target-URI" -> baseUri,
+      "Content-Type" -> "application/http;msgtype=response"), http)
+    gzipMember(encodeWarcRecord(rec))
+  }
+
   def syntheticWarcContainer(docId: Long, text: String): Array[Byte] = {
     val nBytes = text.getBytes(UTF_8).length
     val nRecords = nBytes % 3 + 1

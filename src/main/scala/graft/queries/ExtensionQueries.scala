@@ -246,6 +246,53 @@ object ExtensionQueries {
       .select(col("vec_id"), col("cluster"), col("cluster_n"))
   }
 
+  /** The REAL link-extracted edge table behind `crawl_link_graph` /
+    * `crawl_link_host_graph`: WARC bytes -> record walk -> HTTP parse
+    * -> native `extract_links` -> `resolve_url` against the record's
+    * WARC-Target-URI. Materialized once per corpus version (the
+    * crawlEdgeTable lifecycle — a crawl extracts its graph once);
+    * (doc_id, link_idx, src_url, dst_url), UNSORTED — consumers add
+    * their own order.
+    */
+  private def linkEdgeFrame(s: SparkSession, dir: String): DataFrame =
+    materializedFrame(s,
+      s"linkedges:$dir@${Tables.parquetRowCount(s, s"$dir/documents.parquet")}") {
+      linkEdgeBuildFrame(s, dir)
+    }
+
+  /** The store's construction plan, exposed so PlanAuditSpec can pin
+    * the zero-exchange map-side contract on the frame that pays the
+    * decode + extraction (the surprisalBuildFrame convention).
+    */
+  private[graft] def linkEdgeBuildFrame(s: SparkSession, dir: String): DataFrame = {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val payload = graft.operators.Warc.syntheticLinkedWarcContainer(id)
+            val recs = graft.operators.Warc.decodeWarc(payload)
+            // strict like warc_ingest: the synthetic container is
+            // well-formed by construction, so a parse failure is an
+            // ENGINE bug (the production ingest quarantines instead)
+            require(recs.nonEmpty, s"doc $id: synthetic linked WARC failed to decode")
+            val rec = recs.head
+            val http = graft.operators.Warc.parseHttpResponse(rec.body).getOrElse(
+              sys.error(s"doc $id: embedded HTTP response failed to parse"))
+            (id,
+              rec.targetUri.getOrElse(sys.error(s"doc $id: missing WARC-Target-URI")),
+              new String(http.entity, java.nio.charset.StandardCharsets.UTF_8))
+          }
+        }
+        .toDF("doc_id", "base_uri", "html")
+        .select(col("doc_id"), col("base_uri"),
+          posexplode(graft.functions.TextExpressions.extract_links(col("html")))
+            .as(Seq("link_idx", "href")))
+        .select(col("doc_id"), col("link_idx").cast("long").as("link_idx"),
+          col("base_uri").as("src_url"),
+          graft.operators.UrlOps.resolveUrl(col("base_uri"), col("href")).as("dst_url"))
+    }
+
   /** Deterministic hub-skewed edge table for `crawl_pagerank_edges`,
     * materialized once per corpus dir ([[materializedFrame]] — a real
     * crawl's link graph is extracted once and stored, not re-derived
@@ -5305,6 +5352,40 @@ object ExtensionQueries {
         .orderBy(col("weight").desc, col("src_host"), col("dst_host"))
         .limit(20)),
 
+    // REAL link-graph construction — the chain every webgraph (and
+    // every crawl frontier) is actually built from: WARC container
+    // bytes -> gunzip + record walk -> embedded HTTP response parse ->
+    // native `extract_links` over the HTML (comment/script-aware, so
+    // the planted decoys — an href-looking string inside script code
+    // and a commented-out anchor — must NOT become edges) -> RFC 3986
+    // `resolve_url` of each href against the record's WARC-Target-URI.
+    // The fixture plants `doc_id % 4 + 1` outlinks per page covering
+    // every reference shape (absolute, scheme-relative, root-relative,
+    // same-dir relative, dot-segment + entity-encoded query); the
+    // oracle replays the CONSTRUCTION + resolution arithmetic (the
+    // warc_ingest work-asymmetry regime — Spark parses real bytes, the
+    // oracle replays formulas), so a scanner or resolver bug breaks
+    // the hash. Plan: decode + extraction + resolution are pure
+    // map-side (mapPartitions codec + codegen'd expressions); the only
+    // exchange is the output sort — the 100 TB shape, where the edge
+    // table feeds partitioned graph ops without ever collecting.
+    "crawl_link_graph" -> ((s, dir) =>
+      linkEdgeFrame(s, dir).orderBy(col("doc_id"), col("link_idx"))),
+
+    // The extracted edges feeding the HOST-graph rollup — the
+    // crawl_host_graph variant over REAL extracted-and-resolved URLs
+    // instead of the synthetic id-arithmetic edge table: hosts come
+    // back through parse_url (Spark's codegen'd URL parser) against
+    // the oracle's string replay. One aggregate exchange on the host
+    // pair; top-20 by weight.
+    "crawl_link_host_graph" -> ((s, dir) =>
+      linkEdgeFrame(s, dir)
+        .select(expr("parse_url(src_url, 'HOST')").as("src_host"),
+          expr("parse_url(dst_url, 'HOST')").as("dst_host"))
+        .groupBy(col("src_host"), col("dst_host")).agg(count(lit(1)).as("weight"))
+        .orderBy(col("weight").desc, col("src_host"), col("dst_host"))
+        .limit(20)),
+
     // Redirect-chain resolution by POINTER DOUBLING (the Wyllie/
     // path-doubling primitive): every crawl has redirect chains
     // (30x-moved pages, URL canonicalization hops) and the curation
@@ -7731,6 +7812,33 @@ object ExtensionQueries {
       (1 to 5).map(k => iter(s"r${k - 1}", s"r$k")).mkString("", ", ", " ") +
       "SELECT i AS doc_id, r AS rank_ppm FROM r5 ORDER BY doc_id"
     },
+    "crawl_link_graph" ->
+      // construction + RFC 3986 resolution replay (the warc_ingest
+      // work-asymmetry regime: Spark walks real WARC/HTTP/HTML bytes,
+      // the oracle replays the planted-link formulas — per reference
+      // shape, the resolved URL is pure string arithmetic)
+      ("WITH lk AS (SELECT doc_id, j AS link_idx, doc_id % 97 AS sh, " +
+       "(doc_id*31 + j*17 + 7) % 97 AS t, (doc_id*13 + j*11 + 3) % 50 AS p " +
+       "FROM documents, LATERAL (SELECT unnest(generate_series(0, CAST(doc_id % 4 AS BIGINT))) j)) " +
+       "SELECT doc_id, CAST(link_idx AS BIGINT) AS link_idx, " +
+       "'https://w' || sh || '.example.org/d' || (doc_id % 5) || '/p' || doc_id || '.html' AS src_url, " +
+       "CASE CAST((doc_id + link_idx) % 5 AS INT) " +
+       "WHEN 0 THEN 'https://w' || t || '.example.org/d' || (p % 5) || '/p' || p || '.html' " +
+       "WHEN 1 THEN 'https://w' || t || '.example.org/d' || (p % 5) || '/p' || p || '.html' " +
+       "WHEN 2 THEN 'https://w' || sh || '.example.org/d' || (p % 5) || '/p' || p || '.html' " +
+       "WHEN 3 THEN 'https://w' || sh || '.example.org/d' || (doc_id % 5) || '/p' || p || '.html' " +
+       "ELSE 'https://w' || sh || '.example.org/d' || (p % 5) || '/p' || p || '.html?s=1&t=' || link_idx " +
+       "END AS dst_url FROM lk ORDER BY doc_id, link_idx"),
+    "crawl_link_host_graph" ->
+      // the same replay rolled up on the host pair
+      ("WITH lk AS (SELECT doc_id, j AS link_idx, doc_id % 97 AS sh, " +
+       "(doc_id*31 + j*17 + 7) % 97 AS t, (doc_id*13 + j*11 + 3) % 50 AS p " +
+       "FROM documents, LATERAL (SELECT unnest(generate_series(0, CAST(doc_id % 4 AS BIGINT))) j)), " +
+       "e AS (SELECT 'w' || sh || '.example.org' AS src_host, " +
+       "CASE WHEN CAST((doc_id + link_idx) % 5 AS INT) IN (0, 1) " +
+       "THEN 'w' || t || '.example.org' ELSE 'w' || sh || '.example.org' END AS dst_host FROM lk) " +
+       "SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS weight FROM e " +
+       "GROUP BY 1, 2 ORDER BY weight DESC, src_host, dst_host LIMIT 20"),
     "crawl_host_graph" ->
       // the edge replay grouped on // 50 host keys
       ("WITH docs AS (SELECT doc_id i FROM documents), " +

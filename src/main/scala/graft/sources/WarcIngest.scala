@@ -113,6 +113,31 @@ object WarcIngest {
       .toDF(RecordCols: _*)
   }
 
+  /** Outlink edges of ingested records — the link-graph construction
+    * stage over [[readWarcRecords]] OR [[streamWarcRecords]] (a pure
+    * stateless projection, so batch and streaming cannot drift):
+    * successful HTML responses only, native `extract_links` over the
+    * entity (comment/script-aware — decoys never become edges), each
+    * href RFC 3986-resolved against the record's WARC-Target-URI.
+    * One row per (record, link): `(path, record_idx, link_idx,
+    * src_url, dst_url)`. Map-side end to end; at 100 TB the edge
+    * stream feeds a partitioned sink or the incremental frontier with
+    * zero exchanges.
+    */
+  def outlinkEdges(records: DataFrame): DataFrame =
+    records
+      .filter(col("record_type") === "response")
+      .filter(col("http_status") === 200)
+      .filter(col("content_type").isNotNull &&
+        lower(col("content_type")).startsWith("text/html"))
+      .filter(col("target_uri").isNotNull)
+      .select(col("path"), col("record_idx"), col("target_uri").as("src_url"),
+        posexplode(graft.functions.TextExpressions
+          .extract_links(col("entity").cast("string"))).as(Seq("link_idx", "href")))
+      .select(col("path"), col("record_idx"),
+        col("link_idx").cast("long").as("link_idx"), col("src_url"),
+        graft.operators.UrlOps.resolveUrl(col("src_url"), col("href")).as("dst_url"))
+
   /** Streaming twin of [[quarantine]]: arriving segments that fail the
     * WARC parse land here as dead-letter rows instead of failing the
     * ingest query — the streaming side of the same never-half-ingest

@@ -1,0 +1,176 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextExpressions
+import graft.operators.Warc
+import graft.sources.WarcIngest
+
+/** The crawl link-graph chain: native `extract_links` (comment/script-
+  * aware href walk), RFC 3986 `resolve_url`, the WARC fixture replay,
+  * and the batch=stream outlink twin.
+  */
+class LinkGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def b(s: String): Array[Byte] = s.getBytes(UTF_8)
+
+  test("extract_links: decoys, quoting, case, duplicate attrs, entities") {
+    def links(html: String): Seq[String] =
+      TextExpressions.extractLinksStrings(html)
+    // live anchors in order; script/comment decoys dropped
+    assert(links(
+      """<script>var u = "<a href='/decoy'>";</a></script>""" +
+        """<a href="/one"></a><!-- <a href="/two"></a> --><a href='/three'>t</a>""")
+      === Seq("/one", "/three"))
+    // quote-aware: '>' inside a quoted href must not end the tag
+    assert(links("""<a href="/x?a>b"></a>""") === Seq("/x?a>b"))
+    // unquoted value ends at whitespace or '>'
+    assert(links("""<a href=/bare rel=nofollow></a>""") === Seq("/bare"))
+    // case-insensitive tag + attribute names; first href wins
+    assert(links("""<A HREF="/up" href="/dupe"></A>""") === Seq("/up"))
+    // entity decode in the value (&amp; in query strings)
+    assert(links("""<a href="/q?a=1&amp;b=2"></a>""") === Seq("/q?a=1&b=2"))
+    // <a> without href, href on non-anchor tags, <abbr> (name boundary)
+    assert(links("""<a name="x"></a><link href="/css"><abbr href="/no"></abbr>""")
+      === Seq.empty)
+    // href-less then valued anchor; empty href is kept (resolves to base)
+    assert(links("""<a></a><a href="">self</a>""") === Seq(""))
+    // style raw-text block skipped
+    assert(links("""<style>a { content: "<a href='/s'>"; }</style><a href=/ok></a>""")
+      === Seq("/ok"))
+  }
+
+  test("resolve_url: RFC 3986 §5.4 reference-resolution examples") {
+    val base = "http://a/b/c/d;p?q"
+    def r(ref: String): String = TextExpressions.resolveUrlString(base, ref)
+    // normal examples (§5.4.1) — fragments DROPPED by contract
+    assert(r("g:h") === "g:h")
+    assert(r("g") === "http://a/b/c/g")
+    assert(r("./g") === "http://a/b/c/g")
+    assert(r("g/") === "http://a/b/c/g/")
+    assert(r("/g") === "http://a/g")
+    assert(r("//g") === "http://g")
+    assert(r("?y") === "http://a/b/c/d;p?y")
+    assert(r("g?y") === "http://a/b/c/g?y")
+    assert(r("#s") === "http://a/b/c/d;p?q", "fragment-only ref: base sans fragment")
+    assert(r("g#s") === "http://a/b/c/g")
+    assert(r(";x") === "http://a/b/c/;x")
+    assert(r("") === "http://a/b/c/d;p?q")
+    assert(r(".") === "http://a/b/c/")
+    assert(r("./") === "http://a/b/c/")
+    assert(r("..") === "http://a/b/")
+    assert(r("../") === "http://a/b/")
+    assert(r("../g") === "http://a/b/g")
+    assert(r("../..") === "http://a/")
+    assert(r("../../") === "http://a/")
+    assert(r("../../g") === "http://a/g")
+    // abnormal examples (§5.4.2): dot segments past the root vanish
+    assert(r("../../../g") === "http://a/g")
+    assert(r("../../../../g") === "http://a/g")
+    assert(r("/./g") === "http://a/g")
+    assert(r("/../g") === "http://a/g")
+    assert(r("g.") === "http://a/b/c/g.")
+    assert(r(".g") === "http://a/b/c/.g")
+    assert(r("g..") === "http://a/b/c/g..")
+    assert(r("..g") === "http://a/b/c/..g")
+    assert(r("./../g") === "http://a/b/g")
+    assert(r("./g/.") === "http://a/b/c/g/")
+    assert(r("g/./h") === "http://a/b/c/g/h")
+    assert(r("g/../h") === "http://a/b/c/h")
+    // authority base with EMPTY path: relative ref hangs off "/"
+    assert(TextExpressions.resolveUrlString("https://h.example", "x/y")
+      === "https://h.example/x/y")
+  }
+
+  test("extract_links + resolve_url run natively, via Column facade and SQL") {
+    TextExpressions.register(spark)
+    val row = spark.sql(
+      """SELECT extract_links('<a href="p.html"></a><a href="/r"></a>') AS ls,
+        |       resolve_url('https://h/x/y.html', '../z?a=1') AS u""".stripMargin).head()
+    assert(row.getSeq[String](0) === Seq("p.html", "/r"))
+    assert(row.getString(1) === "https://h/z?a=1")
+    val viaCol = spark.range(1).select(
+      TextExpressions.resolve_url(lit("https://h/x/"), lit("p.html")).as("u"))
+      .head().getString(0)
+    assert(viaCol === "https://h/x/p.html")
+  }
+
+  test("linked WARC fixture: the parse chain recovers the planted edges") {
+    // driver-side replay of the construction formulas vs the ENGINE
+    // chain (real gunzip -> WARC -> HTTP -> extract -> resolve) for a
+    // spread of ids covering all five reference shapes and 1..4 links
+    val ids = Seq(0L, 1L, 2L, 3L, 4L, 7L, 23L, 96L, 97L, 450L)
+    def planted(id: Long): Seq[(Long, String, String)] = {
+      val host = s"w${id % 97}.example.org"
+      (0 until (id % 4 + 1).toInt).map { j =>
+        val t = (id * 31 + j * 17 + 7) % 97
+        val p = (id * 13 + j * 11 + 3) % 50
+        val dst = (id + j) % 5 match {
+          case 0 | 1 => s"https://w$t.example.org/d${p % 5}/p$p.html"
+          case 2 => s"https://$host/d${p % 5}/p$p.html"
+          case 3 => s"https://$host/d${id % 5}/p$p.html"
+          case _ => s"https://$host/d${p % 5}/p$p.html?s=1&t=$j"
+        }
+        (j.toLong, s"https://$host/d${id % 5}/p$id.html", dst)
+      }
+    }
+    ids.foreach { id =>
+      val recs = Warc.decodeWarc(Warc.syntheticLinkedWarcContainer(id))
+      assert(recs.length === 1)
+      val http = Warc.parseHttpResponse(recs.head.body).get
+      val html = new String(http.entity, UTF_8)
+      val base = recs.head.targetUri.get
+      val got = TextExpressions.extractLinksStrings(html).zipWithIndex.map {
+        case (href, j) =>
+          (j.toLong, base, TextExpressions.resolveUrlString(base, href))
+      }
+      assert(got === planted(id), s"doc $id edge mismatch")
+      // the decoys never leak
+      assert(!got.exists(_._3.contains("decoy")) &&
+        !got.exists(_._3.contains("commented")) &&
+        !got.exists(_._3.contains("not/a/link")))
+    }
+  }
+
+  test("streaming outlink twin equals batch over arriving segments") {
+    val dir = java.nio.file.Files.createTempDirectory("link_stream").toFile
+    val ckpt = java.nio.file.Files.createTempDirectory("link_stream_ckpt").toFile
+    try {
+      def write(name: String, ids: Seq[Long]): Unit =
+        java.nio.file.Files.write(new java.io.File(dir, name).toPath,
+          ids.map(Warc.syntheticLinkedWarcContainer)
+            .foldLeft(Array.emptyByteArray)(_ ++ _))
+      write("seg-0.warc.gz", Seq(1L, 2L))
+      val q = WarcIngest.outlinkEdges(
+          WarcIngest.streamWarcRecords(spark, dir.getAbsolutePath))
+        .writeStream.format("memory").queryName("link_stream_edges")
+        .option("checkpointLocation", ckpt.getAbsolutePath).start()
+      try {
+        q.processAllAvailable()
+        val afterB1 = spark.sql("SELECT * FROM link_stream_edges").count()
+        assert(afterB1 === 2 + 3) // id%4+1 links: id 1 -> 2, id 2 -> 3
+        // batch 2: two more pages, one with 4 links
+        write("seg-1.warc.gz", Seq(3L, 7L))
+        q.processAllAvailable()
+        val streamed = spark.sql(
+          "SELECT record_idx, link_idx, src_url, dst_url FROM link_stream_edges")
+          .as[(Int, Long, String, String)].collect().toSet
+        // batch twin over the same directory — identical edges
+        val batch = WarcIngest.outlinkEdges(
+            WarcIngest.readWarcRecords(spark, dir.getAbsolutePath))
+          .select(col("record_idx"), col("link_idx"), col("src_url"), col("dst_url"))
+          .as[(Int, Long, String, String)].collect().toSet
+        assert(streamed === batch)
+        assert(streamed.size === (2 + 3 + 4 + 4))
+      } finally q.stop()
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir); rm(ckpt)
+    }
+  }
+}

@@ -173,6 +173,23 @@ class PlanAuditSpec extends SparkSpec {
       s"token stream shuffled for the vocab join:\n${joinLines.mkString("\n")}")
   }
 
+  test("link-graph build: pure map-side — decode, extract, resolve without any exchange") {
+    // the edge-table construction (WARC decode -> extract_links ->
+    // resolve_url + the posexplode Generate) must be one map pass:
+    // any exchange or join here would shuffle raw page bytes — the
+    // 100 TB killer for a webgraph build. The served query only adds
+    // its output sort on the store read.
+    val p = graft.queries.ExtensionQueries.linkEdgeBuildFrame(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"link extraction planned a shuffle:\n$p")
+    assert(!p.contains("Join"), s"link extraction planned a join:\n$p")
+    assert(p.contains("Generate"), s"posexplode vanished (links not exploded?):\n$p")
+    val served = plan("crawl_link_graph")
+    assert(served.linesIterator.count(_.contains("Exchange hashpartitioning")) === 0,
+      s"served edge table planned a hash exchange:\n$served")
+    assert(!served.contains("Join"), s"served edge table planned a join:\n$served")
+  }
+
   test("NB quality scorer: broadcast vocab join, token stream never shuffled") {
     // same scale contract as the unigram scorer: corpus side is scan ->
     // explode -> broadcast vocab join -> partial agg; the 1-row class
