@@ -10,10 +10,19 @@ import org.apache.spark.sql.functions._
   * the smoke suite, not a bench. Construction is ScaleSmoke's exactly:
   * 10 replicas with id shifts of 1e6 (docs/vectors) and distinct users
   * + shifted event ids (events). Not part of the engine surface.
+  *
+  * PERTURBED-REPLICA MODE (args(1) = substitution rate in ppm,
+  * default 0 = verbatim replicas): replica k > 0 rewrites each token
+  * with probability rate via a deterministic hash coin on
+  * (doc_id, k, position), appending a replica-unique suffix — so the
+  * 10x corpus carries ORGANIC near-dup rates (high-but-not-1 Jaccard)
+  * instead of byte-exact clones, separating a dedup family's workload
+  * growth (pair volume) from its plan cost in the SCALE.md pairing.
   */
 object ScaleCorpus {
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/scale10x")
+    val perturbPpm = args.drop(1).headOption.map(_.toLong).getOrElse(0L)
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -21,8 +30,16 @@ object ScaleCorpus {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val base = Tables.documents(spark, src)
-    (0 until 10).map(k =>
-        base.withColumn("doc_id", col("doc_id") + lit(k * 1000000L)))
+    (0 until 10).map { k =>
+        val shifted = base.withColumn("doc_id", col("doc_id") + lit(k * 1000000L))
+        if (k == 0 || perturbPpm <= 0) shifted
+        else shifted.withColumn("text",
+          concat_ws(" ", expr(
+            s"""transform(split(text, ' '), (w, i) ->
+               |  CASE WHEN pmod(xxhash64(concat(cast(doc_id AS string), '|$k|',
+               |    cast(i AS string))), 1000000L) < ${perturbPpm}L
+               |  THEN concat(w, '~$k') ELSE w END)""".stripMargin)))
+      }
       .reduce(_.unionByName(_))
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     val embBase = Tables.embeddings(spark, src)
