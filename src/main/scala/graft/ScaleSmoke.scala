@@ -224,8 +224,11 @@ object ScaleSmoke {
         "multimodal_video_scene_cuts",
         // round-15: the real link-extracted edge table at 10x pages
         // (gunzip + WARC walk + href scan + RFC 3986 resolution per
-        // page — the map-side budget claim) and its host rollup
-        "crawl_link_graph", "crawl_link_host_graph")) {
+        // page — the map-side budget claim) and its consumers: host
+        // rollup, frontier priority list, weighted host PageRank,
+        // RFC 9309 robots gate (per-edge parse+match, rules memoized)
+        "crawl_link_graph", "crawl_link_host_graph", "crawl_frontier",
+        "crawl_link_pagerank", "crawl_robots_gate")) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).count()
       println(f"$q%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $n%10d rows")

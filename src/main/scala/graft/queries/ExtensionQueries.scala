@@ -5386,6 +5386,101 @@ object ExtensionQueries {
         .orderBy(col("weight").desc, col("src_host"), col("dst_host"))
         .limit(20)),
 
+    // The crawl FRONTIER priority list — what the scheduler actually
+    // consumes: every distinct discovered URL with its in-link count
+    // and the number of DISTINCT referring hosts (the spam-resistant
+    // priority signal — 40 links from one host rank below 3 hosts'
+    // worth). One aggregate exchange on the URL key over the edge
+    // store, top-100 cut; at 100 TB this is the frontier-update
+    // rollup every crawl cycle runs.
+    "crawl_frontier" -> ((s, dir) =>
+      linkEdgeFrame(s, dir)
+        .select(col("dst_url"), expr("parse_url(src_url, 'HOST')").as("sh"))
+        .groupBy(col("dst_url"))
+        .agg(count(lit(1)).as("n_refs"),
+          count_distinct(col("sh")).as("n_src_hosts"))
+        .orderBy(col("n_refs").desc, col("dst_url"))
+        .limit(100)),
+
+    // Politeness gate over the REAL frontier — RFC 9309 robots.txt
+    // (operators/Robots: spec-built parser + longest-match wildcard
+    // matcher) applied to every extracted-and-resolved link with the
+    // DESTINATION host's synthetic robots file: per-host directory
+    // disallows with a longer allow exception, a *-wildcard query
+    // rule on every 7th host, a deny-all group for a DIFFERENT agent
+    // the gate must ignore, comments and an empty Disallow. Spark
+    // parses and matches real robots text per edge (per-host rules
+    // memoized within the partition — the enrichment-cache pattern);
+    // the oracle replays the DECISION formula the construction
+    // implies, so a parser or precedence bug breaks the hash. Plan:
+    // map-side decisions + one host-keyed aggregate — the shape of a
+    // frontier filter at 100 TB.
+    "crawl_robots_gate" -> ((s, dir) => {
+      import s.implicits._
+      linkEdgeFrame(s, dir)
+        .select(col("dst_url")).as[String]
+        .mapPartitions { it =>
+          val cache = scala.collection.mutable.HashMap
+            .empty[String, Seq[graft.operators.Robots.Rule]]
+          it.map { url =>
+            val hostStart = url.indexOf("://") + 3
+            val pathStart = url.indexOf('/', hostStart)
+            val host = url.substring(hostStart, pathStart)
+            val pathAndQuery = url.substring(pathStart)
+            val rules = cache.getOrElseUpdate(host, {
+              val t = host.stripPrefix("w").takeWhile(_.isDigit).toLong
+              graft.operators.Robots.rulesFor(
+                graft.operators.Robots.parse(
+                  graft.operators.Robots.syntheticRobotsTxt(t)), "graftbot")
+            })
+            (host,
+              if (graft.operators.Robots.isAllowed(rules, pathAndQuery)) 1L else 0L)
+          }
+        }
+        .toDF("host", "ok")
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_links"), sum(col("ok")).as("n_allowed"),
+          (count(lit(1)) - sum(col("ok"))).as("n_blocked"))
+        .orderBy(col("host"))
+    }),
+
+    // WEIGHTED PageRank over the REAL extracted host graph — the
+    // end-to-end story the synthetic-edge crawl_pagerank can't tell:
+    // raw WARC bytes -> extraction -> resolution -> host rollup ->
+    // authority scores, all one engine. Weighted variant (each edge
+    // carries its link count; a host's rank ships to neighbors as
+    // floor(r * w / out_w) — the standard weighted-PR contribution),
+    // 4 damped fixed-point iterations in ppm integers (floor
+    // divisions on nonnegative values truncate identically in both
+    // engines), so the compare is BIT-EXACT, no rounding contract.
+    // Plan: the host edge table is a localCheckpointed ~|hosts|^2
+    // bound frame; each round is one join + one agg exchange keyed on
+    // the host id — the crawl_pagerank BSP shape over real edges.
+    "crawl_link_pagerank" -> ((s, dir) => {
+      val hostEdges = linkEdgeFrame(s, dir)
+        .select(expr("parse_url(src_url, 'HOST')").as("src"),
+          expr("parse_url(dst_url, 'HOST')").as("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+        .localCheckpoint()
+      val outW = hostEdges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+      val e = hostEdges.join(outW, Seq("src"))
+      val nodes = hostEdges.select(col("src").as("h"))
+        .unionByName(hostEdges.select(col("dst").as("h")))
+        .distinct()
+      var r = nodes.select(col("h"), lit(1000000L).as("r"))
+      for (_ <- 1 to 4) {
+        r = e.join(r, col("src") === col("h"))
+          .select(col("dst").as("t"), expr("(r * w) div ow").as("c"))
+          .groupBy(col("t")).agg(sum(col("c")).as("cs"))
+          .withColumnRenamed("t", "h")
+          .join(nodes, Seq("h"), "right")
+          .select(col("h"),
+            (lit(150000L) + expr("(85 * coalesce(cs, 0L)) div 100")).as("r"))
+      }
+      r.select(col("h").as("host"), col("r").as("rank_ppm"))
+        .orderBy(col("host"))
+    }),
+
     // Redirect-chain resolution by POINTER DOUBLING (the Wyllie/
     // path-doubling primitive): every crawl has redirect chains
     // (30x-moved pages, URL canonicalization hops) and the curation
@@ -7839,6 +7934,62 @@ object ExtensionQueries {
        "THEN 'w' || t || '.example.org' ELSE 'w' || sh || '.example.org' END AS dst_host FROM lk) " +
        "SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS weight FROM e " +
        "GROUP BY 1, 2 ORDER BY weight DESC, src_host, dst_host LIMIT 20"),
+    "crawl_frontier" ->
+      // the link replay grouped on the resolved URL
+      ("WITH lk AS (SELECT doc_id, j AS link_idx, doc_id % 97 AS sh, " +
+       "(doc_id*31 + j*17 + 7) % 97 AS t, (doc_id*13 + j*11 + 3) % 50 AS p " +
+       "FROM documents, LATERAL (SELECT unnest(generate_series(0, CAST(doc_id % 4 AS BIGINT))) j)), " +
+       "e AS (SELECT 'w' || sh || '.example.org' AS src_host, " +
+       "CASE CAST((doc_id + link_idx) % 5 AS INT) " +
+       "WHEN 0 THEN 'https://w' || t || '.example.org/d' || (p % 5) || '/p' || p || '.html' " +
+       "WHEN 1 THEN 'https://w' || t || '.example.org/d' || (p % 5) || '/p' || p || '.html' " +
+       "WHEN 2 THEN 'https://w' || sh || '.example.org/d' || (p % 5) || '/p' || p || '.html' " +
+       "WHEN 3 THEN 'https://w' || sh || '.example.org/d' || (doc_id % 5) || '/p' || p || '.html' " +
+       "ELSE 'https://w' || sh || '.example.org/d' || (p % 5) || '/p' || p || '.html?s=1&t=' || link_idx " +
+       "END AS dst_url FROM lk) " +
+       "SELECT dst_url, CAST(COUNT(*) AS BIGINT) AS n_refs, " +
+       "CAST(COUNT(DISTINCT src_host) AS BIGINT) AS n_src_hosts " +
+       "FROM e GROUP BY dst_url ORDER BY n_refs DESC, dst_url LIMIT 100"),
+    "crawl_robots_gate" ->
+      // decision-formula replay: the synthetic robots of dest host H
+      // allow /d<D>/p<P>.html(?query) for graftbot iff NOT in the
+      // disallowed directory (D = H%5) unless it is the flagship page
+      // (P = H, the longer allow), and — on every 7th host — iff the
+      // URL carries no ?s= query (the *-wildcard rule); the otherbot
+      // deny-all group and the * group's /private/ never apply
+      ("WITH lk AS (SELECT doc_id, j AS link_idx, doc_id % 97 AS sh, " +
+       "(doc_id*31 + j*17 + 7) % 97 AS t, (doc_id*13 + j*11 + 3) % 50 AS p " +
+       "FROM documents, LATERAL (SELECT unnest(generate_series(0, CAST(doc_id % 4 AS BIGINT))) j)), " +
+       "e AS (SELECT CASE WHEN CAST((doc_id + link_idx) % 5 AS INT) IN (0, 1) THEN t ELSE sh END AS h, " +
+       "CASE WHEN CAST((doc_id + link_idx) % 5 AS INT) = 3 THEN doc_id % 5 ELSE p % 5 END AS d, " +
+       "p, CASE WHEN CAST((doc_id + link_idx) % 5 AS INT) = 4 THEN 1 ELSE 0 END AS q FROM lk), " +
+       "v AS (SELECT h, CASE WHEN d = h % 5 AND p = h THEN 1 WHEN d = h % 5 THEN 0 " +
+       "WHEN h % 7 = 0 AND q = 1 THEN 0 ELSE 1 END ok FROM e) " +
+       "SELECT 'w' || h || '.example.org' AS host, CAST(COUNT(*) AS BIGINT) AS n_links, " +
+       "CAST(SUM(ok) AS BIGINT) AS n_allowed, CAST(COUNT(*) - SUM(ok) AS BIGINT) AS n_blocked " +
+       "FROM v GROUP BY h ORDER BY host"),
+    "crawl_link_pagerank" -> {
+      // the link replay rolled to the weighted host graph, then 4
+      // unrolled damped iterations in the SAME ppm integer arithmetic
+      // (// floors == Spark div on nonnegatives) — bit-exact
+      def iter(prev: String, cur: String): String =
+        s"$cur AS (SELECT n.h, CAST(150000 + (85 * COALESCE(SUM(x.c), 0)) // 100 AS BIGINT) r " +
+        s"FROM nodes n LEFT JOIN (SELECT e.dst t, ($prev.r * e.w) // ow.ow c " +
+        s"FROM e JOIN $prev ON e.src = $prev.h JOIN ow ON ow.src = e.src) x " +
+        "ON x.t = n.h GROUP BY n.h)"
+      "WITH lk AS (SELECT doc_id, j AS link_idx, doc_id % 97 AS sh, " +
+      "(doc_id*31 + j*17 + 7) % 97 AS t, (doc_id*13 + j*11 + 3) % 50 AS p " +
+      "FROM documents, LATERAL (SELECT unnest(generate_series(0, CAST(doc_id % 4 AS BIGINT))) j)), " +
+      "e0 AS (SELECT 'w' || sh || '.example.org' AS src, " +
+      "CASE WHEN CAST((doc_id + link_idx) % 5 AS INT) IN (0, 1) " +
+      "THEN 'w' || t || '.example.org' ELSE 'w' || sh || '.example.org' END AS dst FROM lk), " +
+      "e AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) w FROM e0 GROUP BY 1, 2), " +
+      "ow AS (SELECT src, SUM(w) ow FROM e GROUP BY src), " +
+      "nodes AS (SELECT DISTINCT h FROM (SELECT src h FROM e UNION ALL SELECT dst h FROM e)), " +
+      "r0 AS (SELECT h, CAST(1000000 AS BIGINT) r FROM nodes), " +
+      (1 to 4).map(k => iter(s"r${k - 1}", s"r$k")).mkString("", ", ", " ") +
+      "SELECT h AS host, r AS rank_ppm FROM r4 ORDER BY host"
+    },
     "crawl_host_graph" ->
       // the edge replay grouped on // 50 host keys
       ("WITH docs AS (SELECT doc_id i FROM documents), " +

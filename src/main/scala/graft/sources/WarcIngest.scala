@@ -138,6 +138,24 @@ object WarcIngest {
         col("link_idx").cast("long").as("link_idx"), col("src_url"),
         graft.operators.UrlOps.resolveUrl(col("src_url"), col("href")).as("dst_url"))
 
+  /** Streaming FRONTIER gate over [[outlinkEdges]] of a record
+    * stream: only the FIRST discovery of each URL survives (per-key
+    * state on the URL — the exactDedup machinery), so the output IS
+    * the incremental frontier feed a continuous crawl schedules from:
+    * a page re-linked by a later segment never re-enqueues. Emits
+    * `(dst_url, src_url)` — the discovered URL and its discovering
+    * referrer (within a micro-batch the winning referrer between two
+    * simultaneous discoverers is partition-order nondeterministic,
+    * the novelGrams contract; arrival order is defined ACROSS
+    * batches). State is one entry per distinct frontier URL — bound
+    * it by recency upstream with a watermarked timestamp +
+    * dropDuplicatesWithinWatermark when the crawl is unbounded.
+    */
+  def frontierGate(records: DataFrame): DataFrame =
+    outlinkEdges(records)
+      .select(col("dst_url"), col("src_url"))
+      .dropDuplicates("dst_url")
+
   /** Streaming twin of [[quarantine]]: arriving segments that fail the
     * WARC parse land here as dead-letter rows instead of failing the
     * ingest query — the streaming side of the same never-half-ingest

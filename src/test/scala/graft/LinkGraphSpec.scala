@@ -135,6 +135,53 @@ class LinkGraphSpec extends SparkSpec {
     }
   }
 
+  test("frontier gate: only first discoveries survive across micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("frontier").toFile
+    val ckpt = java.nio.file.Files.createTempDirectory("frontier_ckpt").toFile
+    try {
+      def write(name: String, ids: Seq[Long]): Unit =
+        java.nio.file.Files.write(new java.io.File(dir, name).toPath,
+          ids.map(Warc.syntheticLinkedWarcContainer)
+            .foldLeft(Array.emptyByteArray)(_ ++ _))
+      // ids 0 and 97 share host w0 and link-target arithmetic mod 97:
+      // id 0 -> 1 link, id 97 -> 2 links; overlap comes from later
+      // RE-LINKS of already-discovered URLs
+      write("seg-0.warc.gz", Seq(5L))
+      val q = WarcIngest.frontierGate(
+          WarcIngest.streamWarcRecords(spark, dir.getAbsolutePath))
+        .writeStream.format("memory").queryName("frontier_gate")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.getAbsolutePath).start()
+      try {
+        q.processAllAvailable()
+        val b1 = spark.sql("SELECT dst_url FROM frontier_gate")
+          .as[String].collect().toSet
+        assert(b1.size === 2) // id 5 -> 5%4+1 = 2 links, distinct targets
+        // batch 2: the SAME page re-arrives (identical links — zero new
+        // frontier) plus a fresh page
+        write("seg-1.warc.gz", Seq(5L, 6L))
+        q.processAllAvailable()
+        val b2 = spark.sql("SELECT dst_url FROM frontier_gate")
+          .as[String].collect()
+        assert(b2.length === b2.toSet.size, "a URL re-enqueued")
+        val fresh = b2.toSet -- b1
+        // id 6's 3 links minus any overlap with id 5's discoveries
+        val expect6 = TextExpressions.extractLinksStrings(new String(
+            Warc.parseHttpResponse(Warc.decodeWarc(
+              Warc.syntheticLinkedWarcContainer(6L)).head.body).get.entity, UTF_8))
+          .map(h => TextExpressions.resolveUrlString(
+            "https://w6.example.org/d1/p6.html", h)).toSet
+        assert(fresh === (expect6 -- b1),
+          "frontier delta must be exactly the unseen targets")
+      } finally q.stop()
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir); rm(ckpt)
+    }
+  }
+
   test("streaming outlink twin equals batch over arriving segments") {
     val dir = java.nio.file.Files.createTempDirectory("link_stream").toFile
     val ckpt = java.nio.file.Files.createTempDirectory("link_stream_ckpt").toFile
