@@ -5739,6 +5739,54 @@ object ExtensionQueries {
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
+    // CONTENT-DEFINED chunking dedup (the FastCDC/rsync idea in token
+    // space): chunk boundaries are placed where a rolling window's
+    // hash hits a coin — boundary after token i+7 iff md5 of the
+    // 8-token window at i starts with hex '0' (p = 1/16, mean chunk
+    // ~16 tokens) — so an INSERTION near the head shifts only the
+    // chunks it touches and boundaries re-synchronize downstream,
+    // where the fixed-stride corpus_chunks would shift every chunk
+    // hash after the edit (the invariant the spec pins). The window
+    // hash rides the SAME md5-shingle machinery the oracle replays;
+    // boundaries, chunk slicing and hashing are one array-level
+    // projection (no explode until the chunk rows), then one
+    // chunk-hash aggregate for cross-doc duplication + one doc-keyed
+    // join back — the dedup_gram_coverage plan shape. Output: per doc,
+    // chunk count, chunks shared with ANOTHER doc, duplicated
+    // fraction.
+    "dedup_cdc_chunks" -> ((s, dir) => {
+      val ws = TextOps.tokens(col("text"))
+      val chunks = Tables.documents(s, dir)
+        .select(col("doc_id"), ws.as("ws"))
+        .withColumn("n", size(col("ws")))
+        // boundary positions: window starts i = 1..n-7 whose hash
+        // coins fire AND whose end i+7 is interior (a boundary at the
+        // last token would mint an empty trailing chunk). Spark's
+        // sequence(1, x) DESCENDS for x < 1 — guard short docs.
+        .withColumn("bs", expr(
+          """filter(transform(
+             |  CASE WHEN n >= 8 THEN sequence(1, n - 7) ELSE array() END,
+             |  i -> CASE WHEN i + 7 < n AND
+             |    substring(md5(concat_ws(' ', slice(ws, i, 8))), 1, 1) = '0'
+             |    THEN i + 7 END),
+             |  x -> x IS NOT NULL)""".stripMargin))
+        .withColumn("bb", expr("concat(array(0), bs, array(n))"))
+        .withColumn("chunk", explode(expr(
+          """transform(sequence(1, size(bb) - 1), k ->
+             |  concat_ws(' ', slice(ws, element_at(bb, k) + 1,
+             |    element_at(bb, k + 1) - element_at(bb, k))))""".stripMargin)))
+        .select(col("doc_id"), md5(col("chunk")).as("ch"))
+      val dupes = chunks.groupBy(col("ch"))
+        .agg(count_distinct(col("doc_id")).as("nd"))
+      chunks.join(dupes, Seq("ch"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum((col("nd") >= 2).cast("long")).as("n_dup_chunks"))
+        .withColumn("dup_frac",
+          round(col("n_dup_chunks").cast("double") / col("n_chunks"), 6))
+        .orderBy(col("doc_id"))
+    }),
+
     // Rank-weighted sampling: keep each doc with probability
     // proportional to its PageRank — the quality-weighted corpus cut
     // (C4/CCNet-style pipelines weight crawl sampling by link
@@ -8109,6 +8157,23 @@ object ExtensionQueries {
        "SELECT (SELECT COUNT(*) FROM e) AS n_edges, n_connected_nodes, n_wedges, " +
        "n_triangles, round(3.0 * n_triangles / n_wedges, 6) AS clustering_coeff " +
        "FROM w, tri"),
+    "dedup_cdc_chunks" ->
+      // the same coin/boundary/slice construction over DuckDB lists;
+      // ws[a:b] is 1-based INCLUSIVE, so window i = ws[i:i+7] (8
+      // tokens) and chunk k = ws[bb[k]+1 : bb[k+1]]
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
+       "b AS (SELECT doc_id, ws, len(ws) n, " +
+       "list_filter(list_transform(generate_series(1, greatest(len(ws) - 7, 0)), i -> " +
+       "CASE WHEN i + 7 < len(ws) AND substr(md5(array_to_string(ws[i:i+7], ' ')), 1, 1) = '0' " +
+       "THEN i + 7 END), x -> x IS NOT NULL) bs FROM t), " +
+       "c AS (SELECT doc_id, list_concat(list_concat([0], bs), [n]) bb, ws FROM b), " +
+       "ch AS (SELECT doc_id, md5(array_to_string(ws[bb[k]+1 : bb[k+1]], ' ')) ch " +
+       "FROM c, LATERAL (SELECT unnest(generate_series(1, len(bb) - 1)) k)), " +
+       "dupes AS (SELECT ch, COUNT(DISTINCT doc_id) nd FROM ch GROUP BY ch) " +
+       "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks, " +
+       "CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks, " +
+       "round(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS dup_frac " +
+       "FROM ch JOIN dupes USING (ch) GROUP BY doc_id ORDER BY doc_id"),
     "corpus_chunks" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
        "c AS (SELECT doc_id, ws, unnest(generate_series(0, greatest(0, (len(ws) - 9) // 24))) k FROM t) " +
