@@ -84,16 +84,21 @@ object Tables {
     * cost is O(#files) metadata reads — the same listing the scan
     * itself performs.
     */
-  /** Memo for [[parquetRowCount]]: keyed on (path, root mtime, root
-    * length) so the count survives the many per-query calls (store
-    * memo keys, literal stats) without re-opening every file footer,
-    * while a same-JVM REWRITE of the path (new dir/file mtime — Spark
-    * commits via rename, which touches the directory) still misses
-    * the memo and re-counts, preserving the staleness detection the
-    * dir@rowCount store keys rely on.
+  /** Memo for [[parquetRowCount]]: keyed on the PATH, holding the
+    * count together with a freshness stamp of (root mtime, root
+    * length, data-file count, max data-file mtime, total data bytes).
+    * A rewrite of the path misses the stamp and re-counts — including
+    * a same-millisecond rewrite (coarse-mtime filesystems, Spark's
+    * rename-commit) that leaves the ROOT's mtime unchanged: the child
+    * listing the stamp folds in is the same recursive listing the
+    * counting pass performs anyway, so a miss pays nothing extra and a
+    * hit pays one listing instead of opening every footer. Keying on
+    * the path (stamp in the VALUE) also means a rewrite evicts the
+    * superseded entry instead of accumulating one memo row per
+    * rewrite forever.
     */
   private val rowCountMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
 
   def parquetRowCount(spark: SparkSession, path: String): Long = {
     import org.apache.hadoop.fs.Path
@@ -103,23 +108,31 @@ object Tables {
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
     val rootSt = fs.getFileStatus(root)
-    val stamp = s"$path@${rootSt.getModificationTime}:${rootSt.getLen}"
-    rowCountMemo.computeIfAbsent(stamp, _ => {
-      def files(p: Path): Seq[Path] = {
-        val st = fs.getFileStatus(p)
-        if (st.isFile) Seq(p)
-        else fs.listStatus(p).toIndexedSeq.flatMap { c =>
-          val name = c.getPath.getName
-          // skip hidden/metadata entries the parquet reader also skips
-          if (name.startsWith("_") || name.startsWith(".")) Seq.empty
-          else files(c.getPath)
-        }
+    def files(p: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val st = fs.getFileStatus(p)
+      if (st.isFile) Seq(st)
+      else fs.listStatus(p).toIndexedSeq.flatMap { c =>
+        val name = c.getPath.getName
+        // skip hidden/metadata entries the parquet reader also skips
+        if (name.startsWith("_") || name.startsWith(".")) Seq.empty
+        else files(c.getPath)
       }
-      java.lang.Long.valueOf(files(root).map { f =>
-        val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+    }
+    val children = files(root)
+    val maxChildMtime = if (children.isEmpty) 0L else children.map(_.getModificationTime).max
+    val totalBytes = children.map(_.getLen).sum
+    val stamp =
+      s"${rootSt.getModificationTime}:${rootSt.getLen}:${children.size}:$maxChildMtime:$totalBytes"
+    val cached = rowCountMemo.get(path)
+    if (cached != null && cached._1 == stamp) cached._2
+    else {
+      val n = children.map { f =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
         try r.getRecordCount finally r.close()
-      }.sum)
-    }).longValue
+      }.sum
+      rowCountMemo.put(path, (stamp, n)) // replaces any superseded entry
+      n
+    }
   }
 
   /** Register every table as a temp view AND every native text

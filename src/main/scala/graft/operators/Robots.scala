@@ -65,22 +65,50 @@ object Robots {
   }
 
   /** `pattern` as a wildcard prefix of `path` (§2.2.2): `*` = any
-    * octets, trailing `$` = end anchor. Recursive backtracking — real
-    * robots patterns are short and wildcard-sparse.
+    * octets, trailing `$` = end anchor. Greedy two-pointer match with
+    * a single backtrack point per `*` — O(|pattern|·|path|) worst
+    * case, linear on real patterns. robots.txt is crawler-adversarial
+    * input, so the matcher must not blow up on hostile wildcard
+    * pileups; runs of `*` are also collapsed (semantically identical)
+    * so pathological `****…` padding cannot inflate the bound.
     */
   def patternMatches(pattern: String, path: String): Boolean = {
     val endAnchor = pattern.endsWith("$")
-    val pat = if (endAnchor) pattern.substring(0, pattern.length - 1) else pattern
-    def m(pi: Int, si: Int): Boolean =
-      if (pi == pat.length) !endAnchor || si == path.length
-      else if (pat.charAt(pi) == '*') {
-        var k = si
-        var hit = false
-        while (!hit && k <= path.length) { hit = m(pi + 1, k); k += 1 }
-        hit
-      } else si < path.length && path.charAt(si) == pat.charAt(pi) &&
-        m(pi + 1, si + 1)
-    m(0, 0)
+    val raw = if (endAnchor) pattern.substring(0, pattern.length - 1) else pattern
+    // collapse consecutive '*'s: "a***b" ≡ "a*b"
+    val pat = {
+      val sb = new java.lang.StringBuilder(raw.length)
+      var i = 0
+      while (i < raw.length) {
+        val c = raw.charAt(i)
+        if (c != '*' || sb.length == 0 || sb.charAt(sb.length - 1) != '*') sb.append(c)
+        i += 1
+      }
+      sb.toString
+    }
+    var pi = 0
+    var si = 0
+    var starPi = -1 // pattern index just past the last '*'
+    var starSi = 0  // path index the last '*' is currently pinned to
+    while (true) {
+      if (pi == pat.length) {
+        // pattern consumed: a prefix match suffices unless anchored
+        if (!endAnchor || si == path.length) return true
+        if (starPi < 0) return false
+        starSi += 1
+        if (starSi > path.length) return false
+        si = starSi; pi = starPi
+      } else if (pat.charAt(pi) == '*') {
+        starPi = pi + 1; starSi = si; pi += 1
+      } else if (si < path.length && path.charAt(si) == pat.charAt(pi)) {
+        pi += 1; si += 1
+      } else if (starPi >= 0) {
+        starSi += 1
+        if (starSi > path.length) return false
+        si = starSi; pi = starPi
+      } else return false
+    }
+    false // unreachable
   }
 
   /** The rules applying to `agent`: all exactly-matching groups'

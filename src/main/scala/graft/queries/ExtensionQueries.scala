@@ -1477,6 +1477,21 @@ object ExtensionQueries {
       surprisalBuildFrame(s, dir)
     }
 
+  /** Row count of the materialized surprisal store, from the STORE's
+    * own parquet footers — not the documents footer count: a doc with
+    * NULL text contributes no store row (the token explode yields
+    * nothing), so the store may legitimately hold fewer rows than the
+    * corpus, and any equi-depth target ranks sized on the corpus
+    * count would overshoot the store's CDF (shifted cuts; a
+    * degenerate-cut raise_error once the shortfall exceeds n/4).
+    */
+  private def surprisalStoreCount(s: SparkSession, dir: String): Long = {
+    surprisalFrame(s, dir) // ensure the store is materialized
+    val key =
+      s"surprisal:$dir@${Tables.parquetRowCount(s, s"$dir/documents.parquet")}"
+    Tables.parquetRowCount(s, fingerprintStores.get(key))
+  }
+
   /** The store's construction plan, exposed so PlanAuditSpec can pin
     * the broadcast-vocab/no-token-shuffle contract on the frame that
     * actually pays the join (the served query just reads the store).
@@ -2095,8 +2110,9 @@ object ExtensionQueries {
       // ql arm + its cf row, rrf's lexical arm, the gains table) reads
       // the SAME per-doc pivot of the matched posting frame — one
       // store probe, one exchange, one localCheckpoint (bounded by the
-      // query terms' posting lists, never the corpus); the 20-row bm25
-      // frame is itself checkpointed so the rrf arm reuses it. Gains
+      // query terms' posting lists, never the corpus); ONLY the pivot
+      // is checkpointed — the cheap 20-row bm25 tail over it is
+      // recomputed per consumer (see lexTop below). Gains
       // are a pure PROJECTION of the pivot (Σtf per doc = tf0+tf1+tf2
       // — the store holds one row per (doc, term)). Pre-fix: 3
       // independent store probes, 3 pivots and a full bm25 recompute —
@@ -4149,10 +4165,11 @@ object ExtensionQueries {
       // collect variant require()d. bucket = #cuts strictly below sc,
       // exactly Export.bucketOf's fold.
       val cutsRow = graft.operators.Export.equiDepthCutsFrame(scored, "sc", 4,
-          // the surprisal store holds exactly one row per document, so
-          // the footer count IS the CDF total — target ranks become
-          // literals (no total aggregate)
-          nHint = Some(Tables.parquetRowCount(s, s"$dir/documents.parquet")))
+          // target ranks become literals (no total aggregate) — sized
+          // on the STORE's own footer count, which is the CDF total by
+          // construction even when NULL-text docs drop out of the
+          // store (see surprisalStoreCount)
+          nHint = Some(surprisalStoreCount(s, dir)))
         .agg(sort_array(collect_list(col("b"))).as("cuts"))
       val rates = Seq(250000L, 750000L, 750000L, 250000L)
       scored

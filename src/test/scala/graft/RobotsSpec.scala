@@ -58,6 +58,24 @@ class RobotsSpec extends AnyFunSuite {
     assert(!Robots.patternMatches("/p$", "/page"))
   }
 
+  test("hostile wildcard pileup terminates fast (greedy match, not exponential)") {
+    // robots.txt is crawler-adversarial input: the old recursive
+    // backtracker was exponential on star-dense anchored patterns
+    // (each '*' forked |path| branches). The greedy single-backtrack
+    // matcher is O(|pat|·|path|); this would previously hang for
+    // geological time.
+    val pat = ("/a" + "*a" * 40) + "b$"
+    val path = "/" + "a" * 2000
+    val t0 = System.nanoTime()
+    assert(!Robots.patternMatches(pat, path))
+    assert(Robots.patternMatches(("/" + "*" * 500) + "a" * 5 + "$", "/" + "a" * 2000))
+    val ms = (System.nanoTime() - t0) / 1000000
+    assert(ms < 2000, s"hostile pattern took ${ms}ms")
+    // semantics unchanged by star-run collapsing
+    assert(Robots.patternMatches("/a***b", "/axxxb"))
+    assert(!Robots.patternMatches("/a***b$", "/axxxbc"))
+  }
+
   test("parse robustness: comments, empty Disallow, orphan rules, unknown keys") {
     val txt =
       """Disallow: /orphan   # rules before any group are ignored
