@@ -25,6 +25,40 @@ object DevProbe {
       println(f"PROBE $name%-28s min=${rs.map(_._1).min}%7.3f s rows=${rs.head._2}")
     }
 
+    // ---- round-16 probes: cdc native-vs-HOF A/B + crawl_pipeline
+    // regression isolation (run first; SPARK_GRAFT_PROBE_R16_ONLY=1
+    // exits after them) ----
+    t("cdc_native_full") { SparkEntry.queries("dedup_cdc_chunks")(spark, sfDir).count() }
+    t("cdc_hof_full") {
+      // the chain the native expression replaced, verbatim
+      val ws = graft.operators.TextOps.tokens(col("text"))
+      val chunks = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), ws.as("ws"))
+        .withColumn("n", size(col("ws")))
+        .withColumn("bs", expr(
+          """filter(transform(
+             |  CASE WHEN n >= 8 THEN sequence(1, n - 7) ELSE array() END,
+             |  i -> CASE WHEN i + 7 < n AND
+             |    substring(md5(concat_ws(' ', slice(ws, i, 8))), 1, 1) = '0'
+             |    THEN i + 7 END),
+             |  x -> x IS NOT NULL)""".stripMargin))
+        .withColumn("bb", expr("concat(array(0), bs, array(n))"))
+        .withColumn("chunk", explode(expr(
+          """transform(sequence(1, size(bb) - 1), k ->
+             |  concat_ws(' ', slice(ws, element_at(bb, k) + 1,
+             |    element_at(bb, k + 1) - element_at(bb, k))))""".stripMargin)))
+        .select(col("doc_id"), md5(col("chunk")).as("ch"))
+      val dupes = chunks.groupBy(col("ch"))
+        .agg(count_distinct(col("doc_id")).as("nd"))
+      chunks.join(dupes, Seq("ch"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum((col("nd") >= 2).cast("long")).as("n_dup_chunks"))
+        .count()
+    }
+    t("crawl_pipeline_full") { SparkEntry.queries("crawl_pipeline")(spark, sfDir).count() }
+    if (sys.env.contains("SPARK_GRAFT_PROBE_R16_ONLY")) { spark.stop(); return }
+
     // ---- round-12 probes: corpus_keywords job-count A/B ----
     // The round-11 rewire left corpus_keywords at ~5.7x DuckDB; the
     // residue is SERIALIZED JOBS each paying the local job floor, not

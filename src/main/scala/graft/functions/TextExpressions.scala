@@ -57,6 +57,50 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Content-defined chunk hashes in ONE byte scan: the FastCDC/rsync
+  * boundary rule in token space — a boundary lands after token
+  * `i+window-1` (1-based) iff the md5 of the `window`-token span
+  * starting at token i opens with hex nibble 0 (p = 1/16) and the
+  * boundary is interior; chunks are the token spans between
+  * consecutive boundaries and the value is each chunk's md5 hex.
+  *
+  * Semantics are IDENTICAL to the declarative form over
+  * `split(text, ' ')` (filter/transform over a sequence, slice +
+  * concat_ws + md5 per window) — the repo's own documented worst
+  * anti-pattern: every HOF is CodegenFallback with per-element lambda
+  * dispatch, and each window allocates a fresh slice array and joined
+  * string. Here, as in [[WordShingles]], re-joining single-space
+  * tokens reconstructs the original bytes, so every window AND every
+  * chunk is a contiguous byte range of the input — the scan feeds
+  * those ranges straight into one thread-local MessageDigest, no
+  * intermediate strings at all. r16 DevProbe A/B at sf0.1 (same run,
+  * min-of-7): full dedup_cdc_chunks 0.790 s (HOF) -> 0.414 s
+  * (native); the md5 work itself is irreducible (the oracle pays it
+  * too), the delta is the lambda/allocation overhead.
+  */
+case class CdcChunkHashes(child: Expression, window: Int) extends UnaryExpression {
+
+  require(window >= 2, s"cdc window must be >= 2 tokens, got $window")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cdc_chunk_hashes requires a string input, got ${child.dataType.sql}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "cdc_chunk_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    TextExpressions.cdcChunkHashes(input.asInstanceOf[UTF8String], window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextExpressions.cdcChunkHashes($c, $window)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** One-pass positional phrase-occurrence count: adjacent token pairs
   * (w1, w2) in a space-delimited text, OVERLAPPING occurrences counted
   * (postings semantics — replace()-style counting undercounts when the
@@ -705,6 +749,55 @@ object TextExpressions {
     new GenericArrayData(out)
   }
 
+  private val hexDigits = "0123456789abcdef".getBytes
+
+  /** Lowercase hex of a 16-byte digest (DuckDB/Spark md5() spelling). */
+  private def hex32(digest: Array[Byte]): UTF8String = {
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((digest(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(digest(i) & 0xf)
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** One-scan CDC chunk hashes (see [[CdcChunkHashes]]). Windows are
+    * evaluated over the ORIGINAL token sequence (not re-anchored after
+    * a boundary — the declarative twin's semantics), so consecutive
+    * boundaries may sit closer than `window` apart. 1-based window
+    * start i runs 1..n-window (the i+window-1 < n interiority guard
+    * folded into the bound); 0-based that is 0..n-window-1.
+    */
+  def cdcChunkHashes(text: UTF8String, window: Int): GenericArrayData = {
+    val bytes = text.getBytes
+    val (starts, ends, numTokens) = boundaries(bytes)
+    val md = md5Local.get()
+    val out = new java.util.ArrayList[Any]()
+    var prev = 0 // tokens consumed so far = current chunk's first token
+    var i0 = 0
+    val lastWindowStart = numTokens - window - 1
+    while (i0 <= lastWindowStart) {
+      md.update(bytes, starts(i0), ends(i0 + window - 1) - starts(i0))
+      // first hex digit '0' <=> high nibble of digest byte 0 is zero
+      if ((md.digest()(0) & 0xf0) == 0) {
+        val b = i0 + window // boundary = token count consumed
+        md.update(bytes, starts(prev), ends(b - 1) - starts(prev))
+        out.add(hex32(md.digest()))
+        prev = b
+      }
+      i0 += 1
+    }
+    md.update(bytes, starts(prev), ends(numTokens - 1) - starts(prev))
+    out.add(hex32(md.digest()))
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Column facade: CDC chunk md5s of `text`, `window`-token coins. */
+  def cdc_chunk_hashes(text: Column, window: Int): Column =
+    bridge.column(CdcChunkHashes(bridge.expression(text), window))
+
   /** Shingle byte-ranges of `text` as (starts, ends, count) without
     * materializing strings — shared scaffolding of the three variants.
     */
@@ -1315,6 +1408,7 @@ object TextExpressions {
     "minhash_slices" -> (exprs => MinHashSlices(exprs.head, intArg(exprs, 1))),
     "top_gram_frac" -> (exprs => TopGramFrac(exprs.head, intArg(exprs, 1))),
     "word_chunks" -> (exprs => WordChunks(exprs.head, intArg(exprs, 1), intArg(exprs, 2))),
+    "cdc_chunk_hashes" -> (exprs => CdcChunkHashes(exprs.head, intArg(exprs, 1))),
     "percent_normalize" -> (exprs => PercentNormalize(exprs.head)),
     "term_count_structs" -> (exprs => TermCountStructs(exprs.head)),
     "phrase_count" -> (exprs => PhraseCount(exprs.head,

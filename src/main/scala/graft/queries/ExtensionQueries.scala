@@ -5006,6 +5006,13 @@ object ExtensionQueries {
     // scan runs ONCE. The DuckDB oracle replays every stage: the
     // construction arithmetic for the WARC bytes and the SAME
     // regex/gram/window/hash pipeline on the replayed strings (same
+    // PROFILE (r16, regression watch): the r15 bench artifact's
+    // 2.47->2.91 s drift was BOX LOAD, not a plan change — isolated
+    // min-of-7 at r16 HEAD is 1.788 s (same-run denominators: the cdc
+    // A/B probes in the same DevProbe pass), in line with the r7 note
+    // (1.7 s vs DuckDB 2.2 s); in-pass bench figures on this query run
+    // ~1.5x hotter than isolated pairs, exactly the repo's documented
+    // QBench-vs-isolated calibration.
     // work-asymmetry note as warc_ingest: Spark parses real bytes, the
     // oracle replays string arithmetic).
     "crawl_pipeline" -> ((s, dir) => {
@@ -5772,27 +5779,20 @@ object ExtensionQueries {
     // chunk count, chunks shared with ANOTHER doc, duplicated
     // fraction.
     "dedup_cdc_chunks" -> ((s, dir) => {
-      val ws = TextOps.tokens(col("text"))
+      // boundary + chunk + hash in ONE native byte scan per doc
+      // (functions.CdcChunkHashes): the first formulation was the
+      // transform(sequence)->slice->concat_ws->md5 HOF chain — the
+      // exact CodegenFallback-per-window anti-pattern WordShingles
+      // was written to kill. The native expression feeds each
+      // window's and chunk's CONTIGUOUS byte range straight into one
+      // thread-local MessageDigest — zero intermediate arrays or
+      // strings (r16 DevProbe A/B: cdc_native vs cdc_hof; the HOF
+      // twin survives as TextExpressionsPropertySpec fuzz armor and
+      // the DuckDB oracle still replays the declarative form, so the
+      // hash gate proves native == declarative cross-engine).
       val chunks = Tables.documents(s, dir)
-        .select(col("doc_id"), ws.as("ws"))
-        .withColumn("n", size(col("ws")))
-        // boundary positions: window starts i = 1..n-7 whose hash
-        // coins fire AND whose end i+7 is interior (a boundary at the
-        // last token would mint an empty trailing chunk). Spark's
-        // sequence(1, x) DESCENDS for x < 1 — guard short docs.
-        .withColumn("bs", expr(
-          """filter(transform(
-             |  CASE WHEN n >= 8 THEN sequence(1, n - 7) ELSE array() END,
-             |  i -> CASE WHEN i + 7 < n AND
-             |    substring(md5(concat_ws(' ', slice(ws, i, 8))), 1, 1) = '0'
-             |    THEN i + 7 END),
-             |  x -> x IS NOT NULL)""".stripMargin))
-        .withColumn("bb", expr("concat(array(0), bs, array(n))"))
-        .withColumn("chunk", explode(expr(
-          """transform(sequence(1, size(bb) - 1), k ->
-             |  concat_ws(' ', slice(ws, element_at(bb, k) + 1,
-             |    element_at(bb, k + 1) - element_at(bb, k))))""".stripMargin)))
-        .select(col("doc_id"), md5(col("chunk")).as("ch"))
+        .select(col("doc_id"), explode(
+          graft.functions.TextExpressions.cdc_chunk_hashes(col("text"), 8)).as("ch"))
       val dupes = chunks.groupBy(col("ch"))
         .agg(count_distinct(col("doc_id")).as("nd"))
       chunks.join(dupes, Seq("ch"))

@@ -97,6 +97,50 @@ class TextExpressionsPropertySpec extends SparkSpec {
     assert(declarativeEqual(Seq("", " ", "   ", "a ", " a", "a  b", "ab")))
   }
 
+  test("cdc_chunk_hashes equals the filter/transform/slice/md5 HOF chain") {
+    // the declarative twin dedup_cdc_chunks shipped with (and the
+    // DuckDB oracle still replays): coin = md5 of the w-token window
+    // opens with hex '0', boundary after token i+w-1 iff interior,
+    // chunk hashes between consecutive boundaries
+    def equal(texts: Seq[String], w: Int): Boolean = {
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val cmp = docs
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("n", size(col("ws")))
+        .withColumn("bs", expr(
+          s"""filter(transform(
+             |  CASE WHEN n >= $w THEN sequence(1, n - ${w - 1}) ELSE array() END,
+             |  i -> CASE WHEN i + ${w - 1} < n AND
+             |    substring(md5(concat_ws(' ', slice(ws, i, $w))), 1, 1) = '0'
+             |    THEN i + ${w - 1} END),
+             |  x -> x IS NOT NULL)""".stripMargin))
+        .withColumn("bb", expr("concat(array(0), bs, array(n))"))
+        .withColumn("decl", expr(
+          """transform(sequence(1, size(bb) - 1), k ->
+             |  md5(concat_ws(' ', slice(ws, element_at(bb, k) + 1,
+             |    element_at(bb, k + 1) - element_at(bb, k)))))""".stripMargin))
+        .select(
+          (TextExpressions.cdc_chunk_hashes(col("text"), w) === col("decl")).as("eq"))
+        .collect()
+      cmp.forall(_.getBoolean(0))
+    }
+    // longer docs than genText's 12 tokens so boundaries actually fire
+    // (p = 1/16 per window); w=3 makes them dense, w=8 is the query's
+    val genLongText = for {
+      n <- Gen.choose(1, 40)
+      ws <- Gen.listOfN(n, genWord)
+    } yield ws.mkString(" ")
+    val prop = Prop.forAll(Gen.listOfN(6, genLongText)) { texts =>
+      equal(texts, 3) && equal(texts, 8)
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+    // hostile fixtures: empty, all-space, sub-window, exactly window,
+    // window+1 (the interiority guard's edge)
+    assert(equal(Seq("", " ", "a b c", "a b c d e f g h", "a b c d e f g h i"), 8))
+  }
+
   test("phrase_runs equals the window/collect_list formulation on adversarial strings") {
     // the exact shape corpus_keyphrases replaced: posexplode -> per-doc
     // cumulative stopword count -> filter -> collect_list join. "a" is
