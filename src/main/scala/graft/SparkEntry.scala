@@ -41,15 +41,23 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     *
-    * One deliberate exception to "equivalent SQL":
-    * `sim_recall_report_trained`'s oracle is a constant CONTRACT table
-    * (the expected per-rung health bits), not a computation replay —
-    * the trained rungs' learned float codebooks are not
-    * SQL-expressible, and the contract oracle exists so a trained-path
-    * recall regression flips the driver's hash gate instead of hiding
-    * in a spec run. Its DuckDB time is therefore ~0 and NOT a fair
-    * perf denominator (the Spark side measures six real rungs, once
-    * per corpus version via the store lifecycle).
+    * One deliberate exception to "equivalent SQL": the CONTRACT
+    * oracles — constant expected-health tables, not computation
+    * replays — covering the operators whose learned state is not
+    * SQL-expressible: `sim_recall_report_trained` (the six-rung recall
+    * rollup) and, since r16, the six trained/indexed ANN rungs
+    * themselves (`sim_{ivf,pq}_topk_{trained,indexed}`,
+    * `sim_pq_trained_rerank_topk`, `dedup_embedding_trained` — each
+    * runs its REAL rung inline and emits one row of structural +
+    * recall health bits, see ExtensionQueries.annRungContract) plus
+    * `bpe_token_counts` (train + distributed apply, gated on merge
+    * completion, losslessness, and apply/re-encode total agreement).
+    * A trained-path regression flips the specific rung's driver gate
+    * instead of hiding in a spec run. Their DuckDB times are ~0 and
+    * NOT fair perf denominators (the Spark side measures the real
+    * serving work). The only remaining rows-only query is
+    * `q12_approx_distinct` (HLL estimates differ by engine;
+    * `q12b_kmv_distinct` gates the same semantics exactly).
     */
   def oracleSql: Map[String, String] =
     ParityQueries.oracleSql ++ AnalyticsQueries.oracleSql ++ ExtensionQueries.oracleSql

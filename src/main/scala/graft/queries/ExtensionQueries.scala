@@ -1583,37 +1583,90 @@ object ExtensionQueries {
     * exact cosine baseline and emits one (rung, recall_ok) row per
     * rung. Runs once per corpus version (memoized by the entry).
     */
+  /** Exact cosine top-20 PER SEEDED QUERY ID (42, 299) — (qid, rk,
+    * vec_id), ONE batched corpus pass for BOTH ids, memoized per
+    * corpus version (materializedFrame, dir@rowCount key): the six
+    * per-rung serving contracts plus the rolled-up recall report all
+    * compare against this 40-row store, so the exact baseline is paid
+    * once per corpus — a bench rep of a contract query measures the
+    * RUNG, not six redundant brute-force passes.
+    */
+  private def exactTopFrame(s: SparkSession, dir: String): DataFrame =
+    materializedFrame(s, s"exacttop:$dir@${
+      Tables.parquetRowCount(s, s"$dir/embeddings.parquet")}") {
+      import s.implicits._
+      val topk = new graft.functions.SketchAgg.TopK(20)
+      val q = embWithNorm(s, dir).filter(col("vec_id").isin(42L, 299L))
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nv").as("nq"))
+      embWithNorm(s, dir).crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"),
+          round(VectorOps.dot(col("qv"), col("v")) / sqrt(col("nq") * col("nv"))
+            * 1e6).cast("long").as("score"),
+          col("vec_id"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .mapValues(t => graft.functions.SketchAgg.TopKRow(t._2, t._3, 0L))
+        .agg(topk.toColumn.name("top"))
+        .toDF("qid", "top")
+        .select(col("qid"), posexplode(col("top")).as(Seq("i0", "t")))
+        .select(col("qid"), (col("i0") + 1).cast("long").as("rk"),
+          col("t.id").as("vec_id"))
+    }
+
+  /** The trained-path pq recall floor is corpus-size-aware: 8-byte
+    * codes honestly stop ranking once the corpus outgrows the seed
+    * window (see the sim_pq_topk_trained rung comment).
+    */
+  private def pqTrainedBar(s: SparkSession, dir: String): Long =
+    if (Tables.parquetRowCount(s, s"$dir/embeddings.parquet") >= 2000) 4L else 6L
+
+  /** Constant expected-health oracle of an [[annRungContract]] row. */
+  private def annContractOracleSql(name: String, k: Int): String =
+    s"SELECT '$name' AS rung, CAST($k AS BIGINT) AS n_rows, " +
+    "CAST(1 AS BIGINT) AS distinct_ok, CAST(1 AS BIGINT) AS self_excluded_ok, " +
+    "CAST(1 AS BIGINT) AS recall_ok"
+
+  /** SF-invariant serving CONTRACT of a trained/indexed top-k ANN
+    * rung: runs the RAW rung inline (a bench rep still measures the
+    * real serving path), joins its answer ids against the memoized
+    * exact-top store, and emits ONE row of structural + recall health
+    * bits — (rung, n_rows, distinct_ok, self_excluded_ok, recall_ok)
+    * — that a constant-table DuckDB oracle can hash-gate. This is the
+    * r15 verdict's ask: a trained-path regression (wrong row count,
+    * duplicate/self answers, recall collapse) now flips the DRIVER's
+    * gate for the specific rung, instead of only failing a spec run.
+    */
+  private def annRungContract(s: SparkSession, dir: String, name: String,
+      qid: Long, rkMax: Int, bar: Long): DataFrame = {
+    val hits = exactTopFrame(s, dir)
+      .filter(col("qid") === qid && col("rk") <= rkMax)
+      .select(col("vec_id"), lit(1L).as("hit"))
+    trainedRungFrames(name)(s, dir)
+      .select(col("vec_id"))
+      .join(broadcast(hits), Seq("vec_id"), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col("vec_id")).as("nd"),
+        coalesce(sum(col("hit")), lit(0L)).as("ov"),
+        coalesce(max((col("vec_id") === qid).cast("long")), lit(0L)).as("selfhit"))
+      .select(lit(name).as("rung"),
+        col("n_rows"),
+        (col("nd") === col("n_rows")).cast("long").as("distinct_ok"),
+        (col("selfhit") === 0L).cast("long").as("self_excluded_ok"),
+        (col("ov") >= bar).cast("long").as("recall_ok"))
+  }
+
   private def trainedRecallBuildFrame(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val n = Tables.parquetRowCount(s, s"$dir/embeddings.parquet")
-    val topk = new graft.functions.SketchAgg.TopK(20)
-    val q = embWithNorm(s, dir).filter(col("vec_id").isin(42L, 299L))
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nv").as("nq"))
-    val exact = embWithNorm(s, dir).crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"),
-        round(VectorOps.dot(col("qv"), col("v")) / sqrt(col("nq") * col("nv"))
-          * 1e6).cast("long").as("score"),
-        col("vec_id"))
-      .as[(Long, Long, Long)]
-      .groupByKey(_._1)
-      .mapValues(t => graft.functions.SketchAgg.TopKRow(t._2, t._3, 0L))
-      .agg(topk.toColumn.name("top"))
-      .toDF("qid", "top")
-      .select(col("qid"), posexplode(col("top")).as(Seq("i0", "t")))
-      .select(col("qid"), (col("i0") + 1).cast("long").as("rk"),
-        col("t.id").as("vec_id"))
-      .localCheckpoint()
+    val exact = exactTopFrame(s, dir)
     def okRow(name: String, qid: Long, rkMax: Int, bar: Long): DataFrame =
-      queries(name)(s, dir).select(col("vec_id"))
+      trainedRungFrames(name)(s, dir).select(col("vec_id"))
         .join(broadcast(exact
           .filter(col("qid") === qid && col("rk") <= rkMax)
           .select(col("vec_id"))), Seq("vec_id"))
         .agg(count(lit(1)).as("ov"))
         .select(lit(name).as("rung"),
           (col("ov") >= bar).cast("long").as("recall_ok"))
-    val pqBar = if (n >= 2000) 4L else 6L
-    val rr = queries("sim_pq_trained_rerank_topk")(s, dir)
+    val rr = trainedRungFrames("sim_pq_trained_rerank_topk")(s, dir)
     val rrOk = rr.select(col("vec_id"))
       .join(broadcast(exact.filter(col("qid") === 299L && col("rk") <= 10)
         .select(col("vec_id"))), Seq("vec_id"))
@@ -1624,7 +1677,7 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("t1ok"))))
       .select(lit("sim_pq_trained_rerank_topk").as("rung"),
         (col("ov") >= 9L && col("t1ok") === 1L).cast("long").as("recall_ok"))
-    val dedOk = queries("dedup_embedding_trained")(s, dir)
+    val dedOk = trainedRungFrames("dedup_embedding_trained")(s, dir)
       .agg(count(lit(1)).as("np"),
         coalesce(min((col("a_id") < col("b_id") &&
           col("cos_sim") >= 0.45).cast("long")), lit(0L)).as("okmin"))
@@ -1634,10 +1687,72 @@ object ExtensionQueries {
       okRow("sim_ivf_topk_trained", 42L, 20, 3L),
       okRow("sim_ivf_topk_indexed", 42L, 20, 3L),
       okRow("sim_pq_topk_indexed", 42L, 20, 2L),
-      okRow("sim_pq_topk_trained", 299L, 10, pqBar),
+      okRow("sim_pq_topk_trained", 299L, 10, pqTrainedBar(s, dir)),
       rrOk, dedOk)
       .reduce(_ unionByName _).orderBy(col("rung"))
   }
+
+  /** RAW trained/persisted ANN rung frames — the actual serving
+    * outputs (top-k rows / near-dup pairs) of the six rungs whose
+    * learned float codebooks are not SQL-replayable. The public
+    * `queries` entries of the same names wrap these in the
+    * [[annRungContract]] health frames (constant-table oracles, the
+    * r15 verdict's rows-only gating ask); specs, the recall report,
+    * and any caller that wants the actual neighbors run these
+    * directly (the operator surface — Similarity.ivfTopK / probeIndex
+    * / probePqIndex / nearDupPairs — is the production API).
+    */
+  private[graft] def trainedRungFrames: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_embedding_trained" -> ((s, dir) =>
+      graft.operators.Similarity.nearDupPairs(s, Tables.embeddings(s, dir), 0.45,
+        nHint = Tables.parquetRowCount(s, s"$dir/embeddings.parquet"))),
+    "sim_pq_topk_trained" -> ((s, dir) =>
+      Tables.embeddings(s, dir).filter(col("vec_id") =!= 299)
+        .select(col("vec_id"),
+          round(trainedAdcScore(s, dir, qid = 299L), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)),
+    "sim_pq_trained_rerank_topk" -> ((s, dir) => {
+      val shortlist = Tables.embeddings(s, dir).filter(col("vec_id") =!= 299)
+        .select(col("vec_id"),
+          round(trainedAdcScore(s, dir, qid = 299L), 6).as("adc"))
+        .orderBy(col("adc").desc, col("vec_id"))
+        .limit(200)
+      val q = embWithNorm(s, dir).filter(col("vec_id") === 299)
+        .select(col("v").as("qv"), col("nv").as("nq"))
+      embWithNorm(s, dir)
+        .join(broadcast(shortlist), Seq("vec_id"))
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("adc"),
+          round(VectorOps.dot(col("qv"), col("v")) / sqrt(col("nq") * col("nv")), 6)
+            .as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    }),
+    "sim_ivf_topk_trained" -> ((s, dir) =>
+      graft.operators.Similarity.ivfTopK(s, Tables.embeddings(s, dir),
+        queryVecId = 42, topK = 5, probes = 2,
+        nHint = Tables.parquetRowCount(s, s"$dir/embeddings.parquet"))),
+    "sim_ivf_topk_indexed" -> ((s, dir) => {
+      import s.implicits._
+      val idx = ivfIndexDir(s, dir)
+      val qv = Tables.embeddings(s, dir).filter(col("vec_id") === 42)
+        .select(VectorOps.toDouble(col("embedding"))).as[Array[Double]].head()
+      // the saved index contains the query vector itself; probe one
+      // deeper and drop the guaranteed self-match (cos = 1.0, rank 1)
+      graft.operators.Similarity.probeIndex(s, idx, qv, topK = 6, probes = 2)
+        .filter(col("vec_id") =!= 42)
+        .limit(5)
+    }),
+    "sim_pq_topk_indexed" -> ((s, dir) => {
+      import s.implicits._
+      val idx = pqIndexDir(s, dir)
+      val qv = Tables.embeddings(s, dir).filter(col("vec_id") === 42)
+        .select(VectorOps.toDouble(col("embedding"))).as[Array[Double]].head()
+      graft.operators.Similarity.probePqIndex(s, idx, qv, topK = 6, probes = 2)
+        .filter(col("vec_id") =!= 42)
+        .limit(5)
+    }))
 
   /** Exact-dup content groups over the synthetically re-uploaded
     * corpus (every doc_id % 7 == 0 doc unioned once more — the
@@ -1903,13 +2018,22 @@ object ExtensionQueries {
     // quantizer (Similarity.trainIvf) instead of 8 fixed seed cells, so
     // expected within-cell pair work is (n/k)^2 * k = n — linear, not
     // O(n^2/8). Learned float centroids aren't replayable in portable
-    // SQL, so this is a declared rows-only query; SimilaritySpec pins
-    // its semantics against the brute-force scorer instead.
-    // nHint from parquet footers: the k ~ sqrt(n) sizing rule no longer
-    // opens with a full-scan COUNT job (the count is footer metadata).
+    // SQL, so the GATED output is a one-row serving CONTRACT (the
+    // annRungContract convention, r16): the raw pair frame
+    // (trainedRungFrames) runs inline — a bench rep still measures
+    // the real quantize/pair/score path — and the emitted bits (at
+    // least one pair found; every pair canonical a<b at cos >= 0.45)
+    // hash-gate against a constant oracle, so a quantizer collapse or
+    // pairing regression flips the DRIVER gate. SimilaritySpec keeps
+    // pinning the raw pairs against the brute-force scorer.
     "dedup_embedding_trained" -> ((s, dir) =>
-      graft.operators.Similarity.nearDupPairs(s, Tables.embeddings(s, dir), 0.45,
-        nHint = Tables.parquetRowCount(s, s"$dir/embeddings.parquet"))),
+      trainedRungFrames("dedup_embedding_trained")(s, dir)
+        .agg(count(lit(1)).as("np"),
+          coalesce(min((col("a_id") < col("b_id") &&
+            col("cos_sim") >= 0.45).cast("long")), lit(0L)).as("okmin"))
+        .select(lit("dedup_embedding_trained").as("rung"),
+          (col("np") >= 1L).cast("long").as("nonempty_ok"),
+          (col("okmin") === 1L).cast("long").as("pairs_canonical_ok"))),
 
     // ---- Similarity search --------------------------------------------
     // Brute-force cosine top-k vs query vector (vec_id=0): map-side
@@ -2338,17 +2462,18 @@ object ExtensionQueries {
     // seeded twin's cosine argmax exists only for SQL replay), ADC is
     // the same 8 broadcast-literal dot-table lookups, so the plan is
     // still scan -> 8 native argmins -> table sum ->
-    // TakeOrderedAndProject with ZERO exchanges. Rows-only (learned
-    // float codebooks aren't SQL-replayable); the seeded twin keeps
-    // pinning the arithmetic, and ExtensionInvariantsSpec pins this
-    // rung's recall at the sq8 bar (>= 7/10 overlap vs the exact
-    // top-10) — the measurable win training buys over seeding.
+    // TakeOrderedAndProject with ZERO exchanges. Learned float
+    // codebooks aren't SQL-replayable, so the GATED output is the
+    // annRungContract health row (raw rung runs inline; constant
+    // oracle): the recall bit uses the corpus-size-aware floor bar
+    // (>= 6/10 vs the exact top-10 under 2000 vectors, >= 4/10 above
+    // — the honest 8-byte-code limit once the corpus outgrows the
+    // seed window); the seeded twin keeps pinning the ADC arithmetic
+    // under a replay oracle, and ExtensionInvariantsSpec keeps the
+    // TIGHT per-SF bars on the raw frame.
     "sim_pq_topk_trained" -> ((s, dir) =>
-      Tables.embeddings(s, dir).filter(col("vec_id") =!= 299)
-        .select(col("vec_id"),
-          round(trainedAdcScore(s, dir, qid = 299L), 6).as("score"))
-        .orderBy(col("score").desc, col("vec_id"))
-        .limit(10)),
+      annRungContract(s, dir, "sim_pq_topk_trained",
+        qid = 299L, rkMax = 10, bar = pqTrainedBar(s, dir))),
 
     // ADC-shortlist + EXACT-rerank — the production answer to PQ's
     // recall ceiling (FAISS's standard two-stage serve): the 8-byte
@@ -2382,32 +2507,35 @@ object ExtensionQueries {
 
     // TRAINED banks + exact rerank — the full production serve: k-means
     // codebooks (the trained rung's banks, memoized per dir) rank the
-    // 8-byte ADC shortlist, exact cosine reranks the fetched 50.
-    // Rows-only like its trained sibling (learned float codebooks
-    // aren't SQL-replayable; the SEEDED rerank twin pins the two-stage
-    // arithmetic under the oracle gate). This rung closes the trained
-    // path's honest recall gap at larger SFs: raw trained ADC sits at
-    // ~5/10 overlap at sf0.1 where ExtensionInvariantsSpec pins this
-    // at >= 9/10 — quantization only has to keep neighbors in the
-    // 200-deep shortlist, not rank them. (200 is 10% of this corpus;
-    // production shortlists are a FIXED few thousand independent of n,
-    // so the two-stage cost stays sub-linear at any scale.)
+    // 8-byte ADC shortlist, exact cosine reranks the fetched 200 (the
+    // SEEDED rerank twin pins the two-stage arithmetic under a replay
+    // oracle). GATED as the annRungContract health row plus a top1_ok
+    // bit — the two-stage serve must recover >= 9/10 of the exact
+    // top-10 AND nail the exact rank-1 (quantization only has to keep
+    // neighbors inside the 200-deep shortlist, not rank them; 200 is
+    // 10% of this corpus, production shortlists are a FIXED few
+    // thousand independent of n, so two-stage cost stays sub-linear).
     "sim_pq_trained_rerank_topk" -> ((s, dir) => {
-      val shortlist = Tables.embeddings(s, dir).filter(col("vec_id") =!= 299)
-        .select(col("vec_id"),
-          round(trainedAdcScore(s, dir, qid = 299L), 6).as("adc"))
-        .orderBy(col("adc").desc, col("vec_id"))
-        .limit(200)
-      val q = embWithNorm(s, dir).filter(col("vec_id") === 299)
-        .select(col("v").as("qv"), col("nv").as("nq"))
-      embWithNorm(s, dir)
-        .join(broadcast(shortlist), Seq("vec_id"))
-        .crossJoin(broadcast(q))
-        .select(col("vec_id"), col("adc"),
-          round(VectorOps.dot(col("qv"), col("v")) / sqrt(col("nq") * col("nv")), 6)
-            .as("cos_sim"))
-        .orderBy(col("cos_sim").desc, col("vec_id"))
-        .limit(10)
+      val rr = trainedRungFrames("sim_pq_trained_rerank_topk")(s, dir)
+      val exact = exactTopFrame(s, dir)
+      val hits = exact.filter(col("qid") === 299L && col("rk") <= 10)
+        .select(col("vec_id"), lit(1L).as("hit"))
+      rr.select(col("vec_id"))
+        .join(broadcast(hits), Seq("vec_id"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          count_distinct(col("vec_id")).as("nd"),
+          coalesce(sum(col("hit")), lit(0L)).as("ov"),
+          coalesce(max((col("vec_id") === 299L).cast("long")), lit(0L)).as("selfhit"))
+        .crossJoin(broadcast(rr.limit(1).select(col("vec_id"))
+          .join(exact.filter(col("qid") === 299L && col("rk") === 1L)
+            .select(col("vec_id")), Seq("vec_id"))
+          .agg(count(lit(1)).as("t1"))))
+        .select(lit("sim_pq_trained_rerank_topk").as("rung"),
+          col("n_rows"),
+          (col("nd") === col("n_rows")).cast("long").as("distinct_ok"),
+          (col("selfhit") === 0L).cast("long").as("self_excluded_ok"),
+          (col("ov") >= 9L).cast("long").as("recall_ok"),
+          (col("t1") === 1L).cast("long").as("top1_ok"))
     }),
 
     // IVF x PQ — the COMPOSITE 100 TB serving architecture, and the
@@ -2651,12 +2779,14 @@ object ExtensionQueries {
     // PRODUCTION twin of sim_ivf_topk: learned k ~ sqrt(n) quantizer +
     // multi-probe (2 nearest cells) for recall at cell boundaries.
     // Candidates scanned: probes * n/k = 2*sqrt(n), vs n/8 with fixed
-    // seeds. Rows-only (learned centroids aren't SQL-replayable);
-    // SimilaritySpec asserts recall against sim_cosine_topk.
+    // seeds. Learned centroids aren't SQL-replayable, so the GATED
+    // output is the annRungContract health row (raw rung inline,
+    // constant oracle; recall bit = >= 3 of the exact top-20);
+    // SimilaritySpec keeps asserting raw-frame recall against
+    // sim_cosine_topk.
     "sim_ivf_topk_trained" -> ((s, dir) =>
-      graft.operators.Similarity.ivfTopK(s, Tables.embeddings(s, dir),
-        queryVecId = 42, topK = 5, probes = 2,
-        nHint = Tables.parquetRowCount(s, s"$dir/embeddings.parquet"))),
+      annRungContract(s, dir, "sim_ivf_topk_trained",
+        qid = 42L, rkMax = 20, bar = 3L)),
 
     // PERSISTED-INDEX twin of sim_ivf_topk_trained — the actual 100 TB
     // serving path: train + save the cell-partitioned index ONCE
@@ -2665,38 +2795,26 @@ object ExtensionQueries {
     // directories (partition pruning at the file source, asserted in
     // SimilaritySpec). The bench number this records is the steady-
     // state probe latency — amortizing the build is the entire point
-    // of a persisted index. Rows-only (learned float centroids aren't
-    // SQL-replayable); recall semantics are pinned against the brute
-    // scorer by SimilaritySpec.
-    "sim_ivf_topk_indexed" -> ((s, dir) => {
-      import s.implicits._
-      val idx = ivfIndexDir(s, dir)
-      val qv = Tables.embeddings(s, dir).filter(col("vec_id") === 42)
-        .select(VectorOps.toDouble(col("embedding"))).as[Array[Double]].head()
-      // the saved index contains the query vector itself; probe one
-      // deeper and drop the guaranteed self-match (cos = 1.0, rank 1)
-      graft.operators.Similarity.probeIndex(s, idx, qv, topK = 6, probes = 2)
-        .filter(col("vec_id") =!= 42)
-        .limit(5)
-    }),
+    // of a persisted index. GATED as the annRungContract health row
+    // (the raw probe runs inline; constant oracle), so an index-build
+    // or partition-pruning regression flips the driver gate;
+    // SimilaritySpec keeps the raw-frame == trained-twin equality.
+    "sim_ivf_topk_indexed" -> ((s, dir) =>
+      annRungContract(s, dir, "sim_ivf_topk_indexed",
+        qid = 42L, rkMax = 20, bar = 3L)),
 
-    // PERSISTED IVF-PQ serving path (rows-only like its IVF sibling —
-    // learned float codebooks aren't SQL-replayable): the index stores
-    // each vector as ONE packed bigint of 8 PQ codes under its coarse
-    // cell directory, so a probe partition-prunes to its cells and
-    // scans 8 BYTES per candidate — the oracled sim_ivfpq twins pin
-    // the arithmetic; this entry pins the storage + pruning lifecycle
-    // (build once per dir, probe many). SimilaritySpec asserts recall
-    // against the exact ranking and byte-exact code unpacking.
-    "sim_pq_topk_indexed" -> ((s, dir) => {
-      import s.implicits._
-      val idx = pqIndexDir(s, dir)
-      val qv = Tables.embeddings(s, dir).filter(col("vec_id") === 42)
-        .select(VectorOps.toDouble(col("embedding"))).as[Array[Double]].head()
-      graft.operators.Similarity.probePqIndex(s, idx, qv, topK = 6, probes = 2)
-        .filter(col("vec_id") =!= 42)
-        .limit(5)
-    }),
+    // PERSISTED IVF-PQ serving path: the index stores each vector as
+    // ONE packed bigint of 8 PQ codes under its coarse cell directory,
+    // so a probe partition-prunes to its cells and scans 8 BYTES per
+    // candidate — the oracled sim_ivfpq twins pin the arithmetic; this
+    // entry pins the storage + pruning lifecycle (build once per dir,
+    // probe many), GATED as the annRungContract health row (constant
+    // oracle; recall bit = >= 2 of the exact top-20 — the honest
+    // packed-code floor). SimilaritySpec keeps asserting recall and
+    // byte-exact code unpacking on the raw frame.
+    "sim_pq_topk_indexed" -> ((s, dir) =>
+      annRungContract(s, dir, "sim_pq_topk_indexed",
+        qid = 42L, rkMax = 20, bar = 2L)),
 
     // IVF "training": per-label centroid vectors via the typed
     // MeanVector Aggregator (mutable sum buffer, associative merge =>
@@ -5142,10 +5260,41 @@ object ExtensionQueries {
     "bpe_token_counts" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       // 40 merges < the ~150 needed to collapse this corpus's tiny
-      // vocabulary entirely — keeps the output in the realistic
-      // partial-merge regime (at web scale, vocab >> merges always)
-      val model = BpeTrainer.train(docs, numMerges = 40)
-      BpeTrainer.tokenCounts(s, docs, model).orderBy(col("doc_id"))
+      // vocabulary entirely — keeps the model in the realistic
+      // partial-merge regime (at web scale, vocab >> merges always).
+      // GATED (r16) as a one-row training+apply CONTRACT instead of
+      // the raw per-doc counts (the merge loop isn't SQL-expressible;
+      // bpe_apply_fixed keeps the pinned-table per-doc form under a
+      // real replay oracle): the full train + distributed apply still
+      // run, and the bits are (a) the merge loop completed all 40
+      // merges, (b) every dict word's subword encoding concatenates
+      // back to the word + the end-of-word sentinel (BPE losslessness
+      // — an INDEPENDENT driver-side re-encode, not the apply's memo),
+      // (c) the distributed memoized apply's token total equals the
+      // driver re-encode's dict-weighted total, (d) word/char totals
+      // agree. A merge-loop, encodeWord, or tokenCounts regression
+      // flips the driver's gate against the constant oracle.
+      val dict = BpeTrainer.wordCounts(docs)
+        .orderBy(col("cnt").desc, col("word"))
+        .limit(1000000)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .toIndexedSeq
+      val model = BpeTrainer.trainFromCounts(dict, numMerges = 40)
+      val enc = dict.map { case (w, c) => (w, c, BpeTrainer.encodeWord(w, model)) }
+      val lossless = enc.forall { case (w, _, syms) =>
+        syms.mkString == w + BpeTrainer.EndOfWord }
+      val expTokens = enc.map { case (_, c, syms) => c * syms.length }.sum
+      val expWords = dict.map(_._2).sum
+      val expChars = dict.map { case (w, c) => c * w.codePointCount(0, w.length) }.sum
+      BpeTrainer.tokenCounts(s, docs, model)
+        .agg(sum(col("n_words")).as("tw"), sum(col("n_tokens")).as("tt"),
+          sum(col("n_chars")).as("tc"))
+        .select(lit(model.merges.length.toLong).as("n_merges"),
+          lit(if (lossless) 1L else 0L).as("lossless_ok"),
+          (col("tt") === expTokens).cast("long").as("apply_consistent_ok"),
+          (col("tw") === expWords && col("tc") === expChars)
+            .cast("long").as("words_chars_ok"))
     }),
 
     // The BPE APPLY under a PINNED merge table — the oracled half of
@@ -8945,6 +9094,27 @@ object ExtensionQueries {
        "('sim_ivf_topk_trained', 1), ('sim_pq_topk_indexed', 1), " +
        "('sim_pq_topk_trained', 1), ('sim_pq_trained_rerank_topk', 1)" +
        ") AS t(rung, recall_ok) ORDER BY rung"),
+    // r16 per-rung serving contracts (the annRungContract frames):
+    // constant EXPECTED health tables, same convention as the rollup
+    // above — the Spark side measures the real rung, the oracle pins
+    // "healthy", and any structural/recall regression of the specific
+    // rung flips that rung's own driver gate. DuckDB pays ~0 here, so
+    // none of these are perf denominators.
+    "sim_ivf_topk_trained" -> annContractOracleSql("sim_ivf_topk_trained", 5),
+    "sim_ivf_topk_indexed" -> annContractOracleSql("sim_ivf_topk_indexed", 5),
+    "sim_pq_topk_indexed" -> annContractOracleSql("sim_pq_topk_indexed", 5),
+    "sim_pq_topk_trained" -> annContractOracleSql("sim_pq_topk_trained", 10),
+    "sim_pq_trained_rerank_topk" ->
+      (annContractOracleSql("sim_pq_trained_rerank_topk", 10) +
+        ", CAST(1 AS BIGINT) AS top1_ok"),
+    "dedup_embedding_trained" ->
+      ("SELECT 'dedup_embedding_trained' AS rung, " +
+       "CAST(1 AS BIGINT) AS nonempty_ok, CAST(1 AS BIGINT) AS pairs_canonical_ok"),
+    "bpe_token_counts" ->
+      // training+apply contract (the merge loop isn't SQL-expressible;
+      // bpe_apply_fixed keeps the replayable pinned-table per-doc form)
+      ("SELECT CAST(40 AS BIGINT) AS n_merges, CAST(1 AS BIGINT) AS lossless_ok, " +
+       "CAST(1 AS BIGINT) AS apply_consistent_ok, CAST(1 AS BIGINT) AS words_chars_ok"),
     "sample_perplexity_buckets" ->
       // the unigram-surprisal oracle verbatim, micro-int scores, the
       // same CDF quartile cuts, md5 ppm coin, mid-heavy keep rates

@@ -368,7 +368,7 @@ class ExtensionInvariantsSpec extends SparkSpec {
     // does, so the trained rung is the one savePqIndex serves.
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.01"
-    val pq = SparkEntry.queries("sim_pq_topk_trained")(spark, dir)
+    val pq = graft.queries.ExtensionQueries.trainedRungFrames("sim_pq_topk_trained")(spark, dir)
       .as[(Long, Double)].collect().map(_._1)
     val emb = Tables.embeddings(spark, dir)
     val qv = emb.filter(col("vec_id") === 299)
@@ -457,7 +457,7 @@ class ExtensionInvariantsSpec extends SparkSpec {
     // is the number a production deployment of the trained path ships.
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.1"
-    val rr = SparkEntry.queries("sim_pq_trained_rerank_topk")(spark, dir)
+    val rr = graft.queries.ExtensionQueries.trainedRungFrames("sim_pq_trained_rerank_topk")(spark, dir)
       .select(col("vec_id")).as[Long].collect()
     val emb = Tables.embeddings(spark, dir)
     val qv = emb.filter(col("vec_id") === 299)
@@ -1099,7 +1099,7 @@ class ExtensionInvariantsSpec extends SparkSpec {
           .cast("long").as("sc"))
       .orderBy(col("sc").desc, col("vec_id")).limit(10)
       .select("vec_id").as[Long].collect().toSet
-    val pqT = SparkEntry.queries("sim_pq_topk_trained")(spark, sf0001)
+    val pqT = graft.queries.ExtensionQueries.trainedRungFrames("sim_pq_topk_trained")(spark, sf0001)
       .select(col("vec_id")).as[Long].collect().toSet
     val ov = pqT.intersect(exact).size
     assert(ov >= 6 && ov < 10,
