@@ -124,19 +124,21 @@ object WarcIngest {
     * stream feeds a partitioned sink or the incremental frontier with
     * zero exchanges.
     */
-  def outlinkEdges(records: DataFrame): DataFrame =
+  def outlinkEdges(records: DataFrame, carry: Seq[String] = Seq.empty): DataFrame =
     records
       .filter(col("record_type") === "response")
       .filter(col("http_status") === 200)
       .filter(col("content_type").isNotNull &&
         lower(col("content_type")).startsWith("text/html"))
       .filter(col("target_uri").isNotNull)
-      .select(col("path"), col("record_idx"), col("target_uri").as("src_url"),
+      .select(Seq(col("path"), col("record_idx"), col("target_uri").as("src_url"),
         posexplode(graft.functions.TextExpressions
           .extract_links(col("entity").cast("string"))).as(Seq("link_idx", "href")))
-      .select(col("path"), col("record_idx"),
+        ++ carry.map(col): _*)
+      .select(Seq(col("path"), col("record_idx"),
         col("link_idx").cast("long").as("link_idx"), col("src_url"),
         graft.operators.UrlOps.resolveUrl(col("src_url"), col("href")).as("dst_url"))
+        ++ carry.map(col): _*)
 
   /** Streaming FRONTIER gate over [[outlinkEdges]] of a record
     * stream: only the FIRST discovery of each URL survives (per-key
@@ -147,14 +149,37 @@ object WarcIngest {
     * referrer (within a micro-batch the winning referrer between two
     * simultaneous discoverers is partition-order nondeterministic,
     * the novelGrams contract; arrival order is defined ACROSS
-    * batches). State is one entry per distinct frontier URL — bound
-    * it by recency upstream with a watermarked timestamp +
-    * dropDuplicatesWithinWatermark when the crawl is unbounded.
+    * batches).
+    *
+    * STATE CONTRACT (the novelGrams API, r15 advice applied in r16):
+    * with `horizon = Some((tsCol, delay))` — `tsCol` a timestamp
+    * column of the RECORD frame, e.g. the segment's fetch time —
+    * per-URL state is bounded by the event-time watermark
+    * (`dropDuplicatesWithinWatermark`): a URL re-discovered after the
+    * horizon re-enqueues, the standard recrawl-window semantics of a
+    * continuous crawl. With `horizon = None` state holds one entry
+    * per distinct frontier URL FOREVER — an unbounded crawl grows it
+    * without limit, so the unbounded path warns at query build.
     */
-  def frontierGate(records: DataFrame): DataFrame =
-    outlinkEdges(records)
-      .select(col("dst_url"), col("src_url"))
-      .dropDuplicates("dst_url")
+  def frontierGate(records: DataFrame,
+      horizon: Option[(String, String)] = None): DataFrame =
+    horizon match {
+      case Some((tsCol, delay)) =>
+        outlinkEdges(records, carry = Seq(tsCol))
+          .select(col("dst_url"), col("src_url"), col(tsCol))
+          .withWatermark(tsCol, delay)
+          .dropDuplicatesWithinWatermark("dst_url")
+          .select(col("dst_url"), col("src_url"))
+      case None =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          "frontierGate: UNBOUNDED per-URL state (one state-store entry " +
+            "per distinct frontier URL, never evicted); pass " +
+            "horizon=Some((ts, delay)) for watermark-bounded recrawl-" +
+            "window state on an unbounded crawl")
+        outlinkEdges(records)
+          .select(col("dst_url"), col("src_url"))
+          .dropDuplicates("dst_url")
+    }
 
   /** Streaming twin of [[quarantine]]: arriving segments that fail the
     * WARC parse land here as dead-letter rows instead of failing the

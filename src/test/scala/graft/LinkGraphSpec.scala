@@ -15,7 +15,15 @@ import graft.sources.WarcIngest
 class LinkGraphSpec extends SparkSpec {
   import spark.implicits._
 
+  implicit private val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
   private def b(s: String): Array[Byte] = s.getBytes(UTF_8)
+
+  /** Record-shaped row for the MemoryStream frontier-horizon spec. */
+  case class FrontierRec(path: String, record_idx: Long, record_type: String,
+      record_id: String, warc_date: String, target_uri: String,
+      http_status: Long, content_type: String, entity: Array[Byte],
+      fetch_ts: java.sql.Timestamp)
 
   test("extract_links: decoys, quoting, case, duplicate attrs, entities") {
     def links(html: String): Seq[String] =
@@ -180,6 +188,45 @@ class LinkGraphSpec extends SparkSpec {
       }
       rm(dir); rm(ckpt)
     }
+  }
+
+  test("frontier gate horizon: URL state evicts past the recrawl window") {
+    // the bounded mode the r15 advice asked for (the novelGrams API
+    // mirrored): inside the delay a re-discovered URL stays gated;
+    // once the event-time watermark passes its horizon the state is
+    // evicted and the URL re-enqueues — the recrawl-window semantics
+    // of a continuous crawl
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[FrontierRec]
+    def rec(idx: Long, src: String, dst: String, min: Int): FrontierRec =
+      FrontierRec(path = "mem", record_idx = idx, record_type = "response",
+        record_id = s"id-$idx", warc_date = "2026-01-01T00:00:00Z",
+        target_uri = src, http_status = 200L, content_type = "text/html",
+        entity = b(s"""<html><body><a href="$dst">x</a></body></html>"""),
+        fetch_ts = java.sql.Timestamp.valueOf(f"2026-01-01 00:$min%02d:00"))
+    val q = WarcIngest.frontierGate(in.toDF(),
+        horizon = Some(("fetch_ts", "10 minutes")))
+      .writeStream.format("memory").queryName("frontier_wm")
+      .outputMode("append").start()
+    try {
+      def urls(): Seq[String] = spark.table("frontier_wm")
+        .select("dst_url").as[String].collect().toSeq
+      in.addData(rec(0L, "https://a.org/p1", "https://x.org/t", 0))
+      q.processAllAvailable()
+      assert(urls() === Seq("https://x.org/t"))
+      // re-discovery INSIDE the window: gated
+      in.addData(rec(1L, "https://b.org/p2", "https://x.org/t", 5))
+      q.processAllAvailable()
+      assert(urls().length === 1)
+      // unrelated discovery pushes the watermark past t's horizon
+      in.addData(rec(2L, "https://c.org/p3", "https://y.org/u", 40))
+      q.processAllAvailable()
+      // past the window: the SAME URL re-enqueues — state was evicted
+      in.addData(rec(3L, "https://d.org/p4", "https://x.org/t", 41))
+      q.processAllAvailable()
+      assert(urls().count(_ == "https://x.org/t") === 2,
+        "frontier URL state must evict once the recrawl window passes")
+    } finally q.stop()
   }
 
   test("streaming outlink twin equals batch over arriving segments") {

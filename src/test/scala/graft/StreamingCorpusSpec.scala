@@ -163,7 +163,11 @@ class StreamingCorpusSpec extends SparkSpec {
       val stream = spark.readStream
         .schema(implicitly[org.apache.spark.sql.Encoder[Doc]].schema)
         .parquet(inDir)
-      val q = StreamingCorpusOps.novelGrams(stream)
+      // unbounded = true: this test pins the exact-batch-twin
+      // semantics (state survives forever, incl. across restarts) —
+      // since r16 that mode is an explicit opt-OUT; the bounded
+      // default gets its own spec below
+      val q = StreamingCorpusOps.novelGrams(stream, unbounded = true)
         .writeStream
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
           b.write.mode("append").parquet(outDir); ()
@@ -228,6 +232,56 @@ class StreamingCorpusSpec extends SparkSpec {
       assert(counts()(4L) === nA.toLong,
         "gram state must be evicted once the watermark passes its horizon")
     } finally q.stop()
+  }
+
+  test("novelty gate DEFAULT bounds state by ingest TTL: suppression inside, eviction past") {
+    // r16: the no-horizon default stamps each gram with the
+    // micro-batch clock and evicts past ingestTtl — a caller can no
+    // longer build an unbounded gate by accident (unbounded = true is
+    // an explicit opt-out, and combining it with a horizon refuses).
+    intercept[IllegalArgumentException] {
+      StreamingCorpusOps.novelGrams(MemoryStream[Doc].toDF(),
+        horizon = Some(("ts", "1 minute")), unbounded = true)
+    }
+    val nA = textA.split(" ").length - 7 // distinct 8-grams in textA
+    // (a) inside the TTL the default suppresses exactly like the
+    // unbounded twin
+    locally {
+      val in = MemoryStream[Doc]
+      val q = StreamingCorpusOps.novelGrams(in.toDF()) // default 24h TTL
+        .writeStream.format("memory").queryName("novel_ttl_a")
+        .outputMode(OutputMode.Append).trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        def counts(): Map[Long, Long] = spark.table("novel_ttl_a")
+          .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+        in.addData(Doc(1L, textA)); drain(q)
+        assert(counts()(1L) === nA.toLong)
+        in.addData(Doc(2L, textA)); drain(q)
+        assert(!counts().contains(2L), "re-upload inside the TTL must suppress")
+      } finally q.stop()
+    }
+    // (b) past the TTL the gram state is EVICTED and the same text
+    // re-reads as novel — the observable proof the default is bounded
+    locally {
+      val in = MemoryStream[Doc]
+      val q = StreamingCorpusOps.novelGrams(in.toDF(), ingestTtl = "1 millisecond")
+        .writeStream.format("memory").queryName("novel_ttl_b")
+        .outputMode(OutputMode.Append).trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        def counts(): Map[Long, Long] = spark.table("novel_ttl_b")
+          .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+        in.addData(Doc(1L, textA)); drain(q)
+        assert(counts()(1L) === nA.toLong)
+        // an unrelated batch 50ms later advances the processing-time
+        // watermark past doc 1's stamp + 1ms, evicting its grams
+        Thread.sleep(50)
+        in.addData(Doc(2L, textB)); drain(q)
+        Thread.sleep(50)
+        in.addData(Doc(3L, textA)); drain(q)
+        assert(counts()(3L) === nA.toLong,
+          "default gram state must evict once the ingest TTL passes")
+      } finally q.stop()
+    }
   }
 
   test("near-dup candidates pair a new doc against earlier batches' state") {
