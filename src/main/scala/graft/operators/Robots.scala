@@ -137,6 +137,26 @@ object Robots {
   def allowed(robotsTxt: String, agent: String, pathAndQuery: String): Boolean =
     isAllowed(rulesFor(parse(robotsTxt), agent), pathAndQuery)
 
+  /** Per-URL verdict under the synthetic per-host robots fixture for
+    * agent `graftbot`, host parsed from the URL and its rules memoized
+    * in `cache` (the enrichment-cache pattern — one parse per host per
+    * partition). ONE definition shared by the batch crawl_robots_gate
+    * query and the streaming frontier scheduler gate, so the two
+    * sides cannot drift.
+    */
+  def syntheticVerdict(url: String,
+      cache: scala.collection.mutable.HashMap[String, Seq[Rule]]): (String, Boolean) = {
+    val hostStart = url.indexOf("://") + 3
+    val pathStart = url.indexOf('/', hostStart)
+    val host = url.substring(hostStart, pathStart)
+    val pathAndQuery = url.substring(pathStart)
+    val rules = cache.getOrElseUpdate(host, {
+      val t = host.stripPrefix("w").takeWhile(_.isDigit).toLong
+      rulesFor(parse(syntheticRobotsTxt(t)), "graftbot")
+    })
+    (host, isAllowed(rules, pathAndQuery))
+  }
+
   /** Synthetic robots.txt of host index `t` in the linked-WARC host
     * space (`w<t>.example.org`) — exercises group selection (an
     * `otherbot` deny-all group the gate's agent must ignore),

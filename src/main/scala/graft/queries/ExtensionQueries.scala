@@ -5593,21 +5593,13 @@ object ExtensionQueries {
       linkEdgeFrame(s, dir)
         .select(col("dst_url")).as[String]
         .mapPartitions { it =>
+          // per-URL verdict + per-host rule memo shared verbatim with
+          // the streaming frontier scheduler gate (Robots.syntheticVerdict)
           val cache = scala.collection.mutable.HashMap
             .empty[String, Seq[graft.operators.Robots.Rule]]
           it.map { url =>
-            val hostStart = url.indexOf("://") + 3
-            val pathStart = url.indexOf('/', hostStart)
-            val host = url.substring(hostStart, pathStart)
-            val pathAndQuery = url.substring(pathStart)
-            val rules = cache.getOrElseUpdate(host, {
-              val t = host.stripPrefix("w").takeWhile(_.isDigit).toLong
-              graft.operators.Robots.rulesFor(
-                graft.operators.Robots.parse(
-                  graft.operators.Robots.syntheticRobotsTxt(t)), "graftbot")
-            })
-            (host,
-              if (graft.operators.Robots.isAllowed(rules, pathAndQuery)) 1L else 0L)
+            val (host, ok) = graft.operators.Robots.syntheticVerdict(url, cache)
+            (host, if (ok) 1L else 0L)
           }
         }
         .toDF("host", "ok")

@@ -304,6 +304,51 @@ object StreamingCorpusOps {
     docs.withColumn("bm25", round(score, 6)).filter(col("bm25") >= minScore)
   }
 
+  /** Streaming frontier SCHEDULER gate — the stream twin of the batch
+    * `crawl_robots_gate` + `crawl_frontier` pair, completing the
+    * batch/stream convention for the round-15 crawl consumers: each
+    * newly discovered URL (the output of `WarcIngest.frontierGate`)
+    * gets (a) its RFC 9309 robots verdict — the SAME per-URL decision
+    * and per-partition host-rule memo as the batch gate, one shared
+    * definition in `Robots.syntheticVerdict` so the two sides cannot
+    * drift — and (b) its crawl priority (`n_refs`, `n_src_hosts`) as
+    * a STREAM-STATIC broadcast join against the batch-built frontier
+    * rollup store (the `standingQueryGate` pattern: heavy corpus
+    * stats are pinned on the static side, the stream pays one
+    * stateless map + one broadcast probe per URL). Disallowed URLs
+    * are dropped — this is the gate in front of the fetch queue; a
+    * URL absent from the store is a brand-new discovery and schedules
+    * at priority 0.
+    *
+    * 100 TB: verdicts are map-side (rules memoized per host per
+    * partition); the store join is broadcast when the rollup is
+    * frontier-top-k sized, or a shuffled stream-static join keyed on
+    * the URL when the full rollup rides along — either way no
+    * streaming state beyond the upstream first-discovery gate.
+    */
+  def frontierSchedulerGate(candidates: DataFrame,
+      frontierStore: DataFrame): DataFrame = {
+    val s = candidates.sparkSession
+    import s.implicits._
+    candidates.select(col("dst_url")).as[String]
+      .mapPartitions { it =>
+        val cache = scala.collection.mutable.HashMap
+          .empty[String, Seq[graft.operators.Robots.Rule]]
+        it.map { url =>
+          val (host, ok) = graft.operators.Robots.syntheticVerdict(url, cache)
+          (url, host, ok)
+        }
+      }
+      .toDF("dst_url", "host", "allowed")
+      .filter(col("allowed"))
+      .join(broadcast(frontierStore
+        .select(col("dst_url"), col("n_refs"), col("n_src_hosts"))),
+        Seq("dst_url"), "left")
+      .select(col("dst_url"), col("host"),
+        coalesce(col("n_refs"), lit(0L)).as("n_refs"),
+        coalesce(col("n_src_hosts"), lit(0L)).as("n_src_hosts"))
+  }
+
   /** Streaming exact dedup on the content key: the first arrival of a
     * text wins, replays and later clones are dropped by per-key state.
     * With a watermarked `ts` column upstream, swap to

@@ -229,6 +229,73 @@ class LinkGraphSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming frontier scheduler gate equals the batch robots+frontier composition") {
+    // cross-batch parity pinned to the batch queries (the
+    // standingQueryGate-vs-search_bm25_topk convention): segments
+    // arrive over TWO micro-batches, each first-discovered URL flows
+    // through the scheduler gate (robots verdict + stream-static
+    // priority join), and the emitted set must equal the batch
+    // composition — crawl_robots_gate's per-URL verdict x
+    // crawl_frontier's (n_refs, n_src_hosts) rollup — over the same
+    // segments.
+    val streamDir = java.nio.file.Files.createTempDirectory("sched_in").toFile
+    val fullDir = java.nio.file.Files.createTempDirectory("sched_full").toFile
+    val ckpt = java.nio.file.Files.createTempDirectory("sched_ckpt").toFile
+    try {
+      def write(d: java.io.File, name: String, ids: Seq[Long]): Unit =
+        java.nio.file.Files.write(new java.io.File(d, name).toPath,
+          ids.map(Warc.syntheticLinkedWarcContainer)
+            .foldLeft(Array.emptyByteArray)(_ ++ _))
+      val seg0 = Seq(5L, 7L)
+      val seg1 = Seq(5L, 6L, 23L) // id 5 re-arrives: no re-enqueue
+      write(fullDir, "all.warc.gz", seg0 ++ seg1)
+      // the static priority store = the batch crawl_frontier rollup
+      // shape over the full segment set (a prior crawl cycle's store)
+      val store = WarcIngest.outlinkEdges(
+          WarcIngest.readWarcRecords(spark, fullDir.getAbsolutePath))
+        .select(col("dst_url"), expr("parse_url(src_url, 'HOST')").as("sh"))
+        .groupBy(col("dst_url"))
+        .agg(count(lit(1)).as("n_refs"),
+          count_distinct(col("sh")).as("n_src_hosts"))
+      write(streamDir, "seg-0.warc.gz", seg0)
+      val q = graft.streaming.StreamingCorpusOps.frontierSchedulerGate(
+          WarcIngest.frontierGate(
+            WarcIngest.streamWarcRecords(spark, streamDir.getAbsolutePath)),
+          store)
+        .writeStream.format("memory").queryName("sched_gate")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.getAbsolutePath).start()
+      try {
+        q.processAllAvailable()
+        write(streamDir, "seg-1.warc.gz", seg1)
+        q.processAllAvailable()
+        val got = spark.table("sched_gate")
+          .as[(String, String, Long, Long)].collect().toSeq
+        assert(got.map(_._1).distinct.length === got.length,
+          "a URL passed the scheduler gate twice")
+        // batch composition: every distinct discovered URL, the shared
+        // Robots verdict, priorities from the rollup; blocked URLs absent
+        val cache = scala.collection.mutable.HashMap
+          .empty[String, Seq[graft.operators.Robots.Rule]]
+        val expected = store.as[(String, Long, Long)].collect().toSeq
+          .flatMap { case (url, r, h) =>
+            val (host, ok) = graft.operators.Robots.syntheticVerdict(url, cache)
+            if (ok) Some((url, host, r, h)) else None
+          }.toSet
+        assert(expected.nonEmpty, "fixture must produce allowed URLs")
+        assert(expected.size < store.count(),
+          "fixture must produce at least one BLOCKED URL (non-vacuous gate)")
+        assert(got.toSet === expected,
+          "stream scheduler output must equal the batch robots+frontier composition")
+      } finally q.stop()
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(streamDir); rm(fullDir); rm(ckpt)
+    }
+  }
+
   test("streaming outlink twin equals batch over arriving segments") {
     val dir = java.nio.file.Files.createTempDirectory("link_stream").toFile
     val ckpt = java.nio.file.Files.createTempDirectory("link_stream_ckpt").toFile
