@@ -59,6 +59,30 @@ object DevProbe {
     t("crawl_pipeline_full") { SparkEntry.queries("crawl_pipeline")(spark, sfDir).count() }
     if (sys.env.contains("SPARK_GRAFT_PROBE_R16_ONLY")) { spark.stop(); return }
 
+    // ---- round-16 probes: dedup_multimodal_rollup 10x blowup ----
+    // At /tmp/scale10x the rollup is ~51 s while its three component
+    // arms total ~5.4 s warm. Isolate: arms alone, join tail over
+    // materialized arms, and the one-DAG composition.
+    if (sys.env.contains("SPARK_GRAFT_PROBE_MM")) {
+      t("mm_img_arm") { SparkEntry.queries("dedup_image_phash")(spark, sfDir).count() }
+      t("mm_aud_arm") { SparkEntry.queries("dedup_audio_fingerprint")(spark, sfDir).count() }
+      t("mm_vid_arm") { SparkEntry.queries("dedup_video_phash")(spark, sfDir).count() }
+      val img = SparkEntry.queries("dedup_image_phash")(spark, sfDir)
+        .withColumnRenamed("hamming", "image_hamming").localCheckpoint()
+      val aud = SparkEntry.queries("dedup_audio_fingerprint")(spark, sfDir)
+        .withColumnRenamed("hamming", "audio_hamming").localCheckpoint()
+      val vid = SparkEntry.queries("dedup_video_phash")(spark, sfDir)
+        .select(col("a_id"), col("b_id"), col("min_hamming").as("video_min_hamming"))
+        .localCheckpoint()
+      t("mm_join_ckpt_arms") {
+        img.join(aud, Seq("a_id", "b_id"), "full_outer")
+          .join(vid, Seq("a_id", "b_id"), "full_outer")
+          .count()
+      }
+      t("mm_rollup_full") { SparkEntry.queries("dedup_multimodal_rollup")(spark, sfDir).count() }
+      spark.stop(); return
+    }
+
     // ---- round-12 probes: corpus_keywords job-count A/B ----
     // The round-11 rewire left corpus_keywords at ~5.7x DuckDB; the
     // residue is SERIALIZED JOBS each paying the local job floor, not

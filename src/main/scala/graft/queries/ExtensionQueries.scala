@@ -3146,25 +3146,23 @@ object ExtensionQueries {
     // is the unseen web from our seed list"), reachability audits, and
     // graph-distance features: hop distance (0..4) from the seed set
     // (doc_id % 50 == 0, the PPR seed convention) over the SAME
-    // hub-skewed edge store crawl_pagerank_edges serves. Each round
-    // expands ONLY the newly-minimal frontier (min-distance agg after
-    // the union — expanding a node twice can never shorten a path, so
-    // this is exact BFS), one join + one aggregate exchange per round,
-    // 4 rounds bounded by contract. Output per layer: node count +
-    // id checksum, all integers.
+    // hub-skewed edge store crawl_pagerank_edges serves. Served by
+    // [[graft.operators.Clustering.bfsLayers]] — frontier-delta
+    // expansion (round r joins ONLY layer r-1 against the edges,
+    // anti-joins the visited set; a node can never be discovered
+    // twice, so this is exact BFS) with the deep-graph lineage
+    // discipline documented there (per-round RDD-backed frontier
+    // leaves, eager checkpoint + emptiness probe every 8 rounds);
+    // 4 rounds bounded by the ROUND-CAP CONTRACT (nodes farther than
+    // 4 hops are intentionally absent — "within k hops" IS the
+    // query). Output per layer: node count + id checksum, all
+    // integers.
     "crawl_bfs_layers" -> ((s, dir) => {
       val edges = crawlEdgeTable(s, dir)
-      var dist = Tables.documents(s, dir).select(col("doc_id").as("v"))
+      val seeds = Tables.documents(s, dir).select(col("doc_id").as("v"))
         .filter(col("v") % 50 === 0)
-        .select(col("v"), lit(0L).as("d"))
-      for (r <- 1 to 4) {
-        val nxt = dist.filter(col("d") === (r - 1).toLong)
-          .join(edges, col("v") === col("src"))
-          .select(col("dst").as("v"), lit(r.toLong).as("d"))
-        dist = dist.unionByName(nxt)
-          .groupBy(col("v")).agg(min(col("d")).as("d"))
-      }
-      dist.groupBy(col("d"))
+      graft.operators.Clustering.bfsLayers(s, edges, seeds, maxRounds = 4)
+        .groupBy(col("d"))
         .agg(count(lit(1)).as("n_nodes"), sum(col("v")).as("node_checksum"))
         .select(col("d").as("layer"), col("n_nodes"), col("node_checksum"))
         // <= 5 layer rows: in-partition sort after a shuffle-free

@@ -196,6 +196,64 @@ class ScalePostureSpec extends SparkSpec {
     assert(q.count() === rows.filter(pred).count())
   }
 
+  test("frontier-delta BFS: deep rounds stay linear-plan, early-exit, round-capped") {
+    import graft.operators.Clustering
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    // chain 0 -> 1 -> ... -> 39 plus a shortcut 0 -> 20: distances must
+    // take the SHORTER path through the shortcut (exact BFS, not just
+    // reachability), across 3 checkpoint boundaries
+    val n = 40
+    val edges = spark.range(0, n - 1)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+      .unionByName(Seq((0L, 20L)).toDF("src", "dst"))
+    val seeds = Seq(0L).toDF("v")
+    val deep = Clustering.bfsLayers(spark, edges, seeds,
+      maxRounds = 64, checkpointEvery = 8)
+    val m = deep.as[(Long, Long)].collect().toMap
+    assert(m.size === n)
+    (0 until n).foreach { v =>
+      val expect = if (v >= 20) math.min(v, 1 + (v - 20)) else v
+      assert(m(v.toLong) === expect.toLong, s"wrong hop distance for node $v")
+    }
+    // LINEAR PLAN: every round's frontier is an RDD-backed leaf, so the
+    // final visited set must be a flat union — ZERO joins in its tree
+    // (the naive dist = f(dist) recurrence doubles its tree per round).
+    // EARLY EXIT: the graph's eccentricity from node 0 is 20, so the
+    // r=24 boundary probe sees an empty frontier and stops — far fewer
+    // than maxRounds=64 leaves despite the over-provisioned cap.
+    val plan = deep.queryExecution.analyzed
+    assert(plan.collect { case j: Join => j }.isEmpty,
+      s"visited set is not a flat union of checkpointed leaves:\n$plan")
+    val leaves = plan.collectLeaves().length
+    assert(leaves <= 27,
+      s"expected early exit at the first empty boundary (~25 leaves), got $leaves")
+    // ROUND-CAP CONTRACT: maxRounds=5 returns exactly the <=5-hop ball —
+    // chain nodes 0..5 plus shortcut nodes 20..24 — and nothing farther
+    val capped = Clustering.bfsLayers(spark, edges, seeds,
+      maxRounds = 5, checkpointEvery = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(capped === (0 to 5).map(v => (v.toLong, v.toLong)).toMap ++
+      (20 to 24).map(v => (v.toLong, (v - 19).toLong)).toMap)
+    // PARITY with the naive min-agg recurrence (the pre-r16 formulation
+    // of crawl_bfs_layers) on a hub-skewed multi-seed graph — pins the
+    // rewired query's hash-green guarantee
+    val hubEdges = spark.range(0, 200).select(col("id").as("src"),
+      explode(array((col("id") * 31 + 7) % 200, (col("id") * 13 + 11) % 200)).as("dst"))
+    val hubSeeds = spark.range(0, 200).filter(col("id") % 50 === 0)
+      .select(col("id").as("v"))
+    var ref = hubSeeds.select(col("v"), lit(0L).as("d"))
+    for (r <- 1 to 6) {
+      val nxt = ref.filter(col("d") === (r - 1).toLong)
+        .join(hubEdges, col("v") === col("src"))
+        .select(col("dst").as("v"), lit(r.toLong).as("d"))
+      ref = ref.unionByName(nxt).groupBy(col("v")).agg(min(col("d")).as("d"))
+    }
+    val got = Clustering.bfsLayers(spark, hubEdges, hubSeeds, maxRounds = 6)
+      .as[(Long, Long)].collect().toSet
+    assert(got === ref.as[(Long, Long)].collect().toSet,
+      "frontier-delta BFS drifted from the min-agg recurrence")
+  }
+
   test("AQE splits the skewed side of a pathological join at runtime") {
     // 100k rows, 95% on ONE key, joined to a small-but-not-broadcast
     // dim; with the skew thresholds lowered to test scale, AQE must
