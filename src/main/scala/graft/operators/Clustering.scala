@@ -181,14 +181,75 @@ object Clustering {
     * comfortably above the diameter; the boundary probe exits early as
     * soon as a frontier empties, so an over-provisioned cap costs one
     * no-op segment, not `maxRounds` joins.
+    *
+    * ADAPTIVE strategy (the [[connectedComponents]] precedent, same
+    * rationale): a distributed round costs 2 joins + a shuffle each,
+    * and hop-ball queries routinely run over bounded candidate graphs.
+    * The probe is a bounded `limit(limit + 1)` collect on edges AND
+    * seeds — when both fit under `spark.graft.cc.localEdgeLimit`
+    * (default 65536, same key as CC: one knob for "graph small enough
+    * for the driver"), the probe rows ARE the graph and BFS runs
+    * driver-side in microseconds; above it, the distributed
+    * frontier-delta loop runs. Identical output by construction — BFS
+    * layers are unique — and ScalePostureSpec pins the two paths
+    * against each other.
     */
   def bfsLayers(spark: SparkSession, edges: DataFrame, seeds: DataFrame,
       maxRounds: Int, checkpointEvery: Int = 8): DataFrame = {
+    import spark.implicits._
     require(maxRounds >= 0, s"maxRounds must be >= 0, got $maxRounds")
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
-    var dist = seeds.select(col("v").cast("long").as("v")).distinct()
+    val s = seeds.select(col("v").cast("long").as("v"))
+    val localLimit = math.min(
+      spark.conf.get("spark.graft.cc.localEdgeLimit", (1 << 16).toString).toLong,
+      LocalEdgeLimitCeiling.toLong).toInt
+    val edgeProbe = e.limit(localLimit + 1).as[(Long, Long)].collect()
+    if (edgeProbe.length <= localLimit) {
+      val seedProbe = s.limit(localLimit + 1).as[Long].collect()
+      if (seedProbe.length <= localLimit)
+        return localBfsLayers(spark, edgeProbe, seedProbe, maxRounds)
+    }
+    distributedBfsLayers(spark, e, s, maxRounds, checkpointEvery)
+  }
+
+  /** Driver-side BFS over an already-collected bounded graph (the
+    * strategy probe doubles as the collect — the [[unionFindLabels]]
+    * exception class).
+    */
+  private def localBfsLayers(spark: SparkSession, es: Array[(Long, Long)],
+      seeds: Array[Long], maxRounds: Int): DataFrame = {
+    import spark.implicits._
+    val adj = scala.collection.mutable.HashMap.empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+    es.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
+    }
+    val dist = scala.collection.mutable.HashMap.empty[Long, Long]
+    var frontier: Seq[Long] = seeds.distinct.toSeq
+    frontier.foreach(v => dist(v) = 0L)
+    var r = 1
+    while (r <= maxRounds && frontier.nonEmpty) {
+      val nxt = scala.collection.mutable.ArrayBuffer.empty[Long]
+      frontier.foreach { v =>
+        adj.get(v).foreach(_.foreach { w =>
+          if (!dist.contains(w)) { dist(w) = r.toLong; nxt += w }
+        })
+      }
+      frontier = nxt.toSeq
+      r += 1
+    }
+    dist.toSeq.toDF("v", "d")
+  }
+
+  /** Distributed frontier-delta loop (see [[bfsLayers]] for the lineage
+    * discipline); package-visible so the posture spec can drive it
+    * below the adaptive threshold.
+    */
+  private[graft] def distributedBfsLayers(spark: SparkSession,
+      e: DataFrame, seeds: DataFrame,
+      maxRounds: Int, checkpointEvery: Int): DataFrame = {
+    var dist = seeds.distinct()
       .select(col("v"), lit(0L).as("d"))
     var frontier = dist
     var live = true

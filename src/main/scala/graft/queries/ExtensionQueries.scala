@@ -3152,11 +3152,16 @@ object ExtensionQueries {
     // anti-joins the visited set; a node can never be discovered
     // twice, so this is exact BFS) with the deep-graph lineage
     // discipline documented there (per-round RDD-backed frontier
-    // leaves, eager checkpoint + emptiness probe every 8 rounds);
-    // 4 rounds bounded by the ROUND-CAP CONTRACT (nodes farther than
-    // 4 hops are intentionally absent — "within k hops" IS the
-    // query). Output per layer: node count + id checksum, all
-    // integers.
+    // leaves, eager checkpoint + emptiness probe every 8 rounds) and
+    // the connectedComponents ADAPTIVE strategy: a bounded
+    // limit(n+1) probe routes graphs under
+    // spark.graft.cc.localEdgeLimit to driver BFS (at bench SFs the
+    // probe rows ARE this synthetic edge table — 8 distributed
+    // rounds would cost ~16 exchanges to rediscover what one bounded
+    // collect already holds); 4 rounds bounded by the ROUND-CAP
+    // CONTRACT (nodes farther than 4 hops are intentionally absent —
+    // "within k hops" IS the query). Output per layer: node count +
+    // id checksum, all integers.
     "crawl_bfs_layers" -> ((s, dir) => {
       val edges = crawlEdgeTable(s, dir)
       val seeds = Tables.documents(s, dir).select(col("doc_id").as("v"))

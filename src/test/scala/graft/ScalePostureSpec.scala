@@ -207,7 +207,10 @@ class ScalePostureSpec extends SparkSpec {
       .select(col("id").as("src"), (col("id") + 1).as("dst"))
       .unionByName(Seq((0L, 20L)).toDF("src", "dst"))
     val seeds = Seq(0L).toDF("v")
-    val deep = Clustering.bfsLayers(spark, edges, seeds,
+    // drive the DISTRIBUTED loop directly: the public entry's adaptive
+    // probe (the connectedComponents precedent) would route a 40-edge
+    // graph to the driver and never exercise the lineage machinery
+    val deep = Clustering.distributedBfsLayers(spark, edges, seeds,
       maxRounds = 64, checkpointEvery = 8)
     val m = deep.as[(Long, Long)].collect().toMap
     assert(m.size === n)
@@ -229,6 +232,7 @@ class ScalePostureSpec extends SparkSpec {
       s"expected early exit at the first empty boundary (~25 leaves), got $leaves")
     // ROUND-CAP CONTRACT: maxRounds=5 returns exactly the <=5-hop ball —
     // chain nodes 0..5 plus shortcut nodes 20..24 — and nothing farther
+    // (public entry = the adaptive LOCAL path for this bounded graph)
     val capped = Clustering.bfsLayers(spark, edges, seeds,
       maxRounds = 5, checkpointEvery = 8)
       .as[(Long, Long)].collect().toMap
@@ -248,10 +252,16 @@ class ScalePostureSpec extends SparkSpec {
         .select(col("dst").as("v"), lit(r.toLong).as("d"))
       ref = ref.unionByName(nxt).groupBy(col("v")).agg(min(col("d")).as("d"))
     }
-    val got = Clustering.bfsLayers(spark, hubEdges, hubSeeds, maxRounds = 6)
+    val refSet = ref.as[(Long, Long)].collect().toSet
+    val local = Clustering.bfsLayers(spark, hubEdges, hubSeeds, maxRounds = 6)
       .as[(Long, Long)].collect().toSet
-    assert(got === ref.as[(Long, Long)].collect().toSet,
-      "frontier-delta BFS drifted from the min-agg recurrence")
+    assert(local === refSet,
+      "adaptive-local BFS drifted from the min-agg recurrence")
+    val distributed = Clustering.distributedBfsLayers(spark,
+      hubEdges.toDF("src", "dst"), hubSeeds, maxRounds = 6, checkpointEvery = 8)
+      .as[(Long, Long)].collect().toSet
+    assert(distributed === refSet,
+      "distributed frontier-delta BFS drifted from the min-agg recurrence")
   }
 
   test("AQE splits the skewed side of a pathological join at runtime") {
