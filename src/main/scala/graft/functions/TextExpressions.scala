@@ -590,6 +590,44 @@ case class ExtractLinks(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** HTML → (href, anchor text) pairs of the live `<a>` tags — the
+  * anchor-TEXT complement of [[ExtractLinks]], sharing ONE walk
+  * definition with it (`extractLinksStrings` is this walk's href
+  * projection, so the two extractors cannot drift on which anchors
+  * are live). Anchor text = the tag's inner text to its matching
+  * `</a>`: nested non-anchor tags stripped, comments and script/style
+  * blocks inside the anchor contribute nothing, a nested `<a`
+  * auto-closes the current anchor (the WHATWG implied end tag);
+  * entity-decoded, then RE2-`\s` whitespace-collapsed and trimmed
+  * ([[HtmlToText]]'s normalization, applied after decoding). Output:
+  * `array<struct<href: string, anchor: string>>` in document order.
+  * Single pass, codegen'd static call.
+  */
+case class ExtractAnchors(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"extract_anchors requires a string input, got ${child.dataType.sql}")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("href", StringType, nullable = false),
+      StructField("anchor", StringType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "extract_anchors"
+
+  override def nullSafeEval(input: Any): Any =
+    TextExpressions.extractAnchors(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextExpressions.extractAnchors($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** RFC 3986 §5.2 reference resolution against a base URI — the step
   * between href extraction and frontier admission: absolute refs pass
   * through, scheme-relative refs take the base scheme, root-relative
@@ -1046,6 +1084,12 @@ object TextExpressions {
   def extract_links(html: Column): Column =
     bridge.column(ExtractLinks(bridge.expression(html)))
 
+  /** Column facade: (href, anchor text) structs of `html`'s live
+    * anchor tags, in order.
+    */
+  def extract_anchors(html: Column): Column =
+    bridge.column(ExtractAnchors(bridge.expression(html)))
+
   /** Column facade: RFC 3986 resolution of `ref` against `base`. */
   def resolve_url(base: Column, ref: Column): Column =
     bridge.column(ResolveUrl(bridge.expression(base), bridge.expression(ref)))
@@ -1243,32 +1287,42 @@ object TextExpressions {
     sb.toString
   }
 
-  /** The [[ExtractLinks]] walk (see the expression scaladoc for the
-    * contract); exposed for driver-side replay in specs and the
-    * streaming ingest twin.
+  /** The [[ExtractLinks]] walk — the href projection of
+    * [[extractAnchorPairs]] (ONE walk definition, so the two
+    * extractors cannot drift on which anchors are live); exposed for
+    * driver-side replay in specs and the streaming ingest twin.
     */
-  def extractLinksStrings(html: String): Seq[String] = {
+  def extractLinksStrings(html: String): Seq[String] =
+    extractAnchorPairs(html).map(_._1)
+
+  /** The [[ExtractAnchors]] walk (see the expression scaladoc for the
+    * anchor-text contract); exposed for driver-side replay in specs.
+    */
+  def extractAnchorPairs(html: String): Seq[(String, String)] = {
     val n = html.length
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     def matches(at: Int, s: String): Boolean =
       html.regionMatches(true, at, s, 0, s.length)
     def nameEndsAt(at: Int): Boolean =
       at >= n || { val c = html.charAt(at); c == '>' || c == '/' || isWs(c) }
+    def skipComment(at: Int): Int = {
+      val e = html.indexOf("-->", at + 4)
+      if (e < 0) n else e + 3
+    }
+    // `at` points at "<script" / "<style"; returns the index after the
+    // matching close tag's '>'
+    def skipBlock(at: Int, tag: String): Int = {
+      var e = at + tag.length + 1
+      while (e < n && !(matches(e, "</" + tag) && nameEndsAt(e + tag.length + 2))) e += 1
+      if (e >= n) n else { val g = html.indexOf('>', e); if (g < 0) n else g + 1 }
+    }
     var i = 0
     while (i < n) {
       if (html.charAt(i) == '<') {
-        if (matches(i, "<!--")) {
-          val e = html.indexOf("-->", i + 4)
-          i = if (e < 0) n else e + 3
-        } else if (matches(i, "<script") && nameEndsAt(i + 7)) {
-          var e = i + 7
-          while (e < n && !(matches(e, "</script") && nameEndsAt(e + 8))) e += 1
-          i = if (e >= n) n else { val g = html.indexOf('>', e); if (g < 0) n else g + 1 }
-        } else if (matches(i, "<style") && nameEndsAt(i + 6)) {
-          var e = i + 6
-          while (e < n && !(matches(e, "</style") && nameEndsAt(e + 7))) e += 1
-          i = if (e >= n) n else { val g = html.indexOf('>', e); if (g < 0) n else g + 1 }
-        } else if (matches(i, "<a") && nameEndsAt(i + 2)) {
+        if (matches(i, "<!--")) i = skipComment(i)
+        else if (matches(i, "<script") && nameEndsAt(i + 7)) i = skipBlock(i, "script")
+        else if (matches(i, "<style") && nameEndsAt(i + 6)) i = skipBlock(i, "style")
+        else if (matches(i, "<a") && nameEndsAt(i + 2)) {
           // attribute walk to the tag's '>', honoring quoted values
           var j = i + 2
           var href: String = null
@@ -1307,8 +1361,29 @@ object TextExpressions {
                 href = decodeEntitiesString(value)
             }
           }
-          if (href != null) out += href
-          i = if (j < n) j + 1 else n
+          // inner-text scan to the matching </a>; a nested <a AUTO-CLOSES
+          // the current anchor and the outer loop re-enters AT it, so the
+          // href sequence is identical to the pre-r16 links-only walk on
+          // malformed nesting
+          val ts = new java.lang.StringBuilder
+          var k = if (j < n) j + 1 else n
+          var closed = false
+          while (k < n && !closed) {
+            if (html.charAt(k) == '<') {
+              if (matches(k, "<!--")) k = skipComment(k)
+              else if (matches(k, "<script") && nameEndsAt(k + 7)) k = skipBlock(k, "script")
+              else if (matches(k, "<style") && nameEndsAt(k + 6)) k = skipBlock(k, "style")
+              else if (matches(k, "</a") && nameEndsAt(k + 3)) {
+                closed = true
+                val g = html.indexOf('>', k)
+                k = if (g < 0) n else g + 1
+              } else if (matches(k, "<a") && nameEndsAt(k + 2)) closed = true
+              else { val g = html.indexOf('>', k); k = if (g < 0) n else g + 1 }
+            } else { ts.append(html.charAt(k)); k += 1 }
+          }
+          if (href != null)
+            out += ((href, collapseWs(decodeEntitiesString(ts.toString))))
+          i = k
         } else {
           val g = html.indexOf('>', i)
           i = if (g < 0) n else g + 1
@@ -1316,6 +1391,39 @@ object TextExpressions {
       } else i += 1
     }
     out.toSeq
+  }
+
+  /** RE2-`\s` runs → one space, leading/trailing runs dropped (the
+    * [[HtmlToText]] normalization applied to a flat string).
+    */
+  private def collapseWs(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var pend = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (isWs(c)) { if (sb.length > 0) pend = true }
+      else {
+        if (pend) { sb.append(' '); pend = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Codegen entry point of [[ExtractAnchors]]. */
+  def extractAnchors(html: UTF8String): GenericArrayData = {
+    val pairs = extractAnchorPairs(html.toString)
+    val out = new Array[Any](pairs.length)
+    var i = 0
+    while (i < pairs.length) {
+      out(i) = new GenericInternalRow(Array[Any](
+        UTF8String.fromString(pairs(i)._1),
+        UTF8String.fromString(pairs(i)._2))): InternalRow
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** Codegen entry point of [[ResolveUrl]]. */
@@ -1400,6 +1508,7 @@ object TextExpressions {
   def functionBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "html_to_text" -> (exprs => HtmlToText(exprs.head)),
     "extract_links" -> (exprs => ExtractLinks(exprs.head)),
+    "extract_anchors" -> (exprs => ExtractAnchors(exprs.head)),
     "resolve_url" -> (exprs => ResolveUrl(exprs.head, exprs(1))),
     "word_shingles" -> (exprs => WordShingles(exprs.head, intArg(exprs, 1))),
     "distinct_shingles" -> (exprs => DistinctShingles(exprs.head, intArg(exprs, 1))),

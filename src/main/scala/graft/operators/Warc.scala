@@ -369,20 +369,24 @@ object Warc {
     val links = (0 until k).map { j =>
       val t = (docId * 31 + j * 17 + 7) % 97
       val p = (docId * 13 + j * 11 + 3) % 50
-      (docId + j) % 5 match {
+      val href = (docId + j) % 5 match {
         case 0 => s"https://w$t.example.org/d${p % 5}/p$p.html"
         case 1 => s"//w$t.example.org/d${p % 5}/p$p.html"
         case 2 => s"/d${p % 5}/p$p.html"
         case 3 => s"p$p.html"
         case _ => s"../d${p % 5}/p$p.html?s=1&amp;t=$j"
       }
+      // planted anchor TEXT (round 16): a nested tag the extractor must
+      // strip, an entity it must decode, a newline it must collapse —
+      // and pure string arithmetic the oracle replays
+      (href, s"see <b>page $p</b> &amp;\n site w$t")
     }
     val entity =
       "<html><head><title>Page " + docId + "</title>" +
         "<script>var u = \"<a href='/not/a/link'>\"; if (1 < 2) go(u);</script>" +
         "<style>a { color: blue; }</style></head><body>" +
-        links.map(h => "<a href=\"" + h + "\"></a>").mkString +
-        "<!-- <a href=\"/commented/out\"></a> -->" +
+        links.map { case (h, a) => "<a href=\"" + h + "\">" + a + "</a>" }.mkString +
+        "<!-- <a href=\"/commented/out\">dead</a> -->" +
         "</body></html>"
     val http = encodeHttpResponse(200, "OK",
       Seq("Content-Type" -> "text/html; charset=utf-8"),

@@ -286,11 +286,12 @@ object ExtensionQueries {
         }
         .toDF("doc_id", "base_uri", "html")
         .select(col("doc_id"), col("base_uri"),
-          posexplode(graft.functions.TextExpressions.extract_links(col("html")))
-            .as(Seq("link_idx", "href")))
+          posexplode(graft.functions.TextExpressions.extract_anchors(col("html")))
+            .as(Seq("link_idx", "la")))
         .select(col("doc_id"), col("link_idx").cast("long").as("link_idx"),
           col("base_uri").as("src_url"),
-          graft.operators.UrlOps.resolveUrl(col("base_uri"), col("href")).as("dst_url"))
+          graft.operators.UrlOps.resolveUrl(col("base_uri"), col("la.href")).as("dst_url"),
+          col("la.anchor").as("anchor"))
     }
 
   /** Deterministic hub-skewed edge table for `crawl_pagerank_edges`,
@@ -5546,7 +5547,36 @@ object ExtensionQueries {
     // exchange is the output sort — the 100 TB shape, where the edge
     // table feeds partitioned graph ops without ever collecting.
     "crawl_link_graph" -> ((s, dir) =>
-      linkEdgeFrame(s, dir).orderBy(col("doc_id"), col("link_idx"))),
+      // project the edge columns: the store also carries each link's
+      // anchor text (round 16) for crawl_anchor_text
+      linkEdgeFrame(s, dir)
+        .select(col("doc_id"), col("link_idx"), col("src_url"), col("dst_url"))
+        .orderBy(col("doc_id"), col("link_idx"))),
+
+    // Anchor-TEXT rollup per crawl target — the classic web-search
+    // relevance field (anchor text describes the TARGET page, not the
+    // source — Google's original ranking insight) and the curation
+    // signal behind link-text quality filters: for every (resolved
+    // target URL, anchor term), how many in-links carry that term and
+    // from how many DISTINCT referring hosts (the same spam-resistance
+    // convention as crawl_frontier). Anchor text comes from the native
+    // one-pass `extract_anchors` (nested tags stripped, entities
+    // decoded, whitespace collapsed — the planted anchors exercise all
+    // three), already materialized in the link-edge store, so this is
+    // ONE aggregate exchange on the (url, term) key plus the top-50
+    // cut; the oracle replays the planted-anchor string arithmetic
+    // (the crawl_link_graph work-asymmetry regime).
+    "crawl_anchor_text" -> ((s, dir) =>
+      linkEdgeFrame(s, dir)
+        .select(col("dst_url"),
+          expr("parse_url(src_url, 'HOST')").as("src_host"),
+          explode(TextOps.tokens(col("anchor"))).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col("dst_url"), col("term"))
+        .agg(count(lit(1)).as("n_refs"),
+          count_distinct(col("src_host")).as("n_src_hosts"))
+        .orderBy(col("n_refs").desc, col("dst_url"), col("term"))
+        .limit(50)),
 
     // The extracted edges feeding the HOST-graph rollup — the
     // crawl_host_graph variant over REAL extracted-and-resolved URLs
@@ -8133,6 +8163,26 @@ object ExtensionQueries {
        "WHEN 3 THEN 'https://w' || sh || '.example.org/d' || (doc_id % 5) || '/p' || p || '.html' " +
        "ELSE 'https://w' || sh || '.example.org/d' || (p % 5) || '/p' || p || '.html?s=1&t=' || link_idx " +
        "END AS dst_url FROM lk ORDER BY doc_id, link_idx"),
+    "crawl_anchor_text" ->
+      // the link replay joined with the planted ANCHOR-TEXT formula —
+      // Spark strips the nested <b>, decodes &amp; and collapses the
+      // planted newline; the oracle unnests the six terms that
+      // normalization must produce
+      ("WITH lk AS (SELECT doc_id, j AS link_idx, doc_id % 97 AS sh, " +
+       "(doc_id*31 + j*17 + 7) % 97 AS t, (doc_id*13 + j*11 + 3) % 50 AS p " +
+       "FROM documents, LATERAL (SELECT unnest(generate_series(0, CAST(doc_id % 4 AS BIGINT))) j)), " +
+       "e AS (SELECT 'w' || sh || '.example.org' AS src_host, " +
+       "CASE CAST((doc_id + link_idx) % 5 AS INT) " +
+       "WHEN 0 THEN 'https://w' || t || '.example.org/d' || (p % 5) || '/p' || p || '.html' " +
+       "WHEN 1 THEN 'https://w' || t || '.example.org/d' || (p % 5) || '/p' || p || '.html' " +
+       "WHEN 2 THEN 'https://w' || sh || '.example.org/d' || (p % 5) || '/p' || p || '.html' " +
+       "WHEN 3 THEN 'https://w' || sh || '.example.org/d' || (doc_id % 5) || '/p' || p || '.html' " +
+       "ELSE 'https://w' || sh || '.example.org/d' || (p % 5) || '/p' || p || '.html?s=1&t=' || link_idx " +
+       "END AS dst_url, term FROM lk, " +
+       "LATERAL (SELECT unnest(['see', 'page', CAST(p AS VARCHAR), '&', 'site', 'w' || t]) term)) " +
+       "SELECT dst_url, term, CAST(COUNT(*) AS BIGINT) AS n_refs, " +
+       "CAST(COUNT(DISTINCT src_host) AS BIGINT) AS n_src_hosts FROM e " +
+       "GROUP BY 1, 2 ORDER BY n_refs DESC, dst_url, term LIMIT 50"),
     "crawl_link_host_graph" ->
       // the same replay rolled up on the host pair
       ("WITH lk AS (SELECT doc_id, j AS link_idx, doc_id % 97 AS sh, " +

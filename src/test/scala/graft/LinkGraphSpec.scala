@@ -51,6 +51,50 @@ class LinkGraphSpec extends SparkSpec {
       === Seq("/ok"))
   }
 
+  test("extract_anchors: inner text, nesting, auto-close, href parity") {
+    def anchors(html: String): Seq[(String, String)] =
+      TextExpressions.extractAnchorPairs(html)
+    // nested tags stripped, entities decoded, whitespace collapsed
+    assert(anchors("<a href=\"/x\">see <b>page 7</b> &amp;\n\t site w3</a>")
+      === Seq(("/x", "see page 7 & site w3")))
+    // empty anchor text; unclosed anchor runs to EOF
+    assert(anchors("""<a href="/e"></a><a href="/tail">to the end""")
+      === Seq(("/e", ""), ("/tail", "to the end")))
+    // comments and script/style blocks INSIDE the anchor contribute
+    // nothing (a "</a>" inside script code must not close the anchor)
+    assert(anchors("<a href=\"/s\">a<!-- x --><script>\"</a>\"</script>" +
+        "<style>b{}</style>b</a>")
+      === Seq(("/s", "ab")))
+    // nested <a> auto-closes (WHATWG implied end tag): both hrefs
+    // survive, text splits at the nested open tag
+    assert(anchors("""<a href="/o">out <a href="/i">in</a> tail""")
+      === Seq(("/o", "out"), ("/i", "in")))
+    // an anchor WITHOUT href still consumes its inner text (no pair
+    // emitted) and a nested linked anchor inside it still surfaces
+    assert(anchors("""<a>skip <a href="/k">kept</a></a>""")
+      === Seq(("/k", "kept")))
+    // href parity with extract_links on every shape above — one walk
+    // definition serves both extractors
+    Seq(
+      "<a href=\"/x\">see <b>page 7</b> &amp;\n site w3</a>",
+      """<a href="/e"></a><a href="/tail">to the end""",
+      "<a href=\"/s\">a<!-- x --><script>\"</a>\"</script>b</a>",
+      """<a href="/o">out <a href="/i">in</a> tail""",
+      """<a>skip <a href="/k">kept</a></a>""",
+      """<script>var u = "<a href='/decoy'>";</a></script><a href="/one"></a>""",
+      """<A HREF="/up" href="/dupe">Text</A>"""
+    ).foreach { h =>
+      assert(anchors(h).map(_._1) === TextExpressions.extractLinksStrings(h),
+        s"href drift on: $h")
+    }
+    // SQL + struct surface
+    TextExpressions.register(spark)
+    val row = spark.sql(
+      """SELECT extract_anchors('<a href="p.html">see <i>more</i></a>') AS la""")
+      .selectExpr("la[0].href AS h", "la[0].anchor AS a").head()
+    assert(row.getString(0) === "p.html" && row.getString(1) === "see more")
+  }
+
   test("resolve_url: RFC 3986 §5.4 reference-resolution examples") {
     val base = "http://a/b/c/d;p?q"
     def r(ref: String): String = TextExpressions.resolveUrlString(base, ref)
@@ -140,6 +184,16 @@ class LinkGraphSpec extends SparkSpec {
       assert(!got.exists(_._3.contains("decoy")) &&
         !got.exists(_._3.contains("commented")) &&
         !got.exists(_._3.contains("not/a/link")))
+      // the planted anchor TEXT normalizes to its formula (nested <b>
+      // stripped, &amp; decoded, newline collapsed) — the
+      // crawl_anchor_text oracle's replay contract
+      val anchorsGot = TextExpressions.extractAnchorPairs(html).map(_._2)
+      val anchorsPlanted = (0 until (id % 4 + 1).toInt).map { j =>
+        val t = (id * 31 + j * 17 + 7) % 97
+        val p = (id * 13 + j * 11 + 3) % 50
+        s"see page $p & site w$t"
+      }
+      assert(anchorsGot === anchorsPlanted, s"doc $id anchor mismatch")
     }
   }
 
