@@ -27,6 +27,34 @@ object Bench {
     ms
   }
 
+  /** AGGREGATE-throughput calibration: the same xorshift loop on every
+    * hardware thread concurrently, reporting the mean per-thread wall
+    * (ms). Round 16's find: a burstable/shared box can keep its
+    * single-thread speed (calib_ms flat at ~195) while losing HALF its
+    * aggregate throughput — 32-way stages then inflate 1.5-2x with no
+    * signal in calib_ms or load_avg (the bench IS the load). The
+    * calib_mt/calib ratio is the throttle detector: ~1.5x is normal
+    * SMT contention on a healthy 32-vCPU box; >2.5x means the box is
+    * aggregate-capped and the run's absolute numbers are not
+    * cross-session comparable (same-session DuckDB pairing only).
+    */
+  private def calibMtMs(): Double = {
+    val n = Runtime.getRuntime.availableProcessors()
+    val ms = new Array[Double](n)
+    val ts = (0 until n).map { k =>
+      new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L + k
+        var i = 0
+        val t0 = System.nanoTime()
+        while (i < 100000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+        ms(k) = (System.nanoTime() - t0) / 1e6
+        if (x == 42L) System.err.println("")
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    ms.sum / n
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -162,7 +190,7 @@ object Bench {
     def perCalib(total: Double, c1: Double, c2: Double): BigDecimal =
       BigDecimal(total / ((c1 + c2) / 2.0))
         .setScale(5, BigDecimal.RoundingMode.HALF_UP)
-    val loadJson = s""""nproc":$nproc,"load_avg":[${r1(loadStart)},${r1(loadEnd)}],"calib_ms":[${r1(calibStart)},${r1(calibEnd)}]"""
+    val loadJson = s""""nproc":$nproc,"load_avg":[${r1(loadStart)},${r1(loadEnd)}],"calib_ms":[${r1(calibStart)},${r1(calibEnd)}],"calib_mt_ms":${r1(calibMtMs())}"""
     emit(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"unoracled":${js(extras)},"errors":${jsStr(allErrors)},"sf":"$sfDir","reps":2,"agg":"min","warm_cache":true,$loadJson}""")
     // Second scale point: re-time the oracled set at a SMALLER sf and emit
     // another compact line keyed by its sf, so the artifact carries a
@@ -185,7 +213,7 @@ object Bench {
       val (results2, errors2) = timeAll(oracled, sfDir2)
       val total2 = if (results2.nonEmpty) results2.values.sum else 0.0
       val calibEnd2 = calibMs()
-      val loadJson2 = s""""nproc":$nproc,"load_avg":[${r1(loadStart2)},${r1(loadAvg())}],"calib_ms":[${r1(calibStart2)},${r1(calibEnd2)}]"""
+      val loadJson2 = s""""nproc":$nproc,"load_avg":[${r1(loadStart2)},${r1(loadAvg())}],"calib_ms":[${r1(calibStart2)},${r1(calibEnd2)}],"calib_mt_ms":${r1(calibMtMs())}"""
       // full per-query map for the secondary SF too — consumed by
       // tools/bench_summary.py for the committed round-close artifact.
       // Deliberately NOT named "total" (the r5 lesson, in reverse): a

@@ -83,6 +83,7 @@ def main() -> None:
             "n_errors": c.get("n_errors"),
             "load_avg": c.get("load_avg"),
             "calib_ms": c.get("calib_ms"),
+            "calib_mt_ms": c.get("calib_mt_ms"),
             "queries_ms": {k: int(round(v * 1000))
                            for k, v in sorted(t.get("queries", {}).items())},
         }
