@@ -125,6 +125,16 @@ object WarcIngest {
     * zero exchanges.
     */
   def outlinkEdges(records: DataFrame, carry: Seq[String] = Seq.empty): DataFrame =
+    outlinkAnchors(records, carry).drop("anchor")
+
+  /** [[outlinkEdges]] plus each link's ANCHOR TEXT (the round-16
+    * `extract_anchors` surface — `outlinkEdges` is this projection
+    * minus the anchor column, ONE definition so the two cannot drift
+    * on which anchors are live). Same stateless map-side shape, same
+    * batch/stream duality; `(path, record_idx, link_idx, src_url,
+    * dst_url, anchor)`.
+    */
+  def outlinkAnchors(records: DataFrame, carry: Seq[String] = Seq.empty): DataFrame =
     records
       .filter(col("record_type") === "response")
       .filter(col("http_status") === 200)
@@ -133,12 +143,33 @@ object WarcIngest {
       .filter(col("target_uri").isNotNull)
       .select(Seq(col("path"), col("record_idx"), col("target_uri").as("src_url"),
         posexplode(graft.functions.TextExpressions
-          .extract_links(col("entity").cast("string"))).as(Seq("link_idx", "href")))
+          .extract_anchors(col("entity").cast("string"))).as(Seq("link_idx", "la")))
         ++ carry.map(col): _*)
       .select(Seq(col("path"), col("record_idx"),
         col("link_idx").cast("long").as("link_idx"), col("src_url"),
-        graft.operators.UrlOps.resolveUrl(col("src_url"), col("href")).as("dst_url"))
+        graft.operators.UrlOps.resolveUrl(col("src_url"), col("la.href")).as("dst_url"),
+        col("la.anchor").as("anchor"))
         ++ carry.map(col): _*)
+
+  /** Streaming anchor-TEXT rollup — the incremental twin of the batch
+    * `crawl_anchor_text` query's (target URL, anchor term) in-link
+    * counts, running the SAME extraction/resolution/tokenize chain
+    * ([[outlinkAnchors]] + `TextOps.tokens`) as a stateful aggregate
+    * (complete/update mode). The batch query's distinct-referring-host
+    * column is deliberately absent: DISTINCT aggregates are
+    * unsupported in streaming, and the spam-resistance signal is a
+    * scheduler-side read of the batch rollup store, not an ingest-path
+    * need. State is one entry per live (url, term) — bounded by the
+    * frontier's vocabulary, the same envelope as the frontier gate
+    * itself.
+    */
+  def anchorTermCounts(records: DataFrame): DataFrame =
+    outlinkAnchors(records)
+      .select(col("dst_url"),
+        explode(graft.operators.TextOps.tokens(col("anchor"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("dst_url"), col("term"))
+      .agg(count(lit(1)).as("n_refs"))
 
   /** Streaming FRONTIER gate over [[outlinkEdges]] of a record
     * stream: only the FIRST discovery of each URL survives (per-key

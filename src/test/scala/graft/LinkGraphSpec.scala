@@ -388,4 +388,45 @@ class LinkGraphSpec extends SparkSpec {
       rm(dir); rm(ckpt)
     }
   }
+
+  test("streaming anchor rollup equals the batch anchor-term counts") {
+    val dir = java.nio.file.Files.createTempDirectory("anchor_stream").toFile
+    val ckpt = java.nio.file.Files.createTempDirectory("anchor_stream_ckpt").toFile
+    try {
+      def write(name: String, ids: Seq[Long]): Unit =
+        java.nio.file.Files.write(new java.io.File(dir, name).toPath,
+          ids.map(Warc.syntheticLinkedWarcContainer)
+            .foldLeft(Array.emptyByteArray)(_ ++ _))
+      write("seg-0.warc.gz", Seq(1L, 2L))
+      // complete mode: the memory table always holds the full stateful
+      // rollup, so the final snapshot must equal the batch twin exactly
+      val q = WarcIngest.anchorTermCounts(
+          WarcIngest.streamWarcRecords(spark, dir.getAbsolutePath))
+        .writeStream.format("memory").queryName("anchor_stream_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt.getAbsolutePath).start()
+      try {
+        q.processAllAvailable()
+        write("seg-1.warc.gz", Seq(3L, 7L))
+        q.processAllAvailable()
+        val streamed = spark.sql(
+          "SELECT dst_url, term, n_refs FROM anchor_stream_counts")
+          .as[(String, String, Long)].collect().toSet
+        // batch twin over the same directory, same chain
+        val batch = WarcIngest.anchorTermCounts(
+            WarcIngest.readWarcRecords(spark, dir.getAbsolutePath))
+          .as[(String, String, Long)].collect().toSet
+        assert(streamed === batch)
+        // non-vacuous: 13 planted links (ids 1,2,3,7 -> 2+3+4+4) x 6
+        // anchor terms each, and the shared 'see' term on every target
+        assert(streamed.size === 13 * 6, s"got ${streamed.size} (url, term) rows")
+        assert(streamed.count(_._2 == "see") === 13)
+      } finally q.stop()
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir); rm(ckpt)
+    }
+  }
 }
