@@ -241,4 +241,118 @@ class TextExpressionsPropertySpec extends SparkSpec {
       .as[Seq[String]].head()
     assert(parts === Seq("a b", "c d", "e"))
   }
+
+  // ---- extract_anchors anti-drift armor --------------------------------
+
+  /** The pre-r16 links-ONLY walk, verbatim — the reference twin for the
+    * unified anchors walk (the cdc/word_chunks HOF-twin precedent):
+    * `extractAnchorPairs(html).map(_._1)` must equal this on ANY input,
+    * or the anchor-text extension changed which anchors are live.
+    */
+  private def legacyLinks(html: String): Seq[String] = {
+    val n = html.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    def matches(at: Int, s: String): Boolean =
+      html.regionMatches(true, at, s, 0, s.length)
+    def isWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
+    def nameEndsAt(at: Int): Boolean =
+      at >= n || { val c = html.charAt(at); c == '>' || c == '/' || isWs(c) }
+    var i = 0
+    while (i < n) {
+      if (html.charAt(i) == '<') {
+        if (matches(i, "<!--")) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (matches(i, "<script") && nameEndsAt(i + 7)) {
+          var e = i + 7
+          while (e < n && !(matches(e, "</script") && nameEndsAt(e + 8))) e += 1
+          i = if (e >= n) n else { val g = html.indexOf('>', e); if (g < 0) n else g + 1 }
+        } else if (matches(i, "<style") && nameEndsAt(i + 6)) {
+          var e = i + 6
+          while (e < n && !(matches(e, "</style") && nameEndsAt(e + 7))) e += 1
+          i = if (e >= n) n else { val g = html.indexOf('>', e); if (g < 0) n else g + 1 }
+        } else if (matches(i, "<a") && nameEndsAt(i + 2)) {
+          var j = i + 2
+          var href: String = null
+          var done = false
+          while (j < n && !done) {
+            val c = html.charAt(j)
+            if (c == '>') done = true
+            else if (isWs(c) || c == '/') j += 1
+            else {
+              val ns = j
+              while (j < n && {
+                val c2 = html.charAt(j)
+                !isWs(c2) && c2 != '=' && c2 != '>' && c2 != '/'
+              }) j += 1
+              val name = html.substring(ns, j)
+              while (j < n && isWs(html.charAt(j))) j += 1
+              var value: String = null
+              if (j < n && html.charAt(j) == '=') {
+                j += 1
+                while (j < n && isWs(html.charAt(j))) j += 1
+                if (j < n && (html.charAt(j) == '"' || html.charAt(j) == '\'')) {
+                  val q = html.charAt(j); j += 1
+                  val vs = j
+                  while (j < n && html.charAt(j) != q) j += 1
+                  value = html.substring(vs, j)
+                  if (j < n) j += 1
+                } else {
+                  val vs = j
+                  while (j < n && {
+                    val c2 = html.charAt(j); !isWs(c2) && c2 != '>'
+                  }) j += 1
+                  value = html.substring(vs, j)
+                }
+              }
+              if (href == null && value != null && name.equalsIgnoreCase("href"))
+                href = TextExpressions.decodeEntitiesString(value)
+            }
+          }
+          if (href != null) out += href
+          i = if (j < n) j + 1 else n
+        } else {
+          val g = html.indexOf('>', i)
+          i = if (g < 0) n else g + 1
+        }
+      } else i += 1
+    }
+    out.toSeq
+  }
+
+  test("extract_anchors: href parity with the pre-r16 walk + anchor invariants, fuzzed") {
+    val genFrag: Gen[String] = Gen.frequency(
+      4 -> Gen.oneOf("/a", "p.html", "/x?a=1&amp;b=2", "", "/q'", "#f")
+        .map(u => s"""<a href="$u">"""),
+      2 -> Gen.const("</a>"),
+      3 -> Gen.oneOf("see", "x y", "&amp;", "&#65;", "1 < 2", "a > b", "日本", " ", "\n\t"),
+      1 -> Gen.const("<a>"),
+      1 -> Gen.const("<A HREF='/up' href=\"/dupe\">"),
+      1 -> Gen.const("<a href=/bare rel=x>"),
+      1 -> Gen.const("<a name=only>"),
+      1 -> Gen.const("<!-- <a href=\"/c\">x</a> -->"),
+      1 -> Gen.const("<!-- unterminated"),
+      1 -> Gen.const("<script>var u=\"</a><a href='/d'>\";</script>"),
+      1 -> Gen.const("<style>a{content:\"</a>\"}</style>"),
+      1 -> Gen.const("<script>unterminated"),
+      1 -> Gen.const("<b>"), 1 -> Gen.const("</b>"),
+      1 -> Gen.const("<"), 1 -> Gen.const(">"),
+      1 -> Gen.const("<abbr href=/no>"))
+    val genHtml: Gen[String] =
+      Gen.choose(0, 24).flatMap(n => Gen.listOfN(n, genFrag).map(_.mkString))
+    val prop = Prop.forAll(genHtml) { html =>
+      val pairs = TextExpressions.extractAnchorPairs(html)
+      val hrefParity = pairs.map(_._1) == legacyLinks(html)
+      // anchor text invariants: tags never leak ('<' always opens a
+      // skipped construct), whitespace is collapsed and trimmed
+      val wellFormed = pairs.forall { case (_, a) =>
+        !a.contains('<') && a == a.trim && !a.contains("  ") &&
+          !a.exists(c => c == '\t' || c == '\n' || c == '\r' || c == '\f')
+      }
+      hrefParity && wellFormed
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(400), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
