@@ -61,6 +61,12 @@ object Bench {
     val nproc = Runtime.getRuntime.availableProcessors()
     val loadStart = loadAvg()
     val calibStart = calibMs()
+    // Aggregate-throughput calibration brackets the run like calib_ms
+    // (r16 advice): the oscillation this field detects is
+    // minutes-timescale, so a single end-of-run sample could miss a
+    // throttle window that covered most of the run but not its final
+    // seconds. Emitted as "calib_mt_ms":[start,end].
+    val calibMtStart = calibMtMs()
     if (loadStart > nproc / 2.0)
       System.err.println(f"[bench] WARNING: system load $loadStart%.1f on $nproc cpus " +
         "— timings will be inflated by concurrent work; rerun on a quiet machine")
@@ -180,6 +186,7 @@ object Bench {
     // shows up here even if the start looked clean.
     val loadEnd = loadAvg()
     val calibEnd = calibMs()
+    val calibMtEnd = calibMtMs()
     def r1(v: Double) = BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP)
     // Box-invariant continuity number: total seconds divided by the
     // window's mean single-thread calibration (ms). Two rounds on boxes
@@ -190,7 +197,7 @@ object Bench {
     def perCalib(total: Double, c1: Double, c2: Double): BigDecimal =
       BigDecimal(total / ((c1 + c2) / 2.0))
         .setScale(5, BigDecimal.RoundingMode.HALF_UP)
-    val loadJson = s""""nproc":$nproc,"load_avg":[${r1(loadStart)},${r1(loadEnd)}],"calib_ms":[${r1(calibStart)},${r1(calibEnd)}],"calib_mt_ms":${r1(calibMtMs())}"""
+    val loadJson = s""""nproc":$nproc,"load_avg":[${r1(loadStart)},${r1(loadEnd)}],"calib_ms":[${r1(calibStart)},${r1(calibEnd)}],"calib_mt_ms":[${r1(calibMtStart)},${r1(calibMtEnd)}]"""
     emit(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"unoracled":${js(extras)},"errors":${jsStr(allErrors)},"sf":"$sfDir","reps":2,"agg":"min","warm_cache":true,$loadJson}""")
     // Second scale point: re-time the oracled set at a SMALLER sf and emit
     // another compact line keyed by its sf, so the artifact carries a
@@ -210,10 +217,12 @@ object Bench {
       // contention readout describes its own window, not the whole run.
       val loadStart2 = loadAvg()
       val calibStart2 = calibMs()
+      val calibMtStart2 = calibMtMs()
       val (results2, errors2) = timeAll(oracled, sfDir2)
       val total2 = if (results2.nonEmpty) results2.values.sum else 0.0
       val calibEnd2 = calibMs()
-      val loadJson2 = s""""nproc":$nproc,"load_avg":[${r1(loadStart2)},${r1(loadAvg())}],"calib_ms":[${r1(calibStart2)},${r1(calibEnd2)}],"calib_mt_ms":${r1(calibMtMs())}"""
+      val calibMtEnd2 = calibMtMs()
+      val loadJson2 = s""""nproc":$nproc,"load_avg":[${r1(loadStart2)},${r1(loadAvg())}],"calib_ms":[${r1(calibStart2)},${r1(calibEnd2)}],"calib_mt_ms":[${r1(calibMtStart2)},${r1(calibMtEnd2)}]"""
       // full per-query map for the secondary SF too — consumed by
       // tools/bench_summary.py for the committed round-close artifact.
       // Deliberately NOT named "total" (the r5 lesson, in reverse): a

@@ -59,6 +59,53 @@ object DevProbe {
     t("crawl_pipeline_full") { SparkEntry.queries("crawl_pipeline")(spark, sfDir).count() }
     if (sys.env.contains("SPARK_GRAFT_PROBE_R16_ONLY")) { spark.stop(); return }
 
+    // ---- round-17 probes: corpus_burstiness 382 -> 1733 ms isolation
+    // (the r16 verdict's one weak mark). Pairs the query with the
+    // posting-store serving floor and a layout A/B: if the full query
+    // tracks the bare store scan, the LAYOUT (term-clustered range
+    // partition, r15) is the suspect; if the unclustered twin is as
+    // slow, the aggregate is; if all are fast, r16 was box noise.
+    if (sys.env.contains("SPARK_GRAFT_PROBE_R17")) {
+      import graft.queries.ExtensionQueries
+      t("r17_posting_floor") { ExtensionQueries.postingProbeFloor(spark, sfDir) }
+      t("r17_store_scan") { ExtensionQueries.postingStoreScan(spark, sfDir) }
+      t("r17_burstiness_full") { SparkEntry.queries("corpus_burstiness")(spark, sfDir).count() }
+      t("r17_burstiness_unclustered") {
+        ExtensionQueries.burstinessOver(
+          ExtensionQueries.postingFrameUnclustered(spark, sfDir)).count()
+      }
+      t("r17_bm25_indexed") { SparkEntry.queries("search_bm25_indexed")(spark, sfDir).count() }
+      t("r17_rm3_expand") { SparkEntry.queries("search_rm3_expand")(spark, sfDir).count() }
+      t("r17_hybrid_rrf") { SparkEntry.queries("search_hybrid_rrf")(spark, sfDir).count() }
+      // href-only anchor-walk A/B (r16 advice): the decoded HTML is
+      // checkpointed once so both arms time EXTRACTION only —
+      // extract_links (collectText=false: no per-anchor StringBuilder
+      // / entity decode / ws collapse) vs extract_anchors + project
+      // href (what outlinkEdges paid pre-r17).
+      import spark.implicits._
+      val linkedHtml = Tables.documents(spark, sfDir)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val rec = graft.operators.Warc.decodeWarc(
+              graft.operators.Warc.syntheticLinkedWarcContainer(id)).head
+            val http = graft.operators.Warc.parseHttpResponse(rec.body).get
+            (id, new String(http.entity, java.nio.charset.StandardCharsets.UTF_8))
+          }
+        }.toDF("doc_id", "html").localCheckpoint()
+      t("r17_links_hrefonly") {
+        linkedHtml.select(posexplode(
+          graft.functions.TextExpressions.extract_links(col("html")))).count()
+      }
+      t("r17_links_via_anchor") {
+        linkedHtml.select(posexplode(
+          graft.functions.TextExpressions.extract_anchors(col("html")))
+          .as(Seq("link_idx", "la")))
+          .select(col("la.href")).count()
+      }
+      spark.stop(); return
+    }
+
     // ---- round-16 probes: dedup_multimodal_rollup 10x blowup ----
     // At /tmp/scale10x the rollup is ~51 s while its three component
     // arms total ~5.4 s warm. Isolate: arms alone, join tail over

@@ -55,9 +55,11 @@ object SparkEntry {
     * A trained-path regression flips the specific rung's driver gate
     * instead of hiding in a spec run. Their DuckDB times are ~0 and
     * NOT fair perf denominators (the Spark side measures the real
-    * serving work). The only remaining rows-only query is
-    * `q12_approx_distinct` (HLL estimates differ by engine;
-    * `q12b_kmv_distinct` gates the same semantics exactly).
+    * serving work). Since r17 `q12_approx_distinct` is gated the same
+    * way (HLL estimates differ by engine, so the oracle checks exact
+    * columns + per-group |est−exact|/exact ≤ 4×rsd health bits;
+    * `q12b_kmv_distinct` gates sketch semantics exactly) — EVERY
+    * query key now has an oracle entry: the rows-only set is empty.
     */
   def oracleSql: Map[String, String] =
     ParityQueries.oracleSql ++ AnalyticsQueries.oracleSql ++ ExtensionQueries.oracleSql

@@ -1292,15 +1292,37 @@ object TextExpressions {
     * extractors cannot drift on which anchors are live); exposed for
     * driver-side replay in specs and the streaming ingest twin.
     */
-  def extractLinksStrings(html: String): Seq[String] =
-    extractAnchorPairs(html).map(_._1)
+  def extractLinksStrings(html: String): Seq[String] = {
+    val hrefs = scala.collection.mutable.ArrayBuffer.empty[String]
+    anchorWalk(html, collectText = false, hrefs, null)
+    hrefs.toSeq
+  }
 
   /** The [[ExtractAnchors]] walk (see the expression scaladoc for the
     * anchor-text contract); exposed for driver-side replay in specs.
     */
   def extractAnchorPairs(html: String): Seq[(String, String)] = {
+    val hrefs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val texts = scala.collection.mutable.ArrayBuffer.empty[String]
+    anchorWalk(html, collectText = true, hrefs, texts)
+    hrefs.iterator.zip(texts.iterator).toSeq
+  }
+
+  /** ONE cursor-advancing anchor walk shared by [[extractLinksStrings]]
+    * (`collectText = false`) and [[extractAnchorPairs]] (`true`). The
+    * cursor moves IDENTICALLY in both modes — the inner-text scan still
+    * advances past the anchor body — so the emitted href sequence
+    * cannot drift between the two extractors (pinned by the 400-case
+    * adversarial fuzz in TextExpressionsPropertySpec); what the flag
+    * skips is the per-anchor work only the text consumer needs: the
+    * StringBuilder accumulation, entity decode, and whitespace
+    * collapse that the href-only WARC link-graph path (the hottest
+    * ingest path at 100 TB) was paying for nothing (r16 advice).
+    */
+  private def anchorWalk(html: String, collectText: Boolean,
+      hrefs: scala.collection.mutable.ArrayBuffer[String],
+      texts: scala.collection.mutable.ArrayBuffer[String]): Unit = {
     val n = html.length
-    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     def matches(at: Int, s: String): Boolean =
       html.regionMatches(true, at, s, 0, s.length)
     def nameEndsAt(at: Int): Boolean =
@@ -1364,8 +1386,9 @@ object TextExpressions {
           // inner-text scan to the matching </a>; a nested <a AUTO-CLOSES
           // the current anchor and the outer loop re-enters AT it, so the
           // href sequence is identical to the pre-r16 links-only walk on
-          // malformed nesting
-          val ts = new java.lang.StringBuilder
+          // malformed nesting. ts stays null when the caller only wants
+          // hrefs — the scan still advances k identically.
+          val ts = if (collectText) new java.lang.StringBuilder else null
           var k = if (j < n) j + 1 else n
           var closed = false
           while (k < n && !closed) {
@@ -1379,10 +1402,12 @@ object TextExpressions {
                 k = if (g < 0) n else g + 1
               } else if (matches(k, "<a") && nameEndsAt(k + 2)) closed = true
               else { val g = html.indexOf('>', k); k = if (g < 0) n else g + 1 }
-            } else { ts.append(html.charAt(k)); k += 1 }
+            } else { if (ts ne null) ts.append(html.charAt(k)); k += 1 }
           }
-          if (href != null)
-            out += ((href, collapseWs(decodeEntitiesString(ts.toString))))
+          if (href != null) {
+            hrefs += href
+            if (ts ne null) texts += collapseWs(decodeEntitiesString(ts.toString))
+          }
           i = k
         } else {
           val g = html.indexOf('>', i)
@@ -1390,7 +1415,6 @@ object TextExpressions {
         }
       } else i += 1
     }
-    out.toSeq
   }
 
   /** RE2-`\s` runs → one space, leading/trailing runs dropped (the

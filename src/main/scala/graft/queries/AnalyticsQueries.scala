@@ -228,13 +228,30 @@ object AnalyticsQueries {
         .orderBy(col("vec_id"))
     }),
 
-    // HLL cardinality sketch — approximate, so no SQL oracle (driver
-    // records a rows-only check); the 100 TB path for COUNT(DISTINCT).
+    // HLL cardinality sketch — the 100 TB path for COUNT(DISTINCT).
+    // HLL estimates are not engine-portable (DuckDB cannot replay
+    // Spark's HLL++ registers), so the raw estimate can't be
+    // hash-gated; instead this GATES the estimate's CONTRACT (the
+    // annRungContract convention, r16): the real HLL aggregate runs
+    // inline beside the exact distinct, and the output carries a
+    // per-group health bit `est_ok` = |est − exact| / exact within a
+    // 4×rsd envelope (rsd = 0.01; HLL++ error is ~Gaussian with σ ≈
+    // rsd, and the estimate is DETERMINISTIC for a fixed dataset, so
+    // the bit is stable per SF, not flaky). The DuckDB oracle replays
+    // the exact columns and expects every health bit = 1 — an HLL
+    // regression (wrong grouping, register corruption, accuracy
+    // collapse) now flips the driver's gate instead of passing a
+    // rows-only check.
     "q12_approx_distinct" -> ((s, dir) => {
+      val rsd = 0.01
       Tables.events(s, dir)
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        .agg(approx_count_distinct(col("user_id"), rsd).as("hll"),
+          count_distinct(col("user_id")).as("exact_users"),
           count(lit(1)).as("n"))
+        .select(col("event_type"), col("n"), col("exact_users"),
+          (abs(col("hll").cast("double") - col("exact_users").cast("double")) <=
+            col("exact_users").cast("double") * (4 * rsd)).cast("long").as("est_ok"))
         .orderBy(col("event_type"))
     }),
 
@@ -1401,7 +1418,13 @@ object AnalyticsQueries {
        "CAST(embedding[1] AS DOUBLE) AS first, " +
        "CAST(list_max(embedding) AS DOUBLE) AS vmax, CAST(list_min(embedding) AS DOUBLE) AS vmin " +
        "FROM embeddings ORDER BY vec_id"),
-    // q12_approx_distinct: approximate by design — no oracle (rows-only).
+    // q12_approx_distinct: the HLL estimate itself is engine-local;
+    // the oracle gates the exact columns + the est_ok contract bits.
+    "q12_approx_distinct" ->
+      ("SELECT event_type, COUNT(*) AS n, " +
+       "COUNT(DISTINCT user_id) AS exact_users, " +
+       "CAST(1 AS BIGINT) AS est_ok " +
+       "FROM events GROUP BY event_type ORDER BY event_type"),
     "q21_range_join" ->
       ("SELECT band, COUNT(*) AS n, " +
        "CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_value " +

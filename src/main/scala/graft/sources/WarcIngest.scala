@@ -125,22 +125,42 @@ object WarcIngest {
     * zero exchanges.
     */
   def outlinkEdges(records: DataFrame, carry: Seq[String] = Seq.empty): DataFrame =
-    outlinkAnchors(records, carry).drop("anchor")
+    htmlResponses(records)
+      .select(Seq(col("path"), col("record_idx"), col("target_uri").as("src_url"),
+        posexplode(graft.functions.TextExpressions
+          .extract_links(col("entity").cast("string"))).as(Seq("link_idx", "href")))
+        ++ carry.map(col): _*)
+      .select(Seq(col("path"), col("record_idx"),
+        col("link_idx").cast("long").as("link_idx"), col("src_url"),
+        graft.operators.UrlOps.resolveUrl(col("src_url"), col("href")).as("dst_url"))
+        ++ carry.map(col): _*)
 
-  /** [[outlinkEdges]] plus each link's ANCHOR TEXT (the round-16
-    * `extract_anchors` surface — `outlinkEdges` is this projection
-    * minus the anchor column, ONE definition so the two cannot drift
-    * on which anchors are live). Same stateless map-side shape, same
-    * batch/stream duality; `(path, record_idx, link_idx, src_url,
-    * dst_url, anchor)`.
+  /** The live-HTML gate shared by [[outlinkEdges]] and
+    * [[outlinkAnchors]] — one filter-chain definition, so the two
+    * projections see the same records.
     */
-  def outlinkAnchors(records: DataFrame, carry: Seq[String] = Seq.empty): DataFrame =
+  private def htmlResponses(records: DataFrame): DataFrame =
     records
       .filter(col("record_type") === "response")
       .filter(col("http_status") === 200)
       .filter(col("content_type").isNotNull &&
         lower(col("content_type")).startsWith("text/html"))
       .filter(col("target_uri").isNotNull)
+
+  /** [[outlinkEdges]] plus each link's ANCHOR TEXT (the round-16
+    * `extract_anchors` surface). The two projections cannot drift on
+    * which anchors are live because `extract_links` IS the href
+    * projection of the SAME cursor-advancing walk as
+    * `extract_anchors` (TextExpressions.anchorWalk, collectText flag;
+    * href parity fuzz-pinned) — since r17 the href-only path skips
+    * anchor-text assembly entirely instead of computing and dropping
+    * it, and `carry` columns named "anchor" are no longer clobbered
+    * by a drop-by-name. Same stateless map-side shape, same
+    * batch/stream duality; `(path, record_idx, link_idx, src_url,
+    * dst_url, anchor)`.
+    */
+  def outlinkAnchors(records: DataFrame, carry: Seq[String] = Seq.empty): DataFrame =
+    htmlResponses(records)
       .select(Seq(col("path"), col("record_idx"), col("target_uri").as("src_url"),
         posexplode(graft.functions.TextExpressions
           .extract_anchors(col("entity").cast("string"))).as(Seq("link_idx", "la")))
@@ -153,23 +173,78 @@ object WarcIngest {
 
   /** Streaming anchor-TEXT rollup — the incremental twin of the batch
     * `crawl_anchor_text` query's (target URL, anchor term) in-link
-    * counts, running the SAME extraction/resolution/tokenize chain
-    * ([[outlinkAnchors]] + `TextOps.tokens`) as a stateful aggregate
-    * (complete/update mode). The batch query's distinct-referring-host
-    * column is deliberately absent: DISTINCT aggregates are
-    * unsupported in streaming, and the spam-resistance signal is a
-    * scheduler-side read of the batch rollup store, not an ingest-path
-    * need. State is one entry per live (url, term) — bounded by the
-    * frontier's vocabulary, the same envelope as the frontier gate
-    * itself.
+    * stats, running the SAME extraction/resolution/tokenize chain
+    * ([[outlinkAnchors]] + `TextOps.tokens`) as per-key state (Update
+    * mode): `(dst_url, term, n_refs, est_hosts)` after every batch.
+    * The batch query's DISTINCT-referring-host column (the
+    * spam-resistance signal — 40 links from one host rank below 3
+    * hosts' worth) is completed here as a KMV ESTIMATE (r16 verdict
+    * item 2): exact DISTINCT aggregates are unsupported in streaming,
+    * but the per-key state holds the SAME bounded O(k) sketch buffer
+    * the batch `q12b_kmv_distinct` aggregates with
+    * ([[graft.functions.SketchAgg.KMinValues]] over
+    * `TextOps.portableHash32` of the referring host), so `est_hosts`
+    * is EXACT below k distinct hosts (the overwhelmingly common case
+    * for a (url, term) key) and within the KMV envelope
+    * (~1/sqrt(k−1) relative) above it — LinkGraphSpec pins the batch
+    * parity across micro-batches.
+    *
+    * STATE CONTRACT — bounded BY DEFAULT (the novelGrams convention,
+    * r16 advice: on a real crawl the (url, term) key space grows
+    * without bound): each key's state (one count + one O(k) sketch)
+    * is evicted `ttl` after its last in-link arrival
+    * (processing-time timeout — an eviction resets that key's rolling
+    * window, the standard recency-bounded relevance store). Pass
+    * `unbounded = true` for the exact-forever batch twin; it logs the
+    * build-time warning.
     */
-  def anchorTermCounts(records: DataFrame): DataFrame =
-    outlinkAnchors(records)
+  def anchorTermCounts(records: DataFrame, k: Int = 64,
+      ttl: java.time.Duration = java.time.Duration.ofHours(24),
+      unbounded: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, GroupState, OutputMode}
+    val spark = records.sparkSession
+    import spark.implicits._
+    if (unbounded)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "anchorTermCounts: UNBOUNDED (url, term) state (one count + " +
+          "one O(k) sketch per key, never evicted); pass a ttl for " +
+          "recency-bounded state")
+    val agg = new graft.functions.SketchAgg.KMinValues(k)
+    implicit val stEnc: Encoder[(Long, graft.functions.SketchAgg.KmvBuf)] =
+      Encoders.tuple(Encoders.scalaLong,
+        Encoders.product[graft.functions.SketchAgg.KmvBuf])
+    val rows = outlinkAnchors(records)
       .select(col("dst_url"),
-        explode(graft.operators.TextOps.tokens(col("anchor"))).as("term"))
+        explode(graft.operators.TextOps.tokens(col("anchor"))).as("term"),
+        // nullable: a host-less src_url contributes to n_refs but not
+        // to the host sketch — count_distinct's null semantics, so the
+        // batch twin's columns are reproduced exactly
+        graft.operators.TextOps.portableHash32(
+          expr("parse_url(src_url, 'HOST')")).as("hh"))
       .filter(col("term") =!= "")
-      .groupBy(col("dst_url"), col("term"))
-      .agg(count(lit(1)).as("n_refs"))
+      .as[(String, String, Option[Long])]
+    val timeout =
+      if (unbounded) GroupStateTimeout.NoTimeout
+      else GroupStateTimeout.ProcessingTimeTimeout
+    rows.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Update, timeout)(
+        (key: (String, String), it: Iterator[(String, String, Option[Long])],
+            state: GroupState[(Long, graft.functions.SketchAgg.KmvBuf)]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var (n, buf) = state.getOption.getOrElse((0L, agg.zero))
+            it.foreach { r =>
+              n += 1
+              r._3.foreach(h => buf = agg.reduce(buf, h))
+            }
+            state.update((n, buf))
+            if (!unbounded) state.setTimeoutDuration(ttl.toMillis)
+            Iterator((key._1, key._2, n, agg.finish(buf)))
+          }
+        })
+      .toDF("dst_url", "term", "n_refs", "est_hosts")
+  }
 
   /** Streaming FRONTIER gate over [[outlinkEdges]] of a record
     * stream: only the FIRST discovery of each URL survives (per-key

@@ -397,30 +397,80 @@ class LinkGraphSpec extends SparkSpec {
         java.nio.file.Files.write(new java.io.File(dir, name).toPath,
           ids.map(Warc.syntheticLinkedWarcContainer)
             .foldLeft(Array.emptyByteArray)(_ ++ _))
-      write("seg-0.warc.gz", Seq(1L, 2L))
-      // complete mode: the memory table always holds the full stateful
-      // rollup, so the final snapshot must equal the batch twin exactly
+      // ids chosen so a CROSS-BATCH, CROSS-HOST dst collision exists:
+      // id 39 (batch 1, host w39) and id 86 (batch 2, host w86) both
+      // link to w86.example.org/d2/p32.html — est_hosts reaches 2 only
+      // if the KMV sketch state persisted across the micro-batches
+      write("seg-0.warc.gz", Seq(1L, 39L))
+      // update mode (flatMapGroupsWithState): the memory table appends
+      // each key's refreshed row per batch; counts are monotone, so
+      // the row with the max n_refs per key is the final state. NOTE
+      // processAllAvailable() is unusable here BY DESIGN (the
+      // politenessGateTws precedent): the bounded default registers a
+      // processing-time timeout per key, so the engine keeps running
+      // no-data batches and never latches noNewData — poll the sink.
       val q = WarcIngest.anchorTermCounts(
           WarcIngest.streamWarcRecords(spark, dir.getAbsolutePath))
         .writeStream.format("memory").queryName("anchor_stream_counts")
-        .outputMode("complete")
+        .outputMode("update")
         .option("checkpointLocation", ckpt.getAbsolutePath).start()
       try {
-        q.processAllAvailable()
-        write("seg-1.warc.gz", Seq(3L, 7L))
-        q.processAllAvailable()
-        val streamed = spark.sql(
-          "SELECT dst_url, term, n_refs FROM anchor_stream_counts")
-          .as[(String, String, Long)].collect().toSet
-        // batch twin over the same directory, same chain
-        val batch = WarcIngest.anchorTermCounts(
+        def finalState() = spark.sql(
+          "SELECT dst_url, term, n_refs, est_hosts FROM anchor_stream_counts")
+          .as[(String, String, Long, Double)].collect()
+          .groupBy(r => (r._1, r._2))
+          .map { case (k, rows) => k -> rows.maxBy(_._3) }
+        def pollUntil(cond: () => Boolean): Unit = {
+          val deadline = System.currentTimeMillis + 120000
+          while (!cond() && System.currentTimeMillis < deadline)
+            Thread.sleep(200)
+        }
+        // ids 1,39 plant 2+4 links x 6 terms each = 36 (url, term) keys
+        pollUntil(() => finalState().size == 36)
+        write("seg-1.warc.gz", Seq(3L, 86L))
+        // batch twin over the same directory, same chain, including
+        // the EXACT distinct-host column the estimate must match
+        def batchTwin() = WarcIngest.outlinkAnchors(
             WarcIngest.readWarcRecords(spark, dir.getAbsolutePath))
-          .as[(String, String, Long)].collect().toSet
-        assert(streamed === batch)
-        // non-vacuous: 13 planted links (ids 1,2,3,7 -> 2+3+4+4) x 6
-        // anchor terms each, and the shared 'see' term on every target
-        assert(streamed.size === 13 * 6, s"got ${streamed.size} (url, term) rows")
-        assert(streamed.count(_._2 == "see") === 13)
+          .select(col("dst_url"),
+            explode(graft.operators.TextOps.tokens(col("anchor"))).as("term"),
+            expr("parse_url(src_url, 'HOST')").as("src_host"))
+          .filter(col("term") =!= "")
+          .groupBy(col("dst_url"), col("term"))
+          .agg(count(lit(1)).as("n_refs"),
+            count_distinct(col("src_host")).as("n_hosts"))
+          .as[(String, String, Long, Long)].collect()
+          .map(r => (r._1, r._2) -> r).toMap
+        val batch = batchTwin()
+        pollUntil(() => {
+          val s = finalState()
+          s.keySet == batch.keySet && s.forall { case (k, r) => r._3 == batch(k)._3 }
+        })
+        val streamed = finalState()
+        assert(streamed.keySet === batch.keySet)
+        streamed.foreach { case (k, (_, _, n, est)) =>
+          val (_, _, bn, bHosts) = batch(k)
+          assert(n === bn, s"$k: streamed n_refs $n != batch $bn")
+          // the fixture's distinct-host counts are far below k=64, so
+          // the KMV estimate is EXACT (est = n when n < k); above k
+          // the contract weakens to ~1/sqrt(k-1) relative error
+          assert(est === bHosts.toDouble,
+            s"$k: est_hosts $est != exact $bHosts (n_hosts < k must be exact)")
+        }
+        // non-vacuous: 13 planted links (ids 1,39,3,86 -> 2+4+4+3) x 6
+        // anchor terms each, minus the 5 keys the colliding pair
+        // shares (see/page/32/&/site on the shared dst) = 73
+        assert(streamed.size === 73, s"got ${streamed.size} (url, term) rows")
+        assert(streamed.count(_._1._2 == "see") === 12)
+        // the distinct-host signal is non-vacuous: exactly the 5
+        // shared-dst keys must report 2 referring hosts — and the two
+        // hosts arrived in DIFFERENT micro-batches, so 2.0 here proves
+        // the sketch state itself persisted and merged across batches
+        val multiHost = streamed.filter(_._2._4 >= 2.0)
+        assert(multiHost.size === 5,
+          s"expected the 5 cross-host keys, got ${multiHost.keys}")
+        assert(multiHost.keys.forall(
+          _._1 === "https://w86.example.org/d2/p32.html"))
       } finally q.stop()
     } finally {
       def rm(f: java.io.File): Unit = {

@@ -61,6 +61,29 @@ class ScalePostureSpec extends SparkSpec {
     assert(a === b, "indexed serving drifted from the store path")
   }
 
+  test("posting-store serving plans never re-tokenize the corpus") {
+    // The build/serve lifecycle contract (r16 verdict item 8): the
+    // inverted-index store is BUILT once per corpus version (at 100 TB
+    // a scheduled job, here the materializedFrame memo) and every
+    // lexical serving query SCANS it — no serving plan may contain the
+    // tokenizer, or a store-miss regression would silently re-pay a
+    // full-corpus tokenize per query. Same discipline the IVF index
+    // pins via saveIndex/probeIndex.
+    Seq("search_bm25_topk", "corpus_burstiness", "corpus_keywords")
+      .foreach { q =>
+        val frame = SparkEntry.queries(q)(spark, sf0001)
+        val plan = frame.queryExecution.executedPlan.toString
+        Seq("term_count_structs", "term_count", "word_shingles",
+          "distinct_shingle").foreach { tok =>
+          assert(!plan.toLowerCase.contains(tok),
+            s"$q serving plan re-tokenizes (found $tok) — the store " +
+              "lifecycle is broken")
+        }
+        assert(plan.contains("FileScan parquet") || plan.contains("Scan parquet"),
+          s"$q serving plan does not scan the materialized store")
+      }
+  }
+
   test("bucketed tables join with zero shuffle exchange (co-located join)") {
     spark.sql("DROP TABLE IF EXISTS orders_bkt")
     spark.sql("DROP TABLE IF EXISTS customer_bkt")

@@ -19,6 +19,10 @@ row also carries the SAME-BOX DuckDB denominators: every oracle run
 against the row's sf dir (warm views, min-of-2, 32 threads) as
 `duckdb_ms` plus `duckdb_total_sec` — so "which query is >2x" is
 answerable from the committed artifact alone, no judge-side rerun.
+
+Schema note (r17): `calib_mt_ms` is a [start, end] pair bracketing the
+timing window (it was a single end-of-run sample in r16's artifact);
+this script copies the field verbatim either way.
 """
 import json
 import os
