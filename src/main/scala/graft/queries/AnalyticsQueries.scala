@@ -1019,25 +1019,46 @@ object AnalyticsQueries {
     // accounting, and a clean corpus would leave its oracle vacuous):
     // every o_orderkey % 97 == 0 order re-arrives with a dangling
     // custkey, and lineitem plants one dangling-supplier and one
-    // dangling-order row each. Each relationship is one LEFT ANTI
-    // join keyed on the FK — at 100 TB the standard orphan scan,
-    // with the parent key side aggregated to distinct keys first.
+    // dangling-order row each. Each relationship is an orphan scan
+    // keyed on the FK against the parent's DISTINCT keys — expressed
+    // as a LEFT join + null-count so n_rows and n_orphans come out of
+    // ONE pass over the child (the r16 shape anti-joined per arm and
+    // re-scanned each child for its row count: 6 child scans; this is
+    // 2), and the two lineitem relationships share a single scan with
+    // chained parent lookups. At 100 TB that is the difference
+    // between auditing the fact table once and reading it per rule.
     "dq_referential" -> ((s, dir) => {
       val ords = ingestOrders(s, dir)
       val lis = ingestLineitem(s, dir)
-      def fkAudit(name: String, child: DataFrame, key: String,
-          parent: DataFrame, pkey: String): DataFrame =
-        child.agg(count(lit(1)).as("n_rows"))
-          .crossJoin(child.join(parent, child(key) === parent(pkey), "left_anti")
-            .agg(count(lit(1)).as("n_orphans")))
-          .select(lit(name).as("fk"), col("n_rows"), col("n_orphans"),
-            round(col("n_orphans") / col("n_rows").cast("double"), 6).as("orphan_frac"))
-      fkAudit("lineitem_orders", lis, "l_orderkey",
-          ords.select(col("o_orderkey")).distinct(), "o_orderkey")
-        .unionByName(fkAudit("lineitem_supplier", lis, "l_suppkey",
-          Tables.supplier(s, dir).select(col("s_suppkey")), "s_suppkey"))
-        .unionByName(fkAudit("orders_customer", ords, "o_custkey",
-          Tables.customer(s, dir).select(col("c_custkey")), "c_custkey"))
+      // distinct parent keys, tagged so a miss is a NULL after the join
+      def keys(parent: DataFrame, pkey: String) =
+        parent.select(col(pkey)).distinct().withColumn("__hit_" + pkey, lit(1))
+      val liAudit = lis
+        .join(keys(ords, "o_orderkey"),
+          lis("l_orderkey") === col("o_orderkey"), "left")
+        .join(keys(Tables.supplier(s, dir), "s_suppkey"),
+          lis("l_suppkey") === col("s_suppkey"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("__hit_o_orderkey").isNull.cast("long")).as("orph_o"),
+          sum(col("__hit_s_suppkey").isNull.cast("long")).as("orph_s"))
+      val ordAudit = ords
+        .join(keys(Tables.customer(s, dir), "c_custkey"),
+          ords("o_custkey") === col("c_custkey"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("__hit_c_custkey").isNull.cast("long")).as("orph_c"))
+      // both lineitem rows come off the ONE aggregate row via explode
+      // (a union of two projections would re-execute the scan subtree)
+      liAudit.select(explode(array(
+          struct(lit("lineitem_orders").as("fk"), col("n_rows"),
+            col("orph_o").as("n_orphans")),
+          struct(lit("lineitem_supplier").as("fk"), col("n_rows"),
+            col("orph_s").as("n_orphans")))).as("r"))
+        .select(col("r.fk").as("fk"), col("r.n_rows").as("n_rows"),
+          col("r.n_orphans").as("n_orphans"))
+        .unionByName(ordAudit.select(lit("orders_customer").as("fk"),
+          col("n_rows"), col("orph_c").as("n_orphans")))
+        .select(col("fk"), col("n_rows"), col("n_orphans"),
+          round(col("n_orphans") / col("n_rows").cast("double"), 6).as("orphan_frac"))
         .orderBy(col("fk"))
     }),
 
