@@ -106,6 +106,119 @@ object DevProbe {
       spark.stop(); return
     }
 
+    // ---- round-17b probes: bench-tail rewrites A/B ----
+    // q36_mad_robust / dq_drift: production (one events scan + bounded
+    // count-table folds) vs the r16 shapes replayed verbatim; plus a
+    // q2_join_agg decomposition (pre-agg lineitem by orderkey before
+    // the orders join vs the shipped direct join).
+    if (sys.env.contains("SPARK_GRAFT_PROBE_R17B")) {
+      def asInt(c: org.apache.spark.sql.Column, scale: Long) =
+        round(c * scale).cast("long")
+      t("q36_production") { SparkEntry.queries("q36_mad_robust")(spark, sfDir).count() }
+      t("q36_r16_two_pass") {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(spark, sfDir)
+          .select(col("event_type"), asInt(col("value"), 100L).as("vc"))
+        val tot = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        def leastAtHalf(df: DataFrame, valueCol: String, out: String): DataFrame =
+          df.groupBy(col("event_type"), col(valueCol)).agg(count(lit(1)).as("c"))
+            .withColumn("cum", sum(col("c")).over(
+              Window.partitionBy(col("event_type")).orderBy(col(valueCol))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            .join(broadcast(tot), Seq("event_type"))
+            .filter(col("cum") >= expr("(n + 1) div 2"))
+            .groupBy(col("event_type")).agg(min(col(valueCol)).as(out))
+        val med = leastAtHalf(ev, "vc", "med_vc")
+        val dev = ev.join(broadcast(med), Seq("event_type"))
+          .select(col("event_type"), abs(col("vc") - col("med_vc")).as("dv"))
+        val mad = leastAtHalf(dev, "dv", "mad_vc")
+        tot.join(broadcast(med), Seq("event_type"))
+          .join(broadcast(mad), Seq("event_type"))
+          .select(col("event_type"), col("n"),
+            (col("med_vc") / 100.0).as("median_value"),
+            (col("mad_vc") / 100.0).as("mad_value"))
+          .orderBy(col("event_type")).count()
+      }
+      t("q36_new_nockpt") {
+        import org.apache.spark.sql.expressions.Window
+        val counts = Tables.events(spark, sfDir)
+          .select(col("event_type"), asInt(col("value"), 100L).as("vc"))
+          .groupBy(col("event_type"), col("vc")).agg(count(lit(1)).as("c"))
+        val tot = counts.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
+        def leastAtHalf(dist: DataFrame, valueCol: String, out: String): DataFrame =
+          dist.withColumn("cum", sum(col("c")).over(
+              Window.partitionBy(col("event_type")).orderBy(col(valueCol))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            .join(broadcast(tot), Seq("event_type"))
+            .filter(col("cum") >= expr("(n + 1) div 2"))
+            .groupBy(col("event_type")).agg(min(col(valueCol)).as(out))
+        val med = leastAtHalf(counts, "vc", "med_vc")
+        val devDist = counts.join(broadcast(med), Seq("event_type"))
+          .groupBy(col("event_type"), abs(col("vc") - col("med_vc")).as("dv"))
+          .agg(sum(col("c")).as("c"))
+        val mad = leastAtHalf(devDist, "dv", "mad_vc")
+        tot.join(broadcast(med), Seq("event_type"))
+          .join(broadcast(mad), Seq("event_type"))
+          .select(col("event_type"), col("n"),
+            (col("med_vc") / 100.0).as("median_value"),
+            (col("mad_vc") / 100.0).as("mad_value"))
+          .orderBy(col("event_type")).count()
+      }
+      t("dq_drift_production") { SparkEntry.queries("dq_drift")(spark, sfDir).count() }
+      t("dq_drift_r16_fouter") {
+        val ev = Tables.events(spark, sfDir)
+          .withColumn("period",
+            when(dayofmonth(col("ts")) <= 15, "ref").otherwise("cur"))
+          .withColumn("bin", expr("CAST(round(value * 100) AS BIGINT) div 2500"))
+        val c = ev.groupBy(col("event_type"), col("period"), col("bin"))
+          .agg(count(lit(1)).as("c"))
+        val ref = c.filter(col("period") === "ref")
+          .select(col("event_type"), col("bin"), col("c").as("cr"))
+        val cur = c.filter(col("period") === "cur")
+          .select(col("event_type"), col("bin"), col("c").as("cc"))
+        val joined = ref.join(cur, Seq("event_type", "bin"), "full_outer")
+          .select(col("event_type"), col("bin"),
+            coalesce(col("cr"), lit(0L)).as("cr"),
+            coalesce(col("cc"), lit(0L)).as("cc"))
+        val tot = joined.groupBy(col("event_type"))
+          .agg(sum(col("cr")).as("nr"), sum(col("cc")).as("nc"),
+            count(lit(1)).as("b"))
+        joined.join(broadcast(tot), Seq("event_type"))
+          .withColumn("p", (col("cr") + 1) / (col("nr") + col("b")))
+          .withColumn("q", (col("cc") + 1) / (col("nc") + col("b")))
+          .withColumn("term", (col("p") - col("q")) * log(col("p") / col("q")))
+          .groupBy(col("event_type"))
+          .agg(min(col("nr")).as("n_ref"), min(col("nc")).as("n_cur"),
+            min(col("b")).as("n_bins"),
+            sort_array(collect_list(struct(col("bin"), col("term")))).as("ts0"))
+          .withColumn("psi", round(expr(
+            "aggregate(ts0, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)"), 6))
+          .orderBy(col("event_type")).count()
+      }
+      t("q2_production") { SparkEntry.queries("q2_join_agg")(spark, sfDir).count() }
+      t("q2_preagg_orderkey") {
+        val li = Tables.lineitem(spark, sfDir)
+          .groupBy(col("l_orderkey"))
+          .agg(sum(asInt(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 100L))
+            .as("rev_c"), count(lit(1)).as("n_items"))
+        val o = Tables.orders(spark, sfDir)
+        val c = Tables.customer(spark, sfDir)
+        val n = Tables.nation(spark, sfDir)
+        val r = Tables.region(spark, sfDir)
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg((sum(col("rev_c")) / 100.0).as("revenue"),
+            sum(col("n_items")).as("n_items"))
+          .orderBy(col("r_name")).count()
+      }
+      t("q2_scan_floor") { Tables.lineitem(spark, sfDir).count() +
+        Tables.orders(spark, sfDir).count() }
+      spark.stop(); return
+    }
+
     // ---- round-16 probes: dedup_multimodal_rollup 10x blowup ----
     // At /tmp/scale10x the rollup is ~51 s while its three component
     // arms total ~5.4 s warm. Isolate: arms alone, join tail over

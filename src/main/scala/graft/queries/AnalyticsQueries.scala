@@ -106,9 +106,20 @@ object AnalyticsQueries {
     }),
 
     // Multi-way star join: fact -> orders -> customer -> nation -> region,
-    // dims broadcast; revenue per region in exact cents.
+    // dims broadcast; revenue per region in exact cents. The fact side
+    // is PRE-AGGREGATED to order grain before the one real join
+    // (partial-aggregation pushdown: integer-cent sums are associative,
+    // so per-order revenue/item partials roll up to regions exactly) —
+    // the orderkey shuffle then carries ~|orders| 3-column rows instead
+    // of raw lineitems, and the join reuses the aggregate's hash
+    // partitioning, so no exchange is added. At 100 TB this is the
+    // difference between shuffling the fact table and shuffling one row
+    // per order.
     "q2_join_agg" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(asInt(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 100L))
+          .as("rev_c"), count(lit(1)).as("li_n"))
       val o = Tables.orders(s, dir)
       val c = Tables.customer(s, dir)
       val n = Tables.nation(s, dir)
@@ -118,8 +129,8 @@ object AnalyticsQueries {
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"))
-        .agg((sum(asInt(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 100L)) / 100.0).as("revenue"),
-          count(lit(1)).as("n_items"))
+        .agg((sum(col("rev_c")) / 100.0).as("revenue"),
+          sum(col("li_n")).as("n_items"))
         .orderBy(col("r_name"))
     }),
 
@@ -1339,21 +1350,33 @@ object AnalyticsQueries {
     // integer arithmetic, replayed exactly by the oracle.
     "q36_mad_robust" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val ev = Tables.events(s, dir)
+      // ONE events scan: the per-(type, cent) count table IS the whole
+      // distribution (bounded by the value domain, never the corpus),
+      // and the DEVIATION distribution needs no second corpus pass:
+      // each distinct value v with multiplicity c contributes c rows
+      // at |v - median|, so re-binning the count table by |vc - med|
+      // and summing c replays the r16 shape's events-rescan exactly.
+      // NOT localCheckpointed: its three consumers (totals, median
+      // CDF, deviation re-bin) build identical aggregate subplans that
+      // ReuseExchange collapses to one physical shuffle — measured
+      // faster than both the checkpoint (which pays a materialization
+      // job) and the r16 two-scan shape (DevProbe R17B A/B).
+      val counts = Tables.events(s, dir)
         .select(col("event_type"), asInt(col("value"), 100L).as("vc"))
-      val tot = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
-      def leastAtHalf(df: DataFrame, valueCol: String, out: String): DataFrame =
-        df.groupBy(col("event_type"), col(valueCol)).agg(count(lit(1)).as("c"))
-          .withColumn("cum", sum(col("c")).over(
+        .groupBy(col("event_type"), col("vc")).agg(count(lit(1)).as("c"))
+      val tot = counts.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
+      def leastAtHalf(dist: DataFrame, valueCol: String, out: String): DataFrame =
+        dist.withColumn("cum", sum(col("c")).over(
             Window.partitionBy(col("event_type")).orderBy(col(valueCol))
               .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .join(broadcast(tot), Seq("event_type"))
           .filter(col("cum") >= expr("(n + 1) div 2"))
           .groupBy(col("event_type")).agg(min(col(valueCol)).as(out))
-      val med = leastAtHalf(ev, "vc", "med_vc")
-      val dev = ev.join(broadcast(med), Seq("event_type"))
-        .select(col("event_type"), abs(col("vc") - col("med_vc")).as("dv"))
-      val mad = leastAtHalf(dev, "dv", "mad_vc")
+      val med = leastAtHalf(counts, "vc", "med_vc")
+      val devDist = counts.join(broadcast(med), Seq("event_type"))
+        .groupBy(col("event_type"), abs(col("vc") - col("med_vc")).as("dv"))
+        .agg(sum(col("c")).as("c"))
+      val mad = leastAtHalf(devDist, "dv", "mad_vc")
       tot.join(broadcast(med), Seq("event_type"))
         .join(broadcast(mad), Seq("event_type"))
         .select(col("event_type"), col("n"),

@@ -6339,24 +6339,26 @@ object ExtensionQueries {
     // type) so empty bins stay defined; and the per-bin PSI terms —
     // identical doubles in both engines — SUM IN BIN ORDER via an
     // ordered fold (a plain SUM would be aggregation-order-dependent
-    // across engines). Two bounded aggregates + one full-outer join on
-    // (type, bin) — bin cardinality is the value range over 2500,
-    // never the corpus.
+    // across engines). ONE bounded conditional aggregate — the
+    // period split is a pivot INSIDE the (type, bin) groupBy (sum of
+    // the ref indicator / its complement), which replays the r16
+    // shape's filter-branch + full-outer self-join exactly (a (type,
+    // bin) row exists iff either period saw it; the absent period's
+    // count is 0) while scanning events ONCE instead of re-deriving
+    // the binned aggregate per branch. The ~types x bins frame is
+    // localCheckpointed because totals and the PSI terms both fold
+    // over it — bin cardinality is the value range over 2500, never
+    // the corpus.
     "dq_drift" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-        .withColumn("period",
-          when(dayofmonth(col("ts")) <= 15, "ref").otherwise("cur"))
-        .withColumn("bin", expr("CAST(round(value * 100) AS BIGINT) div 2500"))
-      val c = ev.groupBy(col("event_type"), col("period"), col("bin"))
-        .agg(count(lit(1)).as("c"))
-      val ref = c.filter(col("period") === "ref")
-        .select(col("event_type"), col("bin"), col("c").as("cr"))
-      val cur = c.filter(col("period") === "cur")
-        .select(col("event_type"), col("bin"), col("c").as("cc"))
-      val joined = ref.join(cur, Seq("event_type", "bin"), "full_outer")
-        .select(col("event_type"), col("bin"),
-          coalesce(col("cr"), lit(0L)).as("cr"),
-          coalesce(col("cc"), lit(0L)).as("cc"))
+      val joined = Tables.events(s, dir)
+        .select(col("event_type"),
+          when(dayofmonth(col("ts")) <= 15, lit(1L)).otherwise(lit(0L))
+            .as("isref"),
+          expr("CAST(round(value * 100) AS BIGINT) div 2500").as("bin"))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(sum(col("isref")).as("cr"),
+          sum(lit(1L) - col("isref")).as("cc"))
+        .localCheckpoint()
       val tot = joined.groupBy(col("event_type"))
         .agg(sum(col("cr")).as("nr"), sum(col("cc")).as("nc"),
           count(lit(1)).as("b"))
