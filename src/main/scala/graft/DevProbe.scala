@@ -9,7 +9,8 @@ object DevProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -114,6 +115,22 @@ object DevProbe {
     if (sys.env.contains("SPARK_GRAFT_PROBE_R17B")) {
       def asInt(c: org.apache.spark.sql.Column, scale: Long) =
         round(c * scale).cast("long")
+      // per-shape job census: on sub-second queries the scheduling
+      // floor IS the cost model — count jobs, not rows
+      def jobs(name: String)(body: => Long): Unit = {
+        val n = new java.util.concurrent.atomic.AtomicInteger(0)
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            n.incrementAndGet()
+        }
+        spark.sparkContext.addSparkListener(l)
+        val t0 = System.nanoTime(); body
+        val wall = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.removeSparkListener(l)
+        println(f"PROBE jobs_$name%-22s n_jobs=${n.get}%3d wall=$wall%.2fs")
+      }
+      jobs("q36_production") { SparkEntry.queries("q36_mad_robust")(spark, sfDir).count() }
       t("q36_production") { SparkEntry.queries("q36_mad_robust")(spark, sfDir).count() }
       t("q36_r16_two_pass") {
         import org.apache.spark.sql.expressions.Window
@@ -163,6 +180,27 @@ object DevProbe {
             (col("med_vc") / 100.0).as("median_value"),
             (col("mad_vc") / 100.0).as("mad_value"))
           .orderBy(col("event_type")).count()
+      }
+      jobs("q36_r16_two_pass") {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(spark, sfDir)
+          .select(col("event_type"), asInt(col("value"), 100L).as("vc"))
+        val tot = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        def leastAtHalf(df: DataFrame, valueCol: String, out: String): DataFrame =
+          df.groupBy(col("event_type"), col(valueCol)).agg(count(lit(1)).as("c"))
+            .withColumn("cum", sum(col("c")).over(
+              Window.partitionBy(col("event_type")).orderBy(col(valueCol))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            .join(broadcast(tot), Seq("event_type"))
+            .filter(col("cum") >= expr("(n + 1) div 2"))
+            .groupBy(col("event_type")).agg(min(col(valueCol)).as(out))
+        val med = leastAtHalf(ev, "vc", "med_vc")
+        val dev = ev.join(broadcast(med), Seq("event_type"))
+          .select(col("event_type"), abs(col("vc") - col("med_vc")).as("dv"))
+        val mad = leastAtHalf(dev, "dv", "mad_vc")
+        tot.join(broadcast(med), Seq("event_type"))
+          .join(broadcast(mad), Seq("event_type"))
+          .select(col("event_type"), col("n")).orderBy(col("event_type")).count()
       }
       t("dq_drift_production") { SparkEntry.queries("dq_drift")(spark, sfDir).count() }
       t("dq_drift_r16_fouter") {
@@ -216,6 +254,44 @@ object DevProbe {
       }
       t("q2_scan_floor") { Tables.lineitem(spark, sfDir).count() +
         Tables.orders(spark, sfDir).count() }
+      t("q6_production") { SparkEntry.queries("q6_setops")(spark, sfDir).count() }
+      t("q6_r16_four_scans") {
+        val ev = Tables.events(spark, sfDir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id")).distinct()
+        val buys = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id")).distinct()
+        clicks.except(buys).select(lit("click_only").as("segment"), col("user_id"))
+          .unionByName(clicks.intersect(buys)
+            .select(lit("click_and_buy").as("segment"), col("user_id")))
+          .orderBy(col("segment"), col("user_id")).count()
+      }
+      t("q28_production") { SparkEntry.queries("q28_snapshot_diff")(spark, sfDir).count() }
+      t("q28_r16_fouter") {
+        val now = Tables.orders(spark, sfDir)
+          .select(col("o_orderkey").as("k"), asInt(col("o_totalprice"), 100L).as("v_new"))
+        val old = Tables.orders(spark, sfDir)
+          .filter(col("o_orderkey") % 7 =!= 0)
+          .select(col("o_orderkey").as("k"),
+            (asInt(col("o_totalprice"), 100L) +
+              when(col("o_orderkey") % 5 === 0, lit(1000L)).otherwise(lit(0L))).as("v_old"))
+          .unionByName(
+            Tables.orders(spark, sfDir).filter(col("o_orderkey") % 11 === 0)
+              .select((col("o_orderkey") + 10000000L).as("k"),
+                asInt(col("o_totalprice"), 100L).as("v_old")))
+        now.join(old, Seq("k"), "full_outer")
+          .withColumn("status",
+            when(col("v_old").isNull, "added")
+              .when(col("v_new").isNull, "removed")
+              .when(col("v_new") =!= col("v_old"), "changed")
+              .otherwise("unchanged"))
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n"),
+            sum(coalesce(col("v_new"), lit(0L)) - coalesce(col("v_old"), lit(0L)))
+              .as("delta_cents"))
+          .orderBy(col("status")).count()
+      }
+      t("q27_production") { SparkEntry.queries("q27_sketch_rollup")(spark, sfDir).count() }
       spark.stop(); return
     }
 

@@ -53,6 +53,24 @@ object ScaleCorpus {
           .withColumn("user_id", col("user_id") + lit(k * 1000000L)))
       .reduce(_.unionByName(_))
       .write.mode("overwrite").parquet(s"$out/events.parquet")
+    // fact tables for the TPC-H-ish analytics family: orders/lineitem
+    // replicate with CONSISTENT orderkey shifts (the join key must
+    // keep matching across replicas); dimension tables (customer/
+    // nation/region/supplier) stay 1x — facts grow, dims don't, the
+    // realistic 100 TB shape. Callers read dims from the source dir.
+    val ordBase = Tables.orders(spark, src)
+    (0 until 10).map(k =>
+        ordBase.withColumn("o_orderkey", col("o_orderkey") + lit(k * 10000000L)))
+      .reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    val liBase = Tables.lineitem(spark, src)
+    (0 until 10).map(k =>
+        liBase.withColumn("l_orderkey", col("l_orderkey") + lit(k * 10000000L)))
+      .reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    for (dim <- Seq("customer", "supplier", "nation", "region", "part"))
+      spark.read.parquet(s"$src/$dim.parquet")
+        .write.mode("overwrite").parquet(s"$out/$dim.parquet")
     println(s"SCALE_CORPUS $out docs=" +
       spark.read.parquet(s"$out/documents.parquet").count() + " vectors=" +
       spark.read.parquet(s"$out/embeddings.parquet").count() + " events=" +

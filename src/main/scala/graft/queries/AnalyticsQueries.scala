@@ -173,9 +173,16 @@ object AnalyticsQueries {
     // Set operations: distinct users who clicked but never purchased
     // (EXCEPT), and clicked-and-purchased (INTERSECT), tagged + unioned.
     "q6_setops" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      val clicks = ev.filter(col("event_type") === "click").select(col("user_id")).distinct()
-      val buys = ev.filter(col("event_type") === "purchase").select(col("user_id")).distinct()
+      // ONE events scan: the (user, type) distinct frame is bounded by
+      // |users| x 2 and checkpointed; EXCEPT/INTERSECT (the operators
+      // this query exists to exercise) then run over that tiny frame
+      // instead of four filtered re-scans of the corpus.
+      val ut = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("event_type")).distinct()
+        .localCheckpoint()
+      val clicks = ut.filter(col("event_type") === "click").select(col("user_id"))
+      val buys = ut.filter(col("event_type") === "purchase").select(col("user_id"))
       clicks.except(buys).select(lit("click_only").as("segment"), col("user_id"))
         .unionByName(clicks.intersect(buys).select(lit("click_and_buy").as("segment"), col("user_id")))
         .orderBy(col("segment"), col("user_id"))
@@ -560,7 +567,16 @@ object AnalyticsQueries {
           Tables.orders(s, dir).filter(col("o_orderkey") % 11 === 0)
             .select((col("o_orderkey") + 10000000L).as("k"),
               asInt(col("o_totalprice"), 100L).as("v_old")))
-      now.join(old, Seq("k"), "full_outer")
+      // the full-outer join is a UNION + one groupBy(k) pivot: k is
+      // unique within each snapshot (retired keys are offset out of
+      // the live range), so max(when side) reconstructs the joined row
+      // with ONE exchange instead of shuffling both sides into a
+      // SortMergeJoin — the IVM-style diff shape that scales.
+      now.select(col("k"), col("v_new"), lit(null).cast("long").as("v_old"))
+        .unionByName(old.select(col("k"), lit(null).cast("long").as("v_new"),
+          col("v_old")))
+        .groupBy(col("k"))
+        .agg(max(col("v_new")).as("v_new"), max(col("v_old")).as("v_old"))
         .withColumn("status",
           when(col("v_old").isNull, "added")
             .when(col("v_new").isNull, "removed")
@@ -595,6 +611,10 @@ object AnalyticsQueries {
         .groupByKey(_._1).mapValues(_._2)
         .agg(kmvSk.toColumn.name("sk"))
         .toDF("event_type", "sk")
+        // ~|types| rows, consumed by BOTH the merged-scope derivation
+        // and the final union — uncheckpointed, the typed sketch
+        // aggregate (a full corpus scan) runs twice
+        .localCheckpoint()
       val merged = perType
         .select(explode(col("sk")).as("h")).distinct()
         .orderBy(col("h")).limit(64)
