@@ -567,16 +567,15 @@ object AnalyticsQueries {
           Tables.orders(s, dir).filter(col("o_orderkey") % 11 === 0)
             .select((col("o_orderkey") + 10000000L).as("k"),
               asInt(col("o_totalprice"), 100L).as("v_old")))
-      // the full-outer join is a UNION + one groupBy(k) pivot: k is
-      // unique within each snapshot (retired keys are offset out of
-      // the live range), so max(when side) reconstructs the joined row
-      // with ONE exchange instead of shuffling both sides into a
-      // SortMergeJoin — the IVM-style diff shape that scales.
-      now.select(col("k"), col("v_new"), lit(null).cast("long").as("v_old"))
-        .unionByName(old.select(col("k"), lit(null).cast("long").as("v_new"),
-          col("v_old")))
-        .groupBy(col("k"))
-        .agg(max(col("v_new")).as("v_new"), max(col("v_old")).as("v_old"))
+      // SHAPE ADJUDICATION (r17 DevProbe A/B): a union + groupBy(k)
+      // pivot looks like it saves an exchange, but k is UNIQUE within
+      // each snapshot — the hash aggregate's cardinality equals its
+      // input, so map-side partials combine nothing and the pivot
+      // LOSES to the join as volume grows (0.611 vs 0.499 s at the
+      // 10x corpus; a wash at 1x). Pre-aggregation only pays when
+      // keys repeat (the q2_join_agg case); on unique keys the
+      // full-outer join is the right physical shape at any scale.
+      now.join(old, Seq("k"), "full_outer")
         .withColumn("status",
           when(col("v_old").isNull, "added")
             .when(col("v_new").isNull, "removed")
