@@ -3587,6 +3587,56 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // DoReMi-style domain reweighting ("DoReMi: Optimizing Data
+    // Mixtures Speeds Up Language Model Pretraining", Xie et al.
+    // 2023): LEARN per-source mixture weights by exponentiated-
+    // gradient ascent on EXCESS loss, where sample_mixture/
+    // sample_temperature take the weights as given. The loss signal
+    // is each source's token-weighted mean unigram surprisal (the
+    // memoized surprisal store — already hash-green per doc), the
+    // baseline is the CURRENT mixture's weighted mean loss (DoReMi's
+    // domain-robust objective: the baseline moves each round, so the
+    // fixed point is genuinely iterative, not a closed-form softmax),
+    // and 4 EG rounds (eta = 0.2) run on the k-row (source, loss)
+    // table COLLECTED TO THE DRIVER — the dsirLogRatios / q29b
+    // driver-constants pattern: k = |sources|, never the corpus; the
+    // corpus is touched exactly once (the store scan + one bounded
+    // join/agg). Determinism: loss is exact integer micro-nats
+    // (floor-div of integer sums of the per-doc rounded micros);
+    // weights live in integer ppm; the only float per (round, source)
+    // is ONE exp() immediately rounded to an integer update factor
+    // (the sample_dsir regime), and renormalization is exact integer
+    // floor-division by the integer update sum. Output is the weight
+    // TRAJECTORY (step 0..4 per source) so convergence is a gated
+    // surface; the oracle replays the loop unrolled.
+    "sample_doremi_weights" -> ((s, dir) => {
+      import s.implicits._
+      val su = surprisalFrame(s, dir).select(col("doc_id"),
+        round(col("avg_surprisal") * 1e6).cast("long").as("sur_micro"),
+        col("n_tokens"))
+      val ls = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+        .join(su, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(expr("sum(sur_micro * n_tokens) div sum(n_tokens)").as("lmicro"))
+        .as[(String, Long)].collect().sortBy(_._1)
+      val k = ls.length
+      var w: Array[Long] = Array.fill(k)(1000000L / k)
+      val rows = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+      ls.indices.foreach(i => rows += ((0L, ls(i)._1, w(i))))
+      for (t <- 1 to 4) {
+        val b = ls.indices.map(i => w(i) * ls(i)._2).sum / 1000000L
+        val u = ls.indices.map { i =>
+          val ex = math.max(0L, ls(i)._2 - b)
+          math.round(w(i) * StrictMath.exp(0.2 * ex / 1e6))
+        }
+        val us = u.sum
+        w = u.map(x => x * 1000000L / us).toArray
+        ls.indices.foreach(i => rows += ((t.toLong, ls(i)._1, w(i))))
+      }
+      rows.toSeq.toDF("step", "source", "w_ppm")
+        .orderBy(col("step"), col("source"))
+    }),
+
     // Benchmark decontamination: flag training docs sharing a verbatim
     // 8-gram with the held-out benchmark split (doc_id % 50 == 0 — the
     // deterministic stand-in for a real eval set). Benchmark gram set is
@@ -4470,6 +4520,41 @@ object ExtensionQueries {
       ct.select(col("n11"), col("n10"), col("n01"), col("n00"),
         round(po, 6).as("po"), round(pe, 6).as("pe"),
         round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+    }),
+
+    // Classifier CALIBRATION audit (reliability diagram) — the check
+    // every score-thresholding pipeline owes its gates: does an NB
+    // log-odds of +2 actually mean "quality" more often than +0.5?
+    // Bins are fixed 0.02-nat-wide log-odds buckets clamped to
+    // [-0.08, 0.08) — 8 bins sized to the mean-of-log-odds scale the
+    // NB scorer actually emits (per-token averaging keeps |logodds|
+    // under ~0.1 nat on this corpus); per bin, mean predicted
+    // probability (sigmoid of the
+    // per-doc ROUNDED log-odds, quantized to integer micros BEFORE
+    // the bin mean — order-free) is set against the observed positive
+    // rate under the independent text_quality heuristic; gap_micro is
+    // the per-bin calibration error (the |conf - acc| term of ECE —
+    // the invariants spec rolls the weighted sum). Both inputs are
+    // the gated queries' exact frames via the registry; everything
+    // after the one sigmoid is exact integer arithmetic. One bounded
+    // aggregate over the joined per-doc flags.
+    "quality_calibration" -> ((s, dir) => {
+      val nb = queries("quality_nb_score")(s, dir).select(col("doc_id"),
+        round(col("nb_logodds") * 1e6).cast("long").as("lo"))
+      val tq = queries("text_quality")(s, dir)
+        .select(col("doc_id"), col("is_quality"))
+      nb.join(tq, Seq("doc_id"))
+        .withColumn("conf",
+          round(lit(1000000.0) / (lit(1.0) + exp(-col("lo") / lit(1000000.0))))
+            .cast("long"))
+        .withColumn("bin", least(greatest(
+          expr("(lo + 80000) div 20000"), lit(0L)), lit(7L)))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(conf) div count(1)").as("conf_micro"),
+          expr("(sum(is_quality) * 1000000) div count(1)").as("pos_micro"))
+        .withColumn("gap_micro", abs(col("conf_micro") - col("pos_micro")))
+        .orderBy(col("bin"))
     }),
 
     // Deterministic per-epoch reshuffle (every multi-epoch training
@@ -9052,6 +9137,54 @@ object ExtensionQueries {
        "CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE)) / " +
        "(CAST(n11 + n10 + n01 + n00 AS DOUBLE) * CAST(n11 + n10 + n01 + n00 AS DOUBLE))), 6) AS kappa " +
        "FROM ct"),
+    // both gated inputs composed verbatim; sigmoid on the ROUNDED
+    // micro log-odds then immediately quantized (the one float);
+    // bin arithmetic: Spark div truncates vs DuckDB // floors, but
+    // they only disagree on NEGATIVE arguments, and every negative
+    // argument clamps to bin 0 on both engines
+    "quality_calibration" ->
+      (s"WITH qcnb AS (${baseOracleSql("quality_nb_score")}), " +
+       s"qctq AS (${baseOracleSql("text_quality")}), " +
+       "qcj AS (SELECT nb.doc_id, " +
+       "CAST(round(nb.nb_logodds * 1000000) AS BIGINT) lo, tq.is_quality " +
+       "FROM qcnb nb JOIN qctq tq ON nb.doc_id = tq.doc_id), " +
+       "qcc AS (SELECT lo, is_quality, " +
+       "CAST(round(1000000.0 / (1.0 + exp(-lo / 1000000.0))) AS BIGINT) conf, " +
+       "LEAST(GREATEST((lo + 80000) // 20000, 0), 7) bin FROM qcj) " +
+       "SELECT CAST(bin AS BIGINT) AS bin, COUNT(*) AS n_docs, " +
+       "CAST(SUM(conf) // COUNT(*) AS BIGINT) AS conf_micro, " +
+       "CAST(SUM(is_quality) * 1000000 // COUNT(*) AS BIGINT) AS pos_micro, " +
+       "CAST(abs(SUM(conf) // COUNT(*) - SUM(is_quality) * 1000000 // COUNT(*)) AS BIGINT) AS gap_micro " +
+       "FROM qcc GROUP BY bin ORDER BY bin"),
+    // the unigram-surprisal oracle composed verbatim; per-source loss
+    // = floor-div of exact integer sums; the 4 EG rounds UNROLLED
+    // (aggregates over the recursive reference are not legal in a
+    // recursive CTE) — each round is one exp() per source rounded to
+    // an integer update, then exact integer renormalization
+    "sample_doremi_weights" -> {
+      def rnd(i: Int): String =
+        (s"drb$i AS (SELECT CAST(SUM(w_ppm * lmicro) // 1000000 AS BIGINT) b " +
+         s"FROM drw${i - 1} JOIN drl USING (source)), " +
+         s"dru$i AS MATERIALIZED (SELECT w.source, " +
+         s"CAST(round(w_ppm * exp(0.2 * GREATEST(lmicro - b, 0) / 1000000.0)) AS BIGINT) u " +
+         s"FROM drw${i - 1} w JOIN drl USING (source), drb$i), " +
+         s"drw$i AS MATERIALIZED (SELECT source, " +
+         s"CAST(u * 1000000 // (SELECT SUM(u) FROM dru$i) AS BIGINT) w_ppm FROM dru$i)")
+      (s"WITH drsu AS (${baseOracleSql("text_unigram_logprob")}), " +
+       "drd AS (SELECT d.source, " +
+       "CAST(round(su.avg_surprisal * 1000000) AS BIGINT) sur, su.n_tokens " +
+       "FROM drsu su JOIN documents d ON su.doc_id = d.doc_id), " +
+       "drl AS MATERIALIZED (SELECT source, " +
+       "CAST(SUM(sur * n_tokens) // SUM(n_tokens) AS BIGINT) lmicro " +
+       "FROM drd GROUP BY source), " +
+       "drw0 AS MATERIALIZED (SELECT source, " +
+       "CAST(1000000 // (SELECT COUNT(*) FROM drl) AS BIGINT) w_ppm FROM drl), " +
+       (1 to 4).map(rnd).mkString(", ") + " " +
+       (0 to 4).map(i =>
+         s"SELECT CAST($i AS BIGINT) AS step, source, w_ppm FROM drw$i")
+         .mkString(" UNION ALL ") +
+       " ORDER BY step, source")
+    },
     // lexical arm composed verbatim, cosine arithmetic = the
     // sim_cosine_topk oracle's exact pattern; threshold on the
     // rounded value on BOTH engines

@@ -2277,4 +2277,54 @@ class ExtensionInvariantsSpec extends SparkSpec {
       s"zipf replay drifted: got ($gotN, $gotSlope, $gotIcpt) vs ($nT, $slope, $intercept)")
     assert(gotSlope < 0, "frequency must fall with rank")
   }
+
+  test("doremi weights: normalized every step, EG moves mass toward excess loss") {
+    val rows = q("sample_doremi_weights").as[(Long, String, Long)].collect()
+    val steps = rows.groupBy(_._1)
+    assert(steps.keySet === (0L to 4L).toSet)
+    val k = steps(0L).length
+    // integer floor-renormalization loses < 1 ppm per source, never gains
+    steps.foreach { case (t, g) =>
+      val s = g.map(_._3).sum
+      assert(s <= 1000000L && s > 1000000L - k, s"step $t weight sum $s")
+      assert(g.length === k, s"step $t lost a source")
+    }
+    // step 0 is uniform
+    assert(steps(0L).forall(_._3 === 1000000L / k))
+    // EG direction: the max-loss source's weight never ends below
+    // uniform, the min-loss source's never above (losses from the
+    // surprisal store replayed through the same integer spec)
+    import org.apache.spark.sql.functions._
+    val ls = graft.queries.ExtensionQueries.surprisalBuildFrame(spark, sf0001)
+      .select(col("doc_id"),
+        round(col("avg_surprisal") * 1e6).cast("long").as("sm"), col("n_tokens"))
+      .join(Tables.documents(spark, sf0001).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(expr("sum(sm * n_tokens) div sum(n_tokens)").as("l"))
+      .as[(String, Long)].collect()
+    val byW = steps(4L).map(r => r._2 -> r._3).toMap
+    val maxSrc = ls.maxBy(t => (t._2, t._1))._1
+    val minSrc = ls.minBy(t => (t._2, t._1))._1
+    assert(byW(maxSrc) >= 1000000L / k - 4,
+      s"max-loss source $maxSrc lost mass: ${byW(maxSrc)}")
+    assert(byW(minSrc) <= 1000000L / k,
+      s"min-loss source $minSrc gained mass: ${byW(minSrc)}")
+  }
+
+  test("calibration bins: partition of the scored docs, gap = |conf - acc|, ECE bounded") {
+    val rows = q("quality_calibration")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.forall { case (b, _, c, p, g) =>
+      b >= 0 && b <= 7 && c >= 0 && c <= 1000000 && p >= 0 && p <= 1000000 &&
+        g === math.abs(c - p) })
+    val nScored = q("quality_nb_score").count()
+    assert(rows.map(_._2).sum === nScored,
+      "bins must partition every scored doc exactly once")
+    // expected calibration error (the weighted gap rollup this audit
+    // exists to feed) stays a probability
+    val n = rows.map(_._2).sum.toDouble
+    val ece = rows.map { case (_, nb, _, _, g) => nb * g / 1e6 }.sum / n
+    assert(ece >= 0.0 && ece <= 1.0, s"ece=$ece")
+  }
 }
