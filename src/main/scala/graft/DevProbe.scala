@@ -292,6 +292,8 @@ object DevProbe {
           .orderBy(col("status")).count()
       }
       t("q27_production") { SparkEntry.queries("q27_sketch_rollup")(spark, sfDir).count() }
+      t("doremi_weights") { SparkEntry.queries("sample_doremi_weights")(spark, sfDir).count() }
+      t("quality_calibration") { SparkEntry.queries("quality_calibration")(spark, sfDir).count() }
       spark.stop(); return
     }
 

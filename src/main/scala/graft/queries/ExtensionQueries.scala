@@ -1540,6 +1540,18 @@ object ExtensionQueries {
     * the broadcast-vocab/no-token-shuffle contract on the frame that
     * actually pays the join (the served query just reads the store).
     */
+  /** NB quality-score store: train-once/score-many (the surprisal
+    * store contract — see `quality_nb_score` for why).
+    */
+  private def nbScoreFrame(s: SparkSession, dir: String): DataFrame =
+    materializedFrame(s,
+      s"nbscore:$dir@${Tables.parquetRowCount(s, s"$dir/documents.parquet")}") {
+      nbScoreBuildFrame(s, dir)
+    }
+
+  private[graft] def nbScoreBuildFrame(s: SparkSession, dir: String): DataFrame =
+    TextOps.nbQualityScore(Tables.documents(s, dir), col("lang") === "en")
+
   private[graft] def surprisalBuildFrame(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
@@ -4352,9 +4364,18 @@ object ExtensionQueries {
     // for the scale argument: vocab exchange + score exchange, 1-row
     // broadcast totals), so the full train+score pipeline replays in
     // DuckDB and the hash gate covers the MODEL, not just the apply.
+    // SERVED FROM THE SCORE STORE (r17: the surprisalFrame /
+    // postingFrame lifecycle, dir@rowCount key): an NB classifier is
+    // the canonical train-once/score-many artifact, and FIVE gated
+    // queries consume this frame (score, confusion, kappa, ensemble,
+    // calibration) — re-training per call paid the corpus tokenize
+    // each time (measured 4.8x growth at the 10x corpus on
+    // quality_calibration alone). The plan audit targets the BUILD
+    // frame (nbScoreBuildFrame), which still pays the broadcast vocab
+    // join; a fresh JVM (every driver gate) recomputes from scratch,
+    // so the hash gate still covers the model.
     "quality_nb_score" -> ((s, dir) =>
-      TextOps.nbQualityScore(Tables.documents(s, dir), col("lang") === "en")
-        .orderBy(col("doc_id"))),
+      nbScoreFrame(s, dir).orderBy(col("doc_id"))),
 
     // Perplexity-bucketed sampling — the LM-score mixing stage of
     // modern curation (DCLM/DoReMi flavor): bucket documents into

@@ -195,7 +195,11 @@ class PlanAuditSpec extends SparkSpec {
     // explode -> broadcast vocab join -> partial agg; the 1-row class
     // totals ride a broadcast nested loop. A SortMergeJoin on `w`
     // would shuffle the full token stream — the 100 TB killer.
-    val p = plan("quality_nb_score")
+    // The served query now reads the materialized score store (r17),
+    // so the audit targets the store's BUILD plan — the one that pays
+    // the join.
+    val p = graft.queries.ExtensionQueries.nbScoreBuildFrame(spark, sf0001)
+      .queryExecution.executedPlan.toString
     val joinLines = p.linesIterator.filter(_.contains("Join")).toSeq
     assert(joinLines.exists(_.contains("BroadcastHashJoin")),
       s"vocab join should broadcast at test scale:\n${joinLines.mkString("\n")}")
