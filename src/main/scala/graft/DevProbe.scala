@@ -267,7 +267,11 @@ object DevProbe {
           .orderBy(col("segment"), col("user_id")).count()
       }
       t("q28_production") { SparkEntry.queries("q28_snapshot_diff")(spark, sfDir).count() }
-      t("q28_r16_fouter") {
+      // the REJECTED pivot shape, preserved for the SCALE.md
+      // adjudication: union + groupBy(k) max(when side) — loses to the
+      // shipped full-outer join at 10x because k is unique per
+      // snapshot (partial aggregation combines nothing)
+      t("q28_pivot_variant") {
         val now = Tables.orders(spark, sfDir)
           .select(col("o_orderkey").as("k"), asInt(col("o_totalprice"), 100L).as("v_new"))
         val old = Tables.orders(spark, sfDir)
@@ -279,7 +283,11 @@ object DevProbe {
             Tables.orders(spark, sfDir).filter(col("o_orderkey") % 11 === 0)
               .select((col("o_orderkey") + 10000000L).as("k"),
                 asInt(col("o_totalprice"), 100L).as("v_old")))
-        now.join(old, Seq("k"), "full_outer")
+        now.select(col("k"), col("v_new"), lit(null).cast("long").as("v_old"))
+          .unionByName(old.select(col("k"), lit(null).cast("long").as("v_new"),
+            col("v_old")))
+          .groupBy(col("k"))
+          .agg(max(col("v_new")).as("v_new"), max(col("v_old")).as("v_old"))
           .withColumn("status",
             when(col("v_old").isNull, "added")
               .when(col("v_new").isNull, "removed")
