@@ -228,7 +228,13 @@ object ScaleSmoke {
         // rollup, frontier priority list, weighted host PageRank,
         // RFC 9309 robots gate (per-edge parse+match, rules memoized)
         "crawl_link_graph", "crawl_link_host_graph", "crawl_frontier",
-        "crawl_link_pagerank", "crawl_robots_gate")) {
+        "crawl_link_pagerank", "crawl_robots_gate",
+        // round-17 second wave: the EG weight loop (corpus cost = one
+        // surprisal-store scan; the k-row driver loop is volume-blind),
+        // its sampler, and the calibration audit off the NB score
+        // store (train-once pays the 10x tokenize exactly once)
+        "sample_doremi_weights", "sample_doremi_apply",
+        "quality_calibration")) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).count()
       println(f"$q%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $n%10d rows")

@@ -3649,6 +3649,35 @@ object ExtensionQueries {
         .orderBy(col("step"), col("source"))
     }),
 
+    // The ACT on the learned weights — the sampler the EG loop exists
+    // to feed: per-source keep threshold thr = min(1e6, w_ppm * budget
+    // div n_s) (budget = the sample_temperature convention, corpus/5;
+    // n from parquet footers, zero jobs), decided per doc by the
+    // portable hash coin. Same serving shape as sample_temperature —
+    // the difference is WHERE the rates come from (learned vs
+    // closed-form), which is exactly the DoReMi contribution. The
+    // k-row rate table broadcasts; the corpus side is one map pass +
+    // one bounded aggregate.
+    "sample_doremi_apply" -> ((s, dir) => {
+      val w4 = queries("sample_doremi_weights")(s, dir)
+        .filter(col("step") === 4).select(col("source"), col("w_ppm"))
+      val docs = Tables.documents(s, dir)
+      val budget = Tables.parquetRowCount(s, s"$dir/documents.parquet") / 5
+      val rates = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .join(w4, Seq("source"))
+        .withColumn("thr", least(lit(1000000L),
+          expr(s"(w_ppm * $budget) div n_docs")))
+        .select(col("source"), col("thr"))
+      val coin = pmod(TextOps.portableHash32(
+        concat(lit("dra|"), col("doc_id").cast("string"))), lit(1000000L))
+      docs.join(broadcast(rates), Seq("source"))
+        .withColumn("kept", (coin < col("thr")).cast("int"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"),
+          min(col("thr")).as("thr"))
+        .orderBy(col("source"))
+    }),
+
     // Benchmark decontamination: flag training docs sharing a verbatim
     // 8-gram with the held-out benchmark split (doc_id % 50 == 0 — the
     // deterministic stand-in for a real eval set). Benchmark gram set is
@@ -8969,6 +8998,35 @@ object ExtensionQueries {
     "FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id " +
     "ORDER BY rrf DESC, doc_id LIMIT 10"
 
+  /** The sample_doremi_weights oracle, extracted so
+    * sample_doremi_apply can compose it verbatim (it lives outside
+    * baseOracleSql).
+    */
+  private val doremiOracleSql: String = {
+    def rnd(i: Int): String =
+      (s"drb$i AS (SELECT CAST(SUM(w_ppm * lmicro) // 1000000 AS BIGINT) b " +
+       s"FROM drw${i - 1} JOIN drl USING (source)), " +
+       s"dru$i AS MATERIALIZED (SELECT w.source, " +
+       s"CAST(round(w_ppm * exp(0.2 * GREATEST(lmicro - b, 0) / 1000000.0)) AS BIGINT) u " +
+       s"FROM drw${i - 1} w JOIN drl USING (source), drb$i), " +
+       s"drw$i AS MATERIALIZED (SELECT source, " +
+       s"CAST(u * 1000000 // (SELECT SUM(u) FROM dru$i) AS BIGINT) w_ppm FROM dru$i)")
+    (s"WITH drsu AS (${baseOracleSql("text_unigram_logprob")}), " +
+     "drd AS (SELECT d.source, " +
+     "CAST(round(su.avg_surprisal * 1000000) AS BIGINT) sur, su.n_tokens " +
+     "FROM drsu su JOIN documents d ON su.doc_id = d.doc_id), " +
+     "drl AS MATERIALIZED (SELECT source, " +
+     "CAST(SUM(sur * n_tokens) // SUM(n_tokens) AS BIGINT) lmicro " +
+     "FROM drd GROUP BY source), " +
+     "drw0 AS MATERIALIZED (SELECT source, " +
+     "CAST(1000000 // (SELECT COUNT(*) FROM drl) AS BIGINT) w_ppm FROM drl), " +
+     (1 to 4).map(rnd).mkString(", ") + " " +
+     (0 to 4).map(i =>
+       s"SELECT CAST($i AS BIGINT) AS step, source, w_ppm FROM drw$i")
+       .mkString(" UNION ALL ") +
+     " ORDER BY step, source")
+  }
+
   def oracleSql: Map[String, String] = baseOracleSql ++ Map(
     "sim_mmr_rerank" -> mmrOracleSql,
     // physical twin of search_bm25_topk (persisted partition-pruned
@@ -9182,30 +9240,24 @@ object ExtensionQueries {
     // (aggregates over the recursive reference are not legal in a
     // recursive CTE) — each round is one exp() per source rounded to
     // an integer update, then exact integer renormalization
-    "sample_doremi_weights" -> {
-      def rnd(i: Int): String =
-        (s"drb$i AS (SELECT CAST(SUM(w_ppm * lmicro) // 1000000 AS BIGINT) b " +
-         s"FROM drw${i - 1} JOIN drl USING (source)), " +
-         s"dru$i AS MATERIALIZED (SELECT w.source, " +
-         s"CAST(round(w_ppm * exp(0.2 * GREATEST(lmicro - b, 0) / 1000000.0)) AS BIGINT) u " +
-         s"FROM drw${i - 1} w JOIN drl USING (source), drb$i), " +
-         s"drw$i AS MATERIALIZED (SELECT source, " +
-         s"CAST(u * 1000000 // (SELECT SUM(u) FROM dru$i) AS BIGINT) w_ppm FROM dru$i)")
-      (s"WITH drsu AS (${baseOracleSql("text_unigram_logprob")}), " +
-       "drd AS (SELECT d.source, " +
-       "CAST(round(su.avg_surprisal * 1000000) AS BIGINT) sur, su.n_tokens " +
-       "FROM drsu su JOIN documents d ON su.doc_id = d.doc_id), " +
-       "drl AS MATERIALIZED (SELECT source, " +
-       "CAST(SUM(sur * n_tokens) // SUM(n_tokens) AS BIGINT) lmicro " +
-       "FROM drd GROUP BY source), " +
-       "drw0 AS MATERIALIZED (SELECT source, " +
-       "CAST(1000000 // (SELECT COUNT(*) FROM drl) AS BIGINT) w_ppm FROM drl), " +
-       (1 to 4).map(rnd).mkString(", ") + " " +
-       (0 to 4).map(i =>
-         s"SELECT CAST($i AS BIGINT) AS step, source, w_ppm FROM drw$i")
-         .mkString(" UNION ALL ") +
-       " ORDER BY step, source")
-    },
+    "sample_doremi_weights" -> doremiOracleSql,
+    // the learned weights composed verbatim (final step only), then
+    // the sample_temperature serving shape: per-source integer keep
+    // threshold + md5 ppm coin
+    "sample_doremi_apply" ->
+      (s"WITH daw AS ($doremiOracleSql), " +
+       "daw4 AS (SELECT source, w_ppm FROM daw WHERE step = 4), " +
+       "dac AS (SELECT source, CAST(COUNT(*) AS BIGINT) n_docs " +
+       "FROM documents GROUP BY source), " +
+       "dab AS (SELECT CAST(COUNT(*) // 5 AS BIGINT) budget FROM documents), " +
+       "dar AS MATERIALIZED (SELECT dac.source, " +
+       "least(CAST(w_ppm * budget // n_docs AS BIGINT), 1000000) thr " +
+       "FROM dac JOIN daw4 USING (source), dab), " +
+       "dak AS (SELECT d.source, r.thr, CAST(CASE WHEN " +
+       "CAST('0x' || substr(md5('dra|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 < r.thr " +
+       "THEN 1 ELSE 0 END AS INT) kept FROM documents d JOIN dar r USING (source)) " +
+       "SELECT source, COUNT(*) AS n_docs, CAST(SUM(kept) AS BIGINT) AS n_kept, " +
+       "CAST(MIN(thr) AS BIGINT) AS thr FROM dak GROUP BY source ORDER BY source"),
     // lexical arm composed verbatim, cosine arithmetic = the
     // sim_cosine_topk oracle's exact pattern; threshold on the
     // rounded value on BOTH engines

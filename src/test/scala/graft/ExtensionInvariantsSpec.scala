@@ -2312,6 +2312,26 @@ class ExtensionInvariantsSpec extends SparkSpec {
       s"min-loss source $minSrc gained mass: ${byW(minSrc)}")
   }
 
+  test("doremi apply: budget-coupled thresholds, keeps bounded per source") {
+    val rows = q("sample_doremi_apply")
+      .as[(String, Long, Long, Long)].collect()
+    val w4 = q("sample_doremi_weights").filter($"step" === 4)
+      .as[(Long, String, Long)].collect().map(r => r._2 -> r._3).toMap
+    assert(rows.map(_._1).toSet === w4.keySet, "one row per source")
+    val n = rows.map(_._2).sum
+    rows.foreach { case (src, nd, nk, thr) =>
+      assert(nk >= 0 && nk <= nd, s"$src kept $nk of $nd")
+      // thr replays min(1e6, w * budget div n_docs) exactly
+      assert(thr === math.min(1000000L, w4(src) * (n / 5) / nd),
+        s"$src thr drifted")
+    }
+    // the hash coin is uniform: total kept lands near the weighted
+    // budget (loose band — this is a smoke bound, not a statistics
+    // proof; exactness is the oracle's job)
+    val kept = rows.map(_._3).sum
+    assert(kept > n / 20 && kept < n / 2, s"kept $kept of $n")
+  }
+
   test("calibration bins: partition of the scored docs, gap = |conf - acc|, ECE bounded") {
     val rows = q("quality_calibration")
       .as[(Long, Long, Long, Long, Long)].collect()
