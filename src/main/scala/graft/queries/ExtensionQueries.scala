@@ -1540,6 +1540,33 @@ object ExtensionQueries {
     * the broadcast-vocab/no-token-shuffle contract on the frame that
     * actually pays the join (the served query just reads the store).
     */
+  /** Unigram token-count store (w, c) — the corpus LM's count table
+    * as a train-once artifact (the KN-model-store contract): consumers
+    * (`text_bigram_logprob`, `corpus_pmi_pairs`) were each paying the
+    * full corpus tokenize to rebuild counts every call. Vocab-sized.
+    */
+  private def tokenCountsFrame(s: SparkSession, dir: String): DataFrame =
+    materializedFrame(s,
+      s"tokcounts:$dir@${Tables.parquetRowCount(s, s"$dir/documents.parquet")}") {
+      Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    }
+
+  /** Bigram type-count store (bg, n_pair), degenerate (< 2 token)
+    * docs gated out exactly as both consumers' oracles gate them.
+    * Vocab²-bounded (Zipf-thinned in practice — the knModelFrame
+    * argument).
+    */
+  private def bigramCountsFrame(s: SparkSession, dir: String): DataFrame =
+    materializedFrame(s,
+      s"bgcounts:$dir@${Tables.parquetRowCount(s, s"$dir/documents.parquet")}") {
+      Tables.documents(s, dir)
+        .filter(size(TextOps.tokens(col("text"))) >= 2)
+        .select(explode(TextOps.shinglesOfText(col("text"), 2)).as("bg"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("n_pair"))
+    }
+
   /** NB quality-score store: train-once/score-many (the surprisal
     * store contract — see `quality_nb_score` for why).
     */
@@ -4284,10 +4311,14 @@ object ExtensionQueries {
     // sides here, and at real scale the bigram join is the standard
     // count-table shuffle. Same avg-ln rounding contract as the
     // unigram query.
+    // COUNT TABLES FROM THE STORES (r17): the scoring pass over the
+    // per-doc bigram stream is the one corpus scan left; the c1/c2
+    // count derivations (two more full tokenizes) now read the
+    // train-once token/bigram count stores.
     "text_bigram_logprob" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val toks = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
-      val c1 = toks.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+      val c1 = tokenCountsFrame(s, dir)
+        .select(col("w"), col("c").as("c1"))
       val vsize = c1.agg(count(lit(1)).as("v"))
       // word_shingles truncates (emits one single-word "shingle") for
       // docs shorter than the window, while the oracle's series-derived
@@ -4297,7 +4328,8 @@ object ExtensionQueries {
         .filter(size(TextOps.tokens(col("text"))) >= 2)
         .select(col("doc_id"),
           explode(TextOps.shinglesOfText(col("text"), 2)).as("bg"))
-      val c2 = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+      val c2 = bigramCountsFrame(s, dir)
+        .select(col("bg"), col("n_pair").as("c2"))
       bigrams
         .withColumn("w1", substring_index(col("bg"), " ", 1))
         .join(c2, Seq("bg"))
@@ -4361,15 +4393,17 @@ object ExtensionQueries {
     // joins broadcast, and min-support c2 >= 5 bounds the report
     // before ranking. Top-20 by (pmi desc, pair) via
     // TakeOrderedAndProject — never a global sort.
+    // SERVED FROM THE COUNT STORES (r17): PMI needs only the count
+    // tables, so after the train-once token/bigram stores are built
+    // the query never touches the corpus — totals are small aggregates
+    // over the vocab-sized stores (sum of counts = the stream totals
+    // exactly).
     "corpus_pmi_pairs" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val toks = docs.select(explode(TextOps.tokens(col("text"))).as("w"))
-      val c1 = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
-      val nTok = toks.agg(count(lit(1)).as("n"))
-      val bigrams = docs.filter(size(TextOps.tokens(col("text"))) >= 2)
-        .select(explode(TextOps.shinglesOfText(col("text"), 2)).as("bg"))
-      val nBg = bigrams.agg(count(lit(1)).as("nb"))
-      bigrams.groupBy(col("bg")).agg(count(lit(1)).as("n_pair"))
+      val c1 = tokenCountsFrame(s, dir)
+      val nTok = c1.agg(sum(col("c")).as("n"))
+      val bgc = bigramCountsFrame(s, dir)
+      val nBg = bgc.agg(sum(col("n_pair")).as("nb"))
+      bgc
         .filter(col("n_pair") >= 5)
         .withColumn("w1", substring_index(col("bg"), " ", 1))
         .withColumn("w2", substring_index(col("bg"), " ", -1))
