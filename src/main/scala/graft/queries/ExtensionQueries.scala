@@ -197,6 +197,31 @@ object ExtensionQueries {
   private val dsirModelDirs = new java.util.concurrent.ConcurrentHashMap[
     String, Array[Double]]()
 
+  /** Per-source (source, loss-micro) table for the DoReMi loop,
+    * memoized per corpus version (the dsirModelDirs pattern): BOTH
+    * sample_doremi_weights and sample_doremi_apply consume it, and
+    * the k-row collect behind it costs a surprisal-store scan +
+    * bounded join/agg that a train-once artifact should pay once per
+    * JVM per corpus. A fresh JVM (every driver gate) recomputes.
+    */
+  private val doremiLossDirs = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[(String, Long)]]()
+
+  private def doremiLosses(s: SparkSession, dir: String): Array[(String, Long)] = {
+    val n = Tables.parquetRowCount(s, s"$dir/documents.parquet")
+    doremiLossDirs.computeIfAbsent(s"$dir@$n", _ => {
+      import s.implicits._
+      val su = surprisalFrame(s, dir).select(col("doc_id"),
+        round(col("avg_surprisal") * 1e6).cast("long").as("sur_micro"),
+        col("n_tokens"))
+      Tables.documents(s, dir).select(col("doc_id"), col("source"))
+        .join(su, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(expr("sum(sur_micro * n_tokens) div sum(n_tokens)").as("lmicro"))
+        .as[(String, Long)].collect().sortBy(_._1)
+    })
+  }
+
   private def dsirLogRatios(s: SparkSession, dir: String): Array[Double] = {
     val n = Tables.parquetRowCount(s, s"$dir/documents.parquet")
     dsirModelDirs.computeIfAbsent(s"$dir@$n", _ => {
@@ -3650,14 +3675,7 @@ object ExtensionQueries {
     // surface; the oracle replays the loop unrolled.
     "sample_doremi_weights" -> ((s, dir) => {
       import s.implicits._
-      val su = surprisalFrame(s, dir).select(col("doc_id"),
-        round(col("avg_surprisal") * 1e6).cast("long").as("sur_micro"),
-        col("n_tokens"))
-      val ls = Tables.documents(s, dir).select(col("doc_id"), col("source"))
-        .join(su, Seq("doc_id"))
-        .groupBy(col("source"))
-        .agg(expr("sum(sur_micro * n_tokens) div sum(n_tokens)").as("lmicro"))
-        .as[(String, Long)].collect().sortBy(_._1)
+      val ls = doremiLosses(s, dir)
       val k = ls.length
       var w: Array[Long] = Array.fill(k)(1000000L / k)
       val rows = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
