@@ -128,18 +128,46 @@ object Bench {
     // would otherwise report its near-zero failure latency as the min and
     // silently deflate the headline total. Failures are returned as Left
     // and surfaced in an "errors" field + a nonzero exit code instead.
+    //
+    // Each successful rep also carries its JOB COUNT and GC TIME (r17
+    // verdict item 3): an in-run number that disagrees with an isolated
+    // probe is unattributable without them — jobs pins the scheduling
+    // floor (a plan regression changes it; GC pressure doesn't), gc_ms
+    // pins memory pressure. Per-query GC is the JVM-wide collector-time
+    // delta across the rep: noisy on a shared heap, but a rep whose
+    // wall is dominated by gc_ms is self-describing. The job counter
+    // needs the async listener bus drained before reading — trailing
+    // onJobStart events land after the body returns.
+    final case class Rep(sec: Double, jobs: Int, gcMs: Long)
+    def gcTotalMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-                 dir: String): Either[String, Double] = {
+                 dir: String): Either[String, Rep] = {
+      val nJobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          nJobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val gc0 = gcTotalMs()
       val t0 = System.nanoTime()
-      try { fn(spark, dir).count(); Right((System.nanoTime() - t0) / 1e9) }
-      catch {
+      try {
+        fn(spark, dir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.sql.graft.bridge.drainListenerBus(spark.sparkContext, 10000)
+        Right(Rep(sec, nJobs.get, gcTotalMs() - gc0))
+      } catch {
         case e: Throwable =>
           // scrub quotes, backslashes, and ALL control chars — any of
           // them inside the errors JSON string would break the driver's
           // parse of the whole bench line exactly when a query errored
           Left((e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage))
             .replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(180))
-      }
+      } finally spark.sparkContext.removeSparkListener(listener)
     }
     // Each query is timed twice and the MIN over SUCCESSFUL reps is
     // reported. The two reps run as two full sequential passes over the
@@ -148,19 +176,22 @@ object Bench {
     // pass cannot inflate both reps of the same query. Queries within a
     // pass still run strictly sequentially: no overlap flatters any
     // individual number.
+    // Reported jobs/gc_ms come from the SAME rep as the reported time
+    // (the min): a mixed row (pass-1 time, pass-2 jobs) could pair a
+    // clean wall with a GC-storm census and mislead the adjudication.
     def timeAll(qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
                 dir: String = sfDir)
-        : (Map[String, Double], Map[String, String]) = {
+        : (Map[String, Rep], Map[String, String]) = {
       val pass1 = qs.map { case (name, fn) => name -> timeOnce(fn, dir) }
       val pass2 = qs.map { case (name, fn) => name -> timeOnce(fn, dir) }.toMap
-      val times = scala.collection.mutable.LinkedHashMap[String, Double]()
+      val reps = scala.collection.mutable.LinkedHashMap[String, Rep]()
       val errors = scala.collection.mutable.LinkedHashMap[String, String]()
       pass1.foreach { case (name, r1) =>
         val ok = Seq(r1, pass2(name)).collect { case Right(t) => t }
-        if (ok.nonEmpty) times(name) = ok.min
+        if (ok.nonEmpty) reps(name) = ok.minBy(_.sec)
         else errors(name) = Seq(r1, pass2(name)).collectFirst { case Left(m) => m }.getOrElse("unknown")
       }
-      (times.toMap, errors.toMap)
+      (reps.toMap, errors.toMap)
     }
     // Headline (totaled) set = the DuckDB-oracled queries — the same
     // set the driver re-times in DuckDB, so the ratio is apples to
@@ -178,10 +209,15 @@ object Bench {
     // of the recorded artifact.
     def js(m: Map[String, Double]) =
       m.map { case (k, v) => s"\"" + k + "\":" + BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP) }.mkString("{", ",", "}")
+    def jsLong(m: Map[String, Long]) =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     def jsStr(m: Map[String, String]) =
       m.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
+    def secs(m: Map[String, Rep]) = m.map { case (k, r) => k -> r.sec }
+    def jobsOf(m: Map[String, Rep]) = m.map { case (k, r) => k -> r.jobs.toLong }
+    def gcOf(m: Map[String, Rep]) = m.map { case (k, r) => k -> r.gcMs }
     val allErrors = oracledErrors ++ extraErrors
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.values.map(_.sec).sum else 0.0
     // End-of-run load/calibration: contention that started mid-bench
     // shows up here even if the start looked clean.
     val loadEnd = loadAvg()
@@ -198,7 +234,7 @@ object Bench {
       BigDecimal(total / ((c1 + c2) / 2.0))
         .setScale(5, BigDecimal.RoundingMode.HALF_UP)
     val loadJson = s""""nproc":$nproc,"load_avg":[${r1(loadStart)},${r1(loadEnd)}],"calib_ms":[${r1(calibStart)},${r1(calibEnd)}],"calib_mt_ms":[${r1(calibMtStart)},${r1(calibMtEnd)}]"""
-    emit(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"unoracled":${js(extras)},"errors":${jsStr(allErrors)},"sf":"$sfDir","reps":2,"agg":"min","warm_cache":true,$loadJson}""")
+    emit(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(secs(results))},"unoracled":${js(secs(extras))},"jobs":${jsLong(jobsOf(results) ++ jobsOf(extras))},"gc_ms":${jsLong(gcOf(results) ++ gcOf(extras))},"errors":${jsStr(allErrors)},"sf":"$sfDir","reps":2,"agg":"min","warm_cache":true,$loadJson}""")
     // Second scale point: re-time the oracled set at a SMALLER sf and emit
     // another compact line keyed by its sf, so the artifact carries a
     // round-over-round scaling SLOPE (total vs data volume), not just a
@@ -219,7 +255,7 @@ object Bench {
       val calibStart2 = calibMs()
       val calibMtStart2 = calibMtMs()
       val (results2, errors2) = timeAll(oracled, sfDir2)
-      val total2 = if (results2.nonEmpty) results2.values.sum else 0.0
+      val total2 = if (results2.nonEmpty) results2.values.map(_.sec).sum else 0.0
       val calibEnd2 = calibMs()
       val calibMtEnd2 = calibMtMs()
       val loadJson2 = s""""nproc":$nproc,"load_avg":[${r1(loadStart2)},${r1(loadAvg())}],"calib_ms":[${r1(calibStart2)},${r1(calibEnd2)}],"calib_mt_ms":[${r1(calibMtStart2)},${r1(calibMtEnd2)}]"""
@@ -228,7 +264,7 @@ object Bench {
       // Deliberately NOT named "total" (the r5 lesson, in reverse): a
       // "metric":"total" matcher must keep finding exactly one line —
       // the primary SF's.
-      emit(s"""{"metric":"detail_sf2","value":$total2,"unit":"sec","queries":${js(results2)},"errors":${jsStr(errors2)},"sf":"$sfDir2","reps":2,"agg":"min","warm_cache":true,$loadJson2}""")
+      emit(s"""{"metric":"detail_sf2","value":$total2,"unit":"sec","queries":${js(secs(results2))},"jobs":${jsLong(jobsOf(results2))},"gc_ms":${jsLong(gcOf(results2))},"errors":${jsStr(errors2)},"sf":"$sfDir2","reps":2,"agg":"min","warm_cache":true,$loadJson2}""")
       emit(s"""{"metric":"total_compact","value":$total2,"unit":"sec","total_per_calib":${perCalib(total2, calibStart2, calibEnd2)},"n_oracled":${results2.size},"n_errors":${errors2.size},"sf":"$sfDir2",$loadJson2}""")
     }
     // A tail capture always keeps the LAST line, so the headline total is

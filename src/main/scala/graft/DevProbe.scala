@@ -127,6 +127,10 @@ object DevProbe {
         spark.sparkContext.addSparkListener(l)
         val t0 = System.nanoTime(); body
         val wall = (System.nanoTime() - t0) / 1e9
+        // drain the ASYNC listener bus before reading the counter —
+        // trailing onJobStart events would otherwise be missed and the
+        // census would undercount (r17 advice)
+        org.apache.spark.sql.graft.bridge.drainListenerBus(spark.sparkContext, 10000)
         spark.sparkContext.removeSparkListener(l)
         println(f"PROBE jobs_$name%-22s n_jobs=${n.get}%3d wall=$wall%.2fs")
       }

@@ -58,14 +58,21 @@ object ScaleCorpus {
     // keep matching across replicas); dimension tables (customer/
     // nation/region/supplier) stay 1x — facts grow, dims don't, the
     // realistic 100 TB shape. Callers read dims from the source dir.
+    // stride 100M, NOT 10M: q28_snapshot_diff synthesizes "added" keys
+    // at real_key + 10M, so a 10M replica stride aliased ~9/10 synthetic
+    // keys onto real replica-(k+1) keys at 10x — duplicate keys in the
+    // old snapshot fanned out the full-outer join and changed what the
+    // 10x adjudication measured (r17 advice). 100M clears the synthetic
+    // range for any replica count below 10 while staying far from
+    // bigint overflow.
     val ordBase = Tables.orders(spark, src)
     (0 until 10).map(k =>
-        ordBase.withColumn("o_orderkey", col("o_orderkey") + lit(k * 10000000L)))
+        ordBase.withColumn("o_orderkey", col("o_orderkey") + lit(k * 100000000L)))
       .reduce(_.unionByName(_))
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
     val liBase = Tables.lineitem(spark, src)
     (0 until 10).map(k =>
-        liBase.withColumn("l_orderkey", col("l_orderkey") + lit(k * 10000000L)))
+        liBase.withColumn("l_orderkey", col("l_orderkey") + lit(k * 100000000L)))
       .reduce(_.unionByName(_))
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
     for (dim <- Seq("customer", "supplier", "nation", "region", "part"))

@@ -100,7 +100,11 @@ object Tables {
   private val rowCountMemo =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
 
-  def parquetRowCount(spark: SparkSession, path: String): Long = {
+  /** Shared body of [[parquetRowCount]] / [[parquetVersion]]: one
+    * recursive listing -> freshness stamp; footer count memoized
+    * against that stamp.
+    */
+  private def stampedRowCount(spark: SparkSession, path: String): (String, Long) = {
     import org.apache.hadoop.fs.Path
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
@@ -124,15 +128,38 @@ object Tables {
     val stamp =
       s"${rootSt.getModificationTime}:${rootSt.getLen}:${children.size}:$maxChildMtime:$totalBytes"
     val cached = rowCountMemo.get(path)
-    if (cached != null && cached._1 == stamp) cached._2
+    if (cached != null && cached._1 == stamp) (stamp, cached._2)
     else {
       val n = children.map { f =>
         val r = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
         try r.getRecordCount finally r.close()
       }.sum
       rowCountMemo.put(path, (stamp, n)) // replaces any superseded entry
-      n
+      (stamp, n)
     }
+  }
+
+  def parquetRowCount(spark: SparkSession, path: String): Long =
+    stampedRowCount(spark, path)._2
+
+  /** Version TOKEN for store memo keys: `<rowcount>-<stampHash>`,
+    * where the stamp folds in file count, mtimes, and byte sizes from
+    * the same recursive listing the row count pays anyway. Before r18
+    * every train-once store (`doremiLossDirs`, `tokenCountsFrame`,
+    * `nbScoreFrame`, …) keyed on `dir@rowCount` alone, so an in-place
+    * corpus rewrite that preserved the row count (ScaleCorpus
+    * regenerating a perturbed replica into the same /tmp path) served
+    * STALE artifacts for the rest of the JVM. Keying on this token
+    * makes any byte-level rewrite miss the memo. Hash collisions are
+    * a non-risk here: the stamp only ever compares against rewrites
+    * of the SAME path, and mtime+bytes+count colliding across a
+    * rewrite while all 32 hash bits also collide is not a lifecycle
+    * this guards (a production store would version by explicit drop
+    * id).
+    */
+  def parquetVersion(spark: SparkSession, path: String): String = {
+    val (stamp, n) = stampedRowCount(spark, path)
+    s"$n-${Integer.toHexString(stamp.hashCode)}"
   }
 
   /** Register every table as a temp view AND every native text

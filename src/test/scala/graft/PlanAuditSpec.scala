@@ -653,17 +653,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(n === 1, s"expected only the per-doc window exchange, got $n:\n$p")
   }
 
-  test("edge-table pagerank: real joins but never cartesian; 5 contribution exchanges") {
-    // the edge table is a materialized store, so each iteration must
-    // JOIN it (broadcast at this SF; SMJ at scale) — but a cartesian /
-    // nested-loop anywhere means the join key got lost, and fewer than
-    // 5 hash exchanges means an iteration's contribution aggregate
-    // collapsed into something else
-    val p = plan("crawl_pagerank_edges")
+  test("edge-table pagerank BUILD: real joins but never cartesian; 5 contribution exchanges") {
+    // r18: the fixed point moved into the pagerankEdgesFrame store
+    // build — the audit now targets the BUILD plan (the
+    // nbScoreBuildFrame convention). The edge table is a materialized
+    // store, so each iteration must JOIN it (broadcast at this SF; SMJ
+    // at scale) — but a cartesian / nested-loop anywhere means the
+    // join key got lost, and fewer than 5 hash exchanges means an
+    // iteration's contribution aggregate collapsed into something else
+    val p = graft.queries.ExtensionQueries.pagerankEdgesBuildFrame(spark, sf0001)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"pagerank-over-edges planned an unkeyed join:\n$p")
     val n = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(n >= 5, s"expected >= 5 contribution aggregates, got $n:\n$p")
+  }
+
+  test("rank stores: serving plans are store scans with no iterative-union shape") {
+    // the r17 verdict weak item, closed: learned ranks are per-corpus
+    // artifacts — the 5-round fixed point runs in the store BUILD, and
+    // every consumer (the rank query itself, the rank-weighted
+    // sampler) SCANS the store. A Union or Generate in a serving plan
+    // means the store lifecycle regressed to per-call retraining (the
+    // posting-store no-retokenize precedent).
+    for (q <- Seq("crawl_pagerank", "crawl_ppr", "crawl_pagerank_edges",
+        "sample_rank_weighted")) {
+      val p = plan(q)
+      assert(!p.contains("Union"),
+        s"$q serving plan carries the iteration's union shape:\n$p")
+      assert(!p.contains("Generate explode"),
+        s"$q serving plan re-derives out-links:\n$p")
+      assert(p.contains("Scan parquet"),
+        s"$q serving plan does not scan the rank store:\n$p")
+      val n = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(n === 0, s"$q expected a pure store scan, got $n hash exchanges:\n$p")
+    }
   }
 
   test("midnight sweep: map-side segment explode, day-window exchanges only") {
@@ -686,13 +710,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(n <= 3, s"expected CDF + shard-agg exchanges only, got $n:\n$p")
   }
 
-  test("pagerank: one exchange per iteration, edges derived map-side, no joins") {
-    // 5 iterations = 5 contribution aggregates (hash exchange on the
-    // target id) + the output sort; the per-iteration corpus-size row
-    // rides a broadcast cross join, and the edge list is a map-side
-    // Generate — a shuffled join anywhere means the arithmetic edge
-    // derivation regressed to a materialized edge-table join
-    val p = plan("crawl_pagerank")
+  test("pagerank BUILD: one exchange per iteration, edges derived map-side, no joins") {
+    // r18: audits the pagerankFrame store's BUILD plan (serving is a
+    // scan — see the rank-stores test). 5 iterations = 5 contribution
+    // aggregates (hash exchange on the target id); the per-iteration
+    // corpus-size row rides a broadcast cross join, and the edge list
+    // is a map-side Generate — a shuffled join anywhere means the
+    // arithmetic edge derivation regressed to a materialized
+    // edge-table join
+    val p = graft.queries.ExtensionQueries.pagerankBuildFrame(spark, sf0001)
+      .queryExecution.executedPlan.toString
     val n = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(n === 5, s"expected exactly the 5 iteration exchanges, got $n:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),

@@ -91,6 +91,13 @@ def main() -> None:
             "queries_ms": {k: int(round(v * 1000))
                            for k, v in sorted(t.get("queries", {}).items())},
         }
+        # per-query job count + GC delta of the reported (min) rep —
+        # r17 verdict item 3: makes in-run vs isolated discrepancies
+        # self-attributing (jobs pins plan shape, gc_ms memory pressure)
+        if t.get("jobs"):
+            row["jobs"] = dict(sorted(t["jobs"].items()))
+        if t.get("gc_ms") is not None:
+            row["gc_ms"] = dict(sorted(t["gc_ms"].items()))
         if t.get("unoracled"):
             row["unoracled_ms"] = {k: int(round(v * 1000))
                                    for k, v in sorted(t["unoracled"].items())}

@@ -80,6 +80,14 @@ def round_close(rnd: str, oracle_file: str or None) -> int:
         if row.get("calib_mt_ms") is None:
             print(f"FAIL round-close: {dst} sf={sf} missing calib_mt_ms")
             bad += 1
+        # r18: every row must carry the per-query jobs + gc_ms census
+        # (r17 verdict item 3 — in-run numbers must self-attribute)
+        for field in ("jobs", "gc_ms"):
+            if not isinstance(row.get(field), dict) or not row[field]:
+                print(f"FAIL round-close: {dst} sf={sf} missing per-query "
+                      f"'{field}' (rerun Bench + bench_summary.py — Bench "
+                      f"emits them since r18)")
+                bad += 1
     # n_oracled must match the oracle set the driver will gate against.
     n_want = None
     want_src = None
@@ -101,9 +109,23 @@ def round_close(rnd: str, oracle_file: str or None) -> int:
             print(f"FAIL round-close: {dst} n_oracled={sorted(ns)} != "
                   f"{n_want} oracled queries in {want_src}")
             bad += 1
+    # r18: clean-tree contract — a round must not close with stale
+    # probe/advice artifacts lying around uncommitted (r17 verdict
+    # item 8). Ignored files (bench_out.json etc.) don't count.
+    import subprocess
+    try:
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain"], capture_output=True,
+            text=True, check=True).stdout.strip()
+        if dirty:
+            print("FAIL round-close: working tree not clean — commit or "
+                  "remove before closing:\n" + dirty)
+            bad += 1
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        print(f"WARN round-close: could not check git status ({e})")
     if not bad:
         print(f"PASS round-close pairing ({dst}: {len(rows)} sf rows, "
-              f"n_oracled={rows[0].get('n_oracled')})")
+              f"n_oracled={rows[0].get('n_oracled')}, clean tree)")
     return bad
 
 
