@@ -76,11 +76,64 @@ object ExtensionQueries {
     */
   private def minhashClusterLabels(s: SparkSession, dir: String)(
       body: DataFrame => DataFrame): DataFrame = {
-    val pairs = queries("dedup_minhash")(s, dir) // (a_id, b_id), a < b
-      .select(col("a_id"), col("b_id")).cache()
-    val out = body(graft.operators.Clustering.connectedComponents(s, pairs))
-    pairs.unpersist()
-    out
+    // r18: the pair STORE replaces the per-call cache — CC's repeated
+    // passes re-read a tiny parquet instead of re-running the banding
+    val pairs = minhashPairsFrame(s, dir).select(col("a_id"), col("b_id"))
+    body(graft.operators.Clustering.connectedComponents(s, pairs))
+  }
+
+  /** MinHash LSH candidate-pair store — the near-dup pair set is the
+    * canonical DERIVED ARTIFACT of a corpus drop (production pipelines
+    * store it beside the corpus and every dedup decision reads it):
+    * FIVE consumers here (`dedup_minhash`, the verify stage's
+    * candidate set, and the three [[minhashClusterLabels]] cluster
+    * queries), so the banding pipeline runs once per corpus version
+    * per JVM (the [[pagerankFrame]] / nbScoreFrame lifecycle), not
+    * once per consumer invocation. (a_id, b_id), a < b, UNSORTED.
+    */
+  private def minhashPairsFrame(s: SparkSession, dir: String): DataFrame =
+    materializedFrame(s, s"minhashpairs:$dir@${docsVer(s, dir)}") {
+      minhashPairsBuildFrame(s, dir)
+    }
+
+  /** The store's construction plan, exposed for PlanAuditSpec (the
+    * pagerankBuildFrame convention): native MinHashSlices signatures
+    * mean NO groupBy(doc_id) stage — the first shuffle is the band
+    * bucketing itself.
+    */
+  private[graft] def minhashPairsBuildFrame(s: SparkSession, dir: String): DataFrame =
+    TextOps.minhashCandidatePairs(Tables.documents(s, dir))
+
+  /** Verified near-dup pair store (candidates + exact-Jaccard verify,
+    * jaccard >= 0.2): the artifact `dedup_minhash_verified` reports
+    * and `export_split_leakage` audits against — built once per
+    * corpus version; the verify join runs over the candidate STORE,
+    * so one bench pass pays banding + verification at most once.
+    * (a_id, b_id, jaccard), UNSORTED.
+    */
+  private def verifiedPairsFrame(s: SparkSession, dir: String): DataFrame =
+    materializedFrame(s, s"verifiedpairs:$dir@${docsVer(s, dir)}") {
+      verifiedPairsBuildFrame(s, dir)
+    }
+
+  private[graft] def verifiedPairsBuildFrame(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cand = minhashPairsFrame(s, dir)
+    val candIds = cand.select(col("a_id").as("doc_id"))
+      .union(cand.select(col("b_id").as("doc_id"))).distinct()
+    val sh = docs.join(candIds, Seq("doc_id"), "semi")
+      .select(col("doc_id"),
+        explode(TextOps.distinctShingleStructsOfText(col("text"), 5)).as("e"))
+      .select(col("doc_id"), xxhash64(col("e.s")).as("h"), col("e.n").as("n"))
+    val ia = sh.select(col("doc_id").as("a_id"), col("h"), col("n").as("na"))
+    val ib = sh.select(col("doc_id").as("b_id"), col("h"), col("n").as("nb"))
+    cand.join(ia, Seq("a_id")).join(ib, Seq("b_id", "h"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(first(col("na")).as("na"), first(col("nb")).as("nb"),
+        count(lit(1)).as("i"))
+      .withColumn("jaccard", round(col("i") / (col("na") + col("nb") - col("i")), 6))
+      .filter(col("jaccard") >= 0.2)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
   /** (doc_id, simhash) — SimHash-32 via md5 hex-digit parity votes;
@@ -2033,7 +2086,10 @@ object ExtensionQueries {
       // bucket-local capped pair expansion are THE shared definitions
       // (TextOps.minhashBandRows / minhashCandidatePairs), also backing
       // the streaming bucket state, cross-corpus decon, and CorpusDemo.
-      TextOps.minhashCandidatePairs(Tables.documents(s, dir))
+      // r18: served from the pair STORE ([[minhashPairsFrame]]) —
+      // the banding plan lives in minhashPairsBuildFrame, which
+      // PlanAuditSpec audits.
+      minhashPairsFrame(s, dir)
         .orderBy(col("a_id"), col("b_id"))
     }),
 
@@ -2054,26 +2110,12 @@ object ExtensionQueries {
     // LSH-bounded, so a hot gram adds linear rows per pair, never new
     // pairs. Same xxhash64 join-key collision caveat as
     // dedup_ngram_jaccard.
-    "dedup_minhash_verified" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val cand = TextOps.minhashCandidatePairs(docs).localCheckpoint()
-      val candIds = cand.select(col("a_id").as("doc_id"))
-        .union(cand.select(col("b_id").as("doc_id"))).distinct()
-      val sh = docs.join(candIds, Seq("doc_id"), "semi")
-        .select(col("doc_id"),
-          explode(TextOps.distinctShingleStructsOfText(col("text"), 5)).as("e"))
-        .select(col("doc_id"), xxhash64(col("e.s")).as("h"), col("e.n").as("n"))
-      val ia = sh.select(col("doc_id").as("a_id"), col("h"), col("n").as("na"))
-      val ib = sh.select(col("doc_id").as("b_id"), col("h"), col("n").as("nb"))
-      cand.join(ia, Seq("a_id")).join(ib, Seq("b_id", "h"))
-        .groupBy(col("a_id"), col("b_id"))
-        .agg(first(col("na")).as("na"), first(col("nb")).as("nb"),
-          count(lit(1)).as("i"))
-        .withColumn("jaccard", round(col("i") / (col("na") + col("nb") - col("i")), 6))
-        .filter(col("jaccard") >= 0.2)
-        .select(col("a_id"), col("b_id"), col("jaccard"))
-        .orderBy(col("a_id"), col("b_id"))
-    }),
+    // r18: served from the verified-pair STORE ([[verifiedPairsFrame]];
+    // construction plan in verifiedPairsBuildFrame) — the verify join
+    // runs once per corpus version, and export_split_leakage reads the
+    // same artifact.
+    "dedup_minhash_verified" -> ((s, dir) =>
+      verifiedPairsFrame(s, dir).orderBy(col("a_id"), col("b_id"))),
 
     // SimHash-32 per doc: md5 hex-digit parity gives 32 hash bits per
     // token; bit j of the fingerprint = sign of the per-bit vote sum.
@@ -3299,21 +3341,29 @@ object ExtensionQueries {
     // (source, dim)-sized aggregate, array fold, and a sources²-sized
     // pair join — nothing corpus-sized after the first aggregate.
     "sim_source_centroids" -> ((s, dir) => {
+      // r18 rewrite (the verdict's 27.9x sf0.1 outlier): the r17 plan
+      // exploded 64 components per vector FIRST and shuffled the full
+      // component stream through the source join (n x 64 rows through
+      // an exchange). Now the row-level (vec_id -> source) join runs
+      // BEFORE any component expansion, and the centroid is ONE hash
+      // aggregate with 64 exact integer component sums — map-side
+      // partials combine to k x 65 longs per partition, the same
+      // bounded-exchange shape as the Lloyd update. Same arithmetic
+      // contract: micro-int component sums, floor(sum/count) per
+      // component, so values are bit-identical to the oracle's
+      // explode-formulated replay.
       val src = Tables.documents(s, dir)
         .select(col("doc_id").as("vec_id"), col("source"))
-      val comp = Tables.embeddings(s, dir)
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
-        .select(col("vec_id"), col("i"),
-          round(col("x").cast("double") * 1000000.0).cast("long").as("xi"))
-      val cent = comp.join(src, Seq("vec_id"))
-        .groupBy(col("source"), col("i"))
-        .agg(floor(sum(col("xi")).cast("double") / count(lit(1)))
-          .cast("long").as("ci"),
-          count(lit(1)).as("cn"))
-      val ca = cent.groupBy(col("source"))
-        .agg(expr("transform(sort_array(collect_list(struct(i, ci))), " +
-          "p -> cast(p.ci as double))").as("cv"),
-          max(col("cn")).as("n_vecs"))
+      val joined = Tables.embeddings(s, dir).join(src, Seq("vec_id"))
+      val compSums = (0 until 64).map(i =>
+        sum(round(element_at(col("embedding"), i + 1).cast("double") * 1000000.0)
+          .cast("long")).as(s"s$i"))
+      val cent = joined.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_vecs"), compSums: _*)
+      val cv = array((0 until 64).map(i =>
+        floor(col(s"s$i").cast("double") / col("n_vecs")).cast("long")
+          .cast("double")): _*)
+      val ca = cent.select(col("source"), cv.as("cv"), col("n_vecs"))
       val a = ca.select(col("source").as("source_a"), col("cv").as("va"),
         col("n_vecs").as("n_a"))
       val b = ca.select(col("source").as("source_b"), col("cv").as("vb"),
@@ -6401,7 +6451,7 @@ object ExtensionQueries {
           id.cast("string"))), lit(100L))
         when(coin < 90, "train").when(coin < 95, "val").otherwise("test")
       }
-      queries("dedup_minhash_verified")(s, dir)
+      verifiedPairsFrame(s, dir) // r18: the store, not a re-invocation
         .select(col("a_id"), col("b_id"))
         .withColumn("split_a", splitOf(col("a_id")))
         .withColumn("split_b", splitOf(col("b_id")))

@@ -500,10 +500,47 @@ class PlanAuditSpec extends SparkSpec {
 
   test("minhash signatures shuffle only at banding, not before") {
     // native MinHashSlices means NO groupBy(doc_id) aggregation stage:
-    // the plan must not contain a doc_id hash aggregate before banding
-    val p = plan("dedup_minhash")
+    // the plan must not contain a doc_id hash aggregate before banding.
+    // r18: audits the pair store's BUILD plan (serving is a scan —
+    // see the pair-stores test below).
+    val p = graft.queries.ExtensionQueries.minhashPairsBuildFrame(spark, sf0001)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("HashAggregate(keys=[doc_id"),
       s"signature aggregation resurfaced (native expression bypassed):\n$p")
+  }
+
+  test("near-dup pair stores: serving plans scan the artifact, verify build joins the candidate store") {
+    // dedup_minhash / dedup_minhash_verified serve the per-corpus pair
+    // artifact; a Generate (shingle explode) or band aggregate in a
+    // serving plan means the store lifecycle regressed to per-call
+    // banding+verification
+    for (q <- Seq("dedup_minhash", "dedup_minhash_verified")) {
+      val p = plan(q)
+      assert(!p.contains("Generate") && !p.contains("HashAggregate"),
+        s"$q serving plan re-runs banding/verification:\n$p")
+      assert(p.contains("Scan parquet"),
+        s"$q serving plan does not scan the pair store:\n$p")
+    }
+    // the verify BUILD must consume the candidate STORE (a parquet
+    // scan), not re-run the banding pipeline inline
+    val pb = graft.queries.ExtensionQueries.verifiedPairsBuildFrame(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(pb.contains("Scan parquet"),
+      s"verify build re-derives candidates instead of reading the store:\n$pb")
+    assert(!pb.contains("min_hash_slices"),
+      s"verify build re-computes minhash signatures:\n$pb")
+  }
+
+  test("source centroids: one hash aggregate after a row-level join — no component explode") {
+    // r18 rewrite: the (vec_id -> source) join runs BEFORE component
+    // expansion and the centroid is one 64-sum aggregate; a Generate
+    // means the exploded component stream came back, and more than
+    // ~3 exchanges means the join/agg fused shape regressed
+    val p = plan("sim_source_centroids")
+    assert(!p.contains("Generate"),
+      s"component explode resurfaced in source centroids:\n$p")
+    val n = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(n <= 3, s"expected join + centroid-agg exchanges only, got $n:\n$p")
   }
 
   test("salted agg plans BOTH phases: a (key, salt) exchange before the key exchange") {
