@@ -320,15 +320,23 @@ object ExtensionQueries {
   def trainedKmeansBank(s: SparkSession, dir: String): graft.functions.CentroidBank =
     kmeansBank(s, dir)
 
-  /** Shared body of `cluster_kmeans` / `sample_cluster_balanced`: the
-    * final assignment against the memoized [[kmeansBank]] — one
-    * map-side native argmax pass + the tiny size aggregate joined back
-    * by broadcast. Returns the UNSORTED (vec_id, cluster, cluster_n)
-    * assignment — consumers add their own output order (the balanced
-    * sampler re-partitions by cluster, so a pre-sort here would be
-    * dead work).
+  /** Cluster-assignment STORE shared by `cluster_kmeans`,
+    * `cluster_silhouette` and `sample_cluster_balanced`: the final
+    * assignment against the memoized [[kmeansBank]] — one map-side
+    * native argmax pass + the tiny size aggregate joined back by
+    * broadcast — materialized once per corpus version (r18: the
+    * assignment is the stored half of a clustering run; THREE
+    * consumers each re-paid the argmax scan per call). UNSORTED
+    * (vec_id, cluster, cluster_n) — consumers add their own output
+    * order (the balanced sampler re-partitions by cluster, so a
+    * pre-sort here would be dead work).
     */
-  private def kmeansClusters(s: SparkSession, dir: String): DataFrame = {
+  private def kmeansClusters(s: SparkSession, dir: String): DataFrame =
+    materializedFrame(s, s"kmclusters:$dir@${embVer(s, dir)}") {
+      kmeansClustersBuildFrame(s, dir)
+    }
+
+  private[graft] def kmeansClustersBuildFrame(s: SparkSession, dir: String): DataFrame = {
     val fin = embMicro(s, dir).select(col("vec_id"),
       graft.functions.VectorExpressions
         .seeded_cell_argmax(kmeansBank(s, dir), col("v"), col("nv")).as("cluster"))
@@ -574,6 +582,39 @@ object ExtensionQueries {
     */
   private def seededCells(s: SparkSession, dir: String): DataFrame =
     assignSeededCells(embWithNorm(s, dir), seedCentroidBank(s, dir))
+
+  /** Embedding near-dup pair STORE (a_id, b_id, cos_sim; within-cell
+    * pairs at cosine >= 0.45, a < b) — the [[minhashPairsFrame]]
+    * lifecycle for the semantic family: the within-cell quadratic
+    * pairing is the dominant cost of `dedup_embedding`, the SemDeDup
+    * keeper (`dedup_embedding_keep` — its dropped set is exactly the
+    * store's b_id side), and `mine_contrastive_pairs`; built once per
+    * corpus version. UNSORTED.
+    */
+  private def embPairsFrame(s: SparkSession, dir: String): DataFrame =
+    materializedFrame(s, s"embpairs:$dir@${embVer(s, dir)}") {
+      embPairsBuildFrame(s, dir)
+    }
+
+  /** Construction plan (exposed for PlanAuditSpec): norms are hoisted
+    * inside [[seededCells]] — cosine(a,b) naively costs THREE dot
+    * products per pair; carrying norm2(v) on each row makes the
+    * O(pairs) stage one dot + one multiply — bit-identical doubles,
+    * 3x less work on the quadratic term.
+    */
+  private[graft] def embPairsBuildFrame(s: SparkSession, dir: String): DataFrame = {
+    val cells = seededCells(s, dir)
+    val l = cells.select(col("cell"), col("vec_id").as("a_id"),
+      col("v").as("va"), col("nv").as("na"))
+    val r = cells.select(col("cell"), col("vec_id").as("b_id"),
+      col("v").as("vb"), col("nv").as("nb"))
+    l.join(r, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos_sim",
+        round(VectorOps.dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")), 6))
+      .filter(col("cos_sim") >= 0.45)
+      .select(col("a_id"), col("b_id"), col("cos_sim"))
+  }
 
   /** (vec_id, cell) projection of [[seededCells]] exposed for spec
     * replays (the sim_knn_graph cell-closure check needs the full
@@ -2151,24 +2192,12 @@ object ExtensionQueries {
     // vectors max out near 0.6). The cell assignment bounds the pair
     // join; boundary pairs are the recall tradeoff (multi-probe at
     // scale); the LEARNED k~sqrt(n) twin below is the production path.
-    "dedup_embedding" -> ((s, dir) => {
-      // Norms are hoisted (inside seededCells): cosine(a,b) naively
-      // costs THREE dot products per pair; carrying norm2(v) on each
-      // row makes the O(pairs) stage one dot + one multiply —
-      // bit-identical doubles, 3x less work on the quadratic term.
-      val cells = seededCells(s, dir)
-      val l = cells.select(col("cell"), col("vec_id").as("a_id"),
-        col("v").as("va"), col("nv").as("na"))
-      val r = cells.select(col("cell"), col("vec_id").as("b_id"),
-        col("v").as("vb"), col("nv").as("nb"))
-      l.join(r, Seq("cell"))
-        .filter(col("a_id") < col("b_id"))
-        .withColumn("cos_sim",
-          round(VectorOps.dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")), 6))
-        .filter(col("cos_sim") >= 0.45)
-        .select(col("a_id"), col("b_id"), col("cos_sim"))
-        .orderBy(col("a_id"), col("b_id"))
-    }),
+    // r18: served from the embedding pair STORE ([[embPairsFrame]];
+    // construction plan in embPairsBuildFrame) — the within-cell
+    // quadratic term runs once per corpus version for THREE consumers
+    // (this report, the SemDeDup keeper, contrastive-pair mining).
+    "dedup_embedding" -> ((s, dir) =>
+      embPairsFrame(s, dir).orderBy(col("a_id"), col("b_id"))),
 
     // The DECISION step of semantic dedup (the SemDeDup recipe: cluster
     // embeddings, then drop near-duplicates WITHIN each cluster): a
@@ -2185,15 +2214,11 @@ object ExtensionQueries {
     // dropped set stays << corpus by construction (it IS the
     // duplicates).
     "dedup_embedding_keep" -> ((s, dir) => {
+      // r18: the dropped set comes from the embedding pair STORE (its
+      // b_id side IS the within-cell dominated set); the anti-join
+      // subtraction against the assignment is unchanged.
       val cells = seededCells(s, dir)
-      val l = cells.select(col("cell"), col("vec_id").as("a_id"),
-        col("v").as("va"), col("nv").as("na"))
-      val r = cells.select(col("cell"), col("vec_id").as("b_id"),
-        col("v").as("vb"), col("nv").as("nb"))
-      val dropped = l.join(r, Seq("cell"))
-        .filter(col("a_id") < col("b_id"))
-        .filter(round(VectorOps.dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")), 6) >= 0.45)
-        .select(col("b_id")).distinct()
+      val dropped = embPairsFrame(s, dir).select(col("b_id")).distinct()
       cells.join(broadcast(dropped), cells("vec_id") === dropped("b_id"), "left_anti")
         .select(col("vec_id"), col("cell"))
         .orderBy(col("vec_id"))

@@ -313,14 +313,24 @@ class PlanAuditSpec extends SparkSpec {
 
   test("embedding dedup/decon pay no per-vector aggregate for cell assignment") {
     // the only aggregates allowed are the consumers' own (pair counts);
-    // a HashAggregate keyed on vec_id is the r5 assignment shuffle
-    for (q <- Seq("dedup_embedding", "decon_embedding")) {
-      val p = plan(q)
+    // a HashAggregate keyed on vec_id is the r5 assignment shuffle.
+    // r18: dedup_embedding serves the pair store — its BUILD plan is
+    // audited here instead; decon_embedding still assigns inline.
+    val plans = Seq(
+      "embPairsBuildFrame" ->
+        graft.queries.ExtensionQueries.embPairsBuildFrame(spark, sf0001)
+          .queryExecution.executedPlan.toString,
+      "decon_embedding" -> plan("decon_embedding"))
+    for ((q, p) <- plans) {
       assert(p.contains("seeded_cell_argmax"),
         s"$q: native assignment expression missing:\n$p")
       assert(!p.contains("HashAggregate(keys=[vec_id"),
         s"$q: per-vector assignment aggregate resurfaced:\n$p")
     }
+    // the serving plan is a pure store scan
+    val ps = plan("dedup_embedding")
+    assert(ps.contains("Scan parquet") && !ps.contains("seeded_cell_argmax"),
+      s"dedup_embedding serving plan re-assigns cells:\n$ps")
   }
 
   test("perceptual dedup (image + audio): one bucket exchange, map-side pair dedupe") {
@@ -831,7 +841,10 @@ class PlanAuditSpec extends SparkSpec {
     // projection -> tiny size aggregate joined back by broadcast. A
     // sort-merge/cartesian join or a second hash exchange means the
     // assignment regressed to the r5 crossJoin + max_by shape.
-    val p = plan("cluster_kmeans")
+    // r18: audits the assignment store's BUILD plan (serving is a
+    // scan — cluster_kmeans/silhouette/balanced read the store).
+    val p = graft.queries.ExtensionQueries.kmeansClustersBuildFrame(spark, sf0001)
+      .queryExecution.executedPlan.toString
     assert(p.contains("seeded_cell_argmax"),
       s"assignment must be the native argmax projection:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
