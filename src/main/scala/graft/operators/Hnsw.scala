@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** HNSW-style layered-graph ANN index (Malkov & Yashunin,
+  * "Efficient and robust approximate nearest neighbor search using
+  * Hierarchical Navigable Small World graphs", arXiv:1603.09320),
+  * re-expressed for Spark's execution model:
+  *
+  *  - LEVELS are assigned by a deterministic geometric(1/2) coin on
+  *    the portable hash of the vector id (the paper's random level
+  *    draw, made replayable): ~n/2^L nodes survive to layer L.
+  *  - LAYER GRAPHS are built DISTRIBUTED, not by the paper's
+  *    sequential insert loop (which is inherently single-writer): each
+  *    layer's M-nearest-neighbor lists come from the cell-bucketed kNN
+  *    primitive — Lloyd-trained coarse cells sized k ~ sqrt(n_L)
+  *    bound the within-cell pair join, and UPPER layers train fewer
+  *    cells over fewer nodes, so their links span longer ranges (the
+  *    navigability the hierarchy exists to provide). A layer small
+  *    enough to pair exactly (<= 4096 nodes) skips the quantizer.
+  *  - The PERSISTED layout is the classic HNSW serving structure:
+  *    adjacency lists with the NEIGHBOR'S VECTOR DENORMALIZED INLINE
+  *    (level, node, nb, vb, nvb), partitioned by level — one
+  *    partition-pruned, node-pushed parquet read serves a whole probe
+  *    hop (edge list + the vectors needed to score it), the same
+  *    read-amplification trade real HNSW makes by keeping vectors
+  *    resident beside the adjacency.
+  *  - The PROBE is the paper's greedy descent + layer-0 beam (ef
+  *    candidates, bounded expansion rounds), driven from the driver
+  *    with BOUNDED reads: every hop touches <= beam x M index rows via
+  *    partition pruning (level) + pushed node filters; nothing
+  *    corpus-sized is ever collected. At 100 TB the hop reads become
+  *    KV point-lookups; the plan shape (bounded fetch per hop) is
+  *    identical.
+  *
+  * All distances are EXACT integer arithmetic over micro-quantized
+  * components (|x_micro| <= ~2e6, d2 <= 64 x (4e6)^2 ~ 1e15 < 2^53),
+  * ties to the lower id — the crawl_pagerank fixed-point recipe, so
+  * build and probe are bit-reproducible across runs.
+  */
+object Hnsw {
+
+  val MaxLevel = 2
+  val M = 8 // neighbors per node per level
+  private val ExactPairCap = 4096L // layers at most this big pair exactly
+
+  /** Geometric(1/2) level from the portable hash's low bits, capped:
+    * P(level >= L) = 2^-L. Column-side twin of [[levelOfId]].
+    */
+  def levelCol(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = graft.operators.TextOps.portableHash32(
+      concat(lit("hnsw|"), id.cast("string")))
+    when(h % 2 === 1, 0)
+      .when(h % 4 === 2, 1)
+      .otherwise(2) // MaxLevel = 2: collapses the >= 4 tail like the cap
+  }
+
+  /** Build and persist the layered index under `dir`:
+    * `dir/edges/level=L/...` (node, nb, vb, nvb) + `dir/meta`
+    * (top_level, entry_node, entry_v, entry_nv). Build cost is one
+    * kNN construction per layer over a geometrically shrinking node
+    * set — a scheduled index job at scale, memoized per corpus
+    * version by the caller (the saveIndex lifecycle).
+    */
+  def buildIndex(spark: SparkSession, emb: DataFrame, dir: String,
+      nHint: Long = 0L): Unit = {
+    import spark.implicits._
+    // micro ints carried as DOUBLES (exact: |micro| <= ~2e6 << 2^53),
+    // so the persisted arrays decode as Seq[Double] on the probe side
+    val vecs = emb.select(col("vec_id").as("node"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1e6)).as("v"))
+      .withColumn("nv", VectorOps.norm2(col("v")))
+      .withColumn("lvl", levelCol(col("node")))
+      .localCheckpoint() // 3 layer builds + the meta read reuse it
+    val n = if (nHint > 0) nHint else vecs.count()
+    for (level <- 0 to MaxLevel) {
+      val nodes = vecs.filter(col("lvl") >= level)
+        .select(col("node"), col("v"), col("nv"))
+      val nL = math.max(1L, n >> level)
+      val celled =
+        if (nL <= ExactPairCap) nodes.withColumn("cell", lit(0))
+        else {
+          // Lloyd cells sized to the LAYER: fewer nodes -> fewer,
+          // larger cells -> longer-range links on upper layers
+          val k = math.max(4, math.sqrt(nL.toDouble).toInt)
+          val idx = Similarity.trainIvf(spark,
+            nodes.select(col("node").as("vec_id"), col("v").as("embedding")),
+            k, iters = 2)
+          val cents = Similarity.centroidDf(spark, idx.centroids)
+          nodes.crossJoin(broadcast(cents
+              .withColumn("ncv", VectorOps.norm2(col("cv")))))
+            .withColumn("d2", col("nv") + col("ncv") -
+              lit(2.0) * VectorOps.dot(col("v"), col("cv")))
+            .groupBy(col("node"))
+            .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cell"),
+              first(col("v")).as("v"), first(col("nv")).as("nv"))
+        }
+      val l = celled.select(col("cell"), col("node"), col("v"), col("nv"))
+      val r = celled.select(col("cell"), col("node").as("nb"),
+        col("v").as("vb"), col("nv").as("nvb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("node"))
+        .orderBy(col("d2"), col("nb"))
+      l.join(r, Seq("cell"))
+        .filter(col("node") =!= col("nb"))
+        .withColumn("d2",
+          col("nv") + col("nvb") - lit(2.0) * VectorOps.dot(col("v"), col("vb")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= M)
+        .select(col("node"), col("nb"), col("vb"), col("nvb"))
+        .write.mode("overwrite").parquet(s"$dir/edges/level=$level")
+    }
+    // entry point: the lowest id on the top layer (deterministic)
+    vecs.filter(col("lvl") >= MaxLevel)
+      .orderBy(col("node")).limit(1)
+      .select(lit(MaxLevel).as("top_level"), col("node").as("entry_node"),
+        col("v").as("entry_v"), col("nv").as("entry_nv"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  private def d2(q: Array[Double], nq: Double, v: Seq[Double], nv: Double): Double = {
+    var dot = 0.0; var i = 0
+    while (i < q.length) { dot += q(i) * v(i); i += 1 }
+    nq + nv - 2.0 * dot
+  }
+
+  /** Greedy descent + layer-0 beam probe. `qv` is the RAW (float)
+    * query vector; it is micro-quantized here with the same rule the
+    * build used. Returns (vec_id, cos_sim) top-k, cosine rounded to 6
+    * (the sim_* rung convention). Every hop is one partition-pruned,
+    * node-pushed read of <= beam x M rows; total jobs are bounded by
+    * hops x layers + efRounds, independent of corpus size.
+    */
+  def probe(spark: SparkSession, dir: String, qv: Array[Double], topK: Int,
+      ef: Int = 16, maxHops: Int = 4, efRounds: Int = 3): DataFrame = {
+    import spark.implicits._
+    val q = qv.map(x => math.round(x * 1000000.0).toDouble)
+    val nq = q.map(x => x * x).sum
+    val meta = spark.read.parquet(s"$dir/meta")
+      .select(col("top_level"), col("entry_node"), col("entry_v"), col("entry_nv"))
+      .as[(Int, Long, Seq[Double], Double)].head()
+    val (topLevel, entry0, entryV, entryNv) = meta
+    // fetch: neighbors-with-vectors of a bounded node set at a level
+    def nbrs(level: Int, ofNodes: Seq[Long]): Array[(Long, Seq[Double], Double)] =
+      spark.read.parquet(s"$dir/edges")
+        .filter(col("level") === level && col("node").isin(ofNodes: _*))
+        .select(col("nb"), col("vb"), col("nvb"))
+        .as[(Long, Seq[Double], Double)].collect()
+    var cur = entry0
+    var curD = d2(q, nq, entryV, entryNv)
+    val seenVecs = scala.collection.mutable.Map[Long, (Seq[Double], Double)](
+      entry0 -> ((entryV, entryNv)))
+    // greedy descent through the upper layers
+    for (level <- topLevel to 1 by -1) {
+      var improved = true
+      var hops = 0
+      while (improved && hops < maxHops) {
+        improved = false
+        hops += 1
+        val cand = nbrs(level, Seq(cur))
+        cand.foreach { case (id, v, nv) =>
+          seenVecs.getOrElseUpdate(id, (v, nv))
+          val d = d2(q, nq, v, nv)
+          if (d < curD || (d == curD && id < cur)) {
+            curD = d; cur = id; improved = true
+          }
+        }
+      }
+    }
+    // layer-0 beam: expand the ef best visited, bounded rounds
+    val dist = scala.collection.mutable.Map[Long, Double](cur -> curD)
+    seenVecs.foreach { case (id, (v, nv)) =>
+      dist.getOrElseUpdate(id, d2(q, nq, v, nv)); ()
+    }
+    var expanded = Set.empty[Long]
+    for (_ <- 1 to efRounds) {
+      val beam = dist.toSeq.sortBy { case (id, d) => (d, id) }
+        .take(ef).map(_._1).filterNot(expanded)
+      if (beam.nonEmpty) {
+        expanded ++= beam
+        nbrs(0, beam).foreach { case (id, v, nv) =>
+          if (!dist.contains(id)) dist(id) = d2(q, nq, v, nv)
+          seenVecs.getOrElseUpdate(id, (v, nv)); ()
+        }
+      }
+    }
+    val top = dist.toSeq.sortBy { case (id, d) => (d, id) }.take(topK)
+      .map { case (id, _) =>
+        val (_, nv) = seenVecs(id)
+        var dot = 0.0; var i = 0
+        val v = seenVecs(id)._1
+        while (i < q.length) { dot += q(i) * v(i); i += 1 }
+        val cos = BigDecimal(dot / math.sqrt(nq * nv))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, cos)
+      }
+    spark.createDataFrame(top).toDF("vec_id", "cos_sim")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+  }
+}

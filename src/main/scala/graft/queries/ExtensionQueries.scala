@@ -1631,9 +1631,22 @@ object ExtensionQueries {
   private val pqIndexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def pqIndexDir(s: SparkSession, dir: String): String =
-    pqIndexDirs.computeIfAbsent(dir, _ => {
+    pqIndexDirs.computeIfAbsent(s"$dir@${embVer(s, dir)}", _ => {
       val out = tempDirWithCleanup("graft-pq-index-")
       graft.operators.Similarity.savePqIndex(s, Tables.embeddings(s, dir), out.toString,
+        nHint = Tables.parquetRowCount(s, s"$dir/embeddings.parquet"))
+      out.toString
+    })
+
+  private val hnswIndexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once HNSW layered-graph index per corpus version (the
+    * ivfIndexDirs lifecycle) — see [[graft.operators.Hnsw]].
+    */
+  private def hnswIndexDir(s: SparkSession, dir: String): String =
+    hnswIndexDirs.computeIfAbsent(s"$dir@${embVer(s, dir)}", _ => {
+      val out = tempDirWithCleanup("graft-hnsw-index-")
+      graft.operators.Hnsw.buildIndex(s, Tables.embeddings(s, dir), out.toString,
         nHint = Tables.parquetRowCount(s, s"$dir/embeddings.parquet"))
       out.toString
     })
@@ -2073,6 +2086,17 @@ object ExtensionQueries {
       graft.operators.Similarity.probePqIndex(s, idx, qv, topK = 6, probes = 2)
         .filter(col("vec_id") =!= 42)
         .limit(5)
+    }),
+    "sim_hnsw_topk" -> ((s, dir) => {
+      import s.implicits._
+      val idx = hnswIndexDir(s, dir)
+      val qv = Tables.embeddings(s, dir).filter(col("vec_id") === 42)
+        .select(VectorOps.toDouble(col("embedding"))).as[Array[Double]].head()
+      // the graph contains the query node; probe one deeper and drop
+      // the guaranteed self-match (the sim_ivf_topk_indexed convention)
+      graft.operators.Hnsw.probe(s, idx, qv, topK = 11)
+        .filter(col("vec_id") =!= 42)
+        .limit(10)
     }))
 
   /** Exact-dup content groups over the synthetically re-uploaded
@@ -3095,6 +3119,22 @@ object ExtensionQueries {
     // SimilaritySpec keeps the raw-frame == trained-twin equality.
     "sim_ivf_topk_indexed" -> ((s, dir) =>
       annRungContract(s, dir, "sim_ivf_topk_indexed",
+        qid = 42L, rkMax = 20, bar = 3L)),
+
+    // HNSW rung (r17 verdict item 6): the layered-graph serving
+    // structure the industry actually deploys — levels by a
+    // deterministic geometric coin, per-layer M-NN lists built via the
+    // cell-bucketed kNN primitive (coarser cells on upper layers =
+    // the hierarchy's long links), persisted as level-partitioned
+    // adjacency WITH neighbor vectors inline, probed by greedy
+    // descent + a layer-0 beam whose every hop is one partition-
+    // pruned node-pushed read (bounded jobs, nothing corpus-sized
+    // collected — operators.Hnsw). Learned layer graphs aren't
+    // SQL-replayable, so the GATED output is the annRungContract
+    // health row; SimilaritySpec pins raw-frame recall vs brute force
+    // and the bounded-read probe shape.
+    "sim_hnsw_topk" -> ((s, dir) =>
+      annRungContract(s, dir, "sim_hnsw_topk",
         qid = 42L, rkMax = 20, bar = 3L)),
 
     // PERSISTED IVF-PQ serving path: the index stores each vector as
@@ -9605,6 +9645,7 @@ object ExtensionQueries {
     // rung flips that rung's own driver gate. DuckDB pays ~0 here, so
     // none of these are perf denominators.
     "sim_ivf_topk_trained" -> annContractOracleSql("sim_ivf_topk_trained", 5),
+    "sim_hnsw_topk" -> annContractOracleSql("sim_hnsw_topk", 10),
     "sim_ivf_topk_indexed" -> annContractOracleSql("sim_ivf_topk_indexed", 5),
     "sim_pq_topk_indexed" -> annContractOracleSql("sim_pq_topk_indexed", 5),
     "sim_pq_topk_trained" -> annContractOracleSql("sim_pq_topk_trained", 10),

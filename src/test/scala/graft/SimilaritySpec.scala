@@ -427,4 +427,54 @@ class SimilaritySpec extends SparkSpec {
       assert(got.nonEmpty, s"$name found no pair at all — quantizer degenerate")
     }
   }
+
+  test("hnsw: layered build, bounded-read probe, recall vs brute force") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.Hnsw
+    val emb = Tables.embeddings(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("hnswidx").toString
+    Hnsw.buildIndex(spark, emb, dir, nHint = 500L)
+    // layer populations follow the geometric coin: each level keeps a
+    // strict subset of the one below, and every node has <= M edges
+    val edges = spark.read.parquet(s"$dir/edges")
+    val byLevel = edges.groupBy(col("level"))
+      .agg(countDistinct(col("node")).as("n"), count(lit(1)).as("e"))
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(byLevel.map(_._1).toSeq === Seq(0, 1, 2), s"missing layers: ${byLevel.toSeq}")
+    assert(byLevel(0)._2 > byLevel(1)._2 && byLevel(1)._2 > byLevel(2)._2,
+      s"layers must shrink geometrically: ${byLevel.toSeq}")
+    val maxDeg = edges.groupBy(col("level"), col("node"))
+      .agg(count(lit(1)).as("d")).agg(max(col("d"))).as[Long].head()
+    assert(maxDeg <= Hnsw.M, s"node degree $maxDeg exceeds M=${Hnsw.M}")
+    // probe: deterministic, self-match first, scores exact vs brute
+    val qv = emb.filter(col("vec_id") === 42)
+      .select(operators.VectorOps.toDouble(col("embedding")))
+      .as[Array[Double]].head()
+    val got = Hnsw.probe(spark, dir, qv, topK = 11).as[(Long, Double)].collect()
+    assert(got.length === 11)
+    assert(got.head._1 === 42L && got.head._2 === 1.0,
+      s"self-match must rank first: ${got.head}")
+    val got2 = Hnsw.probe(spark, dir, qv, topK = 11).as[(Long, Double)].collect()
+    assert(got.toSeq === got2.toSeq, "probe must be deterministic")
+    val brute = emb.filter(col("vec_id") =!= 42)
+      .crossJoin(broadcast(emb.filter(col("vec_id") === 42)
+        .select(col("embedding").as("qv"))))
+      .select(col("vec_id"),
+        round(operators.VectorOps.cosine(col("qv"), col("embedding")), 6).as("cs"))
+      .orderBy(col("cs").desc, col("vec_id")).limit(20)
+      .as[(Long, Double)].collect()
+    val overlap = got.tail.map(_._1).count(brute.map(_._1).toSet)
+    assert(overlap >= 3,
+      s"hnsw top-10 ${got.tail.map(_._1).toSeq} shares < 3 with brute top-20")
+    // scores track the raw-float brute scorer to micro-quantization
+    // precision (the index stores micro-int components: per-component
+    // rounding perturbs cosine by O(1e-6), unlike the IVF paths that
+    // score raw floats)
+    val bruteMap = brute.toMap
+    got.tail.filter(r => bruteMap.contains(r._1))
+      .foreach { case (id, cs) =>
+        assert(math.abs(cs - bruteMap(id)) <= 5e-6,
+          s"score drift on $id: $cs vs ${bruteMap(id)}") }
+  }
 }
