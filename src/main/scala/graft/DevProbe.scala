@@ -20,10 +20,80 @@ object DevProbe {
     Tables.embeddings(spark, sfDir).cache().count()
 
     def t(name: String)(body: => Long): Unit = {
-      val rs = (1 to 7).map { _ =>
+      val reps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "7").toInt
+      val rs = (1 to reps).map { _ =>
         val t0 = System.nanoTime(); val n = body; (System.nanoTime() - t0) / 1e9 -> n
       }
       println(f"PROBE $name%-28s min=${rs.map(_._1).min}%7.3f s rows=${rs.head._2}")
+    }
+
+    // ---- round-18 probes: rank-store promotion A/B (verdict item 1)
+    // — sample_rank_weighted/crawl_pagerank serving (store scan) vs
+    // the r17 per-call fixed-point shapes replayed verbatim ----
+    if (sys.env.contains("SPARK_GRAFT_PROBE_R18")) {
+      def r17Pagerank(): DataFrame = {
+        val nodes = Tables.documents(spark, sfDir).select(col("doc_id").as("i"))
+        val nFrame = nodes.agg(count(lit(1)).as("nn"))
+        def targets = array(
+          (col("i") * 31 + 7) % col("nn"),
+          (col("i") * 17 + 3) % col("nn"),
+          (col("i") * 13 + 11) % col("nn"))
+        var ranks = nodes.select(col("i"), lit(1000000L).as("r"))
+        for (_ <- 1 to 5) {
+          val contribs = ranks.crossJoin(broadcast(nFrame))
+            .select(explode(targets).as("i"), expr("r div 3").as("c"))
+          ranks = contribs.union(nodes.select(col("i"), lit(0L).as("c")))
+            .groupBy(col("i")).agg(sum(col("c")).as("sc"))
+            .select(col("i"), expr("CAST(150000 + (85 * sc) div 100 AS BIGINT)").as("r"))
+        }
+        ranks.select(col("i").as("doc_id"), col("r").as("rank_ppm"))
+          .orderBy(col("doc_id"))
+      }
+      // warm the store once so the serve probes measure steady state
+      SparkEntry.queries("crawl_pagerank")(spark, sfDir).count()
+      t("r18_pagerank_store_serve") {
+        SparkEntry.queries("crawl_pagerank")(spark, sfDir).count() }
+      t("r18_pagerank_r17_inline") { r17Pagerank().count() }
+      t("r18_rankweighted_store") {
+        SparkEntry.queries("sample_rank_weighted")(spark, sfDir).count() }
+      t("r18_rankweighted_r17") {
+        val coin = pmod(graft.operators.TextOps.portableHash32(concat(lit("rw|"),
+          col("doc_id").cast("string"))), lit(1000000L))
+        r17Pagerank()
+          .withColumn("coin", coin)
+          .filter(col("coin") < expr("rank_ppm div 4"))
+          .select(col("doc_id"), col("rank_ppm"), col("coin"))
+          .orderBy(col("doc_id")).count()
+      }
+      spark.stop(); return
+    }
+
+    // ---- round-18 scale probes (verdict items 4 + 5): the iterative
+    // graph family's STORE-BUILD side + the heavy-family set, timed at
+    // whatever SPARK_GRAFT_SF_DIR points at (1x / 10x / 100x) with
+    // SPARK_GRAFT_PROBE_REPS controlling min-of-N ----
+    if (sys.env.contains("SPARK_GRAFT_PROBE_R18G")) {
+      import graft.queries.ExtensionQueries
+      // graph family: builds bypass the store memo so every rep pays
+      // the real fixed point / closure
+      t("g_pagerank_build") { ExtensionQueries.pagerankBuildFrame(spark, sfDir).count() }
+      t("g_ppr_build") { ExtensionQueries.pprBuildFrame(spark, sfDir).count() }
+      t("g_pagerank_edges_build") { ExtensionQueries.pagerankEdgesBuildFrame(spark, sfDir).count() }
+      t("g_triangles") { SparkEntry.queries("crawl_triangles")(spark, sfDir).count() }
+      t("g_communities") { SparkEntry.queries("crawl_communities")(spark, sfDir).count() }
+      t("g_hits") { SparkEntry.queries("crawl_hits")(spark, sfDir).count() }
+      if (!sys.env.contains("SPARK_GRAFT_PROBE_R18G_ONLY")) {
+        // heavy-family set (the SCALE.md 100x decade): serving paths,
+        // min-of-N warm — store builds amortize into the first rep
+        val heavy = Seq("dedup_substring", "dedup_minhash_verified",
+          "dedup_ngram_jaccard", "corpus_keyphrases", "cluster_silhouette",
+          "search_bm25_topk", "corpus_burstiness", "q36_mad_robust",
+          "dq_drift", "sim_recall_report", "dedup_cdc_chunks")
+        heavy.foreach { q =>
+          t(s"h_$q") { SparkEntry.queries(q)(spark, sfDir).count() }
+        }
+      }
+      spark.stop(); return
     }
 
     // ---- round-16 probes: cdc native-vs-HOF A/B + crawl_pipeline

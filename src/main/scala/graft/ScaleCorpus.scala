@@ -23,6 +23,10 @@ object ScaleCorpus {
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/scale10x")
     val perturbPpm = args.drop(1).headOption.map(_.toLong).getOrElse(0L)
+    // args(2): replica count (default 10) — 100 builds the second
+    // SCALE.md decade (r17 verdict item 5); id strides leave room for
+    // any replica count below 1000
+    val reps = args.drop(2).headOption.map(_.toInt).getOrElse(10)
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -30,7 +34,7 @@ object ScaleCorpus {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val base = Tables.documents(spark, src)
-    (0 until 10).map { k =>
+    (0 until reps).map { k =>
         val shifted = base.withColumn("doc_id", col("doc_id") + lit(k * 1000000L))
         if (k == 0 || perturbPpm <= 0) shifted
         else shifted.withColumn("text",
@@ -43,12 +47,12 @@ object ScaleCorpus {
       .reduce(_.unionByName(_))
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     val embBase = Tables.embeddings(spark, src)
-    (0 until 10).map(k =>
+    (0 until reps).map(k =>
         embBase.withColumn("vec_id", col("vec_id") + lit(k * 1000000L)))
       .reduce(_.unionByName(_))
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     val evBase = Tables.events(spark, src)
-    (0 until 10).map(k =>
+    (0 until reps).map(k =>
         evBase.withColumn("event_id", col("event_id") + lit(k * 10000000L))
           .withColumn("user_id", col("user_id") + lit(k * 1000000L)))
       .reduce(_.unionByName(_))
@@ -66,12 +70,12 @@ object ScaleCorpus {
     // range for any replica count below 10 while staying far from
     // bigint overflow.
     val ordBase = Tables.orders(spark, src)
-    (0 until 10).map(k =>
+    (0 until reps).map(k =>
         ordBase.withColumn("o_orderkey", col("o_orderkey") + lit(k * 100000000L)))
       .reduce(_.unionByName(_))
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
     val liBase = Tables.lineitem(spark, src)
-    (0 until 10).map(k =>
+    (0 until reps).map(k =>
         liBase.withColumn("l_orderkey", col("l_orderkey") + lit(k * 100000000L)))
       .reduce(_.unionByName(_))
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
