@@ -82,6 +82,36 @@ object DevProbe {
       t("g_triangles") { SparkEntry.queries("crawl_triangles")(spark, sfDir).count() }
       t("g_communities") { SparkEntry.queries("crawl_communities")(spark, sfDir).count() }
       t("g_hits") { SparkEntry.queries("crawl_hits")(spark, sfDir).count() }
+      // sim_source_centroids rewrite A/B: one 64-sum aggregate after a
+      // row-level join (shipped) vs the r17 exploded-component join
+      t("sc_new_one_agg") {
+        SparkEntry.queries("sim_source_centroids")(spark, sfDir).count() }
+      t("sc_r17_explode") {
+        val src = Tables.documents(spark, sfDir)
+          .select(col("doc_id").as("vec_id"), col("source"))
+        val comp = Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+          .select(col("vec_id"), col("i"),
+            round(col("x").cast("double") * 1000000.0).cast("long").as("xi"))
+        val cent = comp.join(src, Seq("vec_id"))
+          .groupBy(col("source"), col("i"))
+          .agg(floor(sum(col("xi")).cast("double") / count(lit(1)))
+            .cast("long").as("ci"), count(lit(1)).as("cn"))
+        val ca = cent.groupBy(col("source"))
+          .agg(expr("transform(sort_array(collect_list(struct(i, ci))), " +
+            "p -> cast(p.ci as double))").as("cv"), max(col("cn")).as("n_vecs"))
+        val a = ca.select(col("source").as("source_a"), col("cv").as("va"),
+          col("n_vecs").as("n_a"))
+        val b = ca.select(col("source").as("source_b"), col("cv").as("vb"),
+          col("n_vecs").as("n_b"))
+        a.join(b, col("source_a") < col("source_b"))
+          .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+            round(graft.operators.VectorOps.dot(col("va"), col("vb")) /
+              sqrt(graft.operators.VectorOps.norm2(col("va")) *
+                graft.operators.VectorOps.norm2(col("vb"))), 6)
+              .as("centroid_cos"))
+          .count()
+      }
       if (!sys.env.contains("SPARK_GRAFT_PROBE_R18G_ONLY")) {
         // heavy-family set (the SCALE.md 100x decade): serving paths,
         // min-of-N warm — store builds amortize into the first rep
