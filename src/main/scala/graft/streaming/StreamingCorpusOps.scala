@@ -349,6 +349,33 @@ object StreamingCorpusOps {
         coalesce(col("n_src_hosts"), lit(0L)).as("n_src_hosts"))
   }
 
+  /** Rank-weighted ADMISSION gate — the streaming consumer of the
+    * batch-learned PageRank store (r18: `pagerankFrame` — learned
+    * ranks are a per-corpus-drop artifact; the stream consumes the
+    * FINISHED table, the sample_mixture rate-gate convention):
+    * arrivals broadcast-join the frozen (doc_id, rank_ppm) ranks and
+    * pass with the EXACT integer coin rule of batch
+    * `sample_rank_weighted` (keep iff portable-hash coin <
+    * rank_ppm div 4), so a doc admitted here is a doc the batch
+    * sampler keeps — StreamingCorpusSpec pins the set equality.
+    * Arrivals with no rank row (pages newer than the last rank build)
+    * default to the teleport floor 150000 ppm — admitted at the
+    * rank-less base rate rather than starved until the next build.
+    * Stateless: one broadcast hash join + a map-side filter, so it
+    * runs identically on a batch frame or a stream; at 100 TB the
+    * rank table rides the same broadcast the batch sampler uses.
+    */
+  def rankWeightedGate(docs: DataFrame, rankStore: DataFrame): DataFrame = {
+    val coin = pmod(graft.operators.TextOps.portableHash32(
+      concat(lit("rw|"), col("doc_id").cast("string"))), lit(1000000L))
+    docs.join(
+        broadcast(rankStore.select(col("doc_id"), col("rank_ppm"))),
+        Seq("doc_id"), "left")
+      .withColumn("rank_ppm", coalesce(col("rank_ppm"), lit(150000L)))
+      .withColumn("coin", coin)
+      .filter(col("coin") < expr("rank_ppm div 4"))
+  }
+
   /** Streaming exact dedup on the content key: the first arrival of a
     * text wins, replays and later clones are dropped by per-key state.
     * With a watermarked `ts` column upstream, swap to

@@ -483,6 +483,37 @@ class StreamingCorpusSpec extends SparkSpec {
     assert(gateKept === (allIds -- flagged))
   }
 
+  test("rank-weighted gate: frozen rank store admits the exact batch sampler set") {
+    // the batch-learned rank table, frozen at "ingest start" — the
+    // pagerankFrame store the batch sampler reads
+    val ranks = SparkEntry.queries("crawl_pagerank")(spark, sf0001)
+    val batchKeep = SparkEntry.queries("sample_rank_weighted")(spark, sf0001)
+      .select("doc_id").as[Long].collect().toSet
+    // stream the whole corpus through in three micro-batches
+    val ids = Tables.documents(spark, sf0001)
+      .select("doc_id").as[Long].collect().sorted
+    val in = MemoryStream[Doc]
+    val q = StreamingCorpusOps.rankWeightedGate(in.toDF(), ranks)
+      .writeStream.format("memory").queryName("rw_gate")
+      .outputMode(OutputMode.Append).trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      ids.grouped((ids.length + 2) / 3).foreach { chunk =>
+        in.addData(chunk.map(Doc(_, "t")).toIndexedSeq)
+        drain(q)
+      }
+      val streamed = spark.sql("SELECT doc_id FROM rw_gate").as[Long].collect()
+      assert(streamed.length === streamed.distinct.length, "no doc admitted twice")
+      assert(streamed.toSet === batchKeep,
+        "streaming admission must equal the batch rank-weighted sample")
+    } finally q.stop()
+    // an arrival UNKNOWN to the frozen ranks passes at the teleport
+    // floor: coin < 150000 div 4 = 37500 (deterministic per id)
+    val novel = Seq(Doc(1000001L, "t"), Doc(1000002L, "t"), Doc(1000003L, "t")).toDF()
+    val floorKept = StreamingCorpusOps.rankWeightedGate(novel, ranks)
+      .select("doc_id", "rank_ppm").as[(Long, Long)].collect()
+    assert(floorKept.forall(_._2 === 150000L), "unranked arrivals get the teleport floor")
+  }
+
   test("pii scrub redacts at ingest, identically to the batch chain") {
     val dirty = "reach me at Bob.K@Mail.Example.ORG or +1-555-0199 from 192.168.0.12 ok"
     val in = MemoryStream[Doc]
