@@ -55,6 +55,114 @@ object Bench {
     ms.sum / n
   }
 
+  /** Same-run DuckDB denominator (r18 verdict item 1): the driver-run
+    * bench artifact could not prove the 2x envelope because the only
+    * committed DuckDB total was measured in a DIFFERENT session under
+    * different load — the driver/builder inflation factor (2.16x at
+    * r18) made the ratio formally unadjudicable. This runs the SAME
+    * oracle set the Spark pass just timed, on the SAME box in the SAME
+    * hour, via the system python3 + duckdb (the exact recipe
+    * tools/bench_summary.py has used for the committed summaries since
+    * r14: warm views over the sf dir, min-of-2, 32 threads), and the
+    * caller embeds per-query `duckdb_ms` + `duckdb_total_sec` into the
+    * emitted lines. DuckDB is bench-harness-only — the engine and its
+    * tests never touch it; any failure here (no python3, no duckdb
+    * module, timeout) degrades to a note in the JSON, never a bench
+    * failure.
+    */
+  private def duckdbDenominate(sqls: Map[String, String], sfDir: String,
+      timeoutSec: Long = 1800): Either[String, (String, Double)] = {
+    def jsonEsc(s: String): String = {
+      val b = new StringBuilder
+      s.foreach {
+        case '"' => b.append("\\\"")
+        case '\\' => b.append("\\\\")
+        case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+        case c => b.append(c)
+      }
+      b.toString
+    }
+    try {
+      val tmp = java.nio.file.Files.createTempFile("graft-oracle-", ".json")
+      tmp.toFile.deleteOnExit()
+      val body = sqls.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + jsonEsc(k) + "\":\"" + jsonEsc(v) + "\"" }
+        .mkString("{", ",", "}")
+      java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
+      // argv-passed script: no shell, no quoting hazards; mirrors
+      // tools/bench_summary.py duckdb_times verbatim
+      val py =
+        """import json, os, sys, time
+          |import duckdb
+          |oracle_file, sf_dir = sys.argv[1], sys.argv[2]
+          |sqls = json.load(open(oracle_file))
+          |con = duckdb.connect()
+          |con.execute("SET threads=32")
+          |for t in ["region","nation","customer","supplier","part","orders",
+          |          "lineitem","events","documents","embeddings"]:
+          |    p = os.path.join(sf_dir, t + ".parquet")
+          |    if not os.path.exists(p):
+          |        continue
+          |    src = os.path.join(p, "*.parquet") if os.path.isdir(p) else p
+          |    con.execute("CREATE VIEW " + t + " AS SELECT * FROM read_parquet('" + src + "')")
+          |out = {}
+          |for name in sorted(sqls):
+          |    best = None
+          |    for _ in range(2):
+          |        t0 = time.time()
+          |        try:
+          |            con.execute(sqls[name]).fetchall()
+          |        except Exception as e:
+          |            out[name] = ("error: " + str(e))[:120]
+          |            best = None
+          |            break
+          |        dt = time.time() - t0
+          |        best = dt if best is None else min(best, dt)
+          |    if best is not None:
+          |        out[name] = int(round(best * 1000))
+          |total = sum(v for v in out.values() if isinstance(v, int)) / 1000.0
+          |print("DUCKDB_MS_JSON " + json.dumps(out, separators=(",", ":")))
+          |print("DUCKDB_TOTAL_SEC %.3f" % total)
+          |""".stripMargin
+      val pb = new ProcessBuilder("python3", "-c", py, tmp.toString, sfDir)
+      pb.redirectErrorStream(false)
+      val proc = pb.start()
+      val outReader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getInputStream, "UTF-8"))
+      // drain stdout on a thread so a long line can't deadlock the pipe
+      val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val drainer = new Thread(() => {
+        var l = outReader.readLine()
+        while (l != null) { lines.add(l); l = outReader.readLine() }
+      })
+      drainer.setDaemon(true); drainer.start()
+      val errDrainer = new Thread(() => {
+        val r = new java.io.BufferedReader(
+          new java.io.InputStreamReader(proc.getErrorStream, "UTF-8"))
+        while (r.readLine() != null) {}
+      })
+      errDrainer.setDaemon(true); errDrainer.start()
+      if (!proc.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)) {
+        proc.destroyForcibly()
+        return Left(s"duckdb denominator timed out after ${timeoutSec}s")
+      }
+      drainer.join(5000)
+      val all = { import scala.jdk.CollectionConverters._; lines.asScala.toSeq }
+      val msLine = all.find(_.startsWith("DUCKDB_MS_JSON ")).map(_.drop(15))
+      val totLine = all.find(_.startsWith("DUCKDB_TOTAL_SEC ")).map(_.drop(17))
+      (msLine, totLine) match {
+        case (Some(ms), Some(tot))
+            if ms.startsWith("{") && ms.endsWith("}") && !ms.contains('\n') =>
+          Right((ms, tot.toDouble))
+        case _ => Left(s"duckdb denominator output unparseable (exit=${proc.exitValue()})")
+      }
+    } catch {
+      case e: Throwable =>
+        Left((e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage))
+          .replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(180))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -218,6 +326,34 @@ object Bench {
     def gcOf(m: Map[String, Rep]) = m.map { case (k, r) => k -> r.gcMs }
     val allErrors = oracledErrors ++ extraErrors
     val total = if (results.nonEmpty) results.values.map(_.sec).sum else 0.0
+    // Same-run DuckDB denominator (r18 verdict item 1). Runs AFTER the
+    // Spark pass — sequentially, with Spark idle — so numerator and
+    // denominator see the same box in the same hour but never contend
+    // with each other. Embedded verbatim (the python side emits the
+    // compact JSON object); on failure the lines carry a note instead.
+    val oracleSqls = SparkEntry.oracleSql
+    def duckJson(r: Either[String, (String, Double)], sparkTotal: Double): String =
+      r match {
+        case Right((ms, tot)) =>
+          val ratio =
+            if (tot > 0) BigDecimal(sparkTotal / tot)
+              .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+            else "null"
+          s""""duckdb_ms":$ms,"duckdb_total_sec":$tot,"spark_vs_duckdb":$ratio"""
+        case Left(note) => s""""duckdb_ms":{},"duckdb_note":"$note""""
+      }
+    val duck1 = duckdbDenominate(oracleSqls, sfDir)
+    val duckJson1 = duckJson(duck1, total)
+    def duckCompact(r: Either[String, (String, Double)], sparkTotal: Double): String =
+      r match {
+        case Right((_, tot)) =>
+          val ratio =
+            if (tot > 0) BigDecimal(sparkTotal / tot)
+              .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+            else "null"
+          s""","duckdb_total_sec":$tot,"spark_vs_duckdb":$ratio"""
+        case Left(note) => s""","duckdb_note":"$note""""
+      }
     // End-of-run load/calibration: contention that started mid-bench
     // shows up here even if the start looked clean.
     val loadEnd = loadAvg()
@@ -234,7 +370,7 @@ object Bench {
       BigDecimal(total / ((c1 + c2) / 2.0))
         .setScale(5, BigDecimal.RoundingMode.HALF_UP)
     val loadJson = s""""nproc":$nproc,"load_avg":[${r1(loadStart)},${r1(loadEnd)}],"calib_ms":[${r1(calibStart)},${r1(calibEnd)}],"calib_mt_ms":[${r1(calibMtStart)},${r1(calibMtEnd)}]"""
-    emit(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(secs(results))},"unoracled":${js(secs(extras))},"jobs":${jsLong(jobsOf(results) ++ jobsOf(extras))},"gc_ms":${jsLong(gcOf(results) ++ gcOf(extras))},"errors":${jsStr(allErrors)},"sf":"$sfDir","reps":2,"agg":"min","warm_cache":true,$loadJson}""")
+    emit(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(secs(results))},"unoracled":${js(secs(extras))},"jobs":${jsLong(jobsOf(results) ++ jobsOf(extras))},"gc_ms":${jsLong(gcOf(results) ++ gcOf(extras))},"errors":${jsStr(allErrors)},$duckJson1,"sf":"$sfDir","reps":2,"agg":"min","warm_cache":true,$loadJson}""")
     // Second scale point: re-time the oracled set at a SMALLER sf and emit
     // another compact line keyed by its sf, so the artifact carries a
     // round-over-round scaling SLOPE (total vs data volume), not just a
@@ -256,6 +392,7 @@ object Bench {
       val calibMtStart2 = calibMtMs()
       val (results2, errors2) = timeAll(oracled, sfDir2)
       val total2 = if (results2.nonEmpty) results2.values.map(_.sec).sum else 0.0
+      val duck2 = duckdbDenominate(oracleSqls, sfDir2)
       val calibEnd2 = calibMs()
       val calibMtEnd2 = calibMtMs()
       val loadJson2 = s""""nproc":$nproc,"load_avg":[${r1(loadStart2)},${r1(loadAvg())}],"calib_ms":[${r1(calibStart2)},${r1(calibEnd2)}],"calib_mt_ms":[${r1(calibMtStart2)},${r1(calibMtEnd2)}]"""
@@ -264,15 +401,15 @@ object Bench {
       // Deliberately NOT named "total" (the r5 lesson, in reverse): a
       // "metric":"total" matcher must keep finding exactly one line —
       // the primary SF's.
-      emit(s"""{"metric":"detail_sf2","value":$total2,"unit":"sec","queries":${js(secs(results2))},"jobs":${jsLong(jobsOf(results2))},"gc_ms":${jsLong(gcOf(results2))},"errors":${jsStr(errors2)},"sf":"$sfDir2","reps":2,"agg":"min","warm_cache":true,$loadJson2}""")
-      emit(s"""{"metric":"total_compact","value":$total2,"unit":"sec","total_per_calib":${perCalib(total2, calibStart2, calibEnd2)},"n_oracled":${results2.size},"n_errors":${errors2.size},"sf":"$sfDir2",$loadJson2}""")
+      emit(s"""{"metric":"detail_sf2","value":$total2,"unit":"sec","queries":${js(secs(results2))},"jobs":${jsLong(jobsOf(results2))},"gc_ms":${jsLong(gcOf(results2))},"errors":${jsStr(errors2)},${duckJson(duck2, total2)},"sf":"$sfDir2","reps":2,"agg":"min","warm_cache":true,$loadJson2}""")
+      emit(s"""{"metric":"total_compact","value":$total2,"unit":"sec","total_per_calib":${perCalib(total2, calibStart2, calibEnd2)},"n_oracled":${results2.size},"n_errors":${errors2.size}${duckCompact(duck2, total2)},"sf":"$sfDir2",$loadJson2}""")
     }
     // A tail capture always keeps the LAST line, so the headline total is
     // repeated in a short self-contained line AFTER the big detail line:
     // even if the per-query map above is truncated away again, the
     // round's total stays machine-readable. Named total_compact so a
     // "metric":"total" matcher can never pick this line over the full one.
-    emit(s"""{"metric":"total_compact","value":$total,"unit":"sec","total_per_calib":${perCalib(total, calibStart, calibEnd)},"n_oracled":${results.size},"n_errors":${allErrors.size},"sf":"$sfDir",$loadJson}""")
+    emit(s"""{"metric":"total_compact","value":$total,"unit":"sec","total_per_calib":${perCalib(total, calibStart, calibEnd)},"n_oracled":${results.size},"n_errors":${allErrors.size}${duckCompact(duck1, total)},"sf":"$sfDir",$loadJson}""")
     spark.stop()
     // An oracled query that failed both reps means the headline total is
     // missing a term — fail the run loudly rather than report a deflated

@@ -207,6 +207,90 @@ object DevProbe {
       spark.stop(); return
     }
 
+    // ---- round-19 probes (verdict items 2+3): the fold-only
+    // q36/dq_drift rewrites vs the r18 shapes replayed verbatim, plus
+    // the two "watch" single-aggregate rows (bm25/burstiness) at the
+    // same SF for the exponent table ----
+    if (sys.env.contains("SPARK_GRAFT_PROBE_R19")) {
+      import org.apache.spark.sql.expressions.Window
+      def asInt(c: org.apache.spark.sql.Column, scale: Long) =
+        round(c * scale).cast("long")
+      def jobs(name: String)(body: => Long): Unit = {
+        val n = new java.util.concurrent.atomic.AtomicInteger(0)
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            n.incrementAndGet()
+        }
+        spark.sparkContext.addSparkListener(l)
+        val t0 = System.nanoTime(); body
+        val wall = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.sql.graft.bridge.drainListenerBus(spark.sparkContext, 10000)
+        spark.sparkContext.removeSparkListener(l)
+        println(f"PROBE jobs_$name%-22s n_jobs=${n.get}%3d wall=$wall%.2fs")
+      }
+      def q36R18(): Long = {
+        val counts = Tables.events(spark, sfDir)
+          .select(col("event_type"), asInt(col("value"), 100L).as("vc"))
+          .groupBy(col("event_type"), col("vc")).agg(count(lit(1)).as("c"))
+        val tot = counts.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
+        def leastAtHalf(dist: DataFrame, valueCol: String, out: String): DataFrame =
+          dist.withColumn("cum", sum(col("c")).over(
+              Window.partitionBy(col("event_type")).orderBy(col(valueCol))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            .join(broadcast(tot), Seq("event_type"))
+            .filter(col("cum") >= expr("(n + 1) div 2"))
+            .groupBy(col("event_type")).agg(min(col(valueCol)).as(out))
+        val med = leastAtHalf(counts, "vc", "med_vc")
+        val devDist = counts.join(broadcast(med), Seq("event_type"))
+          .groupBy(col("event_type"), abs(col("vc") - col("med_vc")).as("dv"))
+          .agg(sum(col("c")).as("c"))
+        val mad = leastAtHalf(devDist, "dv", "mad_vc")
+        tot.join(broadcast(med), Seq("event_type"))
+          .join(broadcast(mad), Seq("event_type"))
+          .select(col("event_type"), col("n"),
+            (col("med_vc") / 100.0).as("median_value"),
+            (col("mad_vc") / 100.0).as("mad_value"))
+          .orderBy(col("event_type")).count()
+      }
+      def driftR18(): Long = {
+        val joined = Tables.events(spark, sfDir)
+          .select(col("event_type"),
+            when(dayofmonth(col("ts")) <= 15, lit(1L)).otherwise(lit(0L))
+              .as("isref"),
+            expr("CAST(round(value * 100) AS BIGINT) div 2500").as("bin"))
+          .groupBy(col("event_type"), col("bin"))
+          .agg(sum(col("isref")).as("cr"),
+            sum(lit(1L) - col("isref")).as("cc"))
+          .localCheckpoint()
+        val tot = joined.groupBy(col("event_type"))
+          .agg(sum(col("cr")).as("nr"), sum(col("cc")).as("nc"),
+            count(lit(1)).as("b"))
+        joined.join(broadcast(tot), Seq("event_type"))
+          .withColumn("p", (col("cr") + 1) / (col("nr") + col("b")))
+          .withColumn("q", (col("cc") + 1) / (col("nc") + col("b")))
+          .withColumn("term", (col("p") - col("q")) * log(col("p") / col("q")))
+          .groupBy(col("event_type"))
+          .agg(min(col("nr")).as("n_ref"), min(col("nc")).as("n_cur"),
+            min(col("b")).as("n_bins"),
+            sort_array(collect_list(struct(col("bin"), col("term")))).as("ts0"))
+          .withColumn("psi", round(expr(
+            "aggregate(ts0, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)"), 6))
+          .orderBy(col("event_type")).count()
+      }
+      jobs("q36_fold") { SparkEntry.queries("q36_mad_robust")(spark, sfDir).count() }
+      jobs("q36_r18") { q36R18() }
+      t("q36_fold") { SparkEntry.queries("q36_mad_robust")(spark, sfDir).count() }
+      t("q36_r18") { q36R18() }
+      jobs("drift_fold") { SparkEntry.queries("dq_drift")(spark, sfDir).count() }
+      jobs("drift_r18") { driftR18() }
+      t("drift_fold") { SparkEntry.queries("dq_drift")(spark, sfDir).count() }
+      t("drift_r18") { driftR18() }
+      t("bm25_topk") { SparkEntry.queries("search_bm25_topk")(spark, sfDir).count() }
+      t("burstiness") { SparkEntry.queries("corpus_burstiness")(spark, sfDir).count() }
+      spark.stop(); return
+    }
+
     // ---- round-17b probes: bench-tail rewrites A/B ----
     // q36_mad_robust / dq_drift: production (one events scan + bounded
     // count-table folds) vs the r16 shapes replayed verbatim; plus a

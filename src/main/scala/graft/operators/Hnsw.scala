@@ -112,10 +112,15 @@ object Hnsw {
         .select(col("node"), col("nb"), col("vb"), col("nvb"))
         .write.mode("overwrite").parquet(s"$dir/edges/level=$level")
     }
-    // entry point: the lowest id on the top layer (deterministic)
-    vecs.filter(col("lvl") >= MaxLevel)
-      .orderBy(col("node")).limit(1)
-      .select(lit(MaxLevel).as("top_level"), col("node").as("entry_node"),
+    // entry point: the lowest id on the HIGHEST NON-EMPTY layer. A
+    // tiny corpus can draw nobody at MaxLevel (geometric coin,
+    // ~(3/4)^n) — filtering on `lvl >= MaxLevel` would then write an
+    // EMPTY meta and the probe's head() would throw instead of
+    // degrading; ordering by (lvl desc, node asc) clamps top_level to
+    // the highest populated layer (the crawlEdgeTable degenerate-
+    // corpus precedent), still deterministic.
+    vecs.orderBy(col("lvl").desc, col("node")).limit(1)
+      .select(col("lvl").as("top_level"), col("node").as("entry_node"),
         col("v").as("entry_v"), col("nv").as("entry_nv"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
@@ -136,7 +141,14 @@ object Hnsw {
   def probe(spark: SparkSession, dir: String, qv: Array[Double], topK: Int,
       ef: Int = 16, maxHops: Int = 4, efRounds: Int = 3): DataFrame = {
     import spark.implicits._
-    val q = qv.map(x => math.round(x * 1000000.0).toDouble)
+    // HALF_UP away from zero via BigDecimal — the EXACT formula
+    // Spark's round() applies to doubles, which the build side used.
+    // math.round here would round -x.5 toward +inf (math.round(-2.5)
+    // == -2 vs Spark's -3): a negative component at an exact .5 micro
+    // boundary would make the query vector differ from its own
+    // indexed twin, breaking exact self-match (r18 advice).
+    val q = qv.map(x => BigDecimal(x * 1000000.0)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble)
     val nq = q.map(x => x * x).sum
     val meta = spark.read.parquet(s"$dir/meta")
       .select(col("top_level"), col("entry_node"), col("entry_v"), col("entry_nv"))
@@ -186,16 +198,20 @@ object Hnsw {
         }
       }
     }
-    val top = dist.toSeq.sortBy { case (id, d) => (d, id) }.take(topK)
-      .map { case (id, _) =>
-        val (_, nv) = seenVecs(id)
+    // Final top-k BY COSINE over everything the beam saw — not by d2:
+    // for unnormalized embeddings the k-smallest-d2 set can exclude a
+    // higher-cosine visited candidate, so selecting by d2 and
+    // REPORTING cosine would emit a ranking that is not the
+    // best-by-cosine of the visited set (r18 advice). d2 stays the
+    // navigation metric (greedy descent + beam ordering) only.
+    val top = dist.keysIterator.map { id =>
+        val (v, nv) = seenVecs(id)
         var dot = 0.0; var i = 0
-        val v = seenVecs(id)._1
         while (i < q.length) { dot += q(i) * v(i); i += 1 }
         val cos = BigDecimal(dot / math.sqrt(nq * nv))
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
         (id, cos)
-      }
+      }.toSeq.sortBy { case (id, cos) => (-cos, id) }.take(topK)
     spark.createDataFrame(top).toDF("vec_id", "cos_sim")
       .orderBy(col("cos_sim").desc, col("vec_id"))
   }

@@ -1360,44 +1360,42 @@ object AnalyticsQueries {
 
     // Robust center/spread per type — exact MEDIAN + MAD (median
     // absolute deviation), the outlier-resistant twin of q25's
-    // mean/sigma, derived WITHOUT any per-type sort: two passes of the
-    // q29b quantized-CDF pattern (integer cents, per-type cumulative
-    // counts over the DISTINCT value domain — bounded by the value
-    // range, not the corpus; median = least value whose cumulative
-    // count reaches ceil(n/2), then the same over |v - median|). The
-    // ~|types|-row median/MAD tables broadcast back; everything is
-    // integer arithmetic, replayed exactly by the oracle.
+    // mean/sigma, derived WITHOUT any per-type sort of the corpus:
+    // integer cents, per-(type, cent) counts over the DISTINCT value
+    // domain — bounded by the value range, never the corpus; median =
+    // least value whose cumulative count reaches ceil(n/2), then the
+    // same over |v - median|. Everything integer, replayed exactly by
+    // the oracle.
+    //
+    // r19 shape (verdict item 2 — the r17/r18 window+broadcast CDF
+    // was "weak": ~13 jobs of scheduling floor that never amortized,
+    // 13x DuckDB at the 100x decade with a GROWING absolute gap): ONE
+    // corpus scan -> (type, cent) count table -> per-type sorted
+    // count ARRAY, and both CDF cuts become ordered in-row folds (the
+    // dq_drift bin-ordered-fold precedent). The MAD fold needs no
+    // per-dv regroup: walking (dv, c) entries sorted by dv crosses
+    // ceil(n/2) inside the same dv group a merged CDF would — the
+    // emitted dv is identical. Single action, two bounded shuffles,
+    // zero joins/windows/broadcasts; the array per type is the
+    // distinct-cent count (<= value range), constant in corpus size.
     "q36_mad_robust" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      // ONE events scan: the per-(type, cent) count table IS the whole
-      // distribution (bounded by the value domain, never the corpus),
-      // and the DEVIATION distribution needs no second corpus pass:
-      // each distinct value v with multiplicity c contributes c rows
-      // at |v - median|, so re-binning the count table by |vc - med|
-      // and summing c replays the r16 shape's events-rescan exactly.
-      // NOT localCheckpointed: its three consumers (totals, median
-      // CDF, deviation re-bin) build identical aggregate subplans that
-      // ReuseExchange collapses to one physical shuffle — measured
-      // faster than both the checkpoint (which pays a materialization
-      // job) and the r16 two-scan shape (DevProbe R17B A/B).
-      val counts = Tables.events(s, dir)
+      Tables.events(s, dir)
         .select(col("event_type"), asInt(col("value"), 100L).as("vc"))
         .groupBy(col("event_type"), col("vc")).agg(count(lit(1)).as("c"))
-      val tot = counts.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
-      def leastAtHalf(dist: DataFrame, valueCol: String, out: String): DataFrame =
-        dist.withColumn("cum", sum(col("c")).over(
-            Window.partitionBy(col("event_type")).orderBy(col(valueCol))
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .join(broadcast(tot), Seq("event_type"))
-          .filter(col("cum") >= expr("(n + 1) div 2"))
-          .groupBy(col("event_type")).agg(min(col(valueCol)).as(out))
-      val med = leastAtHalf(counts, "vc", "med_vc")
-      val devDist = counts.join(broadcast(med), Seq("event_type"))
-        .groupBy(col("event_type"), abs(col("vc") - col("med_vc")).as("dv"))
-        .agg(sum(col("c")).as("c"))
-      val mad = leastAtHalf(devDist, "dv", "mad_vc")
-      tot.join(broadcast(med), Seq("event_type"))
-        .join(broadcast(mad), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("c")).as("n"),
+          sort_array(collect_list(struct(col("vc"), col("c")))).as("dist"))
+        .withColumn("half", expr("(n + 1) div 2"))
+        .withColumn("med_vc", expr(
+          "aggregate(dist, named_struct('cum', CAST(0 AS BIGINT), 'med', CAST(null AS BIGINT)), " +
+          "(acc, x) -> IF(acc.med IS NOT NULL, acc, named_struct('cum', acc.cum + x.c, " +
+          "'med', IF(acc.cum + x.c >= half, x.vc, CAST(null AS BIGINT)))), acc -> acc.med)"))
+        .withColumn("devs", expr(
+          "sort_array(transform(dist, x -> named_struct('dv', abs(x.vc - med_vc), 'c', x.c)))"))
+        .withColumn("mad_vc", expr(
+          "aggregate(devs, named_struct('cum', CAST(0 AS BIGINT), 'mad', CAST(null AS BIGINT)), " +
+          "(acc, x) -> IF(acc.mad IS NOT NULL, acc, named_struct('cum', acc.cum + x.c, " +
+          "'mad', IF(acc.cum + x.c >= half, x.dv, CAST(null AS BIGINT)))), acc -> acc.mad)"))
         .select(col("event_type"), col("n"),
           (col("med_vc") / 100.0).as("median_value"),
           (col("mad_vc") / 100.0).as("mad_value"))

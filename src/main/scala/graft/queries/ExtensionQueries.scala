@@ -665,11 +665,22 @@ object ExtensionQueries {
 
   private def materializedFrame(s: SparkSession, key: String)(
       build: => DataFrame): DataFrame = {
-    val path = fingerprintStores.computeIfAbsent(key, _ => {
+    // RE-ENTRANT by construction (r18 advice): store builds nest —
+    // verifiedPairsFrame's build reads minhashPairsFrame, so resolving
+    // one key can resolve another on the same map. computeIfAbsent
+    // forbids its mapping function touching other mappings (same-bin
+    // keys throw IllegalStateException("Recursive update") or
+    // livelock), so this is get / build OUTSIDE any map lock /
+    // putIfAbsent. A concurrent duplicate build is benign: both write
+    // their own temp dir, one path wins the publish, the loser is
+    // swept by its shutdown hook.
+    var path = fingerprintStores.get(key)
+    if (path == null) {
       val out = tempDirWithCleanup("graft-fingerprint-store-")
       build.write.mode("overwrite").parquet(out.toString)
-      out.toString
-    })
+      val prev = fingerprintStores.putIfAbsent(key, out.toString)
+      path = if (prev == null) out.toString else prev
+    }
     s.read.parquet(path)
   }
 
@@ -6721,18 +6732,26 @@ object ExtensionQueries {
     // type) so empty bins stay defined; and the per-bin PSI terms —
     // identical doubles in both engines — SUM IN BIN ORDER via an
     // ordered fold (a plain SUM would be aggregation-order-dependent
-    // across engines). ONE bounded conditional aggregate — the
-    // period split is a pivot INSIDE the (type, bin) groupBy (sum of
-    // the ref indicator / its complement), which replays the r16
-    // shape's filter-branch + full-outer self-join exactly (a (type,
-    // bin) row exists iff either period saw it; the absent period's
-    // count is 0) while scanning events ONCE instead of re-deriving
-    // the binned aggregate per branch. The ~types x bins frame is
-    // localCheckpointed because totals and the PSI terms both fold
-    // over it — bin cardinality is the value range over 2500, never
-    // the corpus.
+    // across engines). The period split is a pivot INSIDE the (type,
+    // bin) groupBy (sum of the ref indicator / its complement), which
+    // replays the r16 shape's filter-branch + full-outer self-join
+    // exactly (a (type, bin) row exists iff either period saw it; the
+    // absent period's count is 0) while scanning events ONCE.
+    //
+    // r19 shape (verdict item 3 — the r18 localCheckpoint + broadcast
+    // totals paid a constant ~5-job floor that never amortized: 10.7x
+    // DuckDB at the 100x decade, flat across decades): the totals and
+    // the PSI terms both collapse into ONE second-stage groupBy —
+    // collect the (bin, cr, cc) rows sorted by bin and derive nr/nc/b
+    // as plain sums IN THE SAME aggregate, then the smoothed terms
+    // fold in-row over the sorted array. Per-type term arithmetic is
+    // the exact same double expression tree ((cr+1)/(nr+b) etc.)
+    // folded in the exact same bin order, so the psi doubles are
+    // bit-identical to the r18 shape's. Single action, two bounded
+    // shuffles, zero joins/checkpoints; the array per type is the bin
+    // count (value range / 2500), constant in corpus size.
     "dq_drift" -> ((s, dir) => {
-      val joined = Tables.events(s, dir)
+      Tables.events(s, dir)
         .select(col("event_type"),
           when(dayofmonth(col("ts")) <= 15, lit(1L)).otherwise(lit(0L))
             .as("isref"),
@@ -6740,22 +6759,16 @@ object ExtensionQueries {
         .groupBy(col("event_type"), col("bin"))
         .agg(sum(col("isref")).as("cr"),
           sum(lit(1L) - col("isref")).as("cc"))
-        .localCheckpoint()
-      val tot = joined.groupBy(col("event_type"))
-        .agg(sum(col("cr")).as("nr"), sum(col("cc")).as("nc"),
-          count(lit(1)).as("b"))
-      joined.join(broadcast(tot), Seq("event_type"))
-        .withColumn("p", (col("cr") + 1) / (col("nr") + col("b")))
-        .withColumn("q", (col("cc") + 1) / (col("nc") + col("b")))
-        .withColumn("term", (col("p") - col("q")) * log(col("p") / col("q")))
         .groupBy(col("event_type"))
-        // min over per-type constants (not first(): constant-by-
-        // construction, but min is order-insensitive by definition)
-        .agg(min(col("nr")).as("n_ref"), min(col("nc")).as("n_cur"),
-          min(col("b")).as("n_bins"),
-          sort_array(collect_list(struct(col("bin"), col("term")))).as("ts0"))
+        .agg(sum(col("cr")).as("n_ref"), sum(col("cc")).as("n_cur"),
+          count(lit(1)).as("n_bins"),
+          sort_array(collect_list(struct(col("bin"), col("cr"), col("cc"))))
+            .as("rows0"))
         .withColumn("psi", round(expr(
-          "aggregate(ts0, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)"), 6))
+          "aggregate(rows0, CAST(0.0 AS DOUBLE), (acc, x) -> acc + " +
+          "((x.cr + 1) / (n_ref + n_bins) - (x.cc + 1) / (n_cur + n_bins)) * " +
+          "ln(((x.cr + 1) / (n_ref + n_bins)) / ((x.cc + 1) / (n_cur + n_bins))))"),
+          6))
         .select(col("event_type"), col("n_ref"), col("n_cur"),
           col("n_bins"), col("psi"))
         .orderBy(col("event_type"))

@@ -809,14 +809,23 @@ class PlanAuditSpec extends SparkSpec {
       s"the (type, hour) baseline must broadcast-join back:\n$p")
   }
 
-  test("robust median/MAD: every join back onto the corpus broadcasts") {
-    // the med/mad/tot tables are ~|types| rows — a SortMergeJoin here
-    // would shuffle the corpus for a 5-row dim; the CDF windows run
-    // over the bounded distinct-cents tables only (allowed)
+  test("robust median/MAD: one scan, fold-only — no joins, no windows") {
+    // r19 shape (verdict item 2): both CDF cuts are ordered in-row
+    // folds over the per-type sorted count array, so the whole plan is
+    // scan -> two bounded aggregates -> sort. Any join or window here
+    // means the shape regressed to the r17/r18 multi-job CDF whose
+    // scheduling floor was 13x DuckDB at the 100x decade.
     val p = plan("q36_mad_robust")
-    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
-      s"q36 shuffled the corpus for a bounded dim:\n$p")
-    assert(p.contains("BroadcastHashJoin"), s"expected broadcast dims:\n$p")
+    assert(!p.contains("Join"), s"q36 regressed to a join plan:\n$p")
+    assert(!p.contains("Window"), s"q36 regressed to a window plan:\n$p")
+  }
+
+  test("drift PSI: one scan, fold-only — no joins, no checkpoints") {
+    // r19 shape (verdict item 3): totals and the bin-ordered PSI fold
+    // collapse into one second-stage aggregate; same assert as q36.
+    val p = plan("dq_drift")
+    assert(!p.contains("Join"), s"dq_drift regressed to a join plan:\n$p")
+    assert(!p.contains("Window"), s"dq_drift regressed to a window plan:\n$p")
   }
 
   test("k-core peeling: semi-join rounds, no cartesian anywhere") {

@@ -101,7 +101,17 @@ def main() -> None:
         if t.get("unoracled"):
             row["unoracled_ms"] = {k: int(round(v * 1000))
                                    for k, v in sorted(t["unoracled"].items())}
-        if oracle_file:
+        # r19: Bench is self-denominating — its detail lines carry the
+        # same-run duckdb_ms measured in the same process/hour. Prefer
+        # those (they are the numbers the adjudication should pair);
+        # --duckdb remains as the fallback for older bench_out files.
+        if t.get("duckdb_ms"):
+            row["duckdb_ms"] = t["duckdb_ms"]
+            row["duckdb_total_sec"] = t.get("duckdb_total_sec")
+            row["duckdb_same_run"] = True
+            if t.get("spark_vs_duckdb") is not None:
+                row["spark_vs_duckdb"] = t["spark_vs_duckdb"]
+        elif oracle_file:
             d = duckdb_times(oracle_file, sf)
             row["duckdb_ms"] = d
             row["duckdb_total_sec"] = round(
