@@ -291,6 +291,38 @@ object DevProbe {
       spark.stop(); return
     }
 
+    // ---- round-19 HNSW recall sweep (verdict item 5): measured
+    // overlap of the probe top-10 vs brute top-10/top-20 across query
+    // ids and (ef, efRounds) settings — picks the new defaults + the
+    // honest SimilaritySpec pin ----
+    if (sys.env.contains("SPARK_GRAFT_PROBE_R19H")) {
+      import graft.operators.{Hnsw, VectorOps}
+      import spark.implicits._
+      val emb = Tables.embeddings(spark, sfDir)
+      val n = emb.count()
+      val dir = java.nio.file.Files.createTempDirectory("hnswsweep").toString
+      Hnsw.buildIndex(spark, emb, dir, nHint = n)
+      val qids = Seq(42L, 7L, 123L, 299L, 400L)
+      for (qid <- qids; (ef, rounds) <- Seq((16, 3), (32, 3), (32, 4), (48, 4))) {
+        val qv = emb.filter(col("vec_id") === qid)
+          .select(VectorOps.toDouble(col("embedding"))).as[Array[Double]].head()
+        val got = Hnsw.probe(spark, dir, qv, topK = 11, ef = ef,
+          efRounds = rounds).as[(Long, Double)].collect()
+          .filter(_._1 != qid).take(10).map(_._1)
+        val brute = emb.filter(col("vec_id") =!= qid)
+          .crossJoin(broadcast(emb.filter(col("vec_id") === qid)
+            .select(col("embedding").as("qv"))))
+          .select(col("vec_id"),
+            round(VectorOps.cosine(col("qv"), col("embedding")), 6).as("cs"))
+          .orderBy(col("cs").desc, col("vec_id")).limit(20)
+          .as[(Long, Double)].collect().map(_._1)
+        val in10 = got.count(brute.take(10).toSet)
+        val in20 = got.count(brute.toSet)
+        println(s"HNSW qid=$qid ef=$ef rounds=$rounds overlap10=$in10 overlap20=$in20")
+      }
+      spark.stop(); return
+    }
+
     // ---- round-17b probes: bench-tail rewrites A/B ----
     // q36_mad_robust / dq_drift: production (one events scan + bounded
     // count-table folds) vs the r16 shapes replayed verbatim; plus a

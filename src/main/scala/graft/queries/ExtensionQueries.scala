@@ -3144,9 +3144,16 @@ object ExtensionQueries {
     // SQL-replayable, so the GATED output is the annRungContract
     // health row; SimilaritySpec pins raw-frame recall vs brute force
     // and the bounded-read probe shape.
+    // bar = 8 of the exact top-20 for a top-10 probe (was 3 at r18 —
+    // a gate that would have passed a badly navigating graph): the
+    // r19 defaults (ef=32, efRounds=4, cosine-selected final top-k)
+    // measured 10/10 vs top-20 on every (qid, SF) sweep cell, so 8
+    // keeps 2 results of slack for future corpus drops while any
+    // real navigation collapse (the measured ef=16 failures scored
+    // 4-7/20) still flips the driver gate.
     "sim_hnsw_topk" -> ((s, dir) =>
       annRungContract(s, dir, "sim_hnsw_topk",
-        qid = 42L, rkMax = 20, bar = 3L)),
+        qid = 42L, rkMax = 20, bar = 8L)),
 
     // PERSISTED IVF-PQ serving path: the index stores each vector as
     // ONE packed bigint of 8 PQ codes under its coarse cell directory,

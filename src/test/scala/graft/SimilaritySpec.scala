@@ -464,9 +464,14 @@ class SimilaritySpec extends SparkSpec {
         round(operators.VectorOps.cosine(col("qv"), col("embedding")), 6).as("cs"))
       .orderBy(col("cs").desc, col("vec_id")).limit(20)
       .as[(Long, Double)].collect()
+    // r19 pin: the (ef=32, efRounds=4, cosine-selected) defaults
+    // measured 10/10 vs brute top-20 across 5 qids x 3 SFs (DevProbe
+    // R19H); >= 8 is the honest gate — the r18 bar of 3 would have
+    // passed a badly navigating graph (measured ef=16 collapses
+    // scored 4-7/20 at sf0.1)
     val overlap = got.tail.map(_._1).count(brute.map(_._1).toSet)
-    assert(overlap >= 3,
-      s"hnsw top-10 ${got.tail.map(_._1).toSeq} shares < 3 with brute top-20")
+    assert(overlap >= 8,
+      s"hnsw top-10 ${got.tail.map(_._1).toSeq} shares < 8 with brute top-20")
     // scores track the raw-float brute scorer to micro-quantization
     // precision (the index stores micro-int components: per-component
     // rounding perturbs cosine by O(1e-6), unlike the IVF paths that
@@ -476,5 +481,49 @@ class SimilaritySpec extends SparkSpec {
       .foreach { case (id, cs) =>
         assert(math.abs(cs - bruteMap(id)) <= 5e-6,
           s"score drift on $id: $cs vs ${bruteMap(id)}") }
+  }
+
+  test("hnsw streaming append: ingested vectors are reachable from the base graph") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.Hnsw
+    val emb = Tables.embeddings(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("hnswgrow").toString
+    // base graph over the first 400 vectors only
+    Hnsw.buildIndex(spark, emb.filter(col("vec_id") < 400), dir, nHint = 400L)
+    val nodesBefore = spark.read.parquet(s"$dir/nodes")
+      .filter(col("level") === 0).count()
+    assert(nodesBefore === 400L)
+    // stream the remaining 100 in as a file stream (the IVF
+    // appendToIndex convention)
+    val newDir = java.nio.file.Files.createTempDirectory("hnswnew").toString
+    emb.filter(col("vec_id") >= 400).write.parquet(s"$newDir/in")
+    val q = Hnsw.appendToIndex(spark,
+      spark.readStream.schema(emb.schema).parquet(s"$newDir/in"),
+      dir, s"$newDir/ckpt")
+    q.awaitTermination(120000)
+    assert(spark.read.parquet(s"$dir/nodes")
+      .filter(col("level") === 0).count() === 500L)
+    // an appended vector must now be the exact self-match of its own
+    // probe — reachable ONLY through the delta's reverse edges (the
+    // immutable base adjacency has no path to it)
+    val qv = emb.filter(col("vec_id") === 450)
+      .select(operators.VectorOps.toDouble(col("embedding")))
+      .as[Array[Double]].head()
+    val got = Hnsw.probe(spark, dir, qv, topK = 11).as[(Long, Double)].collect()
+    assert(got.head === ((450L, 1.0)),
+      s"appended vector not reachable: ${got.head}")
+    // and the appended region's neighborhood quality holds: top-10
+    // shares >= 8 with the brute top-20 over the FULL 500-vector set
+    val brute = emb.filter(col("vec_id") =!= 450)
+      .crossJoin(broadcast(emb.filter(col("vec_id") === 450)
+        .select(col("embedding").as("qv"))))
+      .select(col("vec_id"),
+        round(operators.VectorOps.cosine(col("qv"), col("embedding")), 6).as("cs"))
+      .orderBy(col("cs").desc, col("vec_id")).limit(20)
+      .as[(Long, Double)].collect()
+    val overlap = got.tail.map(_._1).count(brute.map(_._1).toSet)
+    assert(overlap >= 8,
+      s"appended-graph top-10 ${got.tail.map(_._1).toSeq} shares < 8 with brute top-20")
   }
 }
