@@ -288,6 +288,30 @@ object DevProbe {
       t("drift_r18") { driftR18() }
       t("bm25_topk") { SparkEntry.queries("search_bm25_topk")(spark, sfDir).count() }
       t("burstiness") { SparkEntry.queries("corpus_burstiness")(spark, sfDir).count() }
+      // bm25 stage split: store probe alone vs the indexed twin vs the
+      // full query — locates the 100x cost (scan? pivot? floor?)
+      t("bm25_store_probe") {
+        graft.queries.ExtensionQueries.postingProbeFloor(spark, sfDir) }
+      t("bm25_indexed") { SparkEntry.queries("search_bm25_indexed")(spark, sfDir).count() }
+      jobs("bm25_topk") { SparkEntry.queries("search_bm25_topk")(spark, sfDir).count() }
+      jobs("bm25_indexed") { SparkEntry.queries("search_bm25_indexed")(spark, sfDir).count() }
+      // hnsw SCALE row (r18 verdict: "needs its own SCALE row"): the
+      // layered build (once per corpus version) and the bounded-read
+      // probe, timed separately at this corpus size
+      locally {
+        import graft.operators.{Hnsw, VectorOps}
+        import spark.implicits._
+        val emb = Tables.embeddings(spark, sfDir)
+        val n = emb.count()
+        val hdir = java.nio.file.Files.createTempDirectory("hnswscale").toString
+        val tb0 = System.nanoTime()
+        Hnsw.buildIndex(spark, emb, hdir, nHint = n)
+        println(f"PROBE hnsw_build                   min=${(System.nanoTime() - tb0) / 1e9}%7.3f s rows=$n")
+        val qv = emb.filter(col("vec_id") === 42)
+          .select(VectorOps.toDouble(col("embedding"))).as[Array[Double]].head()
+        t("hnsw_probe") { Hnsw.probe(spark, hdir, qv, topK = 11).count() }
+        jobs("hnsw_probe") { Hnsw.probe(spark, hdir, qv, topK = 11).count() }
+      }
       spark.stop(); return
     }
 
