@@ -3203,7 +3203,7 @@ object ExtensionQueries {
     // a gate that would have passed a badly navigating graph): the
     // r19 defaults (ef=32, efRounds=4, cosine-selected final top-k)
     // measured 10/10 vs top-20 on every (qid, SF) sweep cell, so 8
-    // keeps 2 results of slack for future corpus drops while any
+    // keeps 2 results of headroom for future corpus drops while any
     // real navigation collapse (the measured ef=16 failures scored
     // 4-7/20) still flips the driver gate.
     "sim_hnsw_topk" -> ((s, dir) =>
