@@ -326,11 +326,15 @@ object Bench {
     def gcOf(m: Map[String, Rep]) = m.map { case (k, r) => k -> r.gcMs }
     val allErrors = oracledErrors ++ extraErrors
     val total = if (results.nonEmpty) results.values.map(_.sec).sum else 0.0
-    // Same-run DuckDB denominator (r18 verdict item 1). Runs AFTER the
-    // Spark pass — sequentially, with Spark idle — so numerator and
-    // denominator see the same box in the same hour but never contend
-    // with each other. Embedded verbatim (the python side emits the
-    // compact JSON object); on failure the lines carry a note instead.
+    // Same-run DuckDB denominator (r18 verdict item 1): the same
+    // oracle set the Spark passes just timed, on the same box in the
+    // same hour. Both denominator passes run AFTER BOTH Spark timing
+    // windows (the r19 first run paid for interleaving them: the sf2
+    // Spark window opened in the 32-thread DuckDB run's wake and its
+    // own calib_ms start read 301 ms) — numerator and denominator
+    // never contend, and no Spark window opens downwind of a DuckDB
+    // pass. Embedded verbatim (the python side emits the compact JSON
+    // object); on failure the lines carry a note instead.
     val oracleSqls = SparkEntry.oracleSql
     def duckJson(r: Either[String, (String, Double)], sparkTotal: Double): String =
       r match {
@@ -342,8 +346,6 @@ object Bench {
           s""""duckdb_ms":$ms,"duckdb_total_sec":$tot,"spark_vs_duckdb":$ratio"""
         case Left(note) => s""""duckdb_ms":{},"duckdb_note":"$note""""
       }
-    val duck1 = duckdbDenominate(oracleSqls, sfDir)
-    val duckJson1 = duckJson(duck1, total)
     def duckCompact(r: Either[String, (String, Double)], sparkTotal: Double): String =
       r match {
         case Right((_, tot)) =>
@@ -370,39 +372,48 @@ object Bench {
       BigDecimal(total / ((c1 + c2) / 2.0))
         .setScale(5, BigDecimal.RoundingMode.HALF_UP)
     val loadJson = s""""nproc":$nproc,"load_avg":[${r1(loadStart)},${r1(loadEnd)}],"calib_ms":[${r1(calibStart)},${r1(calibEnd)}],"calib_mt_ms":[${r1(calibMtStart)},${r1(calibMtEnd)}]"""
-    emit(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(secs(results))},"unoracled":${js(secs(extras))},"jobs":${jsLong(jobsOf(results) ++ jobsOf(extras))},"gc_ms":${jsLong(gcOf(results) ++ gcOf(extras))},"errors":${jsStr(allErrors)},$duckJson1,"sf":"$sfDir","reps":2,"agg":"min","warm_cache":true,$loadJson}""")
     // Second scale point: re-time the oracled set at a SMALLER sf and emit
     // another compact line keyed by its sf, so the artifact carries a
     // round-over-round scaling SLOPE (total vs data volume), not just a
     // level. Same warm-cache discipline as the primary (tables cached
     // before timing); a secondary error never fails the run — the primary
-    // gate below still does.
+    // gate below still does. The sf2 SPARK pass runs before ANY DuckDB
+    // denominator pass (see above); its lines are emitted after.
     val sfDir2 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR2", "/root/testdata/sf0.01")
-    if (sfDir2 != sfDir && new java.io.File(sfDir2).isDirectory) {
-      Seq("region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings").foreach { t =>
-        try Tables.load(spark, sfDir2, t).cache().count()
-        catch { case _: Throwable => () }
-      }
-      // Sample load/calib at THIS window's start (not run start), so the
-      // pair brackets exactly the sf2 timing pass and the line's
-      // contention readout describes its own window, not the whole run.
-      val loadStart2 = loadAvg()
-      val calibStart2 = calibMs()
-      val calibMtStart2 = calibMtMs()
-      val (results2, errors2) = timeAll(oracled, sfDir2)
-      val total2 = if (results2.nonEmpty) results2.values.map(_.sec).sum else 0.0
-      val duck2 = duckdbDenominate(oracleSqls, sfDir2)
-      val calibEnd2 = calibMs()
-      val calibMtEnd2 = calibMtMs()
-      val loadJson2 = s""""nproc":$nproc,"load_avg":[${r1(loadStart2)},${r1(loadAvg())}],"calib_ms":[${r1(calibStart2)},${r1(calibEnd2)}],"calib_mt_ms":[${r1(calibMtStart2)},${r1(calibMtEnd2)}]"""
+    val sf2 =
+      if (sfDir2 != sfDir && new java.io.File(sfDir2).isDirectory) {
+        Seq("region", "nation", "customer", "supplier", "part", "orders",
+            "lineitem", "events", "documents", "embeddings").foreach { t =>
+          try Tables.load(spark, sfDir2, t).cache().count()
+          catch { case _: Throwable => () }
+        }
+        // Sample load/calib at THIS window's start (not run start), so the
+        // pair brackets exactly the sf2 timing pass and the line's
+        // contention readout describes its own window, not the whole run.
+        val loadStart2 = loadAvg()
+        val calibStart2 = calibMs()
+        val calibMtStart2 = calibMtMs()
+        val (results2, errors2) = timeAll(oracled, sfDir2)
+        val total2 = if (results2.nonEmpty) results2.values.map(_.sec).sum else 0.0
+        val calibEnd2 = calibMs()
+        val calibMtEnd2 = calibMtMs()
+        val loadJson2 = s""""nproc":$nproc,"load_avg":[${r1(loadStart2)},${r1(loadAvg())}],"calib_ms":[${r1(calibStart2)},${r1(calibEnd2)}],"calib_mt_ms":[${r1(calibMtStart2)},${r1(calibMtEnd2)}]"""
+        Some((results2, errors2, total2, calibStart2, calibEnd2, loadJson2))
+      } else None
+    // Denominator passes: both Spark windows are closed and bracketed;
+    // DuckDB contention can no longer leak into any Spark number.
+    val duck1 = duckdbDenominate(oracleSqls, sfDir)
+    val duck2 = sf2.map(_ => duckdbDenominate(oracleSqls, sfDir2))
+    emit(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(secs(results))},"unoracled":${js(secs(extras))},"jobs":${jsLong(jobsOf(results) ++ jobsOf(extras))},"gc_ms":${jsLong(gcOf(results) ++ gcOf(extras))},"errors":${jsStr(allErrors)},${duckJson(duck1, total)},"sf":"$sfDir","reps":2,"agg":"min","warm_cache":true,$loadJson}""")
+    sf2.foreach { case (results2, errors2, total2, calibStart2, calibEnd2, loadJson2) =>
+      val d2 = duck2.get
       // full per-query map for the secondary SF too — consumed by
       // tools/bench_summary.py for the committed round-close artifact.
       // Deliberately NOT named "total" (the r5 lesson, in reverse): a
       // "metric":"total" matcher must keep finding exactly one line —
       // the primary SF's.
-      emit(s"""{"metric":"detail_sf2","value":$total2,"unit":"sec","queries":${js(secs(results2))},"jobs":${jsLong(jobsOf(results2))},"gc_ms":${jsLong(gcOf(results2))},"errors":${jsStr(errors2)},${duckJson(duck2, total2)},"sf":"$sfDir2","reps":2,"agg":"min","warm_cache":true,$loadJson2}""")
-      emit(s"""{"metric":"total_compact","value":$total2,"unit":"sec","total_per_calib":${perCalib(total2, calibStart2, calibEnd2)},"n_oracled":${results2.size},"n_errors":${errors2.size}${duckCompact(duck2, total2)},"sf":"$sfDir2",$loadJson2}""")
+      emit(s"""{"metric":"detail_sf2","value":$total2,"unit":"sec","queries":${js(secs(results2))},"jobs":${jsLong(jobsOf(results2))},"gc_ms":${jsLong(gcOf(results2))},"errors":${jsStr(errors2)},${duckJson(d2, total2)},"sf":"$sfDir2","reps":2,"agg":"min","warm_cache":true,$loadJson2}""")
+      emit(s"""{"metric":"total_compact","value":$total2,"unit":"sec","total_per_calib":${perCalib(total2, calibStart2, calibEnd2)},"n_oracled":${results2.size},"n_errors":${errors2.size}${duckCompact(d2, total2)},"sf":"$sfDir2",$loadJson2}""")
     }
     // A tail capture always keeps the LAST line, so the headline total is
     // repeated in a short self-contained line AFTER the big detail line:
