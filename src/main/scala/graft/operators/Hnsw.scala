@@ -45,6 +45,11 @@ object Hnsw {
   val M = 8 // neighbors per node per level
   private val ExactPairCap = 4096L // layers at most this big pair exactly
 
+  // driver-memoized entry meta per index dir (bounded: 1 row each);
+  // buildIndex invalidates its dir's entry on rebuild
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Long, Seq[Double], Double)]()
+
   /** Geometric(1/2) level from the portable hash's low bits, capped:
     * P(level >= L) = 2^-L. Column-side twin of [[levelOfId]].
     */
@@ -129,6 +134,8 @@ object Hnsw {
       .select(col("lvl").as("top_level"), col("node").as("entry_node"),
         col("v").as("entry_v"), col("nv").as("entry_nv"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    metaCache.remove(dir) // rebuild-into-same-dir must not serve stale meta
+    ()
   }
 
   /** Streaming ingest into a built index (r18 verdict "next round"
@@ -243,24 +250,35 @@ object Hnsw {
     val q = qv.map(x => BigDecimal(x * 1000000.0)
       .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble)
     val nq = q.map(x => x * x).sum
-    val meta = spark.read.parquet(s"$dir/meta")
-      .select(col("top_level"), col("entry_node"), col("entry_v"), col("entry_nv"))
-      .as[(Int, Long, Seq[Double], Double)].head()
+    // entry meta: one bounded row per index VERSION — memoized on the
+    // driver (the postingSumdl literal convention) so repeat probes
+    // skip the meta job entirely; appendToIndex never rewrites meta,
+    // so the cache cannot go stale within an index generation
+    val meta = metaCache.computeIfAbsent(dir, _ =>
+      spark.read.parquet(s"$dir/meta")
+        .select(col("top_level"), col("entry_node"), col("entry_v"), col("entry_nv"))
+        .as[(Int, Long, Seq[Double], Double)].head())
     val (topLevel, entry0, entryV, entryNv) = meta
     // fetch: neighbors-with-vectors of a bounded node set at a level —
     // base adjacency plus any appendToIndex delta layers (both reads
     // stay partition-pruned on level and node-pushed; delta rows are
-    // what make post-build ingests navigable)
+    // what make post-build ingests navigable). The DataFrames are
+    // constructed ONCE per probe: the parquet file index resolves at
+    // construction, so per-hop jobs filter an already-listed relation
+    // instead of re-walking the directory every hop.
     val hasDelta = new java.io.File(s"$dir/delta").isDirectory
+    val baseEdges = spark.read.parquet(s"$dir/edges")
+    val deltaEdges = if (hasDelta) Some(spark.read.parquet(s"$dir/delta")) else None
     def nbrs(level: Int, ofNodes: Seq[Long]): Array[(Long, Seq[Double], Double)] = {
-      val base = spark.read.parquet(s"$dir/edges")
+      val base = baseEdges
         .filter(col("level") === level && col("node").isin(ofNodes: _*))
         .select(col("nb"), col("vb"), col("nvb"))
-      val all =
-        if (!hasDelta) base
-        else base.unionByName(spark.read.parquet(s"$dir/delta")
+      val all = deltaEdges match {
+        case None => base
+        case Some(d) => base.unionByName(d
           .filter(col("level") === level && col("node").isin(ofNodes: _*))
           .select(col("nb"), col("vb"), col("nvb")))
+      }
       all.as[(Long, Seq[Double], Double)].collect()
     }
     var cur = entry0
