@@ -180,9 +180,15 @@ object Hnsw {
           val newNodes = batch.filter(col("lvl") >= level)
             .select(col("node"), col("v"), col("nv"))
           // candidates: every node already AT this level (base +
-          // prior ingests) plus the batch's other members
+          // prior ingests) plus the batch's other members. The
+          // current batchId's own ingest layer is EXCLUDED: foreachBatch
+          // is at-least-once, so a replayed batch would otherwise see
+          // its crashed attempt's node rows and pair each member
+          // against a duplicate of itself (the overwrite below heals
+          // the store; this filter heals the replay's candidate set).
           val cand = spark.read.parquet(s"$dir/nodes")
-            .filter(col("level") === level)
+            .filter(col("level") === level &&
+              col("ingest").cast("string") =!= batchId.toString)
             .select(col("node").as("nb"), col("v").as("vb"),
               col("nv").as("nvb"))
           val candAll = cand.unionByName(newNodes
