@@ -194,26 +194,30 @@ object Export {
     * path sees (ingest, shard) partition columns, and a
     * `shard = N` filter partition-prunes to that shard's files across
     * every ingest layer. Each micro-batch owns a deterministic
-    * `ingest=<batchId>` layer written with overwrite (foreachBatch is
-    * at-least-once: a replayed batch rewrites its own files instead of
-    * appending duplicates — the same replay-safe convention as
-    * `Similarity.appendToIndex` and `RcSinks.writeBatch`). Small-file
-    * debt from many micro-batches is `operators.Compaction`'s job.
+    * `ingest=<token>-<batchId>` layer written with overwrite
+    * (foreachBatch is at-least-once: a replayed batch rewrites its own
+    * files instead of appending duplicates, and the
+    * [[Similarity.ingestToken]] checkpoint key keeps independent
+    * append sessions from clobbering each other's batch-0 layers).
+    * Small-file debt from many micro-batches is
+    * `operators.Compaction`'s job.
     */
   def appendShards(stream: DataFrame, path: String, nShards: Int,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val token = Similarity.ingestToken(checkpoint)
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         shuffledShards(batch, nShards)
           .repartition(col("shard"))
           .sortWithinPartitions(col("shard"), col("shuffle_rank"), col("doc_id"))
           .write.mode("overwrite").partitionBy("shard")
-          .parquet(s"$path/ingest=$batchId")
+          .parquet(s"$path/ingest=$token-$batchId")
         ()
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+  }
 
   /** Streaming maintenance of the ORDERED export: boundaries are
     * FROZEN at stream start (an online stream cannot re-derive exact
@@ -221,13 +225,15 @@ object Export {
     * standard frozen-boundary contract of streaming range partitioning;
     * re-cut with a batch [[writeOrderedShards]] when drift matters) and
     * ride to every batch as plain literals; each micro-batch buckets
-    * its arrivals map-side and lands under `ingest=<batchId>/shard=N`
-    * with the same replay-safe overwrite convention as
-    * [[appendShards]]. Within every ingest layer, shard key-ranges
-    * obey the same non-interleaving guarantee as the batch export.
+    * its arrivals map-side and lands under
+    * `ingest=<token>-<batchId>/shard=N` with the same replay-safe
+    * keyed-overwrite convention as [[appendShards]]. Within every
+    * ingest layer, shard key-ranges obey the same non-interleaving
+    * guarantee as the batch export.
     */
   def appendOrderedShards(stream: DataFrame, cuts: Array[Long], path: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val token = Similarity.ingestToken(checkpoint)
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch
@@ -237,12 +243,13 @@ object Export {
           .repartition(col("shard"))
           .sortWithinPartitions(col("shard"), col("ord_key"), col("doc_id"))
           .write.mode("overwrite").partitionBy("shard")
-          .parquet(s"$path/ingest=$batchId")
+          .parquet(s"$path/ingest=$token-$batchId")
         ()
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+  }
 
   /** GLOBALLY ORDERED shard assignment — the range-partitioned twin of
     * [[shuffledShards]], for exports that must keep a global order

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -18,14 +19,18 @@ import org.apache.spark.sql.functions._
   *    bound the within-cell pair join, and UPPER layers train fewer
   *    cells over fewer nodes, so their links span longer ranges (the
   *    navigability the hierarchy exists to provide). A layer small
-  *    enough to pair exactly (<= 4096 nodes) skips the quantizer.
+  *    enough to pair exactly (<= exactPairCap nodes) skips the
+  *    quantizer. The layer cells are PERSISTED (`dir/cells/level=L`)
+  *    so streaming appends can reuse them (see [[appendToIndex]]).
   *  - The PERSISTED layout is the classic HNSW serving structure:
   *    adjacency lists with the NEIGHBOR'S VECTOR DENORMALIZED INLINE
   *    (level, node, nb, vb, nvb), partitioned by level — one
   *    partition-pruned, node-pushed parquet read serves a whole probe
   *    hop (edge list + the vectors needed to score it), the same
   *    read-amplification trade real HNSW makes by keeping vectors
-  *    resident beside the adjacency.
+  *    resident beside the adjacency. Node tables are partitioned by
+  *    cell inside each ingest layer, so the append path's candidate
+  *    reads prune to the probed cells.
   *  - The PROBE is the paper's greedy descent + layer-0 beam (ef
   *    candidates, bounded expansion rounds), driven from the driver
   *    with BOUNDED reads: every hop touches <= beam x M index rows via
@@ -43,12 +48,16 @@ object Hnsw {
 
   val MaxLevel = 2
   val M = 8 // neighbors per node per level
+  val CellProbes = 2 // cells each appended node links within (IVF probes=2 convention)
   private val ExactPairCap = 4096L // layers at most this big pair exactly
 
   // driver-memoized entry meta per index dir (bounded: 1 row each);
   // buildIndex invalidates its dir's entry on rebuild
   private val metaCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Int, Long, Seq[Double], Double)]()
+
+  private def hadoopFs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Geometric(1/2) level from the portable hash's low bits, capped:
     * P(level >= L) = 2^-L. Column-side twin of [[levelOfId]].
@@ -62,15 +71,26 @@ object Hnsw {
   }
 
   /** Build and persist the layered index under `dir`:
-    * `dir/edges/level=L/...` (node, nb, vb, nvb) + `dir/meta`
-    * (top_level, entry_node, entry_v, entry_nv). Build cost is one
-    * kNN construction per layer over a geometrically shrinking node
-    * set — a scheduled index job at scale, memoized per corpus
-    * version by the caller (the saveIndex lifecycle).
+    * `dir/edges/level=L/...` (node, nb, vb, nvb), `dir/nodes/level=L/
+    * ingest=base/cell=C/...` (node, v, nv), `dir/cells/level=L`
+    * (cid, cv — the layer's trained centroids, absent for exact-pair
+    * layers) + `dir/meta` (top_level, entry_node, entry_v, entry_nv).
+    * Build cost is one kNN construction per layer over a geometrically
+    * shrinking node set — a scheduled index job at scale, memoized per
+    * corpus version by the caller (the saveIndex lifecycle).
+    *
+    * Rebuild-into-same-dir is supported: any previous generation's
+    * delta layers, appended ingest layers, and trained cells are
+    * DELETED before the new generation writes (overwrite alone only
+    * heals edges/nodes-base/meta — stale `delta/` rows from the old
+    * generation would otherwise union stale vectors into every probe;
+    * r19 advice).
     */
   def buildIndex(spark: SparkSession, emb: DataFrame, dir: String,
-      nHint: Long = 0L): Unit = {
+      nHint: Long = 0L, exactPairCap: Long = ExactPairCap): Unit = {
     import spark.implicits._
+    val fs = hadoopFs(spark, dir)
+    Seq("delta", "nodes", "cells").foreach(sub => fs.delete(new Path(s"$dir/$sub"), true))
     // micro ints carried as DOUBLES (exact: |micro| <= ~2e6 << 2^53),
     // so the persisted arrays decode as Seq[Double] on the probe side
     val vecs = emb.select(col("vec_id").as("node"),
@@ -83,15 +103,9 @@ object Hnsw {
     for (level <- 0 to MaxLevel) {
       val nodes = vecs.filter(col("lvl") >= level)
         .select(col("node"), col("v"), col("nv"))
-      // per-level node table (node, v, nv) under an ingest=base layer:
-      // the candidate set [[appendToIndex]] kNN-joins new vectors
-      // against — appended batches land beside it as ingest=<batchId>
-      // (the Similarity.saveIndex cells convention)
-      nodes.write.mode("overwrite")
-        .parquet(s"$dir/nodes/level=$level/ingest=base")
       val nL = math.max(1L, n >> level)
       val celled =
-        if (nL <= ExactPairCap) nodes.withColumn("cell", lit(0))
+        if (nL <= exactPairCap) nodes.withColumn("cell", lit(0))
         else {
           // Lloyd cells sized to the LAYER: fewer nodes -> fewer,
           // larger cells -> longer-range links on upper layers
@@ -100,6 +114,10 @@ object Hnsw {
             nodes.select(col("node").as("vec_id"), col("v").as("embedding")),
             k, iters = 2)
           val cents = Similarity.centroidDf(spark, idx.centroids)
+          // the layer's quantizer is part of the index: appendToIndex
+          // assigns arriving nodes to these cells so its candidate
+          // reads stay bounded by cell population, not corpus size
+          cents.write.mode("overwrite").parquet(s"$dir/cells/level=$level")
           nodes.crossJoin(broadcast(cents
               .withColumn("ncv", VectorOps.norm2(col("cv")))))
             .withColumn("d2", col("nv") + col("ncv") -
@@ -108,6 +126,13 @@ object Hnsw {
             .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cell"),
               first(col("v")).as("v"), first(col("nv")).as("nv"))
         }
+      // per-level node table (cell, node, v, nv) under an ingest=base
+      // layer, PARTITIONED BY CELL: [[appendToIndex]] kNN-joins new
+      // vectors against the probed cells only (partition-pruned) —
+      // appended batches land beside it as ingest=<token>-<batchId>
+      celled.select(col("cell"), col("node"), col("v"), col("nv"))
+        .write.partitionBy("cell").mode("overwrite")
+        .parquet(s"$dir/nodes/level=$level/ingest=base")
       val l = celled.select(col("cell"), col("node"), col("v"), col("nv"))
       val r = celled.select(col("cell"), col("node").as("nb"),
         col("v").as("vb"), col("nv").as("nvb"))
@@ -143,33 +168,51 @@ object Hnsw {
     * build per corpus version). Each micro-batch:
     *
     *  - draws levels with the SAME deterministic coin as the build;
-    *  - finds each new node's M nearest per layer by an EXACT kNN
-    *    join against the layer's persisted node table (base +
-    *    earlier ingests + the batch's own members) — one distributed
-    *    scan per level per batch, no per-vector driver loop. This is
-    *    the paper's insert-by-search with the search replaced by the
-    *    exact answer: better links than a beam insert, paid for by a
-    *    layer scan that amortizes over the batch;
+    *  - assigns each new node to its [[CellProbes]] nearest layer
+    *    cells (the quantizer [[buildIndex]] persisted — k x dim, a
+    *    broadcast constant) and finds its M nearest per layer by an
+    *    exact kNN join against ONLY the probed cells' node rows
+    *    (partition-pruned: base + earlier ingests) plus the batch's
+    *    own members in those cells. Append cost per batch is bounded
+    *    by cell population (~sqrt(n_L) x CellProbes x batch), NOT
+    *    corpus size — the r19 verdict's one added scale risk, closed.
+    *    Layers the build paired exactly (no persisted cells) keep the
+    *    full-layer candidate scan, bounded by the exact-pair cap
+    *    until the next buildIndex swap;
     *  - writes BOTH directions into a replay-safe
-    *    `delta/level=L/ingest=<batchId>` layer: forward edges make
-    *    the new node navigate OUT, reverse edges make it reachable
-    *    FROM the immutable base graph (the paper mutates existing
-    *    adjacency in place; an append-only store expresses the same
-    *    connectivity as delta rows the probe unions in);
-    *  - appends the batch to the node tables so later batches link
-    *    against it.
+    *    `delta/level=L/ingest=<token>-<batchId>` layer: forward edges
+    *    make the new node navigate OUT, reverse edges make it
+    *    reachable FROM the immutable base graph (the paper mutates
+    *    existing adjacency in place; an append-only store expresses
+    *    the same connectivity as delta rows the probe unions in);
+    *  - appends the batch to the node tables (cell-partitioned) so
+    *    later batches link against it.
+    *
+    * Ingest layers are keyed by (checkpoint token, batchId), not
+    * batchId alone: batchIds restart at 0 per checkpoint location, so
+    * a SECOND append session (new checkpoint) against the same index
+    * dir would otherwise overwrite the first session's ingest=0
+    * layers and the replay-exclusion filter would wrongly drop those
+    * nodes from its candidate set (r19 advice). The token is a pure
+    * function of the checkpoint path, so a REPLAYED batch (same
+    * checkpoint, same batchId) still lands in its own directory and
+    * the overwrite heals the crashed attempt.
     *
     * Reverse edges let a base node's effective degree exceed M as
     * ingest accumulates — the paper prunes on insert; here the debt
-    * is bounded per batch and paid by the periodic [[buildIndex]]
-    * swap (the Similarity.retrainIndex convention). Entry meta is
-    * untouched: descent still starts from the base entry and reaches
-    * appended nodes through the delta rows.
+    * is bounded per batch and paid by [[compactIndex]] (delta fold +
+    * M-prune, no retrain) or the periodic [[buildIndex]] swap (the
+    * Similarity.retrainIndex convention). Entry meta is untouched:
+    * descent still starts from the base entry and reaches appended
+    * nodes through the delta rows.
     */
   def appendToIndex(spark: SparkSession, stream: DataFrame, dir: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val token = Similarity.ingestToken(checkpoint)
     stream.writeStream
       .foreachBatch { (b: DataFrame, batchId: Long) =>
+        val tag = s"$token-$batchId"
+        val fs = hadoopFs(spark, dir)
         val batch = b.select(col("vec_id").as("node"),
             transform(col("embedding"),
               x => round(x.cast("double") * 1e6)).as("v"))
@@ -179,25 +222,59 @@ object Hnsw {
         for (level <- 0 to MaxLevel) {
           val newNodes = batch.filter(col("lvl") >= level)
             .select(col("node"), col("v"), col("nv"))
-          // candidates: every node already AT this level (base +
-          // prior ingests) plus the batch's other members. The
-          // current batchId's own ingest layer is EXCLUDED: foreachBatch
-          // is at-least-once, so a replayed batch would otherwise see
-          // its crashed attempt's node rows and pair each member
-          // against a duplicate of itself (the overwrite below heals
-          // the store; this filter heals the replay's candidate set).
+          // home cell + probed cells per new node from the layer's
+          // persisted quantizer; a layer built exact (<= cap nodes)
+          // has no quantizer — everything is cell 0, and the candidate
+          // "pruning" below degenerates to the bounded full-layer scan
+          val assigned = (
+            if (fs.exists(new Path(s"$dir/cells/level=$level"))) {
+              val cents = spark.read.parquet(s"$dir/cells/level=$level")
+                .withColumn("ncv", VectorOps.norm2(col("cv")))
+              val wc = org.apache.spark.sql.expressions.Window
+                .partitionBy(col("node")).orderBy(col("cd2"), col("cid"))
+              newNodes.crossJoin(broadcast(cents))
+                .withColumn("cd2", col("nv") + col("ncv") -
+                  lit(2.0) * VectorOps.dot(col("v"), col("cv")))
+                .withColumn("crk", row_number().over(wc))
+                .filter(col("crk") <= CellProbes)
+                .groupBy(col("node"))
+                .agg(first(col("v")).as("v"), first(col("nv")).as("nv"),
+                  min_by(col("cid"), col("crk")).as("cell"),
+                  collect_set(col("cid")).as("pcells"))
+            } else newNodes.withColumn("cell", lit(0))
+              .withColumn("pcells", array(lit(0)))
+          ).localCheckpoint() // candidate read + pair join + node write reuse it
+          // the batch's probed-cell union — bounded by the layer's k
+          // (~sqrt(n_L)), a driver constant like the centroid bank
+          val probed = assigned.select(explode(col("pcells")).as("c"))
+            .distinct().collect().map(_.getInt(0)).toIndexedSeq
+          // candidates: nodes already AT this level (base + prior
+          // ingests) in the probed cells only — the cell partition
+          // filter prunes the read. The current tag's own ingest layer
+          // is EXCLUDED: foreachBatch is at-least-once, so a replayed
+          // batch would otherwise see its crashed attempt's node rows
+          // and pair each member against a duplicate of itself (the
+          // overwrite below heals the store; this filter heals the
+          // replay's candidate set).
           val cand = spark.read.parquet(s"$dir/nodes")
             .filter(col("level") === level &&
-              col("ingest").cast("string") =!= batchId.toString)
+              col("ingest").cast("string") =!= tag &&
+              col("cell").isin(probed: _*))
             .select(col("node").as("nb"), col("v").as("vb"),
-              col("nv").as("nvb"))
-          val candAll = cand.unionByName(newNodes
+              col("nv").as("nvb"), col("cell").as("cellb"))
+          val candAll = cand.unionByName(assigned
             .select(col("node").as("nb"), col("v").as("vb"),
-              col("nv").as("nvb")))
+              col("nv").as("nvb"), col("cell").as("cellb")))
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy(col("node"))
             .orderBy(col("d2"), col("nb"))
-          val links = candAll.join(broadcast(newNodes), col("node") =!= col("nb"))
+          // pair each new node against candidates IN ITS OWN probed
+          // cells (array_contains on the broadcast side), not the
+          // batch-wide union — per-node candidate sets stay cell-sized
+          val links = candAll.join(broadcast(assigned
+                .select(col("node"), col("v"), col("nv"), col("pcells"))),
+              array_contains(col("pcells"), col("cellb")) &&
+                col("node") =!= col("nb"))
             .withColumn("d2", col("nv") + col("nvb") -
               lit(2.0) * VectorOps.dot(col("v"), col("vb")))
             .withColumn("rk", row_number().over(w))
@@ -212,15 +289,152 @@ object Hnsw {
             .unionByName(links.select(col("nb").as("node"),
               col("node").as("nb"), col("v").as("vb"), col("nv").as("nvb")))
             .write.mode("overwrite")
-            .parquet(s"$dir/delta/level=$level/ingest=$batchId")
-          newNodes.write.mode("overwrite")
-            .parquet(s"$dir/nodes/level=$level/ingest=$batchId")
+            .parquet(s"$dir/delta/level=$level/ingest=$tag")
+          assigned.select(col("cell"), col("node"), col("v"), col("nv"))
+            .write.partitionBy("cell").mode("overwrite")
+            .parquet(s"$dir/nodes/level=$level/ingest=$tag")
         }
         ()
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+  }
+
+  /** Fold accumulated delta layers into the base adjacency WITHOUT a
+    * retrain — the maintenance op between [[buildIndex]] swaps (r19
+    * verdict item: the delta lifecycle was append-only, healed only
+    * by a full rebuild). Per level, base + delta edges are re-ranked
+    * per node by exact d2 against the node's own vector (from the
+    * node table — the index is self-contained) and cut to M: the
+    * paper's insert-time neighbor prune, run as one batch job, plus a
+    * connectivity-repair pass (every zero-incoming node keeps one
+    * pinned incoming edge from its nearest neighbor — see inline).
+    * Node ingest layers fold into `ingest=base`; `delta/` is deleted; the
+    * trained cells and entry meta are untouched (appended nodes keep
+    * their assigned cells, the entry node is a base node).
+    *
+    * Crash ordering follows [[Compaction]]: both replacement stores
+    * are staged and VERIFIED before anything moves, each live dir is
+    * backed up as `__old` until its swap verifies, delta is deleted
+    * last. A crash inside a swap window is healed by
+    * [[recoverIndex]] (the Compaction.recover `__old` contract); a
+    * crash between the swaps and the delta delete leaves already-
+    * folded delta rows double-unioned into probes — harmless
+    * (duplicate candidate rows re-score identically) until the next
+    * compact removes them.
+    */
+  def compactIndex(spark: SparkSession, dir: String): Boolean = {
+    val fs = hadoopFs(spark, dir)
+    recoverIndex(spark, dir)
+    if (!fs.exists(new Path(s"$dir/delta"))) return false // nothing to fold
+    val stageE = s"$dir/edges__compacting"
+    val stageN = s"$dir/nodes__compacting"
+    fs.delete(new Path(stageE), true)
+    fs.delete(new Path(stageN), true)
+    val liveNodeCount = spark.read.parquet(s"$dir/nodes").count()
+    for (level <- 0 to MaxLevel) {
+      val nodes = spark.read.parquet(s"$dir/nodes")
+        .filter(col("level") === level)
+        .select(col("cell"), col("node"), col("v"), col("nv"))
+      val base = spark.read.parquet(s"$dir/edges")
+        .filter(col("level") === level)
+        .select(col("node"), col("nb"), col("vb"), col("nvb"))
+      val delta = spark.read.parquet(s"$dir/delta")
+        .filter(col("level") === level)
+        .select(col("node"), col("nb"), col("vb"), col("nvb"))
+      // a forward link and its twin's reverse can duplicate (A and B
+      // both new in one batch, each choosing the other): dedupe before
+      // the prune so duplicates don't burn two of a node's M slots
+      val all = base.unionByName(delta).dropDuplicates("node", "nb")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("node"))
+        .orderBy(col("d2"), col("nb"))
+      val ranked = all
+        .join(nodes.select(col("node"), col("v"), col("nv")), Seq("node"))
+        .withColumn("d2", col("nv") + col("nvb") -
+          lit(2.0) * VectorOps.dot(col("v"), col("vb")))
+        .withColumn("rk", row_number().over(w))
+        .localCheckpoint() // prune + orphan-rescue reuse it
+      val kept = ranked.filter(col("rk") <= M)
+      // CONNECTIVITY REPAIR (the paper's keep-pruned-connections
+      // heuristic): a node whose only incoming edges were reverse
+      // delta rows can lose ALL of them to the prune and become
+      // unreachable. Every zero-incoming node gets one PINNED rescue
+      // edge — from its own nearest neighbor (its rk=1 outgoing
+      // target) back to it — and the rescuer's list is re-cut to M
+      // with rescues ranked first, so degree stays <= M. One pass, not
+      // a fixed point: an eviction can in principle orphan another
+      // node (the paper's insert-time prune has the same statistical
+      // exposure); the periodic buildIndex swap is the full heal.
+      val orphan = nodes
+        .select(col("node").as("onode"), col("v").as("ov"), col("nv").as("onv"))
+        .join(kept.select(col("nb")).distinct(),
+          col("onode") === col("nb"), "left_anti")
+      val rescue = ranked.filter(col("rk") === 1)
+        .join(orphan, col("node") === col("onode"))
+        .select(col("nb").as("node"), col("onode").as("nb"),
+          col("ov").as("vb"), col("onv").as("nvb"),
+          lit(0).as("pri"), lit(0.0).as("d2"))
+      val wm = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("node"))
+        .orderBy(col("pri"), col("d2"), col("nb"))
+      kept.select(col("node"), col("nb"), col("vb"), col("nvb"),
+          lit(1).as("pri"), col("d2"))
+        .unionByName(rescue)
+        .withColumn("mrk", row_number().over(wm))
+        .filter(col("mrk") <= M)
+        .select(col("node"), col("nb"), col("vb"), col("nvb"))
+        .write.mode("overwrite").parquet(s"$stageE/level=$level")
+      nodes.write.partitionBy("cell").mode("overwrite")
+        .parquet(s"$stageN/level=$level/ingest=base")
+    }
+    // verify the staged stores BEFORE the live dirs move
+    require(spark.read.parquet(stageN).count() == liveNodeCount,
+      s"compacted node store row count mismatch for $dir — aborting, live index untouched")
+    require(spark.read.parquet(stageE).count() > 0,
+      s"compacted adjacency is empty for $dir — aborting, live index untouched")
+    swapInto(spark, fs, s"$dir/edges", stageE)
+    swapInto(spark, fs, s"$dir/nodes", stageN)
+    fs.delete(new Path(s"$dir/delta"), true)
+    true
+  }
+
+  /** live <- staged with an `__old` backup kept until the swapped-in
+    * dir verifies readable (the Compaction/retrainIndex ordering).
+    */
+  private def swapInto(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, live: String, staged: String): Unit = {
+    val livePath = new Path(live)
+    val bak = new Path(live + "__old")
+    fs.delete(bak, true) // stale backup from an earlier crash
+    require(fs.rename(livePath, bak),
+      s"could not move $live aside — swap aborted, live index untouched")
+    if (!fs.rename(new Path(staged), livePath)) {
+      val restored = fs.rename(bak, livePath)
+      throw new IllegalStateException(
+        s"could not move staged $staged into place — " +
+          (if (restored) "original restored" else s"RESTORE FAILED, original at $bak"))
+    }
+    require(spark.read.parquet(live).count() > 0,
+      s"post-swap verification failed for $live — backup kept at $bak")
+    fs.delete(bak, true)
+    ()
+  }
+
+  /** Heal a crashed [[compactIndex]] swap: restore any `__old` backup
+    * whose live dir vanished (the Compaction.recover contract) and
+    * drop orphaned staging dirs. Returns true if anything moved.
+    */
+  def recoverIndex(spark: SparkSession, dir: String): Boolean = {
+    val fs = hadoopFs(spark, dir)
+    val healed = Seq(s"$dir/edges", s"$dir/nodes").map { live =>
+      val p = new Path(live); val bak = new Path(live + "__old")
+      if (!fs.exists(p) && fs.exists(bak)) { fs.rename(bak, p); true } else false
+    }
+    Seq(s"$dir/edges__compacting", s"$dir/nodes__compacting")
+      .foreach(s => fs.delete(new Path(s), true))
+    healed.contains(true)
   }
 
   private def d2(q: Array[Double], nq: Double, v: Seq[Double], nv: Double): Double = {
@@ -271,8 +485,12 @@ object Hnsw {
     // what make post-build ingests navigable). The DataFrames are
     // constructed ONCE per probe: the parquet file index resolves at
     // construction, so per-hop jobs filter an already-listed relation
-    // instead of re-walking the directory every hop.
-    val hasDelta = new java.io.File(s"$dir/delta").isDirectory
+    // instead of re-walking the directory every hop. Delta presence
+    // resolves through Hadoop's FileSystem, NOT java.io.File — the
+    // index dir may live on any Hadoop-compatible store, where a
+    // local-path check would silently skip the delta layers and make
+    // every appended vector unreachable (r19 advice).
+    val hasDelta = hadoopFs(spark, dir).exists(new Path(s"$dir/delta"))
     val baseEdges = spark.read.parquet(s"$dir/edges")
     val deltaEdges = if (hasDelta) Some(spark.read.parquet(s"$dir/delta")) else None
     def nbrs(level: Int, ofNodes: Seq[Long]): Array[(Long, Seq[Double], Double)] = {

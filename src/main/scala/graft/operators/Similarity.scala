@@ -212,27 +212,41 @@ object Similarity {
       qv, topK)
   }
 
+  /** Replay-safe ingest-layer key shared by every streaming append
+    * path (IVF cells, PQ codes, HNSW deltas): batchIds restart at 0
+    * per checkpoint location, so `ingest=<batchId>` alone lets a
+    * SECOND append session (same index dir, new checkpoint) silently
+    * overwrite the first session's layers. Prefixing a pure function
+    * of the checkpoint path keeps the directory deterministic for a
+    * REPLAYED batch (same checkpoint + batchId -> same dir, overwrite
+    * heals the crashed attempt) while making independent sessions
+    * collision-free (r19 advice).
+    */
+  def ingestToken(checkpoint: String): String =
+    f"${scala.util.hashing.MurmurHash3.stringHash(checkpoint) & 0x7fffffff}%08x"
+
   /** Streaming index maintenance: arriving vectors are assigned to
     * their nearest SAVED centroid (broadcast dim — no retraining) and
     * appended into the cell-partitioned index, so new data becomes
     * probe-able as it lands. Each micro-batch owns an
-    * `ingest=<batchId>` directory (replay-safe overwrite); compaction
-    * (operators.Compaction) handles the small-files debt per partition.
-    * Retraining when drift accumulates is a periodic batch `saveIndex`
-    * swap.
+    * `ingest=<token>-<batchId>` directory ([[ingestToken]] replay-safe
+    * overwrite); compaction (operators.Compaction) handles the
+    * small-files debt per partition. Retraining when drift accumulates
+    * is a periodic batch `saveIndex` swap.
     */
   def appendToIndex(spark: SparkSession, stream: DataFrame, dir: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val cents = spark.read.parquet(s"$dir/centroids")
+    val token = ingestToken(checkpoint)
     stream.writeStream
       .foreachBatch { (b: DataFrame, batchId: Long) =>
         // foreachBatch is at-least-once: write into a deterministic
-        // ingest=<batchId> directory with overwrite, so a replayed
-        // micro-batch rewrites its own files instead of appending
-        // duplicate vectors (same convention as RcSinks.writeBatch).
+        // ingest=<token>-<batchId> directory with overwrite, so a
+        // replayed micro-batch rewrites its own files instead of
+        // appending duplicate vectors (RcSinks.writeBatch convention).
         assignCells(b, cents)
           .write.partitionBy("cell").mode("overwrite")
-          .parquet(s"$dir/cells/ingest=$batchId")
+          .parquet(s"$dir/cells/ingest=$token-$batchId")
         ()
       }
       .option("checkpointLocation", checkpoint)
@@ -359,8 +373,8 @@ object Similarity {
   /** Streaming maintenance for the PQ index: arriving vectors are
     * coarse-assigned against the SAVED centroids and PQ-encoded
     * against the SAVED codebooks (both broadcast — no retraining),
-    * then appended as packed codes under `ingest=<batchId>` (the
-    * replay-safe overwrite convention of [[appendToIndex]]). New data
+    * then appended as packed codes under `ingest=<token>-<batchId>`
+    * (the [[ingestToken]] replay-safe convention). New data
     * becomes ADC-probe-able as it lands at 8 bytes per vector;
     * codebook drift is handled by a periodic batch `savePqIndex` swap,
     * exactly like the IVF path's retrain story.
@@ -376,6 +390,7 @@ object Similarity {
       .map(_._2.sortBy(_._2).map(_._3).toArray).toArray
     val dsub = books(0)(0).length
     val bc = spark.sparkContext.broadcast(books)
+    val token = ingestToken(checkpoint)
     stream.writeStream
       .foreachBatch { (b: DataFrame, batchId: Long) =>
         assignCells(b, cents)
@@ -402,7 +417,7 @@ object Similarity {
           }
           .toDF("vec_id", "cell", "code64")
           .write.partitionBy("cell").mode("overwrite")
-          .parquet(s"$dir/codes/ingest=$batchId")
+          .parquet(s"$dir/codes/ingest=$token-$batchId")
         ()
       }
       .option("checkpointLocation", checkpoint)

@@ -23,9 +23,9 @@ import org.apache.spark.sql.functions._
   *
   * SEGMENTS (the Lucene convention): each writer owns an
   * `ingest=<writer>` layer above the buckets — the base build writes
-  * `ingest=base`, each streaming micro-batch `ingest=<batchId>`
-  * (replay-safe overwrite, the [[Similarity.appendToIndex]]
-  * convention). Posting rows carry the PER-SEGMENT df; because every
+  * `ingest=base`, each streaming micro-batch
+  * `ingest=<token>-<batchId>` (replay-safe keyed overwrite, the
+  * [[Similarity.ingestToken]] convention). Posting rows carry the PER-SEGMENT df; because every
   * doc lives in exactly one segment, the global df of a term is the
   * SUM of its per-segment dfs — recoverable at probe time from the
   * matched rows alone (a term's postings all land in its bucket), so
@@ -115,8 +115,8 @@ object TextIndex {
   }
 
   /** Streaming index maintenance: each micro-batch of documents lands
-    * as its own `ingest=<batchId>` segment (replay-safe overwrite —
-    * the [[Similarity.appendToIndex]] convention), bucketed like the
+    * as its own `ingest=<token>-<batchId>` segment (replay-safe keyed
+    * overwrite — the [[Similarity.ingestToken]] convention), bucketed like the
     * base build, with per-segment df. New documents become probe-able
     * as they land; df stays exact under the sum-over-segments
     * contract above. Segment compaction when small-files debt
@@ -169,15 +169,17 @@ object TextIndex {
   }
 
   def appendToIndex(spark: SparkSession, stream: DataFrame, dir: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val token = Similarity.ingestToken(checkpoint)
     stream.writeStream
       .foreachBatch { (b: DataFrame, batchId: Long) =>
         postingsOf(b)
           .withColumn("bucket",
             pmod(xxhash64(col("term")), lit(NumBuckets.toLong)))
           .write.partitionBy("bucket").mode("overwrite")
-          .parquet(s"$dir/postings/ingest=$batchId")
+          .parquet(s"$dir/postings/ingest=$token-$batchId")
       }
       .option("checkpointLocation", checkpoint)
       .start()
+  }
 }

@@ -1710,10 +1710,19 @@ object ExtensionQueries {
       val stage = tempDirWithCleanup("graft-hnsw-append-in-")
       emb.filter(col("vec_id") >= cut).write.mode("overwrite")
         .parquet(s"$stage/in")
-      graft.operators.Hnsw.appendToIndex(s,
-          s.readStream.schema(emb.schema).parquet(s"$stage/in"),
-          out.toString, s"$stage/ckpt")
-        .awaitTermination(300000)
+      val q = graft.operators.Hnsw.appendToIndex(s,
+        s.readStream.schema(emb.schema).parquet(s"$stage/in"),
+        out.toString, s"$stage/ckpt")
+      // awaitTermination returns FALSE on timeout: a half-appended
+      // index memoized for the whole corpus version would serve every
+      // later rep a partially built graph, surfacing only as an
+      // unexplained recall-gate flip (r19 advice) — stop and throw so
+      // the memo entry is never populated with an incomplete index
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException(
+          "hnsw append stream timed out after 300 s — index incomplete, memo not populated")
+      }
       (out.toString, cut + 50)
     })
 

@@ -101,10 +101,10 @@ class ExportSpec extends SparkSpec {
       .select("doc_id", "shard").as[(Long, Int)].collect().toSet
     assert(streamed === batch)
     // non-interleaving ranges hold WITHIN each ingest layer
-    val ranges = back.groupBy(col("ingest"), col("shard"))
+    val ranges = back.groupBy(col("ingest").cast("string").as("ingest"), col("shard"))
       .agg(min(col("ord_key")).as("lo"), max(col("ord_key")).as("hi"))
       .orderBy(col("ingest"), col("shard"))
-      .as[(Long, Int, Long, Long)].collect()
+      .as[(String, Int, Long, Long)].collect()
     ranges.groupBy(_._1).values.foreach { layer =>
       layer.sortBy(_._2).sliding(2).foreach {
         case Array((_, s1, _, hi1), (_, s2, lo2, _)) =>

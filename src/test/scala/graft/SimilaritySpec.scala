@@ -483,47 +483,92 @@ class SimilaritySpec extends SparkSpec {
           s"score drift on $id: $cs vs ${bruteMap(id)}") }
   }
 
-  test("hnsw streaming append: ingested vectors are reachable from the base graph") {
+  test("hnsw streaming append: celled candidates, two sessions, compaction") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     import graft.operators.Hnsw
     val emb = Tables.embeddings(spark, sf0001)
     val dir = java.nio.file.Files.createTempDirectory("hnswgrow").toString
-    // base graph over the first 400 vectors only
-    Hnsw.buildIndex(spark, emb.filter(col("vec_id") < 400), dir, nHint = 400L)
-    val nodesBefore = spark.read.parquet(s"$dir/nodes")
-      .filter(col("level") === 0).count()
-    assert(nodesBefore === 400L)
-    // stream the remaining 100 in as a file stream (the IVF
-    // appendToIndex convention)
-    val newDir = java.nio.file.Files.createTempDirectory("hnswnew").toString
-    emb.filter(col("vec_id") >= 400).write.parquet(s"$newDir/in")
-    val q = Hnsw.appendToIndex(spark,
-      spark.readStream.schema(emb.schema).parquet(s"$newDir/in"),
-      dir, s"$newDir/ckpt")
-    q.awaitTermination(120000)
+    // base graph over the first 400 vectors only; exactPairCap forced
+    // down so levels 0-1 train real cells at test scale (400 > 128 >
+    // 100) — the append path's partition-pruned candidate reads are
+    // exercised, not just the exact-pair fallback
+    Hnsw.buildIndex(spark, emb.filter(col("vec_id") < 400), dir,
+      nHint = 400L, exactPairCap = 128L)
+    assert(new java.io.File(s"$dir/cells/level=0").isDirectory,
+      "celled layer must persist its quantizer for the append path")
+    val baseCellDirs = new java.io.File(s"$dir/nodes/level=0/ingest=base")
+      .listFiles().count(_.getName.startsWith("cell="))
+    assert(baseCellDirs > 1,
+      s"base node table must be cell-partitioned, got $baseCellDirs cell dirs")
     assert(spark.read.parquet(s"$dir/nodes")
-      .filter(col("level") === 0).count() === 500L)
-    // an appended vector must now be the exact self-match of its own
-    // probe — reachable ONLY through the delta's reverse edges (the
-    // immutable base adjacency has no path to it)
-    val qv = emb.filter(col("vec_id") === 450)
-      .select(operators.VectorOps.toDouble(col("embedding")))
-      .as[Array[Double]].head()
-    val got = Hnsw.probe(spark, dir, qv, topK = 11).as[(Long, Double)].collect()
-    assert(got.head === ((450L, 1.0)),
-      s"appended vector not reachable: ${got.head}")
-    // and the appended region's neighborhood quality holds: top-10
-    // shares >= 8 with the brute top-20 over the FULL 500-vector set
-    val brute = emb.filter(col("vec_id") =!= 450)
-      .crossJoin(broadcast(emb.filter(col("vec_id") === 450)
+      .filter(col("level") === 0).count() === 400L)
+    // brute top-20 over the FULL 500-vector set for an appended qid
+    def brute20(qid: Long): Set[Long] = emb.filter(col("vec_id") =!= qid)
+      .crossJoin(broadcast(emb.filter(col("vec_id") === qid)
         .select(col("embedding").as("qv"))))
       .select(col("vec_id"),
         round(operators.VectorOps.cosine(col("qv"), col("embedding")), 6).as("cs"))
       .orderBy(col("cs").desc, col("vec_id")).limit(20)
-      .as[(Long, Double)].collect()
-    val overlap = got.tail.map(_._1).count(brute.map(_._1).toSet)
-    assert(overlap >= 8,
-      s"appended-graph top-10 ${got.tail.map(_._1).toSeq} shares < 8 with brute top-20")
+      .as[(Long, Double)].collect().map(_._1).toSet
+    // an appended vector must be the exact self-match of its own
+    // probe — reachable ONLY through the delta's reverse edges (the
+    // immutable base adjacency has no path to it) — and its top-10
+    // must share >= 8 with the brute top-20 (the build-path gate)
+    def checkReachable(qid: Long, ctx: String): Unit = {
+      val qv = emb.filter(col("vec_id") === qid)
+        .select(operators.VectorOps.toDouble(col("embedding")))
+        .as[Array[Double]].head()
+      val got = Hnsw.probe(spark, dir, qv, topK = 11).as[(Long, Double)].collect()
+      assert(got.head === ((qid, 1.0)), s"$ctx: $qid not reachable: ${got.head}")
+      val overlap = got.tail.map(_._1).count(brute20(qid))
+      assert(overlap >= 8,
+        s"$ctx: top-10 for $qid ${got.tail.map(_._1).toSeq} shares < 8 with brute top-20")
+    }
+    // session 1: ids 400-449 stream in (the IVF appendToIndex convention)
+    val newDir = java.nio.file.Files.createTempDirectory("hnswnew").toString
+    emb.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+      .write.parquet(s"$newDir/in1")
+    assert(Hnsw.appendToIndex(spark,
+      spark.readStream.schema(emb.schema).parquet(s"$newDir/in1"),
+      dir, s"$newDir/ckpt1").awaitTermination(120000))
+    // session 2: NEW checkpoint, SAME index dir — its batchIds restart
+    // at 0, so ingest layers keyed by batchId alone would overwrite
+    // session 1's (and the replay-exclusion would drop session 1's
+    // batch-0 nodes); the checkpoint token keeps them disjoint
+    emb.filter(col("vec_id") >= 450).write.parquet(s"$newDir/in2")
+    assert(Hnsw.appendToIndex(spark,
+      spark.readStream.schema(emb.schema).parquet(s"$newDir/in2"),
+      dir, s"$newDir/ckpt2").awaitTermination(120000))
+    assert(spark.read.parquet(s"$dir/nodes")
+      .filter(col("level") === 0).count() === 500L,
+      "second session must append beside the first, not overwrite it")
+    val ingests = new java.io.File(s"$dir/nodes/level=0")
+      .listFiles().map(_.getName).filter(_.startsWith("ingest=")).toSet
+    assert(ingests.size === 3 &&
+      ingests.count(_.matches("ingest=[0-9a-f]{8}-0")) === 2,
+      s"expected base + two token-keyed batch-0 layers: $ingests")
+    checkReachable(420L, "after both sessions")
+    checkReachable(470L, "after both sessions")
+    // compaction folds the delta layers into the base adjacency with
+    // the M-prune and collapses node ingest layers — no retrain, no
+    // reachability loss, degree debt repaid
+    assert(Hnsw.compactIndex(spark, dir), "delta layers present — must compact")
+    assert(!new java.io.File(s"$dir/delta").exists, "delta must be folded away")
+    assert(spark.read.parquet(s"$dir/nodes")
+      .filter(col("level") === 0).count() === 500L)
+    val maxDeg = spark.read.parquet(s"$dir/edges")
+      .groupBy(col("level"), col("node"))
+      .agg(count(lit(1)).as("d")).agg(max(col("d"))).as[Long].head()
+    assert(maxDeg <= Hnsw.M,
+      s"post-compaction degree $maxDeg exceeds M=${Hnsw.M} — prune missing")
+    // the repair pass: no node loses its last incoming edge to the prune
+    val incoming0 = spark.read.parquet(s"$dir/edges")
+      .filter(col("level") === 0).select(col("nb")).distinct().count()
+    assert(incoming0 === 500L,
+      s"only $incoming0/500 nodes kept an incoming edge — repair pass failed")
+    checkReachable(420L, "after compaction")
+    checkReachable(470L, "after compaction")
+    assert(!Hnsw.compactIndex(spark, dir), "no delta left — compact must no-op")
   }
 }
