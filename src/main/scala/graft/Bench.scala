@@ -70,8 +70,20 @@ object Bench {
     * module, timeout) degrades to a note in the JSON, never a bench
     * failure.
     */
+  /** Parsed denominator result: per-query ms JSON (verbatim compact
+    * object), total over non-errored queries, the same total excluding
+    * the contract-rung names, and the names that errored in DuckDB —
+    * so the emitted ratios can be computed over MATCHED query sets
+    * (r19 advice: summing only DuckDB's successes against Spark's full
+    * total silently compared mismatched sets whenever an oracle
+    * errored).
+    */
+  private final case class Duck(msJson: String, totalSec: Double,
+      totalExContractSec: Double, errored: Seq[String])
+
   private def duckdbDenominate(sqls: Map[String, String], sfDir: String,
-      timeoutSec: Long = 1800): Either[String, (String, Double)] = {
+      contractNames: Set[String],
+      timeoutSec: Long = 1800): Either[String, Duck] = {
     def jsonEsc(s: String): String = {
       val b = new StringBuilder
       s.foreach {
@@ -95,6 +107,7 @@ object Bench {
         """import json, os, sys, time
           |import duckdb
           |oracle_file, sf_dir = sys.argv[1], sys.argv[2]
+          |contract = set(sys.argv[3].split(",")) if len(sys.argv) > 3 and sys.argv[3] else set()
           |sqls = json.load(open(oracle_file))
           |con = duckdb.connect()
           |con.execute("SET threads=32")
@@ -121,10 +134,16 @@ object Bench {
           |    if best is not None:
           |        out[name] = int(round(best * 1000))
           |total = sum(v for v in out.values() if isinstance(v, int)) / 1000.0
+          |total_ex = sum(v for k, v in out.items()
+          |               if isinstance(v, int) and k not in contract) / 1000.0
+          |errs = sorted(k for k, v in out.items() if not isinstance(v, int))
           |print("DUCKDB_MS_JSON " + json.dumps(out, separators=(",", ":")))
           |print("DUCKDB_TOTAL_SEC %.3f" % total)
+          |print("DUCKDB_TOTAL_EX_SEC %.3f" % total_ex)
+          |print("DUCKDB_ERRORS " + ",".join(errs))
           |""".stripMargin
-      val pb = new ProcessBuilder("python3", "-c", py, tmp.toString, sfDir)
+      val pb = new ProcessBuilder("python3", "-c", py, tmp.toString, sfDir,
+        contractNames.toSeq.sorted.mkString(","))
       pb.redirectErrorStream(false)
       val proc = pb.start()
       val outReader = new java.io.BufferedReader(
@@ -150,10 +169,15 @@ object Bench {
       val all = { import scala.jdk.CollectionConverters._; lines.asScala.toSeq }
       val msLine = all.find(_.startsWith("DUCKDB_MS_JSON ")).map(_.drop(15))
       val totLine = all.find(_.startsWith("DUCKDB_TOTAL_SEC ")).map(_.drop(17))
-      (msLine, totLine) match {
-        case (Some(ms), Some(tot))
+      val totExLine = all.find(_.startsWith("DUCKDB_TOTAL_EX_SEC ")).map(_.drop(20))
+      // query names are [a-z0-9_] — a comma-split is exact, no JSON needed
+      val errNames = all.find(_.startsWith("DUCKDB_ERRORS"))
+        .map(_.drop(13).trim).filter(_.nonEmpty)
+        .map(_.split(",").toSeq).getOrElse(Seq.empty)
+      (msLine, totLine, totExLine) match {
+        case (Some(ms), Some(tot), Some(totEx))
             if ms.startsWith("{") && ms.endsWith("}") && !ms.contains('\n') =>
-          Right((ms, tot.toDouble))
+          Right(Duck(ms, tot.toDouble, totEx.toDouble, errNames))
         case _ => Left(s"duckdb denominator output unparseable (exit=${proc.exitValue()})")
       }
     } catch {
@@ -287,19 +311,35 @@ object Bench {
     // Reported jobs/gc_ms come from the SAME rep as the reported time
     // (the min): a mixed row (pass-1 time, pass-2 jobs) could pair a
     // clean wall with a GC-storm census and mislead the adjudication.
+    // Per-query SPREAD rides beside the reported min (r19 verdict item
+    // 2: eight queries "regressed" >40% with no code change and the
+    // artifact could not distinguish a plan regression from one noisy
+    // pass): spread_pct = (max_rep - min_rep) / min_rep as a whole
+    // percent. A row whose min moved while its spread is wide was hit
+    // by box noise in at least one pass; a tight spread around a moved
+    // min is a real change. -1 marks a one-successful-rep row (no
+    // spread measurable).
     def timeAll(qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
                 dir: String = sfDir)
-        : (Map[String, Rep], Map[String, String]) = {
+        : (Map[String, Rep], Map[String, Long], Map[String, String]) = {
       val pass1 = qs.map { case (name, fn) => name -> timeOnce(fn, dir) }
       val pass2 = qs.map { case (name, fn) => name -> timeOnce(fn, dir) }.toMap
       val reps = scala.collection.mutable.LinkedHashMap[String, Rep]()
+      val spread = scala.collection.mutable.LinkedHashMap[String, Long]()
       val errors = scala.collection.mutable.LinkedHashMap[String, String]()
       pass1.foreach { case (name, r1) =>
         val ok = Seq(r1, pass2(name)).collect { case Right(t) => t }
-        if (ok.nonEmpty) reps(name) = ok.minBy(_.sec)
+        if (ok.nonEmpty) {
+          reps(name) = ok.minBy(_.sec)
+          spread(name) =
+            if (ok.size == 2) {
+              val mn = ok.map(_.sec).min
+              math.round((ok.map(_.sec).max - mn) / mn * 100.0)
+            } else -1L
+        }
         else errors(name) = Seq(r1, pass2(name)).collectFirst { case Left(m) => m }.getOrElse("unknown")
       }
-      (reps.toMap, errors.toMap)
+      (reps.toMap, spread.toMap, errors.toMap)
     }
     // Headline (totaled) set = the DuckDB-oracled queries — the same
     // set the driver re-times in DuckDB, so the ratio is apples to
@@ -308,8 +348,8 @@ object Bench {
     // reported, under "unoracled".
     val (oracled, unoracled) =
       SparkEntry.queries.toSeq.partition { case (n, _) => SparkEntry.oracleSql.contains(n) }
-    val (results, oracledErrors) = timeAll(oracled)
-    val (extras, extraErrors) = timeAll(unoracled)
+    val (results, spread1, oracledErrors) = timeAll(oracled)
+    val (extras, spreadX, extraErrors) = timeAll(unoracled)
     // Per-query seconds are rounded to 4 decimals (0.1 ms — far below
     // run-to-run noise): with 70+ queries the full-precision doubles
     // pushed the detail line past the driver's tail-capture window in
@@ -336,24 +376,43 @@ object Bench {
     // pass. Embedded verbatim (the python side emits the compact JSON
     // object); on failure the lines carry a note instead.
     val oracleSqls = SparkEntry.oracleSql
-    def duckJson(r: Either[String, (String, Double)], sparkTotal: Double): String =
+    // CONTRACT-RUNG detection (r19 verdict item 6): a contract oracle
+    // is a constant table — it references NO corpus table — so its
+    // DuckDB denominator is ~0 ms while the Spark side measures the
+    // real serving path (~19 s of the r19 sf0.1 numerator). The
+    // headline ratio keeps them (conservative); the _oracled variant
+    // excludes them on BOTH sides so the envelope number measures
+    // comparable work.
+    val corpusTableNames = Seq("region", "nation", "customer", "supplier",
+      "part", "orders", "lineitem", "events", "documents", "embeddings")
+    val contractNames: Set[String] = oracleSqls.filter { case (_, sql) =>
+      val l = sql.toLowerCase
+      !corpusTableNames.exists(t =>
+        java.util.regex.Pattern.compile("\\b" + t + "\\b").matcher(l).find())
+    }.keySet
+    // Ratios are computed over MATCHED sets (r19 advice): queries that
+    // errored in DuckDB are excluded from the SPARK numerator too, and
+    // the divergence is disclosed as n_duckdb_errors instead of being
+    // silently folded into a mismatched-set ratio.
+    def ratioStr(num: Double, den: Double): String =
+      if (den > 0) BigDecimal(num / den)
+        .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+      else "null"
+    def duckRatios(d: Duck, sparkSecs: Map[String, Double]): String = {
+      val matched = sparkSecs.filter { case (k, _) => !d.errored.contains(k) }
+      val matchedEx = matched.filter { case (k, _) => !contractNames.contains(k) }
+      s""""duckdb_total_sec":${d.totalSec},"n_duckdb_errors":${d.errored.size},""" +
+        s""""spark_vs_duckdb":${ratioStr(matched.values.sum, d.totalSec)},""" +
+        s""""spark_vs_duckdb_oracled":${ratioStr(matchedEx.values.sum, d.totalExContractSec)}"""
+    }
+    def duckJson(r: Either[String, Duck], sparkSecs: Map[String, Double]): String =
       r match {
-        case Right((ms, tot)) =>
-          val ratio =
-            if (tot > 0) BigDecimal(sparkTotal / tot)
-              .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-            else "null"
-          s""""duckdb_ms":$ms,"duckdb_total_sec":$tot,"spark_vs_duckdb":$ratio"""
+        case Right(d) => s""""duckdb_ms":${d.msJson},""" + duckRatios(d, sparkSecs)
         case Left(note) => s""""duckdb_ms":{},"duckdb_note":"$note""""
       }
-    def duckCompact(r: Either[String, (String, Double)], sparkTotal: Double): String =
+    def duckCompact(r: Either[String, Duck], sparkSecs: Map[String, Double]): String =
       r match {
-        case Right((_, tot)) =>
-          val ratio =
-            if (tot > 0) BigDecimal(sparkTotal / tot)
-              .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-            else "null"
-          s""","duckdb_total_sec":$tot,"spark_vs_duckdb":$ratio"""
+        case Right(d) => "," + duckRatios(d, sparkSecs)
         case Left(note) => s""","duckdb_note":"$note""""
       }
     // End-of-run load/calibration: contention that started mid-bench
@@ -393,34 +452,34 @@ object Bench {
         val loadStart2 = loadAvg()
         val calibStart2 = calibMs()
         val calibMtStart2 = calibMtMs()
-        val (results2, errors2) = timeAll(oracled, sfDir2)
+        val (results2, spread2, errors2) = timeAll(oracled, sfDir2)
         val total2 = if (results2.nonEmpty) results2.values.map(_.sec).sum else 0.0
         val calibEnd2 = calibMs()
         val calibMtEnd2 = calibMtMs()
         val loadJson2 = s""""nproc":$nproc,"load_avg":[${r1(loadStart2)},${r1(loadAvg())}],"calib_ms":[${r1(calibStart2)},${r1(calibEnd2)}],"calib_mt_ms":[${r1(calibMtStart2)},${r1(calibMtEnd2)}]"""
-        Some((results2, errors2, total2, calibStart2, calibEnd2, loadJson2))
+        Some((results2, spread2, errors2, total2, calibStart2, calibEnd2, loadJson2))
       } else None
     // Denominator passes: both Spark windows are closed and bracketed;
     // DuckDB contention can no longer leak into any Spark number.
-    val duck1 = duckdbDenominate(oracleSqls, sfDir)
-    val duck2 = sf2.map(_ => duckdbDenominate(oracleSqls, sfDir2))
-    emit(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(secs(results))},"unoracled":${js(secs(extras))},"jobs":${jsLong(jobsOf(results) ++ jobsOf(extras))},"gc_ms":${jsLong(gcOf(results) ++ gcOf(extras))},"errors":${jsStr(allErrors)},${duckJson(duck1, total)},"sf":"$sfDir","reps":2,"agg":"min","warm_cache":true,$loadJson}""")
-    sf2.foreach { case (results2, errors2, total2, calibStart2, calibEnd2, loadJson2) =>
+    val duck1 = duckdbDenominate(oracleSqls, sfDir, contractNames)
+    val duck2 = sf2.map(_ => duckdbDenominate(oracleSqls, sfDir2, contractNames))
+    emit(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(secs(results))},"unoracled":${js(secs(extras))},"spread_pct":${jsLong(spread1 ++ spreadX)},"jobs":${jsLong(jobsOf(results) ++ jobsOf(extras))},"gc_ms":${jsLong(gcOf(results) ++ gcOf(extras))},"errors":${jsStr(allErrors)},${duckJson(duck1, secs(results))},"sf":"$sfDir","reps":2,"agg":"min","warm_cache":true,$loadJson}""")
+    sf2.foreach { case (results2, spread2, errors2, total2, calibStart2, calibEnd2, loadJson2) =>
       val d2 = duck2.get
       // full per-query map for the secondary SF too — consumed by
       // tools/bench_summary.py for the committed round-close artifact.
       // Deliberately NOT named "total" (the r5 lesson, in reverse): a
       // "metric":"total" matcher must keep finding exactly one line —
       // the primary SF's.
-      emit(s"""{"metric":"detail_sf2","value":$total2,"unit":"sec","queries":${js(secs(results2))},"jobs":${jsLong(jobsOf(results2))},"gc_ms":${jsLong(gcOf(results2))},"errors":${jsStr(errors2)},${duckJson(d2, total2)},"sf":"$sfDir2","reps":2,"agg":"min","warm_cache":true,$loadJson2}""")
-      emit(s"""{"metric":"total_compact","value":$total2,"unit":"sec","total_per_calib":${perCalib(total2, calibStart2, calibEnd2)},"n_oracled":${results2.size},"n_errors":${errors2.size}${duckCompact(d2, total2)},"sf":"$sfDir2",$loadJson2}""")
+      emit(s"""{"metric":"detail_sf2","value":$total2,"unit":"sec","queries":${js(secs(results2))},"spread_pct":${jsLong(spread2)},"jobs":${jsLong(jobsOf(results2))},"gc_ms":${jsLong(gcOf(results2))},"errors":${jsStr(errors2)},${duckJson(d2, secs(results2))},"sf":"$sfDir2","reps":2,"agg":"min","warm_cache":true,$loadJson2}""")
+      emit(s"""{"metric":"total_compact","value":$total2,"unit":"sec","total_per_calib":${perCalib(total2, calibStart2, calibEnd2)},"n_oracled":${results2.size},"n_errors":${errors2.size}${duckCompact(d2, secs(results2))},"sf":"$sfDir2",$loadJson2}""")
     }
     // A tail capture always keeps the LAST line, so the headline total is
     // repeated in a short self-contained line AFTER the big detail line:
     // even if the per-query map above is truncated away again, the
     // round's total stays machine-readable. Named total_compact so a
     // "metric":"total" matcher can never pick this line over the full one.
-    emit(s"""{"metric":"total_compact","value":$total,"unit":"sec","total_per_calib":${perCalib(total, calibStart, calibEnd)},"n_oracled":${results.size},"n_errors":${allErrors.size}${duckCompact(duck1, total)},"sf":"$sfDir",$loadJson}""")
+    emit(s"""{"metric":"total_compact","value":$total,"unit":"sec","total_per_calib":${perCalib(total, calibStart, calibEnd)},"n_oracled":${results.size},"n_errors":${allErrors.size}${duckCompact(duck1, secs(results))},"sf":"$sfDir",$loadJson}""")
     spark.stop()
     // An oracled query that failed both reps means the headline total is
     // missing a term — fail the run loudly rather than report a deflated

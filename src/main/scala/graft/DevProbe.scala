@@ -27,6 +27,68 @@ object DevProbe {
       println(f"PROBE $name%-28s min=${rs.map(_._1).min}%7.3f s rows=${rs.head._2}")
     }
 
+    // ---- round-20 probes: HNSW append lifecycle rows (r19 verdict
+    // items 1 + 5). Builds a base index over 4/5 of SPARK_GRAFT_SF_DIR's
+    // vectors, streams the held-out 1/5 in as single-file micro-batches
+    // (maxFilesPerTrigger=1), and prints: build wall, append wall per
+    // batch (the celled-candidate cost — run at 1x and 10x dirs to pin
+    // "bounded by cell size, not corpus size"), probe latency at delta
+    // layer counts {0, B1, B1+B2}, and probe latency after compactIndex
+    // (plus a reachability check on an appended qid at each stage).
+    // B1/B2 via SPARK_GRAFT_PROBE_R20H_BATCHES (default "10,40").
+    if (sys.env.contains("SPARK_GRAFT_PROBE_R20H")) {
+      import spark.implicits._
+      import graft.operators.{Hnsw, VectorOps}
+      val emb = Tables.embeddings(spark, sfDir)
+      val n = Tables.parquetRowCount(spark, s"$sfDir/embeddings.parquet")
+      val cut = n * 4 / 5
+      val Array(b1, b2) = sys.env.getOrElse("SPARK_GRAFT_PROBE_R20H_BATCHES", "10,40")
+        .split(",").map(_.toInt)
+      val dir = java.nio.file.Files.createTempDirectory("r20h-idx").toString
+      val tb0 = System.nanoTime()
+      Hnsw.buildIndex(spark, emb.filter(col("vec_id") < cut), dir, nHint = cut)
+      println(f"PROBE r20h_build                 min=${(System.nanoTime() - tb0) / 1e9}%7.3f s rows=$cut")
+      def qvec(id: Long): Array[Double] = emb.filter(col("vec_id") === id)
+        .select(VectorOps.toDouble(col("embedding"))).as[Array[Double]].head()
+      val qvBase = qvec(42L)
+      val qidNew = cut + 50
+      val qvNew = qvec(qidNew)
+      t("r20h_probe_delta0") { Hnsw.probe(spark, dir, qvBase, 10).count() }
+      // append the held-out tail as ONE FILE PER MICRO-BATCH: the per-
+      // batch wall is the append cost the celled candidate read bounds
+      def appendBatches(ids: org.apache.spark.sql.Column, nb: Int, tag: String): Unit = {
+        val stage = java.nio.file.Files.createTempDirectory(s"r20h-$tag").toString
+        emb.filter(ids).repartition(nb).write.parquet(s"$stage/in")
+        val ta0 = System.nanoTime()
+        val ok = Hnsw.appendToIndex(spark,
+          spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$stage/in"),
+          dir, s"$stage/ckpt").awaitTermination(1800000)
+        val wall = (System.nanoTime() - ta0) / 1e9
+        require(ok, s"r20h append $tag timed out")
+        println(f"PROBE r20h_append_$tag%-15s min=$wall%7.3f s rows=$nb" +
+          f" per_batch=${wall / nb}%.3f")
+      }
+      val mid = cut + (n - cut) / 2
+      appendBatches(col("vec_id") >= cut && col("vec_id") < mid, b1, "b1")
+      def reach(stage: String): Unit = {
+        val head = Hnsw.probe(spark, dir, qvNew, 10)
+          .as[(Long, Double)].head()
+        require(head == ((qidNew, 1.0)), s"$stage: appended $qidNew not reachable: $head")
+      }
+      reach("after b1")
+      t("r20h_probe_delta_b1") { Hnsw.probe(spark, dir, qvNew, 10).count() }
+      appendBatches(col("vec_id") >= mid, b2, "b2")
+      reach("after b2")
+      t("r20h_probe_delta_b1b2") { Hnsw.probe(spark, dir, qvNew, 10).count() }
+      val tc0 = System.nanoTime()
+      require(Hnsw.compactIndex(spark, dir), "no delta to compact?")
+      println(f"PROBE r20h_compact               min=${(System.nanoTime() - tc0) / 1e9}%7.3f s rows=$n")
+      reach("after compact")
+      t("r20h_probe_compacted") { Hnsw.probe(spark, dir, qvNew, 10).count() }
+      spark.stop(); return
+    }
+
     // ---- round-18 probes: rank-store promotion A/B (verdict item 1)
     // — sample_rank_weighted/crawl_pagerank serving (store scan) vs
     // the r17 per-call fixed-point shapes replayed verbatim ----

@@ -94,6 +94,10 @@ def main() -> None:
         # per-query job count + GC delta of the reported (min) rep —
         # r17 verdict item 3: makes in-run vs isolated discrepancies
         # self-attributing (jobs pins plan shape, gc_ms memory pressure)
+        # r20: per-query rep spread ((max-min)/min %, -1 = single rep)
+        # — lets adjudication tell a noisy pass from a real regression
+        if t.get("spread_pct"):
+            row["spread_pct"] = dict(sorted(t["spread_pct"].items()))
         if t.get("jobs"):
             row["jobs"] = dict(sorted(t["jobs"].items()))
         if t.get("gc_ms") is not None:
@@ -111,6 +115,14 @@ def main() -> None:
             row["duckdb_same_run"] = True
             if t.get("spark_vs_duckdb") is not None:
                 row["spark_vs_duckdb"] = t["spark_vs_duckdb"]
+            # r20: matched-set ratio excluding contract rungs (their
+            # DuckDB side is a constant table, ~0 ms) + the count of
+            # queries whose DuckDB side errored (excluded from both
+            # sides of the ratios)
+            if t.get("spark_vs_duckdb_oracled") is not None:
+                row["spark_vs_duckdb_oracled"] = t["spark_vs_duckdb_oracled"]
+            if t.get("n_duckdb_errors") is not None:
+                row["n_duckdb_errors"] = t["n_duckdb_errors"]
         elif oracle_file:
             d = duckdb_times(oracle_file, sf)
             row["duckdb_ms"] = d

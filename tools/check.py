@@ -109,6 +109,44 @@ def round_close(rnd: str, oracle_file: str or None) -> int:
             print(f"FAIL round-close: {dst} n_oracled={sorted(ns)} != "
                   f"{n_want} oracled queries in {want_src}")
             bad += 1
+    # r20: advice-staleness guard (r18 verdict item 8, carried through
+    # r19 item 7). ADVICE.md is written by the advisor against a past
+    # snapshot; once the round fixes its items, the file at HEAD lists
+    # only already-fixed defects and misleads every later reader. The
+    # round-close contract: if ADVICE.md has file:line bullets, it must
+    # ALSO carry a "## Disposition (round <N>)" section that cites every
+    # bulleted file:line with its outcome (fixed @ commit / carried /
+    # rejected + why) — so HEAD is self-describing. Each cited path must
+    # still exist and be long enough for its line number (a refactor
+    # that moves the code must update the disposition, not orphan it).
+    adv = "ADVICE.md"
+    if os.path.exists(adv):
+        text = open(adv, encoding="utf-8", errors="replace").read()
+        cites = re.findall(r"(?m)^- \*\*\w+\*\* (\S+?):(\d+)", text)
+        if cites:
+            m = re.search(rf"(?m)^## Disposition \(round {rnd}\)\s*$", text)
+            if not m:
+                print(f"FAIL round-close: ADVICE.md has {len(cites)} advice "
+                      f"bullets but no '## Disposition (round {rnd})' "
+                      "section — record each item's outcome before closing")
+                bad += 1
+            else:
+                disp = text[m.end():]
+                for path, _ in cites:
+                    if path not in disp:
+                        print("FAIL round-close: ADVICE.md disposition "
+                              f"section does not mention {path} — every "
+                              "advice bullet needs an outcome")
+                        bad += 1
+            for path, line in cites:
+                if not os.path.exists(path):
+                    print(f"FAIL round-close: ADVICE.md cites {path}:{line} "
+                          "but the file no longer exists")
+                    bad += 1
+                elif sum(1 for _ in open(path, "rb")) < int(line):
+                    print(f"FAIL round-close: ADVICE.md cites {path}:{line} "
+                          "past the file's end — refresh the disposition")
+                    bad += 1
     # r18: clean-tree contract — a round must not close with stale
     # probe/advice artifacts lying around uncommitted (r17 verdict
     # item 8). Ignored files (bench_out.json etc.) don't count.
