@@ -854,7 +854,7 @@ object ExtensionQueries {
     * of the lexical serving queries must contain a parquet scan and no
     * tokenizer expression.
     */
-  private def postingFrame(s: SparkSession, dir: String): DataFrame =
+  private[graft] def postingFrame(s: SparkSession, dir: String): DataFrame =
     // keyed on dir@rowCount like the other per-corpus-version memos
     // (trainedPq/kmeansBank/dsir): a same-JVM corpus rewrite must not
     // serve a stale index. The footer count is metadata-only (no job).
@@ -1013,7 +1013,7 @@ object ExtensionQueries {
     * the gains table and the cf row so a multi-arm consumer probes the
     * posting store exactly once.
     */
-  private def lexPivotFrame(matched: DataFrame): DataFrame = {
+  private[graft] def lexPivotFrame(matched: DataFrame): DataFrame = {
     val aggs =
       max(col("dl")).as("dl") +:
       Bm25Terms.zipWithIndex.flatMap { case (t, i) => Seq(
