@@ -50,11 +50,83 @@ object Hnsw {
   val M = 8 // neighbors per node per level
   val CellProbes = 2 // cells each appended node links within (IVF probes=2 convention)
   private val ExactPairCap = 4096L // layers at most this big pair exactly
+  // candidate pool per node handed to the diversity selection (Alg. 4):
+  // 4M nearest — enough to see past a duplicate family (size <= ~2x
+  // replica multiplicity in the scale corpora) to the next cluster
+  private val DiverseCandidates = 4 * M
+
+  /** The paper's SELECT-NEIGHBORS-HEURISTIC (arXiv:1603.09320 Alg. 4)
+    * over a per-node ranked candidate pool: walking candidates in
+    * (d2, nb) order, keep c only if it is closer to the NODE than to
+    * every already-kept neighbor — each kept edge then points at a
+    * distinct "direction"/cluster — and fill any remaining slots with
+    * the nearest pruned candidates (keepPrunedConnections). Plain
+    * M-nearest links DISCONNECT on duplicate-heavy corpora: a family
+    * of > M near-identical vectors (the norm in training data — and
+    * exactly what the perturbed-replica scale corpora construct)
+    * spends all M slots inside the family and the layer graph
+    * degenerates into per-family cliques with no long-range links
+    * (measured: probe top-1 cosine 0.25 on the 10x corpus before this
+    * selection).
+    *
+    * TIE RULE (load-bearing): exact duplicates of the node get exactly
+    * ONE kept representative (d2(node, c) == 0 slot), and the
+    * diversity test for everything else is STRICT (prune only when
+    * d2(c, kept) < d2(node, c)). A <= tie would re-degenerate: the
+    * first kept candidate is the node's own copy, every other
+    * candidate is EXACTLY as close to that copy as to the node, so <=
+    * pruned the whole pool and the fill restocked the list with the
+    * remaining copies (measured: 100% own-family edges at level 0 on
+    * the duplicate-family spec corpus).
+    *
+    * Input: (node, v, nv, nb, vb, nvb, d2) with the pool already cut
+    * to [[DiverseCandidates]] per node; output: same columns, <= M
+    * rows per node. Runs as one bounded-group flatMap at index-BUILD
+    * time (<= 32 candidates per node, pairwise exact integer d2) —
+    * never on the probe path.
+    */
+  private def selectDiverseEdges(spark: SparkSession, ranked: DataFrame): DataFrame = {
+    import spark.implicits._
+    ranked
+      .groupBy(col("node"))
+      .agg(first(col("v")).as("v"), first(col("nv")).as("nv"),
+        sort_array(collect_list(
+          struct(col("d2"), col("nb"), col("vb"), col("nvb")))).as("cs"))
+      .as[(Long, Seq[Double], Double, Seq[(Double, Long, Seq[Double], Double)])]
+      .flatMap { case (node, v, nv, cs) =>
+        val kept = scala.collection.mutable.ArrayBuffer
+          .empty[(Double, Long, Seq[Double], Double)]
+        val pruned = scala.collection.mutable.ArrayBuffer
+          .empty[(Double, Long, Seq[Double], Double)]
+        val it = cs.iterator
+        while (it.hasNext && kept.size < M) {
+          val c = it.next()
+          val prune =
+            if (c._1 == 0.0) kept.exists(_._1 == 0.0) // one exact-duplicate rep
+            else kept.exists { k =>
+              var dot = 0.0; var i = 0
+              val cv = c._3; val kv = k._3
+              while (i < cv.length) { dot += cv(i) * kv(i); i += 1 }
+              c._4 + k._4 - 2.0 * dot < c._1
+            }
+          if (!prune) kept += c else pruned += c
+        }
+        (kept ++ pruned.take(M - kept.size)).map { case (d2c, nb, vb, nvb) =>
+          (node, v, nv, nb, vb, nvb, d2c)
+        }
+      }
+      .toDF("node", "v", "nv", "nb", "vb", "nvb", "d2")
+  }
 
   // driver-memoized entry meta per index dir (bounded: 1 row each);
   // buildIndex invalidates its dir's entry on rebuild
   private val metaCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Int, Long, Seq[Double], Double)]()
+  // driver-memoized level-0 centroid bank per index dir (k x dim,
+  // k ~ sqrt(n) — the IVF centroid-bank convention); None = the layer
+  // was built exact (no quantizer). Invalidated on rebuild.
+  private val cellCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Option[Array[(Int, Array[Double], Double)]]]()
 
   private def hadoopFs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -139,12 +211,18 @@ object Hnsw {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("node"))
         .orderBy(col("d2"), col("nb"))
-      l.join(r, Seq("cell"))
+      // rank a 4M-candidate pool per node, then the diversity selection
+      // cuts it to <= M edges spanning distinct clusters (Alg. 4 — see
+      // [[selectDiverseEdges]] for why plain M-nearest disconnects)
+      val ranked = l.join(r, Seq("cell"))
         .filter(col("node") =!= col("nb"))
         .withColumn("d2",
           col("nv") + col("nvb") - lit(2.0) * VectorOps.dot(col("v"), col("vb")))
         .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= M)
+        .filter(col("rk") <= DiverseCandidates)
+        .select(col("node"), col("v"), col("nv"),
+          col("nb"), col("vb"), col("nvb"), col("d2"))
+      selectDiverseEdges(spark, ranked)
         .select(col("node"), col("nb"), col("vb"), col("nvb"))
         .write.mode("overwrite").parquet(s"$dir/edges/level=$level")
     }
@@ -160,6 +238,7 @@ object Hnsw {
         col("v").as("entry_v"), col("nv").as("entry_nv"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     metaCache.remove(dir) // rebuild-into-same-dir must not serve stale meta
+    cellCache.remove(dir)
     ()
   }
 
@@ -270,15 +349,21 @@ object Hnsw {
             .orderBy(col("d2"), col("nb"))
           // pair each new node against candidates IN ITS OWN probed
           // cells (array_contains on the broadcast side), not the
-          // batch-wide union — per-node candidate sets stay cell-sized
-          val links = candAll.join(broadcast(assigned
+          // batch-wide union — per-node candidate sets stay cell-sized.
+          // The 4M-pool + diversity selection matches the build path
+          // (a batch of duplicates would otherwise link only to its
+          // own copies and stay unreachable from the rest of the graph)
+          val ranked = candAll.join(broadcast(assigned
                 .select(col("node"), col("v"), col("nv"), col("pcells"))),
               array_contains(col("pcells"), col("cellb")) &&
                 col("node") =!= col("nb"))
             .withColumn("d2", col("nv") + col("nvb") -
               lit(2.0) * VectorOps.dot(col("v"), col("vb")))
             .withColumn("rk", row_number().over(w))
-            .filter(col("rk") <= M)
+            .filter(col("rk") <= DiverseCandidates)
+            .select(col("node"), col("v"), col("nv"),
+              col("nb"), col("vb"), col("nvb"), col("d2"))
+          val links = selectDiverseEdges(spark, ranked)
             .select(col("node"), col("nb"), col("vb"), col("nvb"),
               col("v"), col("nv"))
             .localCheckpoint() // forward + reverse writes share it
@@ -355,8 +440,15 @@ object Hnsw {
         .withColumn("d2", col("nv") + col("nvb") -
           lit(2.0) * VectorOps.dot(col("v"), col("vb")))
         .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= DiverseCandidates)
         .localCheckpoint() // prune + orphan-rescue reuse it
-      val kept = ranked.filter(col("rk") <= M)
+      // the same diversity selection as the build/append paths — a raw
+      // d2 prune here would re-degenerate the graph (reverse delta
+      // edges from appended duplicates have d2 ~ 0 and would evict
+      // every long-range base link)
+      val kept = selectDiverseEdges(spark, ranked
+        .select(col("node"), col("v"), col("nv"),
+          col("nb"), col("vb"), col("nvb"), col("d2")))
       // CONNECTIVITY REPAIR (the paper's keep-pruned-connections
       // heuristic): a node whose only incoming edges were reverse
       // delta rows can lose ALL of them to the prune and become
@@ -509,6 +601,45 @@ object Hnsw {
     var curD = d2(q, nq, entryV, entryNv)
     val seenVecs = scala.collection.mutable.Map[Long, (Seq[Double], Double)](
       entry0 -> ((entryV, entryNv)))
+    // CELL-SEEDED BEAM: when the build trained a level-0 quantizer,
+    // seed the search with the query's nearest cell's node rows — ONE
+    // partition-pruned read of ~sqrt(n) rows (the same bound as one
+    // IVF probe; appended ingest layers included, so post-build
+    // vectors are seedable the moment they land). Greedy descent alone
+    // is not sufficient on every corpus: on a flat d2 landscape
+    // (duplicate families, weak global gradients) it stalls in a local
+    // basin and the layer-0 beam then saturates an attractor of ~100
+    // families without ever discovering the query's own region
+    // (measured on the 10-replica corpus: visited plateaued at 109/500
+    // families, best cosine 0.27 where exact copies existed). The
+    // quantizer IS the long-range structure the index already paid
+    // for; seeding from it makes the probe robust with the read bound
+    // unchanged in kind. The centroid bank memoizes per index dir
+    // (k x dim driver constant, the IVF convention).
+    val seedCells = cellCache.computeIfAbsent(dir, _ => {
+      val p = new Path(s"$dir/cells/level=0")
+      if (!hadoopFs(spark, dir).exists(p)) None
+      else Some(spark.read.parquet(p.toString)
+        .select(col("cid"), col("cv")).as[(Int, Seq[Double])].collect()
+        .map { case (cid, cv) =>
+          (cid, cv.toArray, cv.map(x => x * x).sum) })
+    })
+    seedCells.foreach { cents =>
+      val bestCell = cents.map { case (cid, cv, ncv) =>
+        var dot = 0.0; var i = 0
+        while (i < q.length) { dot += q(i) * cv(i); i += 1 }
+        (nq + ncv - 2.0 * dot, cid)
+      }.min._2
+      spark.read.parquet(s"$dir/nodes")
+        .filter(col("level") === 0 && col("cell") === bestCell)
+        .select(col("node"), col("v"), col("nv"))
+        .as[(Long, Seq[Double], Double)].collect()
+        .foreach { case (id, v, nv) =>
+          seenVecs.getOrElseUpdate(id, (v, nv))
+          val d = d2(q, nq, v, nv)
+          if (d < curD || (d == curD && id < cur)) { curD = d; cur = id }
+        }
+    }
     // greedy descent through the upper layers
     for (level <- topLevel to 1 by -1) {
       var improved = true
@@ -526,15 +657,26 @@ object Hnsw {
         }
       }
     }
-    // layer-0 beam: expand the ef best visited, bounded rounds
+    // layer-0 beam: expand the ef best visited, bounded rounds. Beam
+    // slots are deduped by EXACT d2: on duplicate-heavy corpora every
+    // copy of a near family carries the same distance and a plain
+    // top-ef beam spends all its slots expanding one family's copies
+    // (measured: ef=128 still failed to reach a cos-1.0 family on the
+    // 10-replica corpus) — one expansion slot per distinct d2 makes
+    // the beam family-diverse. d2 values are exact integers (micro-int
+    // arithmetic), so equal d2 means duplicate-or-indistinguishable;
+    // a genuine cross-family collision costs one round's slot, not
+    // reachability.
     val dist = scala.collection.mutable.Map[Long, Double](cur -> curD)
     seenVecs.foreach { case (id, (v, nv)) =>
       dist.getOrElseUpdate(id, d2(q, nq, v, nv)); ()
     }
     var expanded = Set.empty[Long]
+    val usedD = scala.collection.mutable.Set.empty[Double]
     for (_ <- 1 to efRounds) {
-      val beam = dist.toSeq.sortBy { case (id, d) => (d, id) }
-        .take(ef).map(_._1).filterNot(expanded)
+      val beam = dist.toSeq.sortBy { case (id, d) => (d, id) }.iterator
+        .filter { case (id, d) => !expanded(id) && usedD.add(d) }
+        .take(ef).map(_._1).toSeq
       if (beam.nonEmpty) {
         expanded ++= beam
         nbrs(0, beam).foreach { case (id, v, nv) =>

@@ -3223,8 +3223,12 @@ object ExtensionQueries {
     // row (r18 verdict "next round" item made first-class): base
     // graph over 4/5 of the corpus, held-out 1/5 streamed in via
     // Hnsw.appendToIndex, probed WITH AN APPENDED VECTOR — so
-    // reachable_ok (self-match at cos 1.0) can only pass through the
-    // delta layers' reverse edges, and recall_ok (>= 8 of the exact
+    // reachable_ok (self-match at cos 1.0) requires the appended
+    // node's index rows to serve probes: through the delta layers'
+    // reverse edges, and (since the r20 cell-seeded probe, on celled
+    // corpora) through its ingest layer in the cell-partitioned node
+    // table — either way, a broken append pipeline flips the bit.
+    // recall_ok (>= 8 of the exact
     // top-20 over the GROWN corpus) proves the appended region links
     // into a navigable neighborhood, not just into existence. The
     // build+append pay once per corpus version (hnswAppendIndex);

@@ -483,6 +483,36 @@ class SimilaritySpec extends SparkSpec {
           s"score drift on $id: $cs vs ${bruteMap(id)}") }
   }
 
+  test("hnsw: duplicate families larger than M stay navigable (Alg. 4 diversity)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.Hnsw
+    // 10 verbatim copies of every vector (dense id packing — the
+    // ScaleCorpus replica shape): every node's 8 exact-nearest are its
+    // own copies, so plain M-nearest links would spend all M slots
+    // inside the family and disconnect the layer graph into 10-node
+    // cliques — the r20 probe measured top-1 cosine 0.25 on exactly
+    // this corpus before the diversity selection. With Alg. 4, a probe
+    // for a member's vector must navigate ACROSS families to find the
+    // cos-1.0 family.
+    val emb = Tables.embeddings(spark, sf0001)
+    val reps = (0 until 10)
+      .map(k => emb.withColumn("vec_id", col("vec_id") + lit(k * 500L)))
+      .reduce(_.unionByName(_))
+    val dir = java.nio.file.Files.createTempDirectory("hnswdup").toString
+    Hnsw.buildIndex(spark, reps, dir, nHint = 5000L)
+    val qv = emb.filter(col("vec_id") === 42)
+      .select(operators.VectorOps.toDouble(col("embedding")))
+      .as[Array[Double]].head()
+    val got = Hnsw.probe(spark, dir, qv, topK = 10).as[(Long, Double)].collect()
+    assert(got.head === ((42L, 1.0)),
+      s"probe failed to navigate to the query's duplicate family: ${got.head}")
+    val family = (0 until 10).map(k => 42L + k * 500L).toSet
+    val hit = got.count(r => family(r._1) && r._2 === 1.0)
+    assert(hit >= 8,
+      s"only $hit/10 family members found (top-10: ${got.toSeq}) — graph still cliquey")
+  }
+
   test("hnsw streaming append: celled candidates, two sessions, compaction") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
@@ -512,9 +542,10 @@ class SimilaritySpec extends SparkSpec {
       .orderBy(col("cs").desc, col("vec_id")).limit(20)
       .as[(Long, Double)].collect().map(_._1).toSet
     // an appended vector must be the exact self-match of its own
-    // probe — reachable ONLY through the delta's reverse edges (the
-    // immutable base adjacency has no path to it) — and its top-10
-    // must share >= 8 with the brute top-20 (the build-path gate)
+    // probe — served by its append-written index rows (delta reverse
+    // edges + its ingest layer in the cell-partitioned node table;
+    // the immutable base adjacency has no path to it) — and its
+    // top-10 must share >= 8 with the brute top-20 (the build gate)
     def checkReachable(qid: Long, ctx: String): Unit = {
       val qv = emb.filter(col("vec_id") === qid)
         .select(operators.VectorOps.toDouble(col("embedding")))
