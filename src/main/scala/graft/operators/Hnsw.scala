@@ -127,6 +127,20 @@ object Hnsw {
   // was built exact (no quantizer). Invalidated on rebuild.
   private val cellCache = new java.util.concurrent.ConcurrentHashMap[
     String, Option[Array[(Int, Array[Double], Double)]]]()
+  // memoized node-table relation per index dir: the parquet file index
+  // resolves ONCE per index generation instead of re-listing the whole
+  // nodes tree (levels x ingests x cells — hundreds of directories at
+  // scale) on every probe's seed read (measured: 5.3 s probes at 100x
+  // from per-probe discovery). Append batches and compaction
+  // invalidate it so the next probe sees the new layers; between
+  // invalidations a seed can be one batch stale — navigability to
+  // just-appended vectors is carried by their delta reverse edges
+  // hanging off the seeded region, not by the seed itself.
+  private val nodesFrameCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def nodesFrame(spark: SparkSession, dir: String): DataFrame =
+    nodesFrameCache.computeIfAbsent(dir, _ => spark.read.parquet(s"$dir/nodes"))
 
   private def hadoopFs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -239,6 +253,7 @@ object Hnsw {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     metaCache.remove(dir) // rebuild-into-same-dir must not serve stale meta
     cellCache.remove(dir)
+    nodesFrameCache.remove(dir)
     ()
   }
 
@@ -335,7 +350,9 @@ object Hnsw {
           // and pair each member against a duplicate of itself (the
           // overwrite below heals the store; this filter heals the
           // replay's candidate set).
-          val cand = spark.read.parquet(s"$dir/nodes")
+          // one file-index resolution per batch across the three level
+          // passes (nodesFrame memo; invalidated at batch end below)
+          val cand = nodesFrame(spark, dir)
             .filter(col("level") === level &&
               col("ingest").cast("string") =!= tag &&
               col("cell").isin(probed: _*))
@@ -379,6 +396,7 @@ object Hnsw {
             .write.partitionBy("cell").mode("overwrite")
             .parquet(s"$dir/nodes/level=$level/ingest=$tag")
         }
+        nodesFrameCache.remove(dir) // next probe's seed sees this batch
         ()
       }
       .option("checkpointLocation", checkpoint)
@@ -489,6 +507,7 @@ object Hnsw {
     swapInto(spark, fs, s"$dir/edges", stageE)
     swapInto(spark, fs, s"$dir/nodes", stageN)
     fs.delete(new Path(s"$dir/delta"), true)
+    nodesFrameCache.remove(dir) // folded layers: re-list on next probe
     true
   }
 
@@ -630,7 +649,7 @@ object Hnsw {
         while (i < q.length) { dot += q(i) * cv(i); i += 1 }
         (nq + ncv - 2.0 * dot, cid)
       }.min._2
-      spark.read.parquet(s"$dir/nodes")
+      nodesFrame(spark, dir)
         .filter(col("level") === 0 && col("cell") === bestCell)
         .select(col("node"), col("v"), col("nv"))
         .as[(Long, Seq[Double], Double)].collect()
