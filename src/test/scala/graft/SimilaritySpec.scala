@@ -483,6 +483,35 @@ class SimilaritySpec extends SparkSpec {
           s"score drift on $id: $cs vs ${bruteMap(id)}") }
   }
 
+  test("hnsw: recoverIndex heals a crashed compaction swap") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.Hnsw
+    val emb = Tables.embeddings(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("hnswrec").toString
+    Hnsw.buildIndex(spark, emb, dir, nHint = 500L)
+    val edgesBefore = spark.read.parquet(s"$dir/edges").count()
+    // simulate a crash inside swapInto's (rename-live-aside ->
+    // rename-staged-in) window: the live dir has moved to __old and
+    // nothing has replaced it
+    val f = new java.io.File(s"$dir/edges")
+    assert(f.renameTo(new java.io.File(s"$dir/edges__old")))
+    // an orphaned staging dir from the same crash must also be cleared
+    assert(new java.io.File(s"$dir/nodes__compacting").mkdirs())
+    assert(Hnsw.recoverIndex(spark, dir), "a crashed swap must report healing")
+    assert(spark.read.parquet(s"$dir/edges").count() === edgesBefore,
+      "recovered adjacency must be the original")
+    assert(!new java.io.File(s"$dir/edges__old").exists)
+    assert(!new java.io.File(s"$dir/nodes__compacting").exists)
+    assert(!Hnsw.recoverIndex(spark, dir), "a healthy index must not re-heal")
+    // the index still serves after recovery
+    val qv = emb.filter(col("vec_id") === 42)
+      .select(operators.VectorOps.toDouble(col("embedding")))
+      .as[Array[Double]].head()
+    val got = Hnsw.probe(spark, dir, qv, topK = 5).as[(Long, Double)].collect()
+    assert(got.head === ((42L, 1.0)), s"post-recovery probe broken: ${got.head}")
+  }
+
   test("hnsw: duplicate families larger than M stay navigable (Alg. 4 diversity)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
