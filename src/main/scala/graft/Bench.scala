@@ -209,6 +209,21 @@ object Bench {
       // (on by default) still coalesces/splits as volumes change.
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
+      // Size the generated-class cache to the SUITE, not Spark's
+      // 100-entry default: the warmup pass exists so the timed reps hit
+      // the whole-stage-codegen class cache (see above), but the suite
+      // cycles ~2.4k distinct codegen units per SF through
+      // CodeGenerator.cache, so with the default every timed rep
+      // re-Janino-compiles its whole query — measured 2,661 compiles
+      // per steady-state pass (DevProbe SPARK_GRAFT_PROBE_CODEGEN),
+      // falling to ~30 with a suite-sized cache and cutting the pure
+      // fixed-cost pass wall 84.4 -> 49.7 s at sf0.01. Static conf, set
+      // before the session exists; env-overridable for A/B probes. Not
+      // a local[32] artifact: the cache is per-JVM on any deployment
+      // and the entry count is set by the query portfolio, not the
+      // data scale.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
       .getOrCreate()
     // ERROR, not WARN: WindowExec's no-partition-defined warning fires
     // per window query and the spam (thousands of lines at 148 queries

@@ -13,6 +13,10 @@ object DevProbe {
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // static conf: must be set before the first session exists.
+      // Default = Spark's default (100); the codegen probe A/Bs it.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "100"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // partial corpora (ScaleCorpus table-group builds) may lack a table
@@ -104,6 +108,42 @@ object DevProbe {
       println(f"PROBE r20h_compact               min=${(System.nanoTime() - tc0) / 1e9}%7.3f s rows=$n")
       reach("after compact")
       t("r20h_probe_compacted") { Hnsw.probe(spark, dir, qvNew, 10).count() }
+      spark.stop(); return
+    }
+
+    // ---- round-20 probe: whole-suite codegen-cache churn. Bench's
+    // warmup pass exists so the timed reps "hit the whole-stage-codegen
+    // class cache" (Bench.scala) — but CodeGenerator.cache is a STATIC
+    // 100-entry Guava cache (spark.sql.codegen.cache.maxEntries) and
+    // the suite cycles 236 queries x several codegen units through it,
+    // so by the time a query's second rep runs, its classes were
+    // evicted ~everything-else ago and Janino recompiles the whole
+    // query. This probe runs the full oracled set for N passes and
+    // prints per-pass wall + the Janino compile count/time delta
+    // (CodegenMetrics), under SPARK_GRAFT_CODEGEN_CACHE entries —
+    // A/B 100 (Spark default) vs a suite-sized value.
+    if (sys.env.contains("SPARK_GRAFT_PROBE_CODEGEN")) {
+      import org.apache.spark.metrics.source.CodegenMetrics
+      val names = SparkEntry.oracleSql.keys.toSeq.sorted
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings").foreach { t =>
+        try Tables.load(spark, sfDir, t).cache().count()
+        catch { case _: Throwable => () }
+      }
+      for (pass <- 1 to sys.env.getOrElse("SPARK_GRAFT_PROBE_PASSES", "3").toInt) {
+        val h = CodegenMetrics.METRIC_COMPILATION_TIME
+        val c0 = h.getCount
+        val m0 = h.getSnapshot.getMean * c0
+        val t0 = System.nanoTime()
+        names.foreach { n =>
+          try SparkEntry.queries(n)(spark, sfDir).count()
+          catch { case e: Throwable => System.err.println(s"[codegen-probe] $n: $e") }
+        }
+        val wall = (System.nanoTime() - t0) / 1e9
+        val c1 = h.getCount
+        val m1 = h.getSnapshot.getMean * c1
+        println(f"CODEGEN pass=$pass wall=$wall%.1f s compiles=${c1 - c0} compileMsDelta=${m1 - m0}%.0f cacheEntries=${spark.conf.get("spark.sql.codegen.cache.maxEntries", "default")}")
+      }
       spark.stop(); return
     }
 

@@ -15,6 +15,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // suite-sized generated-class cache (the Bench.scala rationale):
+      // one Verify run compiles every query once, but plan subtrees
+      // recur across queries and the dump re-runs shared stores — with
+      // the 100-entry default the session recompiles what it just
+      // evicted. Purely a compile-time cache; results are unaffected.
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
