@@ -11,8 +11,56 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Catalyst (verified via `.explain`: `PushedFilters`, `ReadSchema`).
   */
 object Tables {
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Memo for [[load]]: the CONSTRUCTED DataFrame per (session, path,
+    * freshness stamp). `spark.read.parquet` is not free on the driver —
+    * every call re-resolves the data source, re-lists the path, and
+    * re-reads a footer for the schema (~30–60 ms per table on this
+    * box), and the suite calls it 1–5 times per query per rep, so a
+    * bench pass paid seconds of repeated driver-side metadata work for
+    * identical plans (measured via the DevProbe build/plan/exec split:
+    * q2_join_agg spent 0.3 s of its 0.7 s wall CONSTRUCTING the frame).
+    * Reusing the immutable DataFrame is the catalog-table idiom (a
+    * production session resolves a table once); every action on it
+    * still reads the parquet — this caches plan metadata, never data
+    * or results. Keyed by the same freshness stamp as
+    * [[parquetVersion]] (one recursive metadata listing per call —
+    * microseconds on any store vs the footer read it avoids), so an
+    * in-place rewrite misses and rebuilds; keyed by sessionUUID so a
+    * frame never crosses sessions (bounded: #sessions x #tables).
+    */
+  private val frameMemo = // weak session key: a stopped session's frames GC away
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]]())
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val stamp =
+      try stampedRowCount(spark, path)._1
+      catch { case _: Throwable => // missing path: let read.parquet throw its own error
+        return spark.read.parquet(path)
+      }
+    val perSession = {
+      val existing = frameMemo.get(spark)
+      if (existing != null) existing
+      else frameMemo.synchronized {
+        val again = frameMemo.get(spark)
+        if (again != null) again
+        else {
+          val fresh = new java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]()
+          frameMemo.put(spark, fresh)
+          fresh
+        }
+      }
+    }
+    val cached = perSession.get(path)
+    if (cached != null && cached._1 == stamp) cached._2
+    else {
+      val df = spark.read.parquet(path)
+      perSession.put(path, (stamp, df)) // replaces any superseded entry
+      df
+    }
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")

@@ -242,6 +242,101 @@ object Clustering {
     dist.toSeq.toDF("v", "d")
   }
 
+  /** Iterative k-core peeling over an UNDIRECTED edge list: `rounds`
+    * fixed rounds, each recomputing degrees over the SURVIVING
+    * subgraph and dropping nodes with degree < k. Returns one row per
+    * round: (round 1.., n_alive after that round's drop) — the
+    * subgraph-refinement counts `crawl_kcore6` reports. Adaptive like
+    * [[bfsLayers]] (same `spark.graft.cc.localEdgeLimit` knob): under
+    * the bound, the strategy probe doubles as the collect and the
+    * peel runs on the driver — the distributed loop pays 2 semi-joins
+    * + a degree aggregate + a localCheckpoint PER ROUND (~26 jobs for
+    * 3 rounds), pure scheduling floor on a graph that fits in one
+    * task. Above the bound the loop below is the 100 TB path,
+    * unchanged. Both paths compute identical integer counts (degree
+    * over alive×alive edges, then the drop).
+    *
+    * `edges` columns (a, b): distinct undirected pairs (a < b by the
+    * caller's convention; the peel only needs each pair once).
+    * `nodes` column (i): the round-0 alive set.
+    */
+  def kcorePeelCounts(spark: SparkSession, edges: DataFrame, nodes: DataFrame,
+      k: Int, rounds: Int): DataFrame = {
+    import spark.implicits._
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b"))
+    val nd = nodes.select(col("i").cast("long").as("i"))
+    val localLimit = math.min(
+      spark.conf.get("spark.graft.cc.localEdgeLimit", (1 << 16).toString).toLong,
+      LocalEdgeLimitCeiling.toLong).toInt
+    val edgeProbe = e.limit(localLimit + 1).as[(Long, Long)].collect()
+    if (edgeProbe.length <= localLimit) {
+      val nodeProbe = nd.limit(localLimit + 1).as[Long].collect()
+      if (nodeProbe.length <= localLimit)
+        return localKcorePeel(spark, edgeProbe, nodeProbe, k, rounds)
+    }
+    distributedKcorePeel(spark, e, nd, k, rounds)
+  }
+
+  /** Driver-side peel over an already-collected bounded graph (the
+    * strategy probe doubles as the collect — the [[bfsLayers]]
+    * pattern).
+    */
+  private def localKcorePeel(spark: SparkSession, es: Array[(Long, Long)],
+      nodes: Array[Long], k: Int, rounds: Int): DataFrame = {
+    import spark.implicits._
+    val adj = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+    es.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty) += a
+    }
+    var alive = scala.collection.mutable.HashSet.empty[Long]
+    nodes.foreach(alive += _)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    for (r <- 1 to rounds) {
+      // degrees over the CURRENT alive set, then the drop — the same
+      // two-phase round the distributed loop runs
+      val next = alive.filter { v =>
+        adj.get(v).exists(_.count(alive) >= k)
+      }
+      alive = next
+      out += ((r.toLong, alive.size.toLong))
+    }
+    out.toSeq.toDF("round", "n_alive")
+  }
+
+  /** Distributed per-round loop (the pre-adaptive `crawl_kcore6`
+    * shape); package-visible so the spec can drive it below the
+    * adaptive threshold and pin parity with the local path.
+    */
+  private[graft] def distributedKcorePeel(spark: SparkSession,
+      e: DataFrame, nodes: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val edges = e.localCheckpoint() // every round re-reads it
+    def peel(alive: DataFrame): DataFrame = {
+      val live = edges
+        .join(alive.select(col("i").as("a")), Seq("a"))
+        .join(alive.select(col("i").as("b")), Seq("b"))
+      val deg = live.select(col("a").as("i"))
+        .unionByName(live.select(col("b").as("i")))
+        .groupBy(col("i")).agg(count(lit(1)).as("d"))
+      alive.join(deg, Seq("i"), "left")
+        .filter(coalesce(col("d"), lit(0L)) >= k)
+        .select(col("i"))
+    }
+    var alive = nodes
+    var arms = Seq.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      alive = peel(alive)
+      if (r < rounds) alive = alive.localCheckpoint()
+      arms = arms :+ alive.agg(count(lit(1)).as("n_alive"))
+        .select(lit(r.toLong).as("round"), col("n_alive"))
+    }
+    arms.reduce(_ unionByName _)
+  }
+
   /** Distributed frontier-delta loop (see [[bfsLayers]] for the lineage
     * discipline); package-visible so the posture spec can drive it
     * below the adaptive threshold.

