@@ -11,6 +11,20 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver invokes `sbt "runMain graft.Bench"` and parses the bench's
+// one-line JSON from stdout. With the default LoggedOutput strategy every
+// program line arrives wrapped in sbt's "[info] " prefix and the process's
+// final stdout line is sbt's "[success] Total time..." — which is why
+// PERF_r18..r20 all carry "parsed": null (three rounds of per-query
+// adjudication lost to the wrapper, VERDICT r20 item 1). StdoutOutput
+// inherits the forked JVM's stdout unprefixed, and showSuccess=false drops
+// the trailing [success] line, so the LAST stdout line of a bench run is
+// the bench's own compact JSON (which now carries the per-query map).
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by sbt's command loop, not by a task — exclude it
+// from the unused-key lint instead of letting every build print a warning
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

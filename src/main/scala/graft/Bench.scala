@@ -260,17 +260,40 @@ object Bench {
       try fn(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
+    // Per-table parquet DECODE cost (r20 verdict item 6): the warm
+    // base-table cache below means per-query numbers exclude parquet
+    // decode, which flatters the absolute envelope number. This
+    // discloses what that exclusion is worth — one noop-sink write per
+    // table (computes every column of every row, guide §1.4) BEFORE the
+    // table is cached, emitted as "table_decode_ms" + "decode_total_sec"
+    // beside "warm_cache":true so the 2x-of-DuckDB envelope can be read
+    // scan-inclusive (total + decode_total) as well as warm. The OS page
+    // cache may be warm, so this measures decode + materialization, not
+    // disk I/O — the honest label is decode cost, not cold-cache cost.
+    def decodeMs(dir: String): Map[String, Long] =
+      Tables.names.flatMap { t =>
+        try {
+          val df = spark.read.parquet(s"$dir/$t.parquet")
+          val t0 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          Some(t -> (System.nanoTime() - t0) / 1000000L)
+        } catch { case _: Throwable => None }
+      }.toMap
     // Cache the base tables once (the CacheManager substitutes the
     // InMemoryRelation into every later `spark.read.parquet(same path)`
     // plan automatically): 50+ queries over the same ~10 tables should
     // decode parquet once, not 50 times — the cluster analog is a hot
     // storage/cache layer shared across an analyst session. This is
     // disclosed as "warm_cache":true in the output line.
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "events", "documents", "embeddings").foreach { t =>
-      try Tables.load(spark, sfDir, t).cache().count()
-      catch { case _: Throwable => () }
-    }
+    def cacheTables(dir: String): Unit =
+      Tables.names.foreach { t =>
+        try Tables.load(spark, dir, t).cache().count()
+        catch { case _: Throwable => () }
+      }
+    val decode1 = decodeMs(sfDir)
+    val decodeSec1 = BigDecimal(decode1.values.sum / 1000.0)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    cacheTables(sfDir)
     // A failed rep must never contribute a time: a query that throws fast
     // would otherwise report its near-zero failure latency as the min and
     // silently deflate the headline total. Failures are returned as Left
@@ -456,11 +479,10 @@ object Bench {
     val sfDir2 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR2", "/root/testdata/sf0.01")
     val sf2 =
       if (sfDir2 != sfDir && new java.io.File(sfDir2).isDirectory) {
-        Seq("region", "nation", "customer", "supplier", "part", "orders",
-            "lineitem", "events", "documents", "embeddings").foreach { t =>
-          try Tables.load(spark, sfDir2, t).cache().count()
-          catch { case _: Throwable => () }
-        }
+        val decode2 = decodeMs(sfDir2)
+        val decodeSec2 = BigDecimal(decode2.values.sum / 1000.0)
+          .setScale(3, BigDecimal.RoundingMode.HALF_UP)
+        cacheTables(sfDir2)
         // Sample load/calib at THIS window's start (not run start), so the
         // pair brackets exactly the sf2 timing pass and the line's
         // contention readout describes its own window, not the whole run.
@@ -472,29 +494,42 @@ object Bench {
         val calibEnd2 = calibMs()
         val calibMtEnd2 = calibMtMs()
         val loadJson2 = s""""nproc":$nproc,"load_avg":[${r1(loadStart2)},${r1(loadAvg())}],"calib_ms":[${r1(calibStart2)},${r1(calibEnd2)}],"calib_mt_ms":[${r1(calibMtStart2)},${r1(calibMtEnd2)}]"""
-        Some((results2, spread2, errors2, total2, calibStart2, calibEnd2, loadJson2))
+        Some((results2, spread2, errors2, total2, calibStart2, calibEnd2, loadJson2,
+          decode2, decodeSec2))
       } else None
     // Denominator passes: both Spark windows are closed and bracketed;
     // DuckDB contention can no longer leak into any Spark number.
     val duck1 = duckdbDenominate(oracleSqls, sfDir, contractNames)
     val duck2 = sf2.map(_ => duckdbDenominate(oracleSqls, sfDir2, contractNames))
-    emit(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(secs(results))},"unoracled":${js(secs(extras))},"spread_pct":${jsLong(spread1 ++ spreadX)},"jobs":${jsLong(jobsOf(results) ++ jobsOf(extras))},"gc_ms":${jsLong(gcOf(results) ++ gcOf(extras))},"errors":${jsStr(allErrors)},${duckJson(duck1, secs(results))},"sf":"$sfDir","reps":2,"agg":"min","warm_cache":true,$loadJson}""")
-    sf2.foreach { case (results2, spread2, errors2, total2, calibStart2, calibEnd2, loadJson2) =>
+    emit(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(secs(results))},"unoracled":${js(secs(extras))},"spread_pct":${jsLong(spread1 ++ spreadX)},"jobs":${jsLong(jobsOf(results) ++ jobsOf(extras))},"gc_ms":${jsLong(gcOf(results) ++ gcOf(extras))},"errors":${jsStr(allErrors)},${duckJson(duck1, secs(results))},"table_decode_ms":${jsLong(decode1)},"decode_total_sec":$decodeSec1,"sf":"$sfDir","reps":2,"agg":"min","warm_cache":true,$loadJson}""")
+    sf2.foreach { case (results2, spread2, errors2, total2, calibStart2, calibEnd2, loadJson2,
+        decode2, decodeSec2) =>
       val d2 = duck2.get
       // full per-query map for the secondary SF too — consumed by
       // tools/bench_summary.py for the committed round-close artifact.
       // Deliberately NOT named "total" (the r5 lesson, in reverse): a
       // "metric":"total" matcher must keep finding exactly one line —
       // the primary SF's.
-      emit(s"""{"metric":"detail_sf2","value":$total2,"unit":"sec","queries":${js(secs(results2))},"spread_pct":${jsLong(spread2)},"jobs":${jsLong(jobsOf(results2))},"gc_ms":${jsLong(gcOf(results2))},"errors":${jsStr(errors2)},${duckJson(d2, secs(results2))},"sf":"$sfDir2","reps":2,"agg":"min","warm_cache":true,$loadJson2}""")
-      emit(s"""{"metric":"total_compact","value":$total2,"unit":"sec","total_per_calib":${perCalib(total2, calibStart2, calibEnd2)},"n_oracled":${results2.size},"n_errors":${errors2.size}${duckCompact(d2, secs(results2))},"sf":"$sfDir2",$loadJson2}""")
+      emit(s"""{"metric":"detail_sf2","value":$total2,"unit":"sec","queries":${js(secs(results2))},"spread_pct":${jsLong(spread2)},"jobs":${jsLong(jobsOf(results2))},"gc_ms":${jsLong(gcOf(results2))},"errors":${jsStr(errors2)},${duckJson(d2, secs(results2))},"table_decode_ms":${jsLong(decode2)},"decode_total_sec":$decodeSec2,"sf":"$sfDir2","reps":2,"agg":"min","warm_cache":true,$loadJson2}""")
+      emit(s"""{"metric":"total_compact","value":$total2,"unit":"sec","total_per_calib":${perCalib(total2, calibStart2, calibEnd2)},"n_oracled":${results2.size},"n_errors":${errors2.size}${duckCompact(d2, secs(results2))},"decode_total_sec":$decodeSec2,"sf":"$sfDir2",$loadJson2}""")
     }
     // A tail capture always keeps the LAST line, so the headline total is
     // repeated in a short self-contained line AFTER the big detail line:
     // even if the per-query map above is truncated away again, the
     // round's total stays machine-readable. Named total_compact so a
     // "metric":"total" matcher can never pick this line over the full one.
-    emit(s"""{"metric":"total_compact","value":$total,"unit":"sec","total_per_calib":${perCalib(total, calibStart, calibEnd)},"n_oracled":${results.size},"n_errors":${allErrors.size}${duckCompact(duck1, secs(results))},"sf":"$sfDir",$loadJson}""")
+    //
+    // This FINAL line also carries the primary SF's per-query seconds
+    // (r20 verdict item 1): the driver parses the LAST stdout line of the
+    // run as the bench JSON, and for three rounds that line was sbt's
+    // "[success] ..." wrapper (PERF per_query empty since r18). With
+    // build.sbt's StdoutOutput + showSuccess=false this line IS the
+    // process's final stdout line — one bare-JSON line with metric /
+    // value / unit / queries / sf, the declared driver contract. The
+    // heavyweight maps (spread/jobs/gc/duckdb_ms/unoracled) stay on the
+    // "total" line above; duplicating them here would push this line
+    // back past any bounded tail-capture window.
+    emit(s"""{"metric":"total_compact","value":$total,"unit":"sec","queries":${js(secs(results))},"total_per_calib":${perCalib(total, calibStart, calibEnd)},"n_oracled":${results.size},"n_errors":${allErrors.size}${duckCompact(duck1, secs(results))},"decode_total_sec":$decodeSec1,"sf":"$sfDir",$loadJson}""")
     spark.stop()
     // An oracled query that failed both reps means the headline total is
     // missing a term — fail the run loudly rather than report a deflated

@@ -133,6 +133,10 @@ object DevProbe {
       for (pass <- 1 to sys.env.getOrElse("SPARK_GRAFT_PROBE_PASSES", "3").toInt) {
         val h = CodegenMetrics.METRIC_COMPILATION_TIME
         val c0 = h.getCount
+        // mean*count over an exponentially-decaying reservoir is NOT
+        // cumulative compile time (r20 ADVICE item 3) — the compile
+        // COUNT delta is exact; the ms figure is a rough reservoir
+        // estimate and is labeled as such.
         val m0 = h.getSnapshot.getMean * c0
         val t0 = System.nanoTime()
         names.foreach { n =>
@@ -142,7 +146,7 @@ object DevProbe {
         val wall = (System.nanoTime() - t0) / 1e9
         val c1 = h.getCount
         val m1 = h.getSnapshot.getMean * c1
-        println(f"CODEGEN pass=$pass wall=$wall%.1f s compiles=${c1 - c0} compileMsDelta=${m1 - m0}%.0f cacheEntries=${spark.conf.get("spark.sql.codegen.cache.maxEntries", "default")}")
+        println(f"CODEGEN pass=$pass wall=$wall%.1f s compiles=${c1 - c0} approxCompileMsDelta=${m1 - m0}%.0f (reservoir estimate, not cumulative) cacheEntries=${spark.conf.get("spark.sql.codegen.cache.maxEntries", "default")}")
       }
       spark.stop(); return
     }

@@ -27,11 +27,35 @@ object Tables {
     * microseconds on any store vs the footer read it avoids), so an
     * in-place rewrite misses and rebuilds; keyed by sessionUUID so a
     * frame never crosses sessions (bounded: #sessions x #tables).
+    *
+    * Keyed by `sessionUUID` STRING, evicted by a SparkListener on
+    * application end — NOT a WeakHashMap keyed on the session (the r20
+    * shape): the cached DataFrames strongly reference their
+    * SparkSession (Dataset.sparkSession/QueryExecution), so a
+    * session-keyed WeakHashMap's keys could never become weakly
+    * reachable and every stopped session's frames were pinned for JVM
+    * life (the WeakHashMap javadoc's value-references-key warning; r20
+    * ADVICE item 1). The listener fires when the session's
+    * SparkContext stops — the only way a session "stops" — and drops
+    * exactly that session's entry (TablesMemoSpec pins this).
     */
-  private val frameMemo = // weak session key: a stopped session's frames GC away
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession,
-        java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]]())
+  private val frameMemo =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]]()
+
+  /** Test seam: whether [[frameMemo]] holds an entry for a session. */
+  private[graft] def frameMemoHas(sessionUUID: String): Boolean =
+    frameMemo.containsKey(sessionUUID)
+
+  /** The memo key for a session: its `sessionUUID` (a plain String —
+    * holding it can never pin the session object graph). The accessor
+    * lives on the classic implementation, not the sql API interface;
+    * the identity fallback covers any other implementation.
+    */
+  private[graft] def sessionKey(spark: SparkSession): String =
+    org.apache.spark.sql.graft.bridge.sessionUUID(spark).getOrElse(
+      spark.sparkContext.applicationId + "@" +
+        Integer.toHexString(System.identityHashCode(spark)))
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
@@ -40,15 +64,21 @@ object Tables {
       catch { case _: Throwable => // missing path: let read.parquet throw its own error
         return spark.read.parquet(path)
       }
+    val uuid = sessionKey(spark)
     val perSession = {
-      val existing = frameMemo.get(spark)
+      val existing = frameMemo.get(uuid)
       if (existing != null) existing
-      else frameMemo.synchronized {
-        val again = frameMemo.get(spark)
-        if (again != null) again
+      else {
+        val fresh = new java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]()
+        val prev = frameMemo.putIfAbsent(uuid, fresh)
+        if (prev != null) prev
         else {
-          val fresh = new java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]()
-          frameMemo.put(spark, fresh)
+          // registered once per session, by the putIfAbsent winner
+          spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+              frameMemo.remove(uuid)
+          })
           fresh
         }
       }
@@ -189,6 +219,55 @@ object Tables {
 
   def parquetRowCount(spark: SparkSession, path: String): Long =
     stampedRowCount(spark, path)._2
+
+  /** Total DATA bytes under a parquet path, from the same memoized
+    * recursive listing as [[parquetRowCount]] (the stamp's last field)
+    * — no footer or page reads.
+    */
+  def parquetDataBytes(spark: SparkSession, path: String): Long =
+    stampedRowCount(spark, path)._1.split(':').last.toLong
+
+  /** Scale-adaptive fan-out for CPU-heavy per-row kernels (the codec /
+    * WARC-parse mapPartitions stages): a small corpus arrives as ONE
+    * scan task (`maxPartitionBytes` packs it into a single split), so a
+    * kernel that costs ~0.1–1 ms/row runs serially on one core of the
+    * whole cluster — at bench SFs the heavy map stages were 1-task
+    * stages on a 32-core master (guide §2: make partitioning
+    * scale-adaptive, derive it from input size). When the ESTIMATED
+    * scan-task count (listing bytes / maxPartitionBytes — metadata
+    * only, memoized) is below the cluster's default parallelism,
+    * round-robin repartition to default parallelism so the kernel uses
+    * every core; at scale the estimate exceeds parallelism and the
+    * frame is returned UNCHANGED — no extra exchange on the 100 TB
+    * path. The shuffle this inserts moves only the projected columns
+    * of a corpus already known to be tiny (< cores x maxPartitionBytes).
+    * Results are unaffected: callers' kernels are per-row pure
+    * functions and every consumer aggregates or re-orders downstream.
+    */
+  /** `minRows` gates the fan-out on corpus size: the extra stage +
+    * shuffle costs a fixed ~50 ms, so a kernel whose SERIAL cost is
+    * smaller loses by fanning out (measured at sf0.1: the ~20 us/row
+    * PGM/WAV codec servings regressed 40-60 ms each with an
+    * unconditional fan-out, while the ~140 us/row WARC chain won -60%).
+    * Callers set minRows to the row count at which their kernel's
+    * serial cost clearly dominates the overhead; 0 = always fan while
+    * the scan is below parallelism.
+    */
+  def fanOutForCpu(spark: SparkSession, df: DataFrame, dir: String,
+      name: String, minRows: Long = 0L): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    val estTasks =
+      try {
+        if (minRows > 0L &&
+            parquetRowCount(spark, s"$dir/$name.parquet") < minRows)
+          return df
+        val bytes = parquetDataBytes(spark, s"$dir/$name.parquet")
+        val maxSplit = math.max(1L,
+          org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes)
+        (bytes + maxSplit - 1) / maxSplit
+      } catch { case _: Throwable => Long.MaxValue } // unknown: leave the plan alone
+    if (estTasks >= target) df else df.repartition(target)
+  }
 
   /** Version TOKEN for store memo keys: `<rowcount>-<stampHash>`,
     * where the stamp folds in file count, mtimes, and byte sizes from

@@ -308,6 +308,131 @@ object Clustering {
     out.toSeq.toDF("round", "n_alive")
   }
 
+  /** Synchronous label propagation (LPA, Raghavan et al.) over a
+    * DIRECTED edge list treated as an undirected multigraph plus one
+    * self vote per node: `rounds` fixed synchronous rounds, label =
+    * the most frequent neighbor label counting multiplicity plus the
+    * node's own current label once, ties to the SMALLEST label —
+    * integer-only, bit-exact cross-engine (the `crawl_communities`
+    * contract, hoisted here verbatim). Returns (u, lbl), one row per
+    * labeled node.
+    *
+    * Adaptive like [[kcorePeelCounts]] (same
+    * `spark.graft.cc.localEdgeLimit` knob): under the bound the
+    * strategy probe doubles as the collect and the rounds run on the
+    * driver — the distributed loop pays a join + two aggregate
+    * exchanges PER ROUND (~14 exchanges for 4 rounds at bench SFs,
+    * pure scheduling floor on a graph that fits in one task). Above
+    * the bound the identical distributed loop below runs — the 100 TB
+    * path, unchanged (per round: one edges-x-labels join, one
+    * (v, lbl) count exchange, one per-node packed-long argmax;
+    * ClusteringSpec pins local/distributed parity).
+    *
+    * `edges` columns (src, dst); `nodes` column (v).
+    */
+  def lpaLabels(spark: SparkSession, edges: DataFrame, nodes: DataFrame,
+      rounds: Int): DataFrame = {
+    import spark.implicits._
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val nd = nodes.select(col("v").cast("long").as("v"))
+    val localLimit = math.min(
+      spark.conf.get("spark.graft.cc.localEdgeLimit", (1 << 16).toString).toLong,
+      LocalEdgeLimitCeiling.toLong).toInt
+    val edgeProbe = e.limit(localLimit + 1).as[(Long, Long)].collect()
+    if (edgeProbe.length <= localLimit) {
+      val nodeProbe = nd.limit(localLimit + 1).as[Long].collect()
+      if (nodeProbe.length <= localLimit)
+        return localLpa(spark, edgeProbe, nodeProbe, rounds)
+    }
+    distributedLpa(spark, e, nd, rounds)
+  }
+
+  /** Driver-side LPA over an already-collected bounded graph (the
+    * strategy probe doubles as the collect — the [[localKcorePeel]]
+    * exception class). Mirrors [[distributedLpa]] row for row: the
+    * vote multiset for v is one vote per directed edge endpoint pairing
+    * (src->dst AND dst->src) whose voter u currently has a label, plus
+    * v's own current label once (the self row) — nodes only; a
+    * non-node edge endpoint can RECEIVE a label but never votes until
+    * it has one.
+    */
+  private def localLpa(spark: SparkSession, es: Array[(Long, Long)],
+      nodes: Array[Long], rounds: Int): DataFrame = {
+    import spark.implicits._
+    // und pairs (v, u): each edge both ways + one self pair per node
+    val und = new Array[Long](es.length * 4 + nodes.length * 2)
+    var i = 0
+    es.foreach { case (a, b) =>
+      und(i) = a; und(i + 1) = b; und(i + 2) = b; und(i + 3) = a; i += 4
+    }
+    nodes.foreach { v => und(i) = v; und(i + 1) = v; i += 2 }
+    val labels = scala.collection.mutable.HashMap.empty[Long, Long]
+    nodes.foreach(v => labels(v) = v)
+    for (_ <- 1 to rounds) {
+      // counted: (v, lbl(u)) multiset over pairs whose u is labeled
+      val counts = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+      var j = 0
+      while (j < und.length) {
+        val v = und(j); val u = und(j + 1)
+        labels.get(u).foreach { l =>
+          val key = (v, l)
+          counts(key) = counts.getOrElse(key, 0L) + 1L
+        }
+        j += 2
+      }
+      // argmax: count desc, ties to the SMALLEST label — the packed-long
+      // max the distributed loop computes
+      val next = scala.collection.mutable.HashMap.empty[Long, Long]
+      counts.foreach { case ((v, l), c) =>
+        next.get(v) match {
+          case Some(best) =>
+            val bc = counts((v, best))
+            if (c > bc || (c == bc && l < best)) next(v) = l
+          case None => next(v) = l
+        }
+      }
+      labels.clear()
+      next.foreach { case (v, l) => labels(v) = l }
+    }
+    labels.toSeq.toDF("u", "lbl")
+  }
+
+  /** Distributed per-round loop (the pre-adaptive `crawl_communities`
+    * shape, hoisted verbatim); package-visible so ClusteringSpec can
+    * drive it below the adaptive threshold and pin parity with the
+    * local path.
+    */
+  private[graft] def distributedLpa(spark: SparkSession,
+      e: DataFrame, nodes: DataFrame, rounds: Int): DataFrame = {
+    val und = e.select(col("src").as("v"), col("dst").as("u"))
+      .unionByName(e.select(col("dst").as("v"), col("src").as("u")))
+      .unionByName(nodes.select(col("v"), col("v").as("u")))
+    var labels = nodes.select(col("v").as("u"), col("v").as("lbl"))
+    for (_ <- 1 to rounds) {
+      val counted = und.join(labels, Seq("u"))
+        .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("c"))
+      // argmax via MAX over ONE PACKED LONG (count in the high 32
+      // bits, bit-inverted label in the low 32 — count desc, ties to
+      // the SMALLEST label): same result as a row_number window or a
+      // struct-max, but the aggregate buffer stays a primitive so
+      // Catalyst keeps it a HASH aggregate (struct-max falls back to
+      // SortAggregate; the window adds a per-node sort — the
+      // dedup_ngram_jaccard packed-long recipe applied to argmax).
+      // Packing bound: counts and labels < 2^31 — labels are doc_ids
+      // (the jaccard packable contract) and a count is bounded by
+      // degree+1.
+      labels = counted
+        .groupBy(col("v"))
+        .agg(max(shiftleft(col("c"), 32) +
+          (lit(0xffffffffL) - col("lbl"))).as("m"))
+        .select(col("v").as("u"),
+          (lit(0xffffffffL) - col("m").bitwiseAND(lit(0xffffffffL))).as("lbl"))
+    }
+    labels
+  }
+
   /** Distributed per-round loop (the pre-adaptive `crawl_kcore6`
     * shape); package-visible so the spec can drive it below the
     * adaptive threshold and pin parity with the local path.

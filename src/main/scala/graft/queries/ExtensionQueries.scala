@@ -725,6 +725,33 @@ object ExtensionQueries {
     s.read.parquet(path)
   }
 
+  /** Scale-adaptive fan-out for the documents-scan CPU kernels (codec /
+    * WARC-parse mapPartitions stages — r21, guide §2): at bench SFs the
+    * whole documents table packs into ONE scan split, so every heavy
+    * per-row kernel below ran serially on one core of a 32-core master
+    * (measured: warc_ingest single 1-task stage, 0.714 -> 0.286 s
+    * isolated min-of-7 with the fan). [[Tables.fanOutForCpu]]
+    * repartitions to default parallelism ONLY while the estimated scan
+    * task count (metadata listing, memoized) is below it — at 100 TB the
+    * scan already carries thousands of tasks and the plan is unchanged.
+    * `minRows` gates the cheap kernels (see fanOutForCpu): the ~20
+    * us/row codec servings LOSE 40-60 ms at 5k rows (measured r21) and
+    * win only once the corpus outgrows the fan's fixed overhead.
+    *
+    * Deliberately NOT applied to the materializedFrame STORE builds
+    * except audioShingleFrame: a fanned build writes `parallelism`
+    * tiny store files and every CONSUMER then pays the multi-file scan
+    * forever (measured r21: dedup_video_phash 0.682 -> 1.595 s,
+    * crawl_link_graph 0.154 -> 0.238 s with 32-file stores) — a
+    * one-time build saving is the wrong trade against a per-serve tax.
+    * audioShingleFrame is the exception with evidence: its consumer's
+    * pairing stage is heavy enough that the 32-partition store scan
+    * WINS (dedup_audio_shingle 1.651 -> 0.910 s).
+    */
+  private def fanDocs(s: SparkSession, dir: String, df: DataFrame,
+      minRows: Long = 0L): DataFrame =
+    Tables.fanOutForCpu(s, df, dir, "documents", minRows)
+
   /** The image-fingerprint frame shared by `dedup_image_phash` and
     * `decon_image_phash`: family-structured synthetic PNGs through the
     * REAL codec round trip, dHash as four 16-bit bands — `(doc_id,
@@ -787,10 +814,10 @@ object ExtensionQueries {
   private def audioShingleFrame(s: SparkSession, dir: String): DataFrame =
     materializedFrame(s, s"audioshingle:$dir@${docsVer(s, dir)}") {
       import s.implicits._
-      Tables.documents(s, dir)
+      fanDocs(s, dir, Tables.documents(s, dir)
         .select(col("doc_id"),
           md5(expr("cast(doc_id div 5 as string)")).as("bh"),
-          md5(col("text")).as("ph"))
+          md5(col("text")).as("ph")))
         .as[(Long, String, String)]
         .mapPartitions { it =>
           it.flatMap { case (id, bh, ph) =>
@@ -3465,8 +3492,12 @@ object ExtensionQueries {
       // |join| == |filter(isin)| row for row.
       val ids = exactTopIds(s, dir)
       recallRungs.map { case (name, qid, k) =>
+        // getOrElse: a qid absent from a tiny/partial corpus (table-group
+        // ScaleCorpus builds) yields an empty isin = 0 overlap — the same
+        // degradation the former broadcast-join formulation had (r20
+        // ADVICE item 2; ids(qid) alone threw NoSuchElementException)
         queries(name)(s, dir).select(col("vec_id"))
-          .filter(col("vec_id").isin(ids(qid).take(k): _*))
+          .filter(col("vec_id").isin(ids.getOrElse(qid, Seq.empty).take(k): _*))
           .agg(count(lit(1)).as("n_overlap"))
           .select(lit(name).as("rung"), lit(k.toLong).as("k"), col("n_overlap"))
       }.reduce(_ union _).orderBy(col("rung"))
@@ -5189,10 +5220,10 @@ object ExtensionQueries {
     // the hash gate covers the decoder output end to end.
     "multimodal_luma_stats" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir)
+      fanDocs(s, dir, Tables.documents(s, dir)
         .select(col("doc_id"),
           octet_length(col("text")).cast("long").as("n_bytes"),
-          md5(col("text")).as("content_hash"))
+          md5(col("text")).as("content_hash")), minRows = 20000L)
         .as[(Long, Long, String)]
         .mapPartitions { it =>
           it.map { case (id, nBytes, hash) =>
@@ -5214,10 +5245,10 @@ object ExtensionQueries {
 
     "multimodal_features" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir)
+      fanDocs(s, dir, Tables.documents(s, dir)
         .select(col("doc_id"),
           octet_length(col("text")).cast("long").as("n_bytes"),
-          md5(col("text")).as("content_hash"))
+          md5(col("text")).as("content_hash")), minRows = 20000L)
         .as[(Long, Long, String)]
         .mapPartitions { it =>
           // codec init would happen here, once per partition
@@ -5241,10 +5272,10 @@ object ExtensionQueries {
     // clip-boundary detection misparses anything.
     "multimodal_audio" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir)
+      fanDocs(s, dir, Tables.documents(s, dir)
         .select(col("doc_id"),
           octet_length(col("text")).cast("long").as("n_bytes"),
-          md5(col("text")).as("content_hash"))
+          md5(col("text")).as("content_hash")), minRows = 20000L)
         .as[(Long, Long, String)]
         .mapPartitions { it =>
           // codec init would happen here, once per partition
@@ -5275,8 +5306,9 @@ object ExtensionQueries {
     // fingerprint builders.
     "multimodal_audio_trim" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir)
-        .select(col("doc_id"), md5(col("text")).as("content_hash"))
+      fanDocs(s, dir, Tables.documents(s, dir)
+        .select(col("doc_id"), md5(col("text")).as("content_hash")),
+        minRows = 20000L)
         .as[(Long, String)]
         .mapPartitions { it =>
           it.map { case (id, hash) =>
@@ -5339,10 +5371,10 @@ object ExtensionQueries {
 
     "multimodal_video" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir)
+      fanDocs(s, dir, Tables.documents(s, dir)
         .select(col("doc_id"),
           octet_length(col("text")).cast("long").as("n_bytes"),
-          md5(col("text")).as("content_hash"))
+          md5(col("text")).as("content_hash")), minRows = 20000L)
         .as[(Long, Long, String)]
         .mapPartitions { it =>
           // codec init would happen here, once per partition
@@ -5591,8 +5623,10 @@ object ExtensionQueries {
 
     "warc_ingest" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("text"))
+      // r21: fanDocs — the gzip/WARC/HTTP/html/MD5 kernel ran as a
+      // single 1-task stage at bench SFs (one core of 32); see fanDocs
+      fanDocs(s, dir, Tables.documents(s, dir)
+        .select(col("doc_id"), col("text")))
         .as[(Long, String)]
         .mapPartitions { it =>
           val md = java.security.MessageDigest.getInstance("MD5")
@@ -5757,9 +5791,9 @@ object ExtensionQueries {
       // text PLUS a doc-unique PII suffix — the crawl's dirty copy) and
       // run the REAL parser chain; keep the FIRST 200-status record's
       // extraction. Docs whose every record is a 404 yield n_ok = 0.
-      val ingested = docs
+      val ingested = fanDocs(s, dir, docs
         .filter(pmod(col("doc_id"), lit(50)) =!= 0)
-        .select(col("doc_id"), col("source"), col("lang"), col("text"))
+        .select(col("doc_id"), col("source"), col("lang"), col("text")))
         .as[(Long, String, String, String)]
         .mapPartitions { it =>
           // Boilerplate strip + PII scrub run HERE, once per row, on the
@@ -6320,14 +6354,28 @@ object ExtensionQueries {
     // the final rounded ratio. At 100 TB this is the canonical
     // edge-keyed join (AQE splits the 16 hub keys).
     "crawl_reciprocity" -> ((s, dir) => {
-      val e = crawlEdgeTable(s, dir)
+      // r21 rewrite (guide §2.4 — remove shuffles outright): the former
+      // shape was distinct() on (u,v) + a self-join on the SWAPPED key
+      // pair — the two join sides need different hash partitionings
+      // ((u,v) vs (v,u)), so ReuseExchange cannot share them: 3
+      // exchanges + an SMJ sort. A reciprocal directed edge pair is
+      // exactly an UNORDERED pair carrying both direction flags, so ONE
+      // aggregation keyed on (least, greatest) computes both counts:
+      // nd = distinct directions present (max-min+1 over the 0/1 flag —
+      // dup edge rows collapse exactly like the old distinct()),
+      // n_edges = sum(nd) (= distinct directed edges), n_reciprocal =
+      // 2 per both-direction pair. Same integers, one exchange.
+      val pairs = crawlEdgeTable(s, dir)
         .filter(col("src") =!= col("dst"))
-        .select(col("src").as("u"), col("dst").as("v")).distinct()
-      val rec = e.as("a").join(e.as("b"),
-        col("a.u") === col("b.v") && col("a.v") === col("b.u"))
-        .select(col("a.u").as("u"), col("a.v").as("v"))
-      e.agg(count(lit(1)).as("n_edges"))
-        .crossJoin(broadcast(rec.agg(count(lit(1)).as("n_reciprocal"))))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"),
+          (col("src") < col("dst")).cast("long").as("f"))
+        .groupBy(col("a"), col("b"))
+        .agg((max(col("f")) - min(col("f")) + lit(1L)).as("nd"))
+      pairs.agg(
+          coalesce(sum(col("nd")), lit(0L)).as("n_edges"),
+          coalesce(sum(when(col("nd") === 2L, 2L).otherwise(0L)), lit(0L))
+            .as("n_reciprocal"))
         .select(col("n_edges"), col("n_reciprocal"),
           round(col("n_reciprocal") / col("n_edges").cast("double"), 6).as("reciprocity"))
     }),
@@ -6380,32 +6428,19 @@ object ExtensionQueries {
     // at 100 TB the same persisted-edge join per iteration (AQE
     // splits the 16 hub keys).
     "crawl_communities" -> ((s, dir) => {
-      val edges = crawlEdgeTable(s, dir)
-      val nodes = Tables.documents(s, dir).select(col("doc_id").as("v"))
-      val und = edges.select(col("src").as("v"), col("dst").as("u"))
-        .unionByName(edges.select(col("dst").as("v"), col("src").as("u")))
-        .unionByName(nodes.select(col("v"), col("v").as("u")))
-      var labels = nodes.select(col("v").as("u"), col("v").as("lbl"))
-      for (_ <- 1 to 4) {
-        val counted = und.join(labels, Seq("u"))
-          .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("c"))
-        // argmax via MAX over ONE PACKED LONG (count in the high 32
-        // bits, bit-inverted label in the low 32 — count desc, ties to
-        // the SMALLEST label): same result as a row_number window or a
-        // struct-max, but the aggregate buffer stays a primitive so
-        // Catalyst keeps it a HASH aggregate (struct-max falls back to
-        // SortAggregate; the window adds a per-node sort — the
-        // dedup_ngram_jaccard packed-long recipe applied to argmax).
-        // Packing bound: counts and labels < 2^31 — labels are doc_ids
-        // (the jaccard packable contract) and a count is bounded by
-        // degree+1.
-        labels = counted
-          .groupBy(col("v"))
-          .agg(max(shiftleft(col("c"), 32) +
-            (lit(0xffffffffL) - col("lbl"))).as("m"))
-          .select(col("v").as("u"),
-            (lit(0xffffffffL) - col("m").bitwiseAND(lit(0xffffffffL))).as("lbl"))
-      }
+      // r21: the 4-round synchronous loop moved VERBATIM to
+      // Clustering.distributedLpa behind the adaptive strategy
+      // ([[Clustering.lpaLabels]] — the kcore6/CC/BFS precedent): under
+      // spark.graft.cc.localEdgeLimit edges the strategy probe doubles
+      // as the collect and the rounds run driver-side (the distributed
+      // loop paid a join + two aggregate exchanges per round — ~14
+      // exchanges of pure scheduling floor on a graph that fits in one
+      // task at bench SFs); above it the identical loop runs unchanged
+      // (the 100 TB path). ClusteringSpec pins local/distributed
+      // parity, including the count-desc/smallest-label tie contract.
+      val labels = graft.operators.Clustering.lpaLabels(s,
+        crawlEdgeTable(s, dir),
+        Tables.documents(s, dir).select(col("doc_id").as("v")), rounds = 4)
       // community sizes via a WINDOW over the final labels, not a
       // self-join: the join's build side would re-evaluate the whole
       // 4-round subtree (no exchange for ReuseExchange to share —

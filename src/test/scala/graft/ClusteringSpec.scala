@@ -44,6 +44,38 @@ class ClusteringSpec extends SparkSpec {
     assert(distributed { run(g, 0L to 6L, k = 3) } === expected)
   }
 
+  test("lpaLabels: local/distributed parity, multiplicity votes, smallest-label ties") {
+    def run(edges: Seq[(Long, Long)], nodes: Seq[Long], rounds: Int): Map[Long, Long] =
+      Clustering.lpaLabels(spark,
+          edges.toDF("src", "dst"), nodes.toDF("v"), rounds)
+        .as[(Long, Long)].collect().toMap
+    // ONE round over a duplicated edge pins the two contracts at once:
+    // nodes 1 and 2 hear the duplicated edge's label TWICE (multiplicity
+    // beats single votes), while node 3 ties between its self label and
+    // 1's vote — ties go to the SMALLEST label.
+    val dup = Seq((1L, 2L), (1L, 2L), (1L, 3L))
+    val r1 = run(dup, Seq(1L, 2L, 3L), rounds = 1)
+    assert(r1 === Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+    assert(distributed(run(dup, Seq(1L, 2L, 3L), rounds = 1)) === r1)
+    // two 4-cliques + one bridge, 4 synchronous rounds (the
+    // crawl_communities shape): every member converges to its clique's
+    // min id on BOTH strategies
+    val cl1 = for { a <- 0L to 3L; b <- (a + 1) to 3L } yield (a, b)
+    val cl2 = for { a <- 10L to 13L; b <- (a + 1) to 13L } yield (a, b)
+    val g = cl1 ++ cl2 ++ Seq((3L, 10L))
+    val nodes = (0L to 3L) ++ (10L to 13L)
+    val local = run(g, nodes, rounds = 4)
+    assert(local === distributed(run(g, nodes, rounds = 4)))
+    assert((0L to 3L).forall(v => local(v) === 0L), s"clique 1 labels: $local")
+    assert((11L to 13L).forall(v => local(v) === 10L), s"clique 2 labels: $local")
+    // hub-skew directed fixture (every node links a hub, crawlEdgeTable's
+    // in-degree shape) + an isolated node (self vote only): parity again
+    val hub = (1L to 20L).map(i => (i, 0L)) ++ Seq((5L, 6L))
+    val hn = 0L to 21L
+    assert(run(hub, hn, rounds = 4) === distributed(run(hub, hn, rounds = 4)))
+    assert(run(hub, hn, rounds = 4)(21L) === 21L, "isolated node keeps its own label")
+  }
+
   test("two components get their min-node labels") {
     val labels = cc(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
     assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))

@@ -179,9 +179,19 @@ class PlanAuditSpec extends SparkSpec {
     // any exchange or join here would shuffle raw page bytes — the
     // 100 TB killer for a webgraph build. The served query only adds
     // its output sort on the store read.
+    // r21: the build may carry ONE round-robin fan-out exchange at tiny
+    // scale (Tables.fanOutForCpu — the scan packs into one split, so the
+    // WARC-parse kernel would otherwise run on one core; the helper
+    // disables itself once the scan has >= parallelism tasks, so the
+    // 100 TB plan stays exchange-free). KEYED exchanges stay forbidden:
+    // those would shuffle raw page bytes by content, the actual killer.
     val p = graft.queries.ExtensionQueries.linkEdgeBuildFrame(spark, sf0001)
       .queryExecution.executedPlan.toString
-    assert(!p.contains("Exchange"), s"link extraction planned a shuffle:\n$p")
+    val keyed = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") ||
+        l.contains("Exchange rangepartitioning") ||
+        l.contains("Exchange SinglePartition"))
+    assert(keyed === 0, s"link extraction planned a keyed shuffle:\n$p")
     assert(!p.contains("Join"), s"link extraction planned a join:\n$p")
     assert(p.contains("Generate"), s"posexplode vanished (links not exploded?):\n$p")
     val served = plan("crawl_link_graph")
@@ -495,11 +505,15 @@ class PlanAuditSpec extends SparkSpec {
       }
       assert(exchange.exists(_.contains("Exchange hashpartitioning")),
         s"first exchange above the ingest is not the dedup hash exchange: $exchange")
-      // below the ingest: only the deserialize + pruned scan, no exchange
+      // below the ingest: only the deserialize + pruned scan + (at tiny
+      // scale) the round-robin fan-out exchange (Tables.fanOutForCpu —
+      // self-disabling once the scan has >= parallelism tasks, so the
+      // 100 TB plan has nothing here); keyed exchanges stay forbidden
       var k = mp + 1
       while (k < lines.length && depth(lines(k)) > depth(lines(mp))) {
-        assert(!lines(k).contains("Exchange"),
-          s"exchange below the ingest scan: ${lines(k)}")
+        assert(!lines(k).contains("Exchange") ||
+            lines(k).contains("RoundRobinPartitioning"),
+          s"keyed exchange below the ingest scan: ${lines(k)}")
         k += 1
       }
     } finally prior match {
