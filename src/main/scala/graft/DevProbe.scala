@@ -40,6 +40,121 @@ object DevProbe {
       qs.split(",").filter(_.nonEmpty).foreach { qn =>
         t(s"q_$qn") { SparkEntry.queries(qn)(spark, sfDir).count() }
       }
+      // optional build/plan/exec split for the same run (r21): the
+      // standalone SPLIT path below is unreachable under PROBE_Q's
+      // early exit, and pairing both in ONE JVM keeps denominators
+      // same-session (the repo's measurement rule)
+      sys.env.getOrElse("SPARK_GRAFT_SPLIT", "").split(",")
+        .filter(_.nonEmpty).foreach { qn =>
+          (1 to 3).foreach { _ =>
+            val t0 = System.nanoTime()
+            val df = SparkEntry.queries(qn)(spark, sfDir)
+            val tBuild = (System.nanoTime() - t0) / 1e9
+            val t1 = System.nanoTime()
+            df.queryExecution.executedPlan
+            val tPlan = (System.nanoTime() - t1) / 1e9
+            val t2 = System.nanoTime()
+            df.count()
+            val tExec = (System.nanoTime() - t2) / 1e9
+            println(f"PROBE split_$qn build=$tBuild%.2fs plan=$tPlan%.2fs exec=$tExec%.2fs")
+          }
+        }
+      spark.stop(); return
+    }
+
+    // ---- round-21 probe: dedup_substring stage ladder — where does
+    // the exec second go? (ingest scan, anchor explode+hash, bucket
+    // agg, in-row pairs, diag window, full) ----
+    if (sys.env.contains("SPARK_GRAFT_PROBE_R21S")) {
+      import graft.queries.ExtensionQueries
+      val ing = ExtensionQueries.substringIngestProbe(spark, sfDir)
+      t("sub_ingest_noop") {
+        ing.write.format("noop").mode("overwrite").save(); 0L }
+      val g = ing.filter(size(split(col("text"), " ")) >= 8)
+        .select(col("doc_id"),
+          posexplode(graft.operators.TextOps.shinglesOfText(col("text"), 8))
+            .as(Seq("pos", "gram")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          xxhash64(col("gram")).as("h"))
+      t("sub_anchors_noop") {
+        g.write.format("noop").mode("overwrite").save(); 0L }
+      val b = g.groupBy(col("h"))
+        .agg(collect_list(col("doc_id") * lit(1048576L) + col("pos")).as("ms"))
+        .filter(size(col("ms")) <= 512)
+      t("sub_buckets_noop") {
+        b.write.format("noop").mode("overwrite").save(); 0L }
+      val p = b.select(explode(expr(
+          "flatten(transform(ms, x -> transform(" +
+            "filter(ms, y -> y div 1048576 != x div 1048576), " +
+            "y -> struct(x div 1048576 as a, y div 1048576 as b, " +
+            "x % 1048576 as pa, x % 1048576 - y % 1048576 as diag))))")).as("pr"))
+      t("sub_pairs_noop") {
+        p.write.format("noop").mode("overwrite").save(); 0L }
+      t("sub_full") { SparkEntry.queries("dedup_substring")(spark, sfDir).count() }
+      spark.stop(); return
+    }
+
+    // ---- round-21 probe: FIRST-CALL vs memo-hit cost for every
+    // memoized-artifact query (r20 verdict item 7 — the quoted A/Bs
+    // were memo-hit numbers; this prints the cold-JVM first invocation
+    // beside the warm min in one run). The JVM itself is warmed on two
+    // non-memoized queries first so `first=` isolates the ARTIFACT
+    // build (store write / driver constant), not Spark cold start. ----
+    if (sys.env.contains("SPARK_GRAFT_PROBE_R21M")) {
+      Seq("q2_join_agg", "q9_datetime").foreach { qn =>
+        try SparkEntry.queries(qn)(spark, sfDir).count()
+        catch { case _: Throwable => () }
+      }
+      Seq("sim_recall_report", "q29b_equidepth_global", "crawl_pagerank",
+          "crawl_ppr", "dedup_image_phash", "dedup_audio_shingle",
+          "search_bm25_topk", "dedup_embedding", "crawl_link_graph").foreach { qn =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(qn)(spark, sfDir).count()
+        val first = (System.nanoTime() - t0) / 1e9
+        var mn = Double.MaxValue
+        (1 to 6).foreach { _ =>
+          val t1 = System.nanoTime()
+          SparkEntry.queries(qn)(spark, sfDir).count()
+          mn = math.min(mn, (System.nanoTime() - t1) / 1e9)
+        }
+        println(f"PROBE memo_$qn%-28s first=$first%.3f s warm_min=$mn%.3f s")
+      }
+      spark.stop(); return
+    }
+
+    // ---- round-21 probe: job-floor lower bounds for the smallest-
+    // denominator analytics rows (r20 verdict item 9). Each floor is
+    // the cheapest formulation of the query's ESSENTIAL distributed
+    // step over the same scan; full ~= floor pins the row as
+    // scheduling-floor class, not a plan defect. ----
+    if (sys.env.contains("SPARK_GRAFT_PROBE_R21F")) {
+      val ev = Tables.events(spark, sfDir)
+      val ord = Tables.orders(spark, sfDir)
+      t("q24_full") { SparkEntry.queries("q24_retention")(spark, sfDir).count() }
+      t("q24_floor_window_agg") {
+        // one user window + one two-key aggregate — the retention
+        // essentials with no cohort arithmetic
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+        ev.select(col("user_id"), to_date(col("ts")).as("d"))
+          .withColumn("c", min(col("d")).over(w))
+          .groupBy(col("c")).agg(count_distinct(col("user_id"))).count()
+      }
+      t("q46_full") { SparkEntry.queries("q46_equiwidth_hist")(spark, sfDir).count() }
+      t("q46_floor_two_pass") {
+        // the two-pass histogram essentials: one min/max aggregate +
+        // one 10-row rollup over the same scan
+        val o = ord.select(round(col("o_totalprice") * 100).cast("long").as("c"))
+        val mm = o.agg(min(col("c")).as("lo"), max(col("c")).as("hi"))
+        o.crossJoin(broadcast(mm))
+          .groupBy((col("c") % 10).as("b")).agg(count(lit(1))).count()
+      }
+      t("q6_full") { SparkEntry.queries("q6_setops")(spark, sfDir).count() }
+      t("q6_floor_distinct") {
+        // the setops essentials: one distinct over the filtered scan
+        ev.filter(col("event_type").isin("click", "purchase"))
+          .select(col("user_id"), col("event_type")).distinct().count()
+      }
+      t("reciprocity_full") { SparkEntry.queries("crawl_reciprocity")(spark, sfDir).count() }
       spark.stop(); return
     }
 

@@ -57,8 +57,18 @@ object Tables {
       spark.sparkContext.applicationId + "@" +
         Integer.toHexString(System.identityHashCode(spark)))
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val path = s"$dir/$name.parquet"
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    loadPath(spark, s"$dir/$name.parquet")
+
+  /** [[load]] for an arbitrary parquet path — the same memo, stamp and
+    * eviction lifecycle. r21: `materializedFrame` store reads paid the
+    * un-memoized `spark.read.parquet` per CALL (~0.1 s of driver
+    * re-list + footer re-read per store-served query invocation — the
+    * exact r20 frame-memo lesson, unapplied to the store paths; the
+    * DevProbe split showed dedup_image_phash build=0.10-0.12 s, all of
+    * it this).
+    */
+  def loadPath(spark: SparkSession, path: String): DataFrame = {
     val stamp =
       try stampedRowCount(spark, path)._1
       catch { case _: Throwable => // missing path: let read.parquet throw its own error
@@ -227,6 +237,12 @@ object Tables {
   def parquetDataBytes(spark: SparkSession, path: String): Long =
     stampedRowCount(spark, path)._1.split(':').last.toLong
 
+  /** Data-file count under a parquet path (stamp field 3) — same
+    * memoized listing, no I/O.
+    */
+  def parquetFileCount(spark: SparkSession, path: String): Long =
+    stampedRowCount(spark, path)._1.split(':')(2).toLong
+
   /** Scale-adaptive fan-out for CPU-heavy per-row kernels (the codec /
     * WARC-parse mapPartitions stages): a small corpus arrives as ONE
     * scan task (`maxPartitionBytes` packs it into a single split), so a
@@ -258,13 +274,24 @@ object Tables {
     val target = spark.sparkContext.defaultParallelism
     val estTasks =
       try {
-        if (minRows > 0L &&
-            parquetRowCount(spark, s"$dir/$name.parquet") < minRows)
+        val path = s"$dir/$name.parquet"
+        if (minRows > 0L && parquetRowCount(spark, path) < minRows)
           return df
-        val bytes = parquetDataBytes(spark, s"$dir/$name.parquet")
-        val maxSplit = math.max(1L,
-          org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes)
-        (bytes + maxSplit - 1) / maxSplit
+        // model Spark's actual split sizing (FilePartition.maxSplitBytes
+        // with the default minPartitionNum = default parallelism floor),
+        // not a bare bytes/maxPartitionBytes quotient: a multi-file
+        // corpus at 10-100x ALREADY scans near target parallelism (the
+        // floor shrinks splits), and the r21 100x probe showed the naive
+        // estimate inserting a pointless full-text shuffle there
+        // (warc_ingest flat across core counts until this fix).
+        val files = parquetFileCount(spark, path)
+        if (files >= target) return df // splits to >= target via the floor
+        val bytes = parquetDataBytes(spark, path)
+        val conf = org.apache.spark.sql.internal.SQLConf.get
+        val openCost = math.max(0L, conf.filesOpenCostInBytes)
+        val maxSplit = math.max(1L, math.min(conf.filesMaxPartitionBytes,
+          math.max(openCost, (bytes + openCost * files) / math.max(1, target))))
+        math.max(files, (bytes + maxSplit - 1) / maxSplit)
       } catch { case _: Throwable => Long.MaxValue } // unknown: leave the plan alone
     if (estTasks >= target) df else df.repartition(target)
   }

@@ -211,7 +211,10 @@ object AnalyticsQueries {
       val ut = Tables.events(s, dir)
         .filter(col("event_type").isin("click", "purchase"))
         .select(col("user_id"), col("event_type")).distinct()
-        .localCheckpoint()
+        .localCheckpoint() // eager, deliberately: the r21 floor probe
+      // measured the lazy variant SLOWER (0.37 vs 0.26 s isolated
+      // min-of-7) — the eager job costs ~0.1 s but both set-op
+      // branches then read finished blocks; keep eager
       val clicks = ut.filter(col("event_type") === "click").select(col("user_id"))
       val buys = ut.filter(col("event_type") === "purchase").select(col("user_id"))
       clicks.except(buys).select(lit("click_only").as("segment"), col("user_id"))

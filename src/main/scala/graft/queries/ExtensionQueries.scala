@@ -722,7 +722,10 @@ object ExtensionQueries {
       val prev = fingerprintStores.putIfAbsent(key, out.toString)
       path = if (prev == null) out.toString else prev
     }
-    s.read.parquet(path)
+    // memoized frame read (Tables.loadPath, r21): the bare read.parquet
+    // re-listed the store and re-read a footer on EVERY serve (~0.1 s
+    // per store-served query call — the r20 Tables.load lesson)
+    Tables.loadPath(s, path)
   }
 
   /** Scale-adaptive fan-out for the documents-scan CPU kernels (codec /
@@ -1997,6 +2000,10 @@ object ExtensionQueries {
     * 24-token middle slice (tokens 9..32), so run extension must
     * stop at exactly 24 tokens instead of saturating to the full doc.
     */
+  /** DevProbe seam (R21S stage ladder). */
+  private[graft] def substringIngestProbe(s: SparkSession, dir: String): DataFrame =
+    substringIngest(s, dir)
+
   private def substringIngest(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val reups = base.filter(pmod(col("doc_id"), lit(7)) === 0)
@@ -4368,19 +4375,48 @@ object ExtensionQueries {
           posexplode(TextOps.shinglesOfText(col("text"), 8)).as(Seq("pos", "gram")))
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
           xxhash64(col("gram")).as("h"))
-      val wH = Window.partitionBy(col("h"))
-      val gg = g.withColumn("c", count(lit(1)).over(wH))
-        .filter(col("c") <= 512).drop("c")
-      val p = gg.as("x").join(gg.as("y"),
-          col("x.h") === col("y.h") && col("x.doc_id") =!= col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-          col("x.pos").as("pa"), (col("x.pos") - col("y.pos")).as("diag"))
-      val wRun = Window.partitionBy(col("a"), col("b"), col("diag"))
-        .orderBy(col("pa"))
+      // r21 rewrite (guide §2.4): the former shape was a count-window
+      // over h (Exchange + sort + WindowExec) followed by a SELF-JOIN
+      // of that frame on h (an SMJ — two more sorts) just to emit the
+      // cross pairs within each anchor bucket. ONE hash aggregate on h
+      // collects each bucket's (doc_id, pos) members — the >512 cap is
+      // the same whole-bucket drop, now a size() filter — and the
+      // cross pairs are generated IN-ROW over the bounded member array
+      // (nested transform + flatten, the cappedPairs idiom): identical
+      // pair multiset, one exchange and zero sorts where there were a
+      // window sort + a sort-merge join. Isolated min-of-7 at sf0.1:
+      // 0.954 -> 0.512 s; the anchor stage's Exchange count 2 -> 1.
+      // members ride as ONE packed long (doc_id in the high bits, pos
+      // in the low 20 — positions are token indexes, bounded far below
+      // 2^20 by the doc length contract): narrower shuffle rows and a
+      // primitive-array aggregation buffer (§2.3 narrower types)
+      val b = g.groupBy(col("h"))
+        .agg(collect_list(col("doc_id") * lit(1048576L) + col("pos")).as("ms"))
+        .filter(size(col("ms")) <= 512)
+      val p = b.select(explode(expr(
+          "flatten(transform(ms, x -> transform(" +
+            "filter(ms, y -> y div 1048576 != x div 1048576), " +
+            "y -> struct(x div 1048576 as a, y div 1048576 as b, " +
+            "x % 1048576 as pa, x % 1048576 - y % 1048576 as diag))))")).as("pr"))
+        .select(col("pr.a").as("a"), col("pr.b").as("b"),
+          col("pr.pa").as("pa"), col("pr.diag").as("diag"))
+      // longest diagonal run via an ORDERED IN-ROW FOLD per (a, b,
+      // diag) — the q36/dq_drift one-action recipe: (a, b, diag, pa)
+      // rows are unique by construction (one gram per (doc, pos)), so
+      // the former row_number window's island count equals the longest
+      // consecutive-pa run over the sorted position array; the hash
+      // aggregate rides one exchange with NO sort where the window
+      // paid Exchange + full Sort + WindowExec.
       val runs = p
-        .withColumn("isl", col("pa") - row_number().over(wRun))
-        .groupBy(col("a"), col("b"), col("diag"), col("isl"))
-        .agg((count(lit(1)) + 7L).as("span"))
+        .groupBy(col("a"), col("b"), col("diag"))
+        .agg(sort_array(collect_list(col("pa"))).as("ps"))
+        .select(col("a"), col("b"), expr(
+          "aggregate(ps, struct(0L as best, 0L as cur, -2L as prev), " +
+            "(acc, x) -> struct(" +
+            "greatest(acc.best, if(x = acc.prev + 1, acc.cur + 1, 1L)) as best, " +
+            "if(x = acc.prev + 1, acc.cur + 1, 1L) as cur, " +
+            "x as prev), " +
+            "acc -> acc.best + 7)").as("span"))
       runs.groupBy(col("a"))
         .agg(max(col("span")).as("max_dup_span"),
           count_distinct(col("b")).as("n_partners"))
